@@ -1,0 +1,174 @@
+package graft.frame
+
+import graft.types._
+import graft.encode.Encode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SeaFrame: the pipeline facade — a DataFrame plus feature metadata
+  * plus an explicit row-order column (reference Pipeline interface,
+  * seafan pipeline.go:19-47).
+  *
+  * The reference relies on the CURRENT PHYSICAL ROW ORDER for
+  * lag/cume/row/subset semantics (SURVEY §7.4 risk 1); Spark has no
+  * stable implicit order, so every SeaFrame carries `__seq`: assigned
+  * 0..n-1 at ingest (by a caller-declared natural key) and re-derived by
+  * [[sort]]. All order-dependent ops window over it. `__seq` is data,
+  * not position — it survives shuffles, repartitions, and joins, which
+  * is exactly what makes the semantics cluster-safe.
+  */
+final case class SeaFrame(
+    df: DataFrame,
+    schema: FeatureSchema,
+    seqCol: Option[String] = None) {
+
+  import SeaFrame.SEQ
+
+  def spark: SparkSession = df.sparkSession
+
+  /** Columns excluding the internal order column. */
+  def dataColumns: Seq[String] = df.columns.toSeq.filterNot(_ == SEQ)
+
+  /** The result with internal columns dropped — what a user sees. */
+  def result: DataFrame = df.drop(SEQ)
+
+  // ---- 2.2 projections / filters / row selection ---------------------
+
+  /** Keep: project to `fields` in the given order (gdata.go:633-649). */
+  def keep(fields: Seq[String]): SeaFrame = {
+    val cols = fields ++ seqCol.toSeq
+    copy(df = df.select(cols.map(df(_)): _*),
+      schema = FeatureSchema(schema.metas.filter(m => fields.contains(m.name))))
+  }
+
+  /** Drop one field (gdata.go:611-630). */
+  def drop(field: String): SeaFrame =
+    copy(df = df.drop(field), schema = schema.without(field))
+
+  /** Where: IN-list equality filter (gdata.go:897-969). */
+  def whereIn(field: String, values: Seq[Any]): SeaFrame =
+    copy(df = df.where(df(field).isin(values: _*)))
+
+  /** Slice: arbitrary boolean-Column predicate (gdata.go:306-419);
+    * compose predicates with && / || (SlicerAnd/Or slicer.go:73-84).
+    */
+  def slice(pred: Column): SeaFrame = copy(df = df.where(pred))
+
+  /** Subset: positional row selection under the explicit order
+    * (gdata.go:852-895). Requires a seq column.
+    */
+  def subset(rows: Seq[Long]): SeaFrame = {
+    val s = requireSeq("subset")
+    copy(df = df.where(df(s).isin(rows: _*)))
+  }
+
+  /** Row: take the single row at position `n` (gdata.go:818-849). */
+  def row(n: Long): SeaFrame = subset(Seq(n))
+
+  /** Limit first n rows in seq order. */
+  def limit(n: Int): SeaFrame = {
+    val s = requireSeq("limit")
+    copy(df = df.where(df(s) < n))
+  }
+
+  // ---- 2.6 sorts / shuffles ------------------------------------------
+
+  /** Sort by field, re-deriving the order column so subsequent
+    * order-dependent ops follow the new order (gdata.go:421-493).
+    * Ties broken by the previous sequence for determinism.
+    */
+  def sort(field: String, ascending: Boolean = true): SeaFrame = {
+    val key = if (ascending) df(field).asc else df(field).desc
+    val tie = seqCol.map(df(_).asc).toSeq
+    val w = Window.orderBy(key +: tie: _*)
+    copy(df = df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
+      seqCol = Some(SEQ))
+  }
+
+  /** Shuffle: seeded random permutation (gdata.go:506-510). Seeded so
+    * tests are reproducible; excluded from oracle hash-match regardless.
+    */
+  def shuffle(seed: Long): SeaFrame = {
+    val w = Window.orderBy(rand(seed), seqCol.map(df(_).asc)
+      .getOrElse(monotonically_increasing_id().asc))
+    copy(df = df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
+      seqCol = Some(SEQ))
+  }
+
+  /** Top-K values of a column by count (data.go:815-837). */
+  def topK(field: String, k: Int, byCount: Boolean = true): DataFrame = {
+    val counted = df.groupBy(df(field)).agg(count(lit(1)).as("count"))
+    val ordered = if (byCount)
+      counted.orderBy(col("count").desc, col(field).asc)
+    else counted.orderBy(col(field).asc)
+    ordered.limit(k)
+  }
+
+  // ---- 2.5 append ----------------------------------------------------
+
+  /** Append: union by name; `other` must contain all of this frame's
+    * fields, extras dropped (pipeline.go:429-464). Sequence numbers of
+    * the appended rows follow this frame's (offset by row count).
+    */
+  def append(other: SeaFrame): SeaFrame = {
+    val fields = dataColumns
+    val missing = fields.filterNot(other.df.columns.contains)
+    require(missing.isEmpty,
+      s"append: right side missing fields ${missing.mkString(",")}")
+    (seqCol, other.seqCol) match {
+      case (Some(s), Some(os)) =>
+        val n = df.count()
+        val right = other.df
+          .withColumn(SEQ, other.df(os) + lit(n))
+          .select((fields :+ SEQ).map(c => col(c)): _*)
+        copy(df = df.select((fields :+ SEQ).map(c => df(c)): _*)
+          .unionByName(right))
+      case _ =>
+        copy(df = df.select(fields.map(df(_)): _*)
+          .unionByName(other.df.select(fields.map(other.df(_)): _*)),
+          seqCol = None)
+    }
+  }
+
+  // ---- encoding shortcuts -------------------------------------------
+
+  def appendC(raw: String, name: String, normalize: Boolean = false,
+      fitted: Option[FeatureMeta] = None): SeaFrame = {
+    val (d, m) = Encode.appendC(df, raw, name, normalize, fitted)
+    copy(df = d, schema = schema.updated(m))
+  }
+
+  def appendD(raw: String, name: String,
+      fitted: Option[FeatureMeta] = None): SeaFrame = {
+    val (d, m) = Encode.appendD(df, raw, name, fitted)
+    copy(df = d, schema = schema.updated(m))
+  }
+
+  def makeOneHot(from: String, name: String): SeaFrame = {
+    val (d, m) = Encode.makeOneHot(df, schema(from), from, name)
+    copy(df = d, schema = schema.updated(m))
+  }
+
+  private def requireSeq(op: String): String = seqCol.getOrElse(
+    throw new IllegalStateException(
+      s"$op requires an explicit row order; call withSequence()/sort() first"))
+}
+
+object SeaFrame {
+  /** Internal row-order column name. */
+  val SEQ = "__seq"
+
+  /** Wrap a DataFrame with no order guarantee. */
+  def apply(df: DataFrame): SeaFrame = SeaFrame(df, FeatureSchema.empty, None)
+
+  /** Wrap and assign sequence 0..n-1 by the given natural-key order.
+    * The global row_number is a one-time range-partitioned sort — the
+    * price of reference order semantics, paid once at ingest.
+    */
+  def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame = {
+    val w = Window.orderBy(orderBy: _*)
+    SeaFrame(df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
+      FeatureSchema.empty, Some(SEQ))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-diagnostic and descriptive statistics as distributed
+  * aggregates (reference diags.go / data.go) — each one pass, no
+  * driver-side loops over groups.
+  */
+object Stats {
+
+  /** Desc: empirical quantiles at u=[0,.1,.25,.5,.75,.9,1] plus
+    * n/mean/std (reference data.go:141-204). Exact percentiles
+    * (Spark `percentile`) to match a SQL oracle; at very large scale
+    * callers can pass approx=true for approx_percentile.
+    */
+  def describe(df: DataFrame, c: String, approx: Boolean = false)
+      : DataFrame = {
+    val probs = "array(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)"
+    val fn = if (approx) "approx_percentile" else "percentile"
+    df.agg(
+      count(col(c)).as("n"),
+      avg(col(c)).as("mean"),
+      stddev_samp(col(c)).as("std"),
+      expr(s"$fn($c, $probs)").as("q"))
+      .select(col("n"), col("mean"), col("std"),
+        col("q")(0).as("q0"), col("q")(1).as("q10"), col("q")(2).as("q25"),
+        col("q")(3).as("q50"), col("q")(4).as("q75"), col("q")(5).as("q90"),
+        col("q")(6).as("q100"))
+  }
+
+  /** KS statistic: max gap between the score CDFs of target vs
+    * non-target (reference diags.go:110-221, which interpolates on a
+    * 101-point grid; we compute the exact sup-gap — tighter, one pass).
+    * Returns (ks in [0,100], cutoff score at the max gap).
+    */
+  def ks(df: DataFrame, score: Column, target: Column): (Double, Double) = {
+    val d = df.select(score.cast("double").as("s"),
+      when(target.cast("double") > 0.999, 1L).otherwise(0L).as("y"))
+    val agg = d.agg(sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0")).head()
+    val (n1, n0) = (agg.getLong(0), agg.getLong(1))
+    val w = Window.orderBy(col("s"))
+    val gaps = d
+      .withColumn("c1", sum(col("y")).over(w))
+      .withColumn("c0", sum(lit(1L) - col("y")).over(w))
+      .select(col("s"),
+        abs(col("c1").cast("double") / n1 -
+            col("c0").cast("double") / n0).as("gap"))
+      .orderBy(col("gap").desc, col("s").asc)
+      .head()
+    (gaps.getDouble(1) * 100.0, gaps.getDouble(0))
+  }
+
+  /** KS as a one-row DataFrame for query/oracle use. */
+  def ksDf(df: DataFrame, score: Column, target: Column): DataFrame = {
+    val (k, cut) = ks(df, score, target)
+    df.sparkSession.sql(s"SELECT CAST($k AS DOUBLE) AS ks, " +
+      s"CAST($cut AS DOUBLE) AS cutoff")
+  }
+
+  /** Assess: n, precision, recall, accuracy of (score > cutoff) against
+    * a binary target (reference diags.go:476-529; target threshold
+    * y > .999 mirrors its obs>.999 test).
+    */
+  def assess(df: DataFrame, score: Column, target: Column,
+      cutoff: Double): DataFrame = {
+    val pred = (score.cast("double") > cutoff).cast("long")
+    val obs = (target.cast("double") > 0.999).cast("long")
+    df.agg(
+      count(lit(1)).as("n"),
+      (sum(pred * obs).cast("double") / sum(pred)).as("precision"),
+      (sum(pred * obs).cast("double") / sum(obs)).as("recall"),
+      (sum(when(pred === obs, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("accuracy"))
+  }
+
+  /** Coalesce one-hot/softmax column groups (reference diags.go:32-95):
+    * given k probability (or logodds) columns, return binary
+    * any-of-targets or the softmax-combined target probability.
+    */
+  def coalesceCols(cols: Seq[Column], targets: Seq[Int], binary: Boolean,
+      logodds: Boolean): Column = {
+    val probs: Seq[Column] =
+      if (!logodds) cols
+      else {
+        val exps = cols.map(exp(_))
+        val denom = exps.reduce(_ + _)
+        exps.map(_ / denom)
+      }
+    val targetSum = targets.map(probs(_)).reduce(_ + _)
+    if (binary) (targetSum > 0.5).cast("double") else targetSum
+  }
+
+  /** Decile (or n-tile) calibration table: bucket by predicted score,
+    * per-bucket mean predicted vs mean observed (reference decile plot
+    * diags.go:231-373 collapsed to one grouped agg).
+    */
+  def decile(df: DataFrame, score: Column, target: Column,
+      buckets: Int = 10): DataFrame = {
+    val w = Window.orderBy(score.cast("double"))
+    df.withColumn("__b", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("__b").as("bucket"))
+      .agg(avg(score.cast("double")).as("mean_score"),
+        avg(target.cast("double")).as("mean_target"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+}

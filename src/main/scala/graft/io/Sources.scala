@@ -1,0 +1,83 @@
+package graft.io
+
+import graft.types._
+import graft.frame.SeaFrame
+import graft.encode.Encode
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Sources and sinks (reference SURVEY §2.1): CSV with type inference
+  * and role resolution, parquet, JDBC. The reference's eager
+  * Init()-materializes-everything becomes a lazy planned scan —
+  * Catalyst pushes filters/projections into the reader.
+  */
+object Sources {
+
+  /** CSVToPipe (pipeline.go:325-364): header + inferSchema, then role
+    * resolution by the reference's rule — date/string columns are
+    * categorical, numeric are continuous (ch.go:165-171) — with
+    * user FType overrides.
+    */
+  def csvToPipe(spark: SparkSession, path: String,
+      overrides: FeatureSchema = FeatureSchema.empty,
+      orderBy: Seq[String] = Nil): SeaFrame = {
+    val df = spark.read
+      .option("header", true).option("inferSchema", true)
+      .csv(path)
+    wrap(df, overrides, orderBy)
+  }
+
+  /** Parquet scan (the harness's native format). */
+  def parquetToPipe(spark: SparkSession, path: String,
+      overrides: FeatureSchema = FeatureSchema.empty,
+      orderBy: Seq[String] = Nil): SeaFrame =
+    wrap(spark.read.parquet(path), overrides, orderBy)
+
+  /** SQLToPipe (pipeline.go:296-321): arbitrary SQL against
+    * registered temp views (the in-engine analog of pushing SQL to
+    * ClickHouse) or a JDBC source when a url is given.
+    */
+  def sqlToPipe(spark: SparkSession, sql: String,
+      jdbcUrl: Option[String] = None): SeaFrame = jdbcUrl match {
+    case None => wrap(spark.sql(sql), FeatureSchema.empty, Nil)
+    case Some(url) => wrap(
+      spark.read.format("jdbc").option("url", url).option("query", sql)
+        .load(), FeatureSchema.empty, Nil)
+  }
+
+  private def wrap(df: DataFrame, overrides: FeatureSchema,
+      orderBy: Seq[String]): SeaFrame = {
+    val metas = df.schema.fields.map { f =>
+      overrides.get(f.name).getOrElse {
+        val role = f.dataType.typeName match {
+          case "string" | "date" | "timestamp" => FeatureRole.Cat
+          case _ => FeatureRole.Cts
+        }
+        FeatureMeta(f.name, role)
+      }
+    }
+    val base = if (orderBy.nonEmpty)
+      SeaFrame.withSequence(df, orderBy.map(col(_).asc))
+    else SeaFrame(df)
+    base.copy(schema = FeatureSchema(metas.toIndexedSeq))
+  }
+
+  /** PipeToCSV (pipeline.go:395-425). */
+  def pipeToCsv(frame: SeaFrame, path: String): Unit =
+    frame.result.write.mode(SaveMode.Overwrite)
+      .option("header", true).csv(path)
+
+  /** Parquet sink. */
+  def pipeToParquet(frame: SeaFrame, path: String): Unit =
+    frame.result.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** PipeToSQL (pipeline.go:367-392): JDBC table or saveAsTable. */
+  def pipeToSql(frame: SeaFrame, table: String,
+      jdbcUrl: Option[String] = None): Unit = jdbcUrl match {
+    case None => frame.result.write.mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    case Some(url) => frame.result.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .mode(SaveMode.Overwrite).save()
+  }
+}

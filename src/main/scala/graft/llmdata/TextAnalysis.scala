@@ -1,0 +1,106 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column
+  * expressions — codegen'd, no UDFs, embarrassingly parallel.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish subword estimate: word-piece runs + digits + punctuation
+    * each count as a token (a regex approximation of byte-pair
+    * tokenizers for budget estimation).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(split(trim(text),
+      "(?<=[a-zA-Z]{4})(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])")).cast("long")
+
+  /** Quality features: char length, word count, avg word length,
+    * punctuation ratio, digit ratio, uppercase ratio, stopword ratio.
+    */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val nChars = length(t).cast("double")
+    val words = split(trim(t), "\\s+")
+    val nWords = size(words).cast("double")
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as")
+    val nStop = size(filter(words, w => lower(w).isin(stop: _*)))
+      .cast("double")
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len",
+        (nChars - (nWords - 1.0)) / nWords)
+      .withColumn("punct_ratio",
+        (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / nChars)
+      .withColumn("digit_ratio",
+        (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars)
+      .withColumn("stopword_ratio", nStop / nWords)
+  }
+
+  /** Composite quality score in [0,1]: reasonable length, low
+    * punctuation, some stopwords — the heuristics curation pipelines
+    * use for junk filtering.
+    */
+  def qualityScore(df: DataFrame, text: String): DataFrame = {
+    val f = qualityFeatures(df, text)
+    f.withColumn("quality",
+      (when(col("n_words") >= 10, 0.4).otherwise(col("n_words") * 0.04)
+        + when(col("punct_ratio") <= 0.1, 0.3)
+          .otherwise(greatest(lit(0.0), lit(0.3) - col("punct_ratio")))
+        + when(col("stopword_ratio") >= 0.1, 0.3)
+          .otherwise(col("stopword_ratio") * 3.0)))
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword-voting
+    * language heuristic. Tiny closed sets — a broadcastable dictionary
+    * compiled into the expression.
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit"))
+
+  /** Heuristic language ID: the language whose stopword list scores
+    * the most hits in the token stream; "und" (undetermined) when no
+    * list hits. Deterministic; ties broken by language code order.
+    */
+  def langId(text: Column): Column = {
+    val words = transform(split(trim(lower(text)), "\\s+"), w => w)
+    val scored = langStops.map { case (lang, stops) =>
+      struct(size(filter(words, w => w.isin(stops: _*))).as("hits"),
+        // invert code for ties so greatest() picks the alphabetically
+        // first language at equal hit counts
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of the dedup-normalized text — the
+    * cheap exact-clustering key (see [[Dedup.normalize]]).
+    */
+  def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
+
+  /** Rolling polynomial hash (Rabin-Karp style) of the normalized
+    * token stream: h = sum token_hash_i * B^(n-1-i) mod M, expressed
+    * with aggregate() — an order-sensitive fingerprint where md5 of
+    * the whole string is order-sensitive but not incrementally
+    * computable.
+    */
+  def rollingHash(text: Column): Column = {
+    val B = 1000003L
+    val M = 2305843009213693951L // 2^61 - 1
+    val tokens = split(Dedup.normalize(text), " ")
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * B + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+}

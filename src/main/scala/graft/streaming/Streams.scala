@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming extensions over the events table (a
+  * Spark-native addition — the reference has no streaming, SURVEY
+  * §2.11). Each transform is written against a plain DataFrame so the
+  * SAME code runs in batch (for the oracle gate) and as a streaming
+  * query with watermarks (for incremental execution).
+  */
+object Streams {
+
+  /** Tumbling-window aggregate: count + sum(value) per (window,
+    * event_type). In streaming mode, pair with a watermark on ts.
+    */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window aggregate. */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user with a fixed inactivity gap:
+    * session_window in streaming; the batch equivalent (same
+    * semantics) is the gaps-and-islands form used for oracle checks.
+    */
+  def sessionized(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Run any of the transforms above as a real streaming query over
+    * file-source parquet, sinking to an in-memory table — the local
+    * harness for watermark/window correctness (processAllAvailable
+    * drives the batch of files through synchronously).
+    */
+  def runStreaming(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val out = transform(src.withWatermark("ts", watermark))
+    out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
