@@ -1,57 +1,28 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.QH._
 import org.apache.spark.sql.functions._
 
 /** The query catalog: name -> (query fn, optional DuckDB oracle SQL).
   *
-  * Conventions for oracle hash-match (driver sorts columns by name and
-  * hashes values):
-  *   - identical column NAMES both sides (alias every computed column);
-  *   - deterministic row set: every query ends in an unambiguous ORDER BY
-  *     or is a grouped result (driver-side sort handles row order);
-  *   - floating aggregates over many rows go through an exact-decimal
-  *     sum (`dsum`) then back to double — bit-identical across engines;
-  *   - genuinely floating outputs (stddev, corr, softmax) are rounded to
-  *     a fixed number of decimals on BOTH sides;
-  *   - rank-like ints are cast to BIGINT on the Spark side to match
-  *     DuckDB's BIGINT window results.
+  * Conventions for oracle hash-match (the driver sorts columns by name
+  * and hashes values):
+  *   - identical column NAMES both sides (every computed column
+  *     aliased);
+  *   - deterministic total row order on both sides (ORDER BY a unique
+  *     key);
+  *   - floating aggregates go through QH's exact-decimal accumulators
+  *     (bit-identical across engines); genuinely floating outputs
+  *     (corr, softmax, exp/log paths) are rounded identically on both
+  *     sides;
+  *   - rank-like ints cast to BIGINT to match DuckDB window results;
+  *   - hash-based operators (minhash/simhash/xxhash64) have no DuckDB
+  *     equivalent -> rows-only entries (no oracle SQL).
   */
 object Queries {
 
-  /** Exact sum of a money-like double: associate via decimal(25,6) so the
-    * result is order-independent, then return to double. Matches DuckDB's
-    * `CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)` bit-for-bit.
-    */
-  def dsum(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
-
-  /** Exact-sum-then-double-divide: deterministic avg across engines
-    * (decimal division would truncate scale differently per engine).
-    */
-  def davg(c: Column): Column =
-    sum(c.cast("decimal(25,6)")).cast("double") / count(c)
-
-  /** DuckDB-side spellings of dsum/davg. */
-  def sqlDsum(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(25,6))) AS DOUBLE)"
-  def sqlDavg(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / count($e)"
-
-  type QFn = (SparkSession, String) => DataFrame
-
-  private def read(s: SparkSession, dir: String, table: String): DataFrame =
-    s.read.parquet(s"$dir/$table.parquet")
-
-  // ---------------------------------------------------------------------
-  // Aggregations (SURVEY §2.7)
-  // ---------------------------------------------------------------------
-
-  /** TPC-H Q1-style grouped aggregate: the flagship scan→agg pipeline.
-    * Reference analog: summary functions sum/mean/count over slices
-    * (seafan parser.go:749-760 + slicer iteration) collapsed into one
-    * hash aggregate with map-side partial aggregation.
-    */
-  private val q14: (QFn, Option[String]) = (
+  /** TPC-H Q1 shape: the flagship scan -> grouped aggregate. */
+  private val q14: Q = (
     (s, dir) =>
       read(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -78,8 +49,12 @@ object Queries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  // ---------------------------------------------------------------------
-  val all: Map[String, (QFn, Option[String])] = Map(
-    "q14_groupby_agg" -> q14
-  )
+  val all: Map[String, Q] =
+    QueriesRelational.all ++
+      QueriesAgg.all ++
+      QueriesExpr.all ++
+      QueriesML.all ++
+      QueriesLLM.all ++
+      QueriesStream.all +
+      ("q14_groupby_agg" -> q14)
 }

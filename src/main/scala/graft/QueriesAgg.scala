@@ -1,0 +1,397 @@
+package graft
+
+import graft.QH._
+import graft.encode.Encode
+import graft.frame.SeaFrame
+import graft.functions.Stats
+import graft.ops.Slicers
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3/2.7/2.9/2.10 — whole-table aggregates, descriptive
+  * stats, financial functions, encoding operators, window/cumulative
+  * ops, slicer grouping.
+  */
+object QueriesAgg {
+
+  /** Whole-table summary functions (sum/mean/std/max/min/count plus
+    * the reference's declared-but-unimplemented median and corr,
+    * implemented correctly — parser.go:779-782). std/mean through
+    * exact decimal sums; median/corr rounded (genuinely floating).
+    */
+  private val q13_summary_agg: Q = (
+    (s, dir) => read(s, dir, "lineitem").agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      davg(col("l_quantity")).as("mean_qty"),
+      dstd(col("l_quantity")).as("std_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      count(col("l_quantity")).as("n"),
+      round(median(col("l_quantity")), 6).as("median_qty"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .as("corr_qty_price")),
+    Some(s"""SELECT ${sqlDsum("l_quantity")} AS sum_qty,
+                    ${sqlDavg("l_quantity")} AS mean_qty,
+                    ${sqlDstd("l_quantity")} AS std_qty,
+                    max(l_quantity) AS max_qty,
+                    min(l_quantity) AS min_qty,
+                    count(l_quantity) AS n,
+                    round(median(l_quantity), 6) AS median_qty,
+                    round(corr(l_quantity, l_extendedprice), 6)
+                      AS corr_qty_price
+             FROM lineitem"""))
+
+  /** Desc: empirical quantiles at the reference's u-grid
+    * (data.go:141-204) — exact interpolated percentiles.
+    */
+  private val q15_desc_quantiles: Q = (
+    (s, dir) => Stats.describe(read(s, dir, "orders"), "o_totalprice")
+      .select(col("n"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        round(col("q0"), 4).as("q0"), round(col("q10"), 4).as("q10"),
+        round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+        round(col("q75"), 4).as("q75"), round(col("q90"), 4).as("q90"),
+        round(col("q100"), 4).as("q100")),
+    Some("""SELECT count(o_totalprice) AS n,
+                   round(avg(o_totalprice), 4) AS mean,
+                   round(stddev_samp(o_totalprice), 4) AS std,
+                   round(quantile_cont(o_totalprice, 0.0), 4) AS q0,
+                   round(quantile_cont(o_totalprice, 0.1), 4) AS q10,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS q90,
+                   round(quantile_cont(o_totalprice, 1.0), 4) AS q100
+            FROM orders"""))
+
+  /** ByCounts value counts (data.go:684-699). */
+  private val q16_value_counts: Q = (
+    (s, dir) => read(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** sse / mad / r2 of a deterministic fitted value
+    * (parser.go:661-679; reference's mad-computes-sse bug fixed).
+    */
+  private val q17_sse_r2: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val y = col("l_extendedprice"); val yhat = col("l_quantity") * 1000.0
+      // sse/mad sum full-precision squares: a decimal cast would round
+      // at a fixed decimal place with engine-dependent rounding mode,
+      // so sum plain doubles and round coarsely relative to magnitude
+      li.agg(
+        round(sum((y - yhat) * (y - yhat)), -4).as("sse"),
+        round(sum(abs(y - yhat)), 2).as("mad"),
+        dsum(y).as("s1"), dsumsq(y).as("s2"),
+        count(lit(1)).as("n"))
+        .select(col("sse"), col("mad"), col("n"),
+          round(lit(1.0) - col("sse") /
+            (col("s2") - col("s1") * col("s1") / col("n")), 6).as("r2"))
+    },
+    Some(s"""SELECT sse, mad, n, round(1.0 - sse / (s2 - s1 * s1 / n), 6)
+                      AS r2
+             FROM (SELECT
+               round(sum((l_extendedprice - l_quantity*1000.0) * (l_extendedprice - l_quantity*1000.0)), -4) AS sse,
+               round(sum(abs(l_extendedprice - l_quantity*1000.0)), 2) AS mad,
+               ${sqlDsum("l_extendedprice")} AS s1,
+               ${sqlDsumsq("l_extendedprice")} AS s2,
+               count(*) AS n
+             FROM lineitem)"""))
+
+  /** npv per order: cashflow = extendedprice in linenumber order,
+    * first flow undiscounted (parser.go:553-569) — a windowed rank +
+    * grouped sum, fully distributed.
+    */
+  private val q18_npv_per_order: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      // (orderkey, linenumber) is NOT unique in this data; the full
+      // tiebreak chain makes the cashflow order total
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      li.withColumn("t", row_number().over(w).cast("double") - 1.0)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") / pow(lit(1.01), col("t"))), 4)
+          .as("npv"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""SELECT l_orderkey, round(sum(l_extendedprice / power(1.01, t)), 4)
+                     AS npv
+            FROM (SELECT l_orderkey, l_extendedprice,
+                    CAST(row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey,
+                               l_extendedprice) AS DOUBLE) - 1.0 AS t
+                  FROM lineitem)
+            GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** ByPtr: sorted distinct values -> dense codes 0..n-1
+    * (data.go:703-715).
+    */
+  private val q19_byptr_dict: Q = (
+    (s, dir) => {
+      val vals = read(s, dir, "customer").select(col("c_mktsegment"))
+        .distinct()
+      vals.withColumn("code",
+        (dense_rank().over(Window.orderBy(col("c_mktsegment"))) - 1)
+          .cast("long"))
+        .orderBy(col("code"))
+    },
+    Some("""SELECT c_mktsegment,
+                   dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS code
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)
+            ORDER BY code"""))
+
+  /** AppendD label encoding with the engine's fitted sorted-value
+    * dictionary applied per row (gdata.go:156-228).
+    */
+  private val q20_label_encode: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val (enc, _) = Encode.appendD(o, "o_orderpriority", "priority_code")
+      enc.select(col("o_orderkey"), col("o_orderpriority"),
+        col("priority_code").cast("long").as("priority_code"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   dense_rank() OVER (ORDER BY o_orderpriority) - 1
+                     AS priority_code
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** AppendC z-score normalization with exact-decimal fitted
+    * location/scale — bit-deterministic, no rounding needed
+    * (gdata.go:80-153).
+    */
+  private val q21_zscore: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val f = li.agg(davg(col("l_quantity")).as("m"),
+        dstd(col("l_quantity")).as("s")).head()
+      val (m, sd) = (f.getDouble(0), f.getDouble(1))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        ((col("l_quantity") - m) / sd).as("z_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("z_qty"))
+    },
+    Some(s"""WITH f AS (SELECT ${sqlDavg("l_quantity")} AS m,
+                               ${sqlDstd("l_quantity")} AS s FROM lineitem)
+             SELECT l_orderkey, l_linenumber,
+                    (l_quantity - f.m) / f.s AS z_qty
+             FROM lineitem, f
+             ORDER BY l_orderkey, l_linenumber, z_qty"""))
+
+  /** MakeOneHot: dense per-level 0/1 columns from the fitted
+    * dictionary (gdata.go:231-272).
+    */
+  private val q22_onehot: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val (enc, meta) = Encode.appendD(o, "o_orderstatus", "status_code")
+      val (oh, _) = Encode.makeOneHot(enc, meta, "status_code", "status")
+      val levelCols = meta.levels.toSeq.sortBy(_._2)
+        .map { case (_, c) => col(s"status_$c") }
+      oh.select(col("o_orderkey") +: levelCols: _*)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                     AS status_0,
+                   CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END
+                     AS status_1,
+                   CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END
+                     AS status_2
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** GetRaw round-trip: un-normalize the encoded value
+    * (gdata.go:518-552) — identical double ops on both engines.
+    */
+  private val q23_getraw_roundtrip: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val f = li.agg(davg(col("l_quantity")).as("m"),
+        dstd(col("l_quantity")).as("s")).head()
+      val (m, sd) = (f.getDouble(0), f.getDouble(1))
+      val z = (col("l_quantity") - m) / sd
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), (z * sd + m).as("roundtrip"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+    Some(s"""WITH f AS (SELECT ${sqlDavg("l_quantity")} AS m,
+                               ${sqlDstd("l_quantity")} AS s FROM lineitem)
+             SELECT l_orderkey, l_linenumber, l_quantity,
+                    ((l_quantity - f.m) / f.s) * f.s + f.m AS roundtrip
+             FROM lineitem, f
+             ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** Coalesce softmax: combine logodds columns into target
+    * probability (diags.go:32-95).
+    */
+  private val q24_coalesce_softmax: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val logodds = Seq(col("o_totalprice") / 100000.0,
+        lit(1.0) - col("o_totalprice") / 200000.0,
+        lit(0.5))
+      val p = Stats.coalesceCols(logodds, targets = Seq(0, 2),
+        binary = false, logodds = true)
+      o.select(col("o_orderkey"), round(p, 6).as("p_target"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   round((exp(o_totalprice/100000.0) + exp(0.5)) /
+                         (exp(o_totalprice/100000.0)
+                          + exp(1.0 - o_totalprice/200000.0)
+                          + exp(0.5)), 6) AS p_target
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** lag with default (data.go:531-550) per order in linenumber
+    * order.
+    */
+  private val q26_lag: Q = (
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          lag(col("l_quantity"), 1, -1.0).over(w).as("lag_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("lag_qty"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   COALESCE(lag(l_quantity) OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice), -1.0) AS lag_qty
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     lag_qty"""))
+
+  /** cumeBefore / countBefore / countAfter / row over the explicit
+    * order (data.go:458-528): running frames are sequential in both
+    * engines, so the running double sum is bit-identical.
+    */
+  private val q27_cumulative: Q = (
+    (s, dir) => {
+      val ord = Seq(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+      val before = w.rowsBetween(Window.unboundedPreceding, 0)
+      val after = w.rowsBetween(0, Window.unboundedFollowing)
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          sum(col("l_quantity")).over(before).as("cume_qty"),
+          count(lit(1)).over(before).as("count_before"),
+          count(lit(1)).over(after).as("count_after"),
+          (row_number().over(w) - 1).cast("long").as("row_idx"))
+        .orderBy(col("l_orderkey") +: ord.take(3) :+ col("row_idx"): _*)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   sum(l_quantity) OVER w AS cume_qty,
+                   count(*) OVER w AS count_before,
+                   count(*) OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS count_after,
+                   row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice) - 1 AS row_idx
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_extendedprice
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     row_idx"""))
+
+  /** prodBefore: running product via the zero/sign-safe log-sum
+    * construction (SURVEY §4.2) — same formula both engines, rounded
+    * for libm ulp differences.
+    */
+  private val q28_cumprod: Q = (
+    (s, dir) => {
+      val ord = Seq(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+      val before = w.rowsBetween(Window.unboundedPreceding, 0)
+      val c = new exprlang.Compiler(read(s, dir, "lineitem"), None)
+      val x = lit(1.0) + col("l_discount")
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(c.windowProduct(x, before), 6).as("prod_disc"))
+        .orderBy(col("l_orderkey") +: ord.take(3) :+ col("prod_disc"): _*)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   round(CASE WHEN zeros > 0 THEN 0.0
+                              WHEN negs % 2 = 1 THEN -exp(mag)
+                              ELSE exp(mag) END, 6) AS prod_disc
+            FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   sum(CASE WHEN 1.0 + l_discount = 0.0 THEN 1 ELSE 0 END)
+                     OVER w AS zeros,
+                   sum(CASE WHEN 1.0 + l_discount < 0.0 THEN 1 ELSE 0 END)
+                     OVER w AS negs,
+                   sum(CASE WHEN 1.0 + l_discount != 0.0
+                         THEN ln(abs(1.0 + l_discount)) END) OVER w AS mag
+                  FROM lineitem
+                  WINDOW w AS (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                        l_extendedprice
+                               ROWS UNBOUNDED PRECEDING))
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     prod_disc"""))
+
+  /** Continuous-feature quartile slicing -> per-bucket stats
+    * (slicer.go:88-110 collapsed to one pass).
+    */
+  private val q30_quartile_buckets: Q = (
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      read(s, dir, "customer")
+        .withColumn("bucket", ntile(4).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("mean_bal"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""SELECT bucket, count(*) AS n,
+                    ${sqlDavg("c_acctbal")} AS mean_bal
+             FROM (SELECT c_acctbal,
+                     ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+                   FROM customer)
+             GROUP BY bucket ORDER BY bucket"""))
+
+  /** Discrete slicer grouping with min-count gate
+    * (slicer.go:34-55).
+    */
+  private val q31_group_mincount: Q = (
+    (s, dir) => Slicers.byLevel(read(s, dir, "events"), "event_type",
+      Seq(davg(col("value")).as("mean_value"),
+        count(lit(1)).as("n")), minCnt = 50)
+      .orderBy(col("event_type")),
+    Some(s"""SELECT event_type, ${sqlDavg("value")} AS mean_value,
+                    count(*) AS n
+             FROM events GROUP BY event_type HAVING count(*) >= 50
+             ORDER BY event_type"""))
+
+  val all: Map[String, Q] = Map(
+    "q13_summary_agg" -> q13_summary_agg,
+    "q15_desc_quantiles" -> q15_desc_quantiles,
+    "q16_value_counts" -> q16_value_counts,
+    "q17_sse_r2" -> q17_sse_r2,
+    "q18_npv_per_order" -> q18_npv_per_order,
+    "q19_byptr_dict" -> q19_byptr_dict,
+    "q20_label_encode" -> q20_label_encode,
+    "q21_zscore" -> q21_zscore,
+    "q22_onehot" -> q22_onehot,
+    "q23_getraw_roundtrip" -> q23_getraw_roundtrip,
+    "q24_coalesce_softmax" -> q24_coalesce_softmax,
+    "q26_lag" -> q26_lag,
+    "q27_cumulative" -> q27_cumulative,
+    "q28_cumprod" -> q28_cumprod,
+    "q30_quartile_buckets" -> q30_quartile_buckets,
+    "q31_group_mincount" -> q31_group_mincount)
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.QH._
+import graft.exprlang.Formula
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 — the expression language, exercised through the real
+  * parse -> compile -> addToPipe path (not hand-built Columns), with
+  * SQL oracles mirroring each formula's semantics.
+  */
+object QueriesExpr {
+
+  /** Arithmetic + precedence (parser.go:39-55): fixed multiplication
+    * order means bit-identical doubles across engines.
+    */
+  private val q32_expr_arith: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      Formula.addToPipe(li, "net_revenue",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+        .select(col("l_orderkey"), col("l_linenumber"), col("net_revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_revenue"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS net_revenue
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, net_revenue"""))
+
+  /** if() + logicals returning 0/1 doubles (parser.go:506-523,
+    * 1502-1578).
+    */
+  private val q33_expr_if_logic: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      Formula.addToPipe(li, "flag",
+        "if(l_quantity > 25 && l_discount < 0.05, 1, 0)")
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+          Formula.column(li, "l_returnflag == 'R'").as("is_return"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("flag"),
+          col("is_return"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity > 25 AND l_discount < 0.05
+                        THEN 1.0 ELSE 0.0 END AS flag,
+                   CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+                     AS is_return
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, flag, is_return"""))
+
+  /** Date functions: dateDiff calendar units, dateAdd months,
+    * day/month/year extracts, month snapping (parser.go:795-925,
+    * 1134-1171).
+    */
+  private val q34_expr_dates: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val withCols = Formula.addToPipe(
+        Formula.addToPipe(o, "days_to_cutoff",
+          "dateDiff(toDate('19980801'), o_orderdate, 'day')"),
+        "months_to_cutoff",
+        "dateDiff(toDate('19980801'), o_orderdate, 'month')")
+      withCols.select(col("o_orderkey"),
+          col("days_to_cutoff"), col("months_to_cutoff"),
+          Formula.column(withCols, "year(o_orderdate)").cast("long")
+            .as("order_year"),
+          Formula.column(withCols, "month(o_orderdate)").cast("long")
+            .as("order_month"),
+          Formula.column(withCols, "day(o_orderdate)").cast("long")
+            .as("order_day"),
+          Formula.column(withCols, "dateAdd(o_orderdate, 3)").cast("date")
+            .as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(datediff('day', o_orderdate, DATE '1998-08-01')
+                     AS DOUBLE) AS days_to_cutoff,
+                   CAST((1998 - year(o_orderdate)) * 12
+                        + (8 - month(o_orderdate)) AS DOUBLE)
+                     AS months_to_cutoff,
+                   year(o_orderdate) AS order_year,
+                   month(o_orderdate) AS order_month,
+                   day(o_orderdate) AS order_day,
+                   CAST(o_orderdate + INTERVAL '3 months' AS DATE) AS plus3m,
+                   CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+                     AS month_end
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** String functions with reference semantics: 1-based substr,
+    * strPos with -1 sentinel, strCount float return, strLen
+    * (parser.go:928-1131).
+    */
+  private val q35_expr_strings: Q = (
+    (s, dir) => {
+      val p = read(s, dir, "part")
+      Formula.addToPipe(
+        Formula.addToPipe(
+          Formula.addToPipe(
+            Formula.addToPipe(p, "name5", "substr(p_name, 1, 5)"),
+            "pos_a", "strPos(p_name, 'a')"),
+          "count_a", "strCount(p_name, 'a')"),
+        "name_len", "strLen(p_name)")
+        .select(col("p_partkey"), col("name5"), col("pos_a"),
+          col("count_a"), col("name_len"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, substring(p_name, 1, 5) AS name5,
+                   CASE WHEN strpos(p_name, 'a') = 0 THEN -1.0
+                        ELSE CAST(strpos(p_name, 'a') AS DOUBLE) END
+                     AS pos_a,
+                   CAST((length(p_name)
+                         - length(replace(p_name, 'a', ''))) AS DOUBLE)
+                     AS count_a,
+                   CAST(length(p_name) AS DOUBLE) AS name_len
+            FROM part ORDER BY p_partkey"""))
+
+  /** maxE/minE element-wise pair max/min (parser.go:1174-1234) plus
+    * guarded log and power.
+    */
+  private val q36_expr_maxmin: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+      Formula.addToPipe(
+        Formula.addToPipe(
+          Formula.addToPipe(c, "bal_floor", "maxE(c_acctbal, 0)"),
+          "bal_cap", "minE(c_acctbal, 5000)"),
+        "log_shift", "log(c_acctbal + 20000)")
+        .select(col("c_custkey"), col("bal_floor"), col("bal_cap"),
+          round(col("log_shift"), 6).as("log_shift"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+                   greatest(c_acctbal, 0.0) AS bal_floor,
+                   least(c_acctbal, 5000.0) AS bal_cap,
+                   round(ln(c_acctbal + 20000), 6) AS log_shift
+            FROM customer ORDER BY c_custkey"""))
+
+  val all: Map[String, Q] = Map(
+    "q32_expr_arith" -> q32_expr_arith,
+    "q33_expr_if_logic" -> q33_expr_if_logic,
+    "q34_expr_dates" -> q34_expr_dates,
+    "q35_expr_strings" -> q35_expr_strings,
+    "q36_expr_maxmin" -> q36_expr_maxmin)
+}

@@ -1,0 +1,249 @@
+package graft
+
+import graft.QH._
+import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search (brute-force, LSH, IVF), text analysis.
+  * Exact variants are oracle-checked; hash-based scale paths are
+  * rows-only (Spark murmur3/xxhash64 are not DuckDB functions).
+  */
+object QueriesLLM {
+
+  /** Exact dedup via md5 of normalized text (hash -> group). */
+  private val q40_dedup_exact: Q = (
+    (s, dir) => Dedup.exact(read(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fingerprint")),
+    Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                     AS fingerprint,
+                   min(doc_id) AS canonical_id, count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY fingerprint"""))
+
+  /** Exact 3-gram Jaccard near-dup pairs on a bounded id range
+    * (the oracle-checkable verification stage; LSH is the scale
+    * path).
+    */
+  private val q41_jaccard_pairs: Q = (
+    (s, dir) => Dedup.jaccardAllPairs(
+      read(s, dir, "documents").where(col("doc_id") < 300),
+      "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+        .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH n AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')), ' ') AS w
+                       FROM documents WHERE doc_id < 300),
+                 sh AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                            range(1, greatest(len(w) - 1, 1)),
+                            i -> array_to_string(w[i:i+2], ' '))) AS sh
+                        FROM n)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_filter(a.sh,
+                       x -> list_contains(b.sh, x))) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                    AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
+            ORDER BY doc_a, doc_b"""))
+
+  /** MinHash-LSH near-dup detection: banded minhash candidates
+    * verified by exact shingle Jaccard — the O(colliding pairs) scale
+    * path. Hash-based: rows-only.
+    */
+  private val q42_dedup_minhash: Q = (
+    (s, dir) => Dedup.minhashDedup(read(s, dir, "documents"),
+      "doc_id", "text", shingleN = 3, bands = 8, rows = 4,
+      threshold = 0.7)
+      .orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  /** SimHash near-dup: 64-bit fingerprints, 16-bit-chunk candidate
+    * buckets, Hamming verify. Rows-only (xxhash64-based).
+    */
+  private val q43_dedup_simhash: Q = (
+    (s, dir) => Dedup.simhashDedup(read(s, dir, "documents"),
+      "doc_id", "text", maxHamming = 12)
+      .orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  /** Embedding-cosine near-dup pairs on a bounded range — exact,
+    * oracle-checked against DuckDB's list_cosine_similarity.
+    */
+  private val q44_embed_cosine_pairs: Q = (
+    (s, dir) => Similarity.cosinePairs(
+      read(s, dir, "embeddings").where(col("vec_id") < 500),
+      "vec_id", "embedding", threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("similarity"), 6)
+        .as("similarity"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.5
+            ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-k for the vec_id=0 query vector. */
+  private val q45_ann_topk: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e.where(col("vec_id") > 0),
+        "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("similarity"), 6)
+          .as("similarity"))
+        .orderBy(col("similarity").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), q.qv), 6) AS similarity
+            FROM embeddings, q WHERE vec_id > 0
+            ORDER BY similarity DESC, vec_id LIMIT 10"""))
+
+  /** LSH-bucketed ANN pairs (random hyperplanes) — the scale path;
+    * rows-only (hash-seeded planes).
+    */
+  private val q46_ann_lsh: Q = (
+    (s, dir) => Similarity.lshNeighbors(read(s, dir, "embeddings"),
+      "vec_id", "embedding", dim = 64, nBits = 8, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** Text quality features + composite score. */
+  private val q47_text_quality: Q = (
+    (s, dir) => TextAnalysis.qualityScore(read(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy(col("doc_id")),
+    Some("""WITH f AS (SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS nc,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS nw,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> lower(w) IN ('the','a','an','and','or','of','to',
+                     'in','is','it','that','for','on','with','as')))
+                   AS DOUBLE) AS nstop,
+                 CAST(nc - length(regexp_replace(text, '[[:punct:]]', '',
+                   'g')) AS DOUBLE) AS npunct
+               FROM documents)
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                   round(npunct / nc, 6) AS punct_ratio,
+                   round(nstop / nw, 6) AS stopword_ratio,
+                   round((CASE WHEN nw >= 10 THEN 0.4 ELSE nw * 0.04 END)
+                     + (CASE WHEN npunct / nc <= 0.1 THEN 0.3
+                        ELSE greatest(0.0, 0.3 - npunct / nc) END)
+                     + (CASE WHEN nstop / nw >= 0.1 THEN 0.3
+                        ELSE nstop / nw * 3.0 END), 6) AS quality
+            FROM f ORDER BY doc_id"""))
+
+  /** Heuristic stopword-voting language ID. */
+  private val q48_text_langid: Q = (
+    (s, dir) => read(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+                 h AS (SELECT doc_id,
+                 [{'hits': len(list_filter(ws, x -> x IN ('the','and','of',
+                     'to','is','in','that','it'))), 'lang': 'en'},
+                  {'hits': len(list_filter(ws, x -> x IN ('el','la','de',
+                     'que','y','en','los','del'))), 'lang': 'es'},
+                  {'hits': len(list_filter(ws, x -> x IN ('le','la','de',
+                     'et','les','des','est','une'))), 'lang': 'fr'},
+                  {'hits': len(list_filter(ws, x -> x IN ('der','die','und',
+                     'das','ist','von','den','mit'))), 'lang': 'de'}] AS cand
+               FROM w)
+            SELECT doc_id,
+                   CASE WHEN list_sort(cand)[-1].hits > 0
+                        THEN list_sort(cand)[-1].lang
+                        ELSE 'und' END AS lang_pred
+            FROM h ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish subword estimate
+    * (ceil(len/4) pieces per word).
+    */
+  private val q49_text_tokens: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      val words = split(trim(col("text")), "\\s+")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        aggregate(words, lit(0L), (acc, w) =>
+          acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+          .as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens_ws,
+                   CAST(list_sum(list_transform(
+                     string_split_regex(trim(text), '\s+'),
+                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+                     AS n_tokens_bpe
+            FROM documents ORDER BY doc_id"""))
+
+  /** Per-document content fingerprint (md5 of normalized text). */
+  private val q50_fingerprint: Q = (
+    (s, dir) => read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+                     AS fingerprint
+            FROM documents ORDER BY doc_id"""))
+
+  /** Rolling polynomial hash (order-sensitive fingerprint) —
+    * xxhash64-based, rows-only.
+    */
+  private val q51_rolling_hash: Q = (
+    (s, dir) => read(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Multimodal plumbing: binary payload + typed metadata + stub
+    * decode features + frame-sampling plan. Rows-only (stub decode is
+    * hash-derived).
+    */
+  private val q52_multimodal: Q = (
+    (s, dir) => Multimodal.pipeline(read(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("payload_bytes"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        element_at(col("features"), 1).as("f0"),
+        size(col("frame_plan")).as("n_sampled_frames"))
+      .orderBy(col("doc_id")),
+    None)
+
+  val all: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40_dedup_exact,
+    "q41_jaccard_pairs" -> q41_jaccard_pairs,
+    "q42_dedup_minhash" -> q42_dedup_minhash,
+    "q43_dedup_simhash" -> q43_dedup_simhash,
+    "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
+    "q45_ann_topk" -> q45_ann_topk,
+    "q46_ann_lsh" -> q46_ann_lsh,
+    "q47_text_quality" -> q47_text_quality,
+    "q48_text_langid" -> q48_text_langid,
+    "q49_text_tokens" -> q49_text_tokens,
+    "q50_fingerprint" -> q50_fingerprint,
+    "q51_rolling_hash" -> q51_rolling_hash,
+    "q52_multimodal" -> q52_multimodal)
+}

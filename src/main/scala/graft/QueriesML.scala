@@ -1,0 +1,116 @@
+package graft
+
+import graft.QH._
+import graft.functions.Stats
+import graft.ml.ModSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.7 (Assess/KS) / §2.12 — model diagnostics and the
+  * ModSpec -> MLlib pipeline.
+  */
+object QueriesML {
+
+  /** KS statistic between score CDFs of target / non-target
+    * (diags.go:110-221). CDFs evaluated at distinct scores (tie-safe),
+    * sup-gap exact; one row out.
+    */
+  private val q37_ks: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val d = o.select(col("o_totalprice").as("score"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val per = d.groupBy(col("score"))
+        .agg(sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
+      val w = Window.orderBy(col("score"))
+      val tot = d.agg(sum(col("y")), sum(lit(1L) - col("y"))).head()
+      val (t1, t0) = (tot.getLong(0), tot.getLong(1))
+      per.select(col("score"),
+          abs(sum(col("n1")).over(w).cast("double") / t1 -
+              sum(col("n0")).over(w).cast("double") / t0).as("gap"))
+        .agg(round(max(col("gap")) * 100.0, 6).as("ks"))
+    },
+    Some("""WITH d AS (SELECT o_totalprice AS score,
+                         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                       FROM orders),
+                 per AS (SELECT score, sum(y) AS n1, sum(1 - y) AS n0
+                         FROM d GROUP BY score),
+                 tot AS (SELECT sum(y) AS t1, sum(1 - y) AS t0 FROM d),
+                 gaps AS (SELECT abs(
+                     CAST(sum(n1) OVER w AS DOUBLE) / tot.t1 -
+                     CAST(sum(n0) OVER w AS DOUBLE) / tot.t0) AS gap
+                   FROM per, tot
+                   WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING))
+            SELECT round(max(gap) * 100.0, 6) AS ks FROM gaps"""))
+
+  /** Assess: n / precision / recall / accuracy at a cutoff
+    * (diags.go:476-529) — ratios of exact integer counts.
+    */
+  private val q38_assess: Q = (
+    (s, dir) => Stats.assess(read(s, dir, "orders"),
+      col("o_totalprice") / 200000.0,
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0),
+      cutoff = 0.75).orderBy(col("n")),
+    Some("""SELECT count(*) AS n,
+                   CAST(sum(pred * obs) AS DOUBLE) / sum(pred) AS precision,
+                   CAST(sum(pred * obs) AS DOUBLE) / sum(obs) AS recall,
+                   CAST(sum(CASE WHEN pred = obs THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*) AS accuracy
+            FROM (SELECT CASE WHEN o_totalprice / 200000.0 > 0.75
+                           THEN 1 ELSE 0 END AS pred,
+                         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                           AS obs
+                  FROM orders)
+            ORDER BY n"""))
+
+  /** Decile calibration table (diags.go:231-373): ntile buckets of
+    * the score, per-bucket mean score / mean target.
+    */
+  private val q39_decile: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      c.withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(davg(col("c_acctbal")).as("mean_score"),
+          davg(when(col("c_acctbal") > 0, 1.0).otherwise(0.0))
+            .as("mean_target"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""SELECT bucket, ${sqlDavg("c_acctbal")} AS mean_score,
+                    ${sqlDavg("CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END")}
+                      AS mean_target,
+                    count(*) AS n
+             FROM (SELECT c_acctbal,
+                     ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+                   FROM customer)
+             GROUP BY bucket ORDER BY bucket"""))
+
+  /** ModSpec -> MLlib pipeline fit + predict (modspec.go / nn.go).
+    * Logistic regression on continuous + one-hot features; predictions
+    * are solver-dependent, so rows-only checked (SURVEY §7.4 risk 6).
+    */
+  private val q57_ml_predict: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumn("label",
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+        .withColumn("price_k", col("o_totalprice") / 1000.0)
+      val layers = ModSpec.parse(Seq(
+        "Input(price_k + o_orderpriorityoh)",
+        "FC(size:1, activation:sigmoid)",
+        "Target(label)"))
+      val model = ModSpec.toPipeline(layers, classification = true).fit(o)
+      model.transform(o)
+        .select(col("o_orderkey"), col("prediction"))
+        .orderBy(col("o_orderkey"))
+    },
+    None)
+
+  val all: Map[String, Q] = Map(
+    "q37_ks" -> q37_ks,
+    "q38_assess" -> q38_assess,
+    "q39_decile" -> q39_decile,
+    "q57_ml_predict" -> q57_ml_predict)
+}

@@ -1,0 +1,260 @@
+package graft
+
+import graft.QH._
+import graft.frame.SeaFrame
+import graft.ops.{Joins, Slicers}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1/2.2/2.4/2.5/2.6 — scans, projections, filters, row
+  * selection, joins, set ops, sorts. Every query ends in a total order
+  * for deterministic hash compare.
+  */
+object QueriesRelational {
+
+  private val q01_keep_project: Q = (
+    (s, dir) => {
+      val f = SeaFrame(read(s, dir, "lineitem"))
+        .keep(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      f.result.orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
+
+  private val q02_where_in: Q = (
+    (s, dir) => SeaFrame(read(s, dir, "lineitem"))
+      .whereIn("l_returnflag", Seq("A", "R"))
+      .keep(Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+      .result.orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag")),
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM lineitem WHERE l_returnflag IN ('A','R')
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"""))
+
+  /** Compound predicate built through the formula DSL (SlicerAnd/Or
+    * analog), compiled to a Catalyst filter — pushed to the scan.
+    */
+  private val q03_slice_formula: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val pred = exprlang.Formula.column(li,
+        "(l_quantity > 30 && l_discount < 0.03) || l_returnflag == 'R'")
+      li.where(pred > 0.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                   l_returnflag
+            FROM lineitem
+            WHERE (l_quantity > 30 AND l_discount < 0.03)
+               OR l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+                     l_returnflag"""))
+
+  /** Positional Subset under the explicit sequence (every 10th of the
+    * first 1000 rows in (orderkey, linenumber) order).
+    */
+  private val q04_subset_rows: Q = (
+    (s, dir) => {
+      val f = SeaFrame.withSequence(read(s, dir, "lineitem"),
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_partkey").asc, col("l_suppkey").asc,
+          col("l_extendedprice").asc))
+      f.subset(0L.until(1000L, 10L))
+        .df.select(col(SeaFrame.SEQ).as("pos"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("pos"))
+    },
+    Some("""SELECT pos, l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                         l_partkey, l_suppkey, l_extendedprice) - 1
+                       AS pos, l_orderkey, l_linenumber, l_quantity
+              FROM lineitem)
+            WHERE pos < 1000 AND pos % 10 = 0 ORDER BY pos"""))
+
+  private val q05_sort_limit: Q = (
+    (s, dir) => read(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice")).limit(100),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  private val q06_topk: Q = (
+    (s, dir) => SeaFrame(read(s, dir, "part")).topK("p_brand", 5),
+    Some("""SELECT p_brand, count(*) AS count FROM part GROUP BY p_brand
+            ORDER BY count DESC, p_brand LIMIT 5"""))
+
+  private val q07_join_inner: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey")
+      val c = read(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+      Joins.join(o, c, "custkey", "inner")
+        .select(col("o_orderkey"), col("custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey AS custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
+  /** Left join with the reference's default-fill-instead-of-NULL:
+    * customers with no orders get 0 counts / 0.0 totals
+    * (gdata.go:1322-1344).
+    */
+  private val q08_join_left_fill: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+      val oAgg = read(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"))
+          .as("total_spend"))
+      Joins.join(c, oAgg, "custkey", "left")
+        .select(col("custkey"), col("c_name"), col("n_orders"),
+          col("total_spend"))
+        .orderBy(col("custkey"))
+    },
+    Some(s"""SELECT c_custkey AS custkey, c_name,
+                    COALESCE(n_orders, 0) AS n_orders,
+                    COALESCE(total_spend, 0.0) AS total_spend
+             FROM customer LEFT JOIN (
+               SELECT o_custkey, count(*) AS n_orders,
+                      ${sqlDsum("o_totalprice")} AS total_spend
+               FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+             ORDER BY custkey"""))
+
+  /** Full outer join with default fill on both sides ("" for missing
+    * strings, 0 for missing keys).
+    */
+  private val q09_join_outer_fill: Q = (
+    (s, dir) => {
+      val n = read(s, dir, "nation")
+        .where(col("n_regionkey") <= 2)
+        .withColumnRenamed("n_regionkey", "regionkey")
+      val r = read(s, dir, "region")
+        .where(col("r_regionkey") >= 2)
+        .withColumnRenamed("r_regionkey", "regionkey")
+      Joins.join(n, r, "regionkey", "outer")
+        .select(col("regionkey"), col("n_nationkey"), col("n_name"),
+          col("r_name"))
+        .orderBy(col("regionkey"), col("n_nationkey"), col("n_name"))
+    },
+    Some("""SELECT COALESCE(n_regionkey, r_regionkey) AS regionkey,
+                   COALESCE(n_nationkey, 0) AS n_nationkey,
+                   COALESCE(n_name, '') AS n_name,
+                   COALESCE(r_name, '') AS r_name
+            FROM (SELECT * FROM nation WHERE n_regionkey <= 2) n
+            FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= 2) r
+              ON n.n_regionkey = r.r_regionkey
+            ORDER BY regionkey, n_nationkey, n_name"""))
+
+  /** Append (union by name): right side's extra columns dropped
+    * (pipeline.go:429-464).
+    */
+  private val q10_union_append: Q = (
+    (s, dir) => {
+      val a = SeaFrame(read(s, dir, "supplier")
+        .where(col("s_acctbal") > 5000)
+        .select("s_suppkey", "s_name", "s_acctbal"))
+      val b = SeaFrame(read(s, dir, "supplier")
+        .where(col("s_acctbal") <= 1000)) // has extra s_nationkey col
+      a.append(b).result.orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            WHERE s_acctbal > 5000
+            UNION ALL
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            WHERE s_acctbal <= 1000
+            ORDER BY s_suppkey"""))
+
+  private val q11_distinct: Q = (
+    (s, dir) => read(s, dir, "orders").select(col("o_orderpriority"))
+      .distinct().orderBy(col("o_orderpriority")),
+    Some("""SELECT DISTINCT o_orderpriority FROM orders
+            ORDER BY o_orderpriority"""))
+
+  /** Row(take): the single row at position 41 of the sorted frame. */
+  private val q12_row_take: Q = (
+    (s, dir) => {
+      val f = SeaFrame.withSequence(read(s, dir, "orders"),
+        Seq(col("o_orderkey").asc))
+      f.row(41).result.select(col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 1 OFFSET 41"""))
+
+  /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
+    * sides are broadcast-able dimensions at any scale once filtered.
+    */
+  private val q58_tpch_q3: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+    Some(s"""SELECT l_orderkey,
+                    ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY l_orderkey
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 shape: 5-way star join, revenue per nation. */
+  private val q59_tpch_q5: Q = (
+    (s, dir) => {
+      val l = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val su = read(s, dir, "supplier")
+      val n = read(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+                    ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey
+                          AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY n_name
+             ORDER BY revenue DESC, n_name"""))
+
+  val all: Map[String, Q] = Map(
+    "q01_keep_project" -> q01_keep_project,
+    "q02_where_in" -> q02_where_in,
+    "q03_slice_formula" -> q03_slice_formula,
+    "q04_subset_rows" -> q04_subset_rows,
+    "q05_sort_limit" -> q05_sort_limit,
+    "q06_topk" -> q06_topk,
+    "q07_join_inner" -> q07_join_inner,
+    "q08_join_left_fill" -> q08_join_left_fill,
+    "q09_join_outer_fill" -> q09_join_outer_fill,
+    "q10_union_append" -> q10_union_append,
+    "q11_distinct" -> q11_distinct,
+    "q12_row_take" -> q12_row_take,
+    "q58_tpch_q3" -> q58_tpch_q3,
+    "q59_tpch_q5" -> q59_tpch_q5)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.QH._
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.11 — streaming-shaped transforms over the events table.
+  * Each runs here in batch mode (identical semantics, oracle-checked);
+  * the ScalaTest suite drives the same transforms through a real
+  * Structured Streaming query with watermarks.
+  */
+object QueriesStream {
+
+  private val q53_stream_tumbling: Q = (
+    (s, dir) => Streams.tumbling(read(s, dir, "events"), "1 hour")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events) events
+            GROUP BY 1, 2
+            ORDER BY window_start, event_type"""))
+
+  private val q54_stream_sliding: Q = (
+    (s, dir) => Streams.sliding(read(s, dir, "events"), "1 hour",
+      "30 minutes")
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""WITH b AS (SELECT time_bucket(INTERVAL '30 minutes',
+                                CAST(ts AS TIMESTAMP)) AS b30,
+                              event_type
+                       FROM events),
+                 expanded AS (
+                   SELECT b30 AS window_start, event_type FROM b
+                   UNION ALL
+                   SELECT b30 - INTERVAL '30 minutes' AS window_start,
+                          event_type FROM b)
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM expanded GROUP BY 1, 2
+            ORDER BY window_start, event_type"""))
+
+  /** Session windows (30-minute inactivity gap) per user: Spark
+    * session_window vs the gaps-and-islands formulation — identical
+    * session boundaries.
+    */
+  private val q55_stream_session: Q = (
+    (s, dir) => Streams.sessionized(read(s, dir, "events"), "30 minutes")
+      .select(col("session_start"), col("user_id"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH src AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                         FROM events),
+                 marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) > INTERVAL '30 minutes'
+                          OR lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM src),
+                 sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** Semi-structured extraction from the props JSON column —
+    * regexp-based so both engines agree byte-for-byte.
+    */
+  private val q56_events_json: Q = (
+    (s, dir) => read(s, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                     AS k
+            FROM events ORDER BY event_id"""))
+
+  val all: Map[String, Q] = Map(
+    "q53_stream_tumbling" -> q53_stream_tumbling,
+    "q54_stream_sliding" -> q54_stream_sliding,
+    "q55_stream_session" -> q55_stream_session,
+    "q56_events_json" -> q56_events_json)
+}

@@ -163,12 +163,23 @@ object SeaFrame {
   def apply(df: DataFrame): SeaFrame = SeaFrame(df, FeatureSchema.empty, None)
 
   /** Wrap and assign sequence 0..n-1 by the given natural-key order.
-    * The global row_number is a one-time range-partitioned sort — the
-    * price of reference order semantics, paid once at ingest.
+    *
+    * Scale note: a global row_number window would funnel every row
+    * through ONE partition. Instead: range-partitioned parallel sort,
+    * then zipWithIndex (one extra count job for partition offsets) —
+    * the sequence stays globally correct with no single-partition
+    * bottleneck.
     */
   def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame = {
-    val w = Window.orderBy(orderBy: _*)
-    SeaFrame(df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(orderBy: _*)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(SEQ, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    SeaFrame(sorted.sparkSession.createDataFrame(rdd, outSchema),
       FeatureSchema.empty, Some(SEQ))
   }
 }

@@ -97,8 +97,10 @@ object TextAnalysis {
     * computable.
     */
   def rollingHash(text: Column): Column = {
-    val B = 1000003L
-    val M = 2305843009213693951L // 2^61 - 1
+    // modulus chosen so acc * B + h stays well under 2^63 (ANSI mode
+    // makes long overflow an error, not a wrap)
+    val B = 31627L
+    val M = 1000000007L
     val tokens = split(Dedup.normalize(text), " ")
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * B + pmod(xxhash64(t), lit(M)), lit(M)))
