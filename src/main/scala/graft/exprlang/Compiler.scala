@@ -249,8 +249,10 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
     val rate = compile(args(0)).cast("double")
     val cf = compile(args(1)).cast("double")
     val t = row_number().over(w).cast("double") - 1.0
-    val pv = cf / pow(lit(1.0) + rate, t)
-    scalarAgg(sum(pv))
+    // materialize the discounted terms first — a window expression
+    // cannot live inside an aggregate directly
+    val terms = df.select((cf / pow(lit(1.0) + rate, t)).as("__npv"))
+    lit(terms.agg(sum(col("__npv"))).head().getDouble(0))
   }
 
   /** irr(cashflow) or irr(cost, cashflow): collect the ordered

@@ -45,14 +45,39 @@ object Streams {
     * harness for watermark/window correctness (processAllAvailable
     * drives the batch of files through synchronously).
     */
-  def runStreaming(spark: SparkSession, dir: String,
+  /** outputMode: "append" emits only watermark-finalized windows (the
+    * production incremental mode — windows newer than max_ts-watermark
+    * stay open); "complete" re-emits all windows each batch (bounded
+    * window count only).
+    */
+  def runStreaming(spark: SparkSession, path: String,
       transform: DataFrame => DataFrame, queryName: String,
-      watermark: String = "1 hour"): StreamingQuery = {
+      watermark: String = "1 hour",
+      outputMode: String = "complete"): StreamingQuery = {
+    // the file stream source requires a DIRECTORY; wrap a single
+    // parquet file in a temp dir via symlink
+    val dir = {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(p)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(p.getFileName), p.toAbsolutePath)
+        d.toString
+      }
+    }
     val schema = spark.read.parquet(dir).schema
-    val src = spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    // nanosAsLong sessions surface TIMESTAMP(NANOS) as long — convert
+    // to a microsecond timestamp before watermarking
+    val src =
+      if (raw.schema.fieldNames.contains("ts") &&
+          raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val out = transform(src.withWatermark("ts", watermark))
     out.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+/** Join goldens from the reference (gdata_test.go:432-584): m:n cross
+  * product, left default-fill, outer fill, float-key rejection,
+  * left-wins duplicate columns.
+  */
+class JoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // left: Field1 = [a b c a b c e f g h] (gdata_test.go:432-473)
+  private def left = Seq("a", "b", "c", "a", "b", "c", "e", "f", "g", "h")
+    .zipWithIndex.map { case (k, i) => (k, i.toDouble, s"L$i") }
+    .toDF("Field1", "Field0", "FieldNM")
+
+  // right: Field1 = [a b c k a]
+  private def right = Seq("a", "b", "c", "k", "a")
+    .zipWithIndex.map { case (k, i) => (k, i.toDouble, s"R$i") }
+    .toDF("Field1", "Field2", "FieldNM")
+
+  test("inner join is the m:n cross product of equal keys " +
+      "(gdata_test.go:474-490)") {
+    val j = Joins.join(left, right, "Field1", "inner")
+    // a: 2 left x 2 right = 4; b: 1x1; c: 2x1... left has a,a b,b c,c:
+    // a:2x2=4, b:2x1=2, c:2x1=2 -> 8 rows (matches the reference's
+    // 8-row inner golden)
+    assert(j.count() == 8)
+  }
+
+  test("left join fills missing right side with defaults, not null " +
+      "(gdata_test.go:492-506)") {
+    val j = Joins.join(left, right, "Field1", "left",
+      defaults = Map("Field2" -> 110.0))
+    val unmatched = j.where(col("Field1").isin("e", "f", "g", "h"))
+      .select("Field2").collect().map(_.getDouble(0)).toSeq
+    assert(unmatched == Seq(110.0, 110.0, 110.0, 110.0))
+  }
+
+  test("outer join fills string defaults (gdata_test.go:526-584)") {
+    val j = Joins.join(left, right, "Field1", "outer",
+      defaults = Map("FieldNM" -> "XX"))
+    // k exists only on the right; left-side fields get the default
+    val kRow = j.where(col("Field1") === "k")
+    assert(kRow.count() == 1)
+    assert(kRow.select("FieldNM").head().getString(0) == "XX")
+  }
+
+  test("duplicate non-key columns: left wins (gdata.go:1216-1224)") {
+    val j = Joins.join(left, right, "Field1", "inner")
+    // FieldNM exists on both sides; the joined values are the left's
+    val vals = j.select("FieldNM").collect().map(_.getString(0))
+    assert(vals.forall(_.startsWith("L")))
+  }
+
+  test("float keys rejected (gdata.go:1486-1499)") {
+    val ex = intercept[IllegalArgumentException] {
+      Joins.join(left, right, "Field0",
+        "inner")
+    }
+    assert(ex.getMessage.contains("float key"))
+  }
+
+  test("zero-value fills per kind (gdata.go:1322-1344)") {
+    val l = Seq((1, "x")).toDF("k", "lv")
+    val r = Seq((2, 5.5, "s", 7L)).toDF("k", "dv", "sv", "iv")
+    val j = Joins.join(l, r, "k", "outer")
+    val row1 = j.where(col("k") === 1).head()
+    assert(row1.getDouble(j.columns.indexOf("dv")) == 0.0)
+    assert(row1.getString(j.columns.indexOf("sv")) == "")
+    assert(row1.getLong(j.columns.indexOf("iv")) == 0L)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-data operators: planted duplicates must be found, similarity
+  * math must match hand-computed values, text heuristics must behave
+  * on obvious inputs.
+  */
+class LlmDataSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again"),
+    (3L, "completely different content about spark query engines here"),
+    (4L, "El perro come la comida y el gato bebe la leche del plato"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized text") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+    val dup = groups.where(col("n_docs") === 2)
+    assert(dup.count() == 1)
+    assert(dup.head().getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+      shingleN = 2, bands = 8, rows = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      s"near-dup 2 not found in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at Hamming 0, near-dups close") {
+    val fps = docs.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    val hammingNear = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(0L) ^ fps(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("jaccard on shingle sets: identical=1, disjoint=0") {
+    val pairs = Dedup.jaccardAllPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    assert(pairs((0L, 3L)) == 0.0)
+  }
+
+  test("cosine similarity matches hand computation") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val sims = Similarity.cosinePairs(df, "vec_id", "embedding", -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(sims((0L, 1L))) < 1e-12)
+    assert(math.abs(sims((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("brute-force topK returns nearest first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.5f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      Array(1.0f, 0.0f), 2).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("LSH neighbors are a subset of exact pairs at the threshold") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val lsh = Similarity.lshNeighbors(e, "vec_id", "embedding", 64,
+      nBits = 4, threshold = 0.3).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("language ID votes stopwords (en vs es)") {
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "es")
+  }
+
+  test("token counts: whitespace vs BPE-ish subwords") {
+    val df = Seq("four words right here").toDF("text")
+    val ws = df.select(TextAnalysis.tokenCountWs(col("text")))
+      .head().getLong(0)
+    assert(ws == 4L)
+    val bpe = df.select(TextAnalysis.tokenCountBpe(col("text")))
+      .head().getLong(0)
+    assert(bpe >= ws) // subword splitting never reduces the count
+  }
+
+  test("quality score is bounded and penalizes junk") {
+    val df = Seq(
+      (0L, "the cat sat on the mat and it was a good day for all of us"),
+      (1L, "@@@@ ###### !!!! ????")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df, "text")
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(0L) > 0.8 && q(0L) <= 1.0)
+    assert(q(1L) < 0.3)
+  }
+
+  test("rolling hash is order-sensitive where md5-normalized is not") {
+    val df = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("id", "t")
+    val rh = df.select(col("id"),
+      TextAnalysis.rollingHash(col("t")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rh(0L) != rh(1L))
+  }
+
+  test("multimodal stub pipeline: payload bytes, metadata, features, " +
+      "frame plan all materialize") {
+    val out = Multimodal.pipeline(docs, "text")
+    val row = out.where(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("payload_bytes") > 0)
+    val meta = row.getAs[org.apache.spark.sql.Row]("media_meta")
+    assert(meta.getAs[Int]("width") >= 1)
+    assert(row.getSeq[Double](row.fieldIndex("features")).length == 8)
+    assert(row.getSeq[Int](row.fieldIndex("frame_plan")).nonEmpty)
+  }
+}

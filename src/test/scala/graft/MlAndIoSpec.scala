@@ -1,0 +1,86 @@
+package graft
+
+import graft.io.Sources
+import graft.ml.ModSpec
+import graft.types._
+import org.apache.spark.sql.functions._
+
+/** ModSpec DSL -> MLlib pipeline (modspec.go/nn.go surface) and
+  * source/sink round-trips.
+  */
+class MlAndIoSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ModSpec parses the reference layer grammar " +
+      "(nn_test.go:136-141)") {
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + x2 + x4oh)",
+      "FC(size:8, activation:relu)",
+      "DropOut(0.1)",
+      "FC(size:1, activation:sigmoid)",
+      "Target(y)"))
+    assert(layers.collectFirst { case i: ModSpec.Input => i }.get
+      .features.map(_.name) == Seq("x1", "x2", "x4"))
+    assert(layers.collect { case f: ModSpec.FC => f.size } == Seq(8, 1))
+    assert(layers.collectFirst { case t: ModSpec.Target => t.field }
+      .contains("y"))
+  }
+
+  test("ModSpec embedding syntax E(field, k) records width") {
+    val layers = ModSpec.parse(Seq("Input(E(x4oh, 3))", "Target(y)"))
+    val f = layers.collectFirst { case i: ModSpec.Input => i }.get
+      .features.head
+    assert(f.oneHot && f.embed == 3)
+  }
+
+  test("logistic pipeline fits and predicts sanely (PredictNN analog)") {
+    val df = (1 to 200).map { i =>
+      val x = i / 200.0
+      (x, if (x > 0.5) "hi" else "lo",
+        if (x + (i % 7) * 0.01 > 0.55) 1.0 else 0.0)
+    }.toDF("x1", "seg", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + segoh)", "FC(size:1, activation:sigmoid)", "Target(y)"))
+    val model = ModSpec.toPipeline(layers, classification = true).fit(df)
+    val pred = model.transform(df)
+    assert(pred.columns.contains("prediction"))
+    // a separable-ish problem must beat coin-flip accuracy
+    val acc = pred.select(avg(when(col("prediction") === col("y"), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.8, s"accuracy $acc")
+  }
+
+  test("regression pipeline for a linear target") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 1.0))
+      .toDF("x1", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1)", "FC(size:1)", "Target(y)"))
+    val model = ModSpec.toPipeline(layers, classification = false).fit(df)
+    val mse = model.transform(df)
+      .select(avg(pow(col("prediction") - col("y"), 2.0)))
+      .head().getDouble(0)
+    assert(mse < 1e-6, s"mse $mse")
+  }
+
+  test("csv sink -> source round trip with role inference " +
+      "(CSVToPipe, ch.go:165-171)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftio").toString
+    val f = Sources.parquetToPipe(spark,
+      s"${TestSpark.sfDir}/nation.parquet")
+    Sources.pipeToCsv(f, s"$tmp/nation_csv")
+    val back = Sources.csvToPipe(spark, s"$tmp/nation_csv")
+    assert(back.df.count() == f.df.count())
+    // string -> Cat, int -> Cts per the reference's role rule
+    assert(back.schema("n_name").role == FeatureRole.Cat)
+    assert(back.schema("n_nationkey").role == FeatureRole.Cts)
+  }
+
+  test("sqlToPipe runs SQL over registered views " +
+      "(SQLToPipe, pipeline.go:296-321)") {
+    QH.read(spark, TestSpark.sfDir, "region")
+      .createOrReplaceTempView("region_v")
+    val f = Sources.sqlToPipe(spark,
+      "SELECT r_name FROM region_v WHERE r_regionkey < 2")
+    assert(f.df.count() == 2)
+  }
+}

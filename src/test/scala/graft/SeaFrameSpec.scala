@@ -1,0 +1,92 @@
+package graft
+
+import graft.frame.SeaFrame
+import org.apache.spark.sql.functions._
+
+/** Pipeline facade semantics (SURVEY §2.2/2.5/2.6): projection, IN
+  * filters, positional subset under explicit order, sort re-derives
+  * the order, seeded shuffle is a permutation, append unions by name.
+  */
+class SeaFrameSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pipe = SeaFrame.withSequence(
+    Seq(("a", 3.0), ("b", 1.0), ("c", 2.0), ("d", 5.0), ("e", 4.0))
+      .toDF("k", "v"), Seq(col("k").asc))
+
+  test("keep projects and reorders (gdata.go:633-649)") {
+    val f = pipe.keep(Seq("v", "k"))
+    assert(f.dataColumns == Seq("v", "k"))
+  }
+
+  test("drop removes a field (gdata.go:611-630)") {
+    assert(pipe.drop("v").dataColumns == Seq("k"))
+  }
+
+  test("whereIn filters typed equality (gdata.go:897-969)") {
+    assert(pipe.whereIn("k", Seq("a", "c")).df.count() == 2)
+  }
+
+  test("subset selects by position under the explicit order " +
+      "(gdata.go:852-895)") {
+    val got = pipe.subset(Seq(0L, 2L, 4L)).result
+      .orderBy("k").select("k").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "c", "e"))
+  }
+
+  test("row takes a single positional row (gdata.go:818-849)") {
+    assert(pipe.row(1).result.select("k").head().getString(0) == "b")
+  }
+
+  test("sort re-derives the sequence (gdata.go:421-493)") {
+    val sorted = pipe.sort("v")
+    val got = sorted.df.orderBy(SeaFrame.SEQ).select("k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("b", "c", "a", "e", "d"))
+    // positional ops now follow value order
+    assert(sorted.row(0).result.select("k").head().getString(0) == "b")
+  }
+
+  test("shuffle is a seeded permutation (gdata.go:506-510)") {
+    val sh = pipe.shuffle(seed = 7)
+    val ks = sh.result.select("k").collect().map(_.getString(0)).toSet
+    assert(ks == Set("a", "b", "c", "d", "e"))
+    // deterministic under the same seed
+    val again = pipe.shuffle(seed = 7).df.orderBy(SeaFrame.SEQ)
+      .select("k").collect().map(_.getString(0)).toSeq
+    val first = sh.df.orderBy(SeaFrame.SEQ)
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(again == first)
+  }
+
+  test("append unions by name, drops right extras, extends the " +
+      "sequence (pipeline.go:429-464)") {
+    val extra = SeaFrame.withSequence(
+      Seq(("x", 9.0, "junk")).toDF("k", "v", "extra"),
+      Seq(col("k").asc))
+    val appended = pipe.append(extra)
+    assert(appended.df.count() == 6)
+    assert(appended.dataColumns == Seq("k", "v"))
+    // appended row continues the sequence
+    val last = appended.df.orderBy(col(SeaFrame.SEQ).desc).select("k")
+      .head().getString(0)
+    assert(last == "x")
+  }
+
+  test("append rejects a right side missing fields") {
+    val bad = SeaFrame(Seq(("z")).toDF("k"))
+    intercept[IllegalArgumentException] { pipe.append(bad) }
+  }
+
+  test("topK orders by count then value (data.go:815-837)") {
+    val f = SeaFrame(Seq("a", "a", "b", "c", "c", "c").toDF("x"))
+    val top = f.topK("x", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("c", 3L), ("a", 2L)))
+  }
+
+  test("subset without an order errors (SURVEY 7.4 risk 1)") {
+    val unordered = SeaFrame(Seq(("a", 1.0)).toDF("k", "v"))
+    intercept[IllegalStateException] { unordered.subset(Seq(0L)) }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.exprlang.Financial
+import graft.functions.Stats
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Diagnostics (KS/assess/coalesce — diags.go goldens), financial
+  * solvers, and REAL Structured Streaming runs (watermark + windows
+  * through readStream, not just the batch shape).
+  */
+class StatsAndStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("KS = 100 on perfectly separable data (diags_test.go golden)") {
+    val df = (1 to 100).map(i =>
+      (i.toDouble, if (i > 50) 1.0 else 0.0)).toDF("score", "y")
+    val (ks, _) = Stats.ks(df, col("score"), col("y"))
+    assert(math.abs(ks - 100.0) < 1e-9)
+  }
+
+  test("KS ~ 0 on identical distributions") {
+    val df = (1 to 100).map(i => (i % 10 * 1.0, i % 2 * 1.0))
+      .toDF("score", "y")
+    val (ks, _) = Stats.ks(df, col("score"), col("y"))
+    assert(ks < 25.0)
+  }
+
+  test("assess precision/recall/accuracy on a known confusion matrix " +
+      "(diags.go:476-529)") {
+    // pred>0.5: rows 3,4; obs: rows 2,4 -> tp=1 fp=1 fn=1 tn=1
+    val df = Seq((0.1, 0.0), (0.2, 1.0), (0.9, 0.0), (0.8, 1.0))
+      .toDF("score", "y")
+    val r = Stats.assess(df, col("score"), col("y"), 0.5).head()
+    assert(r.getAs[Long]("n") == 4)
+    assert(math.abs(r.getAs[Double]("precision") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("accuracy") - 0.5) < 1e-12)
+  }
+
+  test("coalesce: softmax from logodds sums to the target slice " +
+      "(diags.go:32-95)") {
+    val df = Seq((1.0, 2.0, 3.0)).toDF("l0", "l1", "l2")
+    val p = df.select(Stats.coalesceCols(
+      Seq(col("l0"), col("l1"), col("l2")), Seq(0, 2),
+      binary = false, logodds = true).as("p")).head().getDouble(0)
+    val Seq(e0, e1, e2) = Seq(1.0, 2.0, 3.0).map(math.exp)
+    assert(math.abs(p - (e0 + e2) / (e0 + e1 + e2)) < 1e-12)
+  }
+
+  test("irr solves npv(r)=0 (parser.go:617-658 semantics)") {
+    // invest 100, receive 60 twice: irr ~ 13.07%
+    val r = Financial.irr(Array(-100.0, 60.0, 60.0))
+    assert(math.abs(Financial.npv(r, Array(-100.0, 60.0, 60.0))) < 1e-6)
+    assert(r > 0.13 && r < 0.131)
+  }
+
+  test("irr returns 0 when no sign change (reference failure mode)") {
+    assert(Financial.irr(Array(10.0, 10.0)) == 0.0)
+  }
+
+  test("describe matches exact quantiles on a known vector") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val d = Stats.describe(df, "x").head()
+    assert(d.getAs[Long]("n") == 100)
+    assert(math.abs(d.getAs[Double]("q50") - 50.5) < 1e-9)
+    assert(d.getAs[Double]("q0") == 1.0 && d.getAs[Double]("q100") == 100.0)
+  }
+
+  test("streaming tumbling window over file source matches batch " +
+      "(readStream + watermark + AvailableNow)") {
+    val dir = TestSpark.sfDir
+    val q = Streams.runStreaming(spark, s"$dir/events.parquet",
+      df => Streams.tumbling(df, "1 hour"), "t_tumbling")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT sum(n_events) FROM t_tumbling").head().getLong(0)
+    val batchEvents = QH.read(spark, dir, "events").count()
+    assert(streamed == batchEvents)
+  }
+
+  test("streaming session windows produce sessions per user") {
+    val dir = TestSpark.sfDir
+    val q = Streams.runStreaming(spark, s"$dir/events.parquet",
+      df => Streams.sessionized(df, "30 minutes"), "t_sessions")
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.sql(
+      "SELECT count(*), sum(n_events) FROM t_sessions").head()
+    assert(sessions.getLong(0) > 0)
+    assert(sessions.getLong(1) == QH.read(spark, dir, "events").count())
+  }
+}
