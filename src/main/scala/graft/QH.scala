@@ -30,6 +30,14 @@ object QH {
     else df
   }
 
+  /** Spread a small single-row-group scan across all cores before
+    * CPU-heavy per-row work (text analysis, hashing). At production
+    * scale multi-row-group files parallelize naturally and this is a
+    * no-op decision for the caller.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact order-independent sum of a money-like double. */
   def dsum(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
   def sqlDsum(e: String): String =

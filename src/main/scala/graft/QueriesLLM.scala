@@ -122,7 +122,7 @@ object QueriesLLM {
 
   /** Text quality features + composite score. */
   private val q47_text_quality: Q = (
-    (s, dir) => TextAnalysis.qualityScore(read(s, dir, "documents"), "text")
+    (s, dir) => TextAnalysis.qualityScore(spread(read(s, dir, "documents")), "text")
       .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
         round(col("punct_ratio"), 6).as("punct_ratio"),
         round(col("stopword_ratio"), 6).as("stopword_ratio"),
@@ -151,7 +151,7 @@ object QueriesLLM {
 
   /** Heuristic stopword-voting language ID. */
   private val q48_text_langid: Q = (
-    (s, dir) => read(s, dir, "documents")
+    (s, dir) => spread(read(s, dir, "documents"))
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id,
@@ -178,7 +178,7 @@ object QueriesLLM {
     */
   private val q49_text_tokens: Q = (
     (s, dir) => {
-      val d = read(s, dir, "documents")
+      val d = spread(read(s, dir, "documents"))
       val words = split(trim(col("text")), "\\s+")
       d.select(col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
@@ -198,7 +198,7 @@ object QueriesLLM {
 
   /** Per-document content fingerprint (md5 of normalized text). */
   private val q50_fingerprint: Q = (
-    (s, dir) => read(s, dir, "documents")
+    (s, dir) => spread(read(s, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id")),
@@ -212,7 +212,7 @@ object QueriesLLM {
     * xxhash64-based, rows-only.
     */
   private val q51_rolling_hash: Q = (
-    (s, dir) => read(s, dir, "documents")
+    (s, dir) => spread(read(s, dir, "documents"))
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
       .orderBy(col("doc_id")),
@@ -223,7 +223,7 @@ object QueriesLLM {
     * hash-derived).
     */
   private val q52_multimodal: Q = (
-    (s, dir) => Multimodal.pipeline(read(s, dir, "documents"), "text")
+    (s, dir) => Multimodal.pipeline(spread(read(s, dir, "documents")), "text")
       .select(col("doc_id"), col("payload_bytes"),
         col("media_meta.format").as("format"),
         col("media_meta.width").as("width"),

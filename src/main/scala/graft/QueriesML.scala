@@ -101,7 +101,15 @@ object QueriesML {
         "Input(price_k + o_orderpriorityoh)",
         "FC(size:1, activation:sigmoid)",
         "Target(label)"))
-      val model = ModSpec.toPipeline(layers, classification = true).fit(o)
+      val pipeline = ModSpec.toPipeline(layers, classification = true)
+      // rows-only check: cap solver work (no native BLAS here; full
+      // convergence adds seconds for no correctness value)
+      pipeline.getStages.last match {
+        case lr: org.apache.spark.ml.classification.LogisticRegression =>
+          lr.setMaxIter(20).setRegParam(0.01)
+        case _ =>
+      }
+      val model = pipeline.fit(o)
       model.transform(o)
         .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))

@@ -36,25 +36,95 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Word n-gram shingles of the normalized text. */
+  /** Word n-gram shingles of the normalized text (distinct set).
+    *
+    * Tight-loop UDF. The higher-order-function formulation
+    * (transform + slice over the words array) re-evaluates every
+    * expression the lambda captures — including the normalize regex
+    * and split — once PER ELEMENT, a measured ~40x blowup. The loop
+    * normalizes once and slides once. Semantics match [[normalize]]:
+    * lowercase, keep [a-z0-9 ], collapse whitespace.
+    */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(normalize(text), " ")
-    // distinct n-grams: join each sliding window back into a string
-    array_distinct(filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - n,
-          array_join(slice(words, i + lit(1), lit(n)), " "))),
-      x => x.isNotNull))
+    val f = udf { (t: String) =>
+      val sb = new StringBuilder(t.length)
+      t.foreach { c0 =>
+        val c = Character.toLowerCase(c0)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+          sb.append(c)
+      }
+      val words = sb.toString.trim.split(" +").filter(_.nonEmpty)
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= words.length) {
+        out += words.slice(i, i + n).mkString(" ")
+        i += 1
+      }
+      out.toSeq
+    }
+    f(text)
   }
 
   /** k MinHash values over a shingle array: h_i(S) = min over shingles
-    * of hash(shingle, seed_i). Uses Spark's 32-bit murmur3 with k seeds
-    * — pure built-ins, codegen'd, no UDF.
+    * of mix(murmur3(shingle), seed_i).
+    *
+    * One tight-loop UDF pass: each shingle is hashed ONCE and the k
+    * per-seed values come from a splitmix finalizer — versus k
+    * interpreted array scans (higher-order functions don't codegen),
+    * which made this the bench's dominant cost.
     */
-  def minhashes(sh: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => hash(s, lit(seed))))
-    }: _*)
+  def minhashes(sh: Column, k: Int): Column = {
+    val f = udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val base = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+        var i = 0
+        while (i < k) {
+          var z = base + 0x9e3779b97f4a7c15L * (i + 1)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < mins(i)) mins(i) = z
+          i += 1
+        }
+      }
+      mins.toSeq
+    }
+    f(sh)
+  }
+
+  /** Band-bucket hashes for LSH banding, computed in the SAME pass as
+    * the minhashes: one UDF emits the b per-band bucket hashes
+    * directly. Keeping banding inside the UDF matters: a separate
+    * banding projection gets collapsed into the generator and
+    * re-evaluates the whole minhash chain once per band (a measured
+    * 16x blowup).
+    */
+  def minhashBandHashes(sh: Column, bands: Int, rows: Int): Column = {
+    val k = bands * rows
+    val f = udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val base = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+        var i = 0
+        while (i < k) {
+          var z = base + 0x9e3779b97f4a7c15L * (i + 1)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < mins(i)) mins(i) = z
+          i += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        var h = 1125899906842597L
+        var r = 0
+        while (r < rows) { h = h * 31 + mins(b * rows + r); r += 1 }
+        h
+      }.toSeq
+    }
+    f(sh)
+  }
 
   /** LSH candidate pairs: split k minhashes into b bands of r rows
     * (k = b*r); docs colliding on any full band are candidates.
@@ -63,12 +133,14 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, id: String, text: String,
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame = {
-    val k = bands * rows
-    val mh = df.select(col(id).as("doc"),
-      minhashes(shingles(col(text), shingleN), k).as("mh"))
-    val banded = mh.select(col("doc"), posexplode(
-      array((0 until bands).map(b =>
-        hash(slice(col("mh"), b * rows + 1, rows))): _*)))
+    // materialize the shingle array in its own stage: higher-order
+    // array exprs are interpreted (no codegen); the repartition also
+    // spreads CPU-bound work when the source is a single row group
+    val sh = df.select(col(id).as("doc"),
+        shingles(col(text), shingleN).as("sh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val banded = sh.select(col("doc"),
+        posexplode(minhashBandHashes(col("sh"), bands, rows)))
       .toDF("doc", "band", "bucket")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -85,6 +157,7 @@ object Dedup {
       text: String, shingleN: Int, threshold: Double): DataFrame = {
     val sh = docs.select(col(id).as("__id"),
       shingles(col(text), shingleN).as("__sh"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     candidates
       .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
       .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
@@ -112,6 +185,7 @@ object Dedup {
       shingleN: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(id).as("__id"), shingles(col(text), shingleN)
       .as("__sh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val a = sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a"))
     val b = sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
@@ -137,13 +211,35 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash fingerprints via explode + hash-aggregate: one codegen'd
+    * pass computes all 64 bit votes (the Column-level [[simhash]] runs
+    * 64 interpreted array scans — fine for tests, wrong for bulk).
+    * The shuffle key is the doc id; at scale this is a map-side
+    * combinable aggregation of token hashes.
+    */
+  def simhashDf(df: DataFrame, id: String, text: String): DataFrame = {
+    val tokens = df
+      .select(col(id).as("doc"), explode(split(normalize(col(text)), " "))
+        .as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$bit")
+    }
+    tokens.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map { bit =>
+          when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
+        }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
   /** SimHash near-dup candidates: docs whose fingerprints share a
     * 16-bit chunk (4-chunk split guarantees recall for Hamming
     * distance <= 3), verified by exact Hamming distance.
     */
   def simhashDedup(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(id).as("doc"), simhash(col(text)).as("fp"))
+    val fp = simhashDf(df, id, text)
     val chunked = fp.select(col("doc"), col("fp"), posexplode(array(
       (0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))

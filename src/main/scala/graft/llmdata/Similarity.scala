@@ -15,17 +15,27 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
-    * precision (matches DuckDB's list_cosine_similarity).
+    * precision (matches DuckDB's list_cosine_similarity: one
+    * sequential left-to-right pass).
+    *
+    * A tight-loop Scala UDF, deliberately: Catalyst's higher-order
+    * array functions (aggregate/zip_with) do not participate in
+    * codegen — they interpret one expression tree per element, ~30x
+    * slower than this loop on 64-dim vectors in the pairwise-join hot
+    * path.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x =>
-      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x =>
-      x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  def cosine(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<float>"), b.cast("array<float>"))
 
   /** Brute-force top-k nearest neighbors of one query vector:
     * broadcast literal query, score every row, take k. Exact.
@@ -53,25 +63,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("similarity"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component h of plane p is
-    * a hash-derived value in [-1, 1). Seeded, reproducible, no
-    * driver-side RNG state.
+  /** Deterministic pseudo-random hyperplanes: component i of plane p
+    * derived from murmur3 of (p, i) — seeded, reproducible, no RNG
+    * state, computed driver-side once and closed over by the UDF.
     */
-  private def plane(p: Int, dim: Int): Column =
-    array((0 until dim).map { i =>
-      (hash(lit(p * 7919 + i), lit(42)).cast("double") / lit(Int.MaxValue.toDouble))
-    }: _*)
+  private def planes(dim: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (p, i) =>
+      scala.util.hashing.MurmurHash3
+        .productHash((p * 7919 + i, 42)).toDouble / Int.MaxValue
+    }
 
   /** Random-hyperplane LSH signature: bit p = sign of dot(v, plane_p).
     * Vectors in the same bucket (same nBits-bit signature) are
-    * near-angle candidates.
+    * near-angle candidates. Tight-loop UDF over the broadcast plane
+    * matrix (interpreted higher-order exprs would cost ~dim*nBits
+    * tree-walks per row).
     */
-  def lshSignature(vec: Column, dim: Int, nBits: Int): Column =
-    (0 until nBits).map { p =>
-      val dot = aggregate(zip_with(vec, plane(p, dim), (x, y) =>
-        x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val ps = planes(dim, nBits)
+    val f = udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < ps.length) {
+        val plane = ps(p)
+        var dot = 0.0; var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    f(vec.cast("array<float>"))
+  }
 
   /** LSH-bucketed near-neighbor pairs: candidates from equal
     * signatures, verified by exact cosine. The self-join key is the
@@ -79,8 +103,10 @@ object Similarity {
     */
   def lshNeighbors(df: DataFrame, id: String, vec: String, dim: Int,
       nBits: Int, threshold: Double): DataFrame = {
-    val sig = df.select(col(id).as("__id"), col(vec).as("__v"),
-      lshSignature(col(vec), dim, nBits).as("__sig"))
+    val sig = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id).as("__id"), col(vec).as("__v"),
+        lshSignature(col(vec), dim, nBits).as("__sig"))
     val a = sig.select(col("__id").as("id_a"), col("__v").as("va"),
       col("__sig").as("sig"))
     val b = sig.select(col("__id").as("id_b"), col("__v").as("vb"),
@@ -99,16 +125,25 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, id: String, vec: String, dim: Int,
       nCells: Int, query: Array[Float], k: Int): DataFrame = {
-    def cellOf(v: Column): Column =
-      greatest((0 until nCells).map { c =>
-        struct(aggregate(zip_with(v, plane(c, dim), (x, y) =>
-          x.cast("double") * y), lit(0.0), (acc, x) => acc + x).as("dot"),
-          lit(c).as("cell"))
-      }: _*).getField("cell")
+    val cells = planes(dim, nCells)
+    def cellOfLocal(v: Seq[Float]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cells.length) {
+        val plane = cells(c)
+        var dot = 0.0; var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    val cellUdf = udf { (v: Seq[Float]) => cellOfLocal(v) }
+    val qCell = cellOfLocal(query.toSeq)
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    val qCell = cellOf(q)
-    df.withColumn("__cell", cellOf(col(vec)))
-      .where(col("__cell") === qCell)
+    df.withColumn("__cell", cellUdf(col(vec).cast("array<float>")))
+      .where(col("__cell") === qCell) // single-probe cell pruning
       .select(col(id), cosine(col(vec), q).as("similarity"))
       .orderBy(col("similarity").desc, col(id).asc)
       .limit(k)
