@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside
+  * the Column API.
+  *
+  * Install with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+  }
+}
+
+object GraftExtensions {
+  /** Register the functions into an already-built session (the
+    * extensions path only applies at session build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSimilarityDescriptor
+    spark.sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+  }
+
+  private[graft] val cosineSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "cosine_similarity expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      })
+}

@@ -16,26 +16,13 @@ object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
     * precision (matches DuckDB's list_cosine_similarity: one
-    * sequential left-to-right pass).
-    *
-    * A tight-loop Scala UDF, deliberately: Catalyst's higher-order
-    * array functions (aggregate/zip_with) do not participate in
-    * codegen — they interpret one expression tree per element, ~30x
-    * slower than this loop on 64-dim vectors in the pairwise-join hot
-    * path.
+    * sequential left-to-right pass). Backed by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — higher-order
+    * array functions would interpret one expression tree per element
+    * in the pairwise-join hot path.
     */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   def cosine(a: Column, b: Column): Column =
-    cosineUdf(a.cast("array<float>"), b.cast("array<float>"))
+    graft.functions.CosineSimilarity(a, b)
 
   /** Brute-force top-k nearest neighbors of one query vector:
     * broadcast literal query, score every row, take k. Exact.
