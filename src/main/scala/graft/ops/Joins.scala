@@ -66,6 +66,28 @@ object Joins {
     filled
   }
 
+  /** Salted equi-join for skewed keys: the left (large, skewed) side
+    * gets a random salt in [0, salts); the right side is exploded
+    * across all salt values, so one hot key spreads over `salts`
+    * reducers instead of one. AQE's skew-join split handles runtime
+    * detection; this is the explicit form for when the skew is known
+    * up front (e.g. a null-ish default key at 100 TB).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: String,
+      joinType: String, salts: Int): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      "saltedJoin supports inner/left (right side is replicated)")
+    val l = left.withColumn("__salt",
+      pmod(pmod(hash(monotonically_increasing_id()), lit(salts))
+        + lit(salts), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    val dupes = right.columns.filter(c => c != on && left.columns.contains(c))
+    val rClean = dupes.foldLeft(r)((d, c) => d.drop(c))
+    l.join(rClean, Seq(on, "__salt"), joinType).drop("__salt")
+  }
+
   /** SeaFrame wrapper: joins data columns, re-sequences by (key, left
     * seq, right seq) since the reference's join output is sorted by the
     * key (gdata.go:1188-1198), and drops one-hot/embed features (they

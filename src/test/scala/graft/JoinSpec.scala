@@ -62,6 +62,16 @@ class JoinSpec extends SparkSuite {
     assert(ex.getMessage.contains("float key"))
   }
 
+  test("salted join matches plain join results (skew mitigation)") {
+    val plain = Joins.join(left, right, "Field1", "inner")
+      .select("Field1", "Field0", "Field2").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted
+    val salted = Joins.saltedJoin(left, right, "Field1", "inner", 4)
+      .select("Field1", "Field0", "Field2").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("zero-value fills per kind (gdata.go:1322-1344)") {
     val l = Seq((1, "x")).toDF("k", "lv")
     val r = Seq((2, 5.5, "s", 7L)).toDF("k", "dv", "sv", "iv")
