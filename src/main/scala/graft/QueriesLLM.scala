@@ -120,6 +120,22 @@ object QueriesLLM {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** IVF-style single-probe ANN: coarse cells from hash-seeded
+    * directions, query scored only against its own cell — the scan
+    * shrinks by the cell count. Rows-only (cell assignment is
+    * hash-seeded).
+    */
+  private val q60_ann_ivf: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(e.where(col("vec_id") > 0), "vec_id",
+        "embedding", dim = 64, nCells = 8, q, 10)
+        .orderBy(col("similarity").desc, col("vec_id"))
+    },
+    None)
+
   /** Text quality features + composite score. */
   private val q47_text_quality: Q = (
     (s, dir) => TextAnalysis.qualityScore(spread(read(s, dir, "documents")), "text")
@@ -240,6 +256,7 @@ object QueriesLLM {
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
     "q45_ann_topk" -> q45_ann_topk,
     "q46_ann_lsh" -> q46_ann_lsh,
+    "q60_ann_ivf" -> q60_ann_ivf,
     "q47_text_quality" -> q47_text_quality,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

@@ -211,27 +211,47 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash fingerprints via explode + hash-aggregate: one codegen'd
-    * pass computes all 64 bit votes (the Column-level [[simhash]] runs
-    * 64 interpreted array scans — fine for tests, wrong for bulk).
-    * The shuffle key is the doc id; at scale this is a map-side
-    * combinable aggregation of token hashes.
+  /** 64-bit SimHash as a single tight-loop pass: normalize, tokenize,
+    * hash each token once, accumulate the 64 bit votes, emit the
+    * fingerprint. No shuffle at all — embarrassingly parallel — where
+    * an explode + 64-column aggregate pays a full exchange of token
+    * hashes, and the Column-level [[simhash]] runs 64 interpreted
+    * array scans (kept for parity/tests).
     */
-  def simhashDf(df: DataFrame, id: String, text: String): DataFrame = {
-    val tokens = df
-      .select(col(id).as("doc"), explode(split(normalize(col(text)), " "))
-        .as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$bit")
+  def simhashUdf: Column => Column = { text =>
+    val f = udf { (t: String) =>
+      val sb = new StringBuilder(t.length)
+      t.foreach { c0 =>
+        val c = Character.toLowerCase(c0)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+          sb.append(c)
+      }
+      val votes = new Array[Int](64)
+      sb.toString.trim.split(" +").foreach { tok =>
+        if (tok.nonEmpty) {
+          // splitmix64 of murmur3 — a well-mixed 64-bit token hash
+          var z = scala.util.hashing.MurmurHash3.stringHash(tok).toLong
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          var b = 0
+          while (b < 64) {
+            votes(b) += (if (((z >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      fp
     }
-    tokens.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map { bit =>
-          when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L)
-        }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    f(text)
   }
+
+  def simhashDf(df: DataFrame, id: String, text: String): DataFrame =
+    graft.QH.spread(df)
+      .select(col(id).as("doc"), simhashUdf(col(text)).as("fp"))
 
   /** SimHash near-dup candidates: docs whose fingerprints share a
     * 16-bit chunk (4-chunk split guarantees recall for Hamming

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming extensions over the events table (a
@@ -39,6 +39,35 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Input row shape for the stateful per-user operator. */
+  case class UserEvent(user_id: Long, value: Double)
+
+  /** Running per-user totals carried in operator state. */
+  case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom stateful streaming: per-user running counters via
+    * flatMapGroupsWithState — the arbitrary-state escape hatch when
+    * windowed aggregation can't express the logic (SURVEY §2.11
+    * Spark-native extension). Works identically over a bounded batch
+    * (one group pass) and a stream (state carried across
+    * micro-batches).
+    */
+  def runningPerUser(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events; var tot = prev.total
+          rows.foreach { r => n += 1; tot += r.value }
+          val cur = UserRunning(uid, n, tot)
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
 
   /** Run any of the transforms above as a real streaming query over
     * file-source parquet, sinking to an in-memory table — the local

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guards: the optimizations the engine's scale
+  * story depends on must stay visible in the physical plan.
+  */
+class PlanGuardSpec extends SparkSuite {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    Queries.all(name)._1(spark, TestSpark.sfDir)
+
+  test("IN-list filter is pushed to the parquet scan (q02)") {
+    val p = planOf(q("q02_where_in"))
+    assert(p.contains("PushedFilters: [In(l_returnflag"), p)
+  }
+
+  test("column pruning: projection-only query reads only its columns " +
+      "(q01)") {
+    val p = planOf(q("q01_keep_project"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"),
+      s"unpruned scan: $read")
+  }
+
+  test("timestamp range filter pushed down (q14)") {
+    val p = planOf(q("q14_groupby_agg"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("grouped aggregate does map-side partial aggregation (q14)") {
+    val p = planOf(q("q14_groupby_agg"))
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("dimension joins broadcast (q58 TPC-H Q3 shape)") {
+    val p = planOf(q("q58_tpch_q3"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the filtered customer dimension's predicate reaches its scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("native cosine expression appears in the plan (no UDF wrapper)") {
+    val e = QH.read(spark, TestSpark.sfDir, "embeddings")
+    val df = e.select(graft.llmdata.Similarity.cosine(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding")).as("c"))
+    val p = planOf(df)
+    assert(p.contains("cosine_similarity"), p)
+  }
+}

@@ -79,6 +79,30 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(streamed == batchEvents)
   }
 
+  test("flatMapGroupsWithState carries per-user running state across " +
+      "micro-batches") {
+    val dir = TestSpark.sfDir
+    val schema = QH.read(spark, dir, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val src = spark.readStream.schema(schema).parquet(tmp.toString)
+      .select(col("user_id"), col("value")).as[Streams.UserEvent]
+    val q = Streams.runningPerUser(src).writeStream
+      .outputMode("update").format("memory").queryName("t_running")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // the LAST state row per user must equal the batch aggregate
+    val got = spark.sql(
+      """SELECT user_id, max(n_events) AS n FROM t_running
+         GROUP BY user_id""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = QH.read(spark, dir, "events").groupBy(col("user_id"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("streaming session windows produce sessions per user") {
     val dir = TestSpark.sfDir
     val q = Streams.runStreaming(spark, s"$dir/events.parquet",
