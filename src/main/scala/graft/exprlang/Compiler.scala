@@ -125,7 +125,16 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
       case "toDate" => args.head match {
         case Quoted(s) => lit(parseDateLit(s).getOrElse(
           throw new IllegalArgumentException(s"bad date literal '$s'")))
-        case _ => coalesce(to_date(a(0), "yyyyMMdd"), to_date(a(0), "M/d/yyyy"))
+        case _ =>
+          // ANSI mode: to_date throws on a format mismatch, so the
+          // format-fallback chain must use try_to_date; a value
+          // matching NO format is an error like the reference
+          val parsed = coalesce(try_to_date(a(0), "yyyyMMdd"),
+            try_to_date(a(0), "M/d/yyyy"))
+          when(a(0).isNotNull && parsed.isNull,
+            raise_error(concat(lit("toDate: unparseable date '"),
+              a(0).cast("string"), lit("'"))).cast("date"))
+            .otherwise(parsed)
       }
 
       // ---- dates (parser.go:795-925, 1134-1274)
