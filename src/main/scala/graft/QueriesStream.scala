@@ -84,7 +84,32 @@ object QueriesStream {
                      AS k
             FROM events ORDER BY event_id"""))
 
+  /** As-of join (Spark-native extension): each event matched to the
+    * latest order of the same key at-or-before its timestamp —
+    * oracle-checked against DuckDB's native ASOF JOIN.
+    */
+  private val q61_asof_join: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "events")
+        .withColumnRenamed("user_id", "k")
+      val o = read(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "k")
+        .select(col("k"), col("o_orderdate"))
+      graft.ops.Joins.asofJoin(e, o, "k", "ts", "o_orderdate")
+        .select(col("event_id"), col("k").as("user_id"),
+          col("asof_o_orderdate"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+                   o.o_orderdate AS asof_o_orderdate
+            FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+                  FROM events) e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""))
+
   val all: Map[String, Q] = Map(
+    "q61_asof_join" -> q61_asof_join,
     "q53_stream_tumbling" -> q53_stream_tumbling,
     "q54_stream_sliding" -> q54_stream_sliding,
     "q55_stream_session" -> q55_stream_session,

@@ -66,6 +66,53 @@ object Joins {
     filled
   }
 
+  /** As-of join (not in the reference — a Spark-native extension the
+    * SURVEY §2.4 note anticipates): for every left row, the LATEST
+    * right row with rightTime <= leftTime on the same key.
+    *
+    * Implementation is composed operators (preference (a) before any
+    * custom strategy): tag + union both sides, one window pass per
+    * key ordered by (time, right-before-left), running last_value of
+    * the right payload, filter back to left rows. One shuffle on the
+    * key — the same cost class as a regular sort-merge join, with no
+    * per-row range probing.
+    *
+    * Tie policy: right rows tying on time are ordered by `payload`
+    * columns; the last wins.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asofCols = rightTime +: payload
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(1).as("__isR") +:
+        asofCols.map(c => col(c).as(s"__asof_$c"))): _*)
+    val lNulls = asofCols.map(c =>
+      lit(null).cast(right.schema(c).dataType).as(s"__asof_$c"))
+    val l = left.select(
+      (left.columns.map(col(_)) :+ col(leftTime).as("__t") :+
+        lit(0).as("__isR")) ++ lNulls: _*)
+    val unioned = l.select((Seq(col(key), col("__t"), col("__isR")) ++
+      asofCols.map(c => col(s"__asof_$c")) ++
+      left.columns.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col("__t").asc +: col("__isR").desc +:
+        payload.map(c => col(s"__asof_$c").asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = asofCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__asof_$c",
+        last(col(s"__asof_$c"), ignoreNulls = true).over(w))
+    }
+    // inner as-of semantics: left rows with no preceding right match
+    // are dropped (the matched time is null)
+    filled.where(col("__isR") === 0 &&
+        col(s"__asof_$rightTime").isNotNull)
+      .select((left.columns.map(col(_)) ++
+        asofCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+  }
+
   /** Salted equi-join for skewed keys: the left (large, skewed) side
     * gets a random salt in [0, salts); the right side is exploded
     * across all salt values, so one hot key spreads over `salts`

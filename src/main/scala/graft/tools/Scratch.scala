@@ -25,6 +25,23 @@ object Scratch {
 
     import org.apache.spark.sql.functions._
     time("warm")(docs.count())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    time("lsh-candidates") {
+      val sig = emb.repartition(32)
+        .select(col("vec_id").as("__id"), col("embedding").as("__v"),
+          graft.llmdata.Similarity.lshSignature(col("embedding"), 64, 8)
+            .as("__sig"))
+      val a = sig.select(col("__id").as("id_a"), col("__v").as("va"),
+        col("__sig").as("sig"))
+      val b = sig.select(col("__id").as("id_b"), col("__v").as("vb"),
+        col("__sig").as("sig"))
+      val pairs = a.join(b, Seq("sig")).where(col("id_a") < col("id_b"))
+      println("[scratch] lsh pair count: " + pairs.count())
+    }
+    time("lsh-full") {
+      println("[scratch] lsh neighbors: " + graft.llmdata.Similarity
+        .lshNeighbors(emb, "vec_id", "embedding", 64, 8, 0.2).count())
+    }
     val sh = docs.select(col("doc_id").as("doc"),
         Dedup.shingles(col("text"), 3).as("sh"))
       .repartition(32)

@@ -72,6 +72,20 @@ class JoinSpec extends SparkSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("asofJoin picks the latest right row at-or-before left time") {
+    val trades = Seq((1, 10, "t10"), (1, 20, "t20"), (2, 15, "t15"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1, 5, 100.0), (1, 12, 110.0), (1, 20, 120.0),
+      (2, 99, 999.0)).toDF("k", "qt", "px")
+    val j = Joins.asofJoin(trades, quotes, "k", "t", "qt",
+      payload = Seq("px"))
+    val got = j.select("tag", "asof_qt", "asof_px").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    // t10 -> quote@5; t20 -> quote@20 (inclusive); k=2 trade@15 has no
+    // preceding quote -> dropped (inner as-of)
+    assert(got == Set(("t10", 5, 100.0), ("t20", 20, 120.0)))
+  }
+
   test("zero-value fills per kind (gdata.go:1322-1344)") {
     val l = Seq((1, "x")).toDF("k", "lv")
     val r = Seq((2, 5.5, "s", 7L)).toDF("k", "dv", "sv", "iv")
