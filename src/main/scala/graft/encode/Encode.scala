@@ -80,9 +80,12 @@ object Encode {
     (df.withColumn(name, encodeD(df(raw), meta)), meta)
   }
 
-  /** The encoding expression for a fitted dictionary: a broadcast map
-    * lookup compiled as a chain of codegen'd WHEN branches for small
-    * dictionaries (no join, no shuffle).
+  /** The encoding expression for a fitted dictionary: small
+    * dictionaries compile to a chain of codegen'd WHEN branches; large
+    * ones become a literal-map lookup (one element_at against a
+    * broadcast-with-the-plan map — the WHEN chain would blow up
+    * generated-code size past JIT limits). Either way: no join, no
+    * shuffle of the fact table.
     */
   def encodeD(raw: Column, meta: FeatureMeta): Column = {
     val defCode: Column = meta.default match {
@@ -94,9 +97,14 @@ object Encode {
         lit(" and no default"))).cast("int")
     }
     val s = raw.cast("string")
-    meta.levels.toSeq.sortBy(_._2).foldLeft(when(lit(false), lit(0))) {
-      case (acc, (v, code)) => acc.when(s === lit(v), lit(code))
-    }.otherwise(defCode)
+    if (meta.levels.size <= 32)
+      meta.levels.toSeq.sortBy(_._2).foldLeft(when(lit(false), lit(0))) {
+        case (acc, (v, code)) => acc.when(s === lit(v), lit(code))
+      }.otherwise(defCode)
+    else {
+      val looked = element_at(typedlit(meta.levels), s)
+      when(looked.isNotNull, looked).otherwise(defCode)
+    }
   }
 
   /** MakeOneHot: widen a fitted categorical into per-level 0/1 double
@@ -134,12 +142,13 @@ object Encode {
   /** GetRaw inverse for a categorical: code -> raw string via the
     * inverse level map.
     */
-  def decodeD(code: Column, meta: FeatureMeta): Column = {
-    meta.inverseLevels.toSeq.sortBy(_._1)
-      .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
-        acc.when(code === lit(k), lit(v))
-      }.otherwise(lit(null).cast("string"))
-  }
+  def decodeD(code: Column, meta: FeatureMeta): Column =
+    if (meta.levels.size <= 32)
+      meta.inverseLevels.toSeq.sortBy(_._1)
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (k, v)) =>
+          acc.when(code === lit(k), lit(v))
+        }.otherwise(lit(null).cast("string"))
+    else element_at(typedlit(meta.inverseLevels), code.cast("int"))
 
   /** ReInit / UpdateFts: re-encode raw columns under a (new) schema —
     * the whole-table refit-or-apply (gdata.go:555-608, 1078-1120).

@@ -154,7 +154,16 @@ object Joins {
     val metas = (l.schema.metas ++
       r.schema.metas.filterNot(m => l.schema.has(m.name)))
       .filter(m => joined.columns.contains(m.name))
-    SeaFrame.withSequence(joined, Seq(col(on).asc))
+    // key-sorted like the reference's join output; remaining atomic
+    // columns break ties so the derived sequence is deterministic
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val tiebreak = joined.schema.fields
+      .filter(f => f.name != on && (f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }))
+      .map(f => col(f.name).asc).toSeq
+    SeaFrame.withSequence(joined, col(on).asc +: tiebreak)
       .copy(schema = FeatureSchema(metas))
   }
 }

@@ -81,6 +81,30 @@ class EncodeSpec extends SparkSuite {
       (0.0, 0.0, 1.0)))
   }
 
+  test("large dictionaries (>32 levels) take the map-lookup path: " +
+      "round-trip + default + error semantics hold") {
+    val values = (0 until 100).map(i => f"lvl$i%03d")
+    val df = values.toDF("x")
+    val (enc, meta) = Encode.appendD(df, "x", "xe")
+    assert(meta.levels.size == 100)
+    // sorted-value codes
+    assert(meta.levels("lvl000") == 0 && meta.levels("lvl099") == 99)
+    // round trip through the map path
+    val bad = enc.select(col("x"),
+      Encode.decodeD(col("xe"), meta).as("back"))
+      .where(col("x") =!= col("back"))
+    assert(bad.count() == 0)
+    // unseen with default
+    val fitted = meta.copy(default = Some("lvl007"))
+    val (enc2, _) = Encode.appendD(Seq("zzz").toDF("x"), "x", "xe",
+      Some(fitted))
+    assert(enc2.head().getInt(1) == 7)
+    // unseen without default errors
+    val (enc3, _) = Encode.appendD(Seq("zzz").toDF("x"), "x", "xe",
+      Some(meta))
+    intercept[Exception] { enc3.collect() }
+  }
+
   test("decodeD inverts the level map (GetRaw, gdata.go:518-552)") {
     val df = Seq("a", "b").toDF("x")
     val (enc, meta) = Encode.appendD(df, "x", "xe")
