@@ -195,7 +195,17 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
           case Ident(n) if df.columns.contains(n) => df(n)
           case _ => a(1)
         }
-      case "print" => // side-effect: show n rows, expression value 1
+      case "print" | "printIf" =>
+        // side-effect: show the first n rows of the evaluated
+        // argument (eager, like the reference parser.go:572-613);
+        // the expression's value is 1
+        val n = if (args.length > 1) args(1) match {
+          case Num(v) => v.toInt
+          case _ => 10
+        } else 10
+        val sel = df.select(a(0).as("print"))
+        (if (fn == "printIf") sel.where(col("print").cast("double") > 0)
+         else sel).show(n, truncate = false)
         lit(1.0)
       case other => throw new IllegalArgumentException(
         s"unknown function '$other'")

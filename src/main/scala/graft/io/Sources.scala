@@ -71,6 +71,19 @@ object Sources {
   def pipeToParquet(frame: SeaFrame, path: String): Unit =
     frame.result.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed sink: pre-shuffle once at write time so subsequent
+    * equi-joins/aggregations on the bucket key run with NO exchange —
+    * the co-located-join strategy for repeatedly-joined fact tables
+    * at scale. Requires a table (metastore) sink; bucket count should
+    * match across co-joined tables.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** PipeToSQL (pipeline.go:367-392): JDBC table or saveAsTable. */
   def pipeToSql(frame: SeaFrame, table: String,
       jdbcUrl: Option[String] = None): Unit = jdbcUrl match {

@@ -59,6 +59,22 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(Financial.irr(Array(10.0, 10.0)) == 0.0)
   }
 
+  test("ProductAgg: exact grouped product incl. zeros and negatives") {
+    val df = Seq((1, 2.0), (1, -3.0), (1, 4.0), (2, 5.0), (2, 0.0))
+      .toDF("k", "v")
+    val got = df.groupBy(col("k"))
+      .agg(graft.functions.ProductAgg(col("v")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) == -24.0 && got(2) == 0.0)
+  }
+
+  test("print formula shows rows and evaluates to 1 " +
+      "(parser.go:572-613)") {
+    val out = graft.exprlang.Formula.addToPipe(corpusPipe, "p",
+      "print(c + D, 1)", Some("__seq"))
+    assert(col1(out, "p") == Seq(1.0, 1.0))
+  }
+
   test("describe matches exact quantiles on a known vector") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val d = Stats.describe(df, "x").head()
