@@ -181,7 +181,7 @@ object Encode {
       val keep = cur.columns.filter(c =>
         schema.has(c) || schema.metas.exists(m =>
           m.role == FeatureRole.OneHot && c.startsWith(m.name + "_")))
-      cur = cur.select(keep.map(cur(_)): _*)
+      cur = cur.select(keep.toIndexedSeq.map(cur(_)): _*)
     }
     (cur, out)
   }

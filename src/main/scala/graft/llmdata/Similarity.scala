@@ -29,7 +29,7 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, id: String, vec: String,
       query: Array[Float], k: Int): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     df.select(col(id),
         cosine(col(vec), q).as("similarity"))
       .orderBy(col("similarity").desc, col(id).asc)
@@ -57,7 +57,7 @@ object Similarity {
   private def planes(dim: Int, nBits: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim) { (p, i) =>
       scala.util.hashing.MurmurHash3
-        .productHash((p * 7919 + i, 42)).toDouble / Int.MaxValue
+        .caseClassHash((p * 7919 + i, 42)).toDouble / Int.MaxValue
     }
 
   /** Random-hyperplane LSH signature: bit p = sign of dot(v, plane_p).
@@ -128,7 +128,7 @@ object Similarity {
     }
     val cellUdf = udf { (v: Seq[Float]) => cellOfLocal(v) }
     val qCell = cellOfLocal(query.toSeq)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     df.withColumn("__cell", cellUdf(col(vec).cast("array<float>")))
       .where(col("__cell") === qCell) // single-probe cell pruning
       .select(col(id), cosine(col(vec), q).as("similarity"))

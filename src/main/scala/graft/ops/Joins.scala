@@ -91,11 +91,11 @@ object Joins {
     val lNulls = asofCols.map(c =>
       lit(null).cast(right.schema(c).dataType).as(s"__asof_$c"))
     val l = left.select(
-      (left.columns.map(col(_)) :+ col(leftTime).as("__t") :+
+      (left.columns.toIndexedSeq.map(col(_)) :+ col(leftTime).as("__t") :+
         lit(0).as("__isR")) ++ lNulls: _*)
     val unioned = l.select((Seq(col(key), col("__t"), col("__isR")) ++
       asofCols.map(c => col(s"__asof_$c")) ++
-      left.columns.filterNot(_ == key).map(c => col(c))): _*)
+      left.columns.toIndexedSeq.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy((col("__t").asc +: col("__isR").desc +:
@@ -109,7 +109,7 @@ object Joins {
     // are dropped (the matched time is null)
     filled.where(col("__isR") === 0 &&
         col(s"__asof_$rightTime").isNotNull)
-      .select((left.columns.map(col(_)) ++
+      .select((left.columns.toIndexedSeq.map(col(_)) ++
         asofCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 
