@@ -234,6 +234,48 @@ object QueriesLLM {
       .orderBy(col("doc_id")),
     None)
 
+  /** PII/URL scrubbing with RE2-compatible patterns (same regexes run
+    * in the DuckDB oracle).
+    */
+  private val q62_text_redact: Q = (
+    (s, dir) => spread(read(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextAnalysis.redact(col("text")).as("redacted"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     'https?://[^\s]+', '<URL>', 'g'),
+                     '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g')
+                     AS redacted
+            FROM documents ORDER BY doc_id"""))
+
+  /** Repetition ratio: duplicate word-trigram share per doc — the
+    * Gopher-style boilerplate signal, oracled via DuckDB list ops over
+    * the same shingle construction.
+    */
+  private val q63_text_repetition: Q = (
+    (s, dir) => spread(read(s, dir, "documents"))
+      .select(col("doc_id"),
+        round(TextAnalysis.repetitionRatio(col("text"), 3), 6)
+          .as("rep_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' ') AS w
+               FROM documents),
+                 sh AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')) AS g
+               FROM n)
+            SELECT doc_id,
+                   round(CASE WHEN len(g) = 0 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                          / len(g) END, 6) AS rep_ratio
+            FROM sh ORDER BY doc_id"""))
+
   /** Multimodal plumbing: binary payload + typed metadata + stub
     * decode features + frame-sampling plan. Rows-only (stub decode is
     * hash-derived).
@@ -262,5 +304,7 @@ object QueriesLLM {
     "q49_text_tokens" -> q49_text_tokens,
     "q50_fingerprint" -> q50_fingerprint,
     "q51_rolling_hash" -> q51_rolling_hash,
+    "q62_text_redact" -> q62_text_redact,
+    "q63_text_repetition" -> q63_text_repetition,
     "q52_multimodal" -> q52_multimodal)
 }

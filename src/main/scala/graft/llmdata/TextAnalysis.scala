@@ -85,6 +85,47 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** PII/URL scrubbing: redact emails, URLs, and long digit runs
+    * (phone/ID-like) with typed placeholders — the standard curation
+    * scrub before training. Patterns are RE2-compatible (no
+    * lookaround) so the same regexes run in other engines.
+    */
+  def redact(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val digits = "[0-9][0-9 ()+.-]{7,}[0-9]"
+    regexp_replace(regexp_replace(regexp_replace(text,
+      email, "<EMAIL>"), url, "<URL>"), digits, "<NUMBER>")
+  }
+
+  /** Repetition ratio (a Gopher-style quality signal): fraction of
+    * word n-gram positions that repeat an earlier n-gram —
+    * 1 - distinct/total. High values flag boilerplate/spam.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val f = udf { (t: String) =>
+      val sb = new StringBuilder(t.length)
+      t.foreach { c0 =>
+        val c = Character.toLowerCase(c0)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+          sb.append(c)
+      }
+      val words = sb.toString.trim.split(" +").filter(_.nonEmpty)
+      val total = words.length - n + 1
+      if (total <= 0) 0.0
+      else {
+        val seen = new scala.collection.mutable.HashSet[String]
+        var i = 0
+        while (i + n <= words.length) {
+          seen += words.slice(i, i + n).mkString(" ")
+          i += 1
+        }
+        1.0 - seen.size.toDouble / total
+      }
+    }
+    f(text)
+  }
+
   /** Content fingerprint: md5 of the dedup-normalized text — the
     * cheap exact-clustering key (see [[Dedup.normalize]]).
     */

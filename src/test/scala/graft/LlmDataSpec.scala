@@ -124,6 +124,33 @@ class LlmDataSpec extends SparkSuite {
     assert(rh(0L) != rh(1L))
   }
 
+  test("redact scrubs emails, URLs, and number runs") {
+    val df = Seq(
+      "mail me at bob.smith+x@example.co.uk today",
+      "see https://example.com/a?b=1 for details",
+      "call 555 123-4567 x89 now",
+      "clean text stays clean").toDF("text")
+    val got = df.select(TextAnalysis.redact(col("text"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "see <URL> for details")
+    assert(got(2) == "call <NUMBER> x89 now") // short runs (x89) stay
+    assert(got(3) == "clean text stays clean")
+  }
+
+  test("repetition ratio: repeated trigrams score high, unique text " +
+      "scores 0") {
+    val df = Seq(
+      (0L, "one two three one two three one two three one two three"),
+      (1L, "every single word here is used exactly once in total"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text"), 3).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) > 0.6, s"repetitive doc scored ${got(0L)}")
+    assert(got(1L) == 0.0)
+  }
+
   test("multimodal stub pipeline: payload bytes, metadata, features, " +
       "frame plan all materialize") {
     val out = Multimodal.pipeline(docs, "text")
