@@ -377,7 +377,21 @@ object QueriesAgg {
              FROM events GROUP BY event_type HAVING count(*) >= 50
              ORDER BY event_type"""))
 
+  /** Histogram bucket counts (the reference's histogram data,
+    * rendering excluded — parser.go:1844-1997).
+    */
+  private val q64_histogram: Q = (
+    (s, dir) => Stats.histogram(read(s, dir, "lineitem"),
+      "l_extendedprice", 0.0, 200000.0, 20),
+    Some("""SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                        WHEN l_extendedprice >= 200000.0 THEN 21
+                        ELSE CAST(floor(l_extendedprice / 200000.0 * 20)
+                               AS BIGINT) + 1 END AS bucket,
+                   count(*) AS n
+            FROM lineitem GROUP BY bucket ORDER BY bucket"""))
+
   val all: Map[String, Q] = Map(
+    "q64_histogram" -> q64_histogram,
     "q13_summary_agg" -> q13_summary_agg,
     "q15_desc_quantiles" -> q15_desc_quantiles,
     "q16_value_counts" -> q16_value_counts,

@@ -93,6 +93,18 @@ object Stats {
     if (binary) (targetSum > 0.5).cast("double") else targetSum
   }
 
+  /** Histogram: fixed-width bucket counts over [lo, hi) — the data
+    * behind the reference's histogram plot side effect
+    * (parser.go:1844-1997; rendering stays driver-side, the
+    * distributed part is this one grouped count).
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame =
+    df.select(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
+        lit(buckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** Decile (or n-tile) calibration table: bucket by predicted score,
     * per-bucket mean predicted vs mean observed (reference decile plot
     * diags.go:231-373 collapsed to one grouped agg).
