@@ -59,7 +59,11 @@ object QueriesRelational {
     */
   private val q04_subset_rows: Q = (
     (s, dir) => {
-      val f = SeaFrame.withSequence(read(s, dir, "lineitem"),
+      // prune to the needed columns BEFORE the global sequence sort:
+      // the range-partitioned sort then moves 5 columns, not 11
+      val f = SeaFrame.withSequence(
+        read(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"),
         Seq(col("l_orderkey").asc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc,
           col("l_extendedprice").asc))

@@ -93,6 +93,18 @@ object Stats {
     if (binary) (targetSum > 0.5).cast("double") else targetSum
   }
 
+  /** SegPlot data: per-segment mean fitted vs mean observed (the
+    * reference's segment plot, diags.go:261-307 — its
+    * slice-and-iterate loop collapsed into one grouped aggregate).
+    */
+  def segment(df: DataFrame, seg: Column, score: Column,
+      target: Column): DataFrame =
+    df.groupBy(seg.as("segment"))
+      .agg(avg(score.cast("double")).as("mean_fitted"),
+        avg(target.cast("double")).as("mean_observed"),
+        count(lit(1)).as("n"))
+      .orderBy(col("segment"))
+
   /** Histogram: fixed-width bucket counts over [lo, hi) — the data
     * behind the reference's histogram plot side effect
     * (parser.go:1844-1997; rendering stays driver-side, the

@@ -62,6 +62,27 @@ class MlAndIoSpec extends SparkSuite {
     assert(mse < 1e-6, s"mse $mse")
   }
 
+  test("marginal effects: per-segment response curve over a feature " +
+      "sweep (diags.go:534-731)") {
+    val df = (1 to 300).map { i =>
+      val x = i / 300.0; val z = (i % 10) / 10.0
+      (x, z, if (x + 0.1 * z > 0.55) 1.0 else 0.0)
+    }.toDF("x1", "x2", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + x2)", "FC(size:1, activation:sigmoid)", "Target(y)"))
+    val model = ModSpec.toPipeline(layers, classification = true).fit(df)
+    val m = graft.ml.Diagnostics.marginal(model, df, Seq("x1", "x2"),
+      "x1", nSeg = 4, sweepPoints = 5)
+    val rows = m.collect()
+    assert(rows.length >= 4 * 2) // segments x >=2 distinct sweep values
+    // within each segment, prediction must be monotone nondecreasing
+    // in x1 for this separable data
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val preds = rs.sortBy(_.getDouble(1)).map(_.getDouble(2))
+      assert(preds.zip(preds.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
   test("csv sink -> source round trip with role inference " +
       "(CSVToPipe, ch.go:165-171)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftio").toString

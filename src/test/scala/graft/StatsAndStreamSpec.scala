@@ -59,6 +59,27 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(Financial.irr(Array(10.0, 10.0)) == 0.0)
   }
 
+  test("segment table: per-level fitted vs observed (SegPlot data, " +
+      "diags.go:261-307)") {
+    val df = Seq(("a", 0.8, 1.0), ("a", 0.6, 1.0), ("b", 0.3, 0.0),
+      ("b", 0.1, 0.0)).toDF("seg", "score", "y")
+    val t = Stats.segment(df, col("seg"), col("score"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(t("a") == ((0.7, 1.0, 2L)))
+    assert(t("b") == ((0.2, 0.0, 2L)))
+  }
+
+  test("irr through the formula path solves an ordered cashflow " +
+      "(parser.go:617-658)") {
+    val pipe = Seq((-100.0, 0L), (60.0, 1L), (60.0, 2L))
+      .toDF("cf", "__seq")
+    val out = graft.exprlang.Formula.addToPipe(pipe, "r", "irr(cf)",
+      Some("__seq"))
+    val r = out.select(max(col("r"))).head().getDouble(0)
+    assert(r > 0.13 && r < 0.131)
+  }
+
   test("ProductAgg: exact grouped product incl. zeros and negatives") {
     val df = Seq((1, 2.0), (1, -3.0), (1, 4.0), (2, 5.0), (2, 0.0))
       .toDF("k", "v")
