@@ -48,12 +48,26 @@ final case class SeaFrame(
 
   /** Where: IN-list equality filter (gdata.go:897-969). */
   def whereIn(field: String, values: Seq[Any]): SeaFrame =
-    copy(df = df.where(df(field).isin(values: _*)))
+    reseq(copy(df = df.where(df(field).isin(values: _*))))
 
   /** Slice: arbitrary boolean-Column predicate (gdata.go:306-419);
     * compose predicates with && / || (SlicerAnd/Or slicer.go:73-84).
     */
-  def slice(pred: Column): SeaFrame = copy(df = df.where(pred))
+  def slice(pred: Column): SeaFrame = reseq(copy(df = df.where(pred)))
+
+  /** The reference's Slice/Where produce a NEW pipeline whose rows are
+    * renumbered 0..n-1 (gdata.go:306-419); keep that semantic by
+    * re-deriving the sequence from the surviving rows' old order.
+    * Frames without an order skip this (nothing positional to keep).
+    */
+  private def reseq(f: SeaFrame): SeaFrame = f.seqCol match {
+    case None => f
+    case Some(s) =>
+      val tmp = f.df.withColumnRenamed(s, SEQ_TMP)
+      val renumbered = SeaFrame.withSequence(tmp, Seq(col(SEQ_TMP).asc))
+      renumbered.copy(df = renumbered.df.drop(SEQ_TMP), schema = f.schema)
+  }
+  private val SEQ_TMP = "__seq_old"
 
   /** Subset: positional row selection under the explicit order
     * (gdata.go:852-895). Requires a seq column.

@@ -38,6 +38,17 @@ class SeaFrameSpec extends SparkSuite {
     assert(pipe.row(1).result.select("k").head().getString(0) == "b")
   }
 
+  test("slice renumbers rows 0..n-1 like the reference " +
+      "(gdata.go:306-419)") {
+    val sliced = pipe.slice(col("v") > 2.0) // keeps a, d, e
+    // positional ops now address the FILTERED set
+    assert(sliced.row(0).result.select("k").head().getString(0) == "a")
+    assert(sliced.row(2).result.select("k").head().getString(0) == "e")
+    val seqs = sliced.df.orderBy(SeaFrame.SEQ).select(SeaFrame.SEQ)
+      .collect().map(_.getLong(0)).toSeq
+    assert(seqs == Seq(0L, 1L, 2L))
+  }
+
   test("sort re-derives the sequence (gdata.go:421-493)") {
     val sorted = pipe.sort("v")
     val got = sorted.df.orderBy(SeaFrame.SEQ).select("k")
