@@ -339,6 +339,8 @@ object Formula {
   def loop(df: DataFrame, varName: String, start: Int, end: Int,
       assigns: Seq[(String, String)], seqCol: Option[String] = None)
       : DataFrame = {
+    require(!df.columns.contains(varName),
+      s"loop: variable '$varName' collides with an existing column")
     var cur = df
     (start until end).foreach { i =>
       cur = cur.withColumn(varName, lit(i))

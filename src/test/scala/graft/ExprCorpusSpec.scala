@@ -62,7 +62,18 @@ class ExprCorpusSpec extends SparkSuite {
     // mixed summary + row level (parser_test.go:868 pattern)
     "c + sum(c)" -> Seq(4.0, 5.0),
     "sse(D, c)" -> Seq(68.0, 68.0),
-    "mad(D, c)" -> Seq(10.0, 10.0))
+    "mad(D, c)" -> Seq(10.0, 10.0),
+    // nested calls + composed summary/row mixes
+    "if(c == max(c), 1, 0)" -> Seq(0.0, 1.0),
+    "exp(log(D)) - D" -> Seq(0.0, 0.0),
+    "maxE(minE(c, D), 1.5)" -> Seq(1.5, 2.0),
+    "(c > mean(c)) + (D > mean(D))" -> Seq(0.0, 2.0),
+    "abs(c - D) ^ 2" -> Seq(4.0, 64.0),
+    "pow(2, row(c))" -> Seq(1.0, 2.0),
+    "cumeBefore(c) / countBefore(c)" -> Seq(1.0, 1.5),
+    "std(c) * std(c)" -> Seq(0.5, 0.5),
+    "r2(D, D)" -> Seq(1.0, 1.0),
+    "sum(c * D) - npv(0.0, c * D)" -> Seq(0.0, 0.0))
 
   cases.foreach { case (formula, expected) =>
     test(s"corpus: $formula") {
