@@ -145,6 +145,17 @@ final case class SeaFrame(
     }
   }
 
+  /** Row re-read in sequence order (the reference's GData reader
+    * surface, gdata.go:653-722): a lazy driver-side iterator — rows
+    * stream partition by partition, never fully materialized on the
+    * driver.
+    */
+  def readRows(): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val ordered = seqCol.map(s => df.orderBy(col(s))).getOrElse(df)
+    ordered.drop(SEQ).toLocalIterator().asScala
+  }
+
   // ---- encoding shortcuts -------------------------------------------
 
   def appendC(raw: String, name: String, normalize: Boolean = false,

@@ -45,6 +45,42 @@ object Sources {
         .load(), FeatureSchema.empty, Nil)
   }
 
+  /** VecFromAny (vec.go:38-70): build a pipeline from named column
+    * vectors. Element types are inferred per column from the first
+    * non-null value (double/long/int/string/boolean/date/timestamp);
+    * columns must share a row count.
+    */
+  def vecToPipe(spark: SparkSession, columns: Seq[(String, Seq[Any])],
+      orderBy: Seq[String] = Nil): SeaFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(columns.nonEmpty, "vecToPipe: no columns")
+    val n = columns.head._2.length
+    require(columns.forall(_._2.length == n),
+      "vecToPipe: ragged columns (vec.go requires uniform length)")
+    def typeOf(v: Any): DataType = v match {
+      case _: Double => DoubleType
+      case _: Float => FloatType
+      case _: Long => LongType
+      case _: Int => IntegerType
+      case _: String => StringType
+      case _: Boolean => BooleanType
+      case _: java.sql.Date => DateType
+      case _: java.sql.Timestamp => TimestampType
+      case other => throw new IllegalArgumentException(
+        s"vecToPipe: unsupported element ${other.getClass}")
+    }
+    val schema = StructType(columns.map { case (name, vs) =>
+      StructField(name, typeOf(vs.find(_ != null).getOrElse("")),
+        nullable = true)
+    })
+    val rows = (0 until n).map(i =>
+      Row.fromSeq(columns.map(_._2(i))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+    wrap(df, FeatureSchema.empty, orderBy)
+  }
+
   private def wrap(df: DataFrame, overrides: FeatureSchema,
       orderBy: Seq[String]): SeaFrame = {
     val metas = df.schema.fields.map { f =>

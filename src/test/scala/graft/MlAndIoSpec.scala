@@ -96,6 +96,39 @@ class MlAndIoSpec extends SparkSuite {
     assert(back.schema("n_nationkey").role == FeatureRole.Cts)
   }
 
+  test("vecToPipe builds a pipeline from column vectors " +
+      "(VecFromAny, vec.go:38-70)") {
+    val f = Sources.vecToPipe(spark, Seq(
+      "name" -> Seq("a", "b", "c"),
+      "value" -> Seq(1.5, 2.5, 3.5),
+      "n" -> Seq(10L, 20L, 30L)), orderBy = Seq("name"))
+    assert(f.df.count() == 3)
+    assert(f.df.schema("value").dataType.typeName == "double")
+    assert(f.row(1).result.select("name").head().getString(0) == "b")
+    // ragged columns rejected
+    intercept[IllegalArgumentException] {
+      Sources.vecToPipe(spark, Seq("a" -> Seq(1.0), "b" -> Seq(1.0, 2.0)))
+    }
+  }
+
+  test("readRows streams rows in sequence order " +
+      "(GData reader, gdata.go:653-722)") {
+    val f = Sources.vecToPipe(spark, Seq(
+      "k" -> Seq("c", "a", "b")), orderBy = Seq("k"))
+    val got = f.readRows().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("describe approx mode matches exact on small data") {
+    import graft.functions.Stats
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val exact = Stats.describe(df, "x").head()
+    val approx = Stats.describe(df, "x", approx = true).head()
+    assert(exact.getAs[Long]("n") == approx.getAs[Long]("n"))
+    assert(math.abs(exact.getAs[Double]("q50") -
+      approx.getAs[Double]("q50")) < 2.0)
+  }
+
   test("sqlToPipe runs SQL over registered views " +
       "(SQLToPipe, pipeline.go:296-321)") {
     QH.read(spark, TestSpark.sfDir, "region")
