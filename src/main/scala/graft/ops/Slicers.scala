@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Slicers {
 
+  /** SlicerAnd / SlicerOr (slicer.go:73-84): named predicate
+    * combinators over boolean Columns.
+    */
+  def and(preds: Column*): Column = preds.reduce(_ && _)
+  def or(preds: Column*): Column = preds.reduce(_ || _)
+
   /** Per-level stats with a minimum-count filter
     * (NewSlice discrete arm, slicer.go:34-55).
     */

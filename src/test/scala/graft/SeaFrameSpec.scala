@@ -96,6 +96,27 @@ class SeaFrameSpec extends SparkSuite {
     assert(top == Seq(("c", 3L), ("a", 2L)))
   }
 
+  test("whereIn matches typed date equality (ch.go:539-550)") {
+    val df = Seq(
+      (java.sql.Date.valueOf("2023-03-01"), "a"),
+      (java.sql.Date.valueOf("2023-03-02"), "b"),
+      (java.sql.Date.valueOf("2023-03-03"), "c")).toDF("d", "k")
+    val got = SeaFrame(df)
+      .whereIn("d", Seq(java.sql.Date.valueOf("2023-03-01"),
+        java.sql.Date.valueOf("2023-03-03")))
+      .df.select("k").collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "c"))
+  }
+
+  test("Slicers.and/or compose predicates (SlicerAnd/Or, " +
+      "slicer.go:73-84)") {
+    import graft.ops.Slicers
+    val both = pipe.slice(Slicers.and(col("v") > 1.0, col("v") < 5.0))
+    assert(both.df.count() == 3) // a(3), c(2), e(4)
+    val either = pipe.slice(Slicers.or(col("v") === 1.0, col("v") === 5.0))
+    assert(either.df.count() == 2) // b, d
+  }
+
   test("subset without an order errors (SURVEY 7.4 risk 1)") {
     val unordered = SeaFrame(Seq(("a", 1.0)).toDF("k", "v"))
     intercept[IllegalStateException] { unordered.subset(Seq(0L)) }
