@@ -345,14 +345,35 @@ object QueriesAgg {
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
                      prod_disc"""))
 
+  /** Formula-DSL lag over the whole-frame explicit sequence via the
+    * partition-safe addToPipe path, with the reference's `missing`
+    * default filling the first row (data.go:531-550).
+    */
+  private val q65_lag_default: Q = (
+    (s, dir) => {
+      val f = SeaFrame.withSequence(
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey").asc))
+      exprlang.Formula
+        .addToPipe(f.df, "prev_price", "lag(o_totalprice, -1)",
+          f.seqCol)
+        .select(col("o_orderkey"), col("prev_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   COALESCE(lag(o_totalprice)
+                     OVER (ORDER BY o_orderkey), -1.0) AS prev_price
+            FROM orders ORDER BY o_orderkey"""))
+
   /** Continuous-feature quartile slicing -> per-bucket stats
     * (slicer.go:88-110 collapsed to one pass).
     */
   private val q30_quartile_buckets: Q = (
     (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      read(s, dir, "customer")
-        .withColumn("bucket", ntile(4).over(w).cast("long"))
+      // exact ntile without the global single-partition window:
+      // range-partitioned rank + closed-form bucket (ScanOps.ntile)
+      graft.ops.ScanOps.ntile(read(s, dir, "customer"),
+          Seq(col("c_acctbal").asc, col("c_custkey").asc), 4, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("mean_bal"))
         .orderBy(col("bucket"))
@@ -407,5 +428,6 @@ object QueriesAgg {
     "q27_cumulative" -> q27_cumulative,
     "q28_cumprod" -> q28_cumprod,
     "q30_quartile_buckets" -> q30_quartile_buckets,
-    "q31_group_mincount" -> q31_group_mincount)
+    "q31_group_mincount" -> q31_group_mincount,
+    "q65_lag_default" -> q65_lag_default)
 }

@@ -82,7 +82,12 @@ object QueriesExpr {
                    year(o_orderdate) AS order_year,
                    month(o_orderdate) AS order_month,
                    day(o_orderdate) AS order_day,
-                   CAST(o_orderdate + INTERVAL '3 months' AS DATE) AS plus3m,
+                   -- Go AddDate normalization (not clamping): month-add
+                   -- on the 1st, then carry the (day-1) offset forward
+                   CAST(date_trunc('month', o_orderdate)
+                        + INTERVAL '3 months'
+                        + (day(o_orderdate) - 1) * INTERVAL '1 day'
+                     AS DATE) AS plus3m,
                    CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
                      AS month_end
             FROM orders ORDER BY o_orderkey"""))

@@ -175,13 +175,14 @@ object QueriesLLM {
                FROM documents),
                  h AS (SELECT doc_id,
                  [{'hits': len(list_filter(ws, x -> x IN ('the','and','of',
-                     'to','is','in','that','it'))), 'lang': 'en'},
+                     'to','is','in','that','it'))), 'tie': -1, 'lang': 'en'},
                   {'hits': len(list_filter(ws, x -> x IN ('el','la','de',
-                     'que','y','en','los','del'))), 'lang': 'es'},
+                     'que','y','en','los','del'))), 'tie': -2, 'lang': 'es'},
                   {'hits': len(list_filter(ws, x -> x IN ('le','la','de',
-                     'et','les','des','est','une'))), 'lang': 'fr'},
+                     'et','les','des','est','une'))), 'tie': -3, 'lang': 'fr'},
                   {'hits': len(list_filter(ws, x -> x IN ('der','die','und',
-                     'das','ist','von','den','mit'))), 'lang': 'de'}] AS cand
+                     'das','ist','von','den','mit'))), 'tie': 0, 'lang': 'de'}]
+                   AS cand
                FROM w)
             SELECT doc_id,
                    CASE WHEN list_sort(cand)[-1].hits > 0

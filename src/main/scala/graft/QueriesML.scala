@@ -13,21 +13,15 @@ object QueriesML {
 
   /** KS statistic between score CDFs of target / non-target
     * (diags.go:110-221). CDFs evaluated at distinct scores (tie-safe),
-    * sup-gap exact; one row out.
+    * sup-gap exact; one row out. Running counts via
+    * ScanOps.prefixSums — range-bucketed, no single-partition window;
+    * integer counts keep it bit-identical to the sequential CDF.
     */
   private val q37_ks: Q = (
     (s, dir) => {
       val o = read(s, dir, "orders")
-      val d = o.select(col("o_totalprice").as("score"),
-        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-      val per = d.groupBy(col("score"))
-        .agg(sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
-      val w = Window.orderBy(col("score"))
-      val tot = d.agg(sum(col("y")), sum(lit(1L) - col("y"))).head()
-      val (t1, t0) = (tot.getLong(0), tot.getLong(1))
-      per.select(col("score"),
-          abs(sum(col("n1")).over(w).cast("double") / t1 -
-              sum(col("n0")).over(w).cast("double") / t0).as("gap"))
+      Stats.ksGaps(o, col("o_totalprice"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
         .agg(round(max(col("gap")) * 100.0, 6).as("ks"))
     },
     Some("""WITH d AS (SELECT o_totalprice AS score,
@@ -69,8 +63,11 @@ object QueriesML {
   private val q39_decile: Q = (
     (s, dir) => {
       val c = read(s, dir, "customer")
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      c.withColumn("bucket", ntile(10).over(w).cast("long"))
+      // exact ntile from a range-partitioned rank (ScanOps.ntile) —
+      // no global ntile window; (acctbal, custkey) is a total order so
+      // bucketing is deterministic and oracle-identical
+      graft.ops.ScanOps.ntile(c,
+          Seq(col("c_acctbal").asc, col("c_custkey").asc), 10, "bucket")
         .groupBy(col("bucket"))
         .agg(davg(col("c_acctbal")).as("mean_score"),
           davg(when(col("c_acctbal") > 0, 1.0).otherwise(0.0))

@@ -67,12 +67,15 @@ object QueriesRelational {
         Seq(col("l_orderkey").asc, col("l_linenumber").asc,
           col("l_partkey").asc, col("l_suppkey").asc,
           col("l_extendedprice").asc))
+      // subset renumbers 0..k-1 in request order (gdata.go:852-895),
+      // so the exposed pos is old_pos / 10
       f.subset(0L.until(1000L, 10L))
         .df.select(col(SeaFrame.SEQ).as("pos"), col("l_orderkey"),
           col("l_linenumber"), col("l_quantity"))
         .orderBy(col("pos"))
     },
-    Some("""SELECT pos, l_orderkey, l_linenumber, l_quantity FROM (
+    Some("""SELECT CAST(pos // 10 AS BIGINT) AS pos, l_orderkey,
+                   l_linenumber, l_quantity FROM (
               SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
                          l_partkey, l_suppkey, l_extendedprice) - 1
                        AS pos, l_orderkey, l_linenumber, l_quantity

@@ -17,22 +17,93 @@ import org.apache.spark.sql.functions._
   *     scalar fan-out, parser.go:1721-1728) — computed eagerly as one
   *     driver-side agg, embedded as a literal;
   *   - order-dependent functions (lag, row, cumeBefore/After,
-  *     prodBefore/After, countBefore/After) window over the frame's
+  *     prodBefore/After, countBefore/After) follow the frame's
   *     explicit sequence column (SURVEY 7.4).
   *
   * Everything compiles to built-in codegen'd functions — no UDFs in
   * the row path.
+  *
+  * Order-dependent scale shape: with `partitionSafe = true` (the
+  * [[Formula.addToPipe]] path), order functions window over a
+  * seq-range BUCKET partition instead of one global unpartitioned
+  * window, and the cross-bucket carry (prefix sums, previous bucket's
+  * last row) comes from a per-bucket aggregate — O(#buckets) rows —
+  * prefix-scanned and broadcast-joined back by [[Formula.addToPipe]].
+  * The compiler records what that aggregate must compute in
+  * [[auxAggColumns]]/[[auxJoinedColumns]]. With `partitionSafe =
+  * false` (the bare [[Formula.column]] path, which cannot stage a
+  * join) the legacy whole-frame window is used — fine for small
+  * frames, a single-partition funnel at scale.
   */
-class Compiler(df: DataFrame, seqCol: Option[String]) {
+class Compiler(df: DataFrame, seqCol: Option[String],
+    partitionSafe: Boolean = false) {
   import Expr._
+  import Compiler.Bucket
 
-  private def w: WindowSpec = {
-    val s = seqCol.getOrElse(throw new IllegalStateException(
+  private def seqName: String = seqCol.getOrElse(
+    throw new IllegalStateException(
       "order-dependent function needs an explicit row order (seq column)"))
-    Window.orderBy(col(s).asc)
+  private def w: WindowSpec = Window.orderBy(col(seqName).asc)
+  private def pw: WindowSpec =
+    Window.partitionBy(col(Bucket)).orderBy(col(seqName).asc)
+  private def ow: WindowSpec = if (partitionSafe) pw else w
+  private def before = ow.rowsBetween(Window.unboundedPreceding, 0)
+  private def after = ow.rowsBetween(0, Window.unboundedFollowing)
+
+  // ---- aux registry: per-bucket aggregates + their cross-bucket scan
+  // columns, materialized by Formula.addToPipe (partition-safe mode)
+  private val auxAggs =
+    scala.collection.mutable.LinkedHashMap[String, Column]()
+  private val auxJoined =
+    scala.collection.mutable.LinkedHashMap[String, Column]()
+  private var auxN = 0
+
+  def needsAux: Boolean = auxJoined.nonEmpty
+  def auxAggColumns: Seq[Column] =
+    auxAggs.map { case (n, c) => c.as(n) }.toSeq
+  def auxJoinedColumns: Seq[Column] =
+    auxJoined.map { case (n, c) => c.as(n) }.toSeq
+  def auxJoinedNames: Seq[String] = auxJoined.keys.toSeq
+
+  /** Cross-bucket offset of sum(x): previous buckets ("before"),
+    * following buckets ("after"), or all buckets ("all"). Null for an
+    * empty frame — call sites coalesce.
+    */
+  private def prefixAux(x: Column, mode: String): Column = {
+    auxN += 1
+    val bt = s"__bt$auxN"; val off = s"__ox$auxN"
+    auxAggs(bt) = sum(x)
+    val wb = Window.orderBy(col(Bucket))
+    auxJoined(off) = mode match {
+      case "before" =>
+        sum(col(bt)).over(wb.rowsBetween(Window.unboundedPreceding, -1))
+      case "after" =>
+        sum(col(bt)).over(wb.rowsBetween(1, Window.unboundedFollowing))
+      case "all" =>
+        sum(col(bt)).over(wb.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+    }
+    col(off)
   }
-  private def before = w.rowsBetween(Window.unboundedPreceding, 0)
-  private def after = w.rowsBetween(0, Window.unboundedFollowing)
+
+  /** The previous bucket's last value of x (for lag across bucket
+    * boundaries); null in the first bucket.
+    */
+  private def prevLastAux(x: Column): Column = {
+    auxN += 1
+    val bl = s"__bl$auxN"; val pv = s"__pv$auxN"
+    auxAggs(bl) = max_by(x, col(seqName))
+    auxJoined(pv) = lag(col(bl), 1).over(Window.orderBy(col(Bucket)))
+    col(pv)
+  }
+
+  /** Global 0-based row index: within-bucket row_number plus the count
+    * of rows in earlier buckets. No contiguity assumption on the seq
+    * column.
+    */
+  private def globalRow: Column =
+    row_number().over(pw).cast("double") - 1.0 +
+      coalesce(prefixAux(lit(1L), "before").cast("double"), lit(0.0))
 
   /** Date literal formats CCYYMMDD and MM/DD/CCYY (parser.go:71). */
   private def parseDateLit(s: String): Option[java.sql.Date] = {
@@ -138,7 +209,13 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
       }
 
       // ---- dates (parser.go:795-925, 1134-1274)
-      case "dateAdd" => add_months(a(0), a(1).cast("int"))
+      case "dateAdd" =>
+        // Go time.AddDate(0, m, 0) semantics: keep the day-of-month and
+        // NORMALIZE overflow (2023-01-31 +1mo -> 2023-03-03), where
+        // add_months would clamp to 2023-02-28. first-of-target-month
+        // (never clamps) + (day-1) days reproduces the normalization.
+        date_add(add_months(trunc(a(0), "MM"), a(1).cast("int")),
+          dayofmonth(a(0)) - 1)
       case "dateDiff" => dateDiff(a(0), a(1), args(2))
       case "toLastDayOfMonth" => last_day(a(0))
       case "toFirstDayOfMonth" => trunc(a(0), "MM")
@@ -160,14 +237,46 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
           length(singleString(args(1)))).cast("double")
 
       // ---- order-dependent (data.go:458-550, parser.go:1357-1372)
-      case "lag" => lag(a(0), 1).over(w) // missing handled by caller default
-      case "row" => row_number().over(w).cast("double") - 1.0
-      case "countBefore" => count(lit(1)).over(before).cast("double")
-      case "countAfter" => count(lit(1)).over(after).cast("double")
-      case "cumeBefore" => sum(d(0)).over(before)
-      case "cumeAfter" => sum(d(0)).over(after)
-      case "prodBefore" => windowProduct(d(0), before)
-      case "prodAfter" => windowProduct(d(0), after)
+      case "lag" =>
+        // lag(x, missing): the first row takes the coerced `missing`
+        // value, NOT null (data.go:531-550)
+        val x = a(0)
+        val miss =
+          if (args.length > 1) castLike(compile(args(1)), x)
+          else lit(null)
+        if (partitionSafe)
+          // within-bucket lag; the first row of each bucket takes the
+          // previous bucket's last value; the global first row (both
+          // null) falls through to `missing`
+          coalesce(lag(x, 1).over(pw), prevLastAux(x), miss)
+        else coalesce(lag(x, 1).over(w), miss)
+      case "row" =>
+        if (partitionSafe) globalRow
+        else row_number().over(w).cast("double") - 1.0
+      case "countBefore" =>
+        if (partitionSafe) globalRow + 1.0
+        else count(lit(1)).over(before).cast("double")
+      case "countAfter" =>
+        if (partitionSafe)
+          coalesce(prefixAux(lit(1L), "all").cast("double"), lit(0.0)) -
+            globalRow
+        else count(lit(1)).over(after).cast("double")
+      case "cumeBefore" =>
+        if (partitionSafe)
+          sum(d(0)).over(before) +
+            coalesce(prefixAux(d(0), "before").cast("double"), lit(0.0))
+        else sum(d(0)).over(before)
+      case "cumeAfter" =>
+        if (partitionSafe)
+          sum(d(0)).over(after) +
+            coalesce(prefixAux(d(0), "after").cast("double"), lit(0.0))
+        else sum(d(0)).over(after)
+      case "prodBefore" =>
+        if (partitionSafe) windowProductPS(d(0), before, "before")
+        else windowProduct(d(0), before)
+      case "prodAfter" =>
+        if (partitionSafe) windowProductPS(d(0), after, "after")
+        else windowProduct(d(0), after)
 
       // ---- summary level: whole-frame scalar (parser.go:749-786)
       case "sum" => scalarAgg(sum(d(0)))
@@ -239,6 +348,15 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
     }
   }
 
+  /** Cast `c` to the type `like` evaluates to on this frame (the
+    * reference coerces lag's `missing` to the lagged field's type);
+    * left as-is when the type cannot be resolved (e.g. `like` nests
+    * another order function).
+    */
+  private def castLike(c: Column, like: Column): Column =
+    scala.util.Try(df.select(like).schema.head.dataType)
+      .map(c.cast).getOrElse(c)
+
   /** Windowed running product from built-ins only: zero if the frame
     * contains a zero, else sign via (-1)^negatives times
     * exp(sum(log|x|)) — handles zeros and negatives that the naive
@@ -248,6 +366,25 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
     val zeros = sum(when(x === 0.0, 1L).otherwise(0L)).over(frame)
     val negs = sum(when(x < 0.0, 1L).otherwise(0L)).over(frame)
     val mag = exp(sum(when(x =!= 0.0, log(abs(x)))).over(frame))
+    when(zeros > 0, 0.0)
+      .otherwise(when(pmod(negs, lit(2L)) === 1L, -mag).otherwise(mag))
+  }
+
+  /** Partition-safe windowProduct: the three running accumulators
+    * (zero count, negative count, sum of log|x|) each get a
+    * within-bucket window plus a cross-bucket offset.
+    */
+  private def windowProductPS(x: Column, frame: WindowSpec,
+      mode: String): Column = {
+    val zeroInd = when(x === 0.0, 1L).otherwise(0L)
+    val negInd = when(x < 0.0, 1L).otherwise(0L)
+    val logm = when(x =!= 0.0, log(abs(x)))
+    val zeros = sum(zeroInd).over(frame) +
+      coalesce(prefixAux(zeroInd, mode).cast("long"), lit(0L))
+    val negs = sum(negInd).over(frame) +
+      coalesce(prefixAux(negInd, mode).cast("long"), lit(0L))
+    val mag = exp(coalesce(sum(logm).over(frame), lit(0.0)) +
+      coalesce(prefixAux(logm, mode).cast("double"), lit(0.0)))
     when(zeros > 0, 0.0)
       .otherwise(when(pmod(negs, lit(2L)) === 1L, -mag).otherwise(mag))
   }
@@ -262,32 +399,46 @@ class Compiler(df: DataFrame, seqCol: Option[String]) {
   }
 
   /** npv(rate, cashflow): PV with the FIRST cashflow undiscounted
-    * (parser.go:553-569), ordered by the frame's sequence.
+    * (parser.go:553-569), ordered by the frame's sequence. The period
+    * index comes from a range-partitioned sequence
+    * (GraftBridge.zipWithSequence), not a global row_number window, so
+    * the eager scalar evaluation has no single-partition pass.
     */
   private def npvCol(args: List[Expr]): Column = {
     val rate = compile(args(0)).cast("double")
     val cf = compile(args(1)).cast("double")
-    val t = row_number().over(w).cast("double") - 1.0
-    // materialize the discounted terms first — a window expression
-    // cannot live inside an aggregate directly
-    val terms = df.select((cf / pow(lit(1.0) + rate, t)).as("__npv"))
-    lit(terms.agg(sum(col("__npv"))).head().getDouble(0))
+    val base = df.select(cf.as("__cf"), rate.as("__rate"),
+      col(seqName).as("__s"))
+    val indexed = org.apache.spark.sql.GraftBridge
+      .zipWithSequence(base.orderBy(col("__s")), "__t")
+    val v = indexed
+      .agg(sum(col("__cf") /
+        pow(lit(1.0) + col("__rate"), col("__t").cast("double"))))
+      .head().getDouble(0)
+    lit(v)
   }
 
   /** irr(cashflow) or irr(cost, cashflow): collect the ordered
     * cashflows (bounded — one vector) and bisection-solve npv(r)=cost
     * on the driver, mirroring the reference's driver-side Nelder-Mead
-    * (parser.go:617-658; returns 0 on failure).
+    * (parser.go:617-658; returns 0 on failure). The collect is capped:
+    * irr is inherently a driver-side solve over one cashflow vector,
+    * and pulling a 100 TB frame through it is a bug, not a workload.
     */
   private def irrCol(args: List[Expr]): Column = {
     val (cost, cfExpr) =
       if (args.length == 2) (compileScalar(args(0)), args(1))
       else (0.0, args.head)
-    val s = seqCol.getOrElse(throw new IllegalStateException(
-      "irr needs an explicit row order"))
-    val cfs = df.select(compile(cfExpr).cast("double").as("cf"), col(s))
-      .orderBy(col(s)).collect().map(_.getDouble(0))
-    lit(Financial.irr(cfs, cost))
+    val max = Compiler.IrrMaxRows
+    val rows = df.select(compile(cfExpr).cast("double").as("cf"),
+        col(seqName))
+      .orderBy(col(seqName)).limit(max + 1).collect()
+    if (rows.length > max)
+      throw new IllegalStateException(
+        s"irr: cashflow column exceeds $max rows; irr is a driver-side " +
+          "solve — aggregate or slice the frame to one cashflow vector " +
+          "per group first")
+    lit(Financial.irr(rows.map(_.getDouble(0)), cost))
   }
 
   private def compileScalar(e: Expr): Double = e match {
@@ -319,18 +470,71 @@ object Financial {
   }
 }
 
+object Compiler {
+  /** Seq-range bucket column used by the partition-safe window path. */
+  val Bucket = "__fbkt"
+
+  /** Rows per bucket for partition-safe order functions: small enough
+    * that one bucket is one task's worth of work, large enough that
+    * the per-bucket aggregate (one row per bucket) stays tiny — 1e12
+    * rows is ~1e6 bucket rows.
+    */
+  val DefaultBucketWidth: Long = 1L << 20
+
+  /** Cap on irr's driver-side cashflow collect. */
+  val IrrMaxRows: Int = 1 << 20
+}
+
 /** Public facade: parse + compile + materialize — the analog of
   * Expr2Tree / Evaluate / AddToPipe (parser.go:200-268, 1589-1758).
   */
 object Formula {
+  /** Compile to a bare Column. Order-dependent functions here use the
+    * legacy whole-frame window (no place to stage the bucket
+    * aggregate) — use [[addToPipe]] for the partition-safe path.
+    */
   def column(df: DataFrame, formula: String,
       seqCol: Option[String] = None): Column =
     new Compiler(df, seqCol).compile(Parser.parse(formula))
 
-  /** addToPipe: materialize the formula as a new column. */
+  /** addToPipe: materialize the formula as a new column.
+    *
+    * Order-dependent functions (lag/row/cume/prod/count) are compiled
+    * partition-safe: rows are bucketed by seq range (`bucketWidth`
+    * rows per bucket), windows partition by bucket, and the
+    * cross-bucket carry comes from a per-bucket aggregate — one row
+    * per bucket — prefix-scanned and broadcast-joined back. No step
+    * moves more than O(#buckets) rows through a single partition.
+    *
+    * Numeric note: double-typed running sums associate as
+    * (within-bucket) + (bucket totals); results can differ from a
+    * strictly sequential scan in the last ulp once a frame spans
+    * multiple buckets. Integer accumulators are exact.
+    */
   def addToPipe(df: DataFrame, name: String, formula: String,
-      seqCol: Option[String] = None): DataFrame =
-    df.withColumn(name, column(df, formula, seqCol))
+      seqCol: Option[String] = None,
+      bucketWidth: Long = Compiler.DefaultBucketWidth): DataFrame =
+    seqCol match {
+      case None =>
+        df.withColumn(name, column(df, formula, None))
+      case Some(s) =>
+        val df1 = df.withColumn(Compiler.Bucket,
+          floor(col(s).cast("double") / lit(bucketWidth.toDouble))
+            .cast("long"))
+        val cmp = new Compiler(df1, seqCol, partitionSafe = true)
+        val outCol = cmp.compile(Parser.parse(formula))
+        val staged =
+          if (cmp.needsAux) {
+            val aggs = cmp.auxAggColumns
+            val aggDf = df1.groupBy(col(Compiler.Bucket))
+              .agg(aggs.head, aggs.tail: _*)
+            val scanned = aggDf.select(
+              col(Compiler.Bucket) +: cmp.auxJoinedColumns: _*)
+            df1.join(broadcast(scanned), Seq(Compiler.Bucket), "left")
+          } else df1
+        staged.withColumn(name, outCol)
+          .drop(Compiler.Bucket +: cmp.auxJoinedNames: _*)
+    }
 
   /** Loop(var, start, end): iterative re-evaluation with an integer
     * loop variable substituted each pass, results assigned back into

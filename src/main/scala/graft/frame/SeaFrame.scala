@@ -62,22 +62,33 @@ final case class SeaFrame(
     */
   private def reseq(f: SeaFrame): SeaFrame = f.seqCol match {
     case None => f
-    case Some(s) =>
-      val tmp = f.df.withColumnRenamed(s, SEQ_TMP)
-      val renumbered = SeaFrame.withSequence(tmp, Seq(col(SEQ_TMP).asc))
-      renumbered.copy(df = renumbered.df.drop(SEQ_TMP), schema = f.schema)
+    case Some(_) => f.resequenced(_ => Seq.empty)
   }
   private val SEQ_TMP = "__seq_old"
 
   /** Subset: positional row selection under the explicit order
-    * (gdata.go:852-895). Requires a seq column.
+    * (gdata.go:852-895). Like the reference's Subset, the result is a
+    * NEW pipeline renumbered 0..k-1 in `rows` order — duplicates in
+    * `rows` duplicate the row, and subsequent positional ops
+    * (row/limit/batch windows) see the fresh positions. Requires a seq
+    * column. `rows` is a driver-side position list, so the mapping
+    * joins broadcast.
     */
   def subset(rows: Seq[Long]): SeaFrame = {
     val s = requireSeq("subset")
-    copy(df = df.where(df(s).isin(rows: _*)))
+    val wanted = spark.createDataFrame(rows.zipWithIndex
+        .map { case (orig, pos) => (orig, pos.toLong) })
+      .toDF(SEQ_TMP, "__seq_new")
+    val joined = df.join(broadcast(wanted), df(s) === wanted(SEQ_TMP))
+    val out = joined
+      .select((dataColumns.map(joined(_)) :+
+        joined("__seq_new").as(SEQ)): _*)
+    copy(df = out, seqCol = Some(SEQ))
   }
 
-  /** Row: take the single row at position `n` (gdata.go:818-849). */
+  /** Row: take the single row at position `n`, renumbered to 0
+    * (gdata.go:818-849).
+    */
   def row(n: Long): SeaFrame = subset(Seq(n))
 
   /** Limit first n rows in seq order. */
@@ -91,24 +102,48 @@ final case class SeaFrame(
   /** Sort by field, re-deriving the order column so subsequent
     * order-dependent ops follow the new order (gdata.go:421-493).
     * Ties broken by the previous sequence for determinism.
+    *
+    * Scale note: routed through [[SeaFrame.withSequence]] — a
+    * range-partitioned parallel sort plus per-partition offsets — NOT a
+    * global `row_number()` window, which would funnel the whole table
+    * through one partition.
     */
-  def sort(field: String, ascending: Boolean = true): SeaFrame = {
-    val key = if (ascending) df(field).asc else df(field).desc
-    val tie = seqCol.map(df(_).asc).toSeq
-    val w = Window.orderBy(key +: tie: _*)
-    copy(df = df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
-      seqCol = Some(SEQ))
-  }
+  def sort(field: String, ascending: Boolean = true): SeaFrame =
+    resequenced { tmp =>
+      val key = if (ascending) tmp(field).asc else tmp(field).desc
+      Seq(key)
+    }
 
-  /** Shuffle: seeded random permutation (gdata.go:506-510). Seeded so
-    * tests are reproducible; excluded from oracle hash-match regardless.
+  /** Shuffle: seeded permutation (gdata.go:506-510). The permutation
+    * key is a deterministic seeded hash (not `rand`): withSequence
+    * executes its plan twice (count + emit passes), and the key must
+    * agree across both. Seeded so tests are reproducible; excluded from
+    * oracle hash-match regardless.
     */
-  def shuffle(seed: Long): SeaFrame = {
-    val w = Window.orderBy(rand(seed), seqCol.map(df(_).asc)
-      .getOrElse(monotonically_increasing_id().asc))
-    copy(df = df.withColumn(SEQ, row_number().over(w).cast("long") - 1),
-      seqCol = Some(SEQ))
-  }
+  def shuffle(seed: Long): SeaFrame =
+    resequenced { tmp =>
+      val salt = seqCol match {
+        case Some(_) => xxhash64(col(SEQ_TMP), lit(seed))
+        case None => xxhash64(
+          (dataColumns.map(tmp(_)) :+ lit(seed)): _*)
+      }
+      Seq(salt.asc)
+    }
+
+  /** Re-derive the sequence by new sort keys (previous sequence as the
+    * tiebreak when present), via the range-partitioned withSequence
+    * path.
+    */
+  private def resequenced(keys: DataFrame => Seq[Column]): SeaFrame =
+    seqCol match {
+      case Some(s) =>
+        val tmp = df.withColumnRenamed(s, SEQ_TMP)
+        val re = SeaFrame.withSequence(tmp, keys(tmp) :+ col(SEQ_TMP).asc)
+        copy(df = re.df.drop(SEQ_TMP), seqCol = Some(SEQ))
+      case None =>
+        val re = SeaFrame.withSequence(df, keys(df))
+        copy(df = re.df, seqCol = Some(SEQ))
+    }
 
   /** Top-K values of a column by count (data.go:815-837). */
   def topK(field: String, k: Int, byCount: Boolean = true): DataFrame = {
@@ -196,15 +231,9 @@ object SeaFrame {
     * bottleneck.
     */
   def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sorted = df.orderBy(orderBy: _*)
-    val outSchema = StructType(sorted.schema.fields :+
-      StructField(SEQ, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    SeaFrame(sorted.sparkSession.createDataFrame(rdd, outSchema),
+    SeaFrame(
+      org.apache.spark.sql.GraftBridge.zipWithSequence(sorted, SEQ),
       FeatureSchema.empty, Some(SEQ))
   }
 }

@@ -32,25 +32,39 @@ object Stats {
 
   /** KS statistic: max gap between the score CDFs of target vs
     * non-target (reference diags.go:110-221, which interpolates on a
-    * 101-point grid; we compute the exact sup-gap — tighter, one pass).
+    * 101-point grid; we compute the exact sup-gap — tighter).
     * Returns (ks in [0,100], cutoff score at the max gap).
+    *
+    * Scale shape: collapse to one row per DISTINCT score (a parallel
+    * groupBy), then exact running counts via ScanOps.prefixSums —
+    * range-bucketed windows plus O(buckets) prefix offsets — so no
+    * single-partition pass exists even for a continuous score where
+    * distinct ~ n. Counts are integers: results are bit-identical to
+    * the sequential CDF.
     */
   def ks(df: DataFrame, score: Column, target: Column): (Double, Double) = {
+    val gaps = ksGaps(df, score, target)
+      .orderBy(col("gap").desc, col("s").asc)
+      .head()
+    (gaps.getDouble(1) * 100.0, gaps.getDouble(0))
+  }
+
+  /** Per-distinct-score CDF gap rows `(s, gap)` — the distributed
+    * heart of [[ks]], also reusable in query form.
+    */
+  def ksGaps(df: DataFrame, score: Column, target: Column): DataFrame = {
     val d = df.select(score.cast("double").as("s"),
       when(target.cast("double") > 0.999, 1L).otherwise(0L).as("y"))
     val agg = d.agg(sum(col("y")).as("n1"),
       sum(lit(1L) - col("y")).as("n0")).head()
     val (n1, n0) = (agg.getLong(0), agg.getLong(1))
-    val w = Window.orderBy(col("s"))
-    val gaps = d
-      .withColumn("c1", sum(col("y")).over(w))
-      .withColumn("c0", sum(lit(1L) - col("y")).over(w))
+    val per = d.groupBy(col("s"))
+      .agg(sum(col("y")).as("y1"), sum(lit(1L) - col("y")).as("y0"))
+    graft.ops.ScanOps.prefixSums(per, "s",
+      Seq("c1" -> col("y1"), "c0" -> col("y0")))
       .select(col("s"),
         abs(col("c1").cast("double") / n1 -
             col("c0").cast("double") / n0).as("gap"))
-      .orderBy(col("gap").desc, col("s").asc)
-      .head()
-    (gaps.getDouble(1) * 100.0, gaps.getDouble(0))
   }
 
   /** KS as a one-row DataFrame for query/oracle use. */
@@ -122,12 +136,20 @@ object Stats {
     * diags.go:231-373 collapsed to one grouped agg).
     */
   def decile(df: DataFrame, score: Column, target: Column,
-      buckets: Int = 10): DataFrame = {
-    val w = Window.orderBy(score.cast("double"))
-    df.withColumn("__b", ntile(buckets).over(w).cast("long"))
+      buckets: Int = 10, tieBreak: Seq[Column] = Nil): DataFrame = {
+    // exact SQL-ntile semantics WITHOUT a global ntile window (which
+    // funnels the table through one partition): rank from a
+    // range-partitioned sort, bucket in closed form. Pass tieBreak
+    // columns for a total order — same determinism caveat SQL has.
+    val ties = tieBreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
+    val d = df.select(score.cast("double").as("__score") +:
+      target.cast("double").as("__target") +: ties: _*)
+    val ord = col("__score") +:
+      tieBreak.indices.map(i => col(s"__tb$i"))
+    graft.ops.ScanOps.ntile(d, ord, buckets, "__b")
       .groupBy(col("__b").as("bucket"))
-      .agg(avg(score.cast("double")).as("mean_score"),
-        avg(target.cast("double")).as("mean_target"),
+      .agg(avg(col("__score")).as("mean_score"),
+        avg(col("__target")).as("mean_target"),
         count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }

@@ -74,10 +74,14 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val words = transform(split(trim(lower(text)), "\\s+"), w => w)
+    // ties on hit count resolve to the alphabetically FIRST language:
+    // greatest() compares struct fields in order, so a surrogate key
+    // DESCENDING in code order (-alphabetical index) sits between the
+    // hit count and the code
+    val byCode = langStops.map(_._1).sorted.zipWithIndex.toMap
     val scored = langStops.map { case (lang, stops) =>
       struct(size(filter(words, w => w.isin(stops: _*))).as("hits"),
-        // invert code for ties so greatest() picks the alphabetically
-        // first language at equal hit counts
+        lit(-byCode(lang)).as("tie"),
         lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)

@@ -25,9 +25,11 @@ object Diagnostics {
       nSeg: Int = 6, sweepPoints: Int = 5): DataFrame = {
     require(ctsFeatures.contains(sweepFeature),
       "sweepFeature must be one of ctsFeatures")
-    val scored = model.transform(df)
-      .withColumn("__seg",
-        ntile(nSeg).over(Window.orderBy(col("prediction"))).cast("long"))
+    // segment by exact ntile over the score WITHOUT a global
+    // single-partition window (ScanOps.ntile: ranged rank +
+    // closed-form bucket)
+    val scored = graft.ops.ScanOps.ntile(model.transform(df),
+      Seq(col("prediction").asc), nSeg, "__seg")
     val medians = scored.groupBy(col("__seg"))
       .agg(percentile_approx(col(ctsFeatures.head), lit(0.5), lit(10000))
         .as(ctsFeatures.head),

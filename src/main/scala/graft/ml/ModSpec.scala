@@ -58,18 +58,16 @@ object ModSpec {
       s"modspec: cannot parse layer '$other'")
   }
 
-  /** Build the MLlib pipeline for a parsed spec. `classification`
-    * selects MLP/LogisticRegression vs LinearRegression for the output
-    * layer.
-    */
-  def toPipeline(layers: Seq[Layer], classification: Boolean,
-      nClasses: Int = 2): Pipeline = {
-    val input = layers.collectFirst { case i: Input => i }.getOrElse(
+  private def inputOf(layers: Seq[Layer]): Input =
+    layers.collectFirst { case i: Input => i }.getOrElse(
       throw new IllegalArgumentException("modspec: no Input layer"))
-    val target = layers.collectFirst { case t: Target => t }.getOrElse(
-      throw new IllegalArgumentException("modspec: no Target layer"))
-    val fcs = layers.collect { case f: FC => f }
 
+  /** Feature-prep stages (indexer/one-hot per categorical) plus the
+    * assembler-input column names, shared by toPipeline and
+    * assembledWidth.
+    */
+  private def featureStages(input: Input)
+      : (Seq[PipelineStage], Seq[String]) = {
     val stages = scala.collection.mutable.ArrayBuffer[PipelineStage]()
     val assembled = input.features.map { f =>
       if (f.oneHot) {
@@ -82,6 +80,42 @@ object ModSpec {
         s"${f.name}__oh"
       } else f.name
     }
+    (stages.toSeq, assembled)
+  }
+
+  /** The assembled `__features` width for a spec on `df`. MLP layer
+    * sizes must all be positive, so the multi-FC classification path
+    * needs this up front (MLlib does NOT resolve a -1 placeholder at
+    * fit time). Fits only the cheap feature stages — one distinct-scan
+    * per categorical.
+    */
+  def assembledWidth(layers: Seq[Layer], df: DataFrame): Int = {
+    val (stages, assembled) = featureStages(inputOf(layers))
+    val asm = new VectorAssembler().setInputCols(assembled.toArray)
+      .setOutputCol("__features")
+    val prepped = new Pipeline().setStages((stages :+ asm).toArray)
+      .fit(df).transform(df)
+    prepped.select("__features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+  }
+
+  /** Build the MLlib pipeline for a parsed spec. `classification`
+    * selects MLP/LogisticRegression vs LinearRegression for the output
+    * layer. Multi-FC classification (an MLP) needs `inputWidth` — the
+    * assembled feature-vector size — because MLlib validates that every
+    * layer size is positive at construction; use `pipelineFor` to have
+    * it derived from the data.
+    */
+  def toPipeline(layers: Seq[Layer], classification: Boolean,
+      nClasses: Int = 2, inputWidth: Int = -1): Pipeline = {
+    val input = inputOf(layers)
+    val target = layers.collectFirst { case t: Target => t }.getOrElse(
+      throw new IllegalArgumentException("modspec: no Target layer"))
+    val fcs = layers.collect { case f: FC => f }
+
+    val (fStages, assembled) = featureStages(input)
+    val stages = scala.collection.mutable.ArrayBuffer[PipelineStage]()
+    stages ++= fStages
     stages += new VectorAssembler().setInputCols(assembled.toArray)
       .setOutputCol("__features")
 
@@ -93,18 +127,31 @@ object ModSpec {
         new LogisticRegression().setFeaturesCol("__features")
           .setLabelCol(target.field).setMaxIter(100)
       else {
+        require(inputWidth > 0,
+          "modspec: a multi-FC classification spec builds an MLP, whose " +
+            "layer sizes must all be known up front; pass inputWidth = " +
+            "ModSpec.assembledWidth(layers, df) or use ModSpec.pipelineFor")
         // hidden sizes from all but the final FC; output = nClasses
         val hidden = fcs.dropRight(1).map(_.size)
         val mlp = new MultilayerPerceptronClassifier()
           .setFeaturesCol("__features").setLabelCol(target.field)
           .setSeed(42).setMaxIter(100)
-        // input layer size is resolved at fit time by MLlib >= 3.1 only
-        // when layers are set; caller may override via setLayersFor.
-        mlp.setLayers(Array(-1) ++ hidden ++ Array(nClasses))
+        mlp.setLayers(Array(inputWidth) ++ hidden ++ Array(nClasses))
         mlp
       }
     stages += estimator
     new Pipeline().setStages(stages.toArray)
+  }
+
+  /** toPipeline with the MLP input width derived from `df` when the
+    * spec needs it (multi-FC classification).
+    */
+  def pipelineFor(layers: Seq[Layer], df: DataFrame,
+      classification: Boolean, nClasses: Int = 2): Pipeline = {
+    val needsWidth =
+      classification && layers.collect { case f: FC => f }.length > 1
+    val width = if (needsWidth) assembledWidth(layers, df) else -1
+    toPipeline(layers, classification, nClasses, width)
   }
 
   /** Fit with a driver-side early-stopping loop over maxIter

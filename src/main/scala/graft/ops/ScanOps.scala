@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Partition-safe building blocks for globally-ordered semantics
+  * (running sums, ranks, exact ntile) — the two-pass
+  * "range-bucket + per-bucket window + broadcast prefix offsets"
+  * pattern. A plain `Window.orderBy(...)` with no partition funnels
+  * the whole table through ONE reducer; every helper here keeps the
+  * big-table pass parallel and pushes only O(#buckets) rows through
+  * any global step.
+  *
+  * Exactness: integer accumulators are exactly the sequential result;
+  * floating-point sums regroup additions ((within-bucket) + (bucket
+  * totals)), which can differ from a sequential scan in the last ulp.
+  */
+object ScanOps {
+
+  val BucketCol = "__sbkt"
+
+  /** Assign a range-bucket column over `ord` from approx-quantile cut
+    * points: equal values always share a bucket, bucket index is
+    * monotone in `ord`. One extra pass (the quantile sketch); the
+    * bucketing itself is a codegen'd when-chain.
+    */
+  def withRangeBucket(df: DataFrame, ord: String, buckets: Int,
+      out: String = BucketCol): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(ord, probs, 0.001).distinct.sorted
+    val bucket = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (cut, i)) => acc.when(col(ord) <= cut, i)
+    }.otherwise(cuts.length)
+    df.withColumn(out, bucket)
+  }
+
+  /** Exact global running sums ordered by `ord` (RANGE frame: rows
+    * with equal `ord` all see the whole tie group, like
+    * `sum(..) OVER (ORDER BY ord)`), with no single-partition pass
+    * over the data: within-bucket windows partitioned by a range
+    * bucket, plus per-bucket totals (O(buckets) rows) prefix-summed
+    * and broadcast back.
+    *
+    * `sums` maps output column name -> summand expression. Returns the
+    * input columns plus one running-sum column per entry.
+    */
+  def prefixSums(df: DataFrame, ord: String,
+      sums: Seq[(String, Column)], buckets: Int = 64): DataFrame = {
+    val bucketed = withRangeBucket(df, ord, buckets)
+    val pw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
+    val totalsDf = bucketed.groupBy(col(BucketCol))
+      .agg(sum(sums.head._2).as(s"__t_${sums.head._1}"),
+        sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
+    val wb = Window.orderBy(col(BucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totalsDf.select(
+      col(BucketCol) +:
+        sums.map { case (n, _) =>
+          sum(col(s"__t_$n")).over(wb).as(s"__o_$n")
+        }: _*)
+    val joined = bucketed.join(broadcast(offsets), Seq(BucketCol), "left")
+    val withRuns = sums.foldLeft(joined) { case (d, (n, c)) =>
+      d.withColumn(n, sum(c).over(pw) + coalesce(col(s"__o_$n"), lit(0)))
+    }
+    withRuns.drop(BucketCol +: sums.map { case (n, _) => s"__o_$n" }: _*)
+  }
+
+  /** SQL NTILE(k) bucket (1-based) from a 1-based rank and total row
+    * count: the first n%k buckets take ceil(n/k) rows, the rest
+    * floor(n/k) — exactly DuckDB/Spark `ntile` semantics.
+    */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val base = n / k
+    val rem = n % k
+    val bigSpan = rem * (base + 1)
+    if (base == 0) rank.cast("long") // fewer rows than buckets
+    else when(rank <= bigSpan,
+        floor((rank - 1) / lit(base + 1)) + 1)
+      .otherwise(lit(rem) + floor((rank - lit(bigSpan) - 1) / lit(base)) + 1)
+      .cast("long")
+  }
+
+  /** Exact global NTILE(k) over `orderBy` with no single-partition
+    * window: rank = range-partitioned sort + per-partition offsets
+    * (GraftBridge.zipWithSequence), bucket = closed-form ntile from
+    * (rank, n). `orderBy` should be a total order (add a tiebreak
+    * column) for deterministic bucketing of ties — the same caveat SQL
+    * ntile has.
+    */
+  def ntile(df: DataFrame, orderBy: Seq[Column], k: Int,
+      out: String = "ntile"): DataFrame = {
+    val seqName = "__ntile_seq"
+    val zipped = org.apache.spark.sql.GraftBridge
+      .zipWithSequence(df.orderBy(orderBy: _*), seqName)
+    val n = zipped.agg(max(col(seqName))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    zipped.withColumn(out, ntileFromRank(col(seqName) + 1, n, k))
+      .drop(seqName)
+  }
+}

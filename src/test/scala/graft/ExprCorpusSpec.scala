@@ -108,14 +108,13 @@ class ExprCorpusSpec extends SparkSuite {
     assert(ex.getMessage.toLowerCase.contains("log"))
   }
 
-  test("lag shifts one row (data.go:531-550)") {
-    import org.apache.spark.sql.functions._
-    val out = Formula.addToPipe(corpusPipe, "lc", "lag(c, 0)", Some("__seq"))
-    // first row null (reference fills 'missing'; Column-level default
-    // handled by coalesce at the call site)
-    val got = out.orderBy("__seq").select(coalesce(col("lc"), lit(-1.0)))
-      .collect().map(_.getDouble(0)).toSeq
-    assert(got == Seq(-1.0, 1.0))
+  test("lag shifts one row, first row takes the coerced missing value " +
+      "(data.go:531-550)") {
+    // reference semantics: lag(x, missing) fills the first element
+    // with `missing`, not null
+    assert(eval("lag(c, 0)") == Seq(0.0, 1.0))
+    assert(eval("lag(c, 0) + 1") == Seq(1.0, 2.0))
+    assert(eval("lag(c, -9.5)") == Seq(-9.5, 1.0))
   }
 
   test("exist() resolves field else fallback (parser.go:1595-1601)") {

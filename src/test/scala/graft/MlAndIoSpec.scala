@@ -50,6 +50,49 @@ class MlAndIoSpec extends SparkSuite {
     assert(acc > 0.8, s"accuracy $acc")
   }
 
+  test("multi-FC spec builds an MLP with the real input width " +
+      "(nn_test.go:136-141 canonical grammar)") {
+    val df = (1 to 200).map { i =>
+      val x1 = i / 200.0; val x2 = (i % 10) / 10.0
+      (x1, x2, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c",
+        if (x1 + 0.2 * x2 > 0.6) 1.0 else 0.0)
+    }.toDF("x1", "x2", "x4", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + x2 + x4oh)",
+      "FC(size:8, activation:relu)",
+      "DropOut(0.1)",
+      "FC(size:1, activation:sigmoid)",
+      "Target(y)"))
+    // x1, x2 continuous + 3 levels one-hot + handleInvalid-keep slot
+    val width = ModSpec.assembledWidth(layers, df)
+    assert(width == 6, s"width $width")
+    val pipeline = ModSpec.pipelineFor(layers, df, classification = true)
+    pipeline.getStages.last match {
+      case m: org.apache.spark.ml.classification
+          .MultilayerPerceptronClassifier =>
+        assert(m.getLayers.toSeq == Seq(width, 8, 2))
+        m.setMaxIter(30)
+      case other => fail(s"expected MLP, got $other")
+    }
+    val model = pipeline.fit(df)
+    val pred = model.transform(df)
+    assert(pred.columns.contains("prediction"))
+    val acc = pred.select(avg(when(col("prediction") === col("y"), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.6, s"accuracy $acc")
+  }
+
+  test("toPipeline without inputWidth rejects a multi-FC " +
+      "classification spec with a clear error") {
+    val layers = ModSpec.parse(Seq(
+      "Input(x1)", "FC(size:4)", "FC(size:1, activation:sigmoid)",
+      "Target(y)"))
+    val e = intercept[IllegalArgumentException] {
+      ModSpec.toPipeline(layers, classification = true)
+    }
+    assert(e.getMessage.contains("assembledWidth"))
+  }
+
   test("regression pipeline for a linear target") {
     val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 1.0))
       .toDF("x1", "y")

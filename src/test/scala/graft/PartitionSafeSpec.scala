@@ -1,0 +1,118 @@
+package graft
+
+import graft.exprlang.Formula
+import graft.ops.ScanOps
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The partition-safe ordered-semantics machinery (VERDICT r1 item 1):
+  * formula-DSL order functions, ScanOps prefix sums / exact ntile —
+  * multi-bucket results must equal the sequential single-bucket
+  * results, and no plan may window the big table through a single
+  * partition.
+  */
+class PartitionSafeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // integer-valued doubles: bucketed regrouped sums stay exact
+  private def frame = (0 until 10).map { i =>
+    (i.toLong, (i % 5 + 1).toDouble, (10 - i).toDouble)
+  }.toDF("__seq", "x", "y")
+
+  private val formulas = Seq(
+    "lag(x, -1)", "row(x)", "countBefore(x)", "countAfter(x)",
+    "cumeBefore(x)", "cumeAfter(x)", "prodBefore(x)", "prodAfter(x)",
+    "cumeBefore(x) / countBefore(x)", "lag(x, 0) + row(x)")
+
+  formulas.foreach { f =>
+    test(s"multi-bucket addToPipe matches single-bucket: $f") {
+      val single = Formula
+        .addToPipe(frame, "out", f, Some("__seq"), bucketWidth = 1000L)
+      val multi = Formula
+        .addToPipe(frame, "out", f, Some("__seq"), bucketWidth = 3L)
+      val a = col1(single, "out").map(_.asInstanceOf[Double])
+      val b = col1(multi, "out").map(_.asInstanceOf[Double])
+      // prod* runs through log-space doubles: regrouped sums can move
+      // the last ulp (documented in Formula.addToPipe); everything
+      // integer-accumulated is exact
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"$f: single=$a multi=$b")
+      }
+    }
+  }
+
+  test("addToPipe plans no single-partition window over the data " +
+      "(every seq-ordered WindowExec is partitioned)") {
+    val big = (0 until 1000).map(i => (i.toLong, i.toDouble))
+      .toDF("__seq", "x")
+    val out = Formula.addToPipe(big, "out",
+      "cumeBefore(x) + lag(x, 0) + row(x)", Some("__seq"), bucketWidth = 100L)
+    val plan = out.queryExecution.executedPlan
+    val offenders = plan.collect {
+      case w: WindowExec
+          if w.orderSpec.exists(_.child.toString.contains("__seq")) &&
+            w.partitionSpec.isEmpty => w
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned seq-ordered windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("lag crosses bucket boundaries with the previous bucket's last " +
+      "value") {
+    val out = Formula.addToPipe(frame, "out", "lag(x, -99)",
+      Some("__seq"), bucketWidth = 3L)
+    val got = col1(out, "out")
+    val xs = frame.orderBy("__seq").select("x").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == (-99.0 +: xs.dropRight(1)))
+  }
+
+  test("ScanOps.prefixSums equals a sequential running sum (ints " +
+      "exact, many buckets)") {
+    val d = (1 to 100).map(i => (i.toDouble, i.toLong))
+      .toDF("ord", "v")
+    val got = ScanOps.prefixSums(d, "ord", Seq("run" -> col("v")),
+        buckets = 8)
+      .orderBy("ord").select("run").collect().map(_.getLong(0)).toSeq
+    val want = (1 to 100).scanLeft(0L)(_ + _).tail
+    assert(got == want)
+  }
+
+  test("ScanOps.prefixSums RANGE semantics: ties see the whole tie " +
+      "group") {
+    val d = Seq((1.0, 1L), (1.0, 2L), (2.0, 4L)).toDF("ord", "v")
+    val got = ScanOps.prefixSums(d, "ord", Seq("run" -> col("v")),
+        buckets = 2)
+      .orderBy("ord", "v").select("run").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 3L, 7L))
+  }
+
+  test("ScanOps.ntile matches SQL ntile for uneven splits") {
+    for (n <- Seq(7, 10, 23); k <- Seq(3, 4, 10)) {
+      val d = (1 to n).map(i => Tuple1(i.toDouble)).toDF("s")
+      val got = ScanOps.ntile(d, Seq(col("s").asc), k, "b")
+        .orderBy("s").select("b").collect().map(_.getLong(0)).toSeq
+      val want = d.select(col("s"),
+          ntile(k).over(Window.orderBy(col("s"))).cast("long").as("b"))
+        .orderBy("s").select("b").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"n=$n k=$k: got=$got want=$want")
+    }
+  }
+
+  test("dateAdd normalizes day overflow like Go AddDate " +
+      "(parser.go:1162)") {
+    val df = Seq((java.sql.Date.valueOf("2023-01-31"), 0L),
+      (java.sql.Date.valueOf("2023-01-15"), 1L),
+      (java.sql.Date.valueOf("2024-02-29"), 2L)).toDF("d", "__seq")
+    val out = Formula.addToPipe(df, "m1", "dateAdd(d, 1)", Some("__seq"))
+    assert(col1(out, "m1").map(_.toString) ==
+      Seq("2023-03-03", "2023-02-15", "2024-03-29"))
+    // 12 months lands exactly one year out for a non-leap day
+    val out2 = Formula.addToPipe(df, "y1", "dateAdd(d, 12)", Some("__seq"))
+    assert(col1(out2, "y1").map(_.toString) ==
+      Seq("2024-01-31", "2024-01-15", "2025-03-01"))
+  }
+}

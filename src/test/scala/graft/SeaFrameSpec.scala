@@ -38,6 +38,18 @@ class SeaFrameSpec extends SparkSuite {
     assert(pipe.row(1).result.select("k").head().getString(0) == "b")
   }
 
+  test("subset renumbers 0..k-1 honoring request order and duplicates " +
+      "(gdata.go:852-895)") {
+    val got = pipe.subset(Seq(4L, 0L, 4L))
+    val byPos = got.df.orderBy(SeaFrame.SEQ)
+      .select(SeaFrame.SEQ, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(byPos == Seq((0L, "e"), (1L, "a"), (2L, "e")))
+    // positional ops see the fresh positions, not the stale ones
+    assert(got.row(1).result.select("k").head().getString(0) == "a")
+    assert(got.limit(2).df.count() == 2)
+  }
+
   test("slice renumbers rows 0..n-1 like the reference " +
       "(gdata.go:306-419)") {
     val sliced = pipe.slice(col("v") > 2.0) // keeps a, d, e
