@@ -120,18 +120,20 @@ object QueriesLLM {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
-  /** IVF-style single-probe ANN: coarse cells from hash-seeded
-    * directions, query scored only against its own cell — the scan
-    * shrinks by the cell count. Rows-only (cell assignment is
-    * hash-seeded).
+  /** IVF ANN with LEARNED centroids (KMeans over normalized vectors)
+    * and multi-probe cell pruning: scan top-4 of 8 cells, exact
+    * rescore inside. Rows-only (cells are solver-derived); recall vs
+    * brute force is asserted by LlmDataSpec.
     */
   private val q60_ann_ivf: Q = (
     (s, dir) => {
       val e = read(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.ivfTopK(e.where(col("vec_id") > 0), "vec_id",
-        "embedding", dim = 64, nCells = 8, q, 10)
+      Similarity.ivfProbe(
+        Similarity.ivfFit(e.where(col("vec_id") > 0), "vec_id",
+          "embedding", nCells = 8, maxIter = 10, assign = 3),
+        "vec_id", "embedding", q, 10, probes = 4)
         .orderBy(col("similarity").desc, col("vec_id"))
     },
     None)

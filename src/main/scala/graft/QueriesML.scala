@@ -106,8 +106,36 @@ object QueriesML {
           lr.setMaxIter(20).setRegParam(0.01)
         case _ =>
       }
-      val model = pipeline.fit(o)
-      model.transform(o)
+      // the frame is read by the indexer fit, the solver fit, and the
+      // final predict — cache it once instead of three parquet scans
+      // (small: orders' 4 used columns; LRU-evicted when memory is
+      // needed, so no explicit unpersist before the lazy result runs)
+      val cached = o.cache()
+      val model = pipeline.fit(cached)
+      model.transform(cached)
+        .select(col("o_orderkey"), col("prediction"))
+        .orderBy(col("o_orderkey"))
+    },
+    None)
+
+  /** E(f, k) trained-embedding spec end-to-end: the o_orderpriority
+    * levels train a 3-dim lookup (Embeddings.fit), which feeds the
+    * logistic head. Solver-dependent -> rows-only.
+    */
+  private val q66_ml_embed: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumn("label",
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+        .withColumn("price_k", col("o_totalprice") / 1000.0)
+        .cache()
+      val layers = ModSpec.parse(Seq(
+        "Input(price_k + E(o_orderpriorityoh, 3))",
+        "FC(size:1, activation:sigmoid)",
+        "Target(label)"))
+      val fitted = ModSpec.fitEmbedded(layers, o,
+        classification = true, embedMaxIter = 15, mainMaxIter = 20)
+      fitted.transform(o)
         .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
     },
@@ -117,5 +145,6 @@ object QueriesML {
     "q37_ks" -> q37_ks,
     "q38_assess" -> q38_assess,
     "q39_decile" -> q39_decile,
-    "q57_ml_predict" -> q57_ml_predict)
+    "q57_ml_predict" -> q57_ml_predict,
+    "q66_ml_embed" -> q66_ml_embed)
 }

@@ -58,11 +58,27 @@ object Encode {
     * collected to the driver — categorical cardinality is assumed small
     * relative to the data (broadcast-dictionary design).
     */
+  /** Cardinality guard for [[fitD]]'s driver-side dictionary collect:
+    * a million-distinct "categorical" is a modeling bug and would OOM
+    * the driver, so fail fast with a clear message.
+    */
+  val MaxLevels: Int = 100000
+
   def fitD(df: DataFrame, col: String,
-      default: Option[String] = None): FeatureMeta = {
+      default: Option[String] = None,
+      maxLevels: Int = MaxLevels): FeatureMeta = {
     val dt = df.schema(col).dataType.typeName
     require(dt != "double" && dt != "float",
       s"appendD: float column '$col' cannot be categorical (gdata.go:171)")
+    // cheap sketch pass before the exact distinct: the dictionary is
+    // collected to the driver, so unbounded cardinality must error,
+    // not OOM (rsd 0.05 -> the check trips well before any real risk)
+    val approx = df.agg(approx_count_distinct(df(col), 0.05))
+      .head().getLong(0)
+    require(approx <= maxLevels * 1.2,
+      s"appendD: column '$col' has ~$approx distinct values " +
+        s"(cap $maxLevels); a level dictionary is broadcast from the " +
+        "driver — bucket or hash the column instead of encoding it")
     val values = df.select(df(col).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     FeatureMeta(col, FeatureRole.Cat,

@@ -104,34 +104,92 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("similarity"))
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of `nCells`
-    * hash-seeded centroid directions (coarse quantization), then
-    * score the query only against its own cell (single-probe) —
-    * the classic inverted-file trade of recall for a cells-fold scan
-    * reduction.
+  /** IVF index: LEARNED coarse centroids (MLlib KMeans over
+    * direction-normalized vectors — Euclidean on the unit sphere
+    * orders like cosine) plus the cell assignment of every corpus
+    * vector. Fit is one distributed KMeans; the index adds one small
+    * int column — no shuffle of the corpus beyond what KMeans itself
+    * does.
     */
-  def ivfTopK(df: DataFrame, id: String, vec: String, dim: Int,
-      nCells: Int, query: Array[Float], k: Int): DataFrame = {
-    val cells = planes(dim, nCells)
-    def cellOfLocal(v: Seq[Float]): Int = {
-      var best = 0; var bestDot = Double.MinValue
-      var c = 0
-      while (c < cells.length) {
-        val plane = cells(c)
-        var dot = 0.0; var i = 0
-        val n = math.min(v.length, plane.length)
-        while (i < n) { dot += v(i) * plane(i); i += 1 }
-        if (dot > bestDot) { bestDot = dot; best = c }
-        c += 1
-      }
-      best
+  case class IvfIndex(centroids: Array[Array[Double]],
+      assigned: DataFrame)
+
+  private def normalizeD(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** `assign` > 1 indexes every corpus vector under its `assign`
+    * nearest cells (multi-assignment): the index grows `assign`-fold
+    * but recall at a fixed probe count rises sharply — the standard
+    * counter to high-dimensional cell-boundary misses.
+    */
+  def ivfFit(df: DataFrame, id: String, vec: String, nCells: Int,
+      maxIter: Int = 20, seed: Long = 42L, assign: Int = 1): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toFeat = udf { (v: Seq[Float]) =>
+      Vectors.dense(normalizeD(v.toArray.map(_.toDouble)))
     }
-    val cellUdf = udf { (v: Seq[Float]) => cellOfLocal(v) }
-    val qCell = cellOfLocal(query.toSeq)
+    val feat = df
+      .select(col(id), col(vec),
+        toFeat(col(vec).cast("array<float>")).as("__feat"))
+      .cache()
+    val model = new KMeans().setK(nCells).setMaxIter(maxIter)
+      .setSeed(seed).setFeaturesCol("__feat")
+      .setPredictionCol("__cell").fit(feat)
+    val centers = model.clusterCenters.map(_.toArray)
+    val assigned =
+      if (assign <= 1) model.transform(feat).drop("__feat")
+      else {
+        val cn = centers.map(normalizeD)
+        val topCells = udf { (v: Seq[Float]) =>
+          val x = normalizeD(v.toArray.map(_.toDouble))
+          cn.zipWithIndex.map { case (c, i) =>
+            var s = 0.0; var j = 0
+            val n = math.min(x.length, c.length)
+            while (j < n) { s += x(j) * c(j); j += 1 }
+            (-s, i)
+          }.sorted.take(assign).map(_._2)
+        }
+        df.select(col(id), col(vec),
+          explode(topCells(col(vec).cast("array<float>"))).as("__cell"))
+      }
+    feat.unpersist(blocking = false)
+    IvfIndex(centers, assigned)
+  }
+
+  /** IVF ANN top-k with multi-probe: rank the LEARNED cells by cosine
+    * to the query (driver-side — O(nCells * dim)), scan only the top
+    * `probes` cells, exact-rescore inside them. Recall grows with
+    * `probes`; probes = nCells degrades gracefully to brute force.
+    */
+  def ivfTopK(df: DataFrame, id: String, vec: String, nCells: Int,
+      query: Array[Float], k: Int, probes: Int = 4,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfFit(df, id, vec, nCells, maxIter, seed),
+      id, vec, query, k, probes)
+
+  /** Probe a prefitted [[IvfIndex]] — the per-query cost at serving
+    * time: centroid ranking on the driver, then a cell-pruned scan.
+    */
+  def ivfProbe(index: IvfIndex, id: String, vec: String,
+      query: Array[Float], k: Int, probes: Int): DataFrame = {
+    val qn = normalizeD(query.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probeCells = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (-dot(qn, normalizeD(c)), i) }
+      .take(math.max(1, probes)).map(_._2.asInstanceOf[Any]).toSeq
     val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
-    df.withColumn("__cell", cellUdf(col(vec).cast("array<float>")))
-      .where(col("__cell") === qCell) // single-probe cell pruning
+    index.assigned
+      .where(col("__cell").isin(probeCells: _*))
       .select(col(id), cosine(col(vec), q).as("similarity"))
+      .distinct() // multi-assigned vectors can hit several probed cells
       .orderBy(col("similarity").desc, col(id).asc)
       .limit(k)
   }

@@ -154,6 +154,53 @@ object ModSpec {
     toPipeline(layers, classification, nClasses, width)
   }
 
+  /** A fitted spec whose `E(f, k)` features carry their trained
+    * embedding models: transform applies the lookups, then the
+    * pipeline.
+    */
+  case class EmbeddedModel(embeddings: Seq[Embeddings.EmbeddingModel],
+      model: PipelineModel) {
+    def transform(df: DataFrame): DataFrame =
+      model.transform(embeddings.foldLeft(df)((d, e) => e(d)))
+  }
+
+  /** Fit a spec whose Input contains `E(f, k)` features with REAL
+    * trained embeddings (reference modspec.go:306-414): each embedded
+    * categorical is trained to a k-dim lookup (Embeddings.fit — the
+    * input->hidden weight block of a minimal NN), its k columns then
+    * enter the main pipeline as continuous features. Classification
+    * targets only (the embedding fit is an MLP).
+    */
+  def fitEmbedded(layers: Seq[Layer], df: DataFrame,
+      classification: Boolean = true, nClasses: Int = 2,
+      embedMaxIter: Int = 40, mainMaxIter: Int = 100): EmbeddedModel = {
+    val input = inputOf(layers)
+    val target = layers.collectFirst { case t: Target => t }.getOrElse(
+      throw new IllegalArgumentException("modspec: no Target layer"))
+    val (toEmbed, rest) = input.features.partition(_.embed > 0)
+    require(toEmbed.nonEmpty,
+      "fitEmbedded: spec has no E(f, k) features; use pipelineFor")
+    val embeddings = toEmbed.map(f =>
+      Embeddings.fit(df, f.name, target.field, f.embed,
+        maxIter = embedMaxIter))
+    val embedded = embeddings.foldLeft(df)((d, e) => e(d))
+    val newFeatures = rest ++ embeddings.flatMap(_.columnNames)
+      .map(n => FeatureRef(n, oneHot = false))
+    val newLayers = layers.map {
+      case _: Input => Input(newFeatures)
+      case l => l
+    }
+    val pipeline = pipelineFor(newLayers, embedded, classification,
+      nClasses)
+    pipeline.getStages.lastOption.foreach {
+      case lr: LogisticRegression => lr.setMaxIter(mainMaxIter)
+      case lr: LinearRegression => lr.setMaxIter(mainMaxIter)
+      case m: MultilayerPerceptronClassifier => m.setMaxIter(mainMaxIter)
+      case _ =>
+    }
+    EmbeddedModel(embeddings, pipeline.fit(embedded))
+  }
+
   /** Fit with a driver-side early-stopping loop over maxIter
     * increments (the analog of Fit.Do's validation-wait early stop,
     * nn.go:598-840): trains with increasing iteration budgets and

@@ -41,6 +41,17 @@ class EncodeSpec extends SparkSuite {
     }
   }
 
+  test("fitD caps dictionary cardinality before collecting to the " +
+      "driver") {
+    val wide = (1 to 200).map(i => s"v$i").toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Encode.fitD(wide, "x", maxLevels = 50)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // under the cap fits fine
+    assert(Encode.fitD(wide, "x", maxLevels = 500).levels.size == 200)
+  }
+
   test("appendC z-score fit + exact inverse (gdata.go:80-153, 518-552)") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val (enc, meta) = Encode.appendC(df, "x", "xz", normalize = true)

@@ -86,6 +86,32 @@ class LlmDataSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("IVF with learned centroids + multi-probe: recall@10 >= 0.9 " +
+      "vs brute force at probes=4 of 8 cells") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val corpus = e.where(col("vec_id") > 0).cache()
+    val queries = e.where(col("vec_id") <= 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val index = Similarity.ivfFit(corpus, "vec_id", "embedding",
+      nCells = 8, maxIter = 20, assign = 3)
+    assert(index.centroids.length == 8)
+    val recalls = queries.map { case (qid, q) =>
+      val exact = Similarity.bruteForceTopK(
+          corpus.where(col("vec_id") =!= qid), "vec_id", "embedding",
+          q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfProbe(index, "vec_id", "embedding",
+          q, 10, probes = 4)
+        .where(col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    corpus.unpersist(blocking = false)
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall@10 = $mean (${recalls.toSeq})")
+  }
+
   test("language ID votes stopwords (en vs es)") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang")).collect()

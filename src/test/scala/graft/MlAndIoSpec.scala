@@ -82,6 +82,43 @@ class MlAndIoSpec extends SparkSuite {
     assert(acc > 0.6, s"accuracy $acc")
   }
 
+  test("E(f, k) trains a real k-dim embedding lookup, not one-hot " +
+      "(modspec.go:306-414)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      // level decides the target with noise: the trained embedding must
+      // separate "hi" from "lo"/"mid" along some dimension
+      val lvl = Seq("hi", "mid", "lo")(i % 3)
+      val base = lvl match { case "hi" => 0.9; case "mid" => 0.5; case _ => 0.1 }
+      val y = if (rnd.nextDouble() < base) 1.0 else 0.0
+      (lvl, i / 400.0, y)
+    }.toDF("seg", "x1", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + E(segoh, 3))", "FC(size:1, activation:sigmoid)",
+      "Target(y)"))
+    val fitted = ModSpec.fitEmbedded(layers, df, classification = true)
+    // the lookup table is 3 levels x 3 dims of trained floats
+    val emb = fitted.embeddings.head
+    assert(emb.dim == 3 && emb.table.keySet == Set("hi", "mid", "lo"))
+    assert(emb.table.values.forall(_.length == 3))
+    // trained, not one-hot: dense values, and the predictive levels
+    // land apart in embedding space
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum)
+    assert(dist(emb.table("hi"), emb.table("lo")) > 1e-3)
+    assert(emb.table.values.flatten.count(v => v != 0.0 && v != 1.0) > 3)
+    // end-to-end transform carries the embedding columns + prediction
+    val pred = fitted.transform(df)
+    assert(pred.columns.contains("seg__e0") &&
+      pred.columns.contains("prediction"))
+    val acc = pred.select(avg(when(col("prediction") === col("y"), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.6, s"accuracy $acc")
+    // unseen level falls back to the default vector, not a crash
+    val unseen = Seq(("zz", 0.5, 0.0)).toDF("seg", "x1", "y")
+    assert(fitted.transform(unseen).count() == 1)
+  }
+
   test("toPipeline without inputWidth rejects a multi-FC " +
       "classification spec with a clear error") {
     val layers = ModSpec.parse(Seq(
