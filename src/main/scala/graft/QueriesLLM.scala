@@ -235,7 +235,20 @@ object QueriesLLM {
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split_regex(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                             'g'), ' +', ' ', 'g')), ' '),
+                         t -> list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                             list_transform(string_split_regex(t, ''),
+                               c -> CAST(ascii(c) AS BIGINT))),
+                           (a, b) -> (a * 131 + b) % 1000000007))),
+                     (a, b) -> (a * 31627 + b) % 1000000007) AS rhash
+            FROM documents ORDER BY doc_id"""))
 
   /** PII/URL scrubbing with RE2-compatible patterns (same regexes run
     * in the DuckDB oracle).

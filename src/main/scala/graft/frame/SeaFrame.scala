@@ -185,11 +185,12 @@ final case class SeaFrame(
     * stream partition by partition, never fully materialized on the
     * driver.
     */
-  def readRows(): Iterator[org.apache.spark.sql.Row] = {
-    import scala.jdk.CollectionConverters._
-    val ordered = seqCol.map(s => df.orderBy(col(s))).getOrElse(df)
-    ordered.drop(SEQ).toLocalIterator().asScala
-  }
+  def readRows(): Iterator[org.apache.spark.sql.Row] = reader().iterator
+
+  /** A positioned reader with the reference's full surface: Read,
+    * Seek, Reset, CountLines (gdata.go:653-722).
+    */
+  def reader(): RowReader = new RowReader(this)
 
   // ---- encoding shortcuts -------------------------------------------
 
@@ -213,6 +214,64 @@ final case class SeaFrame(
   private def requireSeq(op: String): String = seqCol.getOrElse(
     throw new IllegalStateException(
       s"$op requires an explicit row order; call withSequence()/sort() first"))
+}
+
+/** Positioned row reader over a SeaFrame's explicit order — the
+  * reference's GData reader surface (gdata.go:653-722): `read(n)`
+  * advances, `seek(line)` positions (backward seeks re-open the
+  * lazy iterator — one re-run of the query, no driver
+  * materialization), `reset()` rewinds, `countLines()` is one count
+  * job. Rows stream partition by partition via toLocalIterator.
+  */
+final class RowReader(frame: SeaFrame) {
+  import org.apache.spark.sql.Row
+  import scala.jdk.CollectionConverters._
+
+  private def ordered =
+    frame.seqCol.map(s => frame.df.orderBy(frame.df(s)))
+      .getOrElse(frame.df).drop(SeaFrame.SEQ)
+
+  private var it: Iterator[Row] = fresh()
+  private var posV: Long = 0L
+
+  private def fresh(): Iterator[Row] = ordered.toLocalIterator().asScala
+
+  /** Current 0-based line position. */
+  def pos: Long = posV
+
+  def hasNext: Boolean = it.hasNext
+
+  def next(): Row = { posV += 1; it.next() }
+
+  /** Read up to n rows from the current position. */
+  def read(n: Int): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    while (out.length < n && it.hasNext) out += next()
+    out.toSeq
+  }
+
+  /** Position at 0-based `line`; errors past end like the reference's
+    * io.EOF (gdata.go:700-707).
+    */
+  def seek(line: Long): Unit = {
+    require(line >= 0, s"seek($line)")
+    if (line < posV) reset()
+    while (posV < line && it.hasNext) next()
+    if (posV < line)
+      throw new java.util.NoSuchElementException(
+        s"seek($line): past end at $posV")
+  }
+
+  /** Rewind to line 0 (re-opens the iterator). */
+  def reset(): Unit = { it = fresh(); posV = 0L }
+
+  /** Total row count (one distributed count job). */
+  def countLines(): Long = frame.df.count()
+
+  def iterator: Iterator[Row] = new Iterator[Row] {
+    def hasNext: Boolean = RowReader.this.hasNext
+    def next(): Row = RowReader.this.next()
+  }
 }
 
 object SeaFrame {

@@ -93,6 +93,18 @@ object Dedup {
     f(sh)
   }
 
+  /** The per-band bucket hash over `rows` consecutive minhash values —
+    * shared by the batch banding UDF and the streaming ingest path so
+    * both land identical (band, bucket) keys.
+    */
+  def bandHash(mins: scala.collection.Seq[Long], band: Int,
+      rows: Int): Long = {
+    var h = 1125899906842597L
+    var r = 0
+    while (r < rows) { h = h * 31 + mins(band * rows + r); r += 1 }
+    h
+  }
+
   /** Band-bucket hashes for LSH banding, computed in the SAME pass as
     * the minhashes: one UDF emits the b per-band bucket hashes
     * directly. Keeping banding inside the UDF matters: a separate
@@ -116,12 +128,7 @@ object Dedup {
           i += 1
         }
       }
-      Array.tabulate(bands) { b =>
-        var h = 1125899906842597L
-        var r = 0
-        while (r < rows) { h = h * 31 + mins(b * rows + r); r += 1 }
-        h
-      }.toSeq
+      Array.tabulate(bands)(b => bandHash(mins, b, rows)).toSeq
     }
     f(sh)
   }
@@ -253,16 +260,36 @@ object Dedup {
     graft.QH.spread(df)
       .select(col(id).as("doc"), simhashUdf(col(text)).as("fp"))
 
-  /** SimHash near-dup candidates: docs whose fingerprints share a
-    * 16-bit chunk (4-chunk split guarantees recall for Hamming
-    * distance <= 3), verified by exact Hamming distance.
+  /** SimHash near-dup candidates: docs whose fingerprints share one
+    * chunk of the 64-bit fingerprint, verified by exact Hamming
+    * distance.
+    *
+    * Recall guarantee (pigeonhole): two fingerprints differing in at
+    * most h bits touch at most h chunks, so with `chunks >= h + 1`
+    * some chunk matches and the pair is ALWAYS a candidate. The chunk
+    * count therefore defaults to `maxHamming + 1` (clamped to
+    * [4, 16]). The trade is bucket selectivity: more chunks means
+    * narrower keys (64/chunks bits) and bigger buckets — at 100 TB
+    * keep maxHamming small (<= 6, the usual near-dup band) or the
+    * candidate join degenerates toward all-pairs. Requesting
+    * `maxHamming > 15` keeps 16 chunks: candidate generation then
+    * loses the guarantee and is explicitly best-effort.
     */
   def simhashDedup(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
+    val c =
+      if (chunks > 0) chunks
+      else math.min(16, math.max(4, maxHamming + 1))
+    // chunk i covers bits [i*64/c, (i+1)*64/c) — widths differ by at
+    // most 1, all 64 bits covered, no chunk ever empty
+    val bounds = (0 to c).map(i => i * 64 / c)
     val fp = simhashDf(df, id, text)
     val chunked = fp.select(col("doc"), col("fp"), posexplode(array(
-      (0 until 4).map(i =>
-        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      (0 until c).map { i =>
+        val lo = bounds(i); val w = bounds(i + 1) - lo
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        shiftright(col("fp"), lo).bitwiseAND(mask)
+      }: _*)))
       .toDF("doc", "fp", "chunk", "key")
     val a = chunked.as("a"); val b = chunked.as("b")
     val hamming = {

@@ -136,18 +136,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
   /** Rolling polynomial hash (Rabin-Karp style) of the normalized
-    * token stream: h = sum token_hash_i * B^(n-1-i) mod M, expressed
-    * with aggregate() — an order-sensitive fingerprint where md5 of
-    * the whole string is order-sensitive but not incrementally
-    * computable.
+    * token stream: token hash = char polynomial (base 131), document
+    * hash = token polynomial (base 31627), both mod 1e9+7 — an
+    * order-sensitive fingerprint where md5 of the whole string is
+    * order-sensitive but not incrementally computable. Pure integer
+    * arithmetic over code points, so any engine reproduces it exactly
+    * (the q51 oracle runs the same fold in DuckDB).
     */
   def rollingHash(text: Column): Column = {
-    // modulus chosen so acc * B + h stays well under 2^63 (ANSI mode
-    // makes long overflow an error, not a wrap)
-    val B = 31627L
+    // bases/modulus chosen so acc * B + h stays well under 2^63 (ANSI
+    // mode makes long overflow an error, not a wrap)
+    val Bc = 131L
+    val Bt = 31627L
     val M = 1000000007L
     val tokens = split(Dedup.normalize(text), " ")
+    val tokHash = (t: Column) =>
+      aggregate(split(t, ""), lit(0L),
+        (a, c) => pmod(a * Bc + ascii(c), lit(M)))
     aggregate(tokens, lit(0L),
-      (acc, t) => pmod(acc * B + pmod(xxhash64(t), lit(M)), lit(M)))
+      (acc, t) => pmod(acc * Bt + tokHash(t), lit(M)))
   }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.llmdata.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Dedup-at-ingest: incremental MinHash-LSH over a document stream
+  * (a Spark-native extension — the reference's dedup family is batch
+  * only). Each arriving document computes its k minhashes once, fans
+  * out to its `bands` (band, bucket) keys, and
+  * flatMapGroupsWithState keeps the bucket's previously-seen
+  * signatures as operator state: a near-duplicate arriving in a LATER
+  * micro-batch still collides with the original's bucket entry.
+  *
+  * Scale shape: state is per (band, bucket) — the natural LSH shard
+  * key — holding at most `maxPerBucket` (id, signature) entries, so
+  * hot buckets are bounded (overflow documents still DETECT against
+  * the retained set, they just stop enrolling). The emitted
+  * `est_jaccard` is the matching-minhash fraction — the standard
+  * unbiased Jaccard estimate — so downstream can exact-verify only
+  * flagged pairs.
+  *
+  * The same code runs over a bounded batch (one pass, state within
+  * the pass) and a stream (state carried across micro-batches).
+  */
+object StreamingDedup {
+
+  case class DocSig(doc_id: Long, mins: Seq[Long])
+  case class KeyedSig(band: Int, bucket: Long, doc_id: Long,
+      mins: Seq[Long])
+  case class DupHit(doc_a: Long, doc_b: Long, est_jaccard: Double,
+      band: Int)
+
+  /** Flag near-duplicate pairs (estimated Jaccard >= threshold) as
+    * they arrive. `docs` may be a batch or a streaming DataFrame with
+    * columns (`id`: long, `text`: string).
+    */
+  def dedupStream(docs: DataFrame, id: String, text: String,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.7, maxPerBucket: Int = 1000)
+      : Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    val k = bands * rows
+    val sigs = docs.select(col(id).cast("long").as("doc_id"),
+        Dedup.minhashes(Dedup.shingles(col(text), shingleN), k)
+          .as("mins"))
+      .as[DocSig]
+    val keyed = sigs.flatMap { d =>
+      (0 until bands).map(b =>
+        KeyedSig(b, Dedup.bandHash(d.mins, b, rows), d.doc_id, d.mins))
+    }
+    keyed.groupByKey(s => (s.band, s.bucket))
+      .flatMapGroupsWithState[List[DocSig], DupHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), incoming: Iterator[KeyedSig],
+         state: GroupState[List[DocSig]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[DupHit]()
+          incoming.foreach { s =>
+            seen.foreach { p =>
+              if (p.doc_id != s.doc_id) {
+                var eq = 0; var i = 0
+                val n = math.min(p.mins.length, s.mins.length)
+                while (i < n) {
+                  if (p.mins(i) == s.mins(i)) eq += 1
+                  i += 1
+                }
+                val est = eq.toDouble / n
+                if (est >= threshold)
+                  out += DupHit(math.min(p.doc_id, s.doc_id),
+                    math.max(p.doc_id, s.doc_id), est, key._1)
+              }
+            }
+            if (seen.length < maxPerBucket &&
+                !seen.exists(_.doc_id == s.doc_id))
+              seen = DocSig(s.doc_id, s.mins) :: seen
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Distinct flagged pairs (a pair can collide in several bands). */
+  def distinctPairs(hits: Dataset[DupHit]): DataFrame =
+    hits.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+}

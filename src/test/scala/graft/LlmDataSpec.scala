@@ -46,6 +46,30 @@ class LlmDataSpec extends SparkSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("simhash banding recall: chunks = maxHamming+1 misses ZERO " +
+      "pairs vs brute-force Hamming (pigeonhole guarantee)") {
+    // real corpus slice: every <=h pair found by the banded join must
+    // equal the O(n^2) exact-Hamming ground truth
+    val docs500 = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (h <- Seq(3, 12)) {
+      val banded = Dedup.simhashDedup(docs500, "doc_id", "text",
+          maxHamming = h)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fps = Dedup.simhashDf(docs500, "doc_id", "text")
+      val a = fps.select(col("doc").as("da"), col("fp").as("fa"))
+      val b = fps.select(col("doc").as("db"), col("fp").as("fb"))
+      val exact = a.join(b, col("da") < col("db"))
+        .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= h)
+        .select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exact,
+        s"h=$h missed ${(exact -- banded).size} of ${exact.size} pairs")
+    }
+  }
+
   test("jaccard on shingle sets: identical=1, disjoint=0") {
     val pairs = Dedup.jaccardAllPairs(docs, "doc_id", "text",
       shingleN = 2, threshold = 0.0).collect()

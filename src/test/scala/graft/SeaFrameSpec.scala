@@ -129,6 +129,21 @@ class SeaFrameSpec extends SparkSuite {
     assert(either.df.count() == 2) // b, d
   }
 
+  test("reader read/seek/reset/countLines (GData reader, " +
+      "gdata.go:653-722)") {
+    val r = pipe.reader()
+    assert(r.countLines() == 5)
+    assert(r.read(2).map(_.getString(0)) == Seq("a", "b"))
+    assert(r.pos == 2)
+    r.seek(4) // forward skip
+    assert(r.next().getString(0) == "e")
+    r.seek(1) // backward -> re-open + skip
+    assert(r.read(2).map(_.getString(0)) == Seq("b", "c"))
+    r.reset()
+    assert(r.pos == 0 && r.next().getString(0) == "a")
+    intercept[java.util.NoSuchElementException] { r.seek(99) }
+  }
+
   test("subset without an order errors (SURVEY 7.4 risk 1)") {
     val unordered = SeaFrame(Seq(("a", 1.0)).toDF("k", "v"))
     intercept[IllegalStateException] { unordered.subset(Seq(0L)) }

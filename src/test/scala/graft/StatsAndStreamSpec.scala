@@ -140,6 +140,43 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("dedup-at-ingest: a near-dup arriving in a LATER micro-batch " +
+      "is flagged against bucket state (MinHash-LSH + " +
+      "flatMapGroupsWithState)") {
+    import graft.streaming.StreamingDedup
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    // batch 1: original + unrelated; batch 2 (separate file, forced
+    // separate trigger): the near-duplicate
+    Seq((1L, base),
+      (2L, "completely unrelated content about query engines and " +
+        "distributed systems running on large clusters"))
+      .toDF("doc_id", "text").coalesce(1).write
+      .parquet(s"$tmp/b1.parquet")
+    Seq((3L, base + " extra")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$tmp/b2.parquet")
+    val schema = spark.read.parquet(s"$tmp/b1.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/*")
+    val q = StreamingDedup.dedupStream(src, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 4, threshold = 0.5)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // multiple triggers actually happened (state had to carry over)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    val pairs = spark.sql(
+      "SELECT DISTINCT doc_a, doc_b FROM t_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"cross-batch near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc flagged: $pairs")
+  }
+
   test("streaming session windows produce sessions per user") {
     val dir = TestSpark.sfDir
     val q = Streams.runStreaming(spark, s"$dir/events.parquet",
