@@ -132,7 +132,7 @@ object QueriesLLM {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       Similarity.ivfProbe(
         Similarity.ivfFit(e.where(col("vec_id") > 0), "vec_id",
-          "embedding", nCells = 8, maxIter = 10, assign = 3),
+          "embedding", nCells = 8, maxIter = 6, assign = 3),
         "vec_id", "embedding", q, 10, probes = 4)
         .orderBy(col("similarity").desc, col("vec_id"))
     },

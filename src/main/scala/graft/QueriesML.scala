@@ -134,7 +134,7 @@ object QueriesML {
         "FC(size:1, activation:sigmoid)",
         "Target(label)"))
       val fitted = ModSpec.fitEmbedded(layers, o,
-        classification = true, embedMaxIter = 15, mainMaxIter = 20)
+        classification = true, embedMaxIter = 8, mainMaxIter = 15)
       fitted.transform(o)
         .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))

@@ -29,9 +29,11 @@ object ScanOps {
       out: String = BucketCol): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // loose sketch precision: cut points only balance bucket sizes,
+    // they never affect correctness
     val cuts =
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(ord, probs, 0.001).distinct.sorted
+      else df.stat.approxQuantile(ord, probs, 0.01).distinct.sorted
     val bucket = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (cut, i)) => acc.when(col(ord) <= cut, i)
     }.otherwise(cuts.length)
@@ -49,7 +51,7 @@ object ScanOps {
     * input columns plus one running-sum column per entry.
     */
   def prefixSums(df: DataFrame, ord: String,
-      sums: Seq[(String, Column)], buckets: Int = 64): DataFrame = {
+      sums: Seq[(String, Column)], buckets: Int = 32): DataFrame = {
     val bucketed = withRangeBucket(df, ord, buckets)
     val pw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
     val totalsDf = bucketed.groupBy(col(BucketCol))
@@ -94,12 +96,9 @@ object ScanOps {
   def ntile(df: DataFrame, orderBy: Seq[Column], k: Int,
       out: String = "ntile"): DataFrame = {
     val seqName = "__ntile_seq"
-    val zipped = org.apache.spark.sql.GraftBridge
-      .zipWithSequence(df.orderBy(orderBy: _*), seqName)
-    val n = zipped.agg(max(col(seqName))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1L
-    }
+    // total row count falls out of the zip's count pass — no extra job
+    val (zipped, n) = org.apache.spark.sql.GraftBridge
+      .zipWithSequenceCounted(df.orderBy(orderBy: _*), seqName)
     zipped.withColumn(out, ntileFromRank(col(seqName) + 1, n, k))
       .drop(seqName)
   }

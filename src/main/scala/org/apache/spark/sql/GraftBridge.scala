@@ -22,7 +22,15 @@ object GraftBridge {
     * zipWithIndex, the upstream plan executes twice (count + emit);
     * cache upstream if that matters.
     */
-  def zipWithSequence(df: Dataset[Row], seqName: String): DataFrame = {
+  def zipWithSequence(df: Dataset[Row], seqName: String): DataFrame =
+    zipWithSequenceCounted(df, seqName)._1
+
+  /** zipWithSequence plus the total row count — already known from the
+    * count pass, so callers needing n (e.g. exact ntile) don't pay a
+    * third execution of the plan.
+    */
+  def zipWithSequenceCounted(df: Dataset[Row], seqName: String)
+      : (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val classicDf = df.asInstanceOf[classic.Dataset[Row]]
@@ -48,6 +56,7 @@ object GraftBridge {
         joined(r, idx): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    session.internalCreateDataFrame(zipped, outSchema)
+    (session.internalCreateDataFrame(zipped, outSchema),
+      offsets.last)
   }
 }
