@@ -410,7 +410,7 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     val base = df.select(cf.as("__cf"), rate.as("__rate"),
       col(seqName).as("__s"))
     val indexed = org.apache.spark.sql.GraftBridge
-      .zipWithSequence(base.orderBy(col("__s")), "__t")
+      .sortedZipWithSequence(base, Seq(col("__s").asc), "__t")._1
     val v = indexed
       .agg(sum(col("__cf") /
         pow(lit(1.0) + col("__rate"), col("__t").cast("double"))))

@@ -289,10 +289,9 @@ object SeaFrame {
     * the sequence stays globally correct with no single-partition
     * bottleneck.
     */
-  def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame = {
-    val sorted = df.orderBy(orderBy: _*)
+  def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame =
     SeaFrame(
-      org.apache.spark.sql.GraftBridge.zipWithSequence(sorted, SEQ),
+      org.apache.spark.sql.GraftBridge
+        .sortedZipWithSequence(df, orderBy, SEQ)._1,
       FeatureSchema.empty, Some(SEQ))
-  }
 }

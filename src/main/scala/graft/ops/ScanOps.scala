@@ -98,7 +98,7 @@ object ScanOps {
     val seqName = "__ntile_seq"
     // total row count falls out of the zip's count pass — no extra job
     val (zipped, n) = org.apache.spark.sql.GraftBridge
-      .zipWithSequenceCounted(df.orderBy(orderBy: _*), seqName)
+      .sortedZipWithSequence(df, orderBy, seqName)
     zipped.withColumn(out, ntileFromRank(col(seqName) + 1, n, k))
       .drop(seqName)
   }

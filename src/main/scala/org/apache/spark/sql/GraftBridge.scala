@@ -59,4 +59,129 @@ object GraftBridge {
     (session.internalCreateDataFrame(zipped, outSchema),
       offsets.last)
   }
+
+  /** Sort `df` globally by `sortCols` and append a contiguous 0..n-1
+    * sequence — with the per-partition SORT RUNNING ONCE.
+    *
+    * The naive two-pass zip (`df.orderBy(...)` + count + emit)
+    * re-runs the reduce-side sort in the emit job (Spark reuses the
+    * shuffle files, not the sort above them). Here the shared plan is
+    * only `repartitionByRange` (shuffle, no sort): the count pass
+    * consumes the unsorted shuffle output, and the emit pass sorts
+    * each partition itself with Spark's spilling Tungsten sorter
+    * (UnsafeExternalRowSorter — the same machinery SortExec uses)
+    * before attaching the offsets. Both passes share one RDD, so the
+    * sampled range boundaries are consistent and the shuffle is
+    * computed once.
+    *
+    * Sort keys that are plain existing columns are bound by position;
+    * computed keys are materialized as trailing columns for the
+    * shuffle and dropped from the result.
+    */
+  def sortedZipWithSequence(df: Dataset[Row], sortCols: Seq[Column],
+      seqName: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder, UnresolvedAttribute => NodeAttr}
+    if (sortCols.isEmpty) return zipWithSequenceCounted(df, seqName)
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    val session = classicDf.sparkSession
+
+    // (unwrapped key column, ascending?) — Spark 4 Columns are
+    // ColumnNode trees, so sort direction unwraps at the node level
+    val keyInfo: Seq[(Column, Boolean)] = sortCols.map { c =>
+      c.node match {
+        case so: NodeSortOrder =>
+          (Column(so.child),
+            so.sortDirection == NodeSortOrder.Ascending)
+        case _ => (c, true)
+      }
+    }
+    // reuse existing columns by ordinal; materialize computed keys
+    val dataCols = df.columns
+    val resolved: Seq[(Either[Int, (String, Column)], Boolean)] =
+      keyInfo.zipWithIndex.map { case ((c, asc), i) =>
+        val ord = c.node match {
+          case a: NodeAttr
+              if a.nameParts.length == 1 &&
+                dataCols.count(_ == a.nameParts.head) == 1 =>
+            Some(dataCols.indexOf(a.nameParts.head))
+          case _ => None
+        }
+        (ord.map(Left(_)).getOrElse(Right((s"__zk$i", c))), asc)
+      }
+    val appended = resolved.collect { case (Right((n, c)), _) => (n, c) }
+    val withKeys = appended.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val rangeCols = resolved.map {
+      case (Left(i), asc) =>
+        if (asc) col(dataCols(i)).asc else col(dataCols(i)).desc
+      case (Right((n, _)), asc) => if (asc) col(n).asc else col(n).desc
+    }
+    val ranged = withKeys.repartitionByRange(rangeCols: _*)
+      .asInstanceOf[classic.Dataset[Row]]
+    val internal = ranged.queryExecution.toRdd
+
+    // pass 1: row counts over the UNSORTED shuffle output (the shuffle
+    // materializes here and is reused by the emit job)
+    val counts = internal
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+
+    val fullSchema = ranged.schema
+    val nData = dataCols.length
+    val sortOrders = resolved.map {
+      case (Left(i), asc) =>
+        SortOrder(BoundReference(i, fullSchema(i).dataType,
+          fullSchema(i).nullable), if (asc) Ascending else Descending)
+      case (Right((n, _)), asc) =>
+        val i = fullSchema.fieldIndex(n)
+        SortOrder(BoundReference(i, fullSchema(i).dataType,
+          fullSchema(i).nullable), if (asc) Ascending else Descending)
+    }
+    val ordering = new LazilyGeneratedOrdering(sortOrders)
+    val rowSchema = StructType(fullSchema.fields)
+    val outSchema = StructType(fullSchema.fields :+
+      StructField(seqName, LongType, nullable = false))
+
+    val zipped = internal.mapPartitionsWithIndex { (pid, it) =>
+      // constant prefix: every comparison falls through to the full
+      // generated ordering (correct for any key mix; radix disabled)
+      val sorter = UnsafeExternalRowSorter.create(
+        rowSchema, ordering, PrefixComparators.LONG,
+        new UnsafeExternalRowSorter.PrefixComputer {
+          private val res =
+            new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            res.value = 0L; res.isNull = false; res
+          }
+        },
+        org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+        false)
+      val sortedIt = sorter.sort(
+        it.asInstanceOf[Iterator[UnsafeRow]])
+      val joined = new JoinedRow
+      val idx = new GenericInternalRow(1)
+      var i = offsets(pid)
+      sortedIt.map { r =>
+        idx.update(0, i)
+        i += 1
+        joined(r, idx): InternalRow
+      }
+    }
+    val out = session.internalCreateDataFrame(zipped, outSchema)
+    (appended.map(_._1).foldLeft(out: DataFrame)((d, n) => d.drop(n)),
+      offsets.last)
+  }
 }
