@@ -85,7 +85,6 @@ object GraftBridge {
     import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
     import org.apache.spark.sql.execution.UnsafeExternalRowSorter
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder, UnresolvedAttribute => NodeAttr}
@@ -154,21 +153,39 @@ object GraftBridge {
     val outSchema = StructType(fullSchema.fields :+
       StructField(seqName, LongType, nullable = false))
 
+    // first-key prefix comparison + radix eligibility, exactly as
+    // SortExec sets up its own sorter (comparator + projection are
+    // built executor-side — they don't serialize)
+    val headOrder = sortOrders.head
+    val canRadix = sortOrders.length == 1 &&
+      org.apache.spark.sql.execution.SortPrefixUtils
+        .canSortFullyWithPrefix(headOrder) &&
+      session.sessionState.conf.enableRadixSort
+
     val zipped = internal.mapPartitionsWithIndex { (pid, it) =>
-      // constant prefix: every comparison falls through to the full
-      // generated ordering (correct for any key mix; radix disabled)
+      val prefixComparator =
+        org.apache.spark.sql.execution.SortPrefixUtils
+          .getPrefixComparator(headOrder)
+      val prefixProjection =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(Seq(
+            org.apache.spark.sql.catalyst.expressions
+              .SortPrefix(headOrder)))
       val sorter = UnsafeExternalRowSorter.create(
-        rowSchema, ordering, PrefixComparators.LONG,
+        rowSchema, ordering, prefixComparator,
         new UnsafeExternalRowSorter.PrefixComputer {
           private val res =
             new UnsafeExternalRowSorter.PrefixComputer.Prefix
           override def computePrefix(row: InternalRow)
               : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
-            res.value = 0L; res.isNull = false; res
+            val p = prefixProjection.apply(row)
+            res.isNull = p.isNullAt(0)
+            res.value = if (res.isNull) 0L else p.getLong(0)
+            res
           }
         },
         org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
-        false)
+        canRadix)
       val sortedIt = sorter.sort(
         it.asInstanceOf[Iterator[UnsafeRow]])
       val joined = new JoinedRow
