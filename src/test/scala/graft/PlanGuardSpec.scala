@@ -45,6 +45,18 @@ class PlanGuardSpec extends SparkSuite {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
+  test("positional subset joins its position list broadcast (q04)") {
+    val p = planOf(q("q04_subset_rows"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("formula aux offsets join broadcast; data-side window is " +
+      "bucket-partitioned (q65)") {
+    val p = planOf(q("q65_lag_default"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("native cosine expression appears in the plan (no UDF wrapper)") {
     val e = QH.read(spark, TestSpark.sfDir, "embeddings")
     val df = e.select(graft.llmdata.Similarity.cosine(
