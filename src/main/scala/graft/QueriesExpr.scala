@@ -141,10 +141,53 @@ object QueriesExpr {
                    round(ln(c_acctbal + 20000), 6) AS log_shift
             FROM customer ORDER BY c_custkey"""))
 
+  /** index(x, idx): distributed positional gather — an equi-join of
+    * the index column against the sequence (data.go:641-660), oracled
+    * by the same join over row_number positions.
+    */
+  private val q67_gather_index: Q = (
+    (s, dir) => {
+      val f = frame.SeaFrame.withSequence(
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey").asc))
+      val withIdx = f.copy(df =
+        f.df.withColumn("gidx", col("o_orderkey") % 50))
+      ops.Gather.index(withIdx, "o_totalprice", "gidx")
+        .select(col("o_orderkey"),
+          col("o_totalprice_at_gidx").as("gathered"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH f AS (SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+                 FROM orders)
+            SELECT a.o_orderkey, b.o_totalprice AS gathered
+            FROM f a JOIN f b ON (a.o_orderkey % 50) = b.pos
+            ORDER BY a.o_orderkey"""))
+
+  /** one2Many: broadcast a scalar 1-row pipe to n rows
+    * (parser.go:1661-1691) — cross join against spark.range.
+    */
+  private val q68_one2many: Q = (
+    (s, dir) => {
+      val scalar = frame.SeaFrame(
+        read(s, dir, "orders").agg(davg(col("o_totalprice"))
+          .as("avg_price")))
+      ops.Gather.one2Many(scalar, 5).df
+        .select(col(frame.SeaFrame.SEQ).as("pos"), col("avg_price"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""SELECT CAST(g.pos AS BIGINT) AS pos, a.avg_price
+             FROM (SELECT unnest(generate_series(0, 4)) AS pos) g
+             CROSS JOIN (SELECT ${sqlDavg("o_totalprice")} AS avg_price
+                         FROM orders) a
+             ORDER BY pos"""))
+
   val all: Map[String, Q] = Map(
     "q32_expr_arith" -> q32_expr_arith,
     "q33_expr_if_logic" -> q33_expr_if_logic,
     "q34_expr_dates" -> q34_expr_dates,
     "q35_expr_strings" -> q35_expr_strings,
-    "q36_expr_maxmin" -> q36_expr_maxmin)
+    "q36_expr_maxmin" -> q36_expr_maxmin,
+    "q67_gather_index" -> q67_gather_index,
+    "q68_one2many" -> q68_one2many)
 }
