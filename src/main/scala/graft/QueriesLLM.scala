@@ -297,11 +297,15 @@ object QueriesLLM {
     * hash-derived).
     */
   private val q52_multimodal: Q = (
-    (s, dir) => Multimodal.pipeline(spread(read(s, dir, "documents")), "text")
+    (s, dir) => Multimodal.decodeBatched(
+        Multimodal.pipeline(spread(read(s, dir, "documents")), "text")
+          .withColumnRenamed("features", "expr_features"))
       .select(col("doc_id"), col("payload_bytes"),
         col("media_meta.format").as("format"),
         col("media_meta.width").as("width"),
-        element_at(col("features"), 1).as("f0"),
+        element_at(col("expr_features"), 1).as("f0"),
+        element_at(col("features"), 1).as("decoded_f0"),
+        col("resized_width"),
         size(col("frame_plan")).as("n_sampled_frames"))
       .orderBy(col("doc_id")),
     None)

@@ -60,6 +60,79 @@ object Multimodal {
   def sampleFrames(nFrames: Column, stride: Int, maxFrames: Int): Column =
     slice(sequence(lit(0), nFrames - 1, lit(stride)), 1, maxFrames)
 
+  /** Stub codec standing in for a real image/audio library handle:
+    * expensive to construct (a real libjpeg/ffmpeg context), so the
+    * batched decode constructs it ONCE PER PARTITION and reuses it
+    * across batches — the contract [[decodeBatched]] enforces.
+    * Deterministic: features are a byte-polynomial so tests and the
+    * rows-only query are stable.
+    */
+  final class StubCodec {
+    StubCodec.inits.incrementAndGet()
+    /** "Decode" one payload to a dim-float feature vector. */
+    def decode(bytes: Array[Byte], dim: Int): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % dim
+        out(d) = (out(d) * 31.0 + (bytes(i) & 0xff)) % 1000.0
+        i += 1
+      }
+      out.map(_ / 1000.0)
+    }
+  }
+  object StubCodec {
+    /** Codec constructions in this JVM — specs assert reuse (at most
+      * one per partition, never one per row or per batch).
+      */
+    val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Batched per-partition decode — the Scala analog of a pandas
+    * mapInPandas decode stage, and the shape a REAL codec drops into:
+    *
+    *   - one codec init per PARTITION (not per row — library contexts
+    *     are expensive);
+    *   - rows processed in batches of `batchSize` (the vectorized
+    *     decode unit; a real impl hands each batch to the codec in one
+    *     call);
+    *   - resize expressed as target dims clamped to the source dims,
+    *     emitted alongside the features.
+    *
+    * Input needs `payload` (binary) and `media_meta` (from
+    * [[withMediaMeta]]). Output adds features, resized dims, and the
+    * batch index within the partition (observable batch shape).
+    */
+  def decodeBatched(df: DataFrame, featureDim: Int = 8,
+      batchSize: Int = 64, resizeTo: (Int, Int) = (224, 224))
+      : DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("media_meta")
+    val outSchema = inSchema
+      .add("features", ArrayType(DoubleType, containsNull = false))
+      .add("resized_width", IntegerType)
+      .add("resized_height", IntegerType)
+      .add("decode_batch", IntegerType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (tw, th) = resizeTo
+    df.mapPartitions { it =>
+      val codec = new StubCodec // once per partition
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val meta = r.getAs[org.apache.spark.sql.Row](metaIdx)
+          val feats = codec.decode(bytes, featureDim)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
+            feats.toSeq,
+            math.min(tw, meta.getAs[Int]("width")),
+            math.min(th, meta.getAs[Int]("height")),
+            bi))
+        }
+      }
+    }(enc)
+  }
+
   /** The full stub pipeline over a text-derived payload (the harness
     * has no binary fixtures, so payload = utf8 bytes of a text column;
     * byte-level semantics are identical).

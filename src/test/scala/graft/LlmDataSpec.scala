@@ -201,6 +201,38 @@ class LlmDataSpec extends SparkSuite {
     assert(got(1L) == 0.0)
   }
 
+  test("batched per-partition decode: one codec per partition, " +
+      "observable batch shape, resize clamped to source dims") {
+    val base = Multimodal.pipeline(docs, "text").repartition(2)
+    Multimodal.StubCodec.inits.set(0)
+    val out = Multimodal.decodeBatched(base, featureDim = 4,
+      batchSize = 2, resizeTo = (224, 224)).cache()
+    val rows = out.collect()
+    assert(rows.length == 5)
+    // one codec init per non-empty partition, NOT per row/batch
+    val inits = Multimodal.StubCodec.inits.get()
+    assert(inits >= 1 && inits <= 2, s"codec inits = $inits")
+    // batch shape: batchSize=2 over a partition of >=3 rows must use
+    // more than one batch index
+    val batches = out.select("decode_batch").collect()
+      .map(_.getInt(0)).toSet
+    assert(batches.contains(0))
+    // features deterministic per payload and of the requested dim
+    rows.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 4 && f.forall(v => v >= 0.0 && v <= 1.0))
+      assert(r.getAs[Int]("resized_width") <=
+        r.getAs[org.apache.spark.sql.Row](r.fieldIndex("media_meta"))
+          .getAs[Int]("width"))
+      assert(r.getAs[Int]("resized_width") <= 224)
+    }
+    // identical payloads decode identically (doc 0 and 1 share text)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getSeq[Double](r.fieldIndex("features"))).toMap
+    assert(byId(0L) == byId(1L))
+    out.unpersist(blocking = false)
+  }
+
   test("multimodal stub pipeline: payload bytes, metadata, features, " +
       "frame plan all materialize") {
     val out = Multimodal.pipeline(docs, "text")
