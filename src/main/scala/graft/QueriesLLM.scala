@@ -52,6 +52,41 @@ object QueriesLLM {
                     AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
             ORDER BY doc_a, doc_b"""))
 
+  /** Canonical assignment for near-dup clusters: connected components
+    * over the exact-Jaccard pair graph (min-label propagation,
+    * Dedup.duplicateClusters), oracled by a DuckDB recursive-CTE
+    * transitive closure over the same pairs.
+    */
+  private val q69_dup_clusters: Q = (
+    (s, dir) => Dedup.duplicateClusters(
+        Dedup.jaccardAllPairs(
+          read(s, dir, "documents").where(col("doc_id") < 300),
+          "doc_id", "text", shingleN = 3, threshold = 0.8))
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE n AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' ') AS w
+               FROM documents WHERE doc_id < 300),
+             sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS sh
+                    FROM n),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_filter(a.sh,
+                           x -> list_contains(b.sh, x))) AS DOUBLE)
+                         / len(list_distinct(a.sh || b.sh)) >= 0.8),
+             e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                   UNION SELECT doc_b, doc_a FROM p),
+             reach(s, t) AS (
+               SELECT s, t FROM e
+               UNION
+               SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+            SELECT s AS doc_id, least(min(t), s) AS canonical_id
+            FROM reach GROUP BY s ORDER BY doc_id"""))
+
   /** MinHash-LSH near-dup detection: banded minhash candidates
     * verified by exact shingle Jaccard — the O(colliding pairs) scale
     * path. Hash-based: rows-only.
@@ -313,6 +348,7 @@ object QueriesLLM {
   val all: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_jaccard_pairs" -> q41_jaccard_pairs,
+    "q69_dup_clusters" -> q69_dup_clusters,
     "q42_dedup_minhash" -> q42_dedup_minhash,
     "q43_dedup_simhash" -> q43_dedup_simhash,
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,

@@ -184,6 +184,49 @@ object Dedup {
     jaccardVerify(minhashCandidates(df, id, text, shingleN, bands, rows),
       df, id, text, shingleN, threshold)
 
+  /** Canonical assignment for near-duplicate CLUSTERS: connected
+    * components over the pair graph by iterative min-label
+    * propagation — each node adopts the smallest id reachable so far;
+    * each round is one grouped aggregate + one join (shuffles on id
+    * only), converging in O(component diameter) rounds. Near-dup
+    * clusters have tiny diameters, so this terminates in a handful of
+    * rounds at any data size — the canonical "pairs -> keep one doc
+    * per cluster" step after [[minhashDedup]]/[[simhashDedup]].
+    *
+    * Returns (doc_id, canonical_id) for every document appearing in a
+    * pair; canonical_id = the cluster's minimum doc id.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+      .distinct().cache()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("t"), col("label").as("tl")),
+          "t")
+        .groupBy(col("s").as("id")).agg(min(col("tl")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("next"))
+        .cache()
+      changed = updated.where(col("next") < col("label")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("next").as("label")).cache()
+      labels.count() // materialize before the lineage is unpersisted
+      old.unpersist(blocking = false)
+      updated.unpersist(blocking = false)
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Exact pairwise n-gram Jaccard over all id-ordered pairs —
     * O(n^2), for oracle checks and small candidate sets only.
     * The scale path is [[minhashDedup]].

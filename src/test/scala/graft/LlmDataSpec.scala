@@ -70,6 +70,16 @@ class LlmDataSpec extends SparkSuite {
     }
   }
 
+  test("duplicateClusters: min-label propagation finds connected " +
+      "components (chain + pair + untouched singleton)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("jaccard on shingle sets: identical=1, disjoint=0") {
     val pairs = Dedup.jaccardAllPairs(docs, "doc_id", "text",
       shingleN = 2, threshold = 0.0).collect()
