@@ -1,7 +1,7 @@
 package graft
 
 import graft.QH._
-import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmdata.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -345,7 +345,53 @@ object QueriesLLM {
       .orderBy(col("doc_id")),
     None)
 
+  /** Deterministic stratified sampling by portable id hash: per-class
+    * keep fractions, bit-identical in any engine (Sampling.bucket is
+    * plain integer arithmetic).
+    */
+  private val q70_hash_sample: Q = (
+    (s, dir) => Sampling.stratifiedSample(read(s, dir, "orders"),
+        "o_orderkey", col("o_orderpriority"),
+        Map("1-URGENT" -> 0.5, "3-MEDIUM" -> 0.1), seed = 42L)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_orderpriority
+            FROM orders
+            WHERE ((o_orderkey * 2654435761 + 42) % 1000000007)
+                    % 1000000
+                  < CASE o_orderpriority
+                      WHEN '1-URGENT' THEN 500000
+                      WHEN '3-MEDIUM' THEN 100000
+                      ELSE -1 END
+            ORDER BY o_orderkey"""))
+
+  /** Deterministic train/valid/test assignment (0.8/0.1/0.1) with
+    * per-split counts — the reproducible-split contract of a training
+    * pipeline.
+    */
+  private val q71_split_assign: Q = (
+    (s, dir) => Sampling.assignSplit(spread(read(s, dir, "documents")),
+        "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+        seed = 7L)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        QH.davg(length(col("text"))).as("avg_len"))
+      .orderBy(col("split")),
+    Some(s"""SELECT CASE
+                      WHEN b < 800000 THEN 'train'
+                      WHEN b < 900000 THEN 'valid'
+                      ELSE 'test' END AS split,
+                    count(*) AS n,
+                    ${QH.sqlDavg("length(text)")} AS avg_len
+             FROM (SELECT text,
+                     ((doc_id * 2654435761 + 7) % 1000000007) % 1000000
+                       AS b
+                   FROM documents)
+             GROUP BY 1 ORDER BY split"""))
+
   val all: Map[String, Q] = Map(
+    "q70_hash_sample" -> q70_hash_sample,
+    "q71_split_assign" -> q71_split_assign,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_jaccard_pairs" -> q41_jaccard_pairs,
     "q69_dup_clusters" -> q69_dup_clusters,

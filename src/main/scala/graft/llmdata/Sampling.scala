@@ -1,0 +1,80 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and splitting for training-data pipelines.
+  *
+  * Everything keys off a PORTABLE integer hash of the row id —
+  * `(id * 2654435761 + seed) mod 1e9+7` (Knuth multiplicative step;
+  * products stay far under 2^63, so ANSI engines never overflow) —
+  * NOT an RNG: membership is a pure function of (id, seed), so
+  * samples are stable across runs, engines, partitionings, and
+  * re-executions, and any engine (the DuckDB oracle included)
+  * reproduces them bit-for-bit. That determinism is what makes a
+  * 100 TB pipeline auditable: "which split was this row in" is
+  * answerable forever.
+  *
+  * All operators are one codegen'd projection/filter — no shuffle, no
+  * state, fully pushdown-friendly.
+  */
+object Sampling {
+
+  private val Mult = 2654435761L
+  private val Mod = 1000000007L
+  private val Buckets = 1000000L
+
+  /** The sampling bucket in [0, 1e6) for an integer id column. */
+  def bucket(id: Column, seed: Long): Column =
+    pmod(id.cast("long") * Mult + seed, lit(Mod)) % Buckets
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, id: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    df.where(bucket(col(id), seed) < (fraction * Buckets).toLong)
+  }
+
+  /** Stratified variant: a fraction PER STRATUM value (unlisted strata
+    * are dropped) — class rebalancing / source re-weighting in one
+    * filter.
+    */
+  def stratifiedSample(df: DataFrame, id: String, stratum: Column,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val cut = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(stratum === k, (f * Buckets).toLong).otherwise(acc)
+    }
+    df.where(bucket(col(id), seed) < cut)
+  }
+
+  /** Assign every row to a named split with the given weights (e.g.
+    * train/valid/test 0.8/0.1/0.1): one deterministic column, rows
+    * never lost or duplicated.
+    */
+  def assignSplit(df: DataFrame, id: String,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      out: String = "split"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = bucket(col(id), seed)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c * Buckets).toLong)
+    val expr = splits.zip(cuts).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), cut)) => acc.when(b < cut, name)
+    }.otherwise(splits.last._1) // rounding tail joins the last split
+    df.withColumn(out, expr)
+  }
+
+  /** Mix sources at target sampling rates into one frame, tagging each
+    * row's origin — the dataset-mixture step of a training pipeline.
+    * Each (source, fraction) pair is hash-sampled independently (with
+    * per-source seed offsets so identical ids in different sources
+    * make independent choices), then unioned by name.
+    */
+  def mixByRatio(sources: Seq[(String, DataFrame, Double)], id: String,
+      seed: Long = 42L, tag: String = "source"): DataFrame =
+    sources.zipWithIndex.map { case ((name, df, f), i) =>
+      hashSample(df, id, f, seed + i * 7919L)
+        .withColumn(tag, lit(name))
+    }.reduce(_ unionByName _)
+}

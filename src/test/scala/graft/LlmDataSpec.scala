@@ -146,6 +146,44 @@ class LlmDataSpec extends SparkSuite {
     assert(mean >= 0.9, s"mean recall@10 = $mean (${recalls.toSeq})")
   }
 
+  test("hash sampling is deterministic, fraction-accurate, and " +
+      "split-complete") {
+    import graft.llmdata.Sampling
+    val df = (1L to 10000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "cls")
+    // deterministic: identical runs, identical membership
+    val s1 = Sampling.hashSample(df, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df, "id", 0.3).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 10000.0 - 0.3) < 0.02, s"${s1.size}")
+    // different seed -> different sample
+    val s3 = Sampling.hashSample(df, "id", 0.3, seed = 99).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s3)
+    // stratified: unlisted strata dropped, listed ones ~fraction
+    val strat = Sampling.stratifiedSample(df, "id", col("cls"),
+      Map("a" -> 0.5)).collect()
+    assert(strat.forall(_.getString(1) == "a"))
+    assert(math.abs(strat.length / 5000.0 - 0.5) < 0.04)
+    // split: every row labeled exactly once, weights respected
+    val split = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(split.count() == 10000)
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "valid", "test"))
+    assert(math.abs(byS("train") / 10000.0 - 0.8) < 0.02, byS.toString)
+    // mix: tagged union at per-source rates
+    val mixed = Sampling.mixByRatio(Seq(
+      ("web", df, 0.2), ("books", df, 0.6)), "id")
+    val tags = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keySet == Set("web", "books"))
+    assert(tags("books") > tags("web"))
+  }
+
   test("language ID votes stopwords (en vs es)") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang")).collect()
