@@ -106,12 +106,14 @@ object QueriesML {
           lr.setMaxIter(20).setRegParam(0.01)
         case _ =>
       }
-      // the frame is read by the indexer fit, the solver fit, and the
-      // final predict — cache it once instead of three parquet scans
-      // (small: orders' 4 used columns; LRU-evicted when memory is
-      // needed, so no explicit unpersist before the lazy result runs)
+      // sampled fit, full predict: the solver trains on a DETERMINISTIC
+      // 20% hash-sample (Sampling.hashSample — stable across runs and
+      // engines), then scores every row. Cache spans the indexer fit,
+      // the solver fit, and the predict pass.
       val cached = o.cache()
-      val model = pipeline.fit(cached)
+      val trainSet = graft.llmdata.Sampling
+        .hashSample(cached, "o_orderkey", 0.2)
+      val model = pipeline.fit(trainSet)
       model.transform(cached)
         .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
@@ -133,7 +135,11 @@ object QueriesML {
         "Input(price_k + E(o_orderpriorityoh, 3))",
         "FC(size:1, activation:sigmoid)",
         "Target(label)"))
-      val fitted = ModSpec.fitEmbedded(layers, o,
+      // sampled fit (deterministic hash-sample), full predict — same
+      // contract as q57
+      val trainSet = graft.llmdata.Sampling
+        .hashSample(o, "o_orderkey", 0.2)
+      val fitted = ModSpec.fitEmbedded(layers, trainSet,
         classification = true, embedMaxIter = 8, mainMaxIter = 15)
       fitted.transform(o)
         .select(col("o_orderkey"), col("prediction"))
