@@ -389,9 +389,37 @@ object QueriesLLM {
                    FROM documents)
              GROUP BY 1 ORDER BY split"""))
 
+  /** Context-window packing: contiguous token-budget pack assignment
+    * over doc order via exact bucketed prefix sums, plus per-pack fill
+    * stats — oracled by the same window arithmetic in DuckDB.
+    */
+  private val q72_seq_packing: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val packed = llmdata.Packing.packBySequence(d, "doc_id",
+        TextAnalysis.tokenCountWs(col("text")), capacity = 2000)
+      llmdata.Packing.packStats(packed, capacity = 2000)
+        .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+          round(col("fill_ratio"), 6).as("fill_ratio"))
+        .orderBy(col("pack_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+'))
+                   AS BIGINT) AS n_tokens
+               FROM documents),
+             p AS (SELECT doc_id, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id)
+                             - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+               FROM t)
+            SELECT pack_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+                   round(sum(n_tokens) / 2000.0, 6) AS fill_ratio
+            FROM p GROUP BY pack_id ORDER BY pack_id"""))
+
   val all: Map[String, Q] = Map(
     "q70_hash_sample" -> q70_hash_sample,
     "q71_split_assign" -> q71_split_assign,
+    "q72_seq_packing" -> q72_seq_packing,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_jaccard_pairs" -> q41_jaccard_pairs,
     "q69_dup_clusters" -> q69_dup_clusters,

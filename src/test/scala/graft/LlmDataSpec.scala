@@ -184,6 +184,35 @@ class LlmDataSpec extends SparkSuite {
     assert(tags("books") > tags("web"))
   }
 
+  test("sequence packing: packs start on the capacity grid, overflow " +
+      "bounded by one doc, nothing lost") {
+    import graft.llmdata.Packing
+    val df = (1L to 100L).map(i => (i, s"doc $i", 10 + (i % 7) * 5))
+      .toDF("id", "text", "tok")
+    val packed = Packing.packBySequence(df, "id", col("tok"),
+      capacity = 100).cache()
+    assert(packed.count() == 100) // nothing lost or duplicated
+    val rows = packed.select("id", "n_tokens", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // pack ids are nondecreasing in doc order and start at 0
+    assert(rows.head._3 == 0L)
+    assert(rows.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // every pack's token total stays under capacity + one doc
+    val maxTok = rows.map(_._2).max
+    val perPack = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    perPack.foreach { case (p, tot) =>
+      assert(tot < 100 + maxTok, s"pack $p total $tot")
+    }
+    // matches a local sequential prefix computation exactly
+    var cum = 0L
+    rows.foreach { case (_, tok, pack) =>
+      assert(pack == cum / 100, s"cum=$cum tok=$tok pack=$pack")
+      cum += tok
+    }
+    packed.unpersist(blocking = false)
+  }
+
   test("language ID votes stopwords (en vs es)") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang")).collect()
