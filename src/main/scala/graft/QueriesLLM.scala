@@ -416,10 +416,47 @@ object QueriesLLM {
                    round(sum(n_tokens) / 2000.0, 6) AS fill_ratio
             FROM p GROUP BY pack_id ORDER BY pack_id"""))
 
+  /** Train-vs-eval decontamination (exact verification form on a
+    * bounded range): cross-corpus shingle Jaccard above threshold —
+    * the report-a-benchmark hygiene check. The LSH-banded scale path
+    * (Dedup.crossContamination) is spec-verified against this.
+    */
+  private val q73_decontaminate: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+          d.where(col("doc_id") < 150),
+          d.where(col("doc_id") >= 150 && col("doc_id") < 300),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select(col("train_id"), col("eval_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' ') AS w
+               FROM documents WHERE doc_id < 300),
+             sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS sh
+                    FROM n)
+            SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                   round(CAST(len(list_filter(a.sh,
+                       x -> list_contains(b.sh, x))) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < 150 AND b.doc_id >= 150
+            WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                    AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
+            ORDER BY train_id, eval_id"""))
+
   val all: Map[String, Q] = Map(
     "q70_hash_sample" -> q70_hash_sample,
     "q71_split_assign" -> q71_split_assign,
     "q72_seq_packing" -> q72_seq_packing,
+    "q73_decontaminate" -> q73_decontaminate,
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_jaccard_pairs" -> q41_jaccard_pairs,
     "q69_dup_clusters" -> q69_dup_clusters,

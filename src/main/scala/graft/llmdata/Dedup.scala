@@ -246,6 +246,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Decontamination: near-duplicate pairs BETWEEN two corpora (the
+    * train-vs-eval overlap check every training pipeline needs before
+    * reporting benchmarks). Same banded-minhash shape as
+    * [[minhashDedup]], but candidates come from joining the TRAIN
+    * side's (band, bucket) keys against the EVAL side's — shuffle
+    * volume is O(band tuples), candidates are O(cross collisions),
+    * never |train| x |eval|. Verified by exact shingle Jaccard.
+    */
+  def crossContamination(train: DataFrame, eval: DataFrame, id: String,
+      text: String, shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    def banded(df: DataFrame) = df
+      .select(col(id).as("__id"), shingles(col(text), shingleN).as("__sh"))
+      .repartition(par)
+      .select(col("__id"), col("__sh"),
+        posexplode(minhashBandHashes(col("__sh"), bands, rows)))
+      .toDF("__id", "__sh", "band", "bucket")
+    val t = banded(train).select(col("__id").as("train_id"),
+      col("__sh").as("sh_t"), col("band"), col("bucket"))
+    val e = banded(eval).select(col("__id").as("eval_id"),
+      col("__sh").as("sh_e"), col("band"), col("bucket"))
+    t.join(e, Seq("band", "bucket"))
+      .select(col("train_id"), col("eval_id"), col("sh_t"), col("sh_e"))
+      .dropDuplicates("train_id", "eval_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_e"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
+  /** Exact cross-corpus Jaccard over ALL train x eval pairs — O(n*m),
+    * the oracle/verification form; [[crossContamination]] is the scale
+    * path.
+    */
+  def crossJaccardPairs(train: DataFrame, eval: DataFrame, id: String,
+      text: String, shingleN: Int, threshold: Double): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val t = train.select(col(id).as("train_id"),
+      shingles(col(text), shingleN).as("sh_t")).repartition(par)
+    val e = eval.select(col(id).as("eval_id"),
+      shingles(col(text), shingleN).as("sh_e"))
+    t.crossJoin(e)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
+          size(array_union(col("sh_t"), col("sh_e"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of the normalized token stream: per bit, sign of
     * the sum over tokens of +/-1 by that token-hash bit. Built from
     * xxhash64 + bit ops only — no UDF, fully codegen'd.

@@ -46,6 +46,32 @@ class LlmDataSpec extends SparkSuite {
     assert(hammingNear < hammingFar)
   }
 
+  test("cross-corpus decontamination: planted train/eval overlap is " +
+      "flagged, banded candidates agree with the exact form") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val train = Seq(
+      (1L, base),
+      (2L, "totally different training material about query engines " +
+        "and distributed systems running at large scale"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, base + " indeed"), // contamination: near-dup of train doc 1
+      (101L, "benchmark questions about arithmetic and geography " +
+        "that no training document mentions at all"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.crossContamination(train, eval_, "doc_id",
+        "text", shingleN = 3, bands = 8, rows = 4, threshold = 0.5)
+      .select("train_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((1L, 100L)), s"got $banded")
+    val exact = Dedup.crossJaccardPairs(train, eval_, "doc_id",
+        "text", shingleN = 3, threshold = 0.5)
+      .select("train_id", "eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact) && exact == Set((1L, 100L)))
+  }
+
   test("simhash banding recall: chunks = maxHamming+1 misses ZERO " +
       "pairs vs brute-force Hamming (pigeonhole guarantee)") {
     // real corpus slice: every <=h pair found by the banded join must
