@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaccardSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    e.injectFunction(GraftExtensions.jaccardSimilarityDescriptor)
   }
 }
 
@@ -27,11 +28,12 @@ object GraftExtensions {
   /** Register the functions into an already-built session (the
     * extensions path only applies at session build time).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSimilarityDescriptor, jaccardSimilarityDescriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
+      }
 
   private[graft] val cosineSimilarityDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -42,5 +44,16 @@ object GraftExtensions {
         require(children.length == 2,
           "cosine_similarity expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      })
+
+  private[graft] val jaccardSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("jaccard_similarity"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName,
+        "jaccard_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "jaccard_similarity expects exactly 2 arguments")
+        JaccardSimilarity(children.head, children(1))
       })
 }

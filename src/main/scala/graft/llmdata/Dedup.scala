@@ -168,9 +168,8 @@ object Dedup {
     candidates
       .join(sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
       .join(sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", graft.functions.JaccardSimilarity(
+        col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -239,9 +238,8 @@ object Dedup {
     val a = sh.select(col("__id").as("doc_a"), col("__sh").as("sh_a"))
     val b = sh.select(col("__id").as("doc_b"), col("__sh").as("sh_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", graft.functions.JaccardSimilarity(
+        col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -271,9 +269,8 @@ object Dedup {
     t.join(e, Seq("band", "bucket"))
       .select(col("train_id"), col("eval_id"), col("sh_t"), col("sh_e"))
       .dropDuplicates("train_id", "eval_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
-          size(array_union(col("sh_t"), col("sh_e"))))
+      .withColumn("jaccard", graft.functions.JaccardSimilarity(
+        col("sh_t"), col("sh_e")))
       .where(col("jaccard") >= threshold)
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }
@@ -290,9 +287,8 @@ object Dedup {
     val e = eval.select(col(id).as("eval_id"),
       shingles(col(text), shingleN).as("sh_e"))
     t.crossJoin(e)
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
-          size(array_union(col("sh_t"), col("sh_e"))))
+      .withColumn("jaccard", graft.functions.JaccardSimilarity(
+        col("sh_t"), col("sh_e")))
       .where(col("jaccard") >= threshold)
       .select(col("train_id"), col("eval_id"), col("jaccard"))
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, JaccardSimilarity}
 import org.apache.spark.sql.functions._
 
 /** The native codegen'd CosineSimilarity expression: value parity
@@ -48,5 +48,44 @@ class NativeExprSpec extends SparkSuite {
       Literal.create(Array(2.0f, 1.0f), ArrayType(FloatType)))
     val v = e.eval(null).asInstanceOf[Double]
     assert(math.abs(v - 4.0 / 5.0) < 1e-12)
+  }
+
+  test("native jaccard matches the HOF set formula incl duplicates, " +
+      "empty sets, and codegen/eval parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),
+      (2L, Seq("a b", "a b", "b c"), Seq("b c")), // duplicates collapse
+      (3L, Seq.empty[String], Seq.empty[String]), // NaN via 0/0
+      (4L, Seq("x"), Seq.empty[String]))
+      .toDF("id", "sa", "sb")
+    // the HOF form raises ANSI divide-by-zero on two empty sets, so
+    // compare it only where defined; the native expression is total
+    // (NaN for empty/empty, matching non-ANSI double division)
+    val both = df.where(col("id") =!= 3).select(col("id"),
+      JaccardSimilarity(col("sa"), col("sb")).as("native"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(both.length == 3)
+    both.foreach { case (id, n, h) =>
+      assert(n == h, s"id=$id native=$n hof=$h")
+    }
+    val empty = df.where(col("id") === 3)
+      .select(JaccardSimilarity(col("sa"), col("sb")))
+      .head().getDouble(0)
+    assert(empty.isNaN)
+    // interpreted eval path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = JaccardSimilarity(
+      Literal.create(Seq("a", "b", "c"), ArrayType(StringType)),
+      Literal.create(Seq("b", "c", "d"), ArrayType(StringType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 0.5) < 1e-12)
+    // plan shows the native expression, not a UDF
+    val plan = df.select(JaccardSimilarity(col("sa"), col("sb")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("jaccard_similarity"), plan)
   }
 }
