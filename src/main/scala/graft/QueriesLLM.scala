@@ -429,7 +429,7 @@ object QueriesLLM {
           d.where(col("doc_id") >= 150 && col("doc_id") < 300),
           "doc_id", "text", shingleN = 3, threshold = 0.5)
         .select(col("train_id"), col("eval_id"),
-          round(col("jaccard"), 6).as("jaccard"))
+          round(col("score"), 6).as("jaccard"))
         .orderBy(col("train_id"), col("eval_id"))
     },
     Some("""WITH n AS (SELECT doc_id,

@@ -254,7 +254,8 @@ object Dedup {
     */
   def crossContamination(train: DataFrame, eval: DataFrame, id: String,
       text: String, shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      measure: String = "jaccard"): DataFrame = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     def banded(df: DataFrame) = df
       .select(col(id).as("__id"), shingles(col(text), shingleN).as("__sh"))
@@ -269,10 +270,24 @@ object Dedup {
     t.join(e, Seq("band", "bucket"))
       .select(col("train_id"), col("eval_id"), col("sh_t"), col("sh_e"))
       .dropDuplicates("train_id", "eval_id")
-      .withColumn("jaccard", graft.functions.JaccardSimilarity(
-        col("sh_t"), col("sh_e")))
-      .where(col("jaccard") >= threshold)
-      .select(col("train_id"), col("eval_id"), col("jaccard"))
+      .withColumn("score", crossMeasure(measure))
+      .where(col("score") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("score"))
+  }
+
+  /** "jaccard" = symmetric set overlap; "containment" = the fraction
+    * of the EVAL document's shingles present in the train document —
+    * the standard decontamination measure (a short eval question
+    * embedded in a long train doc has low Jaccard but containment ~1).
+    */
+  private def crossMeasure(measure: String): Column = measure match {
+    case "jaccard" =>
+      graft.functions.JaccardSimilarity(col("sh_t"), col("sh_e"))
+    case "containment" =>
+      size(array_intersect(col("sh_t"), col("sh_e"))).cast("double") /
+        size(array_distinct(col("sh_e")))
+    case other => throw new IllegalArgumentException(
+      s"measure '$other' (expected jaccard | containment)")
   }
 
   /** Exact cross-corpus Jaccard over ALL train x eval pairs — O(n*m),
@@ -280,17 +295,17 @@ object Dedup {
     * path.
     */
   def crossJaccardPairs(train: DataFrame, eval: DataFrame, id: String,
-      text: String, shingleN: Int, threshold: Double): DataFrame = {
+      text: String, shingleN: Int, threshold: Double,
+      measure: String = "jaccard"): DataFrame = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     val t = train.select(col(id).as("train_id"),
       shingles(col(text), shingleN).as("sh_t")).repartition(par)
     val e = eval.select(col(id).as("eval_id"),
       shingles(col(text), shingleN).as("sh_e"))
     t.crossJoin(e)
-      .withColumn("jaccard", graft.functions.JaccardSimilarity(
-        col("sh_t"), col("sh_e")))
-      .where(col("jaccard") >= threshold)
-      .select(col("train_id"), col("eval_id"), col("jaccard"))
+      .withColumn("score", crossMeasure(measure))
+      .where(col("score") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("score"))
   }
 
   /** 64-bit SimHash of the normalized token stream: per bit, sign of

@@ -70,6 +70,22 @@ class LlmDataSpec extends SparkSuite {
       .select("train_id", "eval_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded.subsetOf(exact) && exact == Set((1L, 100L)))
+    // containment: a SHORT eval question embedded in a LONG train doc
+    // has low Jaccard but containment ~1 — the standard
+    // decontamination measure
+    val longTrain = Seq((5L, base + " plus a lot of additional " +
+      "surrounding context sentences talking about other topics " +
+      "entirely and padding the document to a much greater length"))
+      .toDF("doc_id", "text")
+    val shortEval = Seq((200L, "quick brown fox jumps over the lazy"))
+      .toDF("doc_id", "text")
+    val byJaccard = Dedup.crossJaccardPairs(longTrain, shortEval,
+      "doc_id", "text", shingleN = 3, threshold = 0.8).count()
+    val byContainment = Dedup.crossJaccardPairs(longTrain, shortEval,
+      "doc_id", "text", shingleN = 3, threshold = 0.8,
+      measure = "containment").count()
+    assert(byJaccard == 0 && byContainment == 1,
+      s"jaccard=$byJaccard containment=$byContainment")
   }
 
   test("simhash banding recall: chunks = maxHamming+1 misses ZERO " +

@@ -102,6 +102,42 @@ class PartitionSafeSpec extends SparkSuite {
     }
   }
 
+  test("property: order functions match a local sequential evaluator " +
+      "on random frames at random bucket widths") {
+    val rnd = new scala.util.Random(2024)
+    def localEval(op: String, xs: Seq[Double], m: Double): Seq[Double] =
+      op match {
+        case "lag" => m +: xs.dropRight(1)
+        case "row" => xs.indices.map(_.toDouble)
+        case "countBefore" => xs.indices.map(i => (i + 1).toDouble)
+        case "countAfter" => xs.indices.map(i => (xs.length - i).toDouble)
+        case "cumeBefore" => xs.scanLeft(0.0)(_ + _).tail
+        case "cumeAfter" => xs.scanRight(0.0)(_ + _).dropRight(1)
+        case "prodBefore" => xs.scanLeft(1.0)(_ * _).tail
+        case "prodAfter" => xs.scanRight(1.0)(_ * _).dropRight(1)
+      }
+    val ops = Seq("lag", "row", "countBefore", "countAfter",
+      "cumeBefore", "cumeAfter", "prodBefore", "prodAfter")
+    (0 until 6).foreach { trial =>
+      val n = 5 + rnd.nextInt(30)
+      val xs = Seq.fill(n)((1 + rnd.nextInt(4)).toDouble)
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("__seq", "x")
+      val width = Seq(2L, 3L, 7L, 1000L)(trial % 4)
+      val m = -(1 + rnd.nextInt(9)).toDouble
+      ops.foreach { op =>
+        val f = if (op == "lag") s"lag(x, $m)" else s"$op(x)"
+        val got = col1(Formula.addToPipe(df, "out", f, Some("__seq"),
+          bucketWidth = width), "out").map(_.asInstanceOf[Double])
+        val want = localEval(op, xs, m)
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+            s"trial=$trial width=$width $f: got=$got want=$want")
+        }
+      }
+    }
+  }
+
   test("dateAdd normalizes day overflow like Go AddDate " +
       "(parser.go:1162)") {
     val df = Seq((java.sql.Date.valueOf("2023-01-31"), 0L),
