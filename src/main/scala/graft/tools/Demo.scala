@@ -28,6 +28,29 @@ object Demo {
     try { spark.sql("SELECT cosine_similarity(1)").collect(); () }
     catch { case e: Exception =>
       println("[demo] arity error: " + e.getMessage.take(100)) }
+
+    // ---- training-data pipeline surface --------------------------------
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    println("[demo] SQL jaccard: " + spark.sql(
+      """SELECT jaccard_similarity(array('a b','b c'), array('b c','c d'))
+         AS j""").head().getDouble(0))
+    // dedup pairs -> canonical clusters
+    val pairs = graft.llmdata.Dedup.minhashDedup(docs, "doc_id", "text",
+      threshold = 0.7)
+    val clusters = graft.llmdata.Dedup.duplicateClusters(pairs)
+    println(s"[demo] near-dup pairs=${pairs.count()} " +
+      s"clustered docs=${clusters.count()}")
+    // reproducible split + packing
+    val split = graft.llmdata.Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    println("[demo] splits: " + split.groupBy("split").count()
+      .orderBy(col("split")).collect().mkString(", "))
+    val packed = graft.llmdata.Packing.packBySequence(docs, "doc_id",
+      graft.llmdata.TextAnalysis.tokenCountWs(col("text")), 2000)
+    println(s"[demo] packs: " + graft.llmdata.Packing
+      .packStats(packed, 2000).count())
     spark.stop()
   }
 }
