@@ -35,11 +35,20 @@ object StreamingDedup {
   /** Flag near-duplicate pairs (estimated Jaccard >= threshold) as
     * they arrive. `docs` may be a batch or a streaming DataFrame with
     * columns (`id`: long, `text`: string).
+    *
+    * `stateTtlMs` > 0 drops a bucket's retained signatures after that
+    * long without new arrivals (processing-time timeout) — the state
+    * hygiene an unbounded ingest needs: dedup-against-recent rather
+    * than dedup-against-forever, with memory bounded by active
+    * buckets x maxPerBucket instead of growing with history. Meant
+    * for continuously-triggered queries; under Trigger.AvailableNow
+    * the query waits for pending timers before finishing, so leave
+    * the TTL off for drain-the-directory runs.
     */
   def dedupStream(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
-      threshold: Double = 0.7, maxPerBucket: Int = 1000)
-      : Dataset[DupHit] = {
+      threshold: Double = 0.7, maxPerBucket: Int = 1000,
+      stateTtlMs: Long = 0L): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     val k = bands * rows
     val sigs = docs.select(col(id).cast("long").as("doc_id"),
@@ -50,34 +59,45 @@ object StreamingDedup {
       (0 until bands).map(b =>
         KeyedSig(b, Dedup.bandHash(d.mins, b, rows), d.doc_id, d.mins))
     }
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed.groupByKey(s => (s.band, s.bucket))
       .flatMapGroupsWithState[List[DocSig], DupHit](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeout) {
         (key: (Int, Long), incoming: Iterator[KeyedSig],
          state: GroupState[List[DocSig]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[DupHit]()
-          incoming.foreach { s =>
-            seen.foreach { p =>
-              if (p.doc_id != s.doc_id) {
-                var eq = 0; var i = 0
-                val n = math.min(p.mins.length, s.mins.length)
-                while (i < n) {
-                  if (p.mins(i) == s.mins(i)) eq += 1
-                  i += 1
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL: drop its signatures
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[DupHit]()
+            incoming.foreach { s =>
+              seen.foreach { p =>
+                if (p.doc_id != s.doc_id) {
+                  var eq = 0; var i = 0
+                  val n = math.min(p.mins.length, s.mins.length)
+                  while (i < n) {
+                    if (p.mins(i) == s.mins(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / n
+                  if (est >= threshold)
+                    out += DupHit(math.min(p.doc_id, s.doc_id),
+                      math.max(p.doc_id, s.doc_id), est, key._1)
                 }
-                val est = eq.toDouble / n
-                if (est >= threshold)
-                  out += DupHit(math.min(p.doc_id, s.doc_id),
-                    math.max(p.doc_id, s.doc_id), est, key._1)
               }
+              if (seen.length < maxPerBucket &&
+                  !seen.exists(_.doc_id == s.doc_id))
+                seen = DocSig(s.doc_id, s.mins) :: seen
             }
-            if (seen.length < maxPerBucket &&
-                !seen.exists(_.doc_id == s.doc_id))
-              seen = DocSig(s.doc_id, s.mins) :: seen
+            state.update(seen)
+            if (stateTtlMs > 0)
+              state.setTimeoutDuration(stateTtlMs)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 

@@ -175,6 +175,17 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(pairs.contains((1L, 3L)), s"cross-batch near-dup missed: $pairs")
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
       s"unrelated doc flagged: $pairs")
+
+    // TTL wiring must not change detection semantics (checked in
+    // batch mode — a drain-the-directory AvailableNow query with
+    // processing-time timers would wait for them to fire)
+    val batchDocs = spark.read.schema(schema).parquet(s"$tmp/*")
+    val ttlPairs = StreamingDedup.dedupStream(batchDocs, "doc_id",
+        "text", shingleN = 3, bands = 8, rows = 4, threshold = 0.5,
+        stateTtlMs = 3600L * 1000L)
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ttlPairs.contains((1L, 3L)), s"TTL variant missed: $ttlPairs")
   }
 
   test("streaming session windows produce sessions per user") {
