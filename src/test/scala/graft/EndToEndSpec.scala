@@ -82,6 +82,61 @@ class EndToEndSpec extends SparkSuite {
     assert(dates == Seq("2023-03-02", "2023-03-03", "2023-03-04"))
   }
 
+  test("training-data pipeline end-to-end: quality filter -> dedup " +
+      "clusters -> decontaminate -> split -> pack") {
+    import graft.llmdata.{Dedup, Packing, Sampling, TextAnalysis}
+    import spark.implicits._
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+    val total = docs.count()
+
+    // 1. quality gate: drop junk documents
+    val quality = TextAnalysis.qualityScore(docs, "text")
+      .where(col("quality") >= 0.3).select("doc_id", "text")
+    val nQuality = quality.count()
+    assert(nQuality > 0 && nQuality <= total)
+
+    // 2. dedup: exact groups + near-dup clusters -> keep canonical docs
+    val pairs = Dedup.minhashDedup(quality, "doc_id", "text",
+      threshold = 0.7)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val dropDups = clusters.where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    val deduped = quality.join(dropDups, Seq("doc_id"), "left_anti")
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nQuality && nDeduped > 0)
+
+    // 3. decontaminate against a held-out "eval set" (last 50 ids)
+    val evalSet = docs.where(col("doc_id") >= total - 50)
+    val contaminated = Dedup.crossContamination(deduped, evalSet,
+        "doc_id", "text", threshold = 0.8, measure = "containment")
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4. reproducible split, 5. pack the train split
+    val split = Sampling.assignSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "valid" -> 0.1))
+    val train = split.where(col("split") === "train")
+    val packed = Packing.packBySequence(train, "doc_id",
+      TextAnalysis.tokenCountWs(col("text")), capacity = 2000)
+    val stats = Packing.packStats(packed, capacity = 2000).collect()
+
+    // coherence: counts only ever shrink, every train doc is packed,
+    // pack totals reconcile with the sum of token counts
+    val nTrain = train.count()
+    assert(packed.count() == nTrain)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == nTrain)
+    val tokTotal = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(stats.map(_.getAs[Long]("pack_tokens")).sum == tokTotal)
+    // the pipeline is deterministic end-to-end: re-running yields the
+    // same membership
+    val again = Sampling.assignSplit(clean, "doc_id",
+      Seq("train" -> 0.9, "valid" -> 0.1))
+      .where(col("split") === "train").count()
+    assert(again == nTrain)
+  }
+
   test("fitted schema persists and re-encodes a NEW dataset " +
       "(FTypes save/load -> UpdateFts, fields.go + gdata.go:555)") {
     import spark.implicits._
