@@ -64,6 +64,58 @@ object QueriesAgg {
                    round(quantile_cont(o_totalprice, 1.0), 4) AS q100
             FROM orders"""))
 
+  /** Per-group Desc: the reference's slice-then-Desc loop as ONE
+    * grouped aggregate (slicer.go:34-186 + data.go:141-204).
+    */
+  private val q74_desc_by_group: Q = (
+    (s, dir) => Stats.describeBy(read(s, dir, "orders"),
+        col("o_orderpriority"), "o_totalprice")
+      .select(col("group"), col("n"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"),
+        round(col("q0"), 4).as("q0"), round(col("q25"), 4).as("q25"),
+        round(col("q50"), 4).as("q50"), round(col("q75"), 4).as("q75"),
+        round(col("q100"), 4).as("q100"),
+        round(col("q10"), 4).as("q10"), round(col("q90"), 4).as("q90")),
+    Some("""SELECT o_orderpriority AS "group",
+                   count(o_totalprice) AS n,
+                   round(avg(o_totalprice), 4) AS mean,
+                   round(stddev_samp(o_totalprice), 4) AS std,
+                   round(quantile_cont(o_totalprice, 0.0), 4) AS q0,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+                   round(quantile_cont(o_totalprice, 1.0), 4) AS q100,
+                   round(quantile_cont(o_totalprice, 0.1), 4) AS q10,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS q90
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY "group" """))
+
+  /** Winsorized feature prep: clip at the [5%, 95%] empirical
+    * quantiles (exact data points -> oracle = quantile_disc), then the
+    * usual exact-decimal summary.
+    */
+  private val q75_winsorize: Q = (
+    (s, dir) => {
+      val w = Stats.winsorize(read(s, dir, "orders"), "o_totalprice",
+        lo = 0.05, hi = 0.95, out = "clipped")
+      w.agg(count(lit(1)).as("n"),
+        dsum(col("clipped")).as("sum_clipped"),
+        min(col("clipped")).as("min_clipped"),
+        max(col("clipped")).as("max_clipped"))
+    },
+    Some(s"""WITH cuts AS (SELECT
+                   quantile_disc(o_totalprice, 0.05) AS lo,
+                   quantile_disc(o_totalprice, 0.95) AS hi
+                 FROM orders)
+             SELECT count(*) AS n,
+                    ${sqlDsum("least(greatest(o_totalprice, cuts.lo), cuts.hi)")}
+                      AS sum_clipped,
+                    min(least(greatest(o_totalprice, cuts.lo), cuts.hi))
+                      AS min_clipped,
+                    max(least(greatest(o_totalprice, cuts.lo), cuts.hi))
+                      AS max_clipped
+             FROM orders, cuts"""))
+
   /** ByCounts value counts (data.go:684-699). */
   private val q16_value_counts: Q = (
     (s, dir) => read(s, dir, "events")
@@ -415,6 +467,8 @@ object QueriesAgg {
     "q64_histogram" -> q64_histogram,
     "q13_summary_agg" -> q13_summary_agg,
     "q15_desc_quantiles" -> q15_desc_quantiles,
+    "q74_desc_by_group" -> q74_desc_by_group,
+    "q75_winsorize" -> q75_winsorize,
     "q16_value_counts" -> q16_value_counts,
     "q17_sse_r2" -> q17_sse_r2,
     "q18_npv_per_order" -> q18_npv_per_order,

@@ -30,6 +30,45 @@ object Stats {
         col("q")(6).as("q100"))
   }
 
+  /** Per-group Desc (the reference's slicer-loop-over-Desc pattern,
+    * slicer.go:34-186 + data.go:141-204, collapsed into ONE grouped
+    * aggregate — no per-group scans): n/mean/std plus the u-grid
+    * quantiles for every group value.
+    */
+  def describeBy(df: DataFrame, group: Column, c: String,
+      approx: Boolean = false): DataFrame = {
+    val probs = "array(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)"
+    val fn = if (approx) "approx_percentile" else "percentile"
+    df.groupBy(group.as("group"))
+      .agg(
+        count(col(c)).as("n"),
+        avg(col(c)).as("mean"),
+        stddev_samp(col(c)).as("std"),
+        expr(s"$fn($c, $probs)").as("q"))
+      .select(col("group"), col("n"), col("mean"), col("std"),
+        col("q")(0).as("q0"), col("q")(1).as("q10"), col("q")(2).as("q25"),
+        col("q")(3).as("q50"), col("q")(4).as("q75"), col("q")(5).as("q90"),
+        col("q")(6).as("q100"))
+      .orderBy(col("group"))
+  }
+
+  /** Winsorize: clip a numeric column at its [lo, hi] empirical
+    * quantiles — outlier capping before z-scoring / model input. Cut
+    * points come from one approxQuantile pass (relErr 0 = exact data
+    * points, matching SQL quantile_disc); the clip itself is a
+    * codegen'd least/greatest projection, no shuffle.
+    */
+  def winsorize(df: DataFrame, c: String, lo: Double = 0.01,
+      hi: Double = 0.99, relErr: Double = 0.0,
+      out: String = ""): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad bounds [$lo, $hi]")
+    val Array(cutLo, cutHi) =
+      df.stat.approxQuantile(c, Array(lo, hi), relErr)
+    val name = if (out.isEmpty) c else out
+    df.withColumn(name,
+      least(greatest(col(c), lit(cutLo)), lit(cutHi)))
+  }
+
   /** KS statistic: max gap between the score CDFs of target vs
     * non-target (reference diags.go:110-221, which interpolates on a
     * 101-point grid; we compute the exact sup-gap — tighter).

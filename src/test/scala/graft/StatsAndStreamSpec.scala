@@ -96,6 +96,34 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(col1(out, "p") == Seq(1.0, 1.0))
   }
 
+  test("describeBy: per-group Desc equals per-slice describe " +
+      "(slicer loop collapsed to one aggregate)") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", i * 2.0))).toDF("g", "x")
+    val grouped = Stats.describeBy(df, col("g"), "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val single = Stats.describe(df.where(col("g") === g), "x").head()
+      val got = grouped(g)
+      assert(got.getLong(1) == single.getLong(0)) // n
+      assert(math.abs(got.getDouble(2) - single.getDouble(1)) < 1e-9)
+      assert(math.abs(got.getDouble(7) - single.getDouble(6)) < 1e-9) // q50
+    }
+  }
+
+  test("winsorize clips at empirical quantiles, keeps interior values") {
+    import spark.implicits._
+    val df = ((1 to 98).map(_.toDouble) ++ Seq(-1e6, 1e6)).toDF("x")
+    val w = Stats.winsorize(df, "x", lo = 0.02, hi = 0.98,
+      out = "xc").select("x", "xc").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(w(-1e6) > -1e6 && w(1e6) < 1e6) // outliers capped
+    assert(w(50.0) == 50.0)                // interior untouched
+    val (lo, hi) = (w.values.min, w.values.max)
+    assert(lo >= 1.0 && hi <= 98.0)
+  }
+
   test("describe matches exact quantiles on a known vector") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val d = Stats.describe(df, "x").head()
