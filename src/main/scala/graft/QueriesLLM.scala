@@ -327,6 +327,58 @@ object QueriesLLM {
                           / len(g) END, 6) AS rep_ratio
             FROM sh ORDER BY doc_id"""))
 
+  /** Corpus TF-IDF: smooth idf, top-3 terms per doc, term tiebreak.
+    * The classic two-aggregate + vocab-join shape — df comes from the
+    * already-distinct (doc, term) rows, N by broadcast cross join.
+    */
+  private val q76_tfidf_topk: Q = (
+    (s, dir) => TextAnalysis.tfidfTopK(
+        spread(read(s, dir, "documents")), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term")),
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS term
+               FROM documents WHERE text IS NOT NULL),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks WHERE term <> '' GROUP BY 1, 2),
+                 dfr AS (SELECT term, count(*) AS dfreq
+               FROM tf GROUP BY 1),
+                 n AS (SELECT count(*) AS n FROM documents
+               WHERE text IS NOT NULL),
+                 scored AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln((n.n + 1.0) / (dfr.dfreq + 1.0)) + 1.0)
+                   AS tfidf
+               FROM tf, dfr, n WHERE tf.term = dfr.term)
+            SELECT doc_id, term, round(tfidf, 6) AS tfidf
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rn FROM scored)
+            WHERE rn <= 3 ORDER BY doc_id, term"""))
+
+  /** Corpus top-20 bigrams by count (deterministic bigram tiebreak) —
+    * the n-gram frequency sweep used for contamination screens and
+    * boilerplate discovery.
+    */
+  private val q77_ngram_topk: Q = (
+    (s, dir) => TextAnalysis.ngramCounts(
+        spread(read(s, dir, "documents")), "text", n = 2)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(20),
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                   t -> t <> '')) AS term,
+                 unnest(range(1, len(list_filter(
+                   string_split(lower(text), ' '), t -> t <> '')) + 1))
+                   AS pos
+               FROM documents WHERE text IS NOT NULL),
+                 bi AS (SELECT term || ' ' ||
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS ngram
+               FROM toks)
+            SELECT ngram, count(*) AS cnt FROM bi
+            WHERE ngram IS NOT NULL GROUP BY 1
+            ORDER BY cnt DESC, ngram ASC LIMIT 20"""))
+
   /** Multimodal plumbing: binary payload + typed metadata + stub
     * decode features + frame-sampling plan. Rows-only (stub decode is
     * hash-derived).
@@ -473,5 +525,7 @@ object QueriesLLM {
     "q51_rolling_hash" -> q51_rolling_hash,
     "q62_text_redact" -> q62_text_redact,
     "q63_text_repetition" -> q63_text_repetition,
+    "q76_tfidf_topk" -> q76_tfidf_topk,
+    "q77_ngram_topk" -> q77_ngram_topk,
     "q52_multimodal" -> q52_multimodal)
 }

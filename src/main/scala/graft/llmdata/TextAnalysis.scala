@@ -130,6 +130,57 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Corpus TF-IDF, top-k terms per document. Smooth idf
+    * `ln((N+1)/(df+1)) + 1` (never zero, defined for unseen terms).
+    *
+    * Scale shape: tokenize -> (doc, term) counts (one shuffle on the
+    * pair key, partial-aggregated map-side) -> document frequency is a
+    * second aggregate over the ALREADY-distinct (doc, term) rows (no
+    * re-scan of the corpus) -> idf join on term (vocab-sized; AQE
+    * broadcasts when small) -> per-doc top-k via a window PARTITIONED
+    * by doc_id. N arrives as a broadcast 1-row cross join, not a
+    * driver collect. Ties break on term so output is deterministic.
+    */
+  def tfidfTopK(df: DataFrame, docId: String, text: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.where(col(text).isNotNull)
+    val toks = docs.select(col(docId),
+        explode(split(lower(col(text)), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(docId), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") *
+        (log((col("__n") + lit(1.0)) / (col("dfreq") + lit(1.0))) +
+          lit(1.0)))
+    val w = Window.partitionBy(col(docId))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(docId), col("term"), col("tfidf"))
+  }
+
+  /** Corpus-level word n-gram counts: contiguous n-grams per document
+    * (single-space tokenization, empties dropped), counted across the
+    * whole corpus. One explode + one hash aggregate; the n-gram
+    * construction is a pure array expression (no UDF).
+    */
+  def ngramCounts(df: DataFrame, text: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = df.where(col(text).isNotNull)
+      .select(filter(split(lower(col(text)), " "),
+        t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= n)
+    val grams = transform(
+      sequence(lit(1), size(col("__t")) - lit(n - 1)),
+      i => array_join(slice(col("__t"), i, lit(n)), " "))
+    toks.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Content fingerprint: md5 of the dedup-normalized text — the
     * cheap exact-clustering key (see [[Dedup.normalize]]).
     */

@@ -263,6 +263,36 @@ class LlmDataSpec extends SparkSuite {
     assert(out(4L) == "es")
   }
 
+  test("tfidf: corpus-unique term outranks common terms; k and " +
+      "tiebreak are respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common zebra zebra"),
+      (2L, "common filler filler"),
+      (3L, "common filler text")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // zebra: tf=2, df=1 -> 2*(ln(4/2)+1) ~ 3.39; common: tf=1, df=3
+    // -> 1*(ln(4/4)+1) = 1. The rare term wins doc 1.
+    assert(top(1L) == "zebra")
+    val k2 = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2)
+      .where(col("doc_id") === 1L).collect()
+    assert(k2.length == 2)
+  }
+
+  test("ngram counts: contiguous bigrams with exact counts, short " +
+      "docs dropped") {
+    import spark.implicits._
+    val df = Seq("a b a b c", "a b", "solo").toDF("text")
+    val counts = TextAnalysis.ngramCounts(df, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a b") == 3L) // twice in doc 1, once in doc 2
+    assert(counts("b a") == 1L)
+    assert(counts("b c") == 1L)
+    assert(!counts.contains("solo")) // 1-token doc has no bigrams
+    assert(counts.values.sum == 5L)  // 4 positions + 1 position
+  }
+
   test("token counts: whitespace vs BPE-ish subwords") {
     val df = Seq("four words right here").toDF("text")
     val ws = df.select(TextAnalysis.tokenCountWs(col("text")))
