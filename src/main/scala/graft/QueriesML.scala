@@ -147,10 +147,42 @@ object QueriesML {
     },
     None)
 
+  /** Native parity trainer: LeakyRelu hidden layer + DropOut + K-1
+    * softmax head (the activations MLlib's MLP can't express), sampled
+    * fit / full distributed predict. Rows-only: NN weights are not
+    * SQL-expressible.
+    */
+  private val q78_net_native: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumn("label",
+          when(col("o_orderstatus") === "F", 1).otherwise(0))
+        .withColumn("price_k", col("o_totalprice") / 1000.0)
+        .cache()
+      val layers = ModSpec.parse(Seq(
+        "Input(price_k + o_orderpriorityoh)",
+        "FC(size:8, activation:LeakyRelu(0.1))",
+        "DropOut(.1)",
+        "FC(size:2, activation:SoftMax)",
+        "Target(label)"))
+      val trainSet = graft.llmdata.Sampling
+        .hashSample(o, "o_orderkey", 0.2)
+      val m = ModSpec.fitNative(layers, trainSet,
+        classification = true, nClasses = 2,
+        cfg = graft.ml.Net.Config(batchSize = 256, epochs = 12,
+          lrStart = 2e-2, lrEnd = 5e-3))
+      m.transform(o)
+        .select(col("o_orderkey"),
+          col("__predicted_class").as("predicted"))
+        .orderBy(col("o_orderkey"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q37_ks" -> q37_ks,
     "q38_assess" -> q38_assess,
     "q39_decile" -> q39_decile,
     "q57_ml_predict" -> q57_ml_predict,
-    "q66_ml_embed" -> q66_ml_embed)
+    "q66_ml_embed" -> q66_ml_embed,
+    "q78_net_native" -> q78_net_native)
 }

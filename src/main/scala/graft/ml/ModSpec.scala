@@ -14,13 +14,19 @@ import org.apache.spark.sql.DataFrame
   *   Input(x1+x2+x4oh)  FC(size:8, activation:relu)  DropOut(.1)
   *   FC(size:1, activation:sigmoid)  Target(y)
   *
-  * Mapping: Input -> StringIndexer/OneHotEncoder/StandardScaler +
-  * VectorAssembler; FC stack -> MultilayerPerceptronClassifier layers
-  * (sigmoid hidden activations — MLlib's fixed choice; LeakyRelu etc.
-  * are documented deviations, SURVEY §7.4 risk 7); a single linear
-  * output -> LinearRegression; single sigmoid output ->
-  * LogisticRegression. DropOut is parsed and recorded but has no MLP
-  * equivalent — a documented no-op.
+  * Two fit paths:
+  *   - [[toPipeline]]/[[pipelineFor]]: distributed MLlib — FC stack ->
+  *     MultilayerPerceptronClassifier (sigmoid hidden activations,
+  *     MLlib's fixed choice; DropOut a no-op), single linear output ->
+  *     LinearRegression, single sigmoid output -> LogisticRegression.
+  *     Scales to any input; activations approximate.
+  *   - [[fitNative]]: exact activation/dropout parity via [[Net]]
+  *     (relu / leakyRelu(α) / sigmoid / linear / K-1-logit softmax,
+  *     real dropout masks, Adam + linear LR decay, validation early
+  *     stop). Feature prep distributed, net fit driver-local over a
+  *     row-capped collect (the reference's own memory envelope),
+  *     scoring distributed.
+  * Input -> StringIndexer/OneHotEncoder/VectorAssembler either way.
   */
 object ModSpec {
 
@@ -36,7 +42,7 @@ object ModSpec {
     */
   case class FeatureRef(name: String, oneHot: Boolean, embed: Int = 0)
 
-  private val fcRe = """FC\(\s*size:(\d+)\s*(?:,\s*activation:(\w+))?\s*\)""".r
+  private val fcRe = """FC\(\s*size:(\d+)\s*(?:,\s*activation:([\w.()]+))?\s*\)""".r
   private val doRe = """DropOut\(([\d.]+)\)""".r
   private val inRe = """Input\((.+)\)""".r
   private val tgRe = """Target\((\w+)\)""".r
@@ -152,6 +158,78 @@ object ModSpec {
       classification && layers.collect { case f: FC => f }.length > 1
     val width = if (needsWidth) assembledWidth(layers, df) else -1
     toPipeline(layers, classification, nClasses, width)
+  }
+
+  /** Reference activation-name grammar (modspec.go:130-160,
+    * case-insensitive, optional parameter): `relu`, `leakyrelu(0.1)`,
+    * `sigmoid`, `softmax`, `linear` (default).
+    */
+  def parseAct(s: String): Net.Act = {
+    val lrRe = """(?i)leakyrelu\(([\d.eE+-]+)\)""".r
+    s.trim match {
+      case lrRe(a) => Net.LeakyRelu(a.toDouble)
+      case t if t.equalsIgnoreCase("relu") => Net.Relu
+      case t if t.equalsIgnoreCase("leakyrelu") => Net.LeakyRelu(0.0)
+      case t if t.equalsIgnoreCase("sigmoid") => Net.Sigmoid
+      case t if t.equalsIgnoreCase("softmax") => Net.SoftMax
+      case t if t.equalsIgnoreCase("linear") => Net.Linear
+      case other => throw new IllegalArgumentException(
+        s"modspec: unknown activation '$other'")
+    }
+  }
+
+  /** A spec fitted with the native parity trainer: feature prep stays
+    * a (distributed) MLlib pipeline, the net itself is [[Net]] with
+    * the reference's exact activation/dropout/softmax semantics.
+    */
+  case class NativeModel(prep: PipelineModel, net: Net.NetModel,
+      targetCol: String) {
+    def transform(df: DataFrame): DataFrame =
+      net.transform(prep.transform(df))
+  }
+
+  /** Fit with REAL activation parity (reference nn.go:398-417):
+    * relu / leakyRelu(α) / sigmoid / linear hidden layers, DropOut
+    * between layers, K-1-logit softmax head — everything MLlib's
+    * sigmoid-only MLP approximates away. Feature prep (indexers,
+    * one-hot, assembler) runs distributed; the net trains driver-local
+    * (row-capped — the reference's own memory envelope; sample first
+    * at scale) and scores distributed.
+    *
+    * Classification targets must be class indices 0..K-1 (the
+    * reference requires a one-hot target for softmax, modspec
+    * obsF.Role check at nn.go:299-302); regression targets are plain
+    * numerics with a single linear/sigmoid output unit.
+    */
+  def fitNative(layers: Seq[Layer], df: DataFrame,
+      classification: Boolean, nClasses: Int = 2,
+      cfg: Net.Config = Net.Config(), valid: Option[DataFrame] = None)
+      : NativeModel = {
+    val input = inputOf(layers)
+    val target = layers.collectFirst { case t: Target => t }.getOrElse(
+      throw new IllegalArgumentException("modspec: no Target layer"))
+    val (fStages, assembled) = featureStages(input)
+    val asm = new VectorAssembler().setInputCols(assembled.toArray)
+      .setOutputCol("__features")
+    val prep = new Pipeline().setStages((fStages :+ asm).toArray).fit(df)
+
+    // FC -> LayerSpec; a DropOut layer attaches to the preceding FC
+    val specs = scala.collection.mutable.ArrayBuffer[Net.LayerSpec]()
+    layers.foreach {
+      case FC(size, act) =>
+        specs += Net.LayerSpec(size, parseAct(act))
+      case DropOut(p) =>
+        require(specs.nonEmpty, "modspec: DropOut before any FC layer")
+        specs(specs.length - 1) =
+          specs.last.copy(dropProb = p)
+      case _ =>
+    }
+    require(specs.nonEmpty, "modspec: no FC layers")
+    val net = Net.fit(prep.transform(df), specs.toSeq,
+      if (classification) nClasses else 0, cfg,
+      labelCol = target.field,
+      valid = valid.map(prep.transform))
+    NativeModel(prep, net, target.field)
   }
 
   /** A fitted spec whose `E(f, k)` features carry their trained

@@ -1,0 +1,453 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dense feed-forward NN with the reference's exact layer semantics —
+  * the activation/dropout parity gap MLlib's sigmoid-only MLP can't
+  * close (reference nn.go:216-417, 898-931; modspec.go:43,173):
+  *
+  *   - activations per FC layer: linear (default), relu, leakyRelu(α),
+  *     sigmoid, softmax (output);
+  *   - SoftMax output with K classes trains K-1 logits, the K-th class
+  *     probability is `1 - Σ phat` (nn.go:899-911) — algebraically a
+  *     standard softmax over the K-1 logits plus a FIXED zero logit;
+  *   - DropOut(p) after a hidden layer, inverted-scaling masks at train
+  *     time only (nn.go:407-410);
+  *   - Glorot-normal init (nn.go:309), bias on by default;
+  *   - Adam (nn.go:726) with a learning rate declining linearly across
+  *     epochs (nn.go:657-663), mini-batches with the tail beyond the
+  *     last full batch unused per epoch (ch.go:337-350), validation
+  *     early stop (nn.go:598-840);
+  *   - cost: CrossEntropy `-mean(obs ⊙ log(fit))` for softmax
+  *     (nn.go:575-581), RMS for regression (nn.go:555-568).
+  *
+  * Training is DRIVER-LOCAL over a collected feature matrix — the same
+  * memory envelope as the single-process reference (its pipes are fully
+  * resident, ch.go:121) — with a hard row cap; at scale, fit on a
+  * `Sampling.hashSample` of the data or use the distributed MLlib path
+  * (`ModSpec.toPipeline`). SCORING is distributed: the weight stack
+  * (KBs) ships in the closure of one vector->vector UDF, embarrassingly
+  * parallel, no shuffle.
+  */
+object Net {
+
+  sealed trait Act
+  case object Linear extends Act
+  case object Relu extends Act
+  case class LeakyRelu(alpha: Double) extends Act
+  case object Sigmoid extends Act
+  case object SoftMax extends Act
+
+  /** One FC layer: `size` output units, activation, optional bias,
+    * dropout probability applied to this layer's OUTPUT at train time
+    * (0 = none; not allowed on the output layer).
+    */
+  case class LayerSpec(size: Int, act: Act = Linear, bias: Boolean = true,
+      dropProb: Double = 0.0)
+
+  case class Config(
+      batchSize: Int = 100,          // reference nn_test.go batch 100
+      epochs: Int = 100,
+      lrStart: Double = 1e-3,        // Adam default eta (nn.go:726)
+      lrEnd: Double = 1e-4,
+      seed: Long = 42L,
+      shuffleEachEpoch: Boolean = true,
+      patience: Int = 5,             // early-stop wait on validation
+      maxRows: Int = 1 << 21)        // driver-collect guard
+
+  /** Weights of one layer: w(in)(out), b(out). */
+  final case class Dense(w: Array[Array[Double]], b: Array[Double],
+      spec: LayerSpec)
+
+  /** A fitted net. `classification` nets output K class probabilities
+    * (softmax head); regression nets a single value.
+    */
+  final case class NetModel(layers: IndexedSeq[Dense], nClasses: Int,
+      trainCost: Array[Double], validCost: Array[Double]) {
+
+    def isClassification: Boolean = nClasses > 0
+
+    /** Forward pass, inference mode (no dropout). */
+    def predictOne(x: Array[Double]): Array[Double] = {
+      var a = x
+      var li = 0
+      while (li < layers.length) {
+        val l = layers(li)
+        val z = affine(a, l.w, l.b)
+        a = l.spec.act match {
+          case SoftMax => softmaxK(z)
+          case act => z.map(scalarAct(act, _))
+        }
+        li += 1
+      }
+      a
+    }
+
+    /** Distributed scoring: adds a probability-vector column plus
+      * `__predicted_class` (classification) or a double prediction
+      * column (regression). Weights ride the UDF closure.
+      */
+    def transform(df: DataFrame, featuresCol: String = "__features",
+        outputCol: String = "__prediction"): DataFrame = {
+      val self = this
+      if (isClassification) {
+        val f = udf { v: Vector =>
+          Vectors.dense(self.predictOne(v.toArray))
+        }
+        val am = udf { v: Vector =>
+          val a = v.toArray
+          var best = 0; var i = 1
+          while (i < a.length) { if (a(i) > a(best)) best = i; i += 1 }
+          best
+        }
+        val withP = df.withColumn(outputCol, f(col(featuresCol)))
+        withP.withColumn("__predicted_class", am(col(outputCol)))
+      } else {
+        val f = udf { v: Vector => self.predictOne(v.toArray)(0) }
+        df.withColumn(outputCol, f(col(featuresCol)))
+      }
+    }
+  }
+
+  private def affine(a: Array[Double], w: Array[Array[Double]],
+      b: Array[Double]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(b, b.length)
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i)
+      if (ai != 0.0) {
+        val wi = w(i)
+        var j = 0
+        while (j < out.length) { out(j) += ai * wi(j); j += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def scalarAct(act: Act, z: Double): Double = act match {
+    case Linear => z
+    case Relu => if (z > 0) z else 0.0
+    case LeakyRelu(a) => if (z > 0) z else a * z
+    case Sigmoid => 1.0 / (1.0 + math.exp(-z))
+    case SoftMax => throw new IllegalStateException(
+      "softmax is a vector activation")
+  }
+
+  /** act'(z); `a` is act(z) (pre-dropout) for the sigmoid shortcut. */
+  private def actDeriv(act: Act, z: Double, a: Double): Double =
+    act match {
+      case Linear => 1.0
+      case Relu => if (z > 0) 1.0 else 0.0
+      case LeakyRelu(al) => if (z > 0) 1.0 else al
+      case Sigmoid => a * (1.0 - a)
+      case SoftMax => throw new IllegalStateException(
+        "softmax derivative is handled jointly with cross-entropy")
+    }
+
+  /** K-1-logit softmax (reference SoftMaxAct): probabilities over K
+    * classes from K-1 logits + an implicit zero logit for class K.
+    */
+  private def softmaxK(z: Array[Double]): Array[Double] = {
+    var mx = 0.0 // the implicit zero logit participates in the max
+    var j = 0
+    while (j < z.length) { if (z(j) > mx) mx = z(j); j += 1 }
+    val out = new Array[Double](z.length + 1)
+    var denom = math.exp(-mx) // exp(0 - mx), the implicit class
+    j = 0
+    while (j < z.length) {
+      val e = math.exp(z(j) - mx); out(j) = e; denom += e; j += 1
+    }
+    j = 0
+    while (j < z.length) { out(j) /= denom; j += 1 }
+    out(z.length) = math.exp(-mx) / denom
+    out
+  }
+
+  /** Fit on a collected matrix. `y` is the class index (classification,
+    * `nClasses >= 2`) or the target value (regression, `nClasses = 0`).
+    * `validX` rows (if any) drive early stopping on validation cost.
+    */
+  def fitLocal(x: Array[Array[Double]], y: Array[Double],
+      specs: Seq[LayerSpec], nClasses: Int, cfg: Config = Config(),
+      validX: Array[Array[Double]] = Array.empty,
+      validY: Array[Double] = Array.empty): NetModel = {
+    require(x.nonEmpty, "net: empty training set")
+    require(x.length == y.length, "net: x/y length mismatch")
+    require(specs.nonEmpty, "net: no layers")
+    require(specs.last.dropProb == 0.0,
+      "net: dropout on the output layer is not supported")
+    if (nClasses > 0) require(specs.last.act == SoftMax,
+      "net: classification needs a softmax output layer")
+    else require(specs.last.size == 1,
+      "net: regression needs a single output unit")
+    val rnd = new scala.util.Random(cfg.seed)
+
+    // resolve sizes: softmax head trains K-1 logits (nn.go:299-306)
+    val inWidth = x(0).length
+    var last = inWidth
+    val layers = specs.toIndexedSeq.map { s =>
+      val out = if (s.act == SoftMax) {
+        require(s.size == nClasses,
+          s"net: softmax size ${s.size} != nClasses $nClasses")
+        s.size - 1
+      } else s.size
+      val sd = math.sqrt(2.0 / (last + out)) // GlorotN(1.0)
+      val w = Array.fill(last, out)(rnd.nextGaussian() * sd)
+      val b = if (s.bias) Array.fill(out)(rnd.nextGaussian() * sd)
+        else new Array[Double](out)
+      last = out
+      Dense(w, b, s)
+    }
+    val L = layers.length - 1
+
+    // gradient accumulators + Adam state
+    val gW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
+    val gB = layers.map(l => new Array[Double](l.b.length))
+    val mW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
+    val vW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
+    val mB = layers.map(l => new Array[Double](l.b.length))
+    val vB = layers.map(l => new Array[Double](l.b.length))
+    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+    var step = 0
+
+    def cost(xs: Array[Array[Double]], ys: Array[Double]): Double = {
+      if (xs.isEmpty) return Double.NaN
+      val m = NetModel(layers, nClasses, Array.empty, Array.empty)
+      var c = 0.0
+      var i = 0
+      while (i < xs.length) {
+        val p = m.predictOne(xs(i))
+        if (nClasses > 0)
+          c += -math.log(math.max(p(ys(i).toInt), 1e-300))
+        else { val d = p(0) - ys(i); c += d * d }
+        i += 1
+      }
+      // reference CE divides by n*K (G.Mean over the one-hot product
+      // matrix, nn.go:581); regression reports RMS
+      if (nClasses > 0) c / (xs.length.toDouble * nClasses)
+      else math.sqrt(c / xs.length)
+    }
+
+    /** Forward + backward for one sample, accumulating mean-gradients
+      * (scaled by 1/bs) into gW/gB.
+      */
+    def backprop(xi: Array[Double], yi: Double, bs: Int): Unit = {
+      val zs = new Array[Array[Double]](layers.length)
+      val as = new Array[Array[Double]](layers.length)
+      val masks = new Array[Array[Double]](layers.length)
+      var a = xi
+      var li = 0
+      while (li < layers.length) {
+        val l = layers(li)
+        val z = affine(a, l.w, l.b)
+        zs(li) = z
+        var out = l.spec.act match {
+          case SoftMax => softmaxK(z)
+          case act => z.map(scalarAct(act, _))
+        }
+        if (l.spec.dropProb > 0) {
+          val keep = 1.0 - l.spec.dropProb
+          val m = Array.fill(out.length)(
+            if (rnd.nextDouble() < keep) 1.0 / keep else 0.0)
+          masks(li) = m
+          out = Array.tabulate(out.length)(j => out(j) * m(j))
+        }
+        as(li) = out
+        a = out
+        li += 1
+      }
+
+      // dL/dz at the output layer
+      var delta: Array[Double] =
+        if (nClasses > 0) {
+          // CE + softmax over (K-1 logits ++ fixed 0): dz_j = p_j - y_j
+          // for the trained logits; /(bs*K) matches the reference's
+          // mean-over-matrix CE scaling
+          val p = as(L)
+          val cls = yi.toInt
+          Array.tabulate(zs(L).length) { j =>
+            (p(j) - (if (j == cls) 1.0 else 0.0)) /
+              (bs.toDouble * nClasses)
+          }
+        } else {
+          // mean-MSE gradient (RMS differs only by a 1/(2*RMS) LR
+          // scale, reabsorbed by Adam's per-step normalization)
+          Array(2.0 * (as(L)(0) - yi) *
+            actDeriv(layers(L).spec.act, zs(L)(0), as(L)(0)) / bs)
+        }
+
+      var li2 = L
+      while (li2 >= 0) {
+        val l = layers(li2)
+        val dz =
+          if (li2 == L) delta
+          else {
+            // delta holds dL/da(li2) (post-dropout); fold in the mask,
+            // then act'
+            val d = delta
+            if (masks(li2) != null) {
+              var j = 0
+              while (j < d.length) { d(j) *= masks(li2)(j); j += 1 }
+            }
+            var j = 0
+            while (j < d.length) {
+              val aPre = l.spec.act match {
+                case Sigmoid => 1.0 / (1.0 + math.exp(-zs(li2)(j)))
+                case _ => as(li2)(j) // relu/leaky/linear ignore a
+              }
+              d(j) *= actDeriv(l.spec.act, zs(li2)(j), aPre)
+              j += 1
+            }
+            d
+          }
+
+        val aIn = if (li2 == 0) xi else as(li2 - 1)
+        val gw = gW(li2); val gb = gB(li2)
+        var i2 = 0
+        while (i2 < aIn.length) {
+          val av = aIn(i2)
+          if (av != 0.0) {
+            val gr = gw(i2)
+            var j2 = 0
+            while (j2 < dz.length) { gr(j2) += av * dz(j2); j2 += 1 }
+          }
+          i2 += 1
+        }
+        var j2 = 0
+        while (j2 < dz.length) { gb(j2) += dz(j2); j2 += 1 }
+
+        if (li2 > 0) { // propagate dL/da(li2-1) = W · dz
+          val nd = new Array[Double](l.w.length)
+          var i3 = 0
+          while (i3 < l.w.length) {
+            val wr = l.w(i3)
+            var s = 0.0
+            var j3 = 0
+            while (j3 < dz.length) { s += wr(j3) * dz(j3); j3 += 1 }
+            nd(i3) = s
+            i3 += 1
+          }
+          delta = nd
+        }
+        li2 -= 1
+      }
+    }
+
+    def adamStep(lr: Double): Unit = {
+      step += 1
+      val bc1 = 1.0 - math.pow(b1, step)
+      val bc2 = 1.0 - math.pow(b2, step)
+      var li = 0
+      while (li < layers.length) {
+        val l = layers(li)
+        var i2 = 0
+        while (i2 < l.w.length) {
+          val wr = l.w(i2); val gr = gW(li)(i2)
+          val mr = mW(li)(i2); val vr = vW(li)(i2)
+          var j2 = 0
+          while (j2 < wr.length) {
+            val g = gr(j2)
+            mr(j2) = b1 * mr(j2) + (1 - b1) * g
+            vr(j2) = b2 * vr(j2) + (1 - b2) * g * g
+            wr(j2) -= lr * (mr(j2) / bc1) /
+              (math.sqrt(vr(j2) / bc2) + eps)
+            gr(j2) = 0.0
+            j2 += 1
+          }
+          i2 += 1
+        }
+        if (l.spec.bias) {
+          var j2 = 0
+          while (j2 < l.b.length) {
+            val g = gB(li)(j2)
+            mB(li)(j2) = b1 * mB(li)(j2) + (1 - b1) * g
+            vB(li)(j2) = b2 * vB(li)(j2) + (1 - b2) * g * g
+            l.b(j2) -= lr * (mB(li)(j2) / bc1) /
+              (math.sqrt(vB(li)(j2) / bc2) + eps)
+            gB(li)(j2) = 0.0
+            j2 += 1
+          }
+        } else java.util.Arrays.fill(gB(li), 0.0)
+        li += 1
+      }
+    }
+
+    val n = x.length
+    val idx = Array.range(0, n)
+    val trainCost = scala.collection.mutable.ArrayBuffer[Double]()
+    val validCost = scala.collection.mutable.ArrayBuffer[Double]()
+    var bestValid = Double.MaxValue
+    var bestSnap: IndexedSeq[Dense] = null
+    var waits = 0
+    val epochs = math.max(cfg.epochs, 1)
+    var epoch = 0
+    var stopped = false
+    while (epoch < epochs && !stopped) {
+      val lr = if (epochs == 1) cfg.lrStart
+        else cfg.lrStart + (cfg.lrEnd - cfg.lrStart) *
+          (epoch.toDouble / (epochs - 1.0))
+      if (cfg.shuffleEachEpoch) {
+        var i = n - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = idx(i); idx(i) = idx(j); idx(j) = t
+          i -= 1
+        }
+      }
+      val nBatches = math.max(n / cfg.batchSize, 1)
+      var bi = 0
+      while (bi < nBatches) {
+        val lo = bi * cfg.batchSize
+        val hi = math.min(lo + cfg.batchSize, n)
+        var r = lo
+        while (r < hi) { backprop(x(idx(r)), y(idx(r)), hi - lo); r += 1 }
+        adamStep(lr)
+        bi += 1
+      }
+      trainCost += cost(x, y)
+      if (validX.nonEmpty) {
+        val vc = cost(validX, validY)
+        validCost += vc
+        if (vc < bestValid - 1e-12) {
+          bestValid = vc
+          bestSnap = layers.map(l =>
+            Dense(l.w.map(_.clone()), l.b.clone(), l.spec))
+          waits = 0
+        } else {
+          waits += 1
+          if (waits >= cfg.patience) stopped = true
+        }
+      }
+      epoch += 1
+    }
+
+    NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
+      trainCost.toArray, validCost.toArray)
+  }
+
+  /** Fit from DataFrames: collects `featuresCol`/`labelCol` to the
+    * driver (row-capped — the reference's own memory envelope), trains
+    * locally, returns a model that SCORES distributed.
+    */
+  def fit(train: DataFrame, specs: Seq[LayerSpec], nClasses: Int,
+      cfg: Config = Config(), featuresCol: String = "__features",
+      labelCol: String = "label", valid: Option[DataFrame] = None)
+      : NetModel = {
+    def matrixOf(df: DataFrame): (Array[Array[Double]], Array[Double]) = {
+      val capped = df.select(col(featuresCol), col(labelCol)
+        .cast("double")).limit(cfg.maxRows + 1).collect()
+      require(capped.length <= cfg.maxRows,
+        s"net: training frame exceeds ${cfg.maxRows} rows; fit on a " +
+          "Sampling.hashSample or use the distributed MLlib path")
+      (capped.map(_.getAs[Vector](0).toArray),
+        capped.map(_.getDouble(1)))
+    }
+    val (x, y) = matrixOf(train)
+    val (vx, vy) = valid.map(matrixOf)
+      .getOrElse((Array.empty[Array[Double]], Array.empty[Double]))
+    fitLocal(x, y, specs, nClasses, cfg, vx, vy)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.ml.{ModSpec, Net}
+import org.apache.spark.sql.functions._
+
+/** Native NN parity trainer (reference nn.go semantics): activations,
+  * K-1-logit softmax, dropout, early stop, distributed scoring.
+  */
+class NetSpec extends SparkSuite {
+
+  test("regression: a single linear unit recovers y = 2x + 1") {
+    val x = Array.tabulate(64)(i => Array(i / 32.0 - 1.0))
+    val y = x.map(v => 2.0 * v(0) + 1.0)
+    val m = Net.fitLocal(x, y, Seq(Net.LayerSpec(1, Net.Linear)),
+      nClasses = 0,
+      Net.Config(batchSize = 16, epochs = 400, lrStart = 5e-2,
+        lrEnd = 1e-2))
+    assert(math.abs(m.layers(0).w(0)(0) - 2.0) < 0.05)
+    assert(math.abs(m.layers(0).b(0) - 1.0) < 0.05)
+    assert(m.trainCost.last < 0.02) // RMS
+  }
+
+  test("XOR needs working hidden-layer gradients (relu)") {
+    val x = Array(Array(0.0, 0.0), Array(0.0, 1.0),
+      Array(1.0, 0.0), Array(1.0, 1.0))
+    val y = Array(0.0, 1.0, 1.0, 0.0)
+    val m = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(8, Net.Relu),
+        Net.LayerSpec(2, Net.SoftMax)),
+      nClasses = 2,
+      Net.Config(batchSize = 4, epochs = 800, lrStart = 5e-2,
+        lrEnd = 1e-2, shuffleEachEpoch = false))
+    val preds = x.map(v => m.predictOne(v))
+    preds.zip(y).foreach { case (p, yi) =>
+      assert(math.abs(p.sum - 1.0) < 1e-9) // K probs from K-1 logits
+      assert(p.indexOf(p.max) == yi.toInt,
+        s"XOR misclassified: ${p.toSeq} expected $yi")
+    }
+  }
+
+  test("leakyRelu(α) slope: negative inputs leak, α=0 is relu") {
+    // one unit, identity weights: activation output directly visible
+    val spec = Net.LayerSpec(1, Net.LeakyRelu(0.1), bias = false)
+    val l = Net.Dense(Array(Array(1.0)), Array(0.0), spec)
+    val m = Net.NetModel(IndexedSeq(l), 0, Array.empty, Array.empty)
+    assert(m.predictOne(Array(-2.0))(0) == -0.2)
+    assert(m.predictOne(Array(3.0))(0) == 3.0)
+    val relu = Net.NetModel(IndexedSeq(
+      l.copy(spec = spec.copy(act = Net.Relu))), 0,
+      Array.empty, Array.empty)
+    assert(relu.predictOne(Array(-2.0))(0) == 0.0)
+  }
+
+  test("3-class softmax head: probabilities sum to 1, separable data " +
+      "classified") {
+    val rnd = new scala.util.Random(7)
+    val x = Array.tabulate(300)(i => Array((i % 3) * 2.0 +
+      rnd.nextGaussian() * 0.2))
+    val y = Array.tabulate(300)(i => (i % 3).toDouble)
+    val m = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(8, Net.Relu), Net.LayerSpec(3, Net.SoftMax)),
+      nClasses = 3,
+      Net.Config(batchSize = 30, epochs = 300, lrStart = 2e-2,
+        lrEnd = 5e-3))
+    // trained head has K-1 = 2 logit columns
+    assert(m.layers.last.w(0).length == 2)
+    val acc = x.zip(y).count { case (v, yi) =>
+      val p = m.predictOne(v)
+      math.abs(p.sum - 1.0) < 1e-9 && p.indexOf(p.max) == yi.toInt
+    } / 300.0
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
+  test("dropout: same seed reproduces identical weights; training " +
+      "still converges") {
+    val rnd = new scala.util.Random(11)
+    val x = Array.tabulate(200)(_ =>
+      Array(rnd.nextGaussian(), rnd.nextGaussian()))
+    val y = x.map(v => if (v(0) + v(1) > 0) 1.0 else 0.0)
+    def run() = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(8, Net.Relu, dropProb = 0.3),
+        Net.LayerSpec(2, Net.SoftMax)),
+      nClasses = 2,
+      Net.Config(batchSize = 20, epochs = 200, lrStart = 2e-2,
+        lrEnd = 5e-3, seed = 5L))
+    val (a, b) = (run(), run())
+    assert(a.layers(0).w(0).sameElements(b.layers(0).w(0)))
+    val acc = x.zip(y).count { case (v, yi) =>
+      val p = a.predictOne(v); p.indexOf(p.max) == yi.toInt
+    } / 200.0
+    assert(acc > 0.9, s"accuracy with dropout $acc")
+  }
+
+  test("early stopping halts on a validation set that disagrees") {
+    val x = Array.tabulate(40)(i => Array(i.toDouble / 40))
+    val y = x.map(v => 3.0 * v(0))
+    val vx = x
+    val vy = x.map(v => -3.0 * v(0)) // opposite slope: valid worsens
+    val m = Net.fitLocal(x, y, Seq(Net.LayerSpec(1, Net.Linear)),
+      nClasses = 0,
+      Net.Config(batchSize = 10, epochs = 500, lrStart = 5e-2,
+        lrEnd = 5e-2, patience = 3),
+      validX = vx, validY = vy)
+    assert(m.validCost.length < 500, "should stop well before maxEpochs")
+  }
+
+  test("fitNative end-to-end: LeakyRelu + DropOut spec trains and " +
+      "scores distributed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { _ =>
+      val (a, b) = (rnd.nextGaussian(), rnd.nextGaussian())
+      (a, b, if (a * a + b * b > 1.2) 1 else 0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1+x2)",
+      "FC(size:12, activation:LeakyRelu(0.1))",
+      "DropOut(.1)",
+      "FC(size:2, activation:SoftMax)",
+      "Target(y)"))
+    val m = ModSpec.fitNative(layers, df, classification = true,
+      nClasses = 2,
+      cfg = Net.Config(batchSize = 30, epochs = 250, lrStart = 2e-2,
+        lrEnd = 5e-3))
+    // the parsed spec carried the α through to the net
+    assert(m.net.layers(0).spec.act == Net.LeakyRelu(0.1))
+    assert(m.net.layers(0).spec.dropProb == 0.1)
+    val scored = m.transform(df)
+    val acc = scored.where(col("__predicted_class") === col("y")).count() /
+      300.0
+    assert(acc > 0.85, s"fitNative accuracy $acc")
+    // probability column is a K-vector summing to 1
+    val p = scored.select("__prediction").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(p.size == 2 && math.abs(p.toArray.sum - 1.0) < 1e-9)
+  }
+}
