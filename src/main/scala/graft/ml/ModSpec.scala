@@ -213,6 +213,23 @@ object ModSpec {
       .setOutputCol("__features")
     val prep = new Pipeline().setStages((fStages :+ asm).toArray).fit(df)
 
+    // E(f, k) features become jointly-trained embedding blocks
+    // (reference modspec.go:306-414 — gradients flow from the whole
+    // net, unlike the two-stage Embeddings.fit): locate each one-hot
+    // slice in the assembled vector via the fitted encoder widths.
+    val ohWidth: Map[String, Int] = prep.stages.collect {
+      case m: org.apache.spark.ml.feature.OneHotEncoderModel =>
+        m.getOutputCols.zip(m.categorySizes).toSeq
+    }.flatten.toMap
+    var offset = 0
+    val embeds = scala.collection.mutable.ArrayBuffer[Net.EmbedBlock]()
+    input.features.foreach { f =>
+      val width = if (f.oneHot) ohWidth(s"${f.name}__oh") else 1
+      if (f.embed > 0)
+        embeds += Net.EmbedBlock(offset, width, f.embed)
+      offset += width
+    }
+
     // FC -> LayerSpec; a DropOut layer attaches to the preceding FC
     val specs = scala.collection.mutable.ArrayBuffer[Net.LayerSpec]()
     layers.foreach {
@@ -228,7 +245,8 @@ object ModSpec {
     val net = Net.fit(prep.transform(df), specs.toSeq,
       if (classification) nClasses else 0, cfg,
       labelCol = target.field,
-      valid = valid.map(prep.transform))
+      valid = valid.map(prep.transform),
+      embeds = embeds.toSeq)
     NativeModel(prep, net, target.field)
   }
 

@@ -61,13 +61,35 @@ object Net {
   final case class Dense(w: Array[Array[Double]], b: Array[Double],
       spec: LayerSpec)
 
+  /** A jointly-trained embedding block (reference FREmbed,
+    * modspec.go:306-414): the one-hot slice `[offset, offset+width)`
+    * of the raw feature vector maps through a trainable `width × k`
+    * table, with gradients flowing from the full network.
+    */
+  final case class EmbedBlock(offset: Int, width: Int, k: Int)
+
   /** A fitted net. `classification` nets output K class probabilities
     * (softmax head); regression nets a single value.
     */
   final case class NetModel(layers: IndexedSeq[Dense], nClasses: Int,
-      trainCost: Array[Double], validCost: Array[Double]) {
+      trainCost: Array[Double], validCost: Array[Double],
+      embeds: Seq[EmbedBlock] = Nil) {
 
     def isClassification: Boolean = nClasses > 0
+
+    /** The trained `width × k` lookup table of an embedding block
+      * (rows = one-hot levels), read out of the adapter layer.
+      */
+    def embeddingTable(block: EmbedBlock): Array[Array[Double]] = {
+      require(embeds.contains(block), s"net: unknown embed block $block")
+      // adapter output layout: passthrough first, then blocks in order
+      val nPass = layers(0).w.length -
+        embeds.map(_.width).sum // raw width minus embedded slots
+      var pos = nPass
+      embeds.takeWhile(_ != block).foreach(b => pos += b.k)
+      Array.tabulate(block.width)(r =>
+        Array.tabulate(block.k)(j => layers(0).w(block.offset + r)(pos + j)))
+    }
 
     /** Forward pass, inference mode (no dropout). */
     def predictOne(x: Array[Double]): Array[Double] = {
@@ -173,7 +195,8 @@ object Net {
   def fitLocal(x: Array[Array[Double]], y: Array[Double],
       specs: Seq[LayerSpec], nClasses: Int, cfg: Config = Config(),
       validX: Array[Array[Double]] = Array.empty,
-      validY: Array[Double] = Array.empty): NetModel = {
+      validY: Array[Double] = Array.empty,
+      embeds: Seq[EmbedBlock] = Nil): NetModel = {
     require(x.nonEmpty, "net: empty training set")
     require(x.length == y.length, "net: x/y length mismatch")
     require(specs.nonEmpty, "net: no layers")
@@ -185,10 +208,54 @@ object Net {
       "net: regression needs a single output unit")
     val rnd = new scala.util.Random(cfg.seed)
 
-    // resolve sizes: softmax head trains K-1 logits (nn.go:299-306)
+    // optional jointly-trained embedding adapter: a block-sparse
+    // linear layer 0 — one-hot slices map through trainable width×k
+    // tables, other slots pass through FROZEN identity weights. A
+    // gradient mask keeps the zero/identity structure exact, so this
+    // reuses the whole dense forward/backward/Adam path.
     val inWidth = x(0).length
-    var last = inWidth
-    val layers = specs.toIndexedSeq.map { s =>
+    val (adapterOpt, layer0Mask) = if (embeds.isEmpty) (None, null)
+    else {
+      val sorted = embeds.sortBy(_.offset)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => require(a.offset + a.width <= b.offset,
+          s"net: overlapping embed blocks $a / $b")
+        case _ =>
+      }
+      require(sorted.last.offset + sorted.last.width <= inWidth,
+        "net: embed block past the input width")
+      val inBlock = new Array[Boolean](inWidth)
+      embeds.foreach(b =>
+        (b.offset until b.offset + b.width).foreach(inBlock(_) = true))
+      val passthrough = (0 until inWidth).filterNot(inBlock)
+      val adWidth = passthrough.length + embeds.map(_.k).sum
+      val w0 = Array.ofDim[Double](inWidth, adWidth)
+      val mask = Array.ofDim[Double](inWidth, adWidth)
+      passthrough.zipWithIndex.foreach { case (raw, p) =>
+        w0(raw)(p) = 1.0 // frozen identity (mask stays 0)
+      }
+      var pos = passthrough.length
+      embeds.foreach { b =>
+        val sd = math.sqrt(2.0 / (b.width + b.k))
+        var r = 0
+        while (r < b.width) {
+          var j = 0
+          while (j < b.k) {
+            w0(b.offset + r)(pos + j) = rnd.nextGaussian() * sd
+            mask(b.offset + r)(pos + j) = 1.0
+            j += 1
+          }
+          r += 1
+        }
+        pos += b.k
+      }
+      (Some(Dense(w0, new Array[Double](adWidth),
+        LayerSpec(adWidth, Linear, bias = false))), mask)
+    }
+
+    // resolve sizes: softmax head trains K-1 logits (nn.go:299-306)
+    var last = adapterOpt.map(_.b.length).getOrElse(inWidth)
+    val userLayers = specs.toIndexedSeq.map { s =>
       val out = if (s.act == SoftMax) {
         require(s.size == nClasses,
           s"net: softmax size ${s.size} != nClasses $nClasses")
@@ -201,6 +268,7 @@ object Net {
       last = out
       Dense(w, b, s)
     }
+    val layers = adapterOpt.toIndexedSeq ++ userLayers
     val L = layers.length - 1
 
     // gradient accumulators + Adam state
@@ -343,17 +411,21 @@ object Net {
       var li = 0
       while (li < layers.length) {
         val l = layers(li)
+        val msk = if (li == 0) layer0Mask else null
         var i2 = 0
         while (i2 < l.w.length) {
           val wr = l.w(i2); val gr = gW(li)(i2)
           val mr = mW(li)(i2); val vr = vW(li)(i2)
+          val mskR = if (msk == null) null else msk(i2)
           var j2 = 0
           while (j2 < wr.length) {
-            val g = gr(j2)
-            mr(j2) = b1 * mr(j2) + (1 - b1) * g
-            vr(j2) = b2 * vr(j2) + (1 - b2) * g * g
-            wr(j2) -= lr * (mr(j2) / bc1) /
-              (math.sqrt(vr(j2) / bc2) + eps)
+            if (mskR == null || mskR(j2) == 1.0) {
+              val g = gr(j2)
+              mr(j2) = b1 * mr(j2) + (1 - b1) * g
+              vr(j2) = b2 * vr(j2) + (1 - b2) * g * g
+              wr(j2) -= lr * (mr(j2) / bc1) /
+                (math.sqrt(vr(j2) / bc2) + eps)
+            }
             gr(j2) = 0.0
             j2 += 1
           }
@@ -425,7 +497,7 @@ object Net {
     }
 
     NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
-      trainCost.toArray, validCost.toArray)
+      trainCost.toArray, validCost.toArray, embeds)
   }
 
   /** Fit from DataFrames: collects `featuresCol`/`labelCol` to the
@@ -434,8 +506,8 @@ object Net {
     */
   def fit(train: DataFrame, specs: Seq[LayerSpec], nClasses: Int,
       cfg: Config = Config(), featuresCol: String = "__features",
-      labelCol: String = "label", valid: Option[DataFrame] = None)
-      : NetModel = {
+      labelCol: String = "label", valid: Option[DataFrame] = None,
+      embeds: Seq[EmbedBlock] = Nil): NetModel = {
     def matrixOf(df: DataFrame): (Array[Array[Double]], Array[Double]) = {
       val capped = df.select(col(featuresCol), col(labelCol)
         .cast("double")).limit(cfg.maxRows + 1).collect()
@@ -448,6 +520,6 @@ object Net {
     val (x, y) = matrixOf(train)
     val (vx, vy) = valid.map(matrixOf)
       .getOrElse((Array.empty[Array[Double]], Array.empty[Double]))
-    fitLocal(x, y, specs, nClasses, cfg, vx, vy)
+    fitLocal(x, y, specs, nClasses, cfg, vx, vy, embeds)
   }
 }

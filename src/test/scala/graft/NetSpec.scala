@@ -104,6 +104,67 @@ class NetSpec extends SparkSuite {
     assert(m.validCost.length < 500, "should stop well before maxEpochs")
   }
 
+  test("joint embedding block: frozen passthrough, trained table, " +
+      "levels separate") {
+    // raw = [cts, onehot3]; class = level of the one-hot
+    val rnd = new scala.util.Random(13)
+    val x = Array.tabulate(300) { i =>
+      val lvl = i % 3
+      Array(rnd.nextGaussian() * 0.1,
+        if (lvl == 0) 1.0 else 0.0,
+        if (lvl == 1) 1.0 else 0.0,
+        if (lvl == 2) 1.0 else 0.0)
+    }
+    val y = Array.tabulate(300)(i => (i % 3).toDouble)
+    val block = Net.EmbedBlock(offset = 1, width = 3, k = 2)
+    val m = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(8, Net.Relu), Net.LayerSpec(3, Net.SoftMax)),
+      nClasses = 3,
+      Net.Config(batchSize = 30, epochs = 300, lrStart = 2e-2,
+        lrEnd = 5e-3),
+      embeds = Seq(block))
+    // adapter: 4 raw -> 1 passthrough + 2 embed dims; continuous slot
+    // passes through a FROZEN 1.0, off-block weights stay exactly 0
+    val w0 = m.layers(0).w
+    assert(w0(0)(0) == 1.0 && w0(0)(1) == 0.0 && w0(0)(2) == 0.0)
+    assert(w0(1)(0) == 0.0 && w0(2)(0) == 0.0 && w0(3)(0) == 0.0)
+    val table = m.embeddingTable(block)
+    assert(table.length == 3 && table(0).length == 2)
+    // gradients reached the table: rows moved apart and are nonzero
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum)
+    assert(d(table(0), table(1)) > 0.1)
+    assert(d(table(1), table(2)) > 0.1)
+    val acc = x.zip(y).count { case (v, yi) =>
+      m.predictOne(v).zipWithIndex.maxBy(_._1)._2 == yi.toInt
+    } / 300.0
+    assert(acc > 0.95, s"embed accuracy $acc")
+  }
+
+  test("fitNative trains E(f, k) jointly (adapter block present)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 300).map { i =>
+      val cat = Seq("a", "b", "c")(i % 3)
+      (rnd.nextGaussian() * 0.1, cat, i % 3)
+    }
+    val df = rows.toDF("x1", "cat", "y")
+    val layers = ModSpec.parse(Seq(
+      "Input(x1 + E(catoh, 2))",
+      "FC(size:8, activation:relu)",
+      "FC(size:3, activation:SoftMax)",
+      "Target(y)"))
+    val m = ModSpec.fitNative(layers, df, classification = true,
+      nClasses = 3,
+      cfg = Net.Config(batchSize = 30, epochs = 200, lrStart = 2e-2,
+        lrEnd = 5e-3))
+    assert(m.net.embeds.nonEmpty)
+    assert(m.net.embeds.head.k == 2)
+    val acc = m.transform(df)
+      .where(col("__predicted_class") === col("y")).count() / 300.0
+    assert(acc > 0.95, s"fitNative embed accuracy $acc")
+  }
+
   test("fitNative end-to-end: LeakyRelu + DropOut spec trains and " +
       "scores distributed") {
     import spark.implicits._
