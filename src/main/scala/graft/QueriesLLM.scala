@@ -98,6 +98,41 @@ object QueriesLLM {
       .orderBy(col("doc_a"), col("doc_b")),
     None)
 
+  /** MinHash-LSH in exact-recall parameterization, ORACLE-checked:
+    * with bands=64, rows=2 a true pair at J >= 0.8 escapes the
+    * candidate set with probability (1 - 0.8^2)^64 ≈ 5e-29 — beyond
+    * any float-rounding noise — so candidates + exact-Jaccard verify
+    * EQUALS the all-pairs answer, which DuckDB computes directly.
+    * (q42 keeps the production banding; this entry pins the LSH
+    * pipeline end-to-end against an exact oracle.)
+    */
+  private val q79_minhash_verified: Q = (
+    (s, dir) => Dedup.minhashDedup(
+      read(s, dir, "documents").where(col("doc_id") < 1000),
+      "doc_id", "text", shingleN = 3, bands = 64, rows = 2,
+      threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH n AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' ') AS w
+               FROM documents WHERE doc_id < 1000),
+                 sh AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+               FROM n)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_filter(a.sh,
+                       x -> list_contains(b.sh, x))) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                    AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
+            ORDER BY doc_a, doc_b"""))
+
   /** SimHash near-dup: 64-bit fingerprints, 16-bit-chunk candidate
     * buckets, Hamming verify. Rows-only (xxhash64-based).
     */
@@ -513,6 +548,7 @@ object QueriesLLM {
     "q41_jaccard_pairs" -> q41_jaccard_pairs,
     "q69_dup_clusters" -> q69_dup_clusters,
     "q42_dedup_minhash" -> q42_dedup_minhash,
+    "q79_minhash_verified" -> q79_minhash_verified,
     "q43_dedup_simhash" -> q43_dedup_simhash,
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
     "q45_ann_topk" -> q45_ann_topk,
