@@ -250,6 +250,30 @@ object ModSpec {
     NativeModel(prep, net, target.field)
   }
 
+  /** Persist a native fit: MLlib feature prep + net weights + target
+    * (the reference's <root>S.nn / <root>P.nn split, nn.go:441-486).
+    */
+  def saveNative(m: NativeModel, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    m.prep.write.overwrite().save(s"$dir/prep")
+    Net.save(m.net, s"$dir/net")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/target.txt"),
+      m.targetCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[saveNative]] directory; the returned model scores
+    * distributed exactly as the original.
+    */
+  def loadNative(dir: String): NativeModel = {
+    val prep = PipelineModel.load(s"$dir/prep")
+    val net = Net.load(s"$dir/net")
+    val target = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/target.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    NativeModel(prep, net, target)
+  }
+
   /** A fitted spec whose `E(f, k)` features carry their trained
     * embedding models: transform applies the lookups, then the
     * pipeline.

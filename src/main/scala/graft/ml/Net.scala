@@ -500,6 +500,73 @@ object Net {
       trainCost.toArray, validCost.toArray, embeds)
   }
 
+  /** Save a fitted net as `<fileRoot>P.nn` — the reference's
+    * parameter-file shape (nn.go:441-486: JSON weights, spec saved
+    * separately by the caller).
+    */
+  def save(m: NetModel, fileRoot: String): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    def actName(a: Act): String = a match {
+      case Linear => "linear"
+      case Relu => "relu"
+      case LeakyRelu(al) => s"leakyrelu($al)"
+      case Sigmoid => "sigmoid"
+      case SoftMax => "softmax"
+    }
+    val j =
+      ("nClasses" -> m.nClasses) ~
+        ("embeds" -> m.embeds.map(b =>
+          ("offset" -> b.offset) ~ ("width" -> b.width) ~ ("k" -> b.k))) ~
+        ("layers" -> m.layers.map { l =>
+          ("size" -> l.spec.size) ~
+            ("act" -> actName(l.spec.act)) ~
+            ("bias" -> l.spec.bias) ~
+            ("dropProb" -> l.spec.dropProb) ~
+            ("w" -> l.w.map(_.toSeq).toSeq) ~
+            ("b" -> l.b.toSeq)
+        })
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fileRoot + "P.nn"),
+      JsonMethods.compact(JsonMethods.render(j))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a net saved by [[save]]. */
+  def load(fileRoot: String): NetModel = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fileRoot + "P.nn")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val lrRe = """leakyrelu\(([-\d.eE+]+)\)""".r
+    def act(s: String): Act = s match {
+      case "linear" => Linear
+      case "relu" => Relu
+      case lrRe(a) => LeakyRelu(a.toDouble)
+      case "sigmoid" => Sigmoid
+      case "softmax" => SoftMax
+      case other => throw new IllegalArgumentException(
+        s"net: unknown activation '$other' in saved model")
+    }
+    val layers = (j \ "layers").extract[Seq[JValue]].map { lj =>
+      Dense(
+        (lj \ "w").extract[Seq[Seq[Double]]].map(_.toArray).toArray,
+        (lj \ "b").extract[Seq[Double]].toArray,
+        LayerSpec((lj \ "size").extract[Int],
+          act((lj \ "act").extract[String]),
+          (lj \ "bias").extract[Boolean],
+          (lj \ "dropProb").extract[Double]))
+    }.toIndexedSeq
+    val embeds = (j \ "embeds").extract[Seq[JValue]].map(bj =>
+      EmbedBlock((bj \ "offset").extract[Int],
+        (bj \ "width").extract[Int], (bj \ "k").extract[Int]))
+    NetModel(layers, (j \ "nClasses").extract[Int],
+      Array.empty, Array.empty, embeds)
+  }
+
   /** Fit from DataFrames: collects `featuresCol`/`labelCol` to the
     * driver (row-capped — the reference's own memory envelope), trains
     * locally, returns a model that SCORES distributed.

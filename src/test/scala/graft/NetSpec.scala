@@ -141,6 +141,30 @@ class NetSpec extends SparkSuite {
     assert(acc > 0.95, s"embed accuracy $acc")
   }
 
+  test("save/load round-trip: identical predictions, embeds and " +
+      "spec metadata preserved") {
+    val x = Array.tabulate(60)(i => Array(i / 30.0 - 1.0,
+      if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 1) 1.0 else 0.0))
+    val y = Array.tabulate(60)(i => (i % 2).toDouble)
+    val block = Net.EmbedBlock(1, 2, 2)
+    val m = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(4, Net.LeakyRelu(0.05), dropProb = 0.1),
+        Net.LayerSpec(2, Net.SoftMax)),
+      nClasses = 2, Net.Config(batchSize = 10, epochs = 30),
+      embeds = Seq(block))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_net").toString + "/model"
+    Net.save(m, root)
+    val loaded = Net.load(root)
+    assert(loaded.nClasses == 2)
+    assert(loaded.embeds == Seq(block))
+    assert(loaded.layers(1).spec.act == Net.LeakyRelu(0.05))
+    assert(loaded.layers(1).spec.dropProb == 0.1)
+    x.take(10).foreach { v =>
+      assert(m.predictOne(v).sameElements(loaded.predictOne(v)))
+    }
+  }
+
   test("fitNative trains E(f, k) jointly (adapter block present)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
