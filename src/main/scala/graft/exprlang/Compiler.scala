@@ -43,7 +43,17 @@ class Compiler(df: DataFrame, seqCol: Option[String],
   private def seqName: String = seqCol.getOrElse(
     throw new IllegalStateException(
       "order-dependent function needs an explicit row order (seq column)"))
-  private def w: WindowSpec = Window.orderBy(col(seqName).asc)
+  private def w: WindowSpec = {
+    // the bare-Column path has nowhere to stage the bucket aggregate;
+    // surface the single-partition funnel instead of silently
+    // shipping it (use Formula.addToPipe for the partition-safe plan)
+    if (!partitionSafe && !Compiler.warnedGlobalWindow.getAndSet(true))
+      System.err.println("[graft] WARN: order-dependent formula " +
+        "function compiled via Formula.column uses an UNPARTITIONED " +
+        "window (whole frame through one task). Use Formula.addToPipe " +
+        "for the partition-safe bucketed plan.")
+    Window.orderBy(col(seqName).asc)
+  }
   private def pw: WindowSpec =
     Window.partitionBy(col(Bucket)).orderBy(col(seqName).asc)
   private def ow: WindowSpec = if (partitionSafe) pw else w
@@ -473,6 +483,10 @@ object Financial {
 object Compiler {
   /** Seq-range bucket column used by the partition-safe window path. */
   val Bucket = "__fbkt"
+
+  /** Once-per-JVM latch for the bare-Column global-window warning. */
+  private[exprlang] val warnedGlobalWindow =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Rows per bucket for partition-safe order functions: small enough
     * that one bucket is one task's worth of work, large enough that
