@@ -140,6 +140,15 @@ object TextAnalysis {
     * broadcasts when small) -> per-doc top-k via a window PARTITIONED
     * by doc_id. N arrives as a broadcast 1-row cross join, not a
     * driver collect. Ties break on term so output is deterministic.
+    *
+    * The doc-frequency branch re-aggregates from a second corpus scan
+    * (column pruning strips `tf` from the shared subtree, so the
+    * exchange can't be reused) — deliberate: the alternative, a
+    * count window PARTITIONED BY term over the tf rows, funnels every
+    * posting of a stopword-grade term through one task. Two partial-
+    * aggregated scans are skew-immune; Spark's WindowGroupLimit then
+    * keeps only k rows per doc per partition ahead of the final
+    * shuffle (asserted in PlanGuardSpec).
     */
   def tfidfTopK(df: DataFrame, docId: String, text: String,
       k: Int = 3): DataFrame = {

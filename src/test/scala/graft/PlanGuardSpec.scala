@@ -57,6 +57,24 @@ class PlanGuardSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("tfidf top-k pushes the rank limit below the final shuffle " +
+      "(WindowGroupLimit) and broadcasts idf + N (q76)") {
+    val p = planOf(q("q76_tfidf_topk"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ngram counts: one explode feeding one partial-aggregated " +
+      "count, no window (q77)") {
+    val p = planOf(q("q77_ngram_topk"))
+    assert(p.contains("Generate"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    // top-20 rides TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("native cosine expression appears in the plan (no UDF wrapper)") {
     val e = QH.read(spark, TestSpark.sfDir, "embeddings")
     val df = e.select(graft.llmdata.Similarity.cosine(
