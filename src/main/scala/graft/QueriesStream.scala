@@ -108,8 +108,42 @@ object QueriesStream {
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id"""))
 
+  /** Stream-stream interval join in batch mode: view -> purchase by
+    * the same user within 1 hour (the attribution shape; in streaming
+    * both sides are watermarked and state is evicted by the bound).
+    * Delay reported in exact microseconds — second-rounding would
+    * diverge between engines.
+    */
+  private val q80_interval_join: Q = (
+    (s, dir) => {
+      val ev = read(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Streams.intervalJoin(views, buys, "user_id", "ts", "1 HOUR")
+        .select(col("l_user_id").as("user_id"),
+          col("l_event_id").as("view_id"),
+          col("r_event_id").as("purchase_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+            .as("delay_us"))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    },
+    Some("""WITH src AS (SELECT event_id, user_id,
+                                CAST(ts AS TIMESTAMP) AS ts, event_type
+                         FROM events)
+            SELECT v.user_id AS user_id, v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+            FROM src v JOIN src p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+            ORDER BY user_id, view_id, purchase_id"""))
+
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
+    "q80_interval_join" -> q80_interval_join,
     "q53_stream_tumbling" -> q53_stream_tumbling,
     "q54_stream_sliding" -> q54_stream_sliding,
     "q55_stream_session" -> q55_stream_session,

@@ -79,6 +79,28 @@ object Streams {
     * stay open); "complete" re-emits all windows each batch (bounded
     * window count only).
     */
+  /** Stream-stream interval join: each left event matched to right
+    * events with the SAME `keyCol` whose `tsCol` falls in
+    * `[left.ts, left.ts + maxDelay]` — the attribution pattern
+    * (view -> purchase within the hour). One code path for both
+    * modes: in batch this is a plain range-condition join (and
+    * oracle-checkable); in streaming, watermark BOTH inputs before
+    * calling and Spark bounds the join state from the interval, so
+    * old rows are evicted instead of accumulating forever. Columns
+    * come out prefixed `l_` / `r_`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, maxDelay: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxDelay"))
+  }
+
   def runStreaming(spark: SparkSession, path: String,
       transform: DataFrame => DataFrame, queryName: String,
       watermark: String = "1 hour",

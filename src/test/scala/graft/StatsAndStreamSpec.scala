@@ -144,6 +144,42 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(streamed == batchEvents)
   }
 
+  test("stream-stream interval join with watermarks matches the " +
+      "batch join (state-bounded attribution)") {
+    val dir = TestSpark.sfDir
+    val ev = QH.read(spark, dir, "events")
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val want = Streams.intervalJoin(side("view"), side("purchase"),
+      "user_id", "ts", "1 HOUR").count()
+    assert(want > 0)
+
+    val schema = ev.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def streamSide(t: String) = {
+      val raw = spark.readStream
+        .schema(spark.read.parquet(tmp.toString).schema)
+        .parquet(tmp.toString)
+      val ts = if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+      ts.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+    }
+    val q = Streams.intervalJoin(streamSide("view"),
+        streamSide("purchase"), "user_id", "ts", "1 HOUR")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_ssj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(*) FROM t_ssj").head().getLong(0)
+      == want)
+  }
+
   test("flatMapGroupsWithState carries per-user running state across " +
       "micro-batches") {
     val dir = TestSpark.sfDir
