@@ -142,6 +142,59 @@ object QueriesLLM {
       .orderBy(col("doc_a"), col("doc_b")),
     None)
 
+  /** Portable SimHash, ORACLE-checked end-to-end: 60-bit fingerprints
+    * from two char-polynomial token hashes (DuckDB recomputes the
+    * EXACT fingerprints — murmur3/xxhash64 can't cross engines), chunk
+    * banding with the pigeonhole recall guarantee (chunks >=
+    * maxHamming+1, so candidates+verify IS the all-pairs answer), and
+    * all-pairs bit_count(xor) in the oracle. q43 keeps the 64-bit
+    * production hash; this pins the whole simhash pipeline.
+    * maxHamming 3 (chunks = 4 >= 3+1, guarantee intact; 15-bit chunk
+    * keys keep buckets selective on this shared-vocab corpus —
+    * looser bands flood the candidate join with skewed buckets).
+    */
+  private val q81_simhash_portable: Q = (
+    (s, dir) => {
+      // cache the (doc, fp) frame — 8 bytes/doc — so the candidate
+      // self-join doesn't recompute the fingerprint UDF per side
+      val fp = Dedup.simhashPortableDf(
+        read(s, dir, "documents"), "doc_id", "text").cache()
+      Dedup.hammingPairs(fp, maxHamming = 3, bits = 60)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents),
+                 hs AS (SELECT doc_id,
+                 list_transform(w, t ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(t, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)
+                   + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(t, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 137 + b) % 998244353) << 30)) AS hs
+               FROM n),
+                 fp AS (SELECT doc_id,
+                 list_reduce(list_transform(range(0, 60), j ->
+                   CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                       CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+                            THEN 1 ELSE -1 END)), 0) > 0
+                     THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                     ELSE CAST(0 AS BIGINT) END),
+                   (a, b) -> a | b) AS fp
+               FROM hs)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY doc_a, doc_b"""))
+
   /** Embedding-cosine near-dup pairs on a bounded range — exact,
     * oracle-checked against DuckDB's list_cosine_similarity.
     */
@@ -550,6 +603,7 @@ object QueriesLLM {
     "q42_dedup_minhash" -> q42_dedup_minhash,
     "q79_minhash_verified" -> q79_minhash_verified,
     "q43_dedup_simhash" -> q43_dedup_simhash,
+    "q81_simhash_portable" -> q81_simhash_portable,
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
     "q45_ann_topk" -> q45_ann_topk,
     "q46_ann_lsh" -> q46_ann_lsh,

@@ -381,14 +381,21 @@ object Dedup {
     * loses the guarantee and is explicitly best-effort.
     */
   def simhashDedup(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 0): DataFrame =
+    hammingPairs(simhashDf(df, id, text), maxHamming, chunks, bits = 64)
+
+  /** Chunk-bucket candidate join + exact Hamming verify over a
+    * fingerprint frame `(doc, fp)` — the banding stage shared by the
+    * 64-bit and portable simhash variants.
+    */
+  def hammingPairs(fp: DataFrame, maxHamming: Int, chunks: Int = 0,
+      bits: Int = 64): DataFrame = {
     val c =
       if (chunks > 0) chunks
       else math.min(16, math.max(4, maxHamming + 1))
-    // chunk i covers bits [i*64/c, (i+1)*64/c) — widths differ by at
-    // most 1, all 64 bits covered, no chunk ever empty
-    val bounds = (0 to c).map(i => i * 64 / c)
-    val fp = simhashDf(df, id, text)
+    // chunk i covers bits [i*bits/c, (i+1)*bits/c) — widths differ by
+    // at most 1, all bits covered, no chunk ever empty
+    val bounds = (0 to c).map(i => i * bits / c)
     val chunked = fp.select(col("doc"), col("fp"), posexplode(array(
       (0 until c).map { i =>
         val lo = bounds(i); val w = bounds(i + 1) - lo
@@ -408,4 +415,55 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** ENGINE-PORTABLE simhash: 60-bit fingerprint from two independent
+    * char-polynomial token hashes (the q51 trick twice — bits 0..29
+    * from base 131 mod 1e9+7, bits 30..59 from base 137 mod
+    * 998244353), so an SQL oracle can recompute the exact fingerprints
+    * (Spark murmur3/xxhash64 cannot be reproduced in DuckDB). Same
+    * normalize + per-occurrence bit votes as [[simhashUdf]]; vote ties
+    * resolve to 0 in both engines.
+    */
+  def simhashPortableDf(df: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val f = udf { (t: String) =>
+      val sb = new StringBuilder(t.length)
+      t.foreach { c0 =>
+        val c = Character.toLowerCase(c0)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+          sb.append(c)
+      }
+      val votes = new Array[Int](60)
+      sb.toString.trim.split(" +").foreach { tok =>
+        if (tok.nonEmpty) {
+          var h1 = 0L; var h2 = 0L
+          var i = 0
+          while (i < tok.length) {
+            h1 = (h1 * 131L + tok.charAt(i)) % 1000000007L
+            h2 = (h2 * 137L + tok.charAt(i)) % 998244353L
+            i += 1
+          }
+          val z = h1 + (h2 << 30)
+          var b = 0
+          while (b < 60) {
+            votes(b) += (if (((z >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      fp
+    }
+    graft.QH.spread(df).select(col(id).as("doc"), f(col(text)).as("fp"))
+  }
+
+  /** Portable-simhash near-dup pairs: same pigeonhole recall guarantee
+    * as [[simhashDedup]], oracle-reproducible fingerprints.
+    */
+  def simhashPortableDedup(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, chunks: Int = 0): DataFrame =
+    hammingPairs(simhashPortableDf(df, id, text), maxHamming, chunks,
+      bits = 60)
 }

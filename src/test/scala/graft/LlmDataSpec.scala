@@ -112,6 +112,28 @@ class LlmDataSpec extends SparkSuite {
     }
   }
 
+  test("portable simhash: banded pairs equal brute-force Hamming, " +
+      "and fingerprints use only the 60 portable bits") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fps = Dedup.simhashPortableDf(docs, "doc_id", "text")
+    // no fingerprint sets bits 60..63 (the oracle computes 60 bits)
+    assert(fps.where(shiftright(col("fp"), 60) =!= 0L).count() == 0)
+    val banded = Dedup.simhashPortableDedup(docs, "doc_id", "text",
+        maxHamming = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = fps.select(col("doc").as("da"), col("fp").as("fa"))
+    val b = fps.select(col("doc").as("db"), col("fp").as("fb"))
+    val exact = a.join(b, col("da") < col("db"))
+      .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 3)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact,
+      s"missed ${(exact -- banded).size} of ${exact.size} pairs")
+  }
+
   test("duplicateClusters: min-label propagation finds connected " +
       "components (chain + pair + untouched singleton)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 5L))
