@@ -196,7 +196,13 @@ object Net {
       specs: Seq[LayerSpec], nClasses: Int, cfg: Config = Config(),
       validX: Array[Array[Double]] = Array.empty,
       validY: Array[Double] = Array.empty,
-      embeds: Seq[EmbedBlock] = Nil): NetModel = {
+      embeds: Seq[EmbedBlock] = Nil,
+      // test instrumentation: called once with (init layers,
+      // accumulated gW, accumulated gB) after the FIRST batch's
+      // backprop, before any weight update — lets a spec compare
+      // analytic gradients against finite differences of the cost
+      gradProbe: (IndexedSeq[Dense], Seq[Array[Array[Double]]],
+        Seq[Array[Double]]) => Unit = null): NetModel = {
     require(x.nonEmpty, "net: empty training set")
     require(x.length == y.length, "net: x/y length mismatch")
     require(specs.nonEmpty, "net: no layers")
@@ -476,6 +482,7 @@ object Net {
         val hi = math.min(lo + cfg.batchSize, n)
         var r = lo
         while (r < hi) { backprop(x(idx(r)), y(idx(r)), hi - lo); r += 1 }
+        if (gradProbe != null && step == 0) gradProbe(layers, gW, gB)
         adamStep(lr)
         bi += 1
       }

@@ -141,6 +141,85 @@ class NetSpec extends SparkSuite {
     assert(acc > 0.95, s"embed accuracy $acc")
   }
 
+  test("analytic gradients match finite differences through " +
+      "leakyRelu, sigmoid, softmax and an embedding adapter") {
+    val rnd = new scala.util.Random(19)
+    // raw = [2 continuous, 3-level one-hot]; 3 classes
+    val x = Array.tabulate(7) { i =>
+      val lvl = i % 3
+      Array(rnd.nextGaussian(), rnd.nextGaussian(),
+        if (lvl == 0) 1.0 else 0.0, if (lvl == 1) 1.0 else 0.0,
+        if (lvl == 2) 1.0 else 0.0)
+    }
+    val y = Array.tabulate(7)(i => (i % 3).toDouble)
+    val specs = Seq(
+      Net.LayerSpec(4, Net.LeakyRelu(0.1)),
+      Net.LayerSpec(3, Net.Sigmoid),
+      Net.LayerSpec(3, Net.SoftMax))
+    val embeds = Seq(Net.EmbedBlock(2, 3, 2))
+
+    var snap: IndexedSeq[Net.Dense] = null
+    var gw: Seq[Array[Array[Double]]] = null
+    var gb: Seq[Array[Double]] = null
+    Net.fitLocal(x, y, specs, nClasses = 3,
+      Net.Config(batchSize = 7, epochs = 1, shuffleEachEpoch = false),
+      embeds = embeds,
+      gradProbe = (ls, w, b) => {
+        snap = ls.map(l => Net.Dense(l.w.map(_.clone()), l.b.clone(),
+          l.spec))
+        gw = w.map(_.map(_.clone()))
+        gb = b.map(_.clone())
+      })
+    assert(snap != null)
+
+    // cost at a weight assignment: CE / (n*K), exactly what backprop
+    // differentiates when the batch is the whole set
+    def costAt(ls: IndexedSeq[Net.Dense]): Double = {
+      val m = Net.NetModel(ls, 3, Array.empty, Array.empty)
+      x.zip(y).map { case (xi, yi) =>
+        -math.log(math.max(m.predictOne(xi)(yi.toInt), 1e-300))
+      }.sum / (x.length * 3.0)
+    }
+    val h = 1e-6
+    var checked = 0
+    var maxRel = 0.0
+    for (li <- snap.indices; i <- snap(li).w.indices;
+         j <- snap(li).w(i).indices) {
+      def perturb(d: Double): IndexedSeq[Net.Dense] = {
+        val c = snap.map(l => Net.Dense(l.w.map(_.clone()),
+          l.b.clone(), l.spec))
+        c(li).w(i)(j) += d
+        c
+      }
+      val fd = (costAt(perturb(h)) - costAt(perturb(-h))) / (2 * h)
+      val an = gw(li)(i)(j)
+      val rel = math.abs(fd - an) / math.max(1e-8,
+        math.max(math.abs(fd), math.abs(an)))
+      if (math.abs(fd) > 1e-10 || math.abs(an) > 1e-10) {
+        maxRel = math.max(maxRel, rel); checked += 1
+      }
+    }
+    // bias gradients too
+    for (li <- snap.indices; j <- snap(li).b.indices
+         if snap(li).spec.bias) {
+      def perturb(d: Double): IndexedSeq[Net.Dense] = {
+        val c = snap.map(l => Net.Dense(l.w.map(_.clone()),
+          l.b.clone(), l.spec))
+        c(li).b(j) += d
+        c
+      }
+      val fd = (costAt(perturb(h)) - costAt(perturb(-h))) / (2 * h)
+      val an = gb(li)(j)
+      val rel = math.abs(fd - an) / math.max(1e-8,
+        math.max(math.abs(fd), math.abs(an)))
+      if (math.abs(fd) > 1e-10 || math.abs(an) > 1e-10) {
+        maxRel = math.max(maxRel, rel); checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked gradients checked")
+    assert(maxRel < 1e-4, s"max relative gradient error $maxRel")
+  }
+
   test("save/load round-trip: identical predictions, embeds and " +
       "spec metadata preserved") {
     val x = Array.tabulate(60)(i => Array(i / 30.0 - 1.0,
