@@ -151,14 +151,22 @@ object TextAnalysis {
     * shuffle (asserted in PlanGuardSpec).
     */
   def tfidfTopK(df: DataFrame, docId: String, text: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, singleScan: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = df.where(col(text).isNotNull)
     val toks = docs.select(col(docId),
         explode(split(lower(col(text)), " ")).as("term"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy(col(docId), col("term"))
+    val tf0 = toks.groupBy(col(docId), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // singleScan: persist the (doc, term, tf) postings so the
+    // doc-frequency branch reads them back instead of re-tokenizing
+    // the corpus (column pruning otherwise splits the subtree and the
+    // exchange is not reused). Costs shuffle-sized disk-backed
+    // storage; wins when tokenize/decode dominates.
+    val tf = if (singleScan)
+      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tf0
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

@@ -302,6 +302,19 @@ class LlmDataSpec extends SparkSuite {
     assert(k2.length == 2)
   }
 
+  test("tfidf singleScan (persisted postings) returns the same rows " +
+      "as the two-scan plan") {
+    import spark.implicits._
+    val df = Seq((1L, "common zebra zebra"), (2L, "common filler"),
+      (3L, "common filler text here")).toDF("doc_id", "text")
+    def rows(single: Boolean) =
+      TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2,
+        singleScan = single)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    assert(rows(single = true) == rows(single = false))
+  }
+
   test("ngram counts: contiguous bigrams with exact counts, short " +
       "docs dropped") {
     import spark.implicits._
