@@ -21,11 +21,26 @@ import org.apache.spark.sql.functions._
 final case class SeaFrame(
     df: DataFrame,
     schema: FeatureSchema,
-    seqCol: Option[String] = None) {
+    seqCol: Option[String] = None,
+    /** Sortedness metadata (reference gdata.go:31-32, 496-503):
+      * (field, ascending) after [[sort]], cleared by anything that
+      * breaks the order. The reference's Join uses it to skip
+      * re-sorting; here Catalyst plans sorts itself, so this is
+      * informational parity for callers that branch on IsSorted().
+      */
+    sortedBy: Option[(String, Boolean)] = None) {
 
   import SeaFrame.SEQ
 
   def spark: SparkSession = df.sparkSession
+
+  /** IsSorted (gdata.go:496-498). */
+  def isSorted: Boolean = sortedBy.isDefined
+
+  /** SortField: the field the frame is sorted on, "" if none
+    * (gdata.go:501-503).
+    */
+  def sortField: String = sortedBy.map(_._1).getOrElse("")
 
   /** Columns excluding the internal order column. */
   def dataColumns: Seq[String] = df.columns.toSeq.filterNot(_ == SEQ)
@@ -48,12 +63,14 @@ final case class SeaFrame(
 
   /** Where: IN-list equality filter (gdata.go:897-969). */
   def whereIn(field: String, values: Seq[Any]): SeaFrame =
-    reseq(copy(df = df.where(df(field).isin(values: _*))))
+    reseq(copy(df = df.where(df(field).isin(values: _*)),
+      sortedBy = None))
 
   /** Slice: arbitrary boolean-Column predicate (gdata.go:306-419);
     * compose predicates with && / || (SlicerAnd/Or slicer.go:73-84).
     */
-  def slice(pred: Column): SeaFrame = reseq(copy(df = df.where(pred)))
+  def slice(pred: Column): SeaFrame =
+    reseq(copy(df = df.where(pred), sortedBy = None))
 
   /** The reference's Slice/Where produce a NEW pipeline whose rows are
     * renumbered 0..n-1 (gdata.go:306-419); keep that semantic by
@@ -83,7 +100,7 @@ final case class SeaFrame(
     val out = joined
       .select((dataColumns.map(joined(_)) :+
         joined("__seq_new").as(SEQ)): _*)
-    copy(df = out, seqCol = Some(SEQ))
+    copy(df = out, seqCol = Some(SEQ), sortedBy = None)
   }
 
   /** Row: take the single row at position `n`, renumbered to 0
@@ -112,7 +129,7 @@ final case class SeaFrame(
     resequenced { tmp =>
       val key = if (ascending) tmp(field).asc else tmp(field).desc
       Seq(key)
-    }
+    }.copy(sortedBy = Some(field -> ascending))
 
   /** Shuffle: seeded permutation (gdata.go:506-510). The permutation
     * key is a deterministic seeded hash (not `rand`): withSequence
@@ -128,7 +145,7 @@ final case class SeaFrame(
           (dataColumns.map(tmp(_)) :+ lit(seed)): _*)
       }
       Seq(salt.asc)
-    }
+    }.copy(sortedBy = None) // gdata.go:507 clears sortField
 
   /** Re-derive the sequence by new sort keys (previous sequence as the
     * tiebreak when present), via the range-partitioned withSequence
@@ -172,11 +189,11 @@ final case class SeaFrame(
           .withColumn(SEQ, other.df(os) + lit(n))
           .select((fields :+ SEQ).map(c => col(c)): _*)
         copy(df = df.select((fields :+ SEQ).map(c => df(c)): _*)
-          .unionByName(right))
+          .unionByName(right), sortedBy = None)
       case _ =>
         copy(df = df.select(fields.map(df(_)): _*)
           .unionByName(other.df.select(fields.map(other.df(_)): _*)),
-          seqCol = None)
+          seqCol = None, sortedBy = None)
     }
   }
 

@@ -70,6 +70,22 @@ class SeaFrameSpec extends SparkSuite {
     assert(sorted.row(0).result.select("k").head().getString(0) == "b")
   }
 
+  test("sortedness metadata: set by sort, cleared by shuffle/slice/" +
+      "append (gdata.go:496-507)") {
+    assert(!pipe.isSorted && pipe.sortField == "")
+    val sorted = pipe.sort("v")
+    assert(sorted.isSorted && sorted.sortField == "v")
+    assert(sorted.sortedBy.contains("v" -> true))
+    assert(pipe.sort("v", ascending = false).sortedBy
+      .contains("v" -> false))
+    assert(!sorted.shuffle(1L).isSorted)
+    assert(!sorted.slice(col("v") > 2.0).isSorted)
+    assert(!sorted.append(pipe).isSorted)
+    // projections keep the flag (the reference's Keep/Drop don't
+    // touch sortField)
+    assert(sorted.keep(Seq("v")).isSorted)
+  }
+
   test("shuffle is a seeded permutation (gdata.go:506-510)") {
     val sh = pipe.shuffle(seed = 7)
     val ks = sh.result.select("k").collect().map(_.getString(0)).toSet
