@@ -32,7 +32,8 @@ object ModSpec {
 
   sealed trait Layer
   case class Input(features: Seq[FeatureRef]) extends Layer
-  case class FC(size: Int, activation: String) extends Layer
+  case class FC(size: Int, activation: String,
+      bias: Boolean = true) extends Layer
   case class DropOut(p: Double) extends Layer
   case class Target(field: String) extends Layer
 
@@ -42,7 +43,7 @@ object ModSpec {
     */
   case class FeatureRef(name: String, oneHot: Boolean, embed: Int = 0)
 
-  private val fcRe = """FC\(\s*size:(\d+)\s*(?:,\s*activation:([\w.()]+))?\s*\)""".r
+  private val fcRe = """FC\(\s*size:(\d+)\s*(?:,\s*activation:([\w.()]+))?\s*(?:,\s*bias:(true|false))?\s*\)""".r
   private val doRe = """DropOut\(([\d.]+)\)""".r
   private val inRe = """Input\((.+)\)""".r
   private val tgRe = """Target\((\w+)\)""".r
@@ -56,8 +57,9 @@ object ModSpec {
         oneHot = true)
       case f => FeatureRef(f, oneHot = false)
     }.toIndexedSeq)
-    case fcRe(size, act) => FC(size.toInt,
-      Option(act).getOrElse("linear"))
+    case fcRe(size, act, bias) => FC(size.toInt,
+      Option(act).getOrElse("linear"),
+      Option(bias).forall(_.toBoolean)) // default true (modspec.go:173)
     case doRe(p) => DropOut(p.toDouble)
     case tgRe(f) => Target(f)
     case other => throw new IllegalArgumentException(
@@ -233,8 +235,8 @@ object ModSpec {
     // FC -> LayerSpec; a DropOut layer attaches to the preceding FC
     val specs = scala.collection.mutable.ArrayBuffer[Net.LayerSpec]()
     layers.foreach {
-      case FC(size, act) =>
-        specs += Net.LayerSpec(size, parseAct(act))
+      case FC(size, act, bias) =>
+        specs += Net.LayerSpec(size, parseAct(act), bias = bias)
       case DropOut(p) =>
         require(specs.nonEmpty, "modspec: DropOut before any FC layer")
         specs(specs.length - 1) =

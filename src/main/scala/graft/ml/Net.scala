@@ -55,7 +55,8 @@ object Net {
       seed: Long = 42L,
       shuffleEachEpoch: Boolean = true,
       patience: Int = 5,             // early-stop wait on validation
-      maxRows: Int = 1 << 21)        // driver-collect guard
+      maxRows: Int = 1 << 21,        // driver-collect guard
+      l2: Double = 0.0)              // WithL2Reg (nn.go:666-672)
 
   /** Weights of one layer: w(in)(out), b(out). */
   final case class Dense(w: Array[Array[Double]], b: Array[Double],
@@ -426,7 +427,9 @@ object Net {
           var j2 = 0
           while (j2 < wr.length) {
             if (mskR == null || mskR(j2) == 1.0) {
-              val g = gr(j2)
+              // L2 folds into the gradient at the solver, as
+              // gorgonia's WithL2Reg does (nn.go:728-729)
+              val g = gr(j2) + cfg.l2 * wr(j2)
               mr(j2) = b1 * mr(j2) + (1 - b1) * g
               vr(j2) = b2 * vr(j2) + (1 - b2) * g * g
               wr(j2) -= lr * (mr(j2) / bc1) /
@@ -440,7 +443,7 @@ object Net {
         if (l.spec.bias) {
           var j2 = 0
           while (j2 < l.b.length) {
-            val g = gB(li)(j2)
+            val g = gB(li)(j2) + cfg.l2 * l.b(j2)
             mB(li)(j2) = b1 * mB(li)(j2) + (1 - b1) * g
             vB(li)(j2) = b2 * vB(li)(j2) + (1 - b2) * g * g
             l.b(j2) -= lr * (mB(li)(j2) / bc1) /

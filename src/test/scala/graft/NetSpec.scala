@@ -141,6 +141,33 @@ class NetSpec extends SparkSuite {
     assert(acc > 0.95, s"embed accuracy $acc")
   }
 
+  test("L2 regularization shrinks weight norms; bias:false parses " +
+      "and keeps biases at zero") {
+    val rnd = new scala.util.Random(23)
+    val x = Array.tabulate(120)(_ => Array(rnd.nextGaussian(),
+      rnd.nextGaussian()))
+    val y = x.map(v => if (v(0) > 0) 1.0 else 0.0)
+    def norm(m: Net.NetModel) = math.sqrt(
+      m.layers.map(_.w.map(_.map(w => w * w).sum).sum).sum)
+    def run(l2: Double) = Net.fitLocal(x, y,
+      Seq(Net.LayerSpec(8, Net.Relu), Net.LayerSpec(2, Net.SoftMax)),
+      nClasses = 2,
+      Net.Config(batchSize = 20, epochs = 150, l2 = l2))
+    assert(norm(run(0.1)) < norm(run(0.0)))
+
+    val layers = ModSpec.parse(Seq("Input(x1)",
+      "FC(size:4, activation:relu, bias:false)",
+      "FC(size:2, activation:SoftMax)", "Target(y)"))
+    val fc = layers.collect { case f: ModSpec.FC => f }
+    assert(!fc.head.bias && fc.last.bias)
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i / 30.0 - 1.0, if (i > 30) 1 else 0))
+      .toDF("x1", "y")
+    val m = ModSpec.fitNative(layers, df, classification = true,
+      nClasses = 2, cfg = Net.Config(batchSize = 20, epochs = 30))
+    assert(m.net.layers(0).b.forall(_ == 0.0)) // bias:false frozen
+  }
+
   test("analytic gradients match finite differences through " +
       "leakyRelu, sigmoid, softmax and an embedding adapter") {
     val rnd = new scala.util.Random(19)
