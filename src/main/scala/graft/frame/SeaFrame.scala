@@ -309,6 +309,6 @@ object SeaFrame {
   def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame =
     SeaFrame(
       org.apache.spark.sql.GraftBridge
-        .sortedZipWithSequence(df, orderBy, SEQ)._1,
+        .singlePassSortedZip(df, orderBy, SEQ)._1,
       FeatureSchema.empty, Some(SEQ))
 }
