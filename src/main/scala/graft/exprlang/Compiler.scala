@@ -242,9 +242,17 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       case "strPos" => // 1-based; -1 when absent (not 0 — parser.go:1090)
         when(instr(a(0), singleString(args(1))) === 0, -1.0)
           .otherwise(instr(a(0), singleString(args(1))).cast("double"))
-      case "strCount" => // non-overlapping count, float64 return
-        ((length(a(0)) - length(replace(a(0), singleString(args(1)), lit("")))) /
-          length(singleString(args(1)))).cast("double")
+      case "strCount" => // non-overlapping count, float64 return.
+        // Empty needle is a clean error: the reference's skip=len(look)
+        // scan never advances on "" (parser.go:1006-1018, an infinite
+        // loop there) — ours raises like its other degenerate inputs.
+        val needle = singleString(args(1))
+        when(length(needle) === 0,
+          raise_error(lit("strCount: empty search string"))
+            .cast("double"))
+          .otherwise(((length(a(0)) -
+            length(replace(a(0), needle, lit("")))) /
+            length(needle)).cast("double"))
 
       // ---- order-dependent (data.go:458-550, parser.go:1357-1372)
       case "lag" =>
@@ -497,19 +505,51 @@ object Compiler {
 
   /** Cap on irr's driver-side cashflow collect. */
   val IrrMaxRows: Int = 1 << 20
+
+  /** Functions that compile to a row-order running window. The bare
+    * [[Formula.column]] path has nowhere to stage the per-bucket
+    * aggregate the partition-safe plan needs, so it refuses these
+    * unless the caller explicitly opts into the whole-frame window.
+    */
+  val OrderFunctions: Set[String] = Set("lag", "row",
+    "countBefore", "countAfter", "cumeBefore", "cumeAfter",
+    "prodBefore", "prodAfter")
+
+  /** Whether the AST contains an order-dependent running function. */
+  def usesOrderFunction(e: Expr): Boolean = e match {
+    case Expr.Call(fn, args) =>
+      OrderFunctions.contains(fn) || args.exists(usesOrderFunction)
+    case Expr.Bin(_, l, r) => usesOrderFunction(l) || usesOrderFunction(r)
+    case Expr.Neg(x) => usesOrderFunction(x)
+    case _ => false
+  }
 }
 
 /** Public facade: parse + compile + materialize — the analog of
   * Expr2Tree / Evaluate / AddToPipe (parser.go:200-268, 1589-1758).
   */
 object Formula {
-  /** Compile to a bare Column. Order-dependent functions here use the
-    * legacy whole-frame window (no place to stage the bucket
-    * aggregate) — use [[addToPipe]] for the partition-safe path.
+  /** Compile to a bare Column. Order-dependent functions (lag/row/
+    * cume/prod/count) are REFUSED here: a bare Column has nowhere to
+    * stage the per-bucket aggregate the partition-safe plan needs, so
+    * the only compilation would be an unpartitioned whole-frame
+    * window — a single-task funnel at scale. Use [[addToPipe]] (the
+    * partition-safe path), or pass `allowGlobalWindow = true` as an
+    * explicit small-frame escape hatch.
     */
   def column(df: DataFrame, formula: String,
-      seqCol: Option[String] = None): Column =
-    new Compiler(df, seqCol).compile(Parser.parse(formula))
+      seqCol: Option[String] = None,
+      allowGlobalWindow: Boolean = false): Column = {
+    val ast = Parser.parse(formula)
+    if (!allowGlobalWindow && Compiler.usesOrderFunction(ast))
+      throw new IllegalArgumentException(
+        "Formula.column: order-dependent function in \"" + formula +
+          "\" would compile to an UNPARTITIONED whole-frame window " +
+          "(single-task funnel at scale). Use Formula.addToPipe for " +
+          "the partition-safe bucketed plan, or pass " +
+          "allowGlobalWindow = true for a small frame.")
+    new Compiler(df, seqCol).compile(ast)
+  }
 
   /** addToPipe: materialize the formula as a new column.
     *

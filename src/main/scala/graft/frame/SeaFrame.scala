@@ -28,7 +28,13 @@ final case class SeaFrame(
       * re-sorting; here Catalyst plans sorts itself, so this is
       * informational parity for callers that branch on IsSorted().
       */
-    sortedBy: Option[(String, Boolean)] = None) {
+    sortedBy: Option[(String, Boolean)] = None,
+    /** Row count when already known (the sequence-zip counts rows as a
+      * by-product) — lets [[append]] and batch windows skip a count
+      * job. Must be cleared by any op that changes cardinality;
+      * row-preserving ops (projection, encode withColumn) keep it.
+      */
+    knownCount: Option[Long] = None) {
 
   import SeaFrame.SEQ
 
@@ -64,13 +70,13 @@ final case class SeaFrame(
   /** Where: IN-list equality filter (gdata.go:897-969). */
   def whereIn(field: String, values: Seq[Any]): SeaFrame =
     reseq(copy(df = df.where(df(field).isin(values: _*)),
-      sortedBy = None))
+      sortedBy = None, knownCount = None))
 
   /** Slice: arbitrary boolean-Column predicate (gdata.go:306-419);
     * compose predicates with && / || (SlicerAnd/Or slicer.go:73-84).
     */
   def slice(pred: Column): SeaFrame =
-    reseq(copy(df = df.where(pred), sortedBy = None))
+    reseq(copy(df = df.where(pred), sortedBy = None, knownCount = None))
 
   /** The reference's Slice/Where produce a NEW pipeline whose rows are
     * renumbered 0..n-1 (gdata.go:306-419); keep that semantic by
@@ -100,7 +106,8 @@ final case class SeaFrame(
     val out = joined
       .select((dataColumns.map(joined(_)) :+
         joined("__seq_new").as(SEQ)): _*)
-    copy(df = out, seqCol = Some(SEQ), sortedBy = None)
+    copy(df = out, seqCol = Some(SEQ), sortedBy = None,
+      knownCount = None)
   }
 
   /** Row: take the single row at position `n`, renumbered to 0
@@ -111,7 +118,8 @@ final case class SeaFrame(
   /** Limit first n rows in seq order. */
   def limit(n: Int): SeaFrame = {
     val s = requireSeq("limit")
-    copy(df = df.where(df(s) < n))
+    copy(df = df.where(df(s) < n),
+      knownCount = knownCount.map(math.min(_, n.toLong)))
   }
 
   // ---- 2.6 sorts / shuffles ------------------------------------------
@@ -156,10 +164,11 @@ final case class SeaFrame(
       case Some(s) =>
         val tmp = df.withColumnRenamed(s, SEQ_TMP)
         val re = SeaFrame.withSequence(tmp, keys(tmp) :+ col(SEQ_TMP).asc)
-        copy(df = re.df.drop(SEQ_TMP), seqCol = Some(SEQ))
+        copy(df = re.df.drop(SEQ_TMP), seqCol = Some(SEQ),
+          knownCount = re.knownCount)
       case None =>
         val re = SeaFrame.withSequence(df, keys(df))
-        copy(df = re.df, seqCol = Some(SEQ))
+        copy(df = re.df, seqCol = Some(SEQ), knownCount = re.knownCount)
     }
 
   /** Top-K values of a column by count (data.go:815-837). */
@@ -184,16 +193,31 @@ final case class SeaFrame(
       s"append: right side missing fields ${missing.mkString(",")}")
     (seqCol, other.seqCol) match {
       case (Some(s), Some(os)) =>
-        val n = df.count()
-        val right = other.df
-          .withColumn(SEQ, other.df(os) + lit(n))
-          .select((fields :+ SEQ).map(c => col(c)): _*)
+        // The seq offset is this frame's row count. When the zip
+        // already knows it, no job runs; otherwise plan it as a lazy
+        // broadcast scalar (seq is dense 0..n-1, so n = max(seq)+1) —
+        // evaluated inside the same action, never an eager count.
+        val right = knownCount match {
+          case Some(n) =>
+            other.df.withColumn(SEQ, other.df(os) + lit(n))
+              .select((fields :+ SEQ).map(c => col(c)): _*)
+          case None =>
+            val off = df.agg(
+              coalesce(max(df(s)) + 1L, lit(0L)).as("__seq_off"))
+            other.df.crossJoin(broadcast(off))
+              .withColumn(SEQ, col(os) + col("__seq_off"))
+              .select((fields :+ SEQ).map(c => col(c)): _*)
+        }
         copy(df = df.select((fields :+ SEQ).map(c => df(c)): _*)
-          .unionByName(right), sortedBy = None)
+          .unionByName(right), sortedBy = None,
+          knownCount =
+            for (a <- knownCount; b <- other.knownCount) yield a + b)
       case _ =>
         copy(df = df.select(fields.map(df(_)): _*)
           .unionByName(other.df.select(fields.map(other.df(_)): _*)),
-          seqCol = None, sortedBy = None)
+          seqCol = None, sortedBy = None,
+          knownCount =
+            for (a <- knownCount; b <- other.knownCount) yield a + b)
     }
   }
 
@@ -306,9 +330,10 @@ object SeaFrame {
     * the sequence stays globally correct with no single-partition
     * bottleneck.
     */
-  def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame =
-    SeaFrame(
-      org.apache.spark.sql.GraftBridge
-        .singlePassSortedZip(df, orderBy, SEQ)._1,
-      FeatureSchema.empty, Some(SEQ))
+  def withSequence(df: DataFrame, orderBy: Seq[Column]): SeaFrame = {
+    val (zipped, n) = org.apache.spark.sql.GraftBridge
+      .singlePassSortedZip(df, orderBy, SEQ)
+    SeaFrame(zipped, FeatureSchema.empty, Some(SEQ),
+      knownCount = Some(n))
+  }
 }

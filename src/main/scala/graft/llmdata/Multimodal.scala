@@ -60,6 +60,96 @@ object Multimodal {
   def sampleFrames(nFrames: Column, stride: Int, maxFrames: Int): Column =
     slice(sequence(lit(0), nFrames - 1, lit(stride)), 1, maxFrames)
 
+  /** REAL image codec over the JDK's `javax.imageio` — public
+    * standard-library API, no external dependency. Honors the same
+    * expensive-handle contract as [[StubCodec]] (constructed once per
+    * partition, reused across rows/batches). PNG/JPEG (+ gif/bmp —
+    * whatever the JRE registry ships); audio/video have no JDK codec
+    * and stay stubbed.
+    */
+  final class ImageCodec {
+    ImageCodec.inits.incrementAndGet()
+
+    /** Header-only read: (format, width, height) without decoding
+      * pixels — the cheap path [[withMediaMeta]]'s doc describes.
+      * None when no registered reader recognizes the bytes.
+      */
+    def readMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getFormatName.toLowerCase, r.getWidth(0),
+              r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** Full pixel decode to a dim-float feature vector: mean
+      * luminance (ITU-R 601 integer weights) over `dim` vertical
+      * strips, scaled to 0..1. None when the bytes aren't an image.
+      */
+    def decodeFeatures(bytes: Array[Byte], dim: Int)
+        : Option[Array[Double]] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sum = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+            val d = math.min(dim - 1, x * dim / w)
+            sum(d) += lum; cnt(d) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(dim)(i =>
+          if (cnt(i) > 0) sum(i) / cnt(i) / 255.0 else 0.0))
+      }
+    }
+  }
+  object ImageCodec {
+    /** Codec constructions in this JVM — specs assert per-partition
+      * reuse, same as [[StubCodec.inits]].
+      */
+    val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    /** Deterministic solid-gray PNG: every pixel is `gray` (0..255),
+      * so a correct decode recovers width, height, AND mean luminance
+      * = gray exactly (PNG is lossless). Used to plant verifiable
+      * image payloads in tests and the oracle query.
+      */
+    def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = gray & 0xff
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Stub codec standing in for a real image/audio library handle:
     * expensive to construct (a real libjpeg/ffmpeg context), so the
     * batched decode constructs it ONCE PER PARTITION and reuses it
@@ -114,23 +204,51 @@ object Multimodal {
       .add("resized_width", IntegerType)
       .add("resized_height", IntegerType)
       .add("decode_batch", IntegerType)
+      .add("decoded_format", StringType)
+      .add("decoded_width", IntegerType)
+      .add("decoded_height", IntegerType)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val (tw, th) = resizeTo
     df.mapPartitions { it =>
-      val codec = new StubCodec // once per partition
+      // both handles once per partition; the REAL javax.imageio codec
+      // decodes anything its reader registry recognizes, the stub
+      // covers the formats the JDK has no codec for (audio/video)
+      val img = new ImageCodec
+      val codec = new StubCodec
       it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](payloadIdx)
           val meta = r.getAs[org.apache.spark.sql.Row](metaIdx)
-          val feats = codec.decode(bytes, featureDim)
+          val real = img.readMeta(bytes)
+          val feats = real.flatMap(_ =>
+              img.decodeFeatures(bytes, featureDim))
+            .getOrElse(codec.decode(bytes, featureDim))
+          val (sw, sh) = real.map { case (_, w, h) => (w, h) }
+            .getOrElse((meta.getAs[Int]("width"),
+              meta.getAs[Int]("height")))
           org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
             feats.toSeq,
-            math.min(tw, meta.getAs[Int]("width")),
-            math.min(th, meta.getAs[Int]("height")),
-            bi))
+            math.min(tw, sw),
+            math.min(th, sh),
+            bi,
+            real.map(_._1).orNull,
+            real.map(_._2).map(Int.box).orNull,
+            real.map(_._3).map(Int.box).orNull))
         }
       }
     }(enc)
+  }
+
+  /** Plant a deterministic solid-gray PNG payload keyed by an id
+    * column: width = 16 + id mod 32, height = 16 + (7 * id) mod 29,
+    * gray = id mod 256. Runs on executors (the PNG encoder is
+    * stateless JDK API); a correct decode recovers all three exactly,
+    * which is what makes the image path oracle-checkable.
+    */
+  def plantPng(df: DataFrame, idCol: String): DataFrame = {
+    val mk = udf((id: Long) => ImageCodec.pngBytes(
+      16 + (id % 32).toInt, 16 + (7 * id % 29).toInt, (id % 256).toInt))
+    df.withColumn("payload", mk(col(idCol).cast("long")))
   }
 
   /** The full stub pipeline over a text-derived payload (the harness

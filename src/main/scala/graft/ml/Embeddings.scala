@@ -36,13 +36,23 @@ object Embeddings {
     def columnNames: Seq[String] =
       (0 until dim).map(i => s"${feature}__e$i")
 
-    /** The lookup expression for dimension `i`: a codegen'd when-chain
-      * (levels are dictionary-small by construction).
+    /** The lookup expression for dimension `i`. Small dictionaries
+      * compile to a chain of codegen'd WHEN branches; larger ones
+      * become a literal-map element_at (same split as
+      * [[graft.encode.Encode.encodeD]] — a high-V when-chain would
+      * blow generated-code size past JIT limits). Either way: no
+      * join, no shuffle.
       */
     def lookup(i: Int): Column =
-      table.toSeq.sortBy(_._1).foldLeft(when(lit(false), 0.0)) {
-        case (acc, (v, vec)) => acc.when(col(feature) === lit(v), vec(i))
-      }.otherwise(default(i))
+      if (table.size <= 32)
+        table.toSeq.sortBy(_._1).foldLeft(when(lit(false), 0.0)) {
+          case (acc, (v, vec)) => acc.when(col(feature) === lit(v), vec(i))
+        }.otherwise(default(i))
+      else {
+        val m = table.map { case (v, vec) => v -> vec(i) }
+        val looked = element_at(typedlit(m), col(feature).cast("string"))
+        when(looked.isNotNull, looked).otherwise(default(i))
+      }
 
     /** Append the k embedding columns. */
     def apply(df: DataFrame): DataFrame =
@@ -56,9 +66,18 @@ object Embeddings {
     * need signal, not convergence.
     */
   def fit(df: DataFrame, feature: String, target: String, k: Int,
-      nClasses: Int = 2, maxIter: Int = 40, seed: Long = 42L)
-      : EmbeddingModel = {
+      nClasses: Int = 2, maxIter: Int = 40, seed: Long = 42L,
+      maxLevels: Int = graft.encode.Encode.MaxLevels): EmbeddingModel = {
     require(k >= 1, "embedding dim must be >= 1")
+    // cardinality guard, mirroring Encode.fitD: the V x k table is
+    // driver-resident and the one-hot fit layer is V-wide — an
+    // unbounded "categorical" must error before either materializes
+    val approx = df.agg(approx_count_distinct(df(feature), 0.05))
+      .head().getLong(0)
+    require(approx <= maxLevels * 1.2,
+      s"embedding: column '$feature' has ~$approx distinct values " +
+        s"(cap $maxLevels); the lookup table is driver-resident — " +
+        "bucket or hash the column instead of embedding it")
     val indexer = new StringIndexer().setInputCol(feature)
       .setOutputCol("__emb_idx")
       .setStringOrderType("alphabetAsc").setHandleInvalid("keep")
@@ -68,14 +87,18 @@ object Embeddings {
     val asm = new VectorAssembler().setInputCols(Array("__emb_oh"))
       .setOutputCol("__emb_feat")
     val prep = new Pipeline().setStages(Array(indexer, ohe, asm)).fit(df)
+    // cache: the prepped frame is read by the width probe and then by
+    // every LBFGS iteration — without this each pass re-runs the
+    // indexer/encoder/assembler transform chain
     val prepped = prep.transform(df)
+      .select(col("__emb_feat"), col(target)).cache()
     val v = prepped.select("__emb_feat").head()
       .getAs[Vector](0).size
     val mlp = new MultilayerPerceptronClassifier()
       .setFeaturesCol("__emb_feat").setLabelCol(target)
       .setLayers(Array(v, k, nClasses))
       .setMaxIter(maxIter).setSeed(seed)
-    val m = mlp.fit(prepped)
+    val m = try mlp.fit(prepped) finally prepped.unpersist()
     val w = m.weights.toArray
     // first affine layer = V*k weights (column-major: input v is the
     // k-slice starting at v*k) followed by k biases

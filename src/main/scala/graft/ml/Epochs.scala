@@ -43,7 +43,7 @@ object Epochs {
       shuffleEvery: Int = 0, cycle: Boolean = true, seed: Long = 42)(
       fn: (Int, Long, DataFrame) => Unit): Unit = {
     var cur = if (cycle) frame.copy(df = frame.df.cache()) else frame
-    val n = cur.df.count()
+    val n = cur.knownCount.getOrElse(cur.df.count())
     val nb = batchCount(n, batchSize)
     (0 until epochs).foreach { e =>
       if (shuffleEvery > 0 && e > 0 && e % shuffleEvery == 0)

@@ -100,6 +100,17 @@ class ExprCorpusSpec extends SparkSuite {
     assert(ex.getMessage.toLowerCase.contains("division by zero"))
   }
 
+  test("strCount with an empty search string errors cleanly (the " +
+      "reference's skip=0 scan never terminates, parser.go:1006-1018)") {
+    import spark.implicits._
+    val df = Seq(("hello", 0L)).toDF("s", "__seq")
+    val ex = intercept[Exception] {
+      Formula.addToPipe(df, "n", "strCount(s, '')", Some("__seq"))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("empty search string"))
+  }
+
   test("log of non-positive errors (data.go:566)") {
     val ex = intercept[Exception] {
       Formula.addToPipe(corpusPipe, "bad", "log(c - 1)", Some("__seq"))

@@ -43,6 +43,29 @@ class PartitionSafeSpec extends SparkSuite {
     }
   }
 
+  test("bare Formula.column REFUSES order functions (no silent " +
+      "unpartitioned window); escape hatch compiles the legacy plan") {
+    val f = frame
+    val ex = intercept[IllegalArgumentException] {
+      Formula.column(f, "cumeBefore(x)", Some("__seq"))
+    }
+    assert(ex.getMessage.contains("addToPipe"))
+    // nested/compound uses are caught too
+    intercept[IllegalArgumentException] {
+      Formula.column(f, "1 + lag(x, 0) * 2", Some("__seq"))
+    }
+    // order-free formulas still compile bare
+    val ok = f.select(Formula.column(f, "x + y", Some("__seq")).as("s"))
+    assert(ok.count() == 10)
+    // the explicit escape hatch still produces correct values
+    val esc = f.select(Formula.column(f, "cumeBefore(x)", Some("__seq"),
+      allowGlobalWindow = true).as("c"), col("__seq")).orderBy("__seq")
+    val got = esc.select("c").collect().map(_.getDouble(0))
+    val want = (0 until 10).map(i => (i % 5 + 1).toDouble)
+      .scanLeft(0.0)(_ + _).tail
+    assert(got.toSeq == want)
+  }
+
   test("addToPipe plans no single-partition window over the data " +
       "(every seq-ordered WindowExec is partitioned)") {
     val big = (0 until 1000).map(i => (i.toLong, i.toDouble))

@@ -112,6 +112,28 @@ class SeaFrameSpec extends SparkSuite {
     assert(last == "x")
   }
 
+  test("append needs no count job: zip-known counts compose, and an " +
+      "unknown-count left side plans a lazy max(seq)+1 offset") {
+    // withSequence knows its count as a zip by-product
+    assert(pipe.knownCount.contains(5L))
+    val extra = SeaFrame.withSequence(
+      Seq(("x", 9.0)).toDF("k", "v"), Seq(col("k").asc))
+    val appended = pipe.append(extra)
+    assert(appended.knownCount.contains(6L))
+    // slice re-derives the sequence, so its count is re-known (and
+    // correct, not stale); limit tightens it
+    val sliced = pipe.slice(col("v") > 1.0)
+    assert(sliced.knownCount.contains(sliced.df.count()))
+    assert(pipe.limit(3).knownCount.contains(3L))
+    // unknown left count: lazy scalar offset, same values
+    val unknownLeft = pipe.copy(knownCount = None)
+    val viaLazy = unknownLeft.append(extra)
+    assert(viaLazy.knownCount.isEmpty)
+    val a = appended.df.orderBy(SeaFrame.SEQ).collect().map(_.toSeq)
+    val b = viaLazy.df.orderBy(SeaFrame.SEQ).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("append rejects a right side missing fields") {
     val bad = SeaFrame(Seq(("z")).toDF("k"))
     intercept[IllegalArgumentException] { pipe.append(bad) }
