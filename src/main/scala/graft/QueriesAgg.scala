@@ -463,8 +463,40 @@ object QueriesAgg {
                    count(*) AS n
             FROM lineitem GROUP BY bucket ORDER BY bucket"""))
 
+  /** irr per order (reference parser.go:617-658, the driver-side
+    * Nelder-Mead analog): cashflow = first line's price as the
+    * outflow, later lines' prices as inflows, in the same total order
+    * as q18. The bisection solve (Financial.irr — identical math to
+    * the formula-level irr()) runs PER GROUP ON EXECUTORS over the
+    * collected per-order vector: group sizes are line counts
+    * (bounded, ~7), so no driver collect and no skew. Solver-based →
+    * rows-only.
+    */
+  private val q83_irr: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val solver = udf((cf: Seq[Double]) =>
+        graft.exprlang.Financial.irr(cf.toArray))
+      li.withColumn("t", row_number().over(w))
+        .withColumn("cf", when(col("t") === 1, -col("l_extendedprice"))
+          .otherwise(col("l_extendedprice") * 0.3))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("t"), col("cf"))))
+          .as("flows"))
+        .where(size(col("flows")) >= 3)
+        .select(col("l_orderkey"),
+          round(solver(transform(col("flows"), f => f.getField("cf"))), 6)
+            .as("irr"))
+        .orderBy(col("l_orderkey"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q64_histogram" -> q64_histogram,
+    "q83_irr" -> q83_irr,
     "q13_summary_agg" -> q13_summary_agg,
     "q15_desc_quantiles" -> q15_desc_quantiles,
     "q74_desc_by_group" -> q74_desc_by_group,

@@ -467,23 +467,57 @@ object QueriesLLM {
             WHERE ngram IS NOT NULL GROUP BY 1
             ORDER BY cnt DESC, ngram ASC LIMIT 20"""))
 
-  /** Multimodal plumbing: binary payload + typed metadata + stub
-    * decode features + frame-sampling plan. Rows-only (stub decode is
-    * hash-derived).
+  /** Multimodal plumbing with a REAL image payload: each doc's text
+    * payload is swapped for a planted deterministic PNG, decoded by
+    * the javax.imageio codec inside the per-partition batched-decode
+    * contract — decoded_width/height/f0 are true pixel reads, not
+    * hashes. Rows-only here (payload_bytes and the stub frame plan
+    * are engine-specific); q82 is the oracle-checked twin.
     */
   private val q52_multimodal: Q = (
-    (s, dir) => Multimodal.decodeBatched(
-        Multimodal.pipeline(spread(read(s, dir, "documents")), "text")
-          .withColumnRenamed("features", "expr_features"))
-      .select(col("doc_id"), col("payload_bytes"),
-        col("media_meta.format").as("format"),
-        col("media_meta.width").as("width"),
-        element_at(col("expr_features"), 1).as("f0"),
-        element_at(col("features"), 1).as("decoded_f0"),
-        col("resized_width"),
-        size(col("frame_plan")).as("n_sampled_frames"))
-      .orderBy(col("doc_id")),
+    (s, dir) => {
+      val base = Multimodal
+        .pipeline(spread(read(s, dir, "documents")), "text")
+        .withColumnRenamed("features", "expr_features")
+      val planted = Multimodal.plantPng(base.drop("payload"), "doc_id")
+      Multimodal.decodeBatched(planted)
+        .select(col("doc_id"), col("payload_bytes"),
+          col("decoded_format").as("format"),
+          col("decoded_width").as("width"),
+          col("decoded_height").as("height"),
+          element_at(col("expr_features"), 1).as("f0"),
+          round(element_at(col("features"), 1), 9).as("decoded_f0"),
+          col("resized_width"),
+          size(col("frame_plan")).as("n_sampled_frames"))
+        .orderBy(col("doc_id"))
+    },
     None)
+
+  /** Real image decode, oracle-checked end-to-end: plant a solid-gray
+    * PNG per doc (width/height/gray all exact functions of doc_id),
+    * run the per-partition javax.imageio decode, and recover all
+    * three — DuckDB predicts them with integer arithmetic, so any
+    * codec or plumbing error hash-mismatches.
+    */
+  private val q82_image_decode: Q = (
+    (s, dir) => {
+      val planted = Multimodal.plantPng(
+        read(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeBatched(
+          Multimodal.withMediaMeta(planted, "payload"), featureDim = 4)
+        .select(col("doc_id"),
+          col("decoded_format").as("format"),
+          col("decoded_width").cast("long").as("width"),
+          col("decoded_height").cast("long").as("height"),
+          round(element_at(col("features"), 1) * 255.0, 6)
+            .as("mean_gray"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 'png' AS format,
+                   16 + doc_id % 32 AS width,
+                   16 + (7 * doc_id) % 29 AS height,
+                   round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_gray
+            FROM documents ORDER BY doc_id"""))
 
   /** Deterministic stratified sampling by portable id hash: per-class
     * keep fractions, bit-identical in any engine (Sampling.bucket is
@@ -617,5 +651,6 @@ object QueriesLLM {
     "q63_text_repetition" -> q63_text_repetition,
     "q76_tfidf_topk" -> q76_tfidf_topk,
     "q77_ngram_topk" -> q77_ngram_topk,
-    "q52_multimodal" -> q52_multimodal)
+    "q52_multimodal" -> q52_multimodal,
+    "q82_image_decode" -> q82_image_decode)
 }

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object QueriesML {
 
+  /** In-query model-quality gate (VERDICT r2 task 5): a rows-only ML
+    * entry proves nothing if the solver silently degenerates, so the
+    * query asserts accuracy against the label before returning its
+    * rows. The gated labels below are LEARNABLE from the features
+    * (price thresholds, per-priority shifts, an XOR for the net), so
+    * the gate sits well above the constant-majority baseline — a
+    * broken solver cannot pass it by predicting one class.
+    */
+  private def gateAccuracy(preds: org.apache.spark.sql.DataFrame,
+      labelCol: String, predCol: String, minAcc: Double,
+      name: String): Unit = {
+    val row = preds.agg(
+      avg(when(col(labelCol).cast("double") ===
+        col(predCol).cast("double"), 1.0).otherwise(0.0)).as("acc"),
+      avg(col(labelCol).cast("double")).as("pos")).head()
+    val acc = row.getDouble(0)
+    val base = math.max(row.getDouble(1), 1.0 - row.getDouble(1))
+    require(acc >= minAcc,
+      f"$name: accuracy $acc%.4f below quality gate $minAcc%.2f " +
+        f"(constant-majority baseline $base%.4f) — solver degenerated")
+  }
+
   /** KS statistic between score CDFs of target / non-target
     * (diags.go:110-221). CDFs evaluated at distinct scores (tie-safe),
     * sup-gap exact; one row out. Running counts via
@@ -90,9 +112,11 @@ object QueriesML {
     */
   private val q57_ml_predict: Q = (
     (s, dir) => {
+      // learnable label (price threshold) so the quality gate below
+      // actually separates a working solver from a degenerate one
       val o = read(s, dir, "orders")
         .withColumn("label",
-          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+          when(col("o_totalprice") > 150000.0, 1.0).otherwise(0.0))
         .withColumn("price_k", col("o_totalprice") / 1000.0)
       val layers = ModSpec.parse(Seq(
         "Input(price_k + o_orderpriorityoh)",
@@ -114,8 +138,11 @@ object QueriesML {
       val trainSet = graft.llmdata.Sampling
         .hashSample(cached, "o_orderkey", 0.2)
       val model = pipeline.fit(trainSet)
-      model.transform(cached)
-        .select(col("o_orderkey"), col("prediction"))
+      val preds = model.transform(cached)
+        .select(col("o_orderkey"), col("label"), col("prediction"))
+        .cache()
+      gateAccuracy(preds, "label", "prediction", 0.90, "q57_ml_predict")
+      preds.select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
     },
     None)
@@ -126,9 +153,17 @@ object QueriesML {
     */
   private val q66_ml_embed: Q = (
     (s, dir) => {
+      // per-priority price threshold: the embedding must SEPARATE the
+      // levels for the head to learn this, so the accuracy gate also
+      // gates embedding quality
+      val thr = when(col("o_orderpriority") === "1-URGENT", 100000.0)
+        .when(col("o_orderpriority") === "2-HIGH", 140000.0)
+        .when(col("o_orderpriority") === "3-MEDIUM", 180000.0)
+        .when(col("o_orderpriority") === "4-NOT SPECIFIED", 220000.0)
+        .otherwise(260000.0)
       val o = read(s, dir, "orders")
         .withColumn("label",
-          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0))
+          when(col("o_totalprice") > thr, 1.0).otherwise(0.0))
         .withColumn("price_k", col("o_totalprice") / 1000.0)
         .cache()
       val layers = ModSpec.parse(Seq(
@@ -141,8 +176,23 @@ object QueriesML {
         .hashSample(o, "o_orderkey", 0.2)
       val fitted = ModSpec.fitEmbedded(layers, trainSet,
         classification = true, embedMaxIter = 8, mainMaxIter = 15)
-      fitted.transform(o)
-        .select(col("o_orderkey"), col("prediction"))
+      // solver-health gates: the trained lookup must actually separate
+      // levels (distinct vectors), and the composed model must beat
+      // the gate on the learnable per-priority-threshold label
+      fitted.embeddings.foreach { e =>
+        val vecs = e.table.values.toSeq
+        val spread = (for (a <- vecs; b <- vecs) yield
+          math.sqrt(a.zip(b).map { case (x, y) =>
+            (x - y) * (x - y) }.sum)).max
+        require(spread > 1e-3,
+          s"q66_ml_embed: embedding '${e.feature}' collapsed " +
+            f"(max pairwise distance $spread%.2e)")
+      }
+      val preds = fitted.transform(o)
+        .select(col("o_orderkey"), col("label"), col("prediction"))
+        .cache()
+      gateAccuracy(preds, "label", "prediction", 0.85, "q66_ml_embed")
+      preds.select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
     },
     None)
@@ -154,10 +204,20 @@ object QueriesML {
     */
   private val q78_net_native: Q = (
     (s, dir) => {
+      // XOR of a price threshold and a priority bit: linearly
+      // INSEPARABLE by construction, so passing the gate proves the
+      // hidden LeakyRelu layer actually trains (a linear-collapsed or
+      // degenerate net tops out near 0.5)
+      // price CENTERED on the decision threshold and scaled to ~unit
+      // range: raw price_k (0..500) against 0/1 one-hots conditions
+      // the SGD so badly the XOR never trains
       val o = read(s, dir, "orders")
         .withColumn("label",
-          when(col("o_orderstatus") === "F", 1).otherwise(0))
-        .withColumn("price_k", col("o_totalprice") / 1000.0)
+          when((col("o_totalprice") > 150000.0) =!=
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0))
+        .withColumn("price_k",
+          (col("o_totalprice") - 150000.0) / 100000.0)
         .cache()
       val layers = ModSpec.parse(Seq(
         "Input(price_k + o_orderpriorityoh)",
@@ -169,11 +229,14 @@ object QueriesML {
         .hashSample(o, "o_orderkey", 0.2)
       val m = ModSpec.fitNative(layers, trainSet,
         classification = true, nClasses = 2,
-        cfg = graft.ml.Net.Config(batchSize = 256, epochs = 12,
-          lrStart = 2e-2, lrEnd = 5e-3))
-      m.transform(o)
-        .select(col("o_orderkey"),
+        cfg = graft.ml.Net.Config(batchSize = 128, epochs = 30,
+          lrStart = 5e-2, lrEnd = 2e-3))
+      val preds = m.transform(o)
+        .select(col("o_orderkey"), col("label"),
           col("__predicted_class").as("predicted"))
+        .cache()
+      gateAccuracy(preds, "label", "predicted", 0.80, "q78_net_native")
+      preds.select(col("o_orderkey"), col("predicted"))
         .orderBy(col("o_orderkey"))
     },
     None)

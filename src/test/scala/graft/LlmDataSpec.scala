@@ -417,6 +417,36 @@ class LlmDataSpec extends SparkSuite {
     out.unpersist(blocking = false)
   }
 
+  test("real javax.imageio codec: planted PNG round-trips exact " +
+      "dimensions and mean gray; non-image payloads fall back to stub") {
+    // direct codec round trip
+    val codec = new Multimodal.ImageCodec
+    val bytes = Multimodal.ImageCodec.pngBytes(20, 31, 137)
+    assert(codec.readMeta(bytes).contains(("png", 20, 31)))
+    val feats = codec.decodeFeatures(bytes, 4).get
+    assert(feats.length == 4)
+    feats.foreach(f => assert(math.abs(f * 255.0 - 137.0) < 1e-9))
+    // through the batched per-partition decode: real meta columns for
+    // images, stub fallback (null decoded_*) for text payloads
+    val planted = Multimodal.plantPng(docs.select("doc_id"), "doc_id")
+    val out = Multimodal.decodeBatched(
+      Multimodal.withMediaMeta(planted, "payload"), featureDim = 4)
+    out.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("decoded_format") == "png")
+      assert(r.getAs[Int]("decoded_width") == 16 + (id % 32).toInt)
+      assert(r.getAs[Int]("decoded_height") == 16 + (7 * id % 29).toInt)
+      val f0 = r.getSeq[Double](r.fieldIndex("features")).head
+      assert(math.abs(f0 * 255.0 - (id % 256).toDouble) < 1e-9)
+      // resize clamps to the REAL source dims (all < 224)
+      assert(r.getAs[Int]("resized_width") == 16 + (id % 32).toInt)
+    }
+    val textPayload = Multimodal.pipeline(docs, "text")
+    val stubbed = Multimodal.decodeBatched(
+      textPayload.withColumnRenamed("features", "f2")).head()
+    assert(stubbed.getAs[String]("decoded_format") == null)
+  }
+
   test("multimodal stub pipeline: payload bytes, metadata, features, " +
       "frame plan all materialize") {
     val out = Multimodal.pipeline(docs, "text")
