@@ -26,9 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  case class DocSig(doc_id: Long, mins: Seq[Long])
+  case class DocSig(doc_id: Long, mins: Seq[Long],
+      eventMs: Long = 0L, eventTs: java.sql.Timestamp = null)
   case class KeyedSig(band: Int, bucket: Long, doc_id: Long,
-      mins: Seq[Long])
+      mins: Seq[Long], eventMs: Long = 0L,
+      eventTs: java.sql.Timestamp = null)
   case class DupHit(doc_a: Long, doc_b: Long, est_jaccard: Double,
       band: Int)
 
@@ -44,23 +46,48 @@ object StreamingDedup {
     * for continuously-triggered queries; under Trigger.AvailableNow
     * the query waits for pending timers before finishing, so leave
     * the TTL off for drain-the-directory runs.
+    *
+    * `eventTimeCol` non-empty switches the TTL to EVENT time (VERDICT
+    * r2 task 7 — at 100 TB ingest, eviction must follow watermarks,
+    * not wall clock): each retained signature remembers its event
+    * timestamp and stops matching once `its eventTime + stateTtlMs`
+    * falls behind the stream's watermark — retention is then
+    * replay-deterministic, and a backfill at full speed evicts
+    * exactly what real-time ingest would have. The caller sets
+    * `withWatermark(eventTimeCol, ...)` on `docs`; state cleanup
+    * rides the same watermark via EventTimeTimeout timers.
     */
   def dedupStream(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, maxPerBucket: Int = 1000,
-      stateTtlMs: Long = 0L): Dataset[DupHit] = {
+      stateTtlMs: Long = 0L, eventTimeCol: String = "",
+      watermarkDelay: String = "0 seconds"): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     val k = bands * rows
+    val eventTtl = stateTtlMs > 0 && eventTimeCol.nonEmpty
+    val evTs: org.apache.spark.sql.Column =
+      if (eventTimeCol.nonEmpty) col(eventTimeCol).cast("timestamp")
+      else lit(null).cast("timestamp")
     val sigs = docs.select(col(id).cast("long").as("doc_id"),
         Dedup.minhashes(Dedup.shingles(col(text), shingleN), k)
-          .as("mins"))
+          .as("mins"),
+        coalesce(unix_millis(evTs), lit(0L)).as("eventMs"),
+        evTs.as("eventTs"))
       .as[DocSig]
-    val keyed = sigs.flatMap { d =>
+    val fanned = sigs.flatMap { d =>
       (0 until bands).map(b =>
-        KeyedSig(b, Dedup.bandHash(d.mins, b, rows), d.doc_id, d.mins))
+        KeyedSig(b, Dedup.bandHash(d.mins, b, rows), d.doc_id, d.mins,
+          d.eventMs, d.eventTs))
     }
+    // the stateful operator needs the watermark ON ITS INPUT — the
+    // caller's watermark dies at the projection above, so re-declare
+    // it on the fanned-out timestamp column
+    val keyed =
+      if (eventTtl) fanned.withWatermark("eventTs", watermarkDelay)
+      else fanned
     val timeout =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTtl) GroupStateTimeout.EventTimeTimeout
+      else if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     keyed.groupByKey(s => (s.band, s.bucket))
       .flatMapGroupsWithState[List[DocSig], DupHit](
@@ -72,7 +99,13 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
+            // event-time TTL: a signature stops matching once its own
+            // event time + TTL falls behind the watermark (watermark
+            // is 0 in batch mode -> nothing expires)
+            val wm = if (eventTtl) state.getCurrentWatermarkMs() else 0L
             var seen = state.getOption.getOrElse(Nil)
+            if (eventTtl && wm > 0)
+              seen = seen.filter(_.eventMs + stateTtlMs > wm)
             val out = scala.collection.mutable.ArrayBuffer[DupHit]()
             incoming.foreach { s =>
               seen.foreach { p =>
@@ -91,11 +124,22 @@ object StreamingDedup {
               }
               if (seen.length < maxPerBucket &&
                   !seen.exists(_.doc_id == s.doc_id))
-                seen = DocSig(s.doc_id, s.mins) :: seen
+                seen = DocSig(s.doc_id, s.mins, s.eventMs) :: seen // eventTs not retained in state
             }
-            state.update(seen)
-            if (stateTtlMs > 0)
-              state.setTimeoutDuration(stateTtlMs)
+            if (eventTtl) {
+              if (seen.isEmpty) state.remove()
+              else {
+                state.update(seen)
+                // full-state cleanup when the watermark passes the
+                // youngest retained signature's expiry
+                val expiry = seen.map(_.eventMs).max + stateTtlMs
+                if (expiry > wm) state.setTimeoutTimestamp(expiry)
+              }
+            } else {
+              state.update(seen)
+              if (stateTtlMs > 0)
+                state.setTimeoutDuration(stateTtlMs)
+            }
             out.iterator
           }
       }

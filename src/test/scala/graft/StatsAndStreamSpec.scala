@@ -252,6 +252,47 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(ttlPairs.contains((1L, 3L)), s"TTL variant missed: $ttlPairs")
   }
 
+  test("event-time TTL: an out-of-window near-dup stops matching " +
+      "while an in-window one still flags (watermark-driven eviction)") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val fresh = "modern columnar engines vectorize their scan and " +
+      "aggregate operators for throughput on wide analytic tables"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.dedupStream(src, "doc_id", "text",
+        shingleN = 3, bands = 8, rows = 4, threshold = 0.5,
+        stateTtlMs = 5L * 60L * 1000L, eventTimeCol = "ts")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_ev_ttl").start()
+    // batch 1 @10:00: two originals enroll; watermark -> 10:00
+    in.addData((1L, base, ts(0)), (2L, fresh, ts(0)))
+    q.processAllAvailable()
+    // batch 2 @10:04: in-window near-dup of doc 2 -> must flag
+    in.addData((3L, fresh + " extra", ts(4)))
+    q.processAllAvailable()
+    // batch 3 @10:30: advances the watermark far past every expiry
+    in.addData((4L, "totally different text about nothing else at " +
+      "all in particular today", ts(30)))
+    q.processAllAvailable()
+    // batch 4 @10:31: near-dup of doc 1 — its signature is 31 min
+    // old vs a 5 min TTL -> must NOT flag
+    in.addData((5L, base + " extra", ts(31)))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.sql(
+      "SELECT DISTINCT doc_a, doc_b FROM t_ev_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)), s"in-window near-dup missed: $pairs")
+    assert(!pairs.contains((1L, 5L)),
+      s"expired signature still matched: $pairs")
+  }
+
   test("streaming session windows produce sessions per user") {
     val dir = TestSpark.sfDir
     val q = Streams.runStreaming(spark, s"$dir/events.parquet",
