@@ -170,6 +170,72 @@ object Similarity {
     ivfProbe(ivfFit(df, id, vec, nCells, maxIter, seed),
       id, vec, query, k, probes)
 
+  /** Serve a query SET in one job (the batch serving path): rank
+    * cells per query with the broadcast centroid matrix (a tight UDF
+    * over nCells * dim doubles — small by construction), retrieve
+    * candidates as one (cell)-join against the index, exact-rescore,
+    * and take per-query top-k through a ranked window. No per-query
+    * driver round-trip; shuffle volume is O(candidate pairs) =
+    * roughly probes/nCells of the corpus per query, and the window
+    * partitions by query id, so fan-out scales with the query set.
+    */
+  def ivfProbeBatch(index: IvfIndex, id: String, vec: String,
+      queries: DataFrame, qid: String, qvec: String, k: Int,
+      probes: Int): DataFrame = {
+    val cn = index.centroids.map(normalizeD)
+    val p = math.max(1, probes)
+    val topCells = udf { (v: Seq[Float]) =>
+      val x = normalizeD(v.toArray.map(_.toDouble))
+      cn.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        val n = math.min(x.length, c.length)
+        while (j < n) { s += x(j) * c(j); j += 1 }
+        (-s, i)
+      }.sorted.take(p).map(_._2)
+    }
+    val qcells = queries.select(col(qid).as("__qid"),
+      col(qvec).as("__qv"),
+      explode(topCells(col(qvec).cast("array<float>"))).as("__cell"))
+    val cand = qcells
+      .join(index.assigned.select(col(id).as("__cid"),
+        col(vec).as("__cv"), col("__cell")), Seq("__cell"))
+      .select(col("__qid"), col("__cid"),
+        cosine(col("__qv"), col("__cv")).as("similarity"))
+      // multi-probe x multi-assign can surface a (query, doc) pair
+      // several times with the same score
+      .dropDuplicates("__qid", "__cid")
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("similarity").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as(qid), col("__cid").as(id),
+        col("similarity"), col("rank"))
+  }
+
+  /** Persist an [[IvfIndex]] (fit once, serve many): centroids and
+    * cell assignments as parquet under `path`.
+    */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted [[IvfIndex]]. The centroid collect is bounded
+    * (nCells rows); assignments stay a lazy parquet scan.
+    */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String)
+      : IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Probe a prefitted [[IvfIndex]] — the per-query cost at serving
     * time: centroid ranking on the driver, then a cell-pruned scan.
     */

@@ -210,6 +210,57 @@ class LlmDataSpec extends SparkSuite {
     assert(mean >= 0.9, s"mean recall@10 = $mean (${recalls.toSeq})")
   }
 
+  test("batched IVF probing: 1000 queries served in ONE job keep " +
+      "recall@10 >= 0.9, and a persisted index round-trips") {
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val corpus = e.select("vec_id", "embedding").cache()
+    // 1000 queries = two shifted copies of the 500-vector corpus
+    val queries = corpus.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+      .union(corpus.select(col("vec_id") + 500, col("embedding")))
+      .cache()
+    assert(queries.count() == 1000)
+    val index = Similarity.ivfFit(corpus, "vec_id", "embedding",
+      nCells = 8, maxIter = 20, assign = 3)
+    val approx = Similarity.ivfProbeBatch(index, "vec_id", "embedding",
+        queries, "qid", "qv", k = 10, probes = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // exact ground truth for the same set, also one job: cross join +
+    // ranked window
+    val cross = queries.join(corpus)
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("qv"), col("embedding")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = cross.withColumn("r", row_number().over(w))
+      .where(col("r") <= 10).select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(approx.getOrElse(q, Set.empty)).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.size == 1000)
+    assert(mean >= 0.9, s"mean recall@10 over 1000 queries = $mean")
+    // persistence: saved + loaded index probes identically
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString
+    Similarity.ivfSave(index, tmp)
+    val loaded = Similarity.ivfLoad(spark, tmp)
+    assert(loaded.centroids.length == index.centroids.length)
+    val q0 = corpus.where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val a = Similarity.ivfProbe(index, "vec_id", "embedding", q0, 10, 4)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Similarity.ivfProbe(loaded, "vec_id", "embedding", q0, 10, 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, s"loaded index diverged: $a vs $b")
+    corpus.unpersist(blocking = false)
+    queries.unpersist(blocking = false)
+  }
+
   test("hash sampling is deterministic, fraction-accurate, and " +
       "split-complete") {
     import graft.llmdata.Sampling

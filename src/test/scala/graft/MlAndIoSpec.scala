@@ -119,6 +119,37 @@ class MlAndIoSpec extends SparkSuite {
     assert(fitted.transform(unseen).count() == 1)
   }
 
+  test("embedding lookup: unbounded cardinality errors cleanly; a " +
+      "mid-size dictionary compiles to a map lookup, not a when-chain") {
+    import graft.ml.Embeddings
+    // high-cardinality guard trips before anything materializes
+    val wide = (1 to 3000).map(i => (s"lvl$i", i % 2))
+      .toDF("seg", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Embeddings.fit(wide, "seg", "label", k = 2, maxIter = 1,
+        maxLevels = 1000)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    // >32 levels: literal-map path, no CaseWhen in the plan
+    val model = Embeddings.EmbeddingModel("seg", 2,
+      (1 to 50).map(i => s"lvl$i" -> Array(i * 0.1, -i * 0.1)).toMap,
+      Array(0.0, 0.0))
+    val out = model(wide.select("seg"))
+    val plan = out.queryExecution.analyzed.toString
+    // the map path wraps each dim in ONE null-guard CASE; a when-chain
+    // would emit one branch per level (50 THENs per dim)
+    val branches = "THEN".r.findAllIn(plan).length
+    assert(branches <= 2 * model.dim,
+      s"50-level lookup compiled to a when-chain ($branches branches)")
+    assert(plan.contains("element_at"), "map lookup path not used")
+    val got = out.where(col("seg") === "lvl7").head()
+    assert(math.abs(got.getAs[Double]("seg__e0") - 0.7) < 1e-12)
+    assert(math.abs(got.getAs[Double]("seg__e1") + 0.7) < 1e-12)
+    // unseen level takes the default under the map path too
+    val miss = model(Seq(("nope", 0)).toDF("seg", "x")).head()
+    assert(miss.getAs[Double]("seg__e0") == 0.0)
+  }
+
   test("toPipeline without inputWidth rejects a multi-FC " +
       "classification spec with a clear error") {
     val layers = ModSpec.parse(Seq(
