@@ -334,9 +334,42 @@ class Compiler(df: DataFrame, seqCol: Option[String],
         (if (fn == "printIf") sel.where(col("print").cast("double") > 0)
          else sel).show(n, truncate = false)
         lit(1.0)
+      // ---- figure building (parser.go:1844-1997) — eager driver
+      // side effects like print; expression value is 1. Data collects
+      // are capped (viz.Plots.MaxPoints) and ordered by the frame's
+      // seq when it has one, so line traces are deterministic.
+      case "newPlot" => graft.viz.Fig.newPlot(); lit(1.0)
+      case "setPlotDim" =>
+        graft.viz.Fig.get.setDim(numArg(args(0)), numArg(args(1))); lit(1.0)
+      case "plotXY" =>
+        graft.viz.Fig.get.plotXY(df, a(0), a(1), strArg(args(2)),
+          strArg(args(3)), plotOrder); lit(1.0)
+      case "plotLine" =>
+        graft.viz.Fig.get.plotLine(df, a(0), strArg(args(1)),
+          strArg(args(2)), plotOrder); lit(1.0)
+      case "histogram" =>
+        graft.viz.Fig.get.histogram(df, a(0), strArg(args(1)),
+          strArg(args(2))); lit(1.0)
+      case "render" =>
+        graft.viz.Fig.get.render(strArg(args(0)), strArg(args(1)),
+          strArg(args(2)), strArg(args(3))); lit(1.0)
       case other => throw new IllegalArgumentException(
         s"unknown function '$other'")
     }
+  }
+
+  private def plotOrder: Seq[Column] = seqCol.map(col).toSeq
+  private def strArg(e: Expr): String = e match {
+    case Expr.Quoted(s) => s
+    case Expr.Ident(s) => s
+    case other => throw new IllegalArgumentException(
+      s"expected a string argument, got $other")
+  }
+  private def numArg(e: Expr): Double = e match {
+    case Expr.Num(v) => v
+    case Expr.Neg(Expr.Num(v)) => -v
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric argument, got $other")
   }
 
   private def singleString(e: Expr): Column = e match {
