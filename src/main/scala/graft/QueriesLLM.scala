@@ -261,6 +261,43 @@ object QueriesLLM {
     },
     None)
 
+  /** Batched IVF serving, oracle-checked: with probes = nCells every
+    * query scans every learned cell, so the cell-join + rescore +
+    * per-query ranked window must EQUAL brute-force top-k — which
+    * DuckDB computes directly. Pins the one-job query-set path
+    * (cell join, dedup, partitioned rank) with a real oracle; q60 is
+    * the pruned-probe production shape of the same machinery.
+    */
+  private val q84_ivf_batch_exact: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = e.where(col("vec_id") >= 10)
+      Similarity.ivfProbeBatch(
+        Similarity.ivfFit(corpus, "vec_id", "embedding",
+          nCells = 8, maxIter = 6),
+        "vec_id", "embedding", queries, "qid", "embedding",
+        k = 10, probes = 8)
+        .select(col("qid"), col("vec_id"),
+          round(col("similarity"), 6).as("similarity"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings WHERE vec_id >= 10),
+                 s AS (SELECT qid, vec_id,
+                              list_cosine_similarity(cv, qv) AS sim,
+                              row_number() OVER (PARTITION BY qid
+                                ORDER BY list_cosine_similarity(cv, qv)
+                                  DESC, vec_id) AS rank
+                       FROM q, c)
+            SELECT qid, vec_id, round(sim, 6) AS similarity, rank
+            FROM s WHERE rank <= 10 ORDER BY qid, rank"""))
+
   /** Text quality features + composite score. */
   private val q47_text_quality: Q = (
     (s, dir) => TextAnalysis.qualityScore(spread(read(s, dir, "documents")), "text")
@@ -642,6 +679,7 @@ object QueriesLLM {
     "q45_ann_topk" -> q45_ann_topk,
     "q46_ann_lsh" -> q46_ann_lsh,
     "q60_ann_ivf" -> q60_ann_ivf,
+    "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,
