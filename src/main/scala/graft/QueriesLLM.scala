@@ -215,6 +215,29 @@ object QueriesLLM {
                     CAST(b.embedding AS DOUBLE[])) >= 0.5
             ORDER BY id_a, id_b"""))
 
+  /** LSH bucket-join machinery, oracle-checked via the degenerate
+    * exact configuration: nBits = 0 leaves one bucket, so the
+    * signature + bucket self-join + cosine verify must equal
+    * all-pairs cosine at the threshold, which DuckDB computes
+    * directly. q46 is the bucketed production shape of the same path.
+    */
+  private val q85_lsh_exact: Q = (
+    (s, dir) => Similarity.lshNeighbors(
+      read(s, dir, "embeddings").where(col("vec_id") < 500),
+      "vec_id", "embedding", dim = 64, nBits = 0, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("similarity"), 6)
+        .as("similarity"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ORDER BY id_a, id_b"""))
+
   /** Brute-force cosine top-k for the vec_id=0 query vector. */
   private val q45_ann_topk: Q = (
     (s, dir) => {
@@ -678,6 +701,7 @@ object QueriesLLM {
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
     "q45_ann_topk" -> q45_ann_topk,
     "q46_ann_lsh" -> q46_ann_lsh,
+    "q85_lsh_exact" -> q85_lsh_exact,
     "q60_ann_ivf" -> q60_ann_ivf,
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
