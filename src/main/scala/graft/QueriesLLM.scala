@@ -321,6 +321,39 @@ object QueriesLLM {
             SELECT qid, vec_id, round(sim, 6) AS similarity, rank
             FROM s WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Bigram-LM perplexity quality filter (CCNet-style), fully
+    * oracle-checked: add-k-smoothed conditional probabilities are
+    * pure count arithmetic, so DuckDB recomputes the identical score.
+    */
+  private val q86_lm_perplexity: Q = (
+    (s, dir) => TextAnalysis.lmPerplexity(
+      spread(read(s, dir, "documents")), "doc_id", "text", addK = 0.5)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("perplexity"), 6).as("perplexity"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), w -> w <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+             bp AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(t)),
+                        i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+                    FROM dd),
+             bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bp),
+             bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY 1, 2),
+             hc AS (SELECT w1, sum(bc) AS hc FROM bc GROUP BY 1),
+             v AS (SELECT count(DISTINCT w) AS v FROM
+                     (SELECT unnest(t) AS w FROM dd)),
+             sc AS (SELECT bi.doc_id,
+                      ln((bc.bc + 0.5) / (hc.hc + 0.5 * v.v)) AS lp
+                    FROM bi JOIN bc USING (w1, w2)
+                            JOIN hc USING (w1), v)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(exp(-avg(lp)), 6) AS perplexity
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Text quality features + composite score. */
   private val q47_text_quality: Q = (
     (s, dir) => TextAnalysis.qualityScore(spread(read(s, dir, "documents")), "text")
@@ -705,6 +738,7 @@ object QueriesLLM {
     "q60_ann_ivf" -> q60_ann_ivf,
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
+    "q86_lm_perplexity" -> q86_lm_perplexity,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,
     "q50_fingerprint" -> q50_fingerprint,

@@ -198,6 +198,49 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Bigram language-model perplexity — the CCNet-style statistical
+    * quality filter: fit add-k-smoothed bigram probabilities
+    * P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k|V|) on the corpus itself,
+    * score every document by the mean negative log-likelihood of its
+    * bigrams, report perplexity = exp(nll). Documents that look like
+    * the corpus score low; boilerplate/garbled outliers rank high —
+    * filter on the tail.
+    *
+    * Scale shape: one tokenize pass feeds (a) corpus bigram counts
+    * (one partial-aggregated shuffle on the pair key), (b) head
+    * counts derived FROM the bigram counts (vocab-sized re-aggregate,
+    * no corpus re-scan), (c) a 1-row vocab size broadcast; scoring is
+    * two key joins on the exploded bigrams and one per-doc aggregate.
+    * No windows, no driver-side data, skewed bigrams are join keys
+    * (AQE-splittable), not window funnels.
+    */
+  def lmPerplexity(df: DataFrame, docId: String, text: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(Dedup.normalize(col(text)), " "),
+          t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bi = toks.select(col(docId),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col(docId), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__bc"))
+    val hc = bc.groupBy(col("w1")).agg(sum(col("__bc")).as("__hc"))
+    val vocab = toks.select(explode(col("__t")).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    bi.join(bc, Seq("w1", "w2")).join(hc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", log((col("__bc") + lit(addK)) /
+        (col("__hc") + lit(addK) * col("__v"))))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("__lp"))).as("__nll"))
+      .withColumn("perplexity", exp(col("__nll")))
+      .select(col(docId), col("n_bigrams"), col("perplexity"))
+  }
+
   /** Content fingerprint: md5 of the dedup-normalized text — the
     * cheap exact-clustering key (see [[Dedup.normalize]]).
     */

@@ -508,4 +508,25 @@ class LlmDataSpec extends SparkSuite {
     assert(row.getSeq[Double](row.fieldIndex("features")).length == 8)
     assert(row.getSeq[Int](row.fieldIndex("frame_plan")).nonEmpty)
   }
+
+  test("lmPerplexity: add-k bigram LM matches a hand computation; " +
+      "short docs dropped") {
+    import spark.implicits._
+    // corpus: bc(a,b)=3, bc(b,a)=1, bc(c,c)=1; hc(a)=3, hc(b)=1,
+    // hc(c)=1; |V|=3; k=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text", addK = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // doc 4: 1 token
+    val pAB = 3.5 / 4.5; val pBA = 1.5 / 2.5; val pCC = 1.5 / 2.5
+    val exp1 = math.exp(-(2 * math.log(pAB) + math.log(pBA)) / 3)
+    val exp2 = math.exp(-math.log(pAB))
+    val exp3 = math.exp(-math.log(pCC))
+    val got = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L) - exp1) < 1e-9)
+    assert(math.abs(got(2L) - exp2) < 1e-9)
+    assert(math.abs(got(3L) - exp3) < 1e-9)
+    assert(out.find(_.getLong(0) == 1L).get.getLong(1) == 3L) // n_bigrams
+  }
 }
