@@ -205,8 +205,8 @@ object ModSpec {
     */
   def fitNative(layers: Seq[Layer], df: DataFrame,
       classification: Boolean, nClasses: Int = 2,
-      cfg: Net.Config = Net.Config(), valid: Option[DataFrame] = None)
-      : NativeModel = {
+      cfg: Net.Config = Net.Config(), valid: Option[DataFrame] = None,
+      distributed: Boolean = false): NativeModel = {
     val input = inputOf(layers)
     val target = layers.collectFirst { case t: Target => t }.getOrElse(
       throw new IllegalArgumentException("modspec: no Target layer"))
@@ -244,11 +244,13 @@ object ModSpec {
       case _ =>
     }
     require(specs.nonEmpty, "modspec: no FC layers")
-    val net = Net.fit(prep.transform(df), specs.toSeq,
-      if (classification) nClasses else 0, cfg,
-      labelCol = target.field,
-      valid = valid.map(prep.transform),
-      embeds = embeds.toSeq)
+    // distributed = synchronous large-batch Adam over the full frame
+    // (no row cap, no driver matrix); default keeps the reference's
+    // mini-batch loop on a capped collect
+    val fitFn = if (distributed) Net.fitDistributed _ else Net.fit _
+    val net = fitFn(prep.transform(df), specs.toSeq,
+      if (classification) nClasses else 0, cfg, "__features",
+      target.field, valid.map(prep.transform), embeds.toSeq)
     NativeModel(prep, net, target.field)
   }
 

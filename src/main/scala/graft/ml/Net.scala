@@ -189,38 +189,16 @@ object Net {
     out
   }
 
-  /** Fit on a collected matrix. `y` is the class index (classification,
-    * `nClasses >= 2`) or the target value (regression, `nClasses = 0`).
-    * `validX` rows (if any) drive early stopping on validation cost.
+  /** Layer initialization shared by the local and distributed fits:
+    * optional block-sparse embedding adapter as layer 0 (frozen
+    * identity passthrough + trainable width×k tables, gradient-masked)
+    * followed by Glorot-initialized user layers (softmax head trains
+    * K-1 logits, nn.go:299-306). Consumes `rnd` in a fixed order so a
+    * given seed always yields the same start point.
     */
-  def fitLocal(x: Array[Array[Double]], y: Array[Double],
-      specs: Seq[LayerSpec], nClasses: Int, cfg: Config = Config(),
-      validX: Array[Array[Double]] = Array.empty,
-      validY: Array[Double] = Array.empty,
-      embeds: Seq[EmbedBlock] = Nil,
-      // test instrumentation: called once with (init layers,
-      // accumulated gW, accumulated gB) after the FIRST batch's
-      // backprop, before any weight update — lets a spec compare
-      // analytic gradients against finite differences of the cost
-      gradProbe: (IndexedSeq[Dense], Seq[Array[Array[Double]]],
-        Seq[Array[Double]]) => Unit = null): NetModel = {
-    require(x.nonEmpty, "net: empty training set")
-    require(x.length == y.length, "net: x/y length mismatch")
-    require(specs.nonEmpty, "net: no layers")
-    require(specs.last.dropProb == 0.0,
-      "net: dropout on the output layer is not supported")
-    if (nClasses > 0) require(specs.last.act == SoftMax,
-      "net: classification needs a softmax output layer")
-    else require(specs.last.size == 1,
-      "net: regression needs a single output unit")
-    val rnd = new scala.util.Random(cfg.seed)
-
-    // optional jointly-trained embedding adapter: a block-sparse
-    // linear layer 0 — one-hot slices map through trainable width×k
-    // tables, other slots pass through FROZEN identity weights. A
-    // gradient mask keeps the zero/identity structure exact, so this
-    // reuses the whole dense forward/backward/Adam path.
-    val inWidth = x(0).length
+  private[ml] def initLayers(specs: Seq[LayerSpec], nClasses: Int,
+      inWidth: Int, embeds: Seq[EmbedBlock], rnd: scala.util.Random)
+      : (IndexedSeq[Dense], Array[Array[Double]]) = {
     val (adapterOpt, layer0Mask) = if (embeds.isEmpty) (None, null)
     else {
       val sorted = embeds.sortBy(_.offset)
@@ -259,8 +237,6 @@ object Net {
       (Some(Dense(w0, new Array[Double](adWidth),
         LayerSpec(adWidth, Linear, bias = false))), mask)
     }
-
-    // resolve sizes: softmax head trains K-1 logits (nn.go:299-306)
     var last = adapterOpt.map(_.b.length).getOrElse(inWidth)
     val userLayers = specs.toIndexedSeq.map { s =>
       val out = if (s.act == SoftMax) {
@@ -275,143 +251,173 @@ object Net {
       last = out
       Dense(w, b, s)
     }
-    val layers = adapterOpt.toIndexedSeq ++ userLayers
+    (adapterOpt.toIndexedSeq ++ userLayers, layer0Mask)
+  }
+
+  private[ml] def zeroGrads(layers: IndexedSeq[Dense])
+      : (IndexedSeq[Array[Array[Double]]], IndexedSeq[Array[Double]]) =
+    (layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length)),
+      layers.map(l => new Array[Double](l.b.length)))
+
+  /** Mean cost of `layers` on a matrix: CE/(n*K) for classification
+    * (the reference's mean-over-matrix scaling, nn.go:581), RMS for
+    * regression.
+    */
+  private[ml] def costOf(layers: IndexedSeq[Dense], nClasses: Int,
+      xs: Array[Array[Double]], ys: Array[Double]): Double = {
+    if (xs.isEmpty) return Double.NaN
+    val m = NetModel(layers, nClasses, Array.empty, Array.empty)
+    var c = 0.0
+    var i = 0
+    while (i < xs.length) {
+      c += sampleCost(m, nClasses, xs(i), ys(i))
+      i += 1
+    }
+    if (nClasses > 0) c / (xs.length.toDouble * nClasses)
+    else math.sqrt(c / xs.length)
+  }
+
+  /** Unnormalized per-sample cost term (CE numerator / squared
+    * error) — the distributed cost sums these and normalizes once.
+    */
+  private[ml] def sampleCost(m: NetModel, nClasses: Int,
+      xi: Array[Double], yi: Double): Double = {
+    val p = m.predictOne(xi)
+    if (nClasses > 0) -math.log(math.max(p(yi.toInt), 1e-300))
+    else { val d = p(0) - yi; d * d }
+  }
+
+  /** Forward + backward for one sample, accumulating mean-gradients
+    * (scaled by 1/scale) into gW/gB. `rnd` draws the inverted dropout
+    * masks — pass a per-row seeded generator for reproducible
+    * distributed fits.
+    */
+  private[ml] def backpropOne(layers: IndexedSeq[Dense], nClasses: Int,
+      xi: Array[Double], yi: Double, scale: Double,
+      gW: IndexedSeq[Array[Array[Double]]],
+      gB: IndexedSeq[Array[Double]], rnd: scala.util.Random): Unit = {
     val L = layers.length - 1
-
-    // gradient accumulators + Adam state
-    val gW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
-    val gB = layers.map(l => new Array[Double](l.b.length))
-    val mW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
-    val vW = layers.map(l => Array.ofDim[Double](l.w.length, l.w(0).length))
-    val mB = layers.map(l => new Array[Double](l.b.length))
-    val vB = layers.map(l => new Array[Double](l.b.length))
-    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
-    var step = 0
-
-    def cost(xs: Array[Array[Double]], ys: Array[Double]): Double = {
-      if (xs.isEmpty) return Double.NaN
-      val m = NetModel(layers, nClasses, Array.empty, Array.empty)
-      var c = 0.0
-      var i = 0
-      while (i < xs.length) {
-        val p = m.predictOne(xs(i))
-        if (nClasses > 0)
-          c += -math.log(math.max(p(ys(i).toInt), 1e-300))
-        else { val d = p(0) - ys(i); c += d * d }
-        i += 1
+    val zs = new Array[Array[Double]](layers.length)
+    val as = new Array[Array[Double]](layers.length)
+    val masks = new Array[Array[Double]](layers.length)
+    var a = xi
+    var li = 0
+    while (li < layers.length) {
+      val l = layers(li)
+      val z = affine(a, l.w, l.b)
+      zs(li) = z
+      var out = l.spec.act match {
+        case SoftMax => softmaxK(z)
+        case act => z.map(scalarAct(act, _))
       }
-      // reference CE divides by n*K (G.Mean over the one-hot product
-      // matrix, nn.go:581); regression reports RMS
-      if (nClasses > 0) c / (xs.length.toDouble * nClasses)
-      else math.sqrt(c / xs.length)
+      if (l.spec.dropProb > 0) {
+        val keep = 1.0 - l.spec.dropProb
+        val m = Array.fill(out.length)(
+          if (rnd.nextDouble() < keep) 1.0 / keep else 0.0)
+        masks(li) = m
+        out = Array.tabulate(out.length)(j => out(j) * m(j))
+      }
+      as(li) = out
+      a = out
+      li += 1
     }
 
-    /** Forward + backward for one sample, accumulating mean-gradients
-      * (scaled by 1/bs) into gW/gB.
-      */
-    def backprop(xi: Array[Double], yi: Double, bs: Int): Unit = {
-      val zs = new Array[Array[Double]](layers.length)
-      val as = new Array[Array[Double]](layers.length)
-      val masks = new Array[Array[Double]](layers.length)
-      var a = xi
-      var li = 0
-      while (li < layers.length) {
-        val l = layers(li)
-        val z = affine(a, l.w, l.b)
-        zs(li) = z
-        var out = l.spec.act match {
-          case SoftMax => softmaxK(z)
-          case act => z.map(scalarAct(act, _))
+    // dL/dz at the output layer
+    var delta: Array[Double] =
+      if (nClasses > 0) {
+        // CE + softmax over (K-1 logits ++ fixed 0): dz_j = p_j - y_j
+        // for the trained logits; /(scale*K) matches the reference's
+        // mean-over-matrix CE scaling
+        val p = as(L)
+        val cls = yi.toInt
+        Array.tabulate(zs(L).length) { j =>
+          (p(j) - (if (j == cls) 1.0 else 0.0)) /
+            (scale * nClasses)
         }
-        if (l.spec.dropProb > 0) {
-          val keep = 1.0 - l.spec.dropProb
-          val m = Array.fill(out.length)(
-            if (rnd.nextDouble() < keep) 1.0 / keep else 0.0)
-          masks(li) = m
-          out = Array.tabulate(out.length)(j => out(j) * m(j))
-        }
-        as(li) = out
-        a = out
-        li += 1
+      } else {
+        // mean-MSE gradient (RMS differs only by a 1/(2*RMS) LR
+        // scale, reabsorbed by Adam's per-step normalization)
+        Array(2.0 * (as(L)(0) - yi) *
+          actDeriv(layers(L).spec.act, zs(L)(0), as(L)(0)) / scale)
       }
 
-      // dL/dz at the output layer
-      var delta: Array[Double] =
-        if (nClasses > 0) {
-          // CE + softmax over (K-1 logits ++ fixed 0): dz_j = p_j - y_j
-          // for the trained logits; /(bs*K) matches the reference's
-          // mean-over-matrix CE scaling
-          val p = as(L)
-          val cls = yi.toInt
-          Array.tabulate(zs(L).length) { j =>
-            (p(j) - (if (j == cls) 1.0 else 0.0)) /
-              (bs.toDouble * nClasses)
-          }
-        } else {
-          // mean-MSE gradient (RMS differs only by a 1/(2*RMS) LR
-          // scale, reabsorbed by Adam's per-step normalization)
-          Array(2.0 * (as(L)(0) - yi) *
-            actDeriv(layers(L).spec.act, zs(L)(0), as(L)(0)) / bs)
-        }
-
-      var li2 = L
-      while (li2 >= 0) {
-        val l = layers(li2)
-        val dz =
-          if (li2 == L) delta
-          else {
-            // delta holds dL/da(li2) (post-dropout); fold in the mask,
-            // then act'
-            val d = delta
-            if (masks(li2) != null) {
-              var j = 0
-              while (j < d.length) { d(j) *= masks(li2)(j); j += 1 }
-            }
+    var li2 = L
+    while (li2 >= 0) {
+      val l = layers(li2)
+      val dz =
+        if (li2 == L) delta
+        else {
+          // delta holds dL/da(li2) (post-dropout); fold in the mask,
+          // then act'
+          val d = delta
+          if (masks(li2) != null) {
             var j = 0
-            while (j < d.length) {
-              val aPre = l.spec.act match {
-                case Sigmoid => 1.0 / (1.0 + math.exp(-zs(li2)(j)))
-                case _ => as(li2)(j) // relu/leaky/linear ignore a
-              }
-              d(j) *= actDeriv(l.spec.act, zs(li2)(j), aPre)
-              j += 1
+            while (j < d.length) { d(j) *= masks(li2)(j); j += 1 }
+          }
+          var j = 0
+          while (j < d.length) {
+            val aPre = l.spec.act match {
+              case Sigmoid => 1.0 / (1.0 + math.exp(-zs(li2)(j)))
+              case _ => as(li2)(j) // relu/leaky/linear ignore a
             }
-            d
+            d(j) *= actDeriv(l.spec.act, zs(li2)(j), aPre)
+            j += 1
           }
-
-        val aIn = if (li2 == 0) xi else as(li2 - 1)
-        val gw = gW(li2); val gb = gB(li2)
-        var i2 = 0
-        while (i2 < aIn.length) {
-          val av = aIn(i2)
-          if (av != 0.0) {
-            val gr = gw(i2)
-            var j2 = 0
-            while (j2 < dz.length) { gr(j2) += av * dz(j2); j2 += 1 }
-          }
-          i2 += 1
+          d
         }
-        var j2 = 0
-        while (j2 < dz.length) { gb(j2) += dz(j2); j2 += 1 }
 
-        if (li2 > 0) { // propagate dL/da(li2-1) = W · dz
-          val nd = new Array[Double](l.w.length)
-          var i3 = 0
-          while (i3 < l.w.length) {
-            val wr = l.w(i3)
-            var s = 0.0
-            var j3 = 0
-            while (j3 < dz.length) { s += wr(j3) * dz(j3); j3 += 1 }
-            nd(i3) = s
-            i3 += 1
-          }
-          delta = nd
+      val aIn = if (li2 == 0) xi else as(li2 - 1)
+      val gw = gW(li2); val gb = gB(li2)
+      var i2 = 0
+      while (i2 < aIn.length) {
+        val av = aIn(i2)
+        if (av != 0.0) {
+          val gr = gw(i2)
+          var j2 = 0
+          while (j2 < dz.length) { gr(j2) += av * dz(j2); j2 += 1 }
         }
-        li2 -= 1
+        i2 += 1
       }
-    }
+      var j2 = 0
+      while (j2 < dz.length) { gb(j2) += dz(j2); j2 += 1 }
 
-    def adamStep(lr: Double): Unit = {
+      if (li2 > 0) { // propagate dL/da(li2-1) = W · dz
+        val nd = new Array[Double](l.w.length)
+        var i3 = 0
+        while (i3 < l.w.length) {
+          val wr = l.w(i3)
+          var s = 0.0
+          var j3 = 0
+          while (j3 < dz.length) { s += wr(j3) * dz(j3); j3 += 1 }
+          nd(i3) = s
+          i3 += 1
+        }
+        delta = nd
+      }
+      li2 -= 1
+    }
+  }
+
+  /** Driver-side Adam state (one instance per fit; both the local
+    * mini-batch loop and the distributed large-batch loop step it).
+    * Consumes and zeroes the gradient accumulators in place;
+    * `layer0Mask` freezes the identity passthrough of an embedding
+    * adapter.
+    */
+  private[ml] final class AdamState(layers: IndexedSeq[Dense]) {
+    private val mW = layers.map(l =>
+      Array.ofDim[Double](l.w.length, l.w(0).length))
+    private val vW = layers.map(l =>
+      Array.ofDim[Double](l.w.length, l.w(0).length))
+    private val mB = layers.map(l => new Array[Double](l.b.length))
+    private val vB = layers.map(l => new Array[Double](l.b.length))
+    private val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+    private var step = 0
+
+    def update(layers: IndexedSeq[Dense],
+        layer0Mask: Array[Array[Double]],
+        gW: IndexedSeq[Array[Array[Double]]],
+        gB: IndexedSeq[Array[Double]], lr: Double, l2: Double): Unit = {
       step += 1
       val bc1 = 1.0 - math.pow(b1, step)
       val bc2 = 1.0 - math.pow(b2, step)
@@ -429,7 +435,7 @@ object Net {
             if (mskR == null || mskR(j2) == 1.0) {
               // L2 folds into the gradient at the solver, as
               // gorgonia's WithL2Reg does (nn.go:728-729)
-              val g = gr(j2) + cfg.l2 * wr(j2)
+              val g = gr(j2) + l2 * wr(j2)
               mr(j2) = b1 * mr(j2) + (1 - b1) * g
               vr(j2) = b2 * vr(j2) + (1 - b2) * g * g
               wr(j2) -= lr * (mr(j2) / bc1) /
@@ -443,7 +449,7 @@ object Net {
         if (l.spec.bias) {
           var j2 = 0
           while (j2 < l.b.length) {
-            val g = gB(li)(j2) + cfg.l2 * l.b(j2)
+            val g = gB(li)(j2) + l2 * l.b(j2)
             mB(li)(j2) = b1 * mB(li)(j2) + (1 - b1) * g
             vB(li)(j2) = b2 * vB(li)(j2) + (1 - b2) * g * g
             l.b(j2) -= lr * (mB(li)(j2) / bc1) /
@@ -455,6 +461,41 @@ object Net {
         li += 1
       }
     }
+  }
+
+  private def validateSpecs(specs: Seq[LayerSpec], nClasses: Int): Unit = {
+    require(specs.nonEmpty, "net: no layers")
+    require(specs.last.dropProb == 0.0,
+      "net: dropout on the output layer is not supported")
+    if (nClasses > 0) require(specs.last.act == SoftMax,
+      "net: classification needs a softmax output layer")
+    else require(specs.last.size == 1,
+      "net: regression needs a single output unit")
+  }
+
+  /** Fit on a collected matrix. `y` is the class index (classification,
+    * `nClasses >= 2`) or the target value (regression, `nClasses = 0`).
+    * `validX` rows (if any) drive early stopping on validation cost.
+    */
+  def fitLocal(x: Array[Array[Double]], y: Array[Double],
+      specs: Seq[LayerSpec], nClasses: Int, cfg: Config = Config(),
+      validX: Array[Array[Double]] = Array.empty,
+      validY: Array[Double] = Array.empty,
+      embeds: Seq[EmbedBlock] = Nil,
+      // test instrumentation: called once with (init layers,
+      // accumulated gW, accumulated gB) after the FIRST batch's
+      // backprop, before any weight update — lets a spec compare
+      // analytic gradients against finite differences of the cost
+      gradProbe: (IndexedSeq[Dense], Seq[Array[Array[Double]]],
+        Seq[Array[Double]]) => Unit = null): NetModel = {
+    require(x.nonEmpty, "net: empty training set")
+    require(x.length == y.length, "net: x/y length mismatch")
+    validateSpecs(specs, nClasses)
+    val rnd = new scala.util.Random(cfg.seed)
+    val (layers, layer0Mask) =
+      initLayers(specs, nClasses, x(0).length, embeds, rnd)
+    val (gW, gB) = zeroGrads(layers)
+    val adam = new AdamState(layers)
 
     val n = x.length
     val idx = Array.range(0, n)
@@ -463,6 +504,7 @@ object Net {
     var bestValid = Double.MaxValue
     var bestSnap: IndexedSeq[Dense] = null
     var waits = 0
+    var probed = false
     val epochs = math.max(cfg.epochs, 1)
     var epoch = 0
     var stopped = false
@@ -484,14 +526,18 @@ object Net {
         val lo = bi * cfg.batchSize
         val hi = math.min(lo + cfg.batchSize, n)
         var r = lo
-        while (r < hi) { backprop(x(idx(r)), y(idx(r)), hi - lo); r += 1 }
-        if (gradProbe != null && step == 0) gradProbe(layers, gW, gB)
-        adamStep(lr)
+        while (r < hi) {
+          backpropOne(layers, nClasses, x(idx(r)), y(idx(r)),
+            hi - lo, gW, gB, rnd)
+          r += 1
+        }
+        if (gradProbe != null && !probed) { gradProbe(layers, gW, gB); probed = true }
+        adam.update(layers, layer0Mask, gW, gB, lr, cfg.l2)
         bi += 1
       }
-      trainCost += cost(x, y)
+      trainCost += costOf(layers, nClasses, x, y)
       if (validX.nonEmpty) {
-        val vc = cost(validX, validY)
+        val vc = costOf(layers, nClasses, validX, validY)
         validCost += vc
         if (vc < bestValid - 1e-12) {
           bestValid = vc
@@ -598,5 +644,145 @@ object Net {
     val (vx, vy) = valid.map(matrixOf)
       .getOrElse((Array.empty[Array[Double]], Array.empty[Double]))
     fitLocal(x, y, specs, nClasses, cfg, vx, vy, embeds)
+  }
+
+  /** DISTRIBUTED fit with the same exact layer semantics — no row cap,
+    * no driver matrix: synchronous large-batch Adam, the shape MLlib's
+    * own solvers use. Each step broadcasts the weight stack (KBs),
+    * `treeAggregate`s per-partition gradient sums over the FULL frame
+    * (one pass, map-side combine, O(weights) driver traffic per step),
+    * and applies the Adam update on the driver. The trade vs the
+    * driver-local mini-batch loop: more data per step, fewer steps —
+    * cfg.epochs is the step count, cfg.batchSize is ignored.
+    *
+    * Dropout masks draw from a per-(step, row) seeded generator, so
+    * every row contributes an identical gradient under retries and
+    * speculation; the only run-to-run jitter is the float combine
+    * order of the cross-partition sum (last-ulp).
+    * Validation cost (early stopping) is one more distributed pass per
+    * step. At 100 TB: the data never moves — each step reads the
+    * cached/columnar frame once; gradients and weights (KBs-MBs) are
+    * the only shuffle-free driver traffic.
+    */
+  def fitDistributed(train: DataFrame, specs: Seq[LayerSpec],
+      nClasses: Int, cfg: Config = Config(),
+      featuresCol: String = "__features", labelCol: String = "label",
+      valid: Option[DataFrame] = None,
+      embeds: Seq[EmbedBlock] = Nil): NetModel = {
+    validateSpecs(specs, nClasses)
+    def rddOf(df: DataFrame) = df
+      .select(col(featuresCol), col(labelCol).cast("double")).rdd
+      .map(r => (r.getAs[Vector](0).toArray, r.getDouble(1)))
+      .zipWithIndex()
+    val data = rddOf(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+    require(n > 0, "net: empty training set")
+    val validData = valid.map(v => rddOf(v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nValid = validData.map(_.count().toDouble)
+
+    val rnd = new scala.util.Random(cfg.seed)
+    val inWidth = data.first()._1._1.length
+    val (layers, layer0Mask) =
+      initLayers(specs, nClasses, inWidth, embeds, rnd)
+    val adam = new AdamState(layers)
+    val sc = train.sparkSession.sparkContext
+    val hasDropout = specs.exists(_.dropProb > 0)
+    val seed = cfg.seed
+
+    /** One full pass: per-partition gradient sums (scale = n so the
+      * aggregate is the mean-gradient), tree-combined.
+      */
+    def gradientPass(step: Int): (IndexedSeq[Array[Array[Double]]],
+        IndexedSeq[Array[Double]]) = {
+      val bc = sc.broadcast(layers)
+      val nInt = n
+      val zero: (IndexedSeq[Array[Array[Double]]],
+        IndexedSeq[Array[Double]]) = null
+      val (gw, gb) = data.treeAggregate(zero)(
+        seqOp = (acc, row) => {
+          val a = if (acc != null) acc else zeroGrads(bc.value)
+          val ((xi, yi), rowId) = row
+          // deterministic per-(step,row) dropout stream; cheap skip
+          // when the spec has no dropout layers
+          val r = if (hasDropout) new scala.util.Random(
+            seed ^ (step.toLong * 0x9E3779B97F4A7C15L) ^ rowId) else null
+          backpropOne(bc.value, nClasses, xi, yi, nInt.toDouble, a._1,
+            a._2, r)
+          a
+        },
+        combOp = (a, b) => {
+          if (a == null) b else if (b == null) a
+          else {
+            var li = 0
+            while (li < a._1.length) {
+              val aw = a._1(li); val bw = b._1(li)
+              var i = 0
+              while (i < aw.length) {
+                val ar = aw(i); val br = bw(i)
+                var j = 0
+                while (j < ar.length) { ar(j) += br(j); j += 1 }
+                i += 1
+              }
+              val ab = a._2(li); val bb = b._2(li)
+              var j = 0
+              while (j < ab.length) { ab(j) += bb(j); j += 1 }
+              li += 1
+            }
+            a
+          }
+        }, depth = 2)
+      bc.destroy()
+      (gw, gb)
+    }
+
+    /** Distributed cost: sum of per-sample terms, normalized once. */
+    def costPass(rdd: org.apache.spark.rdd.RDD[
+        ((Array[Double], Double), Long)], cnt: Double): Double = {
+      val m = NetModel(layers, nClasses, Array.empty, Array.empty)
+      val bc = sc.broadcast(m)
+      val c = rdd.treeAggregate(0.0)(
+        (acc, row) => acc + sampleCost(bc.value, nClasses,
+          row._1._1, row._1._2),
+        _ + _, depth = 2)
+      bc.destroy()
+      if (nClasses > 0) c / (cnt * nClasses) else math.sqrt(c / cnt)
+    }
+
+    val trainCost = scala.collection.mutable.ArrayBuffer[Double]()
+    val validCost = scala.collection.mutable.ArrayBuffer[Double]()
+    var bestValid = Double.MaxValue
+    var bestSnap: IndexedSeq[Dense] = null
+    var waits = 0
+    val epochs = math.max(cfg.epochs, 1)
+    var epoch = 0
+    var stopped = false
+    while (epoch < epochs && !stopped) {
+      val lr = if (epochs == 1) cfg.lrStart
+        else cfg.lrStart + (cfg.lrEnd - cfg.lrStart) *
+          (epoch.toDouble / (epochs - 1.0))
+      val (gw, gb) = gradientPass(epoch)
+      adam.update(layers, layer0Mask, gw, gb, lr, cfg.l2)
+      trainCost += costPass(data, n.toDouble)
+      validData.foreach { vd =>
+        val vc = costPass(vd, nValid.get)
+        validCost += vc
+        if (vc < bestValid - 1e-12) {
+          bestValid = vc
+          bestSnap = layers.map(l =>
+            Dense(l.w.map(_.clone()), l.b.clone(), l.spec))
+          waits = 0
+        } else {
+          waits += 1
+          if (waits >= cfg.patience) stopped = true
+        }
+      }
+      epoch += 1
+    }
+    data.unpersist(blocking = false)
+    validData.foreach(_.unpersist(blocking = false))
+    NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
+      trainCost.toArray, validCost.toArray, embeds)
   }
 }

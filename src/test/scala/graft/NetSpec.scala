@@ -326,4 +326,72 @@ class NetSpec extends SparkSuite {
       .getAs[org.apache.spark.ml.linalg.Vector](0)
     assert(p.size == 2 && math.abs(p.toArray.sum - 1.0) < 1e-9)
   }
+
+  private def featFrame(x: Array[Array[Double]], y: Array[Double]) = {
+    import spark.implicits._
+    val toVec = udf { a: Seq[Double] =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.toArray)
+    }
+    x.zip(y).map { case (xi, yi) => (xi.toSeq, yi) }.toSeq
+      .toDF("__raw", "label").repartition(3)
+      .withColumn("__features", toVec(col("__raw")))
+  }
+
+  test("fitDistributed: one full-batch step equals fitLocal's (no " +
+      "dropout, same seed) — the treeAggregate gradient is the " +
+      "local gradient") {
+    val rnd = new scala.util.Random(3)
+    val x = Array.tabulate(90)(_ =>
+      Array(rnd.nextGaussian(), rnd.nextGaussian()))
+    val y = x.map(v => if (v(0) + v(1) > 0) 1.0 else 0.0)
+    val cfg = Net.Config(batchSize = 90, epochs = 1, lrStart = 1e-2,
+      shuffleEachEpoch = false, seed = 11)
+    val specs = Seq(Net.LayerSpec(4, Net.Relu),
+      Net.LayerSpec(2, Net.SoftMax))
+    val local = Net.fitLocal(x, y, specs, nClasses = 2, cfg)
+    val dist = Net.fitDistributed(featFrame(x, y), specs, nClasses = 2,
+      cfg)
+    local.layers.zip(dist.layers).foreach { case (a, b) =>
+      a.w.zip(b.w).foreach { case (ra, rb) =>
+        ra.zip(rb).foreach { case (va, vb) =>
+          assert(math.abs(va - vb) < 1e-9, s"weight drift $va vs $vb") }
+      }
+      a.b.zip(b.b).foreach { case (va, vb) =>
+        assert(math.abs(va - vb) < 1e-9) }
+    }
+    assert(math.abs(local.trainCost.last - dist.trainCost.last) < 1e-9)
+  }
+
+  test("fitDistributed learns XOR across partitions and is " +
+      "deterministic with dropout") {
+    val x = Array(Array(0.0, 0.0), Array(0.0, 1.0),
+      Array(1.0, 0.0), Array(1.0, 1.0))
+    val xs = Array.tabulate(80)(i => x(i % 4))
+    val ys = Array.tabulate(80)(i => if (i % 4 == 1 || i % 4 == 2) 1.0
+      else 0.0)
+    val df = featFrame(xs, ys).cache()
+    val specs = Seq(Net.LayerSpec(8, Net.Relu),
+      Net.LayerSpec(2, Net.SoftMax))
+    val cfg = Net.Config(epochs = 150, lrStart = 5e-2, lrEnd = 1e-2)
+    val m = Net.fitDistributed(df, specs, nClasses = 2, cfg)
+    x.zipWithIndex.foreach { case (v, i) =>
+      val want = if (i == 1 || i == 2) 1 else 0
+      val p = m.predictOne(v)
+      assert(p.indexOf(p.max) == want, s"XOR distributed: ${p.toSeq}")
+    }
+    // per-(step,row)-seeded dropout: two runs agree to float
+    // combine-order jitter (the masks themselves are deterministic)
+    val dSpecs = Seq(Net.LayerSpec(8, Net.Relu, dropProb = 0.2),
+      Net.LayerSpec(2, Net.SoftMax))
+    val dCfg = Net.Config(epochs = 12, lrStart = 2e-2)
+    val d1 = Net.fitDistributed(df, dSpecs, nClasses = 2, dCfg)
+    val d2 = Net.fitDistributed(df, dSpecs, nClasses = 2, dCfg)
+    d1.layers.zip(d2.layers).foreach { case (a, b) =>
+      a.w.zip(b.w).foreach { case (ra, rb) =>
+        ra.zip(rb).foreach { case (va, vb) =>
+          assert(math.abs(va - vb) < 1e-6,
+            s"dropout fit drift $va vs $vb") } }
+    }
+    df.unpersist(blocking = false)
+  }
 }
