@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   *   - cost: CrossEntropy `-mean(obs ⊙ log(fit))` for softmax
   *     (nn.go:575-581), RMS for regression (nn.go:555-568).
   *
-  * Training is DRIVER-LOCAL over a collected feature matrix — the same
-  * memory envelope as the single-process reference (its pipes are fully
-  * resident, ch.go:121) — with a hard row cap; at scale, fit on a
-  * `Sampling.hashSample` of the data or use the distributed MLlib path
-  * (`ModSpec.toPipeline`). SCORING is distributed: the weight stack
-  * (KBs) ships in the closure of one vector->vector UDF, embarrassingly
-  * parallel, no shuffle.
+  * Two fit paths share one init/backprop/Adam core:
+  *
+  *   - `fit`/`fitLocal` — the reference's mini-batch loop on a
+  *     collected matrix (its memory envelope; hard row cap), for
+  *     sample-sized fits;
+  *   - `fitDistributed` — synchronous large-batch Adam over the FULL
+  *     frame: broadcast weights, treeAggregate gradient sums, driver
+  *     Adam step. No row cap; the data never moves.
+  *
+  * SCORING is distributed either way: the weight stack (KBs) ships in
+  * the closure of one vector->vector UDF, embarrassingly parallel, no
+  * shuffle.
   */
 object Net {
 
