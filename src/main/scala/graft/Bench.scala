@@ -32,7 +32,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional args = subset of query names (iteration aid; the
+    // harness passes none)
+    val only = args.toSet
+    val catalog = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    val results = catalog.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val ts = (1 to reps).map(_ => time(fn)).sorted
         name -> ts(ts.length / 2)

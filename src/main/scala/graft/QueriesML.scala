@@ -175,7 +175,7 @@ object QueriesML {
       val trainSet = graft.llmdata.Sampling
         .hashSample(o, "o_orderkey", 0.2)
       val fitted = ModSpec.fitEmbedded(layers, trainSet,
-        classification = true, embedMaxIter = 8, mainMaxIter = 15)
+        classification = true, embedMaxIter = 6, mainMaxIter = 12)
       // solver-health gates: the trained lookup must actually separate
       // levels (distinct vectors), and the composed model must beat
       // the gate on the learnable per-priority-threshold label
