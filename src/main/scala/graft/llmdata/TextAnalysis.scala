@@ -213,24 +213,39 @@ object TextAnalysis {
     * two key joins on the exploded bigrams and one per-doc aggregate.
     * No windows, no driver-side data, skewed bigrams are join keys
     * (AQE-splittable), not window funnels.
+    *
+    * `singleScan` persists the exploded bigrams so counting, vocab
+    * and scoring all read them back instead of re-tokenizing the
+    * corpus (vocab is exact from the bigram frame: for docs with >= 2
+    * tokens, every token appears as some bigram's w1 or w2). Costs
+    * token-count-sized disk-backed storage; wins when tokenize/decode
+    * dominates — the same trade [[tfidfTopK]]'s flag documents.
     */
   def lmPerplexity(df: DataFrame, docId: String, text: String,
-      addK: Double = 0.5): DataFrame = {
+      addK: Double = 0.5, singleScan: Boolean = false): DataFrame = {
     require(addK > 0, s"additive smoothing needs k > 0, got $addK")
     val toks = df.where(col(text).isNotNull)
       .select(col(docId),
         filter(split(Dedup.normalize(col(text)), " "),
           t => t =!= "").as("__t"))
       .where(size(col("__t")) >= 2)
-    val bi = toks.select(col(docId),
+    val bi0 = toks.select(col(docId),
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
           i => struct(element_at(col("__t"), i).as("w1"),
             element_at(col("__t"), i + 1).as("w2")))).as("__b"))
       .select(col(docId), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bi = if (singleScan)
+      bi0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bi0
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__bc"))
     val hc = bc.groupBy(col("w1")).agg(sum(col("__bc")).as("__hc"))
-    val vocab = toks.select(explode(col("__t")).as("__w"))
-      .agg(countDistinct(col("__w")).as("__v"))
+    val vocab =
+      if (singleScan)
+        bi.select(col("w1").as("__w"))
+          .union(bi.select(col("w2").as("__w")))
+          .agg(countDistinct(col("__w")).as("__v"))
+      else toks.select(explode(col("__t")).as("__w"))
+        .agg(countDistinct(col("__w")).as("__v"))
     bi.join(bc, Seq("w1", "w2")).join(hc, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", log((col("__bc") + lit(addK)) /

@@ -83,4 +83,27 @@ class PlanGuardSpec extends SparkSuite {
     val p = planOf(df)
     assert(p.contains("cosine_similarity"), p)
   }
+
+  test("lmPerplexity: partial-aggregated counts, broadcast vocab, " +
+      "no window (q86)") {
+    val p = planOf(q("q86_lm_perplexity"))
+    // hot bigrams are aggregate/join keys, never a window funnel
+    assert(!p.contains("Window"), p)
+    // count aggregates combine map-side before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial, ["), p)
+    // the 1-row vocab size arrives broadcast, not via a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("lmPerplexity singleScan equals the multi-scan default") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c b"), (3L, "x y"),
+      (4L, "a c a")).toDF("doc_id", "text")
+    def res(single: Boolean) = graft.llmdata.TextAnalysis
+      .lmPerplexity(docs, "doc_id", "text", singleScan = single)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res(true).toSeq == res(false).toSeq)
+  }
 }
