@@ -19,7 +19,8 @@ object Gather {
       "index() needs an explicit row order"))
     val values = frame.df.select(col(seqC).as("__pos"), col(xCol)
       .as("__val"))
-    val n = frame.df.count()
+    // zip-produced frames carry their count — no extra job
+    val n = frame.knownCount.getOrElse(frame.df.count())
     val joined = frame.df
       .withColumn("__idx", col(idxCol).cast("long"))
       .join(values, col("__idx") === col("__pos"), "left")
@@ -52,7 +53,8 @@ object Gather {
     * expressions) — a cross join against spark.range, no driver loop.
     */
   def one2Many(frame: SeaFrame, n: Long): SeaFrame = {
-    require(frame.df.count() == 1, "one2Many: pipe must have exactly 1 row")
+    require(frame.knownCount.getOrElse(frame.df.count()) == 1,
+      "one2Many: pipe must have exactly 1 row")
     val spark = frame.spark
     val expanded = frame.result.crossJoin(
       spark.range(n).toDF(SeaFrame.SEQ))
