@@ -601,10 +601,23 @@ object Formula {
   def addToPipe(df: DataFrame, name: String, formula: String,
       seqCol: Option[String] = None,
       bucketWidth: Long = Compiler.DefaultBucketWidth): DataFrame =
-    seqCol match {
-      case None =>
+    (seqCol, Parser.parse(formula)) match {
+      // root-level gather: name = x[idx] (reference Index,
+      // parser.go:1379, data.go:641-660) — a join of the positions
+      // against the frame's sequence, not a Column expression; both
+      // argument expressions may themselves be formulas
+      case (Some(s), Expr.Call("index", List(xe, ie))) =>
+        val cmp = new Compiler(df, seqCol)
+        val staged = df.withColumn("__gather_x", cmp.compile(xe))
+          .withColumn("__gather_i", cmp.compile(ie))
+        val frame = graft.frame.SeaFrame(staged,
+          graft.types.FeatureSchema.empty, Some(s))
+        graft.ops.Gather.index(frame, "__gather_x", "__gather_i")
+          .withColumnRenamed("__gather_x_at___gather_i", name)
+          .drop("__gather_x", "__gather_i")
+      case (None, _) =>
         df.withColumn(name, column(df, formula, None))
-      case Some(s) =>
+      case (Some(s), _) =>
         val df1 = df.withColumn(Compiler.Bucket,
           floor(col(s).cast("double") / lit(bucketWidth.toDouble))
             .cast("long"))

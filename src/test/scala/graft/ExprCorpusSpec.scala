@@ -181,4 +181,17 @@ class ExprCorpusSpec extends SparkSuite {
     assert(col1(Formula.addToPipe(df, "x", "substr(s, 2, 3)", Some("__seq")),
       "x") == Seq("ell"))
   }
+
+  test("index(x, i) gathers by position from the formula surface " +
+      "(parser.go:1379, data.go:641-660); out-of-bounds errors") {
+    // corpus pipe: c=[1,2] at seq 0,1; positions c-1 = [0,1] -> c
+    // itself; positions 1-(c-1) = [1,0] -> c reversed
+    assert(eval("index(c, c-1)") == Seq(1.0, 2.0))
+    assert(eval("index(c, 1-(c-1))") == Seq(2.0, 1.0))
+    val ex = intercept[Exception] {
+      eval("index(c, D)") // positions [3,10] past the 2-row frame
+    }
+    assert(ex.getMessage.contains("out of bounds") ||
+      ex.getCause != null)
+  }
 }
