@@ -256,6 +256,79 @@ object TextAnalysis {
       .select(col(docId), col("n_bigrams"), col("perplexity"))
   }
 
+  /** A fitted bigram LM: materialized count frames + scalar vocab
+    * size. `bigramCounts` (w1, w2, lm_bc) and `headCounts`
+    * (w1, lm_hc) are persisted at fit time so scoring joins — batch
+    * or stream-static — read the cached counts instead of refitting
+    * per query/micro-batch.
+    */
+  case class LmModel(bigramCounts: DataFrame, headCounts: DataFrame,
+      vocabSize: Long, addK: Double) {
+    def unpersist(): Unit = {
+      bigramCounts.unpersist(blocking = false)
+      headCounts.unpersist(blocking = false)
+    }
+  }
+
+  /** Fit the add-k bigram LM once on a reference corpus
+    * ([[lmPerplexity]]'s model half). Use with [[lmScore]] to score
+    * OTHER frames — including streams at ingest — without refitting.
+    */
+  def lmFit(df: DataFrame, text: String, addK: Double = 0.5): LmModel = {
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    val toks = df.where(col(text).isNotNull)
+      .select(filter(split(Dedup.normalize(col(text)), " "),
+        t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bi = toks.select(
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("lm_bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hc = bc.groupBy(col("w1")).agg(sum(col("lm_bc")).as("lm_hc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bc.count(); hc.count() // materialize so micro-batches reuse, not refit
+    val v = bi.select(col("w1").as("__w"))
+      .union(bi.select(col("w2").as("__w")))
+      .agg(countDistinct(col("__w"))).head().getLong(0)
+    LmModel(bc, hc, v, addK)
+  }
+
+  /** Score a frame — batch or STREAMING — against a pre-fitted
+    * [[LmModel]]: perplexity-at-ingest as two stream-static joins
+    * plus a per-doc aggregate. Unseen bigrams/heads take count 0, so
+    * add-k smoothing handles out-of-corpus text exactly (a doc of
+    * entirely novel words scores perplexity = |V|). For a streaming
+    * input, complete the per-doc aggregate with an update/complete
+    * output mode or a watermark on an event-time column.
+    */
+  def lmScore(docs: DataFrame, m: LmModel, docId: String,
+      text: String): DataFrame = {
+    val toks = docs.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(Dedup.normalize(col(text)), " "),
+          t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bi = toks.select(col(docId),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col(docId), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    bi.join(m.bigramCounts, Seq("w1", "w2"), "left")
+      .join(m.headCounts, Seq("w1"), "left")
+      .withColumn("__lp", log(
+        (coalesce(col("lm_bc"), lit(0L)) + lit(m.addK)) /
+          (coalesce(col("lm_hc"), lit(0L)) +
+            lit(m.addK) * lit(m.vocabSize.toDouble))))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("__lp"))).as("__nll"))
+      .withColumn("perplexity", exp(col("__nll")))
+      .select(col(docId), col("n_bigrams"), col("perplexity"))
+  }
+
   /** Content fingerprint: md5 of the dedup-normalized text — the
     * cheap exact-clustering key (see [[Dedup.normalize]]).
     */

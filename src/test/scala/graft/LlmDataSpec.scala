@@ -529,4 +529,47 @@ class LlmDataSpec extends SparkSuite {
     assert(math.abs(got(3L) - exp3) < 1e-9)
     assert(out.find(_.getLong(0) == 1L).get.getLong(1) == 3L) // n_bigrams
   }
+
+  test("lmFit/lmScore: pre-fitted scoring matches self-fit; novel " +
+      "text smooths to perplexity = |V|; scores a real stream at " +
+      "ingest (stream-static join)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b c"), (2L, "b c b"), (3L, "a c a"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.lmFit(corpus, "text", addK = 0.5)
+    try {
+      // self-fit: every corpus bigram is in the model, so the
+      // pre-fitted score equals the one-shot oracle-checked form
+      val self = TextAnalysis.lmScore(corpus, m, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.getDouble(2))
+      val oneShot = TextAnalysis.lmPerplexity(corpus, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.getDouble(2))
+      self.zip(oneShot).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9) }
+
+      // entirely novel words: every bigram takes k/(0 + k|V|) = 1/|V|
+      val novel = Seq((9L, "zz qq zz")).toDF("doc_id", "text")
+      val ppl = TextAnalysis.lmScore(novel, m, "doc_id", "text")
+        .head().getDouble(2)
+      assert(math.abs(ppl - m.vocabSize.toDouble) < 1e-9,
+        s"novel-doc perplexity $ppl != |V| ${m.vocabSize}")
+
+      // the same scoring plan runs on a STREAM (stream-static joins +
+      // a complete-mode aggregate): perplexity-at-ingest
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      in.addData((1L, "a b a b c"), (9L, "zz qq zz"))
+      val q = TextAnalysis.lmScore(
+          in.toDF().toDF("doc_id", "text"), m, "doc_id", "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("t_lm_ingest").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("t_lm_ingest")
+        .orderBy("doc_id").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(math.abs(streamed(1L) - oneShot(0)) < 1e-9)
+      assert(math.abs(streamed(9L) - m.vocabSize.toDouble) < 1e-9)
+    } finally m.unpersist()
+  }
 }
