@@ -321,6 +321,30 @@ object QueriesLLM {
             SELECT qid, vec_id, round(sim, 6) AS similarity, rank
             FROM s WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Overlapping context-window chunking of long documents
+    * (maxTokens=64, overlap=16): pure array expressions + one
+    * explode, oracle-checked end-to-end including chunk text.
+    */
+  private val q87_chunking: Q = (
+    (s, dir) => llmdata.Packing.chunkDocuments(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      maxTokens = 64, overlap = 16)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH d AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             dd AS (SELECT doc_id, w, len(w) AS n FROM d
+                    WHERE len(w) >= 1),
+             c AS (SELECT doc_id, n, w,
+                     unnest(range(0, greatest(n - 17, 0) + 1, 48)) AS s
+                   FROM dd)
+            SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+                   CAST(least(64, n - s) AS BIGINT) AS n_tokens,
+                   array_to_string(w[s+1 : s+64], ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
   /** Bigram-LM perplexity quality filter (CCNet-style), fully
     * oracle-checked: add-k-smoothed conditional probabilities are
     * pure count arithmetic, so DuckDB recomputes the identical score.
@@ -739,6 +763,7 @@ object QueriesLLM {
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
     "q86_lm_perplexity" -> q86_lm_perplexity,
+    "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,
     "q50_fingerprint" -> q50_fingerprint,

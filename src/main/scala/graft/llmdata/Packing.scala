@@ -34,6 +34,36 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Split long documents into fixed-size token windows with overlap
+    * — the chunking stage ahead of embedding/packing when documents
+    * exceed the context length. Chunk starts sit on the
+    * `(maxTokens - overlap)` stride grid: starts s = 0, stride,
+    * 2·stride, … while `s <= n - overlap - 1` (every chunk after the
+    * first carries at least one token beyond the shared overlap; a
+    * doc shorter than the overlap still yields its single chunk at
+    * s = 0). Pure array expressions + one explode — embarrassingly
+    * parallel, no shuffle, engine-reproducible.
+    */
+  def chunkDocuments(df: DataFrame, docId: String, text: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap $overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(trim(col(text)), "\\s+"), t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= 1)
+    val starts = sequence(lit(0),
+      greatest(size(col("__t")) - overlap - 1, lit(0)), lit(stride))
+    toks.select(col(docId), col("__t"), posexplode(starts))
+      .select(col(docId), col("pos").as("chunk_idx"),
+        least(lit(maxTokens), size(col("__t")) - col("col"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), col("col") + lit(1), lit(maxTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-pack summary: documents, token total, and fill ratio against
     * the capacity (>1 marks the bounded overflow packs).
     */
