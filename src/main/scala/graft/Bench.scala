@@ -54,8 +54,11 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // subset runs (iteration aid) must not clobber the full-catalog
+    // artifact the driver ingests
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      if (only.isEmpty) "/root/repo/BENCH_FULL.json"
+      else "/tmp/bench_subset.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable =>
