@@ -188,7 +188,8 @@ object QueriesAgg {
       val vals = read(s, dir, "customer").select(col("c_mktsegment"))
         .distinct()
       vals.withColumn("code",
-        (dense_rank().over(Window.orderBy(col("c_mktsegment"))) - 1)
+        (dense_rank().over(Window.partitionBy(lit(0))
+          .orderBy(col("c_mktsegment"))) - 1)
           .cast("long"))
         .orderBy(col("code"))
     },

@@ -83,7 +83,8 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     auxN += 1
     val bt = s"__bt$auxN"; val off = s"__ox$auxN"
     auxAggs(bt) = sum(x)
-    val wb = Window.orderBy(col(Bucket))
+    // over the O(buckets) aggregate frame — bounded by design
+    val wb = Window.partitionBy(lit(0)).orderBy(col(Bucket))
     auxJoined(off) = mode match {
       case "before" =>
         sum(col(bt)).over(wb.rowsBetween(Window.unboundedPreceding, -1))
@@ -103,7 +104,8 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     auxN += 1
     val bl = s"__bl$auxN"; val pv = s"__pv$auxN"
     auxAggs(bl) = max_by(x, col(seqName))
-    auxJoined(pv) = lag(col(bl), 1).over(Window.orderBy(col(Bucket)))
+    auxJoined(pv) = lag(col(bl), 1)
+      .over(Window.partitionBy(lit(0)).orderBy(col(Bucket)))
     col(pv)
   }
 

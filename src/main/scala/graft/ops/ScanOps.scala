@@ -57,7 +57,11 @@ object ScanOps {
     val totalsDf = bucketed.groupBy(col(BucketCol))
       .agg(sum(sums.head._2).as(s"__t_${sums.head._1}"),
         sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
-    val wb = Window.orderBy(col(BucketCol))
+    // O(buckets) rows: the single partition is deliberate and
+    // bounded; the constant partition key documents it (and the plan
+    // shows hashpartitioning instead of a warning-triggering empty
+    // partition spec)
+    val wb = Window.partitionBy(lit(0)).orderBy(col(BucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totalsDf.select(
       col(BucketCol) +:
