@@ -530,6 +530,33 @@ class LlmDataSpec extends SparkSuite {
     assert(out.find(_.getLong(0) == 1L).get.getLong(1) == 3L) // n_bigrams
   }
 
+  test("chunkDocuments reconstruction property: dropping each " +
+      "chunk's overlap prefix re-tiles the original token stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(200)
+      id -> Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" ")
+    }.toDF("doc_id", "text")
+    val (maxT, ov) = (16, 5)
+    val chunks = llmdata.Packing
+      .chunkDocuments(docs, "doc_id", "text", maxT, ov)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    docs.collect().foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).split(" ").toSeq)
+      val cs = chunks(id)
+      // first chunk whole, later chunks minus the `ov`-token overlap
+      // they share with their predecessor, concatenated == original
+      val rebuilt = cs.head.getString(3).split(" ").toSeq ++
+        cs.tail.flatMap(_.getString(3).split(" ").drop(ov).toSeq)
+      assert(rebuilt == toks, s"doc $id re-tiling mismatch")
+      // every chunk except the last is exactly maxT tokens
+      cs.dropRight(1).foreach(c => assert(c.getLong(2) == maxT))
+      assert(cs.last.getLong(2) <= maxT && cs.last.getLong(2) >= 1)
+    }
+  }
+
   test("lmFit/lmScore: pre-fitted scoring matches self-fit; novel " +
       "text smooths to perplexity = |V|; scores a real stream at " +
       "ingest (stream-static join)") {
