@@ -157,4 +157,16 @@ class EndToEndSpec extends SparkSuite {
     // v re-encoded under the TRAINING mean/std (20, 10): (40-20)/10 = 2
     assert(math.abs(rows(1).getDouble(rows(1).fieldIndex("v")) - 2.0) < 1e-9)
   }
+
+  test("SparkEntry.entry (the driver's smoke check) returns segment " +
+      "rows with the expected shape") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq ==
+      Seq("c_mktsegment", "n_orders", "n_high_value", "avg_price"))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2)) // high-value ⊆ all orders
+    }
+  }
 }
