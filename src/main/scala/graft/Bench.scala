@@ -30,7 +30,13 @@ object Bench {
         : Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (singleScan postings, ML
+      // frames) would otherwise accumulate cache across 85 queries × N
+      // reps and inflate later entries with GC pressure; eviction is
+      // untimed — each rep recomputes from parquet anyway
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      dt
     }
     // optional args = subset of query names (iteration aid; the
     // harness passes none)
@@ -42,12 +48,15 @@ object Bench {
         val ts = (1 to reps).map(_ => time(fn)).sorted
         name -> ts(ts.length / 2)
     }
-    // 3-decimal seconds keep the printed line inside the driver's
-    // bounded stdout-tail capture (r2's full-precision line overflowed
-    // it and truncated q01-q15); the full-precision copy goes to a
-    // file the judge can read verbatim.
+    // The driver captures only the last ~2000 chars of stdout; r2's and
+    // r3's printed lines (full query names, 85 entries ≈ 2.6 KB)
+    // overflowed that window and truncated the JSON head. Print the
+    // line with the short `qNN` ids (unique, and the format the spec's
+    // own example uses) at 3 decimals — ~1.1 KB, fits with room — and
+    // write the full-name full-precision copy to BENCH_FULL.json.
     def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -182,6 +182,34 @@ object QueriesExpr {
                          FROM orders) a
              ORDER BY pos"""))
 
+  /** Formula-surface range() (parser.go:682-723): a 1-row pipe is
+    * replaced by the range (reference parser_test.go:836-858), plain
+    * expressions then combine with it, and index(x, range(n-1, -1))
+    * reverses closed-form — the gather positions are arithmetic in the
+    * sequence, so no slab of positions is ever materialized.
+    */
+  private val q88_range_formula: Q = (
+    (s, dir) => {
+      val one = read(s, dir, "orders")
+        .agg(davg(col("o_totalprice")).as("avg_price"))
+        .withColumn("__seq", lit(0L))
+      val grown = Formula.addToPipe(one, "pos", "range(0, 50)",
+        Some("__seq"))
+      val att = Formula.addToPipe(grown, "dbl", "pos * 2", Some("__seq"))
+      Formula.addToPipe(att, "rpos", "index(pos, range(49, -1))",
+        Some("__seq"))
+        .select(col("pos"), col("rpos"), col("dbl"), col("avg_price"))
+        .orderBy(col("pos"))
+    },
+    Some(s"""SELECT CAST(g.pos AS BIGINT) AS pos,
+                    CAST(49 - g.pos AS BIGINT) AS rpos,
+                    CAST(g.pos * 2 AS DOUBLE) AS dbl,
+                    a.avg_price
+             FROM (SELECT unnest(generate_series(0, 49)) AS pos) g
+             CROSS JOIN (SELECT ${sqlDavg("o_totalprice")} AS avg_price
+                         FROM orders) a
+             ORDER BY pos"""))
+
   val all: Map[String, Q] = Map(
     "q32_expr_arith" -> q32_expr_arith,
     "q33_expr_if_logic" -> q33_expr_if_logic,
@@ -189,5 +217,6 @@ object QueriesExpr {
     "q35_expr_strings" -> q35_expr_strings,
     "q36_expr_maxmin" -> q36_expr_maxmin,
     "q67_gather_index" -> q67_gather_index,
-    "q68_one2many" -> q68_one2many)
+    "q68_one2many" -> q68_one2many,
+    "q88_range_formula" -> q88_range_formula)
 }

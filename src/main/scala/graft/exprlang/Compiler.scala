@@ -355,6 +355,9 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       case "render" =>
         graft.viz.Fig.get.render(strArg(args(0)), strArg(args(1)),
           strArg(args(2)), strArg(args(3))); lit(1.0)
+      case "range" | "index" => throw new IllegalArgumentException(
+        s"'$fn' produces a pipe, not a column — use it at the root of " +
+          "Formula.addToPipe (name = range(a,b) / name = index(x,i))")
       case other => throw new IllegalArgumentException(
         s"unknown function '$other'")
     }
@@ -600,10 +603,94 @@ object Formula {
     * strictly sequential scan in the last ulp once a frame spans
     * multiple buckets. Integer accumulators are exact.
     */
+  /** Constant-fold an integer scalar argument (range bounds are almost
+    * always literals); None when the expression needs frame data.
+    */
+  private def constLong(e: Expr): Option[Long] = e match {
+    case Expr.Num(v) => Some(v.toLong)
+    case Expr.Neg(x) => constLong(x).map(-_)
+    case Expr.Bin("+", l, r) =>
+      for (a <- constLong(l); b <- constLong(r)) yield a + b
+    case Expr.Bin("-", l, r) =>
+      for (a <- constLong(l); b <- constLong(r)) yield a - b
+    case Expr.Bin("*", l, r) =>
+      for (a <- constLong(l); b <- constLong(r)) yield a * b
+    case _ => None
+  }
+
+  /** A range bound: constant-folded, else evaluated on the frame's
+    * first row (the reference takes element 0 of the evaluated vector,
+    * parser.go:1377-1378 via ranger's Any2Int32).
+    */
+  private def scalarLong(df: DataFrame, seqCol: Option[String],
+      e: Expr): Long = constLong(e).getOrElse {
+    val c = new Compiler(df, seqCol).compile(e).cast("long")
+    val first = seqCol match {
+      case Some(s) => df.where(col(s) === 0).select(c)
+      case None => df.select(c).limit(1)
+    }
+    first.head().getLong(0)
+  }
+
+  /** Direction-aware bounds of range(a, b): (start, delta, length).
+    * Empty ranges error like the reference (parser.go:698-701).
+    */
+  private def rangeSpec(a: Long, b: Long): (Long, Long, Long) = {
+    require(a != b, "range: empty range")
+    if (b > a) (a, 1L, b - a) else (a, -1L, a - b)
+  }
+
   def addToPipe(df: DataFrame, name: String, formula: String,
       seqCol: Option[String] = None,
       bucketWidth: Long = Compiler.DefaultBucketWidth): DataFrame =
     (seqCol, Parser.parse(formula)) match {
+      // root-level range: name = range(a, b) (reference ranger,
+      // parser.go:682-723). The sequence is closed-form in the row
+      // order (value = a + delta·seq) — never materialized on the
+      // driver. Length rules follow the reference's AddToPipe: a
+      // length-1 range broadcasts as a scalar; a range matching the
+      // frame's row count attaches positionally; a 1-row pipe is
+      // REPLACED by the range (parser_test.go:836-858, where a 1-row
+      // pipe becomes the 10-row range(0,10) pipe).
+      case (optS, Expr.Call("range", List(ae, be))) =>
+        val (a, delta, len) = rangeSpec(
+          scalarLong(df, optS, ae), scalarLong(df, optS, be))
+        if (len == 1) df.withColumn(name, lit(a))
+        else {
+          val s = optS.getOrElse(throw new IllegalStateException(
+            "range() needs an explicit row order; pass seqCol"))
+          val n = df.count()
+          if (n == len)
+            df.withColumn(name, lit(a) + lit(delta) * col(s).cast("long"))
+          else if (n == 1)
+            df.crossJoin(df.sparkSession.range(len).toDF("__rg"))
+              .withColumn(name, lit(a) + lit(delta) * col("__rg"))
+              .withColumn(s, col("__rg")).drop("__rg")
+          else throw new IllegalArgumentException(
+            s"range: length $len does not match pipe rows $n " +
+              "(and the pipe is not a 1-row pipe to replace)")
+        }
+      // index(x, range(a, b)) with a full-length range: the gather
+      // positions are closed-form in seq, so the slab never exists as
+      // data — e.g. range(n-1, -1) reverses the column. Lengths must
+      // match (the reference's Index output is indices-length,
+      // data.go:640-659; AddToPipe cannot hold a mismatched field).
+      case (Some(s), Expr.Call("index",
+          List(xe, Expr.Call("range", List(ae, be))))) =>
+        val (a, delta, len) = rangeSpec(
+          scalarLong(df, seqCol, ae), scalarLong(df, seqCol, be))
+        val n = df.count()
+        require(n == len,
+          s"index(x, range): range length $len != pipe rows $n")
+        val cmp = new Compiler(df, seqCol)
+        val staged = df.withColumn("__gather_x", cmp.compile(xe))
+          .withColumn("__gather_i", lit(a) + lit(delta) * col(s).cast("long"))
+        val frame = graft.frame.SeaFrame(staged,
+          graft.types.FeatureSchema.empty, Some(s),
+          knownCount = Some(n))
+        graft.ops.Gather.index(frame, "__gather_x", "__gather_i")
+          .withColumnRenamed("__gather_x_at___gather_i", name)
+          .drop("__gather_x", "__gather_i")
       // root-level gather: name = x[idx] (reference Index,
       // parser.go:1379, data.go:641-660) — a join of the positions
       // against the frame's sequence, not a Column expression; both

@@ -37,6 +37,52 @@ class GatherAndParitySpec extends SparkSuite {
     assert(down.df.count() == 4)
   }
 
+  test("formula-surface range(): attach, scalar, 1-row expand, " +
+      "mismatch (parser.go:682-723, parser_test.go:836-858)") {
+    // length == rows: attaches positionally in seq order
+    val f3 = Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("x", "__seq")
+    val up = Formula.addToPipe(f3, "r", "range(5, 8)", Some("__seq"))
+    assert(up.orderBy("__seq").select("r").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L))
+    // descending, with constant-folded arithmetic bounds
+    val down = Formula.addToPipe(f3, "r", "range(2+1, 0)", Some("__seq"))
+    assert(down.orderBy("__seq").select("r").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    // length-1 range broadcasts as a scalar
+    val sc = Formula.addToPipe(f3, "r", "range(9, 10)", Some("__seq"))
+    assert(sc.select("r").collect().map(_.getLong(0)).toSeq
+      .forall(_ == 9L))
+    // a 1-row pipe is REPLACED by the range (the reference test's
+    // 1-row pipe becomes the 10-row range(0,10) pipe)
+    val one = Seq((42.0, 0L)).toDF("v", "__seq")
+    val grown = Formula.addToPipe(one, "r", "range(0, 10)", Some("__seq"))
+    assert(grown.count() == 10)
+    assert(grown.orderBy("__seq").select("r").collect()
+      .map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(grown.select("v").distinct().head().getDouble(0) == 42.0)
+    // mismatched length errors, as does an empty range
+    intercept[IllegalArgumentException] {
+      Formula.addToPipe(f3, "r", "range(0, 7)", Some("__seq"))
+    }
+    intercept[IllegalArgumentException] {
+      Formula.addToPipe(f3, "r", "range(4, 4)", Some("__seq"))
+    }
+    // embedded (non-root) range is refused with a pointed message
+    val err = intercept[IllegalArgumentException] {
+      Formula.addToPipe(f3, "r", "1 + range(0, 3)", Some("__seq"))
+    }
+    assert(err.getMessage.contains("root"))
+  }
+
+  test("index(x, range(n-1, -1)) reverses the column closed-form") {
+    val f = SeaFrame.withSequence(
+      Seq("a", "b", "c", "d").toDF("x"), Seq(col("x").asc))
+    val out = Formula.addToPipe(f.df, "rev", "index(x, range(3, -1))",
+      f.seqCol)
+    assert(out.orderBy(SeaFrame.SEQ).select("rev").collect()
+      .map(_.getString(0)).toSeq == Seq("d", "c", "b", "a"))
+  }
+
   test("one2Many replicates a scalar pipe (parser.go:1661-1691)") {
     val one = SeaFrame(Seq((0.0275, 180)).toDF("rate", "term"))
     val many = Gather.one2Many(one, 5)
