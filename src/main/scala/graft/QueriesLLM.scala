@@ -584,6 +584,64 @@ object QueriesLLM {
             WHERE ngram IS NOT NULL GROUP BY 1
             ORDER BY cnt DESC, ngram ASC LIMIT 20"""))
 
+  /** Gopher-rule quality filter (Rae et al. 2021 §A1.1): keep/drop
+    * with per-rule failure reasons, every rule a pure column
+    * expression the oracle recomputes verbatim — the structural
+    * complement to the statistical LM filter (q86).
+    */
+  private val q89_quality_filter: Q = (
+    (s, dir) => TextAnalysis.gopherQualityFilter(
+        spread(read(s, dir, "documents")), "text")
+      .select(col("doc_id"), col("n_words"), col("kept"), col("reasons"))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  w -> w <> '') AS w,
+                list_filter(string_split(text, chr(10)),
+                  l -> trim(l) <> '') AS ln
+              FROM documents WHERE text IS NOT NULL),
+            m AS (SELECT doc_id, len(w) AS nw,
+                CASE WHEN len(w) > 0 THEN
+                  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                    / len(w) END AS mwl,
+                (len(text) - len(replace(text, '#', ''))
+                 + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                  AS sym,
+                CAST(len(list_filter(ln, l ->
+                    regexp_matches(trim(l), '^([-*•]|[0-9]+\.)')))
+                  AS DOUBLE) / greatest(len(ln), 1) AS bf,
+                CAST(len(list_filter(ln, l -> rtrim(l) LIKE '%...'))
+                  AS DOUBLE) / greatest(len(ln), 1) AS ef,
+                CASE WHEN len(w) > 0 THEN
+                  CAST(len(list_filter(w, x ->
+                      regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(w) END AS af,
+                len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  sw -> list_contains(
+                    list_transform(w, x -> lower(x)), sw))) AS sh
+              FROM d),
+            r AS (SELECT doc_id, nw,
+                concat_ws(',',
+                  CASE WHEN NOT (nw >= 50 AND nw <= 100000)
+                    THEN 'word_count' END,
+                  CASE WHEN NOT (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+                    THEN 'mean_word_len' END,
+                  CASE WHEN NOT (nw > 0 AND sym / nw <= 0.1)
+                    THEN 'symbol_ratio' END,
+                  CASE WHEN NOT (bf <= 0.9) THEN 'bullet_lines' END,
+                  CASE WHEN NOT (ef <= 0.3) THEN 'ellipsis_lines' END,
+                  CASE WHEN NOT (nw > 0 AND af >= 0.8)
+                    THEN 'alpha_words' END,
+                  CASE WHEN NOT (sh >= 2) THEN 'stopwords' END)
+                  AS reasons
+              FROM m)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+               CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END
+                 AS INTEGER) AS kept,
+               reasons
+        FROM r ORDER BY doc_id"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -763,6 +821,7 @@ object QueriesLLM {
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
     "q86_lm_perplexity" -> q86_lm_perplexity,
+    "q89_quality_filter" -> q89_quality_filter,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

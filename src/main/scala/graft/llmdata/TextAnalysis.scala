@@ -180,6 +180,66 @@ object TextAnalysis {
       .select(col(docId), col("term"), col("tfidf"))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, §A1.1): each document
+    * is kept only if every structural-quality rule passes; failures
+    * are reported by name so curation can audit WHY a document
+    * dropped. All rules are pure column expressions — codegen'd,
+    * shuffle-free, and recomputable verbatim in any SQL engine (the
+    * oracle re-derives kept/reasons independently).
+    *
+    * Rules (names in the `reasons` output, fixed order):
+    *   word_count     — token count outside [minWords, maxWords]
+    *   mean_word_len  — mean word length outside [3, 10]
+    *   symbol_ratio   — ('#' + '...') per word above 0.1
+    *   bullet_lines   — >90% of lines start with a bullet
+    *   ellipsis_lines — >30% of lines end with '...'
+    *   alpha_words    — <80% of words contain a letter
+    *   stopwords      — fewer than 2 distinct common stopwords
+    */
+  def gopherQualityFilter(df: DataFrame, text: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(text)
+    val words = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("double")
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / nWords
+    val hashes = (length(t) - length(regexp_replace(t, "#", "")))
+      .cast("double")
+    val ellipses = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike("^([-*•]|[0-9]+\\.)"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => rtrim(l).endsWith("..."))).cast("double") / nLines
+    val alphaFrac = size(filter(words,
+      w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val lowered = transform(words, w => lower(w))
+    val stopHits = size(filter(
+      array(gopherStops.map(lit): _*),
+      sw => array_contains(lowered, sw)))
+    // ratio rules carry an explicit nWords > 0 guard: 0/0 is NaN and
+    // engines disagree on NaN comparisons, so an empty document must
+    // fail these rules definitively, not via NaN semantics
+    val checks: Seq[(String, Column)] = Seq(
+      "word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "mean_word_len" -> (nWords > 0 && meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio" -> (nWords > 0 && (hashes + ellipses) / nWords <= 0.1),
+      "bullet_lines" -> (bulletFrac <= 0.9),
+      "ellipsis_lines" -> (ellipsisFrac <= 0.3),
+      "alpha_words" -> (nWords > 0 && alphaFrac >= 0.8),
+      "stopwords" -> (stopHits >= 2))
+    val reasons = concat_ws(",",
+      checks.map { case (n, ok) => when(!ok, n) }: _*)
+    df.where(t.isNotNull)
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("reasons", reasons)
+      .withColumn("kept", (reasons === "").cast("int"))
+  }
+
   /** Corpus-level word n-gram counts: contiguous n-grams per document
     * (single-space tokenization, empties dropped), counted across the
     * whole corpus. One explode + one hash aggregate; the n-gram

@@ -400,6 +400,37 @@ class LlmDataSpec extends SparkSuite {
     assert(q(1L) < 0.3)
   }
 
+  test("gopher quality filter: each rule fires by name, clean text " +
+      "keeps") {
+    val clean = (("the quick brown fox jumps over that lazy dog and " +
+      "it came to pass that all of them were happy with it ") * 3).trim
+    val df = Seq(
+      (0L, clean),                                   // passes all rules
+      (1L, "too short to have fifty words"),         // word_count
+      (2L, Seq.fill(60)("a").mkString(" ")),         // mean_word_len (1.0)
+      (3L, clean + " " + Seq.fill(12)("#").mkString(" ")), // symbol_ratio
+      (4L, Seq.fill(10)("- " + clean.take(40)).mkString("\n")), // bullets
+      (5L, Seq.fill(10)(clean.take(40) + "...").mkString("\n")), // ellipsis
+      (6L, clean + " " + Seq.fill(40)("123").mkString(" ")), // alpha_words
+      (7L, Seq.fill(60)("zebra").mkString(" ")))     // stopwords (also rep)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFilter(df, "text",
+      minWords = 50)
+      .select("doc_id", "kept", "reasons").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(0L) == ((1, "")))
+    assert(out(1L)._2.contains("word_count"))
+    assert(out(2L)._2.contains("mean_word_len"))
+    assert(out(3L)._2.contains("symbol_ratio"))
+    assert(out(4L)._2.contains("bullet_lines"))
+    assert(out(5L)._2.contains("ellipsis_lines"))
+    assert(out(6L)._2.contains("alpha_words"))
+    assert(out(7L)._2.contains("stopwords"))
+    // reasons list every failed rule in fixed order
+    assert(out(2L)._2 == "mean_word_len,stopwords" ||
+      out(2L)._2 == "mean_word_len")
+  }
+
   test("rolling hash is order-sensitive where md5-normalized is not") {
     val df = Seq(
       (0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("id", "t")
