@@ -642,6 +642,87 @@ object QueriesLLM {
                reasons
         FROM r ORDER BY doc_id"""))
 
+  /** Per-source corpus-mix report — the curation dashboard a corpus
+    * owner reads before setting mixing weights: document counts, token
+    * totals, Gopher kept-rate, and language-ID agreement with the
+    * labeled lang, grouped by the source column. One aggregation over
+    * pure per-row expressions; every input op (q48, q49, q89) is
+    * itself oracle-checked, and the composition re-verifies here.
+    */
+  private val q90_source_mix: Q = (
+    (s, dir) => {
+      // stopword list drawn from the corpus' own function-word tier
+      // (the filter is parameterized for exactly this: Gopher's
+      // English list on a non-English or domain corpus flags
+      // everything, telling the curator nothing)
+      val g = TextAnalysis.gopherQualityFilter(
+        spread(read(s, dir, "documents")), "text",
+        stops = Seq("the", "a", "batch", "scan", "hash", "join",
+          "table", "row"))
+      g.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_tokens"),
+          round(avg(col("kept").cast("double")), 6).as("kept_rate"),
+          round(avg((col("lang_pred") <=> col("lang")).cast("double")), 6)
+            .as("lang_match_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, lang, text,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  w -> w <> '') AS w,
+                list_filter(string_split(text, chr(10)),
+                  l -> trim(l) <> '') AS ln,
+                string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            m AS (SELECT doc_id, source, lang, len(w) AS nw,
+                CASE WHEN len(w) > 0 THEN
+                  CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                    / len(w) END AS mwl,
+                (len(text) - len(replace(text, '#', ''))
+                 + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                  AS sym,
+                CAST(len(list_filter(ln, l ->
+                    regexp_matches(trim(l), '^([-*•]|[0-9]+\.)')))
+                  AS DOUBLE) / greatest(len(ln), 1) AS bf,
+                CAST(len(list_filter(ln, l -> rtrim(l) LIKE '%...'))
+                  AS DOUBLE) / greatest(len(ln), 1) AS ef,
+                CASE WHEN len(w) > 0 THEN
+                  CAST(len(list_filter(w, x ->
+                      regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(w) END AS af,
+                len(list_filter(
+                  ['the','a','batch','scan','hash','join','table','row'],
+                  sw -> list_contains(
+                    list_transform(w, x -> lower(x)), sw))) AS sh,
+                [{'hits': len(list_filter(ws, x -> x IN ('the','and','of',
+                    'to','is','in','that','it'))), 'tie': -1, 'lang': 'en'},
+                 {'hits': len(list_filter(ws, x -> x IN ('el','la','de',
+                    'que','y','en','los','del'))), 'tie': -2, 'lang': 'es'},
+                 {'hits': len(list_filter(ws, x -> x IN ('le','la','de',
+                    'et','les','des','est','une'))), 'tie': -3, 'lang': 'fr'},
+                 {'hits': len(list_filter(ws, x -> x IN ('der','die','und',
+                    'das','ist','von','den','mit'))), 'tie': 0, 'lang': 'de'}]
+                  AS cand
+              FROM d),
+            r AS (SELECT source, lang, nw,
+                CASE WHEN (nw >= 50 AND nw <= 100000)
+                      AND (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+                      AND (nw > 0 AND sym / nw <= 0.1)
+                      AND (bf <= 0.9) AND (ef <= 0.3)
+                      AND (nw > 0 AND af >= 0.8)
+                      AND (sh >= 2) THEN 1.0 ELSE 0.0 END AS kept,
+                CASE WHEN list_sort(cand)[-1].hits > 0
+                     THEN list_sort(cand)[-1].lang
+                     ELSE 'und' END AS lang_pred
+              FROM m)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS total_tokens,
+               round(avg(kept), 6) AS kept_rate,
+               round(avg(CASE WHEN lang_pred IS NOT DISTINCT FROM lang
+                 THEN 1.0 ELSE 0.0 END), 6) AS lang_match_rate
+        FROM r GROUP BY source ORDER BY source"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -822,6 +903,7 @@ object QueriesLLM {
     "q47_text_quality" -> q47_text_quality,
     "q86_lm_perplexity" -> q86_lm_perplexity,
     "q89_quality_filter" -> q89_quality_filter,
+    "q90_source_mix" -> q90_source_mix,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

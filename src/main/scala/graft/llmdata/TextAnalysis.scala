@@ -197,7 +197,9 @@ object TextAnalysis {
     *   stopwords      — fewer than 2 distinct common stopwords
     */
   def gopherQualityFilter(df: DataFrame, text: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      stops: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
     val t = col(text)
     val words = filter(split(trim(t), "\\s+"), w => w =!= "")
     val nWords = size(words).cast("double")
@@ -215,11 +217,9 @@ object TextAnalysis {
       l => rtrim(l).endsWith("..."))).cast("double") / nLines
     val alphaFrac = size(filter(words,
       w => w.rlike("[A-Za-z]"))).cast("double") / nWords
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
-      "have", "with")
     val lowered = transform(words, w => lower(w))
     val stopHits = size(filter(
-      array(gopherStops.map(lit): _*),
+      array(stops.map(lit): _*),
       sw => array_contains(lowered, sw)))
     // ratio rules carry an explicit nWords > 0 guard: 0/0 is NaN and
     // engines disagree on NaN comparisons, so an empty document must
