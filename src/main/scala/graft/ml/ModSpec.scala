@@ -206,7 +206,8 @@ object ModSpec {
   def fitNative(layers: Seq[Layer], df: DataFrame,
       classification: Boolean, nClasses: Int = 2,
       cfg: Net.Config = Net.Config(), valid: Option[DataFrame] = None,
-      distributed: Boolean = false): NativeModel = {
+      distributed: Boolean = false,
+      localSgd: Boolean = false): NativeModel = {
     val input = inputOf(layers)
     val target = layers.collectFirst { case t: Target => t }.getOrElse(
       throw new IllegalArgumentException("modspec: no Target layer"))
@@ -245,9 +246,14 @@ object ModSpec {
     }
     require(specs.nonEmpty, "modspec: no FC layers")
     // distributed = synchronous large-batch Adam over the full frame
-    // (no row cap, no driver matrix); default keeps the reference's
-    // mini-batch loop on a capped collect
-    val fitFn = if (distributed) Net.fitDistributed _ else Net.fit _
+    // (no row cap, no driver matrix); localSgd = per-partition
+    // mini-batch loops with periodic weight averaging (more steps per
+    // pass, averaging bias); default keeps the reference's mini-batch
+    // loop on a capped collect
+    val fitFn =
+      if (localSgd) Net.fitDistributedLocalSgd _
+      else if (distributed) Net.fitDistributed _
+      else Net.fit _
     val net = fitFn(prep.transform(df), specs.toSeq,
       if (classification) nClasses else 0, cfg, "__features",
       target.field, valid.map(prep.transform), embeds.toSeq)

@@ -790,4 +790,165 @@ object Net {
     NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
       trainCost.toArray, validCost.toArray, embeds)
   }
+
+  /** DISTRIBUTED local-SGD fit — periodic weight averaging (the
+    * local-update/model-averaging family: McMahan et al. 2017 FedAvg,
+    * Zinkevich et al. 2010 parallelized SGD). Where [[fitDistributed]]
+    * takes ONE synchronous Adam step per full pass, this takes
+    * `rows / batchSize` mini-batch steps per partition per pass and
+    * pays for the extra progress with averaging bias:
+    *
+    *   per round (cfg.epochs rounds): broadcast the weight stack;
+    *   each partition deep-copies it, streams its rows once in
+    *   cfg.batchSize mini-batches through a partition-local Adam loop
+    *   (fresh moments each round; tail rows short of a full batch are
+    *   unused — [[fitLocal]]'s reference batch semantics), and emits
+    *   its weights scaled by its row count; the driver row-weighted
+    *   averages the replicas into the next round's stack.
+    *
+    * One data pass per round, weights-sized (KB-MB) driver traffic,
+    * no shuffle — the same 100 TB envelope as [[fitDistributed]],
+    * trading its determinism for convergence speed on large frames.
+    *
+    * Exactness anchor (spec-pinned): on a single partition with
+    * rounds = 1 this equals `fitLocal(shuffleEachEpoch = false,
+    * epochs = 1)` to within one scale-round-trip ulp (the w·n·(1/n)
+    * of the averaging step) — same batch boundaries, same Adam
+    * arithmetic, same seed. Across partitions
+    * the cross-replica weighted sum inherits float combine-order
+    * jitter (last ulp), and dropout draws from a per-(round,
+    * partition) seeded stream.
+    */
+  def fitDistributedLocalSgd(train: DataFrame, specs: Seq[LayerSpec],
+      nClasses: Int, cfg: Config = Config(),
+      featuresCol: String = "__features", labelCol: String = "label",
+      valid: Option[DataFrame] = None,
+      embeds: Seq[EmbedBlock] = Nil): NetModel = {
+    validateSpecs(specs, nClasses)
+    def rddOf(df: DataFrame) = df
+      .select(col(featuresCol), col(labelCol).cast("double")).rdd
+      .map(r => (r.getAs[Vector](0).toArray, r.getDouble(1)))
+    val data = rddOf(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+    require(n > 0, "net: empty training set")
+    val validData = valid.map(v => rddOf(v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nValid = validData.map(_.count().toDouble)
+
+    val rnd = new scala.util.Random(cfg.seed)
+    val inWidth = data.first()._1.length
+    var (layers, layer0Mask) =
+      initLayers(specs, nClasses, inWidth, embeds, rnd)
+    val sc = train.sparkSession.sparkContext
+    val hasDropout = specs.exists(_.dropProb > 0)
+    val (seed, batchSize, l2) = (cfg.seed, cfg.batchSize, cfg.l2)
+
+    def costPass(rdd: org.apache.spark.rdd.RDD[(Array[Double], Double)],
+        cnt: Double): Double = {
+      val bc = sc.broadcast(NetModel(layers, nClasses,
+        Array.empty, Array.empty))
+      val c = rdd.treeAggregate(0.0)(
+        (acc, row) => acc + sampleCost(bc.value, nClasses, row._1, row._2),
+        _ + _, depth = 2)
+      bc.destroy()
+      if (nClasses > 0) c / (cnt * nClasses) else math.sqrt(c / cnt)
+    }
+
+    val trainCost = scala.collection.mutable.ArrayBuffer[Double]()
+    val validCost = scala.collection.mutable.ArrayBuffer[Double]()
+    var bestValid = Double.MaxValue
+    var bestSnap: IndexedSeq[Dense] = null
+    var waits = 0
+    val rounds = math.max(cfg.epochs, 1)
+    var round = 0
+    var stopped = false
+    while (round < rounds && !stopped) {
+      val lr = if (rounds == 1) cfg.lrStart
+        else cfg.lrStart + (cfg.lrEnd - cfg.lrStart) *
+          (round.toDouble / (rounds - 1.0))
+      val bc = sc.broadcast(layers)
+      val bcMask = sc.broadcast(layer0Mask)
+      val roundNo = round
+      // each partition: local mini-batch Adam over its own rows, then
+      // (rows-weighted weights, rows) — one element per partition
+      val (sumW, sumB, rowsSeen) = data.mapPartitionsWithIndex {
+        (pid, it) =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val local = bc.value.map(l =>
+              Dense(l.w.map(_.clone()), l.b.clone(), l.spec))
+            val (gW, gB) = zeroGrads(local)
+            val adam = new AdamState(local)
+            val r = if (hasDropout) new scala.util.Random(
+              seed ^ (roundNo.toLong * 0x9E3779B97F4A7C15L) ^ pid)
+            else null
+            val bx = new Array[Array[Double]](batchSize)
+            val by = new Array[Double](batchSize)
+            var fill = 0
+            var rows = 0L
+            it.foreach { case (xi, yi) =>
+              bx(fill) = xi; by(fill) = yi; fill += 1; rows += 1
+              if (fill == batchSize) {
+                var k = 0
+                while (k < batchSize) {
+                  backpropOne(local, nClasses, bx(k), by(k),
+                    batchSize.toDouble, gW, gB, r)
+                  k += 1
+                }
+                adam.update(local, bcMask.value, gW, gB, lr, l2)
+                fill = 0
+              }
+            }
+            // tail rows short of a batch are unused, like fitLocal
+            val w = rows.toDouble
+            Iterator.single((
+              local.map(_.w.map(_.map(_ * w))),
+              local.map(_.b.map(_ * w)), rows))
+          }
+      }.treeReduce({ (a, b) =>
+        var li = 0
+        while (li < a._1.length) {
+          val aw = a._1(li); val bw = b._1(li)
+          var i = 0
+          while (i < aw.length) {
+            val ar = aw(i); val br = bw(i)
+            var j = 0
+            while (j < ar.length) { ar(j) += br(j); j += 1 }
+            i += 1
+          }
+          val ab = a._2(li); val bb = b._2(li)
+          var j = 0
+          while (j < ab.length) { ab(j) += bb(j); j += 1 }
+          li += 1
+        }
+        (a._1, a._2, a._3 + b._3)
+      }, depth = 2)
+      bc.destroy(); bcMask.destroy()
+      val inv = 1.0 / rowsSeen.toDouble
+      layers = layers.indices.map { li =>
+        Dense(sumW(li).map(_.map(_ * inv)), sumB(li).map(_ * inv),
+          layers(li).spec)
+      }
+      trainCost += costPass(data, n.toDouble)
+      validData.foreach { vd =>
+        val vc = costPass(vd, nValid.get)
+        validCost += vc
+        if (vc < bestValid - 1e-12) {
+          bestValid = vc
+          bestSnap = layers.map(l =>
+            Dense(l.w.map(_.clone()), l.b.clone(), l.spec))
+          waits = 0
+        } else {
+          waits += 1
+          if (waits >= cfg.patience) stopped = true
+        }
+      }
+      round += 1
+    }
+    data.unpersist(blocking = false)
+    validData.foreach(_.unpersist(blocking = false))
+    NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
+      trainCost.toArray, validCost.toArray, embeds)
+  }
 }
