@@ -723,6 +723,55 @@ object QueriesLLM {
                  THEN 1.0 ELSE 0.0 END), 6) AS lang_match_rate
         FROM r GROUP BY source ORDER BY source"""))
 
+  /** C4-style corpus-boilerplate spans: 4-gram positions recurring in
+    * >= 3 distinct documents, flagged back per document. Pure count
+    * arithmetic — the oracle recomputes the boilerplate set and the
+    * per-doc fractions identically.
+    */
+  private val q91_boilerplate: Q = (
+    (s, dir) => TextAnalysis.boilerplateSpans(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        n = 4, minDocs = 3)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '),
+                  x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(t) - 2),
+                  i -> array_to_string(t[i:i+3], ' '))) AS gram
+              FROM w WHERE len(t) >= 4),
+            b AS (SELECT gram FROM
+                (SELECT gram, count(DISTINCT doc_id) AS nd
+                 FROM g GROUP BY 1) WHERE nd >= 3)
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN gram IN (SELECT gram FROM b)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               round(CAST(sum(CASE WHEN gram IN (SELECT gram FROM b)
+                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                 AS boiler_frac
+        FROM g GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Token-budget corpus cut: hash-ordered docs, integer-exact prefix
+    * sums, keep while the running total fits — reproduced verbatim by
+    * the oracle's window over the same portable hash.
+    */
+  private val q92_token_budget: Q = (
+    (s, dir) => llmdata.Sampling.sampleToTokenBudget(
+        spread(read(s, dir, "documents")), "doc_id",
+        TextAnalysis.tokenCountWs(col("text")), budget = 15000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens,
+                (doc_id * 2654435761 + 42) % 1000000007 AS h
+              FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h) AS BIGINT)
+                 AS cum_tokens
+        FROM t QUALIFY cum_tokens <= 15000 ORDER BY doc_id"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -904,6 +953,8 @@ object QueriesLLM {
     "q86_lm_perplexity" -> q86_lm_perplexity,
     "q89_quality_filter" -> q89_quality_filter,
     "q90_source_mix" -> q90_source_mix,
+    "q91_boilerplate" -> q91_boilerplate,
+    "q92_token_budget" -> q92_token_budget,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

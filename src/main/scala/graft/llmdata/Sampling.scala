@@ -65,6 +65,30 @@ object Sampling {
     df.withColumn(out, expr)
   }
 
+  /** Sample down to a TOKEN budget instead of a row fraction — the
+    * "give me ~1B tokens of this corpus" cut every training run
+    * starts with. Documents are ordered by the portable id hash
+    * (an engine-reproducible shuffle), token counts are prefix-summed
+    * in that order ([[graft.ops.ScanOps.prefixSums]] — range-bucketed
+    * two-pass, integer-exact, no single-partition window), and a
+    * document is kept while the running total fits the budget. The
+    * same (corpus, seed, budget) always selects the same documents,
+    * in any engine, at any partitioning.
+    */
+  def sampleToTokenBudget(df: DataFrame, id: String, tokens: Column,
+      budget: Long, seed: Long = 42L,
+      out: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    val withTok = df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__h", pmod(col(id).cast("long") * Mult + seed,
+        lit(Mod)))
+    graft.ops.ScanOps.prefixSums(withTok, "__h",
+        Seq(out -> col("__tok")))
+      .where(col(out) <= budget)
+      .withColumnRenamed("__tok", "n_tokens")
+      .drop("__h")
+  }
+
   /** Mix sources at target sampling rates into one frame, tagging each
     * row's origin — the dataset-mixture step of a training pipeline.
     * Each (source, fraction) pair is hash-sampled independently (with

@@ -258,6 +258,47 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Corpus-boilerplate span detection (the C4-style scrub signal:
+    * token spans recurring across many DOCUMENTS are navigation
+    * chrome / license headers / templates, not content): flag every
+    * word n-gram position whose n-gram appears in >= minDocs distinct
+    * documents, and report per document how much of it is
+    * boilerplate. Complements [[repetitionRatio]] (within-doc) and
+    * [[ngramCounts]] (global counts) with the cross-document signal.
+    *
+    * Scale shape: one explode to (doc, gram) positions; the
+    * boilerplate set is a grouped distinct-doc count on the gram key
+    * (partial-aggregated shuffle; skewed grams are join keys, AQE
+    * splits them); the flag-back is a key join (broadcast when the
+    * boilerplate set is small, which it is by construction — grams
+    * crossing minDocs distinct documents are the rare tail); one
+    * per-doc aggregate. No windows, no driver-side data.
+    */
+  def boilerplateSpans(df: DataFrame, docId: String, text: String,
+      n: Int = 4, minDocs: Int = 3): DataFrame = {
+    require(n >= 1, s"span size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(lower(col(text)), " "), t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= n)
+    val grams = toks.select(col(docId),
+      explode(transform(
+        sequence(lit(1), size(col("__t")) - lit(n - 1)),
+        i => array_join(slice(col("__t"), i, lit(n)), " "))).as("gram"))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(docId)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("gram"), lit(1).as("__boiler"))
+    grams.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__boiler"), lit(0))).cast("long")
+          .as("n_boiler"),
+        round(sum(coalesce(col("__boiler"), lit(0))) /
+          count(lit(1)).cast("double"), 6).as("boiler_frac"))
+  }
+
   /** Bigram language-model perplexity — the CCNet-style statistical
     * quality filter: fit add-k-smoothed bigram probabilities
     * P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k|V|) on the corpus itself,
