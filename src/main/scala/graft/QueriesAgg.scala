@@ -188,8 +188,10 @@ object QueriesAgg {
       val vals = read(s, dir, "customer").select(col("c_mktsegment"))
         .distinct()
       vals.withColumn("code",
-        (dense_rank().over(Window.partitionBy(lit(0))
-          .orderBy(col("c_mktsegment"))) - 1)
+        (dense_rank().over(
+          Window.partitionBy(coalesce(length(col("c_mktsegment")) * 0,
+              lit(0)))
+            .orderBy(col("c_mktsegment"))) - 1)
           .cast("long"))
         .orderBy(col("code"))
     },

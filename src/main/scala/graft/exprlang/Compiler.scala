@@ -83,8 +83,10 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     auxN += 1
     val bt = s"__bt$auxN"; val off = s"__ox$auxN"
     auxAggs(bt) = sum(x)
-    // over the O(buckets) aggregate frame — bounded by design
-    val wb = Window.partitionBy(lit(0)).orderBy(col(Bucket))
+    // over the O(buckets) aggregate frame — bounded by design (pinned
+    // non-foldable zero: lit(0) would fold to an empty partition spec)
+    val wb = Window.partitionBy(graft.ops.ScanOps.pinnedZero(col(Bucket)))
+      .orderBy(col(Bucket))
     auxJoined(off) = mode match {
       case "before" =>
         sum(col(bt)).over(wb.rowsBetween(Window.unboundedPreceding, -1))
@@ -105,7 +107,8 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     val bl = s"__bl$auxN"; val pv = s"__pv$auxN"
     auxAggs(bl) = max_by(x, col(seqName))
     auxJoined(pv) = lag(col(bl), 1)
-      .over(Window.partitionBy(lit(0)).orderBy(col(Bucket)))
+      .over(Window.partitionBy(graft.ops.ScanOps.pinnedZero(col(Bucket)))
+        .orderBy(col(Bucket)))
     col(pv)
   }
 

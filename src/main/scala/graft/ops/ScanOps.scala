@@ -20,6 +20,15 @@ object ScanOps {
 
   val BucketCol = "__sbkt"
 
+  /** A zero that Catalyst cannot constant-fold away: `partitionBy(lit(0))`
+    * gets folded to an EMPTY partition spec by the optimizer, which both
+    * logs the scary "No Partition Defined" warning and hides the fact
+    * that the single partition is deliberate and O(buckets)-bounded.
+    * Deriving the zero from a (never-null, non-negative) column keeps
+    * the explicit single-partition spec in the plan.
+    */
+  def pinnedZero(c: Column): Column = pmod(c, lit(1))
+
   /** Assign a range-bucket column over `ord` from approx-quantile cut
     * points: equal values always share a bucket, bucket index is
     * monotone in `ord`. One extra pass (the quantile sketch); the
@@ -54,25 +63,39 @@ object ScanOps {
       sums: Seq[(String, Column)], buckets: Int = 32): DataFrame = {
     val bucketed = withRangeBucket(df, ord, buckets)
     val pw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
-    val totalsDf = bucketed.groupBy(col(BucketCol))
-      .agg(sum(sums.head._2).as(s"__t_${sums.head._1}"),
-        sums.tail.map { case (n, c) => sum(c).as(s"__t_$n") }: _*)
-    // O(buckets) rows: the single partition is deliberate and
-    // bounded; the constant partition key documents it (and the plan
-    // shows hashpartitioning instead of a warning-triggering empty
-    // partition spec)
-    val wb = Window.partitionBy(lit(0)).orderBy(col(BucketCol))
+    // Within-bucket running sums: the ONLY full-table shuffle. The
+    // per-bucket totals are then read back off this SAME exchange
+    // (ReuseExchange dedupes the identical subplan) as the running
+    // value on each bucket's last row (RANGE frame -> ties all carry
+    // the full tie group, so max_by over ord is the bucket total) —
+    // instead of a second scan+aggregate of the source. For expensive
+    // inputs (tokenized text, computed columns) that halves the scan
+    // work; the source is read once.
+    val within = sums.foldLeft(bucketed) { case (d, (n, c)) =>
+      d.withColumn(s"__w_$n", sum(c).over(pw))
+    }
+    val totalsDf = within.groupBy(col(BucketCol))
+      .agg(max_by(col(s"__w_${sums.head._1}"), col(ord))
+          .as(s"__t_${sums.head._1}"),
+        sums.tail.map { case (n, _) =>
+          max_by(col(s"__w_$n"), col(ord)).as(s"__t_$n") }: _*)
+    // O(buckets) rows: the single partition is deliberate and bounded;
+    // the pinned (non-foldable) zero keeps the explicit partition spec
+    // in the plan instead of a warning-triggering empty one
+    val wb = Window.partitionBy(pinnedZero(col(BucketCol)))
+      .orderBy(col(BucketCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totalsDf.select(
       col(BucketCol) +:
         sums.map { case (n, _) =>
           sum(col(s"__t_$n")).over(wb).as(s"__o_$n")
         }: _*)
-    val joined = bucketed.join(broadcast(offsets), Seq(BucketCol), "left")
-    val withRuns = sums.foldLeft(joined) { case (d, (n, c)) =>
-      d.withColumn(n, sum(c).over(pw) + coalesce(col(s"__o_$n"), lit(0)))
+    val joined = within.join(broadcast(offsets), Seq(BucketCol), "left")
+    val withRuns = sums.foldLeft(joined) { case (d, (n, _)) =>
+      d.withColumn(n, col(s"__w_$n") + coalesce(col(s"__o_$n"), lit(0)))
     }
-    withRuns.drop(BucketCol +: sums.map { case (n, _) => s"__o_$n" }: _*)
+    withRuns.drop(BucketCol +: sums.flatMap { case (n, _) =>
+      Seq(s"__o_$n", s"__w_$n") }: _*)
   }
 
   /** SQL NTILE(k) bucket (1-based) from a 1-based rank and total row
