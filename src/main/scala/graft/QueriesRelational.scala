@@ -59,9 +59,10 @@ object QueriesRelational {
     */
   private val q04_subset_rows: Q = (
     (s, dir) => {
-      // prune to the needed columns BEFORE the global sequence sort:
-      // the range-partitioned sort then moves 5 columns, not 11
-      val f = SeaFrame.withSequence(
+      // prune to the needed columns BEFORE the order declaration, and
+      // declare lazily: subset(0..990) plans as TakeOrdered over the
+      // first 991 positions, not a full-table sorted zip
+      val f = SeaFrame.ordered(
         read(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
           "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"),
         Seq(col("l_orderkey").asc, col("l_linenumber").asc,
@@ -188,7 +189,9 @@ object QueriesRelational {
   /** Row(take): the single row at position 41 of the sorted frame. */
   private val q12_row_take: Q = (
     (s, dir) => {
-      val f = SeaFrame.withSequence(read(s, dir, "orders"),
+      // lazy order declaration: row(41) plans as TakeOrdered over the
+      // first 42 positions — never a full-table sorted zip
+      val f = SeaFrame.ordered(read(s, dir, "orders"),
         Seq(col("o_orderkey").asc))
       f.row(41).result.select(col("o_orderkey"), col("o_totalprice"))
     },

@@ -34,7 +34,20 @@ final case class SeaFrame(
       * job. Must be cleared by any op that changes cardinality;
       * row-preserving ops (projection, encode withColumn) keep it.
       */
-    knownCount: Option[Long] = None) {
+    knownCount: Option[Long] = None,
+    /** Declared-but-unmaterialized row order ([[SeaFrame.ordered]]):
+      * the frame's order is DEFINED by these sort keys, but the 0..n-1
+      * sequence column has not been computed. Positional ops exploit
+      * the declaration for top-k plans — [[row]]/[[subset]]/[[limit]]
+      * become TakeOrdered over the prefix they touch instead of a
+      * full-table sorted zip (at 100 TB: per-partition top-k + an
+      * O(k) merge, versus a full range shuffle). Ops that need every
+      * row's sequence value materialize transparently via
+      * [[materialized]]. Filters keep the declaration (surviving rows
+      * renumber by the same keys); projections materialize first (the
+      * keys may reference dropped columns).
+      */
+    pendingOrder: Option[Seq[Column]] = None) {
 
   import SeaFrame.SEQ
 
@@ -54,18 +67,54 @@ final case class SeaFrame(
   /** The result with internal columns dropped — what a user sees. */
   def result: DataFrame = df.drop(SEQ)
 
+  /** Materialize a pending order declaration into the real 0..n-1
+    * sequence column (one range-partitioned sorted zip); identity when
+    * the sequence already exists or no order was declared.
+    */
+  def materialized: SeaFrame = pendingOrder match {
+    case None => this
+    case Some(keys) =>
+      val re = SeaFrame.withSequence(df, keys)
+      copy(df = re.df, seqCol = Some(SEQ), knownCount = re.knownCount,
+        pendingOrder = None)
+  }
+
+  /** The first `m` rows in declared order with their sequence values —
+    * a TakeOrdered-shaped plan (per-partition top-k, O(m) merge), never
+    * a full-table sort. `m` is bounded by [[SeaFrame.TopKPrefixMax]]
+    * (positional requests are driver-supplied and small by contract).
+    */
+  private[graft] def orderedPrefix(m: Int): DataFrame = {
+    val keys = pendingOrder.getOrElse(throw new IllegalStateException(
+      "orderedPrefix needs a pending order declaration"))
+    df.orderBy(keys: _*).limit(m)
+  }
+
+  private def topPrefix(m: Int, keys: Seq[Column]): SeaFrame = {
+    val top = df.orderBy(keys: _*).limit(m)
+    val re = SeaFrame.withSequence(top, keys)
+    copy(df = re.df, seqCol = Some(SEQ), knownCount = re.knownCount,
+      pendingOrder = None)
+  }
+
   // ---- 2.2 projections / filters / row selection ---------------------
 
-  /** Keep: project to `fields` in the given order (gdata.go:633-649). */
+  /** Keep: project to `fields` in the given order (gdata.go:633-649).
+    * A pending order materializes first — its keys may reference
+    * columns the projection drops.
+    */
   def keep(fields: Seq[String]): SeaFrame = {
-    val cols = fields ++ seqCol.toSeq
-    copy(df = df.select(cols.map(df(_)): _*),
+    val f = materialized
+    val cols = fields ++ f.seqCol.toSeq
+    f.copy(df = f.df.select(cols.map(f.df(_)): _*),
       schema = FeatureSchema(schema.metas.filter(m => fields.contains(m.name))))
   }
 
   /** Drop one field (gdata.go:611-630). */
-  def drop(field: String): SeaFrame =
-    copy(df = df.drop(field), schema = schema.without(field))
+  def drop(field: String): SeaFrame = {
+    val f = materialized
+    f.copy(df = f.df.drop(field), schema = schema.without(field))
+  }
 
   /** Where: IN-list equality filter (gdata.go:897-969). */
   def whereIn(field: String, values: Seq[Any]): SeaFrame =
@@ -83,10 +132,12 @@ final case class SeaFrame(
     * re-deriving the sequence from the surviving rows' old order.
     * Frames without an order skip this (nothing positional to keep).
     */
-  private def reseq(f: SeaFrame): SeaFrame = f.seqCol match {
-    case None => f
-    case Some(_) => f.resequenced(_ => Seq.empty)
-  }
+  private def reseq(f: SeaFrame): SeaFrame =
+    if (f.pendingOrder.isDefined) f // survivors renumber by the same keys
+    else f.seqCol match {
+      case None => f
+      case Some(_) => f.resequenced(_ => Seq.empty)
+    }
   private val SEQ_TMP = "__seq_old"
 
   /** Subset: positional row selection under the explicit order
@@ -97,17 +148,25 @@ final case class SeaFrame(
     * column. `rows` is a driver-side position list, so the mapping
     * joins broadcast.
     */
-  def subset(rows: Seq[Long]): SeaFrame = {
-    val s = requireSeq("subset")
-    val wanted = spark.createDataFrame(rows.zipWithIndex
-        .map { case (orig, pos) => (orig, pos.toLong) })
-      .toDF(SEQ_TMP, "__seq_new")
-    val joined = df.join(broadcast(wanted), df(s) === wanted(SEQ_TMP))
-    val out = joined
-      .select((dataColumns.map(joined(_)) :+
-        joined("__seq_new").as(SEQ)): _*)
-    copy(df = out, seqCol = Some(SEQ), sortedBy = None,
-      knownCount = None)
+  def subset(rows: Seq[Long]): SeaFrame = pendingOrder match {
+    // order declared but sequence not yet built: only the first
+    // max(rows)+1 positions matter, so take that prefix with a
+    // TakeOrdered plan and select within it — no full-table sort
+    case Some(keys) if rows.nonEmpty && rows.max >= 0 &&
+        rows.max < SeaFrame.TopKPrefixMax =>
+      topPrefix((rows.max + 1).toInt, keys).subset(rows)
+    case Some(_) => materialized.subset(rows)
+    case None =>
+      val s = requireSeq("subset")
+      val wanted = spark.createDataFrame(rows.zipWithIndex
+          .map { case (orig, pos) => (orig, pos.toLong) })
+        .toDF(SEQ_TMP, "__seq_new")
+      val joined = df.join(broadcast(wanted), df(s) === wanted(SEQ_TMP))
+      val out = joined
+        .select((dataColumns.map(joined(_)) :+
+          joined("__seq_new").as(SEQ)): _*)
+      copy(df = out, seqCol = Some(SEQ), sortedBy = None,
+        knownCount = None)
   }
 
   /** Row: take the single row at position `n`, renumbered to 0
@@ -115,11 +174,18 @@ final case class SeaFrame(
     */
   def row(n: Long): SeaFrame = subset(Seq(n))
 
-  /** Limit first n rows in seq order. */
-  def limit(n: Int): SeaFrame = {
-    val s = requireSeq("limit")
-    copy(df = df.where(df(s) < n),
-      knownCount = knownCount.map(math.min(_, n.toLong)))
+  /** Limit first n rows in seq order. With a pending order and a
+    * bounded n this is a TakeOrdered plan; the order declaration
+    * survives (the kept rows renumber by the same keys).
+    */
+  def limit(n: Int): SeaFrame = pendingOrder match {
+    case Some(keys) if n < SeaFrame.TopKPrefixMax =>
+      copy(df = df.orderBy(keys: _*).limit(n), knownCount = None)
+    case Some(_) => materialized.limit(n)
+    case None =>
+      val s = requireSeq("limit")
+      copy(df = df.where(df(s) < n),
+        knownCount = knownCount.map(math.min(_, n.toLong)))
   }
 
   // ---- 2.6 sorts / shuffles ------------------------------------------
@@ -160,15 +226,21 @@ final case class SeaFrame(
     * path.
     */
   private def resequenced(keys: DataFrame => Seq[Column]): SeaFrame =
-    seqCol match {
-      case Some(s) =>
-        val tmp = df.withColumnRenamed(s, SEQ_TMP)
-        val re = SeaFrame.withSequence(tmp, keys(tmp) :+ col(SEQ_TMP).asc)
-        copy(df = re.df.drop(SEQ_TMP), seqCol = Some(SEQ),
-          knownCount = re.knownCount)
-      case None =>
-        val re = SeaFrame.withSequence(df, keys(df))
-        copy(df = re.df, seqCol = Some(SEQ), knownCount = re.knownCount)
+    pendingOrder match {
+      // a re-sort of a declared-but-unmaterialized order stays lazy:
+      // the old keys become the tiebreak, nothing is computed yet
+      case Some(old) =>
+        copy(pendingOrder = Some(keys(df) ++ old), seqCol = None)
+      case None => seqCol match {
+        case Some(s) =>
+          val tmp = df.withColumnRenamed(s, SEQ_TMP)
+          val re = SeaFrame.withSequence(tmp, keys(tmp) :+ col(SEQ_TMP).asc)
+          copy(df = re.df.drop(SEQ_TMP), seqCol = Some(SEQ),
+            knownCount = re.knownCount)
+        case None =>
+          val re = SeaFrame.withSequence(df, keys(df))
+          copy(df = re.df, seqCol = Some(SEQ), knownCount = re.knownCount)
+      }
     }
 
   /** Top-K values of a column by count (data.go:815-837). */
@@ -186,7 +258,13 @@ final case class SeaFrame(
     * fields, extras dropped (pipeline.go:429-464). Sequence numbers of
     * the appended rows follow this frame's (offset by row count).
     */
-  def append(other: SeaFrame): SeaFrame = {
+  def append(other: SeaFrame): SeaFrame =
+    if (pendingOrder.isDefined || other.pendingOrder.isDefined)
+      // the appended rows' offsets need real sequence values
+      materialized.append(other.materialized)
+    else appendMaterialized(other)
+
+  private def appendMaterialized(other: SeaFrame): SeaFrame = {
     val fields = dataColumns
     val missing = fields.filterNot(other.df.columns.contains)
     require(missing.isEmpty,
@@ -268,9 +346,12 @@ final class RowReader(frame: SeaFrame) {
   import org.apache.spark.sql.Row
   import scala.jdk.CollectionConverters._
 
-  private def ordered =
-    frame.seqCol.map(s => frame.df.orderBy(frame.df(s)))
-      .getOrElse(frame.df).drop(SeaFrame.SEQ)
+  private def ordered = frame.pendingOrder match {
+    case Some(keys) => frame.df.orderBy(keys: _*) // no zip needed to read
+    case None =>
+      frame.seqCol.map(s => frame.df.orderBy(frame.df(s)))
+        .getOrElse(frame.df).drop(SeaFrame.SEQ)
+  }
 
   private var it: Iterator[Row] = fresh()
   private var posV: Long = 0L
@@ -319,8 +400,27 @@ object SeaFrame {
   /** Internal row-order column name. */
   val SEQ = "__seq"
 
+  /** Largest positional prefix served by the TakeOrdered fast path:
+    * the prefix flows through one merge task, so it must stay bounded.
+    * Positional requests are driver-supplied lists, small by contract;
+    * anything larger falls back to the full range-partitioned zip.
+    */
+  val TopKPrefixMax: Long = 1L << 17
+
   /** Wrap a DataFrame with no order guarantee. */
   def apply(df: DataFrame): SeaFrame = SeaFrame(df, FeatureSchema.empty, None)
+
+  /** Wrap with a DECLARED order, materializing no sequence yet: the
+    * preferred constructor when the frame's next use is positional
+    * ([[SeaFrame.row]]/[[SeaFrame.subset]]/[[SeaFrame.limit]]/
+    * [[SeaFrame.reader]]) — those become top-k/streaming plans instead
+    * of paying a full-table sorted zip up front. Ops that need every
+    * sequence value materialize transparently. [[SeaFrame.withSequence]]
+    * remains the eager form for callers that read `df`'s seq column
+    * directly (formula windows, gather, joins).
+    */
+  def ordered(df: DataFrame, orderBy: Seq[Column]): SeaFrame =
+    SeaFrame(df, FeatureSchema.empty, None, pendingOrder = Some(orderBy))
 
   /** Wrap and assign sequence 0..n-1 by the given natural-key order.
     *

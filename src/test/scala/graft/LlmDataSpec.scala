@@ -1,6 +1,6 @@
 package graft
 
-import graft.llmdata.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llmdata.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data operators: planted duplicates must be found, similarity
@@ -629,5 +629,54 @@ class LlmDataSpec extends SparkSuite {
       assert(math.abs(streamed(1L) - oneShot(0)) < 1e-9)
       assert(math.abs(streamed(9L) - m.vocabSize.toDouble) < 1e-9)
     } finally m.unpersist()
+  }
+
+  test("boilerplateSpans: a 4-gram shared by >= minDocs docs flags its " +
+      "positions; unique content does not") {
+    import spark.implicits._
+    val chrome = "all rights reserved copyright"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $chrome"),
+      (2L, s"$chrome epsilon zeta"),
+      (3L, s"unique words here only $chrome"),
+      (4L, "totally original content nothing shared"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateSpans(docs, "doc_id", "text",
+        n = 4, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 5 spans ("alpha beta gamma delta" .. "delta all rights
+    // reserved copyright" window), exactly 1 is the shared chrome
+    val byDoc = got.map { case (id, spans, boiler) => id -> (spans, boiler) }.toMap
+    assert(byDoc(1L)._2 == 1L && byDoc(2L)._2 == 1L && byDoc(3L)._2 == 1L)
+    assert(byDoc(4L)._2 == 0L)
+    // n_spans = len - n + 1
+    assert(byDoc(1L)._1 == 5L && byDoc(4L)._1 == 2L)
+  }
+
+  test("sampleToTokenBudget: keeps the maximal hash-ordered prefix " +
+      "within budget, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val tok = TextAnalysis.tokenCountWs(col("text"))
+    val got = Sampling.sampleToTokenBudget(docs, "doc_id", tok,
+      budget = 60L)
+    val rows = got.select("doc_id", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.map(_._3).max <= 60L)
+    // the cut is maximal: adding any excluded doc overflows the budget
+    // in the same hash order — verify against a driver-side replay
+    val h = (id: Long) => Math.floorMod(id * 2654435761L + 42L, 1000000007L)
+    val all = (1L to 50L).map(i => (i, (i % 7 + 1).toLong))
+      .sortBy(t => h(t._1))
+    var cum = 0L
+    val expect = all.takeWhile { case (_, n) => { cum += n; cum <= 60L } }
+      .map(_._1).toSet
+    assert(rows.map(_._1).toSet == expect)
+    // deterministic across runs
+    val again = Sampling.sampleToTokenBudget(docs, "doc_id", tok,
+      budget = 60L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
   }
 }

@@ -186,4 +186,50 @@ class SeaFrameSpec extends SparkSuite {
     val unordered = SeaFrame(Seq(("a", 1.0)).toDF("k", "v"))
     intercept[IllegalStateException] { unordered.subset(Seq(0L)) }
   }
+
+  // ---- lazy order declaration (SeaFrame.ordered) --------------------
+
+  private def lazyPipe = SeaFrame.ordered(
+    Seq(("a", 3.0), ("b", 1.0), ("c", 2.0), ("d", 5.0), ("e", 4.0))
+      .toDF("k", "v"), Seq(col("k").asc))
+
+  test("ordered: row/subset/limit equal the eager withSequence frame") {
+    assert(lazyPipe.row(1).result.select("k").head().getString(0) ==
+      pipe.row(1).result.select("k").head().getString(0))
+    val lz = lazyPipe.subset(Seq(4L, 0L, 4L)).df.orderBy(SeaFrame.SEQ)
+      .select("k").collect().map(_.getString(0)).toSeq
+    val eg = pipe.subset(Seq(4L, 0L, 4L)).df.orderBy(SeaFrame.SEQ)
+      .select("k").collect().map(_.getString(0)).toSeq
+    assert(lz == eg)
+    assert(lazyPipe.limit(3).df.orderBy("k").select("k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("ordered: positional access plans TakeOrdered, not a full sort " +
+      "zip (the 100 TB shape: per-partition top-k + O(k) merge)") {
+    val plan = lazyPipe.orderedPrefix(3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrdered plan, got:\n$plan")
+    // and the zip it feeds sees only the prefix
+    assert(lazyPipe.row(4).result.select("k").head().getString(0) == "e")
+  }
+
+  test("ordered: filters keep the declaration; re-sort stays lazy; " +
+      "materializing ops agree with the eager frame") {
+    val sliced = lazyPipe.slice(col("v") > 2.0) // a, d, e renumbered
+    assert(sliced.pendingOrder.isDefined) // still lazy after filter
+    assert(sliced.row(2).result.select("k").head().getString(0) == "e")
+    val resorted = lazyPipe.sort("v")
+    assert(resorted.pendingOrder.isDefined) // still lazy after sort
+    assert(resorted.row(0).result.select("k").head().getString(0) == "b")
+    // keep() materializes (keys may reference dropped columns)
+    val kept = lazyPipe.keep(Seq("v", "k"))
+    assert(kept.pendingOrder.isEmpty && kept.seqCol.isDefined)
+    // append materializes both sides and extends the sequence
+    val appended = lazyPipe.append(lazyPipe.shuffle(3L))
+    assert(appended.df.count() == 10)
+    // the reader streams by declared keys with no zip
+    assert(lazyPipe.reader().read(2).map(_.getString(0)) == Seq("a", "b"))
+  }
 }
