@@ -351,7 +351,8 @@ object QueriesLLM {
     */
   private val q86_lm_perplexity: Q = (
     (s, dir) => TextAnalysis.lmPerplexity(
-      spread(read(s, dir, "documents")), "doc_id", "text", addK = 0.5)
+      spread(read(s, dir, "documents")), "doc_id", "text", addK = 0.5,
+      singleScan = true)
       .select(col("doc_id"), col("n_bigrams"),
         round(col("perplexity"), 6).as("perplexity"))
       .orderBy(col("doc_id")),

@@ -307,46 +307,47 @@ object TextAnalysis {
     * the corpus score low; boilerplate/garbled outliers rank high —
     * filter on the tail.
     *
-    * Scale shape: one tokenize pass feeds (a) corpus bigram counts
-    * (one partial-aggregated shuffle on the pair key), (b) head
-    * counts derived FROM the bigram counts (vocab-sized re-aggregate,
-    * no corpus re-scan), (c) a 1-row vocab size broadcast; scoring is
-    * two key joins on the exploded bigrams and one per-doc aggregate.
-    * No windows, no driver-side data, skewed bigrams are join keys
-    * (AQE-splittable), not window funnels.
+    * Scale shape: the expensive step is TOKENIZATION (normalize regex
+    * + split), not the counting — so the plan is built to bound how
+    * often it runs. One tokenize produces per-doc token arrays; the
+    * exploded bigram stream feeds (a) corpus bigram counts (one
+    * partial-aggregated shuffle on the pair key), (b) head counts
+    * re-aggregated FROM those counts, (c) the vocab size from bigram
+    * TYPES (for docs with >= 2 tokens every token is some bigram's w1
+    * or w2 — exact, no corpus re-scan); scoring joins the occurrence
+    * stream back to the counts and aggregates per doc. The count
+    * frames are aggregate outputs whose runtime size AQE sees — small
+    * vocabularies broadcast automatically, web-scale ones sort-merge
+    * with skew-split. No windows, no driver-side data.
     *
-    * `singleScan` persists the exploded bigrams so counting, vocab
-    * and scoring all read them back instead of re-tokenizing the
-    * corpus (vocab is exact from the bigram frame: for docs with >= 2
-    * tokens, every token appears as some bigram's w1 or w2). Costs
-    * token-count-sized disk-backed storage; wins when tokenize/decode
-    * dominates — the same trade [[tfidfTopK]]'s flag documents.
+    * `singleScan` persists the per-doc token ARRAYS (doc-count rows,
+    * the cheapest frame in the pipeline) so the count branch and the
+    * scoring branch both read cached tokens instead of re-running the
+    * normalize regex over the corpus — the win when text is large or
+    * upstream is decode-heavy. Costs token-corpus-sized storage; the
+    * same trade [[tfidfTopK]]'s flag documents.
     */
   def lmPerplexity(df: DataFrame, docId: String, text: String,
       addK: Double = 0.5, singleScan: Boolean = false): DataFrame = {
     require(addK > 0, s"additive smoothing needs k > 0, got $addK")
-    val toks = df.where(col(text).isNotNull)
+    val toks0 = df.where(col(text).isNotNull)
       .select(col(docId),
         filter(split(Dedup.normalize(col(text)), " "),
           t => t =!= "").as("__t"))
       .where(size(col("__t")) >= 2)
-    val bi0 = toks.select(col(docId),
+    val toks = if (singleScan)
+      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toks0
+    val bi = toks.select(col(docId),
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
           i => struct(element_at(col("__t"), i).as("w1"),
             element_at(col("__t"), i + 1).as("w2")))).as("__b"))
       .select(col(docId), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    val bi = if (singleScan)
-      bi0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else bi0
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__bc"))
     val hc = bc.groupBy(col("w1")).agg(sum(col("__bc")).as("__hc"))
-    val vocab =
-      if (singleScan)
-        bi.select(col("w1").as("__w"))
-          .union(bi.select(col("w2").as("__w")))
-          .agg(countDistinct(col("__w")).as("__v"))
-      else toks.select(explode(col("__t")).as("__w"))
-        .agg(countDistinct(col("__w")).as("__v"))
+    val vocab = bc.select(col("w1").as("__w"))
+      .union(bc.select(col("w2").as("__w")))
+      .agg(countDistinct(col("__w")).as("__v"))
     bi.join(bc, Seq("w1", "w2")).join(hc, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__lp", log((col("__bc") + lit(addK)) /
