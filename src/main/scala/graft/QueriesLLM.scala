@@ -773,6 +773,80 @@ object QueriesLLM {
                  AS cum_tokens
         FROM t QUALIFY cum_tokens <= 15000 ORDER BY doc_id"""))
 
+  /** C4-style corpus span scrub: cut every document into consecutive
+    * 12-token grid spans, remove spans occurring in >= 2 distinct
+    * documents (keeping the globally first occurrence), and reassemble
+    * the surviving text. Pure count/min arithmetic — the oracle
+    * recomputes the duplicated-span set and the same keeper rule.
+    */
+  private val q93_span_dedup: Q = (
+    (s, dir) => Dedup.spanDedup(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        spanTokens = 12, minDocs = 2)
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        col("kept_text"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL),
+            s AS (SELECT doc_id,
+                unnest(list_transform(
+                  range(0, CAST(ceil(len(t) / 12.0) AS BIGINT)),
+                  i -> struct_pack(pos := i,
+                    u := array_to_string(t[i*12+1:i*12+12], ' ')))) AS sp
+              FROM w WHERE len(t) >= 1),
+            l AS (SELECT doc_id, sp.pos AS pos, sp.u AS u FROM s),
+            g AS (SELECT u, min(doc_id) AS kd FROM l
+                  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+            k AS (SELECT l.u, g.kd, min(l.pos) AS kp
+                  FROM l JOIN g ON l.u = g.u AND l.doc_id = g.kd
+                  GROUP BY 1, 2),
+            f AS (SELECT l.doc_id, l.pos, l.u,
+                    (k.u IS NULL OR (l.doc_id = k.kd AND l.pos = k.kp))
+                      AS kept
+                  FROM l LEFT JOIN k ON l.u = k.u)
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_removed,
+               coalesce(string_agg(CASE WHEN kept THEN u END, ' '
+                 ORDER BY pos), '') AS kept_text
+        FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** SemDeDup (clustered): k-means cells bound the pairwise work; the
+    * survivor set depends on the learned cells, so this entry is
+    * rows-only — q95 pins the exact nCells = 1 configuration to the
+    * oracle, and LlmDataSpec proves clustered survivors are a superset
+    * of the exact answer.
+    */
+  private val q94_semantic_dedup: Q = (
+    (s, dir) => Similarity.semanticDedup(
+        read(s, dir, "embeddings"), "vec_id", "embedding",
+        // coarse cells only bound the pairwise work — they don't need
+        // a converged k-means, so cap the solver
+        eps = 0.5, nCells = 8, maxIter = 8)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    None)
+
+  /** SemDeDup's exact configuration (one cell = all-pairs): a vector
+    * survives iff no lower-id vector sits at cosine >= eps — DuckDB
+    * recomputes the same rule over all pairs.
+    */
+  private val q95_semdedup_exact: Q = (
+    (s, dir) => Similarity.semanticDedup(
+        read(s, dir, "embeddings").where(col("vec_id") < 500),
+        "vec_id", "embedding", eps = 0.5, nCells = 1)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    Some("""SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id < 500 AND NOT EXISTS (
+              SELECT 1 FROM embeddings e2
+              WHERE e2.vec_id < e.vec_id AND e2.vec_id < 500
+                AND list_cosine_similarity(
+                      CAST(e2.embedding AS DOUBLE[]),
+                      CAST(e.embedding AS DOUBLE[])) >= 0.5)
+            ORDER BY e.vec_id"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -956,6 +1030,9 @@ object QueriesLLM {
     "q90_source_mix" -> q90_source_mix,
     "q91_boilerplate" -> q91_boilerplate,
     "q92_token_budget" -> q92_token_budget,
+    "q93_span_dedup" -> q93_span_dedup,
+    "q94_semantic_dedup" -> q94_semantic_dedup,
+    "q95_semdedup_exact" -> q95_semdedup_exact,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

@@ -466,4 +466,83 @@ object Dedup {
       maxHamming: Int = 3, chunks: Int = 0): DataFrame =
     hammingPairs(simhashPortableDf(df, id, text), maxHamming, chunks,
       bits = 60)
+
+  // ---- C4-style cross-document unit scrub ---------------------------
+
+  /** Core of the C4 "discard repeated spans" scrub over any exploded
+    * unit stream `(docId, pos, unit)` — lines, sentences, token
+    * spans. A unit occurring in >= `minDocs` distinct documents is
+    * corpus-duplicated; every occurrence is marked removed EXCEPT the
+    * globally first one (lowest (docId, pos)), so exactly one copy of
+    * each duplicated unit survives corpus-wide.
+    *
+    * Scale shape: one grouped aggregate on the unit key (partial-agg
+    * shuffle; the keeper is a min(struct) — no window, no funnel),
+    * filtered to the duplicated tail (rare by construction), joined
+    * back on the unit key (AQE broadcasts when small). Returns the
+    * input plus a `kept` flag.
+    */
+  def scrubUnits(units: DataFrame, docId: String, pos: String,
+      unit: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val dup = units.groupBy(col(unit))
+      .agg(countDistinct(col(docId)).as("__nd"),
+        min(struct(col(docId), col(pos))).as("__keep"))
+      .where(col("__nd") >= minDocs)
+      .select(col(unit), col("__keep"))
+    units.join(dup, Seq(unit), "left")
+      .withColumn("kept", col("__keep").isNull ||
+        (col("__keep")(docId) === col(docId) &&
+          col("__keep")(pos) === col(pos)))
+      .drop("__keep")
+  }
+
+  /** C4-style corpus span dedup over fixed `spanTokens`-token grid
+    * spans: tokenize, cut each document into consecutive spans, scrub
+    * corpus-duplicated spans via [[scrubUnits]], and reassemble each
+    * document from its kept spans. Reports per document the span
+    * count, how many were scrubbed, and the surviving text.
+    */
+  def spanDedup(df: DataFrame, docId: String, text: String,
+      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(col(text), " "), t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= 1)
+    val k = spanTokens
+    val spans = toks.select(col(docId),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("__t")) / lit(k.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("__t"), i * k + 1, lit(k)), " "))))
+      .select(col(docId), col("pos"), col("col").as("span"))
+    scrubUnits(spans, docId, "pos", "span", minDocs)
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("span"))))),
+            s => s("span")), " ").as("kept_text"))
+  }
+
+  /** Line-level variant of [[spanDedup]] for corpora with real line
+    * structure: units are trimmed non-empty lines.
+    */
+  def lineDedup(df: DataFrame, docId: String, text: String,
+      minDocs: Int = 2): DataFrame = {
+    val lines = df.where(col(text).isNotNull)
+      .select(col(docId), posexplode(split(col(text), "\n")))
+      .select(col(docId), col("pos"), trim(col("col")).as("line"))
+      .where(col("line") =!= "")
+    scrubUnits(lines, docId, "pos", "line", minDocs)
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("line"))))),
+            s => s("line")), "\n").as("kept_text"))
+  }
 }

@@ -259,4 +259,40 @@ object Similarity {
       .orderBy(col("similarity").desc, col(id).asc)
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with coarse k-means
+    * ([[ivfFit]]'s learned cells), then inside each cell drop every
+    * vector that has an EARLIER (lower-id) cell-mate at cosine >=
+    * `eps` — each near-duplicate group keeps its lowest id. Returns
+    * the surviving rows of `df`.
+    *
+    * Scale shape: pairwise cosine runs only WITHIN cells — the
+    * SemDeDup trick that turns all-pairs O(n^2) into sum of
+    * O(|cell|^2) with n/nCells-sized cells; the cell self-join
+    * shuffles on the cell key (hot cells split by AQE), dropped ids
+    * dedup through a grouped distinct, survivors come from one
+    * left-anti join. Clustering only ever REMOVES candidate pairs
+    * (cross-cell near-dups go unseen), so survivors are a superset of
+    * the exact nCells = 1 answer — the recall/cost dial is nCells.
+    * `nCells <= 1` skips k-means entirely and IS the exact
+    * configuration (oracle-checkable).
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      eps: Double, nCells: Int, maxIter: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
+    val assigned =
+      if (nCells <= 1) df.select(col(id), col(vec), lit(0).as("__cell"))
+      else ivfFit(df, id, vec, nCells, maxIter, seed).assigned
+    val a = assigned.select(col("__cell"), col(id).as("__ida"),
+      col(vec).as("__va"))
+    val b = assigned.select(col("__cell"), col(id).as("__idb"),
+      col(vec).as("__vb"))
+    val dropped = a.join(b, Seq("__cell"))
+      .where(col("__ida") < col("__idb") &&
+        cosine(col("__va"), col("__vb")) >= eps)
+      .select(col("__idb").as("__drop")).distinct()
+    df.join(dropped, col(id) === col("__drop"), "left_anti")
+  }
 }

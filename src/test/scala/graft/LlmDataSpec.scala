@@ -631,6 +631,54 @@ class LlmDataSpec extends SparkSuite {
     } finally m.unpersist()
   }
 
+  test("spanDedup/lineDedup: corpus-duplicated units are scrubbed " +
+      "keeping exactly the globally-first occurrence (C4-style)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d x1 y1 z1 w1"), // span "a b c d" first here
+      (2L, "a b c d x2 y2 z2 w2"), // dup span -> scrubbed
+      (3L, "p q r s t u v w"))     // unique -> untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(corpus, "doc_id", "text",
+        spanTokens = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 2L, 0L, "a b c d x1 y1 z1 w1")))
+    assert(got(1) == ((2L, 2L, 1L, "x2 y2 z2 w2")))
+    assert(got(2) == ((3L, 2L, 0L, "p q r s t u v w")))
+    // line-level variant: duplicated LINE goes, unique lines stay
+    val lined = Seq(
+      (1L, "keep me\nall rights reserved"),
+      (2L, "all rights reserved\nanother line"))
+      .toDF("doc_id", "text")
+    val lg = Dedup.lineDedup(lined, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(lg(0) == ((1L, "keep me\nall rights reserved")))
+    assert(lg(1) == ((2L, "another line")))
+  }
+
+  test("semanticDedup: exact config keeps lowest id per near-dup " +
+      "group; clustered survivors are a superset of exact survivors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)), // near-dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.02f, 0.999f, 0.0f)), // near-dup of 3 -> dropped
+      (5L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        eps = 0.9, nCells = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 3L, 5L))
+    val clustered = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        eps = 0.9, nCells = 2, maxIter = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(clustered),
+      s"clustered $clustered must contain exact $exact")
+  }
+
   test("boilerplateSpans: a 4-gram shared by >= minDocs docs flags its " +
       "positions; unique content does not") {
     import spark.implicits._
