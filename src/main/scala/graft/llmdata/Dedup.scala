@@ -504,19 +504,26 @@ object Dedup {
     * count, how many were scrubbed, and the surviving text.
     */
   def spanDedup(df: DataFrame, docId: String, text: String,
-      spanTokens: Int, minDocs: Int = 2): DataFrame = {
+      spanTokens: Int, minDocs: Int = 2,
+      singleScan: Boolean = false): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     val toks = df.where(col(text).isNotNull)
       .select(col(docId),
         filter(split(col(text), " "), t => t =!= "").as("__t"))
       .where(size(col("__t")) >= 1)
     val k = spanTokens
-    val spans = toks.select(col(docId),
+    val spans0 = toks.select(col(docId),
         posexplode(transform(
           sequence(lit(0),
             ceil(size(col("__t")) / lit(k.toDouble)).cast("int") - 1),
           i => array_join(slice(col("__t"), i * k + 1, lit(k)), " "))))
       .select(col(docId), col("pos"), col("col").as("span"))
+    // the span stream feeds both the duplicate census and the
+    // join-back; singleScan persists it so tokenize+explode runs once
+    // (costs span-corpus-sized storage — the tfidfTopK trade)
+    val spans = if (singleScan)
+      spans0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else spans0
     scrubUnits(spans, docId, "pos", "span", minDocs)
       .groupBy(col(docId))
       .agg(count(lit(1)).as("n_spans"),
