@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits thousands of generated classes across a
+  // long session (the 93-query bench saw late queries run 3-5x slower
+  // once the default 240 MB code cache filled and JIT compilation
+  // stopped); reserve room and let the sweeper reclaim cold methods.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -847,6 +847,79 @@ object QueriesLLM {
                       CAST(e.embedding AS DOUBLE[])) >= 0.5)
             ORDER BY e.vec_id"""))
 
+  /** End-to-end curation composition: near-dup clusters (q69's exact
+    * jaccard + label propagation) joined with quality scores (q47's
+    * rule mix), keeping each cluster's best-quality member (ties ->
+    * lowest id). Quality is rounded to 6 decimals BEFORE the argmax in
+    * both engines so ulp drift cannot flip near-ties.
+    */
+  private val q96_canonical_docs: Q = (
+    (s, dir) => {
+      val docs = read(s, dir, "documents").where(col("doc_id") < 300)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardAllPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.8))
+      val qual = TextAnalysis.qualityScore(spread(docs), "text")
+        .select(col("doc_id"), round(col("quality"), 6).as("q6"))
+      Dedup.canonicalByQuality(clusters, qual, "doc_id",
+          "canonical_id", "q6")
+        .select(col("canonical_id"), col("keep_doc"), col("n_members"),
+          col("best_quality"))
+        .orderBy(col("canonical_id"))
+    },
+    Some("""WITH RECURSIVE n AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' ') AS w
+               FROM documents WHERE doc_id < 300),
+             sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS sh
+                    FROM n),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_filter(a.sh,
+                           x -> list_contains(b.sh, x))) AS DOUBLE)
+                         / len(list_distinct(a.sh || b.sh)) >= 0.8),
+             e AS (SELECT doc_a AS s, doc_b AS t FROM p
+                   UNION SELECT doc_b, doc_a FROM p),
+             reach(s, t) AS (
+               SELECT s, t FROM e
+               UNION
+               SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+             cl AS (SELECT s AS doc_id, least(min(t), s) AS canonical_id
+                    FROM reach GROUP BY s),
+             f AS (SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS nc,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS nw,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   w -> lower(w) IN ('the','a','an','and','or','of','to',
+                     'in','is','it','that','for','on','with','as')))
+                   AS DOUBLE) AS nstop,
+                 CAST(nc - length(regexp_replace(text, '[[:punct:]]', '',
+                   'g')) AS DOUBLE) AS npunct
+               FROM documents WHERE doc_id < 300),
+             q AS (SELECT doc_id,
+                 round((CASE WHEN nw >= 10 THEN 0.4 ELSE nw * 0.04 END)
+                   + (CASE WHEN npunct / nc <= 0.1 THEN 0.3
+                      ELSE greatest(0.0, 0.3 - npunct / nc) END)
+                   + (CASE WHEN nstop / nw >= 0.1 THEN 0.3
+                      ELSE nstop / nw * 3.0 END), 6) AS q6
+               FROM f),
+             m AS (SELECT cl.canonical_id, cl.doc_id, q.q6
+                   FROM cl JOIN q USING (doc_id)),
+             g AS (SELECT canonical_id, count(*) AS n_members,
+                     max(q6) AS best_quality FROM m GROUP BY 1),
+             k AS (SELECT m.canonical_id, min(m.doc_id) AS keep_doc
+                   FROM m JOIN g ON m.canonical_id = g.canonical_id
+                     AND m.q6 = g.best_quality
+                   GROUP BY 1)
+        SELECT g.canonical_id, k.keep_doc, g.n_members, g.best_quality
+        FROM g JOIN k ON g.canonical_id = k.canonical_id
+        ORDER BY g.canonical_id"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -1033,6 +1106,7 @@ object QueriesLLM {
     "q93_span_dedup" -> q93_span_dedup,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,
+    "q96_canonical_docs" -> q96_canonical_docs,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

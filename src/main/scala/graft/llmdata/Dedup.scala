@@ -467,6 +467,24 @@ object Dedup {
     hammingPairs(simhashPortableDf(df, id, text), maxHamming, chunks,
       bits = 60)
 
+  /** Canonical-document selection: given near-duplicate cluster
+    * membership ([[duplicateClusters]] output `(id, canonical_id)`)
+    * and a per-document quality score, pick each cluster's KEEPER as
+    * the highest-quality member (ties -> lowest id) — the "keep the
+    * best copy, not the first copy" dedup policy a curation pipeline
+    * actually wants. One join + one grouped aggregate (max_by over a
+    * (quality, -id) struct — no window, partial-agg safe).
+    */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
+      id: String = "doc_id", clusterCol: String = "canonical_id",
+      qualityCol: String = "quality"): DataFrame =
+    clusters.join(quality.select(col(id), col(qualityCol)), Seq(id))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col(id), struct(col(qualityCol), -col(id)))
+          .as("keep_doc"),
+        max(col(qualityCol)).as("best_quality"))
+
   // ---- C4-style cross-document unit scrub ---------------------------
 
   /** Core of the C4 "discard repeated spans" scrub over any exploded

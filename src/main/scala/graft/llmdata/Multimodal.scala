@@ -69,6 +69,13 @@ object Multimodal {
     */
   final class ImageCodec {
     ImageCodec.inits.incrementAndGet()
+    // ImageIO's default image-input-stream is DISK-backed (a temp file
+    // per image in java.io.tmpdir): at 32 decode threads that's
+    // thousands of create/write/delete round-trips racing the shuffle
+    // dirs on the same filesystem, and decode throughput collapses as
+    // tmp fills. The payloads are in-memory byte arrays — use the
+    // memory-backed stream. (JVM-global, idempotent, thread-safe.)
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Header-only read: (format, width, height) without decoding
       * pixels — the cheap path [[withMediaMeta]]'s doc describes.

@@ -679,6 +679,20 @@ class LlmDataSpec extends SparkSuite {
       s"clustered $clustered must contain exact $exact")
   }
 
+  test("canonicalByQuality keeps the best-quality cluster member, " +
+      "ties to the lowest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "canonical_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5),
+      (8L, 0.1)).toDF("doc_id", "quality")
+    val got = Dedup.canonicalByQuality(clusters, quality)
+      .orderBy("canonical_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cluster 1: docs 2 and 3 tie at 0.9 -> keep 2; cluster 7: keep 7
+    assert(got.toSeq == Seq((1L, 3L, 2L, 0.9), (7L, 2L, 7L, 0.5)))
+  }
+
   test("boilerplateSpans: a 4-gram shared by >= minDocs docs flags its " +
       "positions; unique content does not") {
     import spark.implicits._

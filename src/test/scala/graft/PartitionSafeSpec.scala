@@ -103,6 +103,29 @@ class PartitionSafeSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("ScanOps.prefixSums is single-scan: bucket totals reuse the " +
+      "window exchange; the pinned partition key survives folding") {
+    val d = (1 to 200).map(i => (i.toDouble, i.toLong)).toDF("ord", "v")
+    val out = ScanOps.prefixSums(d, "ord", Seq("run" -> col("v")),
+      buckets = 4)
+    out.collect() // AQE finalizes the plan on execution
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.split("LocalTableScan").length - 1 <= 1,
+      s"expected the totals branch to reuse the window exchange:\n$plan")
+    // the O(buckets) offsets window keeps an explicit partition spec:
+    // every Window node lists a non-empty partition column list (a
+    // folded-empty spec would show `windowspecdefinition(<ord> ASC`
+    // with no leading partition expressions and log the warning)
+    val winSpecs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // an empty partition spec puts a sort direction on the FIRST arg
+    assert(winSpecs.nonEmpty && winSpecs.forall { s =>
+      val first = s.split(", ")(0)
+      !first.contains(" ASC") && !first.contains(" DESC")
+    }, s"a window lost its partition key:\n$plan")
+  }
+
   test("ScanOps.prefixSums RANGE semantics: ties see the whole tie " +
       "group") {
     val d = Seq((1.0, 1L), (1.0, 2L), (2.0, 4L)).toDF("ord", "v")

@@ -8,7 +8,11 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-90g} \
+# 16g measured fastest for the full catalog at sf0.1: a 90g heap made
+# G1 spread allocations over cold pages (first-touch faults dominated)
+# and the run degraded 2x; sf0.1 fits comfortably in 16g.
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"
