@@ -497,7 +497,7 @@ object QueriesAgg {
     },
     None)
 
-  val all: Map[String, Q] = Map(
+  lazy val all: Map[String, Q] = Map(
     "q64_histogram" -> q64_histogram,
     "q83_irr" -> q83_irr,
     "q13_summary_agg" -> q13_summary_agg,
@@ -518,5 +518,86 @@ object QueriesAgg {
     "q28_cumprod" -> q28_cumprod,
     "q30_quartile_buckets" -> q30_quartile_buckets,
     "q31_group_mincount" -> q31_group_mincount,
-    "q65_lag_default" -> q65_lag_default)
+    "q65_lag_default" -> q65_lag_default,
+    "q97_profile" -> q97_profile,
+    "q98_sessionize" -> q98_sessionize)
+
+  /** One-pass column profiler over orders: counts, nulls, exact
+    * distincts, typed min/max — ONE aggregate job (Expand for the
+    * multi-column distinct); the oracle recomputes each column's row
+    * via UNION ALL. approxDistinct = true is the 100 TB form
+    * (HyperLogLog), exact is the oracle-checkable one.
+    */
+  private val q97_profile: Q = (
+    (s, dir) => Stats.profile(read(s, dir, "orders"),
+        Seq("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))
+      .orderBy(col("col_name")),
+    Some("""WITH p AS (
+          SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                 count(*) - count(o_orderkey) AS n_nulls,
+                 count(DISTINCT o_orderkey) AS n_distinct,
+                 CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+                 CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str,
+                 CAST(NULL AS VARCHAR) AS max_str
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', count(*),
+                 count(*) - count(o_totalprice),
+                 count(DISTINCT o_totalprice),
+                 CAST(min(o_totalprice) AS DOUBLE),
+                 CAST(max(o_totalprice) AS DOUBLE), NULL, NULL
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', count(*),
+                 count(*) - count(o_orderstatus),
+                 count(DISTINCT o_orderstatus), NULL, NULL,
+                 min(o_orderstatus), max(o_orderstatus)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', count(*),
+                 count(*) - count(o_orderpriority),
+                 count(DISTINCT o_orderpriority), NULL, NULL,
+                 min(o_orderpriority), max(o_orderpriority)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', count(*),
+                 count(*) - count(o_orderdate),
+                 count(DISTINCT o_orderdate), NULL, NULL,
+                 CAST(min(o_orderdate) AS VARCHAR),
+                 CAST(max(o_orderdate) AS VARCHAR)
+          FROM orders)
+        SELECT * FROM p ORDER BY col_name"""))
+
+  /** Batch sessionization of the event stream: 30-minute-gap
+    * sessions per user, exact microsecond durations. Windows
+    * partition by user — the key cardinality grows with the data, so
+    * the plan holds at scale.
+    */
+  private val q98_sessionize: Q = (
+    (s, dir) => Stats.sessionize(read(s, dir, "events"), "user_id",
+        "ts", gapSeconds = 1800L, tiebreak = "event_id")
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("t_start"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_idx")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+                 CAST(ts AS TIMESTAMP) AS t FROM events),
+             s AS (SELECT user_id, event_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR epoch_us(t) - epoch_us(lag(t) OVER w)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS nf
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY t, event_id)),
+             x AS (SELECT user_id, t,
+                 CAST(sum(nf) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS BIGINT) AS session_idx
+               FROM s)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(t) AS t_start,
+               epoch_us(max(t)) - epoch_us(min(t)) AS duration_us
+        FROM x GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""))
 }

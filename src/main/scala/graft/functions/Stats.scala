@@ -192,4 +192,79 @@ object Stats {
         count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
+
+  /** One-pass column profiler (the reference's TableSpec/describe-all
+    * habit as one distributed aggregate): per column — row count,
+    * nulls, distinct count, and typed min/max (numeric columns into
+    * `min_num`/`max_num`, string/date/timestamp into `min_str`/
+    * `max_str`, others null). ONE aggregate job over the frame;
+    * Catalyst plans the multi-column exact distinct via Expand (rows
+    * multiply by #profiled columns — the exact shape). At corpus
+    * scale pass `approxDistinct = true` for HyperLogLog counts
+    * (constant memory, one pass, ~2% error) — the exact form is the
+    * oracle-checkable one.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Seq.empty,
+      approxDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = names.flatMap { c =>
+      val dt = df.schema(c).dataType
+      val dist = if (approxDistinct) approx_count_distinct(col(c))
+        else countDistinct(col(c))
+      val (minNum, maxNum, minStr, maxStr) = dt match {
+        case _: NumericType =>
+          (min(col(c)).cast("double"), max(col(c)).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case StringType | DateType | TimestampType | TimestampNTZType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(col(c)).cast("string"), max(col(c)).cast("string"))
+        case _ =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+      }
+      Seq(count(col(c)).as(s"__nn_$c"), dist.as(s"__nd_$c"),
+        minNum.as(s"__mn_$c"), maxNum.as(s"__mx_$c"),
+        minStr.as(s"__ms_$c"), maxStr.as(s"__xs_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = names.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        col(s"__ms_$c").as("min_str"), col(s"__xs_$c").as("max_str"))
+    }
+    row.select(explode(array(perCol: _*)).as("__p")).select(col("__p.*"))
+  }
+
+  /** Batch sessionization over an event stream: per key, a new
+    * session starts when the gap to the previous event exceeds
+    * `gapSeconds`; emits one row per session with event count, start,
+    * and exact microsecond duration. The window partitions by the
+    * session KEY (users/devices — cardinality grows with the data, so
+    * partitions stay balanced; a whale key funnels its own events
+    * through one task, the inherent skew of per-key ordering — cap or
+    * salt upstream if a key can exceed a task). The streaming
+    * equivalent is [[graft.streaming.Streams]]' session windows;
+    * numbers agree on closed sessions.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long, tiebreak: String): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val gapUs = gapSeconds * 1000000L
+    val prev = lag(col(ts), 1).over(w)
+    val newSession = when(prev.isNull ||
+      unix_micros(col(ts)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    df.withColumn("__sess",
+        sum(newSession).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__sess").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("t_start"),
+        (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
+          .as("duration_us"))
+  }
 }

@@ -303,4 +303,39 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(sessions.getLong(0) > 0)
     assert(sessions.getLong(1) == QH.read(spark, dir, "events").count())
   }
+
+  test("profile: one-pass nulls/distincts/typed min-max per column") {
+    import spark.implicits._
+    val d = Seq((1L, Some(2.5), "b"), (2L, None, "a"), (3L, Some(2.5), "c"))
+      .toDF("id", "x", "s")
+    val p = Stats.profile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 3 && p("id").getLong(2) == 0 &&
+      p("id").getLong(3) == 3)
+    assert(p("x").getLong(2) == 1 && p("x").getLong(3) == 1 &&
+      p("x").getDouble(4) == 2.5 && p("x").getDouble(5) == 2.5)
+    assert(p("s").getString(6) == "a" && p("s").getString(7) == "c")
+    // approx form runs the HLL path and stays within its error bound
+    val a = Stats.profile(d, Seq("id"), approxDistinct = true).head()
+    assert(math.abs(a.getLong(3) - 3L) <= 1)
+  }
+
+  test("sessionize: gap splits sessions per key with exact durations") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (2L, t("2024-01-01 10:10:00"), 1L),
+      (3L, t("2024-01-01 11:30:00"), 1L), // > 30 min gap -> new session
+      (4L, t("2024-01-01 09:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = Stats.sessionize(ev, "user_id", "ts", 1800L, "event_id")
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 600L * 1000000L), // 10:00-10:10
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
 }
