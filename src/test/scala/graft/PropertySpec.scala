@@ -131,4 +131,80 @@ class PropertySpec extends SparkSuite {
         assert(j.where(col("rv").isNull).count() == 0)
       }
   }
+
+  test("spanDedup with minDocs above the corpus size is the identity " +
+      "on token streams (random docs)") {
+    import graft.llmdata.Dedup
+    val words = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    val docs = samples(words, 6).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 4,
+        minDocs = 100)
+      .orderBy("doc_id").collect()
+    val orig = docs.orderBy("doc_id").collect().map(_.getString(1))
+    got.zip(orig).foreach { case (r, t) =>
+      assert(r.getLong(2) == 0L) // n_removed
+      assert(r.getString(3) == t) // kept_text reassembles exactly
+    }
+  }
+
+  test("sessionize conserves events and never exceeds the gap inside " +
+      "a session (random timestamps)") {
+    import graft.functions.Stats
+    val ts = Gen.listOfN(40, Gen.choose(0L, 100000L))
+    samples(ts, 4).zipWithIndex.foreach { case (offsets, s) =>
+      val ev = offsets.zipWithIndex.map { case (off, i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + off * 1000L),
+          (i % 3).toLong)
+      }.toDF("event_id", "ts", "user_id")
+      val sess = Stats.sessionize(ev, "user_id", "ts", 1800L, "event_id")
+      assert(sess.agg(sum(col("n_events"))).head().getLong(0) == 40L,
+        s"seed $s lost events")
+      // a session's span is bounded by (n_events - 1) * gap
+      val bad = sess.where(col("duration_us") >
+        (col("n_events") - 1) * 1800L * 1000000L).count()
+      assert(bad == 0L, s"seed $s has a session wider than its gaps allow")
+    }
+  }
+
+  test("profile agrees with direct per-column aggregates (random " +
+      "nullable data)") {
+    import graft.functions.Stats
+    val rows = Gen.listOfN(30, for {
+      v <- Gen.option(Gen.choose(-50, 50))
+      s <- Gen.oneOf("x", "y", "z")
+    } yield (v.map(_.toDouble), s))
+    samples(rows, 3).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((v, s), i) => (i.toLong, v, s) }.toDF("id", "v", "s")
+      val p = Stats.profile(df).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(p("v").getLong(2) == df.where(col("v").isNull).count())
+      assert(p("v").getLong(3) ==
+        df.where(col("v").isNotNull).select("v").distinct().count())
+      assert(p("s").getString(6) ==
+        df.agg(min(col("s"))).head().getString(0))
+    }
+  }
+
+  test("semanticDedup survivors are monotone in eps and always keep " +
+      "the lowest id (exact config, random vectors)") {
+    import graft.llmdata.Similarity
+    val vecs = Gen.listOfN(12, Gen.listOfN(4,
+      Gen.choose(-5, 5).map(_.toFloat)))
+    samples(vecs, 3).foreach { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      def surv(eps: Double) = Similarity
+        .semanticDedup(df, "vec_id", "embedding", eps, nCells = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val tight = surv(0.99); val loose = surv(0.6)
+      assert(loose.subsetOf(tight),
+        s"lower eps must drop at least as much: $loose vs $tight")
+      assert(tight.contains(0L) && loose.contains(0L),
+        "the lowest id has no earlier neighbor and must survive")
+    }
+  }
 }
