@@ -520,7 +520,8 @@ object QueriesAgg {
     "q31_group_mincount" -> q31_group_mincount,
     "q65_lag_default" -> q65_lag_default,
     "q97_profile" -> q97_profile,
-    "q98_sessionize" -> q98_sessionize)
+    "q98_sessionize" -> q98_sessionize,
+    "q99_moving_avg" -> q99_moving_avg)
 
   /** One-pass column profiler over orders: counts, nulls, exact
     * distincts, typed min/max — ONE aggregate job (Expand for the
@@ -569,6 +570,41 @@ object QueriesAgg {
                  CAST(max(o_orderdate) AS VARCHAR)
           FROM orders)
         SELECT * FROM p ORDER BY col_name"""))
+
+  /** Bounded-frame moving aggregate (7-row moving sum/avg over order
+    * totals) through the overlap-padded bucket plan — no
+    * single-partition window; exact-decimal sums so the hash-match is
+    * immune to windowed-sum regrouping (DuckDB's segment tree vs
+    * Spark's sequential frame).
+    */
+  private val q99_moving_avg: Q = (
+    (s, dir) => {
+      import graft.ops.ScanOps
+      val m = ScanOps.movingAgg(
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        Seq(("mov_sum_d", col("o_totalprice").cast("decimal(25,6)"),
+            (c: org.apache.spark.sql.Column) => sum(c)),
+          ("mov_n", lit(1L),
+            (c: org.apache.spark.sql.Column) => count(c))),
+        k = 7)
+      m.select(col("o_orderkey"),
+          col("mov_sum_d").cast("double").as("mov_sum"),
+          col("mov_n"),
+          (col("mov_sum_d").cast("double") / col("mov_n"))
+            .as("mov_avg"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w
+                     AS DOUBLE) AS mov_sum,
+                   count(*) OVER w AS mov_n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w
+                     AS DOUBLE) / count(*) OVER w AS mov_avg
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderkey"""))
 
   /** Batch sessionization of the event stream: 30-minute-gap
     * sessions per user, exact microsecond durations. Windows

@@ -98,6 +98,47 @@ object ScanOps {
       Seq(s"__o_$n", s"__w_$n") }: _*)
   }
 
+  /** Globally-ordered MOVING aggregate over the last `k` rows (SQL
+    * `ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`) with no
+    * single-partition window — the bounded-frame sibling of
+    * [[prefixSums]] (whose bucket-offset trick only fits UNBOUNDED
+    * frames). Each range bucket is padded with the previous bucket's
+    * last k-1 rows, the window runs within the padded bucket, and
+    * padding rows are dropped after: every row sees exactly its k-row
+    * frame, summed left-to-right like the sequential plan (same
+    * floating-point result), and no stage moves more than a bucket +
+    * k rows through one task.
+    *
+    * `ord` must be a total order (add a tiebreak upstream) — the same
+    * caveat SQL ROWS frames carry. `aggs` maps output name ->
+    * (summand, aggregator) where aggregator is e.g. `sum _`, `avg _`,
+    * `min _`, `max _`.
+    */
+  def movingAgg(df: DataFrame, ord: String,
+      aggs: Seq[(String, Column, Column => Column)], k: Int,
+      buckets: Int = 32): DataFrame = {
+    require(k >= 1, s"moving window needs k >= 1, got $k")
+    val bucketed = withRangeBucket(df, ord, buckets)
+    // previous bucket's last k-1 rows, re-tagged into the next bucket
+    // as padding (rank from the bucket's end — one within-bucket
+    // window on the same partitioning the main window needs)
+    val endRank = Window.partitionBy(col(BucketCol))
+      .orderBy(col(ord).desc)
+    val ranked = bucketed.withColumn("__er", row_number().over(endRank))
+    val padding = ranked.where(col("__er") <= k - 1)
+      .withColumn(BucketCol, col(BucketCol) + 1)
+      .withColumn("__pad", lit(true))
+    val padded = ranked.withColumn("__pad", lit(false))
+      .unionByName(padding)
+    val mw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
+      .rowsBetween(-(k - 1), 0)
+    val withAggs = aggs.foldLeft(padded) { case (d, (n, c, f)) =>
+      d.withColumn(n, f(c).over(mw))
+    }
+    withAggs.where(!col("__pad"))
+      .drop(BucketCol, "__er", "__pad")
+  }
+
   /** SQL NTILE(k) bucket (1-based) from a 1-based rank and total row
     * count: the first n%k buckets take ceil(n/k) rows, the rest
     * floor(n/k) — exactly DuckDB/Spark `ntile` semantics.

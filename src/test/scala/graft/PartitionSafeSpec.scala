@@ -136,6 +136,32 @@ class PartitionSafeSpec extends SparkSuite {
     assert(got == Seq(3L, 3L, 7L))
   }
 
+  test("ScanOps.movingAgg equals the single-partition ROWS window " +
+      "across bucket boundaries; padding never leaks") {
+    val n = 200
+    val d = (1 to n).map(i => (i.toDouble, (i * 7 % 13).toLong))
+      .toDF("ord", "v")
+    val got = ScanOps.movingAgg(d, "ord",
+        Seq(("ms", col("v"), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("mn", lit(1L), (c: org.apache.spark.sql.Column) => count(c))),
+        k = 7, buckets = 8)
+      .orderBy("ord").collect()
+      .map(r => (r.getDouble(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == n) // padding rows dropped, none lost
+    val vs = (1 to n).map(i => (i * 7 % 13).toLong)
+    got.zipWithIndex.foreach { case ((_, ms, mn), i) =>
+      val lo = math.max(0, i - 6)
+      assert(mn == (i - lo + 1).toLong, s"row $i frame count")
+      assert(ms == vs.slice(lo, i + 1).sum, s"row $i frame sum")
+    }
+    // k = 1 degenerates to the row itself
+    val k1 = ScanOps.movingAgg(d, "ord",
+        Seq(("ms", col("v"), (c: org.apache.spark.sql.Column) => sum(c))),
+        k = 1, buckets = 4)
+      .orderBy("ord").select("ms").collect().map(_.getLong(0)).toSeq
+    assert(k1 == vs)
+  }
+
   test("ScanOps.ntile matches SQL ntile for uneven splits") {
     for (n <- Seq(7, 10, 23); k <- Seq(3, 4, 10)) {
       val d = (1 to n).map(i => Tuple1(i.toDouble)).toDF("s")
