@@ -130,13 +130,35 @@ object ScanOps {
       .withColumn("__pad", lit(true))
     val padded = ranked.withColumn("__pad", lit(false))
       .unionByName(padding)
+    // correctness guard: a bucket with < k-1 rows cannot pad its
+    // successor's first frames — that would be a SILENTLY truncated
+    // window. Bucket sizes are an O(buckets) aggregate off the same
+    // exchange; the check rides the plan (raise_error), costs one
+    // broadcast, and fires only on the bad geometry (shrink k or
+    // buckets when it does).
+    val sizes = ranked.groupBy(col(BucketCol)).agg(max(col("__er"))
+      .as("__bs"))
+    val wv = Window.partitionBy(pinnedZero(col(BucketCol)))
+      .orderBy(col(BucketCol))
+    val prevSizes = sizes
+      .withColumn("__prev_bs", lag(col("__bs"), 1).over(wv))
+      .select(col(BucketCol), col("__prev_bs"))
+    val guarded = padded.join(broadcast(prevSizes), Seq(BucketCol), "left")
     val mw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
       .rowsBetween(-(k - 1), 0)
-    val withAggs = aggs.foldLeft(padded) { case (d, (n, c, f)) =>
+    val withAggs = aggs.foldLeft(guarded) { case (d, (n, c, f)) =>
       d.withColumn(n, f(c).over(mw))
     }
+    val firstAgg = aggs.head._1
     withAggs.where(!col("__pad"))
-      .drop(BucketCol, "__er", "__pad")
+      .withColumn(firstAgg,
+        when(col("__prev_bs").isNotNull && col("__prev_bs") < k - 1,
+          raise_error(concat(lit("movingAgg: a range bucket has fewer " +
+            s"than k-1 = ${k - 1} rows and cannot pad its successor; " +
+            "reduce buckets or k")))
+            .cast(withAggs.schema(firstAgg).dataType))
+          .otherwise(col(firstAgg)))
+      .drop(BucketCol, "__er", "__pad", "__prev_bs")
   }
 
   /** SQL NTILE(k) bucket (1-based) from a 1-based rank and total row

@@ -160,6 +160,15 @@ class PartitionSafeSpec extends SparkSuite {
         k = 1, buckets = 4)
       .orderBy("ord").select("ms").collect().map(_.getLong(0)).toSeq
     assert(k1 == vs)
+    // a bucket too small to pad its successor ERRORS instead of
+    // silently truncating frames
+    val tiny = (1 to 12).map(i => (i.toDouble, 1L)).toDF("ord", "v")
+    val err = intercept[Exception] {
+      ScanOps.movingAgg(tiny, "ord",
+        Seq(("ms", col("v"), (c: org.apache.spark.sql.Column) => sum(c))),
+        k = 9, buckets = 6).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("ScanOps.ntile matches SQL ntile for uneven splits") {
