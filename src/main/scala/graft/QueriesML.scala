@@ -127,7 +127,7 @@ object QueriesML {
       // convergence adds seconds for no correctness value)
       pipeline.getStages.last match {
         case lr: org.apache.spark.ml.classification.LogisticRegression =>
-          lr.setMaxIter(20).setRegParam(0.01)
+          lr.setMaxIter(12).setRegParam(0.01)
         case _ =>
       }
       // sampled fit, full predict: the solver trains on a DETERMINISTIC
