@@ -28,7 +28,8 @@ object Epochs {
   def batchCount(nRows: Long, batchSize: Int): Long = nRows / batchSize
 
   /** The b-th batch of the epoch under the frame's explicit order. */
-  def batch(frame: SeaFrame, batchSize: Int, b: Long): DataFrame = {
+  def batch(frame0: SeaFrame, batchSize: Int, b: Long): DataFrame = {
+    val frame = frame0.materialized // declared-lazy orders work too
     val seqC = frame.seqCol.getOrElse(throw new IllegalStateException(
       "batching requires an explicit row order"))
     frame.df.where(col(seqC) >= b * batchSize &&
@@ -42,7 +43,10 @@ object Epochs {
   def run(frame: SeaFrame, batchSize: Int, epochs: Int,
       shuffleEvery: Int = 0, cycle: Boolean = true, seed: Long = 42)(
       fn: (Int, Long, DataFrame) => Unit): Unit = {
-    var cur = if (cycle) frame.copy(df = frame.df.cache()) else frame
+    // materialize a declared-lazy order ONCE up front — batch() would
+    // otherwise re-zip per batch
+    val mat = frame.materialized
+    var cur = if (cycle) mat.copy(df = mat.df.cache()) else mat
     val n = cur.knownCount.getOrElse(cur.df.count())
     val nb = batchCount(n, batchSize)
     (0 until epochs).foreach { e =>

@@ -14,7 +14,8 @@ object Gather {
     * equi-join of the index column against the frame's sequence —
     * distributed, no collect.
     */
-  def index(frame: SeaFrame, xCol: String, idxCol: String): DataFrame = {
+  def index(frame0: SeaFrame, xCol: String, idxCol: String): DataFrame = {
+    val frame = frame0.materialized // a declared-lazy order is fine too
     val seqC = frame.seqCol.getOrElse(throw new IllegalStateException(
       "index() needs an explicit row order"))
     val values = frame.df.select(col(seqC).as("__pos"), col(xCol)
