@@ -152,7 +152,10 @@ object QueriesExpr {
         Seq(col("o_orderkey").asc))
       val withIdx = f.copy(df =
         f.df.withColumn("gidx", col("o_orderkey") % 50))
-      ops.Gather.index(withIdx, "o_totalprice", "gidx")
+      // gidx ranges over 50 positions: declare the bounded index set
+      // so the values side prunes to 50 rows and both joins broadcast
+      ops.Gather.index(withIdx, "o_totalprice", "gidx",
+        smallIdxSet = true)
         .select(col("o_orderkey"),
           col("o_totalprice_at_gidx").as("gathered"))
         .orderBy(col("o_orderkey"))

@@ -14,12 +14,30 @@ object Gather {
     * equi-join of the index column against the frame's sequence —
     * distributed, no collect.
     */
-  def index(frame0: SeaFrame, xCol: String, idxCol: String): DataFrame = {
+  /** `smallIdxSet = true` declares that the gather touches a BOUNDED
+    * set of distinct positions (the reference's common "look up a few
+    * rows" shape): the values side is pre-pruned to the distinct
+    * index set, whose runtime size AQE then sees — both joins turn
+    * into broadcasts and the fact rows never shuffle. With a
+    * row-count-sized index set the pruning is a wasted narrow
+    * shuffle, so the default stays the plain equi-join.
+    */
+  def index(frame0: SeaFrame, xCol: String, idxCol: String,
+      smallIdxSet: Boolean = false): DataFrame = {
     val frame = frame0.materialized // a declared-lazy order is fine too
     val seqC = frame.seqCol.getOrElse(throw new IllegalStateException(
       "index() needs an explicit row order"))
-    val values = frame.df.select(col(seqC).as("__pos"), col(xCol)
+    val values0 = frame.df.select(col(seqC).as("__pos"), col(xCol)
       .as("__val"))
+    val values = if (!smallIdxSet) values0 else {
+      val needed = frame.df
+        .select(col(idxCol).cast("long").as("__need"))
+        .where(col("__need").isNotNull).distinct()
+      // the caller declared the set bounded — force the broadcast
+      // (the zip output is an RDD scan with no stats for AQE to act on)
+      broadcast(values0.join(broadcast(needed),
+        col("__pos") === col("__need"), "left_semi"))
+    }
     // zip-produced frames carry their count — no extra job
     val n = frame.knownCount.getOrElse(frame.df.count())
     val joined = frame.df

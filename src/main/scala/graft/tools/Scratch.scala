@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage timing for optimization work (not part of the driver
   * contract).
@@ -22,55 +23,24 @@ object Scratch {
       r
     }
 
-    import org.apache.spark.sql.functions._
-    import graft.llmdata.{Dedup, TextAnalysis}
-    val docs = graft.QH.spread(
-      spark.read.parquet(s"$dir/documents.parquet"))
-    time("warm")(docs.count())
-
-    def oldPerp(singleScan: Boolean) = {
-      val addK = 0.5
-      val toks = docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          filter(split(Dedup.normalize(col("text")), " "),
-            t => t =!= "").as("__t"))
-        .where(size(col("__t")) >= 2)
-      val bi0 = toks.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("__t")) - 1),
-            i => struct(element_at(col("__t"), i).as("w1"),
-              element_at(col("__t"), i + 1).as("w2")))).as("__b"))
-        .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      val bi = if (singleScan)
-        bi0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bi0
-      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__bc"))
-      val hc = bc.groupBy(col("w1")).agg(sum(col("__bc")).as("__hc"))
-      val vocab =
-        if (singleScan)
-          bi.select(col("w1").as("__w"))
-            .union(bi.select(col("w2").as("__w")))
-            .agg(countDistinct(col("__w")).as("__v"))
-        else toks.select(explode(col("__t")).as("__w"))
-          .agg(countDistinct(col("__w")).as("__v"))
-      bi.join(bc, Seq("w1", "w2")).join(hc, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("__lp", log((col("__bc") + lit(addK)) /
-          (col("__hc") + lit(addK) * col("__v"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), (-avg(col("__lp"))).as("__nll"))
-        .withColumn("perplexity", exp(col("__nll")))
-        .select(col("doc_id"), col("n_bigrams"), col("perplexity"))
-    }
-
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    time("warm")(orders.count())
     (1 to 3).foreach { i =>
-      time(s"OLD multi-scan #$i") { oldPerp(false).count(); spark.catalog.clearCache() }
-      time(s"NEW default #$i") {
-        TextAnalysis.lmPerplexity(docs, "doc_id", "text", 0.5, false).count()
-        spark.catalog.clearCache()
+      time(s"index plain #$i") {
+        val f = graft.frame.SeaFrame.withSequence(orders,
+          Seq(col("o_orderkey").asc))
+        val withIdx = f.copy(df = f.df.withColumn("gidx",
+          col("o_orderkey") % 50))
+        graft.ops.Gather.index(withIdx, "o_totalprice", "gidx").count()
       }
-      time(s"NEW singleScan #$i") {
-        TextAnalysis.lmPerplexity(docs, "doc_id", "text", 0.5, true).count()
-        spark.catalog.clearCache()
+      time(s"index smallIdxSet #$i") {
+        val f = graft.frame.SeaFrame.withSequence(orders,
+          Seq(col("o_orderkey").asc))
+        val withIdx = f.copy(df = f.df.withColumn("gidx",
+          col("o_orderkey") % 50))
+        graft.ops.Gather.index(withIdx, "o_totalprice", "gidx",
+          smallIdxSet = true).count()
       }
     }
     spark.stop()
