@@ -28,6 +28,22 @@ class GatherAndParitySpec extends SparkSuite {
     intercept[Exception] { Gather.index(f, "x", "idx").collect() }
   }
 
+  test("index() smallIdxSet path equals the plain join and plans a " +
+      "broadcast") {
+    val f = SeaFrame.withSequence(
+      (0 until 60).map(i => (f"r$i%02d", (i * 13 % 5).toLong))
+        .toDF("x", "idx"),
+      Seq(col("x").asc))
+    val plain = Gather.index(f, "x", "idx")
+      .orderBy("x").select("x_at_idx").collect().map(_.getString(0)).toSeq
+    val pruned = Gather.index(f, "x", "idx", smallIdxSet = true)
+    val got = pruned.orderBy("x").select("x_at_idx").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == plain)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("range(a,b) is exclusive and direction-aware " +
       "(parser.go:682-723)") {
     val up = Gather.rangePipe(spark, 2, 6).result
