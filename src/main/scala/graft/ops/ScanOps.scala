@@ -140,8 +140,16 @@ object ScanOps {
       .as("__bs"))
     val wv = Window.partitionBy(pinnedZero(col(BucketCol)))
       .orderBy(col(BucketCol))
+    // a NUMBERING GAP (an interior bucket with zero rows — impossible
+    // with quantile cuts drawn from the data, but possible with
+    // externally supplied cuts) also breaks the chain: treat a
+    // non-adjacent predecessor exactly like an under-filled one
     val prevSizes = sizes
-      .withColumn("__prev_bs", lag(col("__bs"), 1).over(wv))
+      .withColumn("__prev_bs",
+        when(lag(col(BucketCol), 1).over(wv) === col(BucketCol) - 1,
+          lag(col("__bs"), 1).over(wv))
+          .otherwise(when(lag(col(BucketCol), 1).over(wv).isNotNull,
+            lit(-1L))))
       .select(col(BucketCol), col("__prev_bs"))
     val guarded = padded.join(broadcast(prevSizes), Seq(BucketCol), "left")
     val mw = Window.partitionBy(col(BucketCol)).orderBy(col(ord))
@@ -152,7 +160,8 @@ object ScanOps {
     val firstAgg = aggs.head._1
     withAggs.where(!col("__pad"))
       .withColumn(firstAgg,
-        when(col("__prev_bs").isNotNull && col("__prev_bs") < k - 1,
+        when(lit(k > 1) && col("__prev_bs").isNotNull &&
+            col("__prev_bs") < k - 1,
           raise_error(concat(lit("movingAgg: a range bucket has fewer " +
             s"than k-1 = ${k - 1} rows and cannot pad its successor; " +
             "reduce buckets or k")))
