@@ -920,6 +920,38 @@ object QueriesLLM {
         FROM g JOIN k ON g.canonical_id = k.canonical_id
         ORDER BY g.canonical_id"""))
 
+  /** Temperature-based source mixing at alpha = 0.5 toward a
+    * half-corpus budget: per-source keep fractions derive from
+    * count^alpha weights, applied as the portable hash filter — the
+    * oracle recomputes the same weights, cutoffs (identical
+    * operation order, truncation to 1e6 buckets), and filter.
+    */
+  private val q100_temperature_mix: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      val target = d.count() / 2
+      Sampling.mixByTemperature(d, "doc_id", "source",
+          alpha = 0.5, targetRows = target, seed = 42L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY 1),
+             w AS (SELECT source, n, power(CAST(n AS DOUBLE), 0.5) AS wp
+                   FROM c),
+             t AS (SELECT sum(wp) AS tw,
+                     (SELECT CAST(count(*) // 2 AS BIGINT)
+                      FROM documents) AS target FROM w),
+             f AS (SELECT source,
+                     CAST(round(least(1.0, (wp / t.tw) * t.target / n),
+                            9) * 1000000 AS BIGINT) AS cut
+                   FROM w, t)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN f USING (source)
+        WHERE ((d.doc_id * 2654435761 + 42) % 1000000007) % 1000000
+              < f.cut
+        ORDER BY d.doc_id"""))
+
   /** Multimodal plumbing with a REAL image payload: each doc's text
     * payload is swapped for a planted deterministic PNG, decoded by
     * the javax.imageio codec inside the per-partition batched-decode
@@ -1107,6 +1139,7 @@ object QueriesLLM {
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,
     "q96_canonical_docs" -> q96_canonical_docs,
+    "q100_temperature_mix" -> q100_temperature_mix,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,

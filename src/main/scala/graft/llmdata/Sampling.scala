@@ -89,6 +89,37 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Temperature-based source mixing (the multilingual-corpus
+    * sampler): source s is kept at a rate proportional to
+    * count(s)^alpha — alpha = 1 keeps natural proportions, alpha -> 0
+    * flattens toward uniform, the standard dial for keeping
+    * low-resource sources represented. Given a total row budget
+    * `targetRows`, source s's keep-fraction is
+    * min(1, (n_s^alpha / sum_t n_t^alpha) * targetRows / n_s),
+    * applied as the same portable hash filter as [[hashSample]] —
+    * fully deterministic and engine-reproducible. The per-source
+    * counts are ONE grouped aggregate collected to the driver
+    * (O(#sources), bounded by construction — sources are a curated
+    * enum, not data-scale).
+    */
+  def mixByTemperature(df: DataFrame, id: String, sourceCol: String,
+      alpha: Double, targetRows: Long, seed: Long = 42L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows $targetRows")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    val sumW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    // round to 9 decimals before bucketing: the weight sum's fp value
+    // depends on summation order, which no engine guarantees — the
+    // rounding absorbs last-ulp drift so the cutoff is reproducible
+    val fractions = counts.map { case (s, n) =>
+      s -> BigDecimal(math.min(1.0,
+          (math.pow(n.toDouble, alpha) / sumW) * targetRows / n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    stratifiedSample(df, id, col(sourceCol), fractions, seed)
+  }
+
   /** Mix sources at target sampling rates into one frame, tagging each
     * row's origin — the dataset-mixture step of a training pipeline.
     * Each (source, fraction) pair is hash-sampled independently (with

@@ -23,24 +23,45 @@ object Scratch {
       r
     }
 
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select("o_orderkey", "o_totalprice")
-    time("warm")(orders.count())
+    import graft.llmdata.{Dedup, TextAnalysis}
+    val docs = graft.QH.spread(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    time("warm")(docs.count())
+
+    def reuse(addK: Double) = {
+      val toks = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          filter(split(Dedup.normalize(col("text")), " "),
+            t => t =!= "").as("__t"))
+        .where(size(col("__t")) >= 2)
+      val bi = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("__t")) - 1),
+            i => struct(element_at(col("__t"), i).as("w1"),
+              element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+        .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+        .repartition(col("w1"), col("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__bc"))
+      val hc = bc.groupBy(col("w1")).agg(sum(col("__bc")).as("__hc"))
+      val vocab = bc.select(col("w1").as("__w"))
+        .union(bc.select(col("w2").as("__w")))
+        .agg(countDistinct(col("__w")).as("__v"))
+      bi.join(bc, Seq("w1", "w2")).join(hc, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("__lp", log((col("__bc") + lit(addK)) /
+          (col("__hc") + lit(addK) * col("__v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), (-avg(col("__lp"))).as("__nll"))
+        .withColumn("perplexity", exp(col("__nll")))
+        .select(col("doc_id"), col("n_bigrams"), col("perplexity"))
+    }
+
     (1 to 3).foreach { i =>
-      time(s"index plain #$i") {
-        val f = graft.frame.SeaFrame.withSequence(orders,
-          Seq(col("o_orderkey").asc))
-        val withIdx = f.copy(df = f.df.withColumn("gidx",
-          col("o_orderkey") % 50))
-        graft.ops.Gather.index(withIdx, "o_totalprice", "gidx").count()
+      time(s"current default #$i") {
+        TextAnalysis.lmPerplexity(docs, "doc_id", "text", 0.5, false).count()
+        spark.catalog.clearCache()
       }
-      time(s"index smallIdxSet #$i") {
-        val f = graft.frame.SeaFrame.withSequence(orders,
-          Seq(col("o_orderkey").asc))
-        val withIdx = f.copy(df = f.df.withColumn("gidx",
-          col("o_orderkey") % 50))
-        graft.ops.Gather.index(withIdx, "o_totalprice", "gidx",
-          smallIdxSet = true).count()
+      time(s"repartition-reuse #$i") {
+        reuse(0.5).count(); spark.catalog.clearCache()
       }
     }
     spark.stop()

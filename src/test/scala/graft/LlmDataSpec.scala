@@ -693,6 +693,35 @@ class LlmDataSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 3L, 2L, 0.9), (7L, 2L, 7L, 0.5)))
   }
 
+  test("mixByTemperature: alpha=1 keeps natural proportions, alpha->0 " +
+      "flattens toward uniform, small sources gain share") {
+    import spark.implicits._
+    // 900 rows of 'big', 100 of 'small'
+    val d = (1L to 1000L).map(i =>
+        (i, if (i <= 900) "big" else "small"))
+      .toDF("doc_id", "source")
+    def shares(alpha: Double) = {
+      val m = Sampling.mixByTemperature(d, "doc_id", "source",
+        alpha, targetRows = 500L)
+      val byS = m.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (byS.getOrElse("big", 0L), byS.getOrElse("small", 0L))
+    }
+    val (b1, s1) = shares(1.0)
+    val (b3, s3) = shares(0.3)
+    // natural: small keeps ~ 500 * 100/1000 = ~50 of its 100
+    assert(s1 in_between (25L, 75L), s"alpha=1 small share $s1")
+    // flattened: small's fraction rises sharply (toward keep-all)
+    assert(s3 > s1, s"flattening must help the small source: $s3 <= $s1")
+    assert(b3 < b1, s"flattening must shrink the big source: $b3 >= $b1")
+    // determinism
+    assert(shares(0.3) == ((b3, s3)))
+  }
+
+  private implicit class LongIn(x: Long) {
+    def in_between(lo: Long, hi: Long): Boolean = x >= lo && x <= hi
+  }
+
   test("boilerplateSpans: a 4-gram shared by >= minDocs docs flags its " +
       "positions; unique content does not") {
     import spark.implicits._
