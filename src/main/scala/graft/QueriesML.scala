@@ -19,6 +19,32 @@ object QueriesML {
     * the gate sits well above the constant-majority baseline — a
     * broken solver cannot pass it by predicting one class.
     */
+  /** Like [[gateAccuracy]], but the check rides the output plan: the
+    * accuracy scalar broadcast-joins onto every row and a failing gate
+    * raises from inside the predicted column, so the gate costs no
+    * separate action and no cache — any consumer that materializes
+    * the predictions trips it. (The prediction column itself carries
+    * the guard; a consumer that prunes every output column away —
+    * count-only — skips it, which the Verify parquet dump never
+    * does.)
+    */
+  private[graft] def gatedPreds(preds: org.apache.spark.sql.DataFrame,
+      labelCol: String, predCol: String, minAcc: Double,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val g = preds.agg(
+      avg(when(col(labelCol).cast("double") ===
+        col(predCol).cast("double"), 1.0).otherwise(0.0)).as("__acc"))
+    preds.crossJoin(broadcast(g))
+      .withColumn(predCol,
+        when(col("__acc") < minAcc,
+          raise_error(concat(
+            lit(s"$name: accuracy "), round(col("__acc"), 4),
+            lit(s" below quality gate $minAcc — solver degenerated")))
+            .cast(preds.schema(predCol).dataType))
+          .otherwise(col(predCol)))
+      .drop("__acc")
+  }
+
   private def gateAccuracy(preds: org.apache.spark.sql.DataFrame,
       labelCol: String, predCol: String, minAcc: Double,
       name: String): Unit = {
@@ -132,17 +158,19 @@ object QueriesML {
       }
       // sampled fit, full predict: the solver trains on a DETERMINISTIC
       // 20% hash-sample (Sampling.hashSample — stable across runs and
-      // engines), then scores every row. Cache spans the indexer fit,
-      // the solver fit, and the predict pass.
+      // engines), then scores every row. Cache spans the indexer fit
+      // and the solver fit; scoring is a broadcast projection, so the
+      // quality gate rides the OUTPUT PLAN (raise_error over a
+      // broadcast accuracy scalar) instead of paying its own action +
+      // a second cache.
       val cached = o.cache()
       val trainSet = graft.llmdata.Sampling
         .hashSample(cached, "o_orderkey", 0.2)
       val model = pipeline.fit(trainSet)
       val preds = model.transform(cached)
         .select(col("o_orderkey"), col("label"), col("prediction"))
-        .cache()
-      gateAccuracy(preds, "label", "prediction", 0.90, "q57_ml_predict")
-      preds.select(col("o_orderkey"), col("prediction"))
+      gatedPreds(preds, "label", "prediction", 0.90, "q57_ml_predict")
+        .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
     },
     None)
@@ -190,9 +218,8 @@ object QueriesML {
       }
       val preds = fitted.transform(o)
         .select(col("o_orderkey"), col("label"), col("prediction"))
-        .cache()
-      gateAccuracy(preds, "label", "prediction", 0.85, "q66_ml_embed")
-      preds.select(col("o_orderkey"), col("prediction"))
+      gatedPreds(preds, "label", "prediction", 0.85, "q66_ml_embed")
+        .select(col("o_orderkey"), col("prediction"))
         .orderBy(col("o_orderkey"))
     },
     None)
@@ -234,9 +261,8 @@ object QueriesML {
       val preds = m.transform(o)
         .select(col("o_orderkey"), col("label"),
           col("__predicted_class").as("predicted"))
-        .cache()
-      gateAccuracy(preds, "label", "predicted", 0.80, "q78_net_native")
-      preds.select(col("o_orderkey"), col("predicted"))
+      gatedPreds(preds, "label", "predicted", 0.80, "q78_net_native")
+        .select(col("o_orderkey"), col("predicted"))
         .orderBy(col("o_orderkey"))
     },
     None)

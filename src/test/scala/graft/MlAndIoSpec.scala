@@ -248,4 +248,22 @@ class MlAndIoSpec extends SparkSuite {
       "SELECT r_name FROM region_v WHERE r_regionkey < 2")
     assert(f.df.count() == 2)
   }
+
+  test("in-plan quality gate: good predictions pass, a degenerated " +
+      "solver's output raises on materialization") {
+    import spark.implicits._
+    val good = Seq((1.0, 1.0), (0.0, 0.0), (1.0, 1.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val ok = QueriesML.gatedPreds(good, "label", "prediction", 0.9, "t")
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(ok == Seq(1.0, 0.0, 1.0, 0.0))
+    val bad = Seq((1.0, 0.0), (0.0, 1.0), (1.0, 0.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val e = intercept[Exception] {
+      QueriesML.gatedPreds(bad, "label", "prediction", 0.9, "t")
+        .select("prediction").collect()
+    }
+    assert(e.getMessage.contains("quality gate") ||
+      (e.getCause != null && e.getCause.getMessage.contains("quality gate")))
+  }
 }
