@@ -622,7 +622,7 @@ object QueriesAgg {
              s AS (SELECT user_id, event_id, t,
                  CASE WHEN lag(t) OVER w IS NULL
                         OR epoch_us(t) - epoch_us(lag(t) OVER w)
-                           > 1800000000
+                           >= 1800000000
                       THEN 1 ELSE 0 END AS nf
                FROM e
                WINDOW w AS (PARTITION BY user_id

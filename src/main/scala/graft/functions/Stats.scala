@@ -256,8 +256,11 @@ object Stats {
       .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     val gapUs = gapSeconds * 1000000L
     val prev = lag(col(ts), 1).over(w)
+    // boundary matches Structured Streaming's session_window: an event
+    // at EXACTLY prev + gap starts a new session (windows are
+    // [start, end)) — so closed-session numbers agree batch vs stream
     val newSession = when(prev.isNull ||
-      unix_micros(col(ts)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+      unix_micros(col(ts)) - unix_micros(prev) >= gapUs, 1L).otherwise(0L)
     df.withColumn("__sess",
         sum(newSession).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))

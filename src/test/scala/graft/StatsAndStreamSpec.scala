@@ -320,6 +320,24 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(math.abs(a.getLong(3) - 3L) <= 1)
   }
 
+  test("batch sessionize equals streaming session_window on closed " +
+      "sessions (same gap, same boundary semantics)") {
+    val dir = TestSpark.sfDir
+    val q = Streams.runStreaming(spark, s"$dir/events.parquet",
+      df => Streams.sessionized(df, "30 minutes"), "t_sessions_parity")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_sessions_parity")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sorted.toSeq
+    val batch = Stats.sessionize(QH.read(spark, dir, "events"),
+        "user_id", "ts", 1800L, "event_id")
+      .select("user_id", "t_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("sessionize: gap splits sessions per key with exact durations") {
     import spark.implicits._
     import java.sql.Timestamp
