@@ -920,6 +920,36 @@ object QueriesLLM {
         FROM g JOIN k ON g.canonical_id = k.canonical_id
         ORDER BY g.canonical_id"""))
 
+  /** The SQL surface end-to-end: the engine's native
+    * [[graft.functions.CosineSimilarity]] expression registered
+    * through the SparkSessionExtensions path
+    * ([[graft.GraftExtensions]]), driven from `spark.sql` text —
+    * proving a SQL-only user gets the same codegen'd similarity
+    * kernel the Column API uses. Oracle = DuckDB's own
+    * list_cosine_similarity over the same pairs.
+    */
+  private val q101_sql_cosine: Q = (
+    (s, dir) => {
+      graft.GraftExtensions.register(s)
+      read(s, dir, "embeddings").where(col("vec_id") < 200)
+        .createOrReplaceTempView("emb_sql_v")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(cosine_similarity(a.embedding, b.embedding), 6)
+                   AS similarity
+               FROM emb_sql_v a JOIN emb_sql_v b ON a.vec_id < b.vec_id
+               WHERE cosine_similarity(a.embedding, b.embedding) >= 0.4
+               ORDER BY id_a, id_b""")
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY id_a, id_b"""))
+
   /** Temperature-based source mixing at alpha = 0.5 toward a
     * half-corpus budget: per-source keep fractions derive from
     * count^alpha weights, applied as the portable hash filter — the
@@ -1140,6 +1170,7 @@ object QueriesLLM {
     "q95_semdedup_exact" -> q95_semdedup_exact,
     "q96_canonical_docs" -> q96_canonical_docs,
     "q100_temperature_mix" -> q100_temperature_mix,
+    "q101_sql_cosine" -> q101_sql_cosine,
     "q87_chunking" -> q87_chunking,
     "q48_text_langid" -> q48_text_langid,
     "q49_text_tokens" -> q49_text_tokens,
