@@ -169,4 +169,17 @@ class EndToEndSpec extends SparkSuite {
       assert(r.getLong(1) >= r.getLong(2)) // high-value ⊆ all orders
     }
   }
+
+  test("driver contract integrity: no duplicate query keys across " +
+      "catalog files, every oracle key names a query") {
+    val parts = Seq(QueriesRelational.all, QueriesAgg.all,
+      QueriesExpr.all, QueriesML.all, QueriesLLM.all, QueriesStream.all)
+    val merged = Queries.all
+    // a duplicate key across files would be silently overwritten by ++
+    assert(parts.map(_.size).sum + 1 == merged.size, // +1 = q14 in Queries
+      s"duplicate query keys: ${parts.flatMap(_.keys)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
 }
