@@ -198,6 +198,29 @@ object QueriesRelational {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_orderkey LIMIT 1 OFFSET 41"""))
 
+  /** Salted skew join, oracle-checked against the PLAIN join: the
+    * salt spreads each hot key over `salts` reducers (the explicit
+    * counter to key skew at 100 TB) and must be result-invisible —
+    * DuckDB computes the unsalted join and the hashes must match.
+    */
+  private val q102_salted_join: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = read(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      Joins.saltedJoin(li, o, "l_orderkey", "inner", salts = 8)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          max(col("o_totalprice")).as("price"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some(s"""SELECT l_orderkey, count(*) AS n,
+                    ${sqlDsum("l_quantity")} AS qty,
+                    max(o_totalprice) AS price
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
     * sides are broadcast-able dimensions at any scale once filtered.
     */
@@ -265,6 +288,7 @@ object QueriesRelational {
     "q10_union_append" -> q10_union_append,
     "q11_distinct" -> q11_distinct,
     "q12_row_take" -> q12_row_take,
+    "q102_salted_join" -> q102_salted_join,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }
