@@ -221,6 +221,25 @@ object QueriesRelational {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  /** CSV source/sink round-trip under the oracle gate: nation goes
+    * out through [[graft.io.Sources.pipeToCsv]] (header, quoting) and
+    * back through [[graft.io.Sources.csvToPipe]] (header +
+    * inferSchema + role inference); rows AND re-inferred types must
+    * hash-match the parquet original.
+    */
+  private val q103_csv_roundtrip: Q = (
+    (s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q103_csv_roundtrip"
+      io.Sources.pipeToCsv(SeaFrame(read(s, dir, "nation")), path)
+      // inferSchema re-derives int32 — the parquet original's types
+      io.Sources.csvToPipe(s, path).result
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
   /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
     * sides are broadcast-able dimensions at any scale once filtered.
     */
@@ -289,6 +308,7 @@ object QueriesRelational {
     "q11_distinct" -> q11_distinct,
     "q12_row_take" -> q12_row_take,
     "q102_salted_join" -> q102_salted_join,
+    "q103_csv_roundtrip" -> q103_csv_roundtrip,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }
