@@ -35,6 +35,7 @@ object Bench {
       // frames) would otherwise accumulate cache across 85 queries × N
       // reps and inflate later entries with GC pressure; eviction is
       // untimed — each rep recomputes from parquet anyway
+      Caches.release()
       try spark.catalog.clearCache() catch { case _: Throwable => }
       dt
     }

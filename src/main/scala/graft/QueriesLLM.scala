@@ -973,8 +973,8 @@ object QueriesLLM {
                      (SELECT CAST(count(*) // 2 AS BIGINT)
                       FROM documents) AS target FROM w),
              f AS (SELECT source,
-                     CAST(round(least(1.0, (wp / t.tw) * t.target / n),
-                            9) * 1000000 AS BIGINT) AS cut
+                     CAST(trunc(round(least(1.0, (wp / t.tw) * t.target / n),
+                            9) * 1000000) AS BIGINT) AS cut
                    FROM w, t)
         SELECT d.doc_id, d.source
         FROM documents d JOIN f USING (source)

@@ -27,6 +27,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // singleScan-style entries pin MEMORY_AND_DISK intermediates
+        // for the duration of the query; drop them between entries so
+        // 100+ queries don't accumulate evicting blocks
+        Caches.release()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -538,10 +538,10 @@ object Dedup {
       .select(col(docId), col("pos"), col("col").as("span"))
     // the span stream feeds both the duplicate census and the
     // join-back; singleScan persists it so tokenize+explode runs once
-    // (costs span-corpus-sized storage — the tfidfTopK trade)
-    val spans = if (singleScan)
-      spans0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else spans0
+    // (costs span-corpus-sized storage — the tfidfTopK trade). Pinned
+    // via graft.Caches — release() after materializing, else the
+    // block outlives the query.
+    val spans = if (singleScan) graft.Caches.pin(spans0) else spans0
     scrubUnits(spans, docId, "pos", "span", minDocs)
       .groupBy(col(docId))
       .agg(count(lit(1)).as("n_spans"),

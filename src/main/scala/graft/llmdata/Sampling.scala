@@ -106,7 +106,11 @@ object Sampling {
       alpha: Double, targetRows: Long, seed: Long = 42L): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(targetRows > 0, s"targetRows $targetRows")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // contract: null-source rows carry no mixable weight and are
+    // dropped (stratifiedSample's fall-through would drop them anyway;
+    // filtering up front also keeps the driver-side key map NPE-free)
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1))
     val sumW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     // round to 9 decimals before bucketing: the weight sum's fp value

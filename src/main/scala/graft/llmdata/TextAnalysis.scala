@@ -163,10 +163,10 @@ object TextAnalysis {
     // doc-frequency branch reads them back instead of re-tokenizing
     // the corpus (column pruning otherwise splits the subtree and the
     // exchange is not reused). Costs shuffle-sized disk-backed
-    // storage; wins when tokenize/decode dominates.
-    val tf = if (singleScan)
-      tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tf0
+    // storage; wins when tokenize/decode dominates. Pinned via
+    // graft.Caches — call Caches.release() once results are
+    // materialized, else the block outlives the query.
+    val tf = if (singleScan) graft.Caches.pin(tf0) else tf0
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -335,9 +335,7 @@ object TextAnalysis {
         filter(split(Dedup.normalize(col(text)), " "),
           t => t =!= "").as("__t"))
       .where(size(col("__t")) >= 2)
-    val toks = if (singleScan)
-      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else toks0
+    val toks = if (singleScan) graft.Caches.pin(toks0) else toks0
     val bi = toks.select(col(docId),
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
           i => struct(element_at(col("__t"), i).as("w1"),

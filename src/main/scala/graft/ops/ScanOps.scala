@@ -157,16 +157,21 @@ object ScanOps {
     val withAggs = aggs.foldLeft(guarded) { case (d, (n, c, f)) =>
       d.withColumn(n, f(c).over(mw))
     }
-    val firstAgg = aggs.head._1
-    withAggs.where(!col("__pad"))
-      .withColumn(firstAgg,
-        when(lit(k > 1) && col("__prev_bs").isNotNull &&
-            col("__prev_bs") < k - 1,
-          raise_error(concat(lit("movingAgg: a range bucket has fewer " +
-            s"than k-1 = ${k - 1} rows and cannot pad its successor; " +
-            "reduce buckets or k")))
-            .cast(withAggs.schema(firstAgg).dataType))
-          .otherwise(col(firstAgg)))
+    // the guard must survive ANY projection of the result: embedding
+    // it in a single column would let Catalyst prune it when a caller
+    // selects only the others — so it wraps EVERY aggregate column
+    val bad = lit(k > 1) && col("__prev_bs").isNotNull &&
+      col("__prev_bs") < k - 1
+    val unpadded = withAggs.where(!col("__pad"))
+    aggs.foldLeft(unpadded) { case (d, (n, _, _)) =>
+        d.withColumn(n,
+          when(bad,
+            raise_error(concat(lit("movingAgg: a range bucket has fewer " +
+              s"than k-1 = ${k - 1} rows and cannot pad its successor; " +
+              "reduce buckets or k")))
+              .cast(withAggs.schema(n).dataType))
+            .otherwise(col(n)))
+      }
       .drop(BucketCol, "__er", "__pad", "__prev_bs")
   }
 

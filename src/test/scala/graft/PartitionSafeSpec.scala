@@ -169,6 +169,15 @@ class PartitionSafeSpec extends SparkSuite {
         k = 9, buckets = 6).collect()
     }
     assert(err.getMessage != null)
+    // the guard rides EVERY aggregate column: projecting away the
+    // first aggregate must not let Catalyst prune the check
+    val err2 = intercept[Exception] {
+      ScanOps.movingAgg(tiny, "ord",
+        Seq(("ms", col("v"), (c: org.apache.spark.sql.Column) => sum(c)),
+          ("mn", col("v"), (c: org.apache.spark.sql.Column) => count(c))),
+        k = 9, buckets = 6).select("mn").collect()
+    }
+    assert(err2.getMessage != null)
   }
 
   test("ScanOps.ntile matches SQL ntile for uneven splits") {
