@@ -982,31 +982,52 @@ object QueriesLLM {
               < f.cut
         ORDER BY d.doc_id"""))
 
-  /** Multimodal plumbing with a REAL image payload: each doc's text
-    * payload is swapped for a planted deterministic PNG, decoded by
-    * the javax.imageio codec inside the per-partition batched-decode
-    * contract — decoded_width/height/f0 are true pixel reads, not
-    * hashes. Rows-only here (payload_bytes and the stub frame plan
-    * are engine-specific); q82 is the oracle-checked twin.
+  /** The FULL multimodal pipeline under the oracle (was rows-only —
+    * VERDICT r4 task 4): planted PNG payloads (dims/gray are integer
+    * functions of doc_id), typed media_meta carrying a planted
+    * n_frames, the per-partition javax.imageio decode, resize
+    * clamping, and the frame-sampling plan — every output column is
+    * recomputed by DuckDB with integer arithmetic, so the codec, the
+    * metadata plumbing, the resize clamp, AND the frame plan all
+    * hash-check. (The xxhash-based stub-feature path has no SQL
+    * equivalent and is spec-covered instead.)
     */
   private val q52_multimodal: Q = (
     (s, dir) => {
-      val base = Multimodal
-        .pipeline(spread(read(s, dir, "documents")), "text")
-        .withColumnRenamed("features", "expr_features")
-      val planted = Multimodal.plantPng(base.drop("payload"), "doc_id")
-      Multimodal.decodeBatched(planted)
-        .select(col("doc_id"), col("payload_bytes"),
+      val planted = Multimodal.plantPng(
+          read(s, dir, "documents").select("doc_id"), "doc_id")
+        // typed metadata with a PLANTED frame count (images decode to
+        // n_frames=1; the plan stage is exercised with video-shaped
+        // metadata, deterministic in doc_id)
+        .withColumn("media_meta", struct(
+          lit("png").as("format"),
+          (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
+          (lit(16) + pmod(col("doc_id") * 7, lit(29))).cast("int")
+            .as("height"),
+          (lit(1) + pmod(col("doc_id"), lit(300))).cast("int")
+            .as("n_frames"),
+          lit(16000).as("sample_rate")))
+      Multimodal.decodeBatched(planted, resizeTo = (24, 224))
+        .withColumn("frame_plan",
+          Multimodal.sampleFrames(col("media_meta.n_frames"), 10, 16))
+        .select(col("doc_id"),
           col("decoded_format").as("format"),
-          col("decoded_width").as("width"),
-          col("decoded_height").as("height"),
-          element_at(col("expr_features"), 1).as("f0"),
+          col("decoded_width").cast("long").as("width"),
+          col("decoded_height").cast("long").as("height"),
           round(element_at(col("features"), 1), 9).as("decoded_f0"),
-          col("resized_width"),
-          size(col("frame_plan")).as("n_sampled_frames"))
+          col("resized_width").cast("long").as("resized_width"),
+          col("resized_height").cast("long").as("resized_height"),
+          size(col("frame_plan")).cast("long").as("n_sampled_frames"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""SELECT doc_id, 'png' AS format,
+                   16 + doc_id % 32 AS width,
+                   16 + (7 * doc_id) % 29 AS height,
+                   round((doc_id % 256) / 255.0, 9) AS decoded_f0,
+                   least(24, 16 + doc_id % 32) AS resized_width,
+                   least(224, 16 + (7 * doc_id) % 29) AS resized_height,
+                   least(16, (doc_id % 300) // 10 + 1) AS n_sampled_frames
+            FROM documents ORDER BY doc_id"""))
 
   /** Real image decode, oracle-checked end-to-end: plant a solid-gray
     * PNG per doc (width/height/gray all exact functions of doc_id),

@@ -240,6 +240,80 @@ object QueriesRelational {
     Some("""SELECT n_nationkey, n_name, n_regionkey
             FROM nation ORDER BY n_nationkey"""))
 
+  /** Semi join (SURVEY §2.4 "Spark gives free" list): customers with
+    * at least one high-value order — a pure existence filter, output
+    * is the left columns only (no fill, no dup-drop). Plans as a
+    * LeftSemi hash join: the right side reduces to its key column
+    * before the shuffle, the cheapest join shape there is.
+    */
+  private val q105_join_semi: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+      val hi = read(s, dir, "orders")
+        .where(col("o_totalprice") > 150000)
+        .withColumnRenamed("o_custkey", "custkey")
+      Joins.joinMulti(c, hi, Seq("custkey"), "semi")
+        .select(col("custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT c_custkey AS custkey, c_name, c_acctbal
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 150000)
+            ORDER BY custkey"""))
+
+  /** Anti join: customers with NO high-value order (every customer
+    * has SOME order in the synthetic data, so the filter keeps the
+    * result non-empty and the check meaningful). LeftAnti hash join —
+    * same single-shuffle class as semi.
+    */
+  private val q106_join_anti: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey")
+      val hi = read(s, dir, "orders")
+        .where(col("o_totalprice") > 250000)
+        .withColumnRenamed("o_custkey", "custkey")
+      Joins.joinMulti(c, hi, Seq("custkey"), "anti")
+        .select(col("custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT c_custkey AS custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 250000)
+            ORDER BY custkey"""))
+
+  /** Multi-key join with the reference's default-fill semantics on a
+    * COMPOSITE key (l_partkey, l_suppkey): per-pair line counts left
+    * joined to the high-quantity subset's revenue; pairs with no
+    * high-quantity lines fill 0.0, not NULL.
+    */
+  private val q107_join_multikey: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val pairs = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      val hi = li.where(col("l_quantity") > 40)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice")).as("hi_revenue"))
+      Joins.joinMulti(pairs, hi, Seq("l_partkey", "l_suppkey"), "left")
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    },
+    Some(s"""SELECT p.l_partkey, p.l_suppkey, p.n_lines,
+                    COALESCE(h.hi_revenue, 0.0) AS hi_revenue
+             FROM (SELECT l_partkey, l_suppkey, count(*) AS n_lines
+                   FROM lineitem GROUP BY 1, 2) p
+             LEFT JOIN (SELECT l_partkey, l_suppkey,
+                          ${sqlDsum("l_extendedprice")} AS hi_revenue
+                        FROM lineitem WHERE l_quantity > 40
+                        GROUP BY 1, 2) h
+               ON p.l_partkey = h.l_partkey AND p.l_suppkey = h.l_suppkey
+             ORDER BY p.l_partkey, p.l_suppkey"""))
+
   /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
     * sides are broadcast-able dimensions at any scale once filtered.
     */
@@ -309,6 +383,9 @@ object QueriesRelational {
     "q12_row_take" -> q12_row_take,
     "q102_salted_join" -> q102_salted_join,
     "q103_csv_roundtrip" -> q103_csv_roundtrip,
+    "q105_join_semi" -> q105_join_semi,
+    "q106_join_anti" -> q106_join_anti,
+    "q107_join_multikey" -> q107_join_multikey,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

@@ -141,8 +141,38 @@ object QueriesStream {
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
             ORDER BY user_id, view_id, purchase_id"""))
 
+  /** Dedup-at-ingest under the driver's eye (rows-only: the minhash
+    * signatures have no SQL equivalent; q42/q79 oracle the batch
+    * MinHash family): plant a near-duplicate of every 10th document
+    * (id + 1000000, one token appended) and run the streaming dedup
+    * operator in BATCH mode — same code path the real-stream specs
+    * drive through micro-batches. Every planted pair must collide in
+    * some band; output is the distinct flagged pairs, deterministic
+    * because minhashes are hash-derived, pair detection is
+    * order-independent within a bucket, and buckets are far below
+    * maxPerBucket at this scale.
+    */
+  private val q104_stream_dedup: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      val planted = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val docs = d.select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      graft.streaming.StreamingDedup.distinctPairs(
+          graft.streaming.StreamingDedup.dedupStream(
+            docs, "doc_id", "text", shingleN = 3, bands = 16, rows = 2,
+            threshold = 0.5))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
+    "q104_stream_dedup" -> q104_stream_dedup,
     "q80_interval_join" -> q80_interval_join,
     "q53_stream_tumbling" -> q53_stream_tumbling,
     "q54_stream_sliding" -> q54_stream_sliding,

@@ -34,25 +34,47 @@ object Joins {
 
   def join(left: DataFrame, right: DataFrame, on: String, joinType: String,
       defaults: Map[String, Any] = Map.empty,
+      rejectFloatKey: Boolean = true): DataFrame =
+    joinMulti(left, right, Seq(on), joinType, defaults, rejectFloatKey)
+
+  /** Multi-key generalization of [[join]] (the reference is single-key;
+    * SURVEY §2.4 lists multi-key as a Spark-free extension): same
+    * left-wins duplicate drop, default-fill, and float-key rejection,
+    * over a composite equi-key. Also admits `semi`/`anti` join types —
+    * pure existence filters whose output is the left columns only, so
+    * default-fill and duplicate-drop are vacuous for them.
+    */
+  def joinMulti(left: DataFrame, right: DataFrame, on: Seq[String],
+      joinType: String, defaults: Map[String, Any] = Map.empty,
       rejectFloatKey: Boolean = true): DataFrame = {
-    val keyType = left.schema(on).dataType.typeName
-    if (rejectFloatKey)
-      require(keyType != "double" && keyType != "float",
-        s"join: float key '$on' rejected (gdata.go:1486-1499)")
-    require(right.schema.fieldNames.contains(on),
-      s"join: key '$on' must exist on both sides")
+    require(on.nonEmpty, "joinMulti: at least one key")
+    on.foreach { k =>
+      val keyType = left.schema(k).dataType.typeName
+      if (rejectFloatKey)
+        require(keyType != "double" && keyType != "float",
+          s"join: float key '$k' rejected (gdata.go:1486-1499)")
+      require(right.schema.fieldNames.contains(k),
+        s"join: key '$k' must exist on both sides")
+    }
 
     // left-priority duplicate drop: right contributes only its new fields
-    val dupes = right.columns.filter(c => c != on && left.columns.contains(c))
+    val dupes = right.columns
+      .filter(c => !on.contains(c) && left.columns.contains(c))
     val r = dupes.foldLeft(right)((d, c) => d.drop(c))
 
-    val joined = left.join(r, Seq(on), joinType)
+    val sparkType = joinType match {
+      case "semi" | "left_semi" => "left_semi"
+      case "anti" | "left_anti" => "left_anti"
+      case t => t
+    }
+    val joined = left.join(r, on, sparkType)
 
     // default-fill instead of NULL on every missing-side column
-    val leftOnly = left.columns.filterNot(_ == on).toSeq
-    val rightOnly = r.columns.filterNot(_ == on).toSeq
+    val leftOnly = left.columns.filterNot(on.contains).toSeq
+    val rightOnly = r.columns.filterNot(on.contains).toSeq
     val fillable: Seq[String] = joinType match {
       case "inner" => Seq.empty
+      case "semi" | "left_semi" | "anti" | "left_anti" => Seq.empty
       case "left" | "left_outer" => rightOnly
       case "right" | "right_outer" => leftOnly
       case "outer" | "full" | "full_outer" => leftOnly ++ rightOnly

@@ -95,4 +95,37 @@ class JoinSpec extends SparkSuite {
     assert(row1.getString(j.columns.indexOf("sv")) == "")
     assert(row1.getLong(j.columns.indexOf("iv")) == 0L)
   }
+
+  test("semi/anti joins: existence filters, left columns only, " +
+      "planned as LeftSemi/LeftAnti") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((2, 9.0), (2, 8.0), (3, 7.0)).toDF("k", "rv")
+    val semi = Joins.joinMulti(l, r, Seq("k"), "semi")
+    assert(semi.columns.toSeq == Seq("k", "lv")) // right never leaks
+    // a 1:n match must NOT duplicate left rows (semi != inner)
+    assert(semi.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    val anti = Joins.joinMulti(l, r, Seq("k"), "anti")
+    assert(anti.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi in:\n$plan")
+  }
+
+  test("joinMulti: composite key, left-wins dup drop, default fill, " +
+      "float-key rejection per key") {
+    val l = Seq((1, 10, "x", 1.0), (2, 20, "y", 2.0))
+      .toDF("k1", "k2", "dup", "lv")
+    val r = Seq((1, 10, "zz", 5.5), (9, 90, "ww", 6.6))
+      .toDF("k1", "k2", "dup", "rv")
+    val j = Joins.joinMulti(l, r, Seq("k1", "k2"), "left")
+    assert(j.columns.count(_ == "dup") == 1) // left wins, right's dropped
+    val m = j.where(col("k1") === 2).head()
+    assert(m.getString(j.columns.indexOf("dup")) == "y")
+    assert(m.getDouble(j.columns.indexOf("rv")) == 0.0) // filled, not null
+    val ex = intercept[IllegalArgumentException] {
+      Joins.joinMulti(l.withColumn("k2", col("k2").cast("double")),
+        r.withColumn("k2", col("k2").cast("double")),
+        Seq("k1", "k2"), "inner")
+    }
+    assert(ex.getMessage.contains("float key"))
+  }
 }
