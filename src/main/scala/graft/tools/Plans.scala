@@ -5,6 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Plan auditor: prints formatted physical plans for headline queries
   * so pushdown / pruning / join strategy / codegen spans can be
   * eyeballed (and greps a few invariants).
+  *
+  * Prints TWO plans per query: the static `explain("formatted")` and,
+  * after running the query, the FINAL ADAPTIVE plan
+  * (`queryExecution.executedPlan` with `isFinalPlan=true`) — AQE
+  * decisions like exchange/stage reuse and broadcast demotion only
+  * appear in the latter, so claims about them must be evidenced there
+  * (the r4 review caught a reuse claim made off the static plan).
   */
 object Plans {
   def main(args: Array[String]): Unit = {
@@ -22,6 +29,15 @@ object Plans {
       println(s"\n========== $n ==========")
       val df = graft.Queries.all(n)._1(spark, dir)
       df.explain("formatted")
+      // execute THIS QueryExecution (df.count() would plan and run a
+      // separate one and leave this plan isFinalPlan=false): AQE
+      // finalizes — and stage reuse appears — only on the executed
+      // instance
+      df.queryExecution.toRdd.count()
+      println(s"---------- $n: final adaptive plan (executed) ----------")
+      println(df.queryExecution.executedPlan.toString)
+      graft.Caches.release()
+      try spark.catalog.clearCache() catch { case _: Throwable => }
     }
     spark.stop()
   }

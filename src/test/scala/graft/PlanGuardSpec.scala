@@ -106,4 +106,21 @@ class PlanGuardSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(res(true).toSeq == res(false).toSeq)
   }
+
+  test("q72 single-scan prefix sums: the EXECUTED adaptive plan reads " +
+      "parquet once and the totals branch is a ReusedExchange") {
+    // the static plan shows two scans (AQE stage reuse happens at
+    // runtime) — the claim must be pinned on the FINAL plan of the
+    // executed QueryExecution, per the r4 review
+    val df = q("q72_seq_packing")
+    df.queryExecution.toRdd.count() // executes THIS QueryExecution
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    val scans = finalPlan.split("FileScan parquet").length - 1
+    assert(scans == 1,
+      s"expected exactly one parquet scan in the final plan, got $scans:" +
+        s"\n$finalPlan")
+  }
 }
