@@ -267,11 +267,52 @@ object QueriesML {
     },
     None)
 
+  /** The DISTRIBUTED native fit under the accuracy gate (VERDICT r4
+    * task 5): same linearly-inseparable XOR label as q78, but trained
+    * via Net.fitDistributed on the FULL frame — no row cap, no driver
+    * matrix; each step broadcasts the weight stack and treeAggregates
+    * gradient sums (the spec pins distributed == local to 1e-9). The
+    * in-plan gate proves the synchronous large-batch path actually
+    * learns the nonlinearity, not just that it runs.
+    */
+  private val q108_net_distributed: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumn("label",
+          when((col("o_totalprice") > 150000.0) =!=
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0))
+        .withColumn("price_k",
+          (col("o_totalprice") - 150000.0) / 100000.0)
+        .cache()
+      val layers = ModSpec.parse(Seq(
+        "Input(price_k + o_orderpriorityoh)",
+        "FC(size:8, activation:LeakyRelu(0.1))",
+        "FC(size:2, activation:SoftMax)",
+        "Target(label)"))
+      // full-batch steps: epochs = step count for the distributed
+      // path; each step is one treeAggregate pass, so the budget is
+      // kept tight (60 hot steps converge on this 2-D XOR; the gate
+      // catches any regression)
+      val m = ModSpec.fitNative(layers, o,
+        classification = true, nClasses = 2, distributed = true,
+        cfg = graft.ml.Net.Config(epochs = 30,
+          lrStart = 2e-1, lrEnd = 2e-2))
+      val preds = m.transform(o)
+        .select(col("o_orderkey"), col("label"),
+          col("__predicted_class").as("predicted"))
+      gatedPreds(preds, "label", "predicted", 0.80, "q108_net_distributed")
+        .select(col("o_orderkey"), col("predicted"))
+        .orderBy(col("o_orderkey"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q37_ks" -> q37_ks,
     "q38_assess" -> q38_assess,
     "q39_decile" -> q39_decile,
     "q57_ml_predict" -> q57_ml_predict,
     "q66_ml_embed" -> q66_ml_embed,
-    "q78_net_native" -> q78_net_native)
+    "q78_net_native" -> q78_net_native,
+    "q108_net_distributed" -> q108_net_distributed)
 }

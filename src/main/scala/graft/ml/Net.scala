@@ -300,7 +300,7 @@ object Net {
   private[ml] def backpropOne(layers: IndexedSeq[Dense], nClasses: Int,
       xi: Array[Double], yi: Double, scale: Double,
       gW: IndexedSeq[Array[Array[Double]]],
-      gB: IndexedSeq[Array[Double]], rnd: scala.util.Random): Unit = {
+      gB: IndexedSeq[Array[Double]], rnd: scala.util.Random): Double = {
     val L = layers.length - 1
     val zs = new Array[Array[Double]](layers.length)
     val as = new Array[Array[Double]](layers.length)
@@ -401,6 +401,13 @@ object Net {
       }
       li2 -= 1
     }
+    // the forward pass already computed the output — return this
+    // sample's unnormalized cost term so a distributed gradient pass
+    // can fold the cost sum into the same scan (identical to
+    // sampleCost UNLESS dropout perturbed the forward; callers gate
+    // on that)
+    if (nClasses > 0) -math.log(math.max(as(L)(yi.toInt), 1e-300))
+    else { val d = as(L)(0) - yi; d * d }
   }
 
   /** Driver-side Adam state (one instance per fit; both the local
@@ -675,46 +682,75 @@ object Net {
       valid: Option[DataFrame] = None,
       embeds: Seq[EmbedBlock] = Nil): NetModel = {
     validateSpecs(specs, nClasses)
-    def rddOf(df: DataFrame) = df
+    val hasDropout = specs.exists(_.dropProb > 0)
+    val seed = cfg.seed
+    def pairsOf(df: DataFrame) = df
       .select(col(featuresCol), col(labelCol).cast("double")).rdd
       .map(r => (r.getAs[Vector](0).toArray, r.getDouble(1)))
-      .zipWithIndex()
-    val data = rddOf(train)
+    val raw = pairsOf(train)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = data.count()
+    val n = raw.count()
     require(n > 0, "net: empty training set")
-    val validData = valid.map(v => rddOf(v)
+    // right-size partitions to the DATA, not the machine: every step
+    // schedules one task per partition, so a small frame spread over
+    // local[32] defaults pays ~32x pure scheduler overhead per step
+    // (measured ~2x end-to-end at 150k rows x 60 steps). ~50k rows
+    // per task keeps steps overhead-free; at real scale n/50k exceeds
+    // the cluster's partitioning and this is a no-op. Gradient sums
+    // are order-insensitive up to float regrouping (already the
+    // documented last-ulp jitter), so coalescing never changes the
+    // model beyond that envelope.
+    val targetParts = math.max(1, math.min(raw.getNumPartitions,
+      ((n + 49999) / 50000L).toInt))
+    val pairs =
+      if (targetParts < raw.getNumPartitions) {
+        val d = raw.coalesce(targetParts, shuffle = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count() // materialize before dropping the wide copy
+        raw.unpersist(blocking = false)
+        d
+      } else raw
+    // row ids exist only to seed per-(step,row) dropout streams;
+    // zipWithIndex runs an EAGER count job at construction, so the
+    // no-dropout path skips it (a constant id) and reads the cache
+    // through a free narrow map instead
+    val data: org.apache.spark.rdd.RDD[((Array[Double], Double), Long)] =
+      if (hasDropout) pairs.zipWithIndex() else pairs.map((_, 0L))
+    val validData = valid.map(v => pairsOf(v)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nValid = validData.map(_.count().toDouble)
 
     val rnd = new scala.util.Random(cfg.seed)
-    val inWidth = data.first()._1._1.length
+    val inWidth = pairs.first()._1.length
     val (layers, layer0Mask) =
       initLayers(specs, nClasses, inWidth, embeds, rnd)
     val adam = new AdamState(layers)
     val sc = train.sparkSession.sparkContext
-    val hasDropout = specs.exists(_.dropProb > 0)
-    val seed = cfg.seed
 
     /** One full pass: per-partition gradient sums (scale = n so the
-      * aggregate is the mean-gradient), tree-combined.
+      * aggregate is the mean-gradient), tree-combined. Also returns
+      * the summed cost of the forward passes — the cost of the
+      * CURRENT weights, fused into the same scan (meaningful for the
+      * cost history only when dropout didn't perturb the forward).
       */
     def gradientPass(step: Int): (IndexedSeq[Array[Array[Double]]],
-        IndexedSeq[Array[Double]]) = {
+        IndexedSeq[Array[Double]], Double) = {
       val bc = sc.broadcast(layers)
       val nInt = n
       val zero: (IndexedSeq[Array[Array[Double]]],
-        IndexedSeq[Array[Double]]) = null
-      val (gw, gb) = data.treeAggregate(zero)(
+        IndexedSeq[Array[Double]], Array[Double]) = null
+      val res = data.treeAggregate(zero)(
         seqOp = (acc, row) => {
-          val a = if (acc != null) acc else zeroGrads(bc.value)
+          val a = if (acc != null) acc else {
+            val z = zeroGrads(bc.value); (z._1, z._2, new Array[Double](1))
+          }
           val ((xi, yi), rowId) = row
           // deterministic per-(step,row) dropout stream; cheap skip
           // when the spec has no dropout layers
           val r = if (hasDropout) new scala.util.Random(
             seed ^ (step.toLong * 0x9E3779B97F4A7C15L) ^ rowId) else null
-          backpropOne(bc.value, nClasses, xi, yi, nInt.toDouble, a._1,
-            a._2, r)
+          a._3(0) += backpropOne(bc.value, nClasses, xi, yi,
+            nInt.toDouble, a._1, a._2, r)
           a
         },
         combOp = (a, b) => {
@@ -735,21 +771,22 @@ object Net {
               while (j < ab.length) { ab(j) += bb(j); j += 1 }
               li += 1
             }
+            a._3(0) += b._3(0)
             a
           }
         }, depth = 2)
       bc.destroy()
-      (gw, gb)
+      (res._1, res._2, res._3(0))
     }
 
     /** Distributed cost: sum of per-sample terms, normalized once. */
-    def costPass(rdd: org.apache.spark.rdd.RDD[
-        ((Array[Double], Double), Long)], cnt: Double): Double = {
+    def costPass(rdd: org.apache.spark.rdd.RDD[(Array[Double], Double)],
+        cnt: Double): Double = {
       val m = NetModel(layers, nClasses, Array.empty, Array.empty)
       val bc = sc.broadcast(m)
       val c = rdd.treeAggregate(0.0)(
         (acc, row) => acc + sampleCost(bc.value, nClasses,
-          row._1._1, row._1._2),
+          row._1, row._2),
         _ + _, depth = 2)
       bc.destroy()
       if (nClasses > 0) c / (cnt * nClasses) else math.sqrt(c / cnt)
@@ -763,13 +800,23 @@ object Net {
     val epochs = math.max(cfg.epochs, 1)
     var epoch = 0
     var stopped = false
+    // trainCost(i) is the cost AFTER step i's update (fitLocal parity,
+    // pinned at 1e-9 by NetSpec). Without dropout that value equals
+    // the cost the NEXT step's gradient pass computes with the same
+    // (updated) weights — so the history rides the fused scan and only
+    // the last entry needs a dedicated pass: epochs+1 passes total
+    // instead of 2*epochs. Dropout perturbs the fused forward, so that
+    // path keeps the dedicated clean cost pass per step.
     while (epoch < epochs && !stopped) {
       val lr = if (epochs == 1) cfg.lrStart
         else cfg.lrStart + (cfg.lrEnd - cfg.lrStart) *
           (epoch.toDouble / (epochs - 1.0))
-      val (gw, gb) = gradientPass(epoch)
+      val (gw, gb, preCost) = gradientPass(epoch)
+      if (!hasDropout && epoch > 0)
+        trainCost += (if (nClasses > 0) preCost / (n.toDouble * nClasses)
+          else math.sqrt(preCost / n.toDouble))
       adam.update(layers, layer0Mask, gw, gb, lr, cfg.l2)
-      trainCost += costPass(data, n.toDouble)
+      if (hasDropout) trainCost += costPass(pairs, n.toDouble)
       validData.foreach { vd =>
         val vc = costPass(vd, nValid.get)
         validCost += vc
@@ -785,7 +832,8 @@ object Net {
       }
       epoch += 1
     }
-    data.unpersist(blocking = false)
+    if (!hasDropout) trainCost += costPass(pairs, n.toDouble)
+    pairs.unpersist(blocking = false)
     validData.foreach(_.unpersist(blocking = false))
     NetModel(if (bestSnap != null) bestSnap else layers, nClasses,
       trainCost.toArray, validCost.toArray, embeds)
