@@ -135,14 +135,54 @@ class Compiler(df: DataFrame, seqCol: Option[String],
   private def bool2d(c: Column): Column = when(c, 1.0).otherwise(0.0)
   private def truthy(c: Column): Column = c.cast("double") > 0.0
 
-  def compile(e: Expr): Column = e match {
+  // ---- S-function batching (one aggregate job per formula, not per
+  // summary term): compile() builds the tree TWICE. The probe pass
+  // registers every whole-frame aggregate and runs no side effects;
+  // one combined df.agg then evaluates them all; the final pass
+  // rebuilds the tree substituting the literals (tree walks are
+  // deterministic, so registration and substitution order align).
+  private val pendingAggs = scala.collection.mutable.ArrayBuffer[Column]()
+  private var aggValues: IndexedSeq[Any] = null
+  private var aggIdx = 0
+  private var probing = false
+  private var inAggBuild = false
+  // eager results that must not re-run on the second build (nested
+  // S-functions, npv/irr solves), keyed by a stable expression string
+  private val eagerCache = scala.collection.mutable.HashMap[String, Column]()
+
+  def compile(e: Expr): Column = {
+    pendingAggs.clear(); aggValues = null; aggIdx = 0
+    // snapshot the aux registries: the probe pass registers the same
+    // entries the final pass will, and must be rolled back so the
+    // rebuild re-issues identical names
+    val auxKeys = auxAggs.keySet.toSet
+    val joinedKeys = auxJoined.keySet.toSet
+    val auxN0 = auxN
+    probing = true
+    try compileExpr(e) finally probing = false
+    auxAggs.filterInPlace((k, _) => auxKeys(k))
+    auxJoined.filterInPlace((k, _) => joinedKeys(k))
+    auxN = auxN0
+    if (pendingAggs.nonEmpty) {
+      val named = pendingAggs.zipWithIndex
+        .map { case (c, i) => c.as(s"__s$i") }.toSeq
+      val row = df.agg(named.head, named.drop(1): _*).head()
+      aggValues = IndexedSeq.tabulate(pendingAggs.length)(row.get)
+    } else aggValues = IndexedSeq.empty
+    aggIdx = 0
+    val out = compileExpr(e)
+    aggValues = null
+    out
+  }
+
+  private def compileExpr(e: Expr): Column = e match {
     case Num(v) => lit(v)
     case Quoted(s) => parseDateLit(s).map(d => lit(d)).getOrElse(lit(s))
     case Ident(name) =>
       require(df.columns.contains(name), s"unknown field '$name'")
       df(name)
-    case Neg(x) => -compile(x)
-    case Bin(op, l, r) => binOp(op, compile(l), compile(r), l, r)
+    case Neg(x) => -compileExpr(x)
+    case Bin(op, l, r) => binOp(op, compileExpr(l), compileExpr(r), l, r)
     case Call(fn, args) => call(fn, args)
   }
 
@@ -179,17 +219,36 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     }
   }
 
-  /** Eagerly evaluate a whole-frame aggregate to a scalar literal
-    * (the reference's summary-level functions, parser.go:749-786).
+  /** A whole-frame aggregate as a scalar literal (the reference's
+    * summary-level functions, parser.go:749-786). Normally BATCHED:
+    * registered during the probe pass, evaluated in [[compile]]'s one
+    * combined agg, substituted in the final pass. Inside another
+    * aggregate's construction ([[sAgg]]) the value is needed to build
+    * the outer aggregate, so it evaluates eagerly (cached so the
+    * second build doesn't re-run the job).
     */
   private def scalarAgg(agg: Column): Column = {
-    val v = df.agg(agg.as("v")).head().get(0)
-    lit(v)
+    if (inAggBuild)
+      eagerCache.getOrElseUpdate("agg:" + agg.toString,
+        lit(df.agg(agg.as("v")).head().get(0)))
+    else if (probing) { pendingAggs += agg; lit(null) }
+    else { val v = aggValues(aggIdx); aggIdx += 1; lit(v) }
+  }
+
+  /** Build an S-function's aggregate column (argument compilation
+    * included, so nested S-functions inside it go eager) and stage it
+    * through [[scalarAgg]].
+    */
+  private def sAgg(build: => Column): Column = {
+    val saved = inAggBuild
+    inAggBuild = true
+    val agg = try build finally inAggBuild = saved
+    scalarAgg(agg)
   }
 
   private def call(fn: String, args: List[Expr]): Column = {
-    def a(i: Int): Column = compile(args(i))
-    def d(i: Int): Column = compile(args(i)).cast("double")
+    def a(i: Int): Column = compileExpr(args(i))
+    def d(i: Int): Column = compileExpr(args(i)).cast("double")
     fn match {
       // ---- row-level math (data.go:553-638, parser.go:1061-1087)
       case "exp" => exp(d(0))
@@ -265,7 +324,7 @@ class Compiler(df: DataFrame, seqCol: Option[String],
         // value, NOT null (data.go:531-550)
         val x = a(0)
         val miss =
-          if (args.length > 1) castLike(compile(args(1)), x)
+          if (args.length > 1) castLike(compileExpr(args(1)), x)
           else lit(null)
         if (partitionSafe)
           // within-bucket lag; the first row of each bucket takes the
@@ -301,25 +360,26 @@ class Compiler(df: DataFrame, seqCol: Option[String],
         if (partitionSafe) windowProductPS(d(0), after, "after")
         else windowProduct(d(0), after)
 
-      // ---- summary level: whole-frame scalar (parser.go:749-786)
-      case "sum" => scalarAgg(sum(d(0)))
-      case "mean" | "avg" => scalarAgg(avg(d(0)))
-      case "count" => scalarAgg(count(d(0)).cast("int"))
-      case "max" => scalarAgg(max(a(0)))
-      case "min" => scalarAgg(min(a(0)))
-      case "std" => scalarAgg(stddev_samp(d(0)))
+      // ---- summary level: whole-frame scalar (parser.go:749-786),
+      // batched into one aggregate job per formula via sAgg/scalarAgg
+      case "sum" => sAgg(sum(d(0)))
+      case "mean" | "avg" => sAgg(avg(d(0)))
+      case "count" => sAgg(count(d(0)).cast("int"))
+      case "max" => sAgg(max(a(0)))
+      case "min" => sAgg(min(a(0)))
+      case "std" => sAgg(stddev_samp(d(0)))
       // median/corr: declared-but-unimplemented in the reference
       // (functions.txt:12,27; parser.go:779-782) — implemented correctly
       // here, divergence documented in SURVEY §7.4.
-      case "median" => scalarAgg(median(d(0)))
-      case "corr" => scalarAgg(corr(d(0), d(1)))
+      case "median" => sAgg(median(d(0)))
+      case "corr" => sAgg(corr(d(0), d(1)))
       // sse/mad/r2 (parser.go:661-679,766-778; reference's mad computes
       // sse — a documented bug; we implement mad correctly)
-      case "sse" => scalarAgg(sum(pow(d(0) - d(1), 2.0)))
-      case "mad" => scalarAgg(sum(abs(d(0) - d(1))))
-      case "r2" => r2(d(0), d(1))
-      case "npv" => npvCol(args)
-      case "irr" => irrCol(args)
+      case "sse" => sAgg(sum(pow(d(0) - d(1), 2.0)))
+      case "mad" => sAgg(sum(abs(d(0) - d(1))))
+      case "r2" => r2Col(args)
+      case "npv" => eagerCache.getOrElseUpdate("npv:" + args, npvCol(args))
+      case "irr" => eagerCache.getOrElseUpdate("irr:" + args, irrCol(args))
 
       // ---- misc
       case "exist" => // field-or-fallback at resolution time (parser.go:1595)
@@ -330,34 +390,46 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       case "print" | "printIf" =>
         // side-effect: show the first n rows of the evaluated
         // argument (eager, like the reference parser.go:572-613);
-        // the expression's value is 1
-        val n = if (args.length > 1) args(1) match {
-          case Num(v) => v.toInt
-          case _ => 10
-        } else 10
-        val sel = df.select(a(0).as("print"))
-        (if (fn == "printIf") sel.where(col("print").cast("double") > 0)
-         else sel).show(n, truncate = false)
+        // the expression's value is 1. Effects run only on the FINAL
+        // build — the probe pass has placeholder aggregate values.
+        if (!probing) {
+          val n = if (args.length > 1) args(1) match {
+            case Num(v) => v.toInt
+            case _ => 10
+          } else 10
+          val sel = df.select(a(0).as("print"))
+          (if (fn == "printIf") sel.where(col("print").cast("double") > 0)
+           else sel).show(n, truncate = false)
+        }
         lit(1.0)
       // ---- figure building (parser.go:1844-1997) — eager driver
-      // side effects like print; expression value is 1. Data collects
-      // are capped (viz.Plots.MaxPoints) and ordered by the frame's
-      // seq when it has one, so line traces are deterministic.
-      case "newPlot" => graft.viz.Fig.newPlot(); lit(1.0)
+      // side effects like print; expression value is 1 and effects
+      // run on the final build only. Data collects are capped
+      // (viz.Plots.MaxPoints) and ordered by the frame's seq when it
+      // has one, so line traces are deterministic.
+      case "newPlot" =>
+        if (!probing) graft.viz.Fig.newPlot()
+        lit(1.0)
       case "setPlotDim" =>
-        graft.viz.Fig.get.setDim(numArg(args(0)), numArg(args(1))); lit(1.0)
+        if (!probing)
+          graft.viz.Fig.get.setDim(numArg(args(0)), numArg(args(1)))
+        lit(1.0)
       case "plotXY" =>
-        graft.viz.Fig.get.plotXY(df, a(0), a(1), strArg(args(2)),
-          strArg(args(3)), plotOrder); lit(1.0)
+        if (!probing) graft.viz.Fig.get.plotXY(df, a(0), a(1),
+          strArg(args(2)), strArg(args(3)), plotOrder)
+        lit(1.0)
       case "plotLine" =>
-        graft.viz.Fig.get.plotLine(df, a(0), strArg(args(1)),
-          strArg(args(2)), plotOrder); lit(1.0)
+        if (!probing) graft.viz.Fig.get.plotLine(df, a(0),
+          strArg(args(1)), strArg(args(2)), plotOrder)
+        lit(1.0)
       case "histogram" =>
-        graft.viz.Fig.get.histogram(df, a(0), strArg(args(1)),
-          strArg(args(2))); lit(1.0)
+        if (!probing) graft.viz.Fig.get.histogram(df, a(0),
+          strArg(args(1)), strArg(args(2)))
+        lit(1.0)
       case "render" =>
-        graft.viz.Fig.get.render(strArg(args(0)), strArg(args(1)),
-          strArg(args(2)), strArg(args(3))); lit(1.0)
+        if (!probing) graft.viz.Fig.get.render(strArg(args(0)),
+          strArg(args(1)), strArg(args(2)), strArg(args(3)))
+        lit(1.0)
       case "range" | "index" => throw new IllegalArgumentException(
         s"'$fn' produces a pipe, not a column — use it at the root of " +
           "Formula.addToPipe (name = range(a,b) / name = index(x,i))")
@@ -382,7 +454,7 @@ class Compiler(df: DataFrame, seqCol: Option[String],
 
   private def singleString(e: Expr): Column = e match {
     case Expr.Quoted(s) => lit(s)
-    case other => compile(other).cast("string")
+    case other => compileExpr(other).cast("string")
   }
 
   /** dateDiff with the reference's CALENDAR month/year arithmetic
@@ -448,13 +520,25 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       .otherwise(when(pmod(negs, lit(2L)) === 1L, -mag).otherwise(mag))
   }
 
-  /** r2 = 1 - sse/((n-1)*var(y)) (parser.go:768-778). */
-  private def r2(y: Column, yhat: Column): Column = {
-    val row = df.agg(
-      sum(pow(y - yhat, 2.0)).as("sse"),
-      var_samp(y).as("vy"),
-      count(lit(1)).as("n")).head()
-    lit(1.0 - row.getDouble(0) / ((row.getLong(2) - 1) * row.getDouble(1)))
+  /** r2 = 1 - sse/((n-1)*var(y)) (parser.go:768-778). Its three
+    * scalars ride the batched aggregate; the arithmetic over the
+    * literals constant-folds at plan time.
+    */
+  private def r2Col(args: List[Expr]): Column = {
+    val (sseC, vyC, nC) = {
+      val saved = inAggBuild
+      inAggBuild = true
+      try {
+        val y = compileExpr(args(0)).cast("double")
+        val yhat = compileExpr(args(1)).cast("double")
+        (sum(pow(y - yhat, 2.0)), var_samp(y), count(lit(1)))
+      } finally inAggBuild = saved
+    }
+    // fixed evaluation order = fixed registration order on both passes
+    val sse = scalarAgg(sseC).cast("double")
+    val vy = scalarAgg(vyC).cast("double")
+    val n = scalarAgg(nC).cast("double")
+    lit(1.0) - sse / ((n - lit(1.0)) * vy)
   }
 
   /** npv(rate, cashflow): PV with the FIRST cashflow undiscounted
@@ -464,8 +548,8 @@ class Compiler(df: DataFrame, seqCol: Option[String],
     * the eager scalar evaluation has no single-partition pass.
     */
   private def npvCol(args: List[Expr]): Column = {
-    val rate = compile(args(0)).cast("double")
-    val cf = compile(args(1)).cast("double")
+    val rate = compileExpr(args(0)).cast("double")
+    val cf = compileExpr(args(1)).cast("double")
     val base = df.select(cf.as("__cf"), rate.as("__rate"),
       col(seqName).as("__s"))
     val indexed = org.apache.spark.sql.GraftBridge
@@ -489,7 +573,7 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       if (args.length == 2) (compileScalar(args(0)), args(1))
       else (0.0, args.head)
     val max = Compiler.IrrMaxRows
-    val rows = df.select(compile(cfExpr).cast("double").as("cf"),
+    val rows = df.select(compileExpr(cfExpr).cast("double").as("cf"),
         col(seqName))
       .orderBy(col(seqName)).limit(max + 1).collect()
     if (rows.length > max)
@@ -503,7 +587,7 @@ class Compiler(df: DataFrame, seqCol: Option[String],
   private def compileScalar(e: Expr): Double = e match {
     case Expr.Num(v) => v
     case other =>
-      df.agg(first(compile(other)).cast("double")).head().getDouble(0)
+      df.agg(first(compileExpr(other)).cast("double")).head().getDouble(0)
   }
 }
 

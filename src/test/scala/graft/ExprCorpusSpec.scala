@@ -194,4 +194,46 @@ class ExprCorpusSpec extends SparkSuite {
     assert(ex.getMessage.contains("out of bounds") ||
       ex.getCause != null)
   }
+
+  test("a formula with several S-terms runs ONE aggregate query " +
+      "(batched scalar fan-out), values unchanged") {
+    // count SQL EXECUTIONS, not Spark jobs — AQE legitimately splits
+    // one query into a job per materialized stage
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = counter.incrementAndGet()
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val pipe = corpusPipe
+    val c = try {
+      // compile-time: the batched agg runs here (head() blocks; only
+      // listener delivery lag remains — poll briefly for stragglers)
+      val out = exprlang.Formula.column(pipe,
+        "(c - mean(c)) / std(c) + sum(D) + count(c)")
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (counter.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(300) // catch any extra (unexpected) executions
+      out
+    } finally spark.listenerManager.unregister(listener)
+    assert(counter.get() == 1,
+      s"expected 1 aggregate query for 4 S-terms, saw ${counter.get()}")
+    // values match the sequential semantics: mean(c)=1.5, std(c)=
+    // 0.7071..., sum(D)=13, count=2
+    val got = col1(pipe.select(c.as("out")), "out")
+      .map(_.asInstanceOf[Double])
+    val sd = math.sqrt(0.5)
+    val want = Seq((1.0 - 1.5) / sd + 15.0, (2.0 - 1.5) / sd + 15.0)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("nested S-functions evaluate correctly (inner eager, outer " +
+      "batched): sum(c - mean(c)) = 0") {
+    assert(eval("c + sum(c - mean(c))") == Seq(1.0, 2.0))
+  }
 }
