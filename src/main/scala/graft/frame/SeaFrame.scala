@@ -372,6 +372,29 @@ final class RowReader(frame: SeaFrame) {
     out.toSeq
   }
 
+  /** Ranged read: up to n rows at positions [from, from+n), WITHOUT
+    * consuming the prefix — planned as a positional subset (TakeOrdered
+    * prefix under a declared order, a seq-range filter otherwise), so
+    * reading a far window costs one bounded query instead of the O(from)
+    * forward iteration a backward `seek` pays. The cursor is unchanged;
+    * past-end positions return fewer rows, like [[read]].
+    */
+  def read(from: Long, n: Int): Seq[Row] = {
+    require(from >= 0 && n >= 0, s"read($from, $n)")
+    if (n == 0) Seq.empty
+    else frame.pendingOrder match {
+      case Some(_) =>
+        frame.subset(from until (from + n))
+          .df.orderBy(org.apache.spark.sql.functions.col(SeaFrame.SEQ))
+          .drop(SeaFrame.SEQ).collect().toSeq
+      case None =>
+        val s = frame.seqCol.getOrElse(throw new IllegalStateException(
+          "read(from, n) needs a declared order or a seq column"))
+        frame.df.where(frame.df(s) >= from && frame.df(s) < from + n)
+          .orderBy(frame.df(s)).drop(SeaFrame.SEQ).collect().toSeq
+    }
+  }
+
   /** Position at 0-based `line`; errors past end like the reference's
     * io.EOF (gdata.go:700-707).
     */

@@ -56,6 +56,14 @@ object StreamingDedup {
     * exactly what real-time ingest would have. The caller sets
     * `withWatermark(eventTimeCol, ...)` on `docs`; state cleanup
     * rides the same watermark via EventTimeTimeout timers.
+    *
+    * Replay determinism holds when `watermarkDelay` covers the
+    * stream's out-of-orderness — INCLUDING equal timestamps split
+    * across micro-batch boundaries: at delay 0 a record whose event
+    * time equals the watermark is late-dropped in a later batch but
+    * processed in the same one, so hits would depend on the slicing.
+    * The replay-parity spec pins this with two slicings of one
+    * stream.
     */
   def dedupStream(docs: DataFrame, id: String, text: String,
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4,

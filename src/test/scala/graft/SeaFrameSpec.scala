@@ -187,6 +187,22 @@ class SeaFrameSpec extends SparkSuite {
     intercept[IllegalStateException] { unordered.subset(Seq(0L)) }
   }
 
+  test("reader ranged read(from, n): a far window without consuming " +
+      "the prefix; cursor unchanged; past-end truncates") {
+    val r = pipe.reader()
+    assert(r.read(1).map(_.getString(0)) == Seq("a")) // cursor -> 1
+    // far window served by a positional plan, not forward iteration
+    assert(r.read(3L, 2).map(_.getString(0)) == Seq("d", "e"))
+    assert(r.pos == 1) // cursor untouched by the ranged read
+    assert(r.next().getString(0) == "b") // sequential read continues
+    // past-end: fewer rows, no error (read(n) semantics)
+    assert(r.read(4L, 10).map(_.getString(0)) == Seq("e"))
+    assert(r.read(99L, 3).isEmpty)
+    // a declared-order (lazy) frame serves the same window
+    val lr = lazyPipe.reader()
+    assert(lr.read(3L, 2).map(_.getString(0)) == Seq("d", "e"))
+  }
+
   // ---- lazy order declaration (SeaFrame.ordered) --------------------
 
   private def lazyPipe = SeaFrame.ordered(

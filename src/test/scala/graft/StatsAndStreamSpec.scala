@@ -293,6 +293,58 @@ class StatsAndStreamSpec extends SparkSuite {
       s"expired signature still matched: $pairs")
   }
 
+  test("event-time TTL replay determinism: two different micro-batch " +
+      "slicings of the same stream produce identical hits") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val fresh = "modern columnar engines vectorize their scan and " +
+      "aggregate operators for throughput on wide analytic tables"
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 10:$min%02d:00")
+    val docs = Seq(
+      (1L, base, ts(0)), (2L, fresh, ts(0)),
+      (3L, fresh + " extra", ts(4)), // in-window near-dup of 2
+      (4L, "totally different text about nothing else at all in " +
+        "particular today", ts(30)), // advances the watermark
+      (5L, base + " extra", ts(31))) // doc 1 expired by then
+    // two slicings; both keep the expiry-relevant boundary (the
+    // watermark must pass doc 1's expiry BEFORE doc 5 arrives — the
+    // one ordering constraint event-time semantics promise). The
+    // watermark DELAY must cover the stream's out-of-orderness: with
+    // 0s, a record whose event time EQUALS the watermark is dropped
+    // as late when it lands in a later micro-batch but processed when
+    // it shares the batch — the exact slicing-dependence this spec
+    // exists to rule out.
+    def run(name: String, slices: Seq[Seq[Int]]): Set[(Long, Long, Double)] = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingDedup.dedupStream(
+          in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+          shingleN = 3, bands = 8, rows = 4, threshold = 0.5,
+          stateTtlMs = 5L * 60L * 1000L, eventTimeCol = "ts",
+          watermarkDelay = "2 minutes")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      slices.foreach { s =>
+        in.addData(s.map(i => docs(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.sql(s"SELECT DISTINCT doc_a, doc_b, round(est_jaccard, 9) " +
+        s"FROM $name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val a = run("t_replay_a", Seq(Seq(0), Seq(1), Seq(2), Seq(3), Seq(4)))
+    val b = run("t_replay_b", Seq(Seq(0, 1, 2), Seq(3), Seq(4)))
+    assert(a == b, s"slicing-dependent hits: a=$a b=$b")
+    assert(a.exists(p => p._1 == 2L && p._2 == 3L), s"missed pair: $a")
+    assert(!a.exists(p => p._1 == 1L && p._2 == 5L),
+      s"expired signature matched: $a")
+  }
+
   test("streaming session windows produce sessions per user") {
     val dir = TestSpark.sfDir
     val q = Streams.runStreaming(spark, s"$dir/events.parquet",
