@@ -497,8 +497,60 @@ object QueriesAgg {
     },
     None)
 
+  /** Moving standard deviation / min / max over the same bounded
+    * overlap-padded bucket plan as q99 (ROADMAP r4 item 6: any
+    * aggregator the window allows). Stddev is computed EXACTLY from
+    * decimal sum/sum-of-squares — both engines derive the same double
+    * from the same exact decimals, so no fp-algorithm drift between
+    * Spark's and DuckDB's native stddev implementations can leak in.
+    */
+  private val q109_moving_std: Q = (
+    (s, dir) => {
+      import graft.ops.ScanOps
+      val x = col("o_totalprice")
+      val m = ScanOps.movingAgg(
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        Seq(("s1", x.cast("decimal(25,6)"),
+            (c: org.apache.spark.sql.Column) => sum(c)),
+          ("s2", (x * x).cast("decimal(38,8)"),
+            (c: org.apache.spark.sql.Column) => sum(c)),
+          ("n", lit(1L),
+            (c: org.apache.spark.sql.Column) => count(c)),
+          ("mov_min", x, (c: org.apache.spark.sql.Column) => min(c)),
+          ("mov_max", x, (c: org.apache.spark.sql.Column) => max(c))),
+        k = 7)
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val n = col("n").cast("double")
+      m.select(col("o_orderkey"),
+          when(col("n") > 1, round(
+            sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1.0))), 6))
+            .as("mov_std"),
+          col("mov_min"), col("mov_max"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+                   CASE WHEN count(*) OVER w > 1 THEN round(sqrt(greatest(
+                     0.0,
+                     (CAST(sum(CAST(o_totalprice * o_totalprice
+                               AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                      - CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                          OVER w AS DOUBLE)
+                        * CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                            OVER w AS DOUBLE)
+                        / CAST(count(*) OVER w AS DOUBLE))
+                     / (CAST(count(*) OVER w AS DOUBLE) - 1.0))), 6)
+                   END AS mov_std,
+                   min(o_totalprice) OVER w AS mov_min,
+                   max(o_totalprice) OVER w AS mov_max
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY o_orderkey"""))
+
   lazy val all: Map[String, Q] = Map(
     "q64_histogram" -> q64_histogram,
+    "q109_moving_std" -> q109_moving_std,
     "q83_irr" -> q83_irr,
     "q13_summary_agg" -> q13_summary_agg,
     "q15_desc_quantiles" -> q15_desc_quantiles,

@@ -1126,6 +1126,41 @@ object QueriesLLM {
                    round(sum(n_tokens) / 2000.0, 6) AS fill_ratio
             FROM p GROUP BY pack_id ORDER BY pack_id"""))
 
+  /** Exact-substring dedup (Lee et al. 2022, relational form): every
+    * maximal cross-document repeated passage of >= 8 tokens, found by
+    * a SLIDING window census + per-doc gaps-and-islands merge — the
+    * grid-free sibling of q93. Pure position arithmetic, recomputed
+    * verbatim by DuckDB.
+    */
+  private val q110_repeated_substrings: Q = (
+    (s, dir) => Dedup.repeatedSubstringSpans(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        l = 8, minDocs = 2)
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_tokens").cast("long").as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start")),
+    Some("""WITH w AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             s AS (SELECT doc_id,
+                 unnest(list_transform(range(0, len(t) - 8 + 1),
+                   i -> struct_pack(pos := i,
+                     w := array_to_string(t[i+1:i+8], ' ')))) AS u
+               FROM w WHERE len(t) >= 8),
+             p AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM s),
+             d AS (SELECT w FROM p GROUP BY w
+                   HAVING count(DISTINCT doc_id) >= 2),
+             m AS (SELECT p.doc_id, p.pos,
+                     p.pos - row_number() OVER (PARTITION BY p.doc_id
+                       ORDER BY p.pos) AS island
+                   FROM p JOIN d USING (w))
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + 7 AS span_end,
+               max(pos) - min(pos) + 8 AS span_tokens
+        FROM m GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""))
+
   /** Train-vs-eval decontamination (exact verification form on a
     * bounded range): cross-corpus shingle Jaccard above threshold —
     * the report-a-benchmark hygiene check. The LSH-banded scale path
@@ -1187,6 +1222,7 @@ object QueriesLLM {
     "q91_boilerplate" -> q91_boilerplate,
     "q92_token_budget" -> q92_token_budget,
     "q93_span_dedup" -> q93_span_dedup,
+    "q110_repeated_substrings" -> q110_repeated_substrings,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,
     "q96_canonical_docs" -> q96_canonical_docs,

@@ -552,6 +552,54 @@ object Dedup {
             s => s("span")), " ").as("kept_text"))
   }
 
+  /** Maximal repeated-substring spans (the exact-substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed relationally): a token position is
+    * DUPLICATED when the `l`-token window starting there occurs in >=
+    * `minDocs` distinct documents; overlapping/adjacent duplicated
+    * windows merge into maximal spans. Unlike [[spanDedup]]'s fixed
+    * grid, windows SLIDE — a repeated passage is found at any offset.
+    *
+    * Returns one row per (doc, maximal span): token start/end
+    * (0-based, inclusive) and length.
+    *
+    * Scale shape: the suffix-array the paper builds is replaced by a
+    * sliding-window census — explode (window-text, doc, pos), one
+    * partial-aggregated count per window keyed by the window text,
+    * join the >=minDocs set back (broadcast when small, AQE otherwise),
+    * then gaps-and-islands per document (window partitioned by doc —
+    * bounded by document length, never corpus-wide). Two shuffles on
+    * the window key + one per-doc window; no pairwise stage at all.
+    */
+  def repeatedSubstringSpans(df: DataFrame, docId: String, text: String,
+      l: Int, minDocs: Int = 2): DataFrame = {
+    require(l >= 1, s"window length must be >= 1, got $l")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(col(text), " "), t => t =!= "").as("__t"))
+      .where(size(col("__t")) >= l)
+    val wins = toks.select(col(docId),
+        posexplode(transform(
+          sequence(lit(0), size(col("__t")) - l),
+          i => array_join(slice(col("__t"), i + 1, lit(l)), " "))))
+      .select(col(docId), col("pos"), col("col").as("__w"))
+    val dup = wins.groupBy(col("__w"))
+      .agg(countDistinct(col(docId)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__w"))
+    val marked = wins.join(dup, Seq("__w")) // inner: duplicated starts
+    // gaps-and-islands per doc: consecutive duplicated starts merge
+    val byDoc = Window.partitionBy(col(docId)).orderBy(col("pos"))
+    marked
+      .withColumn("__island", col("pos") - row_number().over(byDoc))
+      .groupBy(col(docId), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(l) - 1).as("span_end"))
+      .select(col(docId), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Line-level variant of [[spanDedup]] for corpora with real line
     * structure: units are trimmed non-empty lines.
     */

@@ -658,6 +658,31 @@ class LlmDataSpec extends SparkSuite {
     assert(lg(1) == ((2L, "another line")))
   }
 
+  test("repeatedSubstringSpans: sliding windows merge into MAXIMAL " +
+      "spans at any offset (exact-substring dedup, grid-free)") {
+    import spark.implicits._
+    // docs 1/2 share a 6-token passage at DIFFERENT offsets (a grid
+    // span would miss it); doc 3 is unrelated; the shared passage in
+    // doc 2 is interior, so the span must not bleed into neighbors
+    val corpus = Seq(
+      (1L, "the shared run of six tokens here u1 v1 w1"),
+      (2L, "x2 y2 the shared run of six tokens here z2"),
+      (3L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringSpans(corpus, "doc_id", "text",
+        l = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // shared passage = "the shared run of six tokens here" (7 tokens):
+    // windows of 4 at doc-1 offsets 0..3 -> one maximal span [0, 6];
+    // doc-2 offsets 2..5 -> [2, 8]
+    assert(got.toSeq == Seq((1L, 0, 6, 7), (2L, 2, 8, 7)))
+    // below-threshold repeats (< l tokens) produce nothing
+    val none = Dedup.repeatedSubstringSpans(corpus, "doc_id", "text",
+        l = 8, minDocs = 2).count()
+    assert(none == 0L)
+  }
+
   test("semanticDedup: exact config keeps lowest id per near-dup " +
       "group; clustered survivors are a superset of exact survivors") {
     import spark.implicits._
