@@ -1075,6 +1075,30 @@ object QueriesLLM {
                       ELSE -1 END
             ORDER BY o_orderkey"""))
 
+  /** Importance sampling by a per-row keep probability (quality-
+    * weighted corpus thinning): keep probability rises with the
+    * document's quality proxy; membership is the same portable
+    * id-hash filter as q70, so DuckDB reproduces the kept set
+    * bit-for-bit.
+    */
+  private val q111_weighted_sample: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents").where(col("text").isNotNull)
+      Sampling.weightedSample(d, "doc_id",
+          least(lit(1.0), length(col("text")).cast("double") / 800.0),
+          seed = 11L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source
+            FROM documents
+            WHERE text IS NOT NULL
+              AND ((doc_id * 2654435761 + 11) % 1000000007) % 1000000
+                  < CAST(floor(least(1.0,
+                      CAST(length(text) AS DOUBLE) / 800.0)
+                      * 1000000) AS BIGINT)
+            ORDER BY doc_id"""))
+
   /** Deterministic train/valid/test assignment (0.8/0.1/0.1) with
     * per-split counts — the reproducible-split contract of a training
     * pipeline.
@@ -1199,6 +1223,7 @@ object QueriesLLM {
 
   val all: Map[String, Q] = Map(
     "q70_hash_sample" -> q70_hash_sample,
+    "q111_weighted_sample" -> q111_weighted_sample,
     "q71_split_assign" -> q71_split_assign,
     "q72_seq_packing" -> q72_seq_packing,
     "q73_decontaminate" -> q73_decontaminate,

@@ -47,6 +47,20 @@ object Sampling {
     df.where(bucket(col(id), seed) < cut)
   }
 
+  /** Per-ROW keep probability (importance sampling — quality-weighted
+    * corpus thinning): row kept iff its id-hash bucket falls under
+    * `weight` (clamped to [0,1]) — the per-row generalization of
+    * [[hashSample]]'s constant fraction. Same portable determinism:
+    * membership is a pure function of (id, seed, weight expression),
+    * reproducible in any engine; one codegen'd filter, no shuffle, no
+    * RNG.
+    */
+  def weightedSample(df: DataFrame, id: String, weight: Column,
+      seed: Long = 42L): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.where(bucket(col(id), seed) < floor(w * Buckets).cast("long"))
+  }
+
   /** Assign every row to a named split with the given weights (e.g.
     * train/valid/test 0.8/0.1/0.1): one deterministic column, rows
     * never lost or duplicated.

@@ -297,6 +297,21 @@ class LlmDataSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tags.keySet == Set("web", "books"))
     assert(tags("books") > tags("web"))
+    // weighted: per-row keep probability — class a at 0.9, b at 0.1;
+    // rates follow the weights, membership deterministic, weights
+    // outside [0,1] clamp instead of misbehaving
+    val wdf = df.withColumn("w",
+      when(col("cls") === "a", 0.9).otherwise(0.1))
+    val ws = Sampling.weightedSample(wdf, "id", col("w"))
+    val byCls = ws.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byCls("a") / 5000.0 - 0.9) < 0.03, byCls.toString)
+    assert(math.abs(byCls("b") / 5000.0 - 0.1) < 0.03, byCls.toString)
+    val wsAgain = Sampling.weightedSample(wdf, "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(wsAgain == ws.select("id").collect().map(_.getLong(0)).toSet)
+    assert(Sampling.weightedSample(wdf, "id", lit(2.0)).count() == 10000)
+    assert(Sampling.weightedSample(wdf, "id", lit(-1.0)).count() == 0)
   }
 
   test("sequence packing: packs start on the capacity grid, overflow " +

@@ -107,6 +107,18 @@ class PlanGuardSpec extends SparkSuite {
     assert(res(true).toSeq == res(false).toSeq)
   }
 
+  test("q110 exact-substring spans: window census partial-aggregates, " +
+      "the only Window node is per-document (no corpus-wide funnel)") {
+    val p = planOf(q("q110_repeated_substrings"))
+    // the duplicated-window census combines map-side
+    assert(p.contains("partial_") , p)
+    // every window partitions by doc_id — bounded by document length
+    val specs = "windowspecdefinition\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      s"non-doc-partitioned window in:\n$p")
+  }
+
   test("q72 single-scan prefix sums: the EXECUTED adaptive plan reads " +
       "parquet once and the totals branch is a ReusedExchange") {
     // the static plan shows two scans (AQE stage reuse happens at
