@@ -1185,6 +1185,54 @@ object QueriesLLM {
         FROM m GROUP BY doc_id, island
         ORDER BY doc_id, span_start"""))
 
+  /** Content-defined chunking + chunk-level dedup census: boundaries
+    * are a pure function of token content (portable char-code
+    * polynomial hash, expected chunk = 16 tokens), so an edit only
+    * re-cuts its neighborhood. Every step — the hash fold, the
+    * boundary rule, the prefix-sum chunk ids, the md5, the census —
+    * is recomputed verbatim by DuckDB.
+    */
+  private val q112_cdc_chunks: Q = (
+    (s, dir) => Dedup.chunkByContent(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        modulus = 16)
+      .select(col("doc_id"), col("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("n_tokens"), col("chunk_md5"), col("n_docs"))
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH w AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             toks AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                 SELECT doc_id, unnest(list_transform(
+                     range(1, len(t) + 1),
+                     i -> struct_pack(pos := i - 1, tok := t[i]))) AS u
+                 FROM w) s),
+             h AS (SELECT doc_id, pos, tok,
+                 CASE WHEN list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(tok, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 16 = 0
+                   THEN 1 ELSE 0 END AS b
+               FROM toks),
+             c AS (SELECT doc_id, pos, tok,
+                 CAST(COALESCE(sum(b) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+               FROM h),
+             chunks AS (SELECT doc_id, chunk_id,
+                 min(pos) AS chunk_start, count(*) AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+               FROM c GROUP BY 1, 2),
+             census AS (SELECT chunk_md5,
+                 count(DISTINCT doc_id) AS n_docs
+               FROM chunks GROUP BY 1)
+        SELECT doc_id, chunk_id, chunk_start, n_tokens,
+               chunks.chunk_md5, n_docs
+        FROM chunks JOIN census USING (chunk_md5)
+        ORDER BY doc_id, chunk_id"""))
+
   /** Train-vs-eval decontamination (exact verification form on a
     * bounded range): cross-corpus shingle Jaccard above threshold —
     * the report-a-benchmark hygiene check. The LSH-banded scale path
@@ -1248,6 +1296,7 @@ object QueriesLLM {
     "q92_token_budget" -> q92_token_budget,
     "q93_span_dedup" -> q93_span_dedup,
     "q110_repeated_substrings" -> q110_repeated_substrings,
+    "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,
     "q96_canonical_docs" -> q96_canonical_docs,

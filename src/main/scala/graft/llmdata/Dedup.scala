@@ -600,6 +600,62 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Portable per-token hash: the character-code polynomial
+    * fold((acc, ch) => (acc * 31 + code(ch)) mod 1e9+7, 0) — plain
+    * integer arithmetic any engine reproduces (DuckDB:
+    * list_reduce(list_prepend(0, codes), ...)), unlike xxhash64.
+    * Accumulator stays < 1e9 so products never overflow int64.
+    */
+  def portableTokenHash(tok: Column): Column =
+    aggregate(split(tok, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L)))
+
+  /** Content-defined chunking (the Rabin/CDC idea on token streams):
+    * a token whose [[portableTokenHash]] is 0 mod `modulus` ENDS a
+    * chunk, so chunk boundaries are a pure function of content —
+    * insert a paragraph and only the chunks around the edit change,
+    * which is what makes chunk-level dedup robust to shifts (fixed
+    * grids re-cut everything downstream). Expected chunk length =
+    * `modulus` tokens.
+    *
+    * Returns one row per chunk: 0-based chunk index, token start,
+    * length, an md5 fingerprint, and how many DISTINCT documents
+    * carry an identical chunk (cross-doc duplicate census — chunks
+    * with `n_docs >= 2` are the CDC dedup candidates).
+    *
+    * Scale shape: per-doc windows only (bounded by document length),
+    * one partial-aggregated census keyed by the chunk fingerprint,
+    * broadcast-joined back when small. No pairwise stage.
+    */
+  def chunkByContent(df: DataFrame, docId: String, text: String,
+      modulus: Int = 64): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId),
+        posexplode(filter(split(col(text), " "), t => t =!= "")))
+      .select(col(docId), col("pos"), col("col").as("__tok"))
+      .withColumn("__b",
+        when(pmod(portableTokenHash(col("__tok")), lit(modulus.toLong))
+          === 0L, 1L).otherwise(0L))
+    val byDoc = Window.partitionBy(col(docId)).orderBy(col("pos"))
+    // a boundary token ENDS its chunk: chunk id = boundaries strictly
+    // before this position
+    val chunked = toks.withColumn("chunk_id",
+      coalesce(sum(col("__b"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = chunked.groupBy(col(docId), col("chunk_id"))
+      .agg(min(col("pos")).as("chunk_start"),
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s("__tok")), " ")).as("chunk_md5"))
+    val census = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(docId)).as("n_docs"))
+    chunks.join(census, Seq("chunk_md5"))
+      .select(col(docId), col("chunk_id"), col("chunk_start"),
+        col("n_tokens"), col("chunk_md5"), col("n_docs"))
+  }
+
   /** Line-level variant of [[spanDedup]] for corpora with real line
     * structure: units are trimmed non-empty lines.
     */

@@ -698,6 +698,35 @@ class LlmDataSpec extends SparkSuite {
     assert(none == 0L)
   }
 
+  test("chunkByContent: boundaries are content-defined — a prefix " +
+      "edit re-cuts only the edited neighborhood, and identical " +
+      "chunks census across docs") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"w${i * 7919 % 1000}")
+    val original = words.mkString(" ")
+    val edited = "inserted " + original // shifts every position by 1
+    val corpus = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val chunks = Dedup.chunkByContent(corpus, "doc_id", "text",
+      modulus = 16).cache()
+    // nothing lost: chunk token counts sum to the doc token counts
+    val tokSum = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").cast("long").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tokSum == Map(1L -> 400L, 2L -> 401L))
+    // content-defined: all of doc 1's chunks except (at most) the
+    // first reappear VERBATIM in doc 2 — a fixed grid would share none
+    val h1 = chunks.where(col("doc_id") === 1).select("chunk_md5")
+      .collect().map(_.getString(0)).toSet
+    val h2 = chunks.where(col("doc_id") === 2).select("chunk_md5")
+      .collect().map(_.getString(0)).toSet
+    assert((h1 -- h2).size <= 1, s"shift broke ${(h1 -- h2).size} chunks")
+    // the census marks exactly those shared chunks as cross-doc dups
+    val dup = chunks.where(col("n_docs") >= 2).select("chunk_md5")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(dup == (h1 intersect h2))
+    chunks.unpersist(blocking = false)
+  }
+
   test("semanticDedup: exact config keeps lowest id per near-dup " +
       "group; clustered survivors are a superset of exact survivors") {
     import spark.implicits._
