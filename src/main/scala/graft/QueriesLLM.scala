@@ -1099,6 +1099,33 @@ object QueriesLLM {
                       * 1000000) AS BIGINT)
             ORDER BY doc_id"""))
 
+  /** Group-keyed split (leakage-safe by construction): every document
+    * of one SOURCE takes the same split, so near-duplicates within a
+    * source can never straddle the train/test boundary. The string
+    * key routes through the portable char-code polynomial, so DuckDB
+    * reproduces the assignment bit-for-bit; the oracle also recomputes
+    * the one-split-per-source invariant the operator guarantees.
+    */
+  private val q113_group_split: Q = (
+    (s, dir) => Sampling.assignSplitBy(read(s, dir, "documents"),
+        col("source"), Seq("train" -> 0.8, "test" -> 0.2), seed = 5L)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("split")),
+    Some("""WITH b AS (SELECT source,
+                 ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(source, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, x) -> (a * 31 + x) % 1000000007)
+                   * 2654435761 + 5) % 1000000007) % 1000000 AS bk,
+                 doc_id
+               FROM documents)
+            SELECT source,
+                   CASE WHEN bk < 800000 THEN 'train' ELSE 'test' END
+                     AS split,
+                   count(*) AS n
+            FROM b GROUP BY 1, 2 ORDER BY source, split"""))
+
   /** Deterministic train/valid/test assignment (0.8/0.1/0.1) with
     * per-split counts — the reproducible-split contract of a training
     * pipeline.
@@ -1272,6 +1299,7 @@ object QueriesLLM {
   val all: Map[String, Q] = Map(
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
+    "q113_group_split" -> q113_group_split,
     "q71_split_assign" -> q71_split_assign,
     "q72_seq_packing" -> q72_seq_packing,
     "q73_decontaminate" -> q73_decontaminate,

@@ -28,6 +28,36 @@ object Sampling {
   def bucket(id: Column, seed: Long): Column =
     pmod(id.cast("long") * Mult + seed, lit(Mod)) % Buckets
 
+  /** The sampling bucket for a STRING key — the group-level (domain /
+    * source / URL) variant: the key hashes through the portable
+    * char-code polynomial ([[graft.llmdata.Dedup.portableTokenHash]]),
+    * then the same multiplicative step as [[bucket]]. Every row with
+    * the same key lands in the same bucket, so group-keyed splits are
+    * leakage-safe BY CONSTRUCTION: no group straddles a split
+    * boundary.
+    */
+  def bucketBy(key: Column, seed: Long): Column =
+    pmod(Dedup.portableTokenHash(key) * Mult + seed, lit(Mod)) % Buckets
+
+  /** [[assignSplit]] keyed on a string GROUP column: all rows of one
+    * group (site, source, author) take the same split — the
+    * decontamination-grade train/test split where near-duplicates
+    * within a group can never leak across the boundary.
+    */
+  def assignSplitBy(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      out: String = "split"): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val b = bucketBy(key, seed)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => (c * Buckets).toLong)
+    val expr = splits.zip(cuts).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), cut)) => acc.when(b < cut, name)
+    }.otherwise(splits.last._1)
+    df.withColumn(out, expr)
+  }
+
   /** Keep ~`fraction` of rows, deterministically by id hash. */
   def hashSample(df: DataFrame, id: String, fraction: Double,
       seed: Long = 42L): DataFrame = {

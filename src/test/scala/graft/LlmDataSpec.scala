@@ -312,6 +312,18 @@ class LlmDataSpec extends SparkSuite {
     assert(wsAgain == ws.select("id").collect().map(_.getLong(0)).toSet)
     assert(Sampling.weightedSample(wdf, "id", lit(2.0)).count() == 10000)
     assert(Sampling.weightedSample(wdf, "id", lit(-1.0)).count() == 0)
+    // group-keyed split: every group lands in exactly one split
+    // (leakage-safe), and weights hold approximately across groups
+    val gdf = (1L to 5000L).map(i => (i, s"site${i % 97}"))
+      .toDF("id", "site")
+    val gs = Sampling.assignSplitBy(gdf, col("site"),
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val perGroup = gs.groupBy("site")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a group straddles the split boundary")
+    val frac = gs.where(col("split") === "train").count() / 5000.0
+    assert(math.abs(frac - 0.8) < 0.12, s"train fraction $frac")
   }
 
   test("sequence packing: packs start on the capacity grid, overflow " +
