@@ -508,23 +508,35 @@ object QueriesAgg {
     (s, dir) => {
       import graft.ops.ScanOps
       val x = col("o_totalprice")
+      // square EXACTLY: scale to an integer (x1e4 covers the data's
+      // decimals), square in decimal — squaring in double and casting
+      // rounds at the cast, and the engines can land on opposite
+      // sides of a half-ulp (observed at sf0.1); integer squares are
+      // engine-independent
+      val xi = round(x * 10000).cast("decimal(18,0)")
       val m = ScanOps.movingAgg(
-        read(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        read(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .withColumn("__xi", xi),
         "o_orderkey",
         Seq(("s1", x.cast("decimal(25,6)"),
             (c: org.apache.spark.sql.Column) => sum(c)),
-          ("s2", (x * x).cast("decimal(38,8)"),
+          ("s2", col("__xi") * col("__xi"),
             (c: org.apache.spark.sql.Column) => sum(c)),
           ("n", lit(1L),
             (c: org.apache.spark.sql.Column) => count(c)),
           ("mov_min", x, (c: org.apache.spark.sql.Column) => min(c)),
           ("mov_max", x, (c: org.apache.spark.sql.Column) => max(c))),
         k = 7)
-      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val s1 = col("s1").cast("double")
+      val s2 = col("s2").cast("double") / 1e8
       val n = col("n").cast("double")
       m.select(col("o_orderkey"),
+          // round(,2) not (,6): the sqrt output carries ~6 integer
+          // digits, and 6 decimals would pin 12 significant digits —
+          // inside the zone where the engines' double-rounding
+          // implementations legitimately disagree (observed at sf0.1)
           when(col("n") > 1, round(
-            sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1.0))), 6))
+            sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1.0))), 2))
             .as("mov_std"),
           col("mov_min"), col("mov_max"))
         .orderBy(col("o_orderkey"))
@@ -532,14 +544,17 @@ object QueriesAgg {
     Some("""SELECT o_orderkey,
                    CASE WHEN count(*) OVER w > 1 THEN round(sqrt(greatest(
                      0.0,
-                     (CAST(sum(CAST(o_totalprice * o_totalprice
-                               AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                     (CAST(sum(CAST(round(o_totalprice * 10000)
+                                 AS HUGEINT)
+                               * CAST(round(o_totalprice * 10000)
+                                 AS HUGEINT))
+                           OVER w AS DOUBLE) / 1e8
                       - CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                           OVER w AS DOUBLE)
                         * CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                             OVER w AS DOUBLE)
                         / CAST(count(*) OVER w AS DOUBLE))
-                     / (CAST(count(*) OVER w AS DOUBLE) - 1.0))), 6)
+                     / (CAST(count(*) OVER w AS DOUBLE) - 1.0))), 2)
                    END AS mov_std,
                    min(o_totalprice) OVER w AS mov_min,
                    max(o_totalprice) OVER w AS mov_max
