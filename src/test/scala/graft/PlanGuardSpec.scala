@@ -107,6 +107,51 @@ class PlanGuardSpec extends SparkSuite {
     assert(res(true).toSeq == res(false).toSeq)
   }
 
+  test("AQE splits a skewed join at runtime (the planner-level skew " +
+      "counterpart to the explicit saltedJoin)") {
+    import spark.implicits._
+    // one hot key dwarfing the rest — the classic 100 TB failure
+    // shape; payloads wide enough that the hot reduce partition is
+    // megabytes, far past the lowered skew threshold
+    // unique-per-row payloads: skew detection reads COMPRESSED map
+    // sizes, and a constant pad compresses to nothing
+    def payload(i: Int): String =
+      (1 to 8).map(j => ((i.toLong * 2654435761L + j * 40503L)
+        & 0xffffffffL).toHexString).mkString("-")
+    val left = ((1 to 60000).map(i => (1, payload(i))) ++
+        (2 to 300).map(k => (k, payload(k))))
+      .toDF("k", "lv")
+      .repartition(4)
+    val right = (1 to 300).flatMap(k => Seq.fill(50)((k, k * 1.5)))
+      .toDF("k", "rv").repartition(4)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val j = left.join(right, "k")
+      j.queryExecution.toRdd.count() // finalize the adaptive plan
+      val finalPlan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("q110 exact-substring spans: window census partial-aggregates, " +
       "the only Window node is per-document (no corpus-wide funnel)") {
     val p = planOf(q("q110_repeated_substrings"))
