@@ -284,6 +284,42 @@ object QueriesLLM {
     },
     None)
 
+  /** Product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    * compress to 8 subspace codes, the query serves by asymmetric
+    * distance over the code table — the raw vectors are never read at
+    * serving time, which is the memory story that keeps an index over
+    * 100 TB of embeddings in RAM. Rows-only (KMeans codebooks aren't
+    * SQL-derivable) with an IN-PLAN recall gate: the PQ top-10 must
+    * recover >= 60% of the exact brute-force top-10 or the query
+    * raises — the same gated-rows-only pattern as the ML entries.
+    */
+  private val q114_ann_pq: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cb = Similarity.pqFit(e, "vec_id", "embedding", m = 8,
+        k = 16, maxIter = 10)
+      val pq = Similarity.pqTopKRerank(
+        Similarity.pqEncode(e, "vec_id", "embedding", cb),
+        e, "vec_id", "embedding", cb, q, 10, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, 10).select(col("vec_id").as("__bf"))
+      val recall = pq.join(exact, pq("vec_id") === col("__bf"))
+        .agg((count(lit(1)) / 10.0).as("__rec"))
+      pq.crossJoin(broadcast(recall))
+        .withColumn("similarity",
+          when(col("__rec") < 0.6,
+            raise_error(concat(lit("q114_ann_pq: recall@10 "),
+              round(col("__rec"), 2),
+              lit(" below 0.6 — quantizer degenerated")))
+              .cast("double"))
+            .otherwise(round(col("similarity"), 9)))
+        .drop("__rec")
+        .orderBy(col("similarity").desc, col("vec_id").asc)
+    },
+    None)
+
   /** Batched IVF serving, oracle-checked: with probes = nCells every
     * query scans every learned cell, so the cell-join + rescore +
     * per-query ranked window must EQUAL brute-force top-k — which
@@ -1315,6 +1351,7 @@ object QueriesLLM {
     "q46_ann_lsh" -> q46_ann_lsh,
     "q85_lsh_exact" -> q85_lsh_exact,
     "q60_ann_ivf" -> q60_ann_ivf,
+    "q114_ann_pq" -> q114_ann_pq,
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
     "q86_lm_perplexity" -> q86_lm_perplexity,

@@ -760,6 +760,46 @@ class LlmDataSpec extends SparkSuite {
       s"clustered $clustered must contain exact $exact")
   }
 
+  test("product quantization: codes in range, deterministic fit, " +
+      "ADC ranks clustered data, rerank recovers exact top-k") {
+    import spark.implicits._
+    // 3 well-separated direction clusters in 8 dims
+    val rnd = new scala.util.Random(7)
+    def mk(center: Array[Double], i: Long): (Long, Array[Float]) =
+      (i, center.map(c => (c + rnd.nextGaussian() * 0.05).toFloat))
+    val c1 = Array(1.0, 0, 0, 0, 1, 0, 0, 0)
+    val c2 = Array(0.0, 1, 0, 0, 0, 1, 0, 0)
+    val c3 = Array(0.0, 0, 1, 0, 0, 0, 1, 0)
+    val vecs = ((0L until 40L).map(i => mk(c1, i)) ++
+      (40L until 80L).map(i => mk(c2, i)) ++
+      (80L until 120L).map(i => mk(c3, i))).toDF("id", "v")
+    val cb = Similarity.pqFit(vecs, "id", "v", m = 4, k = 8,
+      maxIter = 15)
+    assert(cb.centroids.length == 4 &&
+      cb.centroids.forall(_.length == 8))
+    val cb2 = Similarity.pqFit(vecs, "id", "v", m = 4, k = 8,
+      maxIter = 15)
+    assert(cb.centroids.flatten.flatten.toSeq ==
+      cb2.centroids.flatten.flatten.toSeq) // seeded fit = same books
+    val enc = Similarity.pqEncode(vecs, "id", "v", cb).cache()
+    val codes = enc.select("codes").collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 4 &&
+      cs.forall(c => c >= 0 && c < 8)))
+    // a cluster-1 query: ADC top-10 should stay inside cluster 1
+    val q = c1.map(_.toFloat)
+    val adc = Similarity.pqTopK(enc, "id", cb, q, 10)
+      .collect().map(_.getLong(0))
+    assert(adc.forall(_ < 40L), s"ADC left the query's cluster: ${adc.toSeq}")
+    // rerank with a full-corpus shortlist EQUALS brute force exactly
+    val rer = Similarity.pqTopKRerank(enc, vecs, "id", "v", cb, q, 10,
+      shortlist = 120).collect().map(_.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(vecs, "id", "v", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rer == bf)
+    enc.unpersist(blocking = false)
+  }
+
   test("canonicalByQuality keeps the best-quality cluster member, " +
       "ties to the lowest id") {
     import spark.implicits._
