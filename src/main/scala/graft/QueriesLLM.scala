@@ -298,11 +298,14 @@ object QueriesLLM {
       val e = read(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 7)
         .select(col("embedding")).head().getSeq[Float](0).toArray
+      // synthetic embeddings are near-uniform — the adversarial case
+      // for any ANN — so the code budget (k=64: 48-bit codes) and the
+      // shortlist are set where the recall dial actually holds
       val cb = Similarity.pqFit(e, "vec_id", "embedding", m = 8,
-        k = 16, maxIter = 10)
+        k = 64, maxIter = 10)
       val pq = Similarity.pqTopKRerank(
         Similarity.pqEncode(e, "vec_id", "embedding", cb),
-        e, "vec_id", "embedding", cb, q, 10, shortlist = 50)
+        e, "vec_id", "embedding", cb, q, 10, shortlist = 200)
       val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, 10).select(col("vec_id").as("__bf"))
       val recall = pq.join(exact, pq("vec_id") === col("__bf"))
@@ -568,6 +571,30 @@ object QueriesLLM {
                      ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
                           / len(g) END, 6) AS rep_ratio
             FROM sh ORDER BY doc_id"""))
+
+  /** Feature hashing (the hashing trick) in relational form: tokens
+    * land in portable-hash buckets mod 64, the featurizer is the
+    * per-(doc, bucket) count. The polynomial hash is plain integer
+    * arithmetic, so DuckDB rebuilds the identical feature space.
+    */
+  private val q115_feature_hash: Q = (
+    (s, dir) => TextAnalysis.hashingTf(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        numFeatures = 64)
+      .orderBy(col("doc_id"), col("bucket")),
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS tok
+               FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(tok, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 64
+                     AS bucket,
+                   count(*) AS tf
+            FROM toks GROUP BY 1, 2
+            ORDER BY doc_id, bucket"""))
 
   /** Corpus TF-IDF: smooth idf, top-3 terms per doc, term tiebreak.
     * The classic two-aggregate + vocab-join shape — df comes from the
@@ -1375,6 +1402,7 @@ object QueriesLLM {
     "q62_text_redact" -> q62_text_redact,
     "q63_text_repetition" -> q63_text_repetition,
     "q76_tfidf_topk" -> q76_tfidf_topk,
+    "q115_feature_hash" -> q115_feature_hash,
     "q77_ngram_topk" -> q77_ngram_topk,
     "q52_multimodal" -> q52_multimodal,
     "q82_image_decode" -> q82_image_decode)

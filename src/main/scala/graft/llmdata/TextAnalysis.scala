@@ -21,6 +21,30 @@ object TextAnalysis {
     size(split(trim(text),
       "(?<=[a-zA-Z]{4})(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])")).cast("long")
 
+  /** The hashing trick (feature hashing) in relational form: every
+    * token maps to bucket `portableTokenHash(token) mod numFeatures`
+    * and the featurizer is the per-(doc, bucket) count — the
+    * fixed-width bag-of-words used when a vocabulary is unbounded or
+    * unknowable up front. Relational output (doc, bucket, count)
+    * instead of a sparse-vector blob: joins, aggregates, and the
+    * DuckDB oracle all read it directly; assemble to MLlib vectors at
+    * the model boundary if needed. One explode + one partial-agg
+    * count — no vocabulary fit, no second scan, nothing driver-side.
+    */
+  def hashingTf(df: DataFrame, docId: String, text: String,
+      numFeatures: Int): DataFrame = {
+    require(numFeatures >= 2, s"numFeatures must be >= 2, got $numFeatures")
+    df.where(col(text).isNotNull)
+      .select(col(docId),
+        explode(filter(split(col(text), " "), t => t =!= ""))
+          .as("__tok"))
+      .select(col(docId),
+        pmod(Dedup.portableTokenHash(col("__tok")),
+          lit(numFeatures.toLong)).as("bucket"))
+      .groupBy(col(docId), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Quality features: char length, word count, avg word length,
     * punctuation ratio, digit ratio, uppercase ratio, stopword ratio.
     */

@@ -11,8 +11,11 @@ done
 # 16g measured fastest for the full catalog at sf0.1: a 90g heap made
 # G1 spread allocations over cold pages (first-touch faults dominated)
 # and the run degraded 2x; sf0.1 fits comfortably in 16g.
+# 2g code cache: 113 queries x 5 reps of whole-stage codegen emit
+# enough generated classes that 1g triggered flushing+recompilation
+# visible as descending rep times (see BENCH_NOTES round 5)
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
-  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+  -XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"
