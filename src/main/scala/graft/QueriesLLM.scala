@@ -323,6 +323,39 @@ object QueriesLLM {
     },
     None)
 
+  /** IVF + PQ composed (the FAISS IVFADC billion-scale layout):
+    * learned cells prune which vectors are scanned, PQ codes compress
+    * what is scanned, and only the final shortlist reads raw vectors.
+    * Rows-only with the same in-plan recall gate as q114; probes
+    * cover half the cells and the shortlist recovers quantization
+    * error on this near-uniform (ANN-adversarial) data.
+    */
+  private val q116_ann_ivfpq: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val idx = Similarity.ivfPqFit(e, "vec_id", "embedding",
+        nCells = 8, m = 8, k = 64, maxIter = 8)
+      val ann = Similarity.ivfPqTopK(idx, e, "vec_id", "embedding",
+        q, 10, probes = 4, shortlist = 200)
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, 10).select(col("vec_id").as("__bf"))
+      val recall = ann.join(exact, ann("vec_id") === col("__bf"))
+        .agg((count(lit(1)) / 10.0).as("__rec"))
+      ann.crossJoin(broadcast(recall))
+        .withColumn("similarity",
+          when(col("__rec") < 0.5,
+            raise_error(concat(lit("q116_ann_ivfpq: recall@10 "),
+              round(col("__rec"), 2),
+              lit(" below 0.5 — index degenerated")))
+              .cast("double"))
+            .otherwise(round(col("similarity"), 9)))
+        .drop("__rec")
+        .orderBy(col("similarity").desc, col("vec_id").asc)
+    },
+    None)
+
   /** Batched IVF serving, oracle-checked: with probes = nCells every
     * query scans every learned cell, so the cell-join + rescore +
     * per-query ranked window must EQUAL brute-force top-k — which
@@ -1379,6 +1412,7 @@ object QueriesLLM {
     "q85_lsh_exact" -> q85_lsh_exact,
     "q60_ann_ivf" -> q60_ann_ivf,
     "q114_ann_pq" -> q114_ann_pq,
+    "q116_ann_ivfpq" -> q116_ann_ivfpq,
     "q84_ivf_batch_exact" -> q84_ivf_batch_exact,
     "q47_text_quality" -> q47_text_quality,
     "q86_lm_perplexity" -> q86_lm_perplexity,

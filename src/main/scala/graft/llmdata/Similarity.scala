@@ -416,6 +416,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF + PQ composed (the FAISS IVFADC shape): learned coarse cells
+    * prune WHICH vectors are scanned, PQ codes compress WHAT is
+    * scanned — probes bound the candidate volume, ADC bounds the
+    * bytes per candidate, and only the final shortlist touches raw
+    * vectors. This is the standard billion-scale ANN serving layout.
+    */
+  case class IvfPqIndex(centroids: Array[Array[Double]],
+      books: PqCodebooks, encoded: DataFrame) // (id, __cell, codes)
+
+  /** Fit both quantizers and encode the corpus once: coarse KMeans
+    * cells ([[ivfFit]]) + subspace codebooks ([[pqFit]] on a bounded
+    * sample), joined into one (id, cell, codes) index frame — the
+    * only thing serving reads outside the final rerank.
+    */
+  def ivfPqFit(df: DataFrame, id: String, vec: String, nCells: Int,
+      m: Int, k: Int, maxIter: Int = 20, seed: Long = 42L)
+      : IvfPqIndex = {
+    val ivf = ivfFit(df, id, vec, nCells, maxIter, seed)
+    val books = pqFit(df, id, vec, m, k, maxIter, seed)
+    val encoded = ivf.assigned.select(col(id), col("__cell"))
+      .join(pqEncode(df, id, vec, books), Seq(id))
+    IvfPqIndex(ivf.centroids, books, encoded)
+  }
+
+  /** Serve top-k: rank cells driver-side (O(nCells x dim)), ADC-score
+    * only the probed cells' codes into a `shortlist`, exact-rerank
+    * only the shortlist's raw vectors. Recall dials: probes (cell
+    * coverage) and shortlist (quantization-error recovery).
+    */
+  def ivfPqTopK(index: IvfPqIndex, df: DataFrame, id: String,
+      vec: String, query: Array[Float], k: Int, probes: Int,
+      shortlist: Int = 0): DataFrame = {
+    val qn = normalizeD(query.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probeCells = index.centroids.zipWithIndex
+      .sortBy { case (c, i) => (-dot(qn, normalizeD(c)), i) }
+      .take(math.max(1, probes)).map(_._2.asInstanceOf[Any]).toSeq
+    val sl = if (shortlist > 0) shortlist else 5 * k
+    val cand = pqTopK(
+      index.encoded.where(col("__cell").isin(probeCells: _*)),
+      id, index.books, query, sl).select(col(id))
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+    df.join(broadcast(cand), Seq(id))
+      .select(col(id), cosine(col(vec), q).as("similarity"))
+      .orderBy(col("similarity").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with coarse k-means
     * ([[ivfFit]]'s learned cells), then inside each cell drop every

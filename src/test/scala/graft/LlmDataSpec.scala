@@ -800,6 +800,33 @@ class LlmDataSpec extends SparkSuite {
     enc.unpersist(blocking = false)
   }
 
+  test("IVF+PQ composed index: degenerate config (all cells probed, " +
+      "full shortlist) equals brute force; pruned probes stay in the " +
+      "query's cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mk(center: Array[Double], i: Long): (Long, Array[Float]) =
+      (i, center.map(c => (c + rnd.nextGaussian() * 0.05).toFloat))
+    val c1 = Array(1.0, 0, 0, 0, 1, 0, 0, 0)
+    val c2 = Array(0.0, 1, 0, 0, 0, 1, 0, 0)
+    val vecs = ((0L until 60L).map(i => mk(c1, i)) ++
+      (60L until 120L).map(i => mk(c2, i))).toDF("id", "v")
+    val idx = Similarity.ivfPqFit(vecs, "id", "v", nCells = 4,
+      m = 4, k = 16, maxIter = 10)
+    val q = c1.map(_.toFloat)
+    // all cells + full shortlist -> exact
+    val full = Similarity.ivfPqTopK(idx, vecs, "id", "v", q, 10,
+      probes = 4, shortlist = 120).collect().map(_.getLong(0)).toSeq
+    val bf = Similarity.bruteForceTopK(vecs, "id", "v", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == bf)
+    // production dials: 1 probe — never leaves the query's cluster
+    val pruned = Similarity.ivfPqTopK(idx, vecs, "id", "v", q, 10,
+      probes = 1, shortlist = 30).collect().map(_.getLong(0))
+    assert(pruned.nonEmpty && pruned.forall(_ < 60L),
+      s"pruned probe left the cluster: ${pruned.toSeq}")
+  }
+
   test("canonicalByQuality keeps the best-quality cluster member, " +
       "ties to the lowest id") {
     import spark.implicits._
