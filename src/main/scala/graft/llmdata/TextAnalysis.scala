@@ -356,8 +356,7 @@ object TextAnalysis {
     require(addK > 0, s"additive smoothing needs k > 0, got $addK")
     val toks0 = df.where(col(text).isNotNull)
       .select(col(docId),
-        filter(split(Dedup.normalize(col(text)), " "),
-          t => t =!= "").as("__t"))
+        Dedup.normalizeTokens(col(text)).as("__t"))
       .where(size(col("__t")) >= 2)
     val toks = if (singleScan) graft.Caches.pin(toks0) else toks0
     val bi = toks.select(col(docId),
@@ -401,8 +400,7 @@ object TextAnalysis {
   def lmFit(df: DataFrame, text: String, addK: Double = 0.5): LmModel = {
     require(addK > 0, s"additive smoothing needs k > 0, got $addK")
     val toks = df.where(col(text).isNotNull)
-      .select(filter(split(Dedup.normalize(col(text)), " "),
-        t => t =!= "").as("__t"))
+      .select(Dedup.normalizeTokens(col(text)).as("__t"))
       .where(size(col("__t")) >= 2)
     val bi = toks.select(
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
@@ -433,8 +431,7 @@ object TextAnalysis {
       text: String): DataFrame = {
     val toks = docs.where(col(text).isNotNull)
       .select(col(docId),
-        filter(split(Dedup.normalize(col(text)), " "),
-          t => t =!= "").as("__t"))
+        Dedup.normalizeTokens(col(text)).as("__t"))
       .where(size(col("__t")) >= 2)
     val bi = toks.select(col(docId),
         explode(transform(sequence(lit(1), size(col("__t")) - 1),
