@@ -314,6 +314,42 @@ object QueriesRelational {
                ON p.l_partkey = h.l_partkey AND p.l_suppkey = h.l_suppkey
              ORDER BY p.l_partkey, p.l_suppkey"""))
 
+  /** JSON-lines source/sink round trip under the oracle (the q103
+    * family): nation goes out as JSON lines and back through schema
+    * inference; rows and re-inferred types must hash-match the
+    * parquet original. JSON infers integers as BIGINT — cast to the
+    * parquet schema like the CSV path re-infers int32.
+    */
+  private val q117_json_roundtrip: Q = (
+    (s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q117_json_roundtrip"
+      io.Sources.pipeToJson(SeaFrame(read(s, dir, "nation")), path)
+      io.Sources.jsonToPipe(s, path).result
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
+  /** ORC source/sink round trip: the typed schema travels in the
+    * file, so no casts are needed — bytes out, bytes back.
+    */
+  private val q118_orc_roundtrip: Q = (
+    (s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q118_orc_roundtrip"
+      io.Sources.pipeToOrc(SeaFrame(read(s, dir, "supplier")), path)
+      io.Sources.orcToPipe(s, path).result
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM supplier ORDER BY s_suppkey"""))
+
   /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
     * sides are broadcast-able dimensions at any scale once filtered.
     */
@@ -384,6 +420,8 @@ object QueriesRelational {
     "q102_salted_join" -> q102_salted_join,
     "q103_csv_roundtrip" -> q103_csv_roundtrip,
     "q105_join_semi" -> q105_join_semi,
+    "q117_json_roundtrip" -> q117_json_roundtrip,
+    "q118_orc_roundtrip" -> q118_orc_roundtrip,
     "q106_join_anti" -> q106_join_anti,
     "q107_join_multikey" -> q107_join_multikey,
     "q58_tpch_q3" -> q58_tpch_q3,

@@ -107,6 +107,27 @@ object Sources {
   def pipeToParquet(frame: SeaFrame, path: String): Unit =
     frame.result.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSON-lines sink/source (the interchange format most curation
+    * pipelines ingest): schema re-inferred on read, so the round trip
+    * exercises the same inference contract as CSV (q103 family).
+    */
+  def pipeToJson(frame: SeaFrame, path: String): Unit =
+    frame.result.write.mode(SaveMode.Overwrite).json(path)
+
+  def jsonToPipe(spark: org.apache.spark.sql.SparkSession,
+      path: String): SeaFrame =
+    SeaFrame(spark.read.json(path))
+
+  /** ORC sink/source — the other columnar format Spark ships
+    * natively; typed schema travels in the file like parquet.
+    */
+  def pipeToOrc(frame: SeaFrame, path: String): Unit =
+    frame.result.write.mode(SaveMode.Overwrite).orc(path)
+
+  def orcToPipe(spark: org.apache.spark.sql.SparkSession,
+      path: String): SeaFrame =
+    SeaFrame(spark.read.orc(path))
+
   /** Bucketed sink: pre-shuffle once at write time so subsequent
     * equi-joins/aggregations on the bucket key run with NO exchange —
     * the co-located-join strategy for repeatedly-joined fact tables
