@@ -378,8 +378,21 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       case "sse" => sAgg(sum(pow(d(0) - d(1), 2.0)))
       case "mad" => sAgg(sum(abs(d(0) - d(1))))
       case "r2" => r2Col(args)
-      case "npv" => eagerCache.getOrElseUpdate("npv:" + args, npvCol(args))
-      case "irr" => eagerCache.getOrElseUpdate("irr:" + args, irrCol(args))
+      // npv/irr run eagerly (a solve / an ordered scan), so their
+      // arguments must compile under inAggBuild like sAgg's: a nested
+      // S-function then evaluates eager-and-cached instead of
+      // probe-registering an aggregate the final (cache-hit) pass
+      // would never consume.
+      case "npv" => eagerCache.getOrElseUpdate("npv:" + args, {
+        val saved = inAggBuild
+        inAggBuild = true
+        try npvCol(args) finally inAggBuild = saved
+      })
+      case "irr" => eagerCache.getOrElseUpdate("irr:" + args, {
+        val saved = inAggBuild
+        inAggBuild = true
+        try irrCol(args) finally inAggBuild = saved
+      })
 
       // ---- misc
       case "exist" => // field-or-fallback at resolution time (parser.go:1595)
@@ -390,14 +403,18 @@ class Compiler(df: DataFrame, seqCol: Option[String],
       case "print" | "printIf" =>
         // side-effect: show the first n rows of the evaluated
         // argument (eager, like the reference parser.go:572-613);
-        // the expression's value is 1. Effects run only on the FINAL
-        // build — the probe pass has placeholder aggregate values.
+        // the expression's value is 1. The argument compiles on BOTH
+        // passes — a nested S-function (print(sum(c))) must register
+        // during the probe and substitute on the final build — but
+        // the effect itself (show) runs on the FINAL build only,
+        // when aggregate placeholders have real values.
+        val shown = a(0)
         if (!probing) {
           val n = if (args.length > 1) args(1) match {
             case Num(v) => v.toInt
             case _ => 10
           } else 10
-          val sel = df.select(a(0).as("print"))
+          val sel = df.select(shown.as("print"))
           (if (fn == "printIf") sel.where(col("print").cast("double") > 0)
            else sel).show(n, truncate = false)
         }
@@ -414,16 +431,22 @@ class Compiler(df: DataFrame, seqCol: Option[String],
         if (!probing)
           graft.viz.Fig.get.setDim(numArg(args(0)), numArg(args(1)))
         lit(1.0)
+      // plot data arguments compile on both passes (nested
+      // S-functions register on the probe, substitute on the final
+      // build); only the figure side effect is gated like print's.
       case "plotXY" =>
-        if (!probing) graft.viz.Fig.get.plotXY(df, a(0), a(1),
+        val (px, py) = (a(0), a(1))
+        if (!probing) graft.viz.Fig.get.plotXY(df, px, py,
           strArg(args(2)), strArg(args(3)), plotOrder)
         lit(1.0)
       case "plotLine" =>
-        if (!probing) graft.viz.Fig.get.plotLine(df, a(0),
+        val pl = a(0)
+        if (!probing) graft.viz.Fig.get.plotLine(df, pl,
           strArg(args(1)), strArg(args(2)), plotOrder)
         lit(1.0)
       case "histogram" =>
-        if (!probing) graft.viz.Fig.get.histogram(df, a(0),
+        val ph = a(0)
+        if (!probing) graft.viz.Fig.get.histogram(df, ph,
           strArg(args(1)), strArg(args(2)))
         lit(1.0)
       case "render" =>

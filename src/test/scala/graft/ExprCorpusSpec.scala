@@ -73,7 +73,15 @@ class ExprCorpusSpec extends SparkSuite {
     "cumeBefore(c) / countBefore(c)" -> Seq(1.0, 1.5),
     "std(c) * std(c)" -> Seq(0.5, 0.5),
     "r2(D, D)" -> Seq(1.0, 1.0),
-    "sum(c * D) - npv(0.0, c * D)" -> Seq(0.0, 0.0))
+    "sum(c * D) - npv(0.0, c * D)" -> Seq(0.0, 0.0),
+    // regressions: an S-function nested in an effect/eager function
+    // must register on the probe pass (print) or evaluate eagerly
+    // (npv/irr args), and must not shift the batched-aggregate
+    // substitution order of S-terms that follow it
+    "print(sum(c), 1) + mean(D)" -> Seq(7.5, 7.5),
+    "sum(c) + npv(mean(c) - 1.5, D)" -> Seq(16.0, 16.0),
+    "npv(mean(c) - 1.5, D) + std(c)*std(c)" -> Seq(13.5, 13.5),
+    "irr(mean(c) * 0, D) + sum(c)" -> Seq(3.0, 3.0))
 
   cases.foreach { case (formula, expected) =>
     test(s"corpus: $formula") {

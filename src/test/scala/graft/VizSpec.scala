@@ -118,4 +118,16 @@ class VizSpec extends SparkSuite {
     Fig.newPlot()
     assert(Fig.get.traceCount === 0)
   }
+
+  test("plot argument with a nested S-function registers on the probe " +
+      "pass (regression: plotXY(c, D/max(D)) was IndexOutOfBounds)") {
+    val pipe = corpusPipe
+    Formula.addToPipe(pipe, "p1", "newPlot()", Some("__seq"))
+    val r = Formula.addToPipe(pipe,
+      "p2", "plotXY(c, D / max(D), 'line', 'red') + mean(D)", Some("__seq"))
+    assert(Fig.get.traceCount === 1)
+    // 1 (plot value) + 6.5 — the trailing mean must read its own slot
+    assert(col1(r, "p2") === Seq(7.5, 7.5))
+    Fig.newPlot()
+  }
 }
