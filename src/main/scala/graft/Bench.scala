@@ -79,8 +79,15 @@ object Bench {
     val catalog = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
     val gc0 = gcSec(); val jit0 = jitSec()
+    // untimed burn-in rep per query: heavyweight-codegen queries'
+    // first rep is dominated by compile/JIT warm-up (r5 artifact:
+    // q110 reps declined 7.4s -> 1.3s), so a median over reps that
+    // INCLUDE rep 1 still sits on warm-up. Rep 0 runs and is
+    // discarded; the N timed reps start warm.
     val allReps = catalog.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> (1 to reps).map(_ => time(fn))
+      case (name, fn) =>
+        time(fn) // burn-in, discarded
+        name -> (1 to reps).map(_ => time(fn))
     }
     val results = allReps.map { case (n, ts) =>
       n -> ts.sorted.apply(ts.length / 2) }
@@ -96,7 +103,7 @@ object Bench {
       s""""load_at_run":${f3(loadAtRun)},"load_end":${f3(loadEnd)},""" +
       s""""idle_wait_sec":$waited,"idle_thr":$idleThr,""" +
       s""""gc_sec":${f3(gcRun)},"jit_sec":${f3(jitRun)},""" +
-      s""""heap_gb":$heapGb,"cpus":$cpus}"""
+      s""""heap_gb":$heapGb,"cpus":$cpus,"burn_in":true}"""
     // The driver captures only the last ~2000 chars of stdout; print
     // the line with the short `qNN` ids (unique) at 3 decimals —
     // ~1.2 KB, fits — and write the full-name full-precision copy

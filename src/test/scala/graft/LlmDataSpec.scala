@@ -918,4 +918,51 @@ class LlmDataSpec extends SparkSuite {
       budget = 60L).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == rows.map(_._1).toSet)
   }
+
+  /** Adversarial inputs for the UDF-vs-Column parity contracts:
+    * unicode lowercase mappings (Kelvin sign -> k), already-lowercase
+    * non-ASCII (long s, sharp s), combining marks, supplementary-
+    * plane code points (surrogate pairs), tabs/newlines, empty and
+    * punctuation-only strings, repeated separators.
+    */
+  private val adversarial = Seq(
+    "the quick brown fox", "MiXeD CaSe 123", "", "   ", "\t\na\tb\n",
+    "!!!", "a!b.c,d", "café élève", "Kelvin unit",
+    "ſong ß harp", "é combining", "𝄞 clef",
+    "tok  double  space", "trailing space ", " leading", "0a1b2c",
+    "İstanbul", "ALL CAPS SENTENCE WITH 99 NUMBERS 00")
+
+  test("portableTokenHashFast computes the identical fold as the " +
+      "Column definition over adversarial strings") {
+    val df = adversarial.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "s")
+    val both = df.select(col("i"),
+      Dedup.portableTokenHash(col("s")).as("col_form"),
+      Dedup.portableTokenHashFast(col("s")).as("udf_form"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"hash parity broke on '${adversarial(r.getLong(0).toInt)}': " +
+          s"column=${r.getLong(1)} udf=${r.getLong(2)}")
+    }
+    // null -> null like the expression form
+    val n = Seq((0L, null: String)).toDF("i", "s")
+      .select(Dedup.portableTokenHashFast(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeTokens matches filter(split(normalize(text)), != '') " +
+      "over adversarial strings (unicode lowercase included)") {
+    val df = adversarial.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "s")
+    val both = df.select(col("i"),
+      filter(split(Dedup.normalize(col("s")), " "), t => t =!= "")
+        .as("expr_form"),
+      Dedup.normalizeTokens(col("s")).as("udf_form"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"tokenize parity broke on '${adversarial(r.getLong(0).toInt)}': " +
+          s"expr=${r.getSeq[String](1)} udf=${r.getSeq[String](2)}")
+    }
+  }
 }
