@@ -597,13 +597,64 @@ object Dedup {
     * (0-based, inclusive) and length.
     *
     * Scale shape: the suffix-array the paper builds is replaced by a
-    * sliding-window census — explode (window-text, doc, pos), one
-    * partial-aggregated count per window keyed by the window text,
-    * join the >=minDocs set back (broadcast when small, AQE otherwise),
-    * then gaps-and-islands per document (window partitioned by doc —
-    * bounded by document length, never corpus-wide). Two shuffles on
-    * the window key + one per-doc window; no pairwise stage at all.
+    * sliding-window census — explode (window-hash, doc, pos), one
+    * partial-aggregated count per FIXED-WIDTH 64-bit window hash
+    * ([[windowHashes]] — 8 bytes of key per window, not l tokens of
+    * text), join the >=minDocs set back (broadcast when small, AQE
+    * otherwise), then gaps-and-islands per document (window
+    * partitioned by doc — bounded by document length, never
+    * corpus-wide). Two shuffles on the hash key + one per-doc window;
+    * no pairwise stage at all.
     */
+  /** 64-bit rolling hashes of every l-token window, one tight loop
+    * per document: FNV-1a per token, then a wraparound polynomial
+    * over the token hashes rolled across windows (remove the leading
+    * term, multiply, add the trailing). Replaces the
+    * transform+slice+array_join window STRINGS two ways: the census
+    * shuffle carries 8 bytes per window instead of ~l tokens of text
+    * (at l=8 most windows are unique, so window keys were ~l x the
+    * corpus bytes), and nothing interprets a lambda per window.
+    * Collisions merge two censuses with probability ~(windows^2)/2^64
+    * — negligible against a corpus; the spans output never exposes
+    * the hash.
+    */
+  private val windowHashes = udf { (toks: Seq[String], l: Int) =>
+    val n = toks.length
+    if (n < l) Seq.empty[Long]
+    else {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = -3750763034362895579L // FNV-1a 64 offset basis
+        val s = toks(i)
+        var j = 0
+        while (j < s.length) {
+          h ^= s.charAt(j).toLong
+          h *= 1099511628211L // FNV-1a 64 prime
+          j += 1
+        }
+        th(i) = h
+        i += 1
+      }
+      val B = 1000003L
+      var bl = 1L // B^(l-1), wrapping like everything else
+      i = 1
+      while (i < l) { bl *= B; i += 1 }
+      val out = new Array[Long](n - l + 1)
+      var h = 0L
+      i = 0
+      while (i < l) { h = h * B + th(i); i += 1 }
+      out(0) = h
+      i = 1
+      while (i <= n - l) {
+        h = (h - th(i - 1) * bl) * B + th(i + l - 1)
+        out(i) = h
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
   def repeatedSubstringSpans(df: DataFrame, docId: String, text: String,
       l: Int, minDocs: Int = 2): DataFrame = {
     require(l >= 1, s"window length must be >= 1, got $l")
@@ -613,9 +664,7 @@ object Dedup {
         filter(split(col(text), " "), t => t =!= "").as("__t"))
       .where(size(col("__t")) >= l)
     val wins = toks.select(col(docId),
-        posexplode(transform(
-          sequence(lit(0), size(col("__t")) - l),
-          i => array_join(slice(col("__t"), i + 1, lit(l)), " "))))
+        posexplode(windowHashes(col("__t"), lit(l))))
       .select(col(docId), col("pos"), col("col").as("__w"))
     val dup = wins.groupBy(col("__w"))
       .agg(countDistinct(col(docId)).as("__nd"))
