@@ -141,16 +141,29 @@ object QueriesStream {
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
             ORDER BY user_id, view_id, purchase_id"""))
 
-  /** Dedup-at-ingest under the driver's eye (rows-only: the minhash
-    * signatures have no SQL equivalent; q42/q79 oracle the batch
-    * MinHash family): plant a near-duplicate of every 10th document
-    * (id + 1000000, one token appended) and run the streaming dedup
-    * operator in BATCH mode — same code path the real-stream specs
-    * drive through micro-batches. Every planted pair must collide in
-    * some band; output is the distinct flagged pairs, deterministic
-    * because minhashes are hash-derived, pair detection is
-    * order-independent within a bucket, and buckets are far below
-    * maxPerBucket at this scale.
+  /** Dedup-at-ingest ORACLE-CHECKED end-to-end: plant a
+    * near-duplicate of every 10th document (id + 1000000, one token
+    * appended) and run the streaming dedup operator in BATCH mode —
+    * same code path the real-stream specs drive through
+    * micro-batches. Two choices make DuckDB able to recompute the
+    * answer exactly (the q81 portable-simhash trick applied to
+    * minhash banding):
+    *
+    *   - `portable = true`: signatures are the char-polynomial
+    *     minhashes ([[graft.llmdata.Dedup.portableMinhashes]]) the
+    *     oracle rebuilds bit-for-bit;
+    *   - pigeonhole parameterization (bands=16, rows=2, k=32,
+    *     threshold=0.6): a pair with est >= 0.6 has <= 12 unequal
+    *     signature positions, which can spoil at most 12 of the 16
+    *     bands — >= 4 bands collide WITH CERTAINTY, so the LSH
+    *     candidate stage misses nothing and the emitted set is
+    *     EXACTLY {pairs: est_jaccard >= threshold}, an all-pairs
+    *     expression DuckDB evaluates directly (no bucket keys cross
+    *     engines).
+    *
+    * Docs with < 3 tokens (empty shingle set) are gated out on both
+    * sides; maxPerBucket is lifted so enrollment caps can't perturb
+    * the exact set.
     */
   private val q104_stream_dedup: Q = (
     (s, dir) => {
@@ -160,15 +173,51 @@ object QueriesStream {
           concat(col("text"), lit(" extra")).as("text"))
       val docs = d.select(col("doc_id"), col("text"))
         .unionByName(planted)
+        .where(size(graft.llmdata.Dedup.normalizeTokens(col("text"))) >= 3)
       graft.streaming.StreamingDedup.distinctPairs(
           graft.streaming.StreamingDedup.dedupStream(
             docs, "doc_id", "text", shingleN = 3, bands = 16, rows = 2,
-            threshold = 0.5))
+            threshold = 0.6, maxPerBucket = 1 << 20, portable = true))
         .select(col("doc_a"), col("doc_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, text || ' extra'
+                   FROM documents WHERE doc_id % 10 = 0),
+             n AS (SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+                   FROM d),
+             sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS sh
+                    FROM n WHERE len(w) >= 3),
+             hs AS (SELECT doc_id,
+                      list_transform(sh, s ->
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split_regex(s, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+                          (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+                    FROM sh),
+             sig AS (SELECT doc_id,
+                       list_transform(range(1, 33), i ->
+                         list_min(list_transform(hs, h ->
+                           ((h * ((i * 2654435761) % 1000000007))
+                            + ((i * 97531) % 1000000007))
+                           % 1000000007))) AS sig
+                     FROM hs)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_filter(range(1, 33),
+                       i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32,
+                     6) AS est_jaccard
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(range(1, 33),
+                    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32 >= 0.6
+            ORDER BY doc_a, doc_b"""))
 
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,

@@ -126,6 +126,58 @@ object Dedup {
     f(sh)
   }
 
+  /** PORTABLE k-minhash signature: shingle hash = the char-code
+    * polynomial fold of [[portableTokenHash]] ((acc*31+code) mod
+    * 1e9+7), per-seed mixing h_i(x) = (x*A_i + B_i) mod 1e9+7 with
+    * A_i = (i*2654435761) mod P, B_i = (i*97531) mod P for i = 1..k —
+    * plain int64 arithmetic (x < P and A_i < P keep products under
+    * 1e18) that ANY engine reproduces exactly, unlike
+    * [[minhashes]]'s murmur3+splitmix. This is what lets the DuckDB
+    * oracle recompute streaming-dedup signatures bit-for-bit (the
+    * q81 portable-simhash trick applied to minhash banding). Same
+    * tight-loop shape as [[minhashes]]: each shingle hashed once, k
+    * mins in one pass. Empty shingle set -> all-zero signature
+    * (callers gate short docs out; the oracle's list_min would be
+    * NULL there).
+    */
+  def portableMinhashes(sh: Column, k: Int): Column = {
+    val f = udf { (shingles: Seq[String]) =>
+      val P = 1000000007L
+      val n = shingles.length
+      val hs = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        val s = shingles(j)
+        var h = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          h = (h * 31L + cp) % P
+          i += Character.charCount(cp)
+        }
+        hs(j) = h
+        j += 1
+      }
+      val out = new Array[Long](k)
+      var m = 0
+      while (m < k) {
+        val a = ((m + 1).toLong * 2654435761L) % P
+        val b = ((m + 1).toLong * 97531L) % P
+        var best = Long.MaxValue
+        var t = 0
+        while (t < n) {
+          val v = (hs(t) * a + b) % P
+          if (v < best) best = v
+          t += 1
+        }
+        out(m) = if (n == 0) 0L else best
+        m += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    f(sh)
+  }
+
   /** The per-band bucket hash over `rows` consecutive minhash values —
     * shared by the batch banding UDF and the streaming ingest path so
     * both land identical (band, bucket) keys.

@@ -69,16 +69,24 @@ object StreamingDedup {
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.7, maxPerBucket: Int = 1000,
       stateTtlMs: Long = 0L, eventTimeCol: String = "",
-      watermarkDelay: String = "0 seconds"): Dataset[DupHit] = {
+      watermarkDelay: String = "0 seconds",
+      portable: Boolean = false): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     val k = bands * rows
     val eventTtl = stateTtlMs > 0 && eventTimeCol.nonEmpty
     val evTs: org.apache.spark.sql.Column =
       if (eventTimeCol.nonEmpty) col(eventTimeCol).cast("timestamp")
       else lit(null).cast("timestamp")
+    // portable = cross-engine-reproducible signatures
+    // (Dedup.portableMinhashes) so an external oracle can recompute
+    // the emitted est_jaccard exactly; default keeps the production
+    // murmur3+splitmix hash
+    val minsCol =
+      if (portable) Dedup.portableMinhashes(
+        Dedup.shingles(col(text), shingleN), k)
+      else Dedup.minhashes(Dedup.shingles(col(text), shingleN), k)
     val sigs = docs.select(col(id).cast("long").as("doc_id"),
-        Dedup.minhashes(Dedup.shingles(col(text), shingleN), k)
-          .as("mins"),
+        minsCol.as("mins"),
         coalesce(unix_millis(evTs), lit(0L)).as("eventMs"),
         evTs.as("eventTs"))
       .as[DocSig]
