@@ -17,6 +17,21 @@ object Sources {
     * resolution by the reference's rule — date/string columns are
     * categorical, numeric are continuous (ch.go:165-171) — with
     * user FType overrides.
+    *
+    * INFERENCE-TOLERANCE DIVERGENCE (documented, deliberate): the
+    * reference types a column by SAMPLING with a 0.98 tolerance
+    * (`Impute(rdr, 0, .98)`, pipeline.go:326,340) — a column that is
+    * 98% numeric is declared numeric and the stragglers impute to
+    * null. Spark's `inferSchema` is exact over ALL rows: one
+    * non-numeric cell makes the whole column a string. On clean data
+    * the two agree; on dirty CSVs (a 97%-numeric column) the
+    * reference yields FRCts-with-nulls where we yield FRCat. The
+    * Spark behavior is kept on purpose — silent value-dropping at
+    * 100 TB is a data-loss bug, not a convenience; callers who want
+    * the reference semantics pass an explicit FType override (the
+    * column parses via cast, unparseable cells become null), which is
+    * also the only deterministic contract under distributed sampling.
+    * Pinned by the dirty-column spec in MlAndIoSpec.
     */
   def csvToPipe(spark: SparkSession, path: String,
       overrides: FeatureSchema = FeatureSchema.empty,
@@ -81,8 +96,19 @@ object Sources {
     wrap(df, FeatureSchema.empty, orderBy)
   }
 
-  private def wrap(df: DataFrame, overrides: FeatureSchema,
+  private def wrap(df0: DataFrame, overrides: FeatureSchema,
       orderBy: Seq[String]): SeaFrame = {
+    // the deterministic stand-in for the reference's Impute tolerance
+    // (see csvToPipe doc): an explicit Cts override on a string-typed
+    // column parses it — unparseable cells become null instead of
+    // flipping the whole column categorical
+    val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+      if (f.dataType.typeName == "string" &&
+          overrides.get(f.name).exists(_.role == FeatureRole.Cts))
+        // try_cast, not cast: ANSI mode must impute, not throw
+        d.withColumn(f.name, col(f.name).try_cast("double"))
+      else d
+    }
     val metas = df.schema.fields.map { f =>
       overrides.get(f.name).getOrElse {
         val role = f.dataType.typeName match {

@@ -393,6 +393,51 @@ class LlmDataSpec extends SparkSuite {
     assert(rows(single = true) == rows(single = false))
   }
 
+  test("repeatedSubstringSpans / chunkByContent: singleScan pin " +
+      "returns identical rows to the recompute plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "z z a b c d e f g h i j q r s t"),
+      (3L, "unrelated words only in this one document right here now"))
+      .toDF("doc_id", "text")
+    def spans(single: Boolean) =
+      Dedup.repeatedSubstringSpans(df, "doc_id", "text", l = 4,
+          minDocs = 2, singleScan = single)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def chunks(single: Boolean) =
+      Dedup.chunkByContent(df, "doc_id", "text", modulus = 4,
+          singleScan = single)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[String]("chunk_md5"), r.getLong(5))).toSet
+    val (s1, s0) = (spans(true), spans(false))
+    val (c1, c0) = (chunks(true), chunks(false))
+    Caches.release()
+    assert(s1 == s0 && s1.nonEmpty)
+    assert(c1 == c0 && c1.nonEmpty)
+  }
+
+  test("Caches.scoped: releasing one query's handle leaves another " +
+      "scope's pin cached") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    def pinnedCount = spark.sparkContext.getPersistentRDDs.size
+    val base = pinnedCount
+    val (qa, ha) = Caches.scoped(
+      Dedup.repeatedSubstringSpans(df, "doc_id", "text", l = 2))
+    val (qb, hb) = Caches.scoped(
+      Dedup.spanDedup(df, "doc_id", "text", spanTokens = 2))
+    qa.count(); qb.count()
+    assert(pinnedCount == base + 2)
+    ha.release() // only query A's block drops
+    assert(pinnedCount == base + 1)
+    hb.release()
+    assert(pinnedCount == base)
+    // global release after a handle release: no double-unpersist blowup
+    Caches.release()
+  }
+
   test("ngram counts: contiguous bigrams with exact counts, short " +
       "docs dropped") {
     import spark.implicits._

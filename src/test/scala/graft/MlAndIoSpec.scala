@@ -207,6 +207,31 @@ class MlAndIoSpec extends SparkSuite {
     assert(back.schema("n_nationkey").role == FeatureRole.Cts)
   }
 
+  test("csv inference-tolerance divergence: dirty numeric column " +
+      "infers Cat (vs reference Impute 0.98 -> Cts); explicit Cts " +
+      "override parses with nulls (pipeline.go:326,340)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdirty")
+    // 97%-numeric column: the reference's 0.98-tolerance sampler
+    // would STILL call this categorical, but at 0.98-exactly-met
+    // ratios it calls it numeric; Spark's exact inferSchema flips on
+    // the single bad cell either way
+    val rows = "id,x" +: (0 until 97).map(i => s"$i,$i.5") :+ "97,oops"
+    java.nio.file.Files.writeString(tmp.resolve("d.csv"),
+      rows.mkString("\n"))
+    val inferred = Sources.csvToPipe(spark, tmp.toString)
+    assert(inferred.schema("x").role == FeatureRole.Cat)
+    assert(inferred.df.schema("x").dataType.typeName == "string")
+    // the documented escape hatch: an explicit Cts override parses
+    // the column, imputing the unparseable cell to null
+    val over = graft.types.FeatureSchema(Seq(
+      graft.types.FeatureMeta("x", FeatureRole.Cts)))
+    val forced = Sources.csvToPipe(spark, tmp.toString, over)
+    assert(forced.df.schema("x").dataType.typeName == "double")
+    assert(forced.df.where(col("x").isNull).count() == 1)
+    assert(forced.df.where(col("x").isNotNull).count() == 97)
+    assert(forced.schema("x").role == FeatureRole.Cts)
+  }
+
   test("vecToPipe builds a pipeline from column vectors " +
       "(VecFromAny, vec.go:38-70)") {
     val f = Sources.vecToPipe(spark, Seq(
