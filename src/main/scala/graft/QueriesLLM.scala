@@ -133,12 +133,19 @@ object QueriesLLM {
                     AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8
             ORDER BY doc_a, doc_b"""))
 
-  /** SimHash near-dup: 64-bit fingerprints, 16-bit-chunk candidate
-    * buckets, Hamming verify. Rows-only (xxhash64-based).
+  /** SimHash near-dup: 64-bit fingerprints, chunk-banded candidates,
+    * Hamming verify. Rows-only (xxhash64-based). maxHamming 6 — the
+    * operator's documented production band: 7 chunks of 9-10 bits
+    * keep buckets selective, where the loose band this entry once
+    * used (h=12 -> 13 chunks of 4-5 bits, 2^5 key space) made bucket
+    * population linear in the corpus and the candidate self-join
+    * QUADRATIC — the sf1 scale capture showed 24x growth at 10x data
+    * (BENCH_NOTES r6); h=6 restored ~linear scaling with the recall
+    * guarantee intact.
     */
   private val q43_dedup_simhash: Q = (
     (s, dir) => Dedup.simhashDedup(read(s, dir, "documents"),
-      "doc_id", "text", maxHamming = 12)
+      "doc_id", "text", maxHamming = 6)
       .orderBy(col("doc_a"), col("doc_b")),
     None)
 
@@ -1222,6 +1229,51 @@ object QueriesLLM {
                    count(*) AS n
             FROM b GROUP BY 1, 2 ORDER BY source, split"""))
 
+  /** DSIR importance weights (Xie et al. 2023): score every document
+    * by the log-likelihood ratio of its hashed-bigram profile under a
+    * target-corpus model (here: the English subset) vs the full-corpus
+    * model. The per-bucket log-ratio scales to an exact integer
+    * (round(lambda*1e4) — the quantum dwarfs cross-engine libm ln()
+    * drift by nine orders) before the per-doc sum, so the result is
+    * order-free and DuckDB recomputes it bit-for-bit.
+    */
+  private val q119_dsir_weights: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      Sampling.dsirLogWeights(d, d.where(col("lang") === "en"),
+          "doc_id", "text", nBuckets = 4096, addK = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id, lang,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             f AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(w)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(
+                       w[i] || ' ' || w[i+1], ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 4096)) AS bkt
+               FROM n WHERE len(w) >= 2),
+             tc AS (SELECT bkt, count(*) AS ct FROM f
+                    WHERE lang = 'en' GROUP BY bkt),
+             sc AS (SELECT bkt, count(*) AS cs FROM f GROUP BY bkt),
+             tt AS (SELECT count(*) AS t FROM f WHERE lang = 'en'),
+             st AS (SELECT count(*) AS t FROM f),
+             lam AS (SELECT sc.bkt AS bkt,
+                 CAST(round(ln(
+                   ((coalesce(tc.ct, 0) + 0.5) / (tt.t + 2048.0)) /
+                   ((sc.cs + 0.5) / (st.t + 2048.0))) * 1e4) AS BIGINT)
+                   AS lam4
+               FROM sc LEFT JOIN tc USING (bkt), tt, st)
+            SELECT f.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(lam4) / 1e4 AS dsir_logw
+            FROM f JOIN lam USING (bkt)
+            GROUP BY f.doc_id ORDER BY doc_id"""))
+
   /** Deterministic train/valid/test assignment (0.8/0.1/0.1) with
     * per-split counts — the reproducible-split contract of a training
     * pipeline.
@@ -1396,6 +1448,7 @@ object QueriesLLM {
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
+    "q119_dsir_weights" -> q119_dsir_weights,
     "q71_split_assign" -> q71_split_assign,
     "q72_seq_packing" -> q72_seq_packing,
     "q73_decontaminate" -> q73_decontaminate,

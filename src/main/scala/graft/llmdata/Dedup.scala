@@ -466,28 +466,49 @@ object Dedup {
     * loses the guarantee and is explicitly best-effort.
     */
   def simhashDedup(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3, chunks: Int = 0): DataFrame =
-    hammingPairs(simhashDf(df, id, text), maxHamming, chunks, bits = 64)
+      maxHamming: Int = 3, chunks: Int = 0,
+      maxPerBucket: Int = 0): DataFrame =
+    hammingPairs(simhashDf(df, id, text), maxHamming, chunks, bits = 64,
+      maxPerBucket = maxPerBucket)
 
   /** Chunk-bucket candidate join + exact Hamming verify over a
     * fingerprint frame `(doc, fp)` — the banding stage shared by the
     * 64-bit and portable simhash variants.
+    *
+    * `maxPerBucket` (0 = unlimited) is the explicit skew guard for
+    * clustered-fingerprint corpora: a (chunk, key) bucket larger than
+    * the cap is EXCLUDED from candidate generation, bounding the
+    * self-join at buckets² <= cap² per key instead of degenerating
+    * quadratically when many documents share chunk values. The
+    * pigeonhole recall guarantee then holds only for pairs sharing at
+    * least one under-cap bucket — a deliberate, visible trade (the
+    * same enrollment cap streaming dedup applies), NOT the default.
     */
   def hammingPairs(fp: DataFrame, maxHamming: Int, chunks: Int = 0,
-      bits: Int = 64): DataFrame = {
+      bits: Int = 64, maxPerBucket: Int = 0): DataFrame = {
     val c =
       if (chunks > 0) chunks
       else math.min(16, math.max(4, maxHamming + 1))
     // chunk i covers bits [i*bits/c, (i+1)*bits/c) — widths differ by
     // at most 1, all bits covered, no chunk ever empty
     val bounds = (0 to c).map(i => i * bits / c)
-    val chunked = fp.select(col("doc"), col("fp"), posexplode(array(
+    val chunked0 = fp.select(col("doc"), col("fp"), posexplode(array(
       (0 until c).map { i =>
         val lo = bounds(i); val w = bounds(i + 1) - lo
         val mask = if (w >= 64) -1L else (1L << w) - 1L
         shiftright(col("fp"), lo).bitwiseAND(mask)
       }: _*)))
       .toDF("doc", "fp", "chunk", "key")
+    val chunked = if (maxPerBucket <= 0) chunked0 else {
+      // one partial-agg census of bucket sizes, anti-join the
+      // oversized tail out before the self-join (tail is small by
+      // construction: only clustered keys exceed the cap)
+      val over = chunked0.groupBy(col("chunk"), col("key"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxPerBucket)
+        .select(col("chunk"), col("key"))
+      chunked0.join(broadcast(over), Seq("chunk", "key"), "left_anti")
+    }
     val a = chunked.as("a"); val b = chunked.as("b")
     val hamming = {
       val x = col("a.fp").bitwiseXOR(col("b.fp"))

@@ -169,6 +169,112 @@ object Sampling {
     stratifiedSample(df, id, col(sourceCol), fractions, seed)
   }
 
+  /** Hashed-bigram feature buckets in one tight loop per document:
+    * for adjacent token pairs, the portable char-code polynomial of
+    * "w1 w2" (the [[Dedup.portableTokenHash]] fold including the
+    * joining space, code 32) mod `k`. One pass per pair, no string
+    * allocation, no per-element HOF interpretation; the oracle SQL
+    * recomputes the identical fold over the concatenated pair.
+    */
+  private val bigramBuckets = udf { (toks: Seq[String], k: Int) =>
+    val P = 1000000007L
+    val n = if (toks == null) 0 else toks.length
+    if (n < 2) Seq.empty[Int]
+    else {
+      val out = new Array[Int](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        var h = 0L
+        val a = toks(i)
+        var j = 0
+        while (j < a.length) {
+          val cp = a.codePointAt(j)
+          h = (h * 31L + cp) % P
+          j += Character.charCount(cp)
+        }
+        h = (h * 31L + 32L) % P
+        val b = toks(i + 1)
+        j = 0
+        while (j < b.length) {
+          val cp = b.codePointAt(j)
+          h = (h * 31L + cp) % P
+          j += Character.charCount(cp)
+        }
+        out(i) = (h % k).toInt
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * SOURCE document by how much its hashed-bigram profile resembles
+    * the TARGET corpus rather than the source corpus —
+    * log w(d) = sum over d's bigram occurrences of
+    * log(p_target(bucket) / p_source(bucket)), with add-k-smoothed
+    * bucket unigram models over `nBuckets` hashed features. Compose
+    * with [[weightedSample]] (on a normalized transform of the
+    * weight) for the resampling half of the paper.
+    *
+    * Returns (docId, n_bigrams, dsir_logw) for every source doc with
+    * >= 2 normalized tokens.
+    *
+    * Cross-engine determinism: the per-bucket log-ratio is computed
+    * from identical integers in identical double ops on any engine,
+    * then scaled to an exact integer (round(lambda * 1e4)) so the
+    * per-doc SUM is order-free long arithmetic — no summation-order
+    * ulp drift, no decimal casts of products (BENCH_NOTES r5 rules).
+    * The 1e-4-nat quantization is deliberate: libm ln() disagrees
+    * across engines by a few hundred ulps (~1e-13 absolute —
+    * measured: a 1e9 scale flipped one bucket of 4096 at sf0.1), so
+    * the quantum must dwarf the drift; 1e-4 leaves nine orders of
+    * margin and costs a selection score nothing. dsir_logw =
+    * sum / 1e4 is then bit-identical everywhere.
+    *
+    * Scale shape: two partial-agg scans build the bucket counts
+    * (nBuckets rows each — tiny), the lambda table broadcasts, and
+    * scoring is one per-doc aggregate over the feature stream. The
+    * feature stream feeds both the source counts and the scoring
+    * join; `singleScan` (default on) pins it — (docId, int) rows,
+    * the compact frame — so normalize+explode runs once.
+    */
+  def dsirLogWeights(source: DataFrame, target: DataFrame,
+      docId: String, text: String, nBuckets: Int = 4096,
+      addK: Double = 0.5, singleScan: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    def feats(df: DataFrame) = df.where(col(text).isNotNull)
+      .select(col(docId), Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(docId),
+        explode(bigramBuckets(col("__t"), lit(nBuckets))).as("__bkt"))
+    val sf0 = feats(source)
+    val sf = if (singleScan) graft.Caches.pin(sf0) else sf0
+    val tCnt = feats(target).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__ct"))
+    val sCnt = sf.groupBy(col("__bkt")).agg(count(lit(1)).as("__cs"))
+    val tTot = tCnt.agg(sum(col("__ct")).as("__tt"))
+    val sTot = sCnt.agg(sum(col("__cs")).as("__ts"))
+    // buckets absent from the source can't appear in any source doc;
+    // left join from the source counts drops them from the model
+    val lam = sCnt.join(tCnt, Seq("__bkt"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .withColumn("__lam4", round(log(
+          ((col("__ct") + lit(addK)) /
+            (col("__tt") + lit(addK * nBuckets))) /
+          ((col("__cs") + lit(addK)) /
+            (col("__ts") + lit(addK * nBuckets)))) * lit(1e4))
+        .cast("long"))
+      .select(col("__bkt"), col("__lam4"))
+    sf.join(broadcast(lam), Seq("__bkt"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lam4")).as("__s"))
+      .withColumn("dsir_logw", col("__s") / lit(1e4))
+      .select(col(docId), col("n_bigrams"), col("dsir_logw"))
+  }
+
   /** Mix sources at target sampling rates into one frame, tagging each
     * row's origin — the dataset-mixture step of a training pipeline.
     * Each (source, fraction) pair is hash-sampled independently (with

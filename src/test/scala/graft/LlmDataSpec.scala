@@ -417,6 +417,52 @@ class LlmDataSpec extends SparkSuite {
     assert(c1 == c0 && c1.nonEmpty)
   }
 
+  test("hammingPairs maxPerBucket: oversized buckets drop from " +
+      "candidate generation; pairs sharing an under-cap chunk survive") {
+    import spark.implicits._
+    // fps 0..9 differ only in low bits -> all share the three high
+    // 16-bit chunks (three oversized buckets); the pair (100, 101)
+    // shares a UNIQUE high-chunk value so its bucket stays under cap
+    val fps = ((0L until 10L).map(i => (i, i)) ++
+      Seq((100L, 0x7a7a000000000000L), (101L, 0x7a7a000000000001L)))
+      .toDF("doc", "fp")
+    val uncapped = Dedup.hammingPairs(fps, maxHamming = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.hammingPairs(fps, maxHamming = 4, maxPerBucket = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((100L, 101L)))
+    // the clustered block's pairs vanish (every shared bucket oversized)
+    assert(!capped.exists { case (a, b) => a < 10L && b < 10L })
+    // the selective pair survives through its under-cap bucket
+    assert(capped.contains((100L, 101L)))
+  }
+
+  test("dsirLogWeights: target-like docs outscore off-target docs; " +
+      "singleScan parity; short docs dropped") {
+    import spark.implicits._
+    val source = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    def weights(single: Boolean) =
+      Sampling.dsirLogWeights(source, target, "doc_id", "text",
+          nBuckets = 256, singleScan = single)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = weights(true)
+    val w2 = weights(false)
+    Caches.release()
+    assert(w == w2)
+    assert(!w.contains(4L)) // < 2 tokens: no bigram features
+    // doc 1 is all target bigrams, doc 2 shares none with the target,
+    // doc 3 mixes: strict ordering by target affinity
+    // (absolute sign isn't pinned: at toy corpus sizes the smoothing
+    // mass 0.5*nBuckets dominates both models and shifts all scores)
+    assert(w(1L) > w(3L) && w(3L) > w(2L), s"unexpected ordering: $w")
+  }
+
   test("Caches.scoped: releasing one query's handle leaves another " +
       "scope's pin cached") {
     import spark.implicits._
