@@ -922,13 +922,19 @@ object QueriesLLM {
     * of the exact answer.
     */
   private val q94_semantic_dedup: Q = (
-    (s, dir) => Similarity.semanticDedup(
-        read(s, dir, "embeddings"), "vec_id", "embedding",
-        // coarse cells only bound the pairwise work — they don't need
-        // a converged k-means, so cap the solver
-        eps = 0.5, nCells = 8, maxIter = 8)
-      .select(col("vec_id"), col("label"))
-      .orderBy(col("vec_id")),
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      // cells must GROW with the corpus (constant ~250-vector cell
+      // population) or the within-cell pairwise stage is quadratic:
+      // the sf1 capture measured 6.3x at 10x data with nCells fixed
+      // at 8. The count is parquet-metadata cheap; coarse cells only
+      // bound the pairwise work, so the solver stays capped.
+      val cells = math.max(8L, e.count() / 250L).toInt
+      Similarity.semanticDedup(e, "vec_id", "embedding",
+          eps = 0.5, nCells = cells, maxIter = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
     None)
 
   /** SemDeDup's exact configuration (one cell = all-pairs): a vector

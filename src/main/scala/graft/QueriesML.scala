@@ -199,9 +199,10 @@ object QueriesML {
         "FC(size:1, activation:sigmoid)",
         "Target(label)"))
       // sampled fit (deterministic hash-sample), full predict — same
-      // contract as q57
+      // contract as q57. Fixed 30k-row budget, not a fraction: fit
+      // cost must not grow with the corpus (sf1 capture r6)
       val trainSet = graft.llmdata.Sampling
-        .hashSample(o, "o_orderkey", 0.2)
+        .hashSample(o, "o_orderkey", math.min(1.0, 30000.0 / o.count()))
       val fitted = ModSpec.fitEmbedded(layers, trainSet,
         classification = true, embedMaxIter = 6, mainMaxIter = 12)
       // solver-health gates: the trained lookup must actually separate
@@ -252,8 +253,13 @@ object QueriesML {
         "DropOut(.1)",
         "FC(size:2, activation:SoftMax)",
         "Target(label)"))
+      // FIXED training budget, not a fraction: the driver-side
+      // mini-batch fit is linear in collected rows, so a fractional
+      // sample grows the fit with the corpus (sf1 capture: 8.1x at
+      // 10x data). 30k rows trains the XOR well past the gate at
+      // every scale; scoring still covers the full frame.
       val trainSet = graft.llmdata.Sampling
-        .hashSample(o, "o_orderkey", 0.2)
+        .hashSample(o, "o_orderkey", math.min(1.0, 30000.0 / o.count()))
       val m = ModSpec.fitNative(layers, trainSet,
         classification = true, nClasses = 2,
         cfg = graft.ml.Net.Config(batchSize = 128, epochs = 30,
