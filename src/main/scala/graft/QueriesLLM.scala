@@ -1280,6 +1280,76 @@ object QueriesLLM {
             FROM f JOIN lam USING (bkt)
             GROUP BY f.doc_id ORDER BY doc_id"""))
 
+  /** DSIR fit/score split (the ingest-time twin of q119, streaming-
+    * capable — the spec drives the same dsirScore through
+    * micro-batches): fit the lambda table once on the full corpus
+    * (full-outer counts, so target-only buckets keep their ratios),
+    * then score a DIFFERENT frame — a corpus slice plus an all-novel
+    * planted doc — through the pre-fitted model. Unseen buckets take
+    * the model's constant log-ratio; DuckDB recomputes table,
+    * constant, and integer sums exactly.
+    */
+  private val q120_dsir_score: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val m = Sampling.dsirFit(d, d.where(col("lang") === "en"),
+        "text", nBuckets = 4096, addK = 0.5)
+      val novel = s.range(1).select(lit(1000001L).as("doc_id"),
+        lit("qqq www zzz").as("text"))
+      val scored = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")).unionByName(novel)
+      Sampling.dsirScore(scored, m, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id, lang,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             f AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(w)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(
+                       w[i] || ' ' || w[i+1], ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 4096)) AS bkt
+               FROM n WHERE len(w) >= 2),
+             tc AS (SELECT bkt, count(*) AS ct FROM f
+                    WHERE lang = 'en' GROUP BY bkt),
+             sc AS (SELECT bkt, count(*) AS cs FROM f GROUP BY bkt),
+             tt AS (SELECT count(*) AS t FROM f WHERE lang = 'en'),
+             st AS (SELECT count(*) AS t FROM f),
+             lam AS (SELECT coalesce(sc.bkt, tc.bkt) AS bkt,
+                 CAST(round(ln(
+                   ((coalesce(tc.ct, 0) + 0.5) / (tt.t + 2048.0)) /
+                   ((coalesce(sc.cs, 0) + 0.5) / (st.t + 2048.0)))
+                   * 1e4) AS BIGINT) AS lam4
+               FROM sc FULL OUTER JOIN tc ON sc.bkt = tc.bkt, tt, st),
+             uns AS (SELECT CAST(round(ln(
+                   (0.5 / (tt.t + 2048.0)) / (0.5 / (st.t + 2048.0)))
+                   * 1e4) AS BIGINT) AS u FROM tt, st),
+             sd AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 7 = 0
+                    UNION ALL SELECT 1000001, 'qqq www zzz'),
+             sn AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM sd WHERE text IS NOT NULL),
+             sfeat AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(
+                       w[i] || ' ' || w[i+1], ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) % 4096)) AS bkt
+               FROM sn WHERE len(w) >= 2)
+            SELECT sfeat.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(coalesce(lam.lam4, uns.u)) / 1e4 AS dsir_logw
+            FROM sfeat LEFT JOIN lam ON sfeat.bkt = lam.bkt, uns
+            GROUP BY sfeat.doc_id ORDER BY doc_id"""))
+
   /** Deterministic train/valid/test assignment (0.8/0.1/0.1) with
     * per-split counts — the reproducible-split contract of a training
     * pipeline.
@@ -1455,6 +1525,7 @@ object QueriesLLM {
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
     "q119_dsir_weights" -> q119_dsir_weights,
+    "q120_dsir_score" -> q120_dsir_score,
     "q71_split_assign" -> q71_split_assign,
     "q72_seq_packing" -> q72_seq_packing,
     "q73_decontaminate" -> q73_decontaminate,

@@ -275,6 +275,81 @@ object Sampling {
       .select(col(docId), col("n_bigrams"), col("dsir_logw"))
   }
 
+  /** A fitted DSIR model: the materialized (bucket -> lam4) log-ratio
+    * table plus the constant log-ratio for buckets unseen at fit time
+    * (both corpora count 0 there, so the ratio collapses to
+    * log(denomS/denomT) — one number). `lambda` is persisted at fit
+    * time so streaming micro-batches reuse it instead of refitting
+    * (the [[graft.llmdata.TextAnalysis.lmFit]] contract).
+    */
+  case class DsirModel(lambda: DataFrame, nBuckets: Int,
+      unseenLam4: Long, addK: Double) {
+    def unpersist(): Unit = lambda.unpersist(blocking = false)
+  }
+
+  /** Fit the DSIR importance model ONCE on batch corpora — target
+    * (what you want more of) vs source (what you have) — for scoring
+    * OTHER frames with [[dsirScore]], including STREAMS at ingest.
+    * The lambda table is built with a full-outer count join so
+    * target-only buckets keep their (positive) log-ratios: text
+    * arriving later can hit buckets the source corpus never produced.
+    * Totals land on the driver as two longs (bounded by
+    * construction); the table itself is nBuckets rows, materialized.
+    */
+  def dsirFit(source: DataFrame, target: DataFrame, text: String,
+      nBuckets: Int = 4096, addK: Double = 0.5): DsirModel = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    def feats(df: DataFrame) = df.where(col(text).isNotNull)
+      .select(Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(explode(bigramBuckets(col("__t"), lit(nBuckets)))
+        .as("__bkt"))
+    val tCnt = feats(target).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__ct"))
+    val sCnt = feats(source).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cs"))
+    val joined = sCnt.join(tCnt, Seq("__bkt"), "full_outer")
+      .na.fill(0L, Seq("__ct", "__cs"))
+    val tot = joined.agg(sum(col("__ct")), sum(col("__cs"))).head()
+    val (tt, ts) = (tot.getLong(0), tot.getLong(1))
+    val denomT = tt + addK * nBuckets
+    val denomS = ts + addK * nBuckets
+    val lam = joined.withColumn("__lam4", round(log(
+        ((col("__ct") + lit(addK)) / lit(denomT)) /
+        ((col("__cs") + lit(addK)) / lit(denomS))) * lit(1e4))
+        .cast("long"))
+      .select(col("__bkt"), col("__lam4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lam.count() // materialize so micro-batches reuse, not refit
+    DsirModel(lam, nBuckets,
+      math.round(math.log((addK / denomT) / (addK / denomS)) * 1e4),
+      addK)
+  }
+
+  /** Score a frame — batch or STREAMING — against a pre-fitted
+    * [[DsirModel]]: selection-at-ingest as one broadcast
+    * (stream-static) join plus a per-doc aggregate. Buckets unseen at
+    * fit time take the model's constant unseen log-ratio, so
+    * out-of-corpus text scores exactly rather than dropping features.
+    * Same integer-sum determinism as [[dsirLogWeights]]. For a
+    * streaming input, complete the per-doc aggregate with an
+    * update/complete output mode or a watermark on event time.
+    */
+  def dsirScore(docs: DataFrame, m: DsirModel, docId: String,
+      text: String): DataFrame =
+    docs.where(col(text).isNotNull)
+      .select(col(docId), Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(docId),
+        explode(bigramBuckets(col("__t"), lit(m.nBuckets))).as("__bkt"))
+      .join(broadcast(m.lambda), Seq("__bkt"), "left")
+      .na.fill(m.unseenLam4, Seq("__lam4"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lam4")).as("__s"))
+      .withColumn("dsir_logw", col("__s") / lit(1e4))
+      .select(col(docId), col("n_bigrams"), col("dsir_logw"))
+
   /** Mix sources at target sampling rates into one frame, tagging each
     * row's origin — the dataset-mixture step of a training pipeline.
     * Each (source, fraction) pair is hash-sampled independently (with

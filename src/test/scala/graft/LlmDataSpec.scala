@@ -463,6 +463,53 @@ class LlmDataSpec extends SparkSuite {
     assert(w(1L) > w(3L) && w(3L) > w(2L), s"unexpected ordering: $w")
   }
 
+  test("dsirFit/dsirScore: pre-fitted scoring equals the inline " +
+      "computation; unseen buckets take the constant log-ratio; " +
+      "a STREAM scores identically to batch") {
+    import spark.implicits._
+    val source = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val m = Sampling.dsirFit(source, target, "text", nBuckets = 256)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+      // exact equality: both paths sum identical integer lam4 values
+      assert(rows(Sampling.dsirScore(source, m, "doc_id", "text")) ==
+        rows(Sampling.dsirLogWeights(source, target, "doc_id", "text",
+          nBuckets = 256)))
+      Caches.release()
+      // an all-novel doc: every bucket unseen -> n * unseenLam4 / 1e4
+      val novel = Seq((9L, "qqq www zzz")).toDF("doc_id", "text")
+      val ns = Sampling.dsirScore(novel, m, "doc_id", "text").head()
+      assert(ns.getLong(1) == 2)
+      assert(math.abs(ns.getDouble(2) - 2 * m.unseenLam4 / 1e4) < 1e-12)
+      // stream-static: the same docs through micro-batches score
+      // identically to the batch path
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = Sampling.dsirScore(in.toDF().toDF("doc_id", "text"),
+          m, "doc_id", "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("t_dsir_stream").start()
+      in.addData((1L, "alpha beta alpha beta alpha beta"))
+      q.processAllAvailable()
+      in.addData((2L, "gamma delta gamma delta gamma delta"),
+        (3L, "alpha beta gamma delta"))
+      q.processAllAvailable(); q.stop()
+      val streamed = rows(spark.sql(
+        "SELECT doc_id, n_bigrams, dsir_logw FROM t_dsir_stream"))
+      assert(streamed ==
+        rows(Sampling.dsirScore(source, m, "doc_id", "text")))
+    } finally m.unpersist()
+  }
+
   test("Caches.scoped: releasing one query's handle leaves another " +
       "scope's pin cached") {
     import spark.implicits._
