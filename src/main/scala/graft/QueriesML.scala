@@ -164,8 +164,10 @@ object QueriesML {
       // broadcast accuracy scalar) instead of paying its own action +
       // a second cache.
       val cached = o.cache()
-      val trainSet = graft.llmdata.Sampling
-        .hashSample(cached, "o_orderkey", 0.2)
+      // fixed 30k-row budget (not a fraction): fit work must not
+      // grow with the corpus — sf1 capture r6
+      val trainSet = graft.llmdata.Sampling.hashSample(cached,
+        "o_orderkey", math.min(1.0, 30000.0 / cached.count()))
       val model = pipeline.fit(trainSet)
       val preds = model.transform(cached)
         .select(col("o_orderkey"), col("label"), col("prediction"))

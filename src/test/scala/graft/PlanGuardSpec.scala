@@ -96,6 +96,17 @@ class PlanGuardSpec extends SparkSuite {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("dsir scoring: the lambda table joins BROADCAST (q119/q120 " +
+      "shape) — the feature stream never shuffles for the lookup") {
+    import org.apache.spark.sql.functions._
+    val p = planOf(q("q119_dsir_weights"))
+    graft.Caches.release()
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-doc score is a partial-aggregated sum, not a window
+    assert(p.contains("partial_sum") || p.contains("partial, ["), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("lmPerplexity singleScan equals the multi-scan default") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "b c b"), (3L, "x y"),
