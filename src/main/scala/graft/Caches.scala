@@ -54,13 +54,21 @@ object Caches {
   /** Run `body` (typically: build one query's DataFrame) with its
     * pins scoped to a fresh [[Handle]]; returns (result, handle).
     * Call `handle.release()` once the result is materialized. Nests:
-    * an inner scope shadows the outer for its extent.
+    * an inner scope shadows the outer for its extent. If `body`
+    * throws, the handle can never reach the caller, so its pins are
+    * released here — a failed construction must not leak blocks that
+    * only a global [[release]] could reclaim.
     */
   def scoped[T](body: => T): (T, Handle) = {
     val h = new Handle
     val prev = current.get()
     current.set(h)
-    try (body, h) finally current.set(prev)
+    var ok = false
+    try { val r = body; ok = true; (r, h) }
+    finally {
+      current.set(prev)
+      if (!ok) h.release()
+    }
   }
 
   /** Persist-and-register: returns `df` persisted, tracked globally

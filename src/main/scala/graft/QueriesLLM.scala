@@ -920,6 +920,15 @@ object QueriesLLM {
     * rows-only — q95 pins the exact nCells = 1 configuration to the
     * oracle, and LlmDataSpec proves clustered survivors are a superset
     * of the exact answer.
+    *
+    * SCALE-DEPENDENT RECALL, by design: nCells grows with the corpus
+    * (constant ~250-vector cells), and clustering misses cross-cell
+    * near-dups, so the SAME logical query yields different survivor
+    * sets at different scales — more cells, fewer removals. That is
+    * the SemDeDup trade (recall for bounded pairwise work), not a
+    * regression; LlmDataSpec's two-scale fixed-seed spot-check pins
+    * removal recall >= 0.7 vs the exact answer under this growth rule
+    * so a future gate can tell cell-count drift from real breakage.
     */
   private val q94_semantic_dedup: Q = (
     (s, dir) => {

@@ -501,13 +501,16 @@ object Dedup {
       .toDF("doc", "fp", "chunk", "key")
     val chunked = if (maxPerBucket <= 0) chunked0 else {
       // one partial-agg census of bucket sizes, anti-join the
-      // oversized tail out before the self-join (tail is small by
-      // construction: only clustered keys exceed the cap)
+      // oversized tail out before the self-join. No broadcast hint:
+      // on a clustered corpus with a small cap the tail can be a
+      // large fraction of all (chunk,key) buckets, so the strategy is
+      // left to Catalyst/AQE, which sees the post-agg size at runtime
+      // and only broadcasts when the tail is actually small.
       val over = chunked0.groupBy(col("chunk"), col("key"))
         .agg(count(lit(1)).as("__n"))
         .where(col("__n") > maxPerBucket)
         .select(col("chunk"), col("key"))
-      chunked0.join(broadcast(over), Seq("chunk", "key"), "left_anti")
+      chunked0.join(over, Seq("chunk", "key"), "left_anti")
     }
     val a = chunked.as("a"); val b = chunked.as("b")
     val hamming = {

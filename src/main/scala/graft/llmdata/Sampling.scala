@@ -251,8 +251,13 @@ object Sampling {
         explode(bigramBuckets(col("__t"), lit(nBuckets))).as("__bkt"))
     val sf0 = feats(source)
     val sf = if (singleScan) graft.Caches.pin(sf0) else sf0
-    val tCnt = feats(target).groupBy(col("__bkt"))
+    // pin the TARGET counts too: tCnt feeds both the lam join and
+    // tTot as separate plans, and without the pin the target corpus
+    // would be scanned+bigrammed twice. Post-agg it is nBuckets rows,
+    // so the pinned block is tiny regardless of corpus size.
+    val tCnt0 = feats(target).groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__ct"))
+    val tCnt = if (singleScan) graft.Caches.pin(tCnt0) else tCnt0
     val sCnt = sf.groupBy(col("__bkt")).agg(count(lit(1)).as("__cs"))
     val tTot = tCnt.agg(sum(col("__ct")).as("__tt"))
     val sTot = sCnt.agg(sum(col("__cs")).as("__ts"))

@@ -898,6 +898,46 @@ class LlmDataSpec extends SparkSuite {
       s"clustered $clustered must contain exact $exact")
   }
 
+  test("semanticDedup: fixed-seed removal recall vs exact holds at " +
+      "two corpus scales under the grow-cells-with-corpus rule") {
+    // q94 grows nCells with the corpus (constant ~cell population),
+    // which makes its survivor set scale-dependent BY DESIGN: more
+    // cells -> more cross-cell near-dup pairs missed. This pins the
+    // expected behavior so a correctness gate can tell cell-count-
+    // driven drift from a real regression: at both scales, removal
+    // recall vs the exact (nCells=1) answer stays high, and the
+    // clustered survivors remain a superset of the exact survivors.
+    import spark.implicits._
+    // fixed-seed corpus where pairs (2k, 2k+1) share a base draw
+    def pairs(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(1234)
+      (0 until n / 2).flatMap { k =>
+        val base = Array.fill(6)(rnd.nextGaussian().toFloat)
+        Seq((2L * k, base), (2L * k + 1, base.map(_ + 0.001f)))
+      }.toDF("vec_id", "embedding")
+    }
+    for (n <- Seq(300, 1200)) {
+      val vecs = pairs(n).cache()
+      val cells = math.max(8, n / 50) // simulates q94's growth rule
+      def removed(res: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val kept = res.select("vec_id").collect().map(_.getLong(0)).toSet
+        (0L until n.toLong).toSet -- kept
+      }
+      val exactRm = removed(Similarity.semanticDedup(
+        vecs, "vec_id", "embedding", eps = 0.95, nCells = 1))
+      val clusRm = removed(Similarity.semanticDedup(
+        vecs, "vec_id", "embedding", eps = 0.95, nCells = cells,
+        maxIter = 8))
+      assert(exactRm.nonEmpty, "planted near-dups must be removed")
+      assert(clusRm.subsetOf(exactRm),
+        s"n=$n: clustered must never remove what exact keeps")
+      val recall = clusRm.intersect(exactRm).size.toDouble / exactRm.size
+      assert(recall >= 0.7,
+        s"n=$n cells=$cells: removal recall $recall below 0.7")
+      vecs.unpersist(blocking = false)
+    }
+  }
+
   test("product quantization: codes in range, deterministic fit, " +
       "ADC ranks clustered data, rerank recovers exact top-k") {
     import spark.implicits._
