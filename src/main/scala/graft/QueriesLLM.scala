@@ -1,7 +1,7 @@
 package graft
 
 import graft.QH._
-import graft.llmdata.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llmdata.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -1529,7 +1529,132 @@ object QueriesLLM {
                     AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5
             ORDER BY train_id, eval_id"""))
 
+  /** Per-domain document cap: build a deterministic URL from the
+    * source column IN-QUERY (both engines see identical strings),
+    * extract the host with the portable anchored regexp, keep at
+    * most 15 docs per domain by the portable id hash — the
+    * Common-Crawl guard against one site dominating the corpus.
+    */
+  private val q121_domain_cap: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id")))
+        .withColumn("domain", Sampling.urlHost(col("url")))
+      Sampling.domainCap(d, col("domain"), "doc_id", cap = 15)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+                 regexp_extract('https://' || source ||
+                     '.example.com/docs/' || doc_id,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS domain
+               FROM documents),
+             r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY ((doc_id * 2654435761 + 42) % 1000000007)
+                     % 1000000, doc_id) AS rn
+               FROM u)
+            SELECT doc_id, domain FROM r WHERE rn <= 15
+            ORDER BY doc_id"""))
+
+  /** EXACT heavy hitters (count > n/(k+1), k = 30) over the token
+    * stream via distributed Misra-Gries: per-partition k-counter
+    * summaries (no shuffle) bound the candidate set, an exact second
+    * pass counts only candidates — the shuffle carries <= k x
+    * partitions keys instead of the vocabulary. The output is exact,
+    * so DuckDB recomputes it as a plain HAVING over the full census.
+    */
+  private val q122_heavy_hitters: Q = (
+    (s, dir) => {
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(Dedup.normalizeTokens(col("text"))).as("token"))
+      Sketches.heavyHitters(toks, "token", k = 30)
+        .orderBy(col("token"))
+    },
+    Some("""WITH n AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             f AS (SELECT unnest(w) AS token FROM n),
+             t AS (SELECT count(*) AS n FROM f)
+            SELECT token, count(*) AS cnt FROM f, t
+            GROUP BY token, t.n HAVING count(*) * 31 > t.n
+            ORDER BY token"""))
+
+  /** Per-source EXACT distinct-token counts with the HLL sketch
+    * riding the same aggregate as an in-plan audit gate (raise if the
+    * estimate drifts > 15% from exact): at test scale the gate
+    * certifies the sketch; at 100 TB the certified sketch runs alone.
+    */
+  private val q123_distinct_audit: Q = (
+    (s, dir) => {
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(Dedup.normalizeTokens(col("text"))).as("token"))
+      Sketches.distinctAudit(toks, "source", "token", maxRelErr = 0.15)
+        .orderBy(col("source"))
+    },
+    Some("""WITH n AS (SELECT source, list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             f AS (SELECT source, unnest(w) AS token FROM n)
+            SELECT source, count(DISTINCT token) AS n_distinct
+            FROM f GROUP BY source ORDER BY source"""))
+
+  /** Bloom-prefiltered ingest dedup, EXACT: docs with id >= 300 are
+    * the incoming batch, docs with id < 400 the seen corpus (the
+    * [300,400) overlap plants guaranteed hits). The Bloom filter
+    * short-circuits definitely-novel rows at the scan; only the
+    * maybe-set pays the exact anti-join, which removes the false
+    * positives — so the result EQUALS the plain anti-join DuckDB
+    * runs.
+    */
+  private val q124_bloom_dedup: Q = (
+    (s, dir) => {
+      val fp = read(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(Dedup.normalize(col("text"))).as("fingerprint"))
+      val seen = fp.where(col("doc_id") < 400)
+      val incoming = fp.where(col("doc_id") >= 300)
+      Sketches.bloomNovel(seen, incoming, "fingerprint",
+          expectedSeen = 400, fpp = 0.01)
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g'))) AS fingerprint
+               FROM documents)
+            SELECT doc_id, fingerprint FROM fp i
+            WHERE doc_id >= 300 AND NOT EXISTS (
+              SELECT 1 FROM fp s
+              WHERE s.doc_id < 400 AND s.fingerprint = i.fingerprint)
+            ORDER BY doc_id"""))
+
+  /** Diversity sampling: k-means cells over the embeddings, at most
+    * 30 survivors per cell by portable id hash. Rows-only (the kept
+    * set depends on the learned cells — the q94 pattern); the
+    * nCells = 1 degenerate configuration is pinned to independently
+    * computed expected ids by LlmDataSpec.
+    */
+  private val q125_cluster_sample: Q = (
+    (s, dir) => Similarity.clusterSample(read(s, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 8, perCell = 30, maxIter = 8)
+      .orderBy(col("vec_id")),
+    None)
+
   val all: Map[String, Q] = Map(
+    "q121_domain_cap" -> q121_domain_cap,
+    "q122_heavy_hitters" -> q122_heavy_hitters,
+    "q123_distinct_audit" -> q123_distinct_audit,
+    "q124_bloom_dedup" -> q124_bloom_dedup,
+    "q125_cluster_sample" -> q125_cluster_sample,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

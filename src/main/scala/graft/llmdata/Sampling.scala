@@ -110,6 +110,41 @@ object Sampling {
     df.withColumn(out, expr)
   }
 
+  /** The host part of a URL, portably: everything between `scheme://`
+    * and the first `/`, `?` or `#` — one anchored regexp any engine
+    * evaluates identically (no parse_url, which DuckDB lacks).
+    * Non-URL strings yield the empty string.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Per-domain document cap (the Common-Crawl-style guard against
+    * one site dominating the corpus): keep at most `cap` rows per
+    * `domain` value, chosen deterministically by the portable id hash
+    * — so "which docs survived the cap" is a pure function of (id,
+    * seed), reproducible in any engine, and the kept set is an
+    * unbiased per-domain subsample rather than "whatever arrived
+    * first".
+    *
+    * Scale shape: one window partitioned by domain — the shuffle key
+    * is the domain, and partitions are bounded by the largest single
+    * domain, not the corpus. Domains big enough to need a cap are
+    * exactly the ones with millions of rows; for a pathological
+    * single domain holding a double-digit share of the corpus, cap
+    * it separately with [[hashSample]] (rate = cap/count, no window)
+    * and union — same determinism, no skewed partition.
+    */
+  def domainCap(df: DataFrame, domain: Column, id: String, cap: Int,
+      seed: Long = 42L): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domain)
+      .orderBy(bucket(col(id), seed), col(id))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Sample down to a TOKEN budget instead of a row fraction — the
     * "give me ~1B tokens of this corpus" cut every training run
     * starts with. Documents are ordered by the portable id hash

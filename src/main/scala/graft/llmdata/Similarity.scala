@@ -504,4 +504,37 @@ object Similarity {
       .select(col("__idb").as("__drop")).distinct()
     df.join(dropped, col(id) === col("__drop"), "left_anti")
   }
+
+  /** Diversity (cluster-balanced) sampling over an embedding column:
+    * learn `nCells` k-means cells, keep at most `perCell` vectors per
+    * cell — the curation move that flattens semantic density so one
+    * over-represented topic can't dominate a training mix. Within a
+    * cell the survivors are chosen by the portable id hash
+    * ([[graft.llmdata.Sampling.bucket]]), so given the learned cells
+    * the kept set is deterministic and engine-reproducible.
+    *
+    * Like [[semanticDedup]], the output depends on the learned cells
+    * (rows-only entry); nCells = 1 degenerates to "the perCell
+    * lowest-hash ids" with no learned state, which the spec pins
+    * against independently computed expected ids.
+    *
+    * Scale shape: centroid fit is a bounded-sample k-means; the
+    * assignment is one broadcast-centroid projection; the cap is one
+    * window partitioned by cell — bounded by the largest cell
+    * (~corpus/nCells when cells grow with the corpus).
+    */
+  def clusterSample(df: DataFrame, id: String, vec: String,
+      nCells: Int, perCell: Int, maxIter: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val assigned =
+      if (nCells <= 1) df.select(col(id), lit(0).as("__cell"))
+      else ivfFit(df, id, vec, nCells, maxIter, seed).assigned
+        .select(col(id), col("__cell"))
+    val w = Window.partitionBy(col("__cell"))
+      .orderBy(Sampling.bucket(col(id), seed), col(id))
+    assigned.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perCell)
+      .select(col(id), col("__cell").as("cell"))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-backed operators whose OUTPUT is exact: each pairs a
+  * bounded-memory streaming summary (Misra-Gries, Bloom, HLL) with an
+  * exact confirmation stage, so the sketch bounds the work while the
+  * answer stays oracle-checkable. This is the 100 TB shape for
+  * "frequency/membership over an unbounded key space": never shuffle
+  * the full key space; shuffle only what the sketch could not rule
+  * out.
+  */
+object Sketches {
+
+  /** EXACT heavy hitters over a unit stream (one row per occurrence):
+    * all units with count strictly greater than n/(k+1), with their
+    * exact counts.
+    *
+    * Pass 1 runs Misra-Gries (k counters) per partition — no shuffle;
+    * each partition returns at most k candidate units plus its row
+    * count. MG guarantees any unit with partition count > n_p/(k+1)
+    * survives that partition's summary, and a unit with global count
+    * > n/(k+1) must exceed the per-partition threshold somewhere (if
+    * c_p <= n_p/(k+1) for every p then c <= n/(k+1)), so the union of
+    * partition summaries is a SUPERSET of the true heavy hitters —
+    * no false negatives, ever. Pass 2 counts ONLY the candidates
+    * (broadcast semi-join; at most k x partitions keys shuffle, not
+    * the vocabulary) and keeps cnt * (k+1) > n in exact integer
+    * arithmetic. Versus a raw groupBy over the unit column, the
+    * shuffle shrinks from |vocabulary| keys to <= k x partitions —
+    * the difference between a token census and a full-vocab shuffle
+    * at corpus scale.
+    *
+    * The unit stream is usually derived (tokenize+explode), and both
+    * passes consume it; `singleScan` (default on) pins it via
+    * [[graft.Caches]] — release via the scoped handle / release()
+    * after materializing.
+    *
+    * Output: (unit-named column, cnt), exact.
+    */
+  def heavyHitters(units: DataFrame, unit: String, k: Int,
+      singleScan: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val u0 = units.select(col(unit).cast("string").as("__u"))
+      .where(col("__u").isNotNull)
+    val u = if (singleScan) graft.Caches.pin(u0) else u0
+    // (candidates, partition row count) per partition; the driver
+    // sees <= k strings + one long per partition — bounded by
+    // construction, not by data size
+    val summaries = u.as[String].mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]()
+      var n = 0L
+      it.foreach { t =>
+        n += 1L
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None =>
+            if (m.size < k) m.update(t, 1L)
+            else { // the MG decrement-all step
+              m.mapValuesInPlace((_, v) => v - 1L)
+              m.filterInPlace((_, v) => v > 0L)
+            }
+        }
+      }
+      Iterator.single((m.keysIterator.toArray.toSeq, n))
+    }.collect()
+    val total = summaries.map(_._2).sum
+    val cands = summaries.iterator.flatMap(_._1).toArray.distinct.toSeq
+    val cdf = cands.toDF("__u")
+    u.join(broadcast(cdf), Seq("__u"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("cnt"))
+      // exact integer comparison: cnt > total/(k+1) without division
+      .where(col("cnt") * lit(k + 1L) > lit(total))
+      .select(col("__u").as(unit), col("cnt"))
+  }
+
+  /** Per-group EXACT distinct counts, with the HLL sketch riding the
+    * same aggregate as an in-plan audit: if the approximate count
+    * (relative standard deviation `rsd`) drifts from the exact count
+    * by more than `maxRelErr`, the query raises instead of returning.
+    *
+    * At test scale this certifies the sketch against ground truth; at
+    * 100 TB the certified sketch runs ALONE (drop the countDistinct —
+    * `approx_count_distinct` is a fixed-width mergeable partial
+    * aggregate, no two-stage distinct expansion), which is the point:
+    * the audit is how you earn the right to trust the cheap path.
+    */
+  def distinctAudit(df: DataFrame, grp: String, unit: String,
+      maxRelErr: Double = 0.1, rsd: Double = 0.02): DataFrame = {
+    require(maxRelErr > 0, s"maxRelErr must be > 0, got $maxRelErr")
+    df.groupBy(col(grp))
+      .agg(countDistinct(col(unit)).as("n_distinct"),
+        approx_count_distinct(col(unit), rsd).as("__approx"))
+      .withColumn("n_distinct",
+        when(abs(col("__approx") - col("n_distinct")).cast("double") >
+            col("n_distinct").cast("double") * maxRelErr,
+          raise_error(concat(lit("distinctAudit: HLL estimate "),
+            col("__approx"), lit(" vs exact "), col("n_distinct"),
+            lit(s" exceeds rel err $maxRelErr")))
+            .cast("long"))
+          .otherwise(col("n_distinct")))
+      .drop("__approx")
+  }
+
+  /** Ingest-time novelty filter, EXACT: rows of `incoming` whose
+    * `key` does not occur in `seen`. A Bloom filter over the seen
+    * keys (built distributed — Spark merges per-partition filters by
+    * OR) broadcasts to the incoming scan; rows the filter rules out
+    * are definitely novel and never shuffle, and only the "maybe"
+    * residue — true duplicates plus an `fpp` fraction of the novel
+    * side — pays the exact anti-join. No false negatives (Bloom never
+    * misses a present key), and the anti-join removes the false
+    * positives, so the result equals the plain anti-join at a
+    * fraction of its shuffle: at 1% fpp, ~99% of a mostly-novel
+    * ingest batch short-circuits at the scan.
+    *
+    * `expectedSeen` sizes the filter (m bits ~ -n ln(fpp)/ln(2)^2; at
+    * 1e9 keys / 1% fpp that is ~1.2 GB — executor-broadcast-sized,
+    * and the per-key cost stays O(1)). Keys must be strings (hash
+    * keys: md5/xxhash of the dedup fingerprint).
+    */
+  def bloomNovel(seen: DataFrame, incoming: DataFrame, key: String,
+      expectedSeen: Long, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bf = seen.stat.bloomFilter(key, expectedSeen, fpp)
+    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { (s: String) =>
+      s != null && bfB.value.mightContainString(s)
+    }
+    val definitelyNovel = incoming.where(!mightContain(col(key)))
+    val maybeSeen = incoming.where(mightContain(col(key)))
+      .join(seen.select(col(key)).distinct(), Seq(key), "left_anti")
+    definitelyNovel.unionByName(maybeSeen)
+  }
+}

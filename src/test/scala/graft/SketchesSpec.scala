@@ -1,0 +1,132 @@
+package graft
+
+import graft.llmdata.{Sampling, Similarity, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Sketch-backed exact operators: Misra-Gries heavy hitters, the HLL
+  * distinct audit, Bloom-prefiltered novelty, per-domain caps, and
+  * cluster-balanced sampling. Every test checks EXACTNESS against an
+  * independently computed answer — the sketches bound work, never
+  * change results.
+  */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("heavyHitters: exact on a skewed stream across partitions, " +
+      "threshold boundary respected") {
+    // zipf-ish: token i appears 1000 / (i+1) times, 40 tokens
+    val occurrences = (0 until 40).flatMap { i =>
+      Seq.fill(1000 / (i + 1))(s"tok$i")
+    }
+    val n = occurrences.size.toLong
+    val df = spark.createDataset(
+        scala.util.Random.shuffle(occurrences)).toDF("token")
+      .repartition(7) // MG summaries must merge across partitions
+    val k = 10
+    val got = Sketches.heavyHitters(df, "token", k, singleScan = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = occurrences.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .filter { case (_, c) => c * (k + 1) > n }
+    assert(got == truth, s"got $got\nexpected $truth")
+    assert(got.nonEmpty && got.size < 40,
+      "test must be discriminating: some tokens in, some out")
+  }
+
+  test("heavyHitters: no false negatives even when k is smaller than " +
+      "the candidate spill (pigeonhole over partitions)") {
+    // one dominant token buried in noise, tiny k
+    val occ = Seq.fill(700)("dominant") ++
+      (0 until 2000).map(i => s"noise$i")
+    val df = spark.createDataset(scala.util.Random.shuffle(occ))
+      .toDF("token").repartition(5)
+    val got = Sketches.heavyHitters(df, "token", k = 4,
+        singleScan = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n = 2700; 700 * (k+1) = 3500 > 2700, and no noise token can
+    // reach the strictly-greater threshold
+    assert(got == Map("dominant" -> 700L))
+  }
+
+  test("distinctAudit: exact per-group distinct counts; gate passes " +
+      "at sane tolerance") {
+    val df = (0 until 5000).map(i => (s"g${i % 3}", s"u${i % (7 + i % 3 * 50)}"))
+      .toDF("grp", "unit")
+    val got = Sketches.distinctAudit(df, "grp", "unit",
+        maxRelErr = 0.2, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("grp").agg(countDistinct(col("unit")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+  }
+
+  test("bloomNovel: equals the exact anti-join with planted dups, " +
+      "even with an undersized, high-fpp filter") {
+    val seen = (0 until 1000).map(i => s"key$i").toDF("k")
+    // incoming: 200 true dups + 300 novel
+    val incoming = ((500 until 700) ++ (5000 until 5300))
+      .map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val expected = (5000 until 5300).map(_.toLong).toSet
+    // well-sized filter
+    val a = Sketches.bloomNovel(seen, incoming, "k", 1000, 0.01)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == expected)
+    // degenerate filter: undersized + huge fpp -> everything lands in
+    // the maybe-set; the exact verify stage must still win
+    val b = Sketches.bloomNovel(seen, incoming, "k", 10, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b == expected)
+  }
+
+  test("domainCap: cap respected, survivors are the lowest-hash ids " +
+      "per domain, deterministic across runs") {
+    val df = (0L until 200L).map(i => (i, s"d${i % 5}")).toDF("id", "dom")
+    val cap = 7
+    val got = Sampling.domainCap(df, col("dom"), "id", cap, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = got.groupBy(_._2)
+    assert(byDom.forall(_._2.size == cap), s"every domain hits cap=$cap")
+    // expected: per domain, the cap ids with smallest (bucket, id)
+    def bucket(id: Long): Long =
+      ((id * 2654435761L + 9L) % 1000000007L) % 1000000L
+    val expect = (0L until 200L).groupBy(i => s"d${i % 5}").view
+      .mapValues(_.sortBy(i => (bucket(i), i)).take(cap).toSet).toMap
+    assert(byDom.view.mapValues(_.map(_._1).toSet).toMap == expect)
+    val again = Sampling.domainCap(df, col("dom"), "id", cap, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("urlHost extracts the host portably; non-URLs yield empty") {
+    val rows = Seq("https://a.example.com/x/y?z=1", "http://b.co",
+      "ftp://c.d.e/#frag", "not a url")
+      .toDF("u").select(Sampling.urlHost(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a.example.com", "b.co", "c.d.e", ""))
+  }
+
+  test("clusterSample: nCells=1 degenerates to the perCell lowest-" +
+      "hash ids; clustered run respects the per-cell cap exactly") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val perCell = 25
+    val flat = Similarity.clusterSample(vecs, "vec_id", "embedding",
+        nCells = 1, perCell = perCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def bucket(id: Long): Long =
+      ((id * 2654435761L + 42L) % 1000000007L) % 1000000L
+    val expect = (0L until 300L).sortBy(i => (bucket(i), i))
+      .take(perCell).toSet
+    assert(flat == expect)
+    val clustered = Similarity.clusterSample(vecs, "vec_id",
+        "embedding", nCells = 6, perCell = perCell, maxIter = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val perCellCounts = clustered.groupBy(_._2).view.mapValues(_.size)
+    assert(perCellCounts.values.forall(_ <= perCell),
+      s"cell over cap: $perCellCounts")
+    assert(clustered.map(_._1).distinct.length == clustered.length,
+      "no vector sampled twice")
+  }
+}
