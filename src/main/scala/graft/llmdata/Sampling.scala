@@ -349,8 +349,14 @@ object Sampling {
       .agg(count(lit(1)).as("__ct"))
     val sCnt = feats(source).groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__cs"))
+    // `joined` feeds the totals row AND the lambda table as two
+    // separate plans; without a pin each corpus would be scanned and
+    // bigrammed twice. Post-agg it is <= nBuckets rows, so the pin is
+    // tiny, and fit is eager end-to-end — the pin's lifecycle is
+    // fully contained here (released once lam materializes).
     val joined = sCnt.join(tCnt, Seq("__bkt"), "full_outer")
       .na.fill(0L, Seq("__ct", "__cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = joined.agg(sum(col("__ct")), sum(col("__cs"))).head()
     val (tt, ts) = (tot.getLong(0), tot.getLong(1))
     val denomT = tt + addK * nBuckets
@@ -362,6 +368,7 @@ object Sampling {
       .select(col("__bkt"), col("__lam4"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lam.count() // materialize so micro-batches reuse, not refit
+    joined.unpersist(blocking = false)
     DsirModel(lam, nBuckets,
       math.round(math.log((addK / denomT) / (addK / denomS)) * 1e4),
       addK)

@@ -191,4 +191,50 @@ class PlanGuardSpec extends SparkSuite {
       s"expected exactly one parquet scan in the final plan, got $scans:" +
         s"\n$finalPlan")
   }
+
+  test("q121 domain cap: rank limit pushed below the shuffle as a " +
+      "partial WindowGroupLimit; scan pruned to id+source") {
+    val p = planOf(q("q121_domain_cap"))
+    // Partial limit BEFORE the exchange: each map task forwards at
+    // most cap rows per domain, so the shuffle carries <= cap x
+    // partitions rows per domain, not the domain's documents
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("text"), s"unpruned scan: $read")
+    graft.Caches.release()
+  }
+
+  test("q124 bloom dedup: definitely-novel branch joins nothing; " +
+      "the anti-join sits only on the maybe branch with the seen " +
+      "side broadcast") {
+    val p = planOf(q("q124_bloom_dedup"))
+    // one join operator total (the maybe branch's LeftAnti),
+    // broadcast-built — the formatted plan numbers each operator
+    // once, so count the numbered detail entries
+    val joins = "\\(\\d+\\) \\w*Join".r.findAllIn(p).toSeq
+    assert(joins.length == 1 && p.contains("LeftAnti"),
+      s"joins=$joins in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the Bloom membership UDF is a scan-level data filter on BOTH
+    // branches (pushed into the FileScan's DataFilters, so novel
+    // rows never reach a join operator)
+    assert(p.contains("UDF"), p)
+    assert(p.contains("GreaterThanOrEqual(doc_id,300)"), p)
+    graft.Caches.release()
+  }
+
+  test("q122 heavy hitters: exact pass counts ONLY broadcast-joined " +
+      "candidates with partial aggregation; the pinned unit stream " +
+      "is read from cache") {
+    val df = q("q122_heavy_hitters")
+    df.queryExecution.toRdd.count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("InMemoryTableScan"),
+      s"unit stream not cached:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(finalPlan.contains("partial_count"), finalPlan)
+    graft.Caches.release()
+  }
 }
