@@ -1,7 +1,7 @@
 package graft
 
 import graft.QH._
-import graft.llmdata.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llmdata.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -1649,12 +1649,107 @@ object QueriesLLM {
       .orderBy(col("vec_id")),
     None)
 
+  /** Round-1 BPE pair census, top 20 by (count desc, pair asc) — the
+    * oracle-checkable stage of tokenizer learning ([[Bpe.fit]]'s
+    * argmax input, exact integer counts over a total order). Computed
+    * off the word-type table so the pair explosion is
+    * vocabulary-sized, not corpus-sized.
+    */
+  private val q126_bpe_pairs: Q = (
+    (s, dir) => Bpe.pairStats(
+        spread(read(s, dir, "documents")), "text")
+      .orderBy(desc("pair_count"), asc("sym_l"), asc("sym_r"))
+      .limit(20),
+    Some("""WITH n AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT unnest(w) AS tok FROM n),
+             c AS (SELECT string_split_regex(tok, '') AS ch FROM t
+                   WHERE len(tok) >= 2),
+             p AS (SELECT unnest(list_transform(range(1, len(ch)),
+                 i -> [ch[i], ch[i+1]])) AS pr FROM c)
+            SELECT pr[1] AS sym_l, pr[2] AS sym_r,
+                   count(*) AS pair_count
+            FROM p GROUP BY 1, 2
+            ORDER BY pair_count DESC, sym_l, sym_r LIMIT 20"""))
+
+  /** BPE tokenizer FIT: 16 learned merges over the corpus (word-type
+    * census once, then O(nMerges) vocabulary-sized rounds). Rows-only
+    * by nature (the iterative argmax is not a SQL query) but fully
+    * deterministic — the round-1 census is the oracled q126 twin, and
+    * BpeSpec pins the whole merge list against an independent
+    * single-node reference implementation.
+    */
+  private val q127_bpe_fit: Q = (
+    (s, dir) => {
+      val (_, table) = Bpe.fit(
+        spread(read(s, dir, "documents")), "text", nMerges = 16)
+      table.orderBy(col("rank"))
+    },
+    None)
+
+  /** BPE SERVING: per-doc subword counts (fertility audit) against a
+    * model fitted in-query — dictionary-join encode (distinct tokens
+    * encoded once, broadcast back to the occurrence stream). The
+    * in-plan guard raises unless every document satisfies
+    * n_words <= n_bpe (merges can never produce fewer symbols than
+    * words, and a violation means the encoder or the dictionary join
+    * broke).
+    */
+  private val q128_bpe_encode: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = Bpe.fit(d, "text", nMerges = 16)
+      Bpe.encodeCounts(d, "doc_id", "text", model)
+        .withColumn("n_bpe",
+          when(col("n_bpe") < col("n_words"),
+            raise_error(concat(lit("q128_bpe_encode: doc "),
+              col("doc_id"), lit(" has n_bpe < n_words — encoder "),
+              lit("or dictionary join broke"))).cast("long"))
+            .otherwise(col("n_bpe")))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Vocabulary-coverage audit: per-doc OOV counts against the
+    * corpus's own top-1000 token vocabulary (count desc, token asc —
+    * a total order both engines compute identically). One pinned
+    * tokenize stream feeds the vocab census and the broadcast scoring
+    * join.
+    */
+  private val q129_vocab_coverage: Q = (
+    (s, dir) => TextAnalysis.vocabCoverage(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        vocabSize = 1000)
+      .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id, list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             f AS (SELECT doc_id, unnest(w) AS tok FROM n),
+             v AS (SELECT tok FROM f GROUP BY tok
+                   ORDER BY count(*) DESC, tok LIMIT 1000),
+             j AS (SELECT f.doc_id, v.tok AS hit
+                   FROM f LEFT JOIN v ON f.tok = v.tok)
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(CASE WHEN hit IS NULL THEN 1 END) AS n_oov,
+                   round(CAST(count(CASE WHEN hit IS NULL THEN 1 END)
+                       AS DOUBLE) / count(*), 6) AS oov_rate
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
     "q123_distinct_audit" -> q123_distinct_audit,
     "q124_bloom_dedup" -> q124_bloom_dedup,
     "q125_cluster_sample" -> q125_cluster_sample,
+    "q126_bpe_pairs" -> q126_bpe_pairs,
+    "q127_bpe_fit" -> q127_bpe_fit,
+    "q128_bpe_encode" -> q128_bpe_encode,
+    "q129_vocab_coverage" -> q129_vocab_coverage,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -1,0 +1,229 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer learning and serving (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") as a distributed pipeline — the vocabulary-construction
+  * step of an LLM training-data pipeline, and the missing half of the
+  * token-counting family (`TextAnalysis.tokenStats` counts
+  * whitespace/BPE-ish regex tokens; this LEARNS the subword merges
+  * from the corpus).
+  *
+  * Scale shape — the reason this is cheap at 100 TB:
+  *
+  *   - The corpus is scanned ONCE, into the word-TYPE table
+  *     `(token, cnt)` (one tokenize+explode+groupBy shuffle over a
+  *     short string key — the same census shape as every dedup
+  *     operator here). Classic BPE learning is defined over word
+  *     types weighted by frequency, so every subsequent merge round
+  *     touches only the type table (|vocabulary| rows, millions at
+  *     worst), never the corpus again.
+  *   - Each merge round is two small jobs over the type table:
+  *     a weighted pair census (explode adjacent symbol pairs,
+  *     sum(cnt)) and a one-row argmax to the driver; then the merge
+  *     is applied with a tight-loop UDF. Rounds are bounded by
+  *     `nMerges` (the vocabulary budget), so the driver loop is
+  *     O(nMerges) jobs by construction — the
+  *     [[Dedup.duplicateClusters]] lifecycle pattern (persist next,
+  *     materialize, unpersist previous) keeps the plan flat.
+  *   - Serving ([[encodeCounts]]) never re-encodes repeated tokens:
+  *     the distinct tokens of the frame are encoded once (a
+  *     vocabulary-sized job) and joined back to the occurrence
+  *     stream — the dictionary trick that turns per-occurrence
+  *     subword work into per-TYPE work.
+  *
+  * Symbols are the characters of [[Dedup.normalizeTokens]] output;
+  * merges never cross token boundaries (GPT-2-style pre-split by
+  * whitespace, no end-of-word marker — documented contract, pinned by
+  * the reference-implementation spec).
+  *
+  * Determinism: the merge argmax breaks count ties by
+  * (sym_l, sym_r) ascending, so the fitted merge list is a pure
+  * function of the corpus on any engine; the round-1 pair census is
+  * DuckDB-expressible and oracle-checked (q126).
+  */
+object Bpe {
+
+  /** A fitted BPE model: merges in learned order (rank 0 first). */
+  case class BpeModel(merges: Seq[(String, String)]) {
+    /** rank lookup used by the greedy encoder */
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** Greedy BPE encode of one token against a rank table: repeatedly
+    * merge the lowest-rank adjacent pair (left-to-right,
+    * non-overlapping within a pass) until no mergeable pair remains.
+    * Standard serving-side algorithm; tight loop, no per-element
+    * expression evaluation.
+    */
+  private[graft] def encodeToken(tok: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    if (tok.isEmpty) return Array.empty
+    var syms = tok.map(_.toString).toArray
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else syms = mergePass(syms, best, ranks)
+    }
+    syms
+  }
+
+  /** One left-to-right non-overlapping merge pass of the pair whose
+    * rank equals `rank`.
+    */
+  private def mergePass(syms: Array[String], rank: Int,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 &&
+          ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue) == rank) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Word-type table `(token, cnt)` — the single corpus scan. */
+  private def typeTable(df: DataFrame, text: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(explode(Dedup.normalizeTokens(col(text))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+
+  /** Weighted adjacent-pair census over a symbol-sequence table
+    * `(syms: array<string>, cnt)`: one row per (sym_l, sym_r) with the
+    * total number of adjacent occurrences across all token
+    * occurrences (overlapping positions count, as in the reference
+    * algorithm: "aaa" contributes (a,a) twice).
+    */
+  private val pairsUdf = udf { (syms: Seq[String]) =>
+    if (syms == null || syms.length < 2) Seq.empty[Seq[String]]
+    else {
+      val out = new Array[Seq[String]](syms.length - 1)
+      var i = 0
+      while (i < syms.length - 1) {
+        out(i) = Seq(syms(i), syms(i + 1))
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  private def pairCensus(types: DataFrame): DataFrame =
+    types.select(col("__cnt"),
+        explode(pairsUdf(col("__syms"))).as("__p"))
+      .groupBy(col("__p").getItem(0).as("sym_l"),
+        col("__p").getItem(1).as("sym_r"))
+      .agg(sum(col("__cnt")).as("pair_count"))
+
+  /** Round-1 adjacent-pair statistics over the corpus — the
+    * oracle-checkable stage of BPE learning (exact counts, exact
+    * deterministic order). Computed from the word-type table so the
+    * pair explosion is vocabulary-sized, not corpus-sized.
+    *
+    * Output: (sym_l, sym_r, pair_count).
+    */
+  def pairStats(df: DataFrame, text: String): DataFrame = {
+    val chars = udf { (t: String) => t.map(_.toString) }
+    pairCensus(typeTable(df, text)
+      .select(chars(col("__tok")).as("__syms"), col("__cnt")))
+  }
+
+  /** Learn `nMerges` BPE merges from the corpus. Stops early when no
+    * adjacent pair reaches `minPairCount`. Returns the model plus the
+    * merge table `(rank, sym_l, sym_r, merged, pair_count)` for
+    * auditing (rank 0 = first merge).
+    */
+  def fit(df: DataFrame, text: String, nMerges: Int,
+      minPairCount: Long = 2L): (BpeModel, DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    val chars = udf { (t: String) => t.map(_.toString) }
+    var types = typeTable(df, text)
+      .select(chars(col("__tok")).as("__syms"), col("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    types.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    var r = 0
+    while (r < nMerges && !stop) {
+      // deterministic argmax: max weighted count, ties by symbol pair
+      val best = pairCensus(types)
+        .orderBy(desc("pair_count"), asc("sym_l"), asc("sym_r"))
+        .head(1)
+      if (best.isEmpty || best(0).getAs[Long]("pair_count") < minPairCount)
+        stop = true
+      else {
+        val (l, rr, c) = (best(0).getAs[String]("sym_l"),
+          best(0).getAs[String]("sym_r"),
+          best(0).getAs[Long]("pair_count"))
+        merges += ((l, rr, c))
+        val applyMerge = udf { (syms: Seq[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        val next = types
+          .select(applyMerge(col("__syms")).as("__syms"), col("__cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent lineage
+        types.unpersist(blocking = false)
+        types = next
+      }
+      r += 1
+    }
+    types.unpersist(blocking = false)
+    import spark.implicits._
+    val table = merges.toSeq.zipWithIndex
+      .map { case ((l, rr, c), i) => (i, l, rr, l + rr, c) }
+      .toDF("rank", "sym_l", "sym_r", "merged", "pair_count")
+    (BpeModel(merges.toSeq.map { case (l, rr, _) => (l, rr) }), table)
+  }
+
+  /** Per-document BPE token counts against a fitted model:
+    * (id, n_words, n_bpe) — n_bpe/n_words is the fertility the
+    * pipeline monitors when choosing a vocabulary budget.
+    *
+    * Dictionary-join serving: the frame's DISTINCT tokens are encoded
+    * once (vocabulary-sized job, broadcast rank map in a tight loop)
+    * and joined back to the occurrence stream, so repeated tokens —
+    * virtually all of a natural corpus — cost one lookup, not one
+    * encode. Unseen-at-fit tokens encode fine (worst case: one symbol
+    * per character).
+    */
+  def encodeCounts(df: DataFrame, id: String, text: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val ranksB = spark.sparkContext.broadcast(model.ranks)
+    val nSub = udf { (tok: String) =>
+      encodeToken(tok, ranksB.value).length
+    }
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id), explode(Dedup.normalizeTokens(col(text)))
+        .as("__tok"))
+    val dict = toks.select(col("__tok")).distinct()
+      .withColumn("__n", nSub(col("__tok")))
+    toks.join(broadcast(dict), Seq("__tok"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe"))
+  }
+}

@@ -476,4 +476,39 @@ object TextAnalysis {
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * Bt + tokHash(t), lit(M)))
   }
+
+  /** Per-document vocabulary coverage against the corpus's own top-K
+    * token vocabulary: (id, n_tokens, n_oov, oov_rate) — the audit a
+    * pipeline runs before committing to a tokenizer/vocabulary budget
+    * (documents with high OOV rates are the ones a fixed vocab will
+    * shred into unknowns).
+    *
+    * Shape: one tokenize+explode stream feeds both the vocabulary
+    * census (groupBy token — the only vocabulary-keyed shuffle) and
+    * the per-doc scoring join; `singleScan` (default on) pins the
+    * compact (id, token) stream so the corpus is scanned once. The
+    * top-K vocab (count desc, token asc — total order, deterministic
+    * on any engine) is K rows and broadcasts; scoring is a broadcast
+    * left join plus a per-doc partial aggregate. No corpus-sized
+    * shuffle anywhere.
+    */
+  def vocabCoverage(df: DataFrame, id: String, text: String,
+      vocabSize: Int, singleScan: Boolean = true): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks0 = df.where(col(text).isNotNull)
+      .select(col(id), explode(Dedup.normalizeTokens(col(text)))
+        .as("__tok"))
+    val toks = if (singleScan) graft.Caches.pin(toks0) else toks0
+    val vocab = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), asc("__tok"))
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

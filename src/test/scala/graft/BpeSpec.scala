@@ -1,0 +1,164 @@
+package graft
+
+import graft.llmdata.{Bpe, Dedup}
+import org.apache.spark.sql.functions._
+
+/** BPE learning/serving pinned against an independent single-node
+  * reference implementation (naive nested loops over in-memory word
+  * lists — deliberately nothing like the distributed census) on
+  * corpora small enough to enumerate by hand.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- independent reference implementation ------------------------
+
+  private def refTokenize(s: String): Seq[String] =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", "").trim
+      .split(" +").filter(_.nonEmpty).toSeq
+
+  /** reference pair census over word types weighted by count */
+  private def refPairs(types: Map[Seq[String], Long])
+      : Map[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap[(String, String), Long]()
+    for ((syms, cnt) <- types; i <- 0 until syms.length - 1)
+      m((syms(i), syms(i + 1))) =
+        m.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+    m.toMap
+  }
+
+  private def refMergeWord(syms: Seq[String], l: String, r: String)
+      : Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** reference fit: argmax with (count desc, pair asc) tiebreak */
+  private def refFit(corpus: Seq[String], nMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    var types: Map[Seq[String], Long] = corpus.flatMap(refTokenize)
+      .groupBy(identity).view
+      .map { case (t, occ) =>
+        (t.map(_.toString): Seq[String]) -> occ.size.toLong }
+      .toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val ps = refPairs(types)
+      if (ps.isEmpty) done = true
+      else {
+        val (pair, c) = ps.toSeq.minBy { case ((l, r), c) =>
+          (-c, l, r) }
+        if (c < minPairCount) done = true
+        else {
+          merges += pair
+          types = types.toSeq.map { case (syms, cnt) =>
+            (refMergeWord(syms, pair._1, pair._2), cnt)
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def refEncode(tok: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = tok.map(_.toString)
+    var done = false
+    while (!done && syms.length >= 2) {
+      val present = syms.zip(syms.tail)
+        .filter(ranks.contains).map(p => ranks(p) -> p)
+      if (present.isEmpty) done = true
+      else {
+        val (_, (l, r)) = present.minBy(_._1)
+        syms = refMergeWord(syms, l, r)
+      }
+    }
+    syms
+  }
+
+  // ---- fixtures ----------------------------------------------------
+
+  private val corpus = Seq(
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "the low new low THE the",
+    "widest wide wider wide wide")
+  private val docs = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("pairStats equals the reference pair census") {
+    val got = Bpe.pairStats(docs, "text").collect()
+      .map(r => (r.getAs[String]("sym_l"), r.getAs[String]("sym_r")) ->
+        r.getAs[Long]("pair_count")).toMap
+    val types = corpus.flatMap(refTokenize).groupBy(identity).view
+      .map { case (t, occ) =>
+        (t.map(_.toString): Seq[String]) -> occ.size.toLong }.toMap
+    assert(got == refPairs(types))
+  }
+
+  test("fit learns the reference merge list in the reference order") {
+    val (model, table) = Bpe.fit(docs, "text", nMerges = 12)
+    val want = refFit(corpus, 12)
+    assert(model.merges == want,
+      s"got ${model.merges}\nwant $want")
+    // audit table mirrors the model, ranked 0..n-1
+    val rows = table.orderBy("rank").collect()
+    assert(rows.map(r => (r.getAs[String]("sym_l"),
+      r.getAs[String]("sym_r"))).toSeq == want)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == rows.indices)
+    assert(rows.forall(r => r.getAs[String]("merged") ==
+      r.getAs[String]("sym_l") + r.getAs[String]("sym_r")))
+  }
+
+  test("fit stops early when no pair reaches minPairCount") {
+    val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    val (model, table) = Bpe.fit(tiny, "text", nMerges = 10)
+    assert(model.merges.isEmpty) // every pair occurs once < 2
+    assert(table.count() == 0)
+    val (m2, _) = Bpe.fit(tiny, "text", nMerges = 10, minPairCount = 1L)
+    assert(m2.merges.nonEmpty)
+  }
+
+  test("encodeToken matches the reference greedy encoder, " +
+      "including tokens unseen at fit time") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    val ranks = model.ranks
+    for (tok <- Seq("low", "lowest", "newest", "wide", "unseenzz",
+        "l", "", "lowlow")) {
+      assert(Bpe.encodeToken(tok, ranks).toSeq == refEncode(tok, ranks),
+        s"token '$tok'")
+    }
+  }
+
+  test("encodeCounts: dictionary-join counts equal per-doc " +
+      "reference encode sums") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"))).toMap
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      val toks = refTokenize(t)
+      i.toLong -> (toks.size.toLong,
+        toks.map(refEncode(_, model.ranks).size.toLong).sum)
+    }.toMap
+    assert(got == want)
+    // fertility sanity: merges only ever shrink the symbol count
+    val chars = corpus.flatMap(refTokenize).map(_.length.toLong).sum
+    assert(got.values.map(_._2).sum <= chars)
+    assert(got.values.forall { case (w, b) => b >= w })
+  }
+
+  test("normalizeTokens and the reference tokenizer agree on the " +
+      "fixture (contract the fit relies on)") {
+    val got = docs.select(Dedup.normalizeTokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq == corpus.map(refTokenize))
+  }
+}
