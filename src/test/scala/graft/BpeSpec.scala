@@ -117,6 +117,18 @@ class BpeSpec extends SparkSuite {
       r.getAs[String]("sym_l") + r.getAs[String]("sym_r")))
   }
 
+  test("distributed merge rounds equal the driver loop (forced via " +
+      "maxDriverTypes = 0) and the reference") {
+    val (dist, distTable) = Bpe.fit(docs, "text", nMerges = 8,
+      maxDriverTypes = 0)
+    val (drv, _) = Bpe.fit(docs, "text", nMerges = 8)
+    assert(dist.merges == drv.merges)
+    assert(dist.merges == refFit(corpus, 8))
+    assert(distTable.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("sym_l"), r.getAs[String]("sym_r")))
+      .toSeq == drv.merges)
+  }
+
   test("fit stops early when no pair reaches minPairCount") {
     val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
     val (model, table) = Bpe.fit(tiny, "text", nMerges = 10)
