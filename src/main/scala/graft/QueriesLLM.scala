@@ -1649,6 +1649,30 @@ object QueriesLLM {
       .orderBy(col("vec_id")),
     None)
 
+  /** Per-group EXACT quantiles with the GK approximate-percentile
+    * sketch riding the same pass under a rank-contract audit gate
+    * (the only guarantee GK makes): estimate rank within 5% of
+    * target or the plan raises. The output is exact, so DuckDB
+    * recomputes it with quantile_cont.
+    */
+  private val q130_quantile_audit: Q = (
+    (s, dir) => Sketches.quantileAudit(read(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice",
+        probs = Seq(0.25, 0.5, 0.75), rankTol = 0.05)
+      .orderBy(col("l_returnflag"), col("p")),
+    Some("""WITH q AS (SELECT l_returnflag,
+                 quantile_cont(l_extendedprice, 0.25) AS q25,
+                 quantile_cont(l_extendedprice, 0.50) AS q50,
+                 quantile_cont(l_extendedprice, 0.75) AS q75
+               FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+                   round(q25, 4) AS q FROM q
+            UNION ALL SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+                   round(q50, 4) FROM q
+            UNION ALL SELECT l_returnflag, CAST(0.75 AS DOUBLE),
+                   round(q75, 4) FROM q
+            ORDER BY l_returnflag, p"""))
+
   /** Round-1 BPE pair census, top 20 by (count desc, pair asc) — the
     * oracle-checkable stage of tokenizer learning ([[Bpe.fit]]'s
     * argmax input, exact integer counts over a total order). Computed
@@ -1750,6 +1774,7 @@ object QueriesLLM {
     "q127_bpe_fit" -> q127_bpe_fit,
     "q128_bpe_encode" -> q128_bpe_encode,
     "q129_vocab_coverage" -> q129_vocab_coverage,
+    "q130_quantile_audit" -> q130_quantile_audit,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -136,4 +136,76 @@ object Sketches {
       .join(seen.select(col(key)).distinct(), Seq(key), "left_anti")
     definitelyNovel.unionByName(maybeSeen)
   }
+
+  /** Per-group EXACT quantiles with the approximate-percentile sketch
+    * (Greenwald-Khanna, Spark's approx_percentile) riding the same
+    * pass as an in-plan audit: the estimate's true RANK — the only
+    * thing GK actually guarantees — must land within `rankTol` x n of
+    * the target, or the query raises. Value-drift audits lie on
+    * skewed data (a tiny value gap can be a huge rank gap and vice
+    * versa); the rank audit is the sketch's own contract.
+    *
+    * Two passes over the pinned (group, value) stream: one grouped
+    * aggregate computes exact + sketch quantiles together, then the
+    * estimates broadcast back and a second aggregate counts rows
+    * below each estimate (the exact rank bracket). A value can be
+    * tied many times, so the audit checks INTERVAL OVERLAP:
+    * [count(<est)+1, count(<=est)] (the estimate's possible ranks)
+    * against [n(p - tol), n(p + tol)] (the sketch's promise). At test
+    * scale the gate certifies the sketch; at 100 TB the certified
+    * sketch runs alone — exact `percentile` buffers every value per
+    * group, GK buffers O(accuracy) — and the audit runs on samples.
+    *
+    * Output: (grp-named column, p, q) — q the EXACT quantile
+    * (quantile_cont semantics, rounded to 4 decimals for
+    * cross-engine interpolation ulp), oracle-checkable.
+    */
+  def quantileAudit(df: DataFrame, grp: String, value: String,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      rankTol: Double = 0.05, accuracyOverride: Int = 0): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    require(rankTol > 0 && rankTol < 1,
+      s"rankTol must be in (0,1), got $rankTol")
+    // D-suffixed literals: a bare 0.25 parses as DECIMAL(3,2) and the
+    // output p column must be double on both engines
+    val probsArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    // GK accuracy a guarantees rank error <= n/a; the override exists
+    // so a spec can force an under-provisioned sketch through the gate
+    val accuracy = if (accuracyOverride > 0) accuracyOverride
+      else math.max(100, math.ceil(1.0 / rankTol).toInt)
+    val base = graft.Caches.pin(
+      df.select(col(grp).as("__g"), col(value).cast("double").as("__v"))
+        .where(col("__v").isNotNull))
+    val est = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        expr(s"percentile(__v, $probsArr)").as("__qx"),
+        expr(s"approx_percentile(__v, $probsArr, $accuracy)").as("__qa"))
+      .select(col("__g"), col("__n"),
+        posexplode(arrays_zip(col("__qx"), col("__qa"))))
+      .select(col("__g"), col("__n"),
+        expr(probsArr)(col("pos")).as("p"),
+        col("col.__qx").as("q_exact"), col("col.__qa").as("__qa"))
+    val ranks = base.join(broadcast(est), Seq("__g"))
+      .groupBy(col("__g"), col("p"))
+      .agg(first(col("__n")).as("__n"),
+        first(col("q_exact")).as("q_exact"),
+        first(col("__qa")).as("__qa"),
+        count(when(col("__v") < col("__qa"), lit(1))).as("__below"),
+        count(when(col("__v") <= col("__qa"), lit(1))).as("__atOrBelow"))
+    ranks
+      .withColumn("q",
+        when((col("__below") + lit(1)).cast("double") >
+            (col("p") + lit(rankTol)) * col("__n") ||
+            col("__atOrBelow").cast("double") <
+            (col("p") - lit(rankTol)) * col("__n"),
+          raise_error(concat(lit("quantileAudit: sketch estimate for p="),
+            col("p"), lit(" in group "), col("__g"),
+            lit(" has rank ["), col("__below") + 1, lit(","),
+            col("__atOrBelow"),
+            lit(s"] outside n*(p +- $rankTol) — sketch broke its "),
+            lit("contract"))).cast("double"))
+          .otherwise(round(col("q_exact"), 4)))
+      .select(col("__g").as(grp), col("p"), col("q"))
+  }
 }

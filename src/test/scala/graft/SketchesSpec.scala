@@ -60,6 +60,44 @@ class SketchesSpec extends SparkSuite {
     assert(got == truth)
   }
 
+  test("quantileAudit: exact per-group quantiles; rank gate passes " +
+      "at sane tolerance, including heavily tied data") {
+    val df = ((0 until 4000).map(i => ("a", i.toDouble)) ++
+      (0 until 4000).map(i => ("b", (i % 5).toDouble))) // 5 tied values
+      .toDF("grp", "v")
+    val got = Sketches.quantileAudit(df, "grp", "v",
+        probs = Seq(0.25, 0.5, 0.75), rankTol = 0.05)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    graft.Caches.release()
+    val truth = df.groupBy("grp")
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .collect().flatMap { r =>
+        val qs = r.getSeq[Double](1)
+        Seq(0.25, 0.5, 0.75).zip(qs).map { case (p, q) =>
+          (r.getString(0), p) ->
+            BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble }
+      }.toMap
+    assert(got == truth)
+  }
+
+  test("quantileAudit: an under-provisioned sketch trips the rank " +
+      "gate in-plan") {
+    val df = (0 until 20000).map(i => ("a", i.toDouble)).toDF("grp", "v")
+    // accuracy 1 keeps O(1) samples — its rank error on 20k distinct
+    // values cannot stay within 0.1% of target
+    val e = intercept[Throwable] {
+      Sketches.quantileAudit(df, "grp", "v", probs = Seq(0.5),
+        rankTol = 0.001, accuracyOverride = 1).collect()
+    }
+    graft.Caches.release()
+    def mentions(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("quantileAudit") ||
+        mentions(t.getCause))
+    assert(mentions(e), s"unexpected failure: $e")
+  }
+
   test("bloomNovel: equals the exact anti-join with planted dups, " +
       "even with an undersized, high-fpp filter") {
     val seen = (0 until 1000).map(i => s"key$i").toDF("k")
