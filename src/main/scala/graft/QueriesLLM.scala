@@ -1255,7 +1255,10 @@ object QueriesLLM {
   private val q119_dsir_weights: Q = (
     (s, dir) => {
       val d = spread(read(s, dir, "documents"))
-      Sampling.dsirLogWeights(d, d.where(col("lang") === "en"),
+      // predicate-subset target -> the one-scan conditional census
+      // (dsirLogWeightsWithin); identical integers to the two-frame
+      // form, spec-pinned
+      Sampling.dsirLogWeightsWithin(d, col("lang") === "en",
           "doc_id", "text", nBuckets = 4096, addK = 0.5)
         .orderBy(col("doc_id"))
     },
@@ -1301,7 +1304,8 @@ object QueriesLLM {
   private val q120_dsir_score: Q = (
     (s, dir) => {
       val d = spread(read(s, dir, "documents"))
-      val m = Sampling.dsirFit(d, d.where(col("lang") === "en"),
+      // one-scan fit: the target is a predicate subset of the corpus
+      val m = Sampling.dsirFitWithin(d, col("lang") === "en",
         "text", nBuckets = 4096, addK = 0.5)
       val novel = s.range(1).select(lit(1000001L).as("doc_id"),
         lit("qqq www zzz").as("text"))
@@ -1649,6 +1653,34 @@ object QueriesLLM {
       .orderBy(col("vec_id")),
     None)
 
+  /** Per-source data card: volume, token-length distribution, and
+    * exact-dup rate in one grouped aggregate over one corpus scan —
+    * every metric exact and recomputed by DuckDB.
+    */
+  private val q131_corpus_report: Q = (
+    (s, dir) => TextAnalysis.corpusReport(
+        spread(read(s, dir, "documents")), "source", "text")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_tokens"), col("min_tokens"), col("max_tokens"),
+        col("n_unique"), col("dup_rate"))
+      .orderBy(col("source")),
+    Some("""WITH n AS (SELECT source,
+                 len(list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '')) AS nt,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+               FROM documents WHERE text IS NOT NULL)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CAST(nt AS BIGINT)) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(nt AS BIGINT)) AS DOUBLE)
+                     / count(*), 6) AS mean_tokens,
+                   min(nt) AS min_tokens, max(nt) AS max_tokens,
+                   count(DISTINCT fp) AS n_unique,
+                   round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                     / count(*), 6) AS dup_rate
+            FROM n GROUP BY source ORDER BY source"""))
+
   /** Per-group EXACT quantiles with the GK approximate-percentile
     * sketch riding the same pass under a rank-contract audit gate
     * (the only guarantee GK makes): estimate rank within 5% of
@@ -1775,6 +1807,7 @@ object QueriesLLM {
     "q128_bpe_encode" -> q128_bpe_encode,
     "q129_vocab_coverage" -> q129_vocab_coverage,
     "q130_quantile_audit" -> q130_quantile_audit,
+    "q131_corpus_report" -> q131_corpus_report,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -374,6 +374,88 @@ object Sampling {
       addK)
   }
 
+  /** One-scan DSIR fit for the common case where the target corpus is
+    * a PREDICATE SUBSET of the source (the q119/q120 shape: target =
+    * `lang = 'en'` slice of the same documents). [[dsirFit]] with two
+    * frames tokenizes the target rows TWICE — once inside each
+    * corpus's census; here the feature stream carries the membership
+    * flag and ONE grouped aggregate produces both counts
+    * (count(*) and count-if), so the corpus is tokenized exactly
+    * once. Identical lambda table and unseen constant as
+    * dsirFit(corpus, corpus.where(pred), ...) — a subset target
+    * cannot produce target-only buckets, so the full-outer join
+    * degenerates to the source census. Spec-pinned equal.
+    */
+  def dsirFitWithin(corpus: DataFrame, targetPred: Column, text: String,
+      nBuckets: Int = 4096, addK: Double = 0.5): DsirModel = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    val feats = corpus.where(col(text).isNotNull)
+      .select(targetPred.as("__isT"),
+        Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col("__isT"),
+        explode(bigramBuckets(col("__t"), lit(nBuckets))).as("__bkt"))
+    val cnts = feats.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cs"),
+        count(when(col("__isT"), lit(1))).as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cnts.agg(sum(col("__ct")), sum(col("__cs"))).head()
+    val (tt, ts) = (tot.getLong(0), tot.getLong(1))
+    val denomT = tt + addK * nBuckets
+    val denomS = ts + addK * nBuckets
+    val lam = cnts.withColumn("__lam4", round(log(
+        ((col("__ct") + lit(addK)) / lit(denomT)) /
+        ((col("__cs") + lit(addK)) / lit(denomS))) * lit(1e4))
+        .cast("long"))
+      .select(col("__bkt"), col("__lam4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lam.count()
+    cnts.unpersist(blocking = false)
+    DsirModel(lam, nBuckets,
+      math.round(math.log((addK / denomT) / (addK / denomS)) * 1e4),
+      addK)
+  }
+
+  /** [[dsirLogWeights]] for a predicate-subset target: the pinned
+    * feature stream (docId, isTarget, bucket) feeds the one-pass
+    * conditional census AND the scoring join, so the corpus is
+    * normalized + bigrammed exactly once (vs twice for the two-frame
+    * form). Same integer-quantized log-ratios, same output contract.
+    */
+  def dsirLogWeightsWithin(corpus: DataFrame, targetPred: Column,
+      docId: String, text: String, nBuckets: Int = 4096,
+      addK: Double = 0.5, singleScan: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    val sf0 = corpus.where(col(text).isNotNull)
+      .select(col(docId), targetPred.as("__isT"),
+        Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col(docId), col("__isT"),
+        explode(bigramBuckets(col("__t"), lit(nBuckets))).as("__bkt"))
+    val sf = if (singleScan) graft.Caches.pin(sf0) else sf0
+    val cnts = sf.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__cs"),
+        count(when(col("__isT"), lit(1))).as("__ct"))
+    val tTot = cnts.agg(sum(col("__ct")).as("__tt"))
+    val sTot = cnts.agg(sum(col("__cs")).as("__ts"))
+    val lam = cnts
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .withColumn("__lam4", round(log(
+          ((col("__ct") + lit(addK)) /
+            (col("__tt") + lit(addK * nBuckets))) /
+          ((col("__cs") + lit(addK)) /
+            (col("__ts") + lit(addK * nBuckets)))) * lit(1e4))
+        .cast("long"))
+      .select(col("__bkt"), col("__lam4"))
+    sf.join(broadcast(lam), Seq("__bkt"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lam4")).as("__s"))
+      .withColumn("dsir_logw", col("__s") / lit(1e4))
+      .select(col(docId), col("n_bigrams"), col("dsir_logw"))
+  }
+
   /** Score a frame — batch or STREAMING — against a pre-fitted
     * [[DsirModel]]: selection-at-ingest as one broadcast
     * (stream-static) join plus a per-doc aggregate. Buckets unseen at

@@ -477,6 +477,35 @@ object TextAnalysis {
       (acc, t) => pmod(acc * Bt + tokHash(t), lit(M)))
   }
 
+  /** Per-source corpus report card — the data-card summary a pipeline
+    * publishes per mixture component: document/token volume, length
+    * distribution, and the exact-duplicate rate, in ONE grouped
+    * aggregate over one corpus scan (countDistinct adds the standard
+    * two-phase expansion, still a single pass over the data). Every
+    * metric is exact and SQL-expressible, so the whole card is
+    * oracle-checkable.
+    *
+    * Output per group: n_docs, n_tokens, mean_tokens (exact-sum,
+    * double-divide), min/max_tokens, n_unique (distinct normalized
+    * fingerprints), dup_rate = 1 - n_unique/n_docs.
+    */
+  def corpusReport(df: DataFrame, grp: String, text: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(col(grp),
+        size(Dedup.normalizeTokens(col(text))).cast("long").as("__nt"),
+        md5(Dedup.normalize(col(text))).as("__fp"))
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        min(col("__nt")).as("min_tokens"),
+        max(col("__nt")).as("max_tokens"),
+        countDistinct(col("__fp")).as("n_unique"))
+      .withColumn("mean_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"),
+          6))
+
   /** Per-document vocabulary coverage against the corpus's own top-K
     * token vocabulary: (id, n_tokens, n_oov, oov_rate) — the audit a
     * pipeline runs before committing to a tokenizer/vocabulary budget

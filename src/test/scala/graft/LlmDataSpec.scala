@@ -463,6 +463,42 @@ class LlmDataSpec extends SparkSuite {
     assert(w(1L) > w(3L) && w(3L) > w(2L), s"unexpected ordering: $w")
   }
 
+  test("dsirFitWithin/dsirLogWeightsWithin: one-scan conditional " +
+      "census equals the two-frame forms on a predicate-subset " +
+      "target, exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "en", "alpha beta alpha beta alpha beta"),
+      (2L, "de", "gamma delta gamma delta gamma delta"),
+      (3L, "en", "alpha beta gamma delta"),
+      (4L, "fr", "epsilon zeta epsilon zeta"),
+      (5L, "en", "solo")).toDF("doc_id", "lang", "text")
+    val pred = col("lang") === "en"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    // weights: Within vs two-frame — identical integer sums
+    val within = rows(Sampling.dsirLogWeightsWithin(corpus, pred,
+      "doc_id", "text", nBuckets = 256))
+    Caches.release()
+    val twoFrame = rows(Sampling.dsirLogWeights(corpus,
+      corpus.where(pred), "doc_id", "text", nBuckets = 256))
+    Caches.release()
+    assert(within == twoFrame)
+    // fit: Within vs two-frame — identical lambda tables + constants
+    val mW = Sampling.dsirFitWithin(corpus, pred, "text", nBuckets = 256)
+    val m2 = Sampling.dsirFit(corpus, corpus.where(pred), "text",
+      nBuckets = 256)
+    try {
+      def lam(m: Sampling.DsirModel) = m.lambda.collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // two-frame full-outer can only add target-only buckets, which
+      // a subset target cannot produce
+      assert(lam(mW) == lam(m2))
+      assert(mW.unseenLam4 == m2.unseenLam4)
+    } finally { mW.unpersist(); m2.unpersist() }
+  }
+
   test("dsirFit/dsirScore: pre-fitted scoring equals the inline " +
       "computation; unseen buckets take the constant log-ratio; " +
       "a STREAM scores identically to batch") {
