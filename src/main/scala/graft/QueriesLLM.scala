@@ -1769,6 +1769,22 @@ object QueriesLLM {
     },
     None)
 
+  /** STREAMING-SAFE BPE fertility (batch form under the driver's eye,
+    * the q104 pattern): one stateless scalar UDF per document row —
+    * no explode, no aggregate, no state store — so the same plan runs
+    * on a stream in APPEND mode (BpeSpec pins stream == batch through
+    * a MemoryStream, and fertility == the q128 dictionary-join
+    * serving path). Rows-only; q126 is the family's oracled twin.
+    */
+  private val q132_bpe_fertility: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = Bpe.fit(d, "text", nMerges = 16)
+      Bpe.fertility(d, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   /** Vocabulary-coverage audit: per-doc OOV counts against the
     * corpus's own top-1000 token vocabulary (count desc, token asc —
     * a total order both engines compute identically). One pinned
@@ -1808,6 +1824,7 @@ object QueriesLLM {
     "q129_vocab_coverage" -> q129_vocab_coverage,
     "q130_quantile_audit" -> q130_quantile_audit,
     "q131_corpus_report" -> q131_corpus_report,
+    "q132_bpe_fertility" -> q132_bpe_fertility,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

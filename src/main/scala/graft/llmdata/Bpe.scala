@@ -333,4 +333,56 @@ object Bpe {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe"))
   }
+
+  /** STREAMING-SAFE fertility: (id, n_words, n_bpe) computed by one
+    * stateless scalar pass per document row — tokenize and encode
+    * inside a single tight-loop UDF, no explode, no aggregate — so a
+    * stream stays in APPEND mode with no state store and no
+    * watermark (the ingest-time fertility monitor; [[encodeCounts]]'s
+    * dictionary join is the batch path and needs a streaming-illegal
+    * distinct). Identical numbers to encodeCounts, spec-pinned, and
+    * stream == batch pinned through a MemoryStream.
+    *
+    * Repeated tokens within and across rows re-encode against a
+    * per-executor memo (bounded, concurrent) rather than per
+    * occurrence — the dictionary trick degraded to a cache, which is
+    * what a stream allows.
+    */
+  def fertility(docs: DataFrame, id: String, text: String,
+      model: BpeModel): DataFrame = {
+    val ranksB = docs.sparkSession.sparkContext.broadcast(model.ranks)
+    val counts = udf { (t: String) =>
+      val toks = Dedup.tokenizeJvm(t)
+      if (toks == null) null
+      else {
+        var nb = 0L
+        val memo = Bpe.memo
+        var i = 0
+        while (i < toks.length) {
+          val tok = toks(i)
+          val cached = memo.get(tok)
+          if (cached != null) nb += cached.intValue()
+          else {
+            val n = encodeToken(tok, ranksB.value).length
+            if (memo.size < memoCap) memo.put(tok, Integer.valueOf(n))
+            nb += n
+          }
+          i += 1
+        }
+        (toks.length.toLong, nb)
+      }
+    }
+    docs.where(col(text).isNotNull)
+      .select(col(id), counts(col(text)).as("__c"))
+      .select(col(id), col("__c").getField("_1").as("n_words"),
+        col("__c").getField("_2").as("n_bpe"))
+  }
+
+  /** Per-executor (token -> subword count) memo for [[fertility]];
+    * bounded, shared across tasks. Correctness never depends on it —
+    * a miss just re-encodes.
+    */
+  private val memoCap = 1 << 17
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }

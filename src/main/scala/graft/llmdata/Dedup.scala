@@ -36,29 +36,37 @@ object Dedup {
     * tokenize-bound operator. Null text -> null (filter upstream,
     * same contract as the expression form).
     */
+  /** The tokenize loop as a plain JVM function, for UDFs that fuse
+    * tokenization with other per-row work ([[Bpe.fertility]]). Null
+    * in -> null out, same contract as the Column form.
+    */
+  private[llmdata] def tokenizeJvm(s: String): Array[String] = {
+    if (s == null) return null
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // full Unicode lowercasing, not just A-Z: characters whose
+      // lowercase maps INTO [a-z] (Kelvin sign -> k) must
+      // survive exactly as they do in the lower()+regex chain
+      val lc = Character.toLowerCase(c)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9'))
+        sb.append(lc)
+      else if (lc == ' ' && sb.length > 0) {
+        out += sb.toString; sb.setLength(0)
+      } // any other char is stripped, not a separator
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
   val normalizeTokens: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
-      if (s == null) null
-      else {
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        val sb = new java.lang.StringBuilder()
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          // full Unicode lowercasing, not just A-Z: characters whose
-          // lowercase maps INTO [a-z] (Kelvin sign K -> k) must
-          // survive exactly as they do in the lower()+regex chain
-          val lc = Character.toLowerCase(c)
-          if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9'))
-            sb.append(lc)
-          else if (lc == ' ' && sb.length > 0) {
-            out += sb.toString; sb.setLength(0)
-          } // any other char is stripped, not a separator
-          i += 1
-        }
-        if (sb.length > 0) out += sb.toString
-        out.toSeq
-      }
+      val a = tokenizeJvm(s)
+      if (a == null) null
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     }
 
   /** Exact duplicate groups: md5 of normalized text; keeps the lowest

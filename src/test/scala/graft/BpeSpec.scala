@@ -167,6 +167,29 @@ class BpeSpec extends SparkSuite {
     assert(got.values.forall { case (w, b) => b >= w })
   }
 
+  test("fertility: stateless per-row counts equal encodeCounts, and " +
+      "a MemoryStream in append mode scores identically to batch") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"))).toSet
+    val batch = rows(Bpe.fertility(docs, "doc_id", "text", model))
+    assert(batch == rows(Bpe.encodeCounts(docs, "doc_id", "text", model)))
+    // stream: same rows through micro-batches, APPEND mode (no state)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Bpe.fertility(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_bpe_fert").start()
+    val data = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    in.addData(data.take(2)); q.processAllAvailable()
+    in.addData(data.drop(2)); q.processAllAvailable(); q.stop()
+    assert(rows(spark.sql(
+      "SELECT doc_id, n_words, n_bpe FROM t_bpe_fert")) == batch)
+  }
+
   test("normalizeTokens and the reference tokenizer agree on the " +
       "fixture (contract the fit relies on)") {
     val got = docs.select(Dedup.normalizeTokens(col("text")).as("t"))
