@@ -191,12 +191,131 @@ object Bpe {
   }
 
   /** In-memory merge loop over the collected type table (bounded by
-    * `maxDriverTypes`). Same census semantics as the distributed
-    * rounds: adjacent positions weighted by type count, overlapping
-    * positions included.
+    * `maxDriverTypes`), with INCREMENTAL pair-count maintenance: the
+    * adjacent-pair census and a (count desc, pair asc)-ordered index
+    * are built once, then each merge round touches only the types
+    * that actually contain the merged pair — decrement their old
+    * pairs, rewrite, increment their new pairs — instead of
+    * re-counting every symbol of every type. Production vocabularies
+    * (tens of thousands of merges) make the difference: a full
+    * recount is O(nMerges x total symbols); the incremental rounds
+    * are O(affected symbols x log |pairs|), and the argmax is the
+    * head of the ordered index. All arithmetic is exact long
+    * increments/decrements of the same census, so the merge sequence
+    * is bit-identical to the recount loop ([[fitDriverRecount]], the
+    * definition-of-record twin BpeSpec pins equal).
     */
-  private def fitDriver(types: Array[(String, Long)], nMerges: Int,
-      minPairCount: Long): Seq[(String, String, Long)] = {
+  private[graft] def fitDriver(types: Array[(String, Long)],
+      nMerges: Int, minPairCount: Long): Seq[(String, String, Long)] = {
+    val syms: Array[Array[String]] =
+      types.map { case (t, _) => t.map(_.toString).toArray }
+    val cnts: Array[Long] = types.map(_._2)
+
+    val census = scala.collection.mutable.HashMap[(String, String), Long]()
+    // ordered view of the census: head = current argmax (max count,
+    // ties by (sym_l, sym_r) ascending). Kept in lockstep with census.
+    val ord = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // count desc
+          if (c != 0) c
+          else {
+            val l = a._2.compareTo(b._2)              // sym_l asc
+            if (l != 0) l else a._3.compareTo(b._3)   // sym_r asc
+          }
+        }
+      })
+    // which type indices (may be stale) contain a given pair
+    val where = scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+
+    def bump(k: (String, String), delta: Long, idx: Int): Unit = {
+      val old = census.getOrElse(k, 0L)
+      if (old != 0L) ord.remove((old, k._1, k._2))
+      val nw = old + delta
+      if (nw == 0L) census.remove(k)
+      else { census(k) = nw; ord.add((nw, k._1, k._2)) }
+      if (delta > 0 && idx >= 0)
+        where.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer[Int]()) += idx
+    }
+
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i); val c = cnts(i)
+      var j = 0
+      while (j < s.length - 1) {
+        bump((s(j), s(j + 1)), c, i)
+        j += 1
+      }
+      i += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    while (merges.size < nMerges && !stop) {
+      if (ord.isEmpty) stop = true
+      else {
+        val head = ord.first()
+        if (head._1 < minPairCount) stop = true
+        else {
+          val (l, r) = (head._2, head._3)
+          merges += ((l, r, head._1))
+          val touched = where.remove((l, r))
+            .getOrElse(scala.collection.mutable.ArrayBuffer[Int]())
+          // an index can hold duplicates and stale entries; the
+          // contains-check below makes both harmless
+          val seen = new java.util.HashSet[Integer]()
+          var t = 0
+          while (t < touched.length) {
+            val idx = touched(t)
+            if (seen.add(idx)) {
+              val s = syms(idx)
+              var has = false
+              var j = 0
+              while (!has && j < s.length - 1) {
+                if (s(j) == l && s(j + 1) == r) has = true
+                j += 1
+              }
+              if (has) {
+                val c = cnts(idx)
+                var j2 = 0
+                while (j2 < s.length - 1) {
+                  bump((s(j2), s(j2 + 1)), -c, -1)
+                  j2 += 1
+                }
+                val out = scala.collection.mutable.ArrayBuffer[String]()
+                var p = 0
+                while (p < s.length) {
+                  if (p < s.length - 1 && s(p) == l && s(p + 1) == r) {
+                    out += l + r; p += 2
+                  } else { out += s(p); p += 1 }
+                }
+                val ns = out.toArray
+                syms(idx) = ns
+                var j3 = 0
+                while (j3 < ns.length - 1) {
+                  bump((ns(j3), ns(j3 + 1)), c, idx)
+                  j3 += 1
+                }
+              }
+            }
+            t += 1
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Full-recount merge loop — the definition-of-record twin of
+    * [[fitDriver]]: rebuilds the whole pair census every round. Kept
+    * for the equality spec (BpeSpec pins the two loops' merge tables
+    * identical); [[fit]] always runs the incremental loop.
+    */
+  private[graft] def fitDriverRecount(types: Array[(String, Long)],
+      nMerges: Int, minPairCount: Long): Seq[(String, String, Long)] = {
     var syms: Array[Array[String]] =
       types.map { case (t, _) => t.map(_.toString).toArray }
     val cnts: Array[Long] = types.map(_._2)

@@ -1,56 +1,42 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
 /** Ad-hoc stage timing for optimization work (not part of the driver
-  * contract). Current experiment: the singleScan (pin-the-derived-
-  * unit-stream) trade for spanDedup / repeatedSubstringSpans /
-  * chunkByContent at the active SF dir (BENCH_NOTES records the
-  * conclusions).
+  * contract). Current experiment: incremental vs full-recount BPE
+  * driver merge loops at production vocabulary scale (BENCH_NOTES
+  * records the conclusions). Earlier experiment (singleScan trades
+  * for spanDedup / repeatedSubstringSpans / chunkByContent) recorded
+  * in BENCH_NOTES r6.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-    def med(label: String)(f: => Long): Unit = {
-      f // untimed burn-in
-      val ts = (1 to 3).map { _ =>
+    // Zipf-ish synthetic word-type table: the shape a real corpus
+    // census produces (few massive types, long rare tail).
+    val rnd = new scala.util.Random(7L)
+    val alpha = "etaoinshrdlucmfwypvbgkqjxz"
+    def word(): String = {
+      val len = 2 + rnd.nextInt(10)
+      (0 until len).map { _ =>
+        // skewed letter draw
+        alpha(math.min(rnd.nextInt(8) + rnd.nextInt(19),
+          alpha.length - 1))
+      }.mkString
+    }
+    for (nTypes <- Seq(10000, 50000); nMerges <- Seq(500, 2000)) {
+      val types = (0 until nTypes).map { i =>
+        (word(), (nTypes.toLong / (i + 1)) + 1L)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toArray
+      def time(f: => Seq[(String, String, Long)]): (Double, Int) = {
         val t0 = System.nanoTime()
-        f
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[scratch] $label: median ${ts(1)}%.2f s (${ts.mkString(", ")})")
+        val m = f
+        ((System.nanoTime() - t0) / 1e9, m.size)
+      }
+      val (tInc, nInc) =
+        time(graft.llmdata.Bpe.fitDriver(types, nMerges, 2L))
+      val (tRec, nRec) =
+        time(graft.llmdata.Bpe.fitDriverRecount(types, nMerges, 2L))
+      println(f"[scratch] types=${types.length}%6d merges=$nMerges%5d " +
+        f"incremental ${tInc}%7.2f s ($nInc) recount ${tRec}%7.2f s " +
+        f"($nRec) speedup ${tRec / tInc}%.1fx")
     }
-
-    import graft.llmdata.Dedup
-    val docs = graft.QH.spread(
-      spark.read.parquet(s"$dir/documents.parquet"))
-    docs.count()
-
-    for (single <- Seq(false, true)) {
-      med(s"q93 spanDedup singleScan=$single") {
-        val n = Dedup.spanDedup(docs, "doc_id", "text", 12, 2,
-          singleScan = single).count()
-        graft.Caches.release(); n
-      }
-      med(s"q110 repeatedSubstringSpans singleScan=$single") {
-        val n = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", 8, 2,
-          singleScan = single).count()
-        graft.Caches.release(); n
-      }
-      med(s"q112 chunkByContent singleScan=$single") {
-        val n = Dedup.chunkByContent(docs, "doc_id", "text", 16,
-          singleScan = single).count()
-        graft.Caches.release(); n
-      }
-    }
-    spark.stop()
   }
 }

@@ -129,6 +129,28 @@ class BpeSpec extends SparkSuite {
       .toSeq == drv.merges)
   }
 
+  test("incremental driver loop equals the full-recount twin on " +
+      "randomized corpora (deep merges, duplicate-pair regimes)") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 12) {
+      // skewed alphabet so pair counts collide and ties exercise the
+      // (sym_l, sym_r) tie-break; short alphabet drives repeated
+      // merges deep enough to re-create earlier pair strings
+      val alpha = "aab bc".filter(_ != ' ')
+      val nTypes = 5 + rnd.nextInt(40)
+      val types = (0 until nTypes).map { _ =>
+        val len = 1 + rnd.nextInt(9)
+        val t = (0 until len)
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (t, 1L + rnd.nextInt(50))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toArray
+      val n = 1 + rnd.nextInt(30)
+      val inc = Bpe.fitDriver(types, n, minPairCount = 2L)
+      val rec = Bpe.fitDriverRecount(types, n, minPairCount = 2L)
+      assert(inc == rec, s"trial $trial diverged:\ninc $inc\nrec $rec")
+    }
+  }
+
   test("fit stops early when no pair reaches minPairCount") {
     val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
     val (model, table) = Bpe.fit(tiny, "text", nMerges = 10)
