@@ -314,6 +314,43 @@ object QueriesRelational {
                ON p.l_partkey = h.l_partkey AND p.l_suppkey = h.l_suppkey
              ORDER BY p.l_partkey, p.l_suppkey"""))
 
+  /** Co-located join via BUCKETED layout — the write-once, join-many
+    * strategy for 100 TB fact tables: both sides are written
+    * bucketed+sorted on the join key ([[io.Sources.writeBucketed]]),
+    * so the join AND the follow-on aggregate on that key read the
+    * bucket layout directly with ZERO hash exchanges — the in-plan
+    * guard raises if any appears (the only Exchange left is the
+    * deterministic-output range sort). On a cluster this is the
+    * difference between re-shuffling the fact table on every query
+    * and never shuffling it again after ingest.
+    */
+  private val q133_bucketed_join: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = read(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      io.Sources.writeBucketed(li, "graft_q133_li", "l_orderkey", 8)
+      io.Sources.writeBucketed(o, "graft_q133_ord", "l_orderkey", 8)
+      val agg = s.table("graft_q133_li")
+        .join(s.table("graft_q133_ord"), "l_orderkey")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("revenue"),
+          min(col("o_totalprice")).as("o_totalprice"))
+      val plan = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join+agg must not shuffle, got:\n$plan")
+      agg.orderBy(col("l_orderkey"))
+    },
+    Some(s"""SELECT l_orderkey, count(*) AS n_lines,
+                    ${sqlDsum("l_extendedprice")} AS revenue,
+                    min(o_totalprice) AS o_totalprice
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY l_orderkey
+             ORDER BY l_orderkey"""))
+
   /** JSON-lines source/sink round trip under the oracle (the q103
     * family): nation goes out as JSON lines and back through schema
     * inference; rows and re-inferred types must hash-match the
@@ -424,6 +461,7 @@ object QueriesRelational {
     "q118_orc_roundtrip" -> q118_orc_roundtrip,
     "q106_join_anti" -> q106_join_anti,
     "q107_join_multikey" -> q107_join_multikey,
+    "q133_bucketed_join" -> q133_bucketed_join,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }
