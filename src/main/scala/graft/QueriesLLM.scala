@@ -965,6 +965,41 @@ object QueriesLLM {
                       CAST(e.embedding AS DOUBLE[])) >= 0.5)
             ORDER BY e.vec_id"""))
 
+  /** Embedding-space decontamination: every TRAIN vector scored
+    * against the full (bounded, broadcast) EVAL set in one
+    * shuffle-free projection; a train doc is contaminated when its
+    * best eval cosine reaches the threshold — the paraphrase-robust
+    * complement of q73's n-gram containment. DuckDB recomputes the
+    * max over the cross product; sims round to 6 decimals AFTER the
+    * max (max is order-exact, so only the final value can drift an
+    * ulp). Eval = every 25th vector, train = the rest.
+    */
+  private val q134_semantic_decontaminate: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val evalDf = e.where(col("vec_id") % 25 === 0)
+      val train = e.where(col("vec_id") % 25 =!= 0)
+      Similarity.semanticDecontaminate(train, evalDf,
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), round(col("max_eval_sim"), 6)
+          .as("max_eval_sim"), col("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT t.vec_id,
+                   round(max(list_cosine_similarity(
+                     CAST(t.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[]))), 6) AS max_eval_sim,
+                   max(list_cosine_similarity(
+                     CAST(t.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[]))) >= 0.4
+                     AS contaminated
+            FROM embeddings t
+            CROSS JOIN (SELECT * FROM embeddings
+                        WHERE vec_id % 25 = 0) e
+            WHERE t.vec_id % 25 <> 0
+            GROUP BY t.vec_id
+            ORDER BY t.vec_id"""))
+
   /** End-to-end curation composition: near-dup clusters (q69's exact
     * jaccard + label propagation) joined with quality scores (q47's
     * rule mix), keeping each cluster's best-quality member (ties ->
@@ -1859,6 +1894,7 @@ object QueriesLLM {
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,
+    "q134_semantic_decontaminate" -> q134_semantic_decontaminate,
     "q96_canonical_docs" -> q96_canonical_docs,
     "q100_temperature_mix" -> q100_temperature_mix,
     "q101_sql_cosine" -> q101_sql_cosine,

@@ -161,11 +161,21 @@ object Sources {
     * match across co-joined tables.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an earlier SESSION's physical location outlives the in-memory
+    // catalog; saveAsTable then refuses the name (LOCATION_ALREADY_
+    // EXISTS), so clear both the entry and the stale directory
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** PipeToSQL (pipeline.go:367-392): JDBC table or saveAsTable. */
   def pipeToSql(frame: SeaFrame, table: String,

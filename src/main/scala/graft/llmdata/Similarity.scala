@@ -505,6 +505,80 @@ object Similarity {
     df.join(dropped, col(id) === col("__drop"), "left_anti")
   }
 
+  /** Semantic (embedding-space) DECONTAMINATION: score every TRAIN
+    * document against every EVAL document and flag the train docs
+    * whose best cosine reaches `threshold` — the embedding-space
+    * complement of the n-gram [[Dedup.decontaminate]] (which misses
+    * paraphrased leakage; this catches it). Output one row per train
+    * doc: (id, max_eval_sim, nearest_eval_id, contaminated);
+    * `.where(!col("contaminated"))` on the input ids gives the clean
+    * set.
+    *
+    * Scale shape: an eval benchmark is BOUNDED BY CONSTRUCTION
+    * (thousands of docs, not corpus-scale), so the eval side is
+    * collected once under an explicit cardinality guard
+    * (`maxEvalRows`, same contract as the PQ fit sample) and
+    * broadcast; scoring is then ONE stateless projection over the
+    * train corpus — no join, no shuffle, no candidate explosion, and
+    * it streams (the scorer is a per-row scalar). 100 TB of train
+    * embeddings scan straight through. For an unbounded second
+    * corpus use [[cosinePairs]]/[[lshNeighbors]] across the union
+    * instead — that is corpus-vs-corpus dedup, a different operator.
+    *
+    * Cosine accumulates in double, one sequential pass, identical
+    * order to [[graft.functions.CosineSimilarity]] — so the scores
+    * are bit-compatible with the expression form and (to the ulp)
+    * with DuckDB's list_cosine_similarity; ties on the argmax break
+    * to the lowest eval id.
+    */
+  def semanticDecontaminate(train: DataFrame, evalDf: DataFrame,
+      id: String, vec: String, threshold: Double,
+      maxEvalRows: Int = 1 << 17): DataFrame = {
+    val evalRows = evalDf.select(col(id).cast("long"), col(vec))
+      .limit(maxEvalRows + 1).collect()
+    require(evalRows.length <= maxEvalRows,
+      s"eval corpus exceeds maxEvalRows=$maxEvalRows — an eval set " +
+        "is bounded by construction; for corpus-vs-corpus dedup use " +
+        "cosinePairs/lshNeighbors")
+    require(evalRows.nonEmpty, "eval corpus is empty")
+    val evalIds = evalRows.map(_.getLong(0))
+    val evalVecs = evalRows.map(_.getSeq[Float](1).toArray)
+    val b = train.sparkSession.sparkContext
+      .broadcast((evalIds, evalVecs))
+    val best = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val x = v.toArray
+        val (ids, vecs) = b.value
+        var bestSim = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var e = 0
+        while (e < vecs.length) {
+          val y = vecs(e)
+          val n = math.min(x.length, y.length)
+          var dot = 0.0; var nx = 0.0; var ny = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = x(i).toDouble; val yi = y(i).toDouble
+            dot += xi * yi; nx += xi * xi; ny += yi * yi
+            i += 1
+          }
+          val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+          if (s > bestSim || (s == bestSim && ids(e) < bestId)) {
+            bestSim = s; bestId = ids(e)
+          }
+          e += 1
+        }
+        (bestSim, bestId)
+      }
+    }
+    train.select(col(id), best(col(vec)).as("__b"))
+      .select(col(id),
+        col("__b").getField("_1").as("max_eval_sim"),
+        col("__b").getField("_2").as("nearest_eval_id"),
+        (col("__b").getField("_1") >= threshold).as("contaminated"))
+  }
+
   /** Diversity (cluster-balanced) sampling over an embedding column:
     * learn `nCells` k-means cells, keep at most `perCell` vectors per
     * cell — the curation move that flattens semantic density so one

@@ -913,6 +913,34 @@ class LlmDataSpec extends SparkSuite {
     chunks.unpersist(blocking = false)
   }
 
+  test("semanticDecontaminate: flags exactly the train vectors with " +
+      "an eval cosine >= threshold, argmax ties to lowest eval id, " +
+      "and the eval cardinality guard trips") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // = eval 1 -> contaminated
+      (11L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to both evals
+      (12L, Array(0.7f, 0.7f, 0.14f)))  // mid: sim vs eval1 ~0.70
+      .toDF("vec_id", "embedding")
+    val ev = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)))    // duplicate eval: tie -> id 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, ev,
+        "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+    assert(got.map(_.getBoolean(3)).toSeq == Seq(true, false, false))
+    // duplicate eval vectors give equal sims -> lowest eval id wins
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L))
+    assert(math.abs(got(0).getDouble(1) - 1.0) < 1e-12)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(train, ev, "vec_id",
+        "embedding", threshold = 0.9, maxEvalRows = 1)
+    }
+    assert(e.getMessage.contains("maxEvalRows"))
+  }
+
   test("semanticDedup: exact config keeps lowest id per near-dup " +
       "group; clustered survivors are a superset of exact survivors") {
     import spark.implicits._
