@@ -1,7 +1,7 @@
 package graft
 
 import graft.QH._
-import graft.llmdata.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.llmdata.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, Unigram}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -1740,6 +1740,73 @@ object QueriesLLM {
                    round(q75, 4) FROM q
             ORDER BY l_returnflag, p"""))
 
+  /** Unigram-LM tokenizer FIT (Kudo 2018 / SentencePiece): seed
+    * substring census, hard-EM rounds over the word-type table,
+    * prune to the vocabulary budget. Rows-only by nature (iterative
+    * Viterbi counts are not a SQL query) but deterministic end to
+    * end; UnigramSpec pins the lattice against hand-computed
+    * segmentations and the fit against required-piece properties,
+    * and q137 oracle-checks the serving path exactly.
+    */
+  private val q135_unigram_fit: Q = (
+    (s, dir) => {
+      val (_, table) = Unigram.fit(
+        spread(read(s, dir, "documents")), "text",
+        vocabSize = 120, maxPieceLen = 5, seedSize = 4096, nIters = 3)
+      table.orderBy(col("rank"))
+    },
+    None)
+
+  /** Unigram-LM SERVING: per-doc piece counts (fertility) against a
+    * model fitted in-query — Viterbi dictionary-join encode. The
+    * in-plan guard raises if any document decodes to fewer pieces
+    * than words (a segmentation can never fuse across token
+    * boundaries, so n_pieces >= n_words always; a violation means
+    * the lattice or the dictionary join broke).
+    */
+  private val q136_unigram_encode: Q = (
+    (s, dir) => {
+      val docs = spread(read(s, dir, "documents"))
+      val (model, _) = Unigram.fit(docs, "text",
+        vocabSize = 120, maxPieceLen = 5, seedSize = 4096, nIters = 3)
+      Unigram.encodeCounts(docs, "doc_id", "text", model)
+        .withColumn("n_pieces",
+          when(col("n_pieces") < col("n_words"),
+            raise_error(concat(lit("q136: doc "), col("doc_id"),
+              lit(" decoded to fewer pieces than words")))
+              .cast("long"))
+            .otherwise(col("n_pieces")))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** The unigram serving plumbing under the ORACLE via the
+    * degenerate-exact configuration (the q84/q85 pattern):
+    * vocabSize = 1 keeps only single characters, so Viterbi is
+    * forced to segment every token into its chars and n_pieces is
+    * exactly the non-space character count of the normalized text —
+    * which DuckDB recomputes directly. Pins the census, the
+    * dictionary join, and the aggregation; q136 is the learned-vocab
+    * production shape of the same path.
+    */
+  private val q137_unigram_chars: Q = (
+    (s, dir) => {
+      val docs = spread(read(s, dir, "documents"))
+      val (model, _) = Unigram.fit(docs, "text",
+        vocabSize = 1, maxPieceLen = 3, seedSize = 256, nIters = 1)
+      Unigram.encodeCounts(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t)))
+                     AS BIGINT) AS n_pieces
+            FROM n WHERE len(w) >= 1 ORDER BY doc_id"""))
+
   /** Round-1 BPE pair census, top 20 by (count desc, pair asc) — the
     * oracle-checkable stage of tokenizer learning ([[Bpe.fit]]'s
     * argmax input, exact integer counts over a total order). Computed
@@ -1860,6 +1927,9 @@ object QueriesLLM {
     "q130_quantile_audit" -> q130_quantile_audit,
     "q131_corpus_report" -> q131_corpus_report,
     "q132_bpe_fertility" -> q132_bpe_fertility,
+    "q135_unigram_fit" -> q135_unigram_fit,
+    "q136_unigram_encode" -> q136_unigram_encode,
+    "q137_unigram_chars" -> q137_unigram_chars,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
