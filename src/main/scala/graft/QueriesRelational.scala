@@ -351,6 +351,29 @@ object QueriesRelational {
              GROUP BY l_orderkey
              ORDER BY l_orderkey"""))
 
+  /** Z-order (Morton) clustering key — the multi-dimensional LAYOUT
+    * primitive behind [[io.Layout.writeZOrdered]]: interleave the
+    * bits of two sort dimensions so range predicates on either
+    * column prune files by min/max stats (ZOrderSpec measures the
+    * file-skipping directly; a 16x16 box over a 64x64 grid touches
+    * <= 2 of 16 z-clustered files vs all 4 covering x-slices of a
+    * single-column sort). The key itself is pure codegen'd integer
+    * bit arithmetic, recomputed bit-for-bit by DuckDB.
+    */
+  private val q138_zorder_key: Q = (
+    (s, dir) => read(s, dir, "part")
+      .select(col("p_partkey"),
+        io.Layout.zValue(col("p_partkey"), col("p_size"), 10).as("z"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+                   CAST(list_sum(list_transform(range(0, 10),
+                     i -> ((((CAST(p_partkey AS BIGINT) & 1023) >> i)
+                             & 1) << (2*i))
+                        | ((((CAST(p_size AS BIGINT) & 1023) >> i)
+                             & 1) << (2*i+1))
+                   )) AS BIGINT) AS z
+            FROM part ORDER BY p_partkey"""))
+
   /** JSON-lines source/sink round trip under the oracle (the q103
     * family): nation goes out as JSON lines and back through schema
     * inference; rows and re-inferred types must hash-match the
@@ -462,6 +485,7 @@ object QueriesRelational {
     "q106_join_anti" -> q106_join_anti,
     "q107_join_multikey" -> q107_join_multikey,
     "q133_bucketed_join" -> q133_bucketed_join,
+    "q138_zorder_key" -> q138_zorder_key,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }
