@@ -17,18 +17,27 @@ object QH {
   type QFn = (SparkSession, String) => DataFrame
   type Q = (QFn, Option[String])
 
-  /** Table reader. The events table carries TIMESTAMP(NANOS) parquet,
-    * which Spark reads only as long (nanosAsLong) — normalize to a
-    * microsecond timestamp (truncating, matching DuckDB's ns->us
-    * cast).
+  /** Normalize an events-shaped `ts` column to TIMESTAMP (LTZ),
+    * whatever the parquet encoding of the generated data:
+    * TIMESTAMP(NANOS) surfaces as long under nanosAsLong sessions
+    * (truncate to micros, matching DuckDB's ns->us cast);
+    * MICROS-not-adjusted-to-UTC infers as TIMESTAMP_NTZ (cast — the
+    * session timezone is pinned UTC, so wall values are unchanged and
+    * the column becomes watermarkable, which streaming requires).
     */
-  def read(s: SparkSession, dir: String, table: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$table.parquet")
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType.typeName match {
+      case "long" =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Table reader (ts-normalizing, see [[normalizeTs]]). */
+  def read(s: SparkSession, dir: String, table: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/$table.parquet"))
 
   /** Spread a small single-row-group scan across all cores before
     * CPU-heavy per-row work (text analysis, hashing). At production

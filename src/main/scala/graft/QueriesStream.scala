@@ -219,9 +219,94 @@ object QueriesStream {
                     i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 32 >= 0.6
             ORDER BY doc_a, doc_b"""))
 
+  /** Tokenizer-fertility DRIFT MONITOR (batch twin of the streaming
+    * form, the q104 pattern): documents fold into ingest buckets of
+    * 100 (`doc_id div 100`), every 5th bucket gets three planted long
+    * tokens per document (the drift — ~+16% chars-per-word against
+    * ~54-word docs), and [[graft.streaming.DriftMonitor.report]]
+    * compares each bucket's fertility against the cumulative prior
+    * baseline at an 8% tolerance, chosen so the alert DISCRIMINATES:
+    * at sf0.01 every planted bucket fires and no clean one does; at
+    * sf0.1 190/200 planted fire with 2/800 false alarms (the
+    * cumulative baseline absorbs ~1/5 of the plant, which is the
+    * monitor's documented detection floor). The alert decision is a
+    * cross-multiplied INTEGER inequality (no floating point), so
+    * DuckDB recomputes every `drifted` bit exactly; DriftSpec drives
+    * the identical observations through flatMapGroupsWithState over a
+    * real MemoryStream under two micro-batch slicings.
+    */
+  private val q139_drift_monitor: Q = (
+    (s, dir) => {
+      import graft.llmdata.Dedup.normalizeTokens
+      val d = QH.spread(read(s, dir, "documents"))
+        .withColumn("batch_id", expr("doc_id div 100"))
+        .withColumn("t",
+          when(col("batch_id") % 5 === 4,
+            concat(col("text"),
+              lit(" hyperagglutinative hyperagglutinative" +
+                " hyperagglutinative")))
+            .otherwise(col("text")))
+        .withColumn("w", normalizeTokens(col("t")))
+      val obs = d.select(col("source"), col("batch_id"),
+        size(col("w")).cast("long").as("n_words"),
+        length(array_join(col("w"), "")).cast("long").as("n_units"))
+      graft.streaming.DriftMonitor.report(obs, tolNum = 8, tolDen = 100)
+        .select(col("source"), col("batch_id"), col("batch_words"),
+          col("batch_units"), col("prior_words"), col("prior_units"),
+          round(col("fertility"), 6).as("fertility"),
+          round(col("baseline"), 6).as("baseline"),
+          col("drifted").cast("long").as("drifted"))
+        .orderBy(col("source"), col("batch_id"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id // 100 AS batch_id,
+                   CASE WHEN (doc_id // 100) % 5 = 4
+                        THEN text || repeat(' hyperagglutinative', 3)
+                        ELSE text END AS t
+                 FROM documents),
+             n AS (SELECT source, batch_id,
+                     list_filter(string_split(trim(regexp_replace(
+                       regexp_replace(lower(t), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')), ' '), x -> x <> '') AS w
+                   FROM d),
+             o AS (SELECT source, batch_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(len(array_to_string(w, '')) AS BIGINT)
+                       AS n_units
+                   FROM n),
+             g AS (SELECT source, batch_id,
+                     CAST(sum(n_words) AS BIGINT) AS batch_words,
+                     CAST(sum(n_units) AS BIGINT) AS batch_units
+                   FROM o GROUP BY 1, 2),
+             p AS (SELECT *,
+                     CAST(coalesce(sum(batch_words) OVER (
+                       PARTITION BY source ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS prior_words,
+                     CAST(coalesce(sum(batch_units) OVER (
+                       PARTITION BY source ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS prior_units
+                   FROM g)
+            SELECT source, batch_id, batch_words, batch_units,
+                   prior_words, prior_units,
+                   round(CAST(batch_units AS DOUBLE) / batch_words, 6)
+                     AS fertility,
+                   CASE WHEN prior_words = 0 THEN NULL
+                        ELSE round(CAST(prior_units AS DOUBLE)
+                               / prior_words, 6) END AS baseline,
+                   CAST(CASE WHEN prior_words = 0 OR batch_words = 0
+                          THEN 0
+                        WHEN batch_units * prior_words * 100 >
+                             batch_words * prior_units * 108
+                          OR batch_units * prior_words * 100 <
+                             batch_words * prior_units * 92
+                          THEN 1 ELSE 0 END AS BIGINT) AS drifted
+            FROM p ORDER BY source, batch_id"""))
+
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
     "q104_stream_dedup" -> q104_stream_dedup,
+    "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,
     "q53_stream_tumbling" -> q53_stream_tumbling,
     "q54_stream_sliding" -> q54_stream_sliding,

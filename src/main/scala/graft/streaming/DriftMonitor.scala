@@ -53,7 +53,7 @@ object DriftMonitor {
   /** Exact two-sided drift test: true iff
     * `bu/bw` lies outside `[ (1 - tolNum/tolDen), (1 + tolNum/tolDen) ] * pu/pw`.
     */
-  private[streaming] def drifted(bw: Long, bu: Long, pw: Long,
+  private[graft] def drifted(bw: Long, bu: Long, pw: Long,
       pu: Long, tolNum: Long, tolDen: Long): Boolean = {
     if (pw == 0L || bw == 0L) false
     else {

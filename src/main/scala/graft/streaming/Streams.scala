@@ -119,13 +119,9 @@ object Streams {
     }
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    // nanosAsLong sessions surface TIMESTAMP(NANOS) as long — convert
-    // to a microsecond timestamp before watermarking
-    val src =
-      if (raw.schema.fieldNames.contains("ts") &&
-          raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    // normalize ts to a watermarkable TIMESTAMP whatever the parquet
+    // encoding (nanos-as-long or micros-NTZ) — see QH.normalizeTs
+    val src = graft.QH.normalizeTs(raw)
     val out = transform(src.withWatermark("ts", watermark))
     out.writeStream
       .outputMode(outputMode)

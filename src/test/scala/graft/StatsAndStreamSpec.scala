@@ -162,10 +162,7 @@ class StatsAndStreamSpec extends SparkSuite {
       val raw = spark.readStream
         .schema(spark.read.parquet(tmp.toString).schema)
         .parquet(tmp.toString)
-      val ts = if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-      ts.where(col("event_type") === t)
+      QH.normalizeTs(raw).where(col("event_type") === t)
         .select(col("event_id"), col("user_id"), col("ts"))
         .withWatermark("ts", "2 hours")
     }
