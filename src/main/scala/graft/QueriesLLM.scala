@@ -1807,6 +1807,122 @@ object QueriesLLM {
                      AS BIGINT) AS n_pieces
             FROM n WHERE len(w) >= 1 ORDER BY doc_id"""))
 
+  /** Unigram-LM FULL-EM fit (forward-backward expected counts over
+    * ALL segmentations, completing the Kudo 2018 surface next to
+    * q135's hard-EM): audit table of the fitted vocabulary. Rows-only
+    * by nature (iterative lattice posteriors are not a SQL query);
+    * UnigramSpec pins the E-step against a hand-computed two-path
+    * lattice posterior and determinism across runs, and q141
+    * oracle-checks the identical code path exactly in the
+    * single-path degenerate configuration.
+    */
+  private val q140_unigram_em: Q = (
+    (s, dir) => {
+      val (_, table) = Unigram.fitEM(
+        spread(read(s, dir, "documents")), "text",
+        vocabSize = 120, maxPieceLen = 5, seedSize = 4096, nIters = 3)
+      table.select(col("rank"), col("piece"),
+        round(col("count"), 6).as("count"),
+        round(col("logp"), 6).as("logp"))
+        .orderBy(col("rank"))
+    },
+    None)
+
+  /** Full-EM under the ORACLE via the single-path degenerate config:
+    * with vocabSize = 1 and maxPieceLen = 1 the lattice has exactly
+    * one segmentation per type, so the forward-backward posterior
+    * mass of every char piece is its EXACT corpus occurrence count —
+    * which DuckDB recomputes as a plain char census. round() before
+    * the long cast absorbs the alpha+beta-vs-alpha(n) ulp (FP
+    * addition orders differ between the two sweeps; the mass is
+    * c*(1 +/- 1e-15), never enough to move a round but enough to
+    * break a truncating cast).
+    */
+  private val q141_unigram_em_chars: Q = (
+    (s, dir) => {
+      val (_, table) = Unigram.fitEM(
+        spread(read(s, dir, "documents")), "text",
+        vocabSize = 1, maxPieceLen = 1, seedSize = 16, nIters = 2)
+      // rank re-derived from the ROUNDED counts: the audit table's
+      // own rank sorts raw doubles, where a last-ulp difference
+      // between two true-tie chars could invert the piece-asc
+      // tiebreak vs the oracle's exact integers (<= alphabet rows,
+      // so the single-partition window is fine)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("count"), asc("piece"))
+      table.select(col("piece"),
+        round(col("count")).cast("long").as("count"))
+        .withColumn("rank", (row_number().over(w) - 1).cast("int"))
+        .select(col("rank"), col("piece"), col("count"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH n AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT unnest(w) AS tok FROM n),
+             ch AS (SELECT unnest(string_split_regex(tok, ''))
+                      AS piece
+                    FROM t WHERE tok <> ''),
+             g AS (SELECT piece, count(*) AS cnt FROM ch
+                   WHERE piece <> '' GROUP BY piece)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                     - 1 AS INT) AS rank,
+                   piece, CAST(cnt AS BIGINT) AS count
+            FROM g ORDER BY rank"""))
+
+  /** SUBWORD-REGULARIZATION serving (Kudo 2018 §3): every token
+    * occurrence draws its own segmentation from P(seg)^alpha — the
+    * training-time augmentation, deliberately NOT dictionary-joined
+    * (the same word must vary across occurrences). Per-occurrence
+    * seeds are xxhash64(doc, position, seed) computed in the plan, so
+    * the draw is deterministic under any partitioning. Rows-only;
+    * the in-plan guard pins n_pieces >= n_words, and q143 is the
+    * oracle-checked degenerate twin of the same path.
+    */
+  private val q142_unigram_sample: Q = (
+    (s, dir) => {
+      val docs = spread(read(s, dir, "documents"))
+      val (model, _) = Unigram.fit(docs, "text",
+        vocabSize = 120, maxPieceLen = 5, seedSize = 4096, nIters = 3)
+      Unigram.sampleCounts(docs, "doc_id", "text", model,
+          alpha = 0.5, seed = 42L)
+        .withColumn("n_pieces",
+          when(col("n_pieces") < col("n_words"),
+            raise_error(concat(lit("q142: doc "), col("doc_id"),
+              lit(" sampled fewer pieces than words")))
+              .cast("long"))
+            .otherwise(col("n_pieces")))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Sampled serving under the ORACLE: char-only vocabulary => the
+    * lattice has exactly one path, so the sampler MUST return it
+    * regardless of the draws and n_pieces is exactly the non-space
+    * char count (the q137 oracle applied to the sampling path —
+    * pins the forward pass, the backward draw, and the aggregation).
+    */
+  private val q143_unigram_sample_chars: Q = (
+    (s, dir) => {
+      val docs = spread(read(s, dir, "documents"))
+      val (model, _) = Unigram.fit(docs, "text",
+        vocabSize = 1, maxPieceLen = 3, seedSize = 256, nIters = 1)
+      Unigram.sampleCounts(docs, "doc_id", "text", model,
+          alpha = 0.5, seed = 7L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t)))
+                     AS BIGINT) AS n_pieces
+            FROM n WHERE len(w) >= 1 ORDER BY doc_id"""))
+
   /** Round-1 BPE pair census, top 20 by (count desc, pair asc) — the
     * oracle-checkable stage of tokenizer learning ([[Bpe.fit]]'s
     * argmax input, exact integer counts over a total order). Computed
@@ -1930,6 +2046,10 @@ object QueriesLLM {
     "q135_unigram_fit" -> q135_unigram_fit,
     "q136_unigram_encode" -> q136_unigram_encode,
     "q137_unigram_chars" -> q137_unigram_chars,
+    "q140_unigram_em" -> q140_unigram_em,
+    "q141_unigram_em_chars" -> q141_unigram_em_chars,
+    "q142_unigram_sample" -> q142_unigram_sample,
+    "q143_unigram_sample_chars" -> q143_unigram_sample_chars,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

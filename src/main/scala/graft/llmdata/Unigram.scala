@@ -96,6 +96,37 @@ object Unigram {
       .select(explode(Dedup.normalizeTokens(col(text))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
 
+  /** Bounded deterministic type collect: top `maxDriverTypes` by
+    * (cnt desc, tok asc) — the venue contract shared by [[fit]] and
+    * [[fitEM]].
+    */
+  private def collectTypes(df: DataFrame, text: String,
+      maxDriverTypes: Int): Array[(String, Long)] =
+    typeTable(df, text)
+      .orderBy(desc("__cnt"), asc("__tok"))
+      .limit(maxDriverTypes)
+      .collect().map(r =>
+        (r.getAs[String]("__tok"), r.getAs[Long]("__cnt")))
+
+  /** Seed census: every single character plus the `seedSize` most
+    * frequent substrings up to `maxPieceLen`, weighted by occurrence.
+    * Returns (sorted chars, piece -> seed weight).
+    */
+  private def seedPieces(types: Array[(String, Long)], maxPieceLen: Int,
+      seedSize: Int): (Array[String], Map[String, Long]) = {
+    val subW = scala.collection.mutable.HashMap[String, Long]()
+    for ((t, c) <- types; i <- 0 until t.length;
+         len <- 1 to math.min(maxPieceLen, t.length - i)) {
+      val p = t.substring(i, i + len)
+      subW(p) = subW.getOrElse(p, 0L) + c
+    }
+    val chars = subW.keysIterator.filter(_.length == 1).toArray.sorted
+    val multis = subW.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, w) => (-w, p) }
+      .take(math.max(0, seedSize - chars.length)).map(_._1)
+    (chars, (chars ++ multis).iterator.map(p => p -> subW(p)).toMap)
+  }
+
   /** Fit a unigram vocabulary of (at most) `vocabSize` pieces:
     * seed with every single character plus the `seedSize` most
     * frequent substrings up to `maxPieceLen`, run `nIters` hard-EM
@@ -109,26 +140,9 @@ object Unigram {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     val spark = df.sparkSession
-    // bounded deterministic collect: top types by (cnt desc, tok asc)
-    val types = typeTable(df, text)
-      .orderBy(desc("__cnt"), asc("__tok"))
-      .limit(maxDriverTypes)
-      .collect().map(r =>
-        (r.getAs[String]("__tok"), r.getAs[Long]("__cnt")))
-
-    // ---- seed: substring census, all chars + top multi-char pieces
-    val subW = scala.collection.mutable.HashMap[String, Long]()
-    for ((t, c) <- types; i <- 0 until t.length;
-         len <- 1 to math.min(maxPieceLen, t.length - i)) {
-      val p = t.substring(i, i + len)
-      subW(p) = subW.getOrElse(p, 0L) + c
-    }
-    val chars = subW.keysIterator.filter(_.length == 1).toArray.sorted
-    val multis = subW.iterator.filter(_._1.length > 1).toArray
-      .sortBy { case (p, w) => (-w, p) }
-      .take(math.max(0, seedSize - chars.length)).map(_._1)
-    var counts: Map[String, Long] =
-      (chars ++ multis).iterator.map(p => p -> subW(p)).toMap
+    val types = collectTypes(df, text, maxDriverTypes)
+    val (chars, seed) = seedPieces(types, maxPieceLen, seedSize)
+    var counts: Map[String, Long] = seed
 
     // ---- hard-EM rounds: Viterbi counts -> re-normalized log-probs
     def toModel(cs: Map[String, Long]): UnigramModel = {
@@ -162,6 +176,245 @@ object Unigram {
       .map { case ((p, c), i) => (i, p, c, model.logp(p)) }.toSeq
       .toDF("rank", "piece", "count", "logp")
     (model, table)
+  }
+
+  /** log(exp(a) + exp(b)) without overflow; NegInf-absorbing and
+    * EXACT when one side is NegInf (a single lattice path keeps its
+    * score bit-for-bit, which the degenerate-config oracle relies
+    * on).
+    */
+  private def logaddexp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a >= b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Piece log-prob in the lattice: vocabulary score, single-char
+    * fallback at `unkLogp`, NegInf otherwise.
+    */
+  private def pieceLogp(model: UnigramModel, piece: String): Double =
+    model.logp.get(piece) match {
+      case Some(p) => p
+      case None => if (piece.length == 1) model.unkLogp
+        else Double.NegativeInfinity
+    }
+
+  /** FULL-EM fit (the forward-backward half of Kudo 2018, next to
+    * [[fit]]'s hard-EM): each E-step computes EXPECTED piece counts
+    * over ALL segmentations of every word type — forward log-sums
+    * alpha(i), backward beta(j), posterior mass of a piece spanning
+    * [i,j) = exp(alpha(i) + logp + beta(j) - alpha(n)) — instead of
+    * counting only the single Viterbi path. The M-step re-normalizes
+    * expected counts into log-probs. Deterministic: types iterate in
+    * (cnt desc, tok asc) order and positions ascend, so every
+    * floating accumulation happens in a fixed order.
+    *
+    * Same venue contract as [[fit]]: one distributed corpus scan into
+    * the type census, bounded deterministic collect, vocabulary-sized
+    * EM on the driver (the SentencePiece trainer is single-node over
+    * the type table too). Pruning keeps every character (coverage
+    * floor) plus the top multi-char pieces by expected count — one
+    * final prune against the budget, a documented simplification of
+    * SentencePiece's iterative loss-ranked shrink.
+    *
+    * Audit table: `(rank, piece, count, logp)` with `count` the
+    * EXPECTED count (double). In a single-path lattice (e.g. the
+    * char-only degenerate config) expected == exact occurrence
+    * counts, which the q141 oracle pins against DuckDB's census.
+    */
+  def fitEM(df: DataFrame, text: String, vocabSize: Int,
+      maxPieceLen: Int = 6, seedSize: Int = 1 << 14, nIters: Int = 3,
+      maxDriverTypes: Int = 1 << 20): (UnigramModel, DataFrame) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val spark = df.sparkSession
+    val types = collectTypes(df, text, maxDriverTypes)
+    val (chars, seed) = seedPieces(types, maxPieceLen, seedSize)
+    var counts: Map[String, Double] =
+      seed.map { case (p, w) => p -> w.toDouble }
+
+    def toModel(cs: Map[String, Double]): UnigramModel = {
+      val total = cs.valuesIterator.sum
+      UnigramModel(cs.map { case (p, c) => p -> math.log(c / total) })
+    }
+
+    var it = 0
+    while (it < nIters) {
+      val model = toModel(counts)
+      val maxLen = math.max(1, model.maxPieceLen)
+      val expected = scala.collection.mutable.HashMap[String, Double]()
+      for ((t, c) <- types) {
+        val n = t.length
+        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        var j = 1
+        while (j <= n) {
+          var len = 1
+          val lim = math.min(maxLen, j)
+          while (len <= lim) {
+            val lp = pieceLogp(model, t.substring(j - len, j))
+            if (lp != Double.NegativeInfinity &&
+                alpha(j - len) != Double.NegativeInfinity)
+              alpha(j) = logaddexp(alpha(j), alpha(j - len) + lp)
+            len += 1
+          }
+          j += 1
+        }
+        val z = alpha(n)
+        if (z != Double.NegativeInfinity) {
+          val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+          beta(n) = 0.0
+          var i = n - 1
+          while (i >= 0) {
+            var len = 1
+            val lim = math.min(maxLen, n - i)
+            while (len <= lim) {
+              val lp = pieceLogp(model, t.substring(i, i + len))
+              if (lp != Double.NegativeInfinity &&
+                  beta(i + len) != Double.NegativeInfinity)
+                beta(i) = logaddexp(beta(i), lp + beta(i + len))
+              len += 1
+            }
+            i -= 1
+          }
+          i = 0
+          while (i < n) {
+            var len = 1
+            val lim = math.min(maxLen, n - i)
+            while (len <= lim) {
+              val piece = t.substring(i, i + len)
+              val lp = pieceLogp(model, piece)
+              if (lp != Double.NegativeInfinity &&
+                  alpha(i) != Double.NegativeInfinity &&
+                  beta(i + len) != Double.NegativeInfinity) {
+                val mass = math.exp(alpha(i) + lp + beta(i + len) - z) * c
+                if (mass > 0.0)
+                  expected(piece) = expected.getOrElse(piece, 0.0) + mass
+              }
+              len += 1
+            }
+            i += 1
+          }
+        }
+      }
+      // coverage floor: every seen character keeps positive mass
+      for (ch <- chars)
+        expected(ch) = math.max(expected.getOrElse(ch, 0.0), 1e-9)
+      counts = expected.toMap
+      it += 1
+    }
+
+    val keptMultis = counts.iterator
+      .filter { case (p, _) => p.length > 1 }
+      .toArray.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length))
+    val kept = chars.map(c => c -> counts(c)) ++ keptMultis
+    val model = toModel(kept.toMap)
+
+    import spark.implicits._
+    val table = kept.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => (i, p, c, model.logp(p)) }.toSeq
+      .toDF("rank", "piece", "count", "logp")
+    (model, table)
+  }
+
+  /** SUBWORD-REGULARIZATION sampling (Kudo 2018 §3): draw a
+    * segmentation with probability proportional to P(seg)^alpha —
+    * forward-filtering over the lattice at inverse temperature
+    * `alpha`, then backward-sampling the piece boundaries. alpha = 0
+    * is uniform over segmentations; larger alpha concentrates on the
+    * Viterbi path. Deterministic for a given `seed` (splitmix64 into
+    * an inversive congruential stream — no java.util.Random, so the
+    * draw sequence is specified arithmetic, not JDK-version-
+    * dependent).
+    */
+  private[graft] def sampleSegment(tok: String, model: UnigramModel,
+      alpha: Double, seed: Long): Array[String] = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val n = tok.length
+    if (n == 0) return Array.empty
+    val maxLen = math.max(1, model.maxPieceLen)
+    val fwd = Array.fill(n + 1)(Double.NegativeInfinity)
+    fwd(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var len = 1
+      val lim = math.min(maxLen, j)
+      while (len <= lim) {
+        val lp = pieceLogp(model, tok.substring(j - len, j))
+        if (lp != Double.NegativeInfinity &&
+            fwd(j - len) != Double.NegativeInfinity)
+          fwd(j) = logaddexp(fwd(j), fwd(j - len) + alpha * lp)
+        len += 1
+      }
+      j += 1
+    }
+    // splitmix64 stream for the backward draws
+    var rngState = seed
+    def nextUnit(): Double = {
+      rngState += 0x9e3779b97f4a7c15L
+      var x = rngState
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = n
+    while (p > 0) {
+      val lim = math.min(maxLen, p)
+      val lens = new Array[Int](lim)
+      val ws = new Array[Double](lim)
+      var m = 0
+      var len = 1
+      while (len <= lim) {
+        val lp = pieceLogp(model, tok.substring(p - len, p))
+        if (lp != Double.NegativeInfinity &&
+            fwd(p - len) != Double.NegativeInfinity) {
+          lens(m) = len
+          ws(m) = math.exp(fwd(p - len) + alpha * lp - fwd(p))
+          m += 1
+        }
+        len += 1
+      }
+      val u = nextUnit()
+      var acc = 0.0
+      var k = 0
+      var chosen = lens(m - 1) // numerical fallback: last candidate
+      while (k < m) {
+        acc += ws(k)
+        if (u < acc) { chosen = lens(k); k = m }
+        else k += 1
+      }
+      out += tok.substring(p - chosen, p)
+      p -= chosen
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** Per-document SAMPLED piece counts — the training-time serving
+    * surface for subword regularization: every token OCCURRENCE draws
+    * its own segmentation (that is the regularizer — the same word
+    * varies across its occurrences), so there is deliberately no
+    * dictionary join here. The per-occurrence seed is
+    * `xxhash64(id, position, seed)` computed IN the plan (codegen),
+    * so results are deterministic under any partitioning and replay.
+    */
+  def sampleCounts(df: DataFrame, id: String, text: String,
+      model: UnigramModel, alpha: Double, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val mB = spark.sparkContext.broadcast(model)
+    val nPieces = udf { (tok: String, s: Long) =>
+      sampleSegment(tok, mB.value, alpha, s).length
+    }
+    df.where(col(text).isNotNull)
+      .select(col(id), posexplode(Dedup.normalizeTokens(col(text)))
+        .as(Seq("__pos", "__tok")))
+      .withColumn("__seed", xxhash64(col(id), col("__pos"), lit(seed)))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(nPieces(col("__tok"), col("__seed")).cast("long"))
+          .as("n_pieces"))
   }
 
   /** Per-document piece counts against a fitted model:

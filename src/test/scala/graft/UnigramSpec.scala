@@ -78,6 +78,113 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("fitEM: expected counts match the hand-computed two-path " +
+      "lattice posterior") {
+    // corpus = one type "ab" (cnt 1); seed pieces {a, b, ab} with
+    // equal weights -> model p = 1/3 each. Segmentations: [ab] with
+    // mass 1/3, [a,b] with mass 1/9; Z = 4/9. Posterior: P([ab]) =
+    // 3/4, P([a,b]) = 1/4 -> expected counts ab=0.75, a=b=0.25.
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val (_, table) = Unigram.fitEM(docs, "text", vocabSize = 3,
+      maxPieceLen = 2, seedSize = 8, nIters = 1)
+    val counts = table.collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(counts("ab") - 0.75) < 1e-12, s"got $counts")
+    assert(math.abs(counts("a") - 0.25) < 1e-12, s"got $counts")
+    assert(math.abs(counts("b") - 0.25) < 1e-12, s"got $counts")
+    // and the posterior concentrates across iterations: "ab" wins
+    val (model2, _) = Unigram.fitEM(docs, "text", vocabSize = 3,
+      maxPieceLen = 2, seedSize = 8, nIters = 5)
+    assert(Unigram.segment("ab", model2).toSeq == Seq("ab"))
+  }
+
+  test("fitEM: single-path degenerate config yields EXACT char " +
+      "counts; deterministic across runs") {
+    val docs = Seq.tabulate(25)(i =>
+      (i.toLong, "abc aabb c")).toDF("doc_id", "text")
+    val (m1, t1) = Unigram.fitEM(docs, "text", vocabSize = 1,
+      maxPieceLen = 1, seedSize = 8, nIters = 2)
+    // per doc: a x3, b x3, c x2 -> over 25 docs: 75/75/50
+    val counts = t1.collect()
+      .map(r => r.getString(1) -> math.round(r.getDouble(2))).toMap
+    assert(counts == Map("a" -> 75L, "b" -> 75L, "c" -> 50L), s"$counts")
+    val (m2, t2) = Unigram.fitEM(docs, "text", vocabSize = 1,
+      maxPieceLen = 1, seedSize = 8, nIters = 2)
+    assert(m1.logp == m2.logp)
+    assert(t1.collect().toSeq == t2.collect().toSeq)
+  }
+
+  test("fitEM discovers the dominant piece and keeps the char floor " +
+      "under a tight budget") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "abab ababab zq abab")).toDF("doc_id", "text")
+    val (model, _) = Unigram.fitEM(docs, "text", vocabSize = 8,
+      maxPieceLen = 4, seedSize = 64, nIters = 3)
+    val pieces = model.logp.keySet
+    assert(pieces.exists(p => p.length > 1 && p.contains("ab")),
+      s"no ab-piece learned in $pieces")
+    assert(Set("a", "b", "z", "q").subsetOf(pieces), s"chars lost: $pieces")
+  }
+
+  test("sampleSegment: single-path lattice is returned regardless of " +
+      "seed; high alpha concentrates on Viterbi; deterministic per seed") {
+    val charOnly = m("a" -> 0.5, "b" -> 0.5)
+    for (seed <- 0L to 20L)
+      assert(Unigram.sampleSegment("abba", charOnly, 0.5, seed).toSeq ==
+        Seq("a", "b", "b", "a"))
+    val model = m("a" -> 0.4, "b" -> 0.4, "ab" -> 0.2)
+    // P([ab])^alpha dominates at alpha = 50: .2^50 vs .16^50
+    val hi = (0L until 200L).count(s =>
+      Unigram.sampleSegment("ab", model, 50.0, s).toSeq == Seq("ab"))
+    assert(hi == 200, s"high-alpha sampler strayed from Viterbi: $hi/200")
+    val one = Unigram.sampleSegment("abab", model, 0.7, 99L).toSeq
+    assert(Unigram.sampleSegment("abab", model, 0.7, 99L).toSeq == one)
+  }
+
+  test("sampleSegment: empirical segmentation frequency tracks the " +
+      "lattice posterior at alpha = 1") {
+    // P([ab]) = .2 / (.2 + .16) = 5/9 = 0.5556
+    val model = m("a" -> 0.4, "b" -> 0.4, "ab" -> 0.2)
+    val n = 4000
+    val hits = (0 until n).count(s =>
+      Unigram.sampleSegment("ab", model, 1.0, s.toLong * 7919L)
+        .toSeq == Seq("ab"))
+    val freq = hits.toDouble / n
+    assert(math.abs(freq - 5.0 / 9.0) < 0.03,
+      f"freq $freq%.4f vs posterior ${5.0 / 9.0}%.4f")
+  }
+
+  test("sampleCounts: per-occurrence draws are deterministic, " +
+      "bounded by words <= pieces <= chars, and VARY across " +
+      "occurrences (the regularizer)") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, "ab ab ab ab ab")).toDF("doc_id", "text")
+    // handcrafted near-flat model: P([ab]) = .2/(.2+.16) = 5/9 per
+    // occurrence at alpha = 1 — a fitted model on this corpus would
+    // concentrate on one piece and every draw would agree
+    val model = m("a" -> 0.4, "b" -> 0.4, "ab" -> 0.2)
+    val a = Unigram.sampleCounts(docs, "doc_id", "text", model,
+      alpha = 1.0, seed = 1L).orderBy("doc_id").collect()
+    val b = Unigram.sampleCounts(docs, "doc_id", "text", model,
+      alpha = 1.0, seed = 1L).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      assert(r.getLong(1) == 5L)
+      assert(r.getLong(2) >= 5L && r.getLong(2) <= 10L)
+    }
+    // across 20 docs x 5 occurrences of the same word at a flat
+    // alpha, at least two different per-doc totals must appear —
+    // identical totals everywhere would mean the occurrence seed
+    // collapsed (the dictionary-join failure mode this surface
+    // deliberately avoids)
+    assert(a.map(_.getLong(2)).distinct.length > 1,
+      "sampled totals identical across all docs")
+    // a different top-level seed draws a different stream
+    val c = Unigram.sampleCounts(docs, "doc_id", "text", model,
+      alpha = 1.0, seed = 2L).orderBy("doc_id").collect()
+    assert(a.map(_.getLong(2)).toSeq != c.map(_.getLong(2)).toSeq)
+  }
+
   test("bounded-type fit degrades deterministically: top types by " +
       "(cnt desc, token asc) under maxDriverTypes") {
     val docs = Seq.tabulate(20)(i =>
