@@ -43,7 +43,12 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARN spam (BlockManager "already
+    // exists" across cached reps, shutdown chatter) lands in the
+    // driver's bounded stdout/stderr tail and can push the one JSON
+    // line out of its capture window — the round-6 artifact of record
+    // was lost exactly this way ("parsed": null, tail full of WARNs)
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: JIT + codegen + parquet reader/footer init for EVERY
     // table, so the first timed query per table doesn't absorb
     // session startup
@@ -128,7 +133,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"conditions":$cond,"queries":$qsFull,"rep_times":$repsFull,"sf":"$sfDir"}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // stop BEFORE printing: Spark shutdown logs after a println would
+    // trail the JSON line in the driver's tail capture
+    try spark.stop() catch { case _: Throwable => }
     println(line)
-    spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, PortableTokenHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     e.injectFunction(GraftExtensions.jaccardSimilarityDescriptor)
+    e.injectFunction(GraftExtensions.portableTokenHashDescriptor)
   }
 }
 
@@ -29,7 +30,8 @@ object GraftExtensions {
     * extensions path only applies at session build time).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarityDescriptor, jaccardSimilarityDescriptor)
+    Seq(cosineSimilarityDescriptor, jaccardSimilarityDescriptor,
+        portableTokenHashDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)
@@ -44,6 +46,17 @@ object GraftExtensions {
         require(children.length == 2,
           "cosine_similarity expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      })
+
+  private[graft] val portableTokenHashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("portable_token_hash"),
+      new ExpressionInfo(classOf[PortableTokenHash].getName,
+        "portable_token_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "portable_token_hash expects exactly 1 argument")
+        PortableTokenHash(children.head)
       })
 
   private[graft] val jaccardSimilarityDescriptor

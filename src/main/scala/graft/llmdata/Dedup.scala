@@ -839,7 +839,7 @@ object Dedup {
         posexplode(filter(split(col(text), " "), t => t =!= "")))
       .select(col(docId), col("pos"), col("col").as("__tok"))
       .withColumn("__b",
-        when(pmod(portableTokenHashFast(col("__tok")),
+        when(pmod(graft.functions.PortableTokenHash(col("__tok")),
           lit(modulus.toLong)) === 0L, 1L).otherwise(0L))
     val byDoc = Window.partitionBy(col(docId)).orderBy(col("pos"))
     // a boundary token ENDS its chunk: chunk id = boundaries strictly

@@ -37,8 +37,8 @@ object Sampling {
     * boundary.
     */
   def bucketBy(key: Column, seed: Long): Column =
-    pmod(Dedup.portableTokenHashFast(key) * Mult + seed, lit(Mod)) %
-      Buckets
+    pmod(graft.functions.PortableTokenHash(key) * Mult + seed,
+      lit(Mod)) % Buckets
 
   /** [[assignSplit]] keyed on a string GROUP column: all rows of one
     * group (site, source, author) take the same split — the

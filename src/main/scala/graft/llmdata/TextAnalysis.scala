@@ -39,7 +39,7 @@ object TextAnalysis {
         explode(filter(split(col(text), " "), t => t =!= ""))
           .as("__tok"))
       .select(col(docId),
-        pmod(Dedup.portableTokenHashFast(col("__tok")),
+        pmod(graft.functions.PortableTokenHash(col("__tok")),
           lit(numFeatures.toLong)).as("bucket"))
       .groupBy(col(docId), col("bucket"))
       .agg(count(lit(1)).as("tf"))

@@ -1193,6 +1193,43 @@ class LlmDataSpec extends SparkSuite {
     assert(n.isNullAt(0))
   }
 
+  test("PortableTokenHash codegen Expression matches both earlier " +
+      "rungs (Column fold, tight-loop UDF) over adversarial strings, " +
+      "in codegen AND interpreted eval, and as a SQL function") {
+    import graft.functions.PortableTokenHash
+    val df = adversarial.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "s")
+    val rows = df.select(col("i"),
+      Dedup.portableTokenHash(col("s")).as("col_form"),
+      Dedup.portableTokenHashFast(col("s")).as("udf_form"),
+      PortableTokenHash(col("s")).as("expr_form"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(3),
+        s"expr parity broke on '${adversarial(r.getLong(0).toInt)}': " +
+          s"column=${r.getLong(1)} udf=${r.getLong(2)} expr=${r.getLong(3)}")
+    }
+    // interpreted path (nullSafeEval) — evaluate outside codegen
+    adversarial.foreach { s =>
+      val viaEval = PortableTokenHash.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val viaPlan = df.where(col("s") === s)
+        .select(PortableTokenHash(col("s"))).head().getLong(0)
+      assert(viaEval == viaPlan, s"interpreted != codegen on '$s'")
+    }
+    // null propagates
+    val n = Seq((0L, null: String)).toDF("i", "s")
+      .select(PortableTokenHash(col("s"))).head()
+    assert(n.isNullAt(0))
+    // SQL surface via GraftExtensions
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("t_pth")
+    val sqlRows = spark.sql(
+      "SELECT i, portable_token_hash(s) AS h FROM t_pth").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(sqlRows(r.getLong(0)) == r.getLong(3)))
+  }
+
   test("normalizeTokens matches filter(split(normalize(text)), != '') " +
       "over adversarial strings (unicode lowercase included)") {
     val df = adversarial.zipWithIndex.map { case (s, i) => (i.toLong, s) }
