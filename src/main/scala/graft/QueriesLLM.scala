@@ -636,6 +636,84 @@ object QueriesLLM {
             FROM toks GROUP BY 1, 2
             ORDER BY doc_id, bucket"""))
 
+  /** fastText-style QUALITY CLASSIFIER end-to-end: plant spam
+    * boilerplate into every 3rd document (the weak labels), train a
+    * logistic head over the hashed bag-of-words on a bounded
+    * hash-sample (the q57 budget contract), quantize the coefficients
+    * to integers, and serve the WHOLE corpus through the exact-
+    * arithmetic [[TextAnalysis.linearScore]] path — MLlib never
+    * touches the scoring plan. Rows-only (solver-dependent weights);
+    * the in-plan gate raises unless served accuracy >= 0.95 on the
+    * planted labels, and q145 oracle-checks the identical serving
+    * machinery under static weights.
+    */
+  private val q144_quality_classifier: Q = (
+    (s, dir) => {
+      val spam = " click here to subscribe now free offer buy cheap" +
+        " winner prize bonus deal"
+      val d = spread(read(s, dir, "documents"))
+        .withColumn("label",
+          when(col("doc_id") % 3 === 0, 1.0).otherwise(0.0))
+        .withColumn("t",
+          when(col("label") === 1.0,
+            concat(col("text"), lit(spam), lit(spam)))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("t"), col("label"))
+        .cache()
+      val trainSet = Sampling.hashSample(d, "doc_id",
+        math.min(1.0, 30000.0 / d.count()))
+      val (w, b) = TextAnalysis.fitQualityClassifier(trainSet,
+        "doc_id", "t", "label", numFeatures = 256, maxIter = 15)
+      val scored = TextAnalysis.linearScore(d, "doc_id", "t", w, b)
+        .join(d.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .withColumn("pred",
+          when(col("score_raw") > 0L, 1.0).otherwise(0.0))
+      val g = scored.agg(
+        avg(when(col("label") === col("pred"), 1.0).otherwise(0.0))
+          .as("__acc"))
+      scored.crossJoin(broadcast(g))
+        .withColumn("pred",
+          when(col("__acc") < 0.95,
+            raise_error(concat(
+              lit("q144: served accuracy "), round(col("__acc"), 4),
+              lit(" below 0.95 — classifier or quantized serving "),
+              lit("degenerated"))).cast("double"))
+            .otherwise(col("pred")))
+        .select(col("doc_id"), col("n_tokens"), col("score_raw"),
+          col("label"), col("pred"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** The linear-scorer serving machinery under the ORACLE: static
+    * integer weights `w(b) = (b mod 7) - 3` over the 64-bucket hashed
+    * feature space, intercept 5 — the per-doc score is exact int64
+    * arithmetic DuckDB rebuilds term for term (portable hash, bucket
+    * mod, literal-array lookup, partial-agg sum). Pins the path q144
+    * serves its trained weights through.
+    */
+  private val q145_linear_score: Q = (
+    (s, dir) => TextAnalysis.linearScore(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        weights = (0 until 64).map(b => (b % 7).toLong - 3L),
+        intercept = 5L)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS tok
+               FROM documents WHERE text IS NOT NULL),
+             b AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(tok, ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007) % 64
+                       AS bucket
+                   FROM toks)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(5 + sum((bucket % 7) - 3) AS BIGINT)
+                     AS score_raw
+            FROM b GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Corpus TF-IDF: smooth idf, top-3 terms per doc, term tiebreak.
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
@@ -2050,6 +2128,8 @@ object QueriesLLM {
     "q141_unigram_em_chars" -> q141_unigram_em_chars,
     "q142_unigram_sample" -> q142_unigram_sample,
     "q143_unigram_sample_chars" -> q143_unigram_sample_chars,
+    "q144_quality_classifier" -> q144_quality_classifier,
+    "q145_linear_score" -> q145_linear_score,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -45,6 +45,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Linear text score over hashed features — the serving half of a
+    * fastText-style shallow classifier: every token maps to bucket
+    * `portable_token_hash(token) mod weights.length` (the [[hashingTf]]
+    * feature space) and the document score is
+    * `intercept + sum over token occurrences of weights(bucket)`.
+    *
+    * Weights are INTEGERS on purpose: the score is then exact int64
+    * arithmetic any engine reproduces bit-for-bit (the DSIR
+    * quantization rule — a trained float classifier serves through
+    * `round(w * scale)` and loses nothing at scale 1e4, while the
+    * whole scoring path becomes oracle-checkable). The weight table
+    * rides the plan as an array literal (codegen `element_at`, no
+    * join); one explode + one partial-agg sum per document.
+    */
+  def linearScore(df: DataFrame, docId: String, text: String,
+      weights: Seq[Long], intercept: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val f = weights.length
+    val wArr = typedLit(weights)
+    df.where(col(text).isNotNull)
+      .select(col(docId),
+        explode(filter(split(col(text), " "), t => t =!= ""))
+          .as("__tok"))
+      .select(col(docId),
+        element_at(wArr,
+          pmod(graft.functions.PortableTokenHash(col("__tok")),
+            lit(f.toLong)).cast("int") + 1).as("__w"))
+      .groupBy(col(docId))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__w")) + intercept).as("score_raw"))
+  }
+
+  /** Train the fastText-style shallow quality classifier: hashed
+    * bag-of-words ([[hashingTf]] feature space) -> logistic
+    * regression -> INTEGER-quantized weights served by
+    * [[linearScore]]. Returns (weights, intercept) at `quantScale`
+    * (1e4 keeps four decimals of the solver's coefficients — far
+    * beyond their statistical resolution — while making the serving
+    * score exact int64 arithmetic, the DSIR quantization rule).
+    * `score_raw > 0` is the decision boundary (logistic > 0.5).
+    *
+    * Scale shape: the caller bounds the training frame (hash-sample
+    * budget, the q57 contract); featurization is one explode + one
+    * grouped sparse-assembly, the solver sees numFeatures-dim sparse
+    * vectors, and serving never touches MLlib — the weight array
+    * rides the scoring plan as a literal.
+    */
+  def fitQualityClassifier(df: DataFrame, docId: String, text: String,
+      label: String, numFeatures: Int, maxIter: Int = 15,
+      regParam: Double = 0.01, quantScale: Double = 1e4)
+      : (Seq[Long], Long) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val tf = hashingTf(df, docId, text, numFeatures)
+    val toVec = udf { (bs: Seq[Int], ts: Seq[Long]) =>
+      val sorted = bs.zip(ts).sortBy(_._1)
+      Vectors.sparse(numFeatures, sorted.map(_._1).toArray,
+        sorted.map(_._2.toDouble).toArray)
+    }
+    val feats = tf.groupBy(col(docId))
+      .agg(collect_list(col("bucket").cast("int")).as("__b"),
+        collect_list(col("tf")).as("__t"))
+      .withColumn("features", toVec(col("__b"), col("__t")))
+      .join(df.select(col(docId),
+        col(label).cast("double").as("__lbl")), Seq(docId))
+    val m = new LogisticRegression().setMaxIter(maxIter)
+      .setRegParam(regParam).setFeaturesCol("features")
+      .setLabelCol("__lbl").fit(feats)
+    val w = m.coefficients.toArray.toSeq
+      .map(v => math.round(v * quantScale))
+    (w, math.round(m.intercept * quantScale))
+  }
+
   /** Quality features: char length, word count, avg word length,
     * punctuation ratio, digit ratio, uppercase ratio, stopword ratio.
     */

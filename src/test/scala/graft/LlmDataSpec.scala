@@ -1244,4 +1244,56 @@ class LlmDataSpec extends SparkSuite {
           s"expr=${r.getSeq[String](1)} udf=${r.getSeq[String](2)}")
     }
   }
+
+  test("linearScore computes the exact integer score a hand fold " +
+      "over tokens reproduces (hash, bucket, literal lookup, sum)") {
+    import graft.functions.PortableTokenHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = (0 until 64).map(b => (b % 7).toLong - 3L)
+    val docs = Seq((1L, "the quick brown fox"), (2L, "a  b"),
+      (3L, "spam spam spam"), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.linearScore(docs, "doc_id", "text",
+        weights, intercept = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def expect(text: String): (Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val s = toks.map { t =>
+        val b = (PortableTokenHash.hashUtf8(
+          UTF8String.fromString(t)) % 64L).toInt
+        weights(b)
+      }.sum + 5L
+      (toks.length.toLong, s)
+    }
+    assert(got(1L) == expect("the quick brown fox"))
+    assert(got(2L) == expect("a  b"))
+    assert(got(3L) == expect("spam spam spam"))
+    // empty text yields no token rows -> absent from the grouped out
+    assert(!got.contains(4L))
+  }
+
+  test("fitQualityClassifier separates planted spam through the " +
+      "quantized integer serving path") {
+    val spamWords = " click here free offer buy cheap winner prize"
+    val docs = Seq.tabulate(120) { i =>
+      val base = s"document number $i carries ordinary prose about " +
+        "engines and data with enough tokens to look natural"
+      if (i % 3 == 0) (i.toLong, base + spamWords + spamWords, 1.0)
+      else (i.toLong, base, 0.0)
+    }.toDF("doc_id", "text", "label")
+    val (w, b) = TextAnalysis.fitQualityClassifier(docs, "doc_id",
+      "text", "label", numFeatures = 128, maxIter = 15)
+    assert(w.length == 128)
+    val scored = TextAnalysis.linearScore(docs, "doc_id", "text", w, b)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .withColumn("pred",
+        when(col("score_raw") > 0L, 1.0).otherwise(0.0))
+    val acc = scored.agg(avg(when(col("label") === col("pred"), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc >= 0.95, f"served accuracy $acc%.3f below 0.95")
+    // determinism: refit on the same frame yields the same weights
+    val (w2, b2) = TextAnalysis.fitQualityClassifier(docs, "doc_id",
+      "text", "label", numFeatures = 128, maxIter = 15)
+    assert(w == w2 && b == b2)
+  }
 }
