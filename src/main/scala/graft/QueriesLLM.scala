@@ -714,6 +714,163 @@ object QueriesLLM {
                      AS score_raw
             FROM b GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The STREAMING-SAFE row scorer under the same oracle as q145:
+    * one stateless UDF per document row (no explode, no aggregate —
+    * the q132 pattern, so the plan runs on an APPEND-mode stream for
+    * ingest-time quality filtering), producing bit-identical rows to
+    * the grouped form. LlmDataSpec drives it through a MemoryStream
+    * and pins row == grouped == stream.
+    */
+  private val q146_linear_score_stream: Q = (
+    (s, dir) => TextAnalysis.linearScoreRow(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        weights = (0 until 64).map(b => (b % 7).toLong - 3L),
+        intercept = 5L)
+      .orderBy(col("doc_id")),
+    q145_linear_score._2)
+
+  /** END-TO-END CORPUS BUILD under one oracle — the flagship
+    * composition: every stage is the library's ORACLE-EXACT variant,
+    * so DuckDB replays the entire pipeline and every document's fate
+    * hash-matches. Stages, in attribution order:
+    *
+    *   1. exact dedup    — min-id keeper per normalized fingerprint
+    *                       (q40 machinery)
+    *   2. quality filter — integer linear score > 0 over hashed
+    *                       features (q145 machinery)
+    *   3. decontamination— drop docs sharing an 8-token sliding
+    *                       window with the eval split (doc_id %% 97;
+    *                       eval windows are bounded and broadcast —
+    *                       eval sets are curated, not data-scale)
+    *   4. token budget   — portable-hash order, integer prefix sums,
+    *                       keep while cum <= 12000 (q92 machinery;
+    *                       range-bucketed, no global window)
+    *
+    * Output: one row per input document with n_tokens and its fate
+    * ('eval' | 'dedup' | 'quality' | 'decontam' | 'budget' | 'kept')
+    * — the attribution data card a corpus build ships with. Plants
+    * make every stage attribute: every 10th doc gets an exact copy
+    * (id + 1e6 — dedup fodder), every eval doc gets a train-side
+    * copy (id + 2e6 — contamination fodder), and the intercept (135)
+    * sits at the measured p10 of the corpus score so the quality
+    * stage drops the bottom decile rather than everything.
+    */
+  private val q147_corpus_pipeline: Q = (
+    (s, dir) => {
+      val W = (0 until 64).map(b => (b % 7).toLong - 3L)
+      def toks = filter(split(col("text"), " "), t => t =!= "")
+      val raw = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val dupPlant = raw.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val contamPlant = raw.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val d0 = raw.unionByName(dupPlant).unionByName(contamPlant)
+        .select(col("doc_id"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          md5(Dedup.normalize(col("text"))).as("__fp"),
+          (col("doc_id") % 97 === 0).as("__eval"))
+      val base = graft.Caches.pin(d0)
+      val train = base.where(!col("__eval"))
+      val keeper = train.groupBy(col("__fp"))
+        .agg(min(col("doc_id")).as("__keep"))
+      val scored = TextAnalysis.linearScoreRow(train, "doc_id",
+          "text", W, intercept = 135L)
+        .select(col("doc_id"), col("score_raw"))
+      def wins(df: org.apache.spark.sql.DataFrame) =
+        df.where(size(toks) >= 8)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(toks) - 8),
+            i => array_join(slice(toks, i + 1, lit(8)), " "))).as("__w"))
+      val evalW = wins(base.where(col("__eval")))
+        .select(col("__w")).distinct()
+      val contam = wins(train).join(broadcast(evalW), Seq("__w"))
+        .select(col("doc_id")).distinct()
+        .withColumn("__contam", lit(true))
+      val staged = base
+        .join(keeper, Seq("__fp"), "left")
+        .join(scored, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("early_stage",
+          when(col("__eval"), "eval")
+            .when(col("doc_id") =!= col("__keep"), "dedup")
+            .when(coalesce(col("score_raw"), lit(0L)) <= 0L, "quality")
+            .when(coalesce(col("__contam"), lit(false)), "decontam"))
+      val surv = staged.where(col("early_stage").isNull)
+        .select(col("doc_id"), col("n_tokens"))
+      val kept = Sampling.sampleToTokenBudget(surv, "doc_id",
+          col("n_tokens"), budget = 12000L)
+        .select(col("doc_id")).withColumn("__kept", lit(true))
+      staged.join(kept, Seq("doc_id"), "left")
+        .withColumn("stage", coalesce(col("early_stage"),
+          when(coalesce(col("__kept"), lit(false)), "kept")
+            .otherwise("budget")))
+        .select(col("doc_id"), col("n_tokens"), col("stage"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, text FROM documents
+                   WHERE doc_id % 10 = 0
+                   UNION ALL
+                   SELECT doc_id + 2000000, text FROM documents
+                   WHERE doc_id % 97 = 0),
+             d AS (SELECT doc_id, text,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS n_tokens,
+                 (doc_id * 2654435761 + 42) % 1000000007 AS h,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+                 (doc_id % 97 = 0) AS is_eval
+               FROM src WHERE text IS NOT NULL),
+             keeper AS (SELECT norm, min(doc_id) AS keep_id
+                        FROM d WHERE NOT is_eval GROUP BY norm),
+             toks AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok
+                      FROM d WHERE NOT is_eval),
+             sc AS (SELECT doc_id,
+                      135 + sum((list_reduce(list_prepend(
+                            CAST(0 AS BIGINT),
+                            list_transform(string_split(tok, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+                            (a, b) -> (a * 31 + b) % 1000000007)
+                          % 64) % 7 - 3) AS score
+                    FROM toks GROUP BY doc_id),
+             w8 AS (SELECT doc_id, is_eval,
+                      unnest(list_transform(range(1, len(w) - 6),
+                        i -> array_to_string(w[i:i+7], ' '))) AS win
+                    FROM (SELECT doc_id, is_eval,
+                            list_filter(string_split(text, ' '),
+                              x -> x <> '') AS w
+                          FROM d)
+                    WHERE len(w) >= 8),
+             ew AS (SELECT DISTINCT win FROM w8 WHERE is_eval),
+             contam AS (SELECT DISTINCT w8.doc_id
+                        FROM w8 JOIN ew USING (win)
+                        WHERE NOT is_eval),
+             staged AS (SELECT d.doc_id, d.n_tokens, d.h,
+                 CASE WHEN d.is_eval THEN 'eval'
+                      WHEN d.doc_id <> k.keep_id THEN 'dedup'
+                      WHEN coalesce(s.score, 0) <= 0 THEN 'quality'
+                      WHEN c.doc_id IS NOT NULL THEN 'decontam'
+                      ELSE NULL END AS early_stage
+               FROM d
+               LEFT JOIN keeper k
+                 ON d.norm = k.norm AND NOT d.is_eval
+               LEFT JOIN sc s ON d.doc_id = s.doc_id
+               LEFT JOIN contam c ON d.doc_id = c.doc_id),
+             cum AS (SELECT doc_id,
+                       sum(n_tokens) OVER (ORDER BY h) AS ct
+                     FROM staged WHERE early_stage IS NULL)
+            SELECT st.doc_id, st.n_tokens,
+                   coalesce(st.early_stage,
+                     CASE WHEN c.ct <= 12000 THEN 'kept'
+                          ELSE 'budget' END) AS stage
+            FROM staged st LEFT JOIN cum c ON st.doc_id = c.doc_id
+            ORDER BY st.doc_id"""))
+
   /** Corpus TF-IDF: smooth idf, top-3 terms per doc, term tiebreak.
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
@@ -2130,6 +2287,8 @@ object QueriesLLM {
     "q143_unigram_sample_chars" -> q143_unigram_sample_chars,
     "q144_quality_classifier" -> q144_quality_classifier,
     "q145_linear_score" -> q145_linear_score,
+    "q146_linear_score_stream" -> q146_linear_score_stream,
+    "q147_corpus_pipeline" -> q147_corpus_pipeline,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -77,6 +77,47 @@ object TextAnalysis {
         (sum(col("__w")) + intercept).as("score_raw"))
   }
 
+  /** STREAMING-SAFE row form of [[linearScore]] (the fertility-
+    * monitor pattern): one stateless scalar UDF per document row — no
+    * explode, no aggregate, no state store — so the identical plan
+    * runs on an APPEND-mode stream: ingest-time quality filtering
+    * with weights trained offline by [[fitQualityClassifier]].
+    * Output rows equal [[linearScore]]'s bit for bit (documents with
+    * zero tokens are dropped on both paths); the tight loop walks the
+    * same space-split tokens and the same code-point polynomial.
+    */
+  def linearScoreRow(df: DataFrame, docId: String, text: String,
+      weights: Seq[Long], intercept: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wArr = weights.toArray
+    val f = wArr.length.toLong
+    val score = udf { (t: String) =>
+      if (t == null) null
+      else {
+        var n = 0L
+        var s = intercept
+        var i = 0
+        val toks = t.split(" ")
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) {
+            val h = graft.functions.PortableTokenHash.hashUtf8(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(toks(i)))
+            s += wArr((h % f).toInt)
+            n += 1L
+          }
+          i += 1
+        }
+        (n, s)
+      }
+    }
+    df.where(col(text).isNotNull)
+      .withColumn("__r", score(col(text)))
+      .where(col("__r._1") >= 1L)
+      .select(col(docId), col("__r._1").as("n_tokens"),
+        col("__r._2").as("score_raw"))
+  }
+
   /** Train the fastText-style shallow quality classifier: hashed
     * bag-of-words ([[hashingTf]] feature space) -> logistic
     * regression -> INTEGER-quantized weights served by

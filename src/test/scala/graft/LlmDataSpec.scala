@@ -1272,6 +1272,34 @@ class LlmDataSpec extends SparkSuite {
     assert(!got.contains(4L))
   }
 
+  test("linearScoreRow equals the grouped form, and an APPEND-mode " +
+      "MemoryStream scores identically to batch") {
+    val weights = (0 until 64).map(b => (b % 7).toLong - 3L)
+    val data = Seq((1L, "the quick brown fox"), (2L, "a  b"),
+      (3L, "spam spam spam"), (4L, ""), (5L, "  "),
+      (6L, "café élève 𝄞"))
+    val docs = data.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grouped = rows(TextAnalysis.linearScore(docs, "doc_id",
+      "text", weights, 5L))
+    val row = rows(TextAnalysis.linearScoreRow(docs, "doc_id",
+      "text", weights, 5L))
+    assert(row == grouped)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.linearScoreRow(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        weights, 5L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_lscore").start()
+    in.addData(data.take(3)); q.processAllAvailable()
+    in.addData(data.drop(3)); q.processAllAvailable(); q.stop()
+    assert(rows(spark.table("t_lscore")) == grouped)
+  }
+
   test("fitQualityClassifier separates planted spam through the " +
       "quantized integer serving path") {
     val spamWords = " click here free offer buy cheap winner prize"
