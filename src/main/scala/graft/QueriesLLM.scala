@@ -1370,6 +1370,55 @@ object QueriesLLM {
               < f.cut
         ORDER BY d.doc_id"""))
 
+  /** UniMax budget-capped uniform mixing over the SKEWED lang column
+    * (en dominates 218:64 at sf0.01) with a 0.7-corpus budget, so
+    * BOTH water-filling regimes exercise: the two smallest languages
+    * are fully kept (integer waterline) and the rest sample at the
+    * common level. The oracle mirrors the waterline with the same
+    * cross-multiplied integer condition in window functions and the
+    * identical two-division + round(9) + trunc(1e6) fraction
+    * quantization (the q100 contract).
+    */
+  private val q148_unimax_mix: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      Sampling.mixUniform(d, "doc_id", "lang",
+          targetRows = d.count() * 7L / 10L, seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY 1),
+             t AS (SELECT (SELECT count(*) * 7 // 10
+                           FROM documents) AS b,
+                     (SELECT count(*) FROM c) AS k),
+             r AS (SELECT lang, n,
+                     row_number() OVER (ORDER BY n, lang) AS i,
+                     coalesce(sum(n) OVER (ORDER BY n, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cumprev
+                   FROM c),
+             fail AS (SELECT coalesce(
+                        (SELECT min(r.i) FROM r, t
+                         WHERE r.n * (t.k - r.i + 1) > t.b - r.cumprev),
+                        (SELECT k + 1 FROM t)) AS first_fail),
+             wl AS (SELECT f.first_fail - 1 AS m,
+                      coalesce((SELECT max(cumprev + n) FROM r
+                                WHERE i <= f.first_fail - 1), 0) AS cum_m
+                    FROM fail f),
+             f AS (SELECT r.lang,
+                     CASE WHEN r.i <= wl.m THEN CAST(1000000 AS BIGINT)
+                          ELSE CAST(trunc(round(least(1.0,
+                            (CAST(t.b - wl.cum_m AS DOUBLE)
+                              / (t.k - wl.m)) / r.n), 9) * 1000000)
+                            AS BIGINT) END AS cut
+                   FROM r, t, wl)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN f USING (lang)
+            WHERE ((d.doc_id * 2654435761 + 42) % 1000000007) % 1000000
+                  < f.cut
+            ORDER BY d.doc_id"""))
+
   /** The FULL multimodal pipeline under the oracle (was rows-only —
     * VERDICT r4 task 4): planted PNG payloads (dims/gray are integer
     * functions of doc_id), typed media_meta carrying a planted
@@ -2289,6 +2338,7 @@ object QueriesLLM {
     "q145_linear_score" -> q145_linear_score,
     "q146_linear_score_stream" -> q146_linear_score_stream,
     "q147_corpus_pipeline" -> q147_corpus_pipeline,
+    "q148_unimax_mix" -> q148_unimax_mix,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -204,6 +204,50 @@ object Sampling {
     stratifiedSample(df, id, col(sourceCol), fractions, seed)
   }
 
+  /** UniMax-style budget-capped uniform source mixing (Chung et al.
+    * 2023, "UniMax: Fairer and More Effective Language Sampling"):
+    * spread a row budget UNIFORMLY across strata, capping each
+    * stratum at its own size and WATER-FILLING the surplus into the
+    * remaining strata — the fair alternative to temperature mixing
+    * when low-resource strata must not lose their share to the head.
+    * (The paper's epoch cap generalizes the size cap for repeated
+    * data; a single-pass frame subsamples, so the cap here is one
+    * epoch.)
+    *
+    * The waterline is found with EXACT INTEGER arithmetic: strata
+    * sorted ascending by (size, name); a stratum is fully kept iff
+    * `n_i * (#remaining) <= remaining budget` (cross-multiplied — no
+    * division, no floats), so the fully-kept prefix is
+    * engine-reproducible by construction. Only the final level/size
+    * fraction is a double — two divisions in pinned order, rounded
+    * to 9 decimals (the [[mixByTemperature]] quantization) — applied
+    * as the portable hash filter. One grouped census (O(#strata),
+    * bounded by construction), one codegen'd filter, no shuffle.
+    */
+  def mixUniform(df: DataFrame, id: String, stratumCol: String,
+      targetRows: Long, seed: Long = 42L): DataFrame = {
+    require(targetRows > 0, s"targetRows $targetRows")
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy { case (s, n) => (n, s) }
+    val k = counts.length
+    var cum = 0L
+    var m = 0
+    while (m < k && counts(m)._2 * (k - m) <= targetRows - cum) {
+      cum += counts(m)._2
+      m += 1
+    }
+    val fractions = counts.zipWithIndex.map { case ((s, n), i) =>
+      val f = if (i < m) 1.0
+        else math.min(1.0,
+          ((targetRows - cum).toDouble / (k - m)) / n.toDouble)
+      s -> BigDecimal(f).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.toMap
+    stratifiedSample(df, id, col(stratumCol), fractions, seed)
+  }
+
   /** Hashed-bigram feature buckets in one tight loop per document:
     * for adjacent token pairs, the portable char-code polynomial of
     * "w1 w2" (the [[Dedup.portableTokenHash]] fold including the

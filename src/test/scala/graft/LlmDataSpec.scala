@@ -1112,6 +1112,35 @@ class LlmDataSpec extends SparkSuite {
     def in_between(lo: Long, hi: Long): Boolean = x >= lo && x <= hi
   }
 
+  test("mixUniform: integer waterline fully keeps small strata, " +
+      "levels the head, keeps everything under a big budget, and is " +
+      "deterministic") {
+    import spark.implicits._
+    // strata 10 / 20 / 100; budget 60 -> waterline after {a, b}
+    // (10*3=30<=60, 20*2=40<=50, 100*1=100>30), level 30 -> c at 0.3
+    val d = ((1L to 10L).map((_, "a")) ++ (101L to 120L).map((_, "b"))
+      ++ (201L to 300L).map((_, "c"))).toDF("doc_id", "src")
+    val kept = Sampling.mixUniform(d, "doc_id", "src", targetRows = 60L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 10L && kept("b") == 20L,
+      s"waterlined strata must keep ALL rows: $kept")
+    assert(kept("c") in_between (15L, 45L),
+      s"leveled stratum should keep ~30 of 100: $kept")
+    // budget >= corpus: identity
+    val all = Sampling.mixUniform(d, "doc_id", "src",
+      targetRows = 1000L).count()
+    assert(all == 130L)
+    // determinism
+    val again = Sampling.mixUniform(d, "doc_id", "src",
+      targetRows = 60L).groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // the head never eats the tail: c's keep-count under the uniform
+    // budget stays below b's full retention even though c is 5x b
+    assert(kept("c") < 100L)
+  }
+
   test("boilerplateSpans: a 4-gram shared by >= minDocs docs flags its " +
       "positions; unique content does not") {
     import spark.implicits._
