@@ -759,9 +759,12 @@ object QueriesLLM {
     (s, dir) => {
       val W = (0 until 64).map(b => (b % 7).toLong - 3L)
       def toks = filter(split(col("text"), " "), t => t =!= "")
-      val raw = spread(read(s, dir, "documents"))
+      // pin the source scan: the three union branches (corpus + two
+      // plant frames) and the downstream stages then read ONE parquet
+      // pass instead of three
+      val raw = graft.Caches.pin(spread(read(s, dir, "documents"))
         .where(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")))
       val dupPlant = raw.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val contamPlant = raw.where(col("doc_id") % 97 === 0)
