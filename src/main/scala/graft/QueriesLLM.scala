@@ -2133,9 +2133,11 @@ object QueriesLLM {
       // rank re-derived from the ROUNDED counts: the audit table's
       // own rank sorts raw doubles, where a last-ulp difference
       // between two true-tie chars could invert the piece-asc
-      // tiebreak vs the oracle's exact integers (<= alphabet rows,
-      // so the single-partition window is fine)
+      // tiebreak vs the oracle's exact integers. Deliberately
+      // single-partition (<= alphabet rows) with the house pinned
+      // key so the intent is explicit in the plan
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.ops.ScanOps.pinnedZero(length(col("piece"))))
         .orderBy(desc("count"), asc("piece"))
       table.select(col("piece"),
         round(col("count")).cast("long").as("count"))
