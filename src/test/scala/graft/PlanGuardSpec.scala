@@ -237,4 +237,40 @@ class PlanGuardSpec extends SparkSuite {
     assert(finalPlan.contains("partial_count"), finalPlan)
     graft.Caches.release()
   }
+
+  test("q115/q113: the portable hash is the NATIVE expression inline " +
+      "in the plan — no ScalaUDF wrapper in the scoring projection") {
+    for (name <- Seq("q115_feature_hash", "q113_group_split")) {
+      val p = planOf(q(name))
+      assert(p.contains("portable_token_hash"),
+        s"$name lost the native hash:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"),
+        s"$name routes the hash through a UDF wrapper:\n$p")
+    }
+  }
+
+  test("q139 drift monitor: the cumulative-prior window partitions " +
+      "by source (never corpus-wide), and the grouped fold " +
+      "partial-aggregates before its exchange") {
+    val p = planOf(q("q139_drift_monitor"))
+    val winLine = p.linesIterator
+      .find(l => l.contains("windowspecdefinition")).getOrElse("")
+    assert(winLine.contains("source"),
+      s"drift window not partitioned by source: $winLine\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q147 corpus pipeline: eval-window decontamination joins " +
+      "BROADCAST, and every downstream stage reads the pinned scans " +
+      "(no repeated parquet passes in the executed plan)") {
+    val df = q("q147_corpus_pipeline")
+    df.queryExecution.toRdd.count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(finalPlan.contains("InMemoryTableScan"),
+      s"pinned source not read from cache:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    graft.Caches.release()
+  }
 }
