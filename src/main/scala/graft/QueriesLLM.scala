@@ -2292,6 +2292,54 @@ object QueriesLLM {
     },
     None)
 
+  /** BPE-DROPOUT serving (Provilkov et al. 2020, completing the
+    * regularized-tokenization pair with q142's unigram sampling):
+    * per-occurrence seeded encodes against the fitted merge table at
+    * p = 0.1. Rows-only (solver-fitted merges); the in-plan guard
+    * pins n_words <= n_bpe, and q150 oracle-checks the identical
+    * path at p = 1.
+    */
+  private val q149_bpe_dropout: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = Bpe.fit(d, "text", nMerges = 16)
+      Bpe.dropoutCounts(d, "doc_id", "text", model, p = 0.1,
+          seed = 42L)
+        .withColumn("n_bpe",
+          when(col("n_bpe") < col("n_words"),
+            raise_error(concat(lit("q149: doc "), col("doc_id"),
+              lit(" dropout-encoded to fewer pieces than words")))
+              .cast("long"))
+            .otherwise(col("n_bpe")))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** BPE-dropout under the ORACLE: p = 1 drops every merge, so the
+    * encoder must emit pure characters regardless of the fitted
+    * merge table, and n_bpe is exactly the non-space char count of
+    * the normalized text — DuckDB recomputes it directly (the q137
+    * trick applied to the dropout path; pins the pass loop, the
+    * draw wiring, and the per-occurrence aggregation).
+    */
+  private val q150_bpe_dropout_chars: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = Bpe.fit(d, "text", nMerges = 16)
+      Bpe.dropoutCounts(d, "doc_id", "text", model, p = 1.0,
+          seed = 7L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t)))
+                     AS BIGINT) AS n_bpe
+            FROM n WHERE len(w) >= 1 ORDER BY doc_id"""))
+
   /** Vocabulary-coverage audit: per-doc OOV counts against the
     * corpus's own top-1000 token vocabulary (count desc, token asc —
     * a total order both engines compute identically). One pinned
@@ -2344,6 +2392,8 @@ object QueriesLLM {
     "q146_linear_score_stream" -> q146_linear_score_stream,
     "q147_corpus_pipeline" -> q147_corpus_pipeline,
     "q148_unimax_mix" -> q148_unimax_mix,
+    "q149_bpe_dropout" -> q149_bpe_dropout,
+    "q150_bpe_dropout_chars" -> q150_bpe_dropout_chars,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

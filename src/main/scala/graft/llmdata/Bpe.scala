@@ -78,6 +78,92 @@ object Bpe {
     syms
   }
 
+  /** BPE-DROPOUT encode (Provilkov et al. 2020, "BPE-Dropout: Simple
+    * and Effective Subword Regularization"): identical pass structure
+    * to [[encodeToken]], but each adjacent position draws a fresh
+    * Bernoulli(p) DROP decision every pass — dropped positions are
+    * invisible to both the best-rank search and the merge pass, so
+    * skipped merges produce longer, varied segmentations (the
+    * regularizer). p = 0 is bit-identical to [[encodeToken]] (same
+    * passes, nothing dropped — spec-pinned); p = 1 drops every merge
+    * and yields pure characters (the oracle twin). Draws come from
+    * the same splitmix64 stream as [[Unigram.sampleSegment]] —
+    * specified arithmetic, not JDK Random — so a (token, seed) pair
+    * encodes identically anywhere, forever.
+    */
+  private[graft] def encodeTokenDropout(tok: String,
+      ranks: Map[(String, String), Int], p: Double,
+      seed: Long): Array[String] = {
+    require(p >= 0.0 && p <= 1.0, s"dropout p must be in [0,1], got $p")
+    if (p <= 0.0) return encodeToken(tok, ranks)
+    if (tok.isEmpty) return Array.empty
+    var syms = tok.map(_.toString).toArray
+    var state = seed
+    def nextUnit(): Double = {
+      state += 0x9e3779b97f4a7c15L
+      var x = state
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    var done = false
+    while (!done && syms.length >= 2) {
+      val keep = Array.fill(syms.length - 1)(nextUnit() >= p)
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        if (keep(i)) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && keep(i) &&
+              ranks.getOrElse((syms(i), syms(i + 1)),
+                Int.MaxValue) == best) {
+            out += syms(i) + syms(i + 1)
+            i += 2
+          } else {
+            out += syms(i)
+            i += 1
+          }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Per-document BPE-dropout token counts — the training-time
+    * serving surface: every token OCCURRENCE draws its own encode
+    * (the same word varies across occurrences, like
+    * [[Unigram.sampleCounts]]), so there is deliberately no
+    * dictionary join. Per-occurrence seeds are
+    * `xxhash64(id, position, seed)` computed IN the plan, so results
+    * are deterministic under any partitioning and replay.
+    */
+  def dropoutCounts(df: DataFrame, id: String, text: String,
+      model: BpeModel, p: Double, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val ranksB = spark.sparkContext.broadcast(model.ranks)
+    val nSub = udf { (tok: String, s: Long) =>
+      encodeTokenDropout(tok, ranksB.value, p, s).length
+    }
+    df.where(col(text).isNotNull)
+      .select(col(id), posexplode(Dedup.normalizeTokens(col(text)))
+        .as(Seq("__pos", "__tok")))
+      .withColumn("__seed", xxhash64(col(id), col("__pos"), lit(seed)))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(nSub(col("__tok"), col("__seed")).cast("long")).as("n_bpe"))
+  }
+
   /** One left-to-right non-overlapping merge pass of the pair whose
     * rank equals `rank`.
     */

@@ -212,6 +212,46 @@ class BpeSpec extends SparkSuite {
       "SELECT doc_id, n_words, n_bpe FROM t_bpe_fert")) == batch)
   }
 
+  test("encodeTokenDropout: p=0 is bit-identical to the greedy " +
+      "encoder; p=1 is pure characters; per-seed deterministic and " +
+      "seed-sensitive") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    val toks = corpus.flatMap(refTokenize).distinct
+    toks.foreach { t =>
+      for (seed <- 1L to 5L)
+        assert(Bpe.encodeTokenDropout(t, model.ranks, 0.0, seed).toSeq ==
+          Bpe.encodeToken(t, model.ranks).toSeq, s"p=0 diverged on '$t'")
+      assert(Bpe.encodeTokenDropout(t, model.ranks, 1.0, 3L).toSeq ==
+        t.map(_.toString), s"p=1 not chars on '$t'")
+      val a = Bpe.encodeTokenDropout(t, model.ranks, 0.5, 11L).toSeq
+      assert(Bpe.encodeTokenDropout(t, model.ranks, 0.5, 11L).toSeq == a)
+    }
+    // across seeds, at least one multi-merge token must vary at p=0.5
+    val varied = toks.filter(_.length >= 4).exists { t =>
+      (1L to 20L).map(s =>
+        Bpe.encodeTokenDropout(t, model.ranks, 0.5, s).toSeq)
+        .distinct.length > 1
+    }
+    assert(varied, "dropout never varied any segmentation across seeds")
+  }
+
+  test("dropoutCounts: deterministic per seed; p=1 equals the exact " +
+      "char counts; dropout at p=0.5 only lengthens the merge-heavy " +
+      "corpus") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    def tot(p: Double, seed: Long): Long =
+      Bpe.dropoutCounts(docs, "doc_id", "text", model, p, seed)
+        .agg(sum("n_bpe")).head().getLong(0)
+    val chars = corpus.flatMap(refTokenize).map(_.length.toLong).sum
+    assert(tot(1.0, 9L) == chars)
+    val greedy = Bpe.encodeCounts(docs, "doc_id", "text", model)
+      .agg(sum("n_bpe")).head().getLong(0)
+    val mid = tot(0.5, 9L)
+    assert(mid == tot(0.5, 9L))
+    assert(greedy <= mid && mid <= chars,
+      s"expected $greedy <= $mid <= $chars")
+  }
+
   test("normalizeTokens and the reference tokenizer agree on the " +
       "fixture (contract the fit relies on)") {
     val got = docs.select(Dedup.normalizeTokens(col("text")).as("t"))
