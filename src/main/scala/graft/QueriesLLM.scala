@@ -765,6 +765,12 @@ object QueriesLLM {
       val raw = graft.Caches.pin(spread(read(s, dir, "documents"))
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("text")))
+      // plant ids live at +1e6/+2e6; enforce the no-collision invariant
+      // rather than assume it (both engines replay the same arithmetic,
+      // so a collision would silently shift attribution — ADVICE r7)
+      val maxId = raw.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < 1000000L,
+        s"q147 plant offsets assume doc_id < 1e6; max doc_id = $maxId")
       val dupPlant = raw.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val contamPlant = raw.where(col("doc_id") % 97 === 0)
@@ -1391,7 +1397,8 @@ object QueriesLLM {
         .orderBy(col("doc_id"))
     },
     Some("""WITH c AS (SELECT lang, count(*) AS n
-                       FROM documents GROUP BY 1),
+                       FROM documents WHERE lang IS NOT NULL
+                       GROUP BY 1),
              t AS (SELECT (SELECT count(*) * 7 // 10
                            FROM documents) AS b,
                      (SELECT count(*) FROM c) AS k),

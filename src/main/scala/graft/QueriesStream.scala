@@ -239,6 +239,9 @@ object QueriesStream {
     (s, dir) => {
       import graft.llmdata.Dedup.normalizeTokens
       val d = QH.spread(read(s, dir, "documents"))
+        // null-text docs carry no fertility signal; an all-null bucket
+        // would otherwise NULL batch_words and the drift bit (ADVICE r7)
+        .where(col("text").isNotNull)
         .withColumn("batch_id", expr("doc_id div 100"))
         .withColumn("t",
           when(col("batch_id") % 5 === 4,
@@ -262,7 +265,7 @@ object QueriesStream {
                    CASE WHEN (doc_id // 100) % 5 = 4
                         THEN text || repeat(' hyperagglutinative', 3)
                         ELSE text END AS t
-                 FROM documents),
+                 FROM documents WHERE text IS NOT NULL),
              n AS (SELECT source, batch_id,
                      list_filter(string_split(trim(regexp_replace(
                        regexp_replace(lower(t), '[^a-z0-9 ]', '', 'g'),

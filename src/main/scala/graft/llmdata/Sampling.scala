@@ -188,10 +188,16 @@ object Sampling {
     require(targetRows > 0, s"targetRows $targetRows")
     // contract: null-source rows carry no mixable weight and are
     // dropped (stratifiedSample's fall-through would drop them anyway;
-    // filtering up front also keeps the driver-side key map NPE-free)
-    val counts = df.where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    // filtering up front also keeps the driver-side key map NPE-free).
+    // The stratum is cast to string on BOTH sides (census and filter):
+    // the driver-side fraction map is keyed by strings, so a non-string
+    // column would otherwise census distinct values that stringify
+    // identically into one stratum while the filter compared via an
+    // implicit cast (ADVICE r7)
+    val stratum = col(sourceCol).cast("string")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
     val sumW = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     // round to 9 decimals before bucketing: the weight sum's fp value
     // depends on summation order, which no engine guarantees — the
@@ -201,7 +207,7 @@ object Sampling {
           (math.pow(n.toDouble, alpha) / sumW) * targetRows / n))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
-    stratifiedSample(df, id, col(sourceCol), fractions, seed)
+    stratifiedSample(df, id, stratum, fractions, seed)
   }
 
   /** UniMax-style budget-capped uniform source mixing (Chung et al.
@@ -227,9 +233,11 @@ object Sampling {
   def mixUniform(df: DataFrame, id: String, stratumCol: String,
       targetRows: Long, seed: Long = 42L): DataFrame = {
     require(targetRows > 0, s"targetRows $targetRows")
-    val counts = df.where(col(stratumCol).isNotNull)
-      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    // string-cast on both sides — the mixByTemperature contract
+    val stratum = col(stratumCol).cast("string")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy { case (s, n) => (n, s) }
     val k = counts.length
     var cum = 0L
@@ -245,7 +253,7 @@ object Sampling {
       s -> BigDecimal(f).setScale(9, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
     }.toMap
-    stratifiedSample(df, id, col(stratumCol), fractions, seed)
+    stratifiedSample(df, id, stratum, fractions, seed)
   }
 
   /** Hashed-bigram feature buckets in one tight loop per document:
