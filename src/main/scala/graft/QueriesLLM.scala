@@ -1429,6 +1429,73 @@ object QueriesLLM {
                   < f.cut
             ORDER BY d.doc_id"""))
 
+  /** DoReMi-lite learned mixture weights over the source domains
+    * ([[Sampling.doremiWeights]]): excess loss = per-domain average
+    * unigram-LM NLL minus bigram-LM NLL (both add-0.5, whole-corpus
+    * fit, 1e-4-nat integer grid), then 10 multiplicative-weights
+    * steps in scaled integer arithmetic (eta: x1.1 per nat per step).
+    * The oracle replays the ENTIRE trajectory — both LM fits, the
+    * per-domain integer averages, and all 10 update steps as unrolled
+    * CTEs with the identical floor divisions — so w_final and the
+    * per-step average w_avg hash-match, not just the loss table.
+    */
+  private val q151_doremi_mix: Q = (
+    (s, dir) => Sampling.doremiWeights(spread(read(s, dir, "documents")),
+        "source", "text", etaNum = 10L, steps = 10, addK = 0.5)
+      .orderBy(col("domain")),
+    Some {
+      val stepCtes = (1 to 10).map { t =>
+        val prev = if (t == 1) "t0" else s"t${t - 1}"
+        s"""t$t AS (SELECT domain, excess4,
+                 raw * 1000000 // (sum(raw) OVER ()) AS w,
+                 acc + raw * 1000000 // (sum(raw) OVER ()) AS acc
+               FROM (SELECT domain, excess4, acc,
+                       w * (1000000 + 10 * excess4) // 1000000 AS raw
+                     FROM $prev))"""
+      }.mkString(",\n             ")
+      s"""WITH n AS (SELECT source AS domain,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+             n2 AS (SELECT * FROM n WHERE len(w) >= 2),
+             u AS (SELECT domain, unnest(w) AS tok FROM n2),
+             uc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+             sc AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                      count(*) AS v FROM uc),
+             ulp AS (SELECT tok, CAST(round(ln((c + 0.5) / (t + 0.5 * v))
+                       * 1e4) AS BIGINT) AS lp4 FROM uc, sc),
+             pu AS (SELECT domain, CAST(-sum(lp4) AS BIGINT) AS us,
+                      count(*) AS un
+                    FROM u JOIN ulp USING (tok) GROUP BY domain),
+             bp AS (SELECT domain, unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS pr FROM n2),
+             bg AS (SELECT pr, count(*) AS cb FROM bp GROUP BY pr),
+             hg AS (SELECT string_split(pr, ' ')[1] AS w1,
+                      CAST(sum(cb) AS BIGINT) AS ch FROM bg GROUP BY 1),
+             blp AS (SELECT pr, CAST(round(ln((cb + 0.5) / (ch + 0.5 * v))
+                       * 1e4) AS BIGINT) AS lp4
+                     FROM bg JOIN hg ON string_split(bg.pr, ' ')[1] = hg.w1,
+                       sc),
+             pb AS (SELECT domain, CAST(-sum(lp4) AS BIGINT) AS bs,
+                      count(*) AS bn
+                    FROM bp JOIN blp USING (pr) GROUP BY domain),
+             e AS (SELECT pu.domain AS domain,
+                     CAST(greatest(0, us // un - bs // bn) AS BIGINT)
+                       AS excess4
+                   FROM pu JOIN pb USING (domain)),
+             kk AS (SELECT count(*) AS k FROM e),
+             t0 AS (SELECT domain, excess4,
+                      CAST(1000000 // k AS BIGINT) AS w,
+                      CAST(0 AS BIGINT) AS acc FROM e, kk),
+             $stepCtes
+            SELECT domain, excess4, CAST(w AS BIGINT) AS w_final,
+                   CAST(acc // 10 AS BIGINT) AS w_avg,
+                   CAST(acc // 10 AS DOUBLE) / 1000000.0 AS weight
+            FROM t10 ORDER BY domain"""
+    })
+
   /** The FULL multimodal pipeline under the oracle (was rows-only —
     * VERDICT r4 task 4): planted PNG payloads (dims/gray are integer
     * functions of doc_id), typed media_meta carrying a planted
@@ -2399,6 +2466,7 @@ object QueriesLLM {
     "q146_linear_score_stream" -> q146_linear_score_stream,
     "q147_corpus_pipeline" -> q147_corpus_pipeline,
     "q148_unimax_mix" -> q148_unimax_mix,
+    "q151_doremi_mix" -> q151_doremi_mix,
     "q149_bpe_dropout" -> q149_bpe_dropout,
     "q150_bpe_dropout_chars" -> q150_bpe_dropout_chars,
     "q70_hash_sample" -> q70_hash_sample,

@@ -543,4 +543,115 @@ object Sampling {
       hashSample(df, id, f, seed + i * 7919L)
         .withColumn(tag, lit(name))
     }.reduce(_ unionByName _)
+
+  /** DoReMi-lite learned mixture weights (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * per-domain multiplicative-weights ascent on EXCESS LOSS — how
+    * much worse a weak proxy model does than a stronger reference
+    * model on each domain — so domains where the proxy has the most
+    * to learn get upweighted. The full method trains both models;
+    * the lite form uses the library's two exact n-gram LMs as the
+    * (frozen) pair: proxy = add-k UNIGRAM model, reference = add-k
+    * BIGRAM model (the [[graft.llmdata.TextAnalysis.lmPerplexity]]
+    * family), both fit on the whole corpus, per-token NLL averaged
+    * per domain.
+    *
+    * Every quantity is integer-quantized so the weight TRAJECTORY —
+    * not just the final vector — replays bit-for-bit in any engine:
+    * per-type log-probs round to the 1e-4-nat grid (the q119 DSIR
+    * quantum: nine orders above cross-engine libm ln() drift), the
+    * per-domain average NLL is an exact integer division of the
+    * 1e4-scaled sum, and each multiplicative step runs in scaled
+    * integer arithmetic:
+    *
+    *   m_d     = SCALE + etaNum * excess4_d          (SCALE = 1e6)
+    *   raw_d   = w_d * m_d / SCALE                   (integer div)
+    *   w'_d    = raw_d * SCALE / sum(raw)            (integer div)
+    *
+    * starting from w_d = SCALE / k, for `steps` rounds. The reported
+    * mixture is the paper's per-step AVERAGE (w_avg = sum of w_d over
+    * rounds / steps) alongside the final-step vector. Effective
+    * learning rate: one nat of excess loss multiplies a domain's
+    * weight by (1 + etaNum * 1e4 / SCALE) per step — etaNum = 10 is
+    * x1.1/nat/step.
+    *
+    * Scale shape: two grouped counts over token/bigram occurrences
+    * (the lmFit shuffles), two per-occurrence scoring joins, and a
+    * k-row census collect — the trajectory itself is O(k * steps) on
+    * the driver, bounded because domains are a curated enum, not
+    * data-scale. The token frame is pinned once and feeds both the
+    * unigram and bigram branches.
+    */
+  def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
+      etaNum: Long = 10L, steps: Int = 10, addK: Double = 0.5): DataFrame = {
+    require(etaNum >= 0, s"etaNum $etaNum")
+    require(steps >= 1, s"steps $steps")
+    require(addK > 0, s"additive smoothing needs k > 0, got $addK")
+    val Scale = 1000000L
+    val toks = graft.Caches.pin(
+      df.where(col(textCol).isNotNull && col(domainCol).isNotNull)
+        .select(col(domainCol).cast("string").as("domain"),
+          Dedup.normalizeTokens(col(textCol)).as("__t"))
+        .where(size(col("__t")) >= 2))
+    // proxy: unigram add-k NLL per domain (1e4-scaled integer sum)
+    val uni = toks.select(col("domain"), explode(col("__t")).as("tok"))
+    val ucnt = graft.Caches.pin(
+      uni.groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val hdr = ucnt.agg(sum(col("c")).as("t"), count(lit(1)).as("v")).head()
+    val (totTok, vocab) = (hdr.getLong(0), hdr.getLong(1))
+    val ulp = ucnt.select(col("tok"),
+      round(log((col("c") + lit(addK)) / lit(totTok + addK * vocab))
+        * lit(1e4)).cast("long").as("lp4"))
+    val pu = uni.join(ulp, Seq("tok"))
+      .groupBy(col("domain"))
+      .agg((-sum(col("lp4"))).as("us"), count(lit(1)).as("un"))
+    // reference: bigram add-k NLL per domain (same vocab, lmFit shape)
+    val bi = toks.select(col("domain"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col("domain"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bcnt = graft.Caches.pin(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+    val hcnt = bcnt.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+    val blp = bcnt.join(hcnt, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + lit(addK)) / (col("ch") + lit(addK * vocab)))
+          * lit(1e4)).cast("long").as("lp4"))
+    val pb = bi.join(blp, Seq("w1", "w2"))
+      .groupBy(col("domain"))
+      .agg((-sum(col("lp4"))).as("bs"), count(lit(1)).as("bn"))
+    // k-row census -> driver trajectory (all positive integer ops)
+    val census = pu.join(pb, Seq("domain"))
+      .select(col("domain"), col("us"), col("un"), col("bs"), col("bn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val k = census.length
+    require(k >= 1, "doremiWeights needs at least one domain")
+    val ex = census.map { case (_, us, un, bs, bn) =>
+      math.max(0L, us / un - bs / bn)
+    }
+    val w = Array.fill(k)(Scale / k)
+    val acc = Array.fill(k)(0L)
+    var t = 0
+    while (t < steps) {
+      val raw = Array.tabulate(k)(i => w(i) * (Scale + etaNum * ex(i)) / Scale)
+      val s = raw.sum
+      var i = 0
+      while (i < k) {
+        w(i) = raw(i) * Scale / s
+        acc(i) += w(i)
+        i += 1
+      }
+      t += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    census.indices.map { i =>
+      val wAvg = acc(i) / steps
+      (census(i)._1, ex(i), w(i), wAvg, wAvg.toDouble / 1000000.0)
+    }.toSeq.toDF("domain", "excess4", "w_final", "w_avg", "weight")
+  }
 }

@@ -463,6 +463,52 @@ class LlmDataSpec extends SparkSuite {
     assert(w(1L) > w(3L) && w(3L) > w(2L), s"unexpected ordering: $w")
   }
 
+  test("doremiWeights: the integer weight trajectory replays exactly " +
+      "from the reported excess table; eta=0 stays uniform; weight " +
+      "order follows excess order") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("pred", 1L, "a b a b a b a b a b a b a b a b"),
+      ("pred", 2L, "a b a b a b a b a b"),
+      ("mix", 3L, "a b c d e f g h a b"),
+      ("mix", 4L, "c a e b g d h f c a"),
+      ("rare", 5L, "x y z w v u t s r q"),
+      ("rare", 6L, "q r s t u v w x y z")).toDF("domain", "doc_id", "text")
+    val res = Sampling.doremiWeights(corpus, "domain", "text",
+        etaNum = 10L, steps = 10).orderBy(col("domain")).collect()
+    Caches.release()
+    val ex = res.map(_.getAs[Long]("excess4"))
+    // replay the scaled-integer multiplicative-weights trajectory from
+    // the reported excess values — w_final/w_avg/weight must be the
+    // same integers (the oracle's unrolled-CTE contract)
+    val k = ex.length
+    val w = Array.fill(k)(1000000L / k)
+    val acc = Array.fill(k)(0L)
+    for (_ <- 1 to 10) {
+      val raw = Array.tabulate(k)(i => w(i) * (1000000L + 10L * ex(i)) / 1000000L)
+      val s = raw.sum
+      for (i <- 0 until k) { w(i) = raw(i) * 1000000L / s; acc(i) += w(i) }
+    }
+    res.indices.foreach { i =>
+      assert(res(i).getAs[Long]("w_final") == w(i))
+      assert(res(i).getAs[Long]("w_avg") == acc(i) / 10)
+      assert(res(i).getAs[Double]("weight") == (acc(i) / 10).toDouble / 1e6)
+    }
+    // monotone: more excess loss -> at least as much final weight
+    val byExcess = res.sortBy(_.getAs[Long]("excess4"))
+    byExcess.sliding(2).foreach { p =>
+      assert(p(0).getAs[Long]("w_final") <= p(1).getAs[Long]("w_final"))
+    }
+    // eta = 0: no domain ever moves off the uniform start
+    val flat = Sampling.doremiWeights(corpus, "domain", "text",
+        etaNum = 0L, steps = 10).collect()
+    Caches.release()
+    flat.foreach { r =>
+      assert(r.getAs[Long]("w_final") == 1000000L / k)
+      assert(r.getAs[Long]("w_avg") == 1000000L / k)
+    }
+  }
+
   test("dsirFitWithin/dsirLogWeightsWithin: one-scan conditional " +
       "census equals the two-frame forms on a predicate-subset " +
       "target, exactly") {
