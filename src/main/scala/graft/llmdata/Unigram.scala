@@ -213,9 +213,23 @@ object Unigram {
     * the type census, bounded deterministic collect, vocabulary-sized
     * EM on the driver (the SentencePiece trainer is single-node over
     * the type table too). Pruning keeps every character (coverage
-    * floor) plus the top multi-char pieces by expected count — one
-    * final prune against the budget, a documented simplification of
-    * SentencePiece's iterative loss-ranked shrink.
+    * floor); the multi-char pieces go by `pruneMode`:
+    *
+    *   - `"count"` (default): one final prune keeping the top multis
+    *     by expected count — the documented simplification.
+    *   - `"loss"`: SentencePiece's iterative likelihood-loss shrink.
+    *     Each round scores every multi-char piece by what the corpus
+    *     likelihood LOSES if it is removed — loss(p) = expected(p) *
+    *     (logp(p) - altLogp(p)), where altLogp is the piece's best
+    *     Viterbi re-segmentation using the REST of the vocabulary
+    *     (the trainer's alternative-segmentation bound) — drops the
+    *     lowest-loss fifth of the overflow, and re-runs one EM round
+    *     so survivors absorb the freed mass, until the budget holds.
+    *     A piece with no alternative keeps infinite loss (never
+    *     dropped); a piece whose own log-prob is no better than its
+    *     decomposition carries loss <= 0 and goes first, HOWEVER
+    *     large its expected count. Deterministic: loss ties break
+    *     (loss desc, piece asc).
     *
     * Audit table: `(rank, piece, count, logp)` with `count` the
     * EXPECTED count (double). In a single-path lattice (e.g. the
@@ -224,9 +238,12 @@ object Unigram {
     */
   def fitEM(df: DataFrame, text: String, vocabSize: Int,
       maxPieceLen: Int = 6, seedSize: Int = 1 << 14, nIters: Int = 3,
-      maxDriverTypes: Int = 1 << 20): (UnigramModel, DataFrame) = {
+      maxDriverTypes: Int = 1 << 20,
+      pruneMode: String = "count"): (UnigramModel, DataFrame) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(pruneMode == "count" || pruneMode == "loss",
+      s"pruneMode must be 'count' or 'loss', got $pruneMode")
     val spark = df.sparkSession
     val types = collectTypes(df, text, maxDriverTypes)
     val (chars, seed) = seedPieces(types, maxPieceLen, seedSize)
@@ -238,9 +255,8 @@ object Unigram {
       UnigramModel(cs.map { case (p, c) => p -> math.log(c / total) })
     }
 
-    var it = 0
-    while (it < nIters) {
-      val model = toModel(counts)
+    def emRound(cs: Map[String, Double]): Map[String, Double] = {
+      val model = toModel(cs)
       val maxLen = math.max(1, model.maxPieceLen)
       val expected = scala.collection.mutable.HashMap[String, Double]()
       for ((t, c) <- types) {
@@ -300,14 +316,67 @@ object Unigram {
       // coverage floor: every seen character keeps positive mass
       for (ch <- chars)
         expected(ch) = math.max(expected.getOrElse(ch, 0.0), 1e-9)
-      counts = expected.toMap
+      expected.toMap
+    }
+
+    var it = 0
+    while (it < nIters) {
+      counts = emRound(counts)
       it += 1
+    }
+
+    // best Viterbi score for `p`'s string using every piece EXCEPT p
+    // itself — the SentencePiece alternative-segmentation bound
+    def altLogp(model: UnigramModel, p: String): Double = {
+      val n = p.length
+      val maxLen = math.max(1, model.maxPieceLen)
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      var j = 1
+      while (j <= n) {
+        var len = 1
+        val lim = math.min(maxLen, j)
+        while (len <= lim) {
+          val sub = p.substring(j - len, j)
+          if (sub != p) {
+            val lp = pieceLogp(model, sub)
+            if (lp != Double.NegativeInfinity &&
+                best(j - len) != Double.NegativeInfinity) {
+              val cand = best(j - len) + lp
+              if (cand > best(j)) best(j) = cand
+            }
+          }
+          len += 1
+        }
+        j += 1
+      }
+      best(n)
+    }
+
+    val budgetMultis = math.max(0, vocabSize - chars.length)
+    if (pruneMode == "loss") {
+      while (counts.count(_._1.length > 1) > budgetMultis) {
+        val model = toModel(counts)
+        val losses = counts.keysIterator.filter(_.length > 1).map { p =>
+          val alt = altLogp(model, p)
+          val l = if (alt == Double.NegativeInfinity)
+            Double.PositiveInfinity
+          else counts(p) * (model.logp(p) - alt)
+          p -> l
+        }.toArray
+        // shrink by at most a fifth per round, never past the budget
+        val target = math.max(budgetMultis, (losses.length * 4) / 5)
+        val keep = losses.sortBy { case (p, l) => (-l, p) }
+          .take(target).map(_._1).toSet
+        counts = emRound(counts.filter { case (p, _) =>
+          p.length == 1 || keep(p) })
+      }
     }
 
     val keptMultis = counts.iterator
       .filter { case (p, _) => p.length > 1 }
       .toArray.sortBy { case (p, c) => (-c, p) }
-      .take(math.max(0, vocabSize - chars.length))
+      .take(budgetMultis)
     val kept = chars.map(c => c -> counts(c)) ++ keptMultis
     val model = toModel(kept.toMap)
 

@@ -114,6 +114,45 @@ class UnigramSpec extends SparkSuite {
     assert(t1.collect().toSeq == t2.collect().toSeq)
   }
 
+  test("fitEM pruneMode=loss: keeps the high-loss piece the count " +
+      "prune would drop; identical to count prune when no shrink is " +
+      "needed; deterministic") {
+    // Hand-computable divergence (one EM round, maxPieceLen=2):
+    // types "a"x50, "b"x50, "ab"x20, "cd"x4. Seed weights a=70, b=70,
+    // ab=20, c=4, d=4, cd=4 (total 172). After one full-EM round the
+    // expected counts are a=b~61.8, ab~8.24, cd~3.91, c=d~0.09 —
+    // count prune at one multi keeps "ab" (8.24 > 3.91). But "ab"
+    // decomposes into two HIGH-probability chars: loss(ab) =
+    // 8.24*ln(p_ab/(p_a*p_b)) ~ -10 (negative: the piece is worse
+    // than its decomposition), while "cd"'s chars are rare: loss(cd)
+    // ~ 3.91*ln(p_cd/(p_c*p_d)) ~ +43 — so the loss prune keeps "cd".
+    val docs = (Seq.fill(50)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(20)("ab") ++ Seq.fill(4)("cd"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def multis(m: Unigram.UnigramModel) =
+      m.logp.keySet.filter(_.length > 1)
+    val (byCount, _) = Unigram.fitEM(docs, "text", vocabSize = 5,
+      maxPieceLen = 2, seedSize = 16, nIters = 1)
+    assert(multis(byCount) == Set("ab"), s"count prune: ${byCount.logp.keySet}")
+    val (byLoss, lossTable) = Unigram.fitEM(docs, "text", vocabSize = 5,
+      maxPieceLen = 2, seedSize = 16, nIters = 1, pruneMode = "loss")
+    assert(multis(byLoss) == Set("cd"), s"loss prune: ${byLoss.logp.keySet}")
+    assert(Set("a", "b", "c", "d").subsetOf(byLoss.logp.keySet))
+    // determinism
+    val (byLoss2, lossTable2) = Unigram.fitEM(docs, "text", vocabSize = 5,
+      maxPieceLen = 2, seedSize = 16, nIters = 1, pruneMode = "loss")
+    assert(byLoss.logp == byLoss2.logp)
+    assert(lossTable.collect().toSeq == lossTable2.collect().toSeq)
+    // budget >= seed vocab: no shrink runs, loss == count exactly
+    val (mc, tc) = Unigram.fitEM(docs, "text", vocabSize = 6,
+      maxPieceLen = 2, seedSize = 16, nIters = 1)
+    val (ml, tl) = Unigram.fitEM(docs, "text", vocabSize = 6,
+      maxPieceLen = 2, seedSize = 16, nIters = 1, pruneMode = "loss")
+    assert(mc.logp == ml.logp)
+    assert(tc.collect().toSeq == tl.collect().toSeq)
+  }
+
   test("fitEM discovers the dominant piece and keeps the char floor " +
       "under a tight budget") {
     val docs = Seq.tabulate(40)(i =>
