@@ -1170,9 +1170,12 @@ object QueriesLLM {
     * near-dups, so the SAME logical query yields different survivor
     * sets at different scales — more cells, fewer removals. That is
     * the SemDeDup trade (recall for bounded pairwise work), not a
-    * regression; LlmDataSpec's two-scale fixed-seed spot-check pins
-    * removal recall >= 0.7 vs the exact answer under this growth rule
-    * so a future gate can tell cell-count drift from real breakage.
+    * regression; LlmDataSpec pins removal recall >= 0.7 vs the exact
+    * answer under this growth rule TWICE — on a synthetic fixed-seed
+    * pair corpus at two sizes, and on the real driver embeddings
+    * tables (sf0.001 and sf0.1) with a planted near-dup cluster whose
+    * exact removal set is known by construction — so a future gate
+    * can tell cell-count drift from real breakage.
     */
   private val q94_semantic_dedup: Q = (
     (s, dir) => {

@@ -1048,6 +1048,50 @@ class LlmDataSpec extends SparkSuite {
     }
   }
 
+  test("semanticDedup: q94's growth rule vs the q95 exact form on the " +
+      "REAL embeddings table with a planted near-dup cluster, at two " +
+      "driver scales — survivor superset and removal recall gated") {
+    // The q94 catalog entry is rows-only (survivors depend on learned
+    // cells); this is its cross-scale contract on the actual driver
+    // data. The natural tables carry almost no pairs at the entry's
+    // eps (max pair cosine 0.48 at sf0.001, 0.60 at sf0.1), so every
+    // 10th vector gets a PLANTED copy (id + 1e5, first component
+    // +0.001): at eps = 0.95 the exact nCells=1 removal set is, by
+    // construction, exactly the planted ids — and the clustered run
+    // under q94's own growth rule (nCells = max(8, n/250), maxIter=8)
+    // must (a) never remove a survivor of the exact form, (b) reach
+    // removal recall >= 0.7 against it.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val real = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val planted = real.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.001f)),
+            slice(col("embedding"), 2, 10000)).as("embedding"))
+      val e = real.unionByName(planted).cache()
+      val n = e.count()
+      val cells = math.max(8L, n / 250L).toInt
+      val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+      def removedIds(res: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val kept = res.select("vec_id").collect().map(_.getLong(0)).toSet
+        allIds -- kept
+      }
+      val exactRm = removedIds(Similarity.semanticDedup(
+        e, "vec_id", "embedding", eps = 0.95, nCells = 1))
+      assert(exactRm == allIds.filter(_ >= 100000L),
+        s"$dir: exact removal set is not exactly the planted copies")
+      val clusRm = removedIds(Similarity.semanticDedup(
+        e, "vec_id", "embedding", eps = 0.95, nCells = cells,
+        maxIter = 8))
+      assert(clusRm.subsetOf(exactRm),
+        s"$dir: clustered removed ids exact kept: ${clusRm -- exactRm}")
+      val recall = clusRm.size.toDouble / exactRm.size
+      assert(recall >= 0.7,
+        s"$dir n=$n cells=$cells: removal recall $recall below 0.7")
+      e.unpersist(blocking = false)
+    }
+  }
+
   test("product quantization: codes in range, deterministic fit, " +
       "ADC ranks clustered data, rerank recovers exact top-k") {
     import spark.implicits._
