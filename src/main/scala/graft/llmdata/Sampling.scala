@@ -126,23 +126,54 @@ object Sampling {
     * unbiased per-domain subsample rather than "whatever arrived
     * first".
     *
-    * Scale shape: one window partitioned by domain — the shuffle key
-    * is the domain, and partitions are bounded by the largest single
-    * domain, not the corpus. Domains big enough to need a cap are
-    * exactly the ones with millions of rows; for a pathological
-    * single domain holding a double-digit share of the corpus, cap
-    * it separately with [[hashSample]] (rate = cap/count, no window)
-    * and union — same determinism, no skewed partition.
+    * Scale shape — SKEW-SAFE BY DEFAULT: one bounded census (grouped
+    * count, map-side combined; collects only the domains above
+    * `heavyThreshold` rows — at most corpus/threshold of them, so the
+    * driver set is bounded by construction). Domains at or under the
+    * threshold take the EXACT path: a window partitioned by domain,
+    * whose partitions are now bounded by the threshold, never by the
+    * largest domain. Each heavier domain is capped by HASH RATE
+    * instead (keep iff id-bucket < cap/count — [[hashSample]]'s rule,
+    * one codegen'd filter, no shuffle at all), so a pathological
+    * domain holding half the corpus never becomes a single window
+    * task. The rate path keeps ~cap rows (binomial deviation
+    * O(sqrt(cap)), deterministic in (id, seed)) rather than exactly
+    * cap — the documented trade for unskewable scale; set
+    * `heavyThreshold` above your largest domain to force the exact
+    * window everywhere. Null domains always take the exact path.
     */
   def domainCap(df: DataFrame, domain: Column, id: String, cap: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, heavyThreshold: Long = 1000000L): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(heavyThreshold >= cap,
+      s"heavyThreshold $heavyThreshold must be >= cap $cap (domains " +
+        "under the cap need the exact path)")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(domain)
-      .orderBy(bucket(col(id), seed), col(id))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= cap)
-      .drop("__rn")
+    def exactCap(in: DataFrame): DataFrame = {
+      val w = Window.partitionBy(domain)
+        .orderBy(bucket(col(id), seed), col(id))
+      in.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= cap)
+        .drop("__rn")
+    }
+    val heavy = df.where(domain.isNotNull)
+      .groupBy(domain.as("__d")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > heavyThreshold)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    if (heavy.isEmpty) exactCap(df)
+    else {
+      val heavyVals = heavy.map(_._1)
+      val light = df.where(domain.isNull || !domain.isin(heavyVals: _*))
+      // per-heavy-domain keep cutoff as one when-chain (bounded by
+      // construction), applied as a single shuffle-free filter
+      val cut = heavy.foldLeft(lit(-1L)) { case (acc, (v, n)) =>
+        when(domain === lit(v),
+          lit((BigDecimal(cap) * Buckets / n).toLong)).otherwise(acc)
+      }
+      val rated = df.where(domain.isNotNull &&
+        domain.isin(heavyVals: _*) && bucket(col(id), seed) < cut)
+      exactCap(light).unionByName(rated)
+    }
   }
 
   /** Sample down to a TOKEN budget instead of a row fraction — the

@@ -135,6 +135,48 @@ class SketchesSpec extends SparkSuite {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("domainCap heavy-domain path: a planted half-corpus domain " +
+      "takes the shuffle-free hash-rate cap, light domains stay " +
+      "exact, and a threshold no domain crosses changes nothing") {
+    val rows = (0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1200L).map(i => (i, s"d${i % 4}"))
+    val df = rows.toDF("id", "dom")
+    val cap = 20
+    def bucket(id: Long): Long =
+      ((id * 2654435761L + 9L) % 1000000007L) % 1000000L
+    // threshold 500 < |big| = 1000: big must take the rate path —
+    // kept iff bucket < cap/|big| of the hash space, NOT the exact
+    // window's lowest-cap rule (that difference is the proof the
+    // heavy rows never entered the window shuffle)
+    val got = Sampling.domainCap(df, col("dom"), "id", cap, seed = 9L,
+        heavyThreshold = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cut = BigDecimal(cap) * 1000000L / 1000L
+    val expBig = (0L until 1000L).filter(i => bucket(i) < cut).toSet
+    val gotBig = got.filter(_._2 == "big").map(_._1).toSet
+    assert(gotBig == expBig, "heavy domain must follow the hash-rate rule")
+    assert(gotBig.size >= cap / 2 && gotBig.size <= cap * 2,
+      s"rate cap keeps ~cap rows, got ${gotBig.size} for cap=$cap")
+    val windowTop = (0L until 1000L)
+      .sortBy(i => (bucket(i), i)).take(cap).toSet
+    assert(gotBig != windowTop,
+      "rate-kept set coincides with the window rule — proof vacuous")
+    // light domains (50 rows each, <= threshold): exact window rule
+    val expLight = (1000L until 1200L).groupBy(i => s"d${i % 4}").view
+      .mapValues(_.sortBy(i => (bucket(i), i)).take(cap).toSet).toMap
+    val gotLight = got.filter(_._2 != "big").groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(gotLight == expLight)
+    // a threshold no domain crosses leaves the output identical to
+    // the default (pure exact-window) form
+    val a = Sampling.domainCap(df, col("dom"), "id", cap, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = Sampling.domainCap(df, col("dom"), "id", cap, seed = 9L,
+        heavyThreshold = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("urlHost extracts the host portably; non-URLs yield empty") {
     val rows = Seq("https://a.example.com/x/y?z=1", "http://b.co",
       "ftp://c.d.e/#frag", "not a url")
