@@ -315,7 +315,57 @@ object QueriesML {
     },
     None)
 
+  /** Marginal effects under the oracle (reference diags.go:534-731,
+    * [[graft.ml.Diagnostics.marginal]]): a deterministic linear
+    * scorer (prediction = 1 + 2*l_quantity + 3*l_linenumber, exact
+    * double arithmetic on integer-valued features) segments lineitem
+    * into 6 exact ntiles over (prediction, full unique tiebreak),
+    * takes per-segment EXACT medians of both features (integer
+    * values, so the even-count interpolated midpoint is binary-exact
+    * in both engines), sweeps l_quantity across its exact discrete
+    * quantiles (Spark approxQuantile at relativeError=0 equals
+    * DuckDB's quantile_disc — verified on this table), and
+    * re-predicts over the 6x5 grid. Every stage — ntile closed form,
+    * exact medians, quantile sweep, grid arithmetic — is replayed by
+    * the oracle.
+    */
+  private val q152_marginal_effects: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val m = new graft.ml.Diagnostics.LinearModel(
+        Seq("l_quantity" -> 2.0, "l_linenumber" -> 3.0), 1.0)
+      graft.ml.Diagnostics.marginal(m, li,
+          Seq("l_quantity", "l_linenumber"), "l_quantity",
+          nSeg = 6, sweepPoints = 5,
+          tiebreak = Seq(col("l_quantity"), col("l_linenumber"),
+            col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice")),
+          exactMedians = true)
+        .orderBy(col("segment"), col("l_quantity_value"))
+    },
+    Some("""WITH s AS (SELECT l_quantity, l_linenumber, l_orderkey,
+                 l_partkey, l_suppkey, l_extendedprice,
+                 1.0 + l_quantity * 2.0 + l_linenumber * 3.0 AS pred
+               FROM lineitem),
+             seg AS (SELECT l_quantity, l_linenumber,
+                 ntile(6) OVER (ORDER BY pred, l_quantity,
+                   l_linenumber, l_orderkey, l_partkey, l_suppkey,
+                   l_extendedprice) AS segment
+               FROM s),
+             med AS (SELECT segment,
+                 quantile_cont(l_linenumber, 0.5) AS med_ln
+               FROM seg GROUP BY segment),
+             qs AS (SELECT quantile_disc(l_quantity,
+                 [0.0, 0.25, 0.5, 0.75, 1.0]) AS qlist FROM lineitem),
+             sw AS (SELECT DISTINCT v FROM
+                 (SELECT unnest(qlist) AS v FROM qs))
+            SELECT med.segment AS segment, sw.v AS l_quantity_value,
+                   1.0 + sw.v * 2.0 + med.med_ln * 3.0 AS prediction
+            FROM med, sw
+            ORDER BY segment, l_quantity_value"""))
+
   val all: Map[String, Q] = Map(
+    "q152_marginal_effects" -> q152_marginal_effects,
     "q37_ks" -> q37_ks,
     "q38_assess" -> q38_assess,
     "q39_decile" -> q39_decile,
