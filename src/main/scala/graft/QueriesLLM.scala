@@ -2052,6 +2052,30 @@ object QueriesLLM {
       .orderBy(col("vec_id")),
     None)
 
+  /** The q125 family's ORACLE TWIN ([[Similarity.clusterSampleBy]]):
+    * the same per-cell window-cap machinery over PLANTED deterministic
+    * cells (vec_id mod 4 — no k-means, no learned state), so DuckDB
+    * replays the multi-cell capping semantics exactly: per cell, keep
+    * the `perCell` lowest (portable-hash, id) vectors. This pins the
+    * cap stage q125 shares; the learned-cell half stays rows-only by
+    * nature and is spec-pinned (nCells=1 degenerate + superset).
+    */
+  private val q153_cluster_sample_exact: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      Similarity.clusterSampleBy(e, "vec_id", pmod(col("vec_id"), lit(4)),
+          perCell = 30)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH r AS (SELECT vec_id, vec_id % 4 AS cell,
+                 row_number() OVER (PARTITION BY vec_id % 4
+                   ORDER BY ((vec_id * 2654435761 + 42) % 1000000007)
+                     % 1000000, vec_id) AS rn
+               FROM embeddings)
+            SELECT vec_id, CAST(cell AS BIGINT) AS cell
+            FROM r WHERE rn <= 30 ORDER BY vec_id"""))
+
   /** Per-source data card: volume, token-length distribution, and
     * exact-dup rate in one grouped aggregate over one corpus scan —
     * every metric exact and recomputed by DuckDB.
@@ -2450,6 +2474,7 @@ object QueriesLLM {
     "q123_distinct_audit" -> q123_distinct_audit,
     "q124_bloom_dedup" -> q124_bloom_dedup,
     "q125_cluster_sample" -> q125_cluster_sample,
+    "q153_cluster_sample_exact" -> q153_cluster_sample_exact,
     "q126_bpe_pairs" -> q126_bpe_pairs,
     "q127_bpe_fit" -> q127_bpe_fit,
     "q128_bpe_encode" -> q128_bpe_encode,

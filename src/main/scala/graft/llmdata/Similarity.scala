@@ -600,15 +600,29 @@ object Similarity {
   def clusterSample(df: DataFrame, id: String, vec: String,
       nCells: Int, perCell: Int, maxIter: Int = 10,
       seed: Long = 42L): DataFrame = {
-    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
     val assigned =
       if (nCells <= 1) df.select(col(id), lit(0).as("__cell"))
       else ivfFit(df, id, vec, nCells, maxIter, seed).assigned
         .select(col(id), col("__cell"))
-    val w = Window.partitionBy(col("__cell"))
+    clusterSampleBy(assigned, id, col("__cell"), perCell, seed)
+  }
+
+  /** [[clusterSample]]'s cap stage on a CALLER-SUPPLIED cell column —
+    * diversity capping over precomputed cluster / topic / shard
+    * labels, with no learned state anywhere: the kept set is a pure
+    * function of (id, cell, seed), so the per-cell window-cap
+    * semantics are engine-replayable end to end (the q125 family's
+    * oracle twin). Same scale shape: one window partitioned by cell,
+    * bounded by the largest cell.
+    */
+  def clusterSampleBy(df: DataFrame, id: String, cell: Column,
+      perCell: Int, seed: Long = 42L): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val named = df.select(col(id), cell.as("cell"))
+    val w = Window.partitionBy(col("cell"))
       .orderBy(Sampling.bucket(col(id), seed), col(id))
-    assigned.withColumn("__rn", row_number().over(w))
+    named.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= perCell)
-      .select(col(id), col("__cell").as("cell"))
+      .select(col(id), col("cell"))
   }
 }
