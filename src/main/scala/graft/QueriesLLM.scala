@@ -1442,11 +1442,12 @@ object QueriesLLM {
     * CTEs with the identical floor divisions — so w_final and the
     * per-step average w_avg hash-match, not just the loss table.
     */
-  private val q151_doremi_mix: Q = (
-    (s, dir) => Sampling.doremiWeights(spread(read(s, dir, "documents")),
-        "source", "text", etaNum = 10L, steps = 10, addK = 0.5)
-      .orderBy(col("domain")),
-    Some {
+  /** The q151 oracle's CTE chain (both LM fits, per-domain integer
+    * averages, and the 10 unrolled multiplicative-weight steps ending
+    * at `t10(domain, excess4, w, acc)`) — shared with q154, which
+    * applies the learned weights.
+    */
+  private val doremiCtes: String = {
       val stepCtes = (1 to 10).map { t =>
         val prev = if (t == 1) "t0" else s"t${t - 1}"
         s"""t$t AS (SELECT domain, excess4,
@@ -1456,7 +1457,7 @@ object QueriesLLM {
                        w * (1000000 + 10 * excess4) // 1000000 AS raw
                      FROM $prev))"""
       }.mkString(",\n             ")
-      s"""WITH n AS (SELECT source AS domain,
+      s"""n AS (SELECT source AS domain,
                  list_filter(string_split(trim(regexp_replace(
                    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                    ' +', ' ', 'g')), ' '), t -> t <> '') AS w
@@ -1492,12 +1493,55 @@ object QueriesLLM {
              t0 AS (SELECT domain, excess4,
                       CAST(1000000 // k AS BIGINT) AS w,
                       CAST(0 AS BIGINT) AS acc FROM e, kk),
-             $stepCtes
+             $stepCtes"""
+  }
+
+  private val q151_doremi_mix: Q = (
+    (s, dir) => Sampling.doremiWeights(spread(read(s, dir, "documents")),
+        "source", "text", etaNum = 10L, steps = 10, addK = 0.5)
+      .orderBy(col("domain")),
+    Some(s"""WITH $doremiCtes
             SELECT domain, excess4, CAST(w AS BIGINT) AS w_final,
                    CAST(acc // 10 AS BIGINT) AS w_avg,
                    CAST(acc // 10 AS DOUBLE) / 1000000.0 AS weight
-            FROM t10 ORDER BY domain"""
-    })
+            FROM t10 ORDER BY domain"""))
+
+  /** The learn -> APPLY half of the DoReMi pair: q151's learned
+    * per-step-average weights drive [[Sampling.mixByWeights]] toward
+    * a half-corpus budget. The oracle chains the ENTIRE q151 CTE
+    * trajectory into the q100 fraction quantization (identical
+    * operation order: weight = w_avg/1e6, times target, over n,
+    * round 9, trunc 1e6) and the portable hash filter — so the final
+    * kept set proves the learned weights, the census, and the filter
+    * end to end.
+    */
+  private val q154_doremi_apply: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      val learned = Sampling.doremiWeights(spread(d), "source", "text",
+          etaNum = 10L, steps = 10, addK = 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+      Sampling.mixByWeights(d, "doc_id", "source", learned,
+          targetRows = d.count() / 2)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $doremiCtes,
+             cnt AS (SELECT source AS domain, count(*) AS n
+                     FROM documents WHERE source IS NOT NULL
+                     GROUP BY 1),
+             tt AS (SELECT count(*) // 2 AS target FROM documents),
+             f AS (SELECT c.domain,
+                     CAST(trunc(round(least(1.0,
+                       ((CAST(t10.acc // 10 AS DOUBLE) / 1000000.0)
+                         * tt.target) / c.n), 9) * 1000000) AS BIGINT)
+                       AS cut
+                   FROM cnt c JOIN t10 ON c.domain = t10.domain, tt)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN f ON d.source = f.domain
+            WHERE ((d.doc_id * 2654435761 + 42) % 1000000007) % 1000000
+                  < f.cut
+            ORDER BY d.doc_id"""))
 
   /** The FULL multimodal pipeline under the oracle (was rows-only —
     * VERDICT r4 task 4): planted PNG payloads (dims/gray are integer
@@ -2495,6 +2539,7 @@ object QueriesLLM {
     "q147_corpus_pipeline" -> q147_corpus_pipeline,
     "q148_unimax_mix" -> q148_unimax_mix,
     "q151_doremi_mix" -> q151_doremi_mix,
+    "q154_doremi_apply" -> q154_doremi_apply,
     "q149_bpe_dropout" -> q149_bpe_dropout,
     "q150_bpe_dropout_chars" -> q150_bpe_dropout_chars,
     "q70_hash_sample" -> q70_hash_sample,

@@ -575,6 +575,32 @@ object Sampling {
         .withColumn(tag, lit(name))
     }.reduce(_ unionByName _)
 
+  /** Apply an externally-supplied mixture (e.g. [[doremiWeights]]'
+    * learned vector, a hand-tuned config, or a paper's published
+    * weights) to a corpus: stratum s keeps
+    * min(1, w_s * targetRows / n_s) of its rows via the portable
+    * hash filter — the [[mixByTemperature]] machinery with the
+    * weight table replacing count^alpha. Same census contract (one
+    * bounded grouped count), same 9-decimal fraction quantization,
+    * same engine-reproducible filter. Strata absent from `weights`
+    * are dropped (weight 0).
+    */
+  def mixByWeights(df: DataFrame, id: String, stratumCol: String,
+      weights: Map[String, Double], targetRows: Long,
+      seed: Long = 42L): DataFrame = {
+    require(targetRows > 0, s"targetRows $targetRows")
+    val stratum = col(stratumCol).cast("string")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val fractions = counts.map { case (s, n) =>
+      s -> BigDecimal(math.min(1.0,
+          weights.getOrElse(s, 0.0) * targetRows / n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    stratifiedSample(df, id, stratum, fractions, seed)
+  }
+
   /** DoReMi-lite learned mixture weights (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
     * per-domain multiplicative-weights ascent on EXCESS LOSS — how

@@ -261,6 +261,22 @@ class LlmDataSpec extends SparkSuite {
     queries.unpersist(blocking = false)
   }
 
+  test("mixByWeights: kept set follows the w*target/n hash-fraction " +
+      "rule exactly; missing-weight strata drop") {
+    import graft.llmdata.Sampling
+    val df = (0L until 400L)
+      .map(i => (i, if (i < 200) "a" else "b")).toDF("id", "src")
+    val got = Sampling.mixByWeights(df, "id", "src",
+        Map("a" -> 1.0), targetRows = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.forall(_._2 == "a"), "stratum b has weight 0 and must drop")
+    // fraction = min(1, 1.0 * 100 / 200) = 0.5 -> cut 500000
+    def bucket(i: Long): Long =
+      ((i * 2654435761L + 42L) % 1000000007L) % 1000000L
+    val exp = (0L until 200L).filter(i => bucket(i) < 500000L).toSet
+    assert(got.map(_._1).toSet == exp)
+  }
+
   test("hash sampling is deterministic, fraction-accurate, and " +
       "split-complete") {
     import graft.llmdata.Sampling
