@@ -273,4 +273,36 @@ class PlanGuardSpec extends SparkSuite {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
     graft.Caches.release()
   }
+
+  test("q152 marginal effects: the prediction grid joins by BROADCAST " +
+      "(never a CartesianProduct over data)") {
+    // (no ReadSchema assertion: the exact-ntile rank bridge rebases
+    // the lineage on an RDD, so the parquet scan lives in an earlier
+    // QueryExecution — grid shape is what this plan can evidence)
+    val p = planOf(q("q152_marginal_effects"))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q153 per-cell cap: the rank limit pushes MAP-SIDE " +
+      "(WindowGroupLimit before the cell exchange) and the scan reads " +
+      "only the id column") {
+    val p = planOf(q("q153_cluster_sample_exact"))
+    assert(p.contains("WindowGroupLimit"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("vec_id") && !read.contains("embedding"),
+      s"unpruned scan: $read")
+  }
+
+  test("q154 doremi apply: the serving plan is one filtered pass — " +
+      "no join, no hash exchange, no window (learning ran driver-side)") {
+    val df = q("q154_doremi_apply")
+    df.queryExecution.toRdd.count()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Join"), finalPlan)
+    assert(!finalPlan.contains("hashpartitioning"), finalPlan)
+    assert(!finalPlan.contains("windowspecdefinition"), finalPlan)
+    graft.Caches.release()
+  }
 }
