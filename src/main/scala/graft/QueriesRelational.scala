@@ -240,6 +240,33 @@ object QueriesRelational {
     Some("""SELECT n_nationkey, n_name, n_regionkey
             FROM nation ORDER BY n_nationkey"""))
 
+  /** LIVE JDBC round trip through embedded Derby — the one JDBC
+    * engine the Spark classpath ships: nation writes out through
+    * [[graft.io.Sources.pipeToSql]] over a real `jdbc:derby:` url
+    * (Spark's JDBC sink + Derby's auto-registered EmbeddedDriver)
+    * and reads back through [[graft.io.Sources.sqlToPipe]]'s
+    * query-pushdown path. Spark's DerbyDialect creates QUOTED
+    * lower-case identifiers, so the pushdown query quotes them —
+    * the contract any case-sensitive JDBC target imposes. The
+    * oracle reads the parquet original: values must survive the
+    * int/varchar type mapping byte-identically.
+    */
+  private val q155_jdbc_roundtrip: Q = (
+    (s, dir) => {
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/graft_derby.log")
+      val url = "jdbc:derby:" + System.getProperty("java.io.tmpdir") +
+        "/graft_q155_derby;create=true"
+      io.Sources.pipeToSql(SeaFrame(read(s, dir, "nation")),
+        "nation_rt", Some(url))
+      io.Sources.sqlToPipe(s,
+        """SELECT "n_nationkey", "n_name", "n_regionkey"
+           FROM nation_rt""", Some(url)).result
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
   /** Semi join (SURVEY §2.4 "Spark gives free" list): customers with
     * at least one high-value order — a pure existence filter, output
     * is the left columns only (no fill, no dup-drop). Plans as a
@@ -482,6 +509,7 @@ object QueriesRelational {
     "q105_join_semi" -> q105_join_semi,
     "q117_json_roundtrip" -> q117_json_roundtrip,
     "q118_orc_roundtrip" -> q118_orc_roundtrip,
+    "q155_jdbc_roundtrip" -> q155_jdbc_roundtrip,
     "q106_join_anti" -> q106_join_anti,
     "q107_join_multikey" -> q107_join_multikey,
     "q133_bucketed_join" -> q133_bucketed_join,
