@@ -1,7 +1,7 @@
 package graft
 
 import graft.QH._
-import graft.llmdata.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, Unigram}
+import graft.llmdata.{Bpe, Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis, Unigram, WordPiece}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
@@ -2512,6 +2512,110 @@ object QueriesLLM {
                        AS DOUBLE) / count(*), 6) AS oov_rate
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Round-1 WordPiece statistics — the oracle-checkable stage of the
+    * likelihood-scored fit ([[WordPiece.fit]]'s argmax input): every
+    * adjacent pair of the `##`-convention symbol split with its
+    * weighted pair count AND both unit counts, the exact ingredients
+    * of score = pair/(unit_l*unit_r). Integer-only output over a
+    * total (sym_l, sym_r) order — the score itself never appears, so
+    * no floating-point division can diverge between engines.
+    */
+  private val q156_wordpiece_scores: Q = (
+    (s, dir) => WordPiece.pairScores(
+        spread(read(s, dir, "documents")), "text")
+      .orderBy(col("sym_l"), col("sym_r")),
+    Some("""WITH n AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT unnest(w) AS tok FROM n),
+             sy AS (SELECT list_transform(range(1, len(tok) + 1),
+                 i -> CASE WHEN i = 1 THEN tok[i]
+                      ELSE '##' || tok[i] END) AS s
+                    FROM t),
+             u AS (SELECT unnest(s) AS sym FROM sy),
+             uc AS (SELECT sym, count(*) AS ucnt FROM u GROUP BY sym),
+             p AS (SELECT unnest(list_transform(range(1, len(s)),
+                 i -> [s[i], s[i+1]])) AS pr
+                   FROM sy WHERE len(s) >= 2),
+             pc AS (SELECT pr[1] AS sym_l, pr[2] AS sym_r,
+                      count(*) AS pair_count
+                    FROM p GROUP BY 1, 2)
+            SELECT pc.sym_l, pc.sym_r, pc.pair_count,
+                   l.ucnt AS cnt_l, r.ucnt AS cnt_r
+            FROM pc JOIN uc l ON pc.sym_l = l.sym
+                    JOIN uc r ON pc.sym_r = r.sym
+            ORDER BY pc.sym_l, pc.sym_r"""))
+
+  /** WordPiece serving under the ORACLE: nMerges = 0 leaves the pure
+    * alphabet vocabulary, so longest-match MUST emit one piece per
+    * character and zero UNKs (the model's alphabet covers its own
+    * corpus by construction) — n_wp is exactly the non-space char
+    * count DuckDB recomputes directly (the q137/q150 degenerate
+    * trick applied to maximal munch: pins the match loop, the `##`
+    * continuation wiring, and the dictionary-join aggregation).
+    */
+  private val q157_wordpiece_chars: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = WordPiece.fit(d, "text", nMerges = 0)
+      WordPiece.encodeCounts(d, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(w, t -> len(t)))
+                     AS BIGINT) AS n_wp,
+                   CAST(0 AS BIGINT) AS n_unk
+            FROM n WHERE len(w) >= 1 ORDER BY doc_id"""))
+
+  /** WordPiece FIT: 16 likelihood-scored merges (Schuster & Nakajima
+    * 2012) — the third tokenizer-learning family next to BPE (q127)
+    * and unigram-LM (q135/q140). Rows-only by nature (the iterative
+    * argmax is not a SQL query) but fully deterministic: scores
+    * compare by exact integer cross-multiplication, q156 oracles the
+    * round-1 census, and WordPieceSpec pins the whole merge list
+    * against an independent reference implementation.
+    */
+  private val q158_wordpiece_fit: Q = (
+    (s, dir) => {
+      val (_, table) = WordPiece.fit(
+        spread(read(s, dir, "documents")), "text", nMerges = 16)
+      table.orderBy(col("rank"))
+    },
+    None)
+
+  /** WordPiece SERVING against an in-query fitted model: per-doc
+    * piece counts + UNK audit via the dictionary-join longest-match
+    * encode. In-plan guards: fertility can never drop below one piece
+    * per word, and a model fitted on this corpus can never UNK it
+    * (its alphabet covers every character) — either violation
+    * raises. Rows-only; q156/q157 are the family's oracled twins.
+    */
+  private val q159_wordpiece_encode: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = WordPiece.fit(d, "text", nMerges = 16)
+      WordPiece.encodeCounts(d, "doc_id", "text", model)
+        .withColumn("n_wp",
+          when(col("n_wp") < col("n_words"),
+            raise_error(concat(lit("q159: doc "), col("doc_id"),
+              lit(" has n_wp < n_words — longest-match broke"))))
+            .otherwise(col("n_wp")))
+        .withColumn("n_unk",
+          when(col("n_unk") > 0,
+            raise_error(concat(lit("q159: doc "), col("doc_id"),
+              lit(" UNKed under its own fitted alphabet"))))
+            .otherwise(col("n_unk")))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
@@ -2542,6 +2646,10 @@ object QueriesLLM {
     "q154_doremi_apply" -> q154_doremi_apply,
     "q149_bpe_dropout" -> q149_bpe_dropout,
     "q150_bpe_dropout_chars" -> q150_bpe_dropout_chars,
+    "q156_wordpiece_scores" -> q156_wordpiece_scores,
+    "q157_wordpiece_chars" -> q157_wordpiece_chars,
+    "q158_wordpiece_fit" -> q158_wordpiece_fit,
+    "q159_wordpiece_encode" -> q159_wordpiece_encode,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
