@@ -750,8 +750,10 @@ object QueriesLLM {
     * ('eval' | 'dedup' | 'quality' | 'decontam' | 'budget' | 'kept')
     * — the attribution data card a corpus build ships with. Plants
     * make every stage attribute: every 10th doc gets an exact copy
-    * (id + 1e6 — dedup fodder), every eval doc gets a train-side
-    * copy (id + 2e6 — contamination fodder), and the intercept (135)
+    * (id + off — dedup fodder), every eval doc gets a train-side
+    * copy (id + 2*off — contamination fodder) with
+    * off = max(doc_id)+1 so plant ids can never collide with real
+    * docs at any scale, and the intercept (135)
     * sits at the measured p10 of the corpus score so the quality
     * stage drops the bottom decile rather than everything.
     */
@@ -765,16 +767,16 @@ object QueriesLLM {
       val raw = graft.Caches.pin(spread(read(s, dir, "documents"))
         .where(col("text").isNotNull)
         .select(col("doc_id"), col("text")))
-      // plant ids live at +1e6/+2e6; enforce the no-collision invariant
-      // rather than assume it (both engines replay the same arithmetic,
-      // so a collision would silently shift attribution — ADVICE r7)
-      val maxId = raw.agg(max(col("doc_id"))).head.getLong(0)
-      require(maxId < 1000000L,
-        s"q147 plant offsets assume doc_id < 1e6; max doc_id = $maxId")
+      // plant ids live at +off/+2*off with off DERIVED from
+      // max(doc_id)+1, so they can never collide with real docs at any
+      // scale (ADVICE r7: the fixed 1e6 offsets silently assumed
+      // doc_id < 1e6, and the sf1 derived set reaches 9e8 — both
+      // engines replay the same data-determined arithmetic)
+      val off = raw.agg(max(col("doc_id"))).head.getLong(0) + 1L
       val dupPlant = raw.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
       val contamPlant = raw.where(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 2L * off).as("doc_id"), col("text"))
       val d0 = raw.unionByName(dupPlant).unionByName(contamPlant)
         .select(col("doc_id"), col("text"),
           size(toks).cast("long").as("n_tokens"),
@@ -818,13 +820,17 @@ object QueriesLLM {
         .select(col("doc_id"), col("n_tokens"), col("stage"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH src AS (SELECT doc_id, text FROM documents
+    Some("""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents
+                        WHERE text IS NOT NULL),
+             src AS (SELECT doc_id, text FROM documents
                    UNION ALL
-                   SELECT doc_id + 1000000, text FROM documents
-                   WHERE doc_id % 10 = 0
+                   SELECT doc_id + (SELECT off FROM mx), text
+                   FROM documents
+                   WHERE doc_id % 10 = 0 AND text IS NOT NULL
                    UNION ALL
-                   SELECT doc_id + 2000000, text FROM documents
-                   WHERE doc_id % 97 = 0),
+                   SELECT doc_id + 2 * (SELECT off FROM mx), text
+                   FROM documents
+                   WHERE doc_id % 97 = 0 AND text IS NOT NULL),
              d AS (SELECT doc_id, text,
                  CAST(len(list_filter(string_split(text, ' '),
                    x -> x <> '')) AS BIGINT) AS n_tokens,
