@@ -2622,6 +2622,54 @@ object QueriesLLM {
     },
     None)
 
+  /** TOKEN-ID EMISSION under the ORACLE, through a full persistence
+    * round trip: fit (nMerges = 0, the alphabet model) -> save ->
+    * load -> [[WordPiece.encodeIds]]. With the alphabet vocabulary
+    * every piece is one character, and ids follow the sorted-vocab
+    * contract — so DuckDB rebuilds the id table with row_number over
+    * the sorted distinct symbols (+ [UNK]) and replays every
+    * (doc, word_pos, piece_pos, token_id) row bit-for-bit. Pins the
+    * longest-match loop, the ## convention, the dictionary join, the
+    * positional explode, AND the save/load round trip in one entry.
+    */
+  private val q160_wordpiece_ids: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model0, _) = WordPiece.fit(d, "text", nMerges = 0)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q160_wp_model"
+      WordPiece.save(s, model0, path)
+      val model = WordPiece.load(s, path)
+      WordPiece.encodeIds(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("word_pos").cast("long"),
+          col("piece_pos").cast("long"), col("token_id").cast("long"))
+        .orderBy(col("doc_id"), col("word_pos"), col("piece_pos"))
+    },
+    Some("""WITH n AS (SELECT doc_id, list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT doc_id, unnest(list_transform(
+                 range(1, len(w) + 1),
+                 i -> {'wp': i - 1, 'tok': w[i]})) AS s
+               FROM n WHERE len(w) >= 1),
+             p AS (SELECT doc_id, s.wp AS word_pos,
+                 unnest(list_transform(range(1, len(s.tok) + 1),
+                   i -> {'pp': i - 1,
+                         'sym': CASE WHEN i = 1 THEN s.tok[i]
+                                ELSE '##' || s.tok[i] END})) AS q
+               FROM t),
+             syms AS (SELECT DISTINCT q.sym AS token FROM p
+                      UNION SELECT '[UNK]' AS token),
+             vocab AS (SELECT token,
+                 row_number() OVER (ORDER BY token) - 1 AS token_id
+               FROM syms)
+            SELECT p.doc_id, p.word_pos, p.q.pp AS piece_pos,
+                   v.token_id
+            FROM p JOIN vocab v ON p.q.sym = v.token
+            ORDER BY p.doc_id, p.word_pos, piece_pos"""))
+
   val all: Map[String, Q] = Map(
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
@@ -2656,6 +2704,7 @@ object QueriesLLM {
     "q157_wordpiece_chars" -> q157_wordpiece_chars,
     "q158_wordpiece_fit" -> q158_wordpiece_fit,
     "q159_wordpiece_encode" -> q159_wordpiece_encode,
+    "q160_wordpiece_ids" -> q160_wordpiece_ids,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

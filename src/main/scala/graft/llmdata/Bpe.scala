@@ -590,4 +590,29 @@ object Bpe {
   private val memoCap = 1 << 17
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Persist a fitted model: the merge list in learned order as one
+    * parquet of `(rank, sym_l, sym_r)`. save -> load -> encode is
+    * spec-pinned identical.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "sym_l", "sym_r")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]] (vocabulary-sized collect;
+    * rank order restored explicitly — parquet row order is not a
+    * contract).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val merges = spark.read.parquet(path)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("sym_l"), r.getAs[String]("sym_r")))
+    BpeModel(scala.collection.immutable.ArraySeq.unsafeWrapArray(merges))
+  }
 }

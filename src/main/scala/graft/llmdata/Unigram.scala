@@ -506,4 +506,29 @@ object Unigram {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_pieces"))
   }
+
+  /** Persist a fitted model: one parquet of `(piece, logp)` rows plus
+    * one `(NULL, unkLogp)` row. Doubles round-trip bit-exactly
+    * through parquet, so save -> load -> segment is spec-pinned
+    * identical.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      model: UnigramModel, path: String): Unit = {
+    import spark.implicits._
+    (model.logp.toSeq.map { case (p, lp) => (Option(p), lp) } :+
+        ((None: Option[String], model.unkLogp)))
+      .toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]] (vocabulary-sized collect). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramModel = {
+    val rows = spark.read.parquet(path).collect()
+    val logp = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val unk = rows.find(_.isNullAt(0))
+      .map(_.getDouble(1)).getOrElse(-20.0)
+    UnigramModel(logp, unk)
+  }
 }

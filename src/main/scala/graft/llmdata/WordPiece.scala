@@ -126,8 +126,11 @@ object WordPiece {
     val symsUdf = udf { (t: String) =>
       scala.collection.immutable.ArraySeq.unsafeWrapArray(initSyms(t))
     }
-    val st = types.select(symsUdf(col("__tok")).as("__syms"), col("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the symbol table feeds the pair census AND both unit-count
+    // joins; pin it through the Caches registry (the persist must
+    // outlive this call — the returned plan is lazy)
+    val st = graft.Caches.pin(
+      types.select(symsUdf(col("__tok")).as("__syms"), col("__cnt")))
     val pairsUdf = udf { (syms: Seq[String]) =>
       if (syms == null || syms.length < 2) Seq.empty[Seq[String]]
       else (0 until syms.length - 1).map(i => Seq(syms(i), syms(i + 1)))
@@ -512,5 +515,73 @@ object WordPiece {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__e").getField("_1")).as("n_wp"),
         sum(col("__e").getField("_2")).as("n_unk"))
+  }
+
+  /** The model's id table: `(token_id, token)` with ids assigned by
+    * SORTED token order (0-based, unk included) — a total order both
+    * engines can rebuild, unlike fit-order ids whose trajectory only
+    * the trainer knows. The contract [[encodeIds]] emits against.
+    */
+  def vocabTable(spark: org.apache.spark.sql.SparkSession,
+      model: WpModel): DataFrame = {
+    import spark.implicits._
+    (model.vocab + model.unk).toSeq.sorted.zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("token_id", "token")
+  }
+
+  /** TOKEN-ID EMISSION — the product output of a tokenization
+    * pipeline (the array a training job consumes): one row per piece,
+    * `(id, word_pos, piece_pos, token_id)`, ids per [[vocabTable]]'s
+    * sorted contract. Dictionary-join shape: each DISTINCT word
+    * longest-match encodes once against the broadcast vocabulary, the
+    * id arrays join back to the positional occurrence stream and
+    * explode — per-occurrence cost is one broadcast-hash lookup plus
+    * the explode, never an encode.
+    */
+  def encodeIds(df: DataFrame, id: String, text: String,
+      model: WpModel): DataFrame = {
+    val spark = df.sparkSession
+    val idOf: Map[String, Int] =
+      (model.vocab + model.unk).toSeq.sorted.zipWithIndex.toMap
+    val vocabB = spark.sparkContext.broadcast(model.vocab)
+    val idsB = spark.sparkContext.broadcast(idOf)
+    val unk = model.unk
+    val enc = udf { (tok: String) =>
+      encodeWord(tok, vocabB.value, unk).map(idsB.value)
+    }
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id), posexplode(Dedup.normalizeTokens(col(text))))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "__tok")
+    val dict = toks.select(col("__tok")).distinct()
+      .withColumn("__ids", enc(col("__tok")))
+    toks.join(broadcast(dict), Seq("__tok"))
+      .select(col(id), col("word_pos"),
+        posexplode(col("__ids")))
+      .withColumnRenamed("pos", "piece_pos")
+      .withColumnRenamed("col", "token_id")
+  }
+
+  /** Persist a fitted model: one parquet of `(kind, token)` rows —
+    * kind 'vocab' for every vocabulary token, one 'unk' row. Loads
+    * with [[load]]; save -> load -> encode is spec-pinned identical.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: WpModel,
+      path: String): Unit = {
+    import spark.implicits._
+    (model.vocab.toSeq.map(("vocab", _)) :+ (("unk", model.unk)))
+      .toDF("kind", "token")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]] (vocabulary-sized collect). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): WpModel = {
+    val rows = spark.read.parquet(path).collect()
+    val vocab = rows.filter(_.getString(0) == "vocab")
+      .map(_.getString(1)).toSet
+    val unk = rows.find(_.getString(0) == "unk")
+      .map(_.getString(1)).getOrElse("[UNK]")
+    WpModel(vocab, unk)
   }
 }

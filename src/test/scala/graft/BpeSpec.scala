@@ -258,4 +258,19 @@ class BpeSpec extends SparkSuite {
       .collect().map(_.getSeq[String](0))
     assert(got.toSeq == corpus.map(refTokenize))
   }
+
+  test("save -> load round trip: identical merges in rank order, " +
+      "identical encode") {
+    val (model, _) = Bpe.fit(docs, "text", nMerges = 12)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_model").toString
+    Bpe.save(spark, model, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges == model.merges)
+    val a = Bpe.encodeCounts(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Bpe.encodeCounts(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }

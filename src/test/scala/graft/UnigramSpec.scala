@@ -236,4 +236,20 @@ class UnigramSpec extends SparkSuite {
       p.contains("c") || p.contains("d") || p.contains("e")))
     assert(model.logp.keySet.exists(_.contains("a")))
   }
+
+  test("save -> load round trip: bit-identical log-probs and " +
+      "unkLogp, identical segmentation") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "abab ababab zq abab")).toDF("doc_id", "text")
+    val (model, _) = Unigram.fit(docs, "text", vocabSize = 8,
+      maxPieceLen = 4, seedSize = 64, nIters = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("unigram_model").toString
+    Unigram.save(spark, model, path)
+    val loaded = Unigram.load(spark, path)
+    assert(loaded.logp == model.logp) // doubles round-trip exactly
+    assert(loaded.unkLogp == model.unkLogp)
+    assert(Unigram.segment("abababzq", loaded).toSeq ==
+      Unigram.segment("abababzq", model).toSeq)
+  }
 }

@@ -228,4 +228,41 @@ class WordPieceSpec extends SparkSuite {
     assert(r.getAs[Long]("n_wp") == 3L)  // [UNK] + o + ##k
     assert(r.getAs[Long]("n_unk") == 1L)
   }
+
+  test("save -> load round trip: identical vocab/unk, identical " +
+      "encode; encodeIds follows the sorted-vocab id contract with " +
+      "correct word/piece positions") {
+    val (model, _) = WordPiece.fit(docs, "text", nMerges = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("wp_model").toString
+    WordPiece.save(spark, model, path)
+    val loaded = WordPiece.load(spark, path)
+    assert(loaded.vocab == model.vocab)
+    assert(loaded.unk == model.unk)
+    val a = WordPiece.encodeCounts(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = WordPiece.encodeCounts(docs, "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    // encodeIds: ids are positions in the SORTED (vocab + unk) list;
+    // word_pos/piece_pos index words and within-word pieces 0-based
+    val idOf = (model.vocab + model.unk).toSeq.sorted.zipWithIndex.toMap
+    val tiny = Seq((7L, "low lower")).toDF("doc_id", "text")
+    val got = WordPiece.encodeIds(tiny, "doc_id", "text", model)
+      .orderBy("word_pos", "piece_pos")
+      .collect()
+      .map(r => (r.getAs[Int]("word_pos"), r.getAs[Int]("piece_pos"),
+        r.getAs[Int]("token_id")))
+    val want = Seq("low", "lower").zipWithIndex.flatMap { case (w, wp) =>
+      WordPiece.encodeWord(w, model.vocab, model.unk).zipWithIndex
+        .map { case (piece, pp) => (wp, pp, idOf(piece)) }
+    }
+    assert(got.toSeq == want)
+    // vocabTable mirrors the same contract
+    val vt = WordPiece.vocabTable(spark, model).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Int]("token_id"))
+      .toMap
+    assert(vt == idOf)
+  }
 }
