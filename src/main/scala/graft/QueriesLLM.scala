@@ -2670,6 +2670,35 @@ object QueriesLLM {
             FROM p JOIN vocab v ON p.q.sym = v.token
             ORDER BY p.doc_id, p.word_pos, piece_pos"""))
 
+  /** Character-entropy quality signal on the 1e-4-nat integer grid
+    * (the q119 DSIR construction applied to Shannon entropy): each
+    * distinct char's ln(n_c/N) quantizes BEFORE the weighted sum, so
+    * ent4 is an exact integer and DuckDB replays every row — the
+    * keyboard-mash / repeated-char garbage detector of the quality
+    * family, next to q47's ratios and q63's n-gram repeats.
+    */
+  private val q161_char_entropy: Q = (
+    (s, dir) => TextAnalysis.charEntropy(
+        spread(read(s, dir, "documents")), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents WHERE text IS NOT NULL),
+             c AS (SELECT doc_id, unnest(string_split_regex(
+                 replace(norm, ' ', ''), '')) AS ch FROM n),
+             cc AS (SELECT doc_id, ch, count(*) AS nc
+                    FROM c WHERE ch <> '' GROUP BY 1, 2),
+             t AS (SELECT doc_id, nc,
+                     sum(nc) OVER (PARTITION BY doc_id) AS n FROM cc),
+             agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                       CAST(-sum(CAST(round(ln(CAST(nc AS DOUBLE) / n)
+                           * 1e4) AS BIGINT) * nc) AS BIGINT) AS ent4
+                     FROM t GROUP BY doc_id)
+            SELECT doc_id, n_chars, ent4,
+                   ent4 / (n_chars * 1e4) AS entropy
+            FROM agg ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
@@ -2705,6 +2734,7 @@ object QueriesLLM {
     "q158_wordpiece_fit" -> q158_wordpiece_fit,
     "q159_wordpiece_encode" -> q159_wordpiece_encode,
     "q160_wordpiece_ids" -> q160_wordpiece_ids,
+    "q161_char_entropy" -> q161_char_entropy,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -567,6 +567,49 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the dedup-normalized text — the
     * cheap exact-clustering key (see [[Dedup.normalize]]).
     */
+  /** Character-entropy quality signal: per-document Shannon entropy
+    * over the normalized non-space characters — near-zero for
+    * keyboard-mash / repeated-char garbage, ~3.0 nats for natural
+    * English; a standard cheap pretraining-quality heuristic
+    * complementing [[qualityScore]]'s length/punct ratios and
+    * [[repetitionRatio]]'s n-gram repeats.
+    *
+    * Engine-exact by the DSIR integer-grid construction
+    * ([[Sampling.dsirLogWeights]], same rationale): each distinct
+    * character's ln(n_c/N) is quantized to the 1e-4-nat grid BEFORE
+    * the weighted sum, so `ent4 = -sum(n_c * round(1e4*ln(n_c/N)))`
+    * is an exact integer identical on any engine (the quantum dwarfs
+    * cross-libm ln drift by ~9 orders), and the reported per-char
+    * entropy divides the same two integers everywhere.
+    *
+    * Shape: one shuffle to (id, char) counts — at most
+    * |alphabet| (~37) rows per document — then a window re-using the
+    * id partitioning. No corpus-wide state; scales per-document.
+    *
+    * Output: (id, n_chars, ent4, entropy) — ent4 the exact integer
+    * (1e-4-nat x count units), entropy = ent4 / (n_chars * 1e4) nats
+    * per char.
+    */
+  def charEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val counts = df.where(col(text).isNotNull)
+      .select(col(id),
+        explode(split(Dedup.normalize(col(text)), "")).as("__ch"))
+      .where(col("__ch") =!= " " && col("__ch") =!= "")
+      .groupBy(col(id), col("__ch"))
+      .agg(count(lit(1)).as("__nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    counts
+      .withColumn("__n", sum(col("__nc")).over(w))
+      .withColumn("__t4",
+        round(log(col("__nc") / col("__n")) * lit(1e4)).cast("long") *
+          col("__nc"))
+      .groupBy(col(id))
+      .agg(max(col("__n")).as("n_chars"),
+        (-sum(col("__t4"))).as("ent4"))
+      .withColumn("entropy",
+        col("ent4") / (col("n_chars") * lit(1e4)))
+  }
+
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
   /** Rolling polynomial hash (Rabin-Karp style) of the normalized

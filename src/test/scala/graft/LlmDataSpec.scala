@@ -1459,4 +1459,28 @@ class LlmDataSpec extends SparkSuite {
       "text", "label", numFeatures = 128, maxIter = 15)
     assert(w == w2 && b == b2)
   }
+
+  test("charEntropy: hand-computed integer grid — zero for " +
+      "single-char mash, round(1e4*ln(1/2)) terms for a 50/50 doc, " +
+      "spaces and case and punctuation normalized away") {
+    val docs = Seq(
+      (0L, "aaaa"),                  // one symbol: entropy exactly 0
+      (1L, "ab AB a!b"),             // normalizes to 6 non-space chars, 3 a's 3 b's
+      (2L, "   "),                   // no chars at all -> no row
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val r0 = got(0)
+    assert(r0.getAs[Long]("n_chars") == 4L)
+    assert(r0.getAs[Long]("ent4") == 0L)
+    assert(r0.getAs[Double]("entropy") == 0.0)
+    val r1 = got(1)
+    assert(r1.getAs[Long]("n_chars") == 6L)
+    // each char: ln(3/6) = -0.693147... -> round(-6931.47...) = -6931
+    // ent4 = -(3*(-6931) + 3*(-6931)) = 41586
+    assert(r1.getAs[Long]("ent4") == 41586L)
+    assert(math.abs(r1.getAs[Double]("entropy") - math.log(2)) < 1e-4)
+  }
 }
