@@ -305,4 +305,38 @@ class PlanGuardSpec extends SparkSuite {
     assert(!finalPlan.contains("windowspecdefinition"), finalPlan)
     graft.Caches.release()
   }
+
+  test("q156 wordpiece scores: the symbol table is pinned (one corpus " +
+      "tokenize for three aggregates) and both unit-count sides join " +
+      "BROADCAST — no cartesian anywhere") {
+    val df = q("q156_wordpiece_scores")
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"alphabet-sized unit tables must broadcast:\n$p")
+    graft.Caches.release()
+  }
+
+  test("q160 token-id emission: the distinct-token dictionary joins " +
+      "BROADCAST — the occurrence stream never shuffles for the join") {
+    val p = planOf(q("q160_wordpiece_ids"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q161 char entropy: map-side partial count before the " +
+      "(id, char) exchange; the per-doc window reuses the doc_id " +
+      "partitioning (no third data exchange)") {
+    val p = planOf(q("q161_char_entropy"))
+    assert(p.contains("partial_count"), p)
+    // exchanges: spread's round-robin, (doc_id,__ch), doc_id window,
+    // and the output range sort — nothing else
+    val n = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("Exchange"))
+    assert(n <= 4, s"unexpected exchange count $n:\n$p")
+  }
 }
