@@ -2699,6 +2699,69 @@ object QueriesLLM {
                    ent4 / (n_chars * 1e4) AS entropy
             FROM agg ORDER BY doc_id"""))
 
+  /** PACKED TOKEN-ID SEQUENCES under the ORACLE — the end product of
+    * the tokenize -> pack pipeline: q160's id emission composed with
+    * q72's contiguous packing into (pack_id, seq_pos, doc_id,
+    * token_id), every row of the training tensor replayed by DuckDB
+    * (id CTEs + one prefix-sum window + pure integer position
+    * arithmetic). Documents are atomic within packs; capacity 2000.
+    */
+  private val q162_packed_ids: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+      val (model, _) = WordPiece.fit(d, "text", nMerges = 0)
+      val ids = WordPiece.encodeIds(d, "doc_id", "text", model)
+      llmdata.Packing.packTokenIds(ids, "doc_id", capacity = 2000)
+        .select(col("pack_id"), col("seq_pos").cast("long"),
+          col("doc_id"), col("token_id").cast("long"))
+        .orderBy(col("pack_id"), col("seq_pos"))
+    },
+    Some("""WITH n AS (SELECT doc_id, list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT doc_id, unnest(list_transform(
+                 range(1, len(w) + 1),
+                 i -> {'wp': i - 1, 'tok': w[i]})) AS s
+               FROM n WHERE len(w) >= 1),
+             p AS (SELECT doc_id, s.wp AS word_pos,
+                 unnest(list_transform(range(1, len(s.tok) + 1),
+                   i -> {'pp': i - 1,
+                         'sym': CASE WHEN i = 1 THEN s.tok[i]
+                                ELSE '##' || s.tok[i] END})) AS q
+               FROM t),
+             syms AS (SELECT DISTINCT q.sym AS token FROM p
+                      UNION SELECT '[UNK]' AS token),
+             vocab AS (SELECT token,
+                 row_number() OVER (ORDER BY token) - 1 AS token_id
+               FROM syms),
+             idrows AS (SELECT p.doc_id, p.word_pos,
+                 p.q.pp AS piece_pos, v.token_id
+               FROM p JOIN vocab v ON p.q.sym = v.token),
+             perdoc AS (SELECT doc_id, count(*) AS n_tok
+                        FROM idrows GROUP BY doc_id),
+             cums AS (SELECT doc_id,
+                 sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS excl
+               FROM perdoc),
+             packs AS (SELECT doc_id, excl,
+                 CAST(floor(excl / 2000.0) AS BIGINT) AS pack_id
+               FROM cums),
+             pstart AS (SELECT pack_id, min(excl) AS pstart
+                        FROM packs GROUP BY pack_id),
+             docpos AS (SELECT pk.doc_id, pk.pack_id,
+                 pk.excl - s.pstart AS doff
+               FROM packs pk JOIN pstart s USING (pack_id)),
+             wd AS (SELECT i.doc_id, i.token_id,
+                 row_number() OVER (PARTITION BY i.doc_id
+                   ORDER BY i.word_pos, i.piece_pos) - 1 AS within
+               FROM idrows i)
+            SELECT d.pack_id,
+                   CAST(d.doff + w.within AS BIGINT) AS seq_pos,
+                   w.doc_id, w.token_id
+            FROM wd w JOIN docpos d USING (doc_id)
+            ORDER BY pack_id, seq_pos"""))
+
   val all: Map[String, Q] = Map(
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
@@ -2735,6 +2798,7 @@ object QueriesLLM {
     "q159_wordpiece_encode" -> q159_wordpiece_encode,
     "q160_wordpiece_ids" -> q160_wordpiece_ids,
     "q161_char_entropy" -> q161_char_entropy,
+    "q162_packed_ids" -> q162_packed_ids,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -75,4 +75,46 @@ object Packing {
         (sum(col("n_tokens")) / lit(capacity.toDouble))
           .as("fill_ratio"))
       .orderBy(col(packCol))
+
+  /** PACKED TOKEN-ID SEQUENCES — the training-ready tensor: compose a
+    * token-id stream (`(id, word_pos, piece_pos, token_id)`, the
+    * [[WordPiece.encodeIds]] shape) with the contiguous
+    * [[packBySequence]] assignment into
+    * `(pack_id, seq_pos, id, token_id)` — seq_pos the 0-based
+    * position inside the pack, documents atomic (a pack overruns by
+    * at most one document; cap documents at the context length
+    * upstream).
+    *
+    * All-relational: per-doc piece counts aggregate from the id
+    * stream itself, the exclusive prefix sums ride
+    * [[ScanOps.prefixSums]] (range-bucketed, no single-partition
+    * window), pack starts come from an O(#packs) aggregate joined
+    * back broadcast, and the only per-row window partitions by
+    * document (bounded by document length). seq_pos =
+    * (excl_cum - pack_start) + within-doc index — pure integer
+    * arithmetic an oracle replays.
+    */
+  def packTokenIds(ids: DataFrame, id: String, capacity: Long)
+      : DataFrame = {
+    require(capacity > 0, s"capacity $capacity")
+    val perDoc = ids.groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"))
+    val packed = ScanOps.prefixSums(perDoc, id,
+        Seq("__cum" -> col("n_tokens")))
+      .withColumn("__excl", col("__cum") - col("n_tokens"))
+      .withColumn("pack_id",
+        floor(col("__excl") / lit(capacity.toDouble)).cast("long"))
+    val packStarts = packed.groupBy(col("pack_id"))
+      .agg(min(col("__excl")).as("__pstart"))
+    val docPos = packed.join(broadcast(packStarts), Seq("pack_id"))
+      .select(col(id), col("pack_id"),
+        (col("__excl") - col("__pstart")).as("__doff"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("word_pos"), col("piece_pos"))
+    ids.join(docPos, Seq(id))
+      .withColumn("__within", row_number().over(w) - 1)
+      .select(col("pack_id"),
+        (col("__doff") + col("__within")).as("seq_pos"),
+        col(id), col("token_id"))
+  }
 }

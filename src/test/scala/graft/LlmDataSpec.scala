@@ -1460,6 +1460,38 @@ class LlmDataSpec extends SparkSuite {
     assert(w == w2 && b == b2)
   }
 
+  test("packTokenIds: packs are contiguous doc-atomic id runs — " +
+      "seq_pos counts 0..len-1 inside each pack, token order follows " +
+      "(word_pos, piece_pos), pack boundaries follow the exclusive " +
+      "prefix grid") {
+    import graft.llmdata.{Packing, WordPiece}
+    // alphabet model over a fixed corpus: pieces == chars
+    val docs = Seq(
+      (1L, "abc de"),    // 5 pieces
+      (2L, "fg"),        // 2 pieces
+      (3L, "hij"),       // 3 pieces
+      (4L, "kl mn")      // 4 pieces
+    ).toDF("doc_id", "text")
+    val (model, _) = WordPiece.fit(docs, "text", nMerges = 0)
+    val ids = WordPiece.encodeIds(docs, "doc_id", "text", model)
+    val got = Packing.packTokenIds(ids, "doc_id", capacity = 6)
+      .orderBy("pack_id", "seq_pos").collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("seq_pos"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("token_id")))
+    // exclusive cums: d1=0 d2=5 d3=7 d4=10 -> packs 0,0,1,1
+    assert(got.map(_._3).toSeq ==
+      Seq(1L,1L,1L,1L,1L, 2L,2L, 3L,3L,3L, 4L,4L,4L,4L))
+    assert(got.map(_._1).toSeq ==
+      Seq(0L,0L,0L,0L,0L, 0L,0L, 1L,1L,1L, 1L,1L,1L,1L))
+    // seq_pos: 0..6 in pack 0, 0..6 in pack 1
+    assert(got.filter(_._1 == 0L).map(_._2).toSeq == (0L to 6L))
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == (0L to 6L))
+    // token order inside doc 1 is its chars in order
+    val idOf = (model.vocab + model.unk).toSeq.sorted.zipWithIndex.toMap
+    assert(got.take(5).map(_._4).toSeq ==
+      Seq(idOf("a"), idOf("##b"), idOf("##c"), idOf("d"), idOf("##e")))
+  }
+
   test("charEntropy: hand-computed integer grid — zero for " +
       "single-char mash, round(1e4*ln(1/2)) terms for a 50/50 doc, " +
       "spaces and case and punctuation normalized away") {
