@@ -588,7 +588,61 @@ object QueriesAgg {
     "q65_lag_default" -> q65_lag_default,
     "q97_profile" -> q97_profile,
     "q98_sessionize" -> q98_sessionize,
-    "q99_moving_avg" -> q99_moving_avg)
+    "q99_moving_avg" -> q99_moving_avg,
+    "q164_funnel" -> q164_funnel,
+    "q165_cohort" -> q165_cohort)
+
+  /** Ordered funnel over the event stream (view -> click -> purchase):
+    * users completing each prefix in order, chained-min semantics
+    * (step i+1 strictly after step i's earliest qualifying time).
+    * Spark computes it in ONE shuffle — a fold over each user's
+    * time-sorted events (the greedy first-match in sorted order is
+    * exactly the chained min); the oracle replays the textbook
+    * k-round chained-CTE form, pinning the equivalence.
+    */
+  private val q164_funnel: Q = (
+    (s, dir) => Stats.funnel(read(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step")),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE ts IS NOT NULL),
+             s1 AS (SELECT user_id, min(t) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        SELECT CAST(step AS BIGINT) AS step, step_name,
+               CAST(n_users AS BIGINT) AS n_users
+        FROM (VALUES (1, 'view', (SELECT count(*) FROM s1)),
+                     (2, 'click', (SELECT count(*) FROM s2)),
+                     (3, 'purchase', (SELECT count(*) FROM s3)))
+             AS t(step, step_name, n_users)
+        ORDER BY step"""))
+
+  /** Cohort retention matrix: users cohorted by first-event week,
+    * counted once per (cohort, active week); week_no is whole weeks
+    * since cohort start. Monday-truncated weeks are the convention
+    * both engines share, and the day difference between two week
+    * starts is an exact multiple of 7 under the pinned UTC session.
+    */
+  private val q165_cohort: Q = (
+    (s, dir) => Stats.cohort(read(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_no")),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+                 FROM events WHERE ts IS NOT NULL),
+             c AS (SELECT user_id, date_trunc('week', min(t)) AS cw
+               FROM e GROUP BY 1),
+             a AS (SELECT DISTINCT e.user_id, c.cw,
+                 date_trunc('week', e.t) AS aw
+               FROM e JOIN c ON e.user_id = c.user_id)
+        SELECT CAST(cw AS DATE) AS cohort_week,
+               CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_no,
+               count(*) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** One-pass column profiler over orders: counts, nulls, exact
     * distincts, typed min/max — ONE aggregate job (Expand for the

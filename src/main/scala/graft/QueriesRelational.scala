@@ -378,6 +378,72 @@ object QueriesRelational {
              GROUP BY l_orderkey
              ORDER BY l_orderkey"""))
 
+  /** Blocked fuzzy matching over part names
+    * ([[ops.Joins.fuzzyMatch]]): near-identical name pairs within
+    * edit distance 3, blocked on the first token. Matching runs at
+    * the distinct-VALUE level (64 values stand in for 2000/20k/200k
+    * rows — duplication never costs quadratic comparisons) and only
+    * within blocks, with the one-row census guard refusing a
+    * degenerate blocking key. Both engines ship the same unit-cost
+    * `levenshtein`, so the oracle replays the operator term for
+    * term: census, blocking, pairing, distance, threshold.
+    */
+  private val q166_fuzzy_match: Q = (
+    (s, dir) => ops.Joins.fuzzyMatch(read(s, dir, "part"), "p_name",
+        v => split(v, " ").getItem(0), maxDist = 3,
+        maxPerBlock = 1000)
+      .orderBy(col("name_a"), col("name_b")),
+    Some("""WITH v AS (SELECT p_name AS name, count(*) AS n,
+                 split_part(p_name, ' ', 1) AS blk
+               FROM part WHERE p_name IS NOT NULL GROUP BY 1, 3)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+        ORDER BY name_a, name_b"""))
+
+  /** Hive-partitioned LAYOUT + partition-pruned read — the third leg
+    * of the write-time layout family next to bucketing (q133, join
+    * keys) and Z-ordering (q138, range predicates): documents go out
+    * partitioned by `lang` ([[io.Sources.writePartitioned]]), and an
+    * equality predicate on the partition column prunes whole
+    * directories at planning time — the in-plan guard requires the
+    * scan to carry a PartitionFilters entry on lang AND to have
+    * selected strictly fewer partition directories than exist in the
+    * layout. At corpus scale this is the difference between reading
+    * one language's share of 100 TB and listing every file of all of
+    * them; the pruning is metadata-only, before any I/O.
+    */
+  private val q163_partition_prune: Q = (
+    (s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q163_partitioned"
+      io.Sources.writePartitioned(
+        read(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("lang")),
+        path, Seq("lang"))
+      val pruned = s.read.parquet(path).where(col("lang") === "en")
+      val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty && scans.forall(f =>
+        f.partitionFilters.exists(_.references.exists(_.name == "lang"))),
+        "q163: lang predicate must reach the scan as a partition filter")
+      require(scans.forall(_.selectedPartitions.partitionCount == 1),
+        s"q163: expected exactly the lang=en directory, got " +
+          scans.map(_.selectedPartitions.partitionCount).mkString(","))
+      pruned.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("tot_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS tot_chars
+            FROM documents WHERE lang = 'en'
+            GROUP BY source ORDER BY source"""))
+
   /** Z-order (Morton) clustering key — the multi-dimensional LAYOUT
     * primitive behind [[io.Layout.writeZOrdered]]: interleave the
     * bits of two sort dimensions so range predicates on either
@@ -514,6 +580,8 @@ object QueriesRelational {
     "q107_join_multikey" -> q107_join_multikey,
     "q133_bucketed_join" -> q133_bucketed_join,
     "q138_zorder_key" -> q138_zorder_key,
+    "q163_partition_prune" -> q163_partition_prune,
+    "q166_fuzzy_match" -> q166_fuzzy_match,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

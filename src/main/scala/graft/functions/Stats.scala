@@ -270,4 +270,78 @@ object Stats {
         (unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
           .as("duration_us"))
   }
+
+  /** Ordered-funnel analysis: how many keys (users) complete each
+    * prefix of `steps` IN ORDER — step i+1 counts only if it happens
+    * STRICTLY after the step-i completion time, and each step's
+    * completion time is the earliest qualifying event (the chained-min
+    * semantics: t1 = min ts of step1; t_i = min ts of step_i with
+    * ts > t_{i-1}).
+    *
+    * One shuffle total: events filtered to the step types, grouped by
+    * key, and the chained minima computed by a single fold over the
+    * time-sorted per-key event list (the greedy first-match in sorted
+    * order IS the chained min) — not k chained groupBy+join rounds.
+    * Per-key lists are bounded by events-per-user, the same inherent
+    * per-key bound sessionize rides; the result is k rows.
+    *
+    * The fold is null-safe under ANSI: `get()` (0-based) returns NULL
+    * out of range, and the empty-accumulator comparison coalesces to
+    * true (no prior step to be after).
+    */
+  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel: steps must be non-empty and distinct, got $steps")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val walked = df.where(col(typeCol).isin(steps: _*)
+        && col(ts).isNotNull)
+      .select(col(key), col(ts).as("__ts"), col(typeCol).as("__et"))
+      .groupBy(col(key))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__ts").as("ts"),
+          col("__et").as("et")))),
+        array().cast("array<timestamp>"),
+        (acc, e) => when(
+          size(acc) < k &&
+            e.getField("et") === get(stepsArr, size(acc)) &&
+            coalesce(e.getField("ts") > get(acc, size(acc) - 1),
+              lit(true)),
+          concat(acc, array(e.getField("ts")))).otherwise(acc))
+        .as("__walk"))
+    val nExprs = (1 to k).map(i =>
+      sum(when(size(col("__walk")) >= i, 1L).otherwise(0L)).as(s"__n$i"))
+    walked.agg(nExprs.head, nExprs.tail: _*)
+      .select(explode(array((1 to k).map(i => struct(
+        lit(i.toLong).as("step"),
+        lit(steps(i - 1)).as("step_name"),
+        coalesce(col(s"__n$i"), lit(0L)).as("n_users"))): _*)).as("__s"))
+      .select(col("__s.step"), col("__s.step_name"), col("__s.n_users"))
+  }
+
+  /** Cohort retention: assign each key (user) to the week of its first
+    * event, then count distinct keys from each cohort active in each
+    * subsequent week. Output (cohort_week, week_no, n_users) where
+    * week_no is whole weeks since the cohort week.
+    *
+    * Two shuffles on the key (first-event census, then the
+    * events-to-cohort join — both sides hash-partitioned on the key,
+    * so AQE plans one co-partitioned join) plus the final small
+    * aggregate on (cohort, week). Weeks are date_trunc'd to Monday
+    * (the convention Spark and DuckDB share), so the day difference
+    * between two week-starts is an exact multiple of 7 under the
+    * pinned UTC session and the integer division is exact.
+    */
+  def cohort(df: DataFrame, key: String, ts: String): DataFrame = {
+    val firsts = df.where(col(ts).isNotNull).groupBy(col(key))
+      .agg(date_trunc("week", min(col(ts))).as("__cw"))
+    df.where(col(ts).isNotNull)
+      .select(col(key), date_trunc("week", col(ts)).as("__aw"))
+      .join(firsts, Seq(key))
+      .select(col(key), col("__cw"), col("__aw")).distinct()
+      .groupBy(to_date(col("__cw")).as("cohort_week"),
+        expr("datediff(__aw, __cw) div 7").as("week_no"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

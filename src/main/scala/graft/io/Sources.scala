@@ -154,6 +154,22 @@ object Sources {
       path: String): SeaFrame =
     SeaFrame(spark.read.orc(path))
 
+  /** Hive-partitioned sink: one directory per distinct value of the
+    * partition columns (`path/lang=en/...`), so an equality or IN
+    * predicate on those columns prunes whole directories at PLANNING
+    * time — the scan never lists, opens, or stats the excluded
+    * files. The coarse complement of row-group min/max pushdown: at
+    * 100 TB a `lang = 'en'` query over a lang-partitioned corpus
+    * reads the en share of the data and *none* of the rest, and the
+    * pruning cost is a metadata lookup, not I/O. Partition columns
+    * should be low-cardinality (a directory per value); the row data
+    * for those columns lives in the path, not the files.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(path)
+
   /** Bucketed sink: pre-shuffle once at write time so subsequent
     * equi-joins/aggregations on the bucket key run with NO exchange —
     * the co-located-join strategy for repeatedly-joined fact tables

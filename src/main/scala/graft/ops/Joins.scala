@@ -188,4 +188,61 @@ object Joins {
     SeaFrame.withSequence(joined, col(on).asc +: tiebreak)
       .copy(schema = FeatureSchema(metas))
   }
+
+  /** Blocked fuzzy matching (entity resolution): find pairs of
+    * DISTINCT values of `strCol` within edit distance `maxDist`,
+    * pairing only values that share a blocking key. Output one row
+    * per matched value pair (name_a < name_b) with the edit distance
+    * and each value's row count.
+    *
+    * The two moves that make this survive scale:
+    *
+    *   - match at the VALUE level, not the row level: the distinct
+    *     census collapses duplicate strings first (one shuffle), so a
+    *     value appearing a million times costs one comparison, not
+    *     10^12 — row-level pairing is quadratic in duplication, the
+    *     classic entity-resolution blowup;
+    *   - BLOCK the candidate join: only values with equal `blockOf`
+    *     keys are compared, bounding candidates to sum(block^2) over
+    *     distinct values instead of all-pairs. Recall is exactly the
+    *     blocking contract — a true pair in different blocks is not
+    *     found — so the caller picks a key edits won't move (first
+    *     token, phonetic code, length band). Same contract shape as
+    *     the SimHash pigeonhole chunks.
+    *
+    * `maxPerBlock > 0` adds a bounded (one-row) census action that
+    * refuses a degenerate blocking key before the quadratic join can
+    * run — the skew guard the hammingPairs family carries.
+    *
+    * The comparison itself is Spark's codegen'd `levenshtein` (unit
+    * costs, the same function DuckDB ships), so the oracle replays
+    * the whole operator term for term.
+    */
+  def fuzzyMatch(df: DataFrame, strCol: String,
+      blockOf: Column => Column, maxDist: Int,
+      maxPerBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"fuzzyMatch: maxDist $maxDist")
+    val vals = df.where(col(strCol).isNotNull)
+      .groupBy(col(strCol)).agg(count(lit(1)).as("__n"))
+      .select(col(strCol).as("__v"), col("__n"),
+        blockOf(col(strCol)).as("__blk"))
+    if (maxPerBlock > 0) {
+      val worst = vals.groupBy(col("__blk")).count()
+        .agg(max(col("count"))).first().getLong(0)
+      require(worst <= maxPerBlock,
+        s"fuzzyMatch: largest block has $worst distinct values " +
+          s"(> $maxPerBlock) — choose a finer blocking key")
+    }
+    val a = vals.select(col("__blk"), col("__v").as("name_a"),
+      col("__n").as("n_a"))
+    val b = vals.select(col("__blk"), col("__v").as("name_b"),
+      col("__n").as("n_b"))
+    a.join(b, Seq("__blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"),
+        col("n_b"))
+  }
 }

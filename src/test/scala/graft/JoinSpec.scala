@@ -128,4 +128,33 @@ class JoinSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("float key"))
   }
+
+  test("fuzzyMatch: value-level pairs within the block, row counts " +
+      "carried, cross-block true pairs honestly missed") {
+    import spark.implicits._
+    val df = Seq("red bolt", "red bolt", "red bolt", // 3 dup rows
+      "red boat", // ED 1 from red bolt (a->l), same block
+      "red carpet", // ED > 2 from both
+      "ned bolt" // ED 1 from red bolt but block 'ned' -> not paired
+    ).toDF("name")
+    val got = Joins.fuzzyMatch(df, "name",
+        v => split(v, " ").getItem(0), maxDist = 2)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // one pair: duplication collapsed to the value census (n_a/n_b),
+    // the cross-block near-dup is the documented blocking contract
+    assert(got.toSeq == Seq(("red boat", "red bolt", 1L, 1L, 3L)))
+  }
+
+  test("fuzzyMatch: maxPerBlock census guard refuses a degenerate " +
+      "blocking key before the quadratic join") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => s"x $i").toDF("name")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.fuzzyMatch(df, "name", _ => lit("one-block"), maxDist = 1,
+        maxPerBlock = 10)
+    }
+    assert(ex.getMessage.contains("finer blocking key"))
+  }
 }

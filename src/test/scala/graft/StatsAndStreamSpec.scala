@@ -405,4 +405,69 @@ class StatsAndStreamSpec extends SparkSuite {
       (1L, 2L, 1L, 0L),
       (2L, 1L, 1L, 0L)))
   }
+
+  test("funnel: chained-min order semantics — strictly-after steps, " +
+      "out-of-order and same-timestamp events handled") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes all three in order
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:02:00"), "purchase"),
+      // u2: click BEFORE the first view doesn't count; no click after
+      (2L, t("2024-01-01 09:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      // u3: click at the SAME instant as view is not strictly after
+      (3L, t("2024-01-01 10:00:00"), "view"),
+      (3L, t("2024-01-01 10:00:00"), "click"),
+      // u4: purchase before click doesn't count toward step 3
+      (4L, t("2024-01-01 10:00:00"), "view"),
+      (4L, t("2024-01-01 10:01:00"), "purchase"),
+      (4L, t("2024-01-01 10:02:00"), "click"),
+      // u5: only noise event types
+      (5L, t("2024-01-01 10:00:00"), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Stats.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "view", 4L),      // u1 u2 u3 u4
+      (2L, "click", 2L),     // u1, u4
+      (3L, "purchase", 1L))) // u1
+  }
+
+  test("funnel: empty input still yields a zero row per step") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val got = Stats.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("cohort: users counted once per active week, offsets in whole " +
+      "weeks from Monday-truncated cohort start") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday
+    val ev = Seq(
+      (1L, t("2024-01-03 10:00:00")), // cohort wk of Jan 1
+      (1L, t("2024-01-05 10:00:00")), // same week -> one row
+      (1L, t("2024-01-10 10:00:00")), // week_no 1
+      (2L, t("2024-01-04 10:00:00")), // cohort wk of Jan 1, only wk 0
+      (3L, t("2024-01-09 10:00:00"))) // cohort wk of Jan 8
+      .toDF("user_id", "ts")
+    val got = Stats.cohort(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_no").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
 }
