@@ -890,6 +890,64 @@ object QueriesLLM {
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
     */
+  /** BM25 keyword retrieval ([[TextAnalysis.bm25TopK]]) for the fixed
+    * query {hash, join, spark}: one aggregate pass (per-doc length +
+    * conditional-sum tf per term — no postings explode), corpus
+    * stats as a broadcast row, codegen'd scoring formula, TakeOrdered
+    * top-k. The oracle replays tf/dl/df/N as integers and the scoring
+    * arithmetic in the identical operation order; ln is the one
+    * floating step, rounded 6dp on both sides (the corr convention).
+    */
+  private val q167_bm25: Q = (
+    (s, dir) => TextAnalysis.bm25TopK(spread(read(s, dir, "documents")),
+      "doc_id", "text", Seq("hash", "join", "spark"), k = 25),
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS t
+               FROM documents WHERE text IS NOT NULL),
+             pd AS (SELECT doc_id, count(*) AS dl,
+                 sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf0,
+                 sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf1,
+                 sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf2
+               FROM toks WHERE t <> '' GROUP BY doc_id),
+             st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               FROM pd)
+        SELECT doc_id,
+               round(
+                 CASE WHEN tf0 > 0 THEN
+                   ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                      / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf0 AS DOUBLE) * 2.2)
+                   / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+                      + 0.75 * CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                 ELSE 0.0 END
+               + CASE WHEN tf1 > 0 THEN
+                   ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                      / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf1 AS DOUBLE) * 2.2)
+                   / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+                      + 0.75 * CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                 ELSE 0.0 END
+               + CASE WHEN tf2 > 0 THEN
+                   ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                      / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf2 AS DOUBLE) * 2.2)
+                   / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
+                      + 0.75 * CAST(dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                 ELSE 0.0 END, 6) AS score,
+               CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hit
+        FROM pd, st
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        ORDER BY score DESC, doc_id LIMIT 25"""))
+
   private val q76_tfidf_topk: Q = (
     (s, dir) => TextAnalysis.tfidfTopK(
         spread(read(s, dir, "documents")), "doc_id", "text", k = 3)
@@ -2799,6 +2857,7 @@ object QueriesLLM {
     "q160_wordpiece_ids" -> q160_wordpiece_ids,
     "q161_char_entropy" -> q161_char_entropy,
     "q162_packed_ids" -> q162_packed_ids,
+    "q167_bm25" -> q167_bm25,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -318,6 +318,63 @@ object TextAnalysis {
       .select(col(docId), col("term"), col("tfidf"))
   }
 
+  /** BM25 keyword retrieval (Robertson-Spärck Jones; the Lucene
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf that never goes negative):
+    * score every document against a FIXED query-term list and return
+    * the top k.
+    *
+    * Because the query is a handful of known terms, the whole scorer
+    * collapses into ONE aggregate pass: tokenize, group by document,
+    * and compute document length plus one conditional-sum tf column
+    * per query term — no postings explode, no (doc, term) join, no
+    * per-term shuffle. Corpus stats (N, Σdl, per-term df) reduce the
+    * per-doc frame to one broadcast row. Everything downstream is a
+    * codegen'd column formula; the only shuffle is the groupBy(doc),
+    * and the top-k is a TakeOrdered, not a global sort.
+    *
+    * Determinism across engines: tf/dl/df/N are integers, the
+    * per-term contributions are summed in the FIXED term order on
+    * both sides, and the one genuinely-floating output (ln) is
+    * rounded to 6dp — the corr/softmax convention.
+    */
+  def bm25TopK(df: DataFrame, docId: String, text: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"bm25TopK: terms must be non-empty and distinct, got $terms")
+    val docs = df.where(col(text).isNotNull)
+    val toks = docs.select(col(docId),
+        explode(split(lower(col(text)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+    val tfCols = terms.indices.map(i =>
+      sum(when(col("__t") === terms(i), 1L).otherwise(0L)).as(s"__tf$i"))
+    val perDoc = toks.groupBy(col(docId))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl") +: dfCols: _*)
+    val nd = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nd
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfq = col(s"__df$i").cast("double")
+      val idf = log((nd - dfq + lit(0.5)) / (dfq + lit(0.5)) + lit(1.0))
+      when(col(s"__tf$i") > 0,
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__dl").cast("double") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(contribs.reduce(_ + _), 6))
+      .withColumn("n_hit", terms.indices.map(i =>
+        when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .where(col("n_hit") > 0)
+      .select(col(docId), col("score"), col("n_hit"))
+      .orderBy(col("score").desc, col(docId)).limit(k)
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1): each document
     * is kept only if every structural-quality rule passes; failures
     * are reported by name so curation can audit WHY a document

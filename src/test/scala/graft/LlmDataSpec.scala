@@ -1515,4 +1515,32 @@ class LlmDataSpec extends SparkSuite {
     assert(r1.getAs[Long]("ent4") == 41586L)
     assert(math.abs(r1.getAs[Double]("entropy") - math.log(2)) < 1e-4)
   }
+
+  test("bm25: hand-computed score on a 3-doc corpus; rarity beats " +
+      "raw frequency; non-matching docs excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple apple banana"), // tf(apple)=3, dl=4
+      (2L, "apple cherry"),             // tf(apple)=1, tf(cherry)=1, dl=2
+      (3L, "kiwi kiwi"))                // no query terms, dl=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text",
+        Seq("apple", "cherry"), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(!got.contains(3L))
+    // N=3, avgdl=8/3; idf(apple)=ln((3-2+.5)/(2+.5)+1)=ln(1.6),
+    // idf(cherry)=ln((3-1+.5)/(1+.5)+1)=ln(8/3)
+    def c(tf: Double, dl: Double, df: Double) =
+      math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0)))
+    val s1 = BigDecimal(c(3, 4, 2)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = BigDecimal(c(1, 2, 2) + c(1, 2, 1)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((s1, 1L)), s"got ${got(1L)} want $s1")
+    assert(got(2L) == ((s2, 2L)), s"got ${got(2L)} want $s2")
+    // doc2 matches the RARE term: outranks doc1's 3x common-term hits
+    assert(s2 > s1)
+  }
 }
