@@ -948,6 +948,41 @@ object QueriesLLM {
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         ORDER BY score DESC, doc_id LIMIT 25"""))
 
+  /** Unicode NFC canonicalization via the native codegen expression
+    * ([[graft.functions.NfcNormalize]]): decomposed combining
+    * sequences (planted deterministically on every document — e +
+    * U+0301, A + U+030A, n + U+0303) compose to their precomposed
+    * forms, shrinking the code-point length by exactly the three
+    * combining marks. DuckDB's `nfc_normalize` implements the same
+    * UAX #15 algorithm, so raw text, normalized text, and both
+    * lengths hash-match term for term. ASCII rows short-circuit
+    * zero-copy inside codegen — the 100 TB path pays the String
+    * round trip only on rows that actually carry non-ASCII bytes.
+    */
+  private val q168_nfc_normalize: Q = (
+    (s, dir) => {
+      // é, Å, ñ in DECOMPOSED form (base + combining mark)
+      val plant = "e\u0301 A\u030A n\u0303"
+      read(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 24), lit(" "),
+            lit(plant)).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("raw_len"),
+          graft.functions.NfcNormalize(col("raw")).as("norm"))
+        .withColumn("norm_len", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, length(raw) AS raw_len,
+                   nfc_normalize(raw) AS norm,
+                   length(nfc_normalize(raw)) AS norm_len
+            FROM (SELECT doc_id, substring(text, 1, 24) || ' ' ||
+                    chr(101) || chr(769) || ' ' ||
+                    chr(65) || chr(778) || ' ' ||
+                    chr(110) || chr(771) AS raw
+                  FROM documents WHERE text IS NOT NULL)
+            ORDER BY doc_id"""))
+
   private val q76_tfidf_topk: Q = (
     (s, dir) => TextAnalysis.tfidfTopK(
         spread(read(s, dir, "documents")), "doc_id", "text", k = 3)
@@ -2858,6 +2893,7 @@ object QueriesLLM {
     "q161_char_entropy" -> q161_char_entropy,
     "q162_packed_ids" -> q162_packed_ids,
     "q167_bm25" -> q167_bm25,
+    "q168_nfc_normalize" -> q168_nfc_normalize,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

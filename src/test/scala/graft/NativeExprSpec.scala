@@ -88,4 +88,37 @@ class NativeExprSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("jaccard_similarity"), plan)
   }
+
+  test("nfc_normalize: composes decomposed sequences, ASCII and " +
+      "already-NFC pass through, supplementary planes survive") {
+    import graft.functions.NfcNormalize
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "e\u0301 clair"),        // decomposed e + acute
+      (3L, "\u00e9clair"),          // already precomposed
+      (4L, "\ud83d\ude00 A\u030a"), // emoji (supplementary) + A + ring
+      (5L, "ga\u0308rten u\u0308")) // a/u + diaeresis
+      .toDF("id", "s")
+    val got = rows.select(col("id"), NfcNormalize(col("s")).as("n"),
+        length(NfcNormalize(col("s"))).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        r.getInt(2))).toMap
+    assert(got(1L) == (("plain ascii", 11)))
+    assert(got(2L) == (("\u00e9 clair", 7)))
+    assert(got(3L) == (("\u00e9clair", 6)))
+    assert(got(4L) == (("\ud83d\ude00 \u00c5", 3))) // emoji counts 1 cp
+    assert(got(5L) == (("g\u00e4rten \u00fc", 8)))
+    // null-intolerant
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(NfcNormalize(col("s"))).head()
+    assert(n.isNullAt(0))
+    // interpreted eval agrees with the codegen'd path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = NfcNormalize(Literal("e\u0301 A\u030a x"))
+    assert(e.eval(null).toString == "\u00e9 \u00c5 x")
+    // plan shows the native expression, not a UDF
+    val plan = rows.select(NfcNormalize(col("s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nfc_normalize"), plan)
+  }
 }
