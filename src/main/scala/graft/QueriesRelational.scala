@@ -444,6 +444,70 @@ object QueriesRelational {
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source"""))
 
+  /** Integer-exact PageRank ([[ops.Graph.pageRankInt]]) over the
+    * bipartite customer-part purchase graph (customers and parts
+    * disambiguated into one id space by even/odd: cust*2, part*2+1;
+    * edges symmetrized). Three supersteps, each one co-partitioned
+    * join + one partial-aggregated groupBy — the canonical
+    * distributed PageRank round — with every arithmetic step on
+    * scaled longs, so the oracle replays the full trajectory as three
+    * unrolled CTEs and the ranking hash-matches exactly (floating
+    * PageRank could never be cross-engine verified).
+    */
+  private val q169_pagerank: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem")
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      val out = ops.Graph.pageRankInt(edges, iters = 3)
+        .select(col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(100)
+      val collected = out.cache()
+      collected.count() // materialize before the pins release
+      graft.Caches.release()
+      collected
+    },
+    Some("""WITH h AS (SELECT DISTINCT o_custkey*2 AS src,
+                 l_partkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             ed AS (SELECT src, dst FROM h
+                    UNION ALL SELECT dst, src FROM h),
+             deg AS (SELECT src AS node, count(*) AS d FROM ed
+                     GROUP BY 1),
+             r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r
+                    FROM deg),
+             r1 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r0.r // deg.d) AS c
+                 FROM ed JOIN r0 ON ed.src = r0.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r2 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r1.r // deg.d) AS c
+                 FROM ed JOIN r1 ON ed.src = r1.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r3 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r2.r // deg.d) AS c
+                 FROM ed JOIN r2 ON ed.src = r2.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node)
+        SELECT node, r AS rank FROM r3
+        ORDER BY rank DESC, node LIMIT 100"""))
+
   /** Z-order (Morton) clustering key — the multi-dimensional LAYOUT
     * primitive behind [[io.Layout.writeZOrdered]]: interleave the
     * bits of two sort dimensions so range predicates on either
@@ -582,6 +646,7 @@ object QueriesRelational {
     "q138_zorder_key" -> q138_zorder_key,
     "q163_partition_prune" -> q163_partition_prune,
     "q166_fuzzy_match" -> q166_fuzzy_match,
+    "q169_pagerank" -> q169_pagerank,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }
