@@ -590,7 +590,35 @@ object QueriesAgg {
     "q98_sessionize" -> q98_sessionize,
     "q99_moving_avg" -> q99_moving_avg,
     "q164_funnel" -> q164_funnel,
-    "q165_cohort" -> q165_cohort)
+    "q165_cohort" -> q165_cohort,
+    "q171_incremental_agg" -> q171_incremental_agg)
+
+  /** Incremental aggregate maintenance ([[ops.Incremental]]): the
+    * standing per-priority rollup of orders is maintained as
+    * mergeable state (count / exact-decimal sum / min / max), and the
+    * query answers from base-state MERGED with a delta batch — no
+    * history re-scan. The oracle recomputes from scratch over all of
+    * orders: state-merge must be bit-identical to recompute, which is
+    * exactly what the monoid state + exact-decimal sum guarantee.
+    */
+  private val q171_incremental_agg: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val base = o.where(col("o_orderkey") % 10 =!= 0)
+      val delta = o.where(col("o_orderkey") % 10 === 0)
+      val keys = Seq("o_orderpriority")
+      val merged = ops.Incremental.merge(Seq(
+        ops.Incremental.aggState(base, keys, "o_totalprice"),
+        ops.Incremental.aggState(delta, keys, "o_totalprice")), keys)
+      ops.Incremental.finish(merged, keys)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, count(o_totalprice) AS cnt,
+                    ${sqlDsum("o_totalprice")} AS total,
+                    ${sqlDavg("o_totalprice")} AS avg,
+                    min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+             FROM orders GROUP BY o_orderpriority
+             ORDER BY o_orderpriority"""))
 
   /** Ordered funnel over the event stream (view -> click -> purchase):
     * users completing each prefix in order, chained-min semantics

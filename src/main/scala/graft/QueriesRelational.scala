@@ -444,6 +444,38 @@ object QueriesRelational {
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source"""))
 
+  /** Small-file compaction ([[io.Layout.compact]]): documents are
+    * deliberately fragmented into 64 splinter files (the streaming-
+    * ingest pathology), then compacted by on-disk byte sizing — a
+    * metadata listing, no data read — into ceil(bytes/target) files.
+    * In-query guards pin the operational claims (fragment count seen,
+    * output file count equals the sizing decision); the oracle proves
+    * the rewrite moved every row untouched.
+    */
+  private val q170_compact: Q = (
+    (s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fragged = tmp + "/graft_q170_fragmented"
+      val compacted = tmp + "/graft_q170_compacted"
+      read(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(fragged)
+      val (before, after) =
+        io.Layout.compact(s, fragged, compacted, 8L << 20)
+      require(before == 64L, s"q170: expected 64 splinters, $before")
+      val outFiles = new org.apache.hadoop.fs.Path(compacted)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(compacted))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(outFiles == after,
+        s"q170: sizing said $after files, wrote $outFiles")
+      s.read.parquet(compacted)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+            ORDER BY doc_id"""))
+
   /** Integer-exact PageRank ([[ops.Graph.pageRankInt]]) over the
     * bipartite customer-part purchase graph (customers and parts
     * disambiguated into one id space by even/odd: cust*2, part*2+1;
@@ -647,6 +679,7 @@ object QueriesRelational {
     "q163_partition_prune" -> q163_partition_prune,
     "q166_fuzzy_match" -> q166_fuzzy_match,
     "q169_pagerank" -> q169_pagerank,
+    "q170_compact" -> q170_compact,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

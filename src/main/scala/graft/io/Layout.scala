@@ -65,4 +65,34 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(ca)).as("min_a"), max(col(ca)).as("max_a"),
         min(col(cb)).as("min_b"), max(col(cb)).as("max_b"))
+
+  /** Small-file COMPACTION: rewrite a fragmented parquet layout into
+    * ceil(totalBytes / targetFileBytes) files. The operational
+    * counterpart of the write-side layouts — streaming ingest and
+    * fine-grained partitioned writes both accrete kilobyte files, and
+    * at 100 TB an uncompacted table turns every scan into millions of
+    * opens, tiny row groups, useless min/max stats, and a
+    * task-per-file scheduler storm. Sizing from the CURRENT on-disk
+    * bytes (a metadata listing, no data read) keeps output files near
+    * the target regardless of compression ratio drift.
+    *
+    * Returns (filesBefore, filesAfter). The rewrite itself is one
+    * round-robin repartition — no keys, no skew; use
+    * [[writeZOrdered]] / [[graft.io.Sources.writeBucketed]] instead
+    * when the layout should also cluster.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long): (Long, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes $targetFileBytes")
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (parts.length.toLong, nOut)
+  }
 }

@@ -64,4 +64,33 @@ class ZOrderSpec extends SparkSuite {
     assert(spark.read.parquet(zDir).agg(sum("x"), sum("y")).head() ==
       spark.read.parquet(sDir).agg(sum("x"), sum("y")).head())
   }
+
+  test("compact: splinter files merge to the byte-sized count with " +
+      "every row intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    val frag = s"$tmp/frag"
+    val out = s"$tmp/out"
+    (1 to 1000).map(i => (i.toLong, s"row $i")).toDF("id", "s")
+      .repartition(32).write.parquet(frag)
+    // generous target -> everything fits one file
+    val (before, after) = graft.io.Layout.compact(spark, frag, out,
+      targetFileBytes = 64L << 20)
+    assert(before == 32L && after == 1)
+    val files = new java.io.File(out)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000L)
+    assert(got.agg(sum("id")).head().getLong(0) == 500500L)
+    // tiny target -> multiple output files, still all rows
+    val out2 = s"$tmp/out2"
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (_, after2) = graft.io.Layout.compact(spark, frag, out2,
+      targetFileBytes = bytes / 4)
+    assert(after2 >= 4 && after2 <= 5, s"got $after2")
+    assert(spark.read.parquet(out2).count() == 1000L)
+  }
 }
