@@ -235,6 +235,43 @@ object QueriesStream {
     * the identical observations through flatMapGroupsWithState over a
     * real MemoryStream under two micro-batch slicings.
     */
+  /** Stateful streaming funnel ([[Streams.funnelReach]]) in its batch
+    * form under the driver's eye (the q104 convention): per-user
+    * ordered-step progress (view -> click -> purchase) from the SAME
+    * flatMapGroupsWithState operator that runs incrementally over
+    * micro-batches — state re-walks the chained-min per batch, so the
+    * final answer is identical under any slicing (replay-determinism
+    * spec) and equals this batch run, which DuckDB replays with the
+    * chained-CTE form per user.
+    */
+  private val q172_stream_funnel: Q = (
+    (s, dir) => Streams.funnelReach(read(s, dir, "events"),
+        Seq("view", "click", "purchase"))
+      .toDF().select(col("user_id"), col("reached"))
+      .orderBy(col("user_id")),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE ts IS NOT NULL
+                 AND event_type IN ('view', 'click', 'purchase')),
+             s1 AS (SELECT user_id, min(t) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+             u AS (SELECT DISTINCT user_id FROM e)
+        SELECT u.user_id,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS reached
+        FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+               LEFT JOIN s2 ON u.user_id = s2.user_id
+               LEFT JOIN s3 ON u.user_id = s3.user_id
+        ORDER BY u.user_id"""))
+
   private val q139_drift_monitor: Q = (
     (s, dir) => {
       import graft.llmdata.Dedup.normalizeTokens
@@ -308,6 +345,7 @@ object QueriesStream {
 
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
+    "q172_stream_funnel" -> q172_stream_funnel,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

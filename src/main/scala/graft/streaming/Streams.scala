@@ -69,6 +69,77 @@ object Streams {
       }
   }
 
+  /** Input row for the stateful funnel operator. */
+  case class StepEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Funnel progress emission: `reached` = completed step prefix,
+    * `n_seen` = step events folded so far (strictly growing, so the
+    * row with max n_seen per user is the final answer in a stream).
+    */
+  case class StepReach(user_id: Long, reached: Int, n_seen: Int)
+
+  /** The chained-min funnel walk over one user's step events
+    * (identical semantics to [[graft.functions.Stats.funnel]]'s
+    * column fold — greedy first-match over the (ts, type)-sorted
+    * list IS the chained min; parity is spec-pinned).
+    */
+  def walkReach(evs: Seq[(java.sql.Timestamp, String)],
+      steps: Seq[String]): Int = {
+    val sorted = evs.sortWith { (a, b) =>
+      val c = a._1.compareTo(b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+    var reached = 0
+    var last: java.sql.Timestamp = null
+    sorted.foreach { case (t, et) =>
+      if (reached < steps.length && et == steps(reached) &&
+          (last == null || t.compareTo(last) > 0)) {
+        last = t
+        reached += 1
+      }
+    }
+    reached
+  }
+
+  /** STREAMING funnel: per-user ordered-step progress maintained in
+    * operator state across micro-batches. Unlike windowed aggregates,
+    * funnel progress is not slice-decomposable — a late-arriving
+    * early 'view' can retroactively change which 'click' qualifies —
+    * so the state keeps the user's STEP EVENTS (only the step-typed
+    * rows, the per-user bound sessionize also rides) and re-walks the
+    * chained-min on each batch. That makes the FINAL emission (max
+    * n_seen per user) deterministic under ANY micro-batch slicing or
+    * arrival order — replay-determinism like the q104 dedup — and
+    * exactly equal to the batch operator, which is this same code run
+    * over one all-rows "batch" (the q172 oracle gate). Update mode:
+    * each batch re-emits progress for users it touched. For unbounded
+    * streams, compose with an event-time TTL upstream if per-user
+    * histories must expire; emissions themselves need no timeout.
+    */
+  def funnelReach(events: DataFrame,
+      steps: Seq[String]): Dataset[StepReach] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnelReach: steps must be non-empty and distinct, got $steps")
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .where(col("event_type").isin(steps: _*) && col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .as[StepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(java.sql.Timestamp, String)],
+        StepReach](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[StepEvent],
+         state: GroupState[List[(java.sql.Timestamp, String)]]) =>
+          val evs = rows.map(e => (e.ts, e.event_type)).toList :::
+            state.getOption.getOrElse(Nil)
+          state.update(evs)
+          Iterator(StepReach(uid, walkReach(evs, steps), evs.length))
+      }
+  }
+
   /** Run any of the transforms above as a real streaming query over
     * file-source parquet, sinking to an in-memory table — the local
     * harness for watermark/window correctness (processAllAvailable

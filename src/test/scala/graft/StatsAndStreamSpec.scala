@@ -449,6 +449,53 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L)))
   }
 
+  test("streaming funnel: out-of-order micro-batches converge to the " +
+      "batch answer under two different slicings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 completes all 3 but the view arrives LAST (out of order);
+    // u2's click precedes its view in event time
+    val evs = Seq(
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:02:00"), "purchase"),
+      (2L, t("2024-01-01 09:00:00"), "click"),
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:00:00"), "view"))
+    val steps = Seq("view", "click", "purchase")
+    def run(slices: Seq[Seq[(Long, Timestamp, String)]],
+        name: String): Map[Long, Int] = {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = graft.streaming.Streams.funnelReach(
+          in.toDF().toDF("user_id", "ts", "event_type"), steps)
+        .toDF().writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      q.stop()
+      // final answer per user = the emission with max n_seen
+      spark.sql(s"""SELECT user_id, max_by(reached, n_seen)
+          FROM $name GROUP BY user_id""").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val a = run(Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)), "t_fa")
+    val b = run(Seq(evs), "t_fb")
+    val batch = graft.streaming.Streams.funnelReach(
+        evs.toDF("user_id", "ts", "event_type"), steps)
+      .collect().map(r => r.user_id -> r.reached).toMap
+    assert(a == Map(1L -> 3, 2L -> 1))
+    assert(b == a, s"slicing changed the result: $b vs $a")
+    assert(batch == a, s"batch/stream divergence: $batch vs $a")
+    // and the batch operator agrees with Stats.funnel's column fold
+    val counts = Stats.funnel(evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fromReach = (1 to 3).map(i =>
+      i.toLong -> batch.values.count(_ >= i).toLong).toMap
+    assert(counts == fromReach, s"$counts vs $fromReach")
+  }
+
   test("cohort: users counted once per active week, offsets in whole " +
       "weeks from Monday-truncated cohort start") {
     import spark.implicits._
