@@ -890,6 +890,106 @@ object QueriesLLM {
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
     */
+  /** Hybrid retrieval: BM25 keyword branch + dense cosine branch,
+    * fused by integer-exact reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]]). Each branch ranks by its ROUNDED score
+    * (ties broken on doc_id), so branch membership and ranks are
+    * cross-engine deterministic; the fusion is pure long arithmetic.
+    * The branches are the scale paths already graded elsewhere
+    * (one-pass BM25; cosine scored brute-force here, cell-pruned ANN
+    * at scale); fusion itself touches only the two top-50 lists.
+    */
+  private val q173_hybrid_rrf: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val docs = read(s, dir, "documents")
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qarr = array(qv.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+      val pin = (c: org.apache.spark.sql.Column) => pmod(c, lit(1))
+      val denseW = org.apache.spark.sql.expressions.Window
+        .partitionBy(pin(col("doc_id")))
+        .orderBy(col("sim").desc, col("doc_id"))
+      val dense = e.where(col("vec_id") > 0)
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.CosineSimilarity(col("embedding"),
+            qarr), 6).as("sim"))
+        .withColumn("rank", row_number().over(denseW).cast("long"))
+        .where(col("rank") <= 50)
+      val sparseW = org.apache.spark.sql.expressions.Window
+        .partitionBy(pin(col("doc_id")))
+        .orderBy(col("score").desc, col("doc_id"))
+      val sparse = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("hash", "join", "spark"), k = 50)
+        .withColumn("rank", row_number().over(sparseW).cast("long"))
+      Similarity.rrfFuse(Seq(
+          dense.select(col("doc_id"), col("rank")),
+          sparse.select(col("doc_id"), col("rank"))), "doc_id")
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+    },
+    Some("""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id = 0),
+             dense AS (SELECT doc_id, rank FROM (
+                 SELECT vec_id AS doc_id,
+                        row_number() OVER (ORDER BY
+                          round(list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]), qv.v), 6)
+                            DESC, vec_id) AS rank
+                 FROM embeddings, qv WHERE vec_id > 0)
+               WHERE rank <= 50),
+             toks AS (SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS t
+               FROM documents WHERE text IS NOT NULL),
+             pd AS (SELECT doc_id, count(*) AS dl,
+                 sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf0,
+                 sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf1,
+                 sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf2
+               FROM toks WHERE t <> '' GROUP BY doc_id),
+             st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+               FROM pd),
+             bm AS (SELECT doc_id,
+                 round(
+                   CASE WHEN tf0 > 0 THEN
+                     ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                        / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                     * (CAST(tf0 AS DOUBLE) * 2.2)
+                     / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+                        + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                   ELSE 0.0 END
+                 + CASE WHEN tf1 > 0 THEN
+                     ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                        / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                     * (CAST(tf1 AS DOUBLE) * 2.2)
+                     / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+                        + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                   ELSE 0.0 END
+                 + CASE WHEN tf2 > 0 THEN
+                     ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                        / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                     * (CAST(tf2 AS DOUBLE) * 2.2)
+                     / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25
+                        + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+                   ELSE 0.0 END, 6) AS score
+               FROM pd, st
+               WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+               ORDER BY score DESC, doc_id LIMIT 50),
+             sparse AS (SELECT doc_id, row_number() OVER
+                 (ORDER BY score DESC, doc_id) AS rank FROM bm),
+             fused AS (SELECT doc_id,
+                 1000000000000 // (60 + rank) AS c FROM dense
+               UNION ALL SELECT doc_id,
+                 1000000000000 // (60 + rank) AS c FROM sparse)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+               count(*) AS n_branches
+        FROM fused GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
   /** BM25 keyword retrieval ([[TextAnalysis.bm25TopK]]) for the fixed
     * query {hash, join, spark}: one aggregate pass (per-doc length +
     * conditional-sum tf per term — no postings explode), corpus
@@ -2894,6 +2994,7 @@ object QueriesLLM {
     "q162_packed_ids" -> q162_packed_ids,
     "q167_bm25" -> q167_bm25,
     "q168_nfc_normalize" -> q168_nfc_normalize,
+    "q173_hybrid_rrf" -> q173_hybrid_rrf,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

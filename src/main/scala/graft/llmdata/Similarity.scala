@@ -36,6 +36,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) with INTEGER-EXACT
+    * contributions: each branch row carries a 1-based long `rank`,
+    * and a document's fused score is Σ scale div (rrfK + rank) over
+    * the branches that retrieved it — floor division on longs, so
+    * the fused ranking is bit-identical on any engine (the float
+    * 1/(k+r) form differs only below the quantization and could
+    * never be hash-verified). The standard hybrid-retrieval
+    * combiner: rank-space fusion needs no score calibration between
+    * a BM25 branch and a cosine branch. Branch inputs are top-k
+    * lists — bounded, so the union+groupBy is trivially small at any
+    * corpus scale; the cost lives in the branches.
+    */
+  def rrfFuse(branches: Seq[DataFrame], idCol: String,
+      rrfK: Long = 60L, scale: Long = 1000000000000L): DataFrame = {
+    require(branches.nonEmpty, "rrfFuse: at least one branch")
+    branches.map(_.select(col(idCol),
+        expr(s"${scale}L div (${rrfK}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"),
+        count(lit(1)).as("n_branches"))
+  }
+
   /** All near-duplicate embedding pairs above a cosine threshold —
     * exact O(n^2) scoring; oracle-checkable. For scale use
     * [[lshNeighbors]].

@@ -1543,4 +1543,21 @@ class LlmDataSpec extends SparkSuite {
     // doc2 matches the RARE term: outranks doc1's 3x common-term hits
     assert(s2 > s1)
   }
+
+  test("rrfFuse: integer reciprocal-rank contributions, both-branch " +
+      "docs beat single-branch, exact floor-division values") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getLong(2))).toMap
+    val S = 1000000000000L
+    assert(got(10L) == ((S / 61, 1L)))
+    assert(got(20L) == ((S / 62 + S / 61, 2L)))
+    assert(got(30L) == ((S / 63, 1L)))
+    assert(got(40L) == ((S / 62, 1L)))
+    // doc 20 (rank 2 + rank 1) outranks every single-branch doc
+    assert(got(20L)._1 > got(10L)._1)
+  }
 }
