@@ -890,6 +890,28 @@ object QueriesLLM {
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
     */
+  /** Curriculum ordering ([[Sampling.curriculumOrder]]): documents
+    * phased by length ntile (shortest first — the classic
+    * length-curriculum) with a deterministic hash-shuffled order
+    * inside each phase. The oracle replays the ntile window AND the
+    * multiplicative-hash position bit-for-bit — the full epoch-1
+    * data order of a 100 TB training run, auditable from SQL.
+    */
+  private val q174_curriculum: Q = (
+    (s, dir) => Sampling.curriculumOrder(
+        read(s, dir, "documents").where(col("text").isNotNull)
+          .select(col("doc_id"), col("n_chars")),
+        col("n_chars"), "doc_id", phases = 4, seed = 42L)
+      .select(col("doc_id"), col("phase"), col("ord"))
+      .orderBy(col("phase"), col("ord"), col("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                     AS BIGINT) AS phase,
+                   ((doc_id * 2654435761 + 42) % 1000000007)
+                     % 1000000 AS ord
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY phase, ord, doc_id"""))
+
   /** Hybrid retrieval: BM25 keyword branch + dense cosine branch,
     * fused by integer-exact reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]). Each branch ranks by its ROUNDED score
@@ -2995,6 +3017,7 @@ object QueriesLLM {
     "q167_bm25" -> q167_bm25,
     "q168_nfc_normalize" -> q168_nfc_normalize,
     "q173_hybrid_rrf" -> q173_hybrid_rrf,
+    "q174_curriculum" -> q174_curriculum,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

@@ -711,4 +711,25 @@ object Sampling {
       (census(i)._1, ex(i), w(i), wAvg, wAvg.toDouble / 1000000.0)
     }.toSeq.toDF("domain", "excess4", "w_final", "w_avg", "weight")
   }
+
+  /** Curriculum ORDER for training: assign each document a phase
+    * (exact ntile of a difficulty/quality score, easiest phase
+    * first) and a deterministic within-phase position (the portable
+    * id-hash bucket — a reproducible shuffle, not an RNG). A data
+    * loader streaming rows in (phase, ord, id) order serves the
+    * curriculum: all of phase 1 in hash-shuffled order, then phase 2,
+    * etc. Every ingredient is an existing exact primitive — the
+    * range-partitioned ntile (no global window funnel) and the
+    * portable hash filter's bucket — so the full ordering is
+    * replayable by any engine and stable across runs, partitionings,
+    * and re-executions (the auditability contract the sampling
+    * family carries).
+    */
+  def curriculumOrder(df: DataFrame, score: Column, idCol: String,
+      phases: Int, seed: Long = 42L): DataFrame = {
+    require(phases >= 1, s"curriculumOrder: phases $phases")
+    graft.ops.ScanOps.ntile(df, Seq(score.asc, col(idCol).asc),
+        phases, out = "phase")
+      .withColumn("ord", bucket(col(idCol), seed))
+  }
 }
