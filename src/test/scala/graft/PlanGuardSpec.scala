@@ -339,4 +339,45 @@ class PlanGuardSpec extends SparkSuite {
       l.trim.startsWith("(") && l.contains("Exchange"))
     assert(n <= 4, s"unexpected exchange count $n:\n$p")
   }
+
+  test("q164 funnel: ONE data shuffle — the per-user fold replaces " +
+      "the k-round chained groupBy+join form") {
+    val p = planOf(q("q164_funnel"))
+    val hash = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q167 bm25: the per-doc aggregate shuffles ONCE at runtime " +
+      "(stats branch rides a ReusedExchange), corpus stats broadcast, " +
+      "no sort-merge join, rank limit as TakeOrdered") {
+    val df = q("q167_bm25")
+    // static plan: both hash exchanges are the SAME groupBy(doc_id)
+    // subtree (main side + stats branch) — the reuse is an AQE
+    // runtime decision, so assert it on the EXECUTED plan
+    val p = planOf(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    df.queryExecution.toRdd.count()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange") ||
+      fin.contains("ReusedQueryStage"),
+      s"stats branch should reuse the per-doc exchange:\n$fin")
+  }
+
+  test("q166 fuzzy match: value census partial-aggregates map-side; " +
+      "the candidate join is keyed on the block (no cartesian)") {
+    val p = planOf(q("q166_fuzzy_match"))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q174 curriculum: no Window operator anywhere — the phase " +
+      "rank comes from the range-partitioned zip, not a " +
+      "single-partition ntile window") {
+    val p = planOf(q("q174_curriculum"))
+    assert(!p.contains("Window"), p)
+  }
 }
