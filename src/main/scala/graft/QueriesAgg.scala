@@ -591,7 +591,59 @@ object QueriesAgg {
     "q99_moving_avg" -> q99_moving_avg,
     "q164_funnel" -> q164_funnel,
     "q165_cohort" -> q165_cohort,
-    "q171_incremental_agg" -> q171_incremental_agg)
+    "q171_incremental_agg" -> q171_incremental_agg,
+    "q177_rollup" -> q177_rollup,
+    "q178_pivot" -> q178_pivot)
+
+  /** ROLLUP hierarchy aggregate (Catalyst's native rollup — subtotal
+    * rows per returnflag and a grand total in ONE pass via Expand,
+    * not three separate scans unioned). NULL subtotal markers are
+    * coalesced to a sentinel on both sides so the hash compare is
+    * NULL-free.
+    */
+  private val q177_rollup: Q = (
+    (s, dir) => read(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)"))
+          .as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus")),
+    Some(s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+                    COALESCE(l_linestatus, '(all)') AS linestatus,
+                    count(*) AS n,
+                    ${sqlDsum("l_quantity")} AS sum_qty
+             FROM lineitem
+             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY returnflag, linestatus"""))
+
+  /** PIVOT: per-user event-type counts spread into one column per
+    * type (explicit value list -> deterministic schema; absent cells
+    * filled 0). Spark plans the pivot as ONE grouped aggregate with
+    * conditional counts — exactly what the oracle writes out
+    * longhand.
+    */
+  private val q178_pivot: Q = (
+    (s, dir) => read(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                     ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                     ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                     ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                     ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** Incremental aggregate maintenance ([[ops.Incremental]]): the
     * standing per-priority rollup of orders is maintained as

@@ -444,6 +444,78 @@ object QueriesRelational {
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source"""))
 
+  /** SCD2 history ([[ops.Scd.scd2]]): each user's event_type stream
+    * becomes versioned [valid_from, valid_to) rows, consecutive
+    * unchanged states collapsed — the warehouse dimension-history
+    * pattern. All per-key windows (one shuffle); the oracle rebuilds
+    * the same versions with lag/lead SQL.
+    */
+  private val q175_scd2: Q = (
+    (s, dir) => ops.Scd.scd2(
+        read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      .orderBy(col("user_id"), col("version")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t FROM events),
+             o AS (SELECT user_id, event_id, event_type, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR event_type IS DISTINCT FROM
+                           lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS op
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY t, event_id)),
+             v AS (SELECT user_id, event_type, t,
+                 CAST(sum(op) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS BIGINT) AS version, op
+               FROM o)
+        SELECT user_id, version, t AS valid_from,
+               lead(t) OVER (PARTITION BY user_id ORDER BY version)
+                 AS valid_to,
+               event_type
+        FROM v WHERE op = 1
+        ORDER BY user_id, version"""))
+
+  /** Keyed UPSERT ([[ops.Scd.upsert]] — the MERGE INTO core): a
+    * deterministic delta (every 7th customer re-priced, every 97th
+    * re-keyed past the key space as an insert) applied to the
+    * customer dimension; update rows replace whole target rows,
+    * unmatched keys insert. One co-partitioned full-outer join; the
+    * oracle re-derives the merged table from the same delta
+    * definition.
+    */
+  private val q176_upsert: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val mods = c.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      val ins = c.where(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_acctbal"))
+      ops.Scd.upsert(c, mods.unionByName(ins), "c_custkey")
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal
+                          FROM customer),
+             delta AS (SELECT c_custkey, c_name, c_acctbal + 1000.0
+                          AS c_acctbal
+                       FROM base WHERE c_custkey % 7 = 0
+                       UNION ALL
+                       SELECT c_custkey + 10000000, 'NEW ' || c_name,
+                              c_acctbal
+                       FROM base WHERE c_custkey % 97 = 0)
+        SELECT COALESCE(d.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal
+        FROM base b FULL OUTER JOIN delta d
+          ON b.c_custkey = d.c_custkey
+        ORDER BY c_custkey"""))
+
   /** Small-file compaction ([[io.Layout.compact]]): documents are
     * deliberately fragmented into 64 splinter files (the streaming-
     * ingest pathology), then compacted by on-disk byte sizing — a
@@ -680,6 +752,8 @@ object QueriesRelational {
     "q166_fuzzy_match" -> q166_fuzzy_match,
     "q169_pagerank" -> q169_pagerank,
     "q170_compact" -> q170_compact,
+    "q175_scd2" -> q175_scd2,
+    "q176_upsert" -> q176_upsert,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

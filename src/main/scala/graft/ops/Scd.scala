@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance operators: slowly-changing-dimension
+  * history and keyed upsert (the MERGE INTO core) — the mutation
+  * patterns a lakehouse table format implements, expressed as pure
+  * relational transforms so they run (and verify) on any engine.
+  */
+object Scd {
+
+  /** Type-2 slowly-changing-dimension history from a change stream:
+    * one row per (key, state VERSION) with `valid_from`/`valid_to`
+    * ([from, to) interval; open version has NULL valid_to).
+    * Consecutive events whose tracked attributes are UNCHANGED
+    * collapse into the version that opened them — only actual
+    * transitions cut a new row (the textbook SCD2 contract).
+    *
+    * Shape: everything runs in per-key windows ordered by
+    * (ts, tiebreak) — one shuffle on the key, the same inherent
+    * per-key bound sessionize rides; change detection is a lag
+    * comparison, version close a lead. No joins, no state.
+    */
+  def scd2(df: DataFrame, key: String, ts: String, tiebreak: String,
+      attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2: at least one tracked attribute")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    // a version opens where any tracked attribute differs from the
+    // previous event (null-safe: <=> catches null transitions)
+    val changed = attrs.map(a =>
+      !(col(a) <=> lag(col(a), 1).over(w))).reduce(_ || _)
+    val opens = df.withColumn("__open",
+      when(lag(col(ts), 1).over(w).isNull || changed, 1L).otherwise(0L))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    opens.withColumn("__ver", sum(col("__open")).over(w2))
+      .where(col("__open") === 1L)
+      .withColumn("valid_to", lead(col(ts), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col("__ver"))))
+      .select(Seq(col(key), col("__ver").as("version"),
+        col(ts).as("valid_from"), col("valid_to")) ++
+        attrs.map(col): _*)
+  }
+
+  /** Keyed UPSERT (the relational core of MERGE INTO): rows of
+    * `updates` replace same-key rows of `target`; unmatched update
+    * keys insert. Expressed as a full outer join with
+    * update-side-wins coalescing — one co-partitioned shuffle on the
+    * key, broadcastable when the delta is small (the common case at
+    * scale: a day's changes against years of history).
+    */
+  def upsert(target: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
+    require(target.columns.sameElements(updates.columns),
+      s"upsert: schemas must match, ${target.columns.toSeq} vs " +
+        s"${updates.columns.toSeq}")
+    val t = target.columns.foldLeft(target)((d, c) =>
+      d.withColumnRenamed(c, s"__t_$c"))
+    val u = updates.columns.foldLeft(updates)((d, c) =>
+      d.withColumnRenamed(c, s"__u_$c"))
+    // row-wins (not column-coalesce): an update row replaces the whole
+    // target row, nulls included — MERGE's UPDATE SET * contract
+    t.join(u, col(s"__t_$key") === col(s"__u_$key"), "full_outer")
+      .select(target.columns.map(c =>
+        when(col(s"__u_$key").isNotNull, col(s"__u_$c"))
+          .otherwise(col(s"__t_$c")).as(c)): _*)
+  }
+}
