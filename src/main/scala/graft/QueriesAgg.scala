@@ -593,7 +593,79 @@ object QueriesAgg {
     "q165_cohort" -> q165_cohort,
     "q171_incremental_agg" -> q171_incremental_agg,
     "q177_rollup" -> q177_rollup,
-    "q178_pivot" -> q178_pivot)
+    "q178_pivot" -> q178_pivot,
+    "q179_json_extract" -> q179_json_extract,
+    "q180_robust_scale" -> q180_robust_scale,
+    "q181_top_paths" -> q181_top_paths)
+
+  /** Semi-structured extraction: the events `props` JSON column
+    * parsed with an explicit schema (`from_json` — codegen'd Jackson
+    * parse, no UDF) and aggregated. At scale the explicit schema is
+    * what keeps this a single pass — schema inference would cost a
+    * whole extra corpus read. The oracle parses the same JSON with
+    * DuckDB's json_extract.
+    */
+  private val q179_json_extract: Q = (
+    (s, dir) => read(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** Robust scaling ([[Encode.appendRobust]]): (x - median) / IQR
+    * from EXACT quantile data points — the outlier-immune sibling of
+    * the q21 z-score. Same fit-once/apply-everywhere encoder shape;
+    * the scaled value is one double expression from three exact
+    * constants, rounded 6dp on both engines.
+    */
+  private val q180_robust_scale: Q = (
+    (s, dir) => {
+      val (scaled, _) = Encode.appendRobust(
+        read(s, dir, "customer"), "c_acctbal", "acctbal_r")
+      scaled.select(col("c_custkey"),
+          round(col("acctbal_r"), 6).as("acctbal_r"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH cuts AS (SELECT
+                 quantile_disc(c_acctbal, 0.25) AS lo,
+                 quantile_disc(c_acctbal, 0.5) AS med,
+                 quantile_disc(c_acctbal, 0.75) AS hi
+               FROM customer)
+        SELECT c_custkey,
+               round((c_acctbal - med) / (hi - lo), 6) AS acctbal_r
+        FROM customer, cuts ORDER BY c_custkey"""))
+
+  /** Path analysis ([[Stats.topPaths]]): top consecutive 3-step
+    * event-type sequences across users — lead windows per user (one
+    * shuffle, the sessionize bound), then a distinct-paths-sized
+    * count. The oracle rebuilds the n-grams with the same lead
+    * windows.
+    */
+  private val q181_top_paths: Q = (
+    (s, dir) => Stats.topPaths(read(s, dir, "events"), "user_id",
+      "ts", "event_id", "event_type", n = 3, k = 20),
+    Some("""WITH p AS (SELECT user_id, event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        SELECT e1 || ' -> ' || e2 || ' -> ' || e3 AS path,
+               count(*) AS n_occurrences
+        FROM p
+        WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20"""))
 
   /** ROLLUP hierarchy aggregate (Catalyst's native rollup — subtotal
     * rows per returnflag and a grand total in ONE pass via Expand,

@@ -34,6 +34,32 @@ object Encode {
       normalized = true)
   }
 
+  /** Robust-scaling fit: median location, IQR scale — the
+    * outlier-immune sibling of [[fitC]] (one extreme value moves a
+    * z-score fit arbitrarily; it moves median/IQR not at all). The
+    * quantiles are EXACT data points (approxQuantile at relErr=0 —
+    * `quantile_disc` semantics, the q75 winsorize convention), so the
+    * fitted constants and every scaled value are engine-replayable.
+    */
+  def fitRobust(df: DataFrame, col: String): FeatureMeta = {
+    val Array(q25, q50, q75) =
+      df.stat.approxQuantile(col, Array(0.25, 0.5, 0.75), 0.0)
+    val iqr = q75 - q25
+    require(iqr > 1e-8, s"fitRobust: cannot scale '$col', IQR=$iqr")
+    FeatureMeta(col, FeatureRole.Cts, location = q50, scale = iqr,
+      normalized = true)
+  }
+
+  /** Robust-scaled continuous append: (x - median) / IQR. */
+  def appendRobust(df: DataFrame, raw: String, name: String,
+      fitted: Option[FeatureMeta] = None): (DataFrame, FeatureMeta) = {
+    val meta = fitted.map(_.copy(name = name))
+      .getOrElse(fitRobust(df, raw).copy(name = name))
+    (df.withColumn(name,
+      (df(raw).cast("double") - lit(meta.location)) / lit(meta.scale)),
+      meta)
+  }
+
   /** AppendC: add a continuous column `name` = cast-to-double raw,
     * z-scored when `normalize` (fitting unless `fitted` given).
     * Returns (df with column, meta used).

@@ -320,6 +320,31 @@ object Stats {
       .select(col("__s.step"), col("__s.step_name"), col("__s.n_users"))
   }
 
+  /** Path analysis: the most common length-`n` event-type sequences
+    * across keys (users), from consecutive events in (ts, tiebreak)
+    * order. Lead windows per key build the n-grams in place — one
+    * shuffle on the key (the sessionize bound), then a small
+    * (distinct-paths)-sized count aggregate; windows never cross
+    * keys, so no global funnel. Ties in the top-k break on the path
+    * for a deterministic cut.
+    */
+  def topPaths(df: DataFrame, key: String, ts: String, tiebreak: String,
+      typeCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"topPaths: n $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val path = concat_ws(" -> ", steps: _*)
+    df.withColumn("__path", path)
+      // lead past the key's last event is NULL -> concat_ws drops it;
+      // keep only complete n-grams (n-1 separators present)
+      .where(size(split(col("__path"), " -> ")) === n)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path")).limit(k)
+  }
+
   /** Cohort retention: assign each key (user) to the week of its first
     * event, then count distinct keys from each cohort active in each
     * subsequent week. Output (cohort_week, week_no, n_users) where

@@ -145,4 +145,28 @@ class EncodeSpec extends SparkSuite {
     val rt = FeatureSchema.read(s.toJson)
     assert(rt == s)
   }
+
+  test("robust scaling: exact median/IQR fit, outlier-immune where " +
+      "the z-score fit is not; refit vs fitted parity") {
+    import spark.implicits._
+    // 1..9 plus a huge outlier: median 5.5, q25 3, q75 8 (exact
+    // data points), IQR 5 — the outlier shifts NONE of them
+    val vals = ((1 to 9).map(_.toDouble) :+ 1e9).toDF("x")
+    val (scaled, meta) = Encode.appendRobust(vals, "x", "xr")
+    assert(meta.scale == 5.0, s"IQR ${meta.scale}")
+    assert(meta.location == 5.0 || meta.location == 6.0) // disc median
+    val got = scaled.orderBy("x").collect().map(_.getDouble(1))
+    assert(got(0) == (1.0 - meta.location) / 5.0)
+    // applying the SAME fit to new data reuses the constants
+    val (applied, m2) = Encode.appendRobust(
+      Seq(100.0).toDF("x"), "x", "xr", fitted = Some(meta))
+    assert(m2 == meta.copy(name = "xr"))
+    assert(applied.head().getDouble(1) ==
+      (100.0 - meta.location) / 5.0)
+    // degenerate IQR refused
+    val flat = Seq.fill(10)(3.0).toDF("x")
+    val ex = intercept[IllegalArgumentException](
+      Encode.fitRobust(flat, "x"))
+    assert(ex.getMessage.contains("IQR"))
+  }
 }

@@ -496,6 +496,25 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(counts == fromReach, s"$counts vs $fromReach")
   }
 
+  test("topPaths: consecutive n-grams per key, incomplete tails " +
+      "dropped, no cross-key sequences") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "b"), (1L, t(2), 3L, "c"),
+      (1L, t(3), 4L, "b"), (1L, t(4), 5L, "c"),
+      (2L, t(0), 6L, "b"), (2L, t(1), 7L, "c"), // only 2 events: no 3-gram
+      (3L, t(0), 8L, "a"), (3L, t(1), 9L, "b"), (3L, t(2), 10L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Stats.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u1: a->b->c, b->c->b, c->b->c; u3: a->b->c; u2 contributes none
+    assert(got == Map("a -> b -> c" -> 2L, "b -> c -> b" -> 1L,
+      "c -> b -> c" -> 1L))
+  }
+
   test("cohort: users counted once per active week, offsets in whole " +
       "weeks from Monday-truncated cohort start") {
     import spark.implicits._
