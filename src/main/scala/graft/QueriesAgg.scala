@@ -596,7 +596,154 @@ object QueriesAgg {
     "q178_pivot" -> q178_pivot,
     "q179_json_extract" -> q179_json_extract,
     "q180_robust_scale" -> q180_robust_scale,
-    "q181_top_paths" -> q181_top_paths)
+    "q181_top_paths" -> q181_top_paths,
+    "q182_cube" -> q182_cube,
+    "q183_ohlc" -> q183_ohlc,
+    "q184_resample_ffill" -> q184_resample_ffill,
+    "q185_cooccurrence" -> q185_cooccurrence)
+
+  /** CUBE: all 2^k grouping combinations in one Expand pass —
+    * completes the hierarchy family next to ROLLUP (q177). Sentinel
+    * coalesce keeps the compare NULL-free.
+    */
+  private val q182_cube: Q = (
+    (s, dir) => read(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)"))
+          .as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority")),
+    Some(s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                    COALESCE(o_orderpriority, '(all)') AS priority,
+                    count(*) AS n,
+                    ${sqlDsum("o_totalprice")} AS total
+             FROM orders
+             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY status, priority"""))
+
+  /** OHLC time-series bars: per (event_type, 15-min bucket) the
+    * first/max/min/last `value` — open/close picked by min_by/max_by
+    * over the (ts, event_id) total order, so bars are deterministic
+    * under ties and partitioning. One grouped aggregate; at scale
+    * this is the classic pre-aggregation that turns tick streams
+    * into chart-servable data.
+    */
+  private val q183_ohlc: Q = (
+    (s, dir) => read(s, dir, "events")
+      .withColumn("bar", date_trunc("hour", col("ts")) +
+        expr("make_interval(0, 0, 0, 0, 0, " +
+          "15 * (minute(ts) div 15), 0)"))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bar")),
+    Some("""WITH e AS (SELECT event_type, event_id, value,
+                 CAST(ts AS TIMESTAMP) AS t,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) +
+                   to_minutes(15 * (minute(CAST(ts AS TIMESTAMP)) // 15))
+                   AS bar
+               FROM events),
+             r AS (SELECT event_type, bar, value,
+                 row_number() OVER (PARTITION BY event_type, bar
+                   ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar
+                   ORDER BY t DESC, event_id DESC) AS rn_d
+               FROM e)
+        SELECT event_type, bar,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM r GROUP BY event_type, bar
+        ORDER BY event_type, bar"""))
+
+  /** Gap-filling resample + forward fill: per event_type, a DENSE
+    * hourly grid spanning [min, max] event time (sequence() exploded
+    * — no driver loop), left-joined to hourly aggregates, holes
+    * filled with the last known value (last_value IGNORE NULLS over
+    * the per-type time order). The time-series normalization every
+    * downstream model expects; windows partition by type, never
+    * global.
+    */
+  private val q184_resample_ffill: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "events")
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum(col("value")).as("v"))
+      val span = e.groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = span.select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("v_filled",
+          last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("v").isNull.cast("int"))
+        .select(col("event_type"), col("h"), col("v_filled"),
+          col("is_gap"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value,
+                 CAST(ts AS TIMESTAMP) AS t FROM events),
+             hourly AS (SELECT event_type, date_trunc('hour', t) AS h,
+                 ${sqlDsum("value")} AS v
+               FROM e GROUP BY 1, 2),
+             span AS (SELECT event_type,
+                 date_trunc('hour', min(t)) AS h0,
+                 date_trunc('hour', max(t)) AS h1
+               FROM e GROUP BY 1),
+             grid AS (SELECT event_type,
+                 unnest(generate_series(h0, h1,
+                   INTERVAL 1 HOUR)) AS h
+               FROM span)
+        SELECT g.event_type, g.h,
+               last_value(hourly.v IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_filled,
+               CAST(hourly.v IS NULL AS INTEGER) AS is_gap
+        FROM grid g LEFT JOIN hourly
+          ON g.event_type = hourly.event_type AND g.h = hourly.h
+        ORDER BY g.event_type, g.h"""))
+
+  /** Market-basket co-occurrence: part PAIRS appearing in the same
+    * order, with support counts — the frequent-itemset primitive.
+    * The pair join is WITHIN order (bounded by basket size, the
+    * within-bucket candidate shape every dedup family uses), distinct
+    * parts per basket first so multiplicity can't inflate support.
+    * Top pairs by (support desc, pair asc) — deterministic cut.
+    */
+  private val q185_cooccurrence: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      a.join(b, Seq("l_orderkey")).where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem)
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               count(*) AS support
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 ORDER BY support DESC, pa, pb LIMIT 50"""))
 
   /** Semi-structured extraction: the events `props` JSON column
     * parsed with an explicit schema (`from_json` — codegen'd Jackson
