@@ -600,7 +600,44 @@ object QueriesAgg {
     "q182_cube" -> q182_cube,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
-    "q185_cooccurrence" -> q185_cooccurrence)
+    "q185_cooccurrence" -> q185_cooccurrence,
+    "q186_anomaly_flags" -> q186_anomaly_flags)
+
+  /** Robust anomaly detection ([[Stats.robustAnomalies]]): hourly
+    * event counts per type flagged by the |x - median| > 3*IQR rule,
+    * with the per-group median/IQR as EXACT discrete quantiles
+    * (bit-for-bit quantile_disc semantics — [[Stats
+    * .groupQuantilesDisc]]). Counts are integers, so every quantity
+    * in the flag comparison is integer-exact: a verdict can never
+    * flip across engines, replays, or partitionings — the monitoring
+    * contract the drift-monitor family (q139) established.
+    */
+  private val q186_anomaly_flags: Q = (
+    (s, dir) => {
+      val hourly = read(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      Stats.robustAnomalies(hourly, "event_type", "n", k = 3.0)
+        .select(col("event_type"), col("h"), col("n"), col("med"),
+          col("iqr"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 count(*) AS n
+               FROM events GROUP BY 1, 2),
+             q AS (SELECT event_type,
+                 quantile_disc(n, 0.25) AS q25,
+                 quantile_disc(n, 0.5) AS med,
+                 quantile_disc(n, 0.75) AS q75
+               FROM h GROUP BY 1)
+        SELECT h.event_type, h.h, h.n, q.med,
+               q.q75 - q.q25 AS iqr,
+               CAST(abs(h.n - q.med) > 3 * (q.q75 - q.q25)
+                 AS INTEGER) AS is_anomaly
+        FROM h JOIN q USING (event_type)
+        ORDER BY h.event_type, h.h"""))
 
   /** CUBE: all 2^k grouping combinations in one Expand pass —
     * completes the hierarchy family next to ROLLUP (q177). Sentinel

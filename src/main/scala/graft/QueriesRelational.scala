@@ -403,6 +403,30 @@ object QueriesRelational {
         WHERE levenshtein(a.name, b.name) <= 3
         ORDER BY name_a, name_b"""))
 
+  /** Three-dimensional Morton key ([[io.Layout.zValueN]] — q138
+    * generalized): bit i of dimension d at position 3i+d, so a
+    * prefix range of the key bounds a compact box in ALL of
+    * (partkey, size, price) at once — the layout for bounding-box
+    * queries over more than two stats dimensions. Pure codegen'd
+    * bit arithmetic, recomputed bit-for-bit by DuckDB.
+    */
+  private val q187_zorder3: Q = (
+    (s, dir) => read(s, dir, "part")
+      .select(col("p_partkey"),
+        io.Layout.zValueN(Seq(col("p_partkey"), col("p_size"),
+          floor(col("p_retailprice")).cast("long")), 10).as("z3"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+                   CAST(list_sum(list_transform(range(0, 10), i ->
+                     ((((CAST(p_partkey AS BIGINT) & 1023) >> i) & 1)
+                        << (3*i))
+                   | ((((CAST(p_size AS BIGINT) & 1023) >> i) & 1)
+                        << (3*i + 1))
+                   | ((((CAST(floor(p_retailprice) AS BIGINT) & 1023) >> i)
+                        & 1) << (3*i + 2))
+                   )) AS BIGINT) AS z3
+            FROM part ORDER BY p_partkey"""))
+
   /** Hive-partitioned LAYOUT + partition-pruned read — the third leg
     * of the write-time layout family next to bucketing (q133, join
     * keys) and Z-ordering (q138, range predicates): documents go out
@@ -754,6 +778,7 @@ object QueriesRelational {
     "q170_compact" -> q170_compact,
     "q175_scd2" -> q175_scd2,
     "q176_upsert" -> q176_upsert,
+    "q187_zorder3" -> q187_zorder3,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

@@ -345,6 +345,48 @@ object Stats {
       .orderBy(col("n_occurrences").desc, col("path")).limit(k)
   }
 
+  /** Per-GROUP discrete quantiles: the exact data point at rank
+    * floor(p*(n-1)) within each group's sorted values — bit-for-bit
+    * `quantile_disc` semantics (probed and pinned), which
+    * df.stat.approxQuantile can't do per group. One window per group
+    * (rank + size) and a conditional-max collapse; groups bound the
+    * partitions. `ps` should be exact binary fractions (.25/.5/.75)
+    * so rank arithmetic can't drift.
+    */
+  def groupQuantilesDisc(df: DataFrame, grp: String, value: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grp)).orderBy(col(value))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grp))
+    val ranked = df.where(col(value).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val exprs = ps.map { case (name, p) =>
+      max(when(col("__rn") ===
+        floor(lit(p) * (col("__n") - 1)) + 1, col(value))).as(name)
+    }
+    ranked.groupBy(col(grp)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Robust anomaly flags: per-group median/IQR (exact discrete
+    * quantiles) and the classic |x - median| > k*IQR outlier rule.
+    * With integer-valued inputs (counts) every quantity in the
+    * comparison is an integer — the flag can never flip across
+    * engines or replays. Groups are the analysis dimension (bounded);
+    * data volume only enters through the grouped quantile windows.
+    */
+  def robustAnomalies(df: DataFrame, grp: String, value: String,
+      k: Double = 3.0): DataFrame = {
+    val qs = groupQuantilesDisc(df, grp, value,
+      Seq(("q25", 0.25), ("med", 0.5), ("q75", 0.75)))
+    df.join(qs, Seq(grp))
+      .withColumn("iqr", col("q75") - col("q25"))
+      .withColumn("is_anomaly",
+        (abs(col(value) - col("med")) > lit(k) * col("iqr"))
+          .cast("int"))
+  }
+
   /** Cohort retention: assign each key (user) to the week of its first
     * event, then count distinct keys from each cohort active in each
     * subsequent week. Output (cohort_week, week_no, n_users) where

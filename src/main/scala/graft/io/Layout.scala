@@ -40,6 +40,27 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton interleave — [[zValue]] generalized: bit i
+    * of dimension d lands at position i*D + d, so any prefix of the
+    * key still covers a compact hyper-box in all D dimensions.
+    * D * bits <= 62 keeps the key in a non-negative long. Same pure
+    * codegen'd bit arithmetic, same cross-engine recomputability.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 2, s"zValueN: need >= 2 dims, got $d")
+    require(bits >= 1 && d * bits <= 62,
+      s"zValueN: $d dims x $bits bits exceeds 62")
+    val masked = cols.map(c =>
+      c.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    (for {
+      i <- 0 until bits
+      (m, dim) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(m, i).bitwiseAND(lit(1L)),
+        i * d + dim))
+      .reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` as parquet clustered on the Z-order of (`ca`, `cb`):
     * range-partition on the z-value into `nFiles` files, sort within
     * each, drop the key. Every file then covers a compact square-ish

@@ -496,6 +496,29 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(counts == fromReach, s"$counts vs $fromReach")
   }
 
+  test("groupQuantilesDisc matches quantile_disc's floor(p*(n-1)) " +
+      "rank; robustAnomalies flags integer-exactly") {
+    import spark.implicits._
+    // group g1: sorted [10,20,30,40] -> q25=10, med=20, q75=30
+    // (probed DuckDB convention); g2: [5,5,5,500]
+    val df = (Seq(40, 10, 30, 20).map(("g1", _)) ++
+      Seq(5, 500, 5, 5).map(("g2", _))).toDF("g", "v")
+    val qs = Stats.groupQuantilesDisc(df, "g", "v",
+        Seq(("q25", 0.25), ("med", 0.5), ("q75", 0.75)))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(qs("g1") == ((10, 20, 30)))
+    assert(qs("g2") == ((5, 5, 5))) // IQR 0
+    val flags = Stats.robustAnomalies(df, "g", "v")
+      .select(col("g"), col("v"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getInt(2)).toMap
+    // g1: IQR 20, 3*IQR=60, |40-20|=20 -> none anomalous
+    assert(Seq(10, 20, 30, 40).forall(v => flags(("g1", v)) == 0))
+    // g2: IQR 0 -> any deviation from med flags
+    assert(flags(("g2", 500)) == 1 && flags(("g2", 5)) == 0)
+  }
+
   test("topPaths: consecutive n-grams per key, incomplete tails " +
       "dropped, no cross-key sequences") {
     import spark.implicits._

@@ -65,6 +65,24 @@ class ZOrderSpec extends SparkSuite {
       spark.read.parquet(sDir).agg(sum("x"), sum("y")).head())
   }
 
+  test("zValueN: 3-dim interleave places bit i of dim d at 3i+d; " +
+      "2-dim form equals zValue") {
+    import spark.implicits._
+    val df = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+    // a=101, b=011, c=110 -> bit layout (pos = 3i+d):
+    // i=0: a0=1 ->0, b0=1 ->1, c0=0 ->2 : 011
+    // i=1: a1=0 ->3, b1=1 ->4, c1=1 ->5 : 110
+    // i=2: a2=1 ->6, b2=0 ->7, c2=1 ->8 : 101
+    // value = 0b101_110_011 = 371
+    val z3 = df.select(graft.io.Layout.zValueN(
+      Seq(col("a"), col("b"), col("c")), 3)).head().getLong(0)
+    assert(z3 == 371L, s"got $z3")
+    val two = df.select(
+      graft.io.Layout.zValueN(Seq(col("a"), col("b")), 8),
+      graft.io.Layout.zValue(col("a"), col("b"), 8)).head()
+    assert(two.getLong(0) == two.getLong(1))
+  }
+
   test("compact: splinter files merge to the byte-sized count with " +
       "every row intact") {
     import spark.implicits._
