@@ -403,6 +403,31 @@ object QueriesRelational {
         WHERE levenshtein(a.name, b.name) <= 3
         ORDER BY name_a, name_b"""))
 
+  /** Jaro-Winkler fuzzy matching ([[ops.Joins.fuzzyMatchJw]]): the
+    * record-linkage-standard scorer over the same census + blocking
+    * machinery as q166. The native [[graft.functions.JaroWinkler]]
+    * expression is EXACT-double compatible with DuckDB's
+    * jaro_winkler_similarity (byte semantics, 0.7 boost threshold —
+    * spec-pinned goldens), so the oracle replays score and threshold
+    * term for term.
+    */
+  private val q188_fuzzy_jw: Q = (
+    (s, dir) => ops.Joins.fuzzyMatchJw(read(s, dir, "part"), "p_name",
+        v => split(v, " ").getItem(0), minSim = 0.88,
+        maxPerBlock = 1000)
+      .orderBy(col("name_a"), col("name_b")),
+    Some("""WITH v AS (SELECT p_name AS name, count(*) AS n,
+                 split_part(p_name, ' ', 1) AS blk
+               FROM part WHERE p_name IS NOT NULL GROUP BY 1, 3)
+        SELECT a.name AS name_a, b.name AS name_b,
+               round(jaro_winkler_similarity(a.name, b.name), 6)
+                 AS sim,
+               a.n AS n_a, b.n AS n_b
+        FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+        WHERE round(jaro_winkler_similarity(a.name, b.name), 6)
+              >= 0.88
+        ORDER BY name_a, name_b"""))
+
   /** Three-dimensional Morton key ([[io.Layout.zValueN]] — q138
     * generalized): bit i of dimension d at position 3i+d, so a
     * prefix range of the key bounds a compact box in ALL of
@@ -779,6 +804,7 @@ object QueriesRelational {
     "q175_scd2" -> q175_scd2,
     "q176_upsert" -> q176_upsert,
     "q187_zorder3" -> q187_zorder3,
+    "q188_fuzzy_jw" -> q188_fuzzy_jw,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5)
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: Jaro-Winkler similarity (Winkler
+  * 1990, the public record-linkage measure) with the SAME contract
+  * as DuckDB's `jaro_winkler_similarity`, so fuzzy-match scores are
+  * cross-engine verifiable:
+  *
+  *   - operates on UTF-8 BYTES (probed: DuckDB scores 'josé' vs
+  *     'jose' as lengths 5/4 — byte semantics, not code points);
+  *   - either side empty -> 0.0 (including both empty);
+  *   - match window floor(max(l1,l2)/2) - 1, clamped at 0;
+  *   - transpositions are the classic half-count;
+  *   - Winkler prefix boost 0.1 * min(prefix, 4) * (1 - jaro),
+  *     applied only when jaro > 0.7 (probed: a 2-byte common prefix
+  *     at jaro 0.5 gets NO boost).
+  *
+  * Spark ships levenshtein but no Jaro-Winkler; edit distance
+  * over-penalizes transpositions, which are the dominant human
+  * typo class — the reason record linkage standardized on JW. The
+  * kernel is a tight byte loop (no per-char expression tree), shared
+  * verbatim by interpreted eval and the generated code.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler expects (string, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.JaroWinkler.similarity(" +
+        s"$a.getBytes(), $b.getBytes());"
+    })
+
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinkler {
+
+  /** The byte-level Jaro-Winkler kernel (one definition for eval and
+    * codegen — no drift).
+    */
+  def similarity(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatch = new Array[Boolean](la)
+    val bMatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!bMatch(j) && a(i) == b(j)) {
+          aMatch(i) = true
+          bMatch(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // full transposition count over matched chars in order, halved
+    var t2 = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatch(i)) {
+        while (!bMatch(j)) j += 1
+        if (a(i) != b(j)) t2 += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t2 / 2.0) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxP = math.min(4, math.min(la, lb))
+      while (l < maxP && a(l) == b(l)) l += 1
+      jaro + 0.1 * l * (1.0 - jaro)
+    }
+  }
+
+  /** Column builder over the native expression. */
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinkler(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+}

@@ -89,6 +89,35 @@ class NativeExprSpec extends SparkSuite {
     assert(plan.contains("jaccard_similarity"), plan)
   }
 
+  test("jaro_winkler: exact double parity with DuckDB-probed goldens " +
+      "(byte semantics, 0.7 boost threshold, half transpositions)") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double = JaroWinkler.similarity(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // goldens probed from DuckDB jaro_winkler_similarity — EXACT
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("a", "a") == 1.0 && jw("abc", "abc") == 1.0)
+    assert(jw("ab", "ba") == 0.0) // window 0: no cross-position match
+    assert(jw("crate", "trace") == 0.7333333333333334) // prefix 0
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("ab" + "qqqqqq", "ab" + "zzzzzz") == 0.5) // <= 0.7: no boost
+    assert(jw("ababab", "bababa") == 0.8333333333333334)
+    assert(jw("josé", "jose") == 0.8483333333333334) // BYTE lengths
+    // column form, null handling, codegen plan
+    import spark.implicits._
+    val df = Seq(("martha", Some("marhta")),
+      ("x", Option.empty[String])).toDF("a", "b")
+    val rows = df.select(JaroWinkler(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 0.9611111111111111)
+    assert(rows(1).isNullAt(0))
+    val plan = df.select(JaroWinkler(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("jaro_winkler"), plan)
+  }
+
   test("nfc_normalize: composes decomposed sequences, ASCII and " +
       "already-NFC pass through, supplementary planes survive") {
     import graft.functions.NfcNormalize
