@@ -720,6 +720,93 @@ object QueriesRelational {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
             FROM supplier ORDER BY s_suppkey"""))
 
+  /** TPC-H Q6 shape: pure filter + aggregate — the pushdown
+    * showcase. Every predicate reaches the parquet scan
+    * (PushedFilters), the projection prunes to three columns, and
+    * the whole query is one map-side partial aggregate + a 1-row
+    * final — zero shuffles of data rows at any scale.
+    */
+  private val q189_tpch_q6: Q = (
+    (s, dir) => read(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"), count(lit(1)).as("n")),
+    Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")}
+                      AS revenue,
+                    count(*) AS n
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+               AND l_shipdate < TIMESTAMP '1995-01-01'
+               AND l_discount >= 0.05 AND l_discount <= 0.07
+               AND l_quantity < 24"""))
+
+  /** TPC-H Q17 shape: the "small-quantity orders" correlated
+    * subquery, decorrelated the Spark way — per-part average
+    * quantity as a grouped aggregate joined back (AQE broadcasts
+    * the per-part side; the fact table never shuffles for the
+    * comparison).
+    */
+  private val q190_tpch_q17: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val p = read(s, dir, "part").where(col("p_brand") === "Brand#1"
+        && col("p_type") === "SMALL")
+      val avgQ = li.groupBy(col("l_partkey").as("pk"))
+        .agg((davg(col("l_quantity")) * 0.5).as("half_avg"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(avgQ, li("l_partkey") === col("pk"))
+        .where(col("l_quantity") < col("half_avg"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+    Some(s"""WITH a AS (SELECT l_partkey AS pk,
+                 ${sqlDavg("l_quantity")} * 0.5 AS half_avg
+               FROM lineitem GROUP BY l_partkey)
+        SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly,
+               count(*) AS n
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN a ON l_partkey = a.pk
+        WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+          AND l_quantity < half_avg"""))
+
+  /** TPC-H Q18 shape: large-volume orders — a grouped HAVING feeds a
+    * semi-join back into the detail; the qualifying-keys side is tiny
+    * after the threshold, so it broadcasts.
+    */
+  private val q191_tpch_q18: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 120)
+      li.join(broadcast(big.select(col("l_orderkey"), col("sum_qty"))),
+          Seq("l_orderkey"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("sum_qty"))
+        .agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+    Some(s"""WITH big AS (SELECT l_orderkey,
+                 ${sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING ${sqlDsum("l_quantity")} > 120)
+        SELECT c_name, o_orderkey, o_totalprice, sum_qty,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN big USING (l_orderkey)
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name, o_orderkey, o_totalprice, sum_qty
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
   /** TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The probe
     * sides are broadcast-able dimensions at any scale once filtered.
     */
@@ -806,5 +893,8 @@ object QueriesRelational {
     "q187_zorder3" -> q187_zorder3,
     "q188_fuzzy_jw" -> q188_fuzzy_jw,
     "q58_tpch_q3" -> q58_tpch_q3,
-    "q59_tpch_q5" -> q59_tpch_q5)
+    "q59_tpch_q5" -> q59_tpch_q5,
+    "q189_tpch_q6" -> q189_tpch_q6,
+    "q190_tpch_q17" -> q190_tpch_q17,
+    "q191_tpch_q18" -> q191_tpch_q18)
 }
