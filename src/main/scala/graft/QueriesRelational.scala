@@ -720,6 +720,59 @@ object QueriesRelational {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
             FROM supplier ORDER BY s_suppkey"""))
 
+  /** Declarative data-quality report ([[ops.DataQuality]]): five
+    * rule classes over orders — not-null, range, regex, key
+    * uniqueness, referential integrity against customer. The three
+    * row-wise rules and the uniqueness census fold into ONE
+    * aggregate pass (adding a rule adds a column, not a scan); the
+    * FK check is a broadcast LEFT ANTI join. Every count is
+    * SQL-replayable — the report a 100 TB ingest gates on.
+    */
+  private val q192_dq_report: Q = (
+    (s, dir) => ops.DataQuality.report(read(s, dir, "orders"), Seq(
+      ops.DataQuality.NotNull("o_custkey"),
+      ops.DataQuality.InRange("o_totalprice", 0.0, 300000.0),
+      ops.DataQuality.Matches("o_orderpriority", "^[1-3]-"),
+      ops.DataQuality.Unique(Seq("o_orderkey")),
+      ops.DataQuality.RefIntegrity("o_custkey",
+        read(s, dir, "customer"), "c_custkey"))),
+    Some("""WITH n AS (SELECT count(*) AS n_rows FROM orders),
+             raw AS (
+               SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+                      n.n_rows,
+                      (SELECT count(*) FROM orders
+                       WHERE o_custkey IS NULL) AS n_violations
+               FROM n
+               UNION ALL
+               SELECT 'in_range', 'o_totalprice', n.n_rows,
+                      (SELECT count(*) FROM orders
+                       WHERE o_totalprice IS NULL OR o_totalprice < 0
+                          OR o_totalprice > 300000)
+               FROM n
+               UNION ALL
+               SELECT 'matches', 'o_orderpriority', n.n_rows,
+                      (SELECT count(*) FROM orders
+                       WHERE o_orderpriority IS NULL OR NOT
+                         regexp_matches(o_orderpriority, '^[1-3]-'))
+               FROM n
+               UNION ALL
+               SELECT 'unique', 'o_orderkey', n.n_rows,
+                      (SELECT count(o_orderkey)
+                              - count(DISTINCT o_orderkey)
+                       FROM orders)
+               FROM n
+               UNION ALL
+               SELECT 'ref_integrity', 'o_custkey', n.n_rows,
+                      (SELECT count(*) FROM orders o
+                       WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                         (SELECT 1 FROM customer
+                          WHERE c_custkey = o.o_custkey))
+               FROM n)
+        SELECT rule, "column", n_rows,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(n_violations = 0 AS INTEGER) AS pass
+        FROM raw ORDER BY rule, "column" """))
+
   /** TPC-H Q6 shape: pure filter + aggregate — the pushdown
     * showcase. Every predicate reaches the parquet scan
     * (PushedFilters), the projection prunes to three columns, and
@@ -895,6 +948,7 @@ object QueriesRelational {
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5,
     "q189_tpch_q6" -> q189_tpch_q6,
+    "q192_dq_report" -> q192_dq_report,
     "q190_tpch_q17" -> q190_tpch_q17,
     "q191_tpch_q18" -> q191_tpch_q18)
 }

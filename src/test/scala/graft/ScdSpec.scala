@@ -68,4 +68,31 @@ class ScdSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException](Scd.upsert(t1, t2, "k"))
     assert(ex.getMessage.contains("schemas must match"))
   }
+
+  test("data-quality report: planted violations counted per rule, " +
+      "clean rules pass") {
+    import graft.ops.DataQuality
+    import graft.ops.DataQuality._
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("A-1")),
+      (Some(2L), Some(999.0), Some("B-2")), // out of range
+      (Some(2L), Some(20.0), Some("bad")),  // dup key + regex fail
+      (Option.empty[Long], Some(30.0), Option.empty[String]))
+      .toDF("k", "v", "code")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val got = DataQuality.report(df, Seq(
+        NotNull("k"), InRange("v", 0.0, 100.0),
+        Matches("code", "^[A-Z]-"), Unique(Seq("k")),
+        RefIntegrity("k", dim, "dk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got(("not_null", "k")) == ((4L, 1L, 0)))
+    assert(got(("in_range", "v")) == ((4L, 1L, 0)))
+    // regex fails: 'bad' and the null code
+    assert(got(("matches", "code")) == ((4L, 2L, 0)))
+    // unique over k: 3 non-null keys, 2 distinct -> 1 violation
+    assert(got(("unique", "k")) == ((4L, 1L, 0)))
+    // every non-null k exists in dim -> passes
+    assert(got(("ref_integrity", "k")) == ((4L, 0L, 1)))
+  }
 }
