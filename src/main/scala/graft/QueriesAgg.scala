@@ -601,7 +601,42 @@ object QueriesAgg {
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
-    "q186_anomaly_flags" -> q186_anomaly_flags)
+    "q186_anomaly_flags" -> q186_anomaly_flags,
+    "q193_conversion_latency" -> q193_conversion_latency)
+
+  /** Conversion-latency histogram: for funnel completers
+    * (view -> click -> purchase, chained-min semantics via the q164
+    * walk), the first-view to purchase time in 10-minute buckets —
+    * exact microsecond integers end to end, so the distribution is
+    * engine-replayable without any quantile machinery. Same single
+    * shuffle as the funnel; the histogram is a tiny second
+    * aggregate.
+    */
+  private val q193_conversion_latency: Q = (
+    (s, dir) => Stats.funnelWalk(read(s, dir, "events"), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"))
+      .where(size(col("__walk")) === 3)
+      .select((unix_micros(element_at(col("__walk"), 3)) -
+        unix_micros(element_at(col("__walk"), 1))).as("lat_us"))
+      .groupBy(expr("lat_us div 600000000").as("bucket_10min"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("bucket_10min")),
+    Some("""WITH e AS (SELECT user_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE ts IS NOT NULL),
+             s1 AS (SELECT user_id, min(t) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(t) AS t2 FROM e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(t) AS t3 FROM e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        SELECT CAST((epoch_us(s3.t3) - epoch_us(s1.t1)) // 600000000
+                 AS BIGINT) AS bucket_10min,
+               count(*) AS n_users
+        FROM s3 JOIN s1 USING (user_id)
+        GROUP BY 1 ORDER BY 1"""))
 
   /** Robust anomaly detection ([[Stats.robustAnomalies]]): hourly
     * event counts per type flagged by the |x - median| > 3*IQR rule,

@@ -289,13 +289,18 @@ object Stats {
     * out of range, and the empty-accumulator comparison coalesces to
     * true (no prior step to be after).
     */
-  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
-      steps: Seq[String]): DataFrame = {
+  /** The shared per-key funnel walk: (key, __walk) where __walk is
+    * the array of chained-min step completion times (prefix-length =
+    * steps reached). [[funnel]] counts it; q193's latency histogram
+    * differences its ends.
+    */
+  def funnelWalk(df: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel: steps must be non-empty and distinct, got $steps")
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
-    val walked = df.where(col(typeCol).isin(steps: _*)
+    df.where(col(typeCol).isin(steps: _*)
         && col(ts).isNotNull)
       .select(col(key), col(ts).as("__ts"), col(typeCol).as("__et"))
       .groupBy(col(key))
@@ -310,6 +315,12 @@ object Stats {
               lit(true)),
           concat(acc, array(e.getField("ts")))).otherwise(acc))
         .as("__walk"))
+  }
+
+  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    val k = steps.length
+    val walked = funnelWalk(df, key, ts, typeCol, steps)
     val nExprs = (1 to k).map(i =>
       sum(when(size(col("__walk")) >= i, 1L).otherwise(0L)).as(s"__n$i"))
     walked.agg(nExprs.head, nExprs.tail: _*)
