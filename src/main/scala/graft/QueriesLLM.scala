@@ -890,6 +890,42 @@ object QueriesLLM {
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
     */
+  /** Count-Min sketch with PORTABLE hash rows
+    * ([[Sketches.countMin]]): the ENTIRE 4x256 sketch state over the
+    * corpus token stream is rebuilt bit-for-bit by DuckDB — sketch
+    * auditability one level deeper than the MG/HLL/GK audits (which
+    * verify estimates): here the internal counters themselves are
+    * the oracle surface. One corpus pass, partial-aggregated to at
+    * most depth*width cells per partition before the single tiny
+    * shuffle.
+    */
+  private val q194_count_min: Q = (
+    (s, dir) => {
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(split(Dedup.normalize(col("text")), " "))
+          .as("tok"))
+      Sketches.countMin(toks, "tok", depth = 4, width = 256)
+        .orderBy(col("row"), col("idx"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
+                 AS t
+               FROM documents WHERE text IS NOT NULL),
+             h AS (SELECT list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hv
+               FROM toks WHERE t <> ''),
+             cells AS (SELECT r.i AS row,
+                 ((hv * (2654435761 + 2*r.i) + (97 + 1000003*r.i))
+                   % 1000000007) % 256 AS idx
+               FROM h, (SELECT unnest(range(0, 4)) AS i) r)
+        SELECT row, CAST(idx AS BIGINT) AS idx, count(*) AS c
+        FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Curriculum ordering ([[Sampling.curriculumOrder]]): documents
     * phased by length ntile (shortest first — the classic
     * length-curriculum) with a deterministic hash-shuffled order
@@ -3018,6 +3054,7 @@ object QueriesLLM {
     "q168_nfc_normalize" -> q168_nfc_normalize,
     "q173_hybrid_rrf" -> q173_hybrid_rrf,
     "q174_curriculum" -> q174_curriculum,
+    "q194_count_min" -> q194_count_min,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,

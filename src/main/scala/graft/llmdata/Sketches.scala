@@ -208,4 +208,56 @@ object Sketches {
           .otherwise(round(col("q_exact"), 4)))
       .select(col("__g").as(grp), col("p"), col("q"))
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) with PORTABLE
+    * hash rows — unlike the usual murmur-seeded CMS, every cell of
+    * this sketch is an exact function of the data: row i's index is
+    * `((h * (2654435761 + 2i) + (97 + 1000003i)) mod 1e9+7) mod w`
+    * over the char-code polynomial token hash, so ANY engine rebuilds
+    * the ENTIRE sketch bit-for-bit (the q194 oracle does) — the same
+    * auditability the MG/GK/Bloom families carry, extended to the
+    * sketch's internal state. Products stay under 2^63 (h < 1e9+7,
+    * multiplier < 2^32).
+    *
+    * Construction is one pass: each token emits its `depth` (row,
+    * idx) cells via an inline explode (no repeated scans), and the
+    * grouped count partial-aggregates into at most depth*width cells
+    * per partition before the one tiny shuffle. Point estimates are
+    * min over rows of the matching cells — always >= the true count
+    * (spec-pinned with the classic eps-delta bound).
+    */
+  def countMin(tokens: DataFrame, tokenCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"countMin: depth $depth")
+    require(width >= 2, s"countMin: width $width")
+    val h = graft.functions.PortableTokenHash(col(tokenCol))
+    val cells = explode(array((0 until depth).map { i =>
+      struct(lit(i.toLong).as("row"),
+        pmod(h * lit(2654435761L + 2L * i) + lit(97L + 1000003L * i),
+          lit(1000000007L)).mod(lit(width.toLong)).as("idx"))
+    }: _*)).as("__cell")
+    tokens.where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .select(cells)
+      .groupBy(col("__cell.row").as("row"), col("__cell.idx").as("idx"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** CMS point estimate for a literal token set: min over rows. */
+  def countMinEstimate(cms: DataFrame, tokens: Seq[String], depth: Int,
+      width: Int): DataFrame = {
+    val spark = cms.sparkSession
+    import spark.implicits._
+    val probes = tokens.toDF("token")
+      .select(col("token"), explode(array((0 until depth).map { i =>
+        struct(lit(i.toLong).as("row"),
+          pmod(graft.functions.PortableTokenHash(col("token")) *
+            lit(2654435761L + 2L * i) + lit(97L + 1000003L * i),
+            lit(1000000007L)).mod(lit(width.toLong)).as("idx"))
+      }: _*)).as("__p"))
+      .select(col("token"), col("__p.row").as("row"),
+        col("__p.idx").as("idx"))
+    probes.join(cms, Seq("row", "idx"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("estimate"))
+  }
 }

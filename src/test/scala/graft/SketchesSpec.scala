@@ -209,4 +209,28 @@ class SketchesSpec extends SparkSuite {
     assert(clustered.map(_._1).distinct.length == clustered.length,
       "no vector sampled twice")
   }
+
+  test("count-min: estimates never undercount, exact on a sparse " +
+      "sketch, and total mass is preserved per row") {
+    import spark.implicits._
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(7)("gamma") ++ Seq("delta")
+    val toks = words.toDF("tok")
+    val cms = Sketches.countMin(toks, "tok", depth = 4, width = 256)
+    // every row of the sketch holds ALL the mass
+    val perRow = cms.groupBy("row").agg(sum("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(perRow(_) == words.length.toLong))
+    val est = Sketches.countMinEstimate(cms,
+        Seq("alpha", "beta", "gamma", "delta", "absent"), 4, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 50L, "beta" -> 20L, "gamma" -> 7L,
+      "delta" -> 1L, "absent" -> 0L)
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t undercounted: ${est(t)} < $n")
+    }
+    // 4 distinct tokens in 4x256 cells: collisions essentially
+    // impossible -> exact
+    assert(est == truth, s"sparse sketch should be exact: $est")
+  }
 }
