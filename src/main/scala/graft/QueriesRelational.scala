@@ -428,6 +428,45 @@ object QueriesRelational {
               >= 0.88
         ORDER BY name_a, name_b"""))
 
+  /** Z-ORDERED layout end to end ([[io.Layout.writeZOrdered]] —
+    * completing q138, which oracles the key alone): part written
+    * clustered on z(p_partkey, p_size) into 16 files, then a
+    * bounding-box query. The in-query guard audits the layout the
+    * way a stats-pruning scan would use it: at most half the files'
+    * (min, max) envelopes may intersect the box (the measured
+    * number is 1-3 — a single-column sort makes every file intersect
+    * the off-sort dimension). Content is oracled against the plain
+    * box filter.
+    */
+  private val q195_zorder_prune: Q = (
+    (s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_q195_zordered"
+      io.Layout.writeZOrdered(
+        read(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"),
+            col("p_retailprice")),
+        tmp, "p_partkey", "p_size", bits = 18, nFiles = 16)
+      val layout = s.read.parquet(tmp)
+      val (kLo, kHi, sLo, sHi) = (100L, 400L, 5, 20)
+      val touched = io.Layout.fileEnvelopes(layout, "p_partkey",
+          "p_size")
+        .where(col("max_a") >= kLo && col("min_a") <= kHi &&
+          col("max_b") >= sLo && col("min_b") <= sHi)
+        .count()
+      require(touched <= 8,
+        s"q195: bounding box intersects $touched of 16 z-files — " +
+          "layout lost its clustering")
+      layout.where(col("p_partkey").between(kLo, kHi) &&
+          col("p_size").between(sLo, sHi))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_size, p_retailprice
+            FROM part
+            WHERE p_partkey BETWEEN 100 AND 400
+              AND p_size BETWEEN 5 AND 20
+            ORDER BY p_partkey"""))
+
   /** Three-dimensional Morton key ([[io.Layout.zValueN]] — q138
     * generalized): bit i of dimension d at position 3i+d, so a
     * prefix range of the key bounds a compact box in ALL of
@@ -945,6 +984,7 @@ object QueriesRelational {
     "q176_upsert" -> q176_upsert,
     "q187_zorder3" -> q187_zorder3,
     "q188_fuzzy_jw" -> q188_fuzzy_jw,
+    "q195_zorder_prune" -> q195_zorder_prune,
     "q58_tpch_q3" -> q58_tpch_q3,
     "q59_tpch_q5" -> q59_tpch_q5,
     "q189_tpch_q6" -> q189_tpch_q6,
