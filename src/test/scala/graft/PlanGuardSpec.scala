@@ -374,6 +374,23 @@ class PlanGuardSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q189 TPC-H Q6: every predicate pushed to the scan, zero " +
+      "hash exchanges — a map-side partial agg and a 1-row final") {
+    val p = planOf(q("q189_tpch_q6"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05"), p)
+    assert(!p.contains("Arguments: hashpartitioning"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q190 TPC-H Q17: the filtered part dimension broadcasts — " +
+      "the fact side never shuffles for that join") {
+    val p = planOf(q("q190_tpch_q17"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(p_type,SMALL)"), p)
+  }
+
   test("q174 curriculum: no Window operator anywhere — the phase " +
       "rank comes from the range-partitioned zip, not a " +
       "single-partition ntile window") {
