@@ -812,6 +812,86 @@ object QueriesRelational {
                CAST(n_violations = 0 AS INTEGER) AS pass
         FROM raw ORDER BY rule, "column" """))
 
+  /** Snapshot DIFF ([[ops.Scd.diff]] — the change-data-feed
+    * primitive): the same deterministic delta as q176 (re-priced
+    * sevenths, inserted 97ths) plus a deletion set (every 13th row
+    * dropped from the new snapshot); the diff emits exactly the
+    * I/U/D rows and nothing else. One co-partitioned full-outer
+    * join; the oracle re-derives each op class from the same delta
+    * definition.
+    */
+  private val q196_snapshot_diff: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newSnap = ops.Scd.upsert(
+        c.where(col("c_custkey") % 13 =!= 0),
+        c.where(col("c_custkey") % 7 === 0 &&
+            col("c_custkey") % 13 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+          .unionByName(c.where(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              concat(lit("NEW "), col("c_name")).as("c_name"),
+              col("c_acctbal"))),
+        "c_custkey")
+      ops.Scd.diff(c, newSnap, "c_custkey")
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal
+                          FROM customer)
+        SELECT 'D' AS op, c_custkey, c_name, c_acctbal
+        FROM base WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT 'U', c_custkey, c_name, c_acctbal + 1000.0
+        FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        UNION ALL
+        SELECT 'I', c_custkey + 10000000, 'NEW ' || c_name, c_acctbal
+        FROM base WHERE c_custkey % 97 = 0
+        ORDER BY c_custkey"""))
+
+  /** Rank-family window functions over a BOUNDED analysis dimension
+    * (revenue per nation, 25 rows): rank / dense_rank / percent_rank
+    * / cume_dist — the four not exercised elsewhere (row_number,
+    * ntile, lead/lag, running sums all have entries). The window
+    * runs over the AGGREGATED frame, so the single partition is
+    * nation-sized by construction, not data-sized.
+    */
+  private val q197_rank_family: Q = (
+    (s, dir) => {
+      val rev = read(s, dir, "orders")
+        .join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(read(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("n_nationkey_dummy"), lit(1)))
+        .orderBy(col("revenue").desc, col("n_name"))
+      rev.withColumn("n_nationkey_dummy", length(col("n_name")))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("n_name"), col("revenue"), col("rnk"),
+          col("drnk"), col("prnk"), col("cume"))
+        .orderBy(col("rnk"), col("n_name"))
+    },
+    Some(s"""WITH rev AS (SELECT n_name,
+                 ${sqlDsum("o_totalprice")} AS revenue
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name)
+        SELECT n_name, revenue,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM rev
+        WINDOW w AS (ORDER BY revenue DESC, n_name)
+        ORDER BY rnk, n_name"""))
+
   /** TPC-H Q6 shape: pure filter + aggregate — the pushdown
     * showcase. Every predicate reaches the parquet scan
     * (PushedFilters), the projection prunes to three columns, and
@@ -989,6 +1069,8 @@ object QueriesRelational {
     "q59_tpch_q5" -> q59_tpch_q5,
     "q189_tpch_q6" -> q189_tpch_q6,
     "q192_dq_report" -> q192_dq_report,
+    "q196_snapshot_diff" -> q196_snapshot_diff,
+    "q197_rank_family" -> q197_rank_family,
     "q190_tpch_q17" -> q190_tpch_q17,
     "q191_tpch_q18" -> q191_tpch_q18)
 }

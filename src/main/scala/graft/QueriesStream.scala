@@ -272,6 +272,27 @@ object QueriesStream {
                LEFT JOIN s3 ON u.user_id = s3.user_id
         ORDER BY u.user_id"""))
 
+  /** Stream-static enrichment ([[Streams.enrich]]) in its batch form
+    * under the oracle: events attach the customer market segment by
+    * broadcast join (no state, no shuffle of the stream), then
+    * aggregate per (segment, type). The streaming run of the SAME
+    * transform is spec-pinned equal (StatsAndStreamSpec).
+    */
+  private val q198_stream_enrich: Q = (
+    (s, dir) => Streams.enrich(read(s, dir, "events"),
+        read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(unknown)"))
+          .as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("segment"), col("event_type")),
+    Some(s"""SELECT COALESCE(c_mktsegment, '(unknown)') AS segment,
+                    event_type, count(*) AS n,
+                    ${sqlDsum("value")} AS sum_value
+             FROM events LEFT JOIN customer ON user_id = c_custkey
+             GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   private val q139_drift_monitor: Q = (
     (s, dir) => {
       import graft.llmdata.Dedup.normalizeTokens
@@ -346,6 +367,7 @@ object QueriesStream {
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
     "q172_stream_funnel" -> q172_stream_funnel,
+    "q198_stream_enrich" -> q198_stream_enrich,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

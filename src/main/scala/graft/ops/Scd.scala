@@ -70,4 +70,38 @@ object Scd {
         when(col(s"__u_$key").isNotNull, col(s"__u_$c"))
           .otherwise(col(s"__t_$c")).as(c)): _*)
   }
+
+  /** Snapshot DIFF — the inverse of [[upsert]]: compare two versions
+    * of a keyed table and emit one row per changed key with
+    * `op` = 'I' (key only in new), 'D' (only in old), 'U' (present
+    * in both, any column differs — null-safe comparison). Unchanged
+    * keys are absent, so the diff is delta-sized, and
+    * `upsert(old, diff I+U rows)` minus the D keys reproduces `new`
+    * exactly (spec-pinned). One co-partitioned full-outer join —
+    * the change-data-feed primitive for auditing what an ingest
+    * actually did to 100 TB of state.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame,
+      key: String): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"diff: schemas must match, ${oldDf.columns.toSeq} vs " +
+        s"${newDf.columns.toSeq}")
+    val cols = oldDf.columns
+    val o = cols.foldLeft(oldDf)((d, c) =>
+      d.withColumnRenamed(c, s"__o_$c"))
+    val n = cols.foldLeft(newDf)((d, c) =>
+      d.withColumnRenamed(c, s"__n_$c"))
+    val changed = cols.filter(_ != key).map(c =>
+      !(col(s"__o_$c") <=> col(s"__n_$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    o.join(n, col(s"__o_$key") === col(s"__n_$key"), "full_outer")
+      .withColumn("op",
+        when(col(s"__o_$key").isNull, "I")
+          .when(col(s"__n_$key").isNull, "D")
+          .when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select(col("op") +: cols.map(c =>
+        when(col("op") === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
 }

@@ -172,6 +172,18 @@ object Streams {
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** Stream-STATIC dimension enrichment: the batch dimension joins
+    * broadcast onto every micro-batch — no state store, no watermark
+    * requirement on the dim, the standard "attach the customer
+    * segment at ingest" shape (stream-stream joins are
+    * [[intervalJoin]]'s job). Left join: events with no dimension
+    * row survive with nulls for the caller to default.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, leftKey: String,
+      rightKey: String): DataFrame =
+    events.join(broadcast(dim), col(leftKey) === col(rightKey),
+      "left")
+
   def runStreaming(spark: SparkSession, path: String,
       transform: DataFrame => DataFrame, queryName: String,
       watermark: String = "1 hour",

@@ -69,6 +69,30 @@ class ScdSpec extends SparkSuite {
     assert(ex.getMessage.contains("schemas must match"))
   }
 
+  test("diff: emits exactly I/U/D rows; applying the diff " +
+      "reproduces the new snapshot") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("k", "s", "v")
+    val nw = Seq((1L, "a", 1.0), // unchanged -> absent from diff
+      (2L, "B", 2.0), // updated
+      (4L, "d", 40.0), // updated
+      (5L, "e", 5.0)) // inserted; 3 deleted
+      .toDF("k", "s", "v")
+    val d = Scd.diff(old, nw, "k").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    assert(d.toSeq == Seq(("U", 2L, "B", 2.0), ("D", 3L, "c", 3.0),
+      ("U", 4L, "d", 40.0), ("I", 5L, "e", 5.0)))
+    // round trip: upsert the I/U rows, drop the D keys -> new
+    val diffDf = Scd.diff(old, nw, "k")
+    val applied = Scd.upsert(old,
+        diffDf.where(col("op") =!= "D").drop("op"), "k")
+      .join(diffDf.where(col("op") === "D").select(col("k")),
+        Seq("k"), "left_anti")
+    assert(applied.orderBy("k").collect().toSeq ==
+      nw.orderBy("k").collect().toSeq)
+  }
+
   test("data-quality report: planted violations counted per rule, " +
       "clean rules pass") {
     import graft.ops.DataQuality

@@ -496,6 +496,28 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(counts == fromReach, s"$counts vs $fromReach")
   }
 
+  test("stream-static enrichment: streaming run equals the batch " +
+      "form (broadcast dim, no state)") {
+    val dir = TestSpark.sfDir
+    val dim = QH.read(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streams.enrich(df, dim, "user_id", "c_custkey")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(unknown)"))
+            .as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    val q = graft.streaming.Streams.runStreaming(spark,
+      s"$dir/events.parquet", agg, "t_enrich", outputMode = "complete")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_enrich")
+      .orderBy("segment", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = agg(QH.read(spark, dir, "events"))
+      .orderBy("segment", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("groupQuantilesDisc matches quantile_disc's floor(p*(n-1)) " +
       "rank; robustAnomalies flags integer-exactly") {
     import spark.implicits._
