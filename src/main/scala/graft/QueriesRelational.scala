@@ -892,6 +892,79 @@ object QueriesRelational {
         WINDOW w AS (ORDER BY revenue DESC, n_name)
         ORDER BY rnk, n_name"""))
 
+  /** Temporal (point-in-time) join: probes matched to the SCD2
+    * version valid AT their timestamp — [[ops.Joins.asofJoin]]
+    * against the q175 history ([[ops.Scd.scd2]]), the lookup that
+    * makes training-data joins leakage-free ("the customer's
+    * segment THEN, not now"). Probes are every 7th event shifted
+    * +30 min so they land strictly inside version intervals; the
+    * oracle replays with DuckDB's ASOF JOIN. One union+window pass
+    * (the asofJoin shape), history per-key windows — no
+    * data-sized state anywhere.
+    */
+  private val q199_temporal_join: Q = (
+    (s, dir) => {
+      val ev = read(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val hist = ops.Scd.scd2(ev, "user_id", "ts", "event_id",
+          Seq("event_type"))
+        .select(col("user_id"), col("valid_from"),
+          col("event_type").as("state"))
+      val probes = ev.where(col("event_id") % 7 === 0)
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("pt"),
+          col("event_id"))
+      ops.Joins.asofJoin(probes, hist, "user_id", "pt",
+          "valid_from", payload = Seq("state"))
+        .select(col("user_id"), col("event_id"), col("pt"),
+          col("asof_state").as("state"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t FROM events),
+             o AS (SELECT user_id, event_id, event_type, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR event_type IS DISTINCT FROM
+                           lag(event_type) OVER w
+                      THEN 1 ELSE 0 END AS op
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY t, event_id)),
+             hist AS (SELECT user_id, t AS valid_from,
+                 event_type AS state
+               FROM o WHERE op = 1),
+             probes AS (SELECT user_id, event_id,
+                 t + INTERVAL 30 MINUTE AS pt
+               FROM e WHERE event_id % 7 = 0)
+        SELECT p.user_id, p.event_id, p.pt, h.state
+        FROM probes p ASOF JOIN hist h
+          ON p.user_id = h.user_id AND p.pt >= h.valid_from
+        ORDER BY p.user_id, p.event_id"""))
+
+  /** UNPIVOT (melt): the q178 pivot's inverse — wide per-type count
+    * columns back to (user_id, event_type, n) long form via a
+    * codegen'd `stack`, zero shuffles beyond the pivot's own.
+    * Round-trips the pivot exactly (dropping the fill-zero cells the
+    * pivot materialized).
+    */
+  private val q200_unpivot: Q = (
+    (s, dir) => {
+      val wide = read(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))).na.fill(0L)
+      wide.select(col("user_id"),
+          expr("""stack(5, 'click', click, 'error', error,
+                  'purchase', purchase, 'signup', signup,
+                  'view', view) AS (event_type, n)"""))
+        .where(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+            ORDER BY user_id, event_type"""))
+
   /** TPC-H Q6 shape: pure filter + aggregate — the pushdown
     * showcase. Every predicate reaches the parquet scan
     * (PushedFilters), the projection prunes to three columns, and
@@ -1071,6 +1144,8 @@ object QueriesRelational {
     "q192_dq_report" -> q192_dq_report,
     "q196_snapshot_diff" -> q196_snapshot_diff,
     "q197_rank_family" -> q197_rank_family,
+    "q199_temporal_join" -> q199_temporal_join,
+    "q200_unpivot" -> q200_unpivot,
     "q190_tpch_q17" -> q190_tpch_q17,
     "q191_tpch_q18" -> q191_tpch_q18)
 }
