@@ -890,6 +890,142 @@ object QueriesLLM {
     * The classic two-aggregate + vocab-join shape — df comes from the
     * already-distinct (doc, term) rows, N by broadcast cross join.
     */
+  /** Per-label embedding centroids via ORDER-FREE exact sums: each
+    * dimension accumulates in decimal(38,18) (floats cast exactly
+    * through double first), so the centroid is independent of row
+    * order and partitioning and DuckDB reproduces it from the same
+    * arithmetic — the embedding-space analytics primitive (class
+    * prototypes, drift baselines, k-means seeds). One posexplode +
+    * grouped sum: (labels x dims) cells, partial-aggregated
+    * map-side.
+    */
+  private val q201_label_centroids: Q = (
+    (s, dir) => read(s, dir, "embeddings")
+      .where(col("label").isNotNull)
+      .select(col("label"), posexplode(col("embedding"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(38,18)"))
+        .cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("centroid"), 8).as("centroid"), col("n"))
+      .orderBy(col("label"), col("pos")),
+    Some("""WITH x AS (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+               FROM embeddings WHERE label IS NOT NULL)
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               round(CAST(sum(CAST(CAST(v AS DOUBLE)
+                   AS DECIMAL(38,18))) AS DOUBLE) / count(*), 8)
+                 AS centroid,
+               count(*) AS n
+        FROM x GROUP BY label, pos
+        ORDER BY label, pos"""))
+
+  /** Mislabel candidates: each vector's cosine to its OWN label
+    * centroid (q201's exact construction), lowest first — the
+    * embedding-space label-noise audit. The centroid table is
+    * (labels x dims), broadcast back; the per-row cosine folds in
+    * index order on both engines and rounds 5dp (the q45
+    * convention). TakeOrdered top-k, no global sort.
+    */
+  private val q202_mislabel_candidates: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings").where(col("label").isNotNull)
+      val cent = e.select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast("double").cast("decimal(38,18)"))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("__cs"))
+        .select(col("label"), expr("transform(__cs, x -> x.c)")
+          .as("cent"))
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("dot", aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("cent"),
+            (x, y) => x * y), lit(0.0), (acc, z) => acc + z))
+        .withColumn("na", sqrt(aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"),
+            (x, y) => x * y), lit(0.0), (acc, z) => acc + z)))
+        .withColumn("nc", sqrt(aggregate(
+          zip_with(col("cent"), col("cent"), (x, y) => x * y),
+          lit(0.0), (acc, z) => acc + z)))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (col("na") * col("nc")), 5).as("cos"))
+        .orderBy(col("cos").asc, col("vec_id")).limit(25)
+    },
+    Some("""WITH x AS (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+               FROM embeddings WHERE label IS NOT NULL),
+             cent AS (SELECT label, pos,
+                 CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18)))
+                   AS DOUBLE) / count(*) AS c
+               FROM x GROUP BY label, pos),
+             cl AS (SELECT label, list(c ORDER BY pos) AS cent
+               FROM cent GROUP BY label)
+        SELECT vec_id, e.label,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), cl.cent), 5) AS cos
+        FROM embeddings e JOIN cl ON e.label = cl.label
+        ORDER BY cos ASC, vec_id LIMIT 25"""))
+
+  /** Nested scaling-law subsets: the portable hash filter at
+    * fractions 10/20/40/80% gives SUBSETS BY CONSTRUCTION
+    * (bucket < f1*B implies bucket < f2*B for f1 < f2) — the
+    * reproducible data ladder scaling-law experiments need: the 10%
+    * run's documents are exactly contained in the 20% run's, at any
+    * scale, forever. One codegen'd filter per rung; counts oracled.
+    */
+  private val q203_nested_subsets: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents")
+      val rungs = Seq(0.1, 0.2, 0.4, 0.8).map { f =>
+        Sampling.hashSample(d, "doc_id", f)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .select(lit(f).as("fraction"), col("n_docs"),
+            col("n_chars"))
+      }
+      rungs.reduce(_ unionByName _).orderBy(col("fraction"))
+    },
+    Some("""SELECT fraction, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents,
+                 (SELECT unnest([0.1, 0.2, 0.4, 0.8]) AS fraction)
+            WHERE ((doc_id * 2654435761 + 42) % 1000000007) % 1000000
+                  < CAST(fraction * 1000000 AS BIGINT)
+            GROUP BY fraction ORDER BY fraction"""))
+
+  /** Token frequency-of-frequencies spectrum (the count-of-counts
+    * table Good-Turing smoothing and vocabulary-growth estimates
+    * read): token census, then types per frequency. Two shuffles,
+    * both partial-aggregated; the spectrum is tiny at any corpus
+    * size.
+    */
+  private val q204_freq_spectrum: Q = (
+    (s, dir) => {
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(split(Dedup.normalize(col("text")), " "))
+          .as("tok"))
+        .where(col("tok") =!= "")
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+        .orderBy(col("freq"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
+                 AS t
+               FROM documents WHERE text IS NOT NULL),
+             tf AS (SELECT t, count(*) AS freq FROM toks
+               WHERE t <> '' GROUP BY t)
+        SELECT freq, count(*) AS n_types
+        FROM tf GROUP BY freq ORDER BY freq"""))
+
   /** Count-Min sketch with PORTABLE hash rows
     * ([[Sketches.countMin]]): the ENTIRE 4x256 sketch state over the
     * corpus token stream is rebuilt bit-for-bit by DuckDB — sketch
@@ -3055,6 +3191,10 @@ object QueriesLLM {
     "q173_hybrid_rrf" -> q173_hybrid_rrf,
     "q174_curriculum" -> q174_curriculum,
     "q194_count_min" -> q194_count_min,
+    "q201_label_centroids" -> q201_label_centroids,
+    "q202_mislabel_candidates" -> q202_mislabel_candidates,
+    "q203_nested_subsets" -> q203_nested_subsets,
+    "q204_freq_spectrum" -> q204_freq_spectrum,
     "q70_hash_sample" -> q70_hash_sample,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
