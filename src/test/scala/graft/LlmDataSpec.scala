@@ -293,6 +293,15 @@ class LlmDataSpec extends SparkSuite {
     val s3 = Sampling.hashSample(df, "id", 0.3, seed = 99).select("id")
       .collect().map(_.getLong(0)).toSet
     assert(s1 != s3)
+    // NESTED rungs (the q203 scaling-law ladder): smaller fractions
+    // are strict subsets of larger ones, by construction
+    val r1 = Sampling.hashSample(df, "id", 0.1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val r2 = Sampling.hashSample(df, "id", 0.2).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(r1.nonEmpty && r2.size > r1.size)
+    assert(r1.subsetOf(r2), "0.1 rung must nest inside 0.2")
+    assert(r2.subsetOf(s1), "0.2 rung must nest inside 0.3")
     // stratified: unlisted strata dropped, listed ones ~fraction
     val strat = Sampling.stratifiedSample(df, "id", col("cls"),
       Map("a" -> 0.5)).collect()
