@@ -602,7 +602,51 @@ object QueriesAgg {
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
     "q186_anomaly_flags" -> q186_anomaly_flags,
-    "q193_conversion_latency" -> q193_conversion_latency)
+    "q193_conversion_latency" -> q193_conversion_latency,
+    "q205_group_ols" -> q205_group_ols)
+
+  /** Per-group OLS fit (closed form): slope and intercept of
+    * extendedprice ~ quantity per returnflag, from ORDER-FREE exact
+    * decimal sums (n, Σx, Σy, Σxy, Σx²) collapsed by the identical
+    * double formula on both engines — the dstd pattern extended to
+    * regression. One grouped aggregate; the per-group trend line
+    * every BI layer draws, bit-reproducible at any scale.
+    */
+  private val q205_group_ols: Q = (
+    (s, dir) => {
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          sum((x.cast("double") * y.cast("double"))
+            .cast("decimal(38,10)")).cast("double").as("sxy"),
+          dsumsq(x).as("sxx"))
+        .withColumn("slope", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .withColumn("intercept", round(
+          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+            * col("sx")) / col("n"), 6))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          col("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+                 ${sqlDsum("l_quantity")} AS sx,
+                 ${sqlDsum("l_extendedprice")} AS sy,
+                 CAST(sum(CAST(CAST(l_quantity AS DOUBLE) *
+                   CAST(l_extendedprice AS DOUBLE)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                 ${sqlDsumsq("l_quantity")} AS sxx
+               FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * sx) / n, 6) AS intercept
+        FROM m ORDER BY l_returnflag"""))
 
   /** Conversion-latency histogram: for funnel completers
     * (view -> click -> purchase, chained-min semantics via the q164
