@@ -102,7 +102,10 @@ object JaroWinkler {
       i += 1
     }
     val md = m.toDouble
-    val jaro = (md / la + md / lb + (md - t2 / 2.0) / md) / 3.0
+    // Half-transposition count is FLOORED (integer t2/2), matching
+    // Winkler's strcmp95 and DuckDB's rapidfuzz kernel (probed:
+    // 'abcxyz' vs 'bcaxyz' = 0.9444..., not the fractional 0.9166...).
+    val jaro = (md / la + md / lb + (md - t2 / 2) / md) / 3.0
     if (jaro <= 0.7) jaro
     else {
       var l = 0

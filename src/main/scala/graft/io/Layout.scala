@@ -107,8 +107,22 @@ object Layout {
     require(targetFileBytes > 0, s"targetFileBytes $targetFileBytes")
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(in)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // RECURSIVE listing: a hive-partitioned or otherwise nested input
+    // keeps its data files under subdirectories — a top-level
+    // listStatus would see zero bytes and silently compact the whole
+    // dataset into one file
+    val parts = {
+      val it = fs.listFiles(in, /* recursive = */ true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toArray
+    }
+    require(parts.nonEmpty,
+      s"compact: no parquet data files under $inPath")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt

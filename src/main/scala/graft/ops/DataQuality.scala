@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *   - uniqueness is count(*) vs count(DISTINCT key) in the same
   *     pass (distinct adds its Expand — the one genuinely
   *     shuffle-bearing rule);
-  *   - referential integrity is a LEFT ANTI join per dimension
-  *     (broadcast when the dimension is small — the common case).
+  *   - referential integrity is a LEFT ANTI join per dimension.
+  *     No forced broadcast hint: Catalyst auto-broadcasts a dimension
+  *     under the broadcast threshold and AQE converts at runtime from
+  *     the dimension's TRUE size, while a huge dimension degrades to
+  *     a shuffled anti-join instead of blowing driver memory — an
+  *     unconditional hint would make the common case no faster and
+  *     the big-dim case fatal.
   *
   * The report is one row per rule: (rule, column, n_rows,
   * n_violations, pass) — machine-checkable (gate on pass) and
@@ -75,7 +80,7 @@ object DataQuality {
     val fkFrames = rules.collect {
       case RefIntegrity(c, dim, dc) =>
         val miss = df.where(col(c).isNotNull)
-          .join(broadcast(dim.select(col(dc))), col(c) === col(dc),
+          .join(dim.select(col(dc)), col(c) === col(dc),
             "left_anti")
           .agg(count(lit(1)).as("n_violations"))
         val tot = df.agg(count(lit(1)).as("n_rows"))

@@ -30,9 +30,13 @@ object Graph {
     * each of the `iters` supersteps is one join on the node id plus
     * one partial-aggregated groupBy(dst) — the canonical distributed
     * PageRank round. Nodes with no in-edges keep the base mass via
-    * the left join. Overflow contract: num * Σcontrib must stay under
-    * 2^63, i.e. nodes * scale * num < 2^63 — at a billion nodes drop
-    * scale to 1e8 (still 8 exact digits of rank).
+    * the left join. The node set is src ∪ dst, so SINK nodes (in-edges
+    * only, common in directed graphs) get a rank row too: they receive
+    * contributions and base mass but contribute nothing (deg 0 —
+    * mass flowing into a sink stays there un-redistributed, the
+    * un-normalized-form contract). Overflow contract: num * Σcontrib
+    * must stay under 2^63, i.e. nodes * scale * num < 2^63 — at a
+    * billion nodes drop scale to 1e8 (still 8 exact digits of rank).
     *
     * `edges` must carry long columns `src`, `dst` (pre-symmetrized by
     * the caller if the graph is undirected). Returns (node, rank).
@@ -51,7 +55,11 @@ object Graph {
         col("dst").cast("long").as("dst")))
     val deg = graft.Caches.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    var ranks = deg.select(col("node"), lit(scale).as("rank"))
+    // node universe = src ∪ dst, so sinks keep a rank row
+    val nodes = graft.Caches.pin(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     val base = (dampDen - dampNum) * scale
     for (_ <- 1 to iters) {
       val contribs = e
@@ -59,7 +67,7 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
-      ranks = deg.select(col("node"))
+      ranks = nodes
         .join(contribs, Seq("node"), "left")
         .withColumn("__m",
           lit(base) + lit(dampNum) * coalesce(col("csum"), lit(0L)))

@@ -228,7 +228,7 @@ object Joins {
         blockOf(col(strCol)).as("__blk"))
     if (maxPerBlock > 0) {
       val worst = vals.groupBy(col("__blk")).count()
-        .agg(max(col("count"))).first().getLong(0)
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
       require(worst <= maxPerBlock,
         s"fuzzyMatch: largest block has $worst distinct values " +
           s"(> $maxPerBlock) — choose a finer blocking key")
@@ -266,7 +266,7 @@ object Joins {
         blockOf(col(strCol)).as("__blk"))
     if (maxPerBlock > 0) {
       val worst = vals.groupBy(col("__blk")).count()
-        .agg(max(col("count"))).first().getLong(0)
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
       require(worst <= maxPerBlock,
         s"fuzzyMatchJw: largest block has $worst distinct values " +
           s"(> $maxPerBlock) — choose a finer blocking key")

@@ -42,6 +42,20 @@ class GraphSpec extends SparkSuite {
     assert(it2 == Map(1L -> 1722L, 2L -> 150L, 3L -> 1127L))
   }
 
+  test("sink nodes (in-edges only) get rank rows and keep the mass " +
+      "flowing into them") {
+    // directed chain 1 -> 2 -> 3; node 3 is a pure sink (no out-edge).
+    // deg: 1:1, 2:1; nodes = {1,2,3}.
+    // iter1: c(2) = 1000 -> r2 = (15000 + 85000) div 100 = 1000
+    //        c(3) = 1000 -> r3 = 1000; 1 no in-edge -> r1 = 150
+    val it1 = ranks(Seq((1L, 2L), (2L, 3L)), iters = 1)
+    assert(it1 == Map(1L -> 150L, 2L -> 1000L, 3L -> 1000L))
+    // iter2: c(2) = 150 -> r2 = (15000 + 12750) div 100 = 277
+    //        c(3) = 1000 -> r3 = 1000 (sink receives, contributes 0)
+    val it2 = ranks(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    assert(it2 == Map(1L -> 150L, 2L -> 277L, 3L -> 1000L))
+  }
+
   test("floor division quantization is exact, not rounded") {
     // 1->2 and 1->3 (deg 1 = 2): contribution is 1001 div 2 = 500
     // each (not 500.5); 2,3 -> r = (15000 + 85*500) div 100 = 575

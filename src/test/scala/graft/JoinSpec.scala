@@ -157,4 +157,17 @@ class JoinSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("finer blocking key"))
   }
+
+  test("fuzzyMatch/fuzzyMatchJw: empty or all-null input yields an " +
+      "empty result, not an NPE in the census guard") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("name")
+    val nulls = Seq(Option.empty[String], None).toDF("name")
+    for (df <- Seq(empty, nulls)) {
+      assert(Joins.fuzzyMatch(df, "name", substring(_, 1, 1),
+        maxDist = 1).count() == 0L)
+      assert(Joins.fuzzyMatchJw(df, "name", substring(_, 1, 1),
+        minSim = 0.9).count() == 0L)
+    }
+  }
 }

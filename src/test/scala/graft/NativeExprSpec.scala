@@ -106,6 +106,13 @@ class NativeExprSpec extends SparkSuite {
     assert(jw("ab" + "qqqqqq", "ab" + "zzzzzz") == 0.5) // <= 0.7: no boost
     assert(jw("ababab", "bababa") == 0.8333333333333334)
     assert(jw("josé", "jose") == 0.8483333333333334) // BYTE lengths
+    // ODD half-transposition counts: the floor (integer t2/2) path.
+    // Probed 2026-08: DuckDB floors like strcmp95 — fractional t/2
+    // would give 0.9166... / 0.8266... here instead.
+    assert(jw("abcxyz", "bcaxyz") == 0.9444444444444445) // t2=3
+    assert(jw("abcde", "bcade") == 0.8666666666666667)   // t2=3, no prefix
+    assert(jw("abcdef", "badcfe") == 0.8333333333333334) // t2=6 even, pin
+    assert(jw("abc", "bca") == 0.0) // window 0 at len 3: no matches
     // column form, null handling, codegen plan
     import spark.implicits._
     val df = Seq(("martha", Some("marhta")),

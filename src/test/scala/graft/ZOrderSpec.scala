@@ -111,4 +111,36 @@ class ZOrderSpec extends SparkSuite {
     assert(after2 >= 4 && after2 <= 5, s"got $after2")
     assert(spark.read.parquet(out2).count() == 1000L)
   }
+
+  test("compact: hive-partitioned (nested) input is sized from the " +
+      "recursive listing, not silently collapsed to one file") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_nested").toString
+    val frag = s"$tmp/frag"
+    (1 to 1000).map(i => (i.toLong, i % 4, s"row $i"))
+      .toDF("id", "p", "s")
+      .repartition(8).write.partitionBy("p").parquet(frag)
+    // data files live under p=0/..p=3/ — nothing at the top level
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+        else f.listFiles().map(walk).sum
+      walk(new java.io.File(frag))
+    }
+    assert(bytes > 0)
+    val out = s"$tmp/out"
+    val (before, after) = graft.io.Layout.compact(spark, frag, out,
+      targetFileBytes = bytes / 3)
+    assert(before >= 8L, s"before $before") // every nested part seen
+    assert(after >= 3, s"after $after")     // sized from real bytes
+    assert(spark.read.parquet(out).count() == 1000L)
+    // an input with NO parquet files refuses instead of rewriting
+    val emptyDir = s"$tmp/empty"
+    new java.io.File(emptyDir).mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      graft.io.Layout.compact(spark, emptyDir, s"$tmp/never", 1L << 20)
+    }
+    assert(ex.getMessage.contains("no parquet data files"))
+  }
 }
