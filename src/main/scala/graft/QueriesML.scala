@@ -340,7 +340,7 @@ object QueriesML {
           tiebreak = Seq(col("l_quantity"), col("l_linenumber"),
             col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             col("l_extendedprice")),
-          exactMedians = true)
+          exactMedians = true, sweepErr = 0.0)
         .orderBy(col("segment"), col("l_quantity_value"))
     },
     Some("""WITH s AS (SELECT l_quantity, l_linenumber, l_orderkey,
@@ -364,8 +364,37 @@ object QueriesML {
             FROM med, sw
             ORDER BY segment, l_quantity_value"""))
 
+  /** The SCALE path of q152: same linear scorer, same segmentation,
+    * but sketch medians (percentile_approx, bounded GK state) and a
+    * sketched sweep (relative rank error 1e-4) — the configuration
+    * that actually runs at 100 TB, where exact percentile's
+    * collect-all-values aggregation state is the one part of q152
+    * that grows with data. Rows-only by nature (GK estimates are not
+    * engine-replayable), but the sketch is held to its own contract
+    * IN-PLAN: each segment median's true rank interval must overlap
+    * n*(0.5 ± 0.02) or the query raises (the q130 rank-audit gate),
+    * and q152 stays the exact oracle twin pinning the surrounding
+    * machinery.
+    */
+  private val q206_marginal_sketch: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val m = new graft.ml.Diagnostics.LinearModel(
+        Seq("l_quantity" -> 2.0, "l_linenumber" -> 3.0), 1.0)
+      graft.ml.Diagnostics.marginal(m, li,
+          Seq("l_quantity", "l_linenumber"), "l_quantity",
+          nSeg = 6, sweepPoints = 5,
+          tiebreak = Seq(col("l_quantity"), col("l_linenumber"),
+            col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice")),
+          auditRankTol = 0.02)
+        .orderBy(col("segment"), col("l_quantity_value"))
+    },
+    None)
+
   val all: Map[String, Q] = Map(
     "q152_marginal_effects" -> q152_marginal_effects,
+    "q206_marginal_sketch" -> q206_marginal_sketch,
     "q37_ks" -> q37_ks,
     "q38_assess" -> q38_assess,
     "q39_decile" -> q39_decile,

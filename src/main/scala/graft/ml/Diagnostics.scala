@@ -50,28 +50,67 @@ object Diagnostics {
     * aggregate: segment medians become engine-replayable (DuckDB's
     * quantile_cont) at the cost of collecting each segment's values
     * into the aggregation state — fine for bounded/audit runs, not
-    * the 100 TB default.
+    * the 100 TB default. `sweepErr` is the sweep-quantile sketch's
+    * relative rank error (GK); 0.0 forces exact discrete quantiles
+    * for the oracle twin, the 1e-4 default keeps sketch state bounded
+    * at scale. `auditRankTol > 0` (sketch-median path only) verifies
+    * the GK promise in-plan: each segment median estimate's TRUE rank
+    * interval [count(<est)+1, count(<=est)] must overlap
+    * n*(0.5 ± tol) or the query raises — the q130 rank-contract gate
+    * applied to the path that actually runs at 100 TB.
     */
   def marginal(model: Transformer, df: DataFrame,
       ctsFeatures: Seq[String], sweepFeature: String,
       nSeg: Int = 6, sweepPoints: Int = 5,
       tiebreak: Seq[org.apache.spark.sql.Column] = Nil,
-      exactMedians: Boolean = false): DataFrame = {
+      exactMedians: Boolean = false, sweepErr: Double = 1e-4,
+      auditRankTol: Double = 0.0,
+      medianAccuracy: Int = 10000): DataFrame = {
     require(ctsFeatures.contains(sweepFeature),
       "sweepFeature must be one of ctsFeatures")
+    require(sweepErr >= 0 && sweepErr < 1, s"sweepErr $sweepErr")
+    val doAudit = !exactMedians && auditRankTol > 0
     // segment by exact ntile over the score WITHOUT a global
     // single-partition window (ScanOps.ntile: ranged rank +
     // closed-form bucket)
-    val scored = graft.ops.ScanOps.ntile(model.transform(df),
+    val scored0 = graft.ops.ScanOps.ntile(model.transform(df),
       col("prediction").asc +: tiebreak.map(_.asc), nSeg, "__seg")
+    // the audit re-reads the scored stream to rank the estimates
+    val scored = if (doAudit) graft.Caches.pin(scored0) else scored0
     def med(f: String) =
       if (exactMedians) percentile(col(f), lit(0.5)).as(f)
-      else percentile_approx(col(f), lit(0.5), lit(10000)).as(f)
-    val medians = scored.groupBy(col("__seg"))
+      else percentile_approx(col(f), lit(0.5), lit(medianAccuracy)).as(f)
+    val medians0 = scored.groupBy(col("__seg"))
       .agg(med(ctsFeatures.head), ctsFeatures.tail.map(med): _*)
+    val medians = if (!doAudit) medians0 else {
+      val est = medians0.select(col("__seg") +:
+        ctsFeatures.map(f => col(f).as(s"__m_$f")): _*)
+      val aggs = ctsFeatures.flatMap(f => Seq(
+        first(col(s"__m_$f")).as(s"__m_$f"),
+        count(when(col(f) < col(s"__m_$f"), 1)).as(s"__lt_$f"),
+        count(when(col(f) <= col(s"__m_$f"), 1)).as(s"__le_$f")))
+      val ranked = scored.join(broadcast(est), Seq("__seg"))
+        .groupBy(col("__seg"))
+        .agg(count(lit(1)).as("__n"), aggs: _*)
+      ctsFeatures.foldLeft(ranked) { (acc, f) =>
+        acc.withColumn(f,
+          when((col(s"__lt_$f") + lit(1)).cast("double") >
+              lit(0.5 + auditRankTol) * col("__n") ||
+              col(s"__le_$f").cast("double") <
+              lit(0.5 - auditRankTol) * col("__n"),
+            raise_error(concat(
+              lit(s"marginal: sketch median of $f in segment "),
+              col("__seg"), lit(" has rank ["),
+              col(s"__lt_$f") + lit(1), lit(","), col(s"__le_$f"),
+              lit(s"] outside n*(0.5 +- $auditRankTol) — GK broke "),
+              lit("its contract"))).cast("double"))
+            .otherwise(col(s"__m_$f")))
+      }.select(col("__seg") +: ctsFeatures.map(col): _*)
+    }
     val probs = (0 until sweepPoints)
       .map(i => i.toDouble / (sweepPoints - 1)).toArray
-    val sweeps = df.stat.approxQuantile(sweepFeature, probs, 0.0).distinct
+    val sweeps = df.stat.approxQuantile(sweepFeature, probs, sweepErr)
+      .distinct
     val sweepDf = df.sparkSession
       .createDataFrame(sweeps.map(Tuple1(_)).toSeq)
       .toDF("__sweep")

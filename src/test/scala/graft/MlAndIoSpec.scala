@@ -194,6 +194,35 @@ class MlAndIoSpec extends SparkSuite {
     }
   }
 
+  test("marginal sketch path: GK rank-contract audit passes for a " +
+      "provisioned sketch, raises for an under-provisioned one") {
+    // two features: the NON-sweep feature's (audited) median feeds
+    // the prediction grid — a single-feature call would overwrite the
+    // only median with the sweep value and never evaluate the gate
+    val df = (1 to 20000)
+      .map(i => (i.toDouble, ((i * 7919) % 20000).toDouble))
+      .toDF("x", "z")
+    val m = new graft.ml.Diagnostics.LinearModel(
+      Seq("x" -> 1.0, "z" -> 1.0), 0.0)
+    // default accuracy 10000: rank error <= n/10000 = 2 — well inside
+    // the 0.001 * n = 10-rank tolerance band; audit passes
+    val ok = graft.ml.Diagnostics.marginal(m, df, Seq("x", "z"), "x",
+      nSeg = 2, sweepPoints = 3, auditRankTol = 0.001)
+    assert(ok.count() >= 2)
+    // accuracy 1 keeps O(1) samples — its rank error on 10k-row
+    // segments cannot stay within the +-10-rank band, so the in-plan
+    // gate raises instead of serving a broken curve
+    val under = graft.ml.Diagnostics.marginal(m, df, Seq("x", "z"), "x",
+      nSeg = 2, sweepPoints = 3, auditRankTol = 0.001,
+      medianAccuracy = 1)
+    val ex = intercept[Throwable] { under.collect() }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("GK broke") ||
+        mentions(t.getCause))
+    assert(mentions(ex), s"unexpected failure: $ex")
+    graft.Caches.release()
+  }
+
   test("csv sink -> source round trip with role inference " +
       "(CSVToPipe, ch.go:165-171)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftio").toString
