@@ -75,4 +75,57 @@ object QH {
     val s1 = sqlDsum(e); val s2 = sqlDsumsq(e)
     s"sqrt(($s2 - $s1 * $s1 / count($e)) / (count($e) - 1.0))"
   }
+
+  /** Deterministic I/U/D change feed over the customer snapshot,
+    * shared by the batch (q207) and streaming (q208) CDC-apply
+    * entries and replayed verbatim by both oracles: seq-1 update for
+    * sevenths (+500), seq-2 update for fourteenths (+1000), seq-3
+    * delete for thirteenths, seq-4 re-insert for twenty-sixths
+    * (balance reset), seq-1 insert for ninety-sevenths (shifted
+    * keys). (key, seq) is unique by construction, so latest-wins is
+    * deterministic. Columns: op, seq, tie(=seq), c_custkey, c_name,
+    * c_acctbal.
+    */
+  def cdcChangeFeed(customer: DataFrame): DataFrame = {
+    val base = customer.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"))
+    def ch(op: String, seq: Long, rows: DataFrame): DataFrame =
+      rows.select(lit(op).as("op"), lit(seq).as("seq"),
+        lit(seq).as("tie"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+    ch("U", 1L, base.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0))
+      .unionByName(ch("U", 2L, base.where(col("c_custkey") % 14 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)))
+      .unionByName(ch("D", 3L, base.where(col("c_custkey") % 13 === 0)))
+      .unionByName(ch("U", 4L, base.where(col("c_custkey") % 26 === 0)
+        .withColumn("c_acctbal", lit(0.0))))
+      .unionByName(ch("I", 1L, base.where(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_acctbal"))))
+  }
+
+  /** The [[cdcChangeFeed]] as a DuckDB CTE body (`ch`), for oracle
+    * reuse across q207/q208.
+    */
+  val cdcChangeFeedSql: String =
+    """base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+       ch AS (
+         SELECT 'U' AS op, 1 AS seq, c_custkey, c_name,
+                c_acctbal + 500.0 AS c_acctbal
+         FROM base WHERE c_custkey % 7 = 0
+         UNION ALL SELECT 'U', 2, c_custkey, c_name, c_acctbal + 1000.0
+         FROM base WHERE c_custkey % 14 = 0
+         UNION ALL SELECT 'D', 3, c_custkey, c_name, c_acctbal
+         FROM base WHERE c_custkey % 13 = 0
+         UNION ALL SELECT 'U', 4, c_custkey, c_name, 0.0
+         FROM base WHERE c_custkey % 26 = 0
+         UNION ALL SELECT 'I', 1, c_custkey + 10000000, 'NEW ' || c_name,
+                c_acctbal
+         FROM base WHERE c_custkey % 97 = 0),
+       latest AS (SELECT op, c_custkey, c_name, c_acctbal FROM
+         (SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+            ORDER BY seq DESC) AS rn FROM ch)
+         WHERE rn = 1)"""
 }

@@ -849,6 +849,33 @@ object QueriesRelational {
         FROM base WHERE c_custkey % 97 = 0
         ORDER BY c_custkey"""))
 
+  /** CDC APPLY in its batch form ([[ops.Scd.applyChanges]]): the
+    * deterministic I/U/D feed of [[QH.cdcChangeFeed]] (multiple
+    * changes per key — latest wins; delete-then-reinsert; shifted-key
+    * inserts) folded onto the customer snapshot in one window pass +
+    * one full-outer join. The oracle replays the feed and the
+    * latest-wins fold as CTEs; the streaming twin (q208) maintains
+    * the same fold incrementally.
+    */
+  private val q207_cdc_apply: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      ops.Scd.applyChanges(c, cdcChangeFeed(c), "c_custkey",
+          ts = "seq", tiebreak = "tie")
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""WITH $cdcChangeFeedSql
+        SELECT COALESCE(l.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NOT NULL THEN l.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN l.c_custkey IS NOT NULL THEN l.c_acctbal
+                    ELSE b.c_acctbal END AS c_acctbal
+        FROM base b FULL OUTER JOIN latest l
+          ON b.c_custkey = l.c_custkey
+        WHERE l.c_custkey IS NULL OR l.op <> 'D'
+        ORDER BY c_custkey"""))
+
   /** Rank-family window functions over a BOUNDED analysis dimension
     * (revenue per nation, 25 rows): rank / dense_rank / percent_rank
     * / cume_dist — the four not exercised elsewhere (row_number,
@@ -1143,6 +1170,7 @@ object QueriesRelational {
     "q189_tpch_q6" -> q189_tpch_q6,
     "q192_dq_report" -> q192_dq_report,
     "q196_snapshot_diff" -> q196_snapshot_diff,
+    "q207_cdc_apply" -> q207_cdc_apply,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,

@@ -278,6 +278,36 @@ object QueriesStream {
     * aggregate per (segment, type). The streaming run of the SAME
     * transform is spec-pinned equal (StatsAndStreamSpec).
     */
+  /** STREAMING CDC apply ([[Streams.cdcApply]]) in its batch form
+    * under the oracle (the q104/q172 convention): the SAME
+    * mapGroupsWithState operator that maintains a keyed state table
+    * incrementally — latest-change-wins per key, O(1) state, 'D'
+    * tombstones — run over the [[QH.cdcChangeFeed]] as one batch.
+    * Latest-wins is a max over a total order, so the final state is
+    * identical under any micro-batch slicing (CdcSpec pins two
+    * slicings + arrival-order shuffles == this batch run ==
+    * applyChanges on an empty base). The JSON payload re-projects
+    * through from_json; the oracle replays feed + fold as CTEs.
+    */
+  private val q208_cdc_stream: Q = (
+    (s, dir) => {
+      val feed = cdcChangeFeed(read(s, dir, "customer"))
+      val sch = new org.apache.spark.sql.types.StructType()
+        .add("c_name", "string").add("c_acctbal", "double")
+      Streams.cdcApply(feed, "c_custkey", "seq", "tie", "op",
+          Seq("c_name", "c_acctbal"))
+        .toDF()
+        .where(!col("deleted"))
+        .select(col("key").as("c_custkey"),
+          from_json(col("payload"), sch).as("v"))
+        .select(col("c_custkey"), col("v.c_name").as("c_name"),
+          col("v.c_acctbal").as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""WITH $cdcChangeFeedSql
+        SELECT c_custkey, c_name, c_acctbal FROM latest
+        WHERE op <> 'D' ORDER BY c_custkey"""))
+
   private val q198_stream_enrich: Q = (
     (s, dir) => Streams.enrich(read(s, dir, "events"),
         read(s, dir, "customer")
@@ -368,6 +398,7 @@ object QueriesStream {
     "q61_asof_join" -> q61_asof_join,
     "q172_stream_funnel" -> q172_stream_funnel,
     "q198_stream_enrich" -> q198_stream_enrich,
+    "q208_cdc_stream" -> q208_cdc_stream,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

@@ -71,6 +71,47 @@ object Scd {
           .otherwise(col(s"__t_$c")).as(c)): _*)
   }
 
+  /** CDC APPLY — fold a timestamped I/U/D change feed onto a base
+    * snapshot in ONE pass: the latest change per key wins (ordered by
+    * `ts` then `tiebreak`), a latest-op 'D' removes the key, any
+    * other latest op replaces the whole row (MERGE's UPDATE SET *
+    * rule, like [[upsert]]), and unchanged keys keep their base row.
+    *
+    * Equivalent to folding the feed through [[upsert]]/delete one
+    * timestamp at a time (spec-pinned), but O(changes) instead of
+    * O(timestamps) passes: a per-key window picks the winning change
+    * (map-side WindowGroupLimit — the rank-1 filter pushes before the
+    * key exchange), then one co-partitioned full-outer join applies
+    * it. At scale the feed is delta-sized, so the join broadcasts;
+    * the streaming twin ([[graft.streaming.Streams.cdcApply]])
+    * maintains the same latest-change-wins state incrementally.
+    *
+    * `changes` must carry `opCol` ('I'/'U'/'D'), `ts`, `tiebreak`,
+    * and every `target` column. (ts, tiebreak) must be unique per key
+    * or the winner is nondeterministic. Returns target-shaped rows.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, key: String,
+      ts: String, tiebreak: String, opCol: String = "op"): DataFrame = {
+    val cols = target.columns
+    require(cols.contains(key), s"applyChanges: key $key not in target")
+    val need = Seq(opCol, ts, tiebreak) ++ cols
+    require(need.forall(changes.columns.contains),
+      s"applyChanges: changes missing ${need.filterNot(changes.columns.contains).toSeq}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((col(opCol).as("__c_op") +:
+        cols.map(c => col(c).as(s"__c_$c"))): _*)
+    val t = cols.foldLeft(target)((d, c) =>
+      d.withColumnRenamed(c, s"__t_$c"))
+    t.join(latest, col(s"__t_$key") === col(s"__c_$key"), "full_outer")
+      .where(col(s"__c_$key").isNull || col("__c_op") =!= "D")
+      .select(cols.map(c =>
+        when(col(s"__c_$key").isNotNull, col(s"__c_$c"))
+          .otherwise(col(s"__t_$c")).as(c)): _*)
+  }
+
   /** Snapshot DIFF — the inverse of [[upsert]]: compare two versions
     * of a keyed table and emit one row per changed key with
     * `op` = 'I' (key only in new), 'D' (only in old), 'U' (present

@@ -140,6 +140,65 @@ object Streams {
       }
   }
 
+  /** One I/U/D change event, key + ordering + whole-row payload
+    * (JSON of the value columns — a bounded, encoder-stable state
+    * shape regardless of the table's schema).
+    */
+  case class CdcChange(key: Long, seq: Long, tie: Long, op: String,
+      payload: String)
+  /** Current state of one key after the changes seen so far; (seq,
+    * tie) is the winning change's position, so a downstream consumer
+    * of the update stream can keep max-(seq, tie) per key to
+    * materialize the final table.
+    */
+  case class CdcRow(key: Long, seq: Long, tie: Long, deleted: Boolean,
+      payload: String)
+
+  /** STREAMING CDC APPLY: maintain a keyed state table from an I/U/D
+    * change stream — the live twin of [[graft.ops.Scd.applyChanges]].
+    * State per key is ONLY the winning change so far (latest by
+    * (seq, tie) — O(1) per key, not the history), merged with each
+    * batch's arrivals; every batch re-emits the current row for the
+    * keys it touched (update mode), a latest-op 'D' emitting a
+    * `deleted` tombstone. Because latest-change-wins is an
+    * associative-commutative fold (max by the total order), the FINAL
+    * emission per key is deterministic under ANY micro-batch slicing
+    * or arrival order — replay-determinism like q104/q172 — and the
+    * same operator run over one all-rows batch IS the batch apply
+    * (q208 puts that form under the oracle).
+    *
+    * The payload rides as `to_json(struct(valueCols))`: one string
+    * column keeps the group state encoder schema-independent, and the
+    * caller re-projects with `from_json` + the table schema (JSON
+    * doubles round-trip exactly — shortest-repr printing both ways).
+    * For unbounded key universes, compose with an upstream TTL;
+    * emissions need no timeout.
+    */
+  def cdcApply(changes: DataFrame, keyCol: String, seqCol: String,
+      tieCol: String, opCol: String,
+      valueCols: Seq[String]): Dataset[CdcRow] = {
+    require(valueCols.nonEmpty, "cdcApply: valueCols empty")
+    val ss = changes.sparkSession
+    import ss.implicits._
+    changes.select(
+        col(keyCol).cast("long").as("key"),
+        col(seqCol).cast("long").as("seq"),
+        col(tieCol).cast("long").as("tie"),
+        col(opCol).cast("string").as("op"),
+        to_json(struct(valueCols.map(col): _*)).as("payload"))
+      .as[CdcChange]
+      .groupByKey(_.key)
+      .mapGroupsWithState[CdcChange, CdcRow](
+        GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcChange],
+         state: GroupState[CdcChange]) =>
+          val win = (rows ++ state.getOption.iterator)
+            .maxBy(c => (c.seq, c.tie))
+          state.update(win)
+          CdcRow(k, win.seq, win.tie, win.op == "D", win.payload)
+      }
+  }
+
   /** Run any of the transforms above as a real streaming query over
     * file-source parquet, sinking to an in-memory table — the local
     * harness for watermark/window correctness (processAllAvailable
