@@ -1062,6 +1062,47 @@ object QueriesLLM {
         SELECT row, CAST(idx AS BIGINT) AS idx, count(*) AS c
         FROM cells GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** GROUPED conservative-update Count-Min
+    * ([[Sketches.countMinConservative]]): one independent 4x256
+    * sketch per document source, each cell the MAX over colliding
+    * token types of their full census count — every cell (and every
+    * point estimate) <= the plain q194 sum-merge sketch while the
+    * never-undercount guarantee stands (SketchesSpec pins the
+    * sandwich true <= conservative <= plain). Census + hash per TYPE
+    * (not per occurrence — the hash cost drops from corpus-size to
+    * vocab-size), deterministic integer maxes: DuckDB rebuilds the
+    * entire grouped state.
+    */
+  private val q209_cms_conservative: Q = (
+    (s, dir) => {
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(split(Dedup.normalize(col("text")), " ")).as("tok"))
+      Sketches.countMinConservative(toks, "tok", depth = 4,
+          width = 256, grpCols = Seq("source"))
+        .orderBy(col("source"), col("row"), col("idx"))
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
+                 AS t
+               FROM documents WHERE text IS NOT NULL),
+             census AS (SELECT source, t, count(*) AS f FROM toks
+               WHERE t <> '' GROUP BY 1, 2),
+             h AS (SELECT source, f, list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(t, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hv
+               FROM census),
+             cells AS (SELECT source, f, r.i AS row,
+                 ((hv * (2654435761 + 2*r.i) + (97 + 1000003*r.i))
+                   % 1000000007) % 256 AS idx
+               FROM h, (SELECT unnest(range(0, 4)) AS i) r)
+        SELECT source, row, CAST(idx AS BIGINT) AS idx, max(f) AS c
+        FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   /** Curriculum ordering ([[Sampling.curriculumOrder]]): documents
     * phased by length ntile (shortest first — the classic
     * length-curriculum) with a deterministic hash-shuffled order
@@ -3191,6 +3232,7 @@ object QueriesLLM {
     "q173_hybrid_rrf" -> q173_hybrid_rrf,
     "q174_curriculum" -> q174_curriculum,
     "q194_count_min" -> q194_count_min,
+    "q209_cms_conservative" -> q209_cms_conservative,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

@@ -242,6 +242,72 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** CONSERVATIVE-update Count-Min (Estan & Varghese 2002), built
+    * ORDER-FREE from the token census, optionally one independent
+    * sketch per group. The sequential conservative update raises each
+    * of an item's cells only as far as its current estimate requires;
+    * its order-free batch equivalent is: census the tokens first
+    * (exact grouped count — the one extra shuffle, distinct-token
+    * sized), then set each cell to the MAX over colliding tokens of
+    * their full count — the minimal state that still never
+    * under-counts a point query (estimate = min over rows >= the
+    * token's own count in every row). Since max <= sum over
+    * non-negative counts, every cell — hence every estimate — is <=
+    * the plain [[countMin]] value (spec-pinned both ways). Updates
+    * are deterministic integer maxes over the same portable hash
+    * rows, so the ENTIRE grouped state replays in DuckDB (q209).
+    *
+    * Merge contract: cell-max merging two conservative sketches is
+    * only sound when their token sets are disjoint; overlapping
+    * corpora must re-census and rebuild (or fall back to sum-merge,
+    * which degrades cells toward the plain sketch but keeps the
+    * never-undercount guarantee).
+    */
+  def countMinConservative(tokens: DataFrame, tokenCol: String,
+      depth: Int, width: Int, grpCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"countMinConservative: depth $depth")
+    require(width >= 2, s"countMinConservative: width $width")
+    val census = tokens
+      .where(col(tokenCol).isNotNull && col(tokenCol) =!= "")
+      .groupBy((grpCols :+ tokenCol).map(col): _*)
+      .agg(count(lit(1)).as("__f"))
+    val h = graft.functions.PortableTokenHash(col(tokenCol))
+    val cells = explode(array((0 until depth).map { i =>
+      struct(lit(i.toLong).as("row"),
+        pmod(h * lit(2654435761L + 2L * i) + lit(97L + 1000003L * i),
+          lit(1000000007L)).mod(lit(width.toLong)).as("idx"))
+    }: _*)).as("__cell")
+    census.select(grpCols.map(col) ++ Seq(col("__f"), cells): _*)
+      .groupBy(grpCols.map(col) ++ Seq(col("__cell.row").as("row"),
+        col("__cell.idx").as("idx")): _*)
+      .agg(max(col("__f")).as("c"))
+  }
+
+  /** Point estimates from a (possibly grouped) conservative or plain
+    * CMS: min over rows per (group, token); cells absent from the
+    * sketch read 0.
+    */
+  def countMinEstimateBy(cms: DataFrame, tokens: Seq[String],
+      depth: Int, width: Int, grpCols: Seq[String] = Nil): DataFrame = {
+    val spark = cms.sparkSession
+    import spark.implicits._
+    val probes0 = tokens.toDF("token")
+      .select(col("token"), explode(array((0 until depth).map { i =>
+        struct(lit(i.toLong).as("row"),
+          pmod(graft.functions.PortableTokenHash(col("token")) *
+            lit(2654435761L + 2L * i) + lit(97L + 1000003L * i),
+            lit(1000000007L)).mod(lit(width.toLong)).as("idx"))
+      }: _*)).as("__p"))
+      .select(col("token"), col("__p.row").as("row"),
+        col("__p.idx").as("idx"))
+    val probes = if (grpCols.isEmpty) probes0
+      else cms.select(grpCols.map(col): _*).distinct()
+        .crossJoin(probes0)
+    probes.join(cms, grpCols ++ Seq("row", "idx"), "left")
+      .groupBy((grpCols :+ "token").map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("estimate"))
+  }
+
   /** CMS point estimate for a literal token set: min over rows. */
   def countMinEstimate(cms: DataFrame, tokens: Seq[String], depth: Int,
       width: Int): DataFrame = {

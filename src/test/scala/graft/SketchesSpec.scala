@@ -233,4 +233,46 @@ class SketchesSpec extends SparkSuite {
     // impossible -> exact
     assert(est == truth, s"sparse sketch should be exact: $est")
   }
+
+  test("conservative count-min: true <= conservative <= plain per " +
+      "token, strictly better under forced collisions, grouped " +
+      "sketches independent") {
+    import spark.implicits._
+    // width 2 forces heavy collisions: plain cells sum colliding
+    // counts, conservative cells take the max
+    val words = (0 until 30).flatMap(i =>
+      Seq.fill(30 - i)(s"w$i")) // w0 x30 ... w29 x1, 465 tokens
+    val toks = words.toDF("tok")
+    val (depth, width) = (4, 2)
+    val plain = Sketches.countMin(toks, "tok", depth, width)
+    val cons = Sketches.countMinConservative(toks, "tok", depth, width)
+    val probe = (0 until 30).map(i => s"w$i")
+    val pEst = Sketches.countMinEstimate(plain, probe, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cEst = Sketches.countMinEstimateBy(cons, probe, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong)
+    probe.foreach { t =>
+      assert(cEst(t) >= truth(t), s"$t undercounted: ${cEst(t)}")
+      assert(cEst(t) <= pEst(t), s"$t worse than plain: " +
+        s"${cEst(t)} > ${pEst(t)}")
+    }
+    // with 30 tokens in 2 cells/row the improvement must be strict
+    // somewhere (max of a multiset of positive counts < its sum)
+    assert(probe.exists(t => cEst(t) < pEst(t)),
+      s"conservative never improved: $cEst vs $pEst")
+    // grouped: two sources with disjoint masses — each group's
+    // estimate reflects only its own census
+    val grouped = Sketches.countMinConservative(
+      (words.map(("s1", _)) ++ Seq.fill(9)(("s2", "w0")))
+        .toDF("source", "tok"),
+      "tok", depth, width, grpCols = Seq("source"))
+    val gEst = Sketches.countMinEstimateBy(grouped, Seq("w0"), depth,
+        width, grpCols = Seq("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(gEst(("s2", "w0")) == 9L, s"s2 leaked: $gEst")
+    assert(gEst(("s1", "w0")) >= 30L && gEst(("s1", "w0")) < 39L,
+      s"s1 mixed with s2: $gEst")
+  }
 }
