@@ -1134,35 +1134,44 @@ object QueriesLLM {
     * (one-pass BM25; cosine scored brute-force here, cell-pruned ANN
     * at scale); fusion itself touches only the two top-50 lists.
     */
-  private val q173_hybrid_rrf: Q = (
-    (s, dir) => {
-      val e = read(s, dir, "embeddings")
-      val docs = read(s, dir, "documents")
-      val qv = e.where(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      val qarr = array(qv.toIndexedSeq.map(v => lit(v.toDouble)): _*)
-      val pin = (c: org.apache.spark.sql.Column) => pmod(c, lit(1))
-      val denseW = org.apache.spark.sql.expressions.Window
-        .partitionBy(pin(col("doc_id")))
-        .orderBy(col("sim").desc, col("doc_id"))
-      val dense = e.where(col("vec_id") > 0)
-        .select(col("vec_id").as("doc_id"),
-          round(graft.functions.CosineSimilarity(col("embedding"),
-            qarr), 6).as("sim"))
-        .withColumn("rank", row_number().over(denseW).cast("long"))
-        .where(col("rank") <= 50)
-      val sparseW = org.apache.spark.sql.expressions.Window
-        .partitionBy(pin(col("doc_id")))
-        .orderBy(col("score").desc, col("doc_id"))
-      val sparse = TextAnalysis.bm25TopK(docs, "doc_id", "text",
-          Seq("hash", "join", "spark"), k = 50)
-        .withColumn("rank", row_number().over(sparseW).cast("long"))
-      Similarity.rrfFuse(Seq(
-          dense.select(col("doc_id"), col("rank")),
-          sparse.select(col("doc_id"), col("rank"))), "doc_id")
-        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
-    },
-    Some("""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+  /** The two q173 retrieval branches as top-50 (doc_id, rank)
+    * shortlists — shared by the RRF fusion (q173) and the
+    * second-stage rerankers (q210/q211).
+    */
+  private def hybridBranches(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val e = read(s, dir, "embeddings")
+    val docs = read(s, dir, "documents")
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qarr = array(qv.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+    val pin = (c: org.apache.spark.sql.Column) => pmod(c, lit(1))
+    val denseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin(col("doc_id")))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = e.where(col("vec_id") > 0)
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"),
+          qarr), 6).as("sim"))
+      .withColumn("rank", row_number().over(denseW).cast("long"))
+      .where(col("rank") <= 50)
+    val sparseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "spark"), k = 50)
+      .withColumn("rank", row_number().over(sparseW).cast("long"))
+    (dense.select(col("doc_id"), col("rank")),
+      sparse.select(col("doc_id"), col("rank")))
+  }
+
+  /** The q173 branch shortlists as a DuckDB CTE block
+    * (qv/dense/toks/pd/st/bm/sparse), shared by the q173/q211
+    * oracles.
+    */
+  private val hybridBranchesSql: String =
+    """qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings WHERE vec_id = 0),
              dense AS (SELECT doc_id, rank FROM (
                  SELECT vec_id AS doc_id,
@@ -1215,7 +1224,15 @@ object QueriesLLM {
                WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
                ORDER BY score DESC, doc_id LIMIT 50),
              sparse AS (SELECT doc_id, row_number() OVER
-                 (ORDER BY score DESC, doc_id) AS rank FROM bm),
+                 (ORDER BY score DESC, doc_id) AS rank FROM bm)"""
+
+  private val q173_hybrid_rrf: Q = (
+    (s, dir) => {
+      val (dense, sparse) = hybridBranches(s, dir)
+      Similarity.rrfFuse(Seq(dense, sparse), "doc_id")
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+    },
+    Some(s"""WITH $hybridBranchesSql,
              fused AS (SELECT doc_id,
                  1000000000000 // (60 + rank) AS c FROM dense
                UNION ALL SELECT doc_id,
@@ -1224,6 +1241,84 @@ object QueriesLLM {
                count(*) AS n_branches
         FROM fused GROUP BY doc_id
         ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
+  /** LEARNED second-stage reranker over the q173 shortlists: the
+    * q144 pattern lifted to retrieval — click-shaped labels (clicks
+    * concentrate on near-top dense results, with deterministic
+    * hash dropout plus a keyword-click minority) train a logistic
+    * head on the branch-rank features, the coefficients QUANTIZE to
+    * longs, and serving is the exact-integer [[Similarity
+    * .rerankLinear]] score over the candidate table. Rows-only
+    * (solver-dependent weights); the in-plan gate raises unless the
+    * served click prediction hits 0.85 on the labels, and q211
+    * oracle-checks the identical candidate-build + integer-serve
+    * machinery under static weights.
+    */
+  private val q210_reranker_fit: Q = (
+    (s, dir) => {
+      val (dense, sparse) = hybridBranches(s, dir)
+      val h = pmod(col("doc_id") * 2654435761L + lit(7L),
+        lit(1000000007L))
+      val cands = Similarity.rerankFeatures(
+          Seq("dense" -> dense, "sparse" -> sparse), "doc_id")
+        .withColumn("click",
+          when((col("rank_dense") <= 15 && h.mod(lit(5)) =!= 0) ||
+            (col("rank_sparse") <= 5 && h.mod(lit(7)) === 0), 1.0)
+            .otherwise(0.0))
+        .cache()
+      val (w, b) = Similarity.fitReranker(cands,
+        Seq("rank_dense", "rank_sparse"), "click")
+      val served = Similarity.rerankLinear(cands, "doc_id", w, b,
+          k = 1000) // shortlists are <= 100 candidates by construction
+        .withColumn("pred",
+          when(col("rr_score") > 0L, 1.0).otherwise(0.0))
+      val g = served.agg(
+        avg(when(col("click") === col("pred"), 1.0).otherwise(0.0))
+          .as("__acc"))
+      served.crossJoin(broadcast(g))
+        .withColumn("pred",
+          when(col("__acc") < 0.85,
+            raise_error(concat(
+              lit("q210: served accuracy "), round(col("__acc"), 4),
+              lit(" below 0.85 — reranker or quantized serving "),
+              lit("degenerated"))).cast("double"))
+            .otherwise(col("pred")))
+        .select(col("doc_id"), col("rank_dense"), col("rank_sparse"),
+          col("rr_score"), col("click"), col("pred"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** The reranker SERVING machinery under the ORACLE (the q145 rule):
+    * static integer weights over the q173 candidate table —
+    * rr_score = 500000 - 3000*rank_dense - 1000*rank_sparse, missing
+    * branches pinned at rank 1000 — then top-10 by (score, doc_id).
+    * Every step (shortlists, full-outer feature join, coalesce
+    * sentinel, int64 score, ordering) replays term for term in
+    * DuckDB; pins the path q210 serves its trained weights through.
+    */
+  private val q211_rerank_static: Q = (
+    (s, dir) => {
+      val (dense, sparse) = hybridBranches(s, dir)
+      Similarity.rerankLinear(
+          Similarity.rerankFeatures(
+            Seq("dense" -> dense, "sparse" -> sparse), "doc_id"),
+          "doc_id",
+          features = Seq("rank_dense" -> -3000L, "rank_sparse" -> -1000L),
+          intercept = 500000L, k = 10)
+        .orderBy(col("rr_score").desc, col("doc_id"))
+    },
+    Some(s"""WITH $hybridBranchesSql,
+             cand AS (SELECT COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+                 COALESCE(d.rank, 1000) AS rank_dense,
+                 COALESCE(sp.rank, 1000) AS rank_sparse
+               FROM dense d FULL OUTER JOIN sparse sp
+                 ON d.doc_id = sp.doc_id)
+        SELECT doc_id, rank_dense, rank_sparse,
+               CAST(500000 - 3000 * rank_dense - 1000 * rank_sparse
+                 AS BIGINT) AS rr_score
+        FROM cand
+        ORDER BY rr_score DESC, doc_id LIMIT 10"""))
 
   /** BM25 keyword retrieval ([[TextAnalysis.bm25TopK]]) for the fixed
     * query {hash, join, spark}: one aggregate pass (per-doc length +
@@ -3230,6 +3325,8 @@ object QueriesLLM {
     "q167_bm25" -> q167_bm25,
     "q168_nfc_normalize" -> q168_nfc_normalize,
     "q173_hybrid_rrf" -> q173_hybrid_rrf,
+    "q210_reranker_fit" -> q210_reranker_fit,
+    "q211_rerank_static" -> q211_rerank_static,
     "q174_curriculum" -> q174_curriculum,
     "q194_count_min" -> q194_count_min,
     "q209_cms_conservative" -> q209_cms_conservative,

@@ -59,6 +59,75 @@ object Similarity {
         count(lit(1)).as("n_branches"))
   }
 
+  /** Candidate-feature table for SECOND-STAGE reranking: full-outer
+    * join the per-branch (id, rank) shortlists into one row per
+    * candidate with a `rank_<branch>` column each, absent branches
+    * coalesced to `missingRank` (an explicit "beyond the shortlist"
+    * value keeps the feature integer and the serving arithmetic
+    * exact — a NULL would poison the linear score). Shortlists are
+    * top-k-bounded, so every join here is broadcast-sized regardless
+    * of corpus scale.
+    */
+  def rerankFeatures(branches: Seq[(String, DataFrame)], idCol: String,
+      missingRank: Long = 1000L): DataFrame = {
+    require(branches.nonEmpty, "rerankFeatures: at least one branch")
+    branches.map { case (name, df) =>
+      df.select(col(idCol), col("rank").as(s"rank_$name"))
+    }.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+      .select(col(idCol) +: branches.map { case (name, _) =>
+        coalesce(col(s"rank_$name"), lit(missingRank))
+          .as(s"rank_$name") }: _*)
+  }
+
+  /** Train a logistic reranker over numeric candidate features
+    * against click-shaped labels, returning weights QUANTIZED to
+    * longs (and the matching intercept) so serving goes through the
+    * exact-integer [[rerankLinear]] path — the q144 rule: the solver
+    * may be float, the served ranking must be engine-replayable.
+    * Candidate tables are shortlist-sized, so the fit is cheap; at
+    * scale the same call trains over pooled shortlists from many
+    * queries.
+    */
+  def fitReranker(cands: DataFrame, featureCols: Seq[String],
+      labelCol: String, maxIter: Int = 25, regParam: Double = 0.0,
+      quantScale: Double = 1e6): (Seq[(String, Long)], Long) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = new VectorAssembler()
+      .setInputCols(featureCols.map(c => s"__f_$c").toArray)
+      .setOutputCol("__features")
+      .transform(featureCols.foldLeft(cands)((d, c) =>
+        d.withColumn(s"__f_$c", col(c).cast("double")))
+        .withColumn("__lbl", col(labelCol).cast("double")))
+    val m = new LogisticRegression().setMaxIter(maxIter)
+      .setRegParam(regParam).setFeaturesCol("__features")
+      .setLabelCol("__lbl").fit(feats)
+    (featureCols.zip(m.coefficients.toArray.toSeq
+        .map(v => math.round(v * quantScale))),
+      math.round(m.intercept * quantScale))
+  }
+
+  /** EXACT-INTEGER linear reranker over a candidate-feature table:
+    * score = intercept + Σ w_i * feature_i in pure int64 arithmetic
+    * (the q144/q145 serving rule lifted from hashed text features to
+    * retrieval features), then top-k by (score desc, id). Learned
+    * weights arrive QUANTIZED to longs, so the served ranking is
+    * hash-verifiable by any engine — float scoring could never be.
+    * The candidate table is shortlist-sized; this is driver-light,
+    * one TakeOrdered, no shuffle of the corpus.
+    */
+  def rerankLinear(cands: DataFrame, idCol: String,
+      features: Seq[(String, Long)], intercept: Long,
+      k: Int): DataFrame = {
+    require(features.nonEmpty, "rerankLinear: no features")
+    require(k >= 1, s"rerankLinear: k $k")
+    val score = features.foldLeft(lit(intercept)) {
+      case (acc, (f, w)) => acc + col(f).cast("long") * lit(w)
+    }
+    cands.withColumn("rr_score", score)
+      .orderBy(col("rr_score").desc, col(idCol)).limit(k)
+  }
+
   /** All near-duplicate embedding pairs above a cosine threshold —
     * exact O(n^2) scoring; oracle-checkable. For scale use
     * [[lshNeighbors]].

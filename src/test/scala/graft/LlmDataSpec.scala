@@ -1569,4 +1569,26 @@ class LlmDataSpec extends SparkSuite {
     // doc 20 (rank 2 + rank 1) outranks every single-branch doc
     assert(got(20L)._1 > got(10L)._1)
   }
+
+  test("rerankFeatures + rerankLinear: missing-branch sentinel, exact " +
+      "integer scores, top-k order with id tiebreak") {
+    import spark.implicits._
+    val dense = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sparse = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val cands = Similarity.rerankFeatures(
+      Seq("dense" -> dense, "sparse" -> sparse), "doc_id")
+    val feat = cands.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(feat == Map(10L -> ((1L, 1000L)), 20L -> ((2L, 1L)),
+      30L -> ((3L, 1000L)), 40L -> ((1000L, 2L))))
+    val top = Similarity.rerankLinear(cands, "doc_id",
+        Seq("rank_dense" -> -3000L, "rank_sparse" -> -1000L),
+        intercept = 500000L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rr_score")))
+    // scores: 10 -> 500000-3000-1000000 = -503000; 20 -> 500000-6000-1000
+    //   = 493000; 30 -> 500000-9000-1000000 = -509000;
+    //   40 -> 500000-3000000-2000 = -2502000
+    assert(top.toSeq == Seq((20L, 493000L), (10L, -503000L),
+      (30L, -509000L)))
+  }
 }
