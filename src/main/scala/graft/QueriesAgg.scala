@@ -598,6 +598,9 @@ object QueriesAgg {
     "q180_robust_scale" -> q180_robust_scale,
     "q181_top_paths" -> q181_top_paths,
     "q182_cube" -> q182_cube,
+    "q214_rfm" -> q214_rfm,
+    "q216_key_skew" -> q216_key_skew,
+    "q218_grouping_sets" -> q218_grouping_sets,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
@@ -738,6 +741,98 @@ object QueriesAgg {
              FROM orders
              GROUP BY CUBE (o_orderstatus, o_orderpriority)
              ORDER BY status, priority"""))
+
+  /** GROUPING SETS — arbitrary subtotal combinations in ONE Expand
+    * pass (Catalyst's native groupingSets; the generalization ROLLUP
+    * q177 and CUBE q182 are special cases of): per-(status,
+    * priority) detail, per-status subtotal, and the grand total,
+    * WITHOUT the per-priority set a CUBE would also compute —
+    * exactly the sets a report needs, no wasted Expand rows.
+    */
+  private val q218_grouping_sets: Q = (
+    (s, dir) => read(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)"))
+          .as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority")),
+    Some(s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                    COALESCE(o_orderpriority, '(all)') AS priority,
+                    count(*) AS n,
+                    ${sqlDsum("o_totalprice")} AS total
+             FROM orders
+             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+               (o_orderstatus), ())
+             ORDER BY status, priority"""))
+
+  /** RFM customer segmentation ([[graft.functions.Stats.rfm]]):
+    * recency/frequency/monetary from one grouped pass over orders,
+    * each scored 1..5 by EXACT ntile with the customer key as
+    * tiebreak (ScanOps.ntile — ranged rank, no single-partition
+    * window), segment = concatenated scores. Monetary is the exact-
+    * decimal sum, recency an integer day diff, so the oracle replays
+    * every score and segment code bit-for-bit.
+    */
+  private val q214_rfm: Q = (
+    (s, dir) => graft.functions.Stats.rfm(read(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice", buckets = 5)
+      .orderBy(col("o_custkey")),
+    Some(s"""WITH base AS (SELECT o_custkey,
+                 max(o_orderdate) AS last_d, count(*) AS frequency,
+                 ${sqlDsum("o_totalprice")} AS monetary
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+             mx AS (SELECT max(last_d) AS maxd FROM base),
+             r AS (SELECT o_custkey,
+                 date_diff('day', CAST(last_d AS DATE),
+                   CAST(maxd AS DATE)) AS recency_days,
+                 frequency, monetary
+               FROM base CROSS JOIN mx),
+             sc AS (SELECT *,
+                 ntile(5) OVER (ORDER BY recency_days, o_custkey) AS rb,
+                 ntile(5) OVER (ORDER BY frequency, o_custkey) AS fb,
+                 ntile(5) OVER (ORDER BY monetary, o_custkey) AS mb
+               FROM r)
+        SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary,
+               CAST(6 - rb AS BIGINT) AS r_score,
+               CAST(fb AS BIGINT) AS f_score,
+               CAST(mb AS BIGINT) AS m_score,
+               CAST(6 - rb AS VARCHAR) || CAST(fb AS VARCHAR)
+                 || CAST(mb AS VARCHAR) AS segment
+        FROM sc ORDER BY o_custkey"""))
+
+  /** Key-skew diagnostic ([[graft.ops.DataQuality.keySkew]]) on a
+    * deliberately skewed key (custkeys divisible by 7 collapse to a
+    * sentinel 0 — the classic default-key hot spot): the report
+    * flags exactly the keys whose count exceeds 10x the per-key
+    * mean, with exact counts and integer-ppm shares. This is the
+    * pre-shuffle audit that routes a 100 TB join to
+    * [[graft.ops.Joins.saltedJoin]] before the hot key serializes
+    * one reducer.
+    */
+  private val q216_key_skew: Q = (
+    (s, dir) => graft.ops.DataQuality.keySkew(
+        read(s, dir, "orders").withColumn("k",
+          when(col("o_custkey") % 7 === 0, 0L)
+            .otherwise(col("o_custkey"))),
+        "k", factor = 10.0)
+      .orderBy(col("k")),
+    Some("""WITH keyed AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN 0
+                 ELSE o_custkey END AS k FROM orders),
+             counts AS (SELECT k, count(*) AS n FROM keyed GROUP BY k),
+             census AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 count(*) AS nkeys FROM counts)
+        SELECT k, n, n * 1000000 // total AS share_ppm,
+               nkeys AS n_keys, CAST(total AS BIGINT) AS n_rows
+        FROM counts CROSS JOIN census
+        WHERE CAST(n AS DOUBLE) * CAST(nkeys AS DOUBLE)
+          > 10.0 * CAST(total AS DOUBLE)
+        ORDER BY k"""))
 
   /** OHLC time-series bars: per (event_type, 15-min bucket) the
     * first/max/min/last `value` — open/close picked by min_by/max_by

@@ -1026,6 +1026,114 @@ object QueriesLLM {
         SELECT freq, count(*) AS n_types
         FROM tf GROUP BY freq ORDER BY freq"""))
 
+  /** Bigram PMI collocations ([[TextAnalysis.pmiCollocations]]):
+    * adjacent normalized-token pairs with c_ab >= 5, scored
+    * ln(N*c_ab/(c_a*c_b)) — integer counts are the cross-engine
+    * surface, the single ln rounds 6dp (the corr/BM25 convention).
+    * One pinned corpus scan feeds both censuses; the unigram table
+    * broadcasts; the oracle rebuilds bigrams with a positions
+    * self-join (same pairs, different mechanics).
+    */
+  private val q212_pmi: Q = (
+    (s, dir) => {
+      val out = TextAnalysis.pmiCollocations(
+          spread(read(s, dir, "documents")), "text", minCount = 5L)
+        .orderBy(col("t_a"), col("t_b"))
+      out
+    },
+    Some("""WITH arr AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS a
+               FROM documents WHERE text IS NOT NULL),
+             arr2 AS (SELECT row_number() OVER () AS rid, a FROM arr
+               WHERE len(a) > 0),
+             uni AS (SELECT t, count(*) AS c FROM (
+                 SELECT unnest(a) AS t FROM arr2) GROUP BY t),
+             nn AS (SELECT sum(c) AS n FROM uni),
+             tok AS (SELECT rid, unnest(a) AS t,
+                 generate_subscripts(a, 1) AS i FROM arr2),
+             bi AS (SELECT x.t AS t_a, y.t AS t_b, count(*) AS c_ab
+               FROM tok x JOIN tok y
+                 ON x.rid = y.rid AND y.i = x.i + 1
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT t_a, t_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+               round(ln((CAST(c_ab AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                 / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6)
+                 AS pmi
+        FROM bi JOIN uni ua ON bi.t_a = ua.t
+                JOIN uni ub ON bi.t_b = ub.t
+                CROSS JOIN nn
+        ORDER BY t_a, t_b"""))
+
+  /** Inverted-index postings ([[TextAnalysis.invertedIndex]]): the
+    * materialized (term, df, doc, tf) retrieval artifact with the
+    * df >= 20 tail cut. Two partial-aggregated term shuffles; at
+    * scale the result writes bucketed by term so query-time lookups
+    * are single-bucket scans.
+    */
+  private val q215_inverted_index: Q = (
+    (s, dir) => TextAnalysis.invertedIndex(
+        spread(read(s, dir, "documents")), "doc_id", "text",
+        minDf = 20L)
+      .orderBy(col("term"), col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ',
+                   'g')), ' '), t -> t <> '')) AS term
+               FROM documents WHERE text IS NOT NULL),
+             p AS (SELECT term, doc_id, count(*) AS tf FROM toks
+               GROUP BY 1, 2),
+             d AS (SELECT term, count(*) AS df FROM p GROUP BY 1
+               HAVING count(*) >= 20)
+        SELECT p.term, d.df, p.doc_id, p.tf
+        FROM p JOIN d USING (term)
+        ORDER BY term, doc_id"""))
+
+  /** Scalar int8 quantization of embeddings
+    * ([[Similarity.scalarQuantize]]) on the first 8 dimensions:
+    * per-dim min/max, half-up codes in floor-primitive arithmetic
+    * both engines evaluate identically — every code, lo and hi
+    * hash-matches. The in-plan gate raises if any reconstruction
+    * error exceeds the rounding guarantee (hi-lo)/(2*255) (+1e-9
+    * float slack) — the quantizer's own contract, verified on every
+    * row.
+    */
+  private val q217_int8_quant: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+        .withColumn("embedding", slice(col("embedding"), 1, 8))
+      val q = Similarity.scalarQuantize(e, "vec_id", "embedding",
+        levels = 255)
+      val step = (col("hi") - col("lo")) / lit(255.0)
+      q.withColumn("code",
+          when(col("hi") =!= col("lo") &&
+              abs(col("x") - (col("lo") + col("code") * step)) >
+              step / 2 + lit(1e-9),
+            raise_error(concat(lit("q217: reconstruction error for "),
+              col("vec_id"), lit(" dim "), col("dim"),
+              lit(" exceeds the rounding bound"))).cast("long"))
+            .otherwise(col("code")))
+        .select(col("vec_id"), col("dim"), col("code"), col("lo"),
+          col("hi"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some("""WITH ex AS (SELECT vec_id,
+                 unnest(CAST(embedding[1:8] AS DOUBLE[])) AS x,
+                 generate_subscripts(embedding[1:8], 1) AS i
+               FROM embeddings),
+             e2 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, x
+               FROM ex),
+             st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM e2
+               GROUP BY dim)
+        SELECT vec_id, e2.dim,
+               CASE WHEN hi = lo THEN 0
+                    ELSE CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5)
+                      AS BIGINT) END AS code,
+               lo, hi
+        FROM e2 JOIN st USING (dim)
+        ORDER BY vec_id, dim"""))
+
   /** Count-Min sketch with PORTABLE hash rows
     * ([[Sketches.countMin]]): the ENTIRE 4x256 sketch state over the
     * corpus token stream is rebuilt bit-for-bit by DuckDB — sketch
@@ -3330,6 +3438,9 @@ object QueriesLLM {
     "q174_curriculum" -> q174_curriculum,
     "q194_count_min" -> q194_count_min,
     "q209_cms_conservative" -> q209_cms_conservative,
+    "q212_pmi" -> q212_pmi,
+    "q215_inverted_index" -> q215_inverted_index,
+    "q217_int8_quant" -> q217_int8_quant,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

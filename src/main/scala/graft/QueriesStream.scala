@@ -278,6 +278,48 @@ object QueriesStream {
     * aggregate per (segment, type). The streaming run of the SAME
     * transform is spec-pinned equal (StatsAndStreamSpec).
     */
+  /** LAST-TOUCH ATTRIBUTION ([[Streams.lastTouchAttribution]]):
+    * purchases credited to the latest preceding view/click by the
+    * same user within a 7-day lookback, aggregated per channel (with
+    * an explicit '(none)' bucket). The as-of machinery is the q61
+    * union+window fold — one shuffle on user_id, never a
+    * conversions x touches join; the oracle replays it as a bounded
+    * join + row_number latest (equivalent because "latest touch
+    * within the window" == "latest touch overall, if within the
+    * window" — earlier touches are only further outside).
+    */
+  private val q213_attribution: Q = (
+    (s, dir) => Streams.lastTouchAttribution(read(s, dir, "events"),
+        "purchase", Seq("view", "click"), maxDelaySec = 7L * 86400L)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("channel")),
+    Some(s"""WITH p AS (SELECT event_id, user_id, value,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL),
+             t0 AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events
+               WHERE event_type IN ('view', 'click')
+                 AND ts IS NOT NULL),
+             tch AS (SELECT user_id, t, event_type FROM (
+                 SELECT t0.*, row_number() OVER (
+                   PARTITION BY user_id, t
+                   ORDER BY event_id DESC) AS rn FROM t0)
+               WHERE rn = 1),
+             j AS (SELECT p.event_id, tch.event_type AS channel,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY tch.t DESC) AS rn
+               FROM p JOIN tch ON p.user_id = tch.user_id
+                 AND tch.t <= p.t
+                 AND tch.t >= p.t - INTERVAL 7 DAY),
+             a AS (SELECT event_id, channel FROM j WHERE rn = 1)
+        SELECT COALESCE(a.channel, '(none)') AS channel,
+               count(*) AS n, ${sqlDsum("p.value")} AS sum_value
+        FROM p LEFT JOIN a USING (event_id)
+        GROUP BY 1 ORDER BY 1"""))
+
   /** STREAMING CDC apply ([[Streams.cdcApply]]) in its batch form
     * under the oracle (the q104/q172 convention): the SAME
     * mapGroupsWithState operator that maintains a keyed state table
@@ -399,6 +441,7 @@ object QueriesStream {
     "q172_stream_funnel" -> q172_stream_funnel,
     "q198_stream_enrich" -> q198_stream_enrich,
     "q208_cdc_stream" -> q208_cdc_stream,
+    "q213_attribution" -> q213_attribution,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

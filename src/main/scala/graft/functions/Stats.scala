@@ -422,4 +422,46 @@ object Stats {
         expr("datediff(__aw, __cw) div 7").as("week_no"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** RFM customer segmentation (Hughes 1994, the standard
+    * direct-marketing model): per customer, Recency (days from last
+    * order to the corpus max date), Frequency (order count),
+    * Monetary (exact-decimal spend), each scored 1..`buckets` by
+    * EXACT ntile — low recency scores high, high frequency/monetary
+    * score high — plus the concatenated segment code ("555" = best).
+    * Ntiles run via [[graft.ops.ScanOps.ntile]] (ranged rank, no
+    * single-partition window) with the customer key as tiebreak, so
+    * every score — hence every segment — is engine-replayable. One
+    * grouped aggregate over orders + three bounded sorts of the
+    * customer-sized RFM table.
+    */
+  def rfm(orders: DataFrame, custKey: String, orderDate: String,
+      amount: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2 && buckets <= 9, s"rfm: buckets $buckets")
+    val base = orders.where(col(orderDate).isNotNull)
+      .groupBy(col(custKey))
+      .agg(max(col(orderDate)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amount).cast("decimal(25,6)")).cast("double")
+          .as("monetary"))
+    val withR = base
+      .crossJoin(broadcast(base.agg(max(col("__last")).as("__maxd"))))
+      .withColumn("recency_days",
+        expr("datediff(__maxd, __last)").cast("long"))
+    val r = graft.ops.ScanOps.ntile(withR,
+      Seq(col("recency_days").asc, col(custKey).asc), buckets, "__rb")
+    val f = graft.ops.ScanOps.ntile(r,
+      Seq(col("frequency").asc, col(custKey).asc), buckets, "__fb")
+    val m = graft.ops.ScanOps.ntile(f,
+      Seq(col("monetary").asc, col(custKey).asc), buckets, "__mb")
+    m.withColumn("r_score",
+        (lit(buckets + 1) - col("__rb")).cast("long")) // recent = high
+      .withColumn("f_score", col("__fb").cast("long"))
+      .withColumn("m_score", col("__mb").cast("long"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+      .select(col(custKey), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+  }
 }

@@ -59,6 +59,40 @@ object Similarity {
         count(lit(1)).as("n_branches"))
   }
 
+  /** Per-dimension SCALAR quantization of an embedding column to
+    * byte-range codes (the int8 compression every vector store ships
+    * — 4x smaller than float32, ~1% recall cost in practice):
+    * code = floor((x - lo_d) / (hi_d - lo_d) * levels + 0.5) with
+    * (lo_d, hi_d) the dimension's global min/max. The +0.5 floor is
+    * HALF-UP rounding written in primitives both engines evaluate
+    * identically (round() semantics differ across engines; floor
+    * does not), and min/max/ratio are exact double arithmetic in one
+    * fixed operation order, so every code is engine-replayable
+    * (q217). Dequantize with lo + code * (hi - lo) / levels; the
+    * rounding guarantee |x - x̂| <= (hi-lo)/(2*levels) is the
+    * in-plan gate q217 carries. One posexplode + a broadcast
+    * dimension-stats table (dims-sized); constant dimensions emit
+    * code 0.
+    */
+  def scalarQuantize(df: DataFrame, id: String, vec: String,
+      levels: Int = 255): DataFrame = {
+    require(levels >= 1 && levels <= 65535,
+      s"scalarQuantize: levels $levels")
+    val ex = df.where(col(vec).isNotNull)
+      .select(col(id), posexplode(col(vec)).as(Seq("dim", "__x")))
+      .withColumn("__x", col("__x").cast("double"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("__x")).as("lo"), max(col("__x")).as("hi"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(floor((col("__x") - col("lo")) /
+            (col("hi") - col("lo")) * lit(levels.toDouble) + lit(0.5))
+            .cast("long")))
+      .select(col(id), col("dim").cast("long").as("dim"), col("code"),
+        col("lo"), col("hi"), col("__x").as("x"))
+  }
+
   /** Candidate-feature table for SECOND-STAGE reranking: full-outer
     * join the per-branch (id, rank) shortlists into one row per
     * candidate with a `rank_<branch>` column each, absent branches

@@ -754,4 +754,72 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Bigram COLLOCATIONS by pointwise mutual information (Church &
+    * Hanks 1990): pmi(a,b) = ln(N * c(ab) / (c(a) * c(b))) over
+    * adjacent normalized-token pairs within each document. Counts
+    * are exact integers (the cross-engine surface); the one floating
+    * step (ln of their ratio, evaluated in one fixed operation
+    * order) rounds to 6dp — the corr/BM25 convention. `minCount`
+    * prunes the bigram tail BEFORE the unigram joins (low-count PMI
+    * is noise anyway — the standard collocation cut), so the joins
+    * run on the head of the distribution; the unigram table is
+    * vocab-sized and broadcasts.
+    *
+    * One corpus scan: the token-array projection is pinned and feeds
+    * both the unigram census and the adjacent-pair census (slice +
+    * arrays_zip — no positions self-join).
+    */
+  def pmiCollocations(df: DataFrame, text: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount $minCount")
+    val arr = graft.Caches.pin(df.where(col(text).isNotNull)
+      .select(filter(split(Dedup.normalize(col(text)), " "),
+        t => t =!= "").as("a"))
+      .where(size(col("a")) > 0))
+    val uni = arr.select(explode(col("a")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bi = arr.where(size(col("a")) >= 2)
+      .select(slice(col("a"), lit(1), size(col("a")) - 1).as("x"),
+        slice(col("a"), lit(2), size(col("a")) - 1).as("y"))
+      .select(explode(arrays_zip(col("x"), col("y"))).as("p"))
+      .select(col("p.x").as("t_a"), col("p.y").as("t_b"))
+      .groupBy(col("t_a"), col("t_b")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    bi.join(broadcast(uni.select(col("t").as("t_a"),
+        col("c").as("c_a"))), Seq("t_a"))
+      .join(broadcast(uni.select(col("t").as("t_b"),
+        col("c").as("c_b"))), Seq("t_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") * col("n").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6))
+      .select(col("t_a"), col("t_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("pmi"))
+  }
+
+  /** INVERTED-INDEX postings: one row per (term, doc) with term
+    * frequency and the term's document frequency — the materialized
+    * retrieval artifact BM25 serving reads. Terms below `minDf`
+    * drop (the long tail that bloats an index without ever ranking).
+    * Two partial-aggregated shuffles on the term; at scale, write
+    * the result bucketed by term ([[graft.io.Sources.writeBucketed]])
+    * so query-time term lookups are single-bucket scans with no
+    * shuffle.
+    */
+  def invertedIndex(df: DataFrame, docId: String, text: String,
+      minDf: Long = 2L): DataFrame = {
+    val postings = df.where(col(text).isNotNull)
+      .select(col(docId),
+        explode(filter(split(Dedup.normalize(col(text)), " "),
+          t => t =!= "")).as("term"))
+      .groupBy(col("term"), col(docId))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    postings.join(dfreq, Seq("term"))
+      .select(col("term"), col("df"), col(docId), col("tf"))
+  }
 }

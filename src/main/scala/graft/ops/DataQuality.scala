@@ -92,4 +92,30 @@ object DataQuality {
       .withColumn("pass", (col("n_violations") === 0L).cast("int"))
       .orderBy(col("rule"), col("column"))
   }
+
+  /** KEY-SKEW diagnostic for a prospective join/aggregation key: the
+    * heavy keys (count > `factor` × the mean per-key count) with
+    * their exact counts and parts-per-million share — the report
+    * that decides between a plain shuffle, a broadcast, and a
+    * salted join ([[Joins.saltedJoin]]) BEFORE a 100 TB shuffle
+    * discovers the hot key the hard way. One grouped count (partial-
+    * aggregated, key-sized) + a broadcast single-row census; share
+    * is integer ppm (n*1e6 div total) so the report is
+    * engine-replayable. Null keys count as a key (they are the
+    * classic skew culprit).
+    */
+  def keySkew(df: DataFrame, key: String,
+      factor: Double = 10.0): DataFrame = {
+    require(factor > 1.0, s"keySkew: factor $factor")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val census = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(census))
+      // cross-multiplied integer threshold: n * nkeys > factor * total
+      .where(col("n").cast("double") * col("__nkeys").cast("double") >
+        lit(factor) * col("__total").cast("double"))
+      .select(col(key), col("n"),
+        expr("n * 1000000L div __total").as("share_ppm"),
+        col("__nkeys").as("n_keys"), col("__total").as("n_rows"))
+  }
 }

@@ -140,6 +140,48 @@ object Streams {
       }
   }
 
+  /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the
+    * latest preceding touchpoint (type in `touchTypes`) by the same
+    * user within `maxDelaySec` — the standard lookback-window
+    * attribution model. Built on [[graft.ops.Joins.asofJoin]] (union
+    * + per-user window fold — ONE shuffle on user_id, no
+    * conversions×touches join), then the lookback cut filters the
+    * matched time: if the LATEST touch is outside the window, every
+    * earlier one is too, so at-or-before + post-filter IS lookback
+    * attribution. Touches are deduplicated to one per (user, ts)
+    * (max event_id) first so the as-of winner is deterministic.
+    * Returns one row per conversion: conversion columns +
+    * `channel` (touch event_type, null when unattributed) — feed a
+    * groupBy(channel) for the report, or extend to first-touch by
+    * flipping the dedup/ordering.
+    */
+  def lastTouchAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], maxDelaySec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"lastTouchAttribution: touches $touchTypes vs $conversionType")
+    require(maxDelaySec > 0, s"lastTouchAttribution: $maxDelaySec")
+    val conv = events.where(col("event_type") === conversionType &&
+      col("ts").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val touches = events
+      .where(col("event_type").isin(touchTypes: _*) &&
+        col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+    val matched = graft.ops.Joins.asofJoin(conv, touches, "user_id",
+        leftTime = "ts", rightTime = "touch_ts",
+        payload = Seq("touch_type"))
+      .where(col("asof_touch_ts") >=
+        col("ts") - expr(s"INTERVAL $maxDelaySec SECOND"))
+      .select(col("event_id"),
+        col("asof_touch_type").as("channel"))
+    conv.join(matched, Seq("event_id"), "left")
+  }
+
   /** One I/U/D change event, key + ordering + whole-row payload
     * (JSON of the value columns — a bounded, encoder-stable state
     * shape regardless of the table's schema).

@@ -1,0 +1,135 @@
+package graft
+
+import graft.llmdata.{Similarity, TextAnalysis}
+import graft.ops.DataQuality
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Round-9 analytics additions: attribution edges, key skew, PMI,
+  * scalar quantization, RFM — hand-computed small cases.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(sec * 1000L)
+
+  test("lastTouchAttribution: latest touch wins, lookback excludes " +
+      "stale touches, same-ts touch credits, no-touch purchases " +
+      "come back unattributed") {
+    val ev = Seq(
+      // user 1: view@10, click@20, purchase@25 -> click (latest)
+      (1L, ts(10), 1L, "view", 1.0),
+      (2L, ts(20), 1L, "click", 1.0),
+      (3L, ts(25), 1L, "purchase", 10.0),
+      // user 2: view@5, purchase@100 with 20s lookback -> stale
+      (4L, ts(5), 2L, "view", 1.0),
+      (5L, ts(100), 2L, "purchase", 20.0),
+      // user 3: touch at the exact purchase ts -> credited
+      (6L, ts(50), 3L, "view", 1.0),
+      (7L, ts(50), 3L, "purchase", 30.0),
+      // user 4: purchase with no touches at all
+      (8L, ts(60), 4L, "purchase", 40.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Streams.lastTouchAttribution(ev, "purchase",
+        Seq("view", "click"), maxDelaySec = 20L)
+      .select(col("event_id"), col("channel"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(1))).toMap
+    assert(got == Map(3L -> Some("click"), 5L -> None,
+      7L -> Some("view"), 8L -> None), s"got $got")
+    // boundary: touch exactly maxDelay before the purchase credits
+    val edge = Seq((1L, ts(0), 9L, "view", 1.0),
+      (2L, ts(20), 9L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = Streams.lastTouchAttribution(edge, "purchase",
+        Seq("view"), maxDelaySec = 20L)
+      .select(col("channel")).collect()
+    assert(e.map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("view")))
+  }
+
+  test("keySkew: flags only keys over factor x mean, exact ppm " +
+      "shares, null key counted, empty and uniform inputs empty") {
+    // 100 rows: key 0 x 60, keys 1..40 x 1 each -> 41 keys,
+    // mean 100/41; key 0: 60*41 = 2460 > 10*100 -> flagged alone
+    val df = (Seq.fill(60)(Some(0L)) ++
+      (1L to 40L).map(Some(_))).toDF("k")
+    val got = DataQuality.keySkew(df, "k", factor = 10.0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 60L)
+    assert(r.getLong(2) == 600000L) // 60 * 1e6 div 100
+    assert(r.getLong(3) == 41L && r.getLong(4) == 100L)
+    // null keys participate (the classic hot key)
+    val withNull = (Seq.fill(60)(Option.empty[Long]) ++
+      (1L to 40L).map(Some(_))).toDF("k")
+    val n = DataQuality.keySkew(withNull, "k", factor = 10.0).collect()
+    assert(n.length == 1 && n.head.isNullAt(0) &&
+      n.head.getLong(1) == 60L)
+    // uniform: nothing flagged
+    assert(DataQuality.keySkew((1L to 50L).toDF("k"), "k").count() == 0)
+  }
+
+  test("pmiCollocations: hand-computed pmi on a fixed corpus, " +
+      "minCount prunes, cross-doc bigrams never pair") {
+    // "a b" x3 in one doc each; "c" alone ends a doc — (b,c) never
+    // adjacent across doc boundaries
+    val docs = Seq("a b x", "a b y", "a b", "c").toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 3L)
+      .collect()
+    graft.Caches.release()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    // N = 9 tokens; pmi = ln(3*9/(3*3)) = ln(3)
+    assert(math.abs(r.getDouble(5) - math.log(3.0)) < 1e-6)
+  }
+
+  test("scalarQuantize: codes span 0..levels, constant dim codes 0, " +
+      "reconstruction error within the rounding bound") {
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f)), (2L, Seq(0.5f, 5.0f)),
+      (3L, Seq(1.0f, 5.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.scalarQuantize(df, "vec_id", "embedding",
+      levels = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // dim 0: lo 0, hi 1 -> codes 0, 5, 10; dim 1 constant -> 0
+    assert(q((1L, 0L))._1 == 0L && q((2L, 0L))._1 == 5L &&
+      q((3L, 0L))._1 == 10L)
+    assert(Seq(1L, 2L, 3L).forall(v => q((v, 1L))._1 == 0L))
+    assert(q((1L, 0L))._2 == 0.0 && q((1L, 0L))._3 == 1.0)
+  }
+
+  test("rfm: scores and segments replay ntile semantics with the " +
+      "custkey tiebreak") {
+    val day = 86400L * 1000L
+    val orders = Seq(
+      (1L, new java.sql.Timestamp(10 * day), 100.0),
+      (1L, new java.sql.Timestamp(9 * day), 100.0),
+      (2L, new java.sql.Timestamp(8 * day), 50.0),
+      (3L, new java.sql.Timestamp(6 * day), 300.0),
+      (4L, new java.sql.Timestamp(2 * day), 10.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.functions.Stats.rfm(orders, "o_custkey",
+        "o_orderdate", "o_totalprice", buckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getString(7))).toMap
+    // recency (vs day 10): c1=0, c2=2, c3=4, c4=8
+    assert(got(1L)._1 == 0L && got(2L)._1 == 2L &&
+      got(3L)._1 == 4L && got(4L)._1 == 8L)
+    // frequency: c1=2, others 1; monetary: c1=200, c2=50, c3=300, c4=10
+    assert(got(1L)._2 == 2L && got(1L)._3 == 200.0)
+    // ntile(2) over recency asc (0,2,4,8): buckets (1,1,2,2) ->
+    // r_score (2,2,1,1); frequency asc with custkey tiebreak
+    // (c2=1,c3=1,c4=1,c1=2): buckets c2,c3 -> 1, c4,c1 -> 2 ->
+    // f: c1=2, c2=1, c3=1, c4=2; monetary asc (10,50,200,300):
+    // m: c4=1, c2=1, c1=2, c3=2
+    assert(got(1L)._4 == "222", got(1L))
+    assert(got(2L)._4 == "211", got(2L))
+    assert(got(3L)._4 == "112", got(3L))
+    assert(got(4L)._4 == "121", got(4L))
+  }
+}
