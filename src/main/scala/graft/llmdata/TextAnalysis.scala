@@ -803,9 +803,12 @@ object TextAnalysis {
     * frequency and the term's document frequency — the materialized
     * retrieval artifact BM25 serving reads. Terms below `minDf`
     * drop (the long tail that bloats an index without ever ranking).
-    * Two partial-aggregated shuffles on the term; at scale, write
-    * the result bucketed by term ([[graft.io.Sources.writeBucketed]])
-    * so query-time term lookups are single-bucket scans with no
+    * Two shuffles, no join: the (term, doc) tf aggregate, then df as
+    * a COUNT window over the term partition (posting lists are
+    * per-term bounded, and the window replaces the census+join plan
+    * that would shuffle a third time). At scale, write the result
+    * bucketed by term ([[graft.io.Sources.writeBucketed]]) so
+    * query-time term lookups are single-bucket scans with no
     * shuffle.
     */
   def invertedIndex(df: DataFrame, docId: String, text: String,
@@ -816,10 +819,10 @@ object TextAnalysis {
           t => t =!= "")).as("term"))
       .groupBy(col("term"), col(docId))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    postings.withColumn("df", count(lit(1)).over(w))
       .where(col("df") >= minDf)
-    postings.join(dfreq, Seq("term"))
       .select(col("term"), col("df"), col(docId), col("tf"))
   }
 }

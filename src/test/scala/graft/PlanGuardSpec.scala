@@ -397,4 +397,39 @@ class PlanGuardSpec extends SparkSuite {
     val p = planOf(q("q174_curriculum"))
     assert(!p.contains("Window"), p)
   }
+
+  test("q207 CDC apply: the latest-change rank-1 filter pushes " +
+      "MAP-SIDE (WindowGroupLimit before the key exchange)") {
+    val p = planOf(q("q207_cdc_apply"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q213 attribution: the as-of fold is ONE bare-user_id hash " +
+      "exchange (the dedup's (user_id, ts) exchange aside) — no " +
+      "conversions x touches join") {
+    val p = planOf(q("q213_attribution"))
+    // the fold partitions on user_id ALONE; the touch dedup's
+    // (user_id, ts) window is the only other user-keyed exchange
+    val bare = p.linesIterator.count(l =>
+      l.matches(".*hashpartitioning\\(user_id#\\d+L, \\d+\\).*"))
+    assert(bare == 1, s"$bare bare user_id exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q215 inverted index: df comes from a window over the " +
+      "postings — TWO hash exchanges, no self-join (ordering/spread " +
+      "exchanges aside)") {
+    val p = planOf(q("q215_inverted_index"))
+    assert(!p.contains("Join"), p)
+    val n = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(n == 2, s"$n hash exchanges:\n$p")
+  }
+
+  test("q217 int8 quantization: the dim-stats table joins BROADCAST " +
+      "back onto the exploded stream") {
+    val p = planOf(q("q217_int8_quant"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
