@@ -601,6 +601,12 @@ object QueriesAgg {
     "q214_rfm" -> q214_rfm,
     "q216_key_skew" -> q216_key_skew,
     "q218_grouping_sets" -> q218_grouping_sets,
+    "q219_basket_rules" -> q219_basket_rules,
+    "q220_chi_square" -> q220_chi_square,
+    "q221_vwap" -> q221_vwap,
+    "q222_benford" -> q222_benford,
+    "q223_corr_matrix" -> q223_corr_matrix,
+    "q224_winsorize" -> q224_winsorize,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
@@ -833,6 +839,192 @@ object QueriesAgg {
         WHERE CAST(n AS DOUBLE) * CAST(nkeys AS DOUBLE)
           > 10.0 * CAST(total AS DOUBLE)
         ORDER BY k"""))
+
+  /** Market-basket association rules
+    * ([[graft.ops.Association.basketRules]]): orders as baskets,
+    * part brands as items (25-value key — the per-basket self-join
+    * is quadratic only in distinct brands per order, census-guarded).
+    * Exact integer supports; confidence and lift in fixed-order
+    * 6dp-rounded doubles. minSupport cuts before the margin joins.
+    */
+  private val q219_basket_rules: Q = (
+    (s, dir) => graft.ops.Association.basketRules(
+        read(s, dir, "lineitem").join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey")),
+        "l_orderkey", "p_brand", minSupport = 100L)
+      .orderBy(col("item_a"), col("item_b")),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                 p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+             cnt AS (SELECT i, count(*) AS c FROM items GROUP BY i),
+             nb AS (SELECT count(DISTINCT b) AS n FROM items),
+             pr AS (SELECT x.i AS item_a, y.i AS item_b,
+                 count(*) AS support
+               FROM items x JOIN items y
+                 ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 100)
+        SELECT item_a, item_b, support, ca.c AS count_a,
+               cb.c AS count_b,
+               round(CAST(support AS DOUBLE) / CAST(ca.c AS DOUBLE),
+                 6) AS confidence,
+               round(CAST(support AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)),
+                 6) AS lift
+        FROM pr JOIN cnt ca ON pr.item_a = ca.i
+                JOIN cnt cb ON pr.item_b = cb.i
+                CROSS JOIN nb
+        ORDER BY item_a, item_b"""))
+
+  /** Chi-square independence test
+    * ([[graft.functions.Stats.chiSquare]]) over order status x
+    * priority: exact observed counts, expected and contribution in
+    * one fixed double operation order rounded 6dp. Cells are
+    * category-bounded; marginals broadcast.
+    */
+  private val q220_chi_square: Q = (
+    (s, dir) => graft.functions.Stats.chiSquare(
+        read(s, dir, "orders"), "o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+                 count(*) AS obs FROM orders
+               WHERE o_orderstatus IS NOT NULL
+                 AND o_orderpriority IS NOT NULL GROUP BY 1, 2),
+             rt AS (SELECT o_orderstatus,
+                 CAST(sum(obs) AS BIGINT) AS r FROM cells GROUP BY 1),
+             ct AS (SELECT o_orderpriority,
+                 CAST(sum(obs) AS BIGINT) AS c FROM cells GROUP BY 1),
+             nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells)
+        SELECT o_orderstatus, o_orderpriority, obs,
+               round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS expected,
+               round((CAST(obs AS DOUBLE) - CAST(r AS DOUBLE)
+                   * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(obs AS DOUBLE) - CAST(r AS DOUBLE)
+                   * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(n AS DOUBLE)), 6) AS contrib
+        FROM cells JOIN rt USING (o_orderstatus)
+                   JOIN ct USING (o_orderpriority)
+                   CROSS JOIN nn
+        ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** VWAP (volume-weighted average price) per (returnflag, ship
+    * week): exact-decimal sums of price*qty and qty, ONE double
+    * division at the end (the davg rule), rounded 6dp. The
+    * pre-aggregation that turns a tick-sized fact table into a
+    * servable price series.
+    */
+  private val q221_vwap: Q = (
+    (s, dir) => read(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        date_trunc("week", col("l_shipdate")).as("wk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(25,6)")).cast("double")
+          .as("vol"),
+        round(
+          sum((col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(38,10)")).cast("double") /
+          sum(col("l_quantity").cast("decimal(25,6)")).cast("double"),
+          6).as("vwap"))
+      .orderBy(col("l_returnflag"), col("wk")),
+    Some("""SELECT l_returnflag,
+                   date_trunc('week', l_shipdate) AS wk,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,6)))
+                     AS DOUBLE) AS vol,
+                   round(CAST(sum(CAST(l_extendedprice * l_quantity
+                       AS DECIMAL(38,10))) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(25,6)))
+                       AS DOUBLE), 6) AS vwap
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Benford first-digit audit ([[graft.ops.DataQuality.benford]])
+    * on order totals: digit from the integer-cents string (double
+    * formatting and boundary log10 differ across engines; int64
+    * formatting does not), observed/expected/deviation as integer
+    * ppm — every row replayable.
+    */
+  private val q222_benford: Q = (
+    (s, dir) => graft.ops.DataQuality.benford(
+        read(s, dir, "orders"), "o_totalprice")
+      .orderBy(col("digit")),
+    Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(
+                 o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                 AS BIGINT) AS digit
+               FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+                 AND CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+             c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+             e AS (SELECT CAST(r.d AS BIGINT) AS digit,
+                 CAST(round(log10(1.0 + 1.0 / r.d) * 1000000)
+                   AS BIGINT) AS exp_ppm
+               FROM (SELECT unnest(range(1, 10)) AS d) r)
+        SELECT c.digit, c.n, c.n * 1000000 // t.t AS obs_ppm,
+               e.exp_ppm, c.n * 1000000 // t.t - e.exp_ppm AS dev_ppm
+        FROM c CROSS JOIN t JOIN e ON c.digit = e.digit
+        ORDER BY c.digit"""))
+
+  /** Pairwise correlation matrix
+    * ([[graft.functions.Stats.corrMatrix]]) over four lineitem
+    * measures from ONE aggregate pass of exact decimal sums; the
+    * closed form evaluates in identical double ops on both engines,
+    * rounded 6dp.
+    */
+  private val q223_corr_matrix: Q = {
+    val cols4 = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    def sqlP(a: String, b: String) =
+      s"CAST(sum(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) " +
+        s"AS DECIMAL(38,10))) AS DOUBLE)"
+    val pairSelects = (for {
+      i <- cols4.indices; j <- (i + 1) until cols4.size
+    } yield {
+      val (a, b) = (cols4(i), cols4(j))
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+          round((n * p_${i}_$j - s_$i * s_$j)
+            / sqrt((n * p_${i}_$i - s_$i * s_$i)
+              * (n * p_${j}_$j - s_$j * s_$j)), 6) AS corr FROM s"""
+    }).mkString("\n UNION ALL ")
+    val sums = cols4.indices.map(i =>
+      s"${sqlDsum(cols4(i))} AS s_$i").mkString(", ") + ", " +
+      (for { i <- cols4.indices; j <- i until cols4.size }
+        yield s"${sqlP(cols4(i), cols4(j))} AS p_${i}_$j")
+        .mkString(", ") + ", CAST(count(*) AS DOUBLE) AS n"
+    ((s, dir) => graft.functions.Stats.corrMatrix(
+        read(s, dir, "lineitem"), cols4)
+      .orderBy(col("col_a"), col("col_b")),
+      Some(s"""WITH s AS (SELECT $sums FROM lineitem)
+          SELECT * FROM ($pairSelects) ORDER BY col_a, col_b"""))
+  }
+
+  /** Winsorization summary
+    * ([[graft.functions.Stats.winsorizeSummary]]): exact discrete
+    * p1/p99 clip bounds per returnflag (bit-for-bit quantile_disc),
+    * clipped-side counts, and the exact-decimal sum after clipping.
+    */
+  private val q224_winsorize: Q = (
+    (s, dir) => graft.functions.Stats.winsorizeSummary(
+        read(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        pLo = 0.01, pHi = 0.99)
+      .orderBy(col("l_returnflag")),
+    Some(s"""WITH q AS (SELECT l_returnflag,
+                 quantile_disc(l_extendedprice, 0.01) AS lo,
+                 quantile_disc(l_extendedprice, 0.99) AS hi
+               FROM lineitem WHERE l_extendedprice IS NOT NULL
+               GROUP BY 1)
+        SELECT l.l_returnflag, any_value(q.lo) AS lo,
+               any_value(q.hi) AS hi,
+               count(CASE WHEN l_extendedprice < q.lo THEN 1 END)
+                 AS n_low,
+               count(CASE WHEN l_extendedprice > q.hi THEN 1 END)
+                 AS n_high,
+               count(*) AS n,
+               ${sqlDsum("greatest(least(l_extendedprice, q.hi), q.lo)")}
+                 AS sum_clipped
+        FROM lineitem l JOIN q USING (l_returnflag)
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
 
   /** OHLC time-series bars: per (event_type, 15-min bucket) the
     * first/max/min/last `value` — open/close picked by min_by/max_by

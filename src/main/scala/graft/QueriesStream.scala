@@ -320,6 +320,72 @@ object QueriesStream {
         FROM p LEFT JOIN a USING (event_id)
         GROUP BY 1 ORDER BY 1"""))
 
+  /** Seasonal-naive forecast baseline
+    * ([[graft.functions.Stats.seasonalNaiveMae]]): hourly event
+    * counts, forecast = yesterday's count at the same hour (lag over
+    * the (type, hour-of-day) partition), MAE per type. Integer
+    * errors; the MAE ratio rounds 6dp.
+    */
+  private val q225_seasonal_naive: Q = (
+    (s, dir) => graft.functions.Stats.seasonalNaiveMae(
+        read(s, dir, "events").where(col("ts").isNotNull),
+        "event_type", hour(col("ts")), to_date(col("ts")))
+      .orderBy(col("event_type")),
+    Some("""WITH c AS (SELECT event_type,
+                 hour(CAST(ts AS TIMESTAMP)) AS pos,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 count(*) AS c
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+             l AS (SELECT event_type, c, lag(c) OVER (
+                 PARTITION BY event_type, pos ORDER BY per) AS prev
+               FROM c)
+        SELECT event_type, count(*) AS n_scored,
+               CAST(sum(abs(c - prev)) AS BIGINT) AS abs_err_sum,
+               round(CAST(sum(abs(c - prev)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mae
+        FROM l WHERE prev IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""))
+
+  /** FIRST-touch attribution ([[Streams.firstTouchAttribution]]):
+    * earliest touch within the 7-day lookback via a RANGE-frame
+    * window on the per-user event-time axis (earliest-overall may
+    * predate the window, so the as-of fold can't express this one) —
+    * still a single user_id shuffle. Same report shape as q213; the
+    * oracle flips the latest rank to earliest inside the bounded
+    * join window.
+    */
+  private val q226_first_touch: Q = (
+    (s, dir) => Streams.firstTouchAttribution(read(s, dir, "events"),
+        "purchase", Seq("view", "click"), maxDelaySec = 7L * 86400L)
+      .groupBy(coalesce(col("channel"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("channel")),
+    Some(s"""WITH p AS (SELECT event_id, user_id, value,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL),
+             t0 AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events
+               WHERE event_type IN ('view', 'click')
+                 AND ts IS NOT NULL),
+             tch AS (SELECT user_id, t, event_type FROM (
+                 SELECT t0.*, row_number() OVER (
+                   PARTITION BY user_id, t
+                   ORDER BY event_id DESC) AS rn FROM t0)
+               WHERE rn = 1),
+             j AS (SELECT p.event_id, tch.event_type AS channel,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY tch.t ASC) AS rn
+               FROM p JOIN tch ON p.user_id = tch.user_id
+                 AND tch.t <= p.t
+                 AND tch.t >= p.t - INTERVAL 7 DAY),
+             a AS (SELECT event_id, channel FROM j WHERE rn = 1)
+        SELECT COALESCE(a.channel, '(none)') AS channel,
+               count(*) AS n, ${sqlDsum("p.value")} AS sum_value
+        FROM p LEFT JOIN a USING (event_id)
+        GROUP BY 1 ORDER BY 1"""))
+
   /** STREAMING CDC apply ([[Streams.cdcApply]]) in its batch form
     * under the oracle (the q104/q172 convention): the SAME
     * mapGroupsWithState operator that maintains a keyed state table
@@ -442,6 +508,8 @@ object QueriesStream {
     "q198_stream_enrich" -> q198_stream_enrich,
     "q208_cdc_stream" -> q208_cdc_stream,
     "q213_attribution" -> q213_attribution,
+    "q225_seasonal_naive" -> q225_seasonal_naive,
+    "q226_first_touch" -> q226_first_touch,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

@@ -373,9 +373,14 @@ object Stats {
     val ranked = df.where(col(value).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
+    // quantile_disc rank = smallest r with r >= p*n, i.e.
+    // max(1, ceil(p*n)) 1-based (probed against DuckDB across n/p
+    // including float-edge products; the older floor(p*(n-1))+1 note
+    // coincides only at quarter quantiles on some n)
     val exprs = ps.map { case (name, p) =>
       max(when(col("__rn") ===
-        floor(lit(p) * (col("__n") - 1)) + 1, col(value))).as(name)
+        greatest(ceil(lit(p) * col("__n")), lit(1L)), col(value)))
+        .as(name)
     }
     ranked.groupBy(col(grp)).agg(exprs.head, exprs.tail: _*)
   }
@@ -421,6 +426,129 @@ object Stats {
       .groupBy(to_date(col("__cw")).as("cohort_week"),
         expr("datediff(__aw, __cw) div 7").as("week_no"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Pearson chi-square test of independence over a two-way
+    * contingency table: per cell the observed count (exact integer),
+    * expected count row_total*col_total/N and the (obs-exp)²/exp
+    * contribution (both computed in one fixed double operation order
+    * and rounded 6dp — the corr convention). The statistic is the
+    * contribution sum; significance lookup is the caller's (tables
+    * are public). One grouped count + two broadcast marginals —
+    * cells are category-bounded, data volume only enters the count.
+    */
+  def chiSquare(df: DataFrame, rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col(rowCol)).agg(sum(col("obs")).as("__rt"))
+    val colT = cells.groupBy(col(colCol)).agg(sum(col("obs")).as("__ct"))
+    val n = cells.agg(sum(col("obs")).as("__n"))
+    cells.join(broadcast(rowT), Seq(rowCol))
+      .join(broadcast(colT), Seq(colCol))
+      .crossJoin(broadcast(n))
+      .withColumn("expected", round(
+        col("__rt").cast("double") * col("__ct").cast("double") /
+          col("__n").cast("double"), 6))
+      .withColumn("contrib", round(
+        (col("obs").cast("double") -
+          col("__rt").cast("double") * col("__ct").cast("double") /
+            col("__n").cast("double")) *
+        (col("obs").cast("double") -
+          col("__rt").cast("double") * col("__ct").cast("double") /
+            col("__n").cast("double")) /
+        (col("__rt").cast("double") * col("__ct").cast("double") /
+          col("__n").cast("double")), 6))
+      .select(col(rowCol), col(colCol), col("obs"), col("expected"),
+        col("contrib"))
+  }
+
+  /** Pairwise Pearson correlation matrix over numeric columns from
+    * ORDER-FREE exact sums (the dstd/q205 pattern): every Sx/Sxx/Sxy
+    * accumulates in wide decimals, the closed form
+    * (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx²)(n*Syy - Sy²)) evaluates in
+    * identical double ops on both engines, rounded 6dp. ONE aggregate
+    * pass computes all k(k+1)/2 sums — adding a column pair adds
+    * state, never a scan.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix: need 2+ columns, got $cols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def s1(c: String) = graft.QH.dsum(col(c)).as(s"__s_$c")
+    def s2(a: String, b: String) =
+      sum((col(a).cast("double") * col(b).cast("double"))
+        .cast("decimal(38,10)")).cast("double").as(s"__p_${a}__$b")
+    val aggs = cols.map(s1) ++
+      (for { i <- cols.indices; j <- i until cols.size }
+        yield s2(cols(i), cols(j))) :+
+      count(lit(1)).cast("double").as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    pairs.toDF("col_a", "col_b").crossJoin(broadcast(row))
+      .withColumn("corr", round(coalesce(
+        pairs.map { case (a, b) =>
+          val num = col("__n") * col(s"__p_${a}__$b") -
+            col(s"__s_$a") * col(s"__s_$b")
+          val den = sqrt((col("__n") * col(s"__p_${a}__$a") -
+            col(s"__s_$a") * col(s"__s_$a")) *
+            (col("__n") * col(s"__p_${b}__$b") -
+              col(s"__s_$b") * col(s"__s_$b")))
+          when(col("col_a") === a && col("col_b") === b, num / den)
+        }: _*), 6))
+      .select(col("col_a"), col("col_b"), col("corr"))
+  }
+
+  /** WINSORIZATION summary per group: clip bounds at the exact
+    * discrete p-lo/p-hi quantiles ([[groupQuantilesDisc]] —
+    * bit-for-bit quantile_disc), counts clipped each side, and the
+    * exact-decimal sum after clipping. Bounds and counts are exact;
+    * the one aggregate sum goes through the decimal path — fully
+    * engine-replayable, unlike mean/stddev-based trimming.
+    */
+  def winsorizeSummary(df: DataFrame, grp: String, value: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorizeSummary: ($pLo, $pHi)")
+    val qs = groupQuantilesDisc(df, grp, value,
+      Seq("lo" -> pLo, "hi" -> pHi))
+    df.where(col(value).isNotNull)
+      .join(broadcast(qs), Seq(grp))
+      .groupBy(col(grp))
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        count(when(col(value) < col("lo"), 1)).as("n_low"),
+        count(when(col(value) > col("hi"), 1)).as("n_high"),
+        count(lit(1)).as("n"),
+        graft.QH.dsum(greatest(least(col(value), col("hi")),
+          col("lo"))).as("sum_clipped"))
+  }
+
+  /** Seasonal-naive forecast error (the baseline every forecasting
+    * paper reports): per (group, season position) the series of
+    * per-period counts, forecast = previous period's count at the
+    * same position (lag over the position partition), MAE over the
+    * scored periods. Counts are integers, so every absolute error is
+    * an integer and the MAE is an exact ratio rounded 6dp.
+    * `seasonCol`/`periodCol` are caller-derived (e.g. hour-of-day /
+    * date); windows partition (group, position) — bounded groups,
+    * one shuffle.
+    */
+  def seasonalNaiveMae(df: DataFrame, grp: String, seasonCol: Column,
+      periodCol: Column): DataFrame = {
+    val counts = df
+      .groupBy(col(grp), seasonCol.as("__pos"), periodCol.as("__per"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grp), col("__pos")).orderBy(col("__per"))
+    counts.withColumn("__prev", lag(col("__c"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("__c") - col("__prev"))).as("abs_err_sum"))
+      .withColumn("mae", round(col("abs_err_sum").cast("double") /
+        col("n_scored").cast("double"), 6))
   }
 
   /** RFM customer segmentation (Hughes 1994, the standard

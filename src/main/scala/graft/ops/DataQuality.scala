@@ -104,6 +104,38 @@ object DataQuality {
     * engine-replayable. Null keys count as a key (they are the
     * classic skew culprit).
     */
+  /** BENFORD first-digit audit (Benford 1938; the standard forensic
+    * screen for fabricated amounts): distribution of the leading
+    * significant digit of a money-like column vs the log law
+    * P(d) = log10(1 + 1/d). Digits come from the INTEGER-CENTS
+    * string (floor(x*100) formatted as int64 — integer formatting is
+    * identical everywhere; double→string and log10-of-boundary
+    * values are not), observed and expected shares are integer ppm,
+    * so the whole report is engine-replayable. Non-positive amounts
+    * are excluded (no leading digit).
+    */
+  def benford(df: DataFrame, amount: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9).map(d =>
+      (d.toLong, math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+      .toDF("digit", "exp_ppm")
+    val digits = df
+      .where(col(amount).isNotNull && col(amount) > 0)
+      .select(floor(col(amount) * 100).cast("long").as("__cents"))
+      .where(col("__cents") > 0)
+      .select(substring(col("__cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("n * 1000000L div __t"))
+      .join(broadcast(expected), Seq("digit"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+  }
+
   def keySkew(df: DataFrame, key: String,
       factor: Double = 10.0): DataFrame = {
     require(factor > 1.0, s"keySkew: factor $factor")

@@ -182,6 +182,54 @@ object Streams {
     conv.join(matched, Seq("event_id"), "left")
   }
 
+  /** FIRST-TOUCH attribution: credit each conversion to the EARLIEST
+    * touchpoint within the lookback window. Unlike last-touch, the
+    * earliest-overall touch may predate the window while a later one
+    * sits inside it, so the as-of fold doesn't apply — this is a
+    * RANGE-frame window over the per-user event-time axis
+    * (rangeBetween(-maxDelay, 0) in epoch micros, min over the touch
+    * structs): still exactly one shuffle on user_id, state bounded by
+    * the window, no conversions x touches join. Touches dedupe to one
+    * per (user, ts) (max event_id) like [[lastTouchAttribution]], so
+    * the min-struct winner is deterministic. Returns conversion rows
+    * + `channel` (null when no touch in the window).
+    */
+  def firstTouchAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], maxDelaySec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"firstTouchAttribution: touches $touchTypes vs $conversionType")
+    require(maxDelaySec > 0, s"firstTouchAttribution: $maxDelaySec")
+    val conv = events.where(col("event_type") === conversionType &&
+      col("ts").isNotNull)
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val touches = events
+      .where(col("event_type").isin(touchTypes: _*) &&
+        col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(dw))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_type").as("__touch"))
+    val uni = conv
+      .withColumn("__touch", lit(null).cast("string"))
+      .select(col("user_id"), col("ts"), col("__touch"),
+        struct(conv.columns.map(col): _*).as("__row"))
+      .unionByName(touches.select(col("user_id"), col("ts"),
+        col("__touch"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          conv.schema.fields)).as("__row")))
+      .withColumn("__us", unix_micros(col("ts")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-maxDelaySec * 1000000L, 0L)
+    uni
+      .withColumn("__ft", min(when(col("__touch").isNotNull,
+        struct(col("__us"), col("__touch")))).over(w))
+      .where(col("__row").isNotNull)
+      .select(col("__row.*"), col("__ft")("__touch").as("channel"))
+  }
+
   /** One I/U/D change event, key + ordering + whole-row payload
     * (JSON of the value columns — a bounded, encoder-stable state
     * shape regardless of the table's schema).

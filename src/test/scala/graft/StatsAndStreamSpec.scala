@@ -518,11 +518,12 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
-  test("groupQuantilesDisc matches quantile_disc's floor(p*(n-1)) " +
+  test("groupQuantilesDisc matches quantile_disc's ceil(p*n) " +
       "rank; robustAnomalies flags integer-exactly") {
     import spark.implicits._
     // group g1: sorted [10,20,30,40] -> q25=10, med=20, q75=30
-    // (probed DuckDB convention); g2: [5,5,5,500]
+    // (probed DuckDB convention: rank = max(1, ceil(p*n)));
+    // g2: [5,5,5,500]
     val df = (Seq(40, 10, 30, 20).map(("g1", _)) ++
       Seq(5, 500, 5, 5).map(("g2", _))).toDF("g", "v")
     val qs = Stats.groupQuantilesDisc(df, "g", "v",
