@@ -849,6 +849,178 @@ object QueriesRelational {
         FROM base WHERE c_custkey % 97 = 0
         ORDER BY c_custkey"""))
 
+  /** Per-node triangle counts ([[ops.Graph.triangleCounts]]) on the
+    * part co-purchase graph (parts sharing >= 3 orders): DEGREE
+    * orientation bounds every wedge fan-out by the oriented
+    * out-degree (O(sqrt m) on any graph — a celebrity part can't go
+    * quadratic), each triangle enumerated once. The oracle replays
+    * edge build, orientation and both joins; counts are exact.
+    */
+  private val q227_triangles: Q = (
+    (s, dir) => {
+      // brand-level co-purchase, RELATIVE support (>= 2% of orders,
+      // cross-multiplied integers): the same density contract at
+      // every scale factor — an absolute cut is either empty at
+      // sf0.01 or complete at sf1
+      val items = read(s, dir, "lineitem")
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
+        .distinct()
+      val nOrders = items.agg(
+        count_distinct(col("o")).as("__no"))
+      val a = items.select(col("o"), col("p").as("pa"))
+      val b = items.select(col("o"), col("p").as("pb"))
+      // brands are strings; map to a stable long id for the graph op
+      val edges = a.join(b, Seq("o"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("s"))
+        .crossJoin(broadcast(nOrders))
+        .where(col("s") * 50 >= col("__no"))
+        .select(
+          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
+            .as("src"),
+          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
+            .as("dst"))
+      val out = ops.Graph.triangleCounts(edges)
+        .orderBy(col("node")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                 p_brand AS p
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+             nn AS (SELECT count(DISTINCT o) AS no FROM items),
+             e0 AS (SELECT
+                 CAST(regexp_replace(x.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS a0,
+                 CAST(regexp_replace(y.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS b0
+               FROM items x JOIN items y
+                 ON x.o = y.o AND x.p < y.p, nn
+               GROUP BY 1, 2, nn.no
+               HAVING count(*) * 50 >= nn.no),
+             und AS (SELECT DISTINCT least(a0, b0) AS a,
+                 greatest(a0, b0) AS b FROM e0),
+             deg AS (SELECT n, count(*) AS d FROM (
+                 SELECT a AS n FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+             wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db
+               FROM und JOIN deg da ON und.a = da.n
+                        JOIN deg db ON und.b = db.n),
+             dir AS (SELECT
+                 CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+                 CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS v
+               FROM wd),
+             tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+                           JOIN dir e3 ON e3.u = e1.u
+                                      AND e3.v = e2.v),
+             nodes AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+        SELECT node, count(*) AS triangles FROM nodes
+        GROUP BY 1 ORDER BY node"""))
+
+  /** Common-neighbors scoring ([[ops.Graph.commonNeighbors]]) on the
+    * part -> attribute-token bipartite adjacency (brand / type /
+    * size, namespaced): pairs sharing ALL three attributes are the
+    * near-duplicate part candidates — attribute blocking as a wedge
+    * join, the entity-resolution shape at graph scale. Fan-out is
+    * quadratic only per attribute VALUE (census-guarded); the
+    * attribute cardinalities are scale-constant, so the entry
+    * discriminates at every sf (a raw co-purchase overlap dilutes to
+    * zero as the part space grows). The numeric-node contract maps
+    * attribute tokens through a dictionary join.
+    */
+  private val q228_common_neighbors: Q = (
+    (s, dir) => {
+      val p = read(s, dir, "part")
+      val adj0 = p.select(col("p_partkey").as("node"),
+          concat(lit("b:"), col("p_brand")).as("tok"))
+        .unionByName(p.select(col("p_partkey").as("node"),
+          concat(lit("t:"), col("p_type")).as("tok")))
+        .unionByName(p.select(col("p_partkey").as("node"),
+          concat(lit("s:"), col("p_size").cast("string")).as("tok")))
+      // dictionary: token -> dense long id (broadcast-sized: the
+      // attribute vocabularies are bounded)
+      val dict = adj0.select(col("tok")).distinct()
+        .withColumn("nbr", xxhash64(col("tok")))
+      val adj = adj0.join(broadcast(dict), Seq("tok"))
+        .select(col("node"), col("nbr"))
+      val out = ops.Graph.commonNeighbors(adj, minCommon = 3L)
+        .orderBy(col("n_common").desc, col("node_a"), col("node_b"))
+        .limit(100).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH adj AS (
+          SELECT p_partkey AS node, 'b:' || p_brand AS nbr FROM part
+          UNION ALL SELECT p_partkey, 't:' || p_type FROM part
+          UNION ALL SELECT p_partkey,
+            's:' || CAST(p_size AS VARCHAR) FROM part)
+        SELECT x.node AS node_a, y.node AS node_b,
+               count(*) AS n_common
+        FROM adj x JOIN adj y
+          ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY n_common DESC, node_a, node_b LIMIT 100"""))
+
+  /** K-hop BFS ([[ops.Graph.kHopDistances]]) over the symmetrized
+    * bipartite purchase graph from every 100th customer: min hop
+    * distance <= 3, each superstep one co-partitioned frontier join
+    * + settled anti-join. The oracle unrolls the three supersteps.
+    */
+  private val q229_khop_bfs: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem")
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = read(s, dir, "customer")
+        .where(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      val out = ops.Graph.kHopDistances(edges, seeds, k = 3)
+        .orderBy(col("node")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH h AS (SELECT DISTINCT o_custkey*2 AS src,
+                 l_partkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             ed AS (SELECT src, dst FROM h
+                    UNION ALL SELECT dst, src FROM h),
+             d0 AS (SELECT c_custkey*2 AS node, 0 AS dist
+               FROM customer WHERE c_custkey % 100 = 0),
+             f1 AS (SELECT DISTINCT ed.dst AS node
+               FROM ed JOIN d0 ON ed.src = d0.node
+               WHERE NOT EXISTS (SELECT 1 FROM d0 x
+                 WHERE x.node = ed.dst)),
+             d1 AS (SELECT node, dist FROM d0
+                    UNION ALL SELECT node, 1 FROM f1),
+             f2 AS (SELECT DISTINCT ed.dst AS node
+               FROM ed JOIN f1 ON ed.src = f1.node
+               WHERE NOT EXISTS (SELECT 1 FROM d1 x
+                 WHERE x.node = ed.dst)),
+             d2 AS (SELECT node, dist FROM d1
+                    UNION ALL SELECT node, 2 FROM f2),
+             f3 AS (SELECT DISTINCT ed.dst AS node
+               FROM ed JOIN f2 ON ed.src = f2.node
+               WHERE NOT EXISTS (SELECT 1 FROM d2 x
+                 WHERE x.node = ed.dst)),
+             d3 AS (SELECT node, dist FROM d2
+                    UNION ALL SELECT node, 3 FROM f3)
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+        ORDER BY node"""))
+
   /** CDC APPLY in its batch form ([[ops.Scd.applyChanges]]): the
     * deterministic I/U/D feed of [[QH.cdcChangeFeed]] (multiple
     * changes per key — latest wins; delete-then-reinsert; shifted-key
@@ -1171,6 +1343,9 @@ object QueriesRelational {
     "q192_dq_report" -> q192_dq_report,
     "q196_snapshot_diff" -> q196_snapshot_diff,
     "q207_cdc_apply" -> q207_cdc_apply,
+    "q227_triangles" -> q227_triangles,
+    "q228_common_neighbors" -> q228_common_neighbors,
+    "q229_khop_bfs" -> q229_khop_bfs,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,

@@ -76,4 +76,115 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node TRIANGLE counts with DEGREE ORIENTATION (the standard
+    * distributed-triangle trick, e.g. Suri & Vassilvitskii 2011):
+    * edges clean to undirected distinct pairs, then orient every
+    * edge from the (degree, id)-SMALLER endpoint to the larger, so
+    * each triangle is enumerated exactly once and — the scale
+    * property — wedge fan-out at any node is bounded by its
+    * ORIENTED out-degree, O(sqrt(m)) on any graph, instead of its
+    * raw degree (a celebrity node stops being a quadratic bomb).
+    * Wedge join + closing-edge join, both hash joins on node ids;
+    * every count exact integer, the whole derivation replayable (the
+    * q227 oracle runs the same orientation in SQL).
+    *
+    * `edges` carries long `src`, `dst` (either direction, dups ok,
+    * self-loops dropped). Returns (node, triangles) for nodes in >=
+    * 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = graft.Caches.pin(edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    // orient low (d, id) -> high (d, id)
+    val dirE = graft.Caches.pin(withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        col("b")).otherwise(col("a")).as("v")))
+    val tri = dirE.as("e1")
+      .join(dirE.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"),
+        col("e2.v").as("z"))
+      .join(dirE.as("e3"),
+        col("x") === col("e3.u") && col("z") === col("e3.v"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** COMMON-NEIGHBORS link prediction over an adjacency list
+    * (node, nbr): candidate pairs sharing >= `minCommon` neighbors
+    * that are NOT already adjacent, scored by the shared count —
+    * the baseline every link-prediction paper starts from. Wedge
+    * join through the neighbor (fan-out quadratic ONLY in per-
+    * neighbor degree, census-guarded by `maxDegree` before the join
+    * runs — the fuzzyMatch rule), pair count, anti-join against the
+    * existing adjacency. Exact integers throughout.
+    */
+  def commonNeighbors(adj: DataFrame, minCommon: Long,
+      maxDegree: Int = 10000): DataFrame = {
+    require(minCommon >= 1, s"commonNeighbors: minCommon $minCommon")
+    val e = graft.Caches.pin(adj
+      .select(col("node").cast("long").as("node"),
+        col("nbr").cast("long").as("nbr"))
+      .where(col("node").isNotNull && col("nbr").isNotNull)
+      .distinct())
+    if (maxDegree > 0) {
+      val worst = e.groupBy(col("nbr")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxDegree,
+        s"commonNeighbors: a neighbor touches $worst nodes " +
+          s"(> $maxDegree) — prune hubs or raise the cap")
+    }
+    val a = e.select(col("nbr"), col("node").as("node_a"))
+    val b = e.select(col("nbr"), col("node").as("node_b"))
+    a.join(b, Seq("nbr"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+      .join(e.select(col("node").as("node_a"),
+        col("nbr").as("node_b")), Seq("node_a", "node_b"),
+        "left_anti")
+  }
+
+  /** K-HOP BFS from a seed set: minimum hop distance <= k for every
+    * reachable node — k co-partitioned frontier-edge joins with an
+    * anti-join against the settled set per round (so each node is
+    * expanded once; state is the settled table, frontier shrinks as
+    * the reachable set saturates). Distances are small integers; the
+    * q229 oracle unrolls the supersteps as CTEs.
+    */
+  def kHopDistances(edges: DataFrame, seeds: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"kHopDistances: k $k")
+    val e = graft.Caches.pin(edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    var settled = graft.Caches.pin(
+      seeds.select(col("node").cast("long").as("node"),
+        lit(0L).as("dist")).distinct())
+    var frontier = settled
+    for (h <- 1 to k) {
+      val next = graft.Caches.pin(frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong)))
+      settled = graft.Caches.pin(settled.unionByName(next))
+      frontier = next
+    }
+    settled
+  }
 }

@@ -56,6 +56,66 @@ class GraphSpec extends SparkSuite {
     assert(it2 == Map(1L -> 150L, 2L -> 277L, 3L -> 1000L))
   }
 
+  test("triangleCounts: K4 gives every node 3, pendant edges none, " +
+      "duplicate/reversed/self-loop edges don't inflate") {
+    import spark.implicits._
+    // K4 on 1..4 (+ dup, reverse, self-loop noise) + pendant 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    // K4 has C(4,3)=4 triangles; each node sits in 3 of them
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $got")
+  }
+
+  test("commonNeighbors: counts shared neighbors, excludes already-" +
+      "adjacent pairs, census guard trips on a hub") {
+    import spark.implicits._
+    // nodes 1,2 share nbrs 10,20,30; nodes 1,3 share 10 only;
+    // 1-2 are ALSO directly adjacent (1 -> nbr 2? no: adjacency is
+    // node->nbr; make 1 adjacent to 2 via (1, 2))
+    val adj = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L),
+      (2L, 20L), (2L, 30L), (3L, 10L), (1L, 2L))
+      .toDF("node", "nbr")
+    val got = Graph.commonNeighbors(adj, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    graft.Caches.release()
+    // (1,2) share 3 but are adjacent (1 -> nbr 2) -> excluded
+    // (1,3) share {10}; (2,3) share {10}
+    assert(got == Map((1L, 3L) -> 1L, (2L, 3L) -> 1L), s"got $got")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.commonNeighbors(
+        (1L to 50L).map((_, 99L)).toDF("node", "nbr"),
+        minCommon = 1L, maxDegree = 10)
+    }
+    graft.Caches.release()
+    assert(ex.getMessage.contains("prune hubs"))
+  }
+
+  test("kHopDistances: min hop distance, settled nodes never " +
+      "re-labelled, unreachable nodes absent") {
+    import spark.implicits._
+    // chain 1->2->3->4->5 plus shortcut 1->4; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.kHopDistances(edges, seeds, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    // 4 is 1 hop via the shortcut (not 3 via the chain); 5 is 2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+      5L -> 2L), s"got $got")
+    // k=1: only direct neighbors
+    val k1 = Graph.kHopDistances(edges, seeds, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(k1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("floor division quantization is exact, not rounded") {
     // 1->2 and 1->3 (deg 1 = 2): contribution is 1001 div 2 = 500
     // each (not 500.5); 2,3 -> r = (15000 + 85*500) div 100 = 575
