@@ -1211,6 +1211,56 @@ object QueriesLLM {
         SELECT source, row, CAST(idx AS BIGINT) AS idx, max(f) AS c
         FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** Join-size estimation from CM inner products
+    * ([[Sketches.joinSizeEstimate]]): the lineitem SELF-join on
+    * l_partkey (true size Σ f(k)² — the blow-up a skewed key
+    * produces) estimated as min over rows of dot(rowA, rowB) from
+    * two sketch-sized summaries. Every dot is an exact integer the
+    * oracle recomputes, the true size rides along, and the CM
+    * guarantee estimate >= truth is raised on IN-PLAN (a violation
+    * means the sketch machinery broke, not the data).
+    */
+  private val q231_join_size: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val dots = Sketches.joinSizeEstimate(li, "l_partkey", li,
+        "l_partkey", depth = 4, width = 1024)
+      val est = dots.agg(min(col("dot")).as("estimate"))
+      val truth = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("true_size"))
+      dots.crossJoin(broadcast(est)).crossJoin(broadcast(truth))
+        .withColumn("estimate",
+          when(col("estimate") < col("true_size"),
+            raise_error(concat(lit("q231: CM estimate "),
+              col("estimate"), lit(" undercuts true join size "),
+              col("true_size"))).cast("long"))
+            .otherwise(col("estimate")))
+        .select(col("row"), col("dot"), col("estimate"),
+          col("true_size"))
+        .orderBy(col("row"))
+    },
+    Some("""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS t
+               FROM lineitem),
+             h AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split_regex(t, ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS hv FROM k),
+             cells AS (SELECT r.i AS row,
+                 ((hv * (2654435761 + 2*r.i) + (97 + 1000003*r.i))
+                   % 1000000007) % 1024 AS idx
+               FROM h, (SELECT unnest(range(0, 4)) AS i) r),
+             cm AS (SELECT row, idx, count(*) AS c FROM cells
+               GROUP BY 1, 2),
+             dots AS (SELECT row, CAST(sum(c * c) AS BIGINT) AS dot
+               FROM cm GROUP BY row),
+             est AS (SELECT min(dot) AS estimate FROM dots),
+             tr AS (SELECT CAST(sum(f * f) AS BIGINT) AS true_size
+               FROM (SELECT count(*) AS f FROM lineitem
+                     GROUP BY l_partkey))
+        SELECT row, dot, estimate, true_size
+        FROM dots CROSS JOIN est CROSS JOIN tr ORDER BY row"""))
+
   /** Curriculum ordering ([[Sampling.curriculumOrder]]): documents
     * phased by length ntile (shortest first — the classic
     * length-curriculum) with a deterministic hash-shuffled order
@@ -3441,6 +3491,7 @@ object QueriesLLM {
     "q212_pmi" -> q212_pmi,
     "q215_inverted_index" -> q215_inverted_index,
     "q217_int8_quant" -> q217_int8_quant,
+    "q231_join_size" -> q231_join_size,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

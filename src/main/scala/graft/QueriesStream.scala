@@ -320,6 +320,35 @@ object QueriesStream {
         FROM p LEFT JOIN a USING (event_id)
         GROUP BY 1 ORDER BY 1"""))
 
+  /** Streaming threshold counter ([[Streams.thresholdCounter]]) in
+    * its batch form under the oracle: exact per-token running counts
+    * with a crossing flag, state = one long per token. Emitted
+    * crossed set == the batch census with HAVING — slicing-invariant
+    * because counts are exact sums (StatsAndStreamSpec drives the
+    * MemoryStream slicings).
+    */
+  private val q230_stream_threshold: Q = (
+    (s, dir) => {
+      import graft.llmdata.Dedup
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(split(Dedup.normalize(col("text")), " "))
+          .as("tok"))
+        .where(col("tok") =!= "")
+      Streams.thresholdCounter(toks, "tok", threshold = 200L)
+        .toDF().where(col("crossed"))
+        .select(col("token"), col("n"))
+        .orderBy(col("token"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
+                 AS t
+               FROM documents WHERE text IS NOT NULL)
+        SELECT t AS token, count(*) AS n FROM toks
+        WHERE t <> '' GROUP BY t HAVING count(*) >= 200
+        ORDER BY token"""))
+
   /** Seasonal-naive forecast baseline
     * ([[graft.functions.Stats.seasonalNaiveMae]]): hourly event
     * counts, forecast = yesterday's count at the same hour (lag over
@@ -510,6 +539,7 @@ object QueriesStream {
     "q213_attribution" -> q213_attribution,
     "q225_seasonal_naive" -> q225_seasonal_naive,
     "q226_first_touch" -> q226_first_touch,
+    "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

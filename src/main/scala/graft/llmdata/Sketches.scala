@@ -308,6 +308,31 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("estimate"))
   }
 
+  /** JOIN-SIZE estimate from Count-Min inner products (Alon, Matias
+    * & Szegedy's F2/join-size line, instantiated on CM as in Cormode
+    * & Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k fA(k)·fB(k) is
+    * upper-bounded by min over rows of dot(rowA_i, rowB_i) — the
+    * pre-shuffle cardinality check that catches an exploding
+    * many-to-many join from two SKETCH-sized summaries (depth×width
+    * cells each) instead of a trial join at 100 TB. With the
+    * portable hash rows, every dot is an exact integer any engine
+    * recomputes (q231's oracle does, and also recomputes the true
+    * size — the estimate >= truth guarantee is checked there
+    * in-plan). Returns (row, dot) — take min(dot) as the estimate.
+    * Keys hash via their canonical int64 string form.
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val ca = countMin(a.select(col(aKey).cast("long").cast("string")
+      .as("__k")), "__k", depth, width)
+    val cb = countMin(b.select(col(bKey).cast("long").cast("string")
+      .as("__k")), "__k", depth, width)
+    ca.join(cb.select(col("row"), col("idx"), col("c").as("__cb")),
+        Seq("row", "idx"))
+      .groupBy(col("row"))
+      .agg(sum(col("c") * col("__cb")).as("dot"))
+  }
+
   /** CMS point estimate for a literal token set: min over rows. */
   def countMinEstimate(cms: DataFrame, tokens: Seq[String], depth: Int,
       width: Int): DataFrame = {

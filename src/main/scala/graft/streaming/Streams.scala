@@ -230,6 +230,37 @@ object Streams {
       .select(col("__row.*"), col("__ft")("__touch").as("channel"))
   }
 
+  /** Running per-token count with threshold-crossing flag. */
+  case class TokenCount(token: String, n: Long, crossed: Boolean)
+
+  /** STREAMING THRESHOLD COUNTER: exact running count per token with
+    * a crossing flag — the alerting primitive ("page me when an
+    * error signature passes N") that sketch-based streaming heavy
+    * hitters only approximate. State per token is ONE long; counts
+    * are exact sums, so the final emission per token is independent
+    * of micro-batch slicing and equals the batch census (q230 puts
+    * that form under the oracle). State grows with DISTINCT tokens —
+    * for unbounded vocabularies compose with an upstream event-time
+    * TTL (the stream-dedup contract) or pre-filter to a watched set.
+    */
+  def thresholdCounter(tokens: DataFrame, tokenCol: String,
+      threshold: Long): Dataset[TokenCount] = {
+    require(threshold >= 1, s"thresholdCounter: $threshold")
+    val ss = tokens.sparkSession
+    import ss.implicits._
+    tokens.select(col(tokenCol).cast("string").as("token"))
+      .where(col("token").isNotNull)
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, TokenCount](
+        GroupStateTimeout.NoTimeout) {
+        (tok: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size.toLong
+          state.update(c)
+          TokenCount(tok, c, c >= threshold)
+      }
+  }
+
   /** One I/U/D change event, key + ordering + whole-row payload
     * (JSON of the value columns — a bounded, encoder-stable state
     * shape regardless of the table's schema).

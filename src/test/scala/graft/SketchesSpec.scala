@@ -275,4 +275,26 @@ class SketchesSpec extends SparkSuite {
     assert(gEst(("s1", "w0")) >= 30L && gEst(("s1", "w0")) < 39L,
       s"s1 mixed with s2: $gEst")
   }
+
+  test("joinSizeEstimate: min-of-dots never undercuts the true join " +
+      "size, exact when the sketch is collision-free") {
+    import spark.implicits._
+    // A: key k appears k times (k=1..20); B: each key once ->
+    // true |A join B| = sum k = 210
+    val a = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1L to 20L).toDF("k")
+    val dots = Sketches.joinSizeEstimate(a, "k", b, "k",
+        depth = 4, width = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dots.size == 4)
+    val est = dots.values.min
+    assert(est >= 210L, s"undercut: $est")
+    // 20 keys in 4x1024 cells: collision-free -> exact
+    assert(est == 210L, s"collision-free sketch should be exact: $est")
+    // forced collisions (width 2): still never undercuts
+    val coarse = Sketches.joinSizeEstimate(a, "k", b, "k",
+        depth = 4, width = 2)
+      .collect().map(_.getLong(1)).min
+    assert(coarse >= 210L, s"undercut under collisions: $coarse")
+  }
 }

@@ -582,4 +582,39 @@ class StatsAndStreamSpec extends SparkSuite {
       ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L)))
   }
+
+  test("thresholdCounter over a MemoryStream: final per-token counts " +
+      "and crossed set identical under two slicings and one-shot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val toks: Seq[String] =
+      Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")
+    def run(name: String, slices: Seq[Seq[String]]): Map[String,
+        (Long, Boolean)] = {
+      val in = MemoryStream[String]
+      val q = graft.streaming.Streams.thresholdCounter(
+          in.toDF().withColumnRenamed("value", "tok"), "tok", 4L)
+        .toDF()
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      slices.foreach { s => in.addData(s); q.processAllAvailable() }
+      q.stop()
+      // final state per token = the max running count emitted
+      spark.table(name).groupBy("token")
+        .agg(max(col("n")).as("n"), max(col("crossed")).as("crossed"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2)))).toMap
+    }
+    val shuffled = scala.util.Random.shuffle(toks)
+    val oneShot = run("thr_s1", Seq(toks))
+    val sliced = run("thr_s2", Seq(toks.take(2), toks.slice(2, 6),
+      toks.drop(6)))
+    val arb = run("thr_s3", Seq(shuffled.take(4), shuffled.drop(4)))
+    val want = Map("a" -> ((5L, true)), "b" -> ((3L, false)),
+      "c" -> ((1L, false)))
+    assert(oneShot == want && sliced == want && arb == want,
+      s"$oneShot / $sliced / $arb")
+  }
 }
