@@ -1211,6 +1211,69 @@ object QueriesLLM {
         SELECT source, row, CAST(idx AS BIGINT) AS idx, max(f) AS c
         FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** Image near-dup by perceptual dHash over a REAL ImageIO decode
+    * ([[Multimodal.dHash64]]): gradient PNGs planted from a closed
+    * pixel law (every 17th doc; every 10th of those gets a sibling
+    * with the same pattern under a shifted id), decoded and hashed
+    * on executors, pairs matched on 64-bit hash equality (emitted as
+    * two 32-bit halves — the oracle's integer range). DuckDB never
+    * decodes a pixel: it replays pattern -> nearest-neighbor 9x8
+    * sample -> gradient bits -> halves in pure integer arithmetic,
+    * so the REAL decode path (PNG bytes in, bits out) is
+    * hash-verified end to end, including any cross-pattern hash
+    * collisions (both engines derive them identically).
+    */
+  private val q232_image_dhash: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+        .where(col("doc_id") % 17 === 0).select(col("doc_id"))
+      val rows = d.select(col("doc_id").as("img_id"),
+          col("doc_id").as("pat"))
+        .unionByName(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000000L).as("img_id"),
+            col("doc_id").as("pat")))
+      val hashed = Multimodal.plantGradientPng(rows, "pat")
+        .withColumn("h", Multimodal.dHashUdf(col("payload")))
+        .select(col("img_id"),
+          col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h_lo"),
+          shiftrightunsigned(col("h"), 32).as("h_hi"))
+      val a = hashed.select(col("img_id").as("id_a"), col("h_lo"),
+        col("h_hi"))
+      val b = hashed.select(col("img_id").as("id_b"), col("h_lo"),
+        col("h_hi"))
+      a.join(b, Seq("h_lo", "h_hi"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("h_lo"), col("h_hi"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH ids AS (SELECT doc_id AS img_id, doc_id AS pat
+               FROM documents WHERE doc_id % 17 = 0
+               UNION ALL SELECT doc_id + 100000000, doc_id
+               FROM documents WHERE doc_id % 170 = 0),
+             g AS (SELECT img_id, pat, 16 + pat % 13 AS w,
+                 16 + (3 * pat) % 11 AS h FROM ids),
+             bits AS (SELECT img_id, yy.y, xx.x,
+                 CASE WHEN ((3 * (((xx.x + 1) * w) // 9)
+                             + 5 * ((yy.y * h) // 8) + pat) % 256)
+                        > ((3 * ((xx.x * w) // 9)
+                             + 5 * ((yy.y * h) // 8) + pat) % 256)
+                      THEN 1 ELSE 0 END AS b
+               FROM g, (SELECT unnest(range(0, 8)) AS x) xx,
+                       (SELECT unnest(range(0, 8)) AS y) yy),
+             hs AS (SELECT img_id,
+                 CAST(sum(CASE WHEN y * 8 + x < 32
+                   THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
+                   ELSE 0 END) AS BIGINT) AS h_lo,
+                 CAST(sum(CASE WHEN y * 8 + x >= 32
+                   THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+                   ELSE 0 END) AS BIGINT) AS h_hi
+               FROM bits GROUP BY img_id)
+        SELECT a.img_id AS id_a, b.img_id AS id_b, a.h_lo, a.h_hi
+        FROM hs a JOIN hs b
+          ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+         AND a.img_id < b.img_id
+        ORDER BY id_a, id_b"""))
+
   /** Join-size estimation from CM inner products
     * ([[Sketches.joinSizeEstimate]]): the lineitem SELF-join on
     * l_partkey (true size Σ f(k)² — the blow-up a skewed key
@@ -3492,6 +3555,7 @@ object QueriesLLM {
     "q215_inverted_index" -> q215_inverted_index,
     "q217_int8_quant" -> q217_int8_quant,
     "q231_join_size" -> q231_join_size,
+    "q232_image_dhash" -> q232_image_dhash,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

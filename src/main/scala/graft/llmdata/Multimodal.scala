@@ -246,6 +246,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual DIFFERENCE HASH (dHash, the public aHash/dHash/pHash
+    * family's gradient member): decode, nearest-neighbor sample a
+    * 9x8 grayscale grid, emit bit (y*8+x) = 1 iff the right neighbor
+    * is brighter — 64 bits robust to re-encoding and mild resizing,
+    * the standard cheap image near-dup key. All-integer sampling
+    * (src = pos * dim div grid) so the hash of a losslessly-coded
+    * image is an exact function of its pixels — which is what lets
+    * q232 ORACLE-CHECK a real ImageIO decode end to end against
+    * planted gradient PNGs whose pixel law is replayed in SQL.
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx0 = x * w / 9
+        val sx1 = (x + 1) * w / 9
+        // planted PNGs are gray (r=g=b): the blue channel IS the
+        // luminance; for color inputs this is the cheap-luma choice
+        val g0 = img.getRGB(sx0, sy) & 0xff
+        val g1 = img.getRGB(sx1, sy) & 0xff
+        if (g1 > g0) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Column form of [[dHash64]]. */
+  val dHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Array[Byte]) => dHash64(b))
+
+  /** Deterministic GRADIENT PNG keyed by a pattern id: dims
+    * w = 16 + pat mod 13, h = 16 + (3*pat) mod 11, pixel
+    * g(x,y) = (3x + 5y + pat) mod 256 — lossless, so decode + any
+    * integer-arithmetic derivation (mean, dHash) is replayable in
+    * closed form. Unlike the solid-gray plant, gradients give dHash
+    * non-trivial bits.
+    */
+  def plantGradientPng(df: DataFrame, patCol: String): DataFrame = {
+    val mk = udf { (pat: Long) =>
+      val w = 16 + (pat % 13).toInt
+      val h = 16 + (3 * pat % 11).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((3 * x + 5 * y + pat) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    df.withColumn("payload", mk(col(patCol).cast("long")))
+  }
+
   /** Plant a deterministic solid-gray PNG payload keyed by an id
     * column: width = 16 + id mod 32, height = 16 + (7 * id) mod 29,
     * gray = id mod 256. Runs on executors (the PNG encoder is
