@@ -1274,6 +1274,38 @@ object QueriesLLM {
          AND a.img_id < b.img_id
         ORDER BY id_a, id_b"""))
 
+  /** Audio energy over a REAL WAV decode ([[Multimodal.Wav]] /
+    * [[Multimodal.wavWindowEnergy]]): 16-bit mono PCM planted from a
+    * closed sample law through a real RIFF encoder, parsed back by
+    * walking the actual chunk structure, then per-1024-sample
+    * windows of exact integer sum-of-squares (the loudness/silence
+    * primitive). DuckDB replays the sample law and the windowed sums
+    * in pure integer arithmetic — the audio decode path gets the
+    * same end-to-end oracle the image path has (q52/q232), replacing
+    * the environment-blocked compressed-codec stub for the one
+    * mainstream format that needs no codec.
+    */
+  private val q233_audio_wav: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+        .where(col("doc_id") % 23 === 0).select(col("doc_id"))
+      Multimodal.wavWindowEnergy(
+          Multimodal.plantWav(d, "doc_id"), "doc_id", "payload",
+          window = 1024)
+        .orderBy(col("doc_id"), col("win"))
+    },
+    Some("""WITH ids AS (SELECT doc_id AS pat FROM documents
+               WHERE doc_id % 23 = 0),
+             n AS (SELECT pat, 2000 + (pat % 7) * 100 AS ns FROM ids),
+             sm AS (SELECT pat, ii.i AS i,
+                 ((ii.i * 37 + pat * 101) % 65536) - 32768 AS s
+               FROM n, (SELECT unnest(range(0, 2600)) AS i) ii
+               WHERE ii.i < ns)
+        SELECT pat AS doc_id, i // 1024 AS win,
+               count(*) AS n_samples,
+               CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq
+        FROM sm GROUP BY 1, 2 ORDER BY doc_id, win"""))
+
   /** Join-size estimation from CM inner products
     * ([[Sketches.joinSizeEstimate]]): the lineitem SELF-join on
     * l_partkey (true size Σ f(k)² — the blow-up a skewed key
@@ -3556,6 +3588,7 @@ object QueriesLLM {
     "q217_int8_quant" -> q217_int8_quant,
     "q231_join_size" -> q231_join_size,
     "q232_image_dhash" -> q232_image_dhash,
+    "q233_audio_wav" -> q233_audio_wav,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

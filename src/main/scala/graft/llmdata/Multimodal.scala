@@ -315,6 +315,121 @@ object Multimodal {
     df.withColumn("payload", mk(col(patCol).cast("long")))
   }
 
+  /** REAL audio path for the one codec-free mainstream format: WAV /
+    * RIFF with 16-bit PCM. Parsing walks the actual chunk structure
+    * ("RIFF" header, "fmt " for channels/rate/bits, skip unknown
+    * chunks by their declared size, "data" for samples, little-endian
+    * throughout) — the same walk a libsndfile does, minus the
+    * compressed codecs this environment lacks (those stay stubbed).
+    */
+  object Wav {
+    /** Parsed header + sample count. */
+    case class Meta(channels: Int, sampleRate: Int, bits: Int,
+        nSamples: Int)
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** Walk the chunk list; returns (meta, dataOffset). */
+    def parse(b: Array[Byte]): (Meta, Int) = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" &&
+        tag(b, 8) == "WAVE", "wav: not a RIFF/WAVE stream")
+      var o = 12
+      var meta: Option[(Int, Int, Int)] = None
+      while (o + 8 <= b.length) {
+        val id = tag(b, o)
+        val sz = le32(b, o + 4)
+        if (id == "fmt ") {
+          require(le16(b, o + 8) == 1, "wav: only PCM supported")
+          meta = Some((le16(b, o + 10), le32(b, o + 12),
+            le16(b, o + 22)))
+        } else if (id == "data") {
+          val (ch, rate, bits) = meta.getOrElse(
+            throw new IllegalArgumentException("wav: data before fmt"))
+          return (Meta(ch, rate, bits, sz / (bits / 8) / ch), o + 8)
+        }
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      throw new IllegalArgumentException("wav: no data chunk")
+    }
+
+    /** 16-bit mono samples as ints in [-32768, 32767]. */
+    def samples(b: Array[Byte]): Array[Int] = {
+      val (m, off) = parse(b)
+      require(m.bits == 16 && m.channels == 1,
+        s"wav: expected 16-bit mono, got ${m.bits}/${m.channels}")
+      Array.tabulate(m.nSamples) { i =>
+        le16(b, off + 2 * i).toShort.toInt
+      }
+    }
+
+    /** Minimal 16-bit mono PCM WAV encoder (planting fixtures). */
+    def bytes(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val n = samples.length
+      val out = new Array[Byte](44 + 2 * n)
+      def w32(o: Int, v: Int): Unit = { out(o) = v.toByte
+        out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte
+        out(o + 3) = (v >> 24).toByte }
+      def w16(o: Int, v: Int): Unit = { out(o) = v.toByte
+        out(o + 1) = (v >> 8).toByte }
+      def wTag(o: Int, s: String): Unit =
+        s.getBytes("US-ASCII").copyToArray(out, o)
+      wTag(0, "RIFF"); w32(4, 36 + 2 * n); wTag(8, "WAVE")
+      wTag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
+      w32(24, sampleRate); w32(28, sampleRate * 2); w16(32, 2)
+      w16(34, 16)
+      wTag(36, "data"); w32(40, 2 * n)
+      var i = 0
+      while (i < n) { w16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+      out
+    }
+  }
+
+  /** Plant a deterministic 16-bit mono WAV keyed by a pattern id:
+    * n = 2000 + (pat mod 7)*100 samples of
+    * s(i) = ((i*37 + pat*101) mod 65536) - 32768 at 16 kHz — a
+    * closed law any engine replays, through a REAL RIFF encode.
+    */
+  def plantWav(df: DataFrame, patCol: String): DataFrame = {
+    val mk = udf { (pat: Long) =>
+      val n = 2000 + (pat % 7).toInt * 100
+      Wav.bytes(Array.tabulate(n)(i =>
+        (((i.toLong * 37 + pat * 101) % 65536) - 32768).toInt), 16000)
+    }
+    df.withColumn("payload", mk(col(patCol).cast("long")))
+  }
+
+  /** Windowed audio ENERGY from a real WAV parse: per `window`
+    * samples, the exact integer sum of squares (the loudness/
+    * silence-detection primitive; RMS = sqrt(sumsq/n) is one float
+    * step the caller applies). Integer output keeps the whole decode
+    * path hash-verifiable (q233).
+    */
+  def wavWindowEnergy(df: DataFrame, idCol: String,
+      payloadCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"wavWindowEnergy: window $window")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val f = udf { (b: Array[Byte]) =>
+      Wav.samples(b).grouped(window).zipWithIndex.map {
+        case (chunk, w) =>
+          var sq = 0L
+          var i = 0
+          while (i < chunk.length) {
+            sq += chunk(i).toLong * chunk(i); i += 1 }
+          (w.toLong, chunk.length.toLong, sq)
+      }.toSeq
+    }
+    df.select(col(idCol), explode(f(col(payloadCol))).as("__w"))
+      .select(col(idCol), col("__w._1").as("win"),
+        col("__w._2").as("n_samples"), col("__w._3").as("sumsq"))
+  }
+
   /** Plant a deterministic solid-gray PNG payload keyed by an id
     * column: width = 16 + id mod 32, height = 16 + (7 * id) mod 29,
     * gray = id mod 256. Runs on executors (the PNG encoder is

