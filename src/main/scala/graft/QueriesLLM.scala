@@ -1306,6 +1306,61 @@ object QueriesLLM {
                CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq
         FROM sm GROUP BY 1, 2 ORDER BY doc_id, win"""))
 
+  /** VIDEO-shaped scene-cut detection ([[Multimodal.plantFrames]] +
+    * [[Multimodal.sceneCuts]]): per sampled doc a real frame
+    * sequence (shared dims, per-frame phase), every frame decoded
+    * and dHashed for real, hamming distance to the previous frame
+    * via a per-video lag window, cut where >= 12 bits flip. The
+    * oracle replays pixel law -> bits -> halves -> xor popcount ->
+    * lag without decoding a frame — the shot-boundary primitive of
+    * video dedup pipelines, end-to-end verified like q232/q233.
+    */
+  private val q234_scene_cuts: Q = (
+    (s, dir) => {
+      val d = spread(read(s, dir, "documents"))
+        .where(col("doc_id") % 29 === 0).select(col("doc_id"))
+      Multimodal.sceneCuts(Multimodal.plantFrames(d, "doc_id"),
+          "doc_id", "payload", minBits = 12)
+        .orderBy(col("doc_id"), col("frame"))
+    },
+    Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+               WHERE doc_id % 29 = 0),
+             fr AS (SELECT id, ff.f AS frame,
+                 id * 1000 + ff.f * 29 AS pat,
+                 16 + id % 13 AS w, 16 + (3 * id) % 11 AS h
+               FROM ids, (SELECT unnest(range(0, 11)) AS f) ff
+               WHERE ff.f < 6 + id % 5),
+             bits AS (SELECT id, frame, yy.y, xx.x,
+                 CASE WHEN ((3 * (((xx.x + 1) * w) // 9)
+                             + 5 * ((yy.y * h) // 8) + pat) % 256)
+                        > ((3 * ((xx.x * w) // 9)
+                             + 5 * ((yy.y * h) // 8) + pat) % 256)
+                      THEN 1 ELSE 0 END AS b
+               FROM fr, (SELECT unnest(range(0, 8)) AS x) xx,
+                        (SELECT unnest(range(0, 8)) AS y) yy),
+             hs AS (SELECT id, frame,
+                 CAST(sum(CASE WHEN y * 8 + x < 32
+                   THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
+                   ELSE 0 END) AS BIGINT) AS h_lo,
+                 CAST(sum(CASE WHEN y * 8 + x >= 32
+                   THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+                   ELSE 0 END) AS BIGINT) AS h_hi
+               FROM bits GROUP BY 1, 2),
+             lg AS (SELECT id, frame, h_lo, h_hi,
+                 lag(h_lo) OVER (PARTITION BY id ORDER BY frame)
+                   AS plo,
+                 lag(h_hi) OVER (PARTITION BY id ORDER BY frame)
+                   AS phi
+               FROM hs)
+        SELECT id AS doc_id, frame,
+               CAST(bit_count(xor(h_lo, plo))
+                 + bit_count(xor(h_hi, phi)) AS BIGINT) AS hamming,
+               CAST(CASE WHEN bit_count(xor(h_lo, plo))
+                 + bit_count(xor(h_hi, phi)) >= 12
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_cut
+        FROM lg WHERE plo IS NOT NULL
+        ORDER BY doc_id, frame"""))
+
   /** Join-size estimation from CM inner products
     * ([[Sketches.joinSizeEstimate]]): the lineitem SELF-join on
     * l_partkey (true size Σ f(k)² — the blow-up a skewed key
@@ -3589,6 +3644,7 @@ object QueriesLLM {
     "q231_join_size" -> q231_join_size,
     "q232_image_dhash" -> q232_image_dhash,
     "q233_audio_wav" -> q233_audio_wav,
+    "q234_scene_cuts" -> q234_scene_cuts,
     "q201_label_centroids" -> q201_label_centroids,
     "q202_mislabel_candidates" -> q202_mislabel_candidates,
     "q203_nested_subsets" -> q203_nested_subsets,

@@ -390,6 +390,68 @@ object Multimodal {
     }
   }
 
+  /** Plant a VIDEO-shaped frame sequence: per id, 6 + id mod 5
+    * gradient-PNG frames sharing the video's dims (w = 16 + id mod
+    * 13, h = 16 + 3id mod 11) with per-frame phase pat = id*1000 +
+    * f*29 — real frames, closed pixel law, one row per (id, frame).
+    */
+  def plantFrames(df: DataFrame, idCol: String): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val w = 16 + (id % 13).toInt
+      val h = 16 + (3 * id % 11).toInt
+      (0 until (6 + (id % 5)).toInt).map { f =>
+        val pat = id * 1000 + f * 29
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((3 * x + 5 * y + pat) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (f, bos.toByteArray)
+      }
+    }
+    df.withColumn("__fr", explode(mk(col(idCol).cast("long"))))
+      .select(col(idCol), col("__fr._1").as("frame"),
+        col("__fr._2").as("payload"))
+  }
+
+  /** SCENE-CUT detection over a decoded frame sequence: dHash every
+    * frame (REAL decode), hamming distance to the previous frame of
+    * the same video (lag over the per-video window), cut where the
+    * distance clears `minBits` — the shot-boundary primitive of
+    * video dedup/sampling pipelines. Hashes ride as two 32-bit
+    * halves so the integer pipeline (xor + popcount) replays on any
+    * engine (q234).
+    */
+  def sceneCuts(frames: DataFrame, idCol: String,
+      payloadCol: String, minBits: Int): DataFrame = {
+    require(minBits >= 1 && minBits <= 64, s"sceneCuts: $minBits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame"))
+    frames
+      .withColumn("__h", dHashUdf(col(payloadCol)))
+      .withColumn("h_lo", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("h_hi", shiftrightunsigned(col("__h"), 32))
+      .withColumn("__plo", lag(col("h_lo"), 1).over(w))
+      .withColumn("__phi", lag(col("h_hi"), 1).over(w))
+      .where(col("__plo").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("h_lo").bitwiseXOR(col("__plo"))) +
+          bit_count(col("h_hi").bitwiseXOR(col("__phi"))))
+      .withColumn("is_cut",
+        (col("hamming") >= minBits).cast("int"))
+      .select(col(idCol), col("frame").cast("long").as("frame"),
+        col("hamming").cast("long").as("hamming"), col("is_cut"))
+  }
+
   /** Plant a deterministic 16-bit mono WAV keyed by a pattern id:
     * n = 2000 + (pat mod 7)*100 samples of
     * s(i) = ((i*37 + pat*101) mod 65536) - 32768 at 16 kHz — a
