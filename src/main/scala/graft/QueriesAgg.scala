@@ -607,6 +607,9 @@ object QueriesAgg {
     "q222_benford" -> q222_benford,
     "q223_corr_matrix" -> q223_corr_matrix,
     "q224_winsorize" -> q224_winsorize,
+    "q235_ab_test" -> q235_ab_test,
+    "q236_cuped" -> q236_cuped,
+    "q237_did" -> q237_did,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
@@ -1025,6 +1028,138 @@ object QueriesAgg {
         FROM lineitem l JOIN q USING (l_returnflag)
         WHERE l_extendedprice IS NOT NULL
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
+
+  /** Two-proportion A/B z-test ([[graft.ops.Experiment.abTest]]):
+    * variant = customer parity, conversion = urgent/high priority.
+    * Trials and successes are exact integers; p's, pooled rate, z
+    * evaluate in one fixed double operation order (6dp); the 5%
+    * verdict is an integer the oracle re-derives.
+    */
+  private val q235_ab_test: Q = (
+    (s, dir) => graft.ops.Experiment.abTest(
+      read(s, dir, "orders")
+        .withColumn("v", (col("o_custkey") % 2).cast("string")),
+      "v",
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+    Some("""WITH a AS (SELECT CAST(o_custkey % 2 AS VARCHAR)
+                 AS variant, count(*) AS n,
+                 CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x
+               FROM orders GROUP BY 1)
+        SELECT a0.variant AS variant_a, a0.n AS n_a, a0.x AS x_a,
+               a1.variant AS variant_b, a1.n AS n_b, a1.x AS x_b,
+               round(CAST(a0.x AS DOUBLE) / CAST(a0.n AS DOUBLE), 6)
+                 AS p_a,
+               round(CAST(a1.x AS DOUBLE) / CAST(a1.n AS DOUBLE), 6)
+                 AS p_b,
+               round((CAST(a0.x AS DOUBLE) / CAST(a0.n AS DOUBLE)
+                   - CAST(a1.x AS DOUBLE) / CAST(a1.n AS DOUBLE))
+                 / sqrt(
+                   (CAST(a0.x + a1.x AS DOUBLE)
+                     / CAST(a0.n + a1.n AS DOUBLE))
+                   * (1.0 - CAST(a0.x + a1.x AS DOUBLE)
+                     / CAST(a0.n + a1.n AS DOUBLE))
+                   * (1.0 / CAST(a0.n AS DOUBLE)
+                     + 1.0 / CAST(a1.n AS DOUBLE))), 6) AS z,
+               CAST(abs((CAST(a0.x AS DOUBLE) / CAST(a0.n AS DOUBLE)
+                   - CAST(a1.x AS DOUBLE) / CAST(a1.n AS DOUBLE))
+                 / sqrt(
+                   (CAST(a0.x + a1.x AS DOUBLE)
+                     / CAST(a0.n + a1.n AS DOUBLE))
+                   * (1.0 - CAST(a0.x + a1.x AS DOUBLE)
+                     / CAST(a0.n + a1.n AS DOUBLE))
+                   * (1.0 / CAST(a0.n AS DOUBLE)
+                     + 1.0 / CAST(a1.n AS DOUBLE))))
+                 >= 1.959964 AS INTEGER) AS significant
+        FROM a a0, a a1
+        WHERE a0.variant = '0' AND a1.variant = '1'"""))
+
+  /** CUPED variance reduction ([[graft.ops.Experiment.cuped]]) on
+    * the REAL experiment shape: unit = customer, y = post-period
+    * spend (1999+), covariate x = pre-period spend, variant =
+    * customer parity. θ, per-variant adjusted means and the ρ²
+    * reduction all derive from exact decimal sums in closed form.
+    */
+  private val q236_cuped: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          coalesce(sum(when(year(col("o_orderdate")) < 1999,
+            col("o_totalprice")).cast("decimal(25,6)")), lit(0))
+            .cast("double").as("x"),
+          coalesce(sum(when(year(col("o_orderdate")) >= 1999,
+            col("o_totalprice")).cast("decimal(25,6)")), lit(0))
+            .cast("double").as("y"))
+        .withColumn("v", (col("o_custkey") % 2).cast("string"))
+      graft.ops.Experiment.cuped(per, "v", col("y"), col("x"))
+        .orderBy(col("variant"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 COALESCE(CAST(sum(CASE WHEN year(o_orderdate) < 1999
+                   THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+                   AS DOUBLE), 0) AS x,
+                 COALESCE(CAST(sum(CASE WHEN year(o_orderdate) >= 1999
+                   THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+                   AS DOUBLE), 0) AS y,
+                 CAST(o_custkey % 2 AS VARCHAR) AS v
+               FROM orders GROUP BY o_custkey),
+             g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS syy
+               FROM per),
+             pv AS (SELECT v AS variant,
+                 CAST(count(*) AS DOUBLE) AS nv,
+                 CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS svx,
+                 CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS svy
+               FROM per GROUP BY v)
+        SELECT variant, CAST(nv AS BIGINT) AS n,
+               round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                 AS theta,
+               round(svy / nv, 6) AS mean_y,
+               round(svy / nv - (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) * (svx / nv - sx / n), 6)
+                 AS mean_adj,
+               round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+                 AS var_reduction
+        FROM pv CROSS JOIN g ORDER BY variant"""))
+
+  /** Difference-in-differences ([[graft.ops.Experiment.diffInDiff]]):
+    * 2x2 (customer parity x pre/post 1999) cell means of order value
+    * from exact sums; the DiD effect rides every row, 6dp.
+    */
+  private val q237_did: Q = (
+    (s, dir) => graft.ops.Experiment.diffInDiff(
+      read(s, dir, "orders"),
+      (col("o_custkey") % 2 === 0),
+      year(col("o_orderdate")) >= 1999,
+      col("o_totalprice")),
+    Some("""WITH cells AS (SELECT
+                 CAST(o_custkey % 2 = 0 AS INTEGER) AS treated,
+                 CAST(year(o_orderdate) >= 1999 AS INTEGER) AS post,
+                 count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                   AS DOUBLE) AS s
+               FROM orders GROUP BY 1, 2),
+             m AS (SELECT treated, post, n, s / CAST(n AS DOUBLE)
+                 AS mean FROM cells),
+             d AS (SELECT
+                 (SELECT mean FROM m WHERE treated = 1 AND post = 1)
+               - (SELECT mean FROM m WHERE treated = 1 AND post = 0)
+               - ((SELECT mean FROM m WHERE treated = 0 AND post = 1)
+               -  (SELECT mean FROM m WHERE treated = 0 AND post = 0))
+                 AS did)
+        SELECT treated, post, n, round(mean, 6) AS mean,
+               round(did, 6) AS did
+        FROM m CROSS JOIN d ORDER BY treated, post"""))
 
   /** OHLC time-series bars: per (event_type, 15-min bucket) the
     * first/max/min/last `value` — open/close picked by min_by/max_by
