@@ -428,6 +428,101 @@ object QueriesRelational {
               >= 0.88
         ORDER BY name_a, name_b"""))
 
+  /** ENTITY RESOLUTION end to end: q166's blocked fuzzy pairs
+    * (value-level levenshtein <= 3 within first-token blocks) closed
+    * under transitivity by [[graft.llmdata.Dedup.duplicateClusters]]
+    * (min-label propagation — O(cluster diameter) rounds, shuffles
+    * on the name key only); each name maps to its cluster's minimum
+    * name as the entity id. The oracle replays blocking + distance
+    * + a WITH RECURSIVE reachability closure (the q96 pattern).
+    * Singleton names (no fuzzy pair) are identity-mapped and
+    * excluded on both sides.
+    */
+  private val q238_entity_clusters: Q = (
+    (s, dir) => {
+      val pairs = ops.Joins.fuzzyMatch(read(s, dir, "part"), "p_name",
+        v => split(v, " ").getItem(0), maxDist = 3,
+        maxPerBlock = 1000)
+      val cl = graft.llmdata.Dedup.duplicateClusters(pairs,
+        "name_a", "name_b")
+      val sizes = cl.groupBy(col("canonical_id").as("entity"))
+        .agg(count(lit(1)).as("n_members"))
+      val out = cl.select(col("doc_id").as("name"),
+          col("canonical_id").as("entity"))
+        .join(broadcast(sizes), Seq("entity"))
+        .select(col("name"), col("entity"), col("n_members"))
+        .orderBy(col("name")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH RECURSIVE v AS (SELECT p_name AS name,
+                 split_part(p_name, ' ', 1) AS blk
+               FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2),
+             p AS (SELECT a.name AS na, b.name AS nb
+               FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+               WHERE levenshtein(a.name, b.name) <= 3),
+             e AS (SELECT na AS s, nb AS t FROM p
+                   UNION SELECT nb, na FROM p),
+             reach(s, t) AS (
+               SELECT s, t FROM e
+               UNION
+               SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+             cl AS (SELECT s AS name, least(min(t), s) AS entity
+               FROM reach GROUP BY s),
+             g AS (SELECT entity, count(*) AS n_members FROM cl
+               GROUP BY entity)
+        SELECT cl.name, cl.entity, g.n_members
+        FROM cl JOIN g USING (entity) ORDER BY name"""))
+
+  /** K-anonymity audit ([[ops.DataQuality.kAnonymity]]) over the
+    * (nation, segment) quasi-identifier: groups under k=10 are
+    * re-identification risks — the privacy release gate, exact
+    * integers throughout.
+    */
+  private val q239_k_anonymity: Q = (
+    (s, dir) => ops.DataQuality.kAnonymity(read(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                   CAST(count(*) < 10 AS INTEGER) AS at_risk
+            FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Deterministic pseudonymization
+    * ([[ops.DataQuality.pseudonymize]]): customer names replaced by
+    * the salted portable hash — joins/distinct counts survive, the
+    * identifier doesn't. The in-plan guard raises on any token
+    * collision (distinct names != distinct tokens); the oracle
+    * rebuilds every token from the same salted char polynomial.
+    */
+  private val q240_pseudonymize: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+      val tok = ops.DataQuality.pseudonymize(c, Seq("c_name"),
+          salt = "pepper-2026")
+        .select(col("c_custkey"), col("c_name").as("name_token"))
+      val guard = tok.agg(
+        count_distinct(col("name_token")).as("__dt"))
+        .crossJoin(c.agg(count_distinct(col("c_name")).as("__dn")))
+      tok.crossJoin(broadcast(guard))
+        .withColumn("name_token",
+          when(col("__dt") =!= col("__dn"),
+            raise_error(concat(lit("q240: token collision: "),
+              col("__dt"), lit(" tokens for "), col("__dn"),
+              lit(" names"))).cast("long"))
+            .otherwise(col("name_token")))
+        .select(col("c_custkey"), col("name_token"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split_regex(
+                       'pepper-2026' || c_name, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007)
+                     AS name_token
+            FROM customer ORDER BY c_custkey"""))
+
   /** Z-ORDERED layout end to end ([[io.Layout.writeZOrdered]] —
     * completing q138, which oracles the key alone): part written
     * clustered on z(p_partkey, p_size) into 16 files, then a
@@ -1346,6 +1441,9 @@ object QueriesRelational {
     "q227_triangles" -> q227_triangles,
     "q228_common_neighbors" -> q228_common_neighbors,
     "q229_khop_bfs" -> q229_khop_bfs,
+    "q238_entity_clusters" -> q238_entity_clusters,
+    "q239_k_anonymity" -> q239_k_anonymity,
+    "q240_pseudonymize" -> q240_pseudonymize,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,

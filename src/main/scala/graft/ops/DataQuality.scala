@@ -136,6 +136,36 @@ object DataQuality {
         col("dev_ppm"))
   }
 
+  /** K-ANONYMITY audit (Sweeney 2002): group by the quasi-identifier
+    * columns; any group smaller than k is a re-identification risk —
+    * the release gate a privacy review runs before data leaves the
+    * boundary. One partial-aggregated grouped count; exact integers
+    * throughout.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"kAnonymity: $quasiCols/$k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+  }
+
+  /** Deterministic PSEUDONYMIZATION: replace identifier columns with
+    * the portable keyed hash of (salt || value) — referential
+    * integrity survives (equal values map equal, so joins and
+    * distinct counts still work) while the identifier itself leaves
+    * the dataset. The salt is the secret: without it the token is a
+    * one-way map; rotating it breaks linkage to prior releases (the
+    * crypto-shredding pattern, with the portable hash standing in
+    * for a keyed HMAC so q239 can verify the mapping cross-engine —
+    * production would swap in HMAC-SHA256 via the same fold).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      graft.functions.PortableTokenHash(
+        concat(lit(salt), col(c).cast("string")))))
+
   def keySkew(df: DataFrame, key: String,
       factor: Double = 10.0): DataFrame = {
     require(factor > 1.0, s"keySkew: factor $factor")
