@@ -392,7 +392,145 @@ object QueriesML {
     },
     None)
 
+  /** Smoothed leave-one-out target encoding
+    * ([[graft.functions.Tabular.targetEncode]]): the high-
+    * cardinality categorical encoder with the leakage path removed
+    * (own row excluded) and rare categories shrunk to the prior.
+    * Exact decimal sums; one double division per row (6dp).
+    */
+  private val q241_target_encoding: Q = (
+    (s, dir) => graft.functions.Tabular.targetEncode(
+        read(s, dir, "orders"), "o_orderpriority",
+        col("o_totalprice"), m = 10.0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("te"))
+      .orderBy(col("o_orderkey")),
+    Some(s"""WITH pc AS (SELECT o_orderpriority, count(*) AS nc,
+                 ${sqlDsum("o_totalprice")} AS sc
+               FROM orders GROUP BY 1),
+             pr AS (SELECT ${sqlDsum("o_totalprice")}
+                 / CAST(count(*) AS DOUBLE) AS prior FROM orders)
+        SELECT o_orderkey, o.o_orderpriority,
+               round(CASE WHEN nc = 1 THEN prior
+                 ELSE (sc - o_totalprice + 10.0 * prior)
+                   / (CAST(nc - 1 AS DOUBLE) + 10.0) END, 6) AS te
+        FROM orders o JOIN pc USING (o_orderpriority) CROSS JOIN pr
+        ORDER BY o_orderkey"""))
+
+  /** Weight of evidence + information value
+    * ([[graft.functions.Tabular.woeIv]]) of the customer segment
+    * against high-value orders — the credit-scoring predictive-power
+    * read; integer cells, fixed-order ln (6dp), 0.5 Laplace on zero
+    * cells.
+    */
+  private val q242_woe_iv: Q = (
+    (s, dir) => graft.functions.Tabular.woeIv(
+        read(s, dir, "orders").join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", (col("o_totalprice") > 250000.0).cast("int"))
+      .orderBy(col("c_mktsegment")),
+    Some("""WITH j AS (SELECT c_mktsegment,
+                 CAST(o_totalprice > 250000.0 AS INTEGER) AS t
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+             cells AS (SELECT c_mktsegment,
+                 CAST(sum(t) AS BIGINT) AS bad,
+                 CAST(sum(1 - t) AS BIGINT) AS good
+               FROM j GROUP BY 1),
+             tot AS (SELECT CAST(sum(bad) AS BIGINT) AS bt,
+                 CAST(sum(good) AS BIGINT) AS gt FROM cells),
+             b AS (SELECT c_mktsegment, bad, good,
+                 ln((CASE WHEN bad = 0 THEN 0.5
+                      ELSE CAST(bad AS DOUBLE) END
+                     / CAST(bt AS DOUBLE))
+                   / ((CASE WHEN good = 0 THEN 0.5
+                        ELSE CAST(good AS DOUBLE) END)
+                     / CAST(gt AS DOUBLE))) AS w,
+                 (CASE WHEN bad = 0 THEN 0.5
+                    ELSE CAST(bad AS DOUBLE) END / CAST(bt AS DOUBLE)
+                  - (CASE WHEN good = 0 THEN 0.5
+                      ELSE CAST(good AS DOUBLE) END)
+                     / CAST(gt AS DOUBLE)) AS share_gap
+               FROM cells CROSS JOIN tot),
+             iv AS (SELECT round(sum(share_gap * w), 6) AS iv FROM b)
+        SELECT c_mktsegment, bad, good, round(w, 6) AS woe, iv.iv
+        FROM b CROSS JOIN iv ORDER BY c_mktsegment"""))
+
+  /** Calibration (reliability) table
+    * ([[graft.functions.Tabular.calibrationBins]]): deterministic
+    * pseudo-score binned 10-wide, predicted mean vs observed rate
+    * per bin — the data behind every calibration plot.
+    */
+  private val q243_calibration: Q = (
+    (s, dir) => graft.functions.Tabular.calibrationBins(
+        read(s, dir, "orders"),
+        (col("o_custkey") % 97).cast("double") / 97.0,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        bins = 10)
+      .orderBy(col("bin")),
+    Some("""WITH s AS (SELECT
+                 CAST(o_custkey % 97 AS DOUBLE) / 97.0 AS sc,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS INTEGER) AS t
+               FROM orders)
+        SELECT CAST(least(floor(sc * 10), 9) AS BIGINT) AS bin,
+               count(*) AS n,
+               round(CAST(sum(CAST(sc AS DECIMAL(25,10))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+               round(CAST(sum(t) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS obs_rate
+        FROM s GROUP BY 1 ORDER BY bin"""))
+
+  /** Population stability index
+    * ([[graft.functions.Tabular.psi]]) between pre- and post-1999
+    * order cohorts over priority bins — the tabular drift gate
+    * (the q139 fertility monitor's batch-score sibling).
+    */
+  private val q244_psi: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      graft.functions.Tabular.psi(
+          o.where(year(col("o_orderdate")) < 1999),
+          o.where(year(col("o_orderdate")) >= 1999),
+          col("o_orderpriority"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH e AS (SELECT o_orderpriority AS bin,
+                 count(*) AS n_expected
+               FROM orders WHERE year(o_orderdate) < 1999 GROUP BY 1),
+             a AS (SELECT o_orderpriority AS bin,
+                 count(*) AS n_actual
+               FROM orders WHERE year(o_orderdate) >= 1999
+               GROUP BY 1),
+             j AS (SELECT COALESCE(e.bin, a.bin) AS bin,
+                 COALESCE(n_expected, 0) AS n_expected,
+                 COALESCE(n_actual, 0) AS n_actual
+               FROM e FULL OUTER JOIN a ON e.bin = a.bin),
+             tot AS (SELECT CAST(sum(n_expected) AS BIGINT) AS et,
+                 CAST(sum(n_actual) AS BIGINT) AS at FROM j),
+             b AS (SELECT bin, n_expected, n_actual,
+                 ((CASE WHEN n_actual = 0 THEN 0.5
+                     ELSE CAST(n_actual AS DOUBLE) END
+                    / CAST(at AS DOUBLE))
+                  - (CASE WHEN n_expected = 0 THEN 0.5
+                      ELSE CAST(n_expected AS DOUBLE) END
+                    / CAST(et AS DOUBLE)))
+                 * ln((CASE WHEN n_actual = 0 THEN 0.5
+                        ELSE CAST(n_actual AS DOUBLE) END
+                       / CAST(at AS DOUBLE))
+                      / ((CASE WHEN n_expected = 0 THEN 0.5
+                           ELSE CAST(n_expected AS DOUBLE) END)
+                        / CAST(et AS DOUBLE))) AS term
+               FROM j CROSS JOIN tot),
+             p AS (SELECT round(sum(term), 6) AS psi FROM b)
+        SELECT bin, CAST(n_expected AS BIGINT) AS n_expected,
+               CAST(n_actual AS BIGINT) AS n_actual,
+               round(term, 6) AS psi_term, p.psi
+        FROM b CROSS JOIN p ORDER BY bin"""))
+
   val all: Map[String, Q] = Map(
+    "q241_target_encoding" -> q241_target_encoding,
+    "q242_woe_iv" -> q242_woe_iv,
+    "q243_calibration" -> q243_calibration,
+    "q244_psi" -> q244_psi,
     "q152_marginal_effects" -> q152_marginal_effects,
     "q206_marginal_sketch" -> q206_marginal_sketch,
     "q37_ks" -> q37_ks,

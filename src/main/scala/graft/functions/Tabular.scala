@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular-ML feature engineering and monitoring: target encoding,
+  * weight-of-evidence binning, calibration tables, population
+  * stability — the credit-scoring / GBM-era toolkit, each a closed
+  * form over exact grouped sums so encodings and monitoring verdicts
+  * replay bit-for-bit across engines.
+  */
+object Tabular {
+
+  /** SMOOTHED LEAVE-ONE-OUT target encoding (the Kaggle/CatBoost-era
+    * standard for high-cardinality categoricals, minus the RNG):
+    * enc_i = (sum_cat - y_i + m * prior) / (n_cat - 1 + m), with the
+    * global mean as prior — excluding the own row kills the direct
+    * leakage path, the m-weighted prior shrinks rare categories.
+    * One grouped aggregate + a broadcast join of the category table;
+    * sums are exact decimals, the division is one double op (6dp).
+    * Rows in singleton categories (n_cat = 1) fall back to the pure
+    * prior (the n-1 = 0 edge).
+    */
+  def targetEncode(df: DataFrame, cat: String, y: Column,
+      m: Double = 10.0, out: String = "te"): DataFrame = {
+    require(m > 0, s"targetEncode: m $m")
+    val perCat = df.groupBy(col(cat))
+      .agg(count(lit(1)).as("__nc"), graft.QH.dsum(y).as("__sc"))
+    val prior = df.agg((graft.QH.dsum(y) /
+      count(lit(1)).cast("double")).as("__prior"))
+    df.join(broadcast(perCat), Seq(cat))
+      .crossJoin(broadcast(prior))
+      .withColumn(out, round(
+        when(col("__nc") === 1, col("__prior"))
+          .otherwise(
+            (col("__sc") - y.cast("double") +
+              lit(m) * col("__prior")) /
+            ((col("__nc") - 1).cast("double") + lit(m))), 6))
+      .drop("__nc", "__sc", "__prior")
+  }
+
+  /** WEIGHT OF EVIDENCE + INFORMATION VALUE per category of a binary
+    * target (the credit-scoring binning standard):
+    * woe = ln( (bad_c/bad_tot) / (good_c/good_tot) ) and
+    * IV = Σ (bad% - good%) * woe. Counts exact; each ln evaluates on
+    * the same integer ratios in one fixed op order (6dp). Categories
+    * with a zero cell get the standard 0.5 Laplace adjustment (an
+    * infinite WOE is a data bug, not a feature). IV rides on every
+    * row for a one-table read.
+    */
+  def woeIv(df: DataFrame, cat: String, target: Column): DataFrame = {
+    val cells = df.groupBy(col(cat))
+      .agg(sum(target.cast("long")).as("bad"),
+        sum((lit(1L) - target.cast("long"))).as("good"))
+    val tot = cells.agg(sum(col("bad")).as("__bt"),
+      sum(col("good")).as("__gt"))
+    val adj = (c: Column) =>
+      when(c === 0, lit(0.5)).otherwise(c.cast("double"))
+    val woeCol = log(
+      (adj(col("bad")) / col("__bt").cast("double")) /
+        (adj(col("good")) / col("__gt").cast("double")))
+    val base = cells.crossJoin(broadcast(tot))
+      .withColumn("woe", round(woeCol, 6))
+      .withColumn("__iv_term",
+        (adj(col("bad")) / col("__bt").cast("double") -
+          adj(col("good")) / col("__gt").cast("double")) * woeCol)
+    val iv = base.agg(round(sum(col("__iv_term")), 6).as("iv"))
+    base.crossJoin(broadcast(iv))
+      .select(col(cat), col("bad"), col("good"), col("woe"),
+        col("iv"))
+  }
+
+  /** CALIBRATION table: bucket a deterministic score into
+    * equal-width bins, report predicted-mean vs observed rate per
+    * bin — the reliability-diagram data. Bin = floor(score * bins)
+    * clamped; all ratios are single double divisions over exact
+    * sums (6dp). Feed a q145-style integer scorer through a sigmoid
+    * upstream for cross-engine determinism.
+    */
+  def calibrationBins(df: DataFrame, score: Column, target: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: $bins")
+    df.withColumn("bin",
+        least(floor(score * bins), lit(bins - 1)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(score.cast("decimal(25,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_score"),
+        round(sum(target.cast("long")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("obs_rate"))
+  }
+
+  /** POPULATION STABILITY INDEX between an expected (training) and
+    * an actual (serving) sample, over caller-provided bins:
+    * PSI = Σ (a% - e%) * ln(a% / e%). The drift gate tabular model
+    * monitoring standardized on; zero cells take the 0.5 adjustment.
+    * Counts exact; shares and logs in one fixed op order (6dp).
+    */
+  def psi(expected: DataFrame, actual: DataFrame,
+      bin: Column): DataFrame = {
+    val e = expected.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_expected"))
+    val a = actual.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_actual"))
+    val joined = e.join(a, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+    val tot = joined.agg(sum(col("n_expected")).as("__et"),
+      sum(col("n_actual")).as("__at"))
+    val adj = (c: Column) =>
+      when(c === 0, lit(0.5)).otherwise(c.cast("double"))
+    val base = joined.crossJoin(broadcast(tot))
+      .withColumn("__term",
+        (adj(col("n_actual")) / col("__at").cast("double") -
+          adj(col("n_expected")) / col("__et").cast("double")) *
+        log((adj(col("n_actual")) / col("__at").cast("double")) /
+          (adj(col("n_expected")) / col("__et").cast("double"))))
+    val total = base.agg(round(sum(col("__term")), 6).as("psi"))
+    base.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        round(col("__term"), 6).as("psi_term"), col("psi"))
+  }
+}
