@@ -610,6 +610,8 @@ object QueriesAgg {
     "q235_ab_test" -> q235_ab_test,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
+    "q245_kaplan_meier" -> q245_kaplan_meier,
+    "q246_uplift" -> q246_uplift,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
@@ -1160,6 +1162,95 @@ object QueriesAgg {
         SELECT treated, post, n, round(mean, 6) AS mean,
                round(did, 6) AS did
         FROM m CROSS JOIN d ORDER BY treated, post"""))
+
+  /** Kaplan-Meier churn survival
+    * ([[graft.ops.Experiment.kaplanMeier]]): duration = days from a
+    * customer's first to last order, event = churned (last order >
+    * 360 days before the corpus max — later customers are CENSORED,
+    * which is exactly what KM handles and a naive average can't).
+    * Counts exact; S(t) = exp of a running ln sum over the
+    * time-ordered window (left-to-right fold — deterministic on both
+    * engines), 6dp.
+    */
+  private val q245_kaplan_meier: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val mx = per.agg(max(col("last_d")).as("maxd"))
+      val subj = per.crossJoin(broadcast(mx))
+        .select(
+          expr("datediff(last_d, first_d)").cast("long")
+            .as("duration"),
+          (expr("datediff(maxd, last_d)") > 360).cast("long")
+            .as("event"))
+      graft.ops.Experiment.kaplanMeier(subj, col("duration"),
+          col("event"))
+        .orderBy(col("t"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS duration,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS event
+               FROM per CROSS JOIN mx),
+             times AS (SELECT duration AS t,
+                 CAST(sum(event) AS BIGINT) AS d,
+                 count(*) AS c
+               FROM subj GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM times),
+             r AS (SELECT t, d, c,
+                 n - COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+               FROM times CROSS JOIN tot)
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE))) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING)), 6) AS survival
+        FROM r ORDER BY t"""))
+
+  /** Per-segment uplift ([[graft.ops.Experiment.upliftBySegment]]):
+    * treated = customer parity, conversion = urgent/high priority,
+    * segmented by market segment — the heterogeneous-effect read
+    * behind every targeting decision. Exact cells; one double
+    * subtraction per segment.
+    */
+  private val q246_uplift: Q = (
+    (s, dir) => graft.ops.Experiment.upliftBySegment(
+        read(s, dir, "orders").join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", col("o_custkey") % 2 === 0,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment,
+                   CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN o_custkey % 2 = 0
+                     AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x_t,
+                   CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN o_custkey % 2 <> 0
+                     AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x_c,
+                   round(CAST(sum(CASE WHEN o_custkey % 2 = 0
+                       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1
+                       ELSE 0 END) AS DOUBLE)
+                     - CAST(sum(CASE WHEN o_custkey % 2 <> 0
+                       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1
+                       ELSE 0 END) AS DOUBLE), 6) AS uplift
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1"""))
 
   /** OHLC time-series bars: per (event_type, 15-min bucket) the
     * first/max/min/last `value` — open/close picked by min_by/max_by

@@ -98,6 +98,60 @@ object Experiment {
         round(col("var_reduction"), 6).as("var_reduction"))
   }
 
+  /** KAPLAN-MEIER survival estimator (the nonparametric standard for
+    * churn/retention duration analysis): at each distinct event time
+    * t, risk set n_t = subjects with duration >= t, events d_t, and
+    * S(t) = Π (1 - d_i/n_i) over i <= t. Counts are exact integers;
+    * the product evaluates as exp of a RUNNING sum of ln terms over
+    * the time-ordered window — running sums fold left-to-right in
+    * frame order on every engine, so the float trajectory is
+    * deterministic (6dp at the output). The window runs over
+    * DISTINCT durations — bounded by the time resolution, not
+    * subjects — under an explicit non-foldable single-partition key
+    * (the house O(bounded) window rule). `event` = 1 observed,
+    * 0 censored (censored rows leave the risk set without an event —
+    * the whole point of KM over a naive average).
+    */
+  def kaplanMeier(df: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    val times = df
+      .where(duration.isNotNull)
+      .groupBy(duration.cast("long").as("t"))
+      .agg(sum(event.cast("long")).as("d"), count(lit(1)).as("c"))
+    val pin = pmod(col("t"), lit(1))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin).orderBy(col("t"))
+    val wPrev = wOrd.rowsBetween(Long.MinValue, -1)
+    val total = times.agg(sum(col("c")).as("__n"))
+    times.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("survival", round(exp(sum(
+        log(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double"))).over(wOrd)), 6))
+      .select(col("t"), col("n_risk"), col("d"), col("survival"))
+  }
+
+  /** Per-segment UPLIFT (heterogeneous treatment effect read): for
+    * each segment, treated/control exact trials and successes and
+    * the rate difference — where an experiment's average effect
+    * hides its distribution. One grouped pass; single double
+    * subtractions (6dp).
+    */
+  def upliftBySegment(df: DataFrame, segmentCol: String,
+      treatedCol: Column, metric: Column): DataFrame =
+    df.groupBy(col(segmentCol))
+      .agg(
+        sum(when(treatedCol, 1L).otherwise(0L)).as("n_t"),
+        sum(when(treatedCol, metric.cast("long")).otherwise(0L))
+          .as("x_t"),
+        sum(when(!treatedCol, 1L).otherwise(0L)).as("n_c"),
+        sum(when(!treatedCol, metric.cast("long")).otherwise(0L))
+          .as("x_c"))
+      .withColumn("uplift", round(
+        col("x_t").cast("double") / col("n_t").cast("double") -
+          col("x_c").cast("double") / col("n_c").cast("double"), 6))
+
   /** Difference-in-differences over a 2x2 (group, period) design:
     * four cell means from exact sums, did = (T,post - T,pre) -
     * (C,post - C,pre) — the causal read when treatment lands at a
