@@ -440,9 +440,13 @@ object QueriesRelational {
     */
   private val q238_entity_clusters: Q = (
     (s, dir) => {
-      val pairs = ops.Joins.fuzzyMatch(read(s, dir, "part"), "p_name",
-        v => split(v, " ").getItem(0), maxDist = 3,
-        maxPerBlock = 1000)
+      // pin the pair DAG: the blocked levenshtein join is the
+      // expensive stage and feeds edge build + every propagation
+      // round — uncached it re-evaluates per downstream job
+      val pairs = graft.Caches.pin(
+        ops.Joins.fuzzyMatch(read(s, dir, "part"), "p_name",
+          v => split(v, " ").getItem(0), maxDist = 3,
+          maxPerBlock = 1000))
       val cl = graft.llmdata.Dedup.duplicateClusters(pairs,
         "name_a", "name_b")
       val sizes = cl.groupBy(col("canonical_id").as("entity"))

@@ -302,17 +302,20 @@ object Dedup {
         .join(labels.select(col("id").as("t"), col("label").as("tl")),
           "t")
         .groupBy(col("s").as("id")).agg(min(col("tl")).as("nl"))
+      // localCheckpoint TRUNCATES the logical plan each round —
+      // without it the accumulated lineage re-analyzes on every
+      // iteration and planning time, not task time, dominates (the
+      // classic iterative-DataFrame pitfall; caching alone does not
+      // cut the plan)
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label")))
             .as("next"))
-        .cache()
+        .localCheckpoint(true)
       changed = updated.where(col("next") < col("label")).count()
       val old = labels
-      labels = updated.select(col("id"), col("next").as("label")).cache()
-      labels.count() // materialize before the lineage is unpersisted
+      labels = updated.select(col("id"), col("next").as("label"))
       old.unpersist(blocking = false)
-      updated.unpersist(blocking = false)
       i += 1
     }
     edges.unpersist(blocking = false)
