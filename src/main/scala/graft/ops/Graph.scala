@@ -67,6 +67,12 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      // NO localCheckpoint here (unlike duplicateClusters/kHop):
+      // pageRank runs a FIXED small superstep count inside one final
+      // job whose adaptive plan REUSES the edges exchange across
+      // supersteps (PLANS.md evidence) — truncating lineage per
+      // round would trade that reuse for per-round materialization
+      // and measured slower
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .withColumn("__m",
@@ -172,17 +178,20 @@ object Graph {
     val e = graft.Caches.pin(edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
-    var settled = graft.Caches.pin(
-      seeds.select(col("node").cast("long").as("node"),
-        lit(0L).as("dist")).distinct())
+    var settled = seeds.select(col("node").cast("long").as("node"),
+      lit(0L).as("dist")).distinct().localCheckpoint(true)
     var frontier = settled
     for (h <- 1 to k) {
-      val next = graft.Caches.pin(frontier
+      // localCheckpoint per hop: the settled union's lineage doubles
+      // per superstep otherwise, and Catalyst planning — not tasks —
+      // starts to dominate (the duplicateClusters lesson)
+      val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h.toLong)))
-      settled = graft.Caches.pin(settled.unionByName(next))
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
       frontier = next
     }
     settled
