@@ -527,6 +527,114 @@ object QueriesRelational {
                      AS name_token
             FROM customer ORDER BY c_custkey"""))
 
+  /** Geospatial distance + geocell ([[ops.Geo.haversineM]] /
+    * [[ops.Geo.geoCell]]): deterministic site coordinates derived
+    * from the customer key, great-circle distance to a fixed origin
+    * in one fixed-order spherical-trig evaluation (6dp — trig ulp
+    * differences sit ~1e-9 m, far under the rounding grain), and the
+    * integer Morton geocell (lon on even bits — the geohash
+    * convention, and literally [[io.Layout.zValueN]] over geographic
+    * space). The oracle replays quantization, interleave and the
+    * haversine term for term.
+    */
+  private val q247_geo_distance: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+        .withColumn("lat",
+          (col("c_custkey") * 37 % 1600).cast("double") / 10.0 - 80.0)
+        .withColumn("lon",
+          (col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0)
+      c.select(col("c_custkey"), col("lat"), col("lon"),
+          ops.Geo.geoCell(col("lat"), col("lon"), bits = 12)
+            .as("cell"),
+          // 2dp (centimeters): cross-engine trig differs by ~1e-9 m,
+          // which TIES on a 1e-6 grid once in ~1e3 rows at 1e7 m
+          // magnitudes (observed at sf0.1); the cm grid makes the tie
+          // probability ~1e-7 per row
+          round(ops.Geo.haversineM(col("lat"), col("lon"),
+            lit(0.0), lit(0.0)), 2).as("dist_m"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH pts AS (SELECT c_custkey,
+                 CAST(c_custkey * 37 % 1600 AS DOUBLE) / 10.0 - 80.0
+                   AS lat,
+                 CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
+                   AS lon
+               FROM customer),
+             q AS (SELECT c_custkey, lat, lon,
+                 CAST(least(floor((lat + 90.0) / 180.0 * 4096.0),
+                   4095) AS BIGINT) AS qlat,
+                 CAST(least(floor((lon + 180.0) / 360.0 * 4096.0),
+                   4095) AS BIGINT) AS qlon
+               FROM pts),
+             cells AS (SELECT c_custkey,
+                 CAST(sum((((qlon >> bi.i) & 1) << (2 * bi.i))
+                   + (((qlat >> bi.i) & 1) << (2 * bi.i + 1)))
+                   AS BIGINT) AS cell
+               FROM q, (SELECT unnest(range(0, 12)) AS i) bi
+               GROUP BY 1)
+        SELECT pts.c_custkey, lat, lon, cells.cell,
+               round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((0.0 - lat) * (pi() / 180.0) / 2.0)
+                   * sin((0.0 - lat) * (pi() / 180.0) / 2.0)
+                 + cos(lat * (pi() / 180.0)) * cos(0.0 * (pi() / 180.0))
+                   * sin((0.0 - lon) * (pi() / 180.0) / 2.0)
+                   * sin((0.0 - lon) * (pi() / 180.0) / 2.0))), 2)
+                 AS dist_m
+        FROM pts JOIN cells USING (c_custkey)
+        ORDER BY c_custkey"""))
+
+  /** Banded RADIUS self-join ([[ops.Geo.radiusJoin]]): customer
+    * sites within 200 km — latitude-band blocking (a within-R pair
+    * can differ by at most R north-south, so R-height bands plus
+    * neighbors lose nothing), per-band census guard, 6dp-rounded
+    * distance cut. The oracle applies the identical banding (an
+    * all-pairs replay would be quadratic there too — the pruning IS
+    * the operator).
+    */
+  private val q248_geo_radius: Q = (
+    (s, dir) => {
+      val pts = read(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") * 37 % 1600).cast("double") / 10.0
+            - 80.0).as("lat"),
+          ((col("c_custkey") * 73 % 3600).cast("double") / 10.0
+            - 180.0).as("lon"))
+      ops.Geo.radiusJoin(pts, pts, radiusM = 200000.0,
+          selfPairs = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH pts AS (SELECT c_custkey AS id,
+                 CAST(c_custkey * 37 % 1600 AS DOUBLE) / 10.0 - 80.0
+                   AS lat,
+                 CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
+                   AS lon
+               FROM customer),
+             ba AS (SELECT id, lat, lon,
+                 CAST(floor(lat / (200000.0 / 111320.0)) AS BIGINT)
+                   AS band FROM pts)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                   * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                 + cos(a.lat * (pi() / 180.0))
+                   * cos(b.lat * (pi() / 180.0))
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
+                 AS dist_m
+        FROM ba a JOIN ba b
+          ON b.band BETWEEN a.band - 1 AND a.band + 1
+         AND a.id < b.id
+        WHERE round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                   * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                 + cos(a.lat * (pi() / 180.0))
+                   * cos(b.lat * (pi() / 180.0))
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
+               <= 200000.0
+        ORDER BY id_a, id_b"""))
+
   /** Z-ORDERED layout end to end ([[io.Layout.writeZOrdered]] —
     * completing q138, which oracles the key alone): part written
     * clustered on z(p_partkey, p_size) into 16 files, then a
@@ -1448,6 +1556,8 @@ object QueriesRelational {
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,
     "q240_pseudonymize" -> q240_pseudonymize,
+    "q247_geo_distance" -> q247_geo_distance,
+    "q248_geo_radius" -> q248_geo_radius,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,
