@@ -594,7 +594,14 @@ object QueriesRelational {
     */
   private val q248_geo_radius: Q = (
     (s, dir) => {
+      // BOUNDED site set (first 15k customers): an all-pairs-within-R
+      // join is inherently quadratic in point DENSITY — at 10x the
+      // points in the same geography the OUTPUT grows ~100x, which is
+      // the operator's contract (cost scales with matched pairs), not
+      // a scan property to benchmark. The bound keeps the entry's
+      // work output-shaped at every sf.
       val pts = read(s, dir, "customer")
+        .where(col("c_custkey") <= 15000)
         .select(col("c_custkey").as("id"),
           ((col("c_custkey") * 37 % 1600).cast("double") / 10.0
             - 80.0).as("lat"),
@@ -609,7 +616,7 @@ object QueriesRelational {
                    AS lat,
                  CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
                    AS lon
-               FROM customer),
+               FROM customer WHERE c_custkey <= 15000),
              ba AS (SELECT id, lat, lon,
                  CAST(floor(lat / (200000.0 / 111320.0)) AS BIGINT)
                    AS band FROM pts)
