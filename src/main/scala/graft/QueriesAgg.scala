@@ -612,6 +612,7 @@ object QueriesAgg {
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
     "q246_uplift" -> q246_uplift,
+    "q249_pareto_abc" -> q249_pareto_abc,
     "q183_ohlc" -> q183_ohlc,
     "q184_resample_ffill" -> q184_resample_ffill,
     "q185_cooccurrence" -> q185_cooccurrence,
@@ -1251,6 +1252,59 @@ object QueriesAgg {
                        ELSE 0 END) AS DOUBLE), 6) AS uplift
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1 ORDER BY 1"""))
+
+  /** Pareto / ABC classification (the 80-20 inventory read): parts
+    * ranked by exact-decimal revenue, cumulative share as a RUNNING
+    * sum over the rank order (left-to-right fold — deterministic on
+    * both engines, the Kaplan-Meier convention), class A/B/C at the
+    * 80%/95% cuts on the 6dp-rounded share. The window runs over the
+    * AGGREGATED part table (bounded analysis dimension, the q197
+    * rule) under an explicit non-foldable partition pin. Top 1000 by
+    * rank keeps the compare surface bounded at every sf.
+    */
+  private val q249_pareto_abc: Q = (
+    (s, dir) => {
+      val rev = read(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+      val pin = pmod(col("l_partkey"), lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pin)
+        .orderBy(col("revenue").desc, col("l_partkey"))
+      val tot = rev.agg(sum(col("revenue").cast("decimal(25,6)"))
+        .cast("double").as("__t"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_share", round(
+          sum(col("revenue").cast("decimal(25,6)")).over(w)
+            .cast("double") / col("__t"), 6))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C"))
+        .where(col("rank") <= 1000)
+        .select(col("l_partkey"), col("revenue"), col("rank"),
+          col("cum_share"), col("abc_class"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH rev AS (SELECT l_partkey,
+                 ${sqlDsum("l_extendedprice")} AS revenue
+               FROM lineitem GROUP BY 1),
+             tot AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(25,6)))
+                 AS DOUBLE) AS t FROM rev),
+             r AS (SELECT l_partkey, revenue,
+                 row_number() OVER (ORDER BY revenue DESC, l_partkey)
+                   AS rank,
+                 round(CAST(sum(CAST(revenue AS DECIMAL(25,6)))
+                     OVER (ORDER BY revenue DESC, l_partkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.t,
+                   6) AS cum_share
+               FROM rev CROSS JOIN tot)
+        SELECT l_partkey, revenue, rank, cum_share,
+               CASE WHEN cum_share <= 0.80 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r WHERE rank <= 1000 ORDER BY rank"""))
 
   /** OHLC time-series bars: per (event_type, 15-min bucket) the
     * first/max/min/last `value` — open/close picked by min_by/max_by
