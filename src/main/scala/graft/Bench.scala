@@ -104,11 +104,31 @@ object Bench {
     // spent during the TIMED section, and the pinned memory geometry —
     // enough to tell a contaminated capture from a structural change
     val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    // SELF-DISQUALIFYING capture: five rounds of artifacts have been
+    // contaminated the same two ways — an oversized heap (measured 2x
+    // degradation at 90g vs the 16g tools/bench.sh pins; GC geometry,
+    // not data, is what changes) and ambient load hovering just under
+    // the idle gate. Make the artifact carry its own verdict so a bad
+    // capture can never again masquerade as a code regression.
+    val heapWarnGb =
+      sys.env.getOrElse("SPARK_GRAFT_HEAP_WARN_GB", "32").toLong
+    val warns = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (heapGb > heapWarnGb)
+      warns += s"heap ${heapGb}g exceeds ${heapWarnGb}g warn " +
+        "threshold - GC geometry incomparable to pinned 16g runs"
+    if (loadAtRun > idleThr * 0.9)
+      warns += f"load_at_run $loadAtRun%.2f within 10%% of idle " +
+        f"threshold $idleThr%.1f - ambient contention likely"
+    val condOk = warns.isEmpty
+    val warnJson = warns.map(w => "\"" + w + "\"").mkString("[", ",", "]")
     val cond = s"""{"load_initial":${f3(loadInitial)},""" +
       s""""load_at_run":${f3(loadAtRun)},"load_end":${f3(loadEnd)},""" +
       s""""idle_wait_sec":$waited,"idle_thr":$idleThr,""" +
       s""""gc_sec":${f3(gcRun)},"jit_sec":${f3(jitRun)},""" +
-      s""""heap_gb":$heapGb,"cpus":$cpus,"burn_in":true}"""
+      s""""heap_gb":$heapGb,"cpus":$cpus,"burn_in":true,""" +
+      s""""conditions_ok":$condOk,"condition_warnings":$warnJson}"""
+    if (!condOk) warns.foreach(w =>
+      System.err.println(s"[bench] CONDITIONS NOT OK: $w"))
     // The driver captures only the last ~2000 chars of stdout; print
     // the line with the short `qNN` ids (unique) at 3 decimals —
     // ~1.2 KB, fits — and write the full-name full-precision copy

@@ -642,6 +642,76 @@ object QueriesRelational {
                <= 200000.0
         ORDER BY id_a, id_b"""))
 
+  /** CELL-blocked RADIUS self-join ([[ops.Geo.radiusJoinCells]] — the
+    * scale path q248's latitude bands can't give): sites deliberately
+    * packed into a ~1.5-degree latitude strip (every point lands in
+    * ONE band, the exact dense-band case where 1-D blocking goes
+    * band-quadratic and its census guard can only refuse), spread in
+    * longitude, then paired within 100 km via a square grid sized >=
+    * R on both axes — candidate fan-out bounded by 3x3-cell LOCAL
+    * density. The oracle replays the identical cell scheme
+    * (data-derived max |lat| for the cos-scaled cell width, wrapped
+    * cx, 9-neighborhood join). Site set bounded to 5k ids: like
+    * q248, all-pairs-within-R output is quadratic in point density
+    * by contract, so the entry measures the blocking, not output
+    * growth (footnoted in BENCH_NOTES — excluded from aggregate
+    * sub-linearity claims).
+    */
+  private val q250_geo_radius_cells: Q = (
+    (s, dir) => {
+      val pts = read(s, dir, "customer")
+        .where(col("c_custkey") <= 5000)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") * 37 % 16).cast("double") / 10.0)
+            .as("lat"),
+          ((col("c_custkey") * 73 % 3600).cast("double") / 10.0
+            - 180.0).as("lon"))
+      ops.Geo.radiusJoinCells(pts, pts, radiusM = 100000.0,
+          selfPairs = true)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH pts AS (SELECT c_custkey AS id,
+                 CAST(c_custkey * 37 % 16 AS DOUBLE) / 10.0 AS lat,
+                 CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
+                   AS lon
+               FROM customer WHERE c_custkey <= 5000),
+             par AS (SELECT
+                 100000.0 / 111320.0 AS dlat,
+                 100000.0 / (111320.0 * greatest(
+                   cos((SELECT max(abs(lat)) FROM pts) * pi() / 180.0),
+                   1e-6)) AS dlon),
+             par2 AS (SELECT dlat, dlon,
+                 greatest(1, CAST(floor(360.0 / dlon) AS BIGINT))
+                   AS nlon FROM par),
+             cells AS (SELECT id, lat, lon,
+                 CAST(floor(lat / dlat) AS BIGINT) AS cy,
+                 ((CAST(floor(lon / dlon) AS BIGINT) % nlon) + nlon)
+                   % nlon AS cx,
+                 nlon
+               FROM pts, par2)
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                   * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                 + cos(a.lat * (pi() / 180.0))
+                   * cos(b.lat * (pi() / 180.0))
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
+                 AS dist_m
+        FROM cells a JOIN cells b
+          ON abs(a.cy - b.cy) <= 1
+         AND ((a.cx - b.cx + a.nlon) % a.nlon) IN (0, 1, a.nlon - 1)
+         AND a.id < b.id
+        WHERE round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                   * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                 + cos(a.lat * (pi() / 180.0))
+                   * cos(b.lat * (pi() / 180.0))
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
+               <= 100000.0
+        ORDER BY id_a, id_b"""))
+
   /** Z-ORDERED layout end to end ([[io.Layout.writeZOrdered]] —
     * completing q138, which oracles the key alone): part written
     * clustered on z(p_partkey, p_size) into 16 files, then a
@@ -1149,6 +1219,57 @@ object QueriesRelational {
     * zero as the part space grows). The numeric-node contract maps
     * attribute tokens through a dictionary join.
     */
+  /** ADAMIC-ADAR + RESOURCE-ALLOCATION link scores
+    * ([[ops.Graph.linkScores]] — q228's wedge machinery, weighted):
+    * shared part-attribute neighbors certify a pair inversely to
+    * their promiscuity — 1/ln(deg) (AA) and 1/deg (RA), both
+    * QUANTIZED PER NEIGHBOR before the sum (ra_w is pure integer
+    * division; aa_w floors at 1e6 scale where the cross-engine ln
+    * ulp sits ~1e-10 from any flip), so each pair's score is an
+    * order-free sum of longs the oracle replays exactly. A common
+    * brand (hundreds of parts) contributes ~1e5 where a rare size
+    * contributes ~3e5 — the hub discount is the operator.
+    */
+  private val q251_link_scores: Q = (
+    (s, dir) => {
+      val p = read(s, dir, "part")
+      val adj0 = p.select(col("p_partkey").as("node"),
+          concat(lit("b:"), col("p_brand")).as("tok"))
+        .unionByName(p.select(col("p_partkey").as("node"),
+          concat(lit("t:"), col("p_type")).as("tok")))
+        .unionByName(p.select(col("p_partkey").as("node"),
+          concat(lit("s:"), col("p_size").cast("string")).as("tok")))
+      val dict = adj0.select(col("tok")).distinct()
+        .withColumn("nbr", xxhash64(col("tok")))
+      val adj = adj0.join(broadcast(dict), Seq("tok"))
+        .select(col("node"), col("nbr"))
+      val out = ops.Graph.linkScores(adj, minCommon = 3L)
+        .orderBy(col("aa_q").desc, col("node_a"), col("node_b"))
+        .limit(100).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH adj AS (
+          SELECT p_partkey AS node, 'b:' || p_brand AS nbr FROM part
+          UNION ALL SELECT p_partkey, 't:' || p_type FROM part
+          UNION ALL SELECT p_partkey,
+            's:' || CAST(p_size AS VARCHAR) FROM part),
+        deg AS (SELECT nbr, count(*) AS d FROM adj GROUP BY 1),
+        w AS (SELECT nbr,
+                CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)))
+                  AS BIGINT) AS aa_w,
+                1000000000000 // d AS ra_w
+              FROM deg WHERE d >= 2)
+        SELECT x.node AS node_a, y.node AS node_b,
+               count(*) AS n_common,
+               CAST(sum(aa_w) AS BIGINT) AS aa_q,
+               CAST(sum(ra_w) AS BIGINT) AS ra_q
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+             JOIN w ON w.nbr = x.nbr
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY aa_q DESC, node_a, node_b LIMIT 100"""))
+
   private val q228_common_neighbors: Q = (
     (s, dir) => {
       val p = read(s, dir, "part")
@@ -1559,12 +1680,14 @@ object QueriesRelational {
     "q207_cdc_apply" -> q207_cdc_apply,
     "q227_triangles" -> q227_triangles,
     "q228_common_neighbors" -> q228_common_neighbors,
+    "q251_link_scores" -> q251_link_scores,
     "q229_khop_bfs" -> q229_khop_bfs,
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,
     "q240_pseudonymize" -> q240_pseudonymize,
     "q247_geo_distance" -> q247_geo_distance,
     "q248_geo_radius" -> q248_geo_radius,
+    "q250_geo_radius_cells" -> q250_geo_radius_cells,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,

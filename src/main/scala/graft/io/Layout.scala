@@ -115,9 +115,28 @@ object Layout {
       val it = fs.listFiles(in, /* recursive = */ true)
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      // Skip files under hidden/temporary directories (_temporary,
+      // .hive-staging from a concurrent writer) — Hadoop's
+      // hiddenFileFilter convention. Counting them double-counts
+      // bytes and copies uncommitted data into the output.
+      val rootUri = fs.makeQualified(in).toUri
+      def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+        // only components BELOW the input root count — the caller's
+        // own path is allowed to contain dotted directories
+        var cur = p
+        var h = false
+        while (cur != null && fs.makeQualified(cur).toUri != rootUri
+            && !h) {
+          val n = cur.getName
+          h = n.startsWith("_") || n.startsWith(".")
+          cur = cur.getParent
+        }
+        h
+      }
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !hidden(f.getPath)) buf += f
       }
       buf.toArray
     }

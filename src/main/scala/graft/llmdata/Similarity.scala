@@ -124,21 +124,140 @@ object Similarity {
     */
   def fitReranker(cands: DataFrame, featureCols: Seq[String],
       labelCol: String, maxIter: Int = 25, regParam: Double = 0.0,
-      quantScale: Double = 1e6): (Seq[(String, Long)], Long) = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.feature.VectorAssembler
-    val feats = new VectorAssembler()
-      .setInputCols(featureCols.map(c => s"__f_$c").toArray)
-      .setOutputCol("__features")
-      .transform(featureCols.foldLeft(cands)((d, c) =>
-        d.withColumn(s"__f_$c", col(c).cast("double")))
-        .withColumn("__lbl", col(labelCol).cast("double")))
-    val m = new LogisticRegression().setMaxIter(maxIter)
-      .setRegParam(regParam).setFeaturesCol("__features")
-      .setLabelCol("__lbl").fit(feats)
-    (featureCols.zip(m.coefficients.toArray.toSeq
-        .map(v => math.round(v * quantScale))),
-      math.round(m.intercept * quantScale))
+      quantScale: Double = 1e6, maxRows: Int = 1000000)
+      : (Seq[(String, Long)], Long) = {
+    // The candidate table is shortlist-sized BY CONSTRUCTION (top-k
+    // per branch), so a distributed optimizer pays 25 iterations of
+    // pure per-job overhead for a problem that fits in one array.
+    // Collect under an explicit cardinality guard (the house
+    // bounded-collect contract) and run Newton on the driver — the
+    // same venue rule as Financial.irr and the BPE merge loop. The
+    // objective matches MLlib LogisticRegression: mean log-loss
+    // + regParam * L2 on coefficients scaled by per-feature sample
+    // variance (MLlib standardizes features, penalizing standardized
+    // coefficients — beta_std_j = beta_j * sigma_j); the intercept
+    // is never penalized. At regParam = 0 the optimum is identical
+    // (spec-pinned at 1e-6 against MLlib).
+    require(featureCols.nonEmpty, "fitReranker: no features")
+    val d = featureCols.length
+    val rows = cands
+      .select(featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double"): _*)
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"fitReranker: candidate table " +
+      s"exceeds $maxRows rows — shortlists should be top-k bounded; " +
+      "pool fewer queries per fit or raise maxRows deliberately")
+    val n = rows.length
+    require(n > 0, "fitReranker: empty candidate table")
+    val x = Array.tabulate(n, d)((i, j) => rows(i).getDouble(j))
+    val y = Array.tabulate(n)(i => rows(i).getDouble(d))
+    // per-feature sample variance (MLlib's summarizer convention)
+    // for the standardized-L2 penalty; only used when regParam > 0
+    val sig2 = Array.tabulate(d) { j =>
+      val m = x.map(_(j)).sum / n
+      if (n > 1) x.map(r => (r(j) - m) * (r(j) - m)).sum / (n - 1)
+      else 0.0
+    }
+    val beta = new Array[Double](d + 1) // intercept last
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val g = new Array[Double](d + 1)
+      val h = Array.ofDim[Double](d + 1, d + 1)
+      var i = 0
+      while (i < n) {
+        var z = beta(d)
+        var j = 0
+        while (j < d) { z += beta(j) * x(i)(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = (p - y(i)) / n
+        val w = math.max(p * (1.0 - p), 1e-12) / n
+        j = 0
+        while (j <= d) {
+          val xj = if (j == d) 1.0 else x(i)(j)
+          g(j) += r * xj
+          var k = 0
+          while (k <= j) {
+            val xk = if (k == d) 1.0 else x(i)(k)
+            h(j)(k) += w * xj * xk
+            k += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < d) { // standardized-L2 term (never the intercept)
+        g(j) += regParam * sig2(j) * beta(j)
+        h(j)(j) += regParam * sig2(j)
+        j += 1
+      }
+      j = 0
+      while (j <= d) {
+        var k = j + 1
+        while (k <= d) { h(j)(k) = h(k)(j); k += 1 }
+        j += 1
+      }
+      val step = solveSpd(h, g)
+      var maxAbs = 0.0
+      j = 0
+      while (j <= d) {
+        beta(j) -= step(j)
+        if (math.abs(step(j)) > maxAbs) maxAbs = math.abs(step(j))
+        j += 1
+      }
+      converged = maxAbs < 1e-12
+      it += 1
+    }
+    (featureCols.zipWithIndex.map { case (c, j) =>
+      c -> math.round(beta(j) * quantScale) },
+      math.round(beta(d) * quantScale))
+  }
+
+  /** Gaussian elimination with partial pivoting for the tiny Newton
+    * systems above (dimension = features + 1); a singular system
+    * (perfectly collinear features / complete separation late in the
+    * solve) falls back to a zero step, freezing Newton where LBFGS
+    * would likewise stall.
+    */
+  private def solveSpd(a0: Array[Array[Double]], b0: Array[Double])
+      : Array[Double] = {
+    val m = b0.length
+    val a = Array.tabulate(m, m)((i, j) => a0(i)(j))
+    val b = b0.clone()
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv)(col)) < 1e-300) return new Array[Double](m)
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < m) {
+        val f = a(r)(col) / a(col)(col)
+        var c = col
+        while (c < m) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val xOut = new Array[Double](m)
+    var i = m - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < m) { s -= a(i)(j) * xOut(j); j += 1 }
+      xOut(i) = s / a(i)(i)
+      i -= 1
+    }
+    xOut
   }
 
   /** EXACT-INTEGER linear reranker over a candidate-feature table:
@@ -399,7 +518,10 @@ object Similarity {
   /** Fit PQ codebooks: direction-normalize (L2 on the unit sphere
     * ranks like cosine, same trick as [[ivfFit]]), slice into `m`
     * subvectors, Lloyd per subspace on a BOUNDED deterministic sample
-    * (first `sampleRows` ids). Codebook training is inherently a
+    * (first `sampleRows` ids in PORTABLE-HASH order — equally
+    * deterministic as a sorted prefix but unbiased when ids correlate
+    * with content, e.g. crawl order; a TakeOrdered heap, not a full
+    * sort). Codebook training is inherently a
     * small-sample problem — k centroids per subspace saturate on a
     * few thousand points, so at 100 TB the fit reads a sample and
     * only [[pqEncode]] touches the corpus; the m tiny Lloyd loops run
@@ -409,7 +531,8 @@ object Similarity {
   def pqFit(df: DataFrame, id: String, vec: String, m: Int, k: Int,
       maxIter: Int = 20, seed: Long = 42L,
       sampleRows: Int = 1 << 16): PqCodebooks = {
-    val sample = df.orderBy(col(id)).limit(sampleRows)
+    val sample = df
+      .orderBy(Sampling.bucket(col(id), seed), col(id)).limit(sampleRows)
       .select(col(vec).cast("array<float>")).collect()
       .map(r => normalizeD(r.getSeq[Float](0).toArray.map(_.toDouble)))
     require(sample.nonEmpty, "pqFit: empty input")

@@ -123,12 +123,21 @@ object Experiment {
       .partitionBy(pin).orderBy(col("t"))
     val wPrev = wOrd.rowsBetween(Long.MinValue, -1)
     val total = times.agg(sum(col("c")).as("__n"))
+    // d == n_risk (every remaining subject fails at t) sends the
+    // factor to exactly 0 — but Spark log(0) is NULL and a windowed
+    // sum silently DROPS null terms, which would freeze survival at
+    // its prior value forever. Carry the extinction explicitly: once
+    // any time point has d == n_risk, survival is 0 from there on,
+    // and that row's log term is excluded from the running sum.
     times.crossJoin(broadcast(total))
       .withColumn("n_risk",
         col("__n") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
-      .withColumn("survival", round(exp(sum(
-        log(lit(1.0) - col("d").cast("double") /
-          col("n_risk").cast("double"))).over(wOrd)), 6))
+      .withColumn("__extinct", max(
+        when(col("d") === col("n_risk"), 1).otherwise(0)).over(wOrd))
+      .withColumn("survival", when(col("__extinct") === 1, lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).over(wOrd)), 6)))
       .select(col("t"), col("n_risk"), col("d"), col("survival"))
   }
 

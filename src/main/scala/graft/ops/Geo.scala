@@ -57,11 +57,20 @@ object Geo {
         explode(array(col("__band") - 1, col("__band"),
           col("__band") + 1)).as("__band"))
     if (maxPerBand > 0) {
+      // Census BOTH inputs: a dense b side (further tripled by the
+      // neighbor-band explode) would fire the same quadratic bomb the
+      // a-side guard exists to stop. b is censused UN-exploded — the
+      // explode multiplies by exactly 3, which the bound accounts for.
       val worst = ba.groupBy(col("__band")).count()
         .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
       require(worst <= maxPerBand,
         s"radiusJoin: densest latitude band holds $worst points " +
           s"(> $maxPerBand) — use a finer cell scheme")
+      val worstB = banded(b, "b").groupBy(col("__band")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worstB <= maxPerBand,
+        s"radiusJoin: densest latitude band of side b holds $worstB " +
+          s"points (> $maxPerBand) — use a finer cell scheme")
     }
     val joined = ba.join(bb, Seq("__band"))
       .where(if (selfPairs) col("id_a") < col("id_b") else lit(true))
@@ -71,6 +80,75 @@ object Geo {
       .select(col("id_a"), col("id_b"), col("dist_m"))
       .distinct() // a pair can match in up to 2 shared bands
     joined
+  }
+
+  /** RADIUS JOIN with 2-D CELL blocking — the scale path. Latitude
+    * bands prune in one dimension only: a dense band (a city at one
+    * latitude) is still band-quadratic, and the census guard can only
+    * refuse, not execute. Blocking on a square grid whose cells are
+    * >= radius on BOTH axes means a within-R pair shares a cell or
+    * sits in one of its 8 neighbors, so candidate fan-out is
+    * cell-quadratic — bounded by local density, not by anything
+    * global. Cell sizing: height is radius in latitude degrees;
+    * width is radius in longitude degrees at the WIDEST |lat| the
+    * data reaches (cos-scaled — one cheap agg over both inputs), so
+    * the neighbor guarantee holds everywhere in the data's latitude
+    * range. Longitude neighbors wrap at the antimeridian (pmod);
+    * latitude cells clip at the poles. b explodes into its 3x3
+    * neighborhood keyed by an integer (cx, cy) pair packed into one
+    * long; a stays in its own cell, so each within-R pair meets
+    * exactly once — no distinct needed. Same 6dp-rounded-distance
+    * final cut as [[radiusJoin]] (the banded form is this operator's
+    * oracle twin). |lat| must stay <= 85 — above that the cos-scaled
+    * lon cells collapse and a polar cap needs a different scheme.
+    */
+  def radiusJoinCells(a: DataFrame, b: DataFrame, radiusM: Double,
+      selfPairs: Boolean = false, maxPerCell: Int = 100000)
+      : DataFrame = {
+    require(radiusM > 0, s"radiusJoinCells: radiusM $radiusM")
+    val maxAbsLat = a.select(col("lat")).unionAll(b.select(col("lat")))
+      .agg(coalesce(max(abs(col("lat"))), lit(0.0))).first().getDouble(0)
+    require(maxAbsLat <= 85.0,
+      s"radiusJoinCells: |lat| reaches $maxAbsLat (> 85) — the " +
+        "cos-scaled longitude cells collapse near the poles")
+    val dLat = radiusM / 111320.0
+    val dLon = radiusM /
+      (111320.0 * math.max(math.cos(maxAbsLat * math.Pi / 180.0), 1e-6))
+    val nLon = math.max(1L, math.floor(360.0 / dLon).toLong)
+    def cells(df: DataFrame, p: String) = df.select(
+      col("id").as(s"id_$p"), col("lat").as(s"lat_$p"),
+      col("lon").as(s"lon_$p"),
+      floor(col("lat") / dLat).cast("long").as("__cy"),
+      pmod(floor(col("lon") / dLon).cast("long"), lit(nLon)).as("__cx"))
+    def key(cx: Column, cy: Column): Column =
+      cx * lit(1L << 32) + (cy + lit(1L << 31))
+    val ca = cells(a, "a").withColumn("__cell",
+      key(col("__cx"), col("__cy")))
+    val cbBase = cells(b, "b")
+    val cb = cbBase
+      .select(col("id_b"), col("lat_b"), col("lon_b"),
+        explode(array_distinct( // nLon <= 2 wraps neighbors onto
+          // each other; distinct keeps each pair meeting exactly once
+          array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+            key(pmod(col("__cx") + dx, lit(nLon)), col("__cy") + dy))
+            : _*))).as("__cell"))
+    if (maxPerCell > 0) {
+      def worst(df: DataFrame) = df.groupBy(col("__cell")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      val wa = worst(ca)
+      require(wa <= maxPerCell, s"radiusJoinCells: densest cell of " +
+        s"side a holds $wa points (> $maxPerCell)")
+      val wb = worst(cbBase.withColumn("__cell",
+        key(col("__cx"), col("__cy"))))
+      require(wb <= maxPerCell, s"radiusJoinCells: densest cell of " +
+        s"side b holds $wb points (> $maxPerCell)")
+    }
+    ca.join(cb, Seq("__cell"))
+      .where(if (selfPairs) col("id_a") < col("id_b") else lit(true))
+      .withColumn("dist_m", round(haversineM(col("lat_a"),
+        col("lon_a"), col("lat_b"), col("lon_b")), 6))
+      .where(col("dist_m") <= radiusM)
+      .select(col("id_a"), col("id_b"), col("dist_m"))
   }
 
   /** GEOHASH cell id as an integer Morton code: quantize lat to

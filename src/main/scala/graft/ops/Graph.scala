@@ -165,6 +165,61 @@ object Graph {
         "left_anti")
   }
 
+  /** ADAMIC-ADAR and RESOURCE-ALLOCATION link scores (Adamic & Adar
+    * 2003; Zhou et al. 2007) — the weighted refinements of
+    * [[commonNeighbors]]: a shared neighbor z contributes 1/ln(deg z)
+    * (AA) or 1/deg z (RA), so promiscuous hubs certify a link less
+    * than selective neighbors. Scores are QUANTIZED per neighbor
+    * BEFORE the sum — ra_q = raScale div deg(z) is pure integer
+    * division, aa_q = floor(aaScale / ln(deg z)) computed once per
+    * DISTINCT degree value — so each pair's score is an order-free
+    * SUM OF LONGS, exact under any shuffle order and replayable by
+    * any engine (a float Σ1/ln(d) would drift in the last ulp per
+    * fold order). aaScale stays at 1e6: the cross-engine ln ulp
+    * (~1e-16 relative) then moves floor's argument by ~1e-10, far
+    * from any flip; at 1e12 it would be ~1e-4 — a real tie risk.
+    * Same wedge machinery and hub census as [[commonNeighbors]]
+    * (fan-out quadratic only in per-neighbor degree, guard refuses
+    * past `maxDegree`), same anti-join against existing adjacency.
+    * Returns (node_a, node_b, n_common, aa_q, ra_q).
+    */
+  def linkScores(adj: DataFrame, minCommon: Long,
+      maxDegree: Int = 10000, aaScale: Long = 1000000L,
+      raScale: Long = 1000000000000L): DataFrame = {
+    require(minCommon >= 1, s"linkScores: minCommon $minCommon")
+    val e = graft.Caches.pin(adj
+      .select(col("node").cast("long").as("node"),
+        col("nbr").cast("long").as("nbr"))
+      .where(col("node").isNotNull && col("nbr").isNotNull)
+      .distinct())
+    val deg = e.groupBy(col("nbr")).agg(count(lit(1)).as("d"))
+    if (maxDegree > 0) {
+      val worst = deg.agg(coalesce(max(col("d")), lit(0L)))
+        .first().getLong(0)
+      require(worst <= maxDegree,
+        s"linkScores: a neighbor touches $worst nodes " +
+          s"(> $maxDegree) — prune hubs or raise the cap")
+    }
+    // per-neighbor quantized weights; deg >= 2 always holds for
+    // wedge-forming neighbors (a degree-1 neighbor touches one node)
+    val w = deg.where(col("d") >= 2).select(col("nbr"),
+      floor(lit(aaScale.toDouble) / log(col("d").cast("double")))
+        .cast("long").as("aa_w"),
+      expr(s"${raScale}L div d").as("ra_w"))
+    val a = e.select(col("nbr"), col("node").as("node_a"))
+    val b = e.select(col("nbr"), col("node").as("node_b"))
+    a.join(b, Seq("nbr"))
+      .where(col("node_a") < col("node_b"))
+      .join(w, Seq("nbr"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_q"),
+        sum(col("ra_w")).as("ra_q"))
+      .where(col("n_common") >= minCommon)
+      .join(e.select(col("node").as("node_a"),
+        col("nbr").as("node_b")), Seq("node_a", "node_b"),
+        "left_anti")
+  }
+
   /** K-HOP BFS from a seed set: minimum hop distance <= k for every
     * reachable node — k co-partitioned frontier-edge joins with an
     * anti-join against the settled set per round (so each node is

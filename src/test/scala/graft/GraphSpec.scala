@@ -96,6 +96,41 @@ class GraphSpec extends SparkSuite {
     assert(ex.getMessage.contains("prune hubs"))
   }
 
+  test("linkScores: hand-computed Adamic-Adar and resource-allocation " +
+      "quantized sums, hub discount visible, adjacency excluded") {
+    import spark.implicits._
+    // shared neighbors: z=10 touches nodes {1,2,3} (deg 3),
+    // z=20 touches {1,2} (deg 2); pair (1,2) shares both,
+    // (1,3)/(2,3) share z=10 only; (1,2) also directly adjacent
+    val adj = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L),
+      (2L, 20L), (1L, 2L)).toDF("node", "nbr")
+    val got = Graph.linkScores(adj, minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.Caches.release()
+    // nbr 2 (from the direct edge (1,2)) has deg 1 -> no weight row;
+    // deg(10)=3, deg(20)=2
+    val aa3 = math.floor(1e6 / math.log(3.0)).toLong // 910239
+    val aa2 = math.floor(1e6 / math.log(2.0)).toLong // 1442695
+    val ra3 = 1000000000000L / 3
+    val ra2 = 1000000000000L / 2
+    // (1,2) excluded: directly adjacent
+    assert(got == Map(
+      (1L, 3L) -> ((1L, aa3, ra3)),
+      (2L, 3L) -> ((1L, aa3, ra3))), s"got $got")
+    // un-exclude: drop the direct edge; (1,2) now scores BOTH
+    // neighbors, and the hub (deg-3) counts for less than deg-2
+    val adj2 = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L),
+      (2L, 20L)).toDF("node", "nbr")
+    val got2 = Graph.linkScores(adj2, minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    graft.Caches.release()
+    assert(got2 == Map((1L, 2L) -> ((aa3 + aa2, ra3 + ra2))),
+      s"got $got2")
+    assert(aa2 > aa3 && ra2 > ra3) // the hub discount
+  }
+
   test("kHopDistances: min hop distance, settled nodes never " +
       "re-labelled, unreachable nodes absent") {
     import spark.implicits._

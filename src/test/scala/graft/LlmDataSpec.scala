@@ -1618,4 +1618,39 @@ class LlmDataSpec extends SparkSuite {
     assert(top.toSeq == Seq((20L, 493000L), (10L, -503000L),
       (30L, -509000L)))
   }
+
+  test("fitReranker: driver Newton matches MLlib LogisticRegression " +
+      "coefficients to 1e-6; cardinality guard fires") {
+    import spark.implicits._
+    // non-separable synthetic clicks: logistic law + deterministic
+    // hash flips, 2 features
+    val rows = (0 until 300).map { i =>
+      val f1 = (i % 17).toDouble
+      val f2 = ((i * 7) % 23).toDouble
+      val z = 1.5 - 0.35 * f1 + 0.12 * f2
+      val flip = (i * 2654435761L % 97) < 20
+      val base = if (z > 0) 1.0 else 0.0
+      (f1, f2, if (flip) 1.0 - base else base)
+    }
+    val df = rows.toDF("f1", "f2", "click")
+    val (w, b) = Similarity.fitReranker(df, Seq("f1", "f2"), "click",
+      quantScale = 1e9)
+    // reference optimum from MLlib on the identical data
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = new VectorAssembler()
+      .setInputCols(Array("f1", "f2")).setOutputCol("__features")
+      .transform(df.withColumn("__lbl", col("click")))
+    val m = new LogisticRegression().setMaxIter(200).setTol(1e-12)
+      .setRegParam(0.0).setFeaturesCol("__features")
+      .setLabelCol("__lbl").fit(feats)
+    val got = w.map(_._2.toDouble / 1e9) :+ (b.toDouble / 1e9)
+    val want = m.coefficients.toArray.toSeq :+ m.intercept
+    got.zip(want).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6, s"driver $got vs mllib $want")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.fitReranker(df, Seq("f1"), "click", maxRows = 10)
+    }
+  }
 }
