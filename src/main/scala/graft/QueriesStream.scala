@@ -531,9 +531,68 @@ object QueriesStream {
                           THEN 1 ELSE 0 END AS BIGINT) AS drifted
             FROM p ORDER BY source, batch_id"""))
 
+  /** SESSIONIZED funnel with TTL ([[Streams.sessionFunnelReach]]) in
+    * its batch form under the oracle (the q172 convention): per-user
+    * step progress RESETS at every 30-minute inactivity gap — one row
+    * per (user, session) instead of q172's one per user. The same
+    * stateful operator runs incrementally with watermark-closed
+    * sessions and event-time state TTL (state holds open sessions of
+    * recently-active users only — the 100 TB key-cardinality story);
+    * StatsAndStreamSpec pins streaming emissions == this batch run ==
+    * the relational [[graft.functions.Stats.sessionFunnel]] under two
+    * slicings and shuffled arrival, plus TTL expiry. The oracle
+    * replays gaps-and-islands sessionization + the per-session
+    * chained-min CTE ladder.
+    */
+  private val q252_session_funnel: Q = (
+    (s, dir) => Streams.sessionFunnelReach(read(s, dir, "events"),
+        Seq("view", "click", "purchase"), gapSec = 1800L,
+        ttlSec = 7200L)
+      .toDF()
+      .select(col("user_id"), col("session_start"), col("n_reached"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+                 CAST(ts AS TIMESTAMP) AS t
+               FROM events WHERE ts IS NOT NULL
+                 AND event_type IN ('view', 'click', 'purchase')),
+             s AS (SELECT user_id, event_type, event_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR epoch_us(t) - epoch_us(lag(t) OVER w)
+                           >= 1800000000
+                      THEN 1 ELSE 0 END AS nf
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY t, event_id)),
+             x AS (SELECT user_id, event_type, t,
+                 CAST(sum(nf) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS BIGINT) AS sid
+               FROM s),
+             base AS (SELECT user_id, sid, min(t) AS session_start,
+                 count(*) AS n_events FROM x GROUP BY 1, 2),
+             s1 AS (SELECT user_id, sid, min(t) AS t1 FROM x
+               WHERE event_type = 'view' GROUP BY 1, 2),
+             s2 AS (SELECT x.user_id, x.sid, min(t) AS t2 FROM x
+               JOIN s1 USING (user_id, sid)
+               WHERE event_type = 'click' AND t > t1 GROUP BY 1, 2),
+             s3 AS (SELECT x.user_id, x.sid, min(t) AS t3 FROM x
+               JOIN s2 USING (user_id, sid)
+               WHERE event_type = 'purchase' AND t > t2 GROUP BY 1, 2)
+        SELECT base.user_id, base.session_start,
+               CAST(CASE WHEN s3.sid IS NOT NULL THEN 3
+                         WHEN s2.sid IS NOT NULL THEN 2
+                         WHEN s1.sid IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS n_reached,
+               CAST(base.n_events AS INTEGER) AS n_events
+        FROM base LEFT JOIN s1 USING (user_id, sid)
+             LEFT JOIN s2 USING (user_id, sid)
+             LEFT JOIN s3 USING (user_id, sid)
+        ORDER BY user_id, session_start"""))
+
   val all: Map[String, Q] = Map(
     "q61_asof_join" -> q61_asof_join,
     "q172_stream_funnel" -> q172_stream_funnel,
+    "q252_session_funnel" -> q252_session_funnel,
     "q198_stream_enrich" -> q198_stream_enrich,
     "q208_cdc_stream" -> q208_cdc_stream,
     "q213_attribution" -> q213_attribution,

@@ -331,6 +331,53 @@ object Stats {
       .select(col("__s.step"), col("__s.step_name"), col("__s.n_users"))
   }
 
+  /** SESSIONIZED funnel — [[sessionize]] composed with the
+    * [[funnelWalk]] chained-min, per (key, session): step progress
+    * resets at every inactivity gap, so a user who views today and
+    * clicks next week scores two one-step sessions, not one two-step
+    * funnel. Sessions are over the STEP-TYPED events (the state a
+    * streaming twin retains — [[graft.streaming.Streams
+    * .sessionFunnelReach]] is this same semantics incremental, and
+    * parity is spec-pinned). One shuffle on the key: the session
+    * window and the per-session walk ride the same partitioning.
+    * Returns (key, session_start, n_reached, n_events).
+    */
+  def sessionFunnel(df: DataFrame, key: String, ts: String,
+      tiebreak: String, typeCol: String, gapSeconds: Long,
+      steps: Seq[String]): DataFrame = {
+    require(gapSeconds > 0, s"sessionFunnel: gapSeconds $gapSeconds")
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"sessionFunnel: steps must be non-empty and distinct, got $steps")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val gapUs = gapSeconds * 1000000L
+    val prev = lag(col(ts), 1).over(w)
+    val newSession = when(prev.isNull ||
+      unix_micros(col(ts)) - unix_micros(prev) >= gapUs, 1L)
+      .otherwise(0L)
+    df.where(col(typeCol).isin(steps: _*) && col(ts).isNotNull)
+      .withColumn("__sess", sum(newSession).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("__sess"))
+      .agg(min(col(ts)).as("session_start"),
+        count(lit(1)).as("n_events"),
+        aggregate(
+          sort_array(collect_list(struct(col(ts).as("ts"),
+            col(typeCol).as("et")))),
+          array().cast("array<timestamp>"),
+          (acc, e) => when(
+            size(acc) < k &&
+              e.getField("et") === get(stepsArr, size(acc)) &&
+              coalesce(e.getField("ts") > get(acc, size(acc) - 1),
+                lit(true)),
+            concat(acc, array(e.getField("ts")))).otherwise(acc))
+          .as("__walk"))
+      .select(col(key), col("session_start"),
+        size(col("__walk")).as("n_reached"), col("n_events"))
+  }
+
   /** Path analysis: the most common length-`n` event-type sequences
     * across keys (users), from consecutive events in (ts, tiebreak)
     * order. Lead windows per key build the n-grams in place — one

@@ -140,6 +140,116 @@ object Streams {
       }
   }
 
+  /** Sessionized-funnel emission: one row per (user, session), with
+    * `closed` = true once the watermark proves no event can extend or
+    * merge the session (such rows are FINAL and never re-emitted
+    * differently; open rows are superseded latest-wins by key).
+    */
+  case class SessionReach(user_id: Long,
+      session_start: java.sql.Timestamp, n_reached: Int, n_events: Int,
+      closed: Boolean)
+
+  /** STREAMING SESSIONIZED FUNNEL with state TTL —
+    * [[graft.functions.Stats.sessionFunnel]] incremental. State per
+    * user is the step events of its OPEN sessions only:
+    *
+    *  - A session whose last event + gap is BEHIND THE WATERMARK is
+    *    closed: no arriving event can extend it (an extender would be
+    *    watermark-late and filtered upstream of the operator), so its
+    *    events are dropped from state and its row emits `closed` —
+    *    state is bounded by open-session length, not user history.
+    *  - TTL (`ttlSec` >= gap, event-time timeout): a user idle past
+    *    the TTL has state finalized and REMOVED — at 100 TB key
+    *    cardinality the state store holds recently-active users
+    *    only, the difference between a bounded store and one that
+    *    grows with every user ever seen.
+    *
+    * In BATCH execution (the oracle twin) no watermark exists:
+    * nothing closes early, every session emits from a full re-walk —
+    * exactly [[graft.functions.Stats.sessionFunnel]], which the
+    * DuckDB oracle replays (q252). Under ANY micro-batch slicing the
+    * latest emission per (user, session_start) key that survives to
+    * the end equals the batch row (closed sessions are final by the
+    * watermark argument; open ones re-walk from full retained state) —
+    * spec-pinned with shuffled arrival and two slicings.
+    */
+  def sessionFunnelReach(events: DataFrame, steps: Seq[String],
+      gapSec: Long, ttlSec: Long): Dataset[SessionReach] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"sessionFunnelReach: steps $steps")
+    require(gapSec > 0 && ttlSec >= gapSec,
+      s"sessionFunnelReach: ttl $ttlSec must cover gap $gapSec")
+    val ss = events.sparkSession
+    import ss.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .where(col("event_type").isin(steps: _*) && col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .as[StepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(java.sql.Timestamp, String)],
+        SessionReach](OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[StepEvent],
+         state: GroupState[List[(java.sql.Timestamp, String)]]) =>
+          // helpers live INSIDE the closure: lifted outer defs would
+          // capture the (non-serializable) enclosing module
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime - t.getNanos / 1000000) * 1000L +
+              t.getNanos / 1000L
+          def sessionsOf(sorted: List[(java.sql.Timestamp, String)])
+              : List[List[(java.sql.Timestamp, String)]] =
+            sorted.foldLeft(
+              List.empty[List[(java.sql.Timestamp, String)]]) {
+              case (Nil, e) => List(List(e))
+              case (cur :: done, e) =>
+                if (micros(e._1) - micros(cur.head._1) >= gapUs)
+                  List(e) :: cur :: done
+                else (e :: cur) :: done
+            }.map(_.reverse).reverse
+          def emit(sess: List[(java.sql.Timestamp, String)],
+              closed: Boolean): SessionReach =
+            SessionReach(uid, sess.head._1, walkReach(sess, steps),
+              sess.length, closed)
+          if (state.hasTimedOut) {
+            // watermark > last event + ttl >= last + gap: every
+            // retained session is final — emit closed, drop the user
+            val evs = state.getOption.getOrElse(Nil).sortWith {
+              (a, b) =>
+                val c = a._1.compareTo(b._1)
+                c < 0 || (c == 0 && a._2 < b._2)
+            }
+            state.remove()
+            sessionsOf(evs).map(emit(_, closed = true)).iterator
+          } else {
+            val all = (rows.map(e => (e.ts, e.event_type)).toList :::
+              state.getOption.getOrElse(Nil)).sortWith { (a, b) =>
+                val c = a._1.compareTo(b._1)
+                c < 0 || (c == 0 && a._2 < b._2)
+              }
+            // batch mode has no watermark: the call throws, nothing
+            // closes, full re-walk — exact batch semantics
+            val wmMs = try state.getCurrentWatermarkMs()
+              catch { case _: Exception => Long.MinValue }
+            val (done, open) = sessionsOf(all).partition { sess =>
+              wmMs != Long.MinValue &&
+                micros(sess.last._1) / 1000L + gapSec * 1000L <= wmMs
+            }
+            val keep = open.flatten
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(keep)
+              try state.setTimeoutTimestamp(
+                all.map(e => e._1.getTime).max + ttlSec * 1000L)
+              catch { case _: Exception => } // batch: timeouts inert
+            }
+            (done.map(emit(_, closed = true)) :::
+              open.map(emit(_, closed = false))).iterator
+          }
+      }
+  }
+
   /** LAST-TOUCH ATTRIBUTION: credit each conversion event to the
     * latest preceding touchpoint (type in `touchTypes`) by the same
     * user within `maxDelaySec` — the standard lookback-window

@@ -617,4 +617,93 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(oneShot == want && sliced == want && arb == want,
       s"$oneShot / $sliced / $arb")
   }
+
+  test("sessionFunnelReach: streaming == relational batch under two " +
+      "slicings + out-of-order arrival; TTL closes and finalizes " +
+      "idle users") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    // u1: session A (view 10:00, click 10:01 — reach 2) then after a
+    // >30min gap session B (view 11:00, purchase 11:01 — reach 1,
+    // purchase without click doesn't advance); u2: one full session
+    // (reach 3). u1's session-A view arrives OUT OF ORDER (after its
+    // click) in the sliced run — the open-session key supersession
+    // case. u99 is the watermark mover.
+    val evs = Seq(
+      (2L, t("2024-01-01 09:00:00"), "view"),
+      (2L, t("2024-01-01 09:10:00"), "click"),
+      (2L, t("2024-01-01 09:20:00"), "purchase"),
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 11:00:00"), "view"),
+      (1L, t("2024-01-01 11:01:00"), "purchase"))
+    val expect = Map(
+      (1L, t("2024-01-01 10:00:00")) -> ((2, 2)),
+      (1L, t("2024-01-01 11:00:00")) -> ((1, 2)),
+      (2L, t("2024-01-01 09:00:00")) -> ((3, 3)))
+    def run(slices: Seq[Seq[(Long, Timestamp, String)]], name: String,
+        withMover: Boolean): (Map[(Long, Timestamp), (Int, Int)],
+          Map[(Long, Timestamp), (Int, Int)]) = {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = graft.streaming.Streams.sessionFunnelReach(
+          in.toDF().toDF("user_id", "ts", "event_type")
+            .withWatermark("ts", "1 hour"),
+          steps, gapSec = 1800L, ttlSec = 3600L)
+        .toDF().writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      if (withMover) {
+        // push the watermark past last event + ttl, then one more
+        // batch so the pending event-time timeouts actually fire
+        in.addData((99L, t("2024-01-01 14:00:00"), "view"))
+        q.processAllAvailable()
+        in.addData((99L, t("2024-01-01 14:00:30"), "view"))
+        q.processAllAvailable()
+      }
+      q.stop()
+      // latest emission per (user, session_start) = max n_events
+      // (state only grows while a key is live)
+      def agg(extra: String) = spark.sql(
+        s"""SELECT user_id, session_start,
+            max_by(n_reached, n_events), max(n_events)
+            FROM $name WHERE user_id < 99 $extra
+            GROUP BY user_id, session_start""").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+          ((r.getInt(2), r.getInt(3)))).toMap
+      (agg(""), agg("AND closed"))
+    }
+    val (a, _) = run(Seq(evs), "sfr_a", withMover = false)
+    val (b, bClosed) = run(
+      Seq(evs.take(3), evs.slice(3, 4), evs.slice(4, 5), evs.drop(5)),
+      "sfr_b", withMover = true)
+    // all-emissions view may carry superseded open keys (u1's
+    // out-of-order view moves session A's start 10:01 -> 10:00);
+    // every TRUE key must hold the exact batch value
+    expect.foreach { case (k, v) =>
+      assert(a.get(k).contains(v), s"a: $k -> ${a.get(k)}, want $v")
+      assert(b.get(k).contains(v), s"b: $k -> ${b.get(k)}, want $v")
+    }
+    // TTL: after the watermark passes last event + ttl, every true
+    // session has been emitted CLOSED with final values (state freed)
+    assert(bClosed == expect, s"closed: $bClosed")
+    // relational twin: exact same rows
+    val rel = graft.functions.Stats.sessionFunnel(
+        evs.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+        "event_type", "event_type", 1800L, steps)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getInt(2), r.getLong(3).toInt))).toMap
+    assert(rel == expect, s"relational: $rel")
+    // streaming operator in BATCH mode (the q252 oracle path): all
+    // open, same rows
+    val batch = graft.streaming.Streams.sessionFunnelReach(
+        evs.toDF("user_id", "ts", "event_type"), steps, 1800L, 3600L)
+      .collect()
+    assert(batch.forall(!_.closed))
+    assert(batch.map(r => (r.user_id, r.session_start) ->
+      ((r.n_reached, r.n_events))).toMap == expect)
+  }
 }
