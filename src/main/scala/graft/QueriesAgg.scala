@@ -602,6 +602,7 @@ object QueriesAgg {
     "q216_key_skew" -> q216_key_skew,
     "q218_grouping_sets" -> q218_grouping_sets,
     "q219_basket_rules" -> q219_basket_rules,
+    "q253_item_cf" -> q253_item_cf,
     "q220_chi_square" -> q220_chi_square,
     "q221_vwap" -> q221_vwap,
     "q222_benford" -> q222_benford,
@@ -880,6 +881,66 @@ object QueriesAgg {
                 JOIN cnt cb ON pr.item_b = cb.i
                 CROSS JOIN nb
         ORDER BY item_a, item_b"""))
+
+  /** Item-item collaborative filtering
+    * ([[graft.ops.Recommend.itemNeighbors]] + [[graft.ops.Recommend
+    * .recommend]]): brands that co-occur in order baskets are
+    * neighbors (binary cosine, QUANTIZED to a long at 1e6 the moment
+    * it's computed — sqrt and one divide are IEEE-exact in every
+    * engine), each customer is scored on unseen brands by the exact
+    * long SUM of similarities to brands they bought, top-3 per
+    * customer. The co-occurrence join is per-basket (census-guarded,
+    * the q219 shape); the (items x k) neighbor table broadcasts, so
+    * the recommend pass is one user-shuffle over any corpus scale.
+    */
+  private val q253_item_cf: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem").join(read(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      val nbrs = graft.ops.Recommend.itemNeighbors(
+        li, "l_orderkey", "p_brand", k = 5, minSupport = 100L)
+      val userItems = li
+        .join(read(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("p_brand"))
+      graft.ops.Recommend.recommend(userItems, "o_custkey", "p_brand",
+          nbrs, k = 3)
+        .orderBy(col("user"), col("item"))
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS b,
+                 p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+             cnt AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+             pr AS (SELECT x.i AS ia, y.i AS ib, count(*) AS support
+               FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 100),
+             pq AS (SELECT ia, ib, support,
+                 CAST(round(1000000.0 * CAST(support AS DOUBLE)
+                   / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)),
+                   0) AS BIGINT) AS cos_q
+               FROM pr JOIN cnt ca ON pr.ia = ca.i
+                       JOIN cnt cb ON pr.ib = cb.i),
+             bidir AS (SELECT ia AS item, ib AS nbr, cos_q FROM pq
+               UNION ALL SELECT ib, ia, cos_q FROM pq),
+             nbrs AS (SELECT item, nbr, cos_q FROM (
+                 SELECT item, nbr, cos_q, row_number() OVER (
+                   PARTITION BY item ORDER BY cos_q DESC, nbr) AS rn
+                 FROM bidir) WHERE rn <= 5),
+             seen AS (SELECT DISTINCT o_custkey AS u, p_brand AS i
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+                    JOIN orders ON l_orderkey = o_orderkey),
+             cand AS (SELECT s.u, n.nbr AS item,
+                 CAST(sum(n.cos_q) AS BIGINT) AS score_q,
+                 count(*) AS n_sources
+               FROM seen s JOIN nbrs n ON s.i = n.item
+               LEFT JOIN seen s2 ON s2.u = s.u AND s2.i = n.nbr
+               WHERE s2.u IS NULL
+               GROUP BY 1, 2)
+        SELECT u AS "user", item, score_q, n_sources FROM (
+            SELECT u, item, score_q, n_sources, row_number() OVER (
+              PARTITION BY u ORDER BY score_q DESC, item) AS rn
+            FROM cand) WHERE rn <= 3
+        ORDER BY "user", item"""))
 
   /** Chi-square independence test
     * ([[graft.functions.Stats.chiSquare]]) over order status x

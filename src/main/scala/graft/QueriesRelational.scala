@@ -1270,6 +1270,92 @@ object QueriesRelational {
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY aa_q DESC, node_a, node_b LIMIT 100"""))
 
+  /** Fellegi-Sunter probabilistic record linkage
+    * ([[ops.Linkage.fellegiSunter]]): customers matched against a
+    * deterministically-perturbed copy of themselves (every 5th phone
+    * gets its last digit bumped, every 7th name a suffix — the
+    * classic dirty-duplicate benchmark shape), blocked on the 4-digit
+    * prefix of a key-derived synthetic phone, scored by exact long sums of driver-quantized
+    * log2(m/u) weights (floor at 1e6 — floor, not round, because
+    * round-half diverges across engines on the negative disagreement
+    * weights). Full-agree and phone-perturbed pairs land in `match`;
+    * name-perturbed pairs fall to `review`; doubly-perturbed truths
+    * are indistinguishable from block noise and drop below zero with
+    * it — which is the FS model behaving as published. Non-matches
+    * filtered before materializing (candidate work is blocked-
+    * quadratic either way; both sides census-guarded).
+    */
+  private val q254_record_linkage: Q = (
+    (s, dir) => {
+      // the synthetic customer table has no phone; derive one
+      // deterministically from the key (8 digits, both engines agree
+      // on lpad) so the perturb/block machinery has a field to work on
+      val c = read(s, dir, "customer").withColumn("c_phone",
+        lpad((col("c_custkey") * 7919 % 100000000L).cast("string"),
+          8, "0"))
+      val a = c.select(col("c_custkey").as("id"),
+        substring(col("c_phone"), 1, 4).as("blk"),
+        col("c_name").as("name"), col("c_phone").as("phone"),
+        col("c_mktsegment").as("seg"))
+      val b = c.select((col("c_custkey") + 1000000L).as("id"),
+        substring(col("c_phone"), 1, 4).as("blk"),
+        when(col("c_custkey") % 7 === 0, concat(col("c_name"),
+          lit("X"))).otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % 5 === 0,
+          concat(substring(col("c_phone"), 1, 7),
+            ((substring(col("c_phone"), 8, 1).cast("int") + 1) % 10)
+              .cast("string")))
+          .otherwise(col("c_phone")).as("phone"),
+        col("c_mktsegment").as("seg"))
+      ops.Linkage.fellegiSunter(a, b, "id", "blk",
+          Seq(("name", 0.95, 0.0001), ("phone", 0.9, 0.001),
+            ("seg", 0.9, 0.19)),
+          upperQ = 10000000L, lowerQ = 0L)
+        .where(col("decision") =!= "non_match")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH cust AS (SELECT *,
+                 lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR),
+                   8, '0') AS c_phone FROM customer),
+             a AS (SELECT c_custkey AS id,
+                 substr(c_phone, 1, 4) AS blk, c_name AS name,
+                 c_phone AS phone, c_mktsegment AS seg FROM cust),
+             b AS (SELECT c_custkey + 1000000 AS id,
+                 substr(c_phone, 1, 4) AS blk,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_name || 'X'
+                      ELSE c_name END AS name,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN substr(c_phone, 1, 7) || CAST(
+                        (CAST(substr(c_phone, 8, 1) AS INTEGER) + 1)
+                          % 10 AS VARCHAR)
+                      ELSE c_phone END AS phone,
+                 c_mktsegment AS seg FROM cust),
+             w AS (SELECT
+                 CAST(floor(1000000 * ln(0.95 / 0.0001) / ln(2.0))
+                   AS BIGINT) AS na,
+                 CAST(floor(1000000 * ln(0.05 / 0.9999) / ln(2.0))
+                   AS BIGINT) AS nd,
+                 CAST(floor(1000000 * ln(0.9 / 0.001) / ln(2.0))
+                   AS BIGINT) AS pa,
+                 CAST(floor(1000000 * ln(0.1 / 0.999) / ln(2.0))
+                   AS BIGINT) AS pd,
+                 CAST(floor(1000000 * ln(0.9 / 0.19) / ln(2.0))
+                   AS BIGINT) AS sa,
+                 CAST(floor(1000000 * ln(0.1 / 0.81) / ln(2.0))
+                   AS BIGINT) AS sd),
+             sc AS (SELECT a.id AS id_a, b.id AS id_b,
+                 (CASE WHEN a.name = b.name THEN na ELSE nd END
+                + CASE WHEN a.phone = b.phone THEN pa ELSE pd END
+                + CASE WHEN a.seg = b.seg THEN sa ELSE sd END)
+                   AS score_q
+               FROM a JOIN b ON a.blk = b.blk CROSS JOIN w)
+        SELECT id_a, id_b, score_q,
+               CASE WHEN score_q >= 10000000 THEN 'match'
+                    WHEN score_q <= 0 THEN 'non_match'
+                    ELSE 'review' END AS decision
+        FROM sc WHERE score_q > 0
+        ORDER BY id_a, id_b"""))
+
   private val q228_common_neighbors: Q = (
     (s, dir) => {
       val p = read(s, dir, "part")
@@ -1681,6 +1767,7 @@ object QueriesRelational {
     "q227_triangles" -> q227_triangles,
     "q228_common_neighbors" -> q228_common_neighbors,
     "q251_link_scores" -> q251_link_scores,
+    "q254_record_linkage" -> q254_record_linkage,
     "q229_khop_bfs" -> q229_khop_bfs,
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,

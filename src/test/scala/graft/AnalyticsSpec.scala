@@ -132,4 +132,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(got(3L)._4 == "112", got(3L))
     assert(got(4L)._4 == "121", got(4L))
   }
+
+  test("itemNeighbors + recommend: hand-computed quantized cosines, " +
+      "seen items excluded, exact long score sums, basket guard") {
+    import graft.ops.Recommend
+    // baskets: b1{A,B}, b2{A,B}, b3{A,C}, b4{B,C} ->
+    // counts A=3 B=3 C=2; support AB=2, AC=1, BC=1
+    val baskets = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"), (4L, "C"))
+      .toDF("b", "i")
+    val nbrs = Recommend.itemNeighbors(baskets, "b", "i", k = 2,
+      minSupport = 1L)
+    val got = nbrs.collect().map(r => (r.getString(0), r.getString(1))
+      -> r.getLong(3)).toMap
+    val qAB = math.round(1e6 * 2.0 / math.sqrt(9.0))   // 666667
+    val qAC = math.round(1e6 * 1.0 / math.sqrt(6.0))   // 408248
+    val qBC = qAC
+    assert(got == Map(("A", "B") -> qAB, ("B", "A") -> qAB,
+      ("A", "C") -> qAC, ("C", "A") -> qAC,
+      ("B", "C") -> qBC, ("C", "B") -> qBC), s"got $got")
+    // user u1 has {A}: candidates B (from A: qAB) and C (qAC); u2 has
+    // {A, B}: only C unseen, scored from BOTH sources qAC + qBC
+    val users = Seq((10L, "A"), (20L, "A"), (20L, "B"))
+      .toDF("u", "i")
+    val rec = Recommend.recommend(users, "u", "i", nbrs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rec == Map(
+      (10L, "B") -> ((qAB, 1L)), (10L, "C") -> ((qAC, 1L)),
+      (20L, "C") -> ((qAC + qBC, 2L))), s"rec $rec")
+    intercept[IllegalArgumentException] {
+      Recommend.itemNeighbors(
+        (1 to 50).map(i => (1L, s"i$i")).toDF("b", "i"), "b", "i",
+        k = 2, minSupport = 1L, maxPerBasket = 10)
+    }
+  }
 }

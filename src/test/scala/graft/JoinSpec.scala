@@ -170,4 +170,40 @@ class JoinSpec extends SparkSuite {
         minSim = 0.9).count() == 0L)
     }
   }
+
+  test("fellegiSunter: hand-computed weight sums, null counts as " +
+      "disagreement, decision bands, both-side block census") {
+    import spark.implicits._
+    import graft.ops.Linkage
+    val ws = Linkage.fsWeights(Seq(("f", 0.9, 0.1)))
+    val (wa, wd) = (ws.head._2, ws.head._3)
+    assert(wa == math.floor(1e6 * math.log(9.0) / math.log(2.0)).toLong)
+    assert(wd == math.floor(1e6 * math.log(1.0 / 9.0) /
+      math.log(2.0)).toLong)
+    assert(wa > 0 && wd < 0)
+    val a = Seq((1L, "b1", "x", "p"), (2L, "b1", "y", null))
+      .toDF("id", "blk", "name", "ph")
+    val b = Seq((10L, "b1", "x", "p"), (20L, "b1", "z", "p"))
+      .toDF("id", "blk", "name", "ph")
+    val fields = Seq(("name", 0.9, 0.1), ("ph", 0.9, 0.1))
+    val got = Linkage.fellegiSunter(a, b, "id", "blk", fields,
+        upperQ = 2 * wa, lowerQ = 2 * wd)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // (1,10): both agree -> 2*wa = match; (1,20): name dis, ph agree
+    // -> review; (2,10): name dis, ph NULL -> dis -> 2*wd non_match;
+    // (2,20): name dis, ph NULL -> non_match
+    assert(got == Map(
+      (1L, 10L) -> ((2 * wa, "match")),
+      (1L, 20L) -> ((wd + wa, "review")),
+      (2L, 10L) -> ((2 * wd, "non_match")),
+      (2L, 20L) -> ((2 * wd, "non_match"))), s"got $got")
+    val dense = (1 to 100).map(i => (i.toLong, "b", s"n$i", "p"))
+      .toDF("id", "blk", "name", "ph")
+    val sparse = Seq((1L, "b", "n", "p")).toDF("id", "blk", "name", "ph")
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(sparse, dense, "id", "blk", fields,
+        upperQ = 1L, lowerQ = 0L, maxPerBlock = 10)
+    }
+  }
 }
