@@ -1270,6 +1270,34 @@ object QueriesRelational {
         GROUP BY 1, 2 HAVING count(*) >= 3
         ORDER BY aa_q DESC, node_a, node_b LIMIT 100"""))
 
+  /** L-DIVERSITY audit ([[ops.DataQuality.lDiversity]] — completing
+    * the q239 k-anonymity gate): per (nation, segment) group, how
+    * many distinct account-balance buckets appear and how
+    * concentrated the top bucket is (exact ppm by integer division) —
+    * a group can pass k-anonymity yet leak because everyone in it
+    * shares the sensitive value. Two partial-aggregated grouped
+    * counts; all integers.
+    */
+  private val q255_l_diversity: Q = (
+    (s, dir) => graft.ops.DataQuality.lDiversity(
+        read(s, dir, "customer").withColumn("sens",
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "sens", l = 5L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    Some("""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens,
+                 count(*) AS c
+               FROM customer GROUP BY 1, 2, 3)
+        SELECT c_nationkey, c_mktsegment,
+               CAST(sum(c) AS BIGINT) AS n,
+               count(*) AS l_distinct,
+               CAST(max(c) * 1000000 // CAST(sum(c) AS BIGINT)
+                 AS BIGINT) AS top_share_ppm,
+               CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END
+                 AS INTEGER) AS at_risk
+        FROM cells GROUP BY 1, 2
+        ORDER BY c_nationkey, c_mktsegment"""))
+
   /** Fellegi-Sunter probabilistic record linkage
     * ([[ops.Linkage.fellegiSunter]]): customers matched against a
     * deterministically-perturbed copy of themselves (every 5th phone
@@ -1768,6 +1796,7 @@ object QueriesRelational {
     "q228_common_neighbors" -> q228_common_neighbors,
     "q251_link_scores" -> q251_link_scores,
     "q254_record_linkage" -> q254_record_linkage,
+    "q255_l_diversity" -> q255_l_diversity,
     "q229_khop_bfs" -> q229_khop_bfs,
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,

@@ -355,6 +355,44 @@ object QueriesStream {
     * the (type, hour-of-day) partition), MAE per type. Integer
     * errors; the MAE ratio rounds 6dp.
     */
+  /** SEASONAL DECOMPOSITION ([[graft.functions.Stats
+    * .seasonalDecompose]] — one median-polish sweep): hourly event
+    * counts split into value = seasonal(hour) + trend(date) +
+    * residual per event type, every component an exact integer
+    * (discrete-quantile medians — quantile_disc rank both engines),
+    * the robust additive model a float moving-average decomposition
+    * could never hash-match. Windows are bounded by (type x 24 hours)
+    * and (type x days) — time resolution, not row count.
+    */
+  private val q256_seasonal_decompose: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"),
+          hour(col("ts")).as("pos"))
+        .agg(count(lit(1)).as("n"))
+      graft.functions.Stats.seasonalDecompose(c, "event_type", "per",
+          "pos", "n")
+        .orderBy(col("event_type"), col("per"), col("pos"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS pos,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+             seas AS (SELECT event_type, pos,
+                 quantile_disc(n, 0.5) AS seasonal
+               FROM c GROUP BY 1, 2),
+             d AS (SELECT c.event_type, c.per, c.pos, c.n, seasonal,
+                 c.n - seasonal AS detr
+               FROM c JOIN seas USING (event_type, pos)),
+             tr AS (SELECT event_type, per,
+                 quantile_disc(detr, 0.5) AS trend
+               FROM d GROUP BY 1, 2)
+        SELECT d.event_type, d.per, d.pos, d.n, seasonal, trend,
+               d.n - seasonal - trend AS residual
+        FROM d JOIN tr USING (event_type, per)
+        ORDER BY event_type, per, pos"""))
+
   private val q225_seasonal_naive: Q = (
     (s, dir) => graft.functions.Stats.seasonalNaiveMae(
         read(s, dir, "events").where(col("ts").isNotNull),
@@ -597,6 +635,7 @@ object QueriesStream {
     "q208_cdc_stream" -> q208_cdc_stream,
     "q213_attribution" -> q213_attribution,
     "q225_seasonal_naive" -> q225_seasonal_naive,
+    "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

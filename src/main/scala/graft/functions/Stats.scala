@@ -432,6 +432,44 @@ object Stats {
     ranked.groupBy(col(grp)).agg(exprs.head, exprs.tail: _*)
   }
 
+  /** SEASONAL DECOMPOSITION by one sweep of Tukey's median polish
+    * (Tukey 1977; the robust additive model behind STL's inner loop):
+    * value = seasonal(position) + trend(period) + residual, where
+    * seasonal is the per-(series, position) MEDIAN across periods and
+    * trend is the per-(series, period) median of the deseasonalized
+    * values. Medians are exact discrete quantiles (the pinned
+    * quantile_disc rank), so with integer inputs (counts) every
+    * component is an INTEGER — the whole decomposition replays
+    * bit-for-bit in any engine, where a mean-based decomposition
+    * would drift in float fold order. Window partitions are
+    * (series x positions) and (series x periods) — bounded by time
+    * resolution and series cardinality, never by row count per se;
+    * each window holds one value per period/position (the q245 rule).
+    */
+  def seasonalDecompose(df: DataFrame, series: String, period: String,
+      position: String, value: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def medOver(part: Seq[String], v: Column, rn: String, n: String,
+        out: String)(d: DataFrame): DataFrame = {
+      val wOrd = W.partitionBy(part.map(col): _*).orderBy(v)
+      val wAll = W.partitionBy(part.map(col): _*)
+      d.withColumn(rn, row_number().over(wOrd))
+        .withColumn(n, count(lit(1)).over(wAll))
+        .withColumn(out, max(when(col(rn) ===
+          greatest(ceil(lit(0.5) * col(n)), lit(1L)), v)).over(wAll))
+        .drop(rn, n)
+    }
+    val seas = medOver(Seq(series, position), col(value), "__r1",
+      "__n1", "seasonal")(df.where(col(value).isNotNull))
+    val detr = seas.withColumn("__detr", col(value) - col("seasonal"))
+    medOver(Seq(series, period), col("__detr"), "__r2", "__n2",
+      "trend")(detr)
+      .withColumn("residual",
+        col(value) - col("seasonal") - col("trend"))
+      .select(col(series), col(period), col(position), col(value),
+        col("seasonal"), col("trend"), col("residual"))
+  }
+
   /** Robust anomaly flags: per-group median/IQR (exact discrete
     * quantiles) and the classic |x - median| > k*IQR outlier rule.
     * With integer-valued inputs (counts) every quantity in the

@@ -150,6 +150,31 @@ object DataQuality {
       .withColumn("at_risk", (col("n") < k).cast("int"))
   }
 
+  /** L-DIVERSITY audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * successor: a quasi-identifier group can be large yet still leak
+    * if (nearly) everyone in it shares the same SENSITIVE value.
+    * Per group: size, count of distinct sensitive values
+    * (`l_distinct`), and the largest single value's share in exact
+    * ppm (integer division — the homogeneity read behind the entropy
+    * variant, without floats). `at_risk` flags groups below the
+    * required l. Two partial-aggregated grouped counts — scales like
+    * [[kAnonymity]].
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"lDiversity: $quasiCols/$l")
+    val cells = df
+      .groupBy(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("__c")).as("__top"))
+      .withColumn("top_share_ppm", expr("__top * 1000000L div n"))
+      .withColumn("at_risk", (col("l_distinct") < l).cast("int"))
+      .drop("__top")
+  }
+
   /** Deterministic PSEUDONYMIZATION: replace identifier columns with
     * the portable keyed hash of (salt || value) — referential
     * integrity survives (equal values map equal, so joins and

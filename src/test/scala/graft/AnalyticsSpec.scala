@@ -167,4 +167,38 @@ class AnalyticsSpec extends SparkSuite {
         k = 2, minSupport = 1L, maxPerBasket = 10)
     }
   }
+
+  test("lDiversity: distinct sensitive count, top share ppm, at_risk") {
+    // group g1: sens {a,a,a,b} -> l=2, top 750000ppm, at_risk (l<3);
+    // group g2: sens {a,b,c} -> l=3, top 333333ppm, ok
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c")).toDF("q", "sens")
+    val got = DataQuality.lDiversity(df, Seq("q"), "sens", l = 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got == Map("g1" -> ((4L, 2L, 750000L, 1)),
+      "g2" -> ((3L, 3L, 333333L, 0))), s"got $got")
+  }
+
+  test("seasonalDecompose: integer median polish sweep, " +
+      "value == seasonal + trend + residual exactly") {
+    import graft.functions.Stats
+    // one series, 3 periods x 2 positions; pos medians (seasonal):
+    // pos1 of {10,20,30}=20, pos2 of {1,2,9}=2; detrended per period:
+    // p1{-10,-1}->med -1 (rank ceil(.5*2)=1 -> -10!); check rank:
+    // sorted {-10,-1}, rank 1 -> -10
+    val df = Seq(("s", 1, 1, 10L), ("s", 1, 2, 1L),
+      ("s", 2, 1, 20L), ("s", 2, 2, 2L),
+      ("s", 3, 1, 30L), ("s", 3, 2, 9L)).toDF("sr", "per", "pos", "v")
+    val rows = Stats.seasonalDecompose(df, "sr", "per", "pos", "v")
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    rows.foreach { case (_, (v, s, t, res)) =>
+      assert(v == s + t + res) }
+    assert(rows((1, 1)) == ((10L, 20L, -10L, 0L)), rows((1, 1)))
+    assert(rows((1, 2)) == ((1L, 2L, -10L, 9L)), rows((1, 2)))
+    assert(rows((3, 1)) == ((30L, 20L, 7L, 3L)), rows((3, 1)))
+  }
 }
