@@ -603,6 +603,7 @@ object QueriesAgg {
     "q218_grouping_sets" -> q218_grouping_sets,
     "q219_basket_rules" -> q219_basket_rules,
     "q253_item_cf" -> q253_item_cf,
+    "q257_cov_matrix" -> q257_cov_matrix,
     "q220_chi_square" -> q220_chi_square,
     "q221_vwap" -> q221_vwap,
     "q222_benford" -> q222_benford,
@@ -941,6 +942,45 @@ object QueriesAgg {
               PARTITION BY u ORDER BY score_q DESC, item) AS rn
             FROM cand) WHERE rn <= 3
         ORDER BY "user", item"""))
+
+  /** Pairwise covariance/correlation MATRIX
+    * ([[graft.functions.Tabular.covarianceMatrix]]): all moments for
+    * the 4 lineitem measures in ONE partial-aggregated scan (k sums,
+    * k sums-of-squares, k(k-1)/2 exact-decimal cross sums), combined
+    * in one fixed double operation order — where running corr() per
+    * pair would re-read the table 6 times. Listwise null deletion
+    * keeps every pair on the same n. The oracle is GENERATED from
+    * the same column list, formula for formula.
+    */
+  private val q257_cov_matrix: Q = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    val pairIdx = for (i <- cs.indices; j <- i + 1 until cs.size)
+      yield (cs(i), cs(j))
+    def xSum(a: String, b: String) =
+      s"CAST(sum(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) " +
+        "AS DECIMAL(38,10))) AS DOUBLE)"
+    val sums = cs.map(c =>
+      s"${sqlDsum(c)} AS s_$c, ${sqlDsumsq(c)} AS q_$c").mkString(", ")
+    val crosses = pairIdx.map { case (a, b) =>
+      s"${xSum(a, b)} AS x_${a}_$b" }.mkString(", ")
+    val branches = pairIdx.map { case (a, b) =>
+      s"""SELECT '$a' AS f_a, '$b' AS f_b, n,
+            round((x_${a}_$b - s_$a * s_$b / n) / (n - 1.0), 6)
+              AS cov,
+            round((x_${a}_$b - s_$a * s_$b / n)
+              / sqrt((q_$a - s_$a * s_$a / n)
+                   * (q_$b - s_$b * s_$b / n)), 6) AS corr
+          FROM m""" }.mkString(" UNION ALL ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.functions.Tabular.covarianceMatrix(
+          read(s, dir, "lineitem"), cs)
+        .orderBy(col("f_a"), col("f_b")),
+      Some(s"""WITH m AS (SELECT count(*) AS n, $sums, $crosses
+            FROM lineitem
+            WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+        $branches ORDER BY f_a, f_b"""))
+  }
 
   /** Chi-square independence test
     * ([[graft.functions.Stats.chiSquare]]) over order status x

@@ -470,6 +470,48 @@ object Stats {
         col("seasonal"), col("trend"), col("residual"))
   }
 
+  /** INTEGER CUSUM change detection (Page 1954): per series, the
+    * one-sided cumulative sums
+    *
+    *   s_pos_t = max(0, s_pos_{t-1} + (x_t - target - slack))
+    *   s_neg_t = max(0, s_neg_{t-1} - (x_t - target + slack))
+    *
+    * flag sustained upward / downward shifts the moment they
+    * accumulate past `threshold`. The recursion LOOKS sequential but
+    * has the classic closed form s_t = P_t - min_{j<=t} P_j over the
+    * prefix sums P of the deviations — a running sum and a running
+    * min, two frames over ONE window per series (no sequential
+    * state, no UDF). With integer inputs and integer target/slack
+    * every quantity is an integer: the alarm bit can never flip
+    * across engines or replays. Window partitions are per-series
+    * time points — bounded by time resolution (the q245 rule).
+    * `target` is a Column so callers can join per-series baselines
+    * (e.g. the series median). Emits (series, ord, x, s_pos, s_neg,
+    * alarm).
+    */
+  def cusum(df: DataFrame, series: String, ord: String, value: String,
+      target: Column, slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"cusum: slack $slack threshold $threshold")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(series)).orderBy(col(ord))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val devPos = col(value) - target - lit(slack)
+    val devNeg = -(col(value) - target + lit(slack))
+    val d = df
+      .withColumn("__pp", sum(devPos).over(w))
+      .withColumn("__pn", sum(devNeg).over(w))
+    d.withColumn("s_pos",
+        col("__pp") - least(min(col("__pp")).over(w), lit(0L)))
+      .withColumn("s_neg",
+        col("__pn") - least(min(col("__pn")).over(w), lit(0L)))
+      .withColumn("alarm",
+        (col("s_pos") > threshold || col("s_neg") > threshold)
+          .cast("int"))
+      .select(col(series), col(ord), col(value), col("s_pos"),
+        col("s_neg"), col("alarm"))
+  }
+
   /** Robust anomaly flags: per-group median/IQR (exact discrete
     * quantiles) and the classic |x - median| > k*IQR outlier rule.
     * With integer-valued inputs (counts) every quantity in the

@@ -121,4 +121,48 @@ object Tabular {
       .select(col("bin"), col("n_expected"), col("n_actual"),
         round(col("__term"), 6).as("psi_term"), col("psi"))
   }
+
+  /** PAIRWISE COVARIANCE / CORRELATION MATRIX in ONE pass — the
+    * feature-redundancy report every tabular pipeline opens with.
+    * All k sums, k sums-of-squares and k(k-1)/2 cross-sums are
+    * EXACT decimal aggregates computed in a single partial-aggregated
+    * scan (no per-pair repeat reads — at 100 TB the difference
+    * between one pass and k^2/2 passes); the moments then combine in
+    * one fixed double operation order (sample covariance,
+    * Pearson correlation), rounded 6dp. Rows with a null in ANY of
+    * `cols` are dropped first (listwise deletion), so every pair
+    * shares the same n. Emits the upper triangle as
+    * (f_a, f_b, n, cov, corr).
+    */
+  def covarianceMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"covarianceMatrix: need >= 2 distinct columns, got $cols")
+    val clean = df.na.drop(cols)
+    def cross(a: String, b: String): Column =
+      sum((col(a).cast("double") * col(b).cast("double"))
+        .cast("decimal(38,10)")).cast("double")
+    val aggs =
+      cols.map(c => graft.QH.dsum(col(c)).as(s"__s_$c")) ++
+      cols.map(c => graft.QH.dsumsq(col(c)).as(s"__q_$c")) ++
+      (for (i <- cols.indices; j <- i + 1 until cols.size)
+        yield cross(cols(i), cols(j)).as(s"__x_${i}_$j")) :+
+      count(lit(1)).as("__n")
+    val row = clean.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast("double")
+    def css(c: String): Column = // centered sum of squares
+      col(s"__q_$c") - col(s"__s_$c") * col(s"__s_$c") / nD
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        val sxy = col(s"__x_${i}_$j") -
+          col(s"__s_$a") * col(s"__s_$b") / nD
+        struct(lit(a).as("f_a"), lit(b).as("f_b"),
+          round(sxy / (nD - 1.0), 6).as("cov"),
+          round(sxy / sqrt(css(a) * css(b)), 6).as("corr"))
+      }
+    row.select(col("__n").as("n"),
+        explode(array(pairs.toSeq: _*)).as("__p"))
+      .select(col("__p.f_a").as("f_a"), col("__p.f_b").as("f_b"),
+        col("n"), col("__p.cov").as("cov"), col("__p.corr").as("corr"))
+  }
 }

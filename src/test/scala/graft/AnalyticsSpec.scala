@@ -201,4 +201,50 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows((1, 2)) == ((1L, 2L, -10L, 9L)), rows((1, 2)))
     assert(rows((3, 1)) == ((30L, 20L, 7L, 3L)), rows((3, 1)))
   }
+
+  test("cusum: closed form equals the sequential recursion; alarm on " +
+      "sustained shift only") {
+    import graft.functions.Stats
+    // baseline 10, slack 1: quiet run, then a sustained +3 shift
+    val xs = Seq(10L, 11L, 9L, 10L, 13L, 13L, 13L, 13L, 10L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i, x) }
+      .toDF("sr", "t", "x")
+    val got = Stats.cusum(df, "sr", "t", "x", lit(10L), slack = 1L,
+        threshold = 5L)
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(5)))
+    // sequential reference
+    var sp = 0L; var sn = 0L
+    val want = xs.map { x =>
+      sp = math.max(0L, sp + (x - 10L - 1L))
+      sn = math.max(0L, sn - (x - 10L + 1L))
+      (x, sp, if (sp > 5L || sn > 5L) 1 else 0)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the shift run (four +3s -> s_pos 2,4,6,8) alarms from the 7th
+    // and stays up through the decay step (s_pos 7 > 5)
+    assert(got.map(_._3).toSeq == Seq(0, 0, 0, 0, 0, 0, 1, 1, 1))
+  }
+
+  test("covarianceMatrix matches Spark's builtin covar_samp/corr " +
+      "to 1e-6 and shares one n") {
+    import graft.functions.Tabular
+    val df = Seq((1.0, 2.0, 10.0), (2.0, 1.0, 11.0), (3.0, 5.0, 9.0),
+      (4.0, 4.0, 14.0), (5.0, 7.0, 13.0)).toDF("a", "b", "c")
+    val got = Tabular.covarianceMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ref = df.agg(
+      covar_samp(col("a"), col("b")), corr(col("a"), col("b")),
+      covar_samp(col("a"), col("c")), corr(col("a"), col("c")),
+      covar_samp(col("b"), col("c")), corr(col("b"), col("c"))).head()
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    assert(got.size == 3 && got.values.forall(_._1 == 5L))
+    assert(close(got(("a", "b"))._2, ref.getDouble(0)))
+    assert(close(got(("a", "b"))._3, ref.getDouble(1)))
+    assert(close(got(("a", "c"))._2, ref.getDouble(2)))
+    assert(close(got(("a", "c"))._3, ref.getDouble(3)))
+    assert(close(got(("b", "c"))._2, ref.getDouble(4)))
+    assert(close(got(("b", "c"))._3, ref.getDouble(5)))
+  }
 }
