@@ -2736,6 +2736,64 @@ object QueriesLLM {
     * boundary rule, the prefix-sum chunk ids, the md5, the census —
     * is recomputed verbatim by DuckDB.
     */
+  /** WINNOWING similarity report ([[TextAnalysis.winnowSimilarity]],
+    * Schleimer et al. 2003 — the MOSS algorithm): per-document
+    * fingerprints selected as the rightmost-min k-gram hash of every
+    * w-window (guaranteed to catch any shared passage of >= w+k-1
+    * cleaned chars), then doc pairs sharing >= 12 fingerprints. The
+    * k-gram hash is the portable (a*31+c) mod 1e9+7 fold rolled in
+    * O(1) per position; selection is one bounded window per doc; the
+    * pair stage strips fingerprints present in > 10% of docs (the
+    * MOSS common-code filter, integer cross-multiplied threshold)
+    * and census-guards the rest.
+    * DuckDB replays hash, selection rule and pair counts verbatim.
+    */
+  private val q259_winnow: Q = (
+    (s, dir) => {
+      val out = TextAnalysis.winnowSimilarity(
+          spread(read(s, dir, "documents")), "doc_id", "text",
+          k = 8, w = 8, minShared = 12L, maxDocPermille = 100)
+        .orderBy(col("doc_a"), col("doc_b")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH cs AS (SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g')
+                   AS s
+               FROM documents WHERE text IS NOT NULL),
+             hs AS (SELECT doc_id, len(s) - 7 AS nk,
+                 unnest(list_transform(range(0, len(s) - 7),
+                   i -> struct_pack(p := i, h := list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split(substr(s, i + 1, 8), ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007)))) AS u
+               FROM cs WHERE len(s) >= 8),
+             ph AS (SELECT doc_id, nk, u.p AS p, u.h AS h FROM hs),
+             wins AS (SELECT doc_id, p, h,
+                 unnest(range(greatest(p, least(8, nk) - 1),
+                   least(p + 8, nk))) AS e
+               FROM ph),
+             sel AS (SELECT DISTINCT doc_id, h FROM (
+                 SELECT doc_id, e, h, row_number() OVER (
+                   PARTITION BY doc_id, e
+                   ORDER BY h ASC, p DESC) AS rn
+                 FROM wins) r WHERE rn = 1),
+             nd AS (SELECT count(DISTINCT doc_id) AS n FROM sel),
+             kept AS (SELECT h FROM sel, nd GROUP BY h, n
+               HAVING count(*) * 1000 <= 100 * n),
+             sk AS (SELECT sel.doc_id, sel.h
+               FROM sel JOIN kept USING (h)),
+             pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+               FROM sk a JOIN sk b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 12)
+        SELECT doc_a, doc_b, n_shared FROM pr
+        ORDER BY doc_a, doc_b"""))
+
   private val q112_cdc_chunks: Q = (
     (s, dir) => Dedup.chunkByContent(
         spread(read(s, dir, "documents")), "doc_id", "text",
@@ -3680,6 +3738,7 @@ object QueriesLLM {
     "q92_token_budget" -> q92_token_budget,
     "q93_span_dedup" -> q93_span_dedup,
     "q110_repeated_substrings" -> q110_repeated_substrings,
+    "q259_winnow" -> q259_winnow,
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,

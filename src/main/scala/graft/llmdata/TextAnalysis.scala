@@ -669,6 +669,122 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
+  /** Per-position modular k-gram hashes of a cleaned string, one
+    * tight rolling loop per document (the [[Dedup]] windowHashes
+    * venue rule — no interpreted lambda per k-gram): each hash is
+    * the char-code polynomial fold (a*31 + c) mod 1e9+7 over k
+    * consecutive chars, EXACTLY the portable fold DuckDB replays
+    * with list_reduce, rolled in O(1) per step by subtracting the
+    * leading term (no modular inverse needed — only division by the
+    * base would need one).
+    */
+  private val kgramHashes = udf { (s: String, k: Int) =>
+    val n = if (s == null) 0 else s.length
+    if (n < k) Seq.empty[Long]
+    else {
+      val P = 1000000007L
+      var pw = 1L // 31^(k-1) mod P
+      var i = 0
+      while (i < k - 1) { pw = pw * 31 % P; i += 1 }
+      val out = new Array[Long](n - k + 1)
+      var h = 0L
+      i = 0
+      while (i < k) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+      out(0) = h
+      i = 1
+      while (i <= n - k) {
+        h = ((h + P - s.charAt(i - 1) * pw % P) * 31 +
+          s.charAt(i + k - 1)) % P
+        out(i) = h
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): from every window of `w` consecutive
+    * k-gram hashes keep the minimum (rightmost on ties), giving a
+    * position-robust fingerprint set with guaranteed coverage — any
+    * shared substring of length >= w + k - 1 yields at least one
+    * SHARED fingerprint, which grep-style sampling can't promise.
+    * Text is cleaned to [a-z0-9] first (case/punct/whitespace
+    * invariance). The per-window min is one bounded window frame per
+    * document (doc-length bound, the q110 rule); selection dedups to
+    * (doc, pos, fp). Short documents with fewer than w k-grams
+    * contribute their single all-covering window. Pure modular
+    * integer arithmetic end to end — the oracle replays every
+    * fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, docId: String, text: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 2, s"winnowFingerprints: k $k w $w")
+    val W = org.apache.spark.sql.expressions.Window
+    val cleaned = regexp_replace(lower(col(text)), "[^a-z0-9]", "")
+    val hs = df.where(col(text).isNotNull)
+      .select(col(docId), kgramHashes(cleaned, lit(k)).as("__hs"))
+      .where(size(col("__hs")) >= 1)
+      .select(col(docId), size(col("__hs")).as("__nk"),
+        posexplode(col("__hs")))
+      .select(col(docId), col("__nk"), col("pos").as("__p"),
+        col("col").as("__h"))
+    val frame = W.partitionBy(col(docId)).orderBy(col("__p"))
+      .rowsBetween(-(w - 1), 0)
+    hs.withColumn("__sel",
+        min(struct(col("__h"), (-col("__p")).as("np"))).over(frame))
+      .where(col("__p") >= w - 1 || col("__p") === col("__nk") - 1)
+      .select(col(docId), (-col("__sel.np")).as("pos"),
+        col("__sel.__h").as("fp"))
+      .distinct()
+  }
+
+  /** Winnowing SIMILARITY report — the MOSS use of the fingerprints:
+    * document pairs sharing >= `minShared` selected fingerprints
+    * (same hash value, any position). Fingerprint values group,
+    * per-value doc lists pair (a < b) — candidate fan-out quadratic
+    * only in docs-per-fingerprint, census-guarded by `maxPerFp`
+    * before the join runs (the LSH-band rule; a fingerprint shared
+    * by half the corpus is boilerplate, not evidence). Exact integer
+    * counts.
+    */
+  def winnowSimilarity(df: DataFrame, docId: String, text: String,
+      k: Int, w: Int, minShared: Long, maxPerFp: Int = 1000,
+      maxDocPermille: Int = 0): DataFrame = {
+    require(minShared >= 1, s"winnowSimilarity: minShared $minShared")
+    require(maxDocPermille >= 0 && maxDocPermille <= 1000,
+      s"winnowSimilarity: maxDocPermille $maxDocPermille")
+    val all = graft.Caches.pin(
+      winnowFingerprints(df, docId, text, k, w)
+        .select(col(docId), col("fp")).distinct())
+    // BOILERPLATE STRIP (what MOSS calls the common-code filter): a
+    // fingerprint present in more than maxDocPermille/1000 of the
+    // docs is a shared template phrase, not copying evidence — and
+    // it is exactly what makes the pair stage quadratic. Integer
+    // cross-multiplied threshold so the kept set replays exactly.
+    val fps = if (maxDocPermille == 0) all else {
+      val nDocs = all.select(col(docId)).distinct().count()
+      val common = all.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__df"))
+        .where(col("__df") * 1000 > lit(maxDocPermille) * lit(nDocs))
+        .select(col("fp"))
+      all.join(common, Seq("fp"), "left_anti")
+    }
+    if (maxPerFp > 0) {
+      val worst = fps.groupBy(col("fp")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPerFp,
+        s"winnowSimilarity: a fingerprint occurs in $worst docs " +
+          s"(> $maxPerFp) — boilerplate; strip it or raise the cap")
+    }
+    val a = fps.select(col("fp"), col(docId).as("doc_a"))
+    val b = fps.select(col("fp"), col(docId).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) of the normalized
     * token stream: token hash = char polynomial (base 131), document
     * hash = token polynomial (base 31627), both mod 1e9+7 — an

@@ -1653,4 +1653,51 @@ class LlmDataSpec extends SparkSuite {
       Similarity.fitReranker(df, Seq("f1"), "click", maxRows = 10)
     }
   }
+
+  test("winnowing: coverage guarantee (shared passage >= w+k-1 chars " +
+      "shares a fingerprint), cleaning invariance, boilerplate strip") {
+    import spark.implicits._
+    val (k, w) = (4, 4)
+    // docs 1/2 share a 12-char passage (>= w+k-1 = 7) embedded in
+    // different contexts; doc 3 is unrelated; doc 4 repeats doc 1
+    // with different case/punctuation (cleaning invariance)
+    val docs = Seq(
+      (1L, "prefix AAABBBCCCDDD suffix one"),
+      (2L, "other start AAABBBCCCDDD tail"),
+      (3L, "zzz completely unrelated yyy xxx"),
+      (4L, "PREFIX aaa-bbb, CCC! ddd SUFFIX (one)"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+      k, w).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap
+    // guarantee: 1 and 2 share at least one fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // cleaning: doc 4 normalizes to exactly doc 1's cleaned string
+    assert(byDoc(4L) == byDoc(1L))
+    // doc 3 shares nothing with 1
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    val pairs = TextAnalysis.winnowSimilarity(docs, "doc_id", "text",
+        k, w, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Caches.release()
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) &&
+      pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // boilerplate strip: a fingerprint in every doc is dropped at
+    // maxDocPermille=500 (4 docs -> df cap 2)
+    val common = Seq(
+      (1L, "sharedsharedshared aaa"), (2L, "sharedsharedshared bbb"),
+      (3L, "sharedsharedshared ccc"), (4L, "sharedsharedshared ddd"))
+      .toDF("doc_id", "text")
+    val stripped = TextAnalysis.winnowSimilarity(common, "doc_id",
+        "text", k, w, minShared = 1L, maxDocPermille = 500)
+      .collect()
+    graft.Caches.release()
+    val unstripped = TextAnalysis.winnowSimilarity(common, "doc_id",
+        "text", k, w, minShared = 1L)
+      .collect()
+    graft.Caches.release()
+    assert(stripped.length < unstripped.length)
+  }
 }
