@@ -604,6 +604,8 @@ object QueriesAgg {
     "q219_basket_rules" -> q219_basket_rules,
     "q253_item_cf" -> q253_item_cf,
     "q257_cov_matrix" -> q257_cov_matrix,
+    "q261_quantile_norm" -> q261_quantile_norm,
+    "q262_fd_profile" -> q262_fd_profile,
     "q220_chi_square" -> q220_chi_square,
     "q221_vwap" -> q221_vwap,
     "q222_benford" -> q222_benford,
@@ -981,6 +983,69 @@ object QueriesAgg {
             WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
         $branches ORDER BY f_a, f_b"""))
   }
+
+  /** QUANTILE NORMALIZATION ([[graft.functions.Stats
+    * .quantileNormalize]]): order-price distributions harmonized
+    * across market segments — every segment mapped onto the
+    * cross-segment mean order-statistic curve, the rank-based
+    * cross-source calibration (Bolstad 2003) that z-scoring can't do
+    * when shapes differ. Ranks deterministic via the order key;
+    * reference curve from exact decimal sums.
+    */
+  private val q261_quantile_norm: Q = (
+    (s, dir) => {
+      val j = read(s, dir, "orders")
+        .join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("o_totalprice"))
+      graft.functions.Stats.quantileNormalize(j, "c_mktsegment",
+          "o_totalprice", "o_orderkey")
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    Some(s"""WITH j AS (SELECT c_mktsegment, o_orderkey, o_totalprice
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               WHERE o_totalprice IS NOT NULL),
+             rk AS (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice, o_orderkey) AS rank
+               FROM j),
+             ref AS (SELECT rank,
+                 round(${sqlDavg("o_totalprice")}, 6) AS normalized
+               FROM rk GROUP BY 1)
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rank,
+               normalized
+        FROM rk JOIN ref USING (rank)
+        ORDER BY c_mktsegment, rank"""))
+
+  /** FUNCTIONAL-DEPENDENCY profile ([[graft.ops.DataQuality
+    * .fdProfile]]): which order columns determine which — all 12
+    * ordered-pair distinct-count tests in one scan; exact integers,
+    * the key-candidate report a DQ pass runs before trusting joins.
+    */
+  private val q262_fd_profile: Q = (
+    (s, dir) => graft.ops.DataQuality.fdProfile(
+        read(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_orderdate",
+          "o_custkey"))
+      .orderBy(col("determinant"), col("dependent")),
+    Some {
+      val cs = Seq("o_orderstatus", "o_orderpriority", "o_orderdate",
+        "o_custkey")
+      val branches = (for (a <- cs; b <- cs if a != b) yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+              count(DISTINCT $a) AS n_det,
+              count(DISTINCT ($a, $b)) AS n_pairs,
+              count(DISTINCT ($a, $b)) - count(DISTINCT $a)
+                AS violations,
+              CAST(CASE WHEN count(DISTINCT ($a, $b))
+                   = count(DISTINCT $a) THEN 1 ELSE 0 END
+                AS INTEGER) AS holds
+            FROM o""").mkString(" UNION ALL ")
+      s"""WITH o AS (SELECT * FROM orders
+            WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+        $branches ORDER BY determinant, dependent"""
+    })
 
   /** Chi-square independence test
     * ([[graft.functions.Stats.chiSquare]]) over order status x

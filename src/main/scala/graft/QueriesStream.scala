@@ -440,6 +440,50 @@ object QueriesStream {
                     ELSE 0 END AS INTEGER) AS alarm
         FROM sc ORDER BY event_type, h"""))
 
+  /** THEIL-SEN robust trend ([[graft.functions.Stats.theilSen]]):
+    * per event type, the median-of-pairwise-slopes trend over DAILY
+    * counts — the estimator one anomalous day cannot wreck, where
+    * OLS moves with every outlier. Slopes quantize at 1e6 the moment
+    * they're computed (one IEEE divide + floor), both medians are
+    * discrete quantiles over integer multisets, so the whole fit
+    * hash-matches. Pairwise work is per-series quadratic in DAYS
+    * (time-resolution bounded, census-guarded).
+    */
+  private val q260_theil_sen: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xd",
+          datediff(col("per"), to_date(lit("1970-01-01"))))
+      graft.functions.Stats.theilSen(c, "event_type", "xd", "n")
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             p AS (SELECT event_type,
+                 CAST(per - DATE '1970-01-01' AS BIGINT) AS x,
+                 n AS y FROM c),
+             sl AS (SELECT a.event_type,
+                 CAST(floor(1000000.0 * (b.y - a.y) / (b.x - a.x))
+                   AS BIGINT) AS sq
+               FROM p a JOIN p b
+                 ON a.event_type = b.event_type AND a.x < b.x),
+             m AS (SELECT event_type, quantile_disc(sq, 0.5)
+                 AS slope_q FROM sl GROUP BY 1),
+             r AS (SELECT p.event_type, slope_q,
+                 p.y * 1000000 - slope_q * p.x AS rr
+               FROM p JOIN m USING (event_type)),
+             ic AS (SELECT event_type, quantile_disc(rr, 0.5)
+                 AS intercept_q FROM r GROUP BY 1),
+             np AS (SELECT event_type, count(*) AS n_points
+               FROM p GROUP BY 1)
+        SELECT event_type, n_points, slope_q, intercept_q
+        FROM np JOIN m USING (event_type) JOIN ic USING (event_type)
+        ORDER BY event_type"""))
+
   private val q225_seasonal_naive: Q = (
     (s, dir) => graft.functions.Stats.seasonalNaiveMae(
         read(s, dir, "events").where(col("ts").isNotNull),
@@ -684,6 +728,7 @@ object QueriesStream {
     "q225_seasonal_naive" -> q225_seasonal_naive,
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q258_cusum" -> q258_cusum,
+    "q260_theil_sen" -> q260_theil_sen,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

@@ -470,6 +470,82 @@ object Stats {
         col("seasonal"), col("trend"), col("residual"))
   }
 
+  /** QUANTILE NORMALIZATION (Bolstad et al. 2003 — the microarray
+    * technique, equally at home harmonizing per-source score
+    * distributions in a data pipeline): rank every value within its
+    * series, build the REFERENCE distribution as the cross-series
+    * mean at each rank (exact decimal sums, one double divide, 6dp),
+    * and map each value to the reference at its rank — after which
+    * every series has an identical distribution. Ranks are
+    * deterministic via the caller's tiebreak. Unequal series lengths
+    * average over the series that reach the rank. The per-series
+    * rank is a full per-series sort — the operator's contract (the
+    * reference distribution IS order statistics); the rank table
+    * itself is (max length) rows.
+    */
+  def quantileNormalize(df: DataFrame, series: String, value: String,
+      tiebreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(series)).orderBy(col(value), col(tiebreak))
+    val ranked = df.where(col(value).isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val ref = ranked.groupBy(col("rank"))
+      .agg(round(graft.QH.davg(col(value)), 6).as("normalized"))
+    ranked.join(ref, Seq("rank"))
+      .select(col(series), col(tiebreak), col(value), col("rank"),
+        col("normalized"))
+  }
+
+  /** THEIL-SEN robust trend (Theil 1950; Sen 1968): per series, the
+    * slope is the MEDIAN of all pairwise slopes (y_j-y_i)/(x_j-x_i)
+    * and the intercept the median of y_i - m*x_i — a 29%-breakdown
+    * estimator where least squares is wrecked by one bad day. Slopes
+    * QUANTIZE immediately — floor(scale * dy / dx), one IEEE divide
+    * + floor, identical in every engine — so both medians are
+    * discrete quantiles over INTEGER multisets (the pinned
+    * quantile_disc rank) and the fit replays exactly. The pairwise
+    * stage is per-series quadratic in POINT count — time-resolution
+    * bounded (daily/hourly aggregates), census-guarded by
+    * `maxPoints` before the join runs. Emits (series, n_points,
+    * slope_q, intercept_q) at `scale` fixed-point.
+    */
+  def theilSen(df: DataFrame, series: String, x: String, y: String,
+      scale: Long = 1000000L, maxPoints: Int = 10000): DataFrame = {
+    require(scale >= 1, s"theilSen: scale $scale")
+    val pts = df.select(col(series), col(x).cast("long").as("__x"),
+      col(y).cast("long").as("__y"))
+    if (maxPoints > 0) {
+      val worst = pts.groupBy(col(series)).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPoints,
+        s"theilSen: a series holds $worst points (> $maxPoints) — " +
+          "aggregate to a coarser time grain first")
+    }
+    val a = pts.select(col(series), col("__x").as("xa"),
+      col("__y").as("ya"))
+    val b = pts.select(col(series), col("__x").as("xb"),
+      col("__y").as("yb"))
+    val slopes = a.join(b, Seq(series))
+      .where(col("xa") < col("xb"))
+      .select(col(series),
+        floor(lit(scale.toDouble) *
+          (col("yb") - col("ya")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).cast("long")
+          .as("__s"))
+    val m = groupQuantilesDisc(slopes, series, "__s",
+      Seq(("slope_q", 0.5)))
+    val resid = pts.join(m, Seq(series))
+      .select(col(series), col("slope_q"),
+        (col("__y") * scale - col("slope_q") * col("__x"))
+          .as("__r"))
+    val icpt = groupQuantilesDisc(resid, series, "__r",
+      Seq(("intercept_q", 0.5)))
+    pts.groupBy(col(series)).agg(count(lit(1)).as("n_points"))
+      .join(m, Seq(series)).join(icpt, Seq(series))
+      .select(col(series), col("n_points"), col("slope_q"),
+        col("intercept_q"))
+  }
+
   /** INTEGER CUSUM change detection (Page 1954): per series, the
     * one-sided cumulative sums
     *

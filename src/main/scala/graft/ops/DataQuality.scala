@@ -175,6 +175,37 @@ object DataQuality {
       .drop("__top")
   }
 
+  /** FUNCTIONAL-DEPENDENCY profile: for every ordered column pair
+    * (A, B), does A determine B? Exact test — A -> B holds iff
+    * |distinct(A)| == |distinct(A, B)|; the difference counts the
+    * violating extra (A, B) combinations. The schema-discovery /
+    * key-candidate report a DQ pass runs before trusting joins.
+    * Rows with a null in any profiled column are dropped first
+    * (listwise — engines disagree on null tuples in DISTINCT
+    * counts). All k + k(k-1) distinct counts evaluate in ONE pass;
+    * column count is bounded, row volume only enters the scan.
+    */
+  def fdProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"fdProfile: need >= 2 distinct columns, got $cols")
+    val clean = df.na.drop(cols)
+    val pairsIdx = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val aggs = cols.map(c =>
+      count_distinct(col(c)).as(s"__d_$c")) ++
+      pairsIdx.map { case (a, b) =>
+        count_distinct(col(a), col(b)).as(s"__d_${a}_$b") }
+    val row = clean.agg(aggs.head, aggs.tail: _*)
+    val outs = pairsIdx.map { case (a, b) =>
+      struct(lit(a).as("determinant"), lit(b).as("dependent"),
+        col(s"__d_$a").as("n_det"),
+        col(s"__d_${a}_$b").as("n_pairs"),
+        (col(s"__d_${a}_$b") - col(s"__d_$a")).as("violations"),
+        (col(s"__d_${a}_$b") === col(s"__d_$a")).cast("int")
+          .as("holds"))
+    }
+    row.select(explode(array(outs: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Deterministic PSEUDONYMIZATION: replace identifier columns with
     * the portable keyed hash of (salt || value) — referential
     * integrity survives (equal values map equal, so joins and

@@ -226,6 +226,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == Seq(0, 0, 0, 0, 0, 0, 1, 1, 1))
   }
 
+  test("quantileNormalize: every series maps onto the cross-series " +
+      "mean order statistics; unequal lengths average the reachable") {
+    import graft.functions.Stats
+    // s1 sorted: 1,2,3 ; s2 sorted: 10, 20 -> ref: r1=(1+10)/2=5.5,
+    // r2=(2+20)/2=11, r3=3 (only s1 reaches rank 3)
+    val df = Seq(("s1", 1L, 3.0), ("s1", 2L, 1.0), ("s1", 3L, 2.0),
+      ("s2", 4L, 20.0), ("s2", 5L, 10.0)).toDF("sr", "k", "v")
+    val got = Stats.quantileNormalize(df, "sr", "v", "k")
+      .collect().map(r => (r.getString(0), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+    assert(got == Map(("s1", 1L) -> 5.5, ("s1", 2L) -> 11.0,
+      ("s1", 3L) -> 3.0, ("s2", 1L) -> 5.5, ("s2", 2L) -> 11.0),
+      s"got $got")
+  }
+
+  test("fdProfile: holds iff distinct(A) == distinct(A,B); " +
+      "violations counted; nulls dropped listwise") {
+    // a determines b (a1->x, a2->y); b does NOT determine a
+    // (x -> a1 and a3)
+    val df = Seq(("a1", "x"), ("a1", "x"), ("a2", "y"), ("a3", "x"),
+      (null, "z")).toDF("a", "b")
+    val got = DataQuality.fdProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> ((3L, 3L, 0L, 1)),
+      ("b", "a") -> ((2L, 3L, 1L, 0))), s"got $got")
+  }
+
   test("covarianceMatrix matches Spark's builtin covar_samp/corr " +
       "to 1e-6 and shares one n") {
     import graft.functions.Tabular
