@@ -1384,6 +1384,125 @@ object QueriesRelational {
         FROM sc WHERE score_q > 0
         ORDER BY id_a, id_b"""))
 
+  /** END-TO-END ENTITY RESOLUTION — [[ops.Linkage.fellegiSunter]]
+    * match pairs fed into [[graft.llmdata.Dedup.duplicateClusters]]
+    * min-label connected components: three perturbed copies of the
+    * customer base (distinct perturbation patterns, so cluster
+    * membership varies 2-3 by key) self-matched in one stacked
+    * frame, FS `match` pairs become edges, components become
+    * entities with the minimum id canonical. The oracle replays the
+    * scoring and closes the components with a recursive CTE (the
+    * q238 pattern). This is the composition a dedup team actually
+    * ships: probabilistic scoring for evidence, graph closure for
+    * identity.
+    */
+  private val q263_linkage_entities: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer").withColumn("c_phone",
+        lpad((col("c_custkey") * 7919 % 100000000L).cast("string"),
+          8, "0"))
+      def copy(off: Long, nameMod: Int, nameSuf: String,
+          phoneMod: Int, bump: Int) = c.select(
+        (col("c_custkey") + off).as("id"),
+        substring(col("c_phone"), 1, 4).as("blk"),
+        when(col("c_custkey") % nameMod === 0,
+          concat(col("c_name"), lit(nameSuf)))
+          .otherwise(col("c_name")).as("name"),
+        when(col("c_custkey") % phoneMod === 0,
+          concat(substring(col("c_phone"), 1, 7),
+            ((substring(col("c_phone"), 8, 1).cast("int") + bump)
+              % 10).cast("string")))
+          .otherwise(col("c_phone")).as("phone"),
+        col("c_mktsegment").as("seg"))
+      val base = c.select(col("c_custkey").as("id"),
+        substring(col("c_phone"), 1, 4).as("blk"),
+        col("c_name").as("name"), col("c_phone").as("phone"),
+        col("c_mktsegment").as("seg"))
+      val all = base
+        .unionByName(copy(1000000L, 7, "X", 5, 1))
+        .unionByName(copy(2000000L, 3, "Y", 11, 2))
+      val m = graft.Caches.pin(
+        ops.Linkage.fellegiSunter(all, all, "id", "blk",
+            Seq(("name", 0.95, 0.0001), ("phone", 0.9, 0.001),
+              ("seg", 0.9, 0.19)),
+            upperQ = 10000000L, lowerQ = 0L)
+          .where(col("decision") === "match" &&
+            col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")))
+      val cl = graft.llmdata.Dedup.duplicateClusters(m, "id_a",
+        "id_b")
+      val sizes = cl.groupBy(col("canonical_id").as("entity"))
+        .agg(count(lit(1)).as("n_members"))
+      val out = cl.select(col("doc_id").as("id"),
+          col("canonical_id").as("entity"))
+        .join(broadcast(sizes), Seq("entity"))
+        .select(col("id"), col("entity"), col("n_members"))
+        .orderBy(col("id")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH RECURSIVE cust AS (SELECT *,
+                 lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR),
+                   8, '0') AS c_phone FROM customer),
+             recs AS (
+               SELECT c_custkey AS id, substr(c_phone, 1, 4) AS blk,
+                      c_name AS name, c_phone AS phone,
+                      c_mktsegment AS seg FROM cust
+               UNION ALL
+               SELECT c_custkey + 1000000, substr(c_phone, 1, 4),
+                      CASE WHEN c_custkey % 7 = 0 THEN c_name || 'X'
+                           ELSE c_name END,
+                      CASE WHEN c_custkey % 5 = 0
+                           THEN substr(c_phone, 1, 7) || CAST(
+                             (CAST(substr(c_phone, 8, 1) AS INTEGER)
+                               + 1) % 10 AS VARCHAR)
+                           ELSE c_phone END,
+                      c_mktsegment FROM cust
+               UNION ALL
+               SELECT c_custkey + 2000000, substr(c_phone, 1, 4),
+                      CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Y'
+                           ELSE c_name END,
+                      CASE WHEN c_custkey % 11 = 0
+                           THEN substr(c_phone, 1, 7) || CAST(
+                             (CAST(substr(c_phone, 8, 1) AS INTEGER)
+                               + 2) % 10 AS VARCHAR)
+                           ELSE c_phone END,
+                      c_mktsegment FROM cust),
+             w AS (SELECT
+                 CAST(floor(1000000 * ln(0.95 / 0.0001) / ln(2.0))
+                   AS BIGINT) AS na,
+                 CAST(floor(1000000 * ln(0.05 / 0.9999) / ln(2.0))
+                   AS BIGINT) AS nd,
+                 CAST(floor(1000000 * ln(0.9 / 0.001) / ln(2.0))
+                   AS BIGINT) AS pa,
+                 CAST(floor(1000000 * ln(0.1 / 0.999) / ln(2.0))
+                   AS BIGINT) AS pd,
+                 CAST(floor(1000000 * ln(0.9 / 0.19) / ln(2.0))
+                   AS BIGINT) AS sa,
+                 CAST(floor(1000000 * ln(0.1 / 0.81) / ln(2.0))
+                   AS BIGINT) AS sd),
+             p AS (SELECT a.id AS ia, b.id AS ib
+               FROM recs a JOIN recs b
+                 ON a.blk = b.blk AND a.id < b.id
+               CROSS JOIN w
+               WHERE (CASE WHEN a.name = b.name THEN na ELSE nd END
+                    + CASE WHEN a.phone = b.phone THEN pa ELSE pd END
+                    + CASE WHEN a.seg = b.seg THEN sa ELSE sd END)
+                     >= 10000000),
+             e AS (SELECT ia AS s, ib AS t FROM p
+                   UNION SELECT ib, ia FROM p),
+             reach(s, t) AS (
+               SELECT s, t FROM e
+               UNION
+               SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+             cl AS (SELECT s AS id, least(min(t), s) AS entity
+               FROM reach GROUP BY s),
+             g AS (SELECT entity, count(*) AS n_members FROM cl
+               GROUP BY entity)
+        SELECT cl.id, cl.entity, g.n_members
+        FROM cl JOIN g USING (entity) ORDER BY id"""))
+
   private val q228_common_neighbors: Q = (
     (s, dir) => {
       val p = read(s, dir, "part")
@@ -1797,6 +1916,7 @@ object QueriesRelational {
     "q251_link_scores" -> q251_link_scores,
     "q254_record_linkage" -> q254_record_linkage,
     "q255_l_diversity" -> q255_l_diversity,
+    "q263_linkage_entities" -> q263_linkage_entities,
     "q229_khop_bfs" -> q229_khop_bfs,
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,
