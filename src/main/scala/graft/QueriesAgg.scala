@@ -615,6 +615,7 @@ object QueriesAgg {
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
+    "q264_nelson_aalen" -> q264_nelson_aalen,
     "q246_uplift" -> q246_uplift,
     "q249_pareto_abc" -> q249_pareto_abc,
     "q183_ohlc" -> q183_ohlc,
@@ -1339,6 +1340,59 @@ object QueriesAgg {
     * time-ordered window (left-to-right fold — deterministic on both
     * engines), 6dp.
     */
+  /** NELSON-AALEN cumulative hazard
+    * ([[graft.ops.Experiment.nelsonAalen]]) over the same
+    * churn-duration construction as q245: H(t) = running Σ d/n_risk
+    * (per-interval hazard KM's product hides) plus the
+    * Fleming-Harrington survival exp(-H). Exact integer risk sets;
+    * the running float sum folds in frame order on both engines.
+    */
+  private val q264_nelson_aalen: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val mx = per.agg(max(col("last_d")).as("maxd"))
+      val subj = per.crossJoin(broadcast(mx))
+        .select(
+          expr("datediff(last_d, first_d)").cast("long")
+            .as("duration"),
+          (expr("datediff(maxd, last_d)") > 360).cast("long")
+            .as("event"))
+      graft.ops.Experiment.nelsonAalen(subj, col("duration"),
+          col("event"))
+        .orderBy(col("t"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS duration,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS event
+               FROM per CROSS JOIN mx),
+             times AS (SELECT duration AS t,
+                 CAST(sum(event) AS BIGINT) AS d,
+                 count(*) AS c
+               FROM subj GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM times),
+             r AS (SELECT t, d, c,
+                 n - COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+               FROM times CROSS JOIN tot)
+        SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d,
+               round(sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+                 AS cum_hazard,
+               round(exp(-sum(CAST(d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+                   ROWS UNBOUNDED PRECEDING)), 6) AS survival_fh
+        FROM r ORDER BY t"""))
+
   private val q245_kaplan_meier: Q = (
     (s, dir) => {
       val per = read(s, dir, "orders")

@@ -300,6 +300,67 @@ object QueriesLLM {
     * recover >= 60% of the exact brute-force top-10 or the query
     * raises — the same gated-rows-only pattern as the ML entries.
     */
+  /** PCA over the embedding corpus ([[Similarity.pcaFit]] /
+    * [[Similarity.pcaProject]]): covariance + cyclic Jacobi on a
+    * bounded hash-ordered sample (driver — a distributed eigensolver
+    * for 64x64 is pure job overhead), deterministic sign convention,
+    * then one codegen'd projection pass over the corpus. Rows-only
+    * (eigenvectors aren't SQL-derivable); gated in-build: explained
+    * variance of the top 8 must cover >= 10% of total and be
+    * eigenvalue-descending, or the entry raises. q266 oracle-checks
+    * the identical projection arithmetic under static components.
+    */
+  private val q265_pca: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val model = Similarity.pcaFit(e, "vec_id", "embedding", k = 8)
+      val frac = model.explained.sum / model.totalVariance
+      require(frac >= 0.10,
+        f"q265: top-8 explained variance $frac%.4f below 0.10 — " +
+          "solver degenerated")
+      require(model.explained.zip(model.explained.tail)
+        .forall { case (a, b) => a >= b - 1e-12 },
+        "q265: eigenvalues not descending")
+      Similarity.pcaProject(e, "vec_id", "embedding", model)
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  /** The PCA PROJECTION arithmetic under the ORACLE (the q211
+    * static-weight rule): two fixed orthogonal unit components
+    * (constant 1/8, and alternating +-1/8), centered at zero,
+    * projected by the same left-fold dot product DuckDB replays with
+    * list_reduce — element order and fold order identical, 6dp.
+    */
+  private val q266_pca_static: Q = (
+    (s, dir) => {
+      val vd = col("embedding").cast("array<double>")
+      def proj(weight: org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(aggregate(
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(vd, i) * weight(i)),
+          lit(0.0), (acc, x) => acc + x), 6)
+      read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          proj(_ => lit(0.125)).as("pc1"),
+          proj(i => when(pmod(i, lit(2)) === 1, 0.125)
+            .otherwise(-0.125)).as("pc2"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * 0.125)),
+                 (a, b) -> a + b), 6) AS pc1,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) *
+                     (CASE WHEN i % 2 = 1 THEN 0.125
+                      ELSE -0.125 END))),
+                 (a, b) -> a + b), 6) AS pc2
+        FROM embeddings ORDER BY vec_id"""))
+
   private val q114_ann_pq: Q = (
     (s, dir) => {
       val e = read(s, dir, "embeddings")
@@ -3739,6 +3800,8 @@ object QueriesLLM {
     "q93_span_dedup" -> q93_span_dedup,
     "q110_repeated_substrings" -> q110_repeated_substrings,
     "q259_winnow" -> q259_winnow,
+    "q265_pca" -> q265_pca,
+    "q266_pca_static" -> q266_pca_static,
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,
     "q95_semdedup_exact" -> q95_semdedup_exact,

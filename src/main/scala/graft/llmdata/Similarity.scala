@@ -505,6 +505,155 @@ object Similarity {
       .limit(k)
   }
 
+  /** Principal components model: `mean` centers, `components` are
+    * row vectors (top-k eigenvectors of the sample covariance,
+    * eigenvalue-descending), `explained` the matching eigenvalues.
+    */
+  case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], explained: Array[Double],
+      totalVariance: Double)
+
+  /** PCA fit (Pearson 1901 / Hotelling 1933) on a BOUNDED
+    * deterministic sample — the [[pqFit]] contract: covariance
+    * estimation saturates on a few thousand points, so at 100 TB the
+    * fit reads a portable-hash-ordered sample and only
+    * [[pcaProject]] touches the corpus. Covariance + cyclic Jacobi
+    * eigendecomposition run on the driver (dim x dim — milliseconds;
+    * a distributed eigensolver for a 64x64 matrix is pure job
+    * overhead, the fitReranker lesson). Deterministic throughout:
+    * hash-ordered sample, fixed Jacobi sweep order, eigenvalue-then-
+    * index ordering, and a SIGN CONVENTION (largest-|component|
+    * coordinate made positive, first index on ties) — eigenvectors
+    * are otherwise sign-ambiguous across solvers.
+    */
+  def pcaFit(df: DataFrame, id: String, vec: String, k: Int,
+      sampleRows: Int = 1 << 16): PcaModel = {
+    require(k >= 1, s"pcaFit: k $k")
+    val sample = df
+      .orderBy(Sampling.bucket(col(id), 42L), col(id))
+      .limit(sampleRows)
+      .select(col(vec).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pcaFit: empty input")
+    val n = sample.length
+    val d = sample.head.length
+    require(k <= d, s"pcaFit: k $k > dim $d")
+    require(n >= 2, "pcaFit: need >= 2 sample rows")
+    val mean = new Array[Double](d)
+    sample.foreach { v =>
+      var j = 0; while (j < d) { mean(j) += v(j); j += 1 } }
+    var j = 0
+    while (j < d) { mean(j) /= n; j += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val va = v(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += va * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) {
+        cov(a)(b) /= (n - 1); cov(b)(a) = cov(a)(b); b += 1 }
+      a += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy { case (v, i) => (-v, i) }
+      .map(_._2)
+    val comps = order.take(k).map { ci =>
+      val v = Array.tabulate(d)(r => vecs(r)(ci))
+      // sign convention: the largest-|x| coordinate positive
+      var best = 0
+      var bi = 1
+      while (bi < d) {
+        if (math.abs(v(bi)) > math.abs(v(best))) best = bi
+        bi += 1
+      }
+      if (v(best) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, comps, order.take(k).map(vals), vals.sum)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * rotations zero each off-diagonal element in a FIXED sweep order
+    * until convergence — deterministic, and for the dim x dim
+    * covariance sizes here (<= a few hundred) faster than any
+    * distributed detour. Returns (eigenvalues, column eigenvectors).
+    */
+  private def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = Array.tabulate(d, d)((i, j) => m0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-22) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project vectors onto a fitted [[PcaModel]]: center on the model
+    * mean, dot with each component (tight loop over the broadcast
+    * matrix), 6dp-rounded pc columns. One codegen'd map over the
+    * corpus — the fit never re-enters.
+    */
+  def pcaProject(df: DataFrame, id: String, vec: String,
+      model: PcaModel): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val proj = udf { (v: Seq[Float]) =>
+      val m = bc.value
+      val d = m.mean.length
+      m.components.map { c =>
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += (v(j) - m.mean(j)) * c(j); j += 1 }
+        math.rint(s * 1e6) / 1e6
+      }.toSeq
+    }
+    df.select(col(id), proj(col(vec).cast("array<float>")).as("__p"))
+      .select(col(id) +: model.components.indices.map(i =>
+        element_at(col("__p"), i + 1).as(s"pc${i + 1}")): _*)
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector space is
     * split into `m` subspaces of `subDim` dims, each with its own

@@ -141,6 +141,41 @@ object Experiment {
       .select(col("t"), col("n_risk"), col("d"), col("survival"))
   }
 
+  /** NELSON-AALEN cumulative hazard (Nelson 1972; Aalen 1978) —
+    * [[kaplanMeier]]'s sibling: H(t) = Σ_{i<=t} d_i/n_i over the
+    * time-ordered distinct durations, the estimator of cumulative
+    * risk whose increments ARE the discrete hazard (KM's product
+    * form can't be read per-interval). Same exact integer risk-set
+    * arithmetic and bounded single-window shape as KM; the running
+    * sum folds in frame order (deterministic trajectory, 6dp).
+    * Unlike KM's extinction edge, d == n_risk is benign here — the
+    * term is d/n = 1, finite. Also emits the Fleming-Harrington
+    * survival exp(-H), the small-sample-preferred S estimate.
+    */
+  def nelsonAalen(df: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    val times = df
+      .where(duration.isNotNull)
+      .groupBy(duration.cast("long").as("t"))
+      .agg(sum(event.cast("long")).as("d"), count(lit(1)).as("c"))
+    val pin = pmod(col("t"), lit(1))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin).orderBy(col("t"))
+    val wPrev = wOrd.rowsBetween(Long.MinValue, -1)
+    val total = times.agg(sum(col("c")).as("__n"))
+    times.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("cum_hazard", round(sum(
+        col("d").cast("double") / col("n_risk").cast("double"))
+        .over(wOrd), 6))
+      .withColumn("survival_fh", round(exp(-sum(
+        col("d").cast("double") / col("n_risk").cast("double"))
+        .over(wOrd)), 6))
+      .select(col("t"), col("n_risk"), col("d"), col("cum_hazard"),
+        col("survival_fh"))
+  }
+
   /** Per-segment UPLIFT (heterogeneous treatment effect read): for
     * each segment, treated/control exact trials and successes and
     * the rate difference — where an experiment's average effect

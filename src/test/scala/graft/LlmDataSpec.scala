@@ -1654,6 +1654,59 @@ class LlmDataSpec extends SparkSuite {
     }
   }
 
+  test("pcaFit: matches MLlib PCA components up to the sign " +
+      "convention at 1e-5; orthonormal; eigenvalues descending; " +
+      "projection recenters exactly") {
+    import spark.implicits._
+    // anisotropic synthetic cloud so components are well-separated
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 300).map { i =>
+      val t = rnd.nextGaussian(); val u = rnd.nextGaussian()
+      val v = rnd.nextGaussian()
+      (i.toLong, Seq(5.0 * t + 1.0, 2.0 * u - 3.0,
+        0.5 * v + t, 0.1 * rnd.nextGaussian()).map(_.toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "vec_id", "embedding", k = 3,
+      sampleRows = 1000)
+    assert(m.explained.zip(m.explained.tail)
+      .forall { case (a, b) => a >= b })
+    // orthonormal
+    for (a <- m.components; b <- m.components) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val want = if (a eq b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"dot $dot want $want")
+    }
+    // MLlib reference on identical data
+    import org.apache.spark.ml.feature.{PCA => MlPca}
+    import org.apache.spark.ml.linalg.Vectors
+    val feat = data.map { case (id, v) =>
+      (id, Vectors.dense(v.map(_.toDouble).toArray)) }
+      .toDF("vec_id", "features")
+    val mp = new MlPca().setInputCol("features").setOutputCol("pc")
+      .setK(3).fit(feat)
+    val ref = mp.pc.toArray // column-major d x k
+    val d = 4
+    for (ci <- 0 until 3) {
+      val mine = m.components(ci)
+      val theirs = Array.tabulate(d)(r => ref(ci * d + r))
+      // resolve MLlib's arbitrary sign by aligning on the largest
+      // |coordinate| (the fit's own convention)
+      val best = mine.indices.maxBy(j => math.abs(mine(j)))
+      val flip = if (math.signum(theirs(best)) !=
+        math.signum(mine(best))) -1.0 else 1.0
+      mine.zip(theirs).foreach { case (x, y) =>
+        assert(math.abs(x - flip * y) < 1e-5,
+          s"c$ci: ${mine.toSeq} vs ${theirs.toSeq}") }
+    }
+    // projecting the mean vector gives the zero point
+    val meanDf = Seq((0L, m.mean.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.pcaProject(meanDf, "vec_id", "embedding", m)
+      .head()
+    (1 to 3).foreach(i => assert(z.getDouble(i) == 0.0))
+  }
+
   test("winnowing: coverage guarantee (shared passage >= w+k-1 chars " +
       "shares a fingerprint), cleaning invariance, boilerplate strip") {
     import spark.implicits._
