@@ -2855,6 +2855,44 @@ object QueriesLLM {
         SELECT doc_a, doc_b, n_shared FROM pr
         ORDER BY doc_a, doc_b"""))
 
+  /** EXACT set-similarity join by prefix filtering
+    * ([[Dedup.setSimJoin]], PPJoin family): every document pair with
+    * token-set Jaccard >= 9/10, found via rarity-ordered prefix
+    * tokens + length filter + exact verification — LOSSLESS, so the
+    * oracle is plain brute force over the same bounded subset (the
+    * property that separates this from MinHash: the result is the
+    * exact threshold set, not an estimate). Keep decision is the
+    * cross-multiplied integer inequality; no float ever gates a row.
+    * Subset bounded to 1000 docs like q248's sites: exact-threshold
+    * output is pair-density-shaped by contract; the blocking is what
+    * scales.
+    */
+  private val q267_setsim_join: Q = (
+    (s, dir) => Dedup.setSimJoin(
+        spread(read(s, dir, "documents")).where(col("doc_id") <= 1000),
+        "doc_id", "text", num = 9L, den = 10L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH t AS (SELECT doc_id, list_distinct(list_filter(
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), x -> x <> '')) AS ts
+               FROM documents
+               WHERE text IS NOT NULL AND doc_id <= 1000),
+             tt AS (SELECT doc_id, ts, len(ts) AS n FROM t
+               WHERE len(ts) >= 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+                 AS n_inter,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / CAST(a.n + b.n - len(list_intersect(a.ts, b.ts))
+                     AS DOUBLE), 6) AS jaccard
+        FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+          AND 10 * a.n >= 9 * b.n AND 10 * b.n >= 9 * a.n
+        WHERE 10 * len(list_intersect(a.ts, b.ts))
+              >= 9 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))
+        ORDER BY id_a, id_b"""))
+
   private val q112_cdc_chunks: Q = (
     (s, dir) => Dedup.chunkByContent(
         spread(read(s, dir, "documents")), "doc_id", "text",
@@ -3801,6 +3839,7 @@ object QueriesLLM {
     "q110_repeated_substrings" -> q110_repeated_substrings,
     "q259_winnow" -> q259_winnow,
     "q265_pca" -> q265_pca,
+    "q267_setsim_join" -> q267_setsim_join,
     "q266_pca_static" -> q266_pca_static,
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,

@@ -322,6 +322,80 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** EXACT set-similarity join by PREFIX FILTERING (Chaudhuri et al.
+    * 2006; Xiao et al. 2008 "PPJoin") — all pairs with token-set
+    * Jaccard >= num/den, WITHOUT the pairwise stage and WITHOUT the
+    * approximation MinHash pays: order every record's distinct
+    * tokens by global rarity (df asc, token asc), keep only the
+    * first |x| - ceil(t*|x|) + 1 as the PREFIX, and two records can
+    * reach the threshold ONLY if their prefixes share a token (the
+    * pigeonhole: missing every prefix token already costs too much
+    * overlap). Candidates additionally pass the length filter
+    * (den*|y| >= num*|x|, both directions, integers) and then EXACT
+    * verification — intersection via array_intersect on the two
+    * token arrays, the keep decision the cross-multiplied integer
+    * inequality inter*den >= num*(|x|+|y|-inter). LOSSLESS: the
+    * result set equals brute force (spec-pinned), which is what
+    * makes it oracle-checkable at all. Shuffles: token-df census,
+    * prefix-token join (per-token fan-out census-guarded — a token
+    * in half the corpus would be in nobody's prefix anyway since
+    * rarity-first ordering puts common tokens LAST), one verify
+    * join. Returns (id_a, id_b, n_inter, n_a, n_b, jaccard 6dp).
+    */
+  def setSimJoin(df: DataFrame, id: String, text: String, num: Long,
+      den: Long, maxPerToken: Int = 100000): DataFrame = {
+    require(num >= 1 && den >= num, s"setSimJoin: $num/$den")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id).as("__id"),
+        array_distinct(normalizeTokens(col(text))).as("__ts"))
+      .where(size(col("__ts")) >= 1)
+    val exploded = toks.select(col("__id"),
+      explode(col("__ts")).as("__tok"))
+    val dfreq = exploded.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df"))
+    // rarity order within each record; prefix keeps the first
+    // |x| - ceil(t*|x|) + 1 = |x| - floor((num*|x| + den - 1)/den) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
+    val ranked = exploded.join(dfreq, Seq("__tok"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__id"))))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= col("__n") -
+        expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L") + 1)
+      .select(col("__tok"), col("__id"), col("__n"))
+    if (maxPerToken > 0) {
+      val worst = ranked.groupBy(col("__tok")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPerToken,
+        s"setSimJoin: a prefix token indexes $worst records " +
+          s"(> $maxPerToken) — threshold too low for this corpus")
+    }
+    val cands = ranked.as("a")
+      .join(ranked.as("b"), col("a.__tok") === col("b.__tok") &&
+        col("a.__id") < col("b.__id") &&
+        col("a.__n") * den >= col("b.__n") * num &&
+        col("b.__n") * den >= col("a.__n") * num)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(toks.select(col("__id").as("id_a"),
+        col("__ts").as("__ta")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"),
+        col("__ts").as("__tb")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("n_a", size(col("__ta")).cast("long"))
+      .withColumn("n_b", size(col("__tb")).cast("long"))
+      .where(col("n_inter") * den >=
+        lit(num) * (col("n_a") + col("n_b") - col("n_inter")))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
   /** Exact pairwise n-gram Jaccard over all id-ordered pairs —
     * O(n^2), for oracle checks and small candidate sets only.
     * The scale path is [[minhashDedup]].

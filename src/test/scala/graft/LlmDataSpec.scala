@@ -1707,6 +1707,32 @@ class LlmDataSpec extends SparkSuite {
     (1 to 3).foreach(i => assert(z.getDouble(i) == 0.0))
   }
 
+  test("setSimJoin: LOSSLESS — equals brute-force exact Jaccard at " +
+      "the threshold; integer keep decision; prefix census trips") {
+    import spark.implicits._
+    val docs = (1 to 60).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta token$i"
+      val t =
+        if (i % 3 == 0) base // near-identical cluster
+        else if (i % 3 == 1) base + s" extra$i more$i"
+        else s"completely different content $i nothing shared here " +
+          s"unique$i words$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(docs, "doc_id", "text", num = 1L,
+        den = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.jaccardAllPairs(docs, "doc_id", "text",
+        shingleN = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "degenerate: no qualifying pairs")
+    assert(got == brute, s"ppjoin ${got.size} vs brute ${brute.size}")
+    intercept[IllegalArgumentException] {
+      Dedup.setSimJoin(docs, "doc_id", "text", 1L, 2L,
+        maxPerToken = 1)
+    }
+  }
+
   test("winnowing: coverage guarantee (shared passage >= w+k-1 chars " +
       "shares a fingerprint), cleaning invariance, boilerplate strip") {
     import spark.implicits._
