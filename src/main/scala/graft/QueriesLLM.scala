@@ -2855,6 +2855,60 @@ object QueriesLLM {
         SELECT doc_a, doc_b, n_shared FROM pr
         ORDER BY doc_a, doc_b"""))
 
+  /** RAKE keyword extraction ([[TextAnalysis.rakeKeywords]], Rose
+    * 2010): stopword-delimited candidate phrases, deg/freq word
+    * scores quantized by integer division, phrase scores as
+    * order-free long sums, top-3 per document — the unsupervised
+    * keyword baseline. Everything per-document windows + grouped
+    * aggregates; DuckDB replays tokenization, islands, scores and
+    * the cut verbatim.
+    */
+  private val q269_rake: Q = (
+    (s, dir) => TextAnalysis.rakeKeywords(
+        spread(read(s, dir, "documents")), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("phrase")),
+    Some("""WITH tl AS (SELECT doc_id, list_filter(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             toks AS (SELECT doc_id, u.p AS pos, u.t AS tok,
+                 CASE WHEN u.t IN ('the','a','an','of','to','and',
+                   'in','is','for','on','with','as','by','at','from',
+                   'that','this','it','are','was','be','or','we',
+                   'you','has') THEN 1 ELSE 0 END AS stop
+               FROM (SELECT doc_id, unnest(list_transform(
+                   range(1, len(t) + 1),
+                   i -> struct_pack(p := i - 1, t := t[i]))) AS u
+                 FROM tl) y),
+             ph AS (SELECT doc_id, pos, tok, stop,
+                 CAST(sum(stop) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS phid
+               FROM toks),
+             pw AS (SELECT doc_id, pos, tok, phid FROM ph
+               WHERE stop = 0),
+             phr AS (SELECT doc_id, phid, count(*) AS plen,
+                 string_agg(tok, ' ' ORDER BY pos) AS phrase
+               FROM pw GROUP BY 1, 2),
+             ws AS (SELECT pw.doc_id, tok, count(*) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+               FROM pw JOIN phr USING (doc_id, phid) GROUP BY 1, 2),
+             wq AS (SELECT doc_id, tok, deg * 1000000 // freq AS wq
+               FROM ws),
+             sc AS (SELECT pw.doc_id, pw.phid,
+                 CAST(sum(wq) AS BIGINT) AS score_q
+               FROM pw JOIN wq USING (doc_id, tok) GROUP BY 1, 2),
+             fin AS (SELECT DISTINCT sc.doc_id, phrase, score_q,
+                 CAST(plen AS BIGINT) AS n_words
+               FROM sc JOIN phr USING (doc_id, phid)),
+             tp AS (SELECT doc_id, phrase, score_q, n_words,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_q DESC, phrase) AS rn
+               FROM fin)
+        SELECT doc_id, phrase, score_q, n_words FROM tp
+        WHERE rn <= 3 ORDER BY doc_id, phrase"""))
+
   /** EXACT set-similarity join by prefix filtering
     * ([[Dedup.setSimJoin]], PPJoin family): every document pair with
     * token-set Jaccard >= 9/10, found via rarity-ordered prefix
@@ -3840,6 +3894,7 @@ object QueriesLLM {
     "q259_winnow" -> q259_winnow,
     "q265_pca" -> q265_pca,
     "q267_setsim_join" -> q267_setsim_join,
+    "q269_rake" -> q269_rake,
     "q266_pca_static" -> q266_pca_static,
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,

@@ -141,6 +141,43 @@ object QueriesStream {
              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
             ORDER BY user_id, view_id, purchase_id"""))
 
+  /** LEFT-OUTER stream-stream interval join
+    * ([[Streams.intervalJoinLeftOuter]]) in batch form: every view
+    * with its conversions within 1 hour — INCLUDING the views that
+    * never converted (null-extended), the rows q80's inner form
+    * drops and the ones a funnel actually wants to count. Grouped to
+    * one row per view (conversion count + first purchase id). In
+    * streaming both sides are watermarked and the null row emits
+    * once the watermark proves no match can arrive (spec-driven
+    * through MemoryStream).
+    */
+  private val q268_interval_left: Q = (
+    (s, dir) => {
+      val ev = read(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Streams.intervalJoinLeftOuter(views, buys, "user_id", "ts",
+          "1 HOUR")
+        .groupBy(col("l_event_id").as("view_id"),
+          col("l_user_id").as("user_id"))
+        .agg(count(col("r_event_id")).as("n_conversions"),
+          min(col("r_event_id")).as("first_purchase_id"))
+        .orderBy(col("view_id"))
+    },
+    Some("""WITH src AS (SELECT event_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events)
+        SELECT v.event_id AS view_id, v.user_id AS user_id,
+               count(p.event_id) AS n_conversions,
+               min(p.event_id) AS first_purchase_id
+        FROM src v LEFT JOIN src p
+          ON v.user_id = p.user_id AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+        WHERE v.event_type = 'view'
+        GROUP BY 1, 2 ORDER BY view_id"""))
+
   /** Dedup-at-ingest ORACLE-CHECKED end-to-end: plant a
     * near-duplicate of every 10th document (id + 1000000, one token
     * appended) and run the streaming dedup operator in BATCH mode —
@@ -729,6 +766,7 @@ object QueriesStream {
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
+    "q268_interval_left" -> q268_interval_left,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

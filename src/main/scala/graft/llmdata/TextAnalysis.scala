@@ -667,6 +667,69 @@ object TextAnalysis {
         col("ent4") / (col("n_chars") * lit(1e4)))
   }
 
+  /** Default RAKE stopword list (fixed, inlined by the oracle). */
+  val RakeStopwords: Seq[String] = Seq("the", "a", "an", "of", "to",
+    "and", "in", "is", "for", "on", "with", "as", "by", "at", "from",
+    "that", "this", "it", "are", "was", "be", "or", "we", "you",
+    "has")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") over the normalized
+    * token stream: candidate phrases are maximal stopword-free runs
+    * (gaps-and-islands per document — stopwords are the delimiters),
+    * each word scores deg/freq WITHIN its document (deg = summed
+    * length of the phrases it appears in — co-occurrence raises a
+    * word's score, which is RAKE's whole idea), and a phrase scores
+    * the sum of its words. Word scores QUANTIZE by integer division
+    * (deg * 1e6 div freq) so phrase scores are order-free exact long
+    * sums; top-k distinct phrases per doc by (score desc, phrase).
+    * Every stage is per-document windows + grouped aggregates —
+    * document-length bounded, no corpus-wide state.
+    */
+  def rakeKeywords(df: DataFrame, docId: String, text: String,
+      k: Int, stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    require(k >= 1 && stopwords.nonEmpty, s"rakeKeywords: k $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.where(col(text).isNotNull)
+      .select(col(docId), posexplode(
+        Dedup.normalizeTokens(col(text))))
+      .select(col(docId), col("pos"), col("col").as("__tok"),
+        col("col").isin(stopwords: _*).cast("long").as("__stop"))
+    val wOrd = W.partitionBy(col(docId)).orderBy(col("pos"))
+    val phrased = toks
+      .withColumn("__ph", sum(col("__stop"))
+        .over(wOrd.rowsBetween(W.unboundedPreceding, 0)))
+      .where(col("__stop") === 0)
+    val phrases = phrased
+      .groupBy(col(docId), col("__ph"))
+      .agg(count(lit(1)).as("__plen"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("pos"), col("__tok")))), s =>
+          s.getField("__tok")), " ").as("phrase"))
+    // per-doc word stats: freq = occurrences, deg = summed length of
+    // containing phrases
+    val wordStats = phrased
+      .join(phrases.select(col(docId), col("__ph"), col("__plen")),
+        Seq(docId, "__ph"))
+      .groupBy(col(docId), col("__tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .withColumn("__wq", expr("__deg * 1000000L div __freq"))
+    val scored = phrased
+      .join(wordStats.select(col(docId), col("__tok"), col("__wq")),
+        Seq(docId, "__tok"))
+      .groupBy(col(docId), col("__ph"))
+      .agg(sum(col("__wq")).as("score_q"))
+      .join(phrases, Seq(docId, "__ph"))
+      .select(col(docId), col("phrase"), col("score_q"),
+        col("__plen").as("n_words"))
+      .distinct() // same phrase text twice in a doc scores once
+    val wTop = W.partitionBy(col(docId))
+      .orderBy(col("score_q").desc, col("phrase"))
+    scored.withColumn("__rn", row_number().over(wTop))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
 
   /** Per-position modular k-gram hashes of a cleaned string, one

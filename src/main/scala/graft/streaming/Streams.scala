@@ -462,6 +462,29 @@ object Streams {
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[intervalJoin]],
+    * but left rows with NO right match inside the bound survive with
+    * nulls — the "views that never converted" side of attribution,
+    * which the inner form silently drops. In streaming, Spark emits
+    * the null-extended row only once the watermark proves no match
+    * can still arrive (both sides watermarked, the time bound in the
+    * join condition is what makes outer stream-stream joins legal at
+    * all); in batch it's a plain left join. Same column prefixing.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, maxDelay: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c"))
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") +
+          expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+  }
+
   /** Stream-STATIC dimension enrichment: the batch dimension joins
     * broadcast onto every micro-batch — no state store, no watermark
     * requirement on the dim, the standard "attach the customer

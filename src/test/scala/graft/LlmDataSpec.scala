@@ -1707,6 +1707,28 @@ class LlmDataSpec extends SparkSuite {
     (1 to 3).foreach(i => assert(z.getDouble(i) == 0.0))
   }
 
+  test("rakeKeywords: hand-computed deg/freq phrase scores, " +
+      "stopword islands, repeated phrase scored once, top-k cut") {
+    import spark.implicits._
+    // phrases: "deep learning" x2, "neural networks" x1 ->
+    // freq(deep)=2 deg(deep)=4, freq(learning)=2 deg=4,
+    // freq(neural)=1 deg=2, freq(networks)=1 deg=2
+    // scores: deep=learning=2e6 -> "deep learning" = 4e6;
+    // "neural networks" = 4e6 (tie broken by phrase string)
+    val docs = Seq((1L,
+      "deep learning and neural networks for the deep learning"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy(col("phrase")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("deep learning", 4000000L, 2L),
+      ("neural networks", 4000000L, 2L)), s"got ${got.toSeq}")
+    // top-1 tie cut is deterministic by phrase
+    val top1 = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+      k = 1).head().getString(1)
+    assert(top1 == "deep learning")
+  }
+
   test("setSimJoin: LOSSLESS — equals brute-force exact Jaccard at " +
       "the threshold; integer keep decision; prefix census trips") {
     import spark.implicits._

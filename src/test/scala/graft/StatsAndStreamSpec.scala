@@ -618,6 +618,60 @@ class StatsAndStreamSpec extends SparkSuite {
       s"$oneShot / $sliced / $arb")
   }
 
+  test("intervalJoinLeftOuter: streaming emits null-extended rows " +
+      "once the watermark closes the bound; equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // view 1 converts in-bound; view 2 never converts; view 3's
+    // purchase is OUT of the 1-hour bound
+    val views = Seq((1L, 10L, t("2024-01-01 10:00:00")),
+      (2L, 20L, t("2024-01-01 10:00:00")),
+      (3L, 30L, t("2024-01-01 10:00:00")))
+    val buys = Seq((101L, 10L, t("2024-01-01 10:30:00")),
+      (103L, 30L, t("2024-01-01 12:30:00")),
+      // watermark mover far past every bound
+      (199L, 99L, t("2024-01-01 15:00:00")))
+    val inV = MemoryStream[(Long, Long, Timestamp)]
+    val inB = MemoryStream[(Long, Long, Timestamp)]
+    val q = graft.streaming.Streams.intervalJoinLeftOuter(
+        inV.toDF().toDF("event_id", "user_id", "ts")
+          .withWatermark("ts", "10 minutes"),
+        inB.toDF().toDF("event_id", "user_id", "ts")
+          .withWatermark("ts", "10 minutes"),
+        "user_id", "ts", "1 HOUR")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ilo").start()
+    inV.addData(views: _*); inB.addData(buys.take(2): _*)
+    q.processAllAvailable()
+    // the GLOBAL watermark is the min over both inputs — advance
+    // BOTH sides past every bound, then one more batch so the
+    // outer-join state flushes its null-extended rows
+    inV.addData((91L, 97L, t("2024-01-01 15:00:00")))
+    inB.addData(buys.drop(2): _*)
+    q.processAllAvailable()
+    inV.addData((92L, 96L, t("2024-01-01 16:00:00")))
+    inB.addData((198L, 98L, t("2024-01-01 16:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      """SELECT l_event_id, r_event_id FROM ilo
+         WHERE l_event_id IS NOT NULL AND l_event_id < 90""").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set(1L -> 101L, 2L -> -1L, 3L -> -1L), s"got $got")
+    // batch form agrees
+    val batch = graft.streaming.Streams.intervalJoinLeftOuter(
+        views.toDF("event_id", "user_id", "ts"),
+        buys.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "1 HOUR")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
+
   test("sessionFunnelReach: streaming == relational batch under two " +
       "slicings + out-of-order arrival; TTL closes and finalizes " +
       "idle users") {
