@@ -712,6 +712,96 @@ object QueriesRelational {
                <= 100000.0
         ORDER BY id_a, id_b"""))
 
+  /** DBSCAN over geographic sites ([[ops.Geo.dbscanGeo]]): density
+    * clustering composed from the engine's own scale paths —
+    * cell-blocked eps-pairs (q250 machinery), exact integer core
+    * test (>= minPts-1 neighbors), min-label connected components
+    * over the core graph, border points pinned to the MINIMUM
+    * neighboring cluster (the decision textbook DBSCAN leaves
+    * arbitrary). The oracle replays pairs, degrees, core set,
+    * closes components with a recursive CTE, and re-derives every
+    * border assignment. Site set bounded like q248/q250
+    * (density-quadratic pair work is the operator's contract).
+    */
+  private val q270_dbscan: Q = (
+    (s, dir) => {
+      // 1500-id bound: identical site set (and density) at every sf —
+      // cluster structure is a function of density, and an unbounded
+      // set would percolate into corpus-spanning chains whose
+      // diameter defeats bounded label propagation
+      val pts = read(s, dir, "customer")
+        .where(col("c_custkey") <= 1500)
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") * 37 % 16).cast("double") / 10.0)
+            .as("lat"),
+          ((col("c_custkey") * 73 % 3600).cast("double") / 10.0
+            - 180.0).as("lon"))
+      val out = ops.Geo.dbscanGeo(pts, epsM = 60000.0, minPts = 3)
+        .orderBy(col("id")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+                 CAST(c_custkey * 37 % 16 AS DOUBLE) / 10.0 AS lat,
+                 CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0
+                   AS lon
+               FROM customer WHERE c_custkey <= 1500),
+             par2 AS (SELECT dlat, dlon,
+                 greatest(1, CAST(floor(360.0 / dlon) AS BIGINT))
+                   AS nlon
+               FROM (SELECT 60000.0 / 111320.0 AS dlat,
+                 60000.0 / (111320.0 * greatest(
+                   cos((SELECT max(abs(lat)) FROM pts) * pi()
+                     / 180.0), 1e-6)) AS dlon)),
+             cells AS (SELECT id, lat, lon,
+                 CAST(floor(lat / dlat) AS BIGINT) AS cy,
+                 ((CAST(floor(lon / dlon) AS BIGINT) % nlon) + nlon)
+                   % nlon AS cx,
+                 nlon
+               FROM pts, par2),
+             pr AS (SELECT a.id AS ia, b.id AS ib
+               FROM cells a JOIN cells b
+                 ON abs(a.cy - b.cy) <= 1
+                AND ((a.cx - b.cx + a.nlon) % a.nlon)
+                    IN (0, 1, a.nlon - 1)
+                AND a.id < b.id
+               WHERE round(2.0 * 6371008.8 * asin(sqrt(
+                 sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                   * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
+                 + cos(a.lat * (pi() / 180.0))
+                   * cos(b.lat * (pi() / 180.0))
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
+                 <= 60000.0),
+             nb AS (SELECT ia AS id, ib AS nbid FROM pr
+                    UNION ALL SELECT ib, ia FROM pr),
+             deg AS (SELECT id, count(*) AS d FROM nb GROUP BY 1),
+             core AS (SELECT id FROM deg WHERE d >= 2),
+             ce AS (SELECT ia, ib FROM pr
+               JOIN core ca ON pr.ia = ca.id
+               JOIN core cb ON pr.ib = cb.id),
+             e AS (SELECT ia AS s, ib AS t FROM ce
+                   UNION SELECT ib, ia FROM ce),
+             reach(s, t) AS (
+               SELECT s, t FROM e
+               UNION
+               SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+             compo AS (SELECT s AS id, least(min(t), s) AS cluster
+               FROM reach GROUP BY s),
+             corelab AS (SELECT core.id,
+                 COALESCE(compo.cluster, core.id) AS cluster
+               FROM core LEFT JOIN compo USING (id)),
+             bord AS (SELECT nb.id, min(corelab.cluster) AS cluster
+               FROM nb JOIN corelab ON nb.nbid = corelab.id
+               WHERE nb.id NOT IN (SELECT id FROM core)
+               GROUP BY nb.id)
+        SELECT id, cluster, CAST(1 AS INTEGER) AS is_core
+        FROM corelab
+        UNION ALL
+        SELECT id, cluster, CAST(0 AS INTEGER) FROM bord
+        ORDER BY id"""))
+
   /** Z-ORDERED layout end to end ([[io.Layout.writeZOrdered]] —
     * completing q138, which oracles the key alone): part written
     * clustered on z(p_partkey, p_size) into 16 files, then a
@@ -1924,6 +2014,7 @@ object QueriesRelational {
     "q247_geo_distance" -> q247_geo_distance,
     "q248_geo_radius" -> q248_geo_radius,
     "q250_geo_radius_cells" -> q250_geo_radius_cells,
+    "q270_dbscan" -> q270_dbscan,
     "q197_rank_family" -> q197_rank_family,
     "q199_temporal_join" -> q199_temporal_join,
     "q200_unpivot" -> q200_unpivot,

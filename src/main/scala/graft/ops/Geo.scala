@@ -151,6 +151,56 @@ object Geo {
       .select(col("id_a"), col("id_b"), col("dist_m"))
   }
 
+  /** DBSCAN over geographic points (Ester et al. 1996) — density
+    * clustering composed from machinery this engine already scales:
+    * eps-neighbor pairs come from [[radiusJoinCells]] (cell-blocked,
+    * census-guarded — never all-pairs), CORE points have >=
+    * minPts-1 neighbors (exact integer counts; DBSCAN counts the
+    * point itself in minPts), clusters are connected components of
+    * the core-core eps graph
+    * ([[graft.llmdata.Dedup.duplicateClusters]] min-label
+    * propagation — cluster id = minimum core id, replayable), and
+    * BORDER points attach to the MINIMUM cluster label among their
+    * core neighbors (the one decision textbook DBSCAN leaves
+    * arbitrary, pinned here so the labeling is engine-invariant).
+    * Noise points are absent from the output. Returns
+    * (id, cluster, is_core).
+    */
+  def dbscanGeo(pts: DataFrame, epsM: Double, minPts: Int,
+      maxPerCell: Int = 100000): DataFrame = {
+    require(minPts >= 2, s"dbscanGeo: minPts $minPts")
+    val pairs = graft.Caches.pin(
+      radiusJoinCells(pts, pts, epsM, selfPairs = true, maxPerCell)
+        .select(col("id_a"), col("id_b")))
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("nb")))
+    val degree = nbrs.groupBy(col("id"))
+      .agg(count(lit(1)).as("__deg"))
+    val core = graft.Caches.pin(
+      degree.where(col("__deg") >= minPts - 1).select(col("id")))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"))
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+    val clusters = graft.llmdata.Dedup.duplicateClusters(
+        coreEdges, "id_a", "id_b")
+      .select(col("doc_id").as("id"), col("canonical_id")
+        .as("cluster"))
+    // isolated core points (>= minPts-1 non-core neighbors but no
+    // core neighbor) form their own singleton cluster
+    val coreLabeled = core.join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id"))
+        .as("cluster"))
+    val border = nbrs
+      .join(core.select(col("id").as("nb")), Seq("nb"))
+      .join(core, Seq("id"), "left_anti")
+      .join(coreLabeled.select(col("id").as("nb"),
+        col("cluster")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    coreLabeled.withColumn("is_core", lit(1))
+      .unionByName(border.withColumn("is_core", lit(0)))
+  }
+
   /** GEOHASH cell id as an integer Morton code: quantize lat to
     * [0, 2^bits) over [-90, 90] and lon over [-180, 180], then
     * bit-interleave (lon gets the even bits — the geohash

@@ -72,6 +72,37 @@ class GeoSpec extends SparkSuite {
     }
   }
 
+  test("dbscanGeo: cores, borders pinned to min cluster, noise " +
+      "absent, isolated core is its own singleton cluster") {
+    // cluster A: ids 1-4 tightly packed (all mutually within eps);
+    // border 5 near id 1 only (1 neighbor < minPts-1); noise 6 far
+    // away; isolated pair 7,8: each has 1 neighbor -> with minPts=3
+    // neither is core -> both noise; dense trio 10,11,12 at lon 10
+    val km = 1.0 / 111.32 // ~1km in degrees at the equator
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, km * 0.5, 0.0), (3L, 0.0, km * 0.5),
+      (4L, km * 0.5, km * 0.5),
+      (5L, -km * 1.35, -km * 1.35), // ~1.9km from 1, > 2km from 2-4
+      (6L, 5.0, 5.0),
+      (7L, 0.0, 2.0), (8L, km * 0.5, 2.0),
+      (10L, 0.0, 10.0), (11L, km * 0.5, 10.0), (12L, 0.0, 10.0 + km * 0.5))
+      .toDF("id", "lat", "lon")
+    val got = Geo.dbscanGeo(pts, epsM = 2000.0, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    graft.Caches.release()
+    // 1-4 mutually within ~1.6km -> all core, cluster 1;
+    // 5: ~1.9km from core 1, ~2.3km from 2/3/4 -> ONE neighbor,
+    //   not core (minPts-1 = 2), border of cluster 1;
+    // 6 noise (absent); 7,8 have 1 neighbor each -> noise;
+    // 10-12 mutually close -> core cluster 10
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L),
+      s"got $got")
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => got(i) == ((1L, 1))))
+    assert(got(5L)._1 == 1L && got(5L)._2 == 0)
+    assert(Seq(10L, 11L, 12L).forall(i => got(i) == ((10L, 1))))
+  }
+
   test("kaplanMeier: d == n_risk extinction emits survival 0 from " +
       "that time onward (not the frozen prior value)") {
     // 4 subjects: events at t=1 (1 of 4), t=2 (1 of 3), t=3 (2 of 2)
