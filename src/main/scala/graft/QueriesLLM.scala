@@ -2855,6 +2855,69 @@ object QueriesLLM {
         SELECT doc_a, doc_b, n_shared FROM pr
         ORDER BY doc_a, doc_b"""))
 
+  /** ZIPF-LAW fit of the corpus vocabulary — [[graft.functions.Stats
+    * .theilSen]] composed over the frequency census: top-1000 types
+    * by (count desc, token), x = floor(1e6 ln rank),
+    * y = floor(1e6 ln count) (quantized logs — integer multisets),
+    * robust slope by median-of-pairwise-slopes. Healthy natural
+    * text sits near slope -1e6 (Zipf's -1); template-heavy or
+    * deduplicated-to-death corpora bend it — a one-row corpus
+    * health gauge. The oracle replays census, ranks, logs and both
+    * medians.
+    */
+  private val q271_zipf: Q = (
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tc = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(Dedup.normalizeTokens(col("text")))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val top = tc.orderBy(col("c").desc, col("tok")).limit(1000)
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(pmod(col("c"), lit(1)))
+            .orderBy(col("c").desc, col("tok"))))
+      val xy = top.select(lit("corpus").as("series"),
+        floor(lit(1e6) * log(col("rnk").cast("double")))
+          .cast("long").as("xq"),
+        floor(lit(1e6) * log(col("c").cast("double")))
+          .cast("long").as("yq"))
+      graft.functions.Stats.theilSen(xy, "series", "xq", "yq")
+        .orderBy(col("series"))
+    },
+    Some("""WITH tk AS (SELECT unnest(list_filter(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 x -> x <> '')) AS tok
+               FROM documents WHERE text IS NOT NULL),
+             tc AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+             tp AS (SELECT tok, c, row_number() OVER (
+                 ORDER BY c DESC, tok) AS rnk
+               FROM tc QUALIFY rnk <= 1000),
+             p AS (SELECT 'corpus' AS series,
+                 CAST(floor(1000000.0 * ln(CAST(rnk AS DOUBLE)))
+                   AS BIGINT) AS x,
+                 CAST(floor(1000000.0 * ln(CAST(c AS DOUBLE)))
+                   AS BIGINT) AS y
+               FROM tp),
+             sl AS (SELECT a.series,
+                 CAST(floor(1000000.0 * (b.y - a.y) / (b.x - a.x))
+                   AS BIGINT) AS sq
+               FROM p a JOIN p b
+                 ON a.series = b.series AND a.x < b.x),
+             m AS (SELECT series, quantile_disc(sq, 0.5) AS slope_q
+               FROM sl GROUP BY 1),
+             r AS (SELECT p.series, slope_q,
+                 p.y * 1000000 - slope_q * p.x AS rr
+               FROM p JOIN m USING (series)),
+             ic AS (SELECT series, quantile_disc(rr, 0.5)
+                 AS intercept_q FROM r GROUP BY 1),
+             np AS (SELECT series, count(*) AS n_points
+               FROM p GROUP BY 1)
+        SELECT series, n_points, slope_q, intercept_q
+        FROM np JOIN m USING (series) JOIN ic USING (series)
+        ORDER BY series"""))
+
   /** RAKE keyword extraction ([[TextAnalysis.rakeKeywords]], Rose
     * 2010): stopword-delimited candidate phrases, deg/freq word
     * scores quantized by integer division, phrase scores as
@@ -3895,6 +3958,7 @@ object QueriesLLM {
     "q265_pca" -> q265_pca,
     "q267_setsim_join" -> q267_setsim_join,
     "q269_rake" -> q269_rake,
+    "q271_zipf" -> q271_zipf,
     "q266_pca_static" -> q266_pca_static,
     "q112_cdc_chunks" -> q112_cdc_chunks,
     "q94_semantic_dedup" -> q94_semantic_dedup,

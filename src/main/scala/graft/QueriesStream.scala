@@ -477,6 +477,65 @@ object QueriesStream {
                     ELSE 0 END AS INTEGER) AS alarm
         FROM sc ORDER BY event_type, h"""))
 
+  /** SPLIT-CONFORMAL prediction intervals ([[graft.functions.Stats
+    * .splitConformal]]): the per-(type, hour) TRAIN-half median
+    * forecasts hourly counts, calibration-half |residuals| yield the
+    * finite-sample qhat at exact rank ceil((n+1)*0.9) — the
+    * distribution-free 90% interval half-width, with the audit
+    * coverage count. Day-parity split (engine-replayable), integer
+    * residuals, discrete-quantile medians: every number exact.
+    */
+  private val q272_conformal: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"),
+          hour(col("ts")).as("pos"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__day",
+          datediff(col("per"), to_date(lit("1970-01-01"))))
+      val train = c.where(col("__day") % 2 === 1)
+        .withColumn("g", concat_ws("|", col("event_type"),
+          col("pos")))
+      val med = graft.functions.Stats.groupQuantilesDisc(
+        train, "g", "n", Seq(("pred", 0.5)))
+      val cal = c.where(col("__day") % 2 === 0)
+        .withColumn("g", concat_ws("|", col("event_type"),
+          col("pos")))
+        .join(med, Seq("g"))
+      graft.functions.Stats.splitConformal(cal, "event_type",
+          col("n") - col("pred"), alphaNum = 1L, alphaDen = 10L)
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS pos,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+             d AS (SELECT *, CAST(per - DATE '1970-01-01' AS BIGINT)
+                 AS dd FROM c),
+             med AS (SELECT event_type, pos,
+                 quantile_disc(n, 0.5) AS pred
+               FROM d WHERE dd % 2 = 1 GROUP BY 1, 2),
+             r AS (SELECT d.event_type, abs(d.n - pred) AS ar
+               FROM d JOIN med USING (event_type, pos)
+               WHERE dd % 2 = 0),
+             rk AS (SELECT event_type, ar,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY ar) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nn
+               FROM r),
+             q AS (SELECT event_type,
+                 max(CASE WHEN rn = least(nn,
+                   ((nn + 1) * 9 + 9) // 10) THEN ar END) AS qhat,
+                 max(nn) AS n_cal
+               FROM rk GROUP BY 1)
+        SELECT q.event_type, n_cal, qhat,
+               CAST(sum(CASE WHEN ar <= qhat THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered
+        FROM rk JOIN q USING (event_type)
+        GROUP BY q.event_type, n_cal, qhat
+        ORDER BY q.event_type"""))
+
   /** THEIL-SEN robust trend ([[graft.functions.Stats.theilSen]]):
     * per event type, the median-of-pairwise-slopes trend over DAILY
     * counts — the estimator one anomalous day cannot wreck, where
@@ -767,6 +826,7 @@ object QueriesStream {
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,
+    "q272_conformal" -> q272_conformal,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

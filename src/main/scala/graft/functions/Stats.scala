@@ -496,6 +496,45 @@ object Stats {
         col("normalized"))
   }
 
+  /** SPLIT-CONFORMAL calibration (Vovk et al. 2005; Lei et al.
+    * 2018): per series, the finite-sample quantile of calibration
+    * |residuals| at EXACT rank ceil((n+1)(1-alpha)) — the rank that
+    * makes "prediction ± qhat" cover fresh exchangeable points with
+    * probability >= 1-alpha, distribution-free. alpha arrives as a
+    * rational so the rank is pure integer arithmetic; with integer
+    * residuals qhat is an integer and the coverage COUNT (|r| <=
+    * qhat on the calibration set itself, reported for audit) can
+    * never flip across engines. One window per series (calibration
+    * sets are per-series bounded). Emits (series, n_cal, qhat,
+    * n_covered).
+    */
+  def splitConformal(df: DataFrame, series: String, residual: Column,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      s"splitConformal: alpha $alphaNum/$alphaDen")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(series)).orderBy(col("__ar"))
+    val wAll = W.partitionBy(col(series))
+    val ranked = df.where(residual.isNotNull)
+      .withColumn("__ar", abs(residual))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // rank = ceil((n+1)*(den-num)/den), clamped to n (a tiny
+      // calibration set can demand rank n+1 = "infinite qhat"; the
+      // clamp reports the max residual instead — callers with
+      // n < den/num - 1 should not trust the guarantee anyway)
+      .withColumn("__r", least(col("__n"), expr(
+        s"((__n + 1L) * ${alphaDen - alphaNum}L + ${alphaDen}L - 1L)" +
+          s" div ${alphaDen}L")))
+      .withColumn("__qhat",
+        max(when(col("__rn") === col("__r"), col("__ar"))).over(wAll))
+    ranked.groupBy(col(series))
+      .agg(max(col("__n")).as("n_cal"),
+        max(col("__qhat")).as("qhat"),
+        sum(when(col("__ar") <= col("__qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+  }
+
   /** THEIL-SEN robust trend (Theil 1950; Sen 1968): per series, the
     * slope is the MEDIAN of all pairwise slopes (y_j-y_i)/(x_j-x_i)
     * and the intercept the median of y_i - m*x_i — a 29%-breakdown
