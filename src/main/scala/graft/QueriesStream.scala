@@ -477,6 +477,106 @@ object QueriesStream {
                     ELSE 0 END AS INTEGER) AS alarm
         FROM sc ORDER BY event_type, h"""))
 
+  /** TRUNCATED integer-weight EWMA ([[graft.functions.Stats
+    * .ewmaTruncated]]): hourly counts smoothed by 16 exact
+    * driver-computed halving weights — a fixed linear combination of
+    * lags in pure long arithmetic, where a recursive float EWMA
+    * could never hash-match (tail weight 2^-16 is below the 1e6
+    * scale grain, so truncation is invisible). The oracle embeds the
+    * IDENTICAL weight literals, generated from the same BigInt
+    * formula.
+    */
+  private val q273_ewma: Q = {
+    val W = 16
+    val weights: Seq[Long] = {
+      var d = BigInt(1)
+      (0 until W).map { _ =>
+        val x = (BigInt(1000000) / d).toLong; d *= 2; x }
+    }
+    val sTerms = weights.zipWithIndex.map { case (wk, k) =>
+      if (k == 0) s"n * $wk"
+      else s"COALESCE(lag(n, $k) OVER w * $wk, 0)" }.mkString(" + ")
+    val nTerms = (0 until W).map(k =>
+      if (k == 0) "1"
+      else s"CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN 1 " +
+        "ELSE 0 END").mkString(" + ")
+    val wTerms = weights.zipWithIndex.map { case (wk, k) =>
+      if (k == 0) s"$wk"
+      else s"CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN $wk " +
+        "ELSE 0 END" }.mkString(" + ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      graft.functions.Stats.ewmaTruncated(c, "event_type", "h", "n",
+          num = 1L, den = 2L, window = W)
+        .select(col("event_type"), col("h"), col("n"),
+          col("smoothed_q"), col("n_terms"), col("weight_sum"))
+        .orderBy(col("event_type"), col("h"))
+    },
+      Some(s"""WITH c AS (SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, h, n,
+               CAST($sTerms AS BIGINT) AS smoothed_q,
+               CAST($nTerms AS BIGINT) AS n_terms,
+               CAST($wTerms AS BIGINT) AS weight_sum
+        FROM c WINDOW w AS (PARTITION BY event_type ORDER BY h)
+        ORDER BY event_type, h"""))
+  }
+
+  /** AUTOCORRELATION diagnostic ([[graft.functions.Stats
+    * .autocorrelation]]): r_1..r_7 of the daily count series per
+    * event type — the memory/seasonality read taken before picking
+    * any forecaster. Exact-decimal centered cross-products, one
+    * double divide per lag, 6dp; the oracle is generated per lag
+    * from the same K.
+    */
+  private val q274_acf: Q = {
+    val K = 7
+    val lagCols = (1 to K).map(k =>
+      s"lag(x, $k) OVER w AS l$k").mkString(", ")
+    val aggCols = (1 to K).map(k =>
+      s"""CAST(sum(CAST(CASE WHEN l$k IS NOT NULL
+            THEN (x - m) * (l$k - m) END AS DECIMAL(38,10)))
+            AS DOUBLE) AS num$k,
+          CAST(sum(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS np$k""").mkString(", ")
+    val branches = (1 to K).map(k =>
+      s"""SELECT event_type, CAST($k AS BIGINT) AS lag,
+            np$k AS n_pairs,
+            round(COALESCE(num$k, 0.0) / den, 6) AS acf
+          FROM a""").mkString(" UNION ALL ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"))
+        .agg(count(lit(1)).as("n"))
+      graft.functions.Stats.autocorrelation(c, "event_type", "per",
+          "n", maxLag = K)
+        .orderBy(col("event_type"), col("lag"))
+    },
+      Some(s"""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             mm AS (SELECT event_type,
+                 CAST(sum(CAST(n AS DECIMAL(25,6))) AS DOUBLE)
+                   / count(n) AS m
+               FROM c GROUP BY 1),
+             j AS (SELECT c.event_type, per, CAST(n AS DOUBLE) AS x,
+                 m FROM c JOIN mm USING (event_type)),
+             l AS (SELECT event_type, x, m, $lagCols FROM j
+               WINDOW w AS (PARTITION BY event_type ORDER BY per)),
+             a AS (SELECT event_type,
+                 CAST(sum(CAST((x - m) * (x - m) AS DECIMAL(38,10)))
+                   AS DOUBLE) AS den,
+                 $aggCols
+               FROM l GROUP BY 1)
+        $branches ORDER BY event_type, lag"""))
+  }
+
   /** SPLIT-CONFORMAL prediction intervals ([[graft.functions.Stats
     * .splitConformal]]): the per-(type, hour) TRAIN-half median
     * forecasts hourly counts, calibration-half |residuals| yield the
@@ -827,6 +927,8 @@ object QueriesStream {
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,
     "q272_conformal" -> q272_conformal,
+    "q273_ewma" -> q273_ewma,
+    "q274_acf" -> q274_acf,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

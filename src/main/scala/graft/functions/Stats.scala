@@ -496,6 +496,94 @@ object Stats {
         col("normalized"))
   }
 
+  /** TRUNCATED EXPONENTIAL SMOOTHING with exact integer weights:
+    * s_t = Σ_{k=0..W-1} w_k * x_{t-k}, where w_k = floor(scale *
+    * num^k / den^k) is computed ONCE on the driver with exact BigInt
+    * arithmetic — so the smoothed value is a fixed linear combination
+    * of lags in pure long arithmetic, replayable anywhere, where a
+    * recursive float EWMA drifts with history length and fold order.
+    * Truncation at W terms drops tail weight (num/den)^W — pick W so
+    * that's below the scale grain (e.g. den=2, W=20 -> 1e-6) and the
+    * truncated form is indistinguishable from the infinite one at
+    * the output precision. W lag reads over ONE window per series;
+    * emits the smoothed value, the number of terms actually present
+    * (series head has fewer), and the exact weight sum of those
+    * terms so callers can normalize without re-deriving weights.
+    */
+  def ewmaTruncated(df: DataFrame, series: String, ord: String,
+      value: String, num: Long, den: Long, window: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(num >= 1 && den > num, s"ewmaTruncated: decay $num/$den")
+    require(window >= 1 && window <= 64, s"ewmaTruncated: W $window")
+    val weights: Seq[Long] = {
+      var n = BigInt(1); var d = BigInt(1)
+      (0 until window).map { _ =>
+        val w = (BigInt(scale) * n / d).toLong
+        n *= num; d *= den
+        w
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(series)).orderBy(col(ord))
+    val lags = weights.zipWithIndex.map { case (wk, k) =>
+      (lag(col(value).cast("long"), k).over(w), wk)
+    }
+    val sTerm = lags.map { case (c, wk) =>
+      coalesce(c * wk, lit(0L)) }.reduce(_ + _)
+    val nTerm = lags.map { case (c, _) =>
+      when(c.isNotNull, 1L).otherwise(0L) }.reduce(_ + _)
+    val wSum = lags.map { case (c, wk) =>
+      when(c.isNotNull, wk).otherwise(0L) }.reduce(_ + _)
+    df.withColumn("smoothed_q", sTerm)
+      .withColumn("n_terms", nTerm)
+      .withColumn("weight_sum", wSum)
+  }
+
+  /** AUTOCORRELATION function (Box & Jenkins): per series, r_k =
+    * Σ (x_t - mean)(x_{t-k} - mean) / Σ (x_t - mean)^2 for k =
+    * 1..maxLag — the seasonality/memory diagnostic read before any
+    * forecasting model choice. The mean comes from exact decimal
+    * sums (one double divide), the centered cross-products go back
+    * through exact decimal sums, and each ratio is one fixed double
+    * divide rounded 6dp — deterministic on any engine. K lag columns
+    * over ONE window per series + one grouped aggregate; emits long
+    * format (series, lag, n_pairs, acf).
+    */
+  def autocorrelation(df: DataFrame, series: String, ord: String,
+      value: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"autocorrelation: $maxLag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(series)).orderBy(col(ord))
+    val means = df.groupBy(col(series))
+      .agg((graft.QH.dsum(col(value)) /
+        count(col(value)).cast("double")).as("__m"))
+    val lagged = (1 to maxLag).foldLeft(
+      df.join(means, Seq(series))) { (d, k) =>
+      d.withColumn(s"__l$k",
+        lag(col(value).cast("double"), k).over(w))
+    }
+    def dsumD(c: Column): Column =
+      sum(c.cast("decimal(38,10)")).cast("double")
+    val aggs =
+      dsumD((col(value).cast("double") - col("__m")) *
+        (col(value).cast("double") - col("__m"))).as("__den") +:
+      (1 to maxLag).flatMap(k => Seq(
+        dsumD(when(col(s"__l$k").isNotNull,
+          (col(value).cast("double") - col("__m")) *
+            (col(s"__l$k") - col("__m")))).as(s"__num$k"),
+        sum(when(col(s"__l$k").isNotNull, 1L).otherwise(0L))
+          .as(s"__np$k")))
+    val row = lagged.groupBy(col(series))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = (1 to maxLag).map(k => struct(
+      lit(k.toLong).as("lag"), col(s"__np$k").as("n_pairs"),
+      round(coalesce(col(s"__num$k"), lit(0.0)) / col("__den"), 6)
+        .as("acf")))
+    row.select(col(series), explode(array(outs: _*)).as("__o"))
+      .select(col(series), col("__o.lag"), col("__o.n_pairs"),
+        col("__o.acf"))
+  }
+
   /** SPLIT-CONFORMAL calibration (Vovk et al. 2005; Lei et al.
     * 2018): per series, the finite-sample quantile of calibration
     * |residuals| at EXACT rank ceil((n+1)(1-alpha)) — the rank that

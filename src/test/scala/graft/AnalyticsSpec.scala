@@ -277,4 +277,44 @@ class AnalyticsSpec extends SparkSuite {
     assert(close(got(("b", "c"))._2, ref.getDouble(4)))
     assert(close(got(("b", "c"))._3, ref.getDouble(5)))
   }
+
+  test("ewmaTruncated: hand-computed halving weights, series-head " +
+      "term count and weight sum, partition isolation") {
+    import graft.functions.Stats
+    // weights at scale 1e6, decay 1/2, W=4: 1000000 500000 250000 125000
+    val df = Seq(("s1", 1L, 2L), ("s1", 2L, 3L), ("s1", 3L, 4L),
+      ("s2", 1L, 7L)).toDF("sr", "t", "x")
+    val got = Stats.ewmaTruncated(df, "sr", "t", "x",
+        num = 1L, den = 2L, window = 4)
+      .select(col("sr"), col("t"), col("smoothed_q"), col("n_terms"),
+        col("weight_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("s1", 1L)) == ((2000000L, 1L, 1000000L)))
+    assert(got(("s1", 2L)) == ((3000000L + 1000000L, 2L, 1500000L)))
+    assert(got(("s1", 3L)) ==
+      ((4000000L + 1500000L + 500000L, 3L, 1750000L)))
+    // s2 sees none of s1's history
+    assert(got(("s2", 1L)) == ((7000000L, 1L, 1000000L)))
+  }
+
+  test("autocorrelation: hand-computed r_k on an alternating series, " +
+      "pair counts, per-series isolation") {
+    import graft.functions.Stats
+    // x = 1,2,1,2: m=1.5, dev = -.5,.5,-.5,.5, den = 1.0
+    // r1 = (.5*-.5)+(-.5*.5)+(.5*-.5) = -0.75 over 3 pairs
+    // r2 = (-.5*-.5)+(.5*.5) = 0.5 over 2 pairs
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L),
+      ("a", 4L, 2L), ("b", 1L, 5L), ("b", 2L, 6L), ("b", 3L, 7L))
+      .toDF("sr", "t", "x")
+    val got = Stats.autocorrelation(df, "sr", "t", "x", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", 1L)) == ((3L, -0.75)))
+    assert(got(("a", 2L)) == ((2L, 0.5)))
+    // b = 5,6,7: m=6, dev -1,0,1, den=2; r1 = (0*-1)+(1*0) = 0;
+    // r2 = (1*-1) = -0.5
+    assert(got(("b", 1L)) == ((2L, 0.0)))
+    assert(got(("b", 2L)) == ((1L, -0.5)))
+  }
 }
