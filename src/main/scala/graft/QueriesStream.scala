@@ -577,6 +577,95 @@ object QueriesStream {
         $branches ORDER BY event_type, lag"""))
   }
 
+  /** MARKOV TRANSITION MATRIX ([[graft.functions.Stats
+    * .transitionMatrix]]): what users do NEXT — per-user next-event
+    * pairs (event_id tiebreak makes the sequence total-ordered),
+    * counts, and row-conditional probability as integer ppm (floor
+    * division, exact). The first-order behavioral model the funnel /
+    * attribution entries condition on.
+    */
+  private val q275_transition: Q = (
+    (s, dir) => graft.functions.Stats.transitionMatrix(
+        read(s, dir, "events").where(col("ts").isNotNull),
+        key = "user_id", ord = "ts", tiebreak = "event_id",
+        state = "event_type")
+      .orderBy(col("from_state"), col("to_state")),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 event_id, event_type
+               FROM events WHERE ts IS NOT NULL),
+             p AS (SELECT event_type AS from_state,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_state
+               FROM e),
+             c AS (SELECT from_state, to_state,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+             t AS (SELECT from_state, to_state, n,
+                 CAST(sum(n) OVER (PARTITION BY from_state)
+                   AS BIGINT) AS row_total
+               FROM c)
+        SELECT from_state, to_state, n, row_total,
+               CAST((n * 1000000) // row_total AS BIGINT) AS prob_ppm
+        FROM t ORDER BY from_state, to_state"""))
+
+  /** PACF lags 1..3 ([[graft.functions.Stats.pacf]]): the
+    * Durbin-Levinson recursion unrolled to closed form over the
+    * 6dp-rounded ACF of the daily count series — the AR-order
+    * diagnostic next to q274's MA read. Rounded r's are exact
+    * decimals on both engines, so each pacf is a short fixed-order
+    * double expression.
+    */
+  private val q276_pacf: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"))
+        .agg(count(lit(1)).as("n"))
+      graft.functions.Stats.pacf(c, "event_type", "per", "n")
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             mm AS (SELECT event_type,
+                 CAST(sum(CAST(n AS DECIMAL(25,6))) AS DOUBLE)
+                   / count(n) AS m
+               FROM c GROUP BY 1),
+             j AS (SELECT c.event_type, per, CAST(n AS DOUBLE) AS x,
+                 m FROM c JOIN mm USING (event_type)),
+             l AS (SELECT event_type, x, m,
+                 lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                 lag(x, 3) OVER w AS l3
+               FROM j
+               WINDOW w AS (PARTITION BY event_type ORDER BY per)),
+             a AS (SELECT event_type,
+                 CAST(sum(CAST((x - m) * (x - m) AS DECIMAL(38,10)))
+                   AS DOUBLE) AS den,
+                 CAST(sum(CAST(CASE WHEN l1 IS NOT NULL
+                     THEN (x - m) * (l1 - m) END AS DECIMAL(38,10)))
+                   AS DOUBLE) AS num1,
+                 CAST(sum(CAST(CASE WHEN l2 IS NOT NULL
+                     THEN (x - m) * (l2 - m) END AS DECIMAL(38,10)))
+                   AS DOUBLE) AS num2,
+                 CAST(sum(CAST(CASE WHEN l3 IS NOT NULL
+                     THEN (x - m) * (l3 - m) END AS DECIMAL(38,10)))
+                   AS DOUBLE) AS num3
+               FROM l GROUP BY 1),
+             r AS (SELECT event_type,
+                 round(COALESCE(num1, 0.0) / den, 6) AS r1,
+                 round(COALESCE(num2, 0.0) / den, 6) AS r2,
+                 round(COALESCE(num3, 0.0) / den, 6) AS r3
+               FROM a),
+             d AS (SELECT event_type, r1, r2, r3,
+                 (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p2
+               FROM r),
+             d2 AS (SELECT *, r1 * (1.0 - p2) AS phi21 FROM d)
+        SELECT event_type, round(r1, 6) AS pacf1,
+               round(p2, 6) AS pacf2,
+               round((r3 - phi21 * r2 - p2 * r1) /
+                 nullif(1.0 - phi21 * r1 - p2 * r2, 0.0), 6) AS pacf3
+        FROM d2 ORDER BY event_type"""))
+
   /** SPLIT-CONFORMAL prediction intervals ([[graft.functions.Stats
     * .splitConformal]]): the per-(type, hour) TRAIN-half median
     * forecasts hourly counts, calibration-half |residuals| yield the
@@ -929,6 +1018,8 @@ object QueriesStream {
     "q272_conformal" -> q272_conformal,
     "q273_ewma" -> q273_ewma,
     "q274_acf" -> q274_acf,
+    "q275_transition" -> q275_transition,
+    "q276_pacf" -> q276_pacf,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
     "q104_stream_dedup" -> q104_stream_dedup,

@@ -584,6 +584,74 @@ object Stats {
         col("__o.acf"))
   }
 
+  /** MARKOV TRANSITION MATRIX: per-key next-state pairs (lead over
+    * the (ord, tiebreak) axis — tiebreak makes the sequence total-
+    * ordered so ties can't reorder states across engines), counted
+    * into (from_state, to_state, n) with the row-conditional
+    * probability as integer ppm (floor division — exact, fold-order
+    * free). The first-order behavioral model read: what users do
+    * NEXT. One key shuffle for the window, then one partial-agg
+    * shuffle on the pair — the window partitioning does not feed the
+    * pair agg, but both are map-side combinable.
+    */
+  def transitionMatrix(df: DataFrame, key: String, ord: String,
+      tiebreak: String, state: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ord), col(tiebreak))
+    val pairs = df
+      .withColumn("__to", lead(col(state), 1).over(w))
+      .where(col("__to").isNotNull)
+      .groupBy(col(state).as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_state"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(tot))
+      .withColumn("prob_ppm",
+        expr("(n * 1000000L) div row_total"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        col("row_total"), col("prob_ppm"))
+  }
+
+  /** PARTIAL AUTOCORRELATION, lags 1..3, via the Durbin-Levinson
+    * recursion UNROLLED to closed form over the 6dp-ROUNDED ACF
+    * values ([[autocorrelation]]):
+    *   pacf1 = r1
+    *   pacf2 = (r2 - r1^2) / (1 - r1^2)
+    *   phi21 = r1 * (1 - pacf2)
+    *   pacf3 = (r3 - phi21*r2 - pacf2*r1) /
+    *           (1 - phi21*r1 - pacf2*r2)
+    * Starting from ROUNDED r's makes the inputs exact decimals
+    * shared across engines, so each pacf is a short fixed-order
+    * double expression rounded 6dp — deterministic. Degenerate
+    * denominators (|r1| = 1 etc.) yield NULL explicitly rather than
+    * engine-dependent infinities. The AR-order diagnostic read next
+    * to [[autocorrelation]]'s MA read.
+    */
+  def pacf(df: DataFrame, series: String, ord: String,
+      value: String): DataFrame = {
+    val acf = autocorrelation(df, series, ord, value, maxLag = 3)
+    val wide = acf.groupBy(col(series)).agg(
+      max(when(col("lag") === 1, col("acf"))).as("r1"),
+      max(when(col("lag") === 2, col("acf"))).as("r2"),
+      max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val p2den = lit(1.0) - col("r1") * col("r1")
+    val pacf2 = (col("r2") - col("r1") * col("r1")) /
+      nullif(p2den, lit(0.0))
+    val out = wide
+      .withColumn("pacf1", round(col("r1"), 6))
+      .withColumn("__p2", pacf2)
+      .withColumn("__phi21", col("r1") * (lit(1.0) - col("__p2")))
+      .withColumn("pacf2", round(col("__p2"), 6))
+      .withColumn("__p3den", lit(1.0) - col("__phi21") * col("r1") -
+        col("__p2") * col("r2"))
+      .withColumn("pacf3", round(
+        (col("r3") - col("__phi21") * col("r2") -
+          col("__p2") * col("r1")) / nullif(col("__p3den"), lit(0.0)),
+        6))
+    out.select(col(series), col("pacf1"), col("pacf2"), col("pacf3"))
+  }
+
   /** SPLIT-CONFORMAL calibration (Vovk et al. 2005; Lei et al.
     * 2018): per series, the finite-sample quantile of calibration
     * |residuals| at EXACT rank ceil((n+1)(1-alpha)) — the rank that

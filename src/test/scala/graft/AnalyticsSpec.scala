@@ -317,4 +317,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(got(("b", 1L)) == ((2L, 0.0)))
     assert(got(("b", 2L)) == ((1L, -0.5)))
   }
+
+  test("transitionMatrix: per-key next pairs, ppm floor division, " +
+      "tiebreak orders equal timestamps, last events emit nothing") {
+    import graft.functions.Stats
+    val df = Seq(
+      (1L, 1L, 1L, "A"), (2L, 2L, 1L, "B"), (3L, 3L, 1L, "A"),
+      (4L, 1L, 2L, "A"), (5L, 2L, 2L, "C"),
+      // user 3: two events at the SAME ts -> event_id orders them
+      (6L, 5L, 3L, "X"), (7L, 5L, 3L, "Y"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Stats.transitionMatrix(df, "user_id", "ts", "event_id",
+        "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 2L, 500000L)),
+      ("A", "C") -> ((1L, 2L, 500000L)),
+      ("B", "A") -> ((1L, 1L, 1000000L)),
+      ("X", "Y") -> ((1L, 1L, 1000000L))), s"got $got")
+  }
+
+  test("pacf: Durbin-Levinson closed form hand-computed from the " +
+      "alternating series' exact ACF") {
+    import graft.functions.Stats
+    // x = 1,2,1,2: r1=-0.75, r2=0.5, r3=-0.25 (all exact at 6dp)
+    // pacf2 = (0.5-0.5625)/(1-0.5625) = -1/7; phi21 = -6/7
+    // pacf3 = (−0.25 + 3/7 − 3/28)/(1 − 9/14 + 1/14) = (1/14)/(3/7) = 1/6
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L),
+      ("a", 4L, 2L)).toDF("sr", "t", "x")
+    val r = Stats.pacf(df, "sr", "t", "x").collect().head
+    assert(r.getString(0) == "a")
+    assert(r.getDouble(1) == -0.75)
+    assert(r.getDouble(2) == -0.142857)
+    assert(r.getDouble(3) == 0.166667)
+  }
 }
