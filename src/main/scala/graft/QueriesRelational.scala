@@ -1679,6 +1679,52 @@ object QueriesRelational {
         SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
         ORDER BY node"""))
 
+  /** K-CORE at k=3 ([[ops.Graph.kCore]]) over the sparsified
+    * high-quantity purchase graph (l_quantity >= 45 keeps ~1/8 of
+    * lineitems, so the peel actually iterates — ~9 rounds at sf0.01,
+    * ~11 at sf0.1). The Scala side peels to FIXPOINT; the oracle
+    * unrolls 16 rounds, which is safe because the k-core is the
+    * unique maximal subgraph with min degree >= k — extra rounds are
+    * identities.
+    */
+  private val q277_kcore: Q = {
+    val rounds = 16
+    // AS MATERIALIZED: each round references the previous edge set 3x
+    // — left to the inliner the 16-round chain re-expands the whole
+    // prefix exponentially (DuckDB runs out of file handles)
+    val peel = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1}
+             GROUP BY src HAVING count(*) >= 3),
+           e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1}
+             WHERE src IN (SELECT node FROM k$r)
+               AND dst IN (SELECT node FROM k$r))"""
+    }.mkString(",\n           ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      val out = ops.Graph.kCore(edges, k = 3)
+        .orderBy(col("node")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+      Some(s"""WITH h AS MATERIALIZED (SELECT DISTINCT
+                 o_custkey*2 AS src, l_partkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE l_quantity >= 45),
+             e0 AS MATERIALIZED (SELECT src, dst FROM h
+                    UNION ALL SELECT dst, src FROM h),
+             $peel
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_in_core
+        FROM e$rounds GROUP BY src ORDER BY node"""))
+  }
+
   /** CDC APPLY in its batch form ([[ops.Scd.applyChanges]]): the
     * deterministic I/U/D feed of [[QH.cdcChangeFeed]] (multiple
     * changes per key — latest wins; delete-then-reinsert; shifted-key
@@ -2008,6 +2054,7 @@ object QueriesRelational {
     "q255_l_diversity" -> q255_l_diversity,
     "q263_linkage_entities" -> q263_linkage_entities,
     "q229_khop_bfs" -> q229_khop_bfs,
+    "q277_kcore" -> q277_kcore,
     "q238_entity_clusters" -> q238_entity_clusters,
     "q239_k_anonymity" -> q239_k_anonymity,
     "q240_pseudonymize" -> q240_pseudonymize,

@@ -220,6 +220,53 @@ object Graph {
         "left_anti")
   }
 
+  /** K-CORE at a fixed k (Seidman 1983): iteratively remove nodes
+    * with degree < k until fixpoint; emit surviving nodes with their
+    * in-core degree (all >= k by construction). The peel order is
+    * irrelevant — the k-core is the unique maximal subgraph with
+    * min degree >= k — so the result is round-count invariant and an
+    * oracle may unroll MORE rounds than the fixpoint needs (extra
+    * rounds are identities). The cohesion primitive under community
+    * detection and graph-degeneracy sampling.
+    *
+    * Scale shape: each round is ONE partial-aggregated degree count
+    * plus TWO semi-joins, all hash-partitioned on the node id; the
+    * surviving-node list is materialized once per round and the edge
+    * set is `localCheckpoint`ed so Catalyst planning stays O(1) per
+    * round (the duplicateClusters lesson). Rounds are bounded by the
+    * peel depth (degeneracy), guarded by `maxRounds`. `edges` must be
+    * symmetrized (src, dst) by the caller.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 40)
+      : DataFrame = {
+    require(k >= 1, s"kCore: k $k")
+    require(maxRounds >= 1, s"kCore: maxRounds $maxRounds")
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    var prev = -1L
+    var n = e.count()
+    var rounds = 0
+    while (n != prev) {
+      require(rounds < maxRounds,
+        s"kCore: no fixpoint within $maxRounds rounds")
+      prev = n
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("node"))
+        .localCheckpoint(true)
+      e = e.join(keep.select(col("node").as("src")), Seq("src"),
+          "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"),
+          "left_semi")
+        .localCheckpoint(true)
+      n = e.count()
+      rounds += 1
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg_in_core"))
+  }
+
   /** K-HOP BFS from a seed set: minimum hop distance <= k for every
     * reachable node — k co-partitioned frontier-edge joins with an
     * anti-join against the settled set per round (so each node is

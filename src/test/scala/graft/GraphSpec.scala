@@ -151,6 +151,27 @@ class GraphSpec extends SparkSuite {
     assert(k1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("kCore: multi-round peel reaches the unique core, degrees " +
+      "are in-core not original, k above degeneracy empties") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant chain 3-4-5: k=2 peels 5 (deg 1),
+    // then 4 (deg 1 after round 1) — two genuine rounds — leaving
+    // the triangle with in-core degree 2 each (node 3's original
+    // degree was 3)
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+    // k=3: the triangle can't sustain min degree 3 -> empty
+    assert(Graph.kCore(edges, k = 3).count() == 0L)
+    // k=1: nothing peels; original degrees survive
+    val k1 = Graph.kCore(edges, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L,
+      5L -> 1L), s"got $k1")
+  }
+
   test("floor division quantization is exact, not rounded") {
     // 1->2 and 1->3 (deg 1 = 2): contribution is 1001 div 2 = 500
     // each (not 500.5); 2,3 -> r = (15000 + 85*500) div 100 = 575
