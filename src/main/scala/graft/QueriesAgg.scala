@@ -612,6 +612,8 @@ object QueriesAgg {
     "q223_corr_matrix" -> q223_corr_matrix,
     "q224_winsorize" -> q224_winsorize,
     "q235_ab_test" -> q235_ab_test,
+    "q278_jackknife" -> q278_jackknife,
+    "q279_drawdown" -> q279_drawdown,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -1959,4 +1961,93 @@ object QueriesAgg {
                epoch_us(max(t)) - epoch_us(min(t)) AS duration_us
         FROM x GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""))
+
+  /** Delete-one-group JACKKNIFE standard error
+    * ([[graft.ops.Experiment.jackknifeRatio]]) for the ratio metric
+    * revenue-per-unit = Σ extendedprice / Σ quantity, grouped by
+    * supplier bucket — the SE a per-row variance understates because
+    * both numerator and denominator are random. Group sums exact,
+    * leave-one-out replicates quantized to millionths before the
+    * variance sums: the whole estimate is two aggregates + O(groups)
+    * closed-form arithmetic, bit-reproducible on both engines.
+    */
+  private val q278_jackknife: Q = (
+    (s, dir) => graft.ops.Experiment.jackknifeRatio(
+      read(s, dir, "lineitem"),
+      group = col("l_suppkey") % 50,
+      num = col("l_extendedprice"), den = col("l_quantity")),
+    Some("""WITH g AS (SELECT l_suppkey % 50 AS g,
+                 sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS sn,
+                 sum(CAST(l_quantity AS DECIMAL(25,6))) AS sd
+               FROM lineitem GROUP BY 1),
+             tot AS (SELECT sum(sn) AS tn, sum(sd) AS td,
+                 CAST(count(*) AS BIGINT) AS gcnt FROM g),
+             reps AS (SELECT CAST(floor(
+                 CAST(tn - sn AS DOUBLE) / CAST(td - sd AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT) AS qi
+               FROM g CROSS JOIN tot),
+             agg AS (SELECT CAST(sum(qi) AS BIGINT) AS sq,
+                 sum(CAST(qi * qi AS DECIMAL(38,0))) AS sqq
+               FROM reps)
+        SELECT gcnt AS g_groups,
+               round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6)
+                 AS theta,
+               round(CAST(gcnt AS DOUBLE) *
+                   (CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)) -
+                   (CAST(gcnt AS DOUBLE) - 1.0) *
+                   (CAST(sq AS DOUBLE) / CAST(gcnt AS DOUBLE)
+                     / 1000000.0), 6) AS theta_jk,
+               round(sqrt((CAST(gcnt AS DOUBLE) - 1.0)
+                     / CAST(gcnt AS DOUBLE) *
+                     (CAST(sqq AS DOUBLE) -
+                       CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                         / CAST(gcnt AS DOUBLE))) / 1000000.0, 6)
+                 AS se_jk
+        FROM agg CROSS JOIN tot"""))
+
+  /** MAXIMUM DRAWDOWN per priority class
+    * ([[graft.functions.Stats.maxDrawdown]]) over the signed daily
+    * order-flow curve (F-status orders book negative — a
+    * deterministic net-flow construction that actually draws down,
+    * unlike a nonnegative revenue running total). Exact-decimal
+    * cumulative/peak windows, earliest-time tiebreak; one per-series
+    * window exchange, partitions bounded by time resolution.
+    */
+  private val q279_drawdown: Q = (
+    (s, dir) => {
+      val signed = when(col("o_orderstatus") === "F",
+        -col("o_totalprice")).otherwise(col("o_totalprice"))
+      val daily = read(s, dir, "orders")
+        .where(col("o_orderdate").isNotNull)
+        .groupBy(col("o_orderpriority").as("series"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(dsum(signed).as("v"))
+      Stats.maxDrawdown(daily, "series", "day", col("v"))
+        .orderBy(col("series"))
+    },
+    Some("""WITH d AS (SELECT o_orderpriority AS series,
+                 CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                     THEN -o_totalprice ELSE o_totalprice END
+                   AS DECIMAL(25,6))) AS DOUBLE) AS v
+               FROM orders WHERE o_orderdate IS NOT NULL
+               GROUP BY 1, 2),
+             c AS (SELECT series, day,
+                 sum(CAST(v AS DECIMAL(25,6))) OVER w AS cum
+               FROM d
+               WINDOW w AS (PARTITION BY series ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             p AS (SELECT series, day, cum,
+                 max(cum) OVER w AS peak
+               FROM c
+               WINDOW w AS (PARTITION BY series ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             r AS (SELECT series, day AS at, peak,
+                 peak - cum AS ddv,
+                 row_number() OVER (PARTITION BY series
+                   ORDER BY peak - cum DESC, day) AS rn
+               FROM p)
+        SELECT series, at, CAST(peak AS DOUBLE) AS peak,
+               CAST(ddv AS DOUBLE) AS max_drawdown
+        FROM r WHERE rn = 1 ORDER BY series"""))
 }

@@ -1593,6 +1593,92 @@ object QueriesRelational {
         SELECT cl.id, cl.entity, g.n_members
         FROM cl JOIN g USING (entity) ORDER BY id"""))
 
+  /** SURVIVORSHIP golden record ([[graft.llmdata.Dedup
+    * .goldenRecord]]) — the step AFTER entity resolution: three
+    * deterministic source copies of each customer (the q263
+    * perturbation family: suffixed names, bumped or missing phones,
+    * an UNKNOWN segment source) collapse to one record per entity by
+    * per-attribute mode with the value-ascending tiebreak. The melt
+    * ships (entity, attr, value) once — one shuffle for all
+    * attributes, not one job per attribute — and the pivot returns a
+    * wide golden row. Mode discriminates where one source diverges
+    * (2-1 votes); full three-way ties fall to the smallest value,
+    * so every cell replays.
+    */
+  private val q280_survivorship: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer").withColumn("c_phone",
+        lpad((col("c_custkey") * 7919 % 100000000L).cast("string"),
+          8, "0"))
+      val c0 = c.select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_phone").as("phone"),
+        col("c_mktsegment").as("seg"))
+      val c1 = c.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 7 === 0,
+          concat(col("c_name"), lit("X"))).otherwise(col("c_name"))
+          .as("name"),
+        when(col("c_custkey") % 17 === 0, lit(null).cast("string"))
+          .otherwise(col("c_phone")).as("phone"),
+        col("c_mktsegment").as("seg"))
+      val c2 = c.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(col("c_name"), lit("Y"))).otherwise(col("c_name"))
+          .as("name"),
+        when(col("c_custkey") % 11 === 0,
+          concat(substring(col("c_phone"), 1, 7),
+            ((substring(col("c_phone"), 8, 1).cast("int") + 1) % 10)
+              .cast("string")))
+          .otherwise(col("c_phone")).as("phone"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      graft.llmdata.Dedup.goldenRecord(
+          c0.unionByName(c1).unionByName(c2), "id",
+          Seq("name", "phone", "seg"))
+        .orderBy(col("entity"))
+    },
+    Some("""WITH cust AS (SELECT *,
+                 lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR),
+                   8, '0') AS ph FROM customer),
+             recs AS (
+               SELECT c_custkey AS id, c_name AS name, ph AS phone,
+                      c_mktsegment AS seg FROM cust
+               UNION ALL
+               SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN c_name || 'X'
+                           ELSE c_name END,
+                      CASE WHEN c_custkey % 17 = 0 THEN NULL
+                           ELSE ph END,
+                      c_mktsegment FROM cust
+               UNION ALL
+               SELECT c_custkey,
+                      CASE WHEN c_custkey % 3 = 0 THEN c_name || 'Y'
+                           ELSE c_name END,
+                      CASE WHEN c_custkey % 11 = 0
+                           THEN substr(ph, 1, 7) || CAST(
+                             (CAST(substr(ph, 8, 1) AS INTEGER) + 1)
+                               % 10 AS VARCHAR)
+                           ELSE ph END,
+                      CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                           ELSE c_mktsegment END FROM cust),
+             melted AS (
+               SELECT id AS e, 'name' AS a, name AS v FROM recs
+               UNION ALL SELECT id, 'phone', phone FROM recs
+               UNION ALL SELECT id, 'seg', seg FROM recs),
+             cnt AS (SELECT e, a, v, count(*) AS n FROM melted
+               WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+             w AS (SELECT e, a, v, row_number() OVER (
+                 PARTITION BY e, a ORDER BY n DESC, v) AS rn
+               FROM cnt),
+             sizes AS (SELECT id AS e, count(*) AS n_members
+               FROM recs GROUP BY 1)
+        SELECT s.e AS entity, s.n_members,
+               max(CASE WHEN a = 'name' THEN v END) AS name,
+               max(CASE WHEN a = 'phone' THEN v END) AS phone,
+               max(CASE WHEN a = 'seg' THEN v END) AS seg
+        FROM sizes s LEFT JOIN w ON w.e = s.e AND w.rn = 1
+        GROUP BY s.e, s.n_members
+        ORDER BY entity"""))
+
   private val q228_common_neighbors: Q = (
     (s, dir) => {
       val p = read(s, dir, "part")
@@ -2053,6 +2139,7 @@ object QueriesRelational {
     "q254_record_linkage" -> q254_record_linkage,
     "q255_l_diversity" -> q255_l_diversity,
     "q263_linkage_entities" -> q263_linkage_entities,
+    "q280_survivorship" -> q280_survivorship,
     "q229_khop_bfs" -> q229_khop_bfs,
     "q277_kcore" -> q277_kcore,
     "q238_entity_clusters" -> q238_entity_clusters,

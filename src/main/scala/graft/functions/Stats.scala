@@ -783,6 +783,34 @@ object Stats {
         col("s_neg"), col("alarm"))
   }
 
+  /** MAXIMUM DRAWDOWN per series — the peak-to-trough risk read over
+    * a cumulative curve (equity curves, cumulative revenue, any
+    * running total): cum_t = running exact-decimal sum of `value`,
+    * peak_t = running max of cum, drawdown_t = peak_t - cum_t, and
+    * the output row per series is the deepest drawdown with the
+    * FIRST time it occurs (exact-decimal comparisons, earliest-time
+    * tiebreak — deterministic on any engine). Three frames over ONE
+    * per-series window exchange; partitions are per-series time
+    * points, bounded by time resolution (the q245 rule). Input is
+    * one row per (series, ord).
+    */
+  def maxDrawdown(df: DataFrame, series: String, ord: String,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(col(series)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = df
+      .withColumn("__cum", sum(value.cast("decimal(25,6)")).over(w))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .withColumn("__dd", col("__peak") - col("__cum"))
+    val pick = Window.partitionBy(col(series))
+      .orderBy(col("__dd").desc, col(ord))
+    dd.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .select(col(series), col(ord).as("at"),
+        col("__peak").cast("double").as("peak"),
+        col("__dd").cast("double").as("max_drawdown"))
+  }
+
   /** Robust anomaly flags: per-group median/IQR (exact discrete
     * quantiles) and the classic |x - median| > k*IQR outlier rule.
     * With integer-valued inputs (counts) every quantity in the

@@ -322,6 +322,44 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** SURVIVORSHIP (golden record): collapse each entity cluster's
+    * member records into ONE record per entity by per-attribute MODE
+    * — the most frequent non-null value, ties broken by value
+    * ascending (a total, engine-portable rule; real MDM survivorship
+    * is exactly this plus source-priority variants the caller can
+    * encode by pre-filtering). Attributes are melted into
+    * (entity, attr, value) rows in one pass — ONE shuffle keyed by
+    * (entity, attr, value) however many attributes survive, not one
+    * job per attribute — counted, window-ranked inside (entity,
+    * attr), and pivoted back to one wide row per entity (values as
+    * strings; the caller re-types). All-null attributes surface as
+    * null. Emits (entity, n_members, <attrs...>).
+    */
+  def goldenRecord(df: DataFrame, entity: String,
+      attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord: no attributes")
+    val melted = df.select(col(entity).as("__e"),
+        explode(array(attrs.map(a => struct(lit(a).as("__a"),
+          col(a).cast("string").as("__v"))): _*)).as("__m"))
+      .select(col("__e"), col("__m.__a").as("__a"),
+        col("__m.__v").as("__v"))
+      .where(col("__v").isNotNull)
+    val counts = melted.groupBy(col("__e"), col("__a"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val pick = Window.partitionBy(col("__e"), col("__a"))
+      .orderBy(col("__n").desc, col("__v"))
+    val winners = counts.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+    val sizes = df.groupBy(col(entity).as("__e"))
+      .agg(count(lit(1)).as("n_members"))
+    val wide = winners.groupBy(col("__e"))
+      .pivot("__a", attrs)
+      .agg(first(col("__v")))
+    sizes.join(wide, Seq("__e"), "left")
+      .select(col("__e").as("entity") +: col("n_members") +:
+        attrs.map(col): _*)
+  }
+
   /** EXACT set-similarity join by PREFIX FILTERING (Chaudhuri et al.
     * 2006; Xiao et al. 2008 "PPJoin") — all pairs with token-set
     * Jaccard >= num/den, WITHOUT the pairwise stage and WITHOUT the

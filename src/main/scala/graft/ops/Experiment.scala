@@ -220,4 +220,55 @@ object Experiment {
         lit(m((1, 1)) - m((1, 0)) - (m((0, 1)) - m((0, 0)))), 6))
       .orderBy(col("treated"), col("post"))
   }
+
+  /** DELETE-ONE-GROUP JACKKNIFE for a ratio metric θ = Σnum / Σden
+    * (Quenouille 1956; the standard error the naive per-row variance
+    * gets wrong whenever the denominator is random — revenue per
+    * unit, clicks per session, any per-entity ratio). Group sums are
+    * exact decimals, so every leave-one-out replicate
+    * θ_i = (N - n_i) / (D - d_i) divides the SAME exact operands on
+    * any engine; replicates are quantized to integer millionths
+    * BEFORE the variance sums (the house order-free convention), so
+    * se_jk = sqrt((G-1)/G · Σ(θ_i - θ̄)²) folds from two exact
+    * integer sums in one fixed-order closed form. Two grouped
+    * aggregates + a broadcast totals row — data volume enters only
+    * the first pass, replicate work is O(groups). Output is one row:
+    * g_groups, theta, theta_jk (bias-corrected G·θ - (G-1)·θ̄),
+    * se_jk.
+    */
+  def jackknifeRatio(df: DataFrame, group: Column, num: Column,
+      den: Column): DataFrame = {
+    val g1 = df.groupBy(group.as("g"))
+      .agg(sum(num.cast("decimal(25,6)")).as("sn"),
+        sum(den.cast("decimal(25,6)")).as("sd"))
+    val tot = g1.agg(sum(col("sn")).as("tn"), sum(col("sd")).as("td"),
+      count(lit(1)).as("gcnt"))
+    val reps = g1.crossJoin(broadcast(tot))
+      .withColumn("__theta_i",
+        (col("tn") - col("sn")).cast("double") /
+          (col("td") - col("sd")).cast("double"))
+      .withColumn("__qi",
+        floor(col("__theta_i") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .agg(sum(col("__qi")).as("sq"),
+        sum((col("__qi") * col("__qi")).cast("decimal(38,0)"))
+          .as("sqq"))
+    reps.crossJoin(broadcast(tot))
+      .withColumn("__g", col("gcnt").cast("double"))
+      .withColumn("__theta",
+        col("tn").cast("double") / col("td").cast("double"))
+      .withColumn("__tbar",
+        col("sq").cast("double") / col("__g") / lit(1000000.0))
+      .withColumn("__ss",
+        col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double") /
+            col("__g"))
+      .select(col("gcnt").as("g_groups"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__g") * col("__theta") -
+          (col("__g") - lit(1.0)) * col("__tbar"), 6).as("theta_jk"),
+        round(
+          sqrt((col("__g") - lit(1.0)) / col("__g") * col("__ss")) /
+            lit(1000000.0), 6).as("se_jk"))
+  }
 }

@@ -352,4 +352,65 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(2) == -0.142857)
     assert(r.getDouble(3) == 0.166667)
   }
+
+  test("jackknifeRatio: hand-computed leave-one-out replicates, " +
+      "bias-corrected theta and SE from the quantized sums") {
+    import graft.ops.Experiment
+    // groups: g1 {(10,2),(20,3)} g2 {(30,5)} g3 {(40,10)}
+    // N=100 D=20 theta=5; LOO: 70/15, 70/15, 60/10
+    val df = Seq((1, 10.0, 2.0), (1, 20.0, 3.0), (2, 30.0, 5.0),
+      (3, 40.0, 10.0)).toDF("g", "n", "d")
+    val r = Experiment.jackknifeRatio(df, col("g"), col("n"),
+      col("d")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 5.0)
+    // quantized replicates: floor(70/15*1e6+0.5)=4666667 (x2), 6000000
+    val qs = Seq(4666667L, 4666667L, 6000000L)
+    val qbar = qs.sum.toDouble / 3.0
+    val tbar = qbar / 1000000.0
+    val expJk = math.rint((3.0 * 5.0 - 2.0 * tbar) * 1e6) / 1e6
+    val ss = qs.map(q => (q - qbar) * (q - qbar)).sum
+    val expSe = math.sqrt(2.0 / 3.0 * ss) / 1000000.0
+    assert(r.getDouble(2) == expJk, s"theta_jk ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - expSe) <= 1e-6,
+      s"se ${r.getDouble(3)} vs $expSe")
+  }
+
+  test("maxDrawdown: peak-to-trough hand case; earliest-time " +
+      "tiebreak on equal drawdowns") {
+    import graft.functions.Stats
+    // a: cum 10,6,8,0,5 -> dd 0,4,2,10,5 -> max 10 at t=4
+    // b: cum 5,0,5,0 -> dd 0,5,0,5 -> max 5, FIRST at t=2
+    val df = Seq(("a", 1, 10.0), ("a", 2, -4.0), ("a", 3, 2.0),
+      ("a", 4, -8.0), ("a", 5, 5.0),
+      ("b", 1, 5.0), ("b", 2, -5.0), ("b", 3, 5.0), ("b", 4, -5.0))
+      .toDF("sr", "t", "v")
+    val got = Stats.maxDrawdown(df, "sr", "t", col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map("a" -> ((4, 10.0, 10.0)),
+      "b" -> ((2, 5.0, 5.0))), s"got $got")
+  }
+
+  test("goldenRecord: per-attribute mode, null exclusion, " +
+      "value-ascending tiebreak, all-null attr stays null") {
+    import graft.llmdata.Dedup
+    val df = Seq(
+      (1L, "A", Option("p1"), "s"),
+      (1L, "A", None, "s"),
+      (1L, "B", Option("p1"), "s"),
+      // e2: three-way name tie -> min "A"; phone all null -> null
+      (2L, "C", None, "t"),
+      (2L, "B", None, "t"),
+      (2L, "A", None, "u"))
+      .toDF("id", "name", "phone", "seg")
+    val got = Dedup.goldenRecord(df, "id",
+        Seq("name", "phone", "seg"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.getString(3)),
+          r.getString(4)))).toMap
+    assert(got == Map(
+      1L -> ((3L, "A", Some("p1"), "s")),
+      2L -> ((3L, "A", None, "t"))), s"got $got")
+  }
 }
