@@ -614,6 +614,8 @@ object QueriesAgg {
     "q235_ab_test" -> q235_ab_test,
     "q278_jackknife" -> q278_jackknife,
     "q279_drawdown" -> q279_drawdown,
+    "q281_gini" -> q281_gini,
+    "q282_mahalanobis" -> q282_mahalanobis,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2050,4 +2052,98 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** GINI concentration ([[graft.functions.Stats.gini]]) of
+    * per-customer revenue within each market segment — the scalar
+    * behind q249's Pareto curve. Revenue is an exact decimal sum,
+    * quantized to millionths before the rank products; one rank
+    * window + one aggregate per segment.
+    */
+  private val q281_gini: Q = (
+    (s, dir) => {
+      val rev = read(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(dsum(col("o_totalprice")).as("x"))
+      val j = rev.join(read(s, dir, "customer"),
+          col("ck") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("x"), col("ck"))
+      Stats.gini(j, "seg", col("x"), col("ck"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""WITH rev AS (SELECT o_custkey AS ck,
+                 ${sqlDsum("o_totalprice")} AS x
+               FROM orders GROUP BY 1),
+             j AS (SELECT c_mktsegment AS seg,
+                 CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xu, ck
+               FROM rev JOIN customer ON ck = c_custkey),
+             r AS (SELECT seg, xu, row_number() OVER (
+                 PARTITION BY seg ORDER BY xu, ck) AS i FROM j),
+             a AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(xu AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(i * xu AS DECIMAL(38,0))) AS six
+               FROM r GROUP BY 1)
+        SELECT seg, n,
+               round((2.0 * CAST(six AS DOUBLE) -
+                   CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+        FROM a ORDER BY seg"""))
+
+  /** 2-D MAHALANOBIS outliers ([[graft.functions.Tabular
+    * .mahalanobis2d]]) over (order value, line count) — price and
+    * basket size are correlated, so the covariance-aware distance
+    * flags cheap-but-huge and expensive-but-tiny orders the per-axis
+    * q186 rule can't see. Closed-form 2x2 inverse from five exact
+    * moment sums; one aggregate + broadcast + TakeOrdered top-100.
+    */
+  private val q282_mahalanobis: Q = (
+    (s, dir) => {
+      val items = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_items"))
+      val j = read(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("ok"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("n_items"))
+      graft.functions.Tabular.mahalanobis2d(j,
+          col("o_totalprice"), col("n_items"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("n_items"), col("d2"))
+        .orderBy(col("d2").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""WITH it AS (SELECT l_orderkey AS ok,
+                 CAST(count(*) AS BIGINT) AS n_items
+               FROM lineitem GROUP BY 1),
+             j AS (SELECT o_orderkey, o_totalprice, n_items
+               FROM orders JOIN it ON o_orderkey = ok),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 ${sqlDsum("o_totalprice")} AS sx,
+                 ${sqlDsum("n_items")} AS sy,
+                 ${sqlDsumsq("o_totalprice")} AS sxx,
+                 ${sqlDsumsq("n_items")} AS syy,
+                 CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) *
+                     CAST(n_items AS DOUBLE) AS DECIMAL(38,10)))
+                   AS DOUBLE) AS sxy
+               FROM j),
+             v AS (SELECT n,
+                 sx / CAST(n AS DOUBLE) AS mx,
+                 sy / CAST(n AS DOUBLE) AS my,
+                 (sxx - sx * sx / CAST(n AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) - 1.0) AS vxx,
+                 (syy - sy * sy / CAST(n AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) - 1.0) AS vyy,
+                 (sxy - sx * sy / CAST(n AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) - 1.0) AS vxy
+               FROM m),
+             d AS (SELECT o_orderkey, o_totalprice, n_items,
+                 round(((CAST(o_totalprice AS DOUBLE) - mx) *
+                     (CAST(o_totalprice AS DOUBLE) - mx) * vyy -
+                     2.0 * (CAST(o_totalprice AS DOUBLE) - mx) *
+                     (CAST(n_items AS DOUBLE) - my) * vxy +
+                     (CAST(n_items AS DOUBLE) - my) *
+                     (CAST(n_items AS DOUBLE) - my) * vxx) /
+                   (vxx * vyy - vxy * vxy), 6) AS d2
+               FROM j CROSS JOIN v)
+        SELECT o_orderkey, o_totalprice, n_items, d2
+        FROM d ORDER BY d2 DESC, o_orderkey LIMIT 100"""))
 }

@@ -1230,6 +1230,79 @@ object QueriesRelational {
     * quadratic), each triangle enumerated once. The oracle replays
     * edge build, orientation and both joins; counts are exact.
     */
+  /** DEGREE ASSORTATIVITY ([[graft.ops.Graph.assortativity]]) of the
+    * q227 brand co-purchase graph — one scalar telling whether
+    * popular brands co-sell with other popular brands (hub-hub) or
+    * anchor long tails (hub-spoke). Same relative-support edge
+    * construction as q227 so the two entries read the same graph;
+    * exact integer degree sums collapse in one fixed-order closed
+    * form.
+    */
+  private val q283_assortativity: Q = (
+    (s, dir) => {
+      val items = read(s, dir, "lineitem")
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
+        .distinct()
+      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
+      val a = items.select(col("o"), col("p").as("pa"))
+      val b = items.select(col("o"), col("p").as("pb"))
+      val edges = a.join(b, Seq("o"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("s"))
+        .crossJoin(broadcast(nOrders))
+        .where(col("s") * 50 >= col("__no"))
+        .select(
+          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
+            .as("src"),
+          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
+            .as("dst"))
+      ops.Graph.assortativity(edges)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                 p_brand AS p
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+             nn AS (SELECT count(DISTINCT o) AS no FROM items),
+             e0 AS (SELECT
+                 CAST(regexp_replace(x.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS a0,
+                 CAST(regexp_replace(y.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS b0
+               FROM items x JOIN items y
+                 ON x.o = y.o AND x.p < y.p, nn
+               GROUP BY 1, 2, nn.no
+               HAVING count(*) * 50 >= nn.no),
+             und AS (SELECT DISTINCT least(a0, b0) AS a,
+                 greatest(a0, b0) AS b FROM e0 WHERE a0 <> b0),
+             deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                 SELECT a AS n FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+             wd AS (SELECT da.d AS x, db.d AS y
+               FROM und JOIN deg da ON und.a = da.n
+                        JOIN deg db ON und.b = db.n),
+             bi AS (SELECT x, y FROM wd
+                    UNION ALL SELECT y, x FROM wd),
+             nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+               FROM deg),
+             agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+               FROM bi)
+        SELECT n_nodes, m // 2 AS n_edges,
+               round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+                     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r
+        FROM agg CROSS JOIN nn2"""))
+
   private val q227_triangles: Q = (
     (s, dir) => {
       // brand-level co-purchase, RELATIVE support (>= 2% of orders,
@@ -2134,6 +2207,7 @@ object QueriesRelational {
     "q196_snapshot_diff" -> q196_snapshot_diff,
     "q207_cdc_apply" -> q207_cdc_apply,
     "q227_triangles" -> q227_triangles,
+    "q283_assortativity" -> q283_assortativity,
     "q228_common_neighbors" -> q228_common_neighbors,
     "q251_link_scores" -> q251_link_scores,
     "q254_record_linkage" -> q254_record_linkage,

@@ -811,6 +811,36 @@ object Stats {
         col("__dd").cast("double").as("max_drawdown"))
   }
 
+  /** GINI COEFFICIENT per group — the concentration read behind
+    * every "top x% of customers drive y% of revenue" claim,
+    * complementing the q249 Pareto cut with a single scalar:
+    * G = (2·Σ i·xᵢ - (n+1)·Σx) / (n·Σx) over x sorted ascending
+    * (rank formula; ties broken by `tiebreak` for a total order).
+    * Values are quantized to integer millionths BEFORE the rank
+    * products, so both sums are exact integers (decimal(38,0)
+    * accumulators — i·x reaches ~2e17 at sf1) and G is one fixed-
+    * order double expression, 6dp. One per-group rank window + one
+    * grouped aggregate.
+    */
+  def gini(df: DataFrame, grp: String, value: Column,
+      tiebreak: Column): DataFrame = {
+    val xu = floor(value * lit(1000000.0) + lit(0.5)).cast("long")
+    df.select(col(grp), xu.as("__xu"), tiebreak.as("__tb"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(grp)).orderBy(col("__xu"), col("__tb"))))
+      .groupBy(col(grp))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xu").cast("decimal(38,0)")).as("sx"),
+        sum((col("__i") * col("__xu")).cast("decimal(38,0)"))
+          .as("six"))
+      .select(col(grp), col("n"),
+        round((lit(2.0) * col("six").cast("double") -
+            (col("n") + lit(1)).cast("double") *
+              col("sx").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** Robust anomaly flags: per-group median/IQR (exact discrete
     * quantiles) and the classic |x - median| > k*IQR outlier rule.
     * With integer-valued inputs (counts) every quantity in the

@@ -165,4 +165,40 @@ object Tabular {
       .select(col("__p.f_a").as("f_a"), col("__p.f_b").as("f_b"),
         col("n"), col("__p.cov").as("cov"), col("__p.corr").as("corr"))
   }
+
+  /** 2-D MAHALANOBIS outlier distance — the covariance-aware
+    * generalization of a z-score: d² = Δᵀ Σ⁻¹ Δ with the 2×2 sample
+    * covariance inverted in CLOSED FORM (no solver, no collect of
+    * data — only the five moment sums reach the driver-free
+    * broadcast row). Moments are exact decimal sums; means,
+    * variances and d² evaluate in one fixed double operation order
+    * on every row, so the ranking is engine-reproducible. One
+    * aggregate + one broadcast join; flags correlated-pair outliers
+    * the per-axis rule (q186) structurally misses. Emits the input
+    * keyed rows with d2 (6dp).
+    */
+  def mahalanobis2d(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
+    val m = df.agg(count(lit(1)).as("__n"),
+      graft.QH.dsum(x).as("__sx"), graft.QH.dsum(y).as("__sy"),
+      graft.QH.dsumsq(x).as("__sxx"), graft.QH.dsumsq(y).as("__syy"),
+      sum((x.cast("double") * y.cast("double"))
+        .cast("decimal(38,10)")).cast("double").as("__sxy"))
+    val nD = col("__n").cast("double")
+    val mx = col("__sx") / nD
+    val my = col("__sy") / nD
+    val vxx = (col("__sxx") - col("__sx") * col("__sx") / nD) /
+      (nD - lit(1.0))
+    val vyy = (col("__syy") - col("__sy") * col("__sy") / nD) /
+      (nD - lit(1.0))
+    val vxy = (col("__sxy") - col("__sx") * col("__sy") / nD) /
+      (nD - lit(1.0))
+    val dx = x.cast("double") - mx
+    val dy = y.cast("double") - my
+    df.crossJoin(broadcast(m))
+      .withColumn("d2", round(
+        (dx * dx * vyy - lit(2.0) * dx * dy * vxy + dy * dy * vxx) /
+          (vxx * vyy - vxy * vxy), 6))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
 }

@@ -298,4 +298,48 @@ object Graph {
     }
     settled
   }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over every directed edge instance (each
+    * undirected edge counted in both directions, the standard
+    * convention): positive = hubs attach to hubs, negative = hub-
+    * and-spoke. Degrees are exact integers, all five correlation
+    * sums are exact integer aggregates, and r collapses by the
+    * closed form (M·Sxy - Sx·Sy) / sqrt((M·Sxx - Sx²)(M·Syy - Sy²))
+    * in one fixed double operation order, rounded 6dp. Two
+    * co-partitioned joins (degrees onto endpoints) + one aggregate;
+    * no quadratic stage. Emits one row: n_nodes, n_edges, r.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val dirPairs = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = dirPairs.unionAll(
+      dirPairs.select(col("y").as("x"), col("x").as("y")))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    both.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .crossJoin(broadcast(nn))
+      .select(col("n_nodes"),
+        (col("m") / lit(2)).cast("long").as("n_edges"),
+        round(
+          (col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("m").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("m").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))),
+          6).as("r"))
+  }
 }

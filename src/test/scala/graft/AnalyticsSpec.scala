@@ -392,6 +392,34 @@ class AnalyticsSpec extends SparkSuite {
       "b" -> ((2, 5.0, 5.0))), s"got $got")
   }
 
+  test("gini: zero for equal shares, hand-computed 0.75 for a " +
+      "single-holder group") {
+    import graft.functions.Stats
+    val df = Seq(("a", 1.0, 1L), ("a", 1.0, 2L), ("a", 1.0, 3L),
+      ("a", 1.0, 4L),
+      ("b", 0.0, 1L), ("b", 0.0, 2L), ("b", 0.0, 3L), ("b", 4.0, 4L))
+      .toDF("g", "x", "k")
+    val got = Stats.gini(df, "g", col("x"), col("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // b: sorted 0,0,0,4 -> (2*4*4e6 - 5*4e6) / (4*4e6) = 0.75
+    assert(got == Map("a" -> ((4L, 0.0)), "b" -> ((4L, 0.75))),
+      s"got $got")
+  }
+
+  test("mahalanobis2d: hand-computed distances on an axis-aligned " +
+      "cross (corners 2.0, center 0.0)") {
+    import graft.functions.Tabular
+    val df = Seq((1L, 0.0, 0.0), (2L, 2.0, 0.0), (3L, 0.0, 2.0),
+      (4L, 2.0, 2.0), (5L, 1.0, 1.0)).toDF("id", "x", "y")
+    // means (1,1); vxx=vyy=1, vxy=0 -> corners d2=2, center 0
+    val got = Tabular.mahalanobis2d(df, col("x"), col("y"))
+      .select(col("id"), col("d2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0, 4L -> 2.0,
+      5L -> 0.0), s"got $got")
+  }
+
   test("goldenRecord: per-attribute mode, null exclusion, " +
       "value-ascending tiebreak, all-null attr stays null") {
     import graft.llmdata.Dedup

@@ -183,4 +183,19 @@ class GraphSpec extends SparkSuite {
     assert(got(3L) == got(2L))
     assert(got(1L) == (15L * 1001L + 85L * 2002L) / 100L)
   }
+
+  test("assortativity: star graph is exactly -1; cycle-with-chord " +
+      "hand-computes to -2/3") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 3L)
+    assert(rs.getDouble(2) == -1.0, s"star r ${rs.getDouble(2)}")
+    // square 1-2-3-4 plus chord 1-3: degs 1,3 -> 3; 2,4 -> 2
+    // m=10, sx=sy=26, sxy=66, sxx=syy=70 -> r = -16/24 = -0.666667
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val rg = Graph.assortativity(g).collect().head
+    assert(rg.getLong(0) == 4L && rg.getLong(1) == 5L)
+    assert(rg.getDouble(2) == -0.666667, s"r ${rg.getDouble(2)}")
+  }
 }
