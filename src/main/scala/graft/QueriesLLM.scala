@@ -1747,6 +1747,111 @@ object QueriesLLM {
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         ORDER BY score DESC, doc_id LIMIT 25"""))
 
+  /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
+    * over the integer term-frequency shortlist: relevance = total
+    * query-term hits normalized to ppm of the shortlist max,
+    * redundancy = token-set Jaccard ppm, objective
+    * 7·rel - 3·maxsim — every pick integer-exact, so the oracle
+    * unrolls all five greedy steps as CTEs (the q277 pattern). The
+    * shortlist stays top-25 bounded at any corpus scale; only the
+    * greedy solve (k·25 integer comparisons) runs on the driver.
+    */
+  private val q285_mmr: Q = (
+    (s, dir) => {
+      val terms = Seq("hash", "join", "spark")
+      val d = read(s, dir, "documents").where(col("text").isNotNull)
+      val toks = d.select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "")
+          .as("tk"))
+      val rel = toks.select(col("doc_id"),
+          terms.map(t => size(filter(col("tk"), x => x === t)))
+            .reduce(_ + _).cast("long").as("rel"))
+        .where(col("rel") > 0)
+      val sl0 = rel.orderBy(col("rel").desc, col("doc_id")).limit(25)
+      val mx = sl0.agg(max(col("rel")).as("mr"))
+      val sl = sl0.crossJoin(broadcast(mx))
+        .withColumn("rel_ppm", expr("rel * 1000000 div mr"))
+        .join(toks.select(col("doc_id"),
+          array_distinct(col("tk")).as("toks")), Seq("doc_id"))
+      Similarity.mmrSelect(sl, "doc_id", "rel_ppm", "toks", k = 5)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                 unnest(string_split(lower(text), ' ')) AS t
+               FROM documents WHERE text IS NOT NULL),
+             tf AS (SELECT doc_id, CAST(sum(CASE WHEN t IN
+                   ('hash', 'join', 'spark') THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rel
+               FROM toks WHERE t <> '' GROUP BY 1),
+             sl0 AS (SELECT doc_id, rel FROM tf WHERE rel > 0
+               ORDER BY rel DESC, doc_id LIMIT 25),
+             mx AS (SELECT max(rel) AS mr FROM sl0),
+             sl AS (SELECT doc_id,
+                 CAST(rel * 1000000 // mr AS BIGINT) AS rel_ppm
+               FROM sl0, mx),
+             dt AS (SELECT DISTINCT doc_id, t FROM toks
+               WHERE t <> ''
+                 AND doc_id IN (SELECT doc_id FROM sl0)),
+             sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+             pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 count(*) AS inter
+               FROM dt a JOIN dt b
+                 ON a.t = b.t AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             allp AS (SELECT x.doc_id AS ia, y.doc_id AS ib,
+                 coalesce(p.inter, 0) AS inter
+               FROM sl x JOIN sl y ON x.doc_id < y.doc_id
+               LEFT JOIN pr p
+                 ON p.ia = x.doc_id AND p.ib = y.doc_id),
+             sims AS (SELECT ia, ib, CAST(inter * 1000000 //
+                 (sa.n + sb.n - inter) AS BIGINT) AS sim
+               FROM allp JOIN sz sa ON sa.doc_id = allp.ia
+                         JOIN sz sb ON sb.doc_id = allp.ib),
+             simsym AS (SELECT ia, ib, sim FROM sims
+               UNION ALL SELECT ib, ia, sim FROM sims),
+             sel1 AS (SELECT doc_id, rel_ppm,
+                 CAST(1 AS BIGINT) AS rank,
+                 CAST(7 * rel_ppm AS BIGINT) AS obj
+               FROM sl ORDER BY rel_ppm DESC, doc_id LIMIT 1),
+             c2 AS (SELECT c.doc_id, c.rel_ppm,
+                 CAST(7 * c.rel_ppm - 3 * max(m.sim) AS BIGINT) AS obj
+               FROM sl c JOIN simsym m ON m.ia = c.doc_id
+                 JOIN sel1 s ON m.ib = s.doc_id
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel1)
+               GROUP BY 1, 2),
+             p2 AS (SELECT doc_id, rel_ppm, CAST(2 AS BIGINT), obj
+               FROM c2 ORDER BY obj DESC, doc_id LIMIT 1),
+             sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM p2),
+             c3 AS (SELECT c.doc_id, c.rel_ppm,
+                 CAST(7 * c.rel_ppm - 3 * max(m.sim) AS BIGINT) AS obj
+               FROM sl c JOIN simsym m ON m.ia = c.doc_id
+                 JOIN sel2 s ON m.ib = s.doc_id
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel2)
+               GROUP BY 1, 2),
+             p3 AS (SELECT doc_id, rel_ppm, CAST(3 AS BIGINT), obj
+               FROM c3 ORDER BY obj DESC, doc_id LIMIT 1),
+             sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM p3),
+             c4 AS (SELECT c.doc_id, c.rel_ppm,
+                 CAST(7 * c.rel_ppm - 3 * max(m.sim) AS BIGINT) AS obj
+               FROM sl c JOIN simsym m ON m.ia = c.doc_id
+                 JOIN sel3 s ON m.ib = s.doc_id
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel3)
+               GROUP BY 1, 2),
+             p4 AS (SELECT doc_id, rel_ppm, CAST(4 AS BIGINT), obj
+               FROM c4 ORDER BY obj DESC, doc_id LIMIT 1),
+             sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM p4),
+             c5 AS (SELECT c.doc_id, c.rel_ppm,
+                 CAST(7 * c.rel_ppm - 3 * max(m.sim) AS BIGINT) AS obj
+               FROM sl c JOIN simsym m ON m.ia = c.doc_id
+                 JOIN sel4 s ON m.ib = s.doc_id
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel4)
+               GROUP BY 1, 2),
+             p5 AS (SELECT doc_id, rel_ppm, CAST(5 AS BIGINT), obj
+               FROM c5 ORDER BY obj DESC, doc_id LIMIT 1),
+             sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM p5)
+        SELECT rank, doc_id, rel_ppm, obj
+        FROM sel5 ORDER BY rank"""))
+
   /** Unicode NFC canonicalization via the native codegen expression
     * ([[graft.functions.NfcNormalize]]): decomposed combining
     * sequences (planted deterministically on every document — e +
@@ -2533,6 +2638,82 @@ object QueriesLLM {
                       WHEN '3-MEDIUM' THEN 100000
                       ELSE -1 END
             ORDER BY o_orderkey"""))
+
+  /** IPF RAKING ([[graft.llmdata.Sampling.ipfWeights]]): calibrate a
+    * 30% hash sample of customers so its weighted margins match the
+    * FULL population on both market segment and nation at once —
+    * three rounds of integer-ppm proportional fitting, every
+    * half-step floor(w·target·10⁶/Σw) in pure int64 (the oracle
+    * unrolls all six half-steps as CTEs). Output is the margin
+    * audit: per level of each dimension, the population target and
+    * the achieved weighted count in ppm.
+    */
+  private val q284_ipf_raking: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "customer")
+      val samp = Sampling.hashSample(c, "c_custkey", 0.3)
+        .select(col("c_custkey").as("id"),
+          col("c_mktsegment").as("a"),
+          col("c_nationkey").cast("long").as("b"))
+      val ta = c.groupBy(col("c_mktsegment").as("a"))
+        .agg(count(lit(1)).as("t"))
+      val tb = c.groupBy(col("c_nationkey").cast("long").as("b"))
+        .agg(count(lit(1)).as("t"))
+      val w = Sampling.ipfWeights(samp, "a", "b", ta, tb, rounds = 3)
+      val ma = w.groupBy(col("a"))
+        .agg(sum(col("w_ppm")).as("achieved_ppm"))
+        .join(broadcast(ta), Seq("a"))
+        .select(lit("seg").as("dim"), col("a").cast("string")
+          .as("level"), col("t").as("target_n"), col("achieved_ppm"))
+      val mb = w.groupBy(col("b"))
+        .agg(sum(col("w_ppm")).as("achieved_ppm"))
+        .join(broadcast(tb), Seq("b"))
+        .select(lit("nation").as("dim"), col("b").cast("string")
+          .as("level"), col("t").as("target_n"), col("achieved_ppm"))
+      ma.unionByName(mb).orderBy(col("dim"), col("level"))
+    },
+    Some("""WITH samp AS (SELECT c_custkey AS id,
+                 c_mktsegment AS a, CAST(c_nationkey AS BIGINT) AS b
+               FROM customer
+               WHERE ((c_custkey * 2654435761 + 42) % 1000000007)
+                 % 1000000 < 300000),
+             ta AS (SELECT c_mktsegment AS a,
+                 CAST(count(*) AS BIGINT) AS t
+               FROM customer GROUP BY 1),
+             tb AS (SELECT CAST(c_nationkey AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS t
+               FROM customer GROUP BY 1),
+             w0 AS (SELECT id, a, b, CAST(1000000 AS BIGINT) AS w
+               FROM samp),
+             w1 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY a)) AS BIGINT) AS w
+               FROM w0 JOIN ta USING (a)),
+             w2 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY b)) AS BIGINT) AS w
+               FROM w1 JOIN tb USING (b)),
+             w3 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY a)) AS BIGINT) AS w
+               FROM w2 JOIN ta USING (a)),
+             w4 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY b)) AS BIGINT) AS w
+               FROM w3 JOIN tb USING (b)),
+             w5 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY a)) AS BIGINT) AS w
+               FROM w4 JOIN ta USING (a)),
+             w6 AS (SELECT id, a, b, CAST(w * t * 1000000 //
+                 (sum(w) OVER (PARTITION BY b)) AS BIGINT) AS w
+               FROM w5 JOIN tb USING (b)),
+             maa AS (SELECT a, CAST(sum(w) AS BIGINT) AS achieved
+               FROM w6 GROUP BY 1),
+             mbb AS (SELECT b, CAST(sum(w) AS BIGINT) AS achieved
+               FROM w6 GROUP BY 1)
+        SELECT 'seg' AS dim, CAST(a AS VARCHAR) AS level,
+               t AS target_n, achieved AS achieved_ppm
+        FROM maa JOIN ta USING (a)
+        UNION ALL
+        SELECT 'nation', CAST(b AS VARCHAR), t, achieved
+        FROM mbb JOIN tb USING (b)
+        ORDER BY dim, level"""))
 
   /** Importance sampling by a per-row keep probability (quality-
     * weighted corpus thinning): keep probability rises with the
@@ -3924,6 +4105,8 @@ object QueriesLLM {
     "q203_nested_subsets" -> q203_nested_subsets,
     "q204_freq_spectrum" -> q204_freq_spectrum,
     "q70_hash_sample" -> q70_hash_sample,
+    "q284_ipf_raking" -> q284_ipf_raking,
+    "q285_mmr" -> q285_mmr,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
     "q119_dsir_weights" -> q119_dsir_weights,

@@ -78,6 +78,44 @@ object Sampling {
     df.where(bucket(col(id), seed) < cut)
   }
 
+  /** ITERATIVE PROPORTIONAL FITTING (raking; Deming & Stephan 1940)
+    * — calibrate sample weights so the weighted margins match
+    * population targets on TWO categorical dimensions at once: the
+    * survey-statistics standard, and the exact mechanism behind
+    * two-constraint training-data mixture balancing (match both the
+    * domain margin and the language margin without enumerating the
+    * cross table). Weights live in integer ppm; each half-step
+    * rescales by floor(w · target · 10⁶ / Σw_cell) in pure int64 —
+    * deterministic on any engine, and the oracle unrolls the
+    * half-steps as CTEs. Each half-step is one grouped sum (bounded
+    * by the dimension's cardinality) broadcast back — 2·rounds
+    * map-side joins, no shuffle of the data beyond the first
+    * grouping. Overflow headroom: w·t·10⁶ must stay under 2⁶³ —
+    * fine through ~10⁹-row targets with weights under ~10⁴×.
+    * `targetsA`/`targetsB` carry (dim, t) population counts.
+    */
+  def ipfWeights(df: DataFrame, dimA: String, dimB: String,
+      targetsA: DataFrame, targetsB: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"ipfWeights: rounds $rounds")
+    val ta = broadcast(
+      targetsA.select(col(dimA), col("t").cast("long").as("__ta")))
+    val tb = broadcast(
+      targetsB.select(col(dimB), col("t").cast("long").as("__tb")))
+    var cur = df.withColumn("w_ppm", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val sa = cur.groupBy(col(dimA)).agg(sum(col("w_ppm")).as("__sa"))
+      cur = cur.join(broadcast(sa), Seq(dimA)).join(ta, Seq(dimA))
+        .withColumn("w_ppm", expr("w_ppm * __ta * 1000000 div __sa"))
+        .drop("__sa", "__ta")
+      val sb = cur.groupBy(col(dimB)).agg(sum(col("w_ppm")).as("__sb"))
+      cur = cur.join(broadcast(sb), Seq(dimB)).join(tb, Seq(dimB))
+        .withColumn("w_ppm", expr("w_ppm * __tb * 1000000 div __sb"))
+        .drop("__sb", "__tb")
+    }
+    cur
+  }
+
   /** Per-ROW keep probability (importance sampling — quality-weighted
     * corpus thinning): row kept iff its id-hash bucket falls under
     * `weight` (clamped to [0,1]) — the per-row generalization of

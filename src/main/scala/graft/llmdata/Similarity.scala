@@ -113,6 +113,58 @@ object Similarity {
           .as(s"rank_$name") }: _*)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998) — the
+    * standard diversified top-k: greedily pick the candidate
+    * maximizing λ·relevance - (1-λ)·max-similarity-to-selected, so
+    * the result covers the query's facets instead of returning k
+    * near-duplicates. λ is fixed at 0.7 in integer form: objective
+    * obj = 7·rel_ppm - 3·maxsim_ppm (both operands integer ppm,
+    * similarity = token-set Jaccard floored to ppm), so every pick
+    * and tiebreak (obj desc, id asc) replays on any engine. The
+    * shortlist is top-k bounded BY CONSTRUCTION — collected under
+    * the house bounded-collect contract and solved greedily on the
+    * driver (the fitReranker venue rule: k·|shortlist| comparisons
+    * beat k distributed argmax jobs by orders of magnitude).
+    * `shortlist` carries (id, rel_ppm, tokens: array<string>).
+    * Emits (rank, id, rel_ppm, obj).
+    */
+  def mmrSelect(shortlist: DataFrame, id: String, relPpm: String,
+      tokens: String, k: Int, maxRows: Int = 4096): DataFrame = {
+    require(k >= 1, s"mmrSelect: k $k")
+    val rows = shortlist.select(col(id).cast("long"),
+        col(relPpm).cast("long"), col(tokens))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"mmrSelect: shortlist exceeds " +
+      s"$maxRows rows — MMR input must be a bounded top-k shortlist")
+    require(rows.nonEmpty, "mmrSelect: empty shortlist")
+    final case class C(cid: Long, rel: Long, toks: Set[String])
+    val cs = rows.map(r =>
+      C(r.getLong(0), r.getLong(1), r.getSeq[String](2).toSet))
+    def simPpm(a: C, b: C): Long = {
+      val inter = (a.toks & b.toks).size.toLong
+      val union = (a.toks | b.toks).size.toLong
+      if (union == 0L) 0L else inter * 1000000L / union
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(C, Long)]()
+    val kk = math.min(k, cs.length)
+    while (picked.length < kk) {
+      val chosen = cs.iterator
+        .filterNot(c => picked.exists(_._1.cid == c.cid))
+        .map { c =>
+          val ms = if (picked.isEmpty) 0L
+            else picked.iterator.map(p => simPpm(c, p._1)).max
+          (c, 7L * c.rel - 3L * ms)
+        }
+        .minBy { case (c, o) => (-o, c.cid) }
+      picked += chosen
+    }
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex.map { case ((c, o), i) =>
+      ((i + 1).toLong, c.cid, c.rel, o)
+    }.toSeq.toDF("rank", id, relPpm, "obj")
+  }
+
   /** Train a logistic reranker over numeric candidate features
     * against click-shaped labels, returning weights QUANTIZED to
     * longs (and the matching intercept) so serving goes through the

@@ -392,6 +392,29 @@ class AnalyticsSpec extends SparkSuite {
       "b" -> ((2, 5.0, 5.0))), s"got $got")
   }
 
+  test("mmrSelect: redundancy demotes a near-duplicate below a " +
+      "less relevant but novel candidate; ties break by id") {
+    import graft.llmdata.Similarity
+    // A rel 1.0 {a,b}; B rel 0.8 {a,b} (dup of A); C rel 0.5 {c,d}
+    // pick1 A (7e6); pick2: B 5.6e6-3e6=2.6e6 < C 3.5e6 -> C; pick3 B
+    val sl = Seq(
+      (1L, 1000000L, Seq("a", "b")),
+      (2L, 800000L, Seq("a", "b")),
+      (3L, 500000L, Seq("c", "d")))
+      .toDF("id", "rel_ppm", "toks")
+    val got = Similarity.mmrSelect(sl, "id", "rel_ppm", "toks", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 7000000L), (2L, 3L, 3500000L),
+      (3L, 2L, 2600000L)), s"got ${got.toSeq}")
+    // identical rel + disjoint tokens: obj ties -> smaller id first
+    val tie = Seq((7L, 100000L, Seq("x")), (4L, 100000L, Seq("y")))
+      .toDF("id", "rel_ppm", "toks")
+    val t = Similarity.mmrSelect(tie, "id", "rel_ppm", "toks", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(t.toSeq == Seq((1L, 4L), (2L, 7L)), s"got ${t.toSeq}")
+  }
+
   test("gini: zero for equal shares, hand-computed 0.75 for a " +
       "single-holder group") {
     import graft.functions.Stats

@@ -277,6 +277,42 @@ class LlmDataSpec extends SparkSuite {
     assert(got.map(_._1).toSet == exp)
   }
 
+  test("ipfWeights: DataFrame half-steps equal an independent " +
+      "sequential integer fold; margins approach both targets") {
+    import graft.llmdata.Sampling
+    val rows = Seq((1L, "x", 1L), (2L, "x", 2L), (3L, "y", 1L),
+      (4L, "y", 2L), (5L, "x", 1L))
+    val df = rows.toDF("id", "a", "b")
+    val ta = Seq(("x", 10L), ("y", 20L)).toDF("a", "t")
+    val tb = Seq((1L, 18L), (2L, 12L)).toDF("b", "t")
+    val got = Sampling.ipfWeights(df, "a", "b", ta, tb, rounds = 3)
+      .select(col("id"), col("w_ppm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent sequential fold of the same integer recurrence
+    val aOf = rows.map(r => r._1 -> r._2).toMap
+    val bOf = rows.map(r => r._1 -> r._3).toMap
+    val taM = Map("x" -> 10L, "y" -> 20L)
+    val tbM = Map(1L -> 18L, 2L -> 12L)
+    var w = rows.map(r => r._1 -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val sa = rows.groupBy(_._2).map { case (k, v) =>
+        k -> v.map(r => w(r._1)).sum }
+      w = w.map { case (id, wi) =>
+        id -> wi * taM(aOf(id)) * 1000000L / sa(aOf(id)) }
+      val sb = rows.groupBy(_._3).map { case (k, v) =>
+        k -> v.map(r => w(r._1)).sum }
+      w = w.map { case (id, wi) =>
+        id -> wi * tbM(bOf(id)) * 1000000L / sb(bOf(id)) }
+    }
+    assert(got == w, s"got $got vs $w")
+    // the last-fitted margin (dim B) is exact up to floor loss
+    val mb = rows.groupBy(_._3).map { case (k, v) =>
+      k -> v.map(r => got(r._1)).sum }
+    assert(mb.forall { case (k, s) =>
+      math.abs(s - tbM(k) * 1000000L) <= rows.size * 1L + 2 },
+      s"margins $mb")
+  }
+
   test("hash sampling is deterministic, fraction-accurate, and " +
       "split-complete") {
     import graft.llmdata.Sampling
