@@ -616,6 +616,7 @@ object QueriesAgg {
     "q279_drawdown" -> q279_drawdown,
     "q281_gini" -> q281_gini,
     "q282_mahalanobis" -> q282_mahalanobis,
+    "q286_bootstrap" -> q286_bootstrap,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2052,6 +2053,49 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** DETERMINISTIC POISSON BOOTSTRAP ([[graft.ops.Experiment
+    * .poissonBootstrapCi]]): 40 one-pass resamples of the mean order
+    * value — multiplicities from the portable id-hash through the
+    * ppm-quantized Poisson(1) CDF, resample means as pure integer
+    * floor divisions, CI as exact order statistics. The
+    * sampling-with-replacement CI without ever materializing a
+    * resample.
+    */
+  private val q286_bootstrap: Q = (
+    (s, dir) => graft.ops.Experiment.poissonBootstrapCi(
+      read(s, dir, "orders"), col("o_orderkey"),
+      col("o_totalprice"), b = 40),
+    Some(s"""WITH r AS (SELECT b FROM range(40) t(b)),
+             e AS (SELECT o_orderkey AS id,
+                 CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                   AS BIGINT) AS xu
+               FROM orders),
+             u AS (SELECT b, xu,
+                 ((id * (2654435761 + 2 * b) + (97 + 1000003 * b))
+                   % 1000000007) % 1000000 AS uu
+               FROM e CROSS JOIN r),
+             mm AS (SELECT b, xu, CASE WHEN uu < 367879 THEN 0
+                 WHEN uu < 735758 THEN 1 WHEN uu < 919698 THEN 2
+                 WHEN uu < 981011 THEN 3 WHEN uu < 996340 THEN 4
+                 WHEN uu < 999405 THEN 5 ELSE 6 END AS m FROM u),
+             res AS (SELECT b,
+                 CAST(sum(m * xu) // sum(m) AS BIGINT) AS qb
+               FROM mm GROUP BY 1),
+             ord AS (SELECT qb, b,
+                 row_number() OVER (ORDER BY qb, b) AS rn FROM res),
+             sel AS (SELECT
+                 max(CASE WHEN rn = 1 THEN qb END) AS qlo,
+                 max(CASE WHEN rn = 20 THEN qb END) AS qmed,
+                 max(CASE WHEN rn = 39 THEN qb END) AS qhi FROM ord),
+             st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 ${sqlDavg("o_totalprice")} AS t FROM orders)
+        SELECT CAST(40 AS BIGINT) AS b_resamples, n,
+               round(t, 6) AS theta,
+               round(CAST(qlo AS DOUBLE) / 1000000.0, 6) AS ci_lo,
+               round(CAST(qmed AS DOUBLE) / 1000000.0, 6) AS ci_med,
+               round(CAST(qhi AS DOUBLE) / 1000000.0, 6) AS ci_hi
+        FROM sel CROSS JOIN st"""))
 
   /** GINI concentration ([[graft.functions.Stats.gini]]) of
     * per-customer revenue within each market segment — the scalar

@@ -1230,6 +1230,81 @@ object QueriesRelational {
     * quadratic), each triangle enumerated once. The oracle replays
     * edge build, orientation and both joins; counts are exact.
     */
+  /** LOCAL CLUSTERING COEFFICIENT ([[graft.ops.Graph
+    * .clusteringCoeff]]) on the q227 brand co-purchase graph: the
+    * per-node cliquishness read next to q227's raw triangle counts
+    * — integer-ppm floor division, degree >= 2 only, triangle-free
+    * nodes report 0. Same relative-support edges, same degree-
+    * oriented enumeration bounds.
+    */
+  private val q287_clustering: Q = (
+    (s, dir) => {
+      val items = read(s, dir, "lineitem")
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
+        .distinct()
+      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
+      val a = items.select(col("o"), col("p").as("pa"))
+      val b = items.select(col("o"), col("p").as("pb"))
+      val edges = a.join(b, Seq("o"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("s"))
+        .crossJoin(broadcast(nOrders))
+        .where(col("s") * 50 >= col("__no"))
+        .select(
+          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
+            .as("src"),
+          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
+            .as("dst"))
+      val out = ops.Graph.clusteringCoeff(edges)
+        .orderBy(col("node")).cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o,
+                 p_brand AS p
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+             nn AS (SELECT count(DISTINCT o) AS no FROM items),
+             e0 AS (SELECT
+                 CAST(regexp_replace(x.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS a0,
+                 CAST(regexp_replace(y.p, '[^0-9]', '', 'g')
+                   AS BIGINT) AS b0
+               FROM items x JOIN items y
+                 ON x.o = y.o AND x.p < y.p, nn
+               GROUP BY 1, 2, nn.no
+               HAVING count(*) * 50 >= nn.no),
+             und AS (SELECT DISTINCT least(a0, b0) AS a,
+                 greatest(a0, b0) AS b FROM e0 WHERE a0 <> b0),
+             deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                 SELECT a AS n FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+             wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db
+               FROM und JOIN deg da ON und.a = da.n
+                        JOIN deg db ON und.b = db.n),
+             dir AS (SELECT
+                 CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+                 CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS v
+               FROM wd),
+             tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM dir e1 JOIN dir e2 ON e1.v = e2.u
+                           JOIN dir e3 ON e3.u = e1.u
+                                      AND e3.v = e2.v),
+             nodes AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri),
+             tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+               FROM nodes GROUP BY 1)
+        SELECT deg.n AS node, deg.d AS degree,
+               coalesce(tc.t, 0) AS triangles,
+               CAST(2 * coalesce(tc.t, 0) * 1000000 //
+                 (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_ppm
+        FROM deg LEFT JOIN tc ON tc.node = deg.n
+        WHERE deg.d >= 2 ORDER BY node"""))
+
   /** DEGREE ASSORTATIVITY ([[graft.ops.Graph.assortativity]]) of the
     * q227 brand co-purchase graph — one scalar telling whether
     * popular brands co-sell with other popular brands (hub-hub) or
@@ -2208,6 +2283,7 @@ object QueriesRelational {
     "q207_cdc_apply" -> q207_cdc_apply,
     "q227_triangles" -> q227_triangles,
     "q283_assortativity" -> q283_assortativity,
+    "q287_clustering" -> q287_clustering,
     "q228_common_neighbors" -> q228_common_neighbors,
     "q251_link_scores" -> q251_link_scores,
     "q254_record_linkage" -> q254_record_linkage,

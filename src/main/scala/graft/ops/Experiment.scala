@@ -221,6 +221,72 @@ object Experiment {
       .orderBy(col("treated"), col("post"))
   }
 
+  /** DETERMINISTIC POISSON BOOTSTRAP CI (Chamandy et al. 2012 — the
+    * industry-standard resampling at scale: each row appears
+    * Poisson(1) times per resample, so resamples stream in ONE pass
+    * instead of materializing B copies of the data by sampling with
+    * replacement). Multiplicities come from the portable id-hash
+    * mapped through the ppm-quantized Poisson(1) CDF table — pure
+    * integer comparisons, so every resample membership replays on
+    * any engine. Values quantize to integer micro-units; each
+    * resample mean is the INTEGER floor division Σm·xu div Σm (no
+    * float trajectory at all), and the CI is exact order statistics
+    * over the B quantized means (discrete-quantile ranks
+    * max(1, ceil(p·B))). Work: one B-fold flatMap over the scan with
+    * map-side partial aggregation into B groups — no data shuffle;
+    * B·Σxu must stay under 2⁶³ (fine through ~10⁷ rows of money-
+    * scale values per the long-headroom note). Emits one row:
+    * b_resamples, n, theta, ci_lo, ci_med, ci_hi.
+    */
+  def poissonBootstrapCi(df: DataFrame, id: Column, x: Column,
+      b: Int = 40, seedBase: Long = 97L): DataFrame = {
+    require(b >= 8 && b <= 256, s"poissonBootstrapCi: b $b")
+    // ppm-quantized Poisson(1) CDF: P(<=k) for k = 0..5, then 6
+    val cuts = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L)
+    val withB = df.select(id.cast("long").as("__id"),
+        floor(x * lit(1000000.0) + lit(0.5)).cast("long").as("__xu"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+    // per-resample MULTIPLIER (the minhash-family convention): an
+    // additive-only seed shifts u by a near-constant per b, leaving
+    // the B resamples almost perfectly correlated — the multiplier
+    // must vary with b for the memberships to decorrelate
+    val u = pmod(col("__id") *
+      (lit(2654435761L) + lit(2L) * col("__b").cast("long")) +
+      (lit(seedBase) + col("__b").cast("long") * lit(1000003L)),
+      lit(1000000007L)) % lit(1000000L)
+    val m = cuts.zipWithIndex.foldRight(lit(6L)) {
+      case ((c, i), acc) => when(u < c, lit(i.toLong)).otherwise(acc)
+    }
+    val res = withB.withColumn("__m", m)
+      .groupBy(col("__b"))
+      .agg(sum(col("__m") * col("__xu")).as("__su"),
+        sum(col("__m")).as("__cm"))
+      .withColumn("__qb", expr("__su div __cm"))
+    val rlo = math.max(1, math.ceil(0.025 * b).toInt)
+    val rmed = math.max(1, math.ceil(0.5 * b).toInt)
+    val rhi = math.max(1, math.ceil(0.975 * b).toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("__b"), lit(1)))
+      .orderBy(col("__qb"), col("__b"))
+    val sel = res.withColumn("__rn", row_number().over(w))
+      .agg(
+        max(when(col("__rn") === rlo, col("__qb"))).as("__qlo"),
+        max(when(col("__rn") === rmed, col("__qb"))).as("__qmed"),
+        max(when(col("__rn") === rhi, col("__qb"))).as("__qhi"))
+    val st = df.agg(count(lit(1)).as("n"),
+      graft.QH.davg(x).as("__t"))
+    sel.crossJoin(broadcast(st)).select(
+      lit(b.toLong).as("b_resamples"), col("n"),
+      round(col("__t"), 6).as("theta"),
+      round(col("__qlo").cast("double") / lit(1000000.0), 6)
+        .as("ci_lo"),
+      round(col("__qmed").cast("double") / lit(1000000.0), 6)
+        .as("ci_med"),
+      round(col("__qhi").cast("double") / lit(1000000.0), 6)
+        .as("ci_hi"))
+  }
+
   /** DELETE-ONE-GROUP JACKKNIFE for a ratio metric θ = Σnum / Σden
     * (Quenouille 1956; the standard error the naive per-row variance
     * gets wrong whenever the denominator is random — revenue per

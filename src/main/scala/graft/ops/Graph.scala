@@ -299,6 +299,33 @@ object Graph {
     settled
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998) —
+    * per-node cliquishness: lcc = 2·T(v) / (d(v)·(d(v)-1)) for
+    * nodes of degree >= 2, in integer ppm (floor division — exact
+    * on any engine). Triangles come from [[triangleCounts]]'s
+    * degree-oriented enumeration (wedge fan-out bounded by oriented
+    * out-degree, so hubs can't go quadratic); degree is one
+    * aggregate over the deduped undirected adjacency. Nodes in no
+    * triangle report 0, nodes of degree < 2 are excluded (the
+    * coefficient is undefined there). Emits (node, degree,
+    * triangles, lcc_ppm).
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges)
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("lcc_ppm",
+        expr("2 * triangles * 1000000 div (degree * (degree - 1))"))
+  }
+
   /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
     * endpoint degrees over every directed edge instance (each
     * undirected edge counted in both directions, the standard

@@ -353,6 +353,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(3) == 0.166667)
   }
 
+  test("poissonBootstrapCi: constant metric degenerates the CI to " +
+      "the point value; runs are deterministic; quantile order holds") {
+    import graft.ops.Experiment
+    val const = (1L to 200L).map(i => (i, 5.0)).toDF("id", "x")
+    val r = Experiment.poissonBootstrapCi(const, col("id"), col("x"),
+      b = 40).collect().head
+    assert(r.getLong(0) == 40L && r.getLong(1) == 200L)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 5.0 &&
+      r.getDouble(4) == 5.0 && r.getDouble(5) == 5.0, s"got $r")
+    val varied = (1L to 1000L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "x")
+    val a = Experiment.poissonBootstrapCi(varied, col("id"),
+      col("x"), b = 40).collect().head
+    val b2 = Experiment.poissonBootstrapCi(varied, col("id"),
+      col("x"), b = 40).collect().head
+    assert(a == b2)
+    assert(a.getDouble(3) <= a.getDouble(4) &&
+      a.getDouble(4) <= a.getDouble(5), s"got $a")
+    assert(a.getDouble(3) < a.getDouble(2) &&
+      a.getDouble(2) < a.getDouble(5),
+      s"theta outside CI: $a")
+  }
+
   test("jackknifeRatio: hand-computed leave-one-out replicates, " +
       "bias-corrected theta and SE from the quantized sums") {
     import graft.ops.Experiment

@@ -184,6 +184,24 @@ class GraphSpec extends SparkSuite {
     assert(got(1L) == (15L * 1001L + 85L * 2002L) / 100L)
   }
 
+  test("clusteringCoeff: triangle nodes 1.0, hub with pendant " +
+      "1/3 ppm, degree-1 excluded, triangle-free square all zero") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoeff(g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L))), s"got $got")
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val z = Graph.clusteringCoeff(sq)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      s"got $z")
+  }
+
   test("assortativity: star graph is exactly -1; cycle-with-chord " +
       "hand-computes to -2/3") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
