@@ -617,6 +617,8 @@ object QueriesAgg {
     "q281_gini" -> q281_gini,
     "q282_mahalanobis" -> q282_mahalanobis,
     "q286_bootstrap" -> q286_bootstrap,
+    "q288_jackknife_diff" -> q288_jackknife_diff,
+    "q289_logrank" -> q289_logrank,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2053,6 +2055,140 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** Clustered A/B for a RATIO metric ([[graft.ops.Experiment
+    * .jackknifeRatioDiff]]): Δ = revenue-per-unit(odd parts) -
+    * revenue-per-unit(even parts), SE by delete-one-supplier-bucket
+    * jackknife — both variants' sums drop together per replicate,
+    * capturing the within-cluster covariance a naive per-variant SE
+    * misses.
+    */
+  private val q288_jackknife_diff: Q = (
+    (s, dir) => graft.ops.Experiment.jackknifeRatioDiff(
+      read(s, dir, "lineitem"),
+      variant = col("l_partkey") % 2,
+      group = col("l_suppkey") % 40,
+      num = col("l_extendedprice"), den = col("l_quantity")),
+    Some("""WITH g AS (SELECT l_suppkey % 40 AS g,
+                 sum(CAST(CASE WHEN l_partkey % 2 = 0
+                     THEN l_extendedprice ELSE 0.0 END
+                   AS DECIMAL(25,6))) AS sn0,
+                 sum(CAST(CASE WHEN l_partkey % 2 = 0
+                     THEN l_quantity ELSE 0.0 END
+                   AS DECIMAL(25,6))) AS sd0,
+                 sum(CAST(CASE WHEN l_partkey % 2 = 1
+                     THEN l_extendedprice ELSE 0.0 END
+                   AS DECIMAL(25,6))) AS sn1,
+                 sum(CAST(CASE WHEN l_partkey % 2 = 1
+                     THEN l_quantity ELSE 0.0 END
+                   AS DECIMAL(25,6))) AS sd1
+               FROM lineitem GROUP BY 1),
+             tot AS (SELECT sum(sn0) AS tn0, sum(sd0) AS td0,
+                 sum(sn1) AS tn1, sum(sd1) AS td1,
+                 CAST(count(*) AS BIGINT) AS gcnt FROM g),
+             reps AS (SELECT CAST(floor(
+                 (CAST(tn1 - sn1 AS DOUBLE) / CAST(td1 - sd1 AS DOUBLE)
+                  - CAST(tn0 - sn0 AS DOUBLE)
+                    / CAST(td0 - sd0 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS qi
+               FROM g CROSS JOIN tot),
+             agg AS (SELECT CAST(sum(qi) AS BIGINT) AS sq,
+                 sum(CAST(qi * qi AS DECIMAL(38,0))) AS sqq
+               FROM reps)
+        SELECT gcnt AS g_groups,
+               round(CAST(tn1 AS DOUBLE) / CAST(td1 AS DOUBLE) -
+                 CAST(tn0 AS DOUBLE) / CAST(td0 AS DOUBLE), 6)
+                 AS delta,
+               round(CAST(gcnt AS DOUBLE) *
+                   (CAST(tn1 AS DOUBLE) / CAST(td1 AS DOUBLE) -
+                    CAST(tn0 AS DOUBLE) / CAST(td0 AS DOUBLE)) -
+                   (CAST(gcnt AS DOUBLE) - 1.0) *
+                   (CAST(sq AS DOUBLE) / CAST(gcnt AS DOUBLE)
+                     / 1000000.0), 6) AS delta_jk,
+               round(sqrt((CAST(gcnt AS DOUBLE) - 1.0)
+                     / CAST(gcnt AS DOUBLE) *
+                     (CAST(sqq AS DOUBLE) -
+                       CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                         / CAST(gcnt AS DOUBLE))) / 1000000.0, 6)
+                 AS se_jk
+        FROM agg CROSS JOIN tot"""))
+
+  /** LOG-RANK TEST ([[graft.ops.Experiment.logRank]]) on the q245
+    * churn durations split by customer parity: observed vs expected
+    * churn events per pooled risk set, the chi-square verdict on
+    * whether the two survival curves differ. Every term quantizes
+    * through fixed-order integer floor divisions, so the statistic
+    * replays exactly.
+    */
+  private val q289_logrank: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val mx = per.agg(max(col("last_d")).as("maxd"))
+      val subj = per.crossJoin(broadcast(mx))
+        .select(
+          expr("datediff(last_d, first_d)").cast("long")
+            .as("duration"),
+          (expr("datediff(maxd, last_d)") > 360).cast("long")
+            .as("event"),
+          (col("o_custkey") % 2).cast("string").as("grp"))
+      graft.ops.Experiment.logRank(subj, col("duration"),
+        col("event"), col("grp"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS t,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS e,
+                 CAST(o_custkey % 2 AS VARCHAR) AS g
+               FROM per CROSS JOIN mx),
+             times AS (SELECT t,
+                 CAST(sum(CASE WHEN g = '0' THEN e ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = '1' THEN e ELSE 0 END)
+                   AS BIGINT) AS d2,
+                 CAST(sum(CASE WHEN g = '1' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c2
+               FROM subj GROUP BY 1),
+             tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                 CAST(sum(c2) AS BIGINT) AS t2 FROM times),
+             r AS (SELECT t, d1, d2,
+                 t1 - COALESCE(sum(c1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n1,
+                 t2 - COALESCE(sum(c2) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n2
+               FROM times CROSS JOIN tot),
+             q AS (SELECT d1, d2, n1, n2, d1 + d2 AS d,
+                 n1 + n2 AS n FROM r WHERE d1 + d2 > 0),
+             terms AS (SELECT d1, d2,
+                 d1 * 1000000 - (d * n1 * 1000000 // n) AS e_q,
+                 CASE WHEN n > 1 THEN
+                   (((d * n1 * 1000000 // n) * n2) // n) * (n - d)
+                     // (n - 1)
+                 ELSE 0 END AS v_q
+               FROM q),
+             s AS (SELECT CAST(sum(e_q) AS BIGINT) AS se,
+                 CAST(sum(v_q) AS BIGINT) AS sv,
+                 CAST(sum(d1) AS BIGINT) AS o1,
+                 CAST(sum(d2) AS BIGINT) AS o2 FROM terms),
+             f AS (SELECT t1, t2, o1, o2,
+                 round((CAST(se AS DOUBLE) / 1000000.0) *
+                   (CAST(se AS DOUBLE) / 1000000.0) /
+                   (CAST(sv AS DOUBLE) / 1000000.0), 6) AS chi2
+               FROM s CROSS JOIN tot)
+        SELECT t1 AS n1, t2 AS n2, o1 AS events1, o2 AS events2,
+               chi2, CAST(chi2 >= 3.841459 AS BIGINT) AS significant
+        FROM f"""))
 
   /** DETERMINISTIC POISSON BOOTSTRAP ([[graft.ops.Experiment
     * .poissonBootstrapCi]]): 40 one-pass resamples of the mean order

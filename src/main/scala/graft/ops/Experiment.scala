@@ -221,6 +221,124 @@ object Experiment {
       .orderBy(col("treated"), col("post"))
   }
 
+  /** DELETE-ONE-GROUP JACKKNIFE for the DIFFERENCE of two ratio
+    * metrics Δ = Σn₁/Σd₁ - Σn₀/Σd₀ — the correct A/B read for ratio
+    * metrics under clustering (users, sessions, suppliers): both
+    * variants' sums drop together when a group is deleted, so the
+    * replicate captures the within-group covariance a per-variant
+    * jackknife would miss. Same exact-decimal / quantize-before-
+    * variance machinery as [[jackknifeRatio]]; variants are the two
+    * distinct values of `variant` in ascending order (Δ = high -
+    * low). Emits one row: g_groups, delta, delta_jk, se_jk.
+    */
+  def jackknifeRatioDiff(df: DataFrame, variant: Column,
+      group: Column, num: Column, den: Column): DataFrame = {
+    val vs = df.select(variant.cast("string").as("v")).distinct()
+      .orderBy(col("v")).limit(3).collect().map(_.getString(0))
+    require(vs.length == 2,
+      s"jackknifeRatioDiff: need exactly 2 variants, got ${vs.toSeq}")
+    val (v0, v1) = (vs(0), vs(1))
+    def vsum(v: String, c: Column) =
+      sum(when(variant.cast("string") === v, c).otherwise(lit(0.0))
+        .cast("decimal(25,6)"))
+    val g1 = df.groupBy(group.as("g")).agg(
+      vsum(v0, num).as("sn0"), vsum(v0, den).as("sd0"),
+      vsum(v1, num).as("sn1"), vsum(v1, den).as("sd1"))
+    val tot = g1.agg(sum(col("sn0")).as("tn0"),
+      sum(col("sd0")).as("td0"), sum(col("sn1")).as("tn1"),
+      sum(col("sd1")).as("td1"), count(lit(1)).as("gcnt"))
+    val reps = g1.crossJoin(broadcast(tot))
+      .withColumn("__di",
+        (col("tn1") - col("sn1")).cast("double") /
+          (col("td1") - col("sd1")).cast("double") -
+        (col("tn0") - col("sn0")).cast("double") /
+          (col("td0") - col("sd0")).cast("double"))
+      .withColumn("__qi",
+        floor(col("__di") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .agg(sum(col("__qi")).as("sq"),
+        sum((col("__qi") * col("__qi")).cast("decimal(38,0)"))
+          .as("sqq"))
+    reps.crossJoin(broadcast(tot))
+      .withColumn("__g", col("gcnt").cast("double"))
+      .withColumn("__delta",
+        col("tn1").cast("double") / col("td1").cast("double") -
+          col("tn0").cast("double") / col("td0").cast("double"))
+      .withColumn("__dbar",
+        col("sq").cast("double") / col("__g") / lit(1000000.0))
+      .withColumn("__ss",
+        col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double") /
+            col("__g"))
+      .select(col("gcnt").as("g_groups"),
+        round(col("__delta"), 6).as("delta"),
+        round(col("__g") * col("__delta") -
+          (col("__g") - lit(1.0)) * col("__dbar"), 6)
+          .as("delta_jk"),
+        round(
+          sqrt((col("__g") - lit(1.0)) / col("__g") * col("__ss")) /
+            lit(1000000.0), 6).as("se_jk"))
+  }
+
+  /** LOG-RANK TEST (Mantel 1966) — the standard two-group survival
+    * comparison: at each pooled event time, observed vs expected
+    * events in group 1 under the pooled-risk-set null, summed into
+    * the chi-square statistic (df 1). Risk sets are exact integers
+    * (the KM machinery per group); each time's expectation and
+    * variance term quantizes through FIXED-ORDER integer floor
+    * divisions (d·n₁·10⁶ div n, then the hypergeometric variance as
+    * a division chain — every intermediate fits int64 through ~10⁶
+    * subjects per group), so both sums are exact longs and the
+    * statistic is one fixed-order double expression. One grouped
+    * count + one bounded window over DISTINCT durations (the q245
+    * rule). Emits one row: n1, n2, events1, events2, chi2,
+    * significant (5%).
+    */
+  def logRank(df: DataFrame, duration: Column, event: Column,
+      group: Column): DataFrame = {
+    val base = df.where(duration.isNotNull)
+      .select(duration.cast("long").as("t"),
+        event.cast("long").as("e"), group.cast("string").as("g"))
+    val gs = base.select(col("g")).distinct().orderBy(col("g"))
+      .limit(3).collect().map(_.getString(0))
+    require(gs.length == 2,
+      s"logRank: need exactly 2 groups, got ${gs.toSeq}")
+    val (ga, gb) = (gs(0), gs(1))
+    val times = base.groupBy(col("t")).agg(
+      sum(when(col("g") === ga, col("e")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === gb, col("e")).otherwise(0L)).as("d2"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("c2"))
+    val tot = times.agg(sum(col("c1")).as("t1"),
+      sum(col("c2")).as("t2"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy(pmod(col("t"), lit(1)))
+      .orderBy(col("t")).rowsBetween(Long.MinValue, -1)
+    val r = times.crossJoin(broadcast(tot))
+      .withColumn("n1",
+        col("t1") - coalesce(sum(col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n2",
+        col("t2") - coalesce(sum(col("c2")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .where(col("d") > 0)
+      .withColumn("e_q", col("d1") * lit(1000000L) -
+        expr("d * n1 * 1000000 div n"))
+      .withColumn("v_q", when(col("n") > 1,
+        expr("(((d * n1 * 1000000 div n) * n2) div n) * (n - d) " +
+          "div (n - 1)")).otherwise(lit(0L)))
+    val s = r.agg(sum(col("e_q")).as("se"), sum(col("v_q")).as("sv"),
+      sum(col("d1")).as("o1"), sum(col("d2")).as("o2"))
+    val seD = col("se").cast("double") / lit(1000000.0)
+    val svD = col("sv").cast("double") / lit(1000000.0)
+    s.crossJoin(broadcast(tot))
+      .withColumn("chi2", round(seD * seD / svD, 6))
+      .select(col("t1").as("n1"), col("t2").as("n2"),
+        col("o1").as("events1"), col("o2").as("events2"),
+        col("chi2"),
+        (col("chi2") >= lit(3.841459)).cast("long")
+          .as("significant"))
+  }
+
   /** DETERMINISTIC POISSON BOOTSTRAP CI (Chamandy et al. 2012 — the
     * industry-standard resampling at scale: each row appears
     * Poisson(1) times per resample, so resamples stream in ONE pass

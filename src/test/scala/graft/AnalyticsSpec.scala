@@ -399,6 +399,41 @@ class AnalyticsSpec extends SparkSuite {
       s"se ${r.getDouble(3)} vs $expSe")
   }
 
+  test("jackknifeRatioDiff: hand-computed paired replicates " +
+      "(delta 2/7, replicates 4 and 0 -> se exactly 2.0)") {
+    import graft.ops.Experiment
+    // v0: g1 (10,2), g2 (30,5); v1: g1 (20,4), g2 (10,1)
+    // LOO g1: 10/1 - 30/5 = 4; LOO g2: 20/4 - 10/2 = 0
+    val df = Seq(("0", 1, 10.0, 2.0), ("0", 2, 30.0, 5.0),
+      ("1", 1, 20.0, 4.0), ("1", 2, 10.0, 1.0))
+      .toDF("v", "g", "n", "d")
+    val r = Experiment.jackknifeRatioDiff(df, col("v"), col("g"),
+      col("n"), col("d")).collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 0.285714, s"delta ${r.getDouble(1)}")
+    assert(r.getDouble(2) == -1.428571, s"jk ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.0, s"se ${r.getDouble(3)}")
+  }
+
+  test("logRank: perfectly balanced groups give chi2 0; complete " +
+      "separation hand-computes to 3.000003 (quantized 3.0)") {
+    import graft.ops.Experiment
+    val bal = Seq((1L, 1L, "a"), (2L, 1L, "a"), (1L, 1L, "b"),
+      (2L, 1L, "b")).toDF("dur", "ev", "g")
+    val rb = Experiment.logRank(bal, col("dur"), col("ev"),
+      col("g")).collect().head
+    assert(rb.getDouble(4) == 0.0 && rb.getLong(5) == 0L, s"$rb")
+    // a dies at t=1 (both), b censored at t=5: V = 1/3, chi2 = 3
+    val sep = Seq((1L, 1L, "a"), (1L, 1L, "a"), (5L, 0L, "b"),
+      (5L, 0L, "b")).toDF("dur", "ev", "g")
+    val rs = Experiment.logRank(sep, col("dur"), col("ev"),
+      col("g")).collect().head
+    assert(rs.getLong(0) == 2L && rs.getLong(1) == 2L)
+    assert(rs.getLong(2) == 2L && rs.getLong(3) == 0L)
+    assert(rs.getDouble(4) == 3.000003, s"chi2 ${rs.getDouble(4)}")
+    assert(rs.getLong(5) == 0L)
+  }
+
   test("maxDrawdown: peak-to-trough hand case; earliest-time " +
       "tiebreak on equal drawdowns") {
     import graft.functions.Stats
