@@ -479,6 +479,62 @@ object QueriesML {
                  / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         FROM s GROUP BY 1 ORDER BY bin"""))
 
+  /** ISOTONIC CALIBRATION ([[graft.functions.Tabular.isotonicFit]])
+    * over ten score bins with PLANTED monotonicity violations
+    * (threshold law 10,20,15,25,30,28,40,50,45,60 per mille-of-100 —
+    * bins 2, 5 and 8 dip below their predecessors, so the pool-
+    * adjacent machinery demonstrably pools): the minimax closed form
+    * in pure integer ppm, fitted rates monotone by construction.
+    * The q243 reliability table's corrective sibling.
+    */
+  private val q290_isotonic: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val binned = o.select(
+          (col("o_custkey") % 10).cast("long").as("bin"),
+          ((col("o_custkey") * 7919) % 100 <
+            expr("""CASE o_custkey % 10 WHEN 0 THEN 10
+              WHEN 1 THEN 20 WHEN 2 THEN 15 WHEN 3 THEN 25
+              WHEN 4 THEN 30 WHEN 5 THEN 28 WHEN 6 THEN 40
+              WHEN 7 THEN 50 WHEN 8 THEN 45 ELSE 60 END"""))
+            .cast("long").as("t"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("events"))
+      graft.functions.Tabular.isotonicFit(binned, "bin", "events",
+          "n")
+        .orderBy(col("bin"))
+    },
+    Some("""WITH s AS (SELECT o_custkey % 10 AS bin,
+                 CAST((o_custkey * 7919) % 100 <
+                   CASE o_custkey % 10 WHEN 0 THEN 10
+                     WHEN 1 THEN 20 WHEN 2 THEN 15 WHEN 3 THEN 25
+                     WHEN 4 THEN 30 WHEN 5 THEN 28 WHEN 6 THEN 40
+                     WHEN 7 THEN 50 WHEN 8 THEN 45 ELSE 60 END
+                   AS BIGINT) AS t
+               FROM orders),
+             b AS (SELECT bin, CAST(count(*) AS BIGINT) AS cn,
+                 CAST(sum(t) AS BIGINT) AS e
+               FROM s GROUP BY 1),
+             p AS (SELECT bin AS i, e, cn,
+                 CAST(sum(e) OVER w AS BIGINT) AS ce,
+                 CAST(sum(cn) OVER w AS BIGINT) AS cnn
+               FROM b
+               WINDOW w AS (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             iv AS (SELECT j.i AS j, k.i AS k,
+                 (k.ce - (j.ce - j.e)) * 1000000 //
+                   (k.cnn - (j.cnn - j.cn)) AS aq
+               FROM p j JOIN p k ON j.i <= k.i),
+             mk AS (SELECT g.i, iv.j, min(aq) AS mn
+               FROM iv JOIN p g ON iv.j <= g.i AND g.i <= iv.k
+               GROUP BY 1, 2),
+             f AS (SELECT i, CAST(max(mn) AS BIGINT) AS fitted_ppm
+               FROM mk GROUP BY 1)
+        SELECT p.i AS bin, p.cn AS n, p.e AS events,
+               CAST(p.e * 1000000 // p.cn AS BIGINT) AS obs_ppm,
+               f.fitted_ppm
+        FROM p JOIN f ON p.i = f.i ORDER BY bin"""))
+
   /** Population stability index
     * ([[graft.functions.Tabular.psi]]) between pre- and post-1999
     * order cohorts over priority bins — the tabular drift gate
@@ -530,6 +586,7 @@ object QueriesML {
     "q241_target_encoding" -> q241_target_encoding,
     "q242_woe_iv" -> q242_woe_iv,
     "q243_calibration" -> q243_calibration,
+    "q290_isotonic" -> q290_isotonic,
     "q244_psi" -> q244_psi,
     "q152_marginal_effects" -> q152_marginal_effects,
     "q206_marginal_sketch" -> q206_marginal_sketch,

@@ -166,6 +166,55 @@ object Tabular {
         col("n"), col("__p.cov").as("cov"), col("__p.corr").as("corr"))
   }
 
+  /** ISOTONIC CALIBRATION FIT (PAVA's minimax closed form; Ayer et
+    * al. 1955): the weighted monotone regression of per-bin observed
+    * rates, fitted_i = max_{j<=i} min_{k>=i} rate(j..k) over pooled
+    * intervals — the calibration map isotonic regression is the
+    * standard for (Zadrozny & Elkan 2002). Interval rates come from
+    * exact prefix sums and quantize by INTEGER floor division to
+    * ppm, so the minimax — and therefore every fitted value — is
+    * pure int64 arithmetic. Bins are the bounded analysis dimension
+    * (guarded): the B³ interval lattice is driver-free relational
+    * algebra over O(B²) rows, while data volume enters only the
+    * upstream bin aggregate. Input is one row per ordered bin;
+    * emits (ord, n, events, obs_ppm, fitted_ppm) with fitted_ppm
+    * monotone by construction.
+    */
+  def isotonicFit(binned: DataFrame, ord: String, events: String,
+      n: String, maxBins: Int = 4096): DataFrame = {
+    val nb = binned.count()
+    require(nb >= 1 && nb <= maxBins,
+      s"isotonicFit: $nb bins (max $maxBins) — bins are the bounded" +
+        " analysis dimension")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W
+      .partitionBy(graft.ops.ScanOps.pinnedZero(col("i")))
+      .orderBy(col("i"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val p = binned.select(col(ord).cast("long").as("i"),
+        col(events).cast("long").as("e"), col(n).cast("long").as("cn"))
+      .withColumn("ce", sum(col("e")).over(w))
+      .withColumn("cnn", sum(col("cn")).over(w))
+    val js = p.select(col("i").as("j"),
+      (col("ce") - col("e")).as("ej0"),
+      (col("cnn") - col("cn")).as("nj0"))
+    val ks = p.select(col("i").as("k"), col("ce").as("ek"),
+      col("cnn").as("nk"))
+    val iv = js.crossJoin(ks).where(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(ek - ej0) * 1000000 div (nk - nj0)").as("aq"))
+    val grid = p.select(col("i"))
+    val minK = iv.join(grid,
+        iv("j") <= grid("i") && grid("i") <= iv("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("aq")).as("mn"))
+    val fit = minK.groupBy(col("i")).agg(max(col("mn"))
+      .as("fitted_ppm"))
+    p.join(fit, Seq("i"))
+      .select(col("i").as(ord), col("cn").as(n),
+        col("e").as(events),
+        expr("e * 1000000 div cn").as("obs_ppm"), col("fitted_ppm"))
+  }
+
   /** 2-D MAHALANOBIS outlier distance — the covariance-aware
     * generalization of a z-score: d² = Δᵀ Σ⁻¹ Δ with the 2×2 sample
     * covariance inverted in CLOSED FORM (no solver, no collect of

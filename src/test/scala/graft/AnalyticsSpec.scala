@@ -488,6 +488,27 @@ class AnalyticsSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("isotonicFit: PAVA hand case pools the violator pair " +
+      "(weighted), leaves monotone tails untouched") {
+    import graft.functions.Tabular
+    // rates 1, 0, 1 with weights 1, 3, 1 -> pool bins 0-1 to 1/4
+    val b = Seq((0L, 1L, 1L), (1L, 0L, 3L), (2L, 1L, 1L))
+      .toDF("bin", "events", "n")
+    val got = Tabular.isotonicFit(b, "bin", "events", "n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(0L -> ((1000000L, 250000L)),
+      1L -> ((0L, 250000L)), 2L -> ((1000000L, 1000000L))),
+      s"got $got")
+    // already monotone input is a fixed point
+    val mono = Seq((0L, 1L, 10L), (1L, 5L, 10L), (2L, 9L, 10L))
+      .toDF("bin", "events", "n")
+    val fix = Tabular.isotonicFit(mono, "bin", "events", "n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(fix.forall { case (_, (o, f)) => o == f }, s"got $fix")
+  }
+
   test("mahalanobis2d: hand-computed distances on an axis-aligned " +
       "cross (corners 2.0, center 0.0)") {
     import graft.functions.Tabular
