@@ -619,6 +619,7 @@ object QueriesAgg {
     "q286_bootstrap" -> q286_bootstrap,
     "q288_jackknife_diff" -> q288_jackknife_diff,
     "q289_logrank" -> q289_logrank,
+    "q292_km_grouped" -> q292_km_grouped,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2055,6 +2056,64 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** GROUPED KAPLAN-MEIER ([[graft.ops.Experiment.kaplanMeierBy]]):
+    * the q245 churn curve PER MARKET SEGMENT in one pass — the
+    * per-cohort retention read (no per-group loop; windows
+    * partition by segment over distinct durations). DuckDB's
+    * ln(0) = -inf naturally zeroes extinct segments, matching the
+    * explicit extinction guard.
+    */
+  private val q292_km_grouped: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val mx = per.agg(max(col("last_d")).as("maxd"))
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val subj = per
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mx))
+        .select(col("seg"),
+          expr("datediff(last_d, first_d)").cast("long")
+            .as("duration"),
+          (expr("datediff(maxd, last_d)") > 360).cast("long")
+            .as("event"))
+      graft.ops.Experiment.kaplanMeierBy(subj, "seg",
+          col("duration"), col("event"))
+        .orderBy(col("seg"), col("t"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT c_mktsegment AS seg,
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS duration,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS event
+               FROM per JOIN customer ON o_custkey = c_custkey
+               CROSS JOIN mx),
+             times AS (SELECT seg, duration AS t,
+                 CAST(sum(event) AS BIGINT) AS d,
+                 count(*) AS c
+               FROM subj GROUP BY 1, 2),
+             tot AS (SELECT seg, CAST(sum(c) AS BIGINT) AS n
+               FROM times GROUP BY 1),
+             r AS (SELECT times.seg, t, d, c, n,
+                 n - COALESCE(sum(c) OVER (PARTITION BY times.seg
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+               FROM times JOIN tot ON times.seg = tot.seg)
+        SELECT seg, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE))) OVER (PARTITION BY seg
+                   ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+                 AS survival
+        FROM r ORDER BY seg, t"""))
 
   /** Clustered A/B for a RATIO metric ([[graft.ops.Experiment
     * .jackknifeRatioDiff]]): Δ = revenue-per-unit(odd parts) -

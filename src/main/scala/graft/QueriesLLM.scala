@@ -1747,6 +1747,93 @@ object QueriesLLM {
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         ORDER BY score DESC, doc_id LIMIT 25"""))
 
+  /** URL CANONICALIZATION dedup keys ([[graft.llmdata.TextAnalysis
+    * .canonicalizeUrl]]): deterministic crawl-shaped URLs planted
+    * per document (case variants every 3rd, default :80 every 5th,
+    * path-final slash every 2nd, utm_ tracking param every 4th,
+    * fragment every 7th) collapse to one canonical form per
+    * (host, item, ref) triple — the URL-level dedup pass that runs
+    * BEFORE any content hashing, entirely in codegen'd RE2-safe
+    * regexp_replace chains the oracle replays rule for rule.
+    * n_dups counts the canonical group.
+    */
+  private val q293_url_canon: Q = (
+    (s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, lit("HTTP://WWW.EXAMPLE-"))
+          .otherwise(lit("http://www.example-")),
+        (id % 40).cast("string"),
+        when(id % 3 === 0, lit(".COM")).otherwise(lit(".com")),
+        when(id % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/articles/item-"), (id % 23).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        when(id % 4 === 0, lit("?utm_source=feed&ref="))
+          .otherwise(lit("?ref=")),
+        (id % 6).cast("string"),
+        when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
+      val withC = read(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical",
+          graft.llmdata.TextAnalysis.canonicalizeUrl(col("url")))
+      val groups = withC.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dups"))
+      withC.join(groups, Seq("canonical"))
+        .select(col("doc_id"), col("url"), col("canonical"),
+          col("n_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u0 AS (SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.EXAMPLE-'
+                       ELSE 'http://www.example-' END)
+                 || CAST(doc_id % 40 AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0 THEN '.COM'
+                          ELSE '.com' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+                 || '/articles/item-' || CAST(doc_id % 23 AS VARCHAR)
+                 || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0
+                          THEN '?utm_source=feed&ref='
+                          ELSE '?ref=' END)
+                 || CAST(doc_id % 6 AS VARCHAR)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+                   AS url
+               FROM documents WHERE text IS NOT NULL),
+             s1 AS (SELECT doc_id, url,
+                 regexp_replace(url, '#.*$', '') AS c FROM u0),
+             s2 AS (SELECT doc_id, url,
+                 regexp_replace(c, '&utm_[^&]*', '', 'g') AS c
+               FROM s1),
+             s3 AS (SELECT doc_id, url,
+                 regexp_replace(c, '\?utm_[^&]*&', '?') AS c
+               FROM s2),
+             s4 AS (SELECT doc_id, url,
+                 regexp_replace(c, '\?utm_[^&]*$', '') AS c
+               FROM s3),
+             s5 AS (SELECT doc_id, url,
+                 lower(regexp_extract(c, '^([^/]*//[^/?]*)', 1)) ||
+                 regexp_replace(c, '^[^/]*//[^/?]*', '') AS c
+               FROM s4),
+             s6 AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(c,
+                     '^(http://[^/:?]*):80([/?])', '\1\2'),
+                     '^(http://[^/:?]*):80$', '\1'),
+                     '^(https://[^/:?]*):443([/?])', '\1\2'),
+                     '^(https://[^/:?]*):443$', '\1') AS c
+               FROM s5),
+             s7 AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(c, '/\?', '?', 'g'),
+                   '([^/])/$', '\1') AS canonical
+               FROM s6),
+             g AS (SELECT canonical, CAST(count(*) AS BIGINT)
+                 AS n_dups
+               FROM s7 GROUP BY 1)
+        SELECT doc_id, url, s7.canonical, n_dups
+        FROM s7 JOIN g ON s7.canonical = g.canonical
+        ORDER BY doc_id"""))
+
   /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
     * over the integer term-frequency shortlist: relevance = total
     * query-term hits normalized to ppm of the shortlist max,
@@ -4107,6 +4194,7 @@ object QueriesLLM {
     "q70_hash_sample" -> q70_hash_sample,
     "q284_ipf_raking" -> q284_ipf_raking,
     "q285_mmr" -> q285_mmr,
+    "q293_url_canon" -> q293_url_canon,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
     "q119_dsir_weights" -> q119_dsir_weights,

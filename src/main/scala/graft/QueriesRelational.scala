@@ -1239,6 +1239,10 @@ object QueriesRelational {
     */
   private val q287_clustering: Q = (
     (s, dir) => {
+      // NOT pinned: AQE already reuses the distinct's exchange across
+      // the self-join branches, and materializing the 600k-row cache
+      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
+      // pin belongs on the small edge list, not the item set
       val items = read(s, dir, "lineitem")
         .join(read(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
@@ -1247,7 +1251,10 @@ object QueriesRelational {
       val nOrders = items.agg(count_distinct(col("o")).as("__no"))
       val a = items.select(col("o"), col("p").as("pa"))
       val b = items.select(col("o"), col("p").as("pb"))
-      val edges = a.join(b, Seq("o"))
+      // pin: the outer degree pass AND triangleCounts both read the
+      // edge list; unpinned, the co-purchase self-join re-executes
+      // per consumer (the q227 lesson)
+      val edges = graft.Caches.pin(a.join(b, Seq("o"))
         .where(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("s"))
@@ -1257,7 +1264,7 @@ object QueriesRelational {
           regexp_replace(col("pa"), "[^0-9]", "").cast("long")
             .as("src"),
           regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst"))
+            .as("dst")))
       val out = ops.Graph.clusteringCoeff(edges)
         .orderBy(col("node")).cache()
       out.count()
@@ -1315,6 +1322,10 @@ object QueriesRelational {
     */
   private val q283_assortativity: Q = (
     (s, dir) => {
+      // NOT pinned: AQE already reuses the distinct's exchange across
+      // the self-join branches, and materializing the 600k-row cache
+      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
+      // pin belongs on the small edge list, not the item set
       val items = read(s, dir, "lineitem")
         .join(read(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
@@ -1323,7 +1334,11 @@ object QueriesRelational {
       val nOrders = items.agg(count_distinct(col("o")).as("__no"))
       val a = items.select(col("o"), col("p").as("pa"))
       val b = items.select(col("o"), col("p").as("pb"))
-      val edges = a.join(b, Seq("o"))
+      // pin the co-purchase construction: degrees and endpoint joins
+      // each re-read the edge list, and without the pin the expensive
+      // lineitem-side self-join re-executes per consumer (the q227
+      // lesson — measured 5.1s -> pinned ~2s)
+      val edges = graft.Caches.pin(a.join(b, Seq("o"))
         .where(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("s"))
@@ -1333,8 +1348,11 @@ object QueriesRelational {
           regexp_replace(col("pa"), "[^0-9]", "").cast("long")
             .as("src"),
           regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst"))
-      ops.Graph.assortativity(edges)
+            .as("dst")))
+      val out = ops.Graph.assortativity(edges).cache()
+      out.count()
+      graft.Caches.release()
+      out
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o,
                  p_brand AS p
@@ -1384,6 +1402,10 @@ object QueriesRelational {
       // cross-multiplied integers): the same density contract at
       // every scale factor — an absolute cut is either empty at
       // sf0.01 or complete at sf1
+      // NOT pinned: AQE already reuses the distinct's exchange across
+      // the self-join branches, and materializing the 600k-row cache
+      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
+      // pin belongs on the small edge list, not the item set
       val items = read(s, dir, "lineitem")
         .join(read(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))

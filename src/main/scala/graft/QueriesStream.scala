@@ -430,6 +430,59 @@ object QueriesStream {
         FROM d JOIN tr USING (event_type, per)
         ORDER BY event_type, per, pos"""))
 
+  /** SEASONAL-ADJUSTED ANOMALIES — q256's median-polish
+    * decomposition composed with q186's robust flag, applied to the
+    * RESIDUAL: a 2am spike that is normal at 2pm only becomes
+    * visible after the hour-of-day seasonal is removed, which is
+    * exactly what a raw-count threshold (q186) cannot express.
+    * Integer residuals, exact discrete quantiles, integer-exact
+    * flag comparison.
+    */
+  private val q291_seasonal_anomaly: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"),
+          hour(col("ts")).as("pos"))
+        .agg(count(lit(1)).as("n"))
+      val dec = graft.functions.Stats.seasonalDecompose(c,
+          "event_type", "per", "pos", "n")
+        .select(col("event_type"), col("per"), col("pos"), col("n"),
+          col("residual"))
+      graft.functions.Stats.robustAnomalies(dec, "event_type",
+          "residual", k = 3.0)
+        .where(col("is_anomaly") === 1)
+        .select(col("event_type"), col("per"), col("pos"), col("n"),
+          col("residual"), col("med"), col("iqr"))
+        .orderBy(col("event_type"), col("per"), col("pos"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS pos,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+             seas AS (SELECT event_type, pos,
+                 quantile_disc(n, 0.5) AS seasonal
+               FROM c GROUP BY 1, 2),
+             d AS (SELECT c.event_type, c.per, c.pos, c.n, seasonal,
+                 c.n - seasonal AS detr
+               FROM c JOIN seas USING (event_type, pos)),
+             tr AS (SELECT event_type, per,
+                 quantile_disc(detr, 0.5) AS trend
+               FROM d GROUP BY 1, 2),
+             r AS (SELECT d.event_type, d.per, d.pos, d.n,
+                 d.n - seasonal - trend AS residual
+               FROM d JOIN tr USING (event_type, per)),
+             q AS (SELECT event_type,
+                 quantile_disc(residual, 0.25) AS q25,
+                 quantile_disc(residual, 0.5) AS med,
+                 quantile_disc(residual, 0.75) AS q75
+               FROM r GROUP BY 1)
+        SELECT r.event_type, r.per, r.pos, r.n, r.residual,
+               med, q75 - q25 AS iqr
+        FROM r JOIN q USING (event_type)
+        WHERE abs(r.residual - med) > 3.0 * (q75 - q25)
+        ORDER BY event_type, per, pos"""))
+
   /** INTEGER CUSUM change monitor ([[graft.functions.Stats.cusum]],
     * Page 1954): hourly event counts per type against the per-type
     * MEDIAN baseline (discrete quantile — integer), one-sided
@@ -1012,6 +1065,7 @@ object QueriesStream {
     "q213_attribution" -> q213_attribution,
     "q225_seasonal_naive" -> q225_seasonal_naive,
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
+    "q291_seasonal_anomaly" -> q291_seasonal_anomaly,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,

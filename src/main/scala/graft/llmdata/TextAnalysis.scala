@@ -240,6 +240,39 @@ object TextAnalysis {
       email, "<EMAIL>"), url, "<URL>"), digits, "<NUMBER>")
   }
 
+  /** URL CANONICALIZATION — the key function of URL-level corpus
+    * dedup (a crawl stores the same page under case variants,
+    * default ports, tracking params, fragments, and trailing
+    * slashes; canonical-URL grouping removes them before any
+    * content-level pass runs). Fixed rule order: (1) strip the
+    * fragment; (2) strip utm_* tracking params (mid, leading-kept,
+    * leading-only); (3) lowercase scheme://host[:port] — the path
+    * and query stay case-sensitive per RFC 3986; (4) strip default
+    * ports :80/:443; (5) drop the path-final slash (before the query
+    * and at end). All patterns RE2-compatible (no lookaround), all
+    * codegen'd regexp_replace/extract — no UDF in the scan path.
+    * Query-param SORTING is deliberately out of scope (it reorders
+    * semantics for some sites; callers wanting it should split
+    * params explicitly).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val c1 = regexp_replace(u, "#.*$", "")
+    val c2 = regexp_replace(c1, "&utm_[^&]*", "")
+    val c3 = regexp_replace(c2, "\\?utm_[^&]*&", "?")
+    val c4 = regexp_replace(c3, "\\?utm_[^&]*$", "")
+    val c5 = concat(
+      lower(regexp_extract(c4, "^([^/]*//[^/?]*)", 1)),
+      regexp_replace(c4, "^[^/]*//[^/?]*", ""))
+    val c6 = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c5,
+        "^(http://[^/:?]*):80([/?])", "$1$2"),
+        "^(http://[^/:?]*):80$", "$1"),
+        "^(https://[^/:?]*):443([/?])", "$1$2"),
+        "^(https://[^/:?]*):443$", "$1")
+    regexp_replace(regexp_replace(c6, "/\\?", "?"),
+      "([^/])/$", "$1")
+  }
+
   /** Repetition ratio (a Gopher-style quality signal): fraction of
     * word n-gram positions that repeat an earlier n-gram —
     * 1 - distinct/total. High values flag boilerplate/spam.

@@ -141,6 +141,38 @@ object Experiment {
       .select(col("t"), col("n_risk"), col("d"), col("survival"))
   }
 
+  /** GROUPED KAPLAN-MEIER — [[kaplanMeier]] per group (the
+    * per-cohort retention-curve read: one survival trajectory per
+    * signup month / plan / segment, computed in ONE pass instead of
+    * a per-group loop). Identical exact risk-set arithmetic,
+    * extinction guard, and deterministic running-ln trajectory;
+    * windows partition by (group) over DISTINCT durations — bounded
+    * by group cardinality x time resolution (the q245 rule). Emits
+    * (grp, t, n_risk, d, survival).
+    */
+  def kaplanMeierBy(df: DataFrame, grp: String, duration: Column,
+      event: Column): DataFrame = {
+    val times = df
+      .where(duration.isNotNull)
+      .groupBy(col(grp), duration.cast("long").as("t"))
+      .agg(sum(event.cast("long")).as("d"), count(lit(1)).as("c"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(grp)).orderBy(col("t"))
+    val wPrev = wOrd.rowsBetween(Long.MinValue, -1)
+    val total = times.groupBy(col(grp)).agg(sum(col("c")).as("__n"))
+    times.join(broadcast(total), Seq(grp))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("__extinct", max(
+        when(col("d") === col("n_risk"), 1).otherwise(0)).over(wOrd))
+      .withColumn("survival", when(col("__extinct") === 1, lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).over(wOrd)), 6)))
+      .select(col(grp), col("t"), col("n_risk"), col("d"),
+        col("survival"))
+  }
+
   /** NELSON-AALEN cumulative hazard (Nelson 1972; Aalen 1978) —
     * [[kaplanMeier]]'s sibling: H(t) = Σ_{i<=t} d_i/n_i over the
     * time-ordered distinct durations, the estimator of cumulative

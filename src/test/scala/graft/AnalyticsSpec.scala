@@ -415,6 +415,51 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(3) == 2.0, s"se ${r.getDouble(3)}")
   }
 
+  test("kaplanMeierBy: per-group curves match single-group KM run " +
+      "per slice; extinction zeroes only its own group") {
+    import graft.ops.Experiment
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 0L), ("a", 3L, 1L),
+      // b goes extinct at t=2 (both remaining fail)
+      ("b", 1L, 1L), ("b", 2L, 1L), ("b", 2L, 1L))
+      .toDF("g", "dur", "ev")
+    val got = Experiment.kaplanMeierBy(df, "g", col("dur"),
+        col("ev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // group a alone: t=1 S=2/3; t=2 censored S=2/3; t=3 S=0 (1/1
+    // fails -> extinction at the last point)
+    for (g <- Seq("a", "b")) {
+      val single = Experiment.kaplanMeier(
+        df.where(col("g") === g), col("dur"), col("ev"))
+        .collect().map(r => (g, r.getLong(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      single.foreach { case (k, v) =>
+        assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+    }
+    assert(got(("b", 2L))._3 == 0.0 && got(("a", 2L))._3 != 0.0,
+      s"extinction must stay within group b: $got")
+  }
+
+  test("canonicalizeUrl: each rule fires (fragment, utm, case, " +
+      "default port, trailing slash) and non-targets pass through") {
+    import graft.llmdata.TextAnalysis.canonicalizeUrl
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&ref=2#frag",
+        "http://www.ex.com/A/b?ref=2"),
+      ("https://h.com:443/p?utm_only=1", "https://h.com/p"),
+      ("http://h.com/p/", "http://h.com/p"),
+      ("http://h.com/p?a=1&utm_campaign=z", "http://h.com/p?a=1"),
+      // path case preserved; non-default port kept; no-op URL stable
+      ("http://h.com:8080/Path?q=1", "http://h.com:8080/Path?q=1"))
+    val df = cases.map(_._1).toDF("u")
+      .withColumn("c", canonicalizeUrl(col("u")))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    cases.foreach { case (u, exp) =>
+      assert(got(u) == exp, s"$u -> ${got(u)} (want $exp)") }
+  }
+
   test("logRank: perfectly balanced groups give chi2 0; complete " +
       "separation hand-computes to 3.000003 (quantized 3.0)") {
     import graft.ops.Experiment
