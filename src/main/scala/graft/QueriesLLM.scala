@@ -2726,6 +2726,83 @@ object QueriesLLM {
                       ELSE -1 END
             ORDER BY o_orderkey"""))
 
+  /** Efraimidis-Spirakis WEIGHTED sample WITHOUT replacement
+    * ([[graft.llmdata.Sampling.weightedSampleNoReplacement]]):
+    * top-50 documents by the deterministic key ln(u)/n_chars —
+    * longer documents proportionally likelier, no draw-and-remove
+    * loop, one TakeOrdered pass; the selected set replays exactly.
+    */
+  private val q294_es_sample: Q = (
+    (s, dir) => Sampling.weightedSampleNoReplacement(
+        read(s, dir, "documents")
+          .where(col("n_chars") > 0),
+        "doc_id", col("n_chars"), k = 50)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("__es_key"), 6).as("es_key"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+            FROM (SELECT doc_id, n_chars,
+                ln((((doc_id * 2654435761 + 42) % 1000000007)
+                  % 1000000 + 1) / 1000000.0)
+                  / CAST(n_chars AS DOUBLE) AS es_key
+              FROM documents WHERE n_chars > 0
+              ORDER BY es_key DESC, doc_id LIMIT 50)
+            ORDER BY doc_id"""))
+
+  /** DETERMINISTIC NEGATIVE SAMPLING ([[graft.llmdata.Sampling
+    * .negativeSamples]]): 4 contrastive negatives per anchor from
+    * the per-slot portable hash into the dense id space, anchor and
+    * positive excluded — the reproducible pair table contrastive
+    * embedding training needs; pure integer arithmetic, k-fold
+    * expansion in the scan projection.
+    */
+  private val q295_negatives: Q = (
+    (s, dir) => {
+      val d = read(s, dir, "documents").select(col("doc_id"))
+      val n1 = d.agg((max(col("doc_id")) + lit(1L)).as("nn"))
+      val withPos = d.crossJoin(broadcast(n1))
+        .select(col("doc_id"),
+          pmod(col("doc_id") + 1, col("nn")).as("pos"))
+      Sampling.negativeSamples(withPos, "doc_id", col("pos"), k = 4)
+        .orderBy(col("anchor"), col("slot"))
+    },
+    Some("""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+             base AS (SELECT doc_id AS anchor,
+                 (doc_id + 1) % n AS positive, n
+               FROM documents, nn),
+             ex AS (SELECT anchor, positive, s AS slot,
+                 (anchor * 2654435761 + (97 + s * 1000003)) % n
+                   AS negative
+               FROM base CROSS JOIN (SELECT s
+                 FROM range(1, 5) t(s)))
+        SELECT anchor, positive, CAST(slot AS INTEGER) AS slot,
+               negative
+        FROM ex
+        WHERE negative <> anchor AND negative <> positive
+        ORDER BY anchor, slot"""))
+
+  /** EXACT-count stratified sample ([[graft.llmdata.Sampling
+    * .exactStratifiedSample]]): exactly ceil(3/10 · n) documents
+    * per language — rank-based membership where the Bernoulli
+    * filter (q70) only hits the fraction in expectation; the pure
+    * integer keep test (rn-1)·10 < 3·n replays anywhere.
+    */
+  private val q296_exact_strata: Q = (
+    (s, dir) => Sampling.exactStratifiedSample(
+        read(s, dir, "documents").where(col("lang").isNotNull),
+        "doc_id", col("lang"), num = 3L, den = 10L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   ((doc_id * 2654435761 + 42) % 1000000007)
+                     % 1000000, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS ns
+               FROM documents WHERE lang IS NOT NULL)
+        SELECT doc_id, lang FROM r
+        WHERE (rn - 1) * 10 < 3 * ns
+        ORDER BY doc_id"""))
+
   /** IPF RAKING ([[graft.llmdata.Sampling.ipfWeights]]): calibrate a
     * 30% hash sample of customers so its weighted margins match the
     * FULL population on both market segment and nation at once —
@@ -4195,6 +4272,9 @@ object QueriesLLM {
     "q284_ipf_raking" -> q284_ipf_raking,
     "q285_mmr" -> q285_mmr,
     "q293_url_canon" -> q293_url_canon,
+    "q294_es_sample" -> q294_es_sample,
+    "q295_negatives" -> q295_negatives,
+    "q296_exact_strata" -> q296_exact_strata,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
     "q119_dsir_weights" -> q119_dsir_weights,

@@ -78,6 +78,79 @@ object Sampling {
     df.where(bucket(col(id), seed) < cut)
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis
+    * 2006): each row draws the deterministic uniform
+    * u = (bucket+1)/10⁶ from the portable id-hash and keeps key
+    * ln(u)/w — the top-k keys ARE a without-replacement sample with
+    * inclusion probability proportional to `weight`, in ONE pass
+    * with a TakeOrdered (no global sort, no sequential draw-and-
+    * remove). The float key computes from identical literals and
+    * ops on any engine, so the selected SET replays exactly.
+    * `weight` must be > 0 (caller filters).
+    */
+  def weightedSampleNoReplacement(df: DataFrame, id: String,
+      weight: Column, k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"weightedSampleNoReplacement: k $k")
+    val u = (bucket(col(id), seed) + lit(1L)).cast("double") /
+      lit(1000000.0)
+    df.withColumn("__es_key", log(u) / weight.cast("double"))
+      .orderBy(col("__es_key").desc, col(id))
+      .limit(k)
+  }
+
+  /** EXACT-count stratified sample: within each stratum, rank rows
+    * by the portable hash (then id) and keep the first
+    * ceil(num/den · n_stratum) — the sample hits the target
+    * fraction EXACTLY per stratum (a Bernoulli hash filter like
+    * [[stratifiedSample]] only hits it in expectation, which
+    * matters for small eval strata). The keep test is the pure
+    * integer inequality (rn-1)·den < num·n. One rank window per
+    * stratum; membership is deterministic and nested across seeds
+    * only per-stratum (same hash order).
+    */
+  def exactStratifiedSample(df: DataFrame, id: String,
+      stratum: Column, num: Long, den: Long,
+      seed: Long = 42L): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"exactStratifiedSample: $num/$den")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(stratum).orderBy(bucket(col(id), seed),
+      col(id))
+    val wc = W.partitionBy(stratum)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wc))
+      .where((col("__rn") - lit(1L)) * lit(den) <
+        lit(num) * col("__ns"))
+      .drop("__rn", "__ns")
+  }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training
+    * pairs: for every anchor id, k negatives drawn by the portable
+    * per-slot hash into the dense [0, n) id space, skipping the
+    * anchor itself and its positive — pure integer arithmetic, so
+    * the emitted (anchor, positive, negative, slot) table replays
+    * on any engine and is stable across re-runs (the property that
+    * makes contrastive training reproducible). One broadcast of the
+    * 1-row corpus size; the k-fold expansion happens in the scan
+    * projection, no shuffle.
+    */
+  def negativeSamples(df: DataFrame, id: String, positive: Column,
+      k: Int, seed: Long = 97L): DataFrame = {
+    require(k >= 1 && k <= 64, s"negativeSamples: k $k")
+    val n1 = df.agg((max(col(id)) + lit(1L)).as("__n"))
+    df.select(col(id).as("anchor"), positive.as("positive"))
+      .crossJoin(broadcast(n1))
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("negative",
+        pmod(col("anchor") * lit(2654435761L) +
+          (lit(seed) + col("slot").cast("long") * lit(1000003L)),
+          col("__n")))
+      .where(col("negative") =!= col("anchor") &&
+        col("negative") =!= col("positive"))
+      .select(col("anchor"), col("positive"), col("slot"),
+        col("negative"))
+  }
+
   /** ITERATIVE PROPORTIONAL FITTING (raking; Deming & Stephan 1940)
     * — calibrate sample weights so the weighted margins match
     * population targets on TWO categorical dimensions at once: the

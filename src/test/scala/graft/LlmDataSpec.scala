@@ -277,6 +277,58 @@ class LlmDataSpec extends SparkSuite {
     assert(got.map(_._1).toSet == exp)
   }
 
+  test("weightedSampleNoReplacement: selection equals the " +
+      "independently computed top-k ES keys; k >= n keeps all") {
+    import graft.llmdata.Sampling
+    val rows = (1L to 100L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSampleNoReplacement(df, "id",
+        col("w"), k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // independent computation of the same deterministic keys
+    def key(i: Long, w: Double): Double = {
+      val b = ((i * 2654435761L + 42L) % 1000000007L) % 1000000L
+      math.log((b + 1).toDouble / 1000000.0) / w
+    }
+    val exp = rows.map { case (i, w) => i -> key(i, w) }
+      .sortBy { case (i, k2) => (-k2, i) }.take(10).map(_._1).toSet
+    assert(got == exp, s"got $got vs $exp")
+    assert(Sampling.weightedSampleNoReplacement(df, "id", col("w"),
+      k = 500).count() == 100L)
+  }
+
+  test("exactStratifiedSample: per-stratum counts are exactly " +
+      "ceil(num/den * n)") {
+    import graft.llmdata.Sampling
+    val df = ((1L to 17L).map(i => (i, "a")) ++
+      (100L to 102L).map(i => (i, "b")) ++ Seq((200L, "c")))
+      .toDF("id", "s")
+    val got = Sampling.exactStratifiedSample(df, "id", col("s"),
+        num = 3L, den = 10L)
+      .groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ceil(0.3*17)=6, ceil(0.3*3)=1, ceil(0.3*1)=1
+    assert(got == Map("a" -> 6L, "b" -> 1L, "c" -> 1L), s"got $got")
+  }
+
+  test("negativeSamples: never emits the anchor or its positive; " +
+      "slots are deterministic across runs") {
+    import graft.llmdata.Sampling
+    val n = 37L
+    val df = (0L until n).map(i => (i, (i + 1) % n))
+      .toDF("id", "pos")
+    val a = Sampling.negativeSamples(df, "id", col("pos"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3)))
+    assert(a.forall { case (an, p, _, neg) => neg != an && neg != p },
+      "collision leaked")
+    assert(a.forall { case (_, _, _, neg) => neg >= 0 && neg < n })
+    val b = Sampling.negativeSamples(df, "id", col("pos"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3)))
+    assert(a.sorted.sameElements(b.sorted))
+  }
+
   test("ipfWeights: DataFrame half-steps equal an independent " +
       "sequential integer fold; margins approach both targets") {
     import graft.llmdata.Sampling
