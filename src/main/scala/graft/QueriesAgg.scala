@@ -620,6 +620,7 @@ object QueriesAgg {
     "q288_jackknife_diff" -> q288_jackknife_diff,
     "q289_logrank" -> q289_logrank,
     "q292_km_grouped" -> q292_km_grouped,
+    "q299_msprt" -> q299_msprt,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2056,6 +2057,64 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** mSPRT ALWAYS-VALID p trajectory ([[graft.ops.Experiment
+    * .msprt]]): the cumulative daily purchase-rate difference
+    * between user-parity variants, scored by the normal-mixture
+    * likelihood ratio — the p-value that stays valid under
+    * continuous peeking (q235's fixed-horizon z-test is only valid
+    * at its one planned look). Exact integer running sums; Λ and p
+    * in one fixed double op order.
+    */
+  private val q299_msprt: Q = (
+    (s, dir) => graft.ops.Experiment.msprt(
+        read(s, dir, "events").where(col("ts").isNotNull),
+        period = to_date(col("ts")),
+        variantCol = col("user_id") % 2,
+        success = col("event_type") === "purchase")
+      .orderBy(col("per")),
+    Some("""WITH e AS (SELECT
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 CAST(user_id % 2 AS VARCHAR) AS v,
+                 CAST(event_type = 'purchase' AS BIGINT) AS sc
+               FROM events WHERE ts IS NOT NULL),
+             d AS (SELECT per,
+                 sum(CASE WHEN v = '1' THEN 1 ELSE 0 END) AS dnt,
+                 sum(CASE WHEN v = '1' THEN sc ELSE 0 END) AS dxt,
+                 sum(CASE WHEN v = '0' THEN 1 ELSE 0 END) AS dnc,
+                 sum(CASE WHEN v = '0' THEN sc ELSE 0 END) AS dxc
+               FROM e GROUP BY 1),
+             c AS (SELECT per,
+                 CAST(sum(dnt) OVER w AS BIGINT) AS n_t,
+                 CAST(sum(dxt) OVER w AS BIGINT) AS x_t,
+                 CAST(sum(dnc) OVER w AS BIGINT) AS n_c,
+                 CAST(sum(dxc) OVER w AS BIGINT) AS x_c
+               FROM d
+               WINDOW w AS (ORDER BY per ROWS UNBOUNDED PRECEDING)),
+             f AS (SELECT * FROM c
+               WHERE n_t > 0 AND n_c > 0 AND x_t + x_c > 0
+                 AND x_t + x_c < n_t + n_c),
+             g AS (SELECT per, n_t, x_t, n_c, x_c,
+                 CAST(x_t + x_c AS DOUBLE)
+                   / CAST(n_t + n_c AS DOUBLE) AS pooled
+               FROM f),
+             h AS (SELECT per, n_t, x_t, n_c, x_c,
+                 pooled * (1.0 - pooled) *
+                   (1.0 / CAST(n_t AS DOUBLE)
+                    + 1.0 / CAST(n_c AS DOUBLE)) AS vv,
+                 CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS th
+               FROM g),
+             i AS (SELECT per, n_t, x_t, n_c, x_c,
+                 sqrt(vv / (vv + 0.0001)) *
+                   exp(th * th * 0.0001 /
+                     (2.0 * vv * (vv + 0.0001))) AS lam
+               FROM h)
+        SELECT per, n_t, x_t, n_c, x_c, round(lam, 6) AS lam,
+               round(least(1.0, min(1.0 / lam) OVER
+                 (ORDER BY per ROWS UNBOUNDED PRECEDING)), 6)
+                 AS p_always
+        FROM i ORDER BY per"""))
 
   /** GROUPED KAPLAN-MEIER ([[graft.ops.Experiment.kaplanMeierBy]]):
     * the q245 churn curve PER MARKET SEGMENT in one pass — the

@@ -430,6 +430,55 @@ object QueriesStream {
         FROM d JOIN tr USING (event_type, per)
         ORDER BY event_type, per, pos"""))
 
+  /** STREAMING BASELINE ALERT ([[graft.streaming.Streams
+    * .baselineAlert]]): hourly windowed counts vs the hour-of-day
+    * seasonal median (bounded broadcast baseline), alert on the
+    * pure-integer rule n > 2·expected — the real-time sibling of
+    * q291's batch read, written so the identical code runs under
+    * readStream+watermark (windowed agg + stream-static join, both
+    * append-supported). Oracle checks the batch form.
+    */
+  private val q297_stream_alert: Q = (
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = read(s, dir, "events").where(col("ts").isNotNull)
+      val hourly = ev.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pos", hour(col("h")))
+      val wAll = W.partitionBy(col("event_type"), col("pos"))
+      val base = hourly
+        .withColumn("__r", row_number().over(
+          wAll.orderBy(col("n"))))
+        .withColumn("__c", count(lit(1)).over(wAll))
+        .withColumn("__m", max(when(col("__r") ===
+          greatest(ceil(lit(0.5) * col("__c")), lit(1L)), col("n")))
+          .over(wAll))
+        .groupBy(col("event_type"), col("pos"))
+        .agg(max(col("__m")).as("expected"))
+      graft.streaming.Streams.baselineAlert(ev, base, "1 hour",
+          factorNum = 2L, factorDen = 1L)
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("expected"), col("alert"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+                 CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE ts IS NOT NULL),
+             hourly AS (SELECT event_type,
+                 date_trunc('hour', ts) AS h, count(*) AS n
+               FROM e GROUP BY 1, 2),
+             base AS (SELECT event_type,
+                 CAST(hour(h) AS INTEGER) AS pos,
+                 quantile_disc(n, 0.5) AS expected
+               FROM hourly GROUP BY 1, 2)
+        SELECT h AS window_start, hourly.event_type, n, expected,
+               CAST(n * 1 > expected * 2 AS BIGINT) AS alert
+        FROM hourly JOIN base
+          ON hourly.event_type = base.event_type
+         AND CAST(hour(h) AS INTEGER) = base.pos
+        ORDER BY window_start, hourly.event_type"""))
+
   /** SEASONAL-ADJUSTED ANOMALIES — q256's median-polish
     * decomposition composed with q186's robust flag, applied to the
     * RESIDUAL: a 2am spike that is normal at 2pm only becomes
@@ -1066,6 +1115,7 @@ object QueriesStream {
     "q225_seasonal_naive" -> q225_seasonal_naive,
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q291_seasonal_anomaly" -> q291_seasonal_anomaly,
+    "q297_stream_alert" -> q297_stream_alert,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,

@@ -311,6 +311,71 @@ object Experiment {
             lit(1000000.0), 6).as("se_jk"))
   }
 
+  /** mSPRT ALWAYS-VALID p-value (Johari, Pekelis & Walsh 2017 — the
+    * "peeking problem" solution production experimentation platforms
+    * standardized on): per period, the cumulative two-sample
+    * proportion difference feeds the normal-mixture likelihood
+    * ratio Λ_t = sqrt(V/(V+τ)) · exp(θ̂²τ / (2V(V+τ))), and the
+    * always-valid p is the RUNNING MIN of 1/Λ capped at 1 — valid
+    * at every look, so the experimenter may stop whenever it
+    * crosses α. Cumulative counts are exact integer running sums
+    * over the bounded period axis (the q245 window rule); Λ and p
+    * evaluate in ONE fixed double operation order (6dp). Periods
+    * before both variants have data, or with a degenerate pooled
+    * rate, are excluded (V undefined there). Emits one row per
+    * period: per, n_t, x_t, n_c, x_c, lam, p_always.
+    */
+  def msprt(df: DataFrame, period: Column, variantCol: Column,
+      success: Column, tau: Double = 1e-4): DataFrame = {
+    require(tau > 0, s"msprt: tau $tau")
+    val vs = df.select(variantCol.cast("string").as("v")).distinct()
+      .orderBy(col("v")).limit(3).collect().map(_.getString(0))
+    require(vs.length == 2,
+      s"msprt: need exactly 2 variants, got ${vs.toSeq}")
+    val (vc, vt) = (vs(0), vs(1)) // low = control, high = treatment
+    val sl = success.cast("long")
+    val daily = df.groupBy(period.as("per")).agg(
+      sum(when(variantCol.cast("string") === vt, 1L).otherwise(0L))
+        .as("dnt"),
+      sum(when(variantCol.cast("string") === vt, sl).otherwise(0L))
+        .as("dxt"),
+      sum(when(variantCol.cast("string") === vc, 1L).otherwise(0L))
+        .as("dnc"),
+      sum(when(variantCol.cast("string") === vc, sl).otherwise(0L))
+        .as("dxc"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(pmod(col("dnt"), lit(1)))
+      .orderBy(col("per"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = daily
+      .withColumn("n_t", sum(col("dnt")).over(w))
+      .withColumn("x_t", sum(col("dxt")).over(w))
+      .withColumn("n_c", sum(col("dnc")).over(w))
+      .withColumn("x_c", sum(col("dxc")).over(w))
+    val ntD = col("n_t").cast("double"); val ncD = col("n_c").cast("double")
+    val pooled = (col("x_t") + col("x_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val v = pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / ntD + lit(1.0) / ncD)
+    val theta = col("x_t").cast("double") / ntD -
+      col("x_c").cast("double") / ncD
+    val lam = sqrt(col("__v") / (col("__v") + lit(tau))) *
+      exp(col("__th") * col("__th") * lit(tau) /
+        (lit(2.0) * col("__v") * (col("__v") + lit(tau))))
+    cum
+      .where(col("n_t") > 0 && col("n_c") > 0 &&
+        col("x_t") + col("x_c") > 0 &&
+        col("x_t") + col("x_c") < col("n_t") + col("n_c"))
+      .withColumn("__v", v)
+      .withColumn("__th", theta)
+      .withColumn("__lam", lam)
+      .withColumn("p_always", round(
+        least(lit(1.0), min(lit(1.0) / col("__lam")).over(w)), 6))
+      .select(col("per"), col("n_t"), col("x_t"), col("n_c"),
+        col("x_c"), round(col("__lam"), 6).as("lam"),
+        col("p_always"))
+  }
+
   /** LOG-RANK TEST (Mantel 1966) — the standard two-group survival
     * comparison: at each pooled event time, observed vs expected
     * events in group 1 under the pooled-risk-set null, summed into

@@ -23,6 +23,33 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** STREAMING ANOMALY ALERT against a seasonal baseline: hourly
+    * windowed counts per event type, joined (broadcast — the
+    * baseline is bounded by type x hour-of-day) to the expected
+    * count for that hour-of-day, flagged by the pure-integer
+    * cross-multiplied rule n·den > expected·num. Written against a
+    * plain DataFrame so the SAME code runs in batch (oracle gate)
+    * and as a readStream with a watermark (windowed agg + stream-
+    * static join — both append-supported); the alert threshold
+    * never touches floats, so batch == stream == oracle. `baseline`
+    * carries (event_type, pos, expected).
+    */
+  def baselineAlert(events: DataFrame, baseline: DataFrame,
+      width: String, factorNum: Long, factorDen: Long): DataFrame = {
+    require(factorNum > 0 && factorDen > 0,
+      s"baselineAlert: $factorNum/$factorDen")
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+      .withColumn("pos", hour(col("window_start")))
+      .join(broadcast(baseline), Seq("event_type", "pos"), "left")
+      .withColumn("alert",
+        (col("n") * lit(factorDen) >
+          coalesce(col("expected"), lit(0L)) * lit(factorNum))
+          .cast("long"))
+  }
+
   /** Sliding-window aggregate. */
   def sliding(events: DataFrame, width: String, slide: String): DataFrame =
     events.groupBy(window(col("ts"), width, slide), col("event_type"))

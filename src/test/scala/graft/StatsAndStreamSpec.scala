@@ -290,6 +290,66 @@ class StatsAndStreamSpec extends SparkSuite {
       s"expired signature still matched: $pairs")
   }
 
+  test("baselineAlert: real readStream (windowed agg + stream-static " +
+      "broadcast join) equals the batch form under two slicings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      ("a", ts(1, 0)), ("a", ts(1, 10)), ("a", ts(1, 20)), // 3 > 2*1
+      ("a", ts(2, 0)),                                     // 1, quiet
+      ("b", ts(1, 5)), ("b", ts(1, 6)))                    // 2 <= 2*1
+    val base = Seq(("a", 1, 1L), ("a", 2, 1L), ("b", 1, 1L))
+      .toDF("event_type", "pos", "expected")
+    val batch = Streams.baselineAlert(
+        rows.toDF("event_type", "ts"), base, "1 hour", 2L, 1L)
+      .select("window_start", "event_type", "n", "alert")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    for ((name, slices) <- Seq(
+        ("one", Seq(rows)),
+        ("split", Seq(rows.take(2), rows.slice(2, 5), rows.drop(5))))) {
+      val in = MemoryStream[(String, java.sql.Timestamp)]
+      val src = in.toDF().toDF("event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+      val q = Streams.baselineAlert(src, base, "1 hour", 2L, 1L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"t_alert_$name").start()
+      slices.foreach { s2 => in.addData(s2); q.processAllAvailable() }
+      // advance the watermark past every window so appends flush
+      in.addData(("z", ts(9, 0))); q.processAllAvailable(); q.stop()
+      val got = spark.sql(s"SELECT window_start, event_type, n, " +
+          s"alert FROM t_alert_$name WHERE event_type <> 'z'")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch, s"$name: $got vs $batch")
+    }
+    // the hand case itself: only (a, 01:00) alerts
+    val alerts = batch.filter(_._4 == 1L).map(t => (t._2, t._1))
+    assert(alerts == Set(("a", ts(1, 0))), s"alerts $alerts")
+  }
+
+  test("msprt: balanced variants keep p_always at 1; complete " +
+      "separation drives it below 1%; trajectory is non-increasing") {
+    import graft.ops.Experiment
+    val bal = (1L to 400L).map(i =>
+      (i % 10, i % 2, i % 4 < 2)).toDF("per", "v", "s")
+    val pb = Experiment.msprt(bal, col("per"), col("v"), col("s"))
+      .collect().map(_.getDouble(6))
+    assert(pb.forall(_ == 1.0), s"balanced p: ${pb.toSeq}")
+    val sep = (1L to 1000L).map(i =>
+      (i % 5, i % 2, i % 2 == 1)).toDF("per", "v", "s")
+    val ps = Experiment.msprt(sep, col("per"), col("v"), col("s"))
+      .orderBy(col("per"))
+      .collect().map(_.getDouble(6))
+    assert(ps.last < 0.01, s"separated p: ${ps.toSeq}")
+    assert(ps.sliding(2).forall(w =>
+      w.length < 2 || w(1) <= w(0)), s"not monotone: ${ps.toSeq}")
+  }
+
   test("event-time TTL replay determinism: two different micro-batch " +
       "slicings of the same stream produce identical hits") {
     import graft.streaming.StreamingDedup
