@@ -3355,6 +3355,55 @@ object QueriesLLM {
               >= 9 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))
         ORDER BY id_a, id_b"""))
 
+  /** CONTAINMENT JOIN ([[graft.llmdata.Dedup.containmentJoin]]) on
+    * a snippet-planted corpus: every doc under 300 gets a 12-word
+    * opening snippet planted as a sibling record — contained by
+    * construction — and the one-sided prefix filter recovers every
+    * directed containment at 19/20 EXACTLY (the oracle IS brute
+    * force over the bounded subset, the q267 convention).
+    */
+  private val q298_containment: Q = (
+    (s, dir) => {
+      val basedocs = spread(read(s, dir, "documents"))
+        .where(col("doc_id") <= 300 && col("text").isNotNull)
+      val snip = basedocs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(filter(split(col("text"), " "),
+          x => x =!= ""), 1, 12), " ").as("text"))
+      val all = basedocs.select(col("doc_id"), col("text"))
+        .unionByName(snip)
+      Dedup.containmentJoin(all, "doc_id", "text", num = 19L,
+          den = 20L, minTokens = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH src AS (
+               SELECT doc_id, text FROM documents
+               WHERE text IS NOT NULL AND doc_id <= 300
+               UNION ALL
+               SELECT doc_id + 1000000,
+                 array_to_string(list_filter(string_split(text, ' '),
+                   x -> x <> '')[1:12], ' ')
+               FROM documents
+               WHERE text IS NOT NULL AND doc_id <= 300),
+             t AS (SELECT doc_id, list_distinct(list_filter(
+                 string_split(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), x -> x <> '')) AS ts
+               FROM src),
+             tt AS (SELECT doc_id, ts, len(ts) AS n FROM t
+               WHERE len(ts) >= 8)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT)
+                 AS n_inter,
+               CAST(a.n AS BIGINT) AS n_a,
+               CAST(b.n AS BIGINT) AS n_b,
+               round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / CAST(a.n AS DOUBLE), 6) AS containment
+        FROM tt a JOIN tt b ON a.doc_id <> b.doc_id
+          AND 20 * b.n >= 19 * a.n
+        WHERE 20 * len(list_intersect(a.ts, b.ts)) >= 19 * a.n
+        ORDER BY id_a, id_b"""))
+
   private val q112_cdc_chunks: Q = (
     (s, dir) => Dedup.chunkByContent(
         spread(read(s, dir, "documents")), "doc_id", "text",
@@ -4275,6 +4324,7 @@ object QueriesLLM {
     "q294_es_sample" -> q294_es_sample,
     "q295_negatives" -> q295_negatives,
     "q296_exact_strata" -> q296_exact_strata,
+    "q298_containment" -> q298_containment,
     "q111_weighted_sample" -> q111_weighted_sample,
     "q113_group_split" -> q113_group_split,
     "q119_dsir_weights" -> q119_dsir_weights,

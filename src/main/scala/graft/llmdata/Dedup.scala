@@ -434,6 +434,74 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** EXACT CONTAINMENT JOIN — the ASYMMETRIC near-dup relation
+    * Jaccard structurally misses: C(A→B) = |A∩B| / |A| >= num/den
+    * finds records whose token set is (mostly) INSIDE another's —
+    * quoted snippets, boilerplate-wrapped copies, title-in-body.
+    * Prefix filtering applies on the CONTAINED side only (if C >= t
+    * then A's first |A| - ceil(t·|A|) + 1 rarity-ordered tokens
+    * must hit B's FULL token set — the pigeonhole), so the index
+    * side is the full postings list: inherently heavier than the
+    * symmetric join, which is why the per-token census guards the
+    * FULL index here. Candidates pass the one-sided length filter
+    * (|B|·den >= num·|A|; no upper bound — a huge container is
+    * fine) and exact verification; LOSSLESS vs brute force
+    * (spec-pinned). Emits directed pairs (id_a contained-in id_b).
+    */
+  def containmentJoin(df: DataFrame, id: String, text: String,
+      num: Long, den: Long, maxPerToken: Int = 100000,
+      minTokens: Int = 1): DataFrame = {
+    require(num >= 1 && den >= num, s"containmentJoin: $num/$den")
+    require(minTokens >= 1, s"containmentJoin: minTokens $minTokens")
+    // minTokens floors the CONTAINED side: a 3-token record is
+    // "contained" nearly everywhere, which is noise, not signal
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id).as("__id"),
+        array_distinct(normalizeTokens(col(text))).as("__ts"))
+      .where(size(col("__ts")) >= minTokens)
+    val exploded = toks.select(col("__id"), size(col("__ts"))
+        .cast("long").as("__n"), explode(col("__ts")).as("__tok"))
+    val dfreq = exploded.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__df"))
+    if (maxPerToken > 0) {
+      val worst = dfreq.agg(coalesce(max(col("__df")), lit(0L)))
+        .first().getLong(0)
+      require(worst <= maxPerToken,
+        s"containmentJoin: a token indexes $worst records " +
+          s"(> $maxPerToken) — strip stopword-grade tokens first")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
+    val prefixA = exploded.join(dfreq, Seq("__tok"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= col("__n") -
+        expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L") + 1)
+      .select(col("__tok"), col("__id").as("__ida"),
+        col("__n").as("__na"))
+    val cands = prefixA
+      .join(exploded.select(col("__tok"), col("__id").as("__idb"),
+          col("__n").as("__nb")), Seq("__tok"))
+      .where(col("__ida") =!= col("__idb") &&
+        col("__nb") * den >= lit(num) * col("__na"))
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+      .distinct()
+    cands
+      .join(toks.select(col("__id").as("id_a"),
+        col("__ts").as("__ta")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"),
+        col("__ts").as("__tb")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("n_a", size(col("__ta")).cast("long"))
+      .withColumn("n_b", size(col("__tb")).cast("long"))
+      .where(col("n_inter") * den >= lit(num) * col("n_a"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") /
+          col("n_a").cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("containment"))
+  }
+
   /** Exact pairwise n-gram Jaccard over all id-ordered pairs —
     * O(n^2), for oracle checks and small candidate sets only.
     * The scale path is [[minhashDedup]].

@@ -1843,6 +1843,55 @@ class LlmDataSpec extends SparkSuite {
     }
   }
 
+  test("containmentJoin: LOSSLESS vs brute force; finds the snippet " +
+      "Jaccard misses; directed; minTokens floors the contained side") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu"),
+      // 2 = a snippet of 1 (8 of 1's 12 tokens, nothing else)
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words here nothing shared at all " +
+        "ever really truly"),
+      (4L, "tiny doc")) // floored out by minTokens = 5
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text",
+        num = 9L, den = 10L, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((2L, 1L)),
+      s"got ${got.toSeq}")
+    assert(got.head._3 == 1.0)
+    // Jaccard at the same kind of bar misses it: J(1,2) = 8/12
+    val j = Dedup.setSimJoin(docs, "doc_id", "text", 9L, 10L)
+      .collect()
+    assert(j.isEmpty, s"jaccard should miss the snippet: ${j.toSeq}")
+    // brute-force parity on a denser corpus
+    val dense = (1 to 40).map { i =>
+      val t = if (i % 2 == 0)
+        s"one two three four five six seven eight nine ten word$i"
+      else "one two three four five six seven eight"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentJoin(dense, "doc_id", "text",
+        num = 9L, den = 10L, minTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val t = dense.select(col("doc_id"),
+        array_distinct(graft.llmdata.Dedup.normalizeTokens(
+          col("text"))).as("ts"))
+      val a = t.select(col("doc_id").as("ia"), col("ts").as("ta"))
+      val b = t.select(col("doc_id").as("ib"), col("ts").as("tb"))
+      a.join(b, col("ia") =!= col("ib"))
+        .withColumn("i",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .where(col("i") * 10 >= lit(9L) * size(col("ta")))
+        .select("ia", "ib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(fast == brute, s"${fast.size} vs ${brute.size}")
+  }
+
   test("winnowing: coverage guarantee (shared passage >= w+k-1 chars " +
       "shares a fingerprint), cleaning invariance, boilerplate strip") {
     import spark.implicits._
