@@ -621,6 +621,7 @@ object QueriesAgg {
     "q289_logrank" -> q289_logrank,
     "q292_km_grouped" -> q292_km_grouped,
     "q299_msprt" -> q299_msprt,
+    "q300_bh_fdr" -> q300_bh_fdr,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2057,6 +2058,78 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** BH FDR over per-nation A/B tests ([[graft.ops.Experiment
+    * .bhFdr]]): 25 parallel two-proportion tests (urgent-order rate
+    * by customer parity), two-sided p's through the portable A&S
+    * normal CDF, and the step-up rule at q=0.1 deciding which
+    * nations actually moved — the multiple-comparisons gate q235
+    * alone cannot provide. Integer step-up comparison on quantized
+    * p's: no boundary can flip across engines.
+    */
+  private val q300_bh_fdr: Q = (
+    (s, dir) => {
+      val j = read(s, dir, "orders")
+        .join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Experiment.bhFdr(j,
+          segment = col("c_nationkey").cast("long"),
+          variantCol = col("o_custkey") % 2,
+          success = col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH jj AS (SELECT CAST(c_nationkey AS BIGINT) AS seg,
+                 CAST(o_custkey % 2 AS VARCHAR) AS v,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS BIGINT) AS sc
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+             cells AS (SELECT seg,
+                 CAST(sum(CASE WHEN v = '1' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_t,
+                 CAST(sum(CASE WHEN v = '1' THEN sc ELSE 0 END)
+                   AS BIGINT) AS x_t,
+                 CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN v = '0' THEN sc ELSE 0 END)
+                   AS BIGINT) AS x_c
+               FROM jj GROUP BY 1
+               HAVING n_t > 0 AND n_c > 0 AND x_t + x_c > 0
+                 AND x_t + x_c < n_t + n_c),
+             zc AS (SELECT seg, n_t, x_t, n_c, x_c,
+                 (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / sqrt((CAST(x_t + x_c AS DOUBLE)
+                     / CAST(n_t + n_c AS DOUBLE))
+                   * (1.0 - CAST(x_t + x_c AS DOUBLE)
+                       / CAST(n_t + n_c AS DOUBLE))
+                   * (1.0 / CAST(n_t AS DOUBLE)
+                      + 1.0 / CAST(n_c AS DOUBLE))) AS z
+               FROM cells),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc),
+             pv AS (SELECT seg, n_t, x_t, n_c, x_c, z,
+                 2.0 * (1.0 - (1.0 - exp(-(abs(z) * abs(z)) / 2.0)
+                   / 2.5066282746310002 *
+                   (t * (0.319381530 + t * (-0.356563782 +
+                     t * (1.781477937 + t * (-1.821255978 +
+                       t * 1.330274429))))))) AS p
+               FROM ph),
+             q AS (SELECT *,
+                 CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pq
+               FROM pv),
+             r AS (SELECT *,
+                 CAST(row_number() OVER (ORDER BY pq, seg)
+                   AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+               FROM q),
+             mx AS (SELECT COALESCE(max(CASE WHEN pq * 10 * m <=
+                   rank * 1 * 1000000 THEN rank END), 0) AS maxi
+               FROM r)
+        SELECT seg, n_t, x_t, n_c, x_c, round(z, 6) AS z,
+               round(p, 6) AS p, rank,
+               CAST(rank <= maxi AS BIGINT) AS rejected
+        FROM r CROSS JOIN mx ORDER BY rank"""))
 
   /** mSPRT ALWAYS-VALID p trajectory ([[graft.ops.Experiment
     * .msprt]]): the cumulative daily purchase-rate difference

@@ -311,6 +311,87 @@ object Experiment {
             lit(1000000.0), 6).as("se_jk"))
   }
 
+  /** Standard normal CDF by the Abramowitz & Stegun 7.1.26
+    * polynomial (|error| < 7.5e-8 — far inside the 6dp reporting
+    * grain): pure fixed-order double arithmetic, so unlike erf it
+    * exists identically on every engine. Defined for z >= 0 (callers
+    * pass |z|).
+    */
+  def phiAbs(z: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * z)
+    val poly = t * (lit(0.319381530) +
+      t * (lit(-0.356563782) +
+        t * (lit(1.781477937) +
+          t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    lit(1.0) - exp(-(z * z) / lit(2.0)) /
+      lit(2.5066282746310002) * poly
+  }
+
+  /** BENJAMINI-HOCHBERG FDR control (1995) over per-segment A/B
+    * tests — the multiple-comparisons gate every "which segments
+    * moved?" readout needs (at 25 segments and α=0.05, ~1.2 false
+    * winners per experiment are expected without it): per segment,
+    * the exact-count two-proportion z (q235's arithmetic), two-sided
+    * p through the engine-portable [[phiAbs]], then the step-up rule
+    * — reject the i smallest p's where i is the largest rank with
+    * p_(i) <= i·q/m, evaluated as the pure-integer comparison
+    * p_ppm·qDen·m <= rank·qNum·10⁶ on ppm-quantized p's (a boundary
+    * flip is impossible cross-engine because both compare identical
+    * integers). One grouped count + bounded-segment windows. Emits
+    * (segment, n_t, x_t, n_c, x_c, z, p, rank, rejected).
+    */
+  def bhFdr(df: DataFrame, segment: Column, variantCol: Column,
+      success: Column, qNum: Long = 1L, qDen: Long = 10L)
+      : DataFrame = {
+    require(qNum >= 1 && qDen > qNum, s"bhFdr: $qNum/$qDen")
+    val vs = df.select(variantCol.cast("string").as("v")).distinct()
+      .orderBy(col("v")).limit(3).collect().map(_.getString(0))
+    require(vs.length == 2,
+      s"bhFdr: need exactly 2 variants, got ${vs.toSeq}")
+    val (vc, vt) = (vs(0), vs(1))
+    val sl = success.cast("long")
+    val cells = df.groupBy(segment.as("seg")).agg(
+      sum(when(variantCol.cast("string") === vt, 1L).otherwise(0L))
+        .as("n_t"),
+      sum(when(variantCol.cast("string") === vt, sl).otherwise(0L))
+        .as("x_t"),
+      sum(when(variantCol.cast("string") === vc, 1L).otherwise(0L))
+        .as("n_c"),
+      sum(when(variantCol.cast("string") === vc, sl).otherwise(0L))
+        .as("x_c"))
+      .where(col("n_t") > 0 && col("n_c") > 0 &&
+        col("x_t") + col("x_c") > 0 &&
+        col("x_t") + col("x_c") < col("n_t") + col("n_c"))
+    val p1 = col("x_t").cast("double") / col("n_t").cast("double")
+    val p2 = col("x_c").cast("double") / col("n_c").cast("double")
+    val pp = (col("x_t") + col("x_c")).cast("double") /
+      (col("n_t") + col("n_c")).cast("double")
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_t").cast("double") +
+        lit(1.0) / col("n_c").cast("double")))
+    val withP = cells.withColumn("__z", z)
+      .withColumn("__p",
+        lit(2.0) * (lit(1.0) - phiAbs(abs(col("__z")))))
+      .withColumn("__pq",
+        floor(col("__p") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val pin = pmod(col("__pq"), lit(1))
+    val wAll = W.partitionBy(pin)
+    val ranked = withP
+      .withColumn("rank", row_number().over(
+        wAll.orderBy(col("__pq"), col("seg"))).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__flag", when(
+        col("__pq") * lit(qDen) * col("__m") <=
+          col("rank") * lit(qNum) * lit(1000000L), col("rank")))
+      .withColumn("__maxi",
+        coalesce(max(col("__flag")).over(wAll), lit(0L)))
+    ranked.select(col("seg"), col("n_t"), col("x_t"), col("n_c"),
+      col("x_c"), round(col("__z"), 6).as("z"),
+      round(col("__p"), 6).as("p"), col("rank"),
+      (col("rank") <= col("__maxi")).cast("long").as("rejected"))
+  }
+
   /** mSPRT ALWAYS-VALID p-value (Johari, Pekelis & Walsh 2017 — the
     * "peeking problem" solution production experimentation platforms
     * standardized on): per period, the cumulative two-sample

@@ -399,6 +399,48 @@ class AnalyticsSpec extends SparkSuite {
       s"se ${r.getDouble(3)} vs $expSe")
   }
 
+  test("phiAbs: A&S polynomial within 1e-6 of known normal CDF " +
+      "values") {
+    import graft.ops.Experiment
+    val df = Seq(0.0, 1.0, 1.959964, 3.0).toDF("z")
+      .select(col("z"), Experiment.phiAbs(col("z")).as("phi"))
+    val got = df.collect().map(r => r.getDouble(0) -> r.getDouble(1))
+      .toMap
+    val exp = Map(0.0 -> 0.5, 1.0 -> 0.8413447, 1.959964 -> 0.975,
+      3.0 -> 0.9986501)
+    exp.foreach { case (z, v) =>
+      assert(math.abs(got(z) - v) < 1e-6, s"phi($z) = ${got(z)}") }
+  }
+
+  test("bhFdr: null segments reject nothing; one overwhelming " +
+      "segment rejects exactly itself; rejections are a rank prefix") {
+    import graft.ops.Experiment
+    // 4 segments balanced (null) -> no rejections (seg and v must
+    // be independent digits of i or cells go empty)
+    val nul = (1L to 2000L).map(i =>
+      (i % 4, (i / 4) % 2, (i / 8) % 2 == 0)).toDF("seg", "v", "s")
+    val rn = Experiment.bhFdr(nul, col("seg"), col("v"), col("s"))
+      .collect()
+    assert(rn.length == 4, s"cells filtered: ${rn.length}")
+    assert(rn.forall(_.getLong(8) == 0L),
+      s"null data rejected: ${rn.toSeq}")
+    // segment 0 has a massive effect; 1-3 are null
+    val eff = (1L to 4000L).map { i =>
+      val seg = i % 4
+      val v = (i / 4) % 2
+      val s = if (seg == 0) v == 1 else (i / 8) % 2 == 0
+      (seg, v, s)
+    }.toDF("seg", "v", "s")
+    val re = Experiment.bhFdr(eff, col("seg"), col("v"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(7),
+        r.getLong(8)))
+    val rejected = re.filter(_._3 == 1L)
+    assert(rejected.map(_._1).toSet == Set(0L), s"got ${re.toSeq}")
+    // prefix property: rejections occupy the smallest ranks
+    val maxRej = re.filter(_._3 == 1L).map(_._2).max
+    assert(re.filter(_._2 <= maxRej).forall(_._3 == 1L))
+  }
+
   test("jackknifeRatioDiff: hand-computed paired replicates " +
       "(delta 2/7, replicates 4 and 0 -> se exactly 2.0)") {
     import graft.ops.Experiment
