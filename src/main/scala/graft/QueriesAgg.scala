@@ -622,6 +622,7 @@ object QueriesAgg {
     "q292_km_grouped" -> q292_km_grouped,
     "q299_msprt" -> q299_msprt,
     "q300_bh_fdr" -> q300_bh_fdr,
+    "q301_eb_shrink" -> q301_eb_shrink,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2058,6 +2059,72 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** EMPIRICAL-BAYES shrunk nation rates ([[graft.ops.Experiment
+    * .ebShrinkRates]]): urgent-order rates per nation with the
+    * prior strength CHOSEN by the moment equation — the defensible
+    * way to rank small segments (q241's smoothing with m estimated,
+    * not hand-picked). Per-segment quantities quantize to integer
+    * 1e-12 units before the cross-segment sums.
+    */
+  private val q301_eb_shrink: Q = (
+    (s, dir) => {
+      val j = read(s, dir, "orders")
+        .join(read(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Experiment.ebShrinkRates(j,
+          segment = col("c_nationkey").cast("long"),
+          success = col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH"))
+        .orderBy(col("seg"))
+    },
+    Some("""WITH jj AS (SELECT CAST(c_nationkey AS BIGINT) AS seg,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS BIGINT) AS sc
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+             cells AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(sc) AS BIGINT) AS x
+               FROM jj GROUP BY 1 HAVING count(*) > 0),
+             wr AS (SELECT seg, n, x,
+                 CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r
+               FROM cells),
+             gl AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(n) AS BIGINT) AS sn,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(floor(r * 1000000000000.0 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS srq,
+                 CAST(sum(CAST(floor(r * r * 1000000000000.0 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS srrq,
+                 CAST(sum(CAST(floor(1000000000000.0
+                     / CAST(n AS DOUBLE) + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sinvq
+               FROM wr),
+             dd AS (SELECT
+                 CAST(sx AS DOUBLE) / CAST(sn AS DOUBLE) AS pbar,
+                 CAST(srq AS DOUBLE) / 1000000000000.0
+                   / CAST(k AS DOUBLE) AS rbar,
+                 CAST(srrq AS DOUBLE), CAST(k AS DOUBLE) AS kd,
+                 srrq, sinvq
+               FROM gl),
+             ee AS (SELECT pbar,
+                 (CAST(srrq AS DOUBLE) / 1000000000000.0
+                   - kd * rbar * rbar) / (kd - 1.0) AS s2,
+                 CAST(sinvq AS DOUBLE) / 1000000000000.0 / kd
+                   AS meaninv
+               FROM dd),
+             ff AS (SELECT pbar,
+                 s2 - pbar * (1.0 - pbar) * meaninv AS v
+               FROM ee),
+             mm AS (SELECT pbar,
+                 CASE WHEN v <= 0.0 THEN 1000000.0
+                      ELSE least(1000000.0, greatest(0.0,
+                        pbar * (1.0 - pbar) / v - 1.0)) END AS m
+               FROM ff)
+        SELECT seg, n, x, round(r, 6) AS rate,
+               round((CAST(x AS DOUBLE) + m * pbar)
+                 / (CAST(n AS DOUBLE) + m), 6) AS shrunk,
+               round(m, 6) AS m_prior
+        FROM wr CROSS JOIN mm ORDER BY seg"""))
 
   /** BH FDR over per-nation A/B tests ([[graft.ops.Experiment
     * .bhFdr]]): 25 parallel two-proportion tests (urgent-order rate

@@ -325,6 +325,56 @@ object QueriesStream {
     * within the window" == "latest touch overall, if within the
     * window" — earlier touches are only further outside).
     */
+  /** POSITION-BASED (U-shaped) attribution ([[graft.streaming
+    * .Streams.positionAttribution]]): 40/20/40 credit over every
+    * in-window touch — the multi-touch read between q213 (last) and
+    * q226 (first); integer-ppm credits, deterministic positions,
+    * '(none)' bucket at full weight.
+    */
+  private val q302_position_attr: Q = (
+    (s, dir) => Streams.positionAttribution(read(s, dir, "events"),
+        "purchase", Seq("view", "click"), maxDelaySec = 7L * 86400L)
+      .orderBy(col("channel")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+                 CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events WHERE ts IS NOT NULL),
+             conv AS (SELECT user_id, event_id AS conv_id,
+                 ts AS conv_ts
+               FROM e WHERE event_type = 'purchase'),
+             t0 AS (SELECT user_id, ts AS touch_ts,
+                 event_type AS channel, event_id AS touch_id,
+                 row_number() OVER (PARTITION BY user_id, ts
+                   ORDER BY event_id DESC) AS rn
+               FROM e WHERE event_type IN ('view', 'click')),
+             touches AS (SELECT user_id, touch_ts, channel, touch_id
+               FROM t0 WHERE rn = 1),
+             j AS (SELECT conv_id, channel, touch_ts, touch_id
+               FROM conv JOIN touches USING (user_id)
+               WHERE touch_ts <= conv_ts
+                 AND touch_ts >= conv_ts - INTERVAL 7 DAY),
+             sc AS (SELECT conv_id, channel,
+                 count(*) OVER (PARTITION BY conv_id) AS k,
+                 row_number() OVER (PARTITION BY conv_id
+                   ORDER BY touch_ts, touch_id) AS pos
+               FROM j),
+             cr AS (SELECT conv_id, channel,
+                 CASE WHEN k = 1 THEN 1000000
+                      WHEN k = 2 THEN 500000
+                      WHEN pos = 1 OR pos = k THEN 400000
+                      ELSE 200000 // (k - 2) END AS credit_ppm
+               FROM sc),
+             agg AS (SELECT channel,
+                 CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm,
+                 CAST(count(DISTINCT conv_id) AS BIGINT)
+                   AS n_conversions
+               FROM cr GROUP BY 1),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM conv
+               WHERE conv_id NOT IN (SELECT conv_id FROM cr))
+        SELECT channel, credit_ppm, n_conversions FROM agg
+        UNION ALL
+        SELECT '(none)', n * 1000000, n FROM nn WHERE n > 0
+        ORDER BY channel"""))
+
   private val q213_attribution: Q = (
     (s, dir) => Streams.lastTouchAttribution(read(s, dir, "events"),
         "purchase", Seq("view", "click"), maxDelaySec = 7L * 86400L)
@@ -1112,6 +1162,7 @@ object QueriesStream {
     "q198_stream_enrich" -> q198_stream_enrich,
     "q208_cdc_stream" -> q208_cdc_stream,
     "q213_attribution" -> q213_attribution,
+    "q302_position_attr" -> q302_position_attr,
     "q225_seasonal_naive" -> q225_seasonal_naive,
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q291_seasonal_anomaly" -> q291_seasonal_anomaly,

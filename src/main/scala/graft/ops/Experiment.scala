@@ -311,6 +311,68 @@ object Experiment {
             lit(1000000.0), 6).as("se_jk"))
   }
 
+  /** EMPIRICAL-BAYES rate shrinkage (beta-binomial method of
+    * moments; the James-Stein idea applied to segment conversion
+    * rates): small segments' raw rates are mostly noise, so each
+    * rate shrinks toward the global mean by a factor the DATA
+    * chooses — prior strength M solves the moment equation from the
+    * between-segment variance of raw rates vs the binomial
+    * within-segment component: M = p̄(1-p̄)/v - 1 with
+    * v = s² - p̄(1-p̄)·mean(1/nᵢ), clamped to [0, mCap] (v <= 0
+    * means between-variance is all sampling noise — full pooling).
+    * shrunkᵢ = (xᵢ + M·p̄)/(nᵢ + M). This is q241's target-encoding
+    * smoothing with the m chosen BY the moment equation instead of
+    * by hand. Exact integer cells; the moment solve is O(segments)
+    * fixed-order doubles broadcast back. Emits (seg, n, x, rate,
+    * shrunk, m_prior).
+    */
+  def ebShrinkRates(df: DataFrame, segment: Column,
+      success: Column, mCap: Double = 1000000.0): DataFrame = {
+    val cells = df.groupBy(segment.as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(success.cast("long")).as("x"))
+      .where(col("n") > 0)
+    val rate = col("x").cast("double") / col("n").cast("double")
+    val withRate = cells.withColumn("__r", rate)
+    // per-segment quantities quantize to integer 1e-12 units BEFORE
+    // the cross-segment sums (double->decimal casts round
+    // differently across engines; floor(x*s + 0.5) does not)
+    val gl = withRate.agg(
+      sum(col("x")).as("__sx"), sum(col("n")).as("__sn"),
+      count(lit(1)).as("__k"),
+      sum(floor(col("__r") * lit(1e12) + lit(0.5)).cast("long"))
+        .as("__srq"),
+      sum(floor(col("__r") * col("__r") * lit(1e12) + lit(0.5))
+        .cast("long")).as("__srrq"),
+      sum(floor(lit(1e12) / col("n").cast("double") + lit(0.5))
+        .cast("long")).as("__sinvq"))
+    val kD = col("__k").cast("double")
+    val pbar = col("__sx").cast("double") / col("__sn").cast("double")
+    val rbar = col("__srq").cast("double") / lit(1e12) / kD
+    val s2 = (col("__srrq").cast("double") / lit(1e12) -
+      kD * col("__rbar") * col("__rbar")) / (kD - lit(1.0))
+    val meanInv = col("__sinvq").cast("double") / lit(1e12) / kD
+    val v = col("__s2") - col("__pbar") * (lit(1.0) - col("__pbar")) *
+      col("__meanInv")
+    val m = when(col("__v") <= lit(0.0), lit(mCap))
+      .otherwise(least(lit(mCap), greatest(lit(0.0),
+        col("__pbar") * (lit(1.0) - col("__pbar")) / col("__v") -
+          lit(1.0))))
+    val glr = gl.withColumn("__pbar", pbar)
+      .withColumn("__rbar", rbar)
+      .withColumn("__s2", s2)
+      .withColumn("__meanInv", meanInv)
+      .withColumn("__v", v)
+      .withColumn("__m", m)
+      .select(col("__pbar"), col("__m"))
+    withRate.crossJoin(broadcast(glr))
+      .select(col("seg"), col("n"), col("x"),
+        round(col("__r"), 6).as("rate"),
+        round((col("x").cast("double") + col("__m") * col("__pbar"))
+          / (col("n").cast("double") + col("__m")), 6).as("shrunk"),
+        round(col("__m"), 6).as("m_prior"))
+  }
+
   /** Standard normal CDF by the Abramowitz & Stegun 7.1.26
     * polynomial (|error| < 7.5e-8 — far inside the 6dp reporting
     * grain): pure fixed-order double arithmetic, so unlike erf it

@@ -319,6 +319,69 @@ object Streams {
     conv.join(matched, Seq("event_id"), "left")
   }
 
+  /** POSITION-BASED (U-shaped) attribution — the multi-touch model
+    * between q213's last-touch and q226's first-touch extremes:
+    * 40% to the first touch, 40% to the last, 20% split over the
+    * middles (integer ppm, floor division — a solo touch gets 100%,
+    * a pair 50/50). Needs EVERY touch per conversion, so unlike the
+    * single-touch folds this is the conversions x in-window-touches
+    * join — one user_id-keyed shuffle, fan-out bounded by activity
+    * rate x lookback (the model's irreducible contract). Touches
+    * dedupe to one per (user, ts) (max event_id) and order by
+    * (ts, touch_id), so positions — and therefore credits — are
+    * total-order deterministic. Unattributed conversions roll into
+    * the '(none)' channel at full weight. Emits (channel,
+    * credit_ppm, n_conversions).
+    */
+  def positionAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], maxDelaySec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"positionAttribution: touches $touchTypes vs $conversionType")
+    require(maxDelaySec > 0, s"positionAttribution: $maxDelaySec")
+    val W = org.apache.spark.sql.expressions.Window
+    val conv = events.where(col("event_type") === conversionType &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val wDedup = W.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val touches = events
+      .where(col("event_type").isin(touchTypes: _*) &&
+        col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(wDedup))
+      .where(col("__rn") === 1)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("channel"),
+        col("event_id").as("touch_id"))
+    val j = conv.join(touches, Seq("user_id"))
+      .where(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") >=
+          col("conv_ts") - expr(s"INTERVAL $maxDelaySec SECOND"))
+    val scored = j
+      .withColumn("__k", count(lit(1)).over(
+        W.partitionBy(col("conv_id"))))
+      .withColumn("__pos", row_number().over(
+        W.partitionBy(col("conv_id"))
+          .orderBy(col("touch_ts"), col("touch_id"))))
+      .withColumn("credit_ppm",
+        when(col("__k") === 1, lit(1000000L))
+          .when(col("__k") === 2, lit(500000L))
+          .when(col("__pos") === 1 || col("__pos") === col("__k"),
+            lit(400000L))
+          .otherwise(expr("200000L div (__k - 2)")))
+    val credited = scored.groupBy(col("channel"))
+      .agg(sum(col("credit_ppm")).as("credit_ppm"),
+        count_distinct(col("conv_id")).as("n_conversions"))
+    val none = conv
+      .join(scored.select(col("conv_id")).distinct(), Seq("conv_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("(none)").as("channel"),
+        (col("n_conversions") * lit(1000000L)).as("credit_ppm"),
+        col("n_conversions"))
+    credited.unionByName(none).where(col("n_conversions") > 0)
+  }
+
   /** FIRST-TOUCH attribution: credit each conversion to the EARLIEST
     * touchpoint within the lookback window. Unlike last-touch, the
     * earliest-overall touch may predate the window while a later one

@@ -399,6 +399,73 @@ class AnalyticsSpec extends SparkSuite {
       s"se ${r.getDouble(3)} vs $expSe")
   }
 
+  test("ebShrinkRates: identical segments collapse to the pooled " +
+      "rate; shrunk estimates sit between raw rate and pool, small " +
+      "segments shrinking hardest") {
+    import graft.ops.Experiment
+    // identical segments: between-variance is pure noise -> m = cap
+    val same = (1L to 1200L).map(i => (i % 4, (i / 4) % 10 == 0))
+      .toDF("seg", "s")
+    val rs = Experiment.ebShrinkRates(same, col("seg"), col("s"))
+      .collect()
+    assert(rs.forall(r => r.getDouble(4) == r.getDouble(3)),
+      s"identical segs must not move: ${rs.toSeq}")
+    // ten large segments at the SAME true rate plus one tiny
+    // outlier whose deviation is plausible noise at n=5 — the
+    // regime EB exists for (large TRUE heterogeneity would
+    // correctly yield m ~ 0 and no shrinkage)
+    val mixed = ((0L until 10L).flatMap(sg =>
+      (1L to 500L).map(i => (sg, i % 10 == 0))) ++
+      (1L to 5L).map(i => (10L, i <= 3)))  // tiny, rate 0.6
+      .toDF("seg", "s")
+    val rm = Experiment.ebShrinkRates(mixed, col("seg"), col("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    val pbar = (10 * 50.0 + 3.0) / 5005.0
+    rm.foreach { case (seg, (_, rate, shrunk)) =>
+      val lo = math.min(rate, pbar) - 1e-6
+      val hi = math.max(rate, pbar) + 1e-6
+      assert(shrunk >= lo && shrunk <= hi,
+        s"seg $seg shrunk $shrunk outside [$rate, $pbar]") }
+    // the tiny segment must actually shrink, and proportionally
+    // further toward the pool than any large segment
+    val tinyMove = (rm(10L)._3 - rm(10L)._2).abs /
+      (rm(10L)._2 - pbar).abs
+    assert(tinyMove > 0.2, s"tiny seg barely shrank: $rm")
+    val bigMove = (0L until 10L).map(sg =>
+      (rm(sg)._3 - rm(sg)._2).abs /
+        math.max(1e-9, (rm(sg)._2 - pbar).abs)).max
+    assert(tinyMove > bigMove, s"tiny seg must shrink hardest: $rm")
+  }
+
+  test("positionAttribution: hand-computed U-shaped credits, solo " +
+      "and pair degenerate splits, '(none)' bucket") {
+    import graft.streaming.Streams
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: view, click, view -> purchase (k=3)
+      (1L, ts(1), 1L, "view"), (2L, ts(2), 1L, "click"),
+      (3L, ts(3), 1L, "view"), (4L, ts(4), 1L, "purchase"),
+      // user 2: solo click (k=1)
+      (5L, ts(10), 2L, "click"), (6L, ts(11), 2L, "purchase"),
+      // user 3: no touches
+      (7L, ts(100), 3L, "purchase"),
+      // user 4: pair (k=2)
+      (8L, ts(20), 4L, "view"), (9L, ts(21), 4L, "click"),
+      (10L, ts(22), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Streams.positionAttribution(ev, "purchase",
+        Seq("view", "click"), maxDelaySec = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // view: 400000+400000 (u1 ends) + 500000 (u4) = 1300000, 2 convs
+    // click: 200000 (u1 middle) + 1000000 (u2) + 500000 (u4) = 1700000
+    assert(got == Map(
+      "view" -> ((1300000L, 2L)),
+      "click" -> ((1700000L, 3L)),
+      "(none)" -> ((1000000L, 1L))), s"got $got")
+  }
+
   test("phiAbs: A&S polynomial within 1e-6 of known normal CDF " +
       "values") {
     import graft.ops.Experiment
