@@ -623,6 +623,8 @@ object QueriesAgg {
     "q299_msprt" -> q299_msprt,
     "q300_bh_fdr" -> q300_bh_fdr,
     "q301_eb_shrink" -> q301_eb_shrink,
+    "q303_ps_ate" -> q303_ps_ate,
+    "q304_ps_static" -> q304_ps_static,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2059,6 +2061,94 @@ object QueriesAgg {
         SELECT series, at, CAST(peak AS DOUBLE) AS peak,
                CAST(ddv AS DOUBLE) AS max_drawdown
         FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** PS stratification, REAL FIT path ([[graft.ops.Experiment
+    * .propensityStratifiedAte]]): treatment deterministically
+    * CONFOUNDED with order value (price-band parity), the
+    * propensity model fit by the bounded driver Newton
+    * ([[graft.llmdata.Similarity.fitReranker]] — the q210 venue
+    * rule) on a hash-ordered sample, quantized and served as an
+    * integer score. Rows-only by nature (learned weights); the
+    * serve path is pinned by the q304 static-weight oracle twin,
+    * and the off-support refusal + exact-ntile strata are in-plan
+    * gates.
+    */
+  private val q303_ps_ate: Q = (
+    (s, dir) => {
+      val feat = read(s, dir, "orders").select(col("o_orderkey"),
+        expr("CAST((floor(o_totalprice) div 1000 + o_custkey) % 2" +
+          " AS INT)").as("t"),
+        col("o_totalprice").as("x1d"),
+        (col("o_custkey") % 100).cast("double").as("x2d"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("double").as("y"))
+      val sample = feat
+        .orderBy(graft.llmdata.Sampling.bucket(col("o_orderkey"),
+          42L), col("o_orderkey"))
+        .limit(4000)
+      val (ws, b0) = graft.llmdata.Similarity.fitReranker(sample,
+        Seq("x1d", "x2d"), "t", maxRows = 100000)
+      val Seq(w1, w2) = ws.map(_._2)
+      val scoreQ = floor(col("x1d") * lit(w1.toDouble) +
+        col("x2d") * lit(w2.toDouble) + lit(b0.toDouble))
+        .cast("long")
+      graft.ops.Experiment.propensityStratifiedAte(feat,
+          col("t"), col("y"), scoreQ, col("o_orderkey"))
+        .orderBy(col("stratum"))
+    },
+    None)
+
+  /** PS stratification, STATIC-WEIGHT oracle twin: the identical
+    * ntile/cells/weighted-ATE pipeline under a fixed integer score
+    * (3·⌊price⌋ div 100 + 7·(custkey mod 100)) — every stratum
+    * cut, cell sum, per-stratum diff and the pooled ATE replay
+    * bit-for-bit in DuckDB, pinning q303's serve path.
+    */
+  private val q304_ps_static: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      graft.ops.Experiment.propensityStratifiedAte(o,
+          treated = col("o_custkey") % 2,
+          outcome = col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH").cast("double"),
+          scoreQ = expr("(3 * CAST(floor(o_totalprice) AS BIGINT))" +
+            " div 100 + 7 * (o_custkey % 100)"),
+          tiebreak = col("o_orderkey"))
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH s AS (SELECT o_orderkey AS tb,
+                 CAST(o_custkey % 2 AS INTEGER) AS t,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS INTEGER) AS y,
+                 (3 * CAST(floor(o_totalprice) AS BIGINT)) // 100
+                   + 7 * (o_custkey % 100) AS sq
+               FROM orders),
+             st AS (SELECT t, y, CAST(ntile(5) OVER
+                 (ORDER BY sq, tb) AS BIGINT) AS stratum FROM s),
+             cells AS (SELECT stratum,
+                 CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_t,
+                 sum(CAST(CASE WHEN t = 1 THEN CAST(y AS DOUBLE)
+                   ELSE 0.0 END AS DECIMAL(25,6))) AS syt,
+                 CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_c,
+                 sum(CAST(CASE WHEN t = 0 THEN CAST(y AS DOUBLE)
+                   ELSE 0.0 END AS DECIMAL(25,6))) AS syc
+               FROM st GROUP BY 1),
+             eff AS (SELECT stratum, n_t, n_c,
+                 CAST(n_t + n_c AS BIGINT) AS n,
+                 CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(syc AS DOUBLE) / CAST(n_c AS DOUBLE)
+                   AS diff
+               FROM cells),
+             q AS (SELECT *, CAST(floor(diff * 1000000.0 + 0.5)
+                 AS BIGINT) AS dq FROM eff),
+             tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 sum(CAST(dq * n AS DECIMAL(38,0))) AS wd FROM q)
+        SELECT stratum, n_t, n_c, round(diff, 6) AS diff,
+               round(CAST(wd AS DOUBLE) / CAST(nn AS DOUBLE)
+                 / 1000000.0, 6) AS ate
+        FROM q CROSS JOIN tot ORDER BY stratum"""))
 
   /** EMPIRICAL-BAYES shrunk nation rates ([[graft.ops.Experiment
     * .ebShrinkRates]]): urgent-order rates per nation with the

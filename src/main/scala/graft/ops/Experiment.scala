@@ -311,6 +311,61 @@ object Experiment {
             lit(1000000.0), 6).as("se_jk"))
   }
 
+  /** PROPENSITY-SCORE STRATIFICATION (Rosenbaum & Rubin 1983 —
+    * subclassification, the five-strata workhorse of observational
+    * causal inference): rank units by an INTEGER propensity score
+    * (quantized linear model — fit separately, served exactly),
+    * cut into `strata` exact ntiles (the q30 closed-form rank
+    * bucketing, total-order deterministic via `tiebreak`), take the
+    * treated-minus-control outcome difference within each stratum
+    * (exact decimal sums), and weight the per-stratum effects by
+    * stratum size into the ATE — per-stratum diffs quantize to ppm
+    * BEFORE the integer-weighted sum (the order-free convention).
+    * REFUSES when any stratum lacks an arm (off-support: no
+    * comparison exists there — the assumption violation this design
+    * makes visible). One ntile pass + one grouped aggregate. Emits
+    * per-stratum rows (stratum, n_t, n_c, diff) + the shared ate.
+    */
+  def propensityStratifiedAte(df: DataFrame, treated: Column,
+      outcome: Column, scoreQ: Column, tiebreak: Column,
+      strata: Int = 5): DataFrame = {
+    require(strata >= 2 && strata <= 100,
+      s"propensityStratifiedAte: strata $strata")
+    val base = df.select(treated.cast("int").as("__t"),
+      outcome.cast("double").as("__y"),
+      scoreQ.cast("long").as("__sq"), tiebreak.cast("long").as("__tb"))
+    val withS = graft.ops.ScanOps.ntile(base,
+      Seq(col("__sq"), col("__tb")), strata, out = "stratum")
+    def ysum(t: Int) = sum(when(col("__t") === t, col("__y"))
+      .otherwise(lit(0.0)).cast("decimal(25,6)"))
+    val cells = withS.groupBy(col("stratum")).agg(
+      sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_t"),
+      ysum(1).as("__syt"),
+      sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_c"),
+      ysum(0).as("__syc"))
+    val bad = cells.where(col("n_t") === 0 || col("n_c") === 0)
+      .count()
+    require(bad == 0, s"propensityStratifiedAte: $bad strata have " +
+      "no treated or no control units (off-support) — fewer strata " +
+      "or trimmed scores needed")
+    val eff = cells
+      .withColumn("__n", col("n_t") + col("n_c"))
+      .withColumn("__diff",
+        col("__syt").cast("double") / col("n_t").cast("double") -
+          col("__syc").cast("double") / col("n_c").cast("double"))
+      .withColumn("__dq",
+        floor(col("__diff") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = eff.agg(sum(col("__n")).as("__totn"),
+      sum((col("__dq") * col("__n")).cast("decimal(38,0)"))
+        .as("__wd"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        round(col("__diff"), 6).as("diff"),
+        round(col("__wd").cast("double") /
+          col("__totn").cast("double") / lit(1000000.0), 6)
+          .as("ate"))
+  }
+
   /** EMPIRICAL-BAYES rate shrinkage (beta-binomial method of
     * moments; the James-Stein idea applied to segment conversion
     * rates): small segments' raw rates are mostly noise, so each

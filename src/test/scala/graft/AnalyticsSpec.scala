@@ -399,6 +399,29 @@ class AnalyticsSpec extends SparkSuite {
       s"se ${r.getDouble(3)} vs $expSe")
   }
 
+  test("propensityStratifiedAte: hand-computed stratum diffs and " +
+      "size-weighted ATE; off-support stratum refuses") {
+    import graft.ops.Experiment
+    // stratum 1 (scores 1,2): diff 10-4 = 6; stratum 2 (3,4): 0-2
+    val df = Seq((1L, 1, 10.0, 1L), (2L, 0, 4.0, 2L),
+      (3L, 1, 0.0, 3L), (4L, 0, 2.0, 4L))
+      .toDF("sq", "t", "y", "tb")
+    val got = Experiment.propensityStratifiedAte(df, col("t"),
+        col("y"), col("sq"), col("tb"), strata = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(got == Map(1L -> ((1L, 1L, 6.0, 2.0)),
+      2L -> ((1L, 1L, -2.0, 2.0))), s"got $got")
+    // stratum 2 all-treated -> off-support refusal
+    val bad = Seq((1L, 1, 1.0, 1L), (2L, 0, 1.0, 2L),
+      (3L, 1, 1.0, 3L), (4L, 1, 1.0, 4L)).toDF("sq", "t", "y", "tb")
+    intercept[IllegalArgumentException] {
+      Experiment.propensityStratifiedAte(bad, col("t"), col("y"),
+        col("sq"), col("tb"), strata = 2)
+    }
+  }
+
   test("ebShrinkRates: identical segments collapse to the pooled " +
       "rate; shrunk estimates sit between raw rate and pool, small " +
       "segments shrinking hardest") {
