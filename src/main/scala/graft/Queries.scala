@@ -55,6 +55,7 @@ object Queries {
       QueriesExpr.all ++
       QueriesML.all ++
       QueriesLLM.all ++
-      QueriesStream.all +
+      QueriesStream.all ++
+      QueriesStats.all +
       ("q14_groupby_agg" -> q14)
 }

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based statistics WITHOUT per-row global rank windows: every
+  * operator here reduces the data to a DISTINCT-VALUE CENSUS first
+  * (one grouped aggregate), then takes ordered prefix sums over that
+  * bounded census. At 100 TB a per-row global rank is a single-
+  * partition sort of the whole corpus; a census prefix is a window
+  * over (distinct score values) rows — bounded by the caller's score
+  * resolution (quantized-grid keys), not by data volume. Ties get the
+  * textbook average-rank treatment, carried as EXACT integers
+  * (2·rank, so the .5 grain stays integral) so every statistic's
+  * inputs are order-independent integer sums and the closed forms
+  * replay bit-for-bit on any engine.
+  *
+  * Census guard: each operator refuses when the census exceeds
+  * `maxDistinct` (the radiusJoin/hammingPairs contract) instead of
+  * silently building an unbounded single-partition window.
+  */
+object RankStats {
+
+  private def censusGuard(census: DataFrame, maxDistinct: Long,
+      what: String): Unit = {
+    val n = census.count()
+    require(n <= maxDistinct,
+      s"$what: $n distinct values exceeds maxDistinct=$maxDistinct " +
+        "— quantize the input to a coarser grid")
+  }
+
+  /** ROC AUC + Mann-Whitney U (Mann & Whitney 1947; AUC = U/(P·Q) is
+    * the probability a random positive outscores a random negative,
+    * ties counted half). Census per distinct score: positive and
+    * negative counts; 2U = Σ_s p_s·(2·negBelow_s + q_s) is an exact
+    * integer, the normal approximation carries the standard tie
+    * correction Σ(t³−t). Emits one row: n_pos, n_neg, u_stat, auc,
+    * z, p_value (two-sided, portable A&S CDF).
+    *
+    * `score` must be on a bounded grid (quantized long); `label`
+    * 0/1.
+    */
+  def auc(df: DataFrame, score: Column, label: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val rows = df.select(score.cast("long").as("__s"),
+      label.cast("long").as("__l"))
+    val census = rows.groupBy(col("__s")).agg(
+      sum(col("__l")).as("__p"),
+      (count(lit(1)) - sum(col("__l"))).as("__q"))
+    censusGuard(census, maxDistinct, "RankStats.auc")
+    val w = Window.partitionBy(ScanOps.pinnedZero(col("__q")))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = census.withColumn("__qb",
+      coalesce(sum(col("__q")).over(w), lit(0L)))
+    val sums = pref.agg(
+      sum(col("__p")).cast("long").as("__pp"),
+      sum(col("__q")).cast("long").as("__qq"),
+      sum((col("__p") * (lit(2) * col("__qb") + col("__q")))
+        .cast("decimal(38,0)")).cast("double").as("__u2"),
+      sum(((col("__p") + col("__q")) * (col("__p") + col("__q"))
+          * (col("__p") + col("__q")) - (col("__p") + col("__q")))
+        .cast("decimal(38,0)")).cast("double").as("__ties"))
+    val p = col("__pp").cast("double"); val q = col("__qq").cast("double")
+    val n = p + q
+    val sigma2 = (p * q / lit(12.0)) *
+      ((n + lit(1.0)) - col("__ties") / (n * (n - lit(1.0))))
+    // all scores tied -> zero variance -> no evidence either way
+    val z = when(sigma2 > lit(0.0),
+      (col("__u2") / lit(2.0) - p * q / lit(2.0)) / sqrt(sigma2))
+      .otherwise(lit(0.0))
+    sums.select(
+      col("__pp").as("n_pos"), col("__qq").as("n_neg"),
+      round(col("__u2") / lit(2.0), 1).as("u_stat"),
+      round(col("__u2") / (lit(2.0) * p * q), 6).as("auc"),
+      round(z, 6).as("z"),
+      round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(z))), 6)
+        .as("p_value"))
+  }
+
+  /** Average-rank dictionary for one grid variable: distinct value →
+    * (count, 2·avgRank). 2·avgRank = 2·countBelow + count + 1 keeps
+    * the tie midpoint integral.
+    */
+  private def rankDict(rows: DataFrame, v: String): DataFrame = {
+    val census = rows.groupBy(col(v)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(ScanOps.pinnedZero(col("__n")))
+      .orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census.withColumn("__r2",
+      lit(2) * coalesce(sum(col("__n")).over(w), lit(0L))
+        + col("__n") + lit(1))
+  }
+
+  /** SPEARMAN rank correlation: Pearson over average ranks, the ranks
+    * taken from per-variable distinct-value dictionaries joined back
+    * broadcast (map-side — the dictionaries are census-bounded, the
+    * data passes once). Doubled ranks keep every moment sum an exact
+    * integer; the scale factor cancels in the correlation. Emits one
+    * row (n, rho).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val rows = df.select(x.cast("long").as("__x"),
+      y.cast("long").as("__y"))
+    val dx = rankDict(rows.select(col("__x")), "__x")
+      .select(col("__x"), col("__r2").as("__rx"))
+    val dy = rankDict(rows.select(col("__y")), "__y")
+      .select(col("__y"), col("__r2").as("__ry"))
+    censusGuard(dx, maxDistinct, "RankStats.spearman(x)")
+    censusGuard(dy, maxDistinct, "RankStats.spearman(y)")
+    val ranked = rows.join(broadcast(dx), Seq("__x"))
+      .join(broadcast(dy), Seq("__y"))
+    def isum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val sums = ranked.agg(
+      count(lit(1)).cast("long").as("__n"),
+      isum(col("__rx")).as("__sx"), isum(col("__ry")).as("__sy"),
+      isum(col("__rx") * col("__rx")).as("__sxx"),
+      isum(col("__ry") * col("__ry")).as("__syy"),
+      isum(col("__rx") * col("__ry")).as("__sxy"))
+    val nD = col("__n").cast("double")
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) *
+      (nD * col("__syy") - col("__sy") * col("__sy")))
+    sums.select(col("__n").as("n"), round(num / den, 6).as("rho"))
+  }
+
+  /** KRUSKAL-WALLIS one-way rank test (1952) across groups: per-group
+    * rank sums from the shared distinct-value dictionary (exact
+    * doubled-rank integers), H with the standard tie correction
+    * 1 − Σ(t³−t)/(N³−N). Emits one row per group (grp, n, rank_sum,
+    * mean_rank) with the test verdict (h, h_adj, df) repeated —
+    * per-group evidence and the statistic in one readout.
+    */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val rows = df.select(group.cast("string").as("grp"),
+      value.cast("long").as("__v"))
+    val dict = rankDict(rows.select(col("__v")), "__v")
+    censusGuard(dict, maxDistinct, "RankStats.kruskalWallis")
+    val cells = rows.groupBy(col("grp"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val perGroup = cells.join(broadcast(dict), Seq("__v"))
+      .groupBy(col("grp")).agg(
+        sum(col("__c")).cast("long").as("n"),
+        sum((col("__c") * col("__r2")).cast("decimal(38,0)"))
+          .cast("double").as("__r2sum"))
+    val ties = dict.agg(
+      sum((col("__n") * col("__n") * col("__n") - col("__n"))
+        .cast("decimal(38,0)")).cast("double").as("__ties"),
+      sum(col("__n")).cast("long").as("__nn"),
+      count(lit(1)).cast("long").as("__k_unused"))
+    val joined = perGroup.crossJoin(broadcast(ties))
+    val nD = col("__nn").cast("double")
+    // Σ R_g²/n_g with R_g = r2sum/2 → r2sum²/(4·n_g)
+    val hTerm = col("__r2sum") * col("__r2sum") /
+      (lit(4.0) * col("n").cast("double"))
+    val withH = joined.agg(
+      sum(hTerm.cast("decimal(38,6)")).cast("double").as("__hsum"),
+      first(col("__nn")).as("__nn"), first(col("__ties")).as("__ties"),
+      count(lit(1)).cast("long").as("__k"))
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * col("__hsum") -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("__ties") / (nD * nD * nD - nD)
+    val verdict = withH.select(
+      round(h, 6).as("h"), round(h / corr, 6).as("h_adj"),
+      (col("__k") - lit(1L)).as("df"))
+    perGroup.crossJoin(broadcast(verdict))
+      .select(col("grp"), col("n"),
+        round(col("__r2sum") / lit(2.0), 1).as("rank_sum"),
+        round(col("__r2sum") / (lit(2.0) * col("n").cast("double")), 6)
+          .as("mean_rank"),
+        col("h"), col("h_adj"), col("df"))
+      .orderBy(col("grp"))
+  }
+
+  /** WELCH two-sample t-test (unequal variances; Welch 1947): group
+    * means and variances from exact decimal sums, t and the
+    * Welch–Satterthwaite df in one fixed double order, p by the
+    * normal approximation (df here is thousands — the t quantile is
+    * the normal quantile to far beyond the 6dp grain). Emits one row:
+    * n_a, n_b, mean_a, mean_b, t_stat, df_welch, p_value.
+    */
+  def welchT(df: DataFrame, inA: Column, inB: Column, value: Column)
+      : DataFrame = {
+    def side(f: Column, tag: String) = Seq(
+      sum(when(f, value).cast("decimal(25,6)")).cast("double")
+        .as(s"__s$tag"),
+      sum(when(f, value * value).cast("decimal(38,10)")).cast("double")
+        .as(s"__ss$tag"),
+      sum(when(f, 1L).otherwise(0L)).as(s"__n$tag"))
+    val aggs = side(inA, "a") ++ side(inB, "b")
+    val sums = df.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String) = {
+      val n = col(s"__n$tag").cast("double")
+      val m = col(s"__s$tag") / n
+      val v = (col(s"__ss$tag") - col(s"__s$tag") * col(s"__s$tag") / n) /
+        (n - lit(1.0))
+      (n, m, v)
+    }
+    val (na, ma, va) = stats("a"); val (nb, mb, vb) = stats("b")
+    val sa = va / na; val sb = vb / nb
+    val t = (ma - mb) / sqrt(sa + sb)
+    val dfw = (sa + sb) * (sa + sb) /
+      (sa * sa / (na - lit(1.0)) + sb * sb / (nb - lit(1.0)))
+    sums.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(dfw, 2).as("df_welch"),
+      round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(t))), 6)
+        .as("p_value"))
+  }
+}

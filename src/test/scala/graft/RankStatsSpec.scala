@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.RankStats
+import org.apache.spark.sql.functions._
+
+/** Rank statistics against hand-computed textbook cases: every
+  * statistic here is small enough to check by pencil, which pins the
+  * census/doubled-rank arithmetic independently of the DuckDB
+  * oracle's replay of the same formulas.
+  */
+class RankStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("auc: perfect separation gives 1.0, reversed gives 0.0, " +
+      "all-tied gives 0.5") {
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("s", "l")
+    val r = RankStats.auc(perfect, col("s"), col("l")).collect()(0)
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    val rev = RankStats.auc(perfect, -col("s"), col("l")).collect()(0)
+    assert(rev.getAs[Double]("auc") == 0.0)
+    val tied = Seq((5L, 0), (5L, 1), (5L, 0), (5L, 1)).toDF("s", "l")
+    assert(RankStats.auc(tied, col("s"), col("l"))
+      .collect()(0).getAs[Double]("auc") == 0.5)
+  }
+
+  test("auc: hand case with a tie straddling the classes") {
+    // neg scores {1, 3}, pos scores {3, 5}:
+    // pairs: (1<3)=1, (1<5)=1, (3=3)=0.5, (3<5)=1 -> U=3.5, AUC=0.875
+    val df = Seq((1L, 0), (3L, 0), (3L, 1), (5L, 1)).toDF("s", "l")
+    val r = RankStats.auc(df, col("s"), col("l")).collect()(0)
+    assert(r.getAs[Double]("u_stat") == 3.5)
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("auc: census guard refuses an unbounded score grid") {
+    val df = (1 to 100).map(i => (i.toLong, i % 2)).toDF("s", "l")
+    val e = intercept[IllegalArgumentException] {
+      RankStats.auc(df, col("s"), col("l"), maxDistinct = 10)
+    }
+    assert(e.getMessage.contains("maxDistinct"))
+  }
+
+  test("spearman: monotone nonlinear is exactly 1, anti-monotone -1") {
+    val df = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L), (5L, 25L))
+      .toDF("x", "y")
+    assert(RankStats.spearman(df, col("x"), col("y"))
+      .collect()(0).getAs[Double]("rho") == 1.0)
+    assert(RankStats.spearman(df, col("x"), -col("y"))
+      .collect()(0).getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearman: ties get average ranks (hand case)") {
+    // x: 1,2,2,4 -> ranks 1, 2.5, 2.5, 4; y: 10,20,30,40 -> 1,2,3,4
+    // rho = 1 - complicated; compute Pearson on ranks by hand:
+    // rx = (1, 2.5, 2.5, 4), ry = (1,2,3,4); cov terms:
+    // mean rx = 2.5, mean ry = 2.5
+    // num = (−1.5)(−1.5) + 0·(−0.5) + 0·0.5 + 1.5·1.5 = 4.5
+    // den = sqrt(4.5) * sqrt(5) = sqrt(22.5) -> rho = 4.5/4.7434165
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 30L), (4L, 40L))
+      .toDF("x", "y")
+    val rho = RankStats.spearman(df, col("x"), col("y"))
+      .collect()(0).getAs[Double]("rho")
+    assert(math.abs(rho - 4.5 / math.sqrt(22.5)) < 1e-6, s"rho=$rho")
+  }
+
+  test("kruskalWallis: textbook three-group case") {
+    // groups a={1,2}, b={3,4}, c={5,6}; no ties
+    // ranks 1..6; Ra=3, Rb=7, Rc=11; N=6
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 12/42*89.5 - 21
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val rows = RankStats.kruskalWallis(df, col("g"), col("v"))
+      .collect()
+    assert(rows.length == 3)
+    val h = rows(0).getAs[Double]("h")
+    val expect = 12.0 / 42.0 * 89.5 - 21.0
+    assert(math.abs(h - expect) < 1e-6, s"h=$h expect=$expect")
+    assert(rows(0).getAs[Long]("df") == 2)
+    // no ties -> h_adj == h
+    assert(rows(0).getAs[Double]("h_adj") == h)
+    val ra = rows.find(_.getString(0) == "a").get
+    assert(ra.getAs[Double]("rank_sum") == 3.0)
+    assert(ra.getAs[Double]("mean_rank") == 1.5)
+  }
+
+  test("welchT: equal groups give t=0, p=1; known asymmetric case") {
+    val eq = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r0 = RankStats.welchT(eq, col("g") === "a", col("g") === "b",
+      col("v")).collect()(0)
+    assert(r0.getAs[Double]("t_stat") == 0.0)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+    // a = {1,2,3}, b = {2,4,6}: ma=2, mb=4, va=1, vb=4
+    // t = -2 / sqrt(1/3 + 4/3) = -2/sqrt(5/3)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val r = RankStats.welchT(df, col("g") === "a", col("g") === "b",
+      col("v")).collect()(0)
+    val tExpect = -2.0 / math.sqrt(5.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - tExpect) < 1e-6)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 4.0)
+  }
+}
