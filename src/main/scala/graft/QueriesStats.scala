@@ -220,7 +220,80 @@ object QueriesStats {
                round(""" + sqlTwoSidedP + """, 6) AS p_value
         FROM ph"""))
 
+  /** Shared subject table for the Cox entries: per-customer tenure
+    * (days from first to last order), churn event = inactive > 360
+    * days at corpus end — the q245/q292 cohort, here with covariates.
+    */
+  private def coxSubjects(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val per = read(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_d"),
+        max(col("o_orderdate")).as("last_d"))
+    val mx = per.agg(max(col("last_d")).as("maxd"))
+    per.join(read(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(mx))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        expr("datediff(last_d, first_d)").cast("long").as("duration"),
+        (expr("datediff(maxd, last_d)") > 360).cast("long").as("event"))
+  }
+
+  /** COX PROPORTIONAL HAZARDS ([[graft.ops.Cox.fit]]): churn hazard
+    * vs account balance and segment — the survival REGRESSION next
+    * to q292's descriptive curves. Newton on the Breslow partial
+    * likelihood, each iteration one census+suffix pass; rows-only by
+    * nature (solver), pinned by the in-plan gates (converged,
+    * ll > ll0) and by q310's integer-exact risk-set twin + CoxSpec's
+    * independent R-style reference case.
+    */
+  private val q309_cox_fit: Q = (
+    (s, dir) => graft.ops.Cox.fit(coxSubjects(s, dir),
+      duration = col("duration"), event = col("event"),
+      features = Seq(
+        "acctbal_k" -> col("c_acctbal") / 1000.0,
+        "building" -> (col("c_mktsegment") === "BUILDING")
+          .cast("double"))),
+    None)
+
+  /** COX RISK-SET CENSUS, integer lattice ([[graft.ops.Cox
+    * .riskSets]]): the oracle-checkable core of q309 — per event
+    * time, death count and suffix risk-set sums S0/S1 at integer
+    * weights, replayed exactly by DuckDB's descending window.
+    */
+  private val q310_cox_risk: Q = (
+    (s, dir) => graft.ops.Cox.riskSets(coxSubjects(s, dir),
+      duration = col("duration"), event = col("event"),
+      weight = lit(1L) + col("c_custkey") % 5,
+      x = col("c_custkey") % 3),
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT c_custkey,
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS t,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS e,
+                 1 + c_custkey % 5 AS w,
+                 (1 + c_custkey % 5) * (c_custkey % 3) AS wx
+               FROM per JOIN customer ON o_custkey = c_custkey
+               CROSS JOIN mx),
+             census AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                 CAST(sum(w) AS BIGINT) AS w0,
+                 CAST(sum(wx) AS BIGINT) AS w1
+               FROM subj GROUP BY 1),
+             suff AS (SELECT t, d,
+                 CAST(sum(w0) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s0,
+                 CAST(sum(w1) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+               FROM census)
+        SELECT t, d, s0, s1 FROM suff WHERE d > 0 ORDER BY t"""))
+
   val all: Map[String, Q] = Map(
+    "q309_cox_fit" -> q309_cox_fit,
+    "q310_cox_risk" -> q310_cox_risk,
     "q305_auc" -> q305_auc,
     "q306_spearman" -> q306_spearman,
     "q307_kruskal" -> q307_kruskal,
