@@ -407,6 +407,38 @@ object QueriesStream {
         FROM p LEFT JOIN a USING (event_id)
         GROUP BY 1 ORDER BY 1"""))
 
+  /** STREAMING MISRA-GRIES heavy hitters ([[Streams.mgSketch]] +
+    * [[Streams.mgHeavyHittersBatch]]): O(buckets·k) total state
+    * however many distinct tokens flow past — the bounded-memory
+    * sibling of q230's per-token counter (whose state grows with the
+    * vocabulary). Batch form under the oracle: sketch candidates →
+    * exact recount → global frequency bar cnt·(k+1) > total, which
+    * the MG superset guarantee makes EXACT and slicing-invariant
+    * (StreamingMgSpec drives the readStream slicings).
+    */
+  private val q311_stream_mg: Q = (
+    (s, dir) => {
+      import graft.llmdata.Dedup
+      val toks = spread(read(s, dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(split(Dedup.normalize(col("text")), " "))
+          .as("tok"))
+        .where(col("tok") =!= "")
+      Streams.mgHeavyHittersBatch(toks, "tok", k = 300, buckets = 8)
+        .orderBy(col("tok"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
+                 AS t
+               FROM documents WHERE text IS NOT NULL),
+             tok2 AS (SELECT t FROM toks WHERE t <> ''),
+             tot AS (SELECT count(*) AS n FROM tok2)
+        SELECT t AS tok, count(*) AS cnt
+        FROM tok2 CROSS JOIN tot
+        GROUP BY t, n HAVING count(*) * 301 > n
+        ORDER BY tok"""))
+
   /** Streaming threshold counter ([[Streams.thresholdCounter]]) in
     * its batch form under the oracle: exact per-token running counts
     * with a crossing flag, state = one long per token. Emitted
@@ -1177,6 +1209,7 @@ object QueriesStream {
     "q276_pacf" -> q276_pacf,
     "q226_first_touch" -> q226_first_touch,
     "q230_stream_threshold" -> q230_stream_threshold,
+    "q311_stream_mg" -> q311_stream_mg,
     "q104_stream_dedup" -> q104_stream_dedup,
     "q139_drift_monitor" -> q139_drift_monitor,
     "q80_interval_join" -> q80_interval_join,

@@ -616,4 +616,98 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Bounded Misra-Gries summary for one hash bucket: rows processed
+    * so far and the ≤ k surviving (token, lower-bound count) pairs.
+    */
+  case class MgState(n: Long, toks: Map[String, Long])
+  /** One candidate emission: bucket, rows the bucket has seen, the
+    * candidate token and its MG lower-bound count (true count is in
+    * [lower, lower + n/(k+1)]).
+    */
+  case class MgCandidate(bucket: Long, n: Long, token: String,
+      lower: Long)
+
+  /** STREAMING MISRA-GRIES SKETCH (Misra & Gries 1982): heavy-hitter
+    * candidates with O(buckets·k) TOTAL state however many distinct
+    * tokens flow past — the roadmap "streaming sketch state" shape,
+    * and the bounded-memory alternative to [[thresholdCounter]]'s
+    * per-token state. Tokens hash-partition into `buckets` groups;
+    * each group's state is one MG(k) summary folded over arrivals by
+    * `flatMapGroupsWithState`, re-emitting the bucket's current
+    * candidates each batch (update semantics — keep the last
+    * emission per (bucket, token)).
+    *
+    * ARRIVAL-ORDER CONTRACT: the MG summary itself (survivor set and
+    * lower bounds) depends on arrival order and micro-batch slicing
+    * — that is inherent to the sketch, not a bug. What is INVARIANT
+    * under any slicing is the guarantee: every token whose true
+    * count in the bucket exceeds n_bucket/(k+1) is present in the
+    * final candidate set, with lower ≤ true ≤ lower + n_bucket/(k+1).
+    * Downstream exact use therefore recounts candidates and filters
+    * at a global threshold ≥ n/(k+1) ([[graft.streaming.Streams
+    * .mgHeavyHittersBatch]]), which IS slicing-invariant — the
+    * contract StreamingMgSpec pins with two slicings.
+    */
+  def mgSketch(tokens: DataFrame, tokenCol: String, k: Int,
+      buckets: Int): Dataset[MgCandidate] = {
+    require(k >= 1 && buckets >= 1, s"mgSketch: k=$k buckets=$buckets")
+    val ss = tokens.sparkSession
+    import ss.implicits._
+    tokens.select(col(tokenCol).cast("string").as("token"),
+        pmod(xxhash64(col(tokenCol).cast("string")), lit(buckets))
+          .as("bucket"))
+      .where(col("token").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MgState, MgCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(String, Long)],
+         state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(0L, Map.empty))
+          val m = scala.collection.mutable.HashMap
+            .from(st.toks)
+          var n = st.n
+          rows.foreach { case (t, _) =>
+            n += 1L
+            m.get(t) match {
+              case Some(c) => m.update(t, c + 1L)
+              case None =>
+                if (m.size < k) m.update(t, 1L)
+                else { // the MG decrement-all step
+                  m.mapValuesInPlace((_, v) => v - 1L)
+                  m.filterInPlace((_, v) => v > 0L)
+                }
+            }
+          }
+          state.update(MgState(n, m.toMap))
+          m.iterator.map { case (t, c) => MgCandidate(bucket, n, t, c) }
+      }
+  }
+
+  /** Batch composition of [[mgSketch]]: candidates → exact recount →
+    * global threshold cnt·(k+1) > total. Exactness argument: a token
+    * hashes to ONE bucket, so its bucket count is its true count; MG
+    * keeps every token over n_bucket/(k+1) ≥ its share of the global
+    * bar, so the candidate set is a superset of every token over
+    * total/(k+1) and the exact recount filter makes the final answer
+    * EXACT (and arrival-order/slicing invariant) — the same
+    * sketch-then-verify shape as [[graft.llmdata.Sketches
+    * .heavyHitters]], here through the streaming state machinery so
+    * the identical operator runs under readStream.
+    */
+  def mgHeavyHittersBatch(tokens: DataFrame, tokenCol: String, k: Int,
+      buckets: Int): DataFrame = {
+    val pinned = graft.Caches.pin(
+      tokens.select(col(tokenCol).cast("string").as("__u"))
+        .where(col("__u").isNotNull))
+    val cands = mgSketch(pinned, "__u", k, buckets)
+      .toDF().select(col("token").as("__u")).distinct()
+    val total = pinned.count()
+    pinned.join(broadcast(cands), Seq("__u"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(k + 1L) > lit(total))
+      .select(col("__u").as(tokenCol), col("cnt"))
+  }
 }
