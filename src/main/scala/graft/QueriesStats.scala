@@ -291,11 +291,364 @@ object QueriesStats {
                FROM census)
         SELECT t, d, s0, s1 FROM suff WHERE d > 0 ORDER BY t"""))
 
+  /** RANKED-RETRIEVAL EVAL ([[graft.ops.Eval.rankingMetrics]]):
+    * precision@10 / recall@10 / MRR / nDCG@10 per query over a
+    * deterministic run (queries = market segments, candidates ranked
+    * by rounded balance, graded gains from the custkey lattice) —
+    * the report card for the engine's own retrieval stack
+    * (q45/q167/q173/q211). Per-query windows only; 2^gain − 1
+    * numerators exact integers, log2 denominators decimal-quantized
+    * before the order-free sum.
+    */
+  private val q312_retrieval_eval: Q = (
+    (s, dir) => graft.ops.Eval.rankingMetrics(
+      read(s, dir, "customer"),
+      query = col("c_mktsegment"), doc = col("c_custkey"),
+      score = round(col("c_acctbal"), 0).cast("long"),
+      gain = when(col("c_custkey") % 7 === 0, 2L)
+        .when(col("c_custkey") % 3 === 0, 1L).otherwise(0L),
+      k = 10),
+    Some("""WITH cand AS (SELECT c_mktsegment AS query,
+                 c_custkey AS d,
+                 CAST(round(c_acctbal, 0) AS BIGINT) AS s,
+                 CASE WHEN c_custkey % 7 = 0 THEN 2
+                      WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS g
+               FROM customer),
+             r AS (SELECT *,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY s DESC, d ASC) AS rr,
+                 row_number() OVER (PARTITION BY query
+                   ORDER BY g DESC, d ASC) AS ri
+               FROM cand),
+             t AS (SELECT query,
+                 count(*) AS n_candidates,
+                 CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_relevant,
+                 CAST(sum(CASE WHEN rr <= 10 AND g > 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS hits,
+                 min(CASE WHEN g > 0 THEN rr END) AS fr,
+                 CAST(sum(CAST(CASE WHEN rr <= 10 AND g > 0 THEN
+                     CAST((1 << g) - 1 AS DOUBLE)
+                       / log2(CAST(rr AS DOUBLE) + 1.0)
+                   ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS dcg,
+                 CAST(sum(CAST(CASE WHEN ri <= 10 AND g > 0 THEN
+                     CAST((1 << g) - 1 AS DOUBLE)
+                       / log2(CAST(ri AS DOUBLE) + 1.0)
+                   ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+               FROM r GROUP BY 1)
+        SELECT query, n_candidates, n_relevant,
+               round(CAST(hits AS DOUBLE) / 10.0, 6) AS precision_k,
+               round(CASE WHEN n_relevant > 0 THEN CAST(hits AS DOUBLE)
+                 / CAST(n_relevant AS DOUBLE) ELSE 0.0 END, 6)
+                 AS recall_k,
+               round(CASE WHEN fr IS NOT NULL THEN
+                 1.0 / CAST(fr AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+                 AS ndcg_k
+        FROM t ORDER BY query"""))
+
+  /** PROPER SCORING RULES ([[graft.ops.Eval.logLossBrier]]): log-loss
+    * + Brier per segment for a grid pseudo-probability against the
+    * balance label — the threshold-free companion to q38's
+    * thresholded assess and q243's reliability bins. (segment, p, y)
+    * census first; per-cell ln terms decimal-quantized.
+    */
+  private val q313_scoring_rules: Q = (
+    (s, dir) => graft.ops.Eval.logLossBrier(
+      read(s, dir, "customer"),
+      segment = col("c_mktsegment"),
+      p = (col("c_custkey") % 97).cast("double") / 97.0,
+      y = (col("c_acctbal") > 5000.0).cast("long")),
+    Some("""WITH cells AS (SELECT c_mktsegment AS segment,
+                 CAST(c_custkey % 97 AS DOUBLE) / 97.0 AS p,
+                 CAST(c_acctbal > 5000.0 AS BIGINT) AS y,
+                 count(*) AS c
+               FROM customer GROUP BY 1, 2, 3),
+             cl AS (SELECT segment, y, c,
+                 least(greatest(p, 0.000001), 0.999999) AS pc, p
+               FROM cells),
+             t AS (SELECT segment, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CAST(CAST(c AS DOUBLE) *
+                   (-(CAST(y AS DOUBLE) * ln(pc) +
+                      (1.0 - CAST(y AS DOUBLE)) * ln(1.0 - pc)))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS ll,
+                 CAST(sum(CAST(CAST(c AS DOUBLE) *
+                   ((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE)))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS br
+               FROM cl GROUP BY 1)
+        SELECT segment, n,
+               round(ll / CAST(n AS DOUBLE), 6) AS log_loss,
+               round(br / CAST(n AS DOUBLE), 6) AS brier
+        FROM t ORDER BY segment"""))
+
+  /** K-FOLD CROSS-VALIDATION in one pass
+    * ([[graft.ops.Eval.kFoldOls]]): 5-fold OLS of price on quantity
+    * over lineitem — train coefficients from complement moments,
+    * held-out RMSE by closed form, fold membership on the portable
+    * q70 hash. The honest generalization read next to q205's in-
+    * sample fit.
+    */
+  private val q314_kfold_cv: Q = (
+    (s, dir) => graft.ops.Eval.kFoldOls(
+      read(s, dir, "lineitem"),
+      id = col("l_orderkey") * 10 + col("l_linenumber"),
+      x = col("l_quantity"), y = col("l_extendedprice"), k = 5),
+    Some("""WITH rows AS (SELECT
+                 (((l_orderkey * 10 + l_linenumber) * 2654435761 + 42)
+                   % 1000000007) % 5 AS fold,
+                 CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem),
+             pf AS (SELECT fold, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+                   AS sxx,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE)
+                   AS sxy,
+                 CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE)
+                   AS syy
+               FROM rows GROUP BY 1),
+             tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(sum(CAST(sx AS DECIMAL(38,12))) AS DOUBLE) AS tsx,
+                 CAST(sum(CAST(sy AS DECIMAL(38,12))) AS DOUBLE) AS tsy,
+                 CAST(sum(CAST(sxx AS DECIMAL(38,12))) AS DOUBLE)
+                   AS tsxx,
+                 CAST(sum(CAST(sxy AS DECIMAL(38,12))) AS DOUBLE)
+                   AS tsxy,
+                 CAST(sum(CAST(syy AS DECIMAL(38,12))) AS DOUBLE)
+                   AS tsyy
+               FROM pf),
+             ab AS (SELECT fold, n, tn - n AS n_train,
+                 CAST(tn - n AS DOUBLE) AS ntd,
+                 tsx - sx AS sxt, tsy - sy AS syt, tsxx - sxx AS sxxt,
+                 tsxy - sxy AS sxyt,
+                 sx, sy, sxx, sxy, syy
+               FROM pf CROSS JOIN tot),
+             co AS (SELECT *,
+                 (ntd * sxyt - sxt * syt) / (ntd * sxxt - sxt * sxt)
+                   AS b
+               FROM ab),
+             co2 AS (SELECT *, (syt - b * sxt) / ntd AS a FROM co),
+             ev AS (SELECT fold, n_train, n AS n_test, b, a,
+                 syy - 2.0 * a * sy - 2.0 * b * sxy +
+                   CAST(n AS DOUBLE) * a * a + 2.0 * a * b * sx +
+                   b * b * sxx AS sse
+               FROM co2)
+        SELECT fold, n_train, n_test,
+               round(b, 6) AS slope, round(a, 6) AS intercept,
+               round(sqrt(greatest(sse, 0.0) / CAST(n_test AS DOUBLE)),
+                 6) AS rmse
+        FROM ev ORDER BY fold"""))
+
+  /** MUTUAL-INFORMATION feature screen
+    * ([[graft.ops.Eval.mutualInformation]]): three candidate
+    * features (price bucket, a custkey-noise control, order month)
+    * against the order-status label, one melted pass — the model-
+    * free ranking that should (and does) place the noise feature
+    * last. Exact-count census cells, decimal-quantized ln terms.
+    */
+  private val q315_mutual_info: Q = (
+    (s, dir) => graft.ops.Eval.mutualInformation(
+      read(s, dir, "orders"),
+      features = Seq(
+        "m1_price_bucket" -> floor(col("o_totalprice") / 50000.0)
+          .cast("long"),
+        "m2_custkey_noise" -> (col("o_custkey") % 10).cast("long"),
+        "m3_order_month" -> month(col("o_orderdate")).cast("long")),
+      label = (col("o_orderstatus") === "F").cast("long")),
+    Some("""WITH m AS (
+               SELECT 'm1_price_bucket' AS f,
+                 CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS v,
+                 CAST(o_orderstatus = 'F' AS BIGINT) AS y FROM orders
+               UNION ALL
+               SELECT 'm2_custkey_noise', o_custkey % 10,
+                 CAST(o_orderstatus = 'F' AS BIGINT) FROM orders
+               UNION ALL
+               SELECT 'm3_order_month',
+                 CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT),
+                 CAST(o_orderstatus = 'F' AS BIGINT) FROM orders),
+             cells AS (SELECT f, v, y, count(*) AS c
+               FROM m GROUP BY 1, 2, 3),
+             mv AS (SELECT f, v, CAST(sum(c) AS BIGINT) AS cv
+               FROM cells GROUP BY 1, 2),
+             my AS (SELECT f, y, CAST(sum(c) AS BIGINT) AS cy
+               FROM cells GROUP BY 1, 2),
+             tf AS (SELECT f, CAST(sum(c) AS BIGINT) AS n
+               FROM cells GROUP BY 1),
+             j AS (SELECT cells.f, cells.v, cells.y, cells.c,
+                 mv.cv, my.cy, tf.n
+               FROM cells JOIN mv ON cells.f = mv.f AND cells.v = mv.v
+               JOIN my ON cells.f = my.f AND cells.y = my.y
+               JOIN tf ON cells.f = tf.f),
+             mi AS (SELECT f,
+                 CAST(sum(CAST(
+                   (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+                     (CAST(cv AS DOUBLE) * CAST(cy AS DOUBLE)))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS mi,
+                 count(DISTINCT v) AS n_levels
+               FROM j GROUP BY 1),
+             hy AS (SELECT my.f,
+                 CAST(sum(CAST(
+                   -(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS h
+               FROM my JOIN tf ON my.f = tf.f GROUP BY 1)
+        SELECT mi.f AS feature, n_levels,
+               round(mi.mi, 6) AS mi_nats, round(hy.h, 6) AS h_y
+        FROM mi JOIN hy ON mi.f = hy.f ORDER BY feature"""))
+
+  /** POWER ANALYSIS ([[graft.ops.Experiment.powerSampleSize]]):
+    * per-segment n-per-arm to detect a 2-point lift on the segment's
+    * own high-balance rate at α=0.05 / power 0.8 — the planning
+    * entry the q235/q299/q300 testing stack starts from. Normal
+    * quantiles via the portable A&S 26.2.23 inverse.
+    */
+  private val q316_power: Q = (
+    (s, dir) => graft.ops.Experiment.powerSampleSize(
+      read(s, dir, "customer"),
+      segment = col("c_mktsegment"),
+      success = (col("c_acctbal") > 5000.0).cast("long"),
+      mde = 0.02),
+    Some("""WITH cells AS (SELECT c_mktsegment AS segment,
+                 count(*) AS n_obs,
+                 CAST(sum(CAST(c_acctbal > 5000.0 AS BIGINT))
+                   AS BIGINT) AS x
+               FROM customer GROUP BY 1),
+             za0 AS (SELECT sqrt(-2.0 * ln(0.025)) AS t),
+             zaq AS (SELECT t - (2.515517 + t * (0.802853 +
+                 t * 0.010328)) / (1.0 + t * (1.432788 +
+                 t * (0.189269 + t * 0.001308))) AS za FROM za0),
+             zb0 AS (SELECT sqrt(-2.0 * ln(CAST(1.0 AS DOUBLE) -
+                 CAST(0.8 AS DOUBLE))) AS t),
+             zbq AS (SELECT t - (2.515517 + t * (0.802853 +
+                 t * 0.010328)) / (1.0 + t * (1.432788 +
+                 t * (0.189269 + t * 0.001308))) AS zb FROM zb0),
+             pr AS (SELECT segment, n_obs,
+                 CAST(x AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p1
+               FROM cells),
+             p2c AS (SELECT *, least(p1 + 0.02, 0.999999) AS p2
+               FROM pr),
+             pb AS (SELECT *, (p1 + p2) / 2.0 AS pbar FROM p2c),
+             sc AS (SELECT segment, n_obs, p1, p2, pbar, za, zb,
+                 za * sqrt(2.0 * pbar * (1.0 - pbar)) +
+                 zb * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS s
+               FROM pb CROSS JOIN zaq CROSS JOIN zbq),
+             narm AS (SELECT *, s * s / ((p2 - p1) * (p2 - p1)) AS na
+               FROM sc)
+        SELECT segment, n_obs, round(p1, 6) AS baseline_rate,
+               round(za, 6) AS z_alpha, round(zb, 6) AS z_beta,
+               CAST(ceil(na) AS BIGINT) AS n_per_arm,
+               CAST(ceil(2.0 * na / CAST(n_obs AS DOUBLE)) AS BIGINT)
+                 AS weeks_needed
+        FROM narm ORDER BY segment"""))
+
+  /** SAMPLE-RATIO-MISMATCH check ([[graft.ops.Experiment.srmCheck]]):
+    * distinct exposed users per event-type "experiment", parity-hash
+    * arms vs 50/50 — the assignment audit that gates every treatment
+    * readout. χ²₁ from exact counts, p via the portable CDF.
+    */
+  private val q317_srm: Q = (
+    (s, dir) => graft.ops.Experiment.srmCheck(
+      read(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct(),
+      experiment = col("event_type"),
+      inA = (col("user_id") % 2 === 0).cast("long")),
+    Some(s"""WITH u AS (SELECT DISTINCT event_type AS experiment,
+                 user_id
+               FROM events),
+             cells AS (SELECT experiment,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_b
+               FROM u GROUP BY 1),
+             ch AS (SELECT *,
+                 (CAST(n_a AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) *
+                 (CAST(n_a AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) /
+                   (CAST(n_a + n_b AS DOUBLE) * 0.5) +
+                 (CAST(n_b AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) *
+                 (CAST(n_b AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) /
+                   (CAST(n_a + n_b AS DOUBLE) * 0.5) AS chi2
+               FROM cells),
+             zc AS (SELECT *, sqrt(chi2) AS z FROM ch),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT experiment, n_a, n_b, round(chi2, 6) AS chi2,
+               round($sqlTwoSidedP, 6) AS p_value,
+               CAST($sqlTwoSidedP < 0.001 AS INTEGER) AS srm_flag
+        FROM ph ORDER BY experiment"""))
+
+  /** T-CLOSENESS audit ([[graft.ops.DataQuality.tCloseness]]): the
+    * third privacy rung after q239 k-anonymity and q255 l-diversity
+    * — per (segment, nation) group, ordered-EMD distance between the
+    * group's balance-band distribution and the corpus-wide one.
+    * Exact-integer prefix numerators over census-bounded lattices.
+    */
+  private val q318_t_closeness: Q = (
+    (s, dir) => graft.ops.DataQuality.tCloseness(
+        read(s, dir, "customer"),
+        quasiCols = Seq("c_mktsegment", "c_nationkey"),
+        sensitive = floor(col("c_acctbal") / 2000.0).cast("long"),
+        tPpm = 150000L)
+      .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""WITH rows AS (SELECT c_mktsegment, c_nationkey,
+                 CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v
+               FROM customer),
+             cells AS (SELECT c_mktsegment, c_nationkey, v,
+                 count(*) AS c
+               FROM rows GROUP BY 1, 2, 3),
+             vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+               FROM cells GROUP BY 1),
+             grps AS (SELECT c_mktsegment, c_nationkey,
+                 CAST(sum(c) AS BIGINT) AS n
+               FROM cells GROUP BY 1, 2),
+             tot AS (SELECT CAST(sum(cv) AS BIGINT) AS nn FROM vals),
+             lat AS (SELECT g.c_mktsegment, g.c_nationkey, g.n,
+                 vv.v, vv.cv, COALESCE(cells.c, 0) AS c
+               FROM grps g CROSS JOIN vals vv
+               LEFT JOIN cells ON cells.c_mktsegment = g.c_mktsegment
+                 AND cells.c_nationkey = g.c_nationkey
+                 AND cells.v = vv.v),
+             pref AS (SELECT lat.*, tot.nn,
+                 sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumg,
+                 sum(cv) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumgl
+               FROM lat CROSS JOIN tot),
+             num AS (SELECT c_mktsegment, c_nationkey, n, nn,
+                 abs(CAST(cumg AS DECIMAL(38,0)) * nn -
+                     CAST(cumgl AS DECIMAL(38,0)) * n) AS d
+               FROM pref),
+             agg AS (SELECT c_mktsegment, c_nationkey, n,
+                 CAST(sum(d) AS DOUBLE) AS s,
+                 CAST(max(nn) AS DOUBLE) AS nn,
+                 CAST(count(*) AS DOUBLE) AS m
+               FROM num GROUP BY 1, 2, 3)
+        SELECT c_mktsegment, c_nationkey, n,
+               round(s / ((m - 1.0) * CAST(n AS DOUBLE) * nn), 6)
+                 AS emd,
+               CAST(round(s / ((m - 1.0) * CAST(n AS DOUBLE) * nn), 6)
+                 > 0.15 AS INTEGER) AS at_risk
+        FROM agg ORDER BY c_mktsegment, c_nationkey"""))
+
   val all: Map[String, Q] = Map(
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
     "q305_auc" -> q305_auc,
     "q306_spearman" -> q306_spearman,
     "q307_kruskal" -> q307_kruskal,
-    "q308_welch" -> q308_welch)
+    "q308_welch" -> q308_welch,
+    "q312_retrieval_eval" -> q312_retrieval_eval,
+    "q313_scoring_rules" -> q313_scoring_rules,
+    "q314_kfold_cv" -> q314_kfold_cv,
+    "q315_mutual_info" -> q315_mutual_info,
+    "q316_power" -> q316_power,
+    "q317_srm" -> q317_srm,
+    "q318_t_closeness" -> q318_t_closeness)
 }

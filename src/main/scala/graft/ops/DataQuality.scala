@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality rules with a one-pass violations report —
@@ -235,5 +236,78 @@ object DataQuality {
       .select(col(key), col("n"),
         expr("n * 1000000L div __total").as("share_ppm"),
         col("__nkeys").as("n_keys"), col("__total").as("n_rows"))
+  }
+
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after [[kAnonymity]] and [[lDiversity]]: a group can be
+    * large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION sits far from the corpus-wide one (e.g. one zip
+    * code holding all the top-bracket salaries). Distance is the
+    * ordered-attribute Earth-Mover's Distance of the paper:
+    *   EMD = (1/(m−1)) · Σ_prefixes |cumP_group − cumQ_global|
+    * over the m distinct sensitive grid values. Exact arithmetic: the
+    * prefix difference is the integer cross-product
+    * |cum_g·N − cum_G·n_g| over the common denominator n_g·N, so the
+    * sum is an exact integer and the cross-engine hash cannot drift;
+    * the final ratio is one fixed-order double divide rounded to 6dp
+    * (threshold `tPpm` compared at the same grain).
+    *
+    * Plan shape: one (quasi, v) cell count, one bounded value census,
+    * then groups × census built by cross join (both census-bounded,
+    * guarded by `maxGroups`·`maxValues`) with per-group prefix sums —
+    * windows partitioned by group over census-sized frames, never by
+    * data volume.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, tPpm: Long, maxGroups: Long = 100000L,
+      maxValues: Long = 10000L): DataFrame = {
+    require(quasiCols.nonEmpty && tPpm > 0,
+      s"tCloseness: $quasiCols/$tPpm")
+    val qs = quasiCols.map(col)
+    val rows = df.select(qs :+ sensitive.cast("long").as("__v"): _*)
+    val cells = rows.groupBy(qs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val values = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val nValues = values.count()
+    require(nValues <= maxValues,
+      s"tCloseness: $nValues sensitive values exceed $maxValues — " +
+        "quantize the sensitive attribute to a coarser grid")
+    val groups = cells.groupBy(qs: _*).agg(sum(col("__c")).as("n"))
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"tCloseness: $nGroups quasi-identifier groups exceed $maxGroups")
+    val total = values.agg(sum(col("__cv")).as("__nn"))
+    val lattice = groups.crossJoin(broadcast(values))
+      .join(cells, quasiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(total))
+    val wPref = Window.partitionBy(qs: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // names must differ by more than case — Spark's default resolver
+    // is case-insensitive, so "__cumg"/"__cumG" would be ONE column
+    // (the second withColumn silently replacing the first)
+    val pref = lattice
+      .withColumn("__cum_grp", sum(col("__c")).over(wPref))
+      .withColumn("__cum_glob", sum(col("__cv")).over(wPref))
+      // |cum_g·N − cum_G·n_g| exact over denominator n_g·N
+      .withColumn("__num", abs(
+        col("__cum_grp").cast("decimal(38,0)") * col("__nn") -
+          col("__cum_glob").cast("decimal(38,0)") * col("n")))
+    // the exact-integer numerator sum goes to double only here, and
+    // the denominator is a fixed-order double product — decimal
+    // division (whose rounding scale differs across engines) never
+    // runs, so the 6dp EMD replays bit-for-bit
+    val grouped = pref.groupBy((qs :+ col("n").as("n")): _*)
+      .agg(sum(col("__num")).cast("double").as("__s"),
+        first(col("__nn")).cast("double").as("__nn"),
+        count(lit(1)).cast("double").as("__m"))
+    val emd = round(col("__s") /
+      ((col("__m") - lit(1.0)) * col("n").cast("double") * col("__nn")),
+      6)
+    grouped
+      .withColumn("emd", emd)
+      .withColumn("at_risk",
+        (col("emd") > lit(tPpm.toDouble / 1000000.0)).cast("int"))
+      .select((qs :+ col("n") :+ col("emd") :+ col("at_risk")): _*)
   }
 }

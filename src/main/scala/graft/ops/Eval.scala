@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline evaluation operators: ranked-retrieval metrics, proper
+  * scoring rules, and closed-form cross-validation. The family that
+  * turns the engine's retrieval (q45/q167/q173/q211) and model
+  * (q57/q108/q210) outputs into graded report cards.
+  *
+  * Determinism contract (the [[graft.QH]] convention): every sum that
+  * must replay cross-engine is either an exact integer/decimal sum or
+  * a sum of per-row doubles quantized to a fixed decimal grain before
+  * aggregation, with the final statistic rounded to 6dp — summation
+  * order can then never flip a hash.
+  *
+  * Scale contract: no global windows. Ranking metrics use windows
+  * partitioned by query (per-query candidate lists are shortlist-
+  * sized by construction); scoring rules reduce to a (segment, grid)
+  * census first; k-fold needs ONE data pass — train-side moments are
+  * complements of fold moments, and the held-out error is a closed
+  * form of the same sums, so no second scan and no per-fold job.
+  */
+object Eval {
+
+  private def dq(c: Column): Column = c.cast("decimal(38,12)")
+
+  /** Ranked-retrieval metrics at cutoff `k`, one row per query:
+    * precision@k, recall@k, MRR and nDCG@k (graded gains, burges-style
+    * 2^gain − 1 numerators kept as exact integers via shiftleft).
+    *
+    * `candidates` carries one row per (query, doc) with a ranking
+    * `score` and an integer relevance `gain` (0 = irrelevant). The
+    * realized ranking orders by (score desc, doc asc) — the
+    * deterministic tie-break every oracle needs; the ideal ranking
+    * orders by (gain desc, doc asc). Ties among equal gains leave
+    * DCG invariant, so IDCG is well-defined.
+    *
+    * Plan shape: two row_number windows partitioned by query (the
+    * per-query candidate list is the unit of work — shuffles on the
+    * query key, never a global sort), then one grouped aggregate.
+    */
+  def rankingMetrics(candidates: DataFrame, query: Column, doc: Column,
+      score: Column, gain: Column, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: k=$k")
+    val rows = candidates.select(query.as("query"), doc.as("__d"),
+      score.as("__s"), gain.cast("long").as("__g"))
+    val wReal = Window.partitionBy(col("query"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val wIdeal = Window.partitionBy(col("query"))
+      .orderBy(col("__g").desc, col("__d").asc)
+    val ranked = rows
+      .withColumn("__r", row_number().over(wReal))
+      .withColumn("__ri", row_number().over(wIdeal))
+    // 2^g − 1 exact; the log2 denominator is the one float, computed
+    // identically per row on both engines and decimal-quantized so the
+    // per-query sum is order-free.
+    def dcgTerm(rankCol: Column): Column = dq(
+      when(rankCol <= k && col("__g") > 0,
+        (expr("shiftleft(1L, cast(__g AS INT))") - lit(1L))
+          .cast("double") / log2(rankCol.cast("double") + lit(1.0)))
+        .otherwise(lit(0.0)))
+    val perQuery = ranked.groupBy(col("query")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum((col("__g") > 0).cast("long")).as("n_relevant"),
+      sum((col("__r") <= k && col("__g") > 0).cast("long")).as("__hits"),
+      min(when(col("__g") > 0, col("__r"))).as("__fr"),
+      sum(dcgTerm(col("__r"))).cast("double").as("__dcg"),
+      sum(dcgTerm(col("__ri"))).cast("double").as("__idcg"))
+    perQuery.select(
+      col("query"), col("n_candidates"), col("n_relevant"),
+      round(col("__hits").cast("double") / lit(k.toDouble), 6)
+        .as(s"precision_k"),
+      round(when(col("n_relevant") > 0,
+        col("__hits").cast("double") / col("n_relevant").cast("double"))
+        .otherwise(lit(0.0)), 6).as("recall_k"),
+      round(when(col("__fr").isNotNull,
+        lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)), 6)
+        .as("mrr"),
+      round(when(col("__idcg") > 0, col("__dcg") / col("__idcg"))
+        .otherwise(lit(0.0)), 6).as("ndcg_k"))
+      .orderBy(col("query"))
+  }
+
+  /** Proper scoring rules per segment: log-loss (cross-entropy) and
+    * Brier score for a probabilistic binary prediction. `p` must live
+    * on a bounded grid (quantized — the census contract): the data
+    * reduces to (segment, p, y) cells with exact integer counts in one
+    * partial-aggregated pass, and the per-cell ln/square terms are
+    * decimal-quantized so the segment sums are order-free. `eps` clips
+    * p away from {0,1} (the standard guard — a single confident-wrong
+    * row otherwise sends log-loss to infinity).
+    */
+  def logLossBrier(df: DataFrame, segment: Column, p: Column, y: Column,
+      eps: Double = 1e-6, maxCells: Long = 2000000L): DataFrame = {
+    val cells = df.select(segment.as("segment"),
+        p.cast("double").as("__p"), y.cast("long").as("__y"))
+      .groupBy(col("segment"), col("__p"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"logLossBrier: $nCells (segment, p, y) cells exceed $maxCells " +
+        "— quantize p to a coarser grid")
+    val pc = least(greatest(col("__p"), lit(eps)), lit(1.0 - eps))
+    val llTerm = -(col("__y").cast("double") * log(pc) +
+      (lit(1.0) - col("__y").cast("double")) * log(lit(1.0) - pc))
+    val brTerm = (col("__p") - col("__y").cast("double")) *
+      (col("__p") - col("__y").cast("double"))
+    cells.groupBy(col("segment")).agg(
+        sum(col("__c")).as("n"),
+        sum(dq(col("__c").cast("double") * llTerm)).cast("double")
+          .as("__ll"),
+        sum(dq(col("__c").cast("double") * brTerm)).cast("double")
+          .as("__br"))
+      .select(col("segment"), col("n"),
+        round(col("__ll") / col("n").cast("double"), 6).as("log_loss"),
+        round(col("__br") / col("n").cast("double"), 6).as("brier"))
+      .orderBy(col("segment"))
+  }
+
+  /** K-fold cross-validation of simple OLS y = a + b·x in ONE data
+    * pass. Folds are assigned by portable hash of `id` (deterministic,
+    * slicing-invariant); per-fold exact moment sums (n, Σx, Σy, Σx²,
+    * Σxy, Σy²) are grouped once, the TRAIN-side moments for fold f are
+    * the totals' complements, and the held-out RMSE is the closed form
+    *   Σ(y − a − bx)² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx²
+    * over the fold's own sums — no refit jobs, no second scan. At
+    * 100 TB this is one partial-aggregated pass however large k is.
+    * Emits one row per fold: fold, n_train, n_test, slope, intercept,
+    * rmse.
+    */
+  def kFoldOls(df: DataFrame, id: Column, x: Column, y: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kFoldOls: k=$k")
+    def isum(c: Column) = sum(c.cast("decimal(38,10)")).cast("double")
+    // the engine's portable id hash (the q70 sampling convention) so
+    // fold membership replays on any engine
+    val fold = pmod(pmod(id.cast("long") * lit(2654435761L) + lit(42L),
+      lit(1000000007L)), lit(k.toLong))
+    val rows = df.select(fold.as("fold"),
+      x.cast("double").as("__x"), y.cast("double").as("__y"))
+    val perFold = rows.groupBy(col("fold")).agg(
+      count(lit(1)).as("__n"),
+      isum(col("__x")).as("__sx"), isum(col("__y")).as("__sy"),
+      isum(col("__x") * col("__x")).as("__sxx"),
+      isum(col("__x") * col("__y")).as("__sxy"),
+      isum(col("__y") * col("__y")).as("__syy"))
+    val totals = perFold.agg(
+      sum(col("__n")).as("__tn"),
+      sum(dq(col("__sx"))).cast("double").as("__tsx"),
+      sum(dq(col("__sy"))).cast("double").as("__tsy"),
+      sum(dq(col("__sxx"))).cast("double").as("__tsxx"),
+      sum(dq(col("__sxy"))).cast("double").as("__tsxy"),
+      sum(dq(col("__syy"))).cast("double").as("__tsyy"))
+    val j = perFold.crossJoin(broadcast(totals))
+    val nT = (col("__tn") - col("__n")).cast("double")
+    val sxT = col("__tsx") - col("__sx")
+    val syT = col("__tsy") - col("__sy")
+    val sxxT = col("__tsxx") - col("__sxx")
+    val sxyT = col("__tsxy") - col("__sxy")
+    val b = (nT * sxyT - sxT * syT) / (nT * sxxT - sxT * sxT)
+    val a = (syT - b * sxT) / nT
+    val nF = col("__n").cast("double")
+    val sse = col("__syy") - lit(2.0) * a * col("__sy") -
+      lit(2.0) * b * col("__sxy") + nF * a * a +
+      lit(2.0) * a * b * col("__sx") + b * b * col("__sxx")
+    j.select(col("fold"),
+        (col("__tn") - col("__n")).as("n_train"), col("__n").as("n_test"),
+        round(b, 6).as("slope"), round(a, 6).as("intercept"),
+        round(sqrt(greatest(sse, lit(0.0)) / nF), 6).as("rmse"))
+      .orderBy(col("fold"))
+  }
+
+  /** Mutual information I(X; Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) per
+    * candidate feature against a shared label — the model-free
+    * feature-ranking screen. Features arrive pre-bucketed (grid
+    * values); everything reduces to per-feature (value, label) cells
+    * via ONE melted pass (posexplode of the feature array — the scan
+    * reads each row once however many features are screened), exact
+    * integer counts, census-bounded marginals joined back broadcast.
+    * Emits one row per feature: feature, n_levels, mi_nats, plus the
+    * label entropy h_y (same for every feature — the normalization
+    * ceiling mi can reach).
+    */
+  def mutualInformation(df: DataFrame, features: Seq[(String, Column)],
+      label: Column, maxCells: Long = 2000000L): DataFrame = {
+    require(features.nonEmpty, "mutualInformation: no features")
+    val melted = df.select(
+        array(features.map { case (n, c) =>
+          struct(lit(n).as("f"), c.cast("long").as("v")) }: _*)
+          .as("__fs"),
+        label.cast("long").as("__y"))
+      .select(explode(col("__fs")).as("__fv"), col("__y"))
+      .select(col("__fv.f").as("__f"), col("__fv.v").as("__v"),
+        col("__y"))
+    val cells = melted.groupBy(col("__f"), col("__v"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"mutualInformation: $nCells cells exceed $maxCells — " +
+        "bucket the features to a coarser grid")
+    val margV = cells.groupBy(col("__f"), col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+    val margY = cells.groupBy(col("__f"), col("__y"))
+      .agg(sum(col("__c")).as("__cy"))
+    val totals = cells.groupBy(col("__f")).agg(sum(col("__c")).as("__n"))
+    val joined = cells
+      .join(broadcast(margV), Seq("__f", "__v"))
+      .join(broadcast(margY), Seq("__f", "__y"))
+      .join(broadcast(totals), Seq("__f"))
+    val cD = col("__c").cast("double"); val nD = col("__n").cast("double")
+    val miTerm = (cD / nD) * log(cD * nD /
+      (col("__cv").cast("double") * col("__cy").cast("double")))
+    val hyTerm = col("__cy").cast("double") / col("__n").cast("double")
+    val mi = joined.groupBy(col("__f")).agg(
+      sum(dq(miTerm)).cast("double").as("__mi"),
+      count_distinct(col("__v")).as("n_levels"),
+      first(col("__n")).as("__ntot"))
+    val hy = margY.join(broadcast(totals), Seq("__f"))
+      .select(col("__f"),
+        dq(-(hyTerm) * log(hyTerm)).as("__hyt"))
+      .groupBy(col("__f"))
+      .agg(sum(col("__hyt")).cast("double").as("__hy"))
+    mi.join(broadcast(hy), Seq("__f"))
+      .select(col("__f").as("feature"), col("n_levels"),
+        round(col("__mi"), 6).as("mi_nats"),
+        round(col("__hy"), 6).as("h_y"))
+      .orderBy(col("feature"))
+  }
+}

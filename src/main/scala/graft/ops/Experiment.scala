@@ -750,4 +750,89 @@ object Experiment {
           sqrt((col("__g") - lit(1.0)) / col("__g") * col("__ss")) /
             lit(1000000.0), 6).as("se_jk"))
   }
+
+  /** Inverse standard normal (upper-tail quantile z with
+    * P(Z > z) = p, 0 < p < 0.5) by the Abramowitz & Stegun 26.2.23
+    * rational approximation (|error| < 4.5e-4 — inside the planning
+    * grain a sample-size calc needs): t = sqrt(-2·ln p), then
+    * z = t − (c0 + c1·t + c2·t²)/(1 + d1·t + d2·t² + d3·t³). Pure
+    * fixed-order double arithmetic — the [[phiAbs]] companion, and
+    * like it engine-portable.
+    */
+  def invPhiUpper(p: Column): Column = {
+    val t = sqrt(lit(-2.0) * log(p))
+    val num = lit(2.515517) + t * (lit(0.802853) + t * lit(0.010328))
+    val den = lit(1.0) + t * (lit(1.432788) +
+      t * (lit(0.189269) + t * lit(0.001308)))
+    t - num / den
+  }
+
+  /** POWER ANALYSIS / sample-size planning per segment: the n per arm
+    * a two-proportion z-test needs to detect an absolute lift `mde`
+    * over the segment's own observed baseline rate at significance
+    * `alpha` (two-sided) and power `power` — the capacity question
+    * every experiment review starts with, answered from the live
+    * corpus in one grouped count. Fleiss-style closed form:
+    *   n = (z_{α/2}·√(2·p̄q̄) + z_β·√(p1·q1 + p2·q2))² / (p1−p2)²
+    * with p̄ the pooled rate. Also emits `weeks_needed`, the ceiling
+    * of 2n over the segment's observed row count — turning the n into
+    * a calendar answer at the corpus' own traffic. Exact integer
+    * counts; quantiles via [[invPhiUpper]]; fixed double order + 2dp
+    * round.
+    */
+  def powerSampleSize(df: DataFrame, segment: Column, success: Column,
+      mde: Double, alpha: Double = 0.05, power: Double = 0.8)
+      : DataFrame = {
+    require(mde > 0 && alpha > 0 && alpha < 0.5 && power > 0.5 &&
+      power < 1, s"powerSampleSize: mde=$mde alpha=$alpha power=$power")
+    val cells = df.groupBy(segment.as("segment")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(success.cast("long")).as("x_obs"))
+    val p1 = col("x_obs").cast("double") / col("n_obs").cast("double")
+    val p2 = least(p1 + lit(mde), lit(0.999999))
+    val pbar = (p1 + p2) / lit(2.0)
+    val za = invPhiUpper(lit(alpha / 2.0))
+    val zb = invPhiUpper(lit(1.0 - power))
+    // squared by explicit multiply, not pow() — pow implementations
+    // are not bit-identical across engines, x*x is
+    val s = za * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      zb * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val nArm = s * s / ((p2 - p1) * (p2 - p1))
+    cells.select(col("segment"), col("n_obs"),
+        round(p1, 6).as("baseline_rate"),
+        round(za, 6).as("z_alpha"), round(zb, 6).as("z_beta"),
+        ceil(nArm).cast("long").as("n_per_arm"),
+        ceil(lit(2.0) * nArm / col("n_obs").cast("double"))
+          .cast("long").as("weeks_needed"))
+      .orderBy(col("segment"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH check per experiment: the assignment
+    * plumbing audit that must pass before any treatment readout is
+    * believed (a biased randomizer invalidates every downstream
+    * metric). Observed two-arm unit counts vs an expected
+    * `ratioA : 1−ratioA` split; Pearson χ² with df = 1, p through
+    * the portable [[phiAbs]] (χ²₁ = Z², so p = 2·(1 − Φ(√χ²))).
+    * `srm_flag` trips at the conventional p < 0.001 — SRM alarms are
+    * deliberately conservative. One grouped count; exact integers
+    * into a fixed-order double χ².
+    */
+  def srmCheck(df: DataFrame, experiment: Column, inA: Column,
+      ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0 && ratioA < 1, s"srmCheck: ratioA=$ratioA")
+    val cells = df.groupBy(experiment.as("experiment")).agg(
+      sum(inA.cast("long")).as("n_a"),
+      sum(lit(1L) - inA.cast("long")).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ea = n * lit(ratioA); val eb = n * lit(1.0 - ratioA)
+    val chi2 = (col("n_a").cast("double") - ea) *
+      (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) *
+        (col("n_b").cast("double") - eb) / eb
+    val p = lit(2.0) * (lit(1.0) - phiAbs(sqrt(chi2)))
+    cells.select(col("experiment"), col("n_a"), col("n_b"),
+        round(chi2, 6).as("chi2"), round(p, 6).as("p_value"),
+        (p < lit(0.001)).cast("int").as("srm_flag"))
+      .orderBy(col("experiment"))
+  }
 }

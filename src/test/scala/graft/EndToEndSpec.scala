@@ -173,7 +173,8 @@ class EndToEndSpec extends SparkSuite {
   test("driver contract integrity: no duplicate query keys across " +
       "catalog files, every oracle key names a query") {
     val parts = Seq(QueriesRelational.all, QueriesAgg.all,
-      QueriesExpr.all, QueriesML.all, QueriesLLM.all, QueriesStream.all)
+      QueriesExpr.all, QueriesML.all, QueriesLLM.all, QueriesStream.all,
+      QueriesStats.all)
     val merged = Queries.all
     // a duplicate key across files would be silently overwritten by ++
     assert(parts.map(_.size).sum + 1 == merged.size, // +1 = q14 in Queries
