@@ -1834,6 +1834,165 @@ object QueriesLLM {
         FROM s7 JOIN g ON s7.canonical = g.canonical
         ORDER BY doc_id"""))
 
+  /** QUERY-PARAM-SORTED URL canonicalization
+    * ([[TextAnalysis.canonicalizeUrlSorted]]) — the q293 rules plus
+    * tracking-key removal and parameter SORTING, so `?b=2&a=1` and
+    * `?a=1&b=2` collapse; a query emptied by the droplist loses its
+    * `?`. Planted crawl variants shuffle color/size order, sprinkle
+    * gclid/utm noise, and include a tracking-only query (the
+    * empty-branch case). The oracle replays the regexp chain rule for
+    * rule, then the same split → filter → sort → rejoin in list
+    * functions.
+    */
+  private val q319_url_sorted: Q = (
+    (s, dir) => {
+      val id = col("doc_id")
+      val qpart = when(id % 13 === 0, lit("?gclid=only"))
+        .otherwise(concat(
+          when(id % 2 === 0,
+            concat(lit("?color="), (id % 5).cast("string"),
+              lit("&size="), (id % 3).cast("string")))
+            .otherwise(concat(lit("?size="), (id % 3).cast("string"),
+              lit("&color="), (id % 5).cast("string"))),
+          when(id % 4 === 0,
+            concat(lit("&gclid=g"), (id % 11).cast("string")))
+            .otherwise(lit("")),
+          when(id % 3 === 0, lit("&utm_source=mail"))
+            .otherwise(lit(""))))
+      val url = concat(lit("https://shop.example-"),
+        (id % 9).cast("string"), lit(".com/p/"),
+        (id % 17).cast("string"), qpart,
+        when(id % 7 === 0, lit("#top")).otherwise(lit("")))
+      val withC = read(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical",
+          graft.llmdata.TextAnalysis.canonicalizeUrlSorted(col("url")))
+      val groups = withC.groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dups"))
+      withC.join(groups, Seq("canonical"))
+        .select(col("doc_id"), col("url"), col("canonical"),
+          col("n_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u0 AS (SELECT doc_id,
+                 'https://shop.example-' || CAST(doc_id % 9 AS VARCHAR)
+                 || '.com/p/' || CAST(doc_id % 17 AS VARCHAR)
+                 || (CASE WHEN doc_id % 13 = 0 THEN '?gclid=only'
+                     ELSE (CASE WHEN doc_id % 2 = 0
+                           THEN '?color=' || CAST(doc_id % 5 AS VARCHAR)
+                             || '&size=' || CAST(doc_id % 3 AS VARCHAR)
+                           ELSE '?size=' || CAST(doc_id % 3 AS VARCHAR)
+                             || '&color=' || CAST(doc_id % 5 AS VARCHAR)
+                           END)
+                       || (CASE WHEN doc_id % 4 = 0
+                           THEN '&gclid=g' || CAST(doc_id % 11 AS VARCHAR)
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN '&utm_source=mail' ELSE '' END)
+                     END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)
+                   AS url
+               FROM documents WHERE text IS NOT NULL),
+             s1 AS (SELECT doc_id, url,
+                 regexp_replace(url, '#.*$', '') AS c FROM u0),
+             s2 AS (SELECT doc_id, url,
+                 regexp_replace(c, '&utm_[^&]*', '', 'g') AS c
+               FROM s1),
+             s3 AS (SELECT doc_id, url,
+                 regexp_replace(c, '\?utm_[^&]*&', '?') AS c
+               FROM s2),
+             s4 AS (SELECT doc_id, url,
+                 regexp_replace(c, '\?utm_[^&]*$', '') AS c
+               FROM s3),
+             s5 AS (SELECT doc_id, url,
+                 lower(regexp_extract(c, '^([^/]*//[^/?]*)', 1)) ||
+                 regexp_replace(c, '^[^/]*//[^/?]*', '') AS c
+               FROM s4),
+             s6 AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(c,
+                     '^(http://[^/:?]*):80([/?])', '\1\2'),
+                     '^(http://[^/:?]*):80$', '\1'),
+                     '^(https://[^/:?]*):443([/?])', '\1\2'),
+                     '^(https://[^/:?]*):443$', '\1') AS c
+               FROM s5),
+             s7 AS (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(c, '/\?', '?', 'g'),
+                   '([^/])/$', '\1') AS c
+               FROM s6),
+             s8 AS (SELECT doc_id, url,
+                 regexp_replace(c, '\?.*$', '') AS path,
+                 regexp_extract(c, '\?(.*)$', 1) AS qs
+               FROM s7),
+             s9 AS (SELECT doc_id, url, path,
+                 list_sort(list_filter(string_split(qs, '&'),
+                   x -> x <> '' AND NOT (x LIKE 'gclid=%'
+                     OR x LIKE 'fbclid=%' OR x LIKE 'msclkid=%'
+                     OR x LIKE 'ref=%' OR x = 'gclid' OR x = 'fbclid'
+                     OR x = 'msclkid' OR x = 'ref'))) AS kept
+               FROM s8),
+             s10 AS (SELECT doc_id, url,
+                 CASE WHEN len(kept) > 0
+                   THEN path || '?' || array_to_string(kept, '&')
+                   ELSE path END AS canonical
+               FROM s9),
+             g AS (SELECT canonical, CAST(count(*) AS BIGINT)
+                 AS n_dups
+               FROM s10 GROUP BY 1)
+        SELECT doc_id, url, s10.canonical, n_dups
+        FROM s10 JOIN g ON s10.canonical = g.canonical
+        ORDER BY doc_id"""))
+
+  /** JENSEN-SHANNON corpus divergence
+    * ([[TextAnalysis.jsDivergence]]) between the de and en slices'
+    * token distributions — the bounded symmetric drift measure that
+    * handles disjoint vocabulary (PSI-style ratios blow up there).
+    * One vocabulary census per slice, full-outer token join,
+    * decimal-quantized mixture terms; jsd_bits is the [0,1]
+    * normalized read.
+    */
+  private val q323_jsd: Q = (
+    (s, dir) => graft.llmdata.TextAnalysis.jsDivergence(
+      read(s, dir, "documents").where(col("lang").isin("de", "en")),
+      slice = col("lang"), text = col("text")),
+    Some("""WITH toks AS (SELECT lang AS slice,
+                 unnest(list_filter(string_split(trim(
+                   regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                   t -> t <> '')) AS t
+               FROM documents
+               WHERE text IS NOT NULL AND lang IN ('de', 'en')),
+             cells AS (SELECT slice, t, count(*) AS c
+               FROM toks GROUP BY 1, 2),
+             a AS (SELECT t, c AS ca FROM cells WHERE slice = 'de'),
+             b AS (SELECT t, c AS cb FROM cells WHERE slice = 'en'),
+             j AS (SELECT COALESCE(a.t, b.t) AS t,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+               FROM a FULL JOIN b ON a.t = b.t),
+             tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM j),
+             terms AS (SELECT ca, cb,
+                 CAST(ca AS DOUBLE) / na AS p,
+                 CAST(cb AS DOUBLE) / nb AS q
+               FROM j CROSS JOIN tot),
+             agg AS (SELECT CAST(sum(CAST(
+                 (CASE WHEN ca > 0
+                   THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) +
+                 (CASE WHEN cb > 0
+                   THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                 count(*) AS vocab,
+                 CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS vocab_shared
+               FROM terms)
+        SELECT 'de' AS slice_a, 'en' AS slice_b,
+               tot.na AS n_tok_a, tot.nb AS n_tok_b,
+               vocab, vocab_shared,
+               round(s / 2.0, 6) AS jsd_nats,
+               round(s / 2.0 / ln(2.0), 6) AS jsd_bits
+        FROM agg CROSS JOIN tot"""))
+
   /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
     * over the integer term-frequency shortlist: relevance = total
     * query-term hits normalized to ppm of the shortlist max,
@@ -4321,6 +4480,8 @@ object QueriesLLM {
     "q284_ipf_raking" -> q284_ipf_raking,
     "q285_mmr" -> q285_mmr,
     "q293_url_canon" -> q293_url_canon,
+    "q319_url_sorted" -> q319_url_sorted,
+    "q323_jsd" -> q323_jsd,
     "q294_es_sample" -> q294_es_sample,
     "q295_negatives" -> q295_negatives,
     "q296_exact_strata" -> q296_exact_strata,

@@ -1074,6 +1074,82 @@ object QueriesRelational {
         SELECT node, r AS rank FROM r3
         ORDER BY rank DESC, node LIMIT 100"""))
 
+  /** PERSONALIZED PageRank ([[graft.ops.Graph.pprInt]]) on the q169
+    * customer–part graph, restart mass pinned to the nation-7
+    * customer cohort: ranks measure proximity to THAT segment's
+    * purchase neighborhood, not global centrality (the "what else
+    * does this cohort's market touch" query). Same fused
+    * fixed-superstep plan as q169 (pinned edges exchange reused per
+    * round — PLANS.md); the seed set joins broadcast. Oracle unrolls
+    * the three integer-exact rounds with the teleport CASE.
+    */
+  private val q322_ppr: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem")
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = read(s, dir, "customer")
+        .where(col("c_nationkey") === 7)
+        .select((col("c_custkey") * 2).as("node"))
+      val out = ops.Graph.pprInt(edges, sources, iters = 3)
+        .select(col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(100)
+      val collected = out.cache()
+      collected.count() // materialize before the pins release
+      graft.Caches.release()
+      collected
+    },
+    Some("""WITH h AS (SELECT DISTINCT o_custkey*2 AS src,
+                 l_partkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             ed AS (SELECT src, dst FROM h
+                    UNION ALL SELECT dst, src FROM h),
+             deg AS (SELECT src AS node, count(*) AS d FROM ed
+                     GROUP BY 1),
+             sd AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+                    WHERE c_nationkey = 7),
+             r0 AS (SELECT n.node,
+                 CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN 1000000000000 ELSE 0 END AS BIGINT) AS r
+               FROM deg n LEFT JOIN sd ON n.node = sd.node),
+             r1 AS (SELECT n.node,
+                 CAST((15*1000000000000*(CASE WHEN sd.node IS NOT NULL
+                       THEN 1 ELSE 0 END) +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN sd ON n.node = sd.node
+               LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r0.r // deg.d) AS c
+                 FROM ed JOIN r0 ON ed.src = r0.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r2 AS (SELECT n.node,
+                 CAST((15*1000000000000*(CASE WHEN sd.node IS NOT NULL
+                       THEN 1 ELSE 0 END) +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN sd ON n.node = sd.node
+               LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r1.r // deg.d) AS c
+                 FROM ed JOIN r1 ON ed.src = r1.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r3 AS (SELECT n.node,
+                 CAST((15*1000000000000*(CASE WHEN sd.node IS NOT NULL
+                       THEN 1 ELSE 0 END) +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN sd ON n.node = sd.node
+               LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r2.r // deg.d) AS c
+                 FROM ed JOIN r2 ON ed.src = r2.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node)
+        SELECT node, r AS rank FROM r3
+        ORDER BY rank DESC, node LIMIT 100"""))
+
   /** Z-order (Morton) clustering key — the multi-dimensional LAYOUT
     * primitive behind [[io.Layout.writeZOrdered]]: interleave the
     * bits of two sort dimensions so range predicates on either
@@ -2291,6 +2367,7 @@ object QueriesRelational {
     "q163_partition_prune" -> q163_partition_prune,
     "q166_fuzzy_match" -> q166_fuzzy_match,
     "q169_pagerank" -> q169_pagerank,
+    "q322_ppr" -> q322_ppr,
     "q170_compact" -> q170_compact,
     "q175_scd2" -> q175_scd2,
     "q176_upsert" -> q176_upsert,

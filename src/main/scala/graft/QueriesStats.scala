@@ -637,6 +637,82 @@ object QueriesStats {
                  > 0.15 AS INTEGER) AS at_risk
         FROM agg ORDER BY c_mktsegment, c_nationkey"""))
 
+  /** FORECAST BACKTEST ([[graft.ops.Eval.backtestSeasonalNaive]]):
+    * seasonal-naive (ŷ_t = y_{t−7}) over per-priority daily order
+    * revenue, rolling-origin — MAE/RMSE plus MASE against the
+    * one-step naive on the same evaluation points. Calendar-correct
+    * self-joins (gaps yield no forecast), exact-decimal daily sums,
+    * decimal-quantized error terms.
+    */
+  private val q320_backtest: Q = (
+    (s, dir) => graft.ops.Eval.backtestSeasonalNaive(
+      read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(dsum(col("o_totalprice")).as("rev")),
+      key = col("o_orderpriority"), date = col("o_orderdate"),
+      value = col("rev"), season = 7),
+    Some(s"""WITH s AS (SELECT o_orderpriority AS key,
+                 CAST(o_orderdate AS DATE) AS d,
+                 ${sqlDsum("o_totalprice")} AS y
+               FROM orders GROUP BY 1, 2),
+             j AS (SELECT a.key, a.y, f.y AS f, n.y AS n1
+               FROM s a JOIN s f ON f.key = a.key AND f.d = a.d - 7
+                        JOIN s n ON n.key = a.key AND n.d = a.d - 1),
+             t AS (SELECT key, count(*) AS n_eval,
+                 CAST(sum(CAST(abs(y - f) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS sae,
+                 CAST(sum(CAST((y - f) * (y - f) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS sse,
+                 CAST(sum(CAST(abs(y - n1) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS snae
+               FROM j GROUP BY 1)
+        SELECT key, n_eval, round(sae / n_eval, 6) AS mae,
+               round(sqrt(sse / n_eval), 6) AS rmse,
+               round(CASE WHEN snae > 0 THEN sae / snae END, 6) AS mase
+        FROM t ORDER BY key"""))
+
+  /** MULTI-CLASS CONFUSION ([[graft.ops.Eval.confusionStats]]):
+    * per-class precision/recall/F1 for a planted noisy segment
+    * predictor (every fifth customer misrouted to BUILDING) — the
+    * multi-class generalization of q38's binary assess. Census-
+    * bounded contingency; classes missing from either side keep
+    * their row.
+    */
+  private val q321_confusion: Q = (
+    (s, dir) => graft.ops.Eval.confusionStats(
+      read(s, dir, "customer"),
+      actual = col("c_mktsegment"),
+      predicted = when(col("c_custkey") % 5 === 0, "BUILDING")
+        .otherwise(col("c_mktsegment"))),
+    Some("""WITH m AS (SELECT c_mktsegment AS a,
+                 CASE WHEN c_custkey % 5 = 0 THEN 'BUILDING'
+                      ELSE c_mktsegment END AS p
+               FROM customer),
+             cells AS (SELECT a, p, count(*) AS c FROM m GROUP BY 1, 2),
+             act AS (SELECT a AS cls, CAST(sum(c) AS BIGINT) AS na
+               FROM cells GROUP BY 1),
+             prd AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS np
+               FROM cells GROUP BY 1),
+             tps AS (SELECT a AS cls, CAST(c AS BIGINT) AS tp
+               FROM cells WHERE a = p),
+             j AS (SELECT COALESCE(act.cls, prd.cls) AS cls,
+                 COALESCE(na, 0) AS n_actual,
+                 COALESCE(np, 0) AS n_predicted,
+                 COALESCE(tp, 0) AS tp
+               FROM act FULL JOIN prd ON act.cls = prd.cls
+               LEFT JOIN tps ON COALESCE(act.cls, prd.cls) = tps.cls),
+             pr AS (SELECT *,
+                 CASE WHEN n_predicted > 0 THEN
+                   CAST(tp AS DOUBLE) / n_predicted ELSE 0.0 END AS pc,
+                 CASE WHEN n_actual > 0 THEN
+                   CAST(tp AS DOUBLE) / n_actual ELSE 0.0 END AS rc
+               FROM j)
+        SELECT cls, n_actual, n_predicted, tp,
+               round(pc, 6) AS "precision", round(rc, 6) AS recall,
+               round(CASE WHEN pc + rc > 0 THEN
+                 2.0 * pc * rc / (pc + rc) ELSE 0.0 END, 6) AS f1
+        FROM pr ORDER BY cls"""))
+
   val all: Map[String, Q] = Map(
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
@@ -650,5 +726,7 @@ object QueriesStats {
     "q315_mutual_info" -> q315_mutual_info,
     "q316_power" -> q316_power,
     "q317_srm" -> q317_srm,
-    "q318_t_closeness" -> q318_t_closeness)
+    "q318_t_closeness" -> q318_t_closeness,
+    "q320_backtest" -> q320_backtest,
+    "q321_confusion" -> q321_confusion)
 }

@@ -273,6 +273,30 @@ object TextAnalysis {
       "([^/])/$", "$1")
   }
 
+  /** [[canonicalizeUrl]] plus QUERY-PARAMETER NORMALIZATION: tracking
+    * parameters (`dropParams` key list) are removed wherever they sit,
+    * and the survivors are SORTED, so `?b=2&a=1` and `?a=1&b=2` — the
+    * same resource, different serializations — collapse to one
+    * canonical form. An emptied query string drops its `?` entirely.
+    * Pure array expressions (split → filter → array_sort →
+    * array_join), all codegen'd; byte-wise ASCII sort matches any
+    * engine's default string collation on these URL-safe characters.
+    */
+  def canonicalizeUrlSorted(u: Column,
+      dropParams: Seq[String] =
+        Seq("gclid", "fbclid", "msclkid", "ref")): Column = {
+    require(dropParams.nonEmpty, "canonicalizeUrlSorted: empty droplist")
+    val base = canonicalizeUrl(u)
+    val path = regexp_replace(base, "\\?.*$", "")
+    val qs = regexp_extract(base, "\\?(.*)$", 1)
+    val kept = filter(split(qs, "&"), p =>
+      p =!= "" && !dropParams.map(d =>
+        p.startsWith(d + "=") || p === d).reduce(_ || _))
+    val sorted = array_sort(kept)
+    when(size(sorted) > 0,
+      concat(path, lit("?"), array_join(sorted, "&"))).otherwise(path)
+  }
+
   /** Repetition ratio (a Gopher-style quality signal): fraction of
     * word n-gram positions that repeat an earlier n-gram —
     * 1 - distinct/total. High values flag boilerplate/spam.
@@ -1009,6 +1033,69 @@ object TextAnalysis {
           (col("c_a").cast("double") * col("c_b").cast("double"))), 6))
       .select(col("t_a"), col("t_b"), col("c_ab"), col("c_a"),
         col("c_b"), col("pmi"))
+  }
+
+  /** JENSEN-SHANNON DIVERGENCE between the token distributions of two
+    * corpus slices — the symmetric, bounded (≤ ln 2) answer to "how
+    * different are these two sources/snapshots", where PSI-style
+    * ratios blow up on vocabulary the slices don't share (JSD handles
+    * disjoint support natively: a token absent from one side
+    * contributes p·ln 2 through the mixture, never ∞).
+    *   JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+    * One (slice, token) census pass (partial-aggregated, bounded by
+    * vocabulary — the `maxVocab` guard); the two marginal
+    * distributions meet in a full-outer token join so one-sided
+    * vocabulary keeps its term. Per-token ln terms decimal-quantized,
+    * so the vocabulary-sized sum is order-free. Emits one row:
+    * slice names, token totals, shared/total vocabulary, jsd_nats and
+    * jsd_bits (nats/ln 2 — the [0, 1] normalized form).
+    *
+    * `slice` must take exactly two values over `df` — the operator
+    * refuses otherwise (a k-way comparison is k·(k−1)/2 calls with
+    * explicit pairs, not a silent pick-two).
+    */
+  def jsDivergence(df: DataFrame, slice: Column, text: Column,
+      maxVocab: Long = 5000000L): DataFrame = {
+    val cells = df.where(text.isNotNull && slice.isNotNull)
+      .select(slice.as("slice"),
+        explode(filter(split(Dedup.normalize(text), " "),
+          t => t =!= "")).as("t"))
+      .groupBy(col("slice"), col("t")).agg(count(lit(1)).as("c"))
+    // bounded collect: exactly-two contract, checked not assumed
+    val slices = cells.select(col("slice")).distinct()
+      .orderBy(col("slice")).limit(3).collect().map(_.getString(0))
+    require(slices.length == 2,
+      s"jsDivergence: need exactly 2 slices, saw ${slices.mkString(",")}")
+    val Array(sa, sb) = slices
+    val a = cells.where(col("slice") === sa)
+      .select(col("t"), col("c").as("__ca"))
+    val b = cells.where(col("slice") === sb)
+      .select(col("t"), col("c").as("__cb"))
+    val j = a.join(b, Seq("t"), "full")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val nVocab = j.count()
+    require(nVocab <= maxVocab,
+      s"jsDivergence: $nVocab vocabulary exceeds $maxVocab")
+    val totals = j.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val wt = j.crossJoin(broadcast(totals))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val term = dq(when(col("__ca") > 0, p * log(p / m)).otherwise(lit(0.0))
+      + when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0)))
+    wt.agg(
+        sum(term).cast("double").as("__s"),
+        first(col("__na")).as("n_tok_a"), first(col("__nb")).as("n_tok_b"),
+        count(lit(1)).as("vocab"),
+        sum((col("__ca") > 0 && col("__cb") > 0).cast("long"))
+          .as("vocab_shared"))
+      .select(lit(sa).as("slice_a"), lit(sb).as("slice_b"),
+        col("n_tok_a"), col("n_tok_b"), col("vocab"), col("vocab_shared"),
+        round(col("__s") / lit(2.0), 6).as("jsd_nats"),
+        round(col("__s") / lit(2.0) / lit(math.log(2.0)), 6)
+          .as("jsd_bits"))
   }
 
   /** INVERTED-INDEX postings: one row per (term, doc) with term

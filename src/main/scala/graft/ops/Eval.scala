@@ -172,6 +172,93 @@ object Eval {
       .orderBy(col("fold"))
   }
 
+  /** Multi-class confusion statistics, one row per class: support
+    * (n_actual), predicted volume (n_predicted), true positives, and
+    * precision / recall / F1 — the multi-class generalization of the
+    * reference's binary Assess (stats.go assess; our q38). The data
+    * reduces to a (actual, predicted) contingency census in one
+    * partial-aggregated pass (bounded by the class grid, never data
+    * volume); the per-class marginals are grouped FROM the census, so
+    * nothing rescans the input. Classes seen only in predictions (or
+    * only in truth) still get a row via the full-outer marginal join
+    * — an absent row would silently inflate macro-F1.
+    */
+  def confusionStats(df: DataFrame, actual: Column, predicted: Column,
+      maxClasses: Long = 10000L): DataFrame = {
+    val cells = df.groupBy(actual.as("__a"), predicted.as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val act = cells.groupBy(col("__a").as("cls"))
+      .agg(sum(col("__c")).as("n_actual"))
+    val prd = cells.groupBy(col("__p").as("cls"))
+      .agg(sum(col("__c")).as("n_predicted"))
+    val tp = cells.where(col("__a") === col("__p"))
+      .select(col("__a").as("cls"), col("__c").as("tp"))
+    val joined = act.join(prd, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "tp"))
+    val nClasses = joined.count()
+    require(nClasses <= maxClasses,
+      s"confusionStats: $nClasses classes exceed $maxClasses — " +
+        "bucket the label space")
+    val prec = when(col("n_predicted") > 0,
+      col("tp").cast("double") / col("n_predicted").cast("double"))
+      .otherwise(lit(0.0))
+    val rec = when(col("n_actual") > 0,
+      col("tp").cast("double") / col("n_actual").cast("double"))
+      .otherwise(lit(0.0))
+    joined.select(col("cls"), col("n_actual"), col("n_predicted"),
+        col("tp"), round(prec, 6).as("precision"),
+        round(rec, 6).as("recall"),
+        round(when(prec + rec > 0,
+          lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0)), 6)
+          .as("f1"))
+      .orderBy(col("cls"))
+  }
+
+  /** Rolling-origin backtest of the SEASONAL-NAIVE forecaster
+    * (ŷ_t = y_{t−season}) over per-key daily series — the honest
+    * baseline every forecasting effort must beat, evaluated out of
+    * sample at every origin the series supports. Emits per key:
+    * n_eval, MAE, RMSE, and MASE (MAE over the one-step-naive MAE on
+    * the SAME evaluation points — Hyndman & Koehler 2006's scale-free
+    * skill score; > 1 means the seasonal forecast is WORSE than
+    * "repeat yesterday").
+    *
+    * `series` carries one row per (key, date) — callers pre-aggregate
+    * (with an exact-decimal sum if the value is a float sum).
+    * Forecast/naive lookups are calendar-correct self-joins on
+    * (key, date − season) / (key, date − 1), not row-lag windows — a
+    * gap in the series yields no forecast rather than silently
+    * reaching further back. Both joins shuffle on the same (key, date)
+    * key; per-term decimal quantization keeps the error sums
+    * order-free.
+    */
+  def backtestSeasonalNaive(series: DataFrame, key: Column, date: Column,
+      value: Column, season: Int): DataFrame = {
+    require(season >= 2, s"backtestSeasonalNaive: season=$season")
+    val s = series.select(key.as("key"), date.as("__d"),
+      value.cast("double").as("__y"))
+    val fc = s.select(col("key"), date_add(col("__d"), season).as("__d"),
+      col("__y").as("__f"))
+    val nv = s.select(col("key"), date_add(col("__d"), 1).as("__d"),
+      col("__y").as("__n1"))
+    val j = s.join(fc, Seq("key", "__d")).join(nv, Seq("key", "__d"))
+    j.groupBy(col("key")).agg(
+        count(lit(1)).as("n_eval"),
+        sum(dq(abs(col("__y") - col("__f")))).cast("double").as("__sae"),
+        sum(dq((col("__y") - col("__f")) * (col("__y") - col("__f"))))
+          .cast("double").as("__sse"),
+        sum(dq(abs(col("__y") - col("__n1")))).cast("double")
+          .as("__snae"))
+      .select(col("key"), col("n_eval"),
+        round(col("__sae") / col("n_eval").cast("double"), 6).as("mae"),
+        round(sqrt(col("__sse") / col("n_eval").cast("double")), 6)
+          .as("rmse"),
+        round(when(col("__snae") > 0, col("__sae") / col("__snae")), 6)
+          .as("mase"))
+      .orderBy(col("key"))
+  }
+
   /** Mutual information I(X; Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) per
     * candidate feature against a shared label — the model-free
     * feature-ranking screen. Features arrive pre-bucketed (grid

@@ -83,6 +83,58 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (integer-exact, like [[pageRankInt]]):
+    * restart mass returns to the `sources` node set instead of
+    * everywhere, so ranks measure proximity TO THE SEED COHORT —
+    * "what does this customer segment's neighborhood look like"
+    * rather than global centrality. Same fixed-superstep fused plan
+    * as pageRankInt (edges/degrees/nodes pinned, the edges exchange
+    * reused across rounds — the q169 measurement); the only change is
+    * the teleport term: (1−d)·scale lands on source nodes only
+    * (unnormalized — a constant factor of |S| that cancels in
+    * ranking), everything else receives pure propagated mass.
+    * `sources` is joined as a broadcast semi/flag — cohort-sized by
+    * contract, never data-sized. Rank zero rows (nodes the seed
+    * cannot reach in `iters` hops) are kept: reachability is signal.
+    */
+  def pprInt(edges: DataFrame, sources: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"pprInt: iters $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"pprInt: damping $dampNum/$dampDen")
+    val e = graft.Caches.pin(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val deg = graft.Caches.pin(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val nodes = graft.Caches.pin(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val srcSet = sources.select(col("node").cast("long").as("node"))
+      .distinct()
+    // teleport flag materialized once on the node universe
+    val tele = graft.Caches.pin(nodes
+      .join(broadcast(srcSet.withColumn("__isSrc", lit(1L))),
+        Seq("node"), "left")
+      .na.fill(0L, Seq("__isSrc")))
+    val base = (dampDen - dampNum) * scale
+    var ranks = tele.select(col("node"),
+      (col("__isSrc") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      ranks = tele
+        .join(contribs, Seq("node"), "left")
+        .withColumn("__m", lit(base) * col("__isSrc") +
+          lit(dampNum) * coalesce(col("csum"), lit(0L)))
+        .select(col("node"), expr(s"__m div ${dampDen}L").as("rank"))
+    }
+    ranks
+  }
+
   /** Per-node TRIANGLE counts with DEGREE ORIENTATION (the standard
     * distributed-triangle trick, e.g. Suri & Vassilvitskii 2011):
     * edges clean to undirected distinct pairs, then orient every

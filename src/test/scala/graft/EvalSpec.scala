@@ -123,6 +123,47 @@ class EvalSpec extends SparkSuite {
     assert(got("a_copy")._3 == 2 && got("b_noise")._3 == 2)
   }
 
+  test("confusionStats: hand contingency — a predicted-only class " +
+      "keeps its zero row instead of vanishing") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"))
+      .toDF("act", "prd")
+    val got = Eval.confusionStats(df, col("act"), col("prd"))
+      .collect().map(r => r.getAs[String]("cls") ->
+        ((r.getAs[Long]("n_actual"), r.getAs[Long]("n_predicted"),
+          r.getAs[Long]("tp"), r.getAs[Double]("precision"),
+          r.getAs[Double]("recall"), r.getAs[Double]("f1")))).toMap
+    assert(got("a") == ((2L, 1L, 1L, 1.0, 0.5, 0.666667)))
+    assert(got("b") == ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    assert(got("c") == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("backtestSeasonalNaive: hand series — MAE/RMSE/MASE over the " +
+      "points where both lookbacks exist; constant series yields a " +
+      "null MASE, a calendar gap drops the origin") {
+    val d = (i: Int) => java.sql.Date.valueOf(s"2020-01-0$i")
+    val s = Seq(("k", d(1), 1.0), ("k", d(2), 2.0), ("k", d(3), 3.0),
+      ("k", d(4), 5.0), ("k", d(5), 8.0)).toDF("k", "d", "y")
+    val r = Eval.backtestSeasonalNaive(s, col("k"), col("d"), col("y"),
+      season = 2).collect()(0)
+    // eval days 3,4,5: |3-1|+|5-2|+|8-3| = 10; naive |3-2|+|5-3|+|8-5| = 6
+    assert(r.getAs[Long]("n_eval") == 3)
+    assert(r.getAs[Double]("mae") == 3.333333)
+    assert(r.getAs[Double]("rmse") ==
+      math.rint(math.sqrt(38.0 / 3.0) * 1e6) / 1e6)
+    assert(r.getAs[Double]("mase") == 1.666667)
+    val const = Seq(("k", d(1), 7.0), ("k", d(2), 7.0), ("k", d(3), 7.0))
+      .toDF("k", "d", "y")
+    val rc = Eval.backtestSeasonalNaive(const, col("k"), col("d"),
+      col("y"), season = 2).collect()(0)
+    assert(rc.getAs[Double]("mae") == 0.0 && rc.isNullAt(rc.fieldIndex("mase")))
+    // day 4 missing: origins needing it (5 via season, 5 via naive) drop
+    val gap = Seq(("k", d(1), 1.0), ("k", d(2), 2.0), ("k", d(3), 3.0),
+      ("k", d(5), 8.0)).toDF("k", "d", "y")
+    val rg = Eval.backtestSeasonalNaive(gap, col("k"), col("d"),
+      col("y"), season = 2).collect()(0)
+    assert(rg.getAs[Long]("n_eval") == 1) // only day 3 has both
+  }
+
   test("invPhiUpper: inside the A&S 4.5e-4 envelope at the standard " +
       "planning quantiles") {
     val r = Seq(0.025, 0.2, 0.05, 0.005).toDF("p")

@@ -216,4 +216,22 @@ class GraphSpec extends SparkSuite {
     assert(rg.getLong(0) == 4L && rg.getLong(1) == 5L)
     assert(rg.getDouble(2) == -0.666667, s"r ${rg.getDouble(2)}")
   }
+
+  test("pprInt: integer-exact hand rounds on a path graph — teleport " +
+      "mass stays on the seed, propagation reaches 2 hops in 2 " +
+      "rounds, unreachable components stay at rank 0") {
+    // path 1-2-3 (symmetrized) + disconnected pair 4-5; seed {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    val got = Graph.pprInt(edges, sources, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    // r0 = S on seed; r1(1)=15e12/100, r1(2)=85*S/100;
+    // r2(1)=(15e12+85*(850e9/2))/100, r2(2)=85*150e9/100,
+    // r2(3)=85*425e9/100; 4,5 never reached
+    assert(got == Map(
+      1L -> 511250000000L, 2L -> 127500000000L, 3L -> 361250000000L,
+      4L -> 0L, 5L -> 0L), s"got $got")
+  }
 }

@@ -1938,4 +1938,44 @@ class LlmDataSpec extends SparkSuite {
     graft.Caches.release()
     assert(stripped.length < unstripped.length)
   }
+
+  test("canonicalizeUrlSorted: param order collapses, tracking keys " +
+      "drop wherever they sit, an emptied query loses its ?") {
+    val cases = Seq(
+      "http://X.com/p?b=2&a=1" -> "http://x.com/p?a=1&b=2",
+      "http://x.com/p?a=1&b=2" -> "http://x.com/p?a=1&b=2",
+      "https://a.com/p?gclid=x&z=1&ref=abc" -> "https://a.com/p?z=1",
+      "https://a.com/p?fbclid=y" -> "https://a.com/p",
+      "HTTP://A.com:80/p/?utm_source=s&b=2&a=1#f" ->
+        "http://a.com/p?a=1&b=2",
+      "https://a.com/p" -> "https://a.com/p")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrlSorted(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"got $g want $want")
+    }
+  }
+
+  test("jsDivergence: identical slices diverge 0, disjoint " +
+      "vocabularies saturate at 1 bit, three slices are refused") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("s", "t")
+    val r0 = TextAnalysis.jsDivergence(same, col("s"), col("t"))
+      .collect()(0)
+    assert(r0.getAs[Double]("jsd_nats") == 0.0)
+    assert(r0.getAs[Long]("vocab") == 3 &&
+      r0.getAs[Long]("vocab_shared") == 3)
+    val disj = Seq(("a", "x x"), ("b", "y y")).toDF("s", "t")
+    val r1 = TextAnalysis.jsDivergence(disj, col("s"), col("t"))
+      .collect()(0)
+    assert(r1.getAs[Double]("jsd_bits") == 1.0)
+    assert(r1.getAs[Long]("vocab_shared") == 0)
+    assert(r1.getAs[String]("slice_a") == "a" &&
+      r1.getAs[String]("slice_b") == "b")
+    val three = Seq(("a", "x"), ("b", "y"), ("c", "z")).toDF("s", "t")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.jsDivergence(three, col("s"), col("t"))
+    }
+    assert(e.getMessage.contains("exactly 2 slices"))
+  }
 }
