@@ -1056,11 +1056,14 @@ object TextAnalysis {
     */
   def jsDivergence(df: DataFrame, slice: Column, text: Column,
       maxVocab: Long = 5000000L): DataFrame = {
-    val cells = df.where(text.isNotNull && slice.isNotNull)
-      .select(slice.as("slice"),
-        explode(filter(split(Dedup.normalize(text), " "),
-          t => t =!= "")).as("t"))
-      .groupBy(col("slice"), col("t")).agg(count(lit(1)).as("c"))
+    // pinned: the (slice, token) census feeds the slice check and
+    // both per-slice projections — tokenization runs once
+    val cells = graft.Caches.pin(
+      df.where(text.isNotNull && slice.isNotNull)
+        .select(slice.as("slice"),
+          explode(filter(split(Dedup.normalize(text), " "),
+            t => t =!= "")).as("t"))
+        .groupBy(col("slice"), col("t")).agg(count(lit(1)).as("c")))
     // bounded collect: exactly-two contract, checked not assumed
     val slices = cells.select(col("slice")).distinct()
       .orderBy(col("slice")).limit(3).collect().map(_.getString(0))
@@ -1071,8 +1074,10 @@ object TextAnalysis {
       .select(col("t"), col("c").as("__ca"))
     val b = cells.where(col("slice") === sb)
       .select(col("t"), col("c").as("__cb"))
-    val j = a.join(b, Seq("t"), "full")
-      .na.fill(0L, Seq("__ca", "__cb"))
+    // pinned: the joined vocabulary feeds the guard count, the totals
+    // aggregate, and the term sum
+    val j = graft.Caches.pin(a.join(b, Seq("t"), "full")
+      .na.fill(0L, Seq("__ca", "__cb")))
     val nVocab = j.count()
     require(nVocab <= maxVocab,
       s"jsDivergence: $nVocab vocabulary exceeds $maxVocab")

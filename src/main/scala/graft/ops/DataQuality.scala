@@ -265,8 +265,10 @@ object DataQuality {
       s"tCloseness: $quasiCols/$tPpm")
     val qs = quasiCols.map(col)
     val rows = df.select(qs :+ sensitive.cast("long").as("__v"): _*)
-    val cells = rows.groupBy(qs :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    // pinned: the cell census feeds the value census, the group
+    // census, and the lattice join — one base-table pass total
+    val cells = graft.Caches.pin(rows.groupBy(qs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c")))
     val values = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
     val nValues = values.count()
     require(nValues <= maxValues,

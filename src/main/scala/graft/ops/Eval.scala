@@ -94,10 +94,12 @@ object Eval {
     */
   def logLossBrier(df: DataFrame, segment: Column, p: Column, y: Column,
       eps: Double = 1e-6, maxCells: Long = 2000000L): DataFrame = {
-    val cells = df.select(segment.as("segment"),
+    // pinned: the census feeds the guard count AND the segment
+    // aggregate — unpinned each would re-scan the base table
+    val cells = graft.Caches.pin(df.select(segment.as("segment"),
         p.cast("double").as("__p"), y.cast("long").as("__y"))
       .groupBy(col("segment"), col("__p"), col("__y"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")))
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"logLossBrier: $nCells (segment, p, y) cells exceed $maxCells " +
@@ -140,12 +142,14 @@ object Eval {
       lit(1000000007L)), lit(k.toLong))
     val rows = df.select(fold.as("fold"),
       x.cast("double").as("__x"), y.cast("double").as("__y"))
-    val perFold = rows.groupBy(col("fold")).agg(
+    // pinned: per-fold moments feed both the totals aggregate and the
+    // complement join — one data pass, not two
+    val perFold = graft.Caches.pin(rows.groupBy(col("fold")).agg(
       count(lit(1)).as("__n"),
       isum(col("__x")).as("__sx"), isum(col("__y")).as("__sy"),
       isum(col("__x") * col("__x")).as("__sxx"),
       isum(col("__x") * col("__y")).as("__sxy"),
-      isum(col("__y") * col("__y")).as("__syy"))
+      isum(col("__y") * col("__y")).as("__syy")))
     val totals = perFold.agg(
       sum(col("__n")).as("__tn"),
       sum(dq(col("__sx"))).cast("double").as("__tsx"),
@@ -185,8 +189,11 @@ object Eval {
     */
   def confusionStats(df: DataFrame, actual: Column, predicted: Column,
       maxClasses: Long = 10000L): DataFrame = {
-    val cells = df.groupBy(actual.as("__a"), predicted.as("__p"))
-      .agg(count(lit(1)).as("__c"))
+    // pinned: the contingency census feeds THREE marginals — without
+    // the pin each re-scans the base table
+    val cells = graft.Caches.pin(
+      df.groupBy(actual.as("__a"), predicted.as("__p"))
+        .agg(count(lit(1)).as("__c")))
     val act = cells.groupBy(col("__a").as("cls"))
       .agg(sum(col("__c")).as("n_actual"))
     val prd = cells.groupBy(col("__p").as("cls"))
@@ -236,8 +243,12 @@ object Eval {
   def backtestSeasonalNaive(series: DataFrame, key: Column, date: Column,
       value: Column, season: Int): DataFrame = {
     require(season >= 2, s"backtestSeasonalNaive: season=$season")
-    val s = series.select(key.as("key"), date.as("__d"),
-      value.cast("double").as("__y"))
+    // pinned: the pre-aggregated series feeds THREE branches (target,
+    // seasonal lookback, naive lookback) — unpinned, each branch
+    // re-scans and re-aggregates the base table (the q320 plan dump
+    // showed 3 parquet scans for one backtest)
+    val s = graft.Caches.pin(series.select(key.as("key"),
+      date.as("__d"), value.cast("double").as("__y")))
     val fc = s.select(col("key"), date_add(col("__d"), season).as("__d"),
       col("__y").as("__f"))
     val nv = s.select(col("key"), date_add(col("__d"), 1).as("__d"),
@@ -281,8 +292,10 @@ object Eval {
       .select(explode(col("__fs")).as("__fv"), col("__y"))
       .select(col("__fv.f").as("__f"), col("__fv.v").as("__v"),
         col("__y"))
-    val cells = melted.groupBy(col("__f"), col("__v"), col("__y"))
-      .agg(count(lit(1)).as("__c"))
+    // pinned: the cell census feeds the guard plus three marginals
+    val cells = graft.Caches.pin(
+      melted.groupBy(col("__f"), col("__v"), col("__y"))
+        .agg(count(lit(1)).as("__c")))
     val nCells = cells.count()
     require(nCells <= maxCells,
       s"mutualInformation: $nCells cells exceed $maxCells — " +

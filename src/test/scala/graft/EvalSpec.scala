@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
 class EvalSpec extends SparkSuite {
   import spark.implicits._
 
+  // several Eval/DataQuality ops pin census intermediates; drop the
+  // blocks after every test like Verify/Bench do between entries
+  override protected def withFixture(test: NoArgTest) =
+    try super.withFixture(test) finally graft.Caches.release()
+
   test("rankingMetrics: hand-computed precision/recall/MRR/nDCG at " +
       "k=2 with graded gains") {
     // realized order (score desc): d1(g2) d2(g0) d3(g1) d4(g0)

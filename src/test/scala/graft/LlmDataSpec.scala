@@ -1977,5 +1977,6 @@ class LlmDataSpec extends SparkSuite {
       TextAnalysis.jsDivergence(three, col("s"), col("t"))
     }
     assert(e.getMessage.contains("exactly 2 slices"))
+    graft.Caches.release()
   }
 }
