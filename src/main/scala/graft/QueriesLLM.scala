@@ -1993,6 +1993,96 @@ object QueriesLLM {
                round(s / 2.0 / ln(2.0), 6) AS jsd_bits
         FROM agg CROSS JOIN tot"""))
 
+  /** PAIRWISE JSD MATRIX ([[TextAnalysis.jsDivergenceMatrix]]) over
+    * the de/en/fr slices — all three pair divergences from ONE token
+    * census + one per-token count grid (single shuffle however many
+    * slices), where three q323-style calls would tokenize three
+    * times. The oracle replays the grid and every pair's mixture
+    * terms column-for-column (SQL generated from the same pair list).
+    */
+  private val q325_jsd_matrix: Q = {
+    val langs = Seq("de", "en", "fr")
+    val k = langs.length
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+    def p(i: Int) = s"(CAST(c$i AS DOUBLE) / n$i)"
+    val pairAggs = pairs.map { case (i, j) =>
+      val m = s"((${p(i)} + ${p(j)}) / 2.0)"
+      s"""CAST(sum(CAST(
+           (CASE WHEN c$i > 0 THEN ${p(i)} * ln(${p(i)} / $m)
+                 ELSE 0.0 END) +
+           (CASE WHEN c$j > 0 THEN ${p(j)} * ln(${p(j)} / $m)
+                 ELSE 0.0 END) AS DECIMAL(38,12))) AS DOUBLE)
+           AS s_${i}_$j,
+         CAST(sum(CASE WHEN c$i > 0 OR c$j > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS v_${i}_$j"""
+    }.mkString(", ")
+    val gridCols = langs.zipWithIndex.map { case (l, i) =>
+      s"CAST(sum(CASE WHEN slice = '$l' THEN c ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(", ")
+    val totCols = (0 until k).map(i =>
+      s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+    val unions = pairs.map { case (i, j) =>
+      s"""SELECT '${langs(i)}' AS slice_a, '${langs(j)}' AS slice_b,
+            n$i AS n_tok_a, n$j AS n_tok_b, v_${i}_$j AS vocab_pair,
+            round(s_${i}_$j / 2.0, 6) AS jsd_nats,
+            round(s_${i}_$j / 2.0 / ln(2.0), 6) AS jsd_bits
+          FROM ag CROSS JOIN tot""" }.mkString(" UNION ALL ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.llmdata.TextAnalysis.jsDivergenceMatrix(
+        read(s, dir, "documents").where(col("lang").isin(langs: _*)),
+        slice = col("lang"), text = col("text")),
+      Some(s"""WITH toks AS (SELECT lang AS slice,
+                 unnest(list_filter(string_split(trim(
+                   regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                   t -> t <> '')) AS t
+               FROM documents
+               WHERE text IS NOT NULL
+                 AND lang IN (${langs.map(l => s"'$l'").mkString(", ")})),
+             cells AS (SELECT slice, t, count(*) AS c
+               FROM toks GROUP BY 1, 2),
+             grid AS (SELECT t, $gridCols FROM cells GROUP BY 1),
+             tot AS (SELECT $totCols FROM grid),
+             ag AS (SELECT $pairAggs FROM grid CROSS JOIN tot)
+        $unions ORDER BY slice_a, slice_b"""))
+  }
+
+  /** OOV RATE per language ([[TextAnalysis.oovRate]]) against the
+    * corpus' own top-500 token vocabulary — which slice a fixed word
+    * vocabulary serves worst (the per-source fertility early-warning
+    * next to q127). TakeOrdered vocabulary, broadcast semi join,
+    * exact floor-division ppm.
+    */
+  private val q326_oov_rate: Q = (
+    (s, dir) => graft.llmdata.TextAnalysis.oovRate(
+      read(s, dir, "documents"), slice = col("lang"),
+      text = col("text"), vocabSize = 500),
+    Some("""WITH toks AS (SELECT lang AS slice,
+                 unnest(list_filter(string_split(trim(
+                   regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                   t -> t <> '')) AS t
+               FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL),
+             cells AS (SELECT slice, t, count(*) AS c
+               FROM toks GROUP BY 1, 2),
+             gtot AS (SELECT t, CAST(sum(c) AS BIGINT) AS cg
+               FROM cells GROUP BY 1),
+             vocab AS (SELECT t FROM (SELECT t, row_number()
+                 OVER (ORDER BY cg DESC, t ASC) AS r FROM gtot)
+               WHERE r <= 500),
+             ps AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 count(DISTINCT t) AS n_types
+               FROM cells GROUP BY 1),
+             iv AS (SELECT slice, CAST(sum(c) AS BIGINT) AS nin
+               FROM cells JOIN vocab USING (t) GROUP BY 1)
+        SELECT ps.slice, n_tokens, n_types,
+               n_tokens - COALESCE(nin, 0) AS n_oov,
+               CAST((n_tokens - COALESCE(nin, 0)) * 1000000
+                 // n_tokens AS BIGINT) AS oov_ppm
+        FROM ps LEFT JOIN iv ON ps.slice = iv.slice
+        ORDER BY ps.slice"""))
+
   /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
     * over the integer term-frequency shortlist: relevance = total
     * query-term hits normalized to ppm of the shortlist max,
@@ -4482,6 +4572,8 @@ object QueriesLLM {
     "q293_url_canon" -> q293_url_canon,
     "q319_url_sorted" -> q319_url_sorted,
     "q323_jsd" -> q323_jsd,
+    "q325_jsd_matrix" -> q325_jsd_matrix,
+    "q326_oov_rate" -> q326_oov_rate,
     "q294_es_sample" -> q294_es_sample,
     "q295_negatives" -> q295_negatives,
     "q296_exact_strata" -> q296_exact_strata,

@@ -520,6 +520,55 @@ object QueriesStream {
     * readStream+watermark (windowed agg + stream-static join, both
     * append-supported). Oracle checks the batch form.
     */
+  /** STREAMING SRM monitor ([[graft.streaming.Streams.srmMonitor]]):
+    * per (day, event_type) exposure counts by parity arm, χ²₁ against
+    * the 50/50 design, portable-CDF p, alarm at p < 0.001 — q317's
+    * assignment audit as a continuously-running pager. One windowed
+    * grouped aggregate (append-supported under a watermark;
+    * StatsAndStreamSpec pins two-slicing readStream parity).
+    */
+  private val q324_stream_srm: Q = (
+    (s, dir) => graft.streaming.Streams.srmMonitor(
+        read(s, dir, "events").where(col("ts").isNotNull),
+        inA = (col("user_id") % 2 === 0).cast("long"), width = "1 day")
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""WITH e AS (SELECT event_type, user_id,
+                 CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE ts IS NOT NULL),
+             cells AS (SELECT date_trunc('day', ts) AS window_start,
+                 event_type,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_b
+               FROM e GROUP BY 1, 2),
+             ch AS (SELECT *,
+                 (CAST(n_a AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) *
+                 (CAST(n_a AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) /
+                   (CAST(n_a + n_b AS DOUBLE) * 0.5) +
+                 (CAST(n_b AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) *
+                 (CAST(n_b AS DOUBLE) -
+                   CAST(n_a + n_b AS DOUBLE) * 0.5) /
+                   (CAST(n_a + n_b AS DOUBLE) * 0.5) AS chi2
+               FROM cells),
+             zc AS (SELECT *, sqrt(chi2) AS z FROM ch),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc),
+             pv AS (SELECT *,
+                 2.0 * (1.0 - (1.0 - exp(-(abs(z) * abs(z)) / 2.0)
+                   / 2.5066282746310002 *
+                   (t * (0.319381530 + t * (-0.356563782 +
+                     t * (1.781477937 + t * (-1.821255978 +
+                       t * 1.330274429))))))) AS p
+               FROM ph)
+        SELECT window_start, event_type, n_a, n_b,
+               round(chi2, 6) AS chi2, round(p, 6) AS p_value,
+               CAST(p < 0.001 AS INTEGER) AS srm_flag
+        FROM pv ORDER BY window_start, event_type"""))
+
   private val q297_stream_alert: Q = (
     (s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
@@ -1199,6 +1248,7 @@ object QueriesStream {
     "q256_seasonal_decompose" -> q256_seasonal_decompose,
     "q291_seasonal_anomaly" -> q291_seasonal_anomaly,
     "q297_stream_alert" -> q297_stream_alert,
+    "q324_stream_srm" -> q324_stream_srm,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,

@@ -1103,6 +1103,121 @@ object TextAnalysis {
           .as("jsd_bits"))
   }
 
+  /** PAIRWISE [[jsDivergence]] MATRIX over k corpus slices in ONE
+    * plan — the full drift grid a multi-source corpus review reads
+    * (which sources write alike, which snapshot moved). Instead of
+    * k·(k−1)/2 separate full-outer joins, the (slice, token) census
+    * widens to a per-token count GRID (one conditional-sum aggregate
+    * keyed by token — a single shuffle however many slices), and
+    * every pair's mixture terms are computed column-wise over that
+    * grid in one aggregate pass. Slices are the bounded analysis
+    * dimension (`maxSlices` guard — the grid close is O(k²) columns);
+    * vocabulary is guarded by `maxVocab` like the pairwise form.
+    * Emits one row per (slice_a < slice_b) pair with token totals,
+    * either-side pair vocabulary, jsd_nats and jsd_bits.
+    */
+  def jsDivergenceMatrix(df: DataFrame, slice: Column, text: Column,
+      maxSlices: Int = 12, maxVocab: Long = 5000000L): DataFrame = {
+    require(maxSlices >= 2, s"jsDivergenceMatrix: maxSlices=$maxSlices")
+    val cells = graft.Caches.pin(
+      df.where(text.isNotNull && slice.isNotNull)
+        .select(slice.as("slice"),
+          explode(filter(split(Dedup.normalize(text), " "),
+            t => t =!= "")).as("t"))
+        .groupBy(col("slice"), col("t")).agg(count(lit(1)).as("c")))
+    // bounded collect: the slice list IS the analysis dimension
+    val slices = cells.select(col("slice")).distinct()
+      .orderBy(col("slice")).limit(maxSlices + 1).collect()
+      .map(_.getString(0))
+    require(slices.length >= 2 && slices.length <= maxSlices,
+      s"jsDivergenceMatrix: ${slices.length} slices outside " +
+        s"[2, $maxSlices]")
+    val k = slices.length
+    // per-token count grid: one shuffle on token, k conditional sums
+    val grid = graft.Caches.pin(cells.groupBy(col("t")).agg(
+      slices.zipWithIndex.map { case (s, i) =>
+        sum(when(col("slice") === s, col("c")).otherwise(lit(0L)))
+          .as(s"__c$i")
+      }.head, slices.zipWithIndex.tail.map { case (s, i) =>
+        sum(when(col("slice") === s, col("c")).otherwise(lit(0L)))
+          .as(s"__c$i")
+      }: _*))
+    val nVocab = grid.count()
+    require(nVocab <= maxVocab,
+      s"jsDivergenceMatrix: $nVocab vocabulary exceeds $maxVocab")
+    val totals = grid.agg(
+      sum(col("__c0")).as("__n0"),
+      (1 until k).map(i => sum(col(s"__c$i")).as(s"__n$i")): _*)
+    val wt = grid.crossJoin(broadcast(totals))
+    val dqc = (c: Column) => c.cast("decimal(38,12)")
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val p = col(s"__c$i").cast("double") / col(s"__n$i").cast("double")
+      val q = col(s"__c$j").cast("double") / col(s"__n$j").cast("double")
+      val m = (p + q) / lit(2.0)
+      val term = dqc(
+        when(col(s"__c$i") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+          when(col(s"__c$j") > 0, q * log(q / m)).otherwise(lit(0.0)))
+      Seq(sum(term).cast("double").as(s"__s_${i}_$j"),
+        sum((col(s"__c$i") > 0 || col(s"__c$j") > 0).cast("long"))
+          .as(s"__v_${i}_$j"))
+    } ++ (0 until k).map(i => first(col(s"__n$i")).as(s"__t$i"))
+    val agg = wt.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(slices(i)).as("slice_a"), lit(slices(j)).as("slice_b"),
+        col(s"__t$i").as("n_tok_a"), col(s"__t$j").as("n_tok_b"),
+        col(s"__v_${i}_$j").as("vocab_pair"),
+        round(col(s"__s_${i}_$j") / lit(2.0), 6).as("jsd_nats"),
+        round(col(s"__s_${i}_$j") / lit(2.0) / lit(math.log(2.0)), 6)
+          .as("jsd_bits"))
+    }
+    agg.select(explode(array(rows: _*)).as("__p"))
+      .select(col("__p.slice_a").as("slice_a"),
+        col("__p.slice_b").as("slice_b"),
+        col("__p.n_tok_a").as("n_tok_a"),
+        col("__p.n_tok_b").as("n_tok_b"),
+        col("__p.vocab_pair").as("vocab_pair"),
+        col("__p.jsd_nats").as("jsd_nats"),
+        col("__p.jsd_bits").as("jsd_bits"))
+      .orderBy(col("slice_a"), col("slice_b"))
+  }
+
+  /** OUT-OF-VOCABULARY rate per corpus slice against the corpus' own
+    * top-`vocabSize` token vocabulary — the tokenizer-budget gauge
+    * that tells you which source a fixed word vocabulary will serve
+    * worst (high OOV → fertility blowup downstream, the q127 lesson
+    * read source-by-source). Vocabulary = top-N global tokens by
+    * (count desc, token asc) — a TakeOrdered over the
+    * vocabulary-sized census, never a global row sort — joined back
+    * broadcast (semi) to the per-slice census. Exact integers
+    * throughout: oov_ppm is floor-division ppm of occurrence counts.
+    */
+  def oovRate(df: DataFrame, slice: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"oovRate: vocabSize=$vocabSize")
+    val cells = graft.Caches.pin(
+      df.where(text.isNotNull && slice.isNotNull)
+        .select(slice.as("slice"),
+          explode(filter(split(Dedup.normalize(text), " "),
+            t => t =!= "")).as("t"))
+        .groupBy(col("slice"), col("t")).agg(count(lit(1)).as("c")))
+    val vocab = cells.groupBy(col("t")).agg(sum(col("c")).as("__cg"))
+      .orderBy(col("__cg").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"))
+    val perSlice = cells.groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count_distinct(col("t")).as("n_types"))
+    val inVocab = cells.join(broadcast(vocab), Seq("t"), "left_semi")
+      .groupBy(col("slice")).agg(sum(col("c")).as("__nin"))
+    perSlice.join(inVocab, Seq("slice"), "left")
+      .na.fill(0L, Seq("__nin"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        (col("n_tokens") - col("__nin")).as("n_oov"),
+        expr("(n_tokens - __nin) * 1000000L div n_tokens")
+          .as("oov_ppm"))
+      .orderBy(col("slice"))
+  }
+
   /** INVERTED-INDEX postings: one row per (term, doc) with term
     * frequency and the term's document frequency — the materialized
     * retrieval artifact BM25 serving reads. Terms below `minDf`

@@ -50,6 +50,42 @@ object Streams {
           .cast("long"))
   }
 
+  /** STREAMING SAMPLE-RATIO-MISMATCH monitor: per (tumbling window,
+    * experiment) exposure counts by arm, Pearson χ²₁ against the
+    * `ratioA : 1−ratioA` design, p via the portable
+    * [[graft.ops.Experiment.phiAbs]], alarm at the conventional
+    * p < 0.001 — the assignment-plumbing pager that must fire before
+    * a broken randomizer poisons a day of readouts, not after. The
+    * plan is ONE windowed grouped aggregate (append-supported under a
+    * watermark; the χ²/p close is stateless per-row arithmetic), so
+    * the identical code runs in batch for the oracle gate and as a
+    * readStream — StatsAndStreamSpec pins two-slicing parity. Counts
+    * are exposure events per arm (unit-dedup is [[StreamingDedup]]'s
+    * job upstream when exactly-once exposure is needed).
+    */
+  def srmMonitor(events: DataFrame, inA: Column, width: String,
+      ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0 && ratioA < 1, s"srmMonitor: ratioA=$ratioA")
+    val cells = events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(sum(inA.cast("long")).as("n_a"),
+        sum(lit(1L) - inA.cast("long")).as("n_b"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_a"), col("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ea = n * lit(ratioA); val eb = n * lit(1.0 - ratioA)
+    val chi2 = (col("n_a").cast("double") - ea) *
+      (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) *
+        (col("n_b").cast("double") - eb) / eb
+    val p = lit(2.0) *
+      (lit(1.0) - graft.ops.Experiment.phiAbs(sqrt(chi2)))
+    cells.select(col("window_start"), col("event_type"),
+      col("n_a"), col("n_b"), round(chi2, 6).as("chi2"),
+      round(p, 6).as("p_value"),
+      (p < lit(0.001)).cast("int").as("srm_flag"))
+  }
+
   /** Sliding-window aggregate. */
   def sliding(events: DataFrame, width: String, slide: String): DataFrame =
     events.groupBy(window(col("ts"), width, slide), col("event_type"))

@@ -1979,4 +1979,56 @@ class LlmDataSpec extends SparkSuite {
     assert(e.getMessage.contains("exactly 2 slices"))
     graft.Caches.release()
   }
+
+  test("jsDivergenceMatrix: every pair equals the pairwise operator; " +
+      "slice cap refuses") {
+    val df = Seq(("a", "x x y"), ("b", "x y y"), ("c", "z z"))
+      .toDF("s", "t")
+    val got = TextAnalysis.jsDivergenceMatrix(df, col("s"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    graft.Caches.release()
+    for (Seq(sa, sb) <- Seq("a", "b", "c").combinations(2)) {
+      val pair = TextAnalysis.jsDivergence(
+          df.where(col("s").isin(sa, sb)), col("s"), col("t"))
+        .collect()(0)
+      graft.Caches.release()
+      val (na, nb, vp, nats) = got((sa, sb))
+      assert(na == pair.getAs[Long]("n_tok_a") &&
+        nb == pair.getAs[Long]("n_tok_b"), s"($sa,$sb) totals")
+      assert(vp == pair.getAs[Long]("vocab"), s"($sa,$sb) vocab")
+      assert(nats == pair.getAs[Double]("jsd_nats"), s"($sa,$sb) jsd")
+    }
+    // disjoint pair (a,c) saturates at ln 2
+    assert(got(("a", "c"))._4 ==
+      math.rint(math.log(2.0) * 1e6) / 1e6)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.jsDivergenceMatrix(df, col("s"), col("t"),
+        maxSlices = 2)
+    }
+    assert(e.getMessage.contains("outside"))
+    graft.Caches.release()
+  }
+
+  test("oovRate: top-N vocabulary with (count desc, token asc) " +
+      "tie-break; occurrence-weighted ppm; all-in-vocab slice is 0") {
+    // global counts: x=4, y=3, z=3 -> top-2 = {x, y} (y beats z on
+    // the token tie-break)
+    val df = Seq(("s1", "x x y z"), ("s2", "x x y y z z"))
+      .toDF("s", "t")
+    val got = TextAnalysis.oovRate(df, col("s"), col("t"),
+        vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    graft.Caches.release()
+    assert(got("s1") == ((4L, 3L, 1L, 250000L)), s"got ${got("s1")}")
+    assert(got("s2") == ((6L, 3L, 2L, 333333L)), s"got ${got("s2")}")
+    val all = Seq(("s1", "x y x y")).toDF("s", "t")
+    val g2 = TextAnalysis.oovRate(all, col("s"), col("t"), vocabSize = 2)
+      .collect()(0)
+    graft.Caches.release()
+    assert(g2.getLong(3) == 0L && g2.getLong(4) == 0L)
+  }
 }

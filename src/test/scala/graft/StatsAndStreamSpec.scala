@@ -332,6 +332,48 @@ class StatsAndStreamSpec extends SparkSuite {
     assert(alerts == Set(("a", ts(1, 0))), s"alerts $alerts")
   }
 
+  test("srmMonitor: real readStream equals the batch form under two " +
+      "slicings; a biased window alarms, a balanced one does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-0$d%d $h%02d:00:00")
+    // day 1: exp a balanced 2/2; day 2: exp a biased 40/0
+    val rows = Seq(
+      ("a", 0L, ts(1, 1)), ("a", 1L, ts(1, 2)),
+      ("a", 2L, ts(1, 3)), ("a", 3L, ts(1, 4))) ++
+      (1 to 40).map(i => ("a", 2L * i, ts(2, i % 20)))
+    val inA = (col("user_id") % 2 === 0).cast("long")
+    val batch = Streams.srmMonitor(
+        rows.toDF("event_type", "user_id", "ts"), inA, "1 day")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(6))).toSet
+    // hand: day1 chi2 = 0 no flag; day2 n_a=40 n_b=0 chi2 = 40, flag
+    val byDay = batch.map(t => t._1.toString.take(10) ->
+      ((t._3, t._4, t._5, t._6))).toMap
+    assert(byDay("2024-01-01") == ((2L, 2L, 0.0, 0)))
+    assert(byDay("2024-01-02") == ((40L, 0L, 40.0, 1)))
+    for ((name, slices) <- Seq(
+        ("one", Seq(rows)),
+        ("split", Seq(rows.take(3), rows.slice(3, 10), rows.drop(10))))) {
+      val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+      val src = in.toDF().toDF("event_type", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+      val q = Streams.srmMonitor(src, inA, "1 day")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"t_srm_$name").start()
+      slices.foreach { s2 => in.addData(s2); q.processAllAvailable() }
+      in.addData(("z", 1L, ts(9, 0))); q.processAllAvailable(); q.stop()
+      val got = spark.sql(s"SELECT * FROM t_srm_$name " +
+          "WHERE event_type <> 'z'")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(6))).toSet
+      assert(got == batch, s"$name: $got vs $batch")
+    }
+  }
+
   test("msprt: balanced variants keep p_always at 1; complete " +
       "separation drives it below 1%; trajectory is non-increasing") {
     import graft.ops.Experiment
