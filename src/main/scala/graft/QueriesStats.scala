@@ -713,6 +713,63 @@ object QueriesStats {
                  2.0 * pc * rc / (pc + rc) ELSE 0.0 END, 6) AS f1
         FROM pr ORDER BY cls"""))
 
+  /** MANN-KENDALL trend test ([[graft.ops.RankStats.mannKendall]]):
+    * is monthly revenue per order priority trending — the
+    * distribution-free significance companion to q260's Theil-Sen
+    * slope. Integer sign sums and tie polynomial over the bounded
+    * monthly grain (guarded pairwise self-join, the theilSen
+    * contract); continuity-corrected z through the portable CDF.
+    */
+  private val q327_mann_kendall: Q = (
+    (s, dir) => graft.ops.RankStats.mannKendall(
+      read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("__mo"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .select(col("o_orderpriority"),
+          (year(col("__mo")) * 12 + month(col("__mo"))).cast("long")
+            .as("t"),
+          round(col("rev"), 0).cast("long").as("v")),
+      series = col("o_orderpriority"), t = col("t"), v = col("v")),
+    Some(s"""WITH m AS (SELECT o_orderpriority AS series,
+                 date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+                 ${sqlDsum("o_totalprice")} AS rev
+               FROM orders GROUP BY 1, 2),
+             s AS (SELECT series,
+                 CAST(year(mo) * 12 + month(mo) AS BIGINT) AS tt,
+                 CAST(round(rev, 0) AS BIGINT) AS v
+               FROM m),
+             sp AS (SELECT a.series,
+                 CAST(sum(CASE WHEN b.v > a.v THEN 1
+                   WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+               FROM s a JOIN s b
+                 ON a.series = b.series AND a.tt < b.tt
+               GROUP BY 1),
+             nn AS (SELECT series, count(*) AS n FROM s GROUP BY 1),
+             ti AS (SELECT series,
+                 CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                   AS tie
+               FROM (SELECT series, v, count(*) AS tg
+                     FROM s GROUP BY 1, 2) GROUP BY 1),
+             vr AS (SELECT nn.series, n, COALESCE(s_stat, 0) AS s_stat,
+                 CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE)
+                   / 18.0 AS var_s
+               FROM nn LEFT JOIN sp ON nn.series = sp.series
+               JOIN ti ON nn.series = ti.series),
+             zc AS (SELECT *, CASE
+                 WHEN s_stat > 0 AND var_s > 0
+                   THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                 WHEN s_stat < 0 AND var_s > 0
+                   THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                 ELSE 0.0 END AS z
+               FROM vr),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT series, n, s_stat, round(var_s, 6) AS var_s,
+               round(z, 6) AS z, round($sqlTwoSidedP, 6) AS p_value
+        FROM ph ORDER BY series"""))
+
   val all: Map[String, Q] = Map(
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
@@ -728,5 +785,6 @@ object QueriesStats {
     "q317_srm" -> q317_srm,
     "q318_t_closeness" -> q318_t_closeness,
     "q320_backtest" -> q320_backtest,
-    "q321_confusion" -> q321_confusion)
+    "q321_confusion" -> q321_confusion,
+    "q327_mann_kendall" -> q327_mann_kendall)
 }

@@ -210,4 +210,68 @@ object RankStats {
       round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(t))), 6)
         .as("p_value"))
   }
+
+  /** MANN-KENDALL trend test (Mann 1945, Kendall 1975) per series —
+    * the distribution-free "is this moving?" significance companion
+    * to Theil-Sen's slope estimate (q260):
+    *   S = Σ_{t_i < t_j} sign(v_j − v_i),
+    *   Var S = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+    * (t_g = size of each tied-value group), continuity-corrected
+    * z = (S ∓ 1)/√Var S, two-sided p via the portable
+    * [[Experiment.phiAbs]]. S and the variance numerator are EXACT
+    * integers (integer sign sums, integer tie polynomial), so the
+    * one fixed-order double close replays on any engine.
+    *
+    * Caller contract: one row per (series, t) — pre-aggregate to a
+    * time grain first (duplicate timestamps would silently drop
+    * their pairs). The pairwise stage is per-series quadratic BY
+    * DEFINITION (every i<j pair votes), so the theilSen guard
+    * applies: refuse when any series exceeds `maxPoints` rather than
+    * build an unbounded self-join — at a monthly/daily grain a
+    * century of data stays thousands of points.
+    */
+  def mannKendall(df: DataFrame, series: Column, t: Column, v: Column,
+      maxPoints: Int = 10000): DataFrame = {
+    val pts = graft.Caches.pin(df.select(series.as("series"),
+      t.cast("long").as("__t"), v.cast("long").as("__v")))
+    if (maxPoints > 0) {
+      val worst = pts.groupBy(col("series")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPoints,
+        s"mannKendall: a series holds $worst points (> $maxPoints) — " +
+          "aggregate to a coarser time grain first")
+    }
+    val a = pts.select(col("series"), col("__t").as("__ta"),
+      col("__v").as("__va"))
+    val b = pts.select(col("series"), col("__t").as("__tb"),
+      col("__v").as("__vb"))
+    val sStat = a.join(b, Seq("series"))
+      .where(col("__ta") < col("__tb"))
+      .select(col("series"),
+        when(col("__vb") > col("__va"), 1L)
+          .when(col("__vb") < col("__va"), -1L)
+          .otherwise(0L).as("__sg"))
+      .groupBy(col("series")).agg(sum(col("__sg")).as("s_stat"))
+    val nn = pts.groupBy(col("series")).agg(count(lit(1)).as("n"))
+    val ties = pts.groupBy(col("series"), col("__v"))
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(col("series"))
+      .agg(sum(col("__tg") * (col("__tg") - 1) *
+        (lit(2L) * col("__tg") + 5)).as("__tie"))
+    val j = nn.join(sStat, Seq("series"), "left")
+      .join(ties, Seq("series"))
+      .na.fill(0L, Seq("s_stat"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("__tie")).cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0 && varS > 0,
+        (col("s_stat") - lit(1L)).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0 && varS > 0,
+        (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    j.select(col("series"), col("n"), col("s_stat"),
+        round(varS, 6).as("var_s"), round(z, 6).as("z"),
+        round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(z))), 6)
+          .as("p_value"))
+      .orderBy(col("series"))
+  }
 }

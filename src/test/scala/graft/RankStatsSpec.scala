@@ -103,4 +103,38 @@ class RankStatsSpec extends SparkSuite {
     assert(r.getAs[Double]("mean_a") == 2.0)
     assert(r.getAs[Double]("mean_b") == 4.0)
   }
+
+  test("mannKendall: monotone series hits S = ±n(n-1)/2 with the " +
+      "textbook variance; a constant series is all-ties (var 0, " +
+      "p 1); the per-series guard trips") {
+    val up = (1L to 5L).map(i => ("u", i, i * 10))
+    val down = (1L to 5L).map(i => ("d", i, 60 - i * 10))
+    val const = (1L to 5L).map(i => ("c", i, 7L))
+    val df = (up ++ down ++ const).toDF("s", "t", "v")
+    val got = RankStats.mannKendall(df, col("s"), col("t"), col("v"))
+      .collect().map(r => r.getAs[String]("series") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s_stat"),
+          r.getAs[Double]("var_s"), r.getAs[Double]("z"),
+          r.getAs[Double]("p_value")))).toMap
+    graft.Caches.release()
+    // n=5, no ties: Var S = 5*4*15/18 = 16.666667
+    val varS = math.rint(300.0 / 18.0 * 1e6) / 1e6
+    val z = 9.0 / math.sqrt(300.0 / 18.0)
+    assert(got("u")._1 == 5 && got("u")._2 == 10L)
+    assert(got("u")._3 == varS)
+    assert(math.abs(got("u")._4 - z) < 1e-6)
+    assert(got("u")._5 < 0.05) // a clean 5-point monotone trend
+    assert(got("d")._2 == -10L)
+    assert(math.abs(got("d")._4 + z) < 1e-6) // symmetric
+    assert(got("d")._5 == got("u")._5)
+    // constant: every pair tied -> S = 0, tie term kills the variance
+    assert(got("c")._2 == 0L && got("c")._3 == 0.0 &&
+      got("c")._4 == 0.0 && got("c")._5 == 1.0)
+    val e = intercept[IllegalArgumentException] {
+      RankStats.mannKendall(df, col("s"), col("t"), col("v"),
+        maxPoints = 3)
+    }
+    assert(e.getMessage.contains("coarser time grain"))
+    graft.Caches.release()
+  }
 }
