@@ -2083,6 +2083,29 @@ object QueriesLLM {
         FROM ps LEFT JOIN iv ON ps.slice = iv.slice
         ORDER BY ps.slice"""))
 
+  /** LSH BAND CALIBRATION ([[Dedup.lshCalibration]]): the
+    * P(candidate | jaccard) S-curves for three (bands, rows) configs
+    * including q42's default (8, 4) — the planning table read before
+    * any corpus-scale near-dup run. Unrolled integer-exponent power
+    * chains; the oracle replays the same association order.
+    */
+  private val q329_lsh_calibration: Q = {
+    val configs = Seq((8, 4), (16, 8), (32, 4))
+    val sE = "(CAST(s_pct AS DOUBLE) / 100.0)"
+    val branches = configs.map { case (b, r) =>
+      val sr = Seq.fill(r)(sE).mkString("(", " * ", ")")
+      val inner = s"(1.0 - $sr)"
+      val pb = Seq.fill(b)(inner).mkString("(", " * ", ")")
+      s"""SELECT $b AS bands, $r AS rows_per_band, s_pct,
+            round(1.0 - $pb, 6) AS p_candidate FROM g"""
+    }.mkString(" UNION ALL ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.llmdata.Dedup.lshCalibration(s, configs),
+      Some(s"""WITH g AS (SELECT i * 5 AS s_pct
+               FROM generate_series(1, 20) AS t(i))
+        $branches ORDER BY bands, rows_per_band, s_pct"""))
+  }
+
   /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
     * over the integer term-frequency shortlist: relevance = total
     * query-term hits normalized to ppm of the shortlist max,
@@ -4574,6 +4597,7 @@ object QueriesLLM {
     "q323_jsd" -> q323_jsd,
     "q325_jsd_matrix" -> q325_jsd_matrix,
     "q326_oov_rate" -> q326_oov_rate,
+    "q329_lsh_calibration" -> q329_lsh_calibration,
     "q294_es_sample" -> q294_es_sample,
     "q295_negatives" -> q295_negatives,
     "q296_exact_strata" -> q296_exact_strata,

@@ -1150,6 +1150,56 @@ object QueriesRelational {
         SELECT node, r AS rank FROM r3
         ORDER BY rank DESC, node LIMIT 100"""))
 
+  /** LPA COMMUNITY DETECTION ([[graft.ops.Graph.labelPropagation]])
+    * on the q169 customer–part graph, 3 deterministic min-label
+    * rounds → community-size distribution (top 100). The oracle
+    * unrolls every round with the same (count desc, label asc)
+    * argmax.
+    */
+  private val q328_communities: Q = (
+    (s, dir) => {
+      val o = read(s, dir, "orders")
+      val l = read(s, dir, "lineitem")
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val out = ops.Graph.labelPropagation(edges, rounds = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label")).limit(100)
+      val collected = out.cache()
+      collected.count() // materialize before the pins release
+      graft.Caches.release()
+      collected
+    },
+    Some("""WITH und AS (SELECT DISTINCT
+                 least(o_custkey*2, l_partkey*2+1) AS a,
+                 greatest(o_custkey*2, l_partkey*2+1) AS b
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             ed AS (SELECT a AS src, b AS dst FROM und
+                    UNION ALL SELECT b, a FROM und),
+             l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+             n1 AS (SELECT ed.dst AS node, l0.label AS l, count(*) AS c
+               FROM ed JOIN l0 ON ed.src = l0.node GROUP BY 1, 2),
+             l1 AS (SELECT node, l AS label FROM (
+                 SELECT node, l, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, l ASC) AS rn FROM n1)
+               WHERE rn = 1),
+             n2 AS (SELECT ed.dst AS node, l1.label AS l, count(*) AS c
+               FROM ed JOIN l1 ON ed.src = l1.node GROUP BY 1, 2),
+             l2 AS (SELECT node, l AS label FROM (
+                 SELECT node, l, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, l ASC) AS rn FROM n2)
+               WHERE rn = 1),
+             n3 AS (SELECT ed.dst AS node, l2.label AS l, count(*) AS c
+               FROM ed JOIN l2 ON ed.src = l2.node GROUP BY 1, 2),
+             l3 AS (SELECT node, l AS label FROM (
+                 SELECT node, l, row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, l ASC) AS rn FROM n3)
+               WHERE rn = 1)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        FROM l3 GROUP BY 1
+        ORDER BY n_members DESC, label LIMIT 100"""))
+
   /** Z-order (Morton) clustering key — the multi-dimensional LAYOUT
     * primitive behind [[io.Layout.writeZOrdered]]: interleave the
     * bits of two sort dimensions so range predicates on either
@@ -2368,6 +2418,7 @@ object QueriesRelational {
     "q166_fuzzy_match" -> q166_fuzzy_match,
     "q169_pagerank" -> q169_pagerank,
     "q322_ppr" -> q322_ppr,
+    "q328_communities" -> q328_communities,
     "q170_compact" -> q170_compact,
     "q175_scd2" -> q175_scd2,
     "q176_upsert" -> q176_upsert,

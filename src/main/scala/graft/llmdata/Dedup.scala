@@ -226,6 +226,43 @@ object Dedup {
     f(sh)
   }
 
+  /** LSH BAND-CALIBRATION curve — the planning table that turns "which
+    * (bands, rows) config?" from folklore into a readable S-curve:
+    * for each config and each Jaccard similarity on a `stepPct` grid,
+    * the probability at least one band collides,
+    *   P(candidate | s) = 1 − (1 − s^r)^b
+    * (minhash band collision is s^r per band, bands independent).
+    * Read it next to [[minhashCandidates]]'s defaults before running
+    * a corpus-scale dedup: the s where P crosses 0.5 is the
+    * effective threshold, the slope is the precision/recall trade.
+    * Powers are UNROLLED integer-exponent multiplication chains
+    * (fixed association order) — `pow()` rounding differs across
+    * engines, x·x·…·x does not — so the 6dp table replays exactly.
+    * Driver-free: the grid is a `spark.range` lattice, configs ride
+    * as a literal array; O(configs · grid) rows total.
+    */
+  def lshCalibration(spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)], stepPct: Int = 5): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) =>
+      b >= 1 && b <= 64 && r >= 1 && r <= 64 }, s"lshCalibration: $configs")
+    require(stepPct >= 1 && stepPct <= 50, s"lshCalibration: $stepPct")
+    def ipow(base: Column, e: Int): Column =
+      Seq.fill(e)(base).reduce(_ * _)
+    val grid = spark.range(1L, (100L / stepPct) + 1L)
+      .select((col("id") * stepPct).cast("long").as("s_pct"))
+    val s = col("s_pct").cast("double") / lit(100.0)
+    val rows = configs.map { case (b, r) =>
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        round(lit(1.0) - ipow(lit(1.0) - ipow(s, r), b), 6)
+          .as("p_candidate"))
+    }
+    grid.select(col("s_pct"), explode(array(rows: _*)).as("__c"))
+      .select(col("__c.bands").as("bands"),
+        col("__c.rows_per_band").as("rows_per_band"),
+        col("s_pct"), col("__c.p_candidate").as("p_candidate"))
+      .orderBy(col("bands"), col("rows_per_band"), col("s_pct"))
+  }
+
   /** LSH candidate pairs: split k minhashes into b bands of r rows
     * (k = b*r); docs colliding on any full band are candidates.
     * Shuffles only (band, bucket-hash, id) tuples — tiny relative to

@@ -135,6 +135,54 @@ object Graph {
     ranks
   }
 
+  /** COMMUNITY DETECTION by deterministic synchronous LABEL
+    * PROPAGATION (Raghavan et al. 2007, made order-free): every node
+    * starts with its own id as label; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label
+    * (the min-label convention that makes the round a pure function
+    * of the previous labeling — no visit-order nondeterminism to
+    * leak into the oracle). A fixed `rounds` budget, not a fixpoint:
+    * synchronous LPA can 2-cycle on bipartite structure, so
+    * production use reads the round budget as a resolution dial
+    * (more rounds = coarser communities), exactly like pageRank's
+    * iteration count. Per round: one edges⋈labels join + one
+    * (node, label) count + one argmax — the same fused fixed-
+    * superstep shape as [[pageRankInt]] (edges pinned, exchange
+    * reused; no per-round checkpoint for a small fixed budget).
+    * Returns (node, label) — callers aggregate to community sizes.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds $rounds")
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    // both directions so "neighbors of n" is one join on src
+    val e = graft.Caches.pin(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = graft.Caches.pin(
+      e.select(col("src").as("node")).distinct())
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val neighborLabels = e
+        .join(labels.select(col("node").as("src"),
+          col("label").as("__l")), Seq("src"))
+        .select(col("dst").as("node"), col("__l"))
+        .groupBy(col("node"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc) as a struct max:
+      // (count, -label) compares lexicographically
+      labels = neighborLabels
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c"), (-col("__l")).as("__nl")))
+          .as("__best"))
+        .select(col("node"), (-col("__best.__nl")).as("label"))
+    }
+    labels
+  }
+
   /** Per-node TRIANGLE counts with DEGREE ORIENTATION (the standard
     * distributed-triangle trick, e.g. Suri & Vassilvitskii 2011):
     * edges clean to undirected distinct pairs, then orient every

@@ -217,6 +217,24 @@ class GraphSpec extends SparkSuite {
     assert(rg.getDouble(2) == -0.666667, s"r ${rg.getDouble(2)}")
   }
 
+  test("labelPropagation: two triangles with one bridge separate " +
+      "into their own min-label communities; dirty edges don't " +
+      "change the result") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = Graph.labelPropagation(clean.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    // hand rounds (min-label argmax): {1,2,3} -> 1, {4,5,6} -> 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+    val dirty = clean ++ Seq((2L, 1L), (3L, 3L), (1L, 2L)) // rev/self/dup
+    val got2 = Graph.labelPropagation(dirty.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(got2 == got)
+  }
+
   test("pprInt: integer-exact hand rounds on a path graph — teleport " +
       "mass stays on the seed, propagation reaches 2 hops in 2 " +
       "rounds, unreachable components stay at rank 0") {

@@ -2011,6 +2011,25 @@ class LlmDataSpec extends SparkSuite {
     graft.Caches.release()
   }
 
+  test("lshCalibration: (1,1) is the identity line, s=100% always " +
+      "collides, curves are monotone in s, bad configs refuse") {
+    val got = Dedup.lshCalibration(spark,
+        Seq((1, 1), (8, 4)), stepPct = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    (10 to 100 by 10).foreach { s =>
+      assert(got((1, 1, s.toLong)) == s / 100.0, s"identity at $s")
+    }
+    assert(got((8, 4, 100L)) == 1.0)
+    // known point: s=0.5, r=4, b=8 -> 1-(1-0.0625)^8 = 0.403281
+    assert(got((8, 4, 50L)) == 0.403281, s"got ${got((8, 4, 50L))}")
+    val curve = (10 to 100 by 10).map(s => got((8, 4, s.toLong)))
+    assert(curve.sliding(2).forall(w => w(0) <= w(1)), s"$curve")
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibration(spark, Seq((0, 4)))
+    }
+  }
+
   test("oovRate: top-N vocabulary with (count desc, token asc) " +
       "tie-break; occurrence-weighted ppm; all-in-vocab slice is 0") {
     // global counts: x=4, y=3, z=3 -> top-2 = {x, y} (y beats z on
