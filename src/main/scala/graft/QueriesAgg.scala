@@ -625,6 +625,7 @@ object QueriesAgg {
     "q301_eb_shrink" -> q301_eb_shrink,
     "q303_ps_ate" -> q303_ps_ate,
     "q304_ps_static" -> q304_ps_static,
+    "q332_ipw_ate" -> q332_ipw_ate,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2149,6 +2150,45 @@ object QueriesAgg {
                round(CAST(wd AS DOUBLE) / CAST(nn AS DOUBLE)
                  / 1000000.0, 6) AS ate
         FROM q CROSS JOIN tot ORDER BY stratum"""))
+
+  /** IPW ATE ([[graft.ops.Experiment.ipwAte]]): the Hájek-normalized
+    * inverse-propensity estimator over a static integer-ppm score —
+    * q304's stratified read done the weighting way, with the
+    * positivity trim reported. Per-row double weights quantize
+    * before the four order-free sums.
+    */
+  private val q332_ipw_ate: Q = (
+    (s, dir) => graft.ops.Experiment.ipwAte(
+      read(s, dir, "orders"),
+      treated = col("o_custkey") % 2,
+      outcome = col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH").cast("double"),
+      scorePpm = expr("(CAST(floor(o_totalprice) AS BIGINT) * 7919" +
+        " + o_custkey) % 800000 + 100000")),
+    Some("""WITH s AS (SELECT CAST(o_custkey % 2 AS BIGINT) AS t,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS DOUBLE) AS y,
+                 (CAST(floor(o_totalprice) AS BIGINT) * 7919
+                   + o_custkey) % 800000 + 100000 AS e
+               FROM orders),
+             tot AS (SELECT count(*) AS ntot FROM s),
+             k AS (SELECT t, y, CAST(e AS DOUBLE) / 1000000.0 AS ed
+               FROM s WHERE e >= 20000 AND e <= 980000),
+             ag AS (SELECT count(*) AS n_used,
+                 CAST(sum(CAST(CAST(t AS DOUBLE) / ed
+                   AS DECIMAL(38,12))) AS DOUBLE) AS swt,
+                 CAST(sum(CAST(CAST(t AS DOUBLE) / ed * y
+                   AS DECIMAL(38,12))) AS DOUBLE) AS swty,
+                 CAST(sum(CAST((1.0 - CAST(t AS DOUBLE)) / (1.0 - ed)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS swc,
+                 CAST(sum(CAST((1.0 - CAST(t AS DOUBLE)) / (1.0 - ed)
+                   * y AS DECIMAL(38,12))) AS DOUBLE) AS swcy
+               FROM k)
+        SELECT n_used, ntot - n_used AS n_trimmed,
+               round(swty / swt, 6) AS mean_treated,
+               round(swcy / swc, 6) AS mean_control,
+               round(swty / swt - swcy / swc, 6) AS ate_ipw
+        FROM ag CROSS JOIN tot"""))
 
   /** EMPIRICAL-BAYES shrunk nation rates ([[graft.ops.Experiment
     * .ebShrinkRates]]): urgent-order rates per nation with the

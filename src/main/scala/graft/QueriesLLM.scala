@@ -2106,6 +2106,110 @@ object QueriesLLM {
         $branches ORDER BY bands, rows_per_band, s_pct"""))
   }
 
+  /** Shared oracle CTE prefix for the PRF entries: raw tokens, the
+    * literal-stage BM25 per-doc stats for terms (hash, join), and
+    * the kDocs=10 pseudo-relevant shortlist — the q167 arithmetic
+    * verbatim.
+    */
+  private def prfOracleBase: String =
+    """WITH tk AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS t
+         FROM documents WHERE text IS NOT NULL),
+       tkc AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+       pd AS (SELECT doc_id, count(*) AS dl,
+           sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf0,
+           sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf1
+         FROM tkc GROUP BY doc_id),
+       st AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+         FROM pd),
+       short AS (SELECT doc_id FROM (SELECT doc_id,
+           round(
+             CASE WHEN tf0 > 0 THEN
+               ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf0 AS DOUBLE) * 2.2)
+               / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25
+                  + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+             ELSE 0.0 END
+           + CASE WHEN tf1 > 0 THEN
+               ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf1 AS DOUBLE) * 2.2)
+               / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25
+                  + 0.75 * CAST(dl AS DOUBLE)
+                    / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+             ELSE 0.0 END, 6) AS score
+           FROM pd, st WHERE tf0 > 0 OR tf1 > 0
+           ORDER BY score DESC, doc_id LIMIT 10)),
+       nd AS (SELECT count(*) AS n
+         FROM documents WHERE text IS NOT NULL),
+       gdf AS (SELECT t, count(*) AS gdf FROM (
+           SELECT DISTINCT doc_id, t FROM tkc) GROUP BY 1),
+       insh AS (SELECT t, CAST(count(*) AS BIGINT) AS tf_short,
+           CAST(count(DISTINCT tkc.doc_id) AS BIGINT) AS df_short
+         FROM tkc JOIN short ON tkc.doc_id = short.doc_id
+         WHERE t NOT IN ('hash', 'join') GROUP BY 1),
+       wt AS (SELECT t AS term, tf_short, df_short,
+           tf_short * CAST(floor(1000000.0 *
+             ln((CAST(nd.n AS DOUBLE) + 1.0)
+               / (CAST(gdf AS DOUBLE) + 1.0))) AS BIGINT) AS weight
+         FROM insh JOIN gdf USING (t) CROSS JOIN nd)"""
+
+  /** PSEUDO-RELEVANCE-FEEDBACK expansion terms
+    * ([[TextAnalysis.prfExpansionTerms]]): top-10 pseudo-relevant
+    * docs for (hash, join) vote expansion terms weighted by
+    * shortlist-tf × quantized global rarity — exact int64 ranking,
+    * no stopword list needed.
+    */
+  private val q330_prf_terms: Q = (
+    (s, dir) => TextAnalysis.prfExpansionTerms(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      Seq("hash", "join"), kDocs = 10, kExpand = 10),
+    Some(s"""$prfOracleBase
+        SELECT term, tf_short, df_short, weight FROM wt
+        ORDER BY weight DESC, term LIMIT 10"""))
+
+  /** End-to-end PRF retrieval ([[TextAnalysis.prfSearch]]): stage-1
+    * literal BM25 shortlist → top-5 expansion terms → stage-2
+    * [[TextAnalysis.bm25TopKDyn]] over originals ∪ expansion, terms
+    * riding the plan as a broadcast table (no driver round-trip).
+    * The oracle replays both stages, including the dyn form's
+    * decimal-quantized per-(doc, term) contribution sums.
+    */
+  private val q331_prf_search: Q = (
+    (s, dir) => TextAnalysis.prfSearch(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      Seq("hash", "join"), kDocs = 10, kExpand = 5, k = 25),
+    Some(s"""$prfOracleBase,
+             allt AS (SELECT term FROM (SELECT term FROM wt
+                 ORDER BY weight DESC, term LIMIT 5)
+               UNION SELECT 'hash' UNION SELECT 'join'),
+             dll AS (SELECT doc_id, count(*) AS dl FROM tkc
+               GROUP BY 1),
+             std AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dll),
+             mt AS (SELECT tkc.doc_id, tkc.t, count(*) AS tf
+               FROM tkc JOIN allt ON tkc.t = allt.term GROUP BY 1, 2),
+             dft AS (SELECT t, count(*) AS dft FROM mt GROUP BY 1),
+             sc AS (SELECT mt.doc_id,
+                 CAST(sum(CAST(
+                   ln((CAST(std.n AS DOUBLE) - CAST(dft AS DOUBLE)
+                       + 0.5) / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+                      + 0.75 * CAST(dll.dl AS DOUBLE)
+                        / (CAST(sumdl AS DOUBLE)
+                           / CAST(std.n AS DOUBLE))))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                 CAST(count(*) AS BIGINT) AS n_hit
+               FROM mt JOIN dft USING (t)
+               JOIN dll ON mt.doc_id = dll.doc_id CROSS JOIN std
+               GROUP BY 1)
+        SELECT doc_id, round(s, 6) AS score, n_hit FROM sc
+        ORDER BY score DESC, doc_id LIMIT 25"""))
+
   /** MMR DIVERSIFIED top-5 ([[graft.llmdata.Similarity.mmrSelect]])
     * over the integer term-frequency shortlist: relevance = total
     * query-term hits normalized to ppm of the shortlist max,
@@ -4598,6 +4702,8 @@ object QueriesLLM {
     "q325_jsd_matrix" -> q325_jsd_matrix,
     "q326_oov_rate" -> q326_oov_rate,
     "q329_lsh_calibration" -> q329_lsh_calibration,
+    "q330_prf_terms" -> q330_prf_terms,
+    "q331_prf_search" -> q331_prf_search,
     "q294_es_sample" -> q294_es_sample,
     "q295_negatives" -> q295_negatives,
     "q296_exact_strata" -> q296_exact_strata,

@@ -432,6 +432,109 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(docId)).limit(k)
   }
 
+  /** [[bm25TopK]] with the query terms as a TABLE instead of
+    * literals — the serving form a relational engine actually wants:
+    * terms arrive as a (bounded, broadcast) DataFrame, so queries can
+    * be DERIVED BY THE PLAN itself (pseudo-relevance feedback,
+    * stored query sets, expansion tables) with no driver round-trip
+    * and no codegen'd per-term column unrolling. Per-(doc, term)
+    * contributions are decimal-quantized before the per-doc sum (the
+    * term set is data now, so the sum order must be free); the
+    * literal form keeps its fixed-order reduce. Same BM25 arithmetic
+    * otherwise; corpus stats (N, avgdl) cover ALL documents, matched
+    * or not.
+    */
+  def bm25TopKDyn(df: DataFrame, docId: String, text: String,
+      terms: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopKDyn: k=$k")
+    val docs = graft.Caches.pin(df.where(col(text).isNotNull)
+      .select(col(docId),
+        filter(split(lower(col(text)), " "), t => t =!= "").as("__tk"))
+      .where(size(col("__tk")) > 0)) // the literal form's N convention
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      sum(size(col("__tk"))).as("__sumdl"))
+    val toks = docs.select(col(docId), size(col("__tk")).as("__dl"),
+      explode(col("__tk")).as("__t"))
+    val tset = terms.select(col("term").as("__t")).distinct()
+    val matched = graft.Caches.pin(toks
+      .join(broadcast(tset), Seq("__t"))
+      .groupBy(col(docId), col("__t"), col("__dl"))
+      .agg(count(lit(1)).as("__tf")))
+    val dft = matched.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df")) // one row per (doc, term)
+    val nd = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nd
+    val tf = col("__tf").cast("double")
+    val idf = log((nd - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl").cast("double") / avgdl))
+    matched.join(broadcast(dft), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(docId))
+      .agg(sum(contrib.cast("decimal(38,12)")).cast("double")
+        .as("__sc"), count(lit(1)).as("n_hit"))
+      .select(col(docId), round(col("__sc"), 6).as("score"),
+        col("n_hit"))
+      .orderBy(col("score").desc, col(docId)).limit(k)
+  }
+
+  /** PSEUDO-RELEVANCE-FEEDBACK expansion terms (RM3-style, Lavrenko
+    * & Croft 2001 simplified to exact integers): run the literal
+    * query, take the top `kDocs` pseudo-relevant documents, and rank
+    * the terms they contain (minus the originals) by
+    *   weight = tf_shortlist · ⌊10⁶ · ln((N+1)/(df_global+1))⌋
+    * — shortlist frequency discounted by global rarity, which is
+    * what keeps "the"-class stopwords out without a stopword list.
+    * The weight is exact int64 (one quantized ln per term), so the
+    * ranking and the 6dp-free output replay on any engine. Shortlist
+    * membership joins broadcast (kDocs-bounded); the only full-data
+    * pass is the global document-frequency census.
+    */
+  def prfExpansionTerms(df: DataFrame, docId: String, text: String,
+      terms: Seq[String], kDocs: Int, kExpand: Int): DataFrame = {
+    require(kDocs >= 1 && kExpand >= 1,
+      s"prfExpansionTerms: kDocs=$kDocs kExpand=$kExpand")
+    val short = bm25TopK(df, docId, text, terms, kDocs)
+      .select(col(docId))
+    val docs = df.where(col(text).isNotNull)
+    val toks = graft.Caches.pin(docs.select(col(docId),
+      explode(filter(split(lower(col(text)), " "), t => t =!= ""))
+        .as("__t")))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val gdf = toks.select(col(docId), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("__gdf"))
+    val inShort = toks.join(broadcast(short), Seq(docId))
+      .where(!col("__t").isin(terms: _*))
+      .groupBy(col("__t")).agg(count(lit(1)).as("tf_short"),
+        count_distinct(col(docId)).as("df_short"))
+    inShort.join(gdf, Seq("__t")).crossJoin(broadcast(nDocs))
+      .withColumn("weight", col("tf_short") *
+        floor(lit(1e6) * log((col("__n").cast("double") + lit(1.0)) /
+          (col("__gdf").cast("double") + lit(1.0)))).cast("long"))
+      .orderBy(col("weight").desc, col("__t")).limit(kExpand)
+      .select(col("__t").as("term"), col("tf_short"), col("df_short"),
+        col("weight"))
+  }
+
+  /** End-to-end PRF retrieval: [[prfExpansionTerms]] feeds
+    * [[bm25TopKDyn]] with originals ∪ expansion — two BM25 stages,
+    * zero driver round-trips (the expansion table rides the plan as
+    * a broadcast).
+    */
+  def prfSearch(df: DataFrame, docId: String, text: String,
+      terms: Seq[String], kDocs: Int, kExpand: Int, k: Int)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = prfExpansionTerms(df, docId, text, terms, kDocs, kExpand)
+      .select(col("term"))
+    val orig = terms.toDF("term")
+    bm25TopKDyn(df, docId, text, exp.unionByName(orig).distinct(), k)
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1): each document
     * is kept only if every structural-quality rule passes; failures
     * are reported by name so curation can audit WHY a document

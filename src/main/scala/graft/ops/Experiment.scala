@@ -807,6 +807,48 @@ object Experiment {
       .orderBy(col("segment"))
   }
 
+  /** INVERSE-PROPENSITY-WEIGHTED ATE (Hájek-normalized Horvitz-
+    * Thompson) — the second standard propensity estimator next to
+    * [[propensityStratifiedAte]]: each treated outcome weights by
+    * 1/e, each control by 1/(1−e), and both arms NORMALIZE by their
+    * own weight sums (the Hájek form — the raw HT estimator is
+    * unbiased but explodes in variance whenever Σ1/e drifts from n).
+    * `scorePpm` is the integer-ppm propensity (the q303/q304 serving
+    * convention: a fitted score quantizes once, then every engine
+    * agrees); rows outside [trimLoPpm, trimHiPpm] are TRIMMED — the
+    * standard positivity guard, reported as n_trimmed rather than
+    * silently absorbed. One data pass: per-row double weights
+    * decimal-quantized into four order-free sums.
+    */
+  def ipwAte(df: DataFrame, treated: Column, outcome: Column,
+      scorePpm: Column, trimLoPpm: Long = 20000L,
+      trimHiPpm: Long = 980000L): DataFrame = {
+    require(trimLoPpm > 0 && trimLoPpm < trimHiPpm &&
+      trimHiPpm < 1000000L, s"ipwAte: trim $trimLoPpm/$trimHiPpm")
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val rows = graft.Caches.pin(df.select(
+      treated.cast("long").as("__t"), outcome.cast("double").as("__y"),
+      scorePpm.cast("long").as("__e")))
+    val kept = rows.where(col("__e") >= trimLoPpm &&
+      col("__e") <= trimHiPpm)
+    val e = col("__e").cast("double") / lit(1000000.0)
+    val wT = col("__t").cast("double") / e
+    val wC = (lit(1.0) - col("__t").cast("double")) / (lit(1.0) - e)
+    val agg = kept.agg(count(lit(1)).as("n_used"),
+      sum(dq(wT)).cast("double").as("__swt"),
+      sum(dq(wT * col("__y"))).cast("double").as("__swty"),
+      sum(dq(wC)).cast("double").as("__swc"),
+      sum(dq(wC * col("__y"))).cast("double").as("__swcy"))
+    val total = rows.agg(count(lit(1)).as("__ntot"))
+    agg.crossJoin(broadcast(total))
+      .select(col("n_used"),
+        (col("__ntot") - col("n_used")).as("n_trimmed"),
+        round(col("__swty") / col("__swt"), 6).as("mean_treated"),
+        round(col("__swcy") / col("__swc"), 6).as("mean_control"),
+        round(col("__swty") / col("__swt") -
+          col("__swcy") / col("__swc"), 6).as("ate_ipw"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check per experiment: the assignment
     * plumbing audit that must pass before any treatment readout is
     * believed (a biased randomizer invalidates every downstream

@@ -720,4 +720,32 @@ class AnalyticsSpec extends SparkSuite {
       1L -> ((3L, "A", Some("p1"), "s")),
       2L -> ((3L, "A", None, "t"))), s"got $got")
   }
+
+  test("ipwAte: hand-weighted Hájek means, positivity trim counted, " +
+      "constant outcome gives a zero effect") {
+    import graft.ops.Experiment
+    // treated: w=4 on y=1, w=2 on y=0 -> 2/3; control: w=2 on y=1,
+    // w=4 on y=0 -> 1/3; plus one row below the trim floor
+    val df = Seq(
+      (1L, 1.0, 250000L), (1L, 0.0, 500000L),
+      (0L, 1.0, 500000L), (0L, 0.0, 750000L),
+      (1L, 1.0, 10000L)).toDF("t", "y", "e")
+    val r = Experiment.ipwAte(df, col("t"), col("y"), col("e"))
+      .collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n_used") == 4 && r.getAs[Long]("n_trimmed") == 1)
+    assert(r.getAs[Double]("mean_treated") == 0.666667)
+    assert(r.getAs[Double]("mean_control") == 0.333333)
+    assert(r.getAs[Double]("ate_ipw") == 0.333333)
+    val const = Seq((1L, 5.0, 300000L), (0L, 5.0, 700000L))
+      .toDF("t", "y", "e")
+    val rc = Experiment.ipwAte(const, col("t"), col("y"), col("e"))
+      .collect()(0)
+    graft.Caches.release()
+    assert(rc.getAs[Double]("ate_ipw") == 0.0)
+    intercept[IllegalArgumentException] {
+      Experiment.ipwAte(df, col("t"), col("y"), col("e"),
+        trimLoPpm = 900000L, trimHiPpm = 100000L)
+    }
+  }
 }

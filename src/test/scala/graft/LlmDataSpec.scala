@@ -2011,6 +2011,55 @@ class LlmDataSpec extends SparkSuite {
     graft.Caches.release()
   }
 
+  test("bm25TopKDyn: terms-as-table scoring equals the literal form " +
+      "on a hand corpus") {
+    val docs = Seq(
+      (1L, "spark joins data fast"),
+      (2L, "hash join hash join hash"),
+      (3L, "the quick brown fox"),
+      (4L, "join the hash table")).toDF("doc_id", "text")
+    val lit0 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val dyn = TextAnalysis.bm25TopKDyn(docs, "doc_id", "text",
+        Seq("hash", "join").toDF("term"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    graft.Caches.release()
+    assert(dyn == lit0, s"dyn $dyn vs literal $lit0")
+  }
+
+  test("prf: expansion ranks the shortlist's rare co-occurring term " +
+      "above the everywhere-word, and the expanded search recalls a " +
+      "doc with no original term") {
+    // 'cache' co-occurs with the query terms; 'data' is everywhere
+    // (rarity discount kills it); doc 6 has ONLY 'cache'
+    val docs = Seq(
+      (1L, "hash join cache data"),
+      (2L, "hash join cache data"),
+      (3L, "hash cache data"),
+      (4L, "data lake table"),
+      (5L, "data warehouse rows"),
+      (6L, "cache eviction policy")).toDF("doc_id", "text")
+    val exp = TextAnalysis.prfExpansionTerms(docs, "doc_id", "text",
+        Seq("hash", "join"), kDocs = 3, kExpand = 2)
+      .collect().map(_.getString(0))
+    graft.Caches.release()
+    // same shortlist tf (3 each) — the rarity discount must put the
+    // rarer 'cache' above the everywhere-word 'data'
+    assert(exp.head == "cache", s"expansion ${exp.toSeq}")
+    assert(exp(1) == "data", s"expansion ${exp.toSeq}")
+    val basic = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "join"), k = 10).collect().map(_.getLong(0)).toSet
+    assert(!basic.contains(6L))
+    val prf = TextAnalysis.prfSearch(docs, "doc_id", "text",
+        Seq("hash", "join"), kDocs = 3, kExpand = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.release()
+    assert(prf.contains(6L), s"PRF missed the expansion-only doc: $prf")
+  }
+
   test("lshCalibration: (1,1) is the identity line, s=100% always " +
       "collides, curves are monotone in s, bad configs refuse") {
     val got = Dedup.lshCalibration(spark,
