@@ -770,6 +770,136 @@ object QueriesStats {
                round(z, 6) AS z, round($sqlTwoSidedP, 6) AS p_value
         FROM ph ORDER BY series"""))
 
+  /** THRESHOLD SWEEP ([[graft.ops.Eval.thresholdSweep]]): P/R/F1 at
+    * every candidate balance threshold for the planted every-third-
+    * customer label, max-F1 operating point flagged. Suffix sums over
+    * the score census — one pass, one bounded window.
+    */
+  private val q333_threshold_sweep: Q = (
+    (s, dir) => graft.ops.Eval.thresholdSweep(
+      read(s, dir, "customer"),
+      score = floor(col("c_acctbal") / 100.0).cast("long"),
+      label = (col("c_custkey") % 3 === 0).cast("long")),
+    Some("""WITH census AS (SELECT
+                 CAST(floor(c_acctbal / 100.0) AS BIGINT) AS threshold,
+                 CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0
+                   END) AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE 1
+                   END) AS BIGINT) AS neg
+               FROM customer GROUP BY 1),
+             t AS (SELECT threshold,
+                 CAST(sum(pos) OVER (ORDER BY threshold ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS tp,
+                 CAST(sum(neg) OVER (ORDER BY threshold ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS fp
+               FROM census),
+             tot AS (SELECT CAST(sum(pos) AS BIGINT) AS npos
+               FROM census),
+             m AS (SELECT threshold, tp, fp, npos - tp AS fn, npos,
+                 2 * tp * 1000000 // (2 * tp + fp + (npos - tp))
+                   AS f1q
+               FROM t CROSS JOIN tot),
+             b AS (SELECT *, row_number() OVER (ORDER BY f1q DESC,
+                 threshold ASC) AS rn FROM m)
+        SELECT threshold, tp, fp, fn,
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                 AS "precision",
+               round(CASE WHEN npos > 0 THEN CAST(tp AS DOUBLE)
+                 / CAST(npos AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+               round(2.0 * CAST(tp AS DOUBLE)
+                 / CAST(2.0 * tp + fp + fn AS DOUBLE), 6) AS f1,
+               CAST(rn = 1 AS INTEGER) AS is_best
+        FROM b ORDER BY threshold"""))
+
+  /** MURPHY BRIER DECOMPOSITION ([[graft.ops.Eval
+    * .brierDecomposition]]): reliability − resolution + uncertainty
+    * for q313's grid pseudo-probability — WHERE the Brier score is
+    * lost. One census pass + bounded close.
+    */
+  private val q334_brier_decomp: Q = (
+    (s, dir) => graft.ops.Eval.brierDecomposition(
+      read(s, dir, "customer"),
+      p = (col("c_custkey") % 97).cast("double") / 97.0,
+      y = (col("c_acctbal") > 5000.0).cast("long")),
+    Some("""WITH cells AS (SELECT
+                 CAST(c_custkey % 97 AS DOUBLE) / 97.0 AS p,
+                 count(*) AS n,
+                 CAST(sum(CAST(c_acctbal > 5000.0 AS BIGINT))
+                   AS BIGINT) AS s
+               FROM customer GROUP BY 1),
+             tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(s) AS BIGINT) AS ss FROM cells),
+             ag AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+                 count(*) AS n_bins,
+                 CAST(sum(CAST(CAST(n AS DOUBLE) *
+                   (p - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   (p - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS rel,
+                 CAST(sum(CAST(CAST(n AS DOUBLE) *
+                   ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) -
+                    (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))) *
+                   ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) -
+                    (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)))
+                   AS DECIMAL(38,12))) AS DOUBLE) AS res,
+                 max(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) AS yb
+               FROM cells CROSS JOIN tot)
+        SELECT n, n_bins,
+               round(rel / CAST(n AS DOUBLE), 6) AS reliability,
+               round(res / CAST(n AS DOUBLE), 6) AS resolution,
+               round(yb * (1.0 - yb), 6) AS uncertainty,
+               round(rel / CAST(n AS DOUBLE) - res / CAST(n AS DOUBLE)
+                 + yb * (1.0 - yb), 6) AS brier
+        FROM ag"""))
+
+  /** WASSERSTEIN-1 SHIFT ([[graft.ops.Eval.wasserstein1]]): how far
+    * the order-value distribution moved between the pre/post-1995
+    * eras, in $1000 grid units — exact integer cross-product CDF
+    * differences times grid gaps, one double divide at the close.
+    */
+  private val q335_wasserstein: Q = (
+    (s, dir) => graft.ops.Eval.wasserstein1(
+      read(s, dir, "orders"),
+      slice = when(col("o_orderdate") < to_date(lit("1998-01-01")),
+        "era1").otherwise("era2"),
+      value = floor(col("o_totalprice") / 1000.0).cast("long")),
+    Some("""WITH rows AS (SELECT
+                 CASE WHEN CAST(o_orderdate AS DATE) <
+                   DATE '1998-01-01' THEN 'era1' ELSE 'era2' END
+                   AS slice,
+                 CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS v
+               FROM orders),
+             cells AS (SELECT slice, v, count(*) AS c
+               FROM rows GROUP BY 1, 2),
+             grid AS (SELECT v,
+                 CAST(sum(CASE WHEN slice = 'era1' THEN c ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN slice = 'era2' THEN c ELSE 0 END)
+                   AS BIGINT) AS cb
+               FROM cells GROUP BY 1),
+             tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+             pre AS (SELECT v, ca, cb,
+                 sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cuma,
+                 sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cumb,
+                 lead(v) OVER (ORDER BY v) - v AS gap
+               FROM grid),
+             terms AS (SELECT
+                 abs(CAST(cuma AS DECIMAL(38,0)) * nb -
+                     CAST(cumb AS DECIMAL(38,0)) * na) * gap AS num
+               FROM pre CROSS JOIN tot WHERE gap IS NOT NULL),
+             ag AS (SELECT CAST(count(*) + 1 AS BIGINT)
+                 AS grid_values,
+                 CAST(sum(num) AS DOUBLE) AS s FROM terms)
+        SELECT 'era1' AS slice_a, 'era2' AS slice_b,
+               na AS n_a, nb AS n_b, grid_values,
+               round(s / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+                 AS w1
+        FROM ag CROSS JOIN tot"""))
+
   val all: Map[String, Q] = Map(
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
@@ -786,5 +916,8 @@ object QueriesStats {
     "q318_t_closeness" -> q318_t_closeness,
     "q320_backtest" -> q320_backtest,
     "q321_confusion" -> q321_confusion,
-    "q327_mann_kendall" -> q327_mann_kendall)
+    "q327_mann_kendall" -> q327_mann_kendall,
+    "q333_threshold_sweep" -> q333_threshold_sweep,
+    "q334_brier_decomp" -> q334_brier_decomp,
+    "q335_wasserstein" -> q335_wasserstein)
 }

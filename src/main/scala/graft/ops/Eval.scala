@@ -270,6 +270,168 @@ object Eval {
       .orderBy(col("key"))
   }
 
+  /** THRESHOLD SWEEP: precision / recall / F1 at EVERY candidate
+    * decision threshold (each distinct score value, "predict positive
+    * when score ≥ t"), with the max-F1 threshold flagged — how an
+    * operating point actually gets chosen once q38/q313 say the model
+    * is sane. The data reduces to a score-grid census (the RankStats
+    * contract — scores must be quantized); tp/fp at every threshold
+    * are SUFFIX sums over that census (one census-sized window, never
+    * a data-volume window), so the whole sweep is one pass + one
+    * bounded window. is_best ties break to the LOWEST threshold (the
+    * more permissive operating point).
+    */
+  def thresholdSweep(df: DataFrame, score: Column, label: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val census = graft.Caches.pin(
+      df.select(score.cast("long").as("threshold"),
+        label.cast("long").as("__y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("__y")).as("__pos"),
+        (count(lit(1)) - sum(col("__y"))).as("__neg")))
+    val n = census.count()
+    require(n <= maxDistinct,
+      s"thresholdSweep: $n distinct scores exceed $maxDistinct — " +
+        "quantize the score to a coarser grid")
+    val wSuffix = Window.partitionBy(ScanOps.pinnedZero(col("__pos")))
+      .orderBy(col("threshold"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val totals = census.agg(sum(col("__pos")).as("__npos"))
+    val sweep = census
+      .withColumn("tp", sum(col("__pos")).over(wSuffix))
+      .withColumn("fp", sum(col("__neg")).over(wSuffix))
+      .crossJoin(broadcast(totals))
+    val prec = col("tp").cast("double") /
+      (col("tp") + col("fp")).cast("double")
+    val rec = when(col("__npos") > 0,
+      col("tp").cast("double") / col("__npos").cast("double"))
+      .otherwise(lit(0.0))
+    // integer F1 comparison: f1 = 2tp/(2tp+fp+fn) — rank by the
+    // exact fraction 2tp·D' vs 2tp'·D cross-multiplied via a ppm
+    // quantization (denominators are bounded by n, ppm is enough
+    // for a flag; the REPORTED f1 is the double)
+    val fn = col("__npos") - col("tp")
+    val f1q = expr("2 * tp * 1000000L div (2 * tp + fp + (__npos - tp))")
+    val wBest = Window.partitionBy(ScanOps.pinnedZero(col("__pos")))
+      .orderBy(col("__f1q").desc, col("threshold").asc)
+    sweep
+      .withColumn("__f1q", f1q)
+      .withColumn("is_best",
+        (row_number().over(wBest) === 1).cast("int"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        fn.as("fn"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (lit(2.0) * col("tp") + col("fp") + fn).cast("double"), 6)
+          .as("f1"),
+        col("is_best"))
+      .orderBy(col("threshold"))
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score (Murphy 1973):
+    *   Brier = Reliability − Resolution + Uncertainty
+    * over the (p, y) census — REL = Σ n_k(p_k − ȳ_k)²/N penalizes
+    * miscalibration, RES = Σ n_k(ȳ_k − ȳ)²/N rewards bins that
+    * separate outcomes, UNC = ȳ(1−ȳ) is the irreducible floor. The
+    * companion readout to q243's reliability bins and q313's raw
+    * Brier: it says WHERE the score is lost. One census pass, one
+    * bounded close; per-bin terms decimal-quantized.
+    */
+  def brierDecomposition(df: DataFrame, p: Column, y: Column,
+      maxCells: Long = 2000000L): DataFrame = {
+    val cells = graft.Caches.pin(df.select(p.cast("double").as("__p"),
+        y.cast("long").as("__y"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s")))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"brierDecomposition: $nCells bins exceed $maxCells")
+    val totals = cells.agg(sum(col("__n")).as("__nn"),
+      sum(col("__s")).as("__ss"))
+    val wt = cells.crossJoin(broadcast(totals))
+    val nD = col("__n").cast("double")
+    val ybark = col("__s").cast("double") / nD
+    val ybar = col("__ss").cast("double") / col("__nn").cast("double")
+    wt.agg(
+        first(col("__nn")).as("n"),
+        sum(dq(nD * (col("__p") - ybark) * (col("__p") - ybark)))
+          .cast("double").as("__rel"),
+        sum(dq(nD * (ybark - ybar) * (ybark - ybar)))
+          .cast("double").as("__res"),
+        first(ybar).as("__yb"),
+        count(lit(1)).as("n_bins"))
+      .select(col("n"), col("n_bins"),
+        round(col("__rel") / col("n").cast("double"), 6)
+          .as("reliability"),
+        round(col("__res") / col("n").cast("double"), 6)
+          .as("resolution"),
+        round(col("__yb") * (lit(1.0) - col("__yb")), 6)
+          .as("uncertainty"),
+        round(col("__rel") / col("n").cast("double") -
+          col("__res") / col("n").cast("double") +
+          col("__yb") * (lit(1.0) - col("__yb")), 6).as("brier"))
+  }
+
+  /** WASSERSTEIN-1 (earth mover's) distance between two slices of an
+    * integer-grid-valued column — the distribution-shift measure that
+    * sees HOW FAR mass moved, where PSI/KS see only that it moved:
+    *   W₁ = ∫ |F_a(v) − F_b(v)| dv
+    * over the merged value grid, grid gaps as the dv weights. Exact
+    * arithmetic end-to-end: the CDF difference at each grid point is
+    * the integer cross-product |cumA·N_b − cumB·N_a| over the common
+    * denominator N_a·N_b, times the integer gap to the next grid
+    * value — ONE exact integer sum, with a single double divide at
+    * the close (the t-closeness EMD machinery with physical units).
+    * `slice` must take exactly two values; census-bounded
+    * (`maxValues` guard); windows run over the value grid only.
+    */
+  def wasserstein1(df: DataFrame, slice: Column, value: Column,
+      maxValues: Long = 2000000L): DataFrame = {
+    val cells = graft.Caches.pin(
+      df.where(slice.isNotNull)
+        .select(slice.as("slice"), value.cast("long").as("__v"))
+        .groupBy(col("slice"), col("__v"))
+        .agg(count(lit(1)).as("__c")))
+    val slices = cells.select(col("slice")).distinct()
+      .orderBy(col("slice")).limit(3).collect().map(_.getString(0))
+    require(slices.length == 2,
+      s"wasserstein1: need exactly 2 slices, saw ${slices.mkString(",")}")
+    val Array(sa, sb) = slices
+    val grid = cells.groupBy(col("__v")).agg(
+      sum(when(col("slice") === sa, col("__c")).otherwise(lit(0L)))
+        .as("__ca"),
+      sum(when(col("slice") === sb, col("__c")).otherwise(lit(0L)))
+        .as("__cb"))
+    val nGrid = grid.count()
+    require(nGrid <= maxValues,
+      s"wasserstein1: $nGrid grid values exceed $maxValues — " +
+        "quantize the value to a coarser grid")
+    val totals = grid.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val wCum = Window.partitionBy(ScanOps.pinnedZero(col("__ca")))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(ScanOps.pinnedZero(col("__ca")))
+      .orderBy(col("__v"))
+    val terms = grid
+      .withColumn("__cumA", sum(col("__ca")).over(wCum))
+      .withColumn("__cumB", sum(col("__cb")).over(wCum))
+      .withColumn("__gap", lead(col("__v"), 1).over(wNext) - col("__v"))
+      .where(col("__gap").isNotNull) // last grid point: F_a = F_b = 1
+      .crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        (abs(col("__cumA").cast("decimal(38,0)") * col("__nb") -
+          col("__cumB").cast("decimal(38,0)") * col("__na")) *
+          col("__gap")).as("__num"))
+    terms.agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        (count(lit(1)) + 1).as("grid_values"),
+        sum(col("__num")).cast("double").as("__s"))
+      .select(lit(sa).as("slice_a"), lit(sb).as("slice_b"),
+        col("n_a"), col("n_b"), col("grid_values"),
+        round(col("__s") / (col("n_a").cast("double") *
+          col("n_b").cast("double")), 6).as("w1"))
+  }
+
   /** Mutual information I(X; Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) per
     * candidate feature against a shared label — the model-free
     * feature-ranking screen. Features arrive pre-bucketed (grid

@@ -169,6 +169,62 @@ class EvalSpec extends SparkSuite {
     assert(rg.getAs[Long]("n_eval") == 1) // only day 3 has both
   }
 
+  test("thresholdSweep: hand census — suffix-sum tp/fp at every " +
+      "threshold, max-F1 flagged once at the best operating point") {
+    val df = Seq((1L, 0L), (2L, 1L), (3L, 0L), (3L, 1L))
+      .toDF("s", "y")
+    val got = Eval.thresholdSweep(df, col("s"), col("y"))
+      .collect().map(r => r.getAs[Long]("threshold") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Double]("precision"),
+          r.getAs[Double]("recall"), r.getAs[Double]("f1"),
+          r.getAs[Int]("is_best")))).toMap
+    assert(got(1L) == ((2L, 2L, 0L, 0.5, 1.0, 0.666667, 0)))
+    assert(got(2L) == ((2L, 1L, 0L, 0.666667, 1.0, 0.8, 1)))
+    assert(got(3L) == ((1L, 1L, 1L, 0.5, 0.5, 0.5, 0)))
+    assert(got.values.map(_._7).sum == 1) // exactly one best
+  }
+
+  test("brierDecomposition: perfectly calibrated bins carry zero " +
+      "reliability and the decomposition reassembles the raw Brier") {
+    // bin p=0.2: 1/5 positive; bin p=0.8: 4/5 positive
+    val rows = (Seq.fill(4)((0.2, 0L)) :+ ((0.2, 1L))) ++
+      (Seq.fill(4)((0.8, 1L)) :+ ((0.8, 0L)))
+    val df = rows.toDF("p", "y")
+    val r = Eval.brierDecomposition(df, col("p"), col("y"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n_bins") == 2)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.09)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier") == 0.16)
+    // cross-check against the raw per-row mean squared error
+    val raw = Eval.logLossBrier(df.withColumn("seg", lit("x")),
+      col("seg"), col("p"), col("y")).collect()(0)
+    assert(raw.getAs[Double]("brier") == r.getAs[Double]("brier"))
+  }
+
+  test("wasserstein1: mass moved two grid units costs 2, identical " +
+      "slices cost 0, a unit shift costs 1") {
+    val far = Seq(("a", 0L), ("a", 0L), ("b", 2L), ("b", 2L))
+      .toDF("s", "v")
+    val rf = Eval.wasserstein1(far, col("s"), col("v")).collect()(0)
+    assert(rf.getAs[Double]("w1") == 2.0)
+    assert(rf.getAs[Long]("grid_values") == 2)
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L))
+      .toDF("s", "v")
+    assert(Eval.wasserstein1(same, col("s"), col("v"))
+      .collect()(0).getAs[Double]("w1") == 0.0)
+    val shift = Seq(("a", 0L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("s", "v")
+    assert(Eval.wasserstein1(shift, col("s"), col("v"))
+      .collect()(0).getAs[Double]("w1") == 1.0)
+    val three = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("s", "v")
+    intercept[IllegalArgumentException] {
+      Eval.wasserstein1(three, col("s"), col("v"))
+    }
+  }
+
   test("invPhiUpper: inside the A&S 4.5e-4 envelope at the standard " +
       "planning quantiles") {
     val r = Seq(0.025, 0.2, 0.05, 0.005).toDF("p")
