@@ -626,6 +626,8 @@ object QueriesAgg {
     "q303_ps_ate" -> q303_ps_ate,
     "q304_ps_static" -> q304_ps_static,
     "q332_ipw_ate" -> q332_ipw_ate,
+    "q337_policy_replay" -> q337_policy_replay,
+    "q338_rmst" -> q338_rmst,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
     "q245_kaplan_meier" -> q245_kaplan_meier,
@@ -2189,6 +2191,115 @@ object QueriesAgg {
                round(swcy / swc, 6) AS mean_control,
                round(swty / swt - swcy / swc, 6) AS ate_ipw
         FROM ag CROSS JOIN tot"""))
+
+  /** OFFLINE POLICY REPLAY ([[graft.ops.Experiment
+    * .replayPolicyValue]]): three deterministic arm policies scored
+    * against the logged event stream — matched-round reward average
+    * with the match-rate audit column. One melted pass however many
+    * policies compare.
+    */
+  private val q337_policy_replay: Q = (
+    (s, dir) => graft.ops.Experiment.replayPolicyValue(
+      read(s, dir, "events"),
+      arm = col("event_type"), reward = col("value"),
+      policies = Seq(
+        "p1_always_click" -> lit("click"),
+        "p2_parity" -> when(col("user_id") % 2 === 0, "view")
+          .otherwise("click"),
+        "p3_mod3" -> when(col("user_id") % 3 === 0, "signup")
+          .when(col("user_id") % 3 === 1, "view")
+          .otherwise("error"))),
+    Some("""WITH m AS (
+               SELECT 'p1_always_click' AS policy,
+                 CAST(event_type = 'click' AS BIGINT) AS mt, value
+               FROM events
+               UNION ALL
+               SELECT 'p2_parity',
+                 CAST(event_type = (CASE WHEN user_id % 2 = 0
+                   THEN 'view' ELSE 'click' END) AS BIGINT), value
+               FROM events
+               UNION ALL
+               SELECT 'p3_mod3',
+                 CAST(event_type = (CASE WHEN user_id % 3 = 0
+                   THEN 'signup' WHEN user_id % 3 = 1 THEN 'view'
+                   ELSE 'error' END) AS BIGINT), value
+               FROM events),
+             ag AS (SELECT policy, count(*) AS n_logged,
+                 CAST(sum(mt) AS BIGINT) AS n_matched,
+                 CAST(sum(CAST(CASE WHEN mt = 1 THEN value ELSE 0.0
+                   END AS DECIMAL(25,6))) AS DOUBLE) AS sr
+               FROM m GROUP BY 1)
+        SELECT policy, n_logged, n_matched,
+               n_matched * 1000000 // n_logged AS match_ppm,
+               round(CASE WHEN n_matched > 0 THEN
+                 sr / CAST(n_matched AS DOUBLE) END, 6)
+                 AS value_per_round
+        FROM ag ORDER BY policy"""))
+
+  /** RESTRICTED MEAN SURVIVAL TIME ([[graft.ops.Experiment.rmst]]):
+    * the q245 customer-churn KM curve integrated to a 720-day
+    * horizon — expected active days over the next two years, defined
+    * even though the median is never reached. Exact step-function
+    * integral over the distinct-durations grid.
+    */
+  private val q338_rmst: Q = (
+    (s, dir) => {
+      val per = read(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_d"),
+          max(col("o_orderdate")).as("last_d"))
+      val mx = per.agg(max(col("last_d")).as("maxd"))
+      val subj = per.crossJoin(broadcast(mx))
+        .select(
+          expr("datediff(last_d, first_d)").cast("long")
+            .as("duration"),
+          (expr("datediff(maxd, last_d)") > 360).cast("long")
+            .as("event"))
+      graft.ops.Experiment.rmst(subj, col("duration"), col("event"),
+        tau = 720L)
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS duration,
+                 CAST(date_diff('day', CAST(ld AS DATE),
+                   CAST(maxd AS DATE)) > 360 AS BIGINT) AS event
+               FROM per CROSS JOIN mx),
+             times AS (SELECT duration AS t,
+                 CAST(sum(event) AS BIGINT) AS d, count(*) AS c
+               FROM subj GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM times),
+             r AS (SELECT t, d, c,
+                 n - COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+               FROM times CROSS JOIN tot),
+             km AS (SELECT t,
+                 round(exp(sum(ln(1.0 - CAST(d AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE))) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING)), 6) AS survival
+               FROM r),
+             seg AS (SELECT t, survival,
+                 COALESCE(lag(t) OVER (ORDER BY t), 0) AS pt,
+                 COALESCE(lag(survival) OVER (ORDER BY t), 1.0)
+                   AS ps,
+                 CASE WHEN lead(t) OVER (ORDER BY t) IS NULL
+                   THEN 1 ELSE 0 END AS lastf
+               FROM km),
+             ag AS (SELECT count(*) AS n_times,
+                 CAST(sum(CAST(ps * CAST(least(t, 720) -
+                   least(pt, 720) AS DOUBLE) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS b,
+                 CAST(sum(CAST(CASE WHEN lastf = 1 THEN survival *
+                   CAST(720 - least(t, 720) AS DOUBLE) ELSE 0.0 END
+                   AS DECIMAL(38,12))) AS DOUBLE) AS tl
+               FROM seg)
+        SELECT CAST(720 AS BIGINT) AS tau, n_times,
+               round(b + tl, 6) AS rmst
+        FROM ag"""))
 
   /** EMPIRICAL-BAYES shrunk nation rates ([[graft.ops.Experiment
     * .ebShrinkRates]]): urgent-order rates per nation with the

@@ -569,6 +569,54 @@ object QueriesStream {
                CAST(p < 0.001 AS INTEGER) AS srm_flag
         FROM pv ORDER BY window_start, event_type"""))
 
+  /** SHAPLEY channel attribution
+    * ([[graft.streaming.Streams.shapleyAttribution]]): conversion
+    * credit as average marginal contribution over the touched-set
+    * coalition lattice — the cooperative-game answer next to the
+    * first/last/U-shaped heuristics. One grouped pass + 2^k-lattice
+    * algebra, exact ppm/factorial integers.
+    */
+  private val q336_shapley: Q = {
+    val channels = Seq("view", "click", "signup", "error")
+    val weights = Seq(6L, 2L, 2L, 6L) // s!(3-s)! for s = 0..3
+    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
+      s"${1L << i} * max(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val wCase = "CASE pop WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 " +
+      "ELSE 6 END"
+    val branches = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      s"""SELECT '$c' AS channel, ($wCase) * (b.v - a.v) AS term
+          FROM (SELECT mask, v,
+                ((mask // 1) % 2 + (mask // 2) % 2 +
+                 (mask // 4) % 2 + (mask // 8) % 2) AS pop
+              FROM lat WHERE (mask & $bit) = 0) a
+          JOIN lat b ON b.mask = (a.mask | $bit)"""
+    }.mkString(" UNION ALL ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.streaming.Streams.shapleyAttribution(
+        read(s, dir, "events"), channels,
+        conversionType = "purchase"),
+      Some(s"""WITH pu AS (SELECT user_id,
+                 CAST($maskExpr AS BIGINT) AS mask,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                   ELSE 0 END) AS BIGINT) AS conv
+               FROM events GROUP BY 1),
+             census AS (SELECT mask, count(*) AS nu,
+                 CAST(sum(conv) AS BIGINT) AS nc FROM pu GROUP BY 1),
+             lat AS (SELECT i AS mask,
+                 CASE WHEN COALESCE(nu, 0) > 0
+                   THEN COALESCE(nc, 0) * 1000000 // nu
+                   ELSE 0 END AS v
+               FROM generate_series(0, 15) AS t(i)
+               LEFT JOIN census ON i = census.mask),
+             terms AS ($branches)
+        SELECT channel, CAST(sum(term) AS BIGINT) AS shapley_num,
+               round(CAST(sum(term) AS DOUBLE) / 24.0 / 1000000.0, 6)
+                 AS shapley
+        FROM terms GROUP BY 1 ORDER BY channel"""))
+  }
+
   private val q297_stream_alert: Q = (
     (s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
@@ -1249,6 +1297,7 @@ object QueriesStream {
     "q291_seasonal_anomaly" -> q291_seasonal_anomaly,
     "q297_stream_alert" -> q297_stream_alert,
     "q324_stream_srm" -> q324_stream_srm,
+    "q336_shapley" -> q336_shapley,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,

@@ -500,16 +500,20 @@ object TextAnalysis {
     val short = bm25TopK(df, docId, text, terms, kDocs)
       .select(col(docId))
     val docs = df.where(col(text).isNotNull)
-    val toks = graft.Caches.pin(docs.select(col(docId),
-      explode(filter(split(lower(col(text)), " "), t => t =!= ""))
-        .as("__t")))
+    // reduce to the (doc, term) tf census BEFORE caching: pinning the
+    // raw exploded token stream measured 5x at 10x data (sf1 capture)
+    // — the census is pre-aggregated, far smaller, and both consumers
+    // (global df, shortlist tf) derive from it
+    val tf = graft.Caches.pin(docs.select(col(docId),
+        explode(filter(split(lower(col(text)), " "), t => t =!= ""))
+          .as("__t"))
+      .groupBy(col(docId), col("__t")).agg(count(lit(1)).as("__c")))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
-    val gdf = toks.select(col(docId), col("__t")).distinct()
-      .groupBy(col("__t")).agg(count(lit(1)).as("__gdf"))
-    val inShort = toks.join(broadcast(short), Seq(docId))
+    val gdf = tf.groupBy(col("__t")).agg(count(lit(1)).as("__gdf"))
+    val inShort = tf.join(broadcast(short), Seq(docId))
       .where(!col("__t").isin(terms: _*))
-      .groupBy(col("__t")).agg(count(lit(1)).as("tf_short"),
-        count_distinct(col(docId)).as("df_short"))
+      .groupBy(col("__t")).agg(sum(col("__c")).as("tf_short"),
+        count(lit(1)).as("df_short"))
     inShort.join(gdf, Seq("__t")).crossJoin(broadcast(nDocs))
       .withColumn("weight", col("tf_short") *
         floor(lit(1e6) * log((col("__n").cast("double") + lit(1.0)) /

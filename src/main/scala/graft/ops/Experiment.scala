@@ -849,6 +849,83 @@ object Experiment {
           col("__swcy") / col("__swc"), 6).as("ate_ipw"))
   }
 
+  /** OFFLINE POLICY EVALUATION by REPLAY (Li et al. 2011): estimate
+    * what a DETERMINISTIC arm-selection policy would have earned from
+    * logged (context, arm, reward) rounds — keep exactly the rounds
+    * where the policy's choice matches the logged arm, average the
+    * reward there. Unbiased when logging randomizes arms uniformly;
+    * match_ppm is the audit column (a tiny matched set means a noisy
+    * estimate — that caveat must be VISIBLE, not buried). Policies
+    * melt into one pass (the mutualInformation array-Generate shape):
+    * however many are compared, the log is read once. Exact counts;
+    * exact-decimal reward sums; value NULL when nothing matched.
+    */
+  def replayPolicyValue(df: DataFrame, arm: Column, reward: Column,
+      policies: Seq[(String, Column)]): DataFrame = {
+    require(policies.nonEmpty &&
+      policies.map(_._1).distinct.size == policies.size,
+      s"replayPolicyValue: $policies")
+    val melted = df.select(
+        array(policies.map { case (n, c) =>
+          struct(lit(n).as("p"), c.cast("string").as("choice")) }: _*)
+          .as("__ps"),
+        arm.cast("string").as("__a"), reward.cast("double").as("__r"))
+      .select(explode(col("__ps")).as("__p"), col("__a"), col("__r"))
+      .select(col("__p.p").as("policy"),
+        (col("__p.choice") === col("__a")).cast("long").as("__m"),
+        col("__r"))
+    melted.groupBy(col("policy")).agg(
+        count(lit(1)).as("n_logged"),
+        sum(col("__m")).as("n_matched"),
+        sum(when(col("__m") === 1, col("__r")).otherwise(lit(0.0))
+          .cast("decimal(25,6)")).cast("double").as("__sr"))
+      .select(col("policy"), col("n_logged"), col("n_matched"),
+        expr("n_matched * 1000000L div n_logged").as("match_ppm"),
+        round(when(col("n_matched") > 0,
+          col("__sr") / col("n_matched").cast("double")), 6)
+          .as("value_per_round"))
+      .orderBy(col("policy"))
+  }
+
+  /** RESTRICTED MEAN SURVIVAL TIME (RMST): the area under the
+    * [[kaplanMeier]] curve up to horizon `tau` — "average survival
+    * time over the next tau units", the effect-size summary that
+    * stays defined when the median is never reached. Integrates the
+    * step function exactly: Σ S(t_{i−1}) · (min(t_i, τ) − t_{i−1})
+    * over the KM grid plus the tail segment at the last observed
+    * time. Windows run over the distinct-durations grid only (the
+    * q245 rule); per-segment products decimal-quantized.
+    */
+  def rmst(df: DataFrame, duration: Column, event: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"rmst: tau=$tau")
+    val km = kaplanMeier(df, duration, event)
+      .select(col("t"), col("survival"))
+    val pin = pmod(col("t"), lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin).orderBy(col("t"))
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val seg = km
+      .withColumn("__pt", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("__ps",
+        coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+      .withColumn("__last",
+        (lead(col("t"), 1).over(w)).isNull.cast("int"))
+    // interval [prev_t, t) at prev survival, clipped to tau; the last
+    // row also contributes its own tail [t, tau) at its survival
+    val body = dq(col("__ps") *
+      (least(col("t"), lit(tau)) - least(col("__pt"), lit(tau)))
+        .cast("double"))
+    val tail = dq(when(col("__last") === 1, col("survival") *
+      (lit(tau) - least(col("t"), lit(tau))).cast("double"))
+      .otherwise(lit(0.0)))
+    seg.agg(count(lit(1)).as("n_times"),
+        sum(body).cast("double").as("__b"),
+        sum(tail).cast("double").as("__t"))
+      .select(lit(tau).as("tau"), col("n_times"),
+        round(col("__b") + col("__t"), 6).as("rmst"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check per experiment: the assignment
     * plumbing audit that must pass before any treatment readout is
     * believed (a biased randomizer invalidates every downstream

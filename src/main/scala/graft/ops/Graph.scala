@@ -165,20 +165,36 @@ object Graph {
     val nodes = graft.Caches.pin(
       e.select(col("src").as("node")).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))
+    // majority-with-min-tiebreak over a SORTED label array in one
+    // aggregate HOF pass: equal runs keep the earlier (= smaller)
+    // label via the strict '>'. A (node, label)-keyed count would be
+    // EDGE-sized in round 1 (every label distinct), costing a full
+    // extra exchange + a partial-agg-proof 12M-group aggregate — the
+    // first sf1 capture of that shape read 14x for 10x data; this
+    // one-exchange form restored ~linear.
+    val bestLabel = expr(
+      """aggregate(__ls,
+           named_struct('cur', CAST(NULL AS BIGINT), 'run', 0L,
+                        'best', CAST(NULL AS BIGINT), 'bestRun', 0L),
+           (s, x) -> named_struct(
+             'cur', x,
+             'run', IF(x = s.cur, s.run + 1L, 1L),
+             'best', IF(IF(x = s.cur, s.run + 1L, 1L) > s.bestRun,
+                        x, s.best),
+             'bestRun', IF(IF(x = s.cur, s.run + 1L, 1L) > s.bestRun,
+                           IF(x = s.cur, s.run + 1L, 1L), s.bestRun)),
+           s -> s.best)""")
     for (_ <- 1 to rounds) {
-      val neighborLabels = e
+      labels = e
         .join(labels.select(col("node").as("src"),
           col("label").as("__l")), Seq("src"))
         .select(col("dst").as("node"), col("__l"))
-        .groupBy(col("node"), col("__l"))
-        .agg(count(lit(1)).as("__c"))
-      // argmax by (count desc, label asc) as a struct max:
-      // (count, -label) compares lexicographically
-      labels = neighborLabels
         .groupBy(col("node"))
-        .agg(max(struct(col("__c"), (-col("__l")).as("__nl")))
-          .as("__best"))
-        .select(col("node"), (-col("__best.__nl")).as("label"))
+        .agg(array_sort(collect_list(col("__l"))).as("__ls"))
+        .select(col("node"), bestLabel.as("label"))
+        // two dataframes-deep lineage per round even in this shape —
+        // truncate like duplicateClusters/kHop (planning, not tasks)
+        .localCheckpoint()
     }
     labels
   }

@@ -86,6 +86,75 @@ object Streams {
       (p < lit(0.001)).cast("int").as("srm_flag"))
   }
 
+  /** SHAPLEY-VALUE channel attribution (Shapley 1953 applied per
+    * Zhao et al. 2018): credit for conversion is each channel's
+    * average marginal contribution across every coalition —
+    *   φ_i = Σ_{S ⊆ C∖{i}} |S|!(k−1−|S|)!/k! · (v(S∪{i}) − v(S))
+    * with v(S) the observed conversion rate of users whose touched-
+    * channel set is exactly S. The order-free, cooperative-game
+    * answer to the first/last/U-shaped heuristics (q213/q226/q302).
+    *
+    * Exact arithmetic: v(S) quantizes to integer ppm, factorial
+    * weights stay integers (k ≤ 8 → ≤ 5040), so φ's numerator is an
+    * exact int64 sum; one double divide + 6dp round at the close.
+    * Coalitions nobody exhibits take v = 0 (the standard empirical
+    * treatment — emitted as lattice rows so the audit can SEE the
+    * unsupported sets). Plan shape: ONE grouped pass over events
+    * (per-user bitmask + conversion flag), one mask census, then all
+    * algebra runs on the 2^k lattice — k·2^k rows, independent of
+    * data volume.
+    */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+      conversionType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8 &&
+      channels.distinct.size == channels.size &&
+      !channels.contains(conversionType),
+      s"shapleyAttribution: channels=$channels conv=$conversionType")
+    val k = channels.size
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)((a, b) => a * b)
+    val bits = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, 1L).otherwise(0L)) *
+        lit(1L << i) }
+    val perUser = events.groupBy(col("user_id")).agg(
+      bits.reduce(_ + _).as("__mask"),
+      max((col("event_type") === conversionType).cast("long"))
+        .as("__conv"))
+    val census = perUser.groupBy(col("__mask"))
+      .agg(count(lit(1)).as("__nu"), sum(col("__conv")).as("__nc"))
+    val spark = events.sparkSession
+    val lattice = graft.Caches.pin(
+      spark.range(0L, 1L << k).select(col("id").as("__mask"))
+        .join(census, Seq("__mask"), "left")
+        .na.fill(0L, Seq("__nu", "__nc"))
+        .withColumn("__v", when(col("__nu") > 0,
+          expr("__nc * 1000000L div __nu")).otherwise(lit(0L))))
+    // popcount as an explicit bit sum — identical expression both
+    // engines (no bit_count dependency)
+    def pop(c: Column): Column = (0 until k)
+      .map(i => shiftright(c, i).bitwiseAND(lit(1L))).reduce(_ + _)
+    def weight(c: Column): Column = (0 until k)
+      .map(s => (s, fact(s) * fact(k - 1 - s)))
+      .foldLeft(lit(0L)) { case (acc, (s, w)) =>
+        when(c === s, lit(w)).otherwise(acc) }
+    val perChannel = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1L << i
+      val a = lattice.where(col("__mask").bitwiseAND(lit(bit)) === 0)
+        .select(col("__mask").as("__s"), col("__v").as("__va"))
+      val b = lattice.select(col("__mask").as("__sb"),
+        col("__v").as("__vb"))
+      a.join(b, col("__sb") === col("__s").bitwiseOR(lit(bit)))
+        .select(lit(ch).as("channel"),
+          (weight(pop(col("__s"))) * (col("__vb") - col("__va")))
+            .as("__term"))
+    }.reduce(_ unionByName _)
+    perChannel.groupBy(col("channel"))
+      .agg(sum(col("__term")).as("shapley_num"))
+      .withColumn("shapley",
+        round(col("shapley_num").cast("double") /
+          lit(fact(k).toDouble) / lit(1000000.0), 6))
+      .orderBy(col("channel"))
+  }
+
   /** Sliding-window aggregate. */
   def sliding(events: DataFrame, width: String, slide: String): DataFrame =
     events.groupBy(window(col("ts"), width, slide), col("event_type"))

@@ -721,6 +721,39 @@ class AnalyticsSpec extends SparkSuite {
       2L -> ((3L, "A", None, "t"))), s"got $got")
   }
 
+  test("replayPolicyValue: matched-round reward average with the " +
+      "match-rate audit; an unmatched policy reports NULL, not 0") {
+    import graft.ops.Experiment
+    val logs = Seq(("x", 2.0), ("x", 4.0), ("y", 100.0))
+      .toDF("arm", "r")
+    val got = Experiment.replayPolicyValue(logs, col("arm"), col("r"),
+        Seq("always_x" -> lit("x"), "always_q" -> lit("q")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4))))).toMap
+    assert(got("always_x") == ((3L, 2L, 666666L, Some(3.0))))
+    assert(got("always_q") == ((3L, 0L, 0L, None)))
+  }
+
+  test("rmst: exact step-function area under the KM curve, horizon " +
+      "clipping, extinction") {
+    import graft.ops.Experiment
+    // durations 10 (event) + 20 (censored): S = 1 to day 10, 0.5 after
+    val df = Seq((10L, 1L), (20L, 0L)).toDF("dur", "ev")
+    val r30 = Experiment.rmst(df, col("dur"), col("ev"), tau = 30L)
+      .collect()(0)
+    assert(r30.getAs[Long]("tau") == 30 && r30.getAs[Long]("n_times") == 2)
+    assert(r30.getAs[Double]("rmst") == 20.0) // 10 + 5 + 5
+    val r15 = Experiment.rmst(df, col("dur"), col("ev"), tau = 15L)
+      .collect()(0)
+    assert(r15.getAs[Double]("rmst") == 12.5) // 10 + 0.5*5
+    // both fail at 10: survival 0 afterwards
+    val ext = Seq((10L, 1L), (10L, 1L)).toDF("dur", "ev")
+    val re = Experiment.rmst(ext, col("dur"), col("ev"), tau = 20L)
+      .collect()(0)
+    assert(re.getAs[Double]("rmst") == 10.0)
+  }
+
   test("ipwAte: hand-weighted Hájek means, positivity trim counted, " +
       "constant outcome gives a zero effect") {
     import graft.ops.Experiment

@@ -374,6 +374,27 @@ class StatsAndStreamSpec extends SparkSuite {
     }
   }
 
+  test("shapleyAttribution: hand lattice — marginal contributions " +
+      "average to exact ppm credits and satisfy efficiency") {
+    import graft.streaming.Streams
+    // u1 {a} converts, u2 {a} no, u3 {b} no, u4 {a,b} converts:
+    // v(a)=0.5, v(b)=0, v(ab)=1 -> phi_a=0.75, phi_b=0.25
+    val ev = Seq((1L, "a"), (1L, "z"), (2L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "z"))
+      .toDF("user_id", "event_type")
+    val got = Streams.shapleyAttribution(ev, Seq("a", "b"), "z")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.Caches.release()
+    assert(got("a") == ((1500000L, 0.75)), s"got $got")
+    assert(got("b") == ((500000L, 0.25)), s"got $got")
+    // efficiency: credits sum to v(full) - v(empty) = 1
+    assert(got.values.map(_._2).sum == 1.0)
+    intercept[IllegalArgumentException] {
+      Streams.shapleyAttribution(ev, Seq("a", "z"), "z")
+    }
+  }
+
   test("msprt: balanced variants keep p_always at 1; complete " +
       "separation drives it below 1%; trajectory is non-increasing") {
     import graft.ops.Experiment
