@@ -627,6 +627,8 @@ object QueriesAgg {
     "q304_ps_static" -> q304_ps_static,
     "q332_ipw_ate" -> q332_ipw_ate,
     "q337_policy_replay" -> q337_policy_replay,
+    "q339_aipw" -> q339_aipw,
+    "q341_wilson" -> q341_wilson,
     "q338_rmst" -> q338_rmst,
     "q236_cuped" -> q236_cuped,
     "q237_did" -> q237_did,
@@ -2300,6 +2302,99 @@ object QueriesAgg {
         SELECT CAST(720 AS BIGINT) AS tau, n_times,
                round(b + tl, 6) AS rmst
         FROM ag"""))
+
+  /** DOUBLY-ROBUST ATE ([[graft.ops.Experiment.aipwAte]]): q332's
+    * IPW weights augmented with closed-form per-arm outcome
+    * regressions on order value — wrong-one-model insurance. The
+    * outcome-model-only ATE is emitted beside the DR estimate so the
+    * correction is visible.
+    */
+  private val q339_aipw: Q = (
+    (s, dir) => graft.ops.Experiment.aipwAte(
+      read(s, dir, "orders"),
+      treated = col("o_custkey") % 2,
+      outcome = col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH").cast("double"),
+      covariate = col("o_totalprice"),
+      scorePpm = expr("(CAST(floor(o_totalprice) AS BIGINT) * 7919" +
+        " + o_custkey) % 800000 + 100000")),
+    Some("""WITH s AS (SELECT CAST(o_custkey % 2 AS BIGINT) AS t,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS DOUBLE) AS y,
+                 CAST(o_totalprice AS DOUBLE) AS x,
+                 (CAST(floor(o_totalprice) AS BIGINT) * 7919
+                   + o_custkey) % 800000 + 100000 AS e
+               FROM orders),
+             tot AS (SELECT count(*) AS ntot FROM s),
+             k AS (SELECT * FROM s
+               WHERE e >= 20000 AND e <= 980000),
+             mom AS (SELECT t, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE)
+                   AS sxy,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+                   AS sxx
+               FROM k GROUP BY 1),
+             co AS (SELECT t,
+                 (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   (CAST(n AS DOUBLE) * sxx - sx * sx) AS b,
+                 (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+                   CAST(n AS DOUBLE) AS a
+               FROM mom),
+             wide AS (SELECT
+                 max(CASE WHEN t = 1 THEN a END) AS a1,
+                 max(CASE WHEN t = 1 THEN b END) AS b1,
+                 max(CASE WHEN t = 0 THEN a END) AS a0,
+                 max(CASE WHEN t = 0 THEN b END) AS b0
+               FROM co),
+             ag AS (SELECT count(*) AS n_used,
+                 CAST(sum(CAST((a1 + b1 * x) - (a0 + b0 * x)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+                 CAST(sum(CAST(
+                   ((a1 + b1 * x) - (a0 + b0 * x))
+                   + CAST(t AS DOUBLE) * (y - (a1 + b1 * x))
+                     / (CAST(e AS DOUBLE) / 1000000.0)
+                   - (1.0 - CAST(t AS DOUBLE)) * (y - (a0 + b0 * x))
+                     / (1.0 - CAST(e AS DOUBLE) / 1000000.0)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS st
+               FROM k CROSS JOIN wide)
+        SELECT n_used, ntot - n_used AS n_trimmed,
+               round(sm / CAST(n_used AS DOUBLE), 6)
+                 AS ate_outcome_model,
+               round(st / CAST(n_used AS DOUBLE), 6) AS ate_dr
+        FROM ag CROSS JOIN tot"""))
+
+  /** WILSON score intervals ([[graft.ops.Experiment.wilsonCi]]):
+    * per-segment high-balance-rate CIs that stay inside [0,1] at any
+    * n — the proportion companion to q316's planning and q235's
+    * testing. Exact counts; one fixed-order double close.
+    */
+  private val q341_wilson: Q = (
+    (s, dir) => graft.ops.Experiment.wilsonCi(
+      read(s, dir, "customer"),
+      segment = col("c_mktsegment"),
+      success = (col("c_acctbal") > 5000.0).cast("long")),
+    Some("""WITH cells AS (SELECT c_mktsegment AS segment,
+                 count(*) AS n,
+                 CAST(sum(CAST(c_acctbal > 5000.0 AS BIGINT))
+                   AS BIGINT) AS x
+               FROM customer GROUP BY 1),
+             c2 AS (SELECT segment, n, x,
+                 CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(n AS DOUBLE) AS nd
+               FROM cells)
+        SELECT segment, n, x, round(p, 6) AS rate,
+               round((p + (1.959964 * 1.959964) / (2.0 * nd)
+                 - 1.959964 * sqrt(p * (1.0 - p) / nd
+                   + (1.959964 * 1.959964) / (4.0 * nd * nd)))
+                 / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_lo,
+               round((p + (1.959964 * 1.959964) / (2.0 * nd)
+                 + 1.959964 * sqrt(p * (1.0 - p) / nd
+                   + (1.959964 * 1.959964) / (4.0 * nd * nd)))
+                 / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi
+        FROM c2 ORDER BY segment"""))
 
   /** EMPIRICAL-BAYES shrunk nation rates ([[graft.ops.Experiment
     * .ebShrinkRates]]): urgent-order rates per nation with the

@@ -617,6 +617,52 @@ object QueriesStream {
         FROM terms GROUP BY 1 ORDER BY channel"""))
   }
 
+  /** NEXT-EVENT PREDICTION eval ([[graft.ops.Eval
+    * .nextEventAccuracy]]): majority-transition predictor trained on
+    * a hash split of users, exact-match accuracy on held-out users'
+    * transitions — q275's Markov matrix turned into a graded model.
+    * Per-user lead windows; broadcast state-bounded predictor;
+    * portable-hash split.
+    */
+  private val q340_next_event: Q = (
+    (s, dir) => graft.ops.Eval.nextEventAccuracy(
+      read(s, dir, "events").where(col("ts").isNotNull),
+      key = col("user_id"),
+      seqCols = Seq(col("ts"), col("event_id")),
+      state = col("event_type")),
+    Some("""WITH e AS (SELECT user_id, event_id,
+                 CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events WHERE ts IS NOT NULL),
+             pairs AS (SELECT user_id, event_type AS st,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+               FROM e),
+             p2 AS (SELECT user_id, st, nxt,
+                 CAST(((user_id * 2654435761 + 42) % 1000000007) % 2
+                   = 0 AS INTEGER) AS train
+               FROM pairs WHERE nxt IS NOT NULL),
+             tc AS (SELECT st, nxt, count(*) AS c FROM p2
+               WHERE train = 1 GROUP BY 1, 2),
+             pr AS (SELECT st,
+                 CAST(n_train_pairs AS BIGINT) AS n_train_pairs,
+                 nxt AS predicted
+               FROM (SELECT st, nxt,
+                   sum(c) OVER (PARTITION BY st) AS n_train_pairs,
+                   row_number() OVER (PARTITION BY st
+                     ORDER BY c DESC, nxt ASC) AS rn
+                 FROM tc) WHERE rn = 1),
+             te AS (SELECT st, nxt FROM p2 WHERE train = 0)
+        SELECT te.st AS state,
+               COALESCE(n_train_pairs, 0) AS n_train_pairs,
+               count(*) AS n_test_pairs, pr.predicted,
+               CAST(sum(CASE WHEN te.nxt = pr.predicted THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(CAST(sum(CASE WHEN te.nxt = pr.predicted THEN 1
+                 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS accuracy
+        FROM te LEFT JOIN pr ON te.st = pr.st
+        GROUP BY 1, 2, 4 ORDER BY state"""))
+
   private val q297_stream_alert: Q = (
     (s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
@@ -1298,6 +1344,7 @@ object QueriesStream {
     "q297_stream_alert" -> q297_stream_alert,
     "q324_stream_srm" -> q324_stream_srm,
     "q336_shapley" -> q336_shapley,
+    "q340_next_event" -> q340_next_event,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
     "q268_interval_left" -> q268_interval_left,

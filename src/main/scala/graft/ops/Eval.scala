@@ -432,6 +432,57 @@ object Eval {
           col("n_b").cast("double")), 6).as("w1"))
   }
 
+  /** NEXT-EVENT PREDICTION accuracy: train a majority-transition
+    * predictor (the argmax row of q275's Markov matrix) on a hash
+    * split of USERS, score exact-match accuracy on the held-out
+    * users' transitions — the end-to-end eval that turns a
+    * transition matrix into a graded model. Pairs come from per-key
+    * lead windows (shuffles on the key, never a global sort); the
+    * predictor is state-cardinality-bounded and joins back
+    * broadcast; the split is the portable q70 hash of the key, so
+    * train/test membership replays on any engine. Ties in the
+    * majority vote break to the lexicographically smallest next
+    * state. Emits one row per observed test state: state,
+    * n_train_pairs, n_test_pairs, predicted, n_correct, accuracy
+    * (predicted NULL when the state never appears in training —
+    * those rows stay visible, scored 0).
+    */
+  def nextEventAccuracy(df: DataFrame, key: Column,
+      seqCols: Seq[Column], state: Column): DataFrame = {
+    require(seqCols.nonEmpty, "nextEventAccuracy: empty seq order")
+    val w = Window.partitionBy(col("__k")).orderBy(seqCols: _*)
+    val hash = pmod(pmod(col("__k") * lit(2654435761L) + lit(42L),
+      lit(1000000007L)), lit(2L))
+    val pairs = graft.Caches.pin(df
+      .select((key.cast("long").as("__k") +: state.as("__st") +:
+        seqCols): _*)
+      .withColumn("__next", lead(col("__st"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(col("__k"), col("__st"), col("__next"))
+      .withColumn("__train", (hash === 0).cast("int")))
+    val trainCounts = pairs.where(col("__train") === 1)
+      .groupBy(col("__st"), col("__next"))
+      .agg(count(lit(1)).as("__c"))
+    val pred = trainCounts.groupBy(col("__st"))
+      .agg(sum(col("__c")).as("n_train_pairs"),
+        min(struct((-col("__c")).as("__nc"), col("__next")))
+          .as("__best"))
+      .select(col("__st"), col("n_train_pairs"),
+        col("__best.__next").as("predicted"))
+    pairs.where(col("__train") === 0)
+      .join(broadcast(pred), Seq("__st"), "left")
+      .groupBy(col("__st").as("state"))
+      .agg(first(col("n_train_pairs")).as("n_train_pairs"),
+        count(lit(1)).as("n_test_pairs"),
+        first(col("predicted")).as("predicted"),
+        sum((col("__next") === col("predicted")).cast("long"))
+          .as("n_correct"))
+      .na.fill(0L, Seq("n_train_pairs", "n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double") /
+        col("n_test_pairs").cast("double"), 6))
+      .orderBy(col("state"))
+  }
+
   /** Mutual information I(X; Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) per
     * candidate feature against a shared label — the model-free
     * feature-ranking screen. Features arrive pre-bucketed (grid

@@ -926,6 +926,98 @@ object Experiment {
         round(col("__b") + col("__t"), 6).as("rmst"))
   }
 
+  /** DOUBLY-ROBUST (AIPW) ATE — the estimator that survives ONE of
+    * its two models being wrong (Robins et al. 1994): augment the
+    * [[ipwAte]] weighting with per-arm outcome regressions m₁/m₀,
+    *   ATE = mean[ m₁(x) − m₀(x) + t·(y − m₁(x))/e
+    *                − (1−t)·(y − m₀(x))/(1−e) ]
+    * — if the propensity is right the correction term fixes a bad
+    * outcome model, and vice versa. Outcome models are closed-form
+    * per-arm OLS on `covariate` (the q205 exact-moment machinery —
+    * one grouped aggregate, coefficients ride back broadcast, no
+    * solver); the propensity is the integer-ppm score with the same
+    * positivity trim as ipwAte. One data pass for the moments + one
+    * for the augmented terms (both from the same pinned projection);
+    * per-row terms decimal-quantized.
+    */
+  def aipwAte(df: DataFrame, treated: Column, outcome: Column,
+      covariate: Column, scorePpm: Column, trimLoPpm: Long = 20000L,
+      trimHiPpm: Long = 980000L): DataFrame = {
+    require(trimLoPpm > 0 && trimLoPpm < trimHiPpm &&
+      trimHiPpm < 1000000L, s"aipwAte: trim $trimLoPpm/$trimHiPpm")
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val rows = graft.Caches.pin(df.select(
+      treated.cast("long").as("__t"), outcome.cast("double").as("__y"),
+      covariate.cast("double").as("__x"),
+      scorePpm.cast("long").as("__e")))
+    val kept = rows.where(col("__e") >= trimLoPpm &&
+      col("__e") <= trimHiPpm)
+    // per-arm OLS moments (exact decimal sums), slope/intercept by
+    // the q205 closed form; pivoted into one broadcast row
+    val mom = kept.groupBy(col("__t")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(25,6)")).cast("double").as("__sx"),
+      sum(col("__y").cast("decimal(25,6)")).cast("double").as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,10)"))
+        .cast("double").as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,10)"))
+        .cast("double").as("__sxx"))
+    val nD = col("__n").cast("double")
+    val b = (nD * col("__sxy") - col("__sx") * col("__sy")) /
+      (nD * col("__sxx") - col("__sx") * col("__sx"))
+    val coef = mom.select(col("__t"), b.as("__b"),
+      ((col("__sy") - b * col("__sx")) / nD).as("__a"))
+    val wide = coef.groupBy()
+      .agg(max(when(col("__t") === 1, col("__a"))).as("__a1"),
+        max(when(col("__t") === 1, col("__b"))).as("__b1"),
+        max(when(col("__t") === 0, col("__a"))).as("__a0"),
+        max(when(col("__t") === 0, col("__b"))).as("__b0"))
+    val e = col("__e").cast("double") / lit(1000000.0)
+    val tD = col("__t").cast("double")
+    val m1 = col("__a1") + col("__b1") * col("__x")
+    val m0 = col("__a0") + col("__b0") * col("__x")
+    val term = (m1 - m0) + tD * (col("__y") - m1) / e -
+      (lit(1.0) - tD) * (col("__y") - m0) / (lit(1.0) - e)
+    val agg = kept.crossJoin(broadcast(wide)).agg(
+      count(lit(1)).as("n_used"),
+      sum(dq(m1 - m0)).cast("double").as("__sm"),
+      sum(dq(term)).cast("double").as("__st"))
+    val total = rows.agg(count(lit(1)).as("__ntot"))
+    agg.crossJoin(broadcast(total))
+      .select(col("n_used"),
+        (col("__ntot") - col("n_used")).as("n_trimmed"),
+        round(col("__sm") / col("n_used").cast("double"), 6)
+          .as("ate_outcome_model"),
+        round(col("__st") / col("n_used").cast("double"), 6)
+          .as("ate_dr"))
+  }
+
+  /** WILSON score interval per segment (Wilson 1927) — the
+    * proportion CI that behaves at small n and extreme rates where
+    * the Wald interval collapses or escapes [0, 1]:
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * Exact integer counts; one fixed-order double close per segment;
+    * z defaults to the two-sided 95% quantile.
+    */
+  def wilsonCi(df: DataFrame, segment: Column, success: Column,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"wilsonCi: z=$z")
+    val cells = df.groupBy(segment.as("segment")).agg(
+      count(lit(1)).as("n"), sum(success.cast("long")).as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z * z)
+    val centre = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + z2 / nD
+    cells.select(col("segment"), col("n"), col("x"),
+        round(p, 6).as("rate"),
+        round((centre - half) / denom, 6).as("ci_lo"),
+        round((centre + half) / denom, 6).as("ci_hi"))
+      .orderBy(col("segment"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check per experiment: the assignment
     * plumbing audit that must pass before any treatment readout is
     * believed (a biased randomizer invalidates every downstream

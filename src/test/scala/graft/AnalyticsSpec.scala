@@ -754,6 +754,49 @@ class AnalyticsSpec extends SparkSuite {
     assert(re.getAs[Double]("rmst") == 10.0)
   }
 
+  test("aipwAte: a perfectly-specified outcome model zeroes the " +
+      "correction (DR equals the outcome-model ATE); trim counted") {
+    import graft.ops.Experiment
+    // arm 1: y = 1 + 2x exactly; arm 0: y = 0.5 + x exactly
+    // -> per-row effect 0.5 + x; mean over x in {1,2,3} twice = 2.5
+    val rows = Seq(
+      (1L, 1.0, 3.0, 500000L), (1L, 2.0, 5.0, 400000L),
+      (1L, 3.0, 7.0, 600000L),
+      (0L, 1.0, 1.5, 500000L), (0L, 2.0, 2.5, 400000L),
+      (0L, 3.0, 3.5, 600000L),
+      (1L, 9.0, 19.0, 5000L)) // below the trim floor
+      .toDF("t", "x", "y", "e")
+    val r = Experiment.aipwAte(rows, col("t"), col("y"), col("x"),
+      col("e")).collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n_used") == 6 && r.getAs[Long]("n_trimmed") == 1)
+    assert(r.getAs[Double]("ate_outcome_model") == 2.5)
+    assert(r.getAs[Double]("ate_dr") == 2.5)
+  }
+
+  test("wilsonCi: matches the closed form at 50/100, pins to [0,1] " +
+      "at the extremes") {
+    import graft.ops.Experiment
+    val df = ((1 to 50).map(_ => ("m", 1L)) ++
+      (1 to 50).map(_ => ("m", 0L)) ++
+      (1 to 20).map(_ => ("z", 0L)) ++
+      (1 to 20).map(_ => ("o", 1L))).toDF("seg", "s")
+    val got = Experiment.wilsonCi(df, col("seg"), col("s"))
+      .collect().map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Double]("rate"), r.getAs[Double]("ci_lo"),
+          r.getAs[Double]("ci_hi")))).toMap
+    val z = 1.959964; val z2 = z * z; val nd = 100.0; val p = 0.5
+    val centre = p + z2 / (2.0 * nd)
+    val half = z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+    val den = 1.0 + z2 / nd
+    assert(got("m")._1 == 0.5)
+    assert(math.abs(got("m")._2 - (centre - half) / den) < 1e-6)
+    assert(math.abs(got("m")._3 - (centre + half) / den) < 1e-6)
+    assert(got("z")._2 == 0.0 && got("z")._1 == 0.0) // all failures
+    assert(got("o")._3 == 1.0 && got("o")._1 == 1.0) // all successes
+    assert(got("o")._2 < 1.0 && got("z")._3 > 0.0)   // intervals open
+  }
+
   test("ipwAte: hand-weighted Hájek means, positivity trim counted, " +
       "constant outcome gives a zero effect") {
     import graft.ops.Experiment

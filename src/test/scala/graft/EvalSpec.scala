@@ -225,6 +225,28 @@ class EvalSpec extends SparkSuite {
     }
   }
 
+  test("nextEventAccuracy: majority predictor from hash-train users " +
+      "scored on held-out transitions; unseen states stay visible " +
+      "with a NULL prediction") {
+    // users 3,4 hash to train; 1,2 to test (the portable q70 hash)
+    val ev = Seq(
+      (3L, 1, "a"), (3L, 2, "b"), (3L, 3, "a"), (3L, 4, "b"),
+      (4L, 1, "a"), (4L, 2, "b"),
+      (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "b"),
+      (2L, 1, "z"), (2L, 2, "b"), (2L, 3, "a"))
+      .toDF("u", "ord", "et")
+    val got = Eval.nextEventAccuracy(ev, col("u"), Seq(col("ord")),
+        col("et"))
+      .collect().map(r => r.getAs[String]("state") ->
+        ((r.getAs[Long]("n_train_pairs"), r.getAs[Long]("n_test_pairs"),
+          Option(r.getAs[String]("predicted")),
+          r.getAs[Long]("n_correct"), r.getAs[Double]("accuracy"))))
+      .toMap
+    assert(got("a") == ((3L, 1L, Some("b"), 1L, 1.0)), s"got $got")
+    assert(got("b") == ((1L, 2L, Some("a"), 1L, 0.5)), s"got $got")
+    assert(got("z") == ((0L, 1L, None, 0L, 0.0)), s"got $got")
+  }
+
   test("invPhiUpper: inside the A&S 4.5e-4 envelope at the standard " +
       "planning quantiles") {
     val r = Seq(0.025, 0.2, 0.05, 0.005).toDF("p")
