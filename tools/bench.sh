@@ -15,7 +15,7 @@ done
 # enough generated classes that 1g triggered flushing+recompilation
 # visible as descending rep times (see BENCH_NOTES round 5)
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
-  -XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing \
+  -XX:ReservedCodeCacheSize=${SPARK_CODE_CACHE:-2g} -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"
