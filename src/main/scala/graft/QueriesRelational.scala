@@ -1259,6 +1259,25 @@ object QueriesRelational {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
             FROM supplier ORDER BY s_suppkey"""))
 
+  /** XML source/sink round trip (Spark 4 NATIVE XML — the format
+    * needed no external package, so it was wrongly parked with
+    * Iceberg/Delta until probed): region writes as row elements and
+    * reads back; XML carries no types, so the read re-casts like the
+    * CSV/JSON paths.
+    */
+  private val q342_xml_roundtrip: Q = (
+    (s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q342_xml_roundtrip"
+      io.Sources.pipeToXml(SeaFrame(read(s, dir, "region")), path)
+      io.Sources.xmlToPipe(s, path).result
+        .select(col("r_regionkey").cast("int").as("r_regionkey"),
+          col("r_name").cast("string").as("r_name"))
+        .orderBy(col("r_regionkey"))
+    },
+    Some("""SELECT r_regionkey, r_name
+            FROM region ORDER BY r_regionkey"""))
+
   /** Declarative data-quality report ([[ops.DataQuality]]): five
     * rule classes over orders — not-null, range, regex, key
     * uniqueness, referential integrity against customer. The three
@@ -2409,6 +2428,7 @@ object QueriesRelational {
     "q105_join_semi" -> q105_join_semi,
     "q117_json_roundtrip" -> q117_json_roundtrip,
     "q118_orc_roundtrip" -> q118_orc_roundtrip,
+    "q342_xml_roundtrip" -> q342_xml_roundtrip,
     "q155_jdbc_roundtrip" -> q155_jdbc_roundtrip,
     "q106_join_anti" -> q106_join_anti,
     "q107_join_multikey" -> q107_join_multikey,

@@ -154,6 +154,22 @@ object Sources {
       path: String): SeaFrame =
     SeaFrame(spark.read.orc(path))
 
+  /** XML sink/source via Spark 4's NATIVE XML data source (no
+    * external spark-xml package — built into spark-sql since 4.0):
+    * one element per row under `rowTag`. XML carries no type
+    * metadata, so reads infer; round-trip callers re-cast like the
+    * CSV/JSON paths.
+    */
+  def pipeToXml(frame: SeaFrame, path: String,
+      rowTag: String = "row"): Unit =
+    frame.result.write.mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag).format("xml").save(path)
+
+  def xmlToPipe(spark: org.apache.spark.sql.SparkSession,
+      path: String, rowTag: String = "row"): SeaFrame =
+    SeaFrame(spark.read.option("rowTag", rowTag).format("xml")
+      .load(path))
+
   /** Hive-partitioned sink: one directory per distinct value of the
     * partition columns (`path/lang=en/...`), so an equality or IN
     * predicate on those columns prunes whole directories at PLANNING

@@ -236,6 +236,23 @@ class MlAndIoSpec extends SparkSuite {
     assert(back.schema("n_nationkey").role == FeatureRole.Cts)
   }
 
+  test("xml sink -> source round trip (Spark 4 native xml format): " +
+      "values survive, reads re-infer types like csv/json") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftxml").toString
+    val f = Sources.parquetToPipe(spark,
+      s"${TestSpark.sfDir}/region.parquet")
+    Sources.pipeToXml(f, s"$tmp/region_xml")
+    val back = Sources.xmlToPipe(spark, s"$tmp/region_xml")
+    assert(back.df.count() == f.df.count())
+    val names = back.df
+      .select(org.apache.spark.sql.functions.col("r_name")
+        .cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val orig = f.df.select("r_name").collect()
+      .map(_.getString(0)).toSet
+    assert(names == orig, s"$names vs $orig")
+  }
+
   test("csv inference-tolerance divergence: dirty numeric column " +
       "infers Cat (vs reference Impute 0.98 -> Cts); explicit Cts " +
       "override parses with nulls (pipeline.go:326,340)") {
