@@ -900,6 +900,70 @@ object QueriesStats {
                  AS w1
         FROM ag CROSS JOIN tot"""))
 
+  /** SEASONAL MANN-KENDALL ([[graft.ops.RankStats
+    * .mannKendallSeasonal]]): year-over-year trend per priority with
+    * month-of-year seasons — January compares only to January, so
+    * the annual revenue cycle cannot masquerade as trend (q327's
+    * plain MK reads the cycle itself). Per-season integer S/VarS
+    * summed before one continuity-corrected z.
+    */
+  private val q343_seasonal_mk: Q = (
+    (s, dir) => graft.ops.RankStats.mannKendallSeasonal(
+      read(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("__mo"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+        .select(col("o_orderpriority"),
+          month(col("__mo")).cast("long").as("sea"),
+          year(col("__mo")).cast("long").as("t"),
+          round(col("rev"), 0).cast("long").as("v")),
+      series = col("o_orderpriority"), season = col("sea"),
+      t = col("t"), v = col("v")),
+    Some(s"""WITH m AS (SELECT o_orderpriority AS series,
+                 date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+                 ${sqlDsum("o_totalprice")} AS rev
+               FROM orders GROUP BY 1, 2),
+             s AS (SELECT series, CAST(month(mo) AS BIGINT) AS sea,
+                 CAST(year(mo) AS BIGINT) AS tt,
+                 CAST(round(rev, 0) AS BIGINT) AS v
+               FROM m),
+             sp AS (SELECT a.series, a.sea,
+                 CAST(sum(CASE WHEN b.v > a.v THEN 1
+                   WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS sv
+               FROM s a JOIN s b ON a.series = b.series
+                 AND a.sea = b.sea AND a.tt < b.tt
+               GROUP BY 1, 2),
+             nn AS (SELECT series, sea, count(*) AS n
+               FROM s GROUP BY 1, 2),
+             ti AS (SELECT series, sea,
+                 CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                   AS tie
+               FROM (SELECT series, sea, v, count(*) AS tg
+                     FROM s GROUP BY 1, 2, 3) GROUP BY 1, 2),
+             per AS (SELECT nn.series, nn.n, COALESCE(sv, 0) AS sv,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie AS vnum
+               FROM nn LEFT JOIN sp
+                 ON nn.series = sp.series AND nn.sea = sp.sea
+               JOIN ti ON nn.series = ti.series AND nn.sea = ti.sea),
+             ag AS (SELECT series, count(*) AS n_seasons,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(sv) AS BIGINT) AS s_stat,
+                 CAST(sum(vnum) AS DOUBLE) / 18.0 AS var_s
+               FROM per GROUP BY 1),
+             zc AS (SELECT *, CASE
+                 WHEN s_stat > 0 AND var_s > 0
+                   THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                 WHEN s_stat < 0 AND var_s > 0
+                   THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                 ELSE 0.0 END AS z
+               FROM ag),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT series, n, n_seasons, s_stat,
+               round(var_s, 6) AS var_s, round(z, 6) AS z,
+               round($sqlTwoSidedP, 6) AS p_value
+        FROM ph ORDER BY series"""))
+
   val all: Map[String, Q] = Map(
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
@@ -919,5 +983,6 @@ object QueriesStats {
     "q327_mann_kendall" -> q327_mann_kendall,
     "q333_threshold_sweep" -> q333_threshold_sweep,
     "q334_brier_decomp" -> q334_brier_decomp,
-    "q335_wasserstein" -> q335_wasserstein)
+    "q335_wasserstein" -> q335_wasserstein,
+    "q343_seasonal_mk" -> q343_seasonal_mk)
 }

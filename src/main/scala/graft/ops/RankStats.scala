@@ -274,4 +274,67 @@ object RankStats {
           .as("p_value"))
       .orderBy(col("series"))
   }
+
+  /** SEASONAL MANN-KENDALL (Hirsch & Slack 1984): [[mannKendall]]
+    * computed WITHIN each season (pairs only compare like-to-like —
+    * January to January, never January to July) and the per-season
+    * S and Var S summed before the one continuity-corrected z — the
+    * trend test that a strong seasonal cycle cannot fool (plain MK
+    * reads the cycle itself as pairwise signs). Same integer sign
+    * sums / tie polynomial, same per-(series, season) pairwise
+    * guard; the cross-season close is an O(series) aggregate.
+    */
+  def mannKendallSeasonal(df: DataFrame, series: Column, season: Column,
+      t: Column, v: Column, maxPerSeason: Int = 10000): DataFrame = {
+    val pts = graft.Caches.pin(df.select(series.as("series"),
+      season.cast("long").as("__sea"), t.cast("long").as("__t"),
+      v.cast("long").as("__v")))
+    if (maxPerSeason > 0) {
+      val worst = pts.groupBy(col("series"), col("__sea")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPerSeason,
+        s"mannKendallSeasonal: a (series, season) holds $worst " +
+          s"points (> $maxPerSeason) — coarsen the time grain")
+    }
+    val a = pts.select(col("series"), col("__sea"),
+      col("__t").as("__ta"), col("__v").as("__va"))
+    val b = pts.select(col("series"), col("__sea"),
+      col("__t").as("__tb"), col("__v").as("__vb"))
+    val sSea = a.join(b, Seq("series", "__sea"))
+      .where(col("__ta") < col("__tb"))
+      .select(col("series"), col("__sea"),
+        when(col("__vb") > col("__va"), 1L)
+          .when(col("__vb") < col("__va"), -1L)
+          .otherwise(0L).as("__sg"))
+      .groupBy(col("series"), col("__sea"))
+      .agg(sum(col("__sg")).as("__s"))
+    val nSea = pts.groupBy(col("series"), col("__sea"))
+      .agg(count(lit(1)).as("__n"))
+    val tieSea = pts.groupBy(col("series"), col("__sea"), col("__v"))
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(col("series"), col("__sea"))
+      .agg(sum(col("__tg") * (col("__tg") - 1) *
+        (lit(2L) * col("__tg") + 5)).as("__tie"))
+    val perSeason = nSea
+      .join(sSea, Seq("series", "__sea"), "left")
+      .join(tieSea, Seq("series", "__sea"))
+      .na.fill(0L, Seq("__s"))
+      .select(col("series"), col("__n"), col("__s"),
+        (col("__n") * (col("__n") - 1) * (lit(2L) * col("__n") + 5) -
+          col("__tie")).as("__vnum"))
+    val agg = perSeason.groupBy(col("series")).agg(
+      count(lit(1)).as("n_seasons"), sum(col("__n")).as("n"),
+      sum(col("__s")).as("s_stat"), sum(col("__vnum")).as("__vn"))
+    val varS = col("__vn").cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0 && varS > 0,
+        (col("s_stat") - lit(1L)).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0 && varS > 0,
+        (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    agg.select(col("series"), col("n"), col("n_seasons"),
+        col("s_stat"), round(varS, 6).as("var_s"), round(z, 6).as("z"),
+        round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(z))), 6)
+          .as("p_value"))
+      .orderBy(col("series"))
+  }
 }

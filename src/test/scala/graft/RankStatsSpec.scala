@@ -137,4 +137,37 @@ class RankStatsSpec extends SparkSuite {
     assert(e.getMessage.contains("coarser time grain"))
     graft.Caches.release()
   }
+
+  test("mannKendallSeasonal: per-season S and variance sum before " +
+      "one z; a pure seasonal cycle reads as NO trend") {
+    // series u: both seasons monotone up across 4 years
+    val up = for (sea <- 1L to 2L; y <- 1L to 4L)
+      yield ("u", sea, y, y * 10 + sea)
+    // series c: flat within season, seasons at different levels — the
+    // cycle plain MK on interleaved time would misread as signal
+    val cyc = for (sea <- 1L to 2L; y <- 1L to 4L)
+      yield ("c", sea, y, sea * 100)
+    val df = (up ++ cyc).toDF("s", "sea", "t", "v")
+    val got = RankStats.mannKendallSeasonal(df, col("s"), col("sea"),
+        col("t"), col("v"))
+      .collect().map(r => r.getAs[String]("series") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_seasons"),
+          r.getAs[Long]("s_stat"), r.getAs[Double]("var_s"),
+          r.getAs[Double]("z"), r.getAs[Double]("p_value")))).toMap
+    graft.Caches.release()
+    // per season: S = 6, varnum = 4*3*13 = 156; two seasons
+    val varS = math.rint(312.0 / 18.0 * 1e6) / 1e6
+    assert(got("u")._1 == 8 && got("u")._2 == 2 && got("u")._3 == 12)
+    assert(got("u")._3 == 12 && got("u")._4 == varS)
+    assert(math.abs(got("u")._5 - 11.0 / math.sqrt(312.0 / 18.0)) < 1e-6)
+    assert(got("u")._6 < 0.05)
+    // all within-season ties: S = 0, variance fully tie-corrected
+    assert(got("c")._3 == 0L && got("c")._5 == 0.0 && got("c")._6 == 1.0)
+    val e = intercept[IllegalArgumentException] {
+      RankStats.mannKendallSeasonal(df, col("s"), col("sea"),
+        col("t"), col("v"), maxPerSeason = 3)
+    }
+    assert(e.getMessage.contains("coarsen"))
+    graft.Caches.release()
+  }
 }
