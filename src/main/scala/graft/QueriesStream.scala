@@ -1061,6 +1061,74 @@ object QueriesStream {
     * hash-matches. Pairwise work is per-series quadratic in DAYS
     * (time-resolution bounded, census-guarded).
     */
+  /** THEIL-SEN CONFIDENCE BAND ([[graft.functions.Stats
+    * .theilSenCi]]): the rank-based slope interval over q260's daily
+    * event-count trends — distribution-free, which is the point of
+    * the estimator. Integer-quantized slope census + exact rank
+    * picks; c_α from the tie-corrected MK variance.
+    */
+  private val q344_theil_sen_ci: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("per"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("xd",
+          datediff(col("per"), to_date(lit("1970-01-01"))))
+      graft.functions.Stats.theilSenCi(c, "event_type", "xd", "n")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS per,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             p AS (SELECT event_type,
+                 CAST(per - DATE '1970-01-01' AS BIGINT) AS x,
+                 n AS y FROM c),
+             sl AS (SELECT a.event_type,
+                 CAST(floor(1000000.0 * (b.y - a.y) / (b.x - a.x))
+                   AS BIGINT) AS sq
+               FROM p a JOIN p b
+                 ON a.event_type = b.event_type AND a.x < b.x),
+             census AS (SELECT event_type, sq, count(*) AS c
+               FROM sl GROUP BY 1, 2),
+             np AS (SELECT event_type, count(*) AS npts
+               FROM p GROUP BY 1),
+             ti AS (SELECT event_type,
+                 CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                   AS tie
+               FROM (SELECT event_type, y, count(*) AS tg
+                     FROM p GROUP BY 1, 2) GROUP BY 1),
+             npair AS (SELECT event_type, CAST(sum(c) AS BIGINT)
+                 AS npr FROM census GROUP BY 1),
+             rk AS (SELECT np.event_type, npts, npr,
+                 greatest(1, CAST(floor((CAST(npr AS DOUBLE)
+                   - 1.959964 * sqrt(CAST(npts * (npts - 1) *
+                     (2 * npts + 5) - tie AS DOUBLE) / 18.0)) / 2.0)
+                   + 1.0 AS BIGINT)) AS rlo,
+                 least(npr, CAST(ceil((CAST(npr AS DOUBLE)
+                   + 1.959964 * sqrt(CAST(npts * (npts - 1) *
+                     (2 * npts + 5) - tie AS DOUBLE) / 18.0)) / 2.0)
+                   + 1.0 AS BIGINT)) AS rhi,
+                 (npr + 1) // 2 AS rmed
+               FROM np JOIN ti USING (event_type)
+               JOIN npair ON np.event_type = npair.event_type),
+             cm AS (SELECT event_type, sq,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY sq
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM census),
+             pick AS (SELECT cm.event_type,
+                 CAST(max(npts) AS BIGINT) AS n_points,
+                 CAST(max(npr) AS BIGINT) AS n_pairs,
+                 min(CASE WHEN cum >= rmed THEN sq END) AS smed,
+                 min(CASE WHEN cum >= rlo THEN sq END) AS slo,
+                 min(CASE WHEN cum >= rhi THEN sq END) AS shi
+               FROM cm JOIN rk ON cm.event_type = rk.event_type
+               GROUP BY 1)
+        SELECT event_type, n_points, n_pairs,
+               round(CAST(smed AS DOUBLE) / 1000000.0, 6) AS slope,
+               round(CAST(slo AS DOUBLE) / 1000000.0, 6) AS slope_lo,
+               round(CAST(shi AS DOUBLE) / 1000000.0, 6) AS slope_hi
+        FROM pick ORDER BY event_type"""))
+
   private val q260_theil_sen: Q = (
     (s, dir) => {
       val c = read(s, dir, "events").where(col("ts").isNotNull)
@@ -1347,6 +1415,7 @@ object QueriesStream {
     "q340_next_event" -> q340_next_event,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,
+    "q344_theil_sen_ci" -> q344_theil_sen_ci,
     "q268_interval_left" -> q268_interval_left,
     "q272_conformal" -> q272_conformal,
     "q273_ewma" -> q273_ewma,

@@ -704,6 +704,93 @@ object Stats {
     * `maxPoints` before the join runs. Emits (series, n_points,
     * slope_q, intercept_q) at `scale` fixed-point.
     */
+  /** THEIL-SEN slope CONFIDENCE BAND (Hirsch-Slack/Gilbert): the
+    * rank-based interval over the pairwise-slope distribution —
+    * lower/upper = the ⌊(N − c_α)/2⌋+1-th and min(N, ⌈(N + c_α)/2⌉+1)
+    * -th smallest of the N = Σ pairs slopes, with c_α = z·√Var S
+    * (the tie-corrected Mann-Kendall variance). Distribution-free:
+    * no residual normality assumed, which is the point of using
+    * Theil-Sen at all. Slopes quantize to integer `scale` units (the
+    * [[theilSen]] convention) so rank selection is exact; the only
+    * doubles are c_α (fixed-order, identical both engines) and the
+    * final unscaling. Plan: the same guarded per-series pairwise
+    * join as [[theilSen]], one slope census, one census-bounded
+    * cumulative window, three rank picks per series.
+    */
+  def theilSenCi(df: DataFrame, series: String, x: String, y: String,
+      z: Double = 1.959964, scale: Long = 1000000L,
+      maxPoints: Int = 10000): DataFrame = {
+    require(z > 0 && scale >= 1, s"theilSenCi: z=$z scale=$scale")
+    val pts = graft.Caches.pin(df.select(col(series),
+      col(x).cast("long").as("__x"), col(y).cast("long").as("__y")))
+    if (maxPoints > 0) {
+      val worst = pts.groupBy(col(series)).count()
+        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      require(worst <= maxPoints,
+        s"theilSenCi: a series holds $worst points (> $maxPoints) — " +
+          "aggregate to a coarser time grain first")
+    }
+    val a = pts.select(col(series), col("__x").as("xa"),
+      col("__y").as("ya"))
+    val b = pts.select(col(series), col("__x").as("xb"),
+      col("__y").as("yb"))
+    val census = a.join(b, Seq(series))
+      .where(col("xa") < col("xb"))
+      .select(col(series),
+        floor(lit(scale.toDouble) *
+          (col("yb") - col("ya")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).cast("long")
+          .as("__sq"))
+      .groupBy(col(series), col("__sq"))
+      .agg(count(lit(1)).as("__c"))
+    // Mann-Kendall Var S with the value-tie correction (q327's form)
+    val nPts = pts.groupBy(col(series)).agg(count(lit(1)).as("__np"))
+    val ties = pts.groupBy(col(series), col("__y"))
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(col(series))
+      .agg(sum(col("__tg") * (col("__tg") - 1) *
+        (lit(2L) * col("__tg") + 5)).as("__tie"))
+    val nPairs = census.groupBy(col(series))
+      .agg(sum(col("__c")).as("__npair"))
+    val varS = (col("__np") * (col("__np") - 1) *
+      (lit(2L) * col("__np") + 5) - col("__tie")).cast("double") /
+      lit(18.0)
+    val cA = lit(z) * sqrt(varS)
+    val nD = col("__npair").cast("double")
+    val ranks = nPts.join(ties, Seq(series)).join(nPairs, Seq(series))
+      .select(col(series), col("__np"), col("__npair"),
+        greatest(lit(1L),
+          (floor((nD - cA) / lit(2.0)) + lit(1.0)).cast("long"))
+          .as("__rlo"),
+        least(col("__npair"),
+          (ceil((nD + cA) / lit(2.0)) + lit(1.0)).cast("long"))
+          .as("__rhi"),
+        expr("(__npair + 1) div 2").as("__rmed")) // integer div: a
+        // double (n+1)/2 would CAST-round differently across engines
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(series)).orderBy(col("__sq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.withColumn("__cum", sum(col("__c")).over(wCum))
+    cum.join(ranks, Seq(series))
+      .groupBy(col(series))
+      .agg(first(col("__np")).as("n_points"),
+        first(col("__npair")).as("n_pairs"),
+        min(when(col("__cum") >= col("__rmed"), col("__sq")))
+          .as("__smed"),
+        min(when(col("__cum") >= col("__rlo"), col("__sq")))
+          .as("__slo"),
+        min(when(col("__cum") >= col("__rhi"), col("__sq")))
+          .as("__shi"))
+      .select(col(series), col("n_points"), col("n_pairs"),
+        round(col("__smed").cast("double") / lit(scale.toDouble), 6)
+          .as("slope"),
+        round(col("__slo").cast("double") / lit(scale.toDouble), 6)
+          .as("slope_lo"),
+        round(col("__shi").cast("double") / lit(scale.toDouble), 6)
+          .as("slope_hi"))
+      .orderBy(col(series))
+  }
+
   def theilSen(df: DataFrame, series: String, x: String, y: String,
       scale: Long = 1000000L, maxPoints: Int = 10000): DataFrame = {
     require(scale >= 1, s"theilSen: scale $scale")

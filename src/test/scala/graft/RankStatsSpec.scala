@@ -138,6 +138,37 @@ class RankStatsSpec extends SparkSuite {
     graft.Caches.release()
   }
 
+  test("theilSenCi: a perfect line collapses the band to the slope; " +
+      "noise opens an interval containing the median that widens " +
+      "with z") {
+    import graft.functions.Stats
+    import spark.implicits._
+    val line = (1L to 5L).map(i => ("l", i, 2 * i)).toDF("s", "x", "y")
+    val rl = Stats.theilSenCi(line, "s", "x", "y").collect()(0)
+    graft.Caches.release()
+    assert(rl.getAs[Long]("n_pairs") == 10)
+    assert(rl.getAs[Double]("slope") == 2.0)
+    assert(rl.getAs[Double]("slope_lo") == 2.0 &&
+      rl.getAs[Double]("slope_hi") == 2.0)
+    val noisy = Seq(("n", 1L, 10L), ("n", 2L, 25L), ("n", 3L, 28L),
+      ("n", 4L, 50L), ("n", 5L, 49L), ("n", 6L, 70L))
+      .toDF("s", "x", "y")
+    val rn = Stats.theilSenCi(noisy, "s", "x", "y").collect()(0)
+    graft.Caches.release()
+    val (lo, sl, hi) = (rn.getAs[Double]("slope_lo"),
+      rn.getAs[Double]("slope"), rn.getAs[Double]("slope_hi"))
+    assert(lo <= sl && sl <= hi && lo < hi, s"($lo, $sl, $hi)")
+    val rw = Stats.theilSenCi(noisy, "s", "x", "y", z = 3.0)
+      .collect()(0)
+    graft.Caches.release()
+    assert(rw.getAs[Double]("slope_lo") <= lo &&
+      rw.getAs[Double]("slope_hi") >= hi)
+    intercept[IllegalArgumentException] {
+      Stats.theilSenCi(noisy, "s", "x", "y", maxPoints = 3)
+    }
+    graft.Caches.release()
+  }
+
   test("mannKendallSeasonal: per-season S and variance sum before " +
       "one z; a pure seasonal cycle reads as NO trend") {
     // series u: both seasons monotone up across 4 years
