@@ -628,6 +628,7 @@ object QueriesAgg {
     "q332_ipw_ate" -> q332_ipw_ate,
     "q337_policy_replay" -> q337_policy_replay,
     "q339_aipw" -> q339_aipw,
+    "q345_policy_ips" -> q345_policy_ips,
     "q341_wilson" -> q341_wilson,
     "q338_rmst" -> q338_rmst,
     "q236_cuped" -> q236_cuped,
@@ -2237,6 +2238,57 @@ object QueriesAgg {
                  sr / CAST(n_matched AS DOUBLE) END, 6)
                  AS value_per_round
         FROM ag ORDER BY policy"""))
+
+  /** IPS/SNIPS OFF-POLICY VALUE ([[graft.ops.Experiment
+    * .replayPolicyValueIps]]): q337's replay corrected for a
+    * non-uniform logger (per-arm propensities as ppm constants) —
+    * the Horvitz-Thompson estimate plus the self-normalized read.
+    */
+  private val q345_policy_ips: Q = {
+    val props = Seq("view" -> 300000L, "click" -> 250000L,
+      "signup" -> 200000L, "error" -> 150000L, "purchase" -> 100000L)
+    val lpCol = props.tail.foldLeft(
+      when(col("event_type") === props.head._1, props.head._2)) {
+      case (acc, (a, p)) => acc.when(col("event_type") === a, p)
+    }.otherwise(0L)
+    val lpSql = "CASE " + props.map { case (a, p) =>
+      s"WHEN event_type = '$a' THEN $p" }.mkString(" ") +
+      " ELSE 0 END"
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.ops.Experiment.replayPolicyValueIps(
+        read(s, dir, "events"),
+        arm = col("event_type"), reward = col("value"),
+        logPpm = lpCol,
+        policies = Seq(
+          "p1_always_click" -> lit("click"),
+          "p2_parity" -> when(col("user_id") % 2 === 0, "view")
+            .otherwise("click"))),
+      Some(s"""WITH m AS (
+               SELECT 'p1_always_click' AS policy,
+                 CAST(event_type = 'click' AS BIGINT) AS mt, value,
+                 $lpSql AS lp
+               FROM events
+               UNION ALL
+               SELECT 'p2_parity',
+                 CAST(event_type = (CASE WHEN user_id % 2 = 0
+                   THEN 'view' ELSE 'click' END) AS BIGINT), value,
+                 $lpSql
+               FROM events),
+             ag AS (SELECT policy, count(*) AS n_logged,
+                 CAST(sum(mt) AS BIGINT) AS n_matched,
+                 CAST(sum(CAST(CAST(mt AS DOUBLE)
+                   / (CAST(lp AS DOUBLE) / 1000000.0) * value
+                   AS DECIMAL(38,12))) AS DOUBLE) AS swr,
+                 CAST(sum(CAST(CAST(mt AS DOUBLE)
+                   / (CAST(lp AS DOUBLE) / 1000000.0)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS sw
+               FROM m GROUP BY 1)
+        SELECT policy, n_logged, n_matched,
+               round(swr / CAST(n_logged AS DOUBLE), 6) AS value_ips,
+               round(CASE WHEN sw > 0 THEN swr / sw END, 6)
+                 AS value_snips
+        FROM ag ORDER BY policy"""))
+  }
 
   /** RESTRICTED MEAN SURVIVAL TIME ([[graft.ops.Experiment.rmst]]):
     * the q245 customer-churn KM curve integrated to a 720-day

@@ -926,6 +926,50 @@ object Experiment {
         round(col("__b") + col("__t"), 6).as("rmst"))
   }
 
+  /** OFF-POLICY VALUE by INVERSE PROPENSITY SCORING — the
+    * [[replayPolicyValue]] upgrade for NON-uniform logging (plain
+    * replay is biased the moment the logger favored some arms):
+    *   V_IPS   = (1/n) Σ r·1{π(x)=a} / p_log(a)
+    *   V_SNIPS = Σ r·1{π(x)=a}/p_log(a) / Σ 1{π(x)=a}/p_log(a)
+    * (the self-normalized form — the variance-stable estimate to
+    * read; IPS is emitted beside it because the pair DIVERGING is
+    * itself the small-matched-set warning). `logPpm` is the logged
+    * arm's propensity in integer ppm (the serving convention).
+    * Policies melt into one pass; per-row weighted terms
+    * decimal-quantized.
+    */
+  def replayPolicyValueIps(df: DataFrame, arm: Column, reward: Column,
+      logPpm: Column, policies: Seq[(String, Column)]): DataFrame = {
+    require(policies.nonEmpty &&
+      policies.map(_._1).distinct.size == policies.size,
+      s"replayPolicyValueIps: $policies")
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val melted = df.select(
+        array(policies.map { case (n, c) =>
+          struct(lit(n).as("p"), c.cast("string").as("choice")) }: _*)
+          .as("__ps"),
+        arm.cast("string").as("__a"), reward.cast("double").as("__r"),
+        logPpm.cast("long").as("__lp"))
+      .select(explode(col("__ps")).as("__p"), col("__a"), col("__r"),
+        col("__lp"))
+      .select(col("__p.p").as("policy"),
+        (col("__p.choice") === col("__a")).cast("long").as("__m"),
+        col("__r"), col("__lp"))
+    val w = col("__m").cast("double") /
+      (col("__lp").cast("double") / lit(1000000.0))
+    melted.groupBy(col("policy")).agg(
+        count(lit(1)).as("n_logged"),
+        sum(col("__m")).as("n_matched"),
+        sum(dq(w * col("__r"))).cast("double").as("__swr"),
+        sum(dq(w)).cast("double").as("__sw"))
+      .select(col("policy"), col("n_logged"), col("n_matched"),
+        round(col("__swr") / col("n_logged").cast("double"), 6)
+          .as("value_ips"),
+        round(when(col("__sw") > 0, col("__swr") / col("__sw")), 6)
+          .as("value_snips"))
+      .orderBy(col("policy"))
+  }
+
   /** DOUBLY-ROBUST (AIPW) ATE — the estimator that survives ONE of
     * its two models being wrong (Robins et al. 1994): augment the
     * [[ipwAte]] weighting with per-arm outcome regressions m₁/m₀,

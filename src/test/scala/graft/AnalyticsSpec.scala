@@ -735,6 +735,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(got("always_q") == ((3L, 0L, 0L, None)))
   }
 
+  test("replayPolicyValueIps: hand-weighted IPS and SNIPS; uniform " +
+      "logging reduces IPS to k x plain replay") {
+    import graft.ops.Experiment
+    // logged: x at p=0.25 (r 2, 4), y at p=0.75 (r 100); policy
+    // always-x: IPS = (2/0.25 + 4/0.25)/3 = 8; SNIPS = 24/8 = 3
+    val logs = Seq(("x", 2.0, 250000L), ("x", 4.0, 250000L),
+      ("y", 100.0, 750000L)).toDF("arm", "r", "lp")
+    val got = Experiment.replayPolicyValueIps(logs, col("arm"),
+        col("r"), col("lp"), Seq("always_x" -> lit("x"),
+          "always_q" -> lit("q")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_
+          .asInstanceOf[Double]), Option(r.get(4)).map(_
+          .asInstanceOf[Double])))).toMap
+    assert(got("always_x") == ((3L, 2L, Some(8.0), Some(3.0))))
+    assert(got("always_q") == ((3L, 0L, Some(0.0), None)))
+    // uniform logging at p = 1/2 over two arms: IPS = 2 x replay
+    val uni = Seq(("x", 2.0, 500000L), ("y", 6.0, 500000L))
+      .toDF("arm", "r", "lp")
+    val ru = Experiment.replayPolicyValueIps(uni, col("arm"),
+      col("r"), col("lp"), Seq("ax" -> lit("x"))).collect()(0)
+    assert(ru.getAs[Double]("value_ips") == 2.0) // (2/0.5)/2
+    assert(ru.getAs[Double]("value_snips") == 2.0)
+  }
+
   test("rmst: exact step-function area under the KM curve, horizon " +
       "clipping, extinction") {
     import graft.ops.Experiment
