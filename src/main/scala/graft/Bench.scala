@@ -27,6 +27,23 @@ object Bench {
     // initial load and the load at run start so the artifact shows
     // whether the gate was met or the wait expired.
     val loadInitial = load()
+    // STARTUP disqualification warning (r10 verdict ask 7): the heap
+    // geometry is known the moment the JVM starts — surface an
+    // oversized heap on stderr HERE, so the driver's log shows the
+    // capture was compromised at capture time, not only inside the
+    // JSON artifact after the fact. (The same check re-runs at the
+    // end and embeds conditions_ok in the artifact.)
+    locally {
+      val heapGbStart = Runtime.getRuntime.maxMemory / (1 << 30)
+      val warnGb =
+        sys.env.getOrElse("SPARK_GRAFT_HEAP_WARN_GB", "32").toLong
+      if (heapGbStart > warnGb)
+        System.err.println(s"[bench] CONDITIONS NOT OK AT STARTUP: " +
+          s"heap ${heapGbStart}g exceeds ${warnGb}g warn threshold " +
+          "- GC geometry incomparable to pinned 16g runs " +
+          "(tools/bench.sh pins -Xmx16g; this capture will be " +
+          "flagged conditions_ok:false)")
+    }
     val idleThr = sys.env.getOrElse("SPARK_GRAFT_IDLE_LOAD", "4.0").toDouble
     val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "120").toInt
     var waited = 0

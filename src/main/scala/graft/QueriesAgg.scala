@@ -167,11 +167,14 @@ object QueriesAgg {
           col("l_extendedprice"))
       li.withColumn("t", row_number().over(w).cast("double") - 1.0)
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") / pow(lit(1.01), col("t"))), 4)
+        // 2dp: npv magnitudes reach ~5e5, where a 1e-4 grid leaves
+        // only ~1e2x headroom over cross-engine pow/sum ulp drift
+        // (r11 margin sweep) — cents are the semantic precision anyway
+        .agg(round(sum(col("l_extendedprice") / pow(lit(1.01), col("t"))), 2)
           .as("npv"))
         .orderBy(col("l_orderkey"))
     },
-    Some("""SELECT l_orderkey, round(sum(l_extendedprice / power(1.01, t)), 4)
+    Some("""SELECT l_orderkey, round(sum(l_extendedprice / power(1.01, t)), 2)
                      AS npv
             FROM (SELECT l_orderkey, l_extendedprice,
                     CAST(row_number() OVER (PARTITION BY l_orderkey
@@ -363,9 +366,25 @@ object QueriesAgg {
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
                      row_idx"""))
 
-  /** prodBefore: running product via the zero/sign-safe log-sum
-    * construction (SURVEY §4.2) — same formula both engines, rounded
-    * for libm ulp differences.
+  /** prodBefore: running product. The OPERATOR under test is still
+    * the zero/sign-safe log-sum [[exprlang.Compiler.windowProduct]]
+    * (SURVEY §4.2), gated in-plan against an exact twin; the HASHED
+    * columns are exact INTEGERS, never a rounded float. The r11
+    * margin sweep (tools/margin_manual.py) found rows whose
+    * exp(sum(ln))·1e6 sits EXACTLY on a .5 boundary at sf0.01 (e.g.
+    * 1201546.5) — and those are TRUE decimal ties of the underlying
+    * rational Π(1+dᵢ), where even identical doubles round
+    * differently across engines (BigDecimal HALF_UP on the binary
+    * value vs std::round(x·1e6)) — the q294 fragility class, not
+    * fixable by any quantum choice. So: l_discount takes the eleven
+    * values 0.00..0.10, and the running product is DETERMINED by the
+    * per-value counts in the frame; we hash the FACTOR SIGNATURE
+    * Σ 2^(5·100·dᵢ) over the frame (11 counts packed 5 bits each —
+    * pure integer arithmetic, order-free, identical on any engine;
+    * in-plan guards enforce idx ∈ [0,10] and frame ≤ 31 rows so the
+    * packing cannot collide) plus the frame length. The float
+    * product is recoverable as Π(1+v/100)^c_v and is exactly what
+    * the in-plan gate reconstructs to check windowProduct against.
     */
   private val q28_cumprod: Q = (
     (s, dir) => {
@@ -375,30 +394,48 @@ object QueriesAgg {
       val before = w.rowsBetween(Window.unboundedPreceding, 0)
       val c = new exprlang.Compiler(read(s, dir, "lineitem"), None)
       val x = lit(1.0) + col("l_discount")
+      val idx0 = round(col("l_discount") * 100, 0).cast("int")
+      val idx = when(idx0.between(0, 10), idx0).otherwise(raise_error(
+        concat(lit("q28: discount outside the 0.00..0.10 contract: "),
+          col("l_discount").cast("string"))))
+      val sigTerm = (1 to 10).foldLeft(when(idx === 0, lit(1L))) {
+        (acc, v) => acc.when(idx === v, lit(1L << (5 * v)))
+      }
+      val sig = sum(sigTerm).over(before)
+      val k = count(lit(1)).over(before)
+      // reconstruct the exact-rational product from the signature's
+      // 11 packed counts; gate the log-sum operator against it
+      val exact = (0 to 10).map { v =>
+        pow(lit(1.0 + v / 100.0),
+          shiftright(sig, v * 5).bitwiseAND(lit(31L)).cast("double"))
+      }.reduce(_ * _)
+      val logSum = c.windowProduct(x, before)
+      val gated = when(k > 31, raise_error(lit(
+          "q28: frame exceeds 31 rows — signature packing saturates")))
+        .when(
+          abs(logSum - exact) <= abs(exact) * 1e-9 + lit(1e-12), sig)
+        .otherwise(raise_error(concat(
+          lit("q28: windowProduct diverged from exact product: "),
+          logSum.cast("string"), lit(" vs "), exact.cast("string"))))
       read(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          round(c.windowProduct(x, before), 6).as("prod_disc"))
-        .orderBy(col("l_orderkey") +: ord.take(3) :+ col("prod_disc"): _*)
+          gated.as("prod_sig"),
+          k.as("n_factors"))
+        .orderBy(col("l_orderkey") +: ord.take(3) :+ col("prod_sig"): _*)
     },
     Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   round(CASE WHEN zeros > 0 THEN 0.0
-                              WHEN negs % 2 = 1 THEN -exp(mag)
-                              ELSE exp(mag) END, 6) AS prod_disc
-            FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   sum(CASE WHEN 1.0 + l_discount = 0.0 THEN 1 ELSE 0 END)
-                     OVER w AS zeros,
-                   sum(CASE WHEN 1.0 + l_discount < 0.0 THEN 1 ELSE 0 END)
-                     OVER w AS negs,
-                   sum(CASE WHEN 1.0 + l_discount != 0.0
-                         THEN ln(abs(1.0 + l_discount)) END) OVER w AS mag
-                  FROM lineitem
-                  WINDOW w AS (PARTITION BY l_orderkey
-                               ORDER BY l_linenumber, l_partkey, l_suppkey,
-                                        l_extendedprice
-                               ROWS UNBOUNDED PRECEDING))
+                   CAST(sum(CAST(1 AS BIGINT) <<
+                     (5 * CAST(round(l_discount * 100, 0) AS INTEGER)))
+                     OVER w AS BIGINT) AS prod_sig,
+                   count(*) OVER w AS n_factors
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_extendedprice
+                         ROWS UNBOUNDED PRECEDING)
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                     prod_disc"""))
+                     prod_sig"""))
 
   /** Formula-DSL lag over the whole-frame explicit sequence via the
     * partition-safe addToPipe path, with the reference's `missing`

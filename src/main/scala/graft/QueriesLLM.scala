@@ -3107,16 +3107,24 @@ object QueriesLLM {
     * top-50 documents by the deterministic key ln(u)/n_chars —
     * longer documents proportionally likelier, no draw-and-remove
     * loop, one TakeOrdered pass; the selected set replays exactly.
+    *
+    * The hashed projection is the selected MEMBERSHIP
+    * `(doc_id, n_chars)` only — the key itself is a transcendental
+    * double (`ln(u)/w`) whose 6th-decimal rounding can flip on a
+    * last-ulp `ln` difference between engines (observed against the
+    * driver's DuckDB in round 10), while the top-50 selection
+    * boundary has ~5e-6 of slack at sf0.01 and is robust. Per the
+    * [[graft.ops.Graph]] aaScale standard: never hash an
+    * un-quantized transcendental.
     */
   private val q294_es_sample: Q = (
     (s, dir) => Sampling.weightedSampleNoReplacement(
         read(s, dir, "documents")
           .where(col("n_chars") > 0),
         "doc_id", col("n_chars"), k = 50)
-      .select(col("doc_id"), col("n_chars"),
-        round(col("__es_key"), 6).as("es_key"))
+      .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id")),
-    Some("""SELECT doc_id, n_chars, round(es_key, 6) AS es_key
+    Some("""SELECT doc_id, n_chars
             FROM (SELECT doc_id, n_chars,
                 ln((((doc_id * 2654435761 + 42) % 1000000007)
                   % 1000000 + 1) / 1000000.0)

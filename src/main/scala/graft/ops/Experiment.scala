@@ -34,6 +34,13 @@ object Experiment {
       two(0).getLong(2))
     val (vb, nb, xb) = (two(1).getString(0), two(1).getLong(1),
       two(1).getLong(2))
+    // Degenerate pooled rate (all successes or all failures) zeroes
+    // the z denominator — Spark's NULL-on-div-zero would silently
+    // emit NULL z / NULL significant; refuse with a clear error
+    // instead (the bhFdr guard, applied here).
+    require(xa + xb > 0 && xa + xb < na + nb,
+      s"abTest: degenerate pooled rate (successes ${xa + xb} of " +
+        s"${na + nb}) — z-test undefined")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((va, na, xa, vb, nb, xb))

@@ -74,10 +74,15 @@ object Geo {
     }
     val joined = ba.join(bb, Seq("__band"))
       .where(if (selfPairs) col("id_a") < col("id_b") else lit(true))
-      .withColumn("dist_m", round(haversineM(col("lat_a"),
+      .withColumn("__d6", round(haversineM(col("lat_a"),
         col("lon_a"), col("lat_b"), col("lon_b")), 6))
-      .where(col("dist_m") <= radiusM)
-      .select(col("id_a"), col("id_b"), col("dist_m"))
+      .where(col("__d6") <= radiusM)
+      // EMIT centimeters: the 6dp cut value keeps the membership
+      // contract, but at 1e5-m magnitudes a 1e-6 grid leaves only
+      // ~1e3x headroom over cross-engine trig ulp drift (r11 margin
+      // sweep) — the cm grid multiplies that by 1e4
+      .select(col("id_a"), col("id_b"),
+        round(col("__d6"), 2).as("dist_m"))
       .distinct() // a pair can match in up to 2 shared bands
     joined
   }
@@ -145,10 +150,12 @@ object Geo {
     }
     ca.join(cb, Seq("__cell"))
       .where(if (selfPairs) col("id_a") < col("id_b") else lit(true))
-      .withColumn("dist_m", round(haversineM(col("lat_a"),
+      .withColumn("__d6", round(haversineM(col("lat_a"),
         col("lon_a"), col("lat_b"), col("lon_b")), 6))
-      .where(col("dist_m") <= radiusM)
-      .select(col("id_a"), col("id_b"), col("dist_m"))
+      .where(col("__d6") <= radiusM)
+      // cm-grid emit, same rationale as radiusJoin
+      .select(col("id_a"), col("id_b"),
+        round(col("__d6"), 2).as("dist_m"))
   }
 
   /** DBSCAN over geographic points (Ester et al. 1996) — density

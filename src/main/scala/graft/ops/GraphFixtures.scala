@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Session-memoized shared graph constructions for the catalog's
+  * graph entries (the r10 verdict's ask 5): q169 / q322 / q328 each
+  * rebuilt the same customer–part purchase edge list, and q227 /
+  * q283 / q287 the same support-filtered brand co-purchase edge
+  * list — the r10 pin experiment showed the CONSTRUCTION join
+  * dominating every one of those entries' measured time. Hoisting it
+  * here means the catalog measures the graph OPERATORS (PageRank,
+  * PPR, LPA, triangles, clustering coefficient, assortativity), not
+  * the same lineitem join five times.
+  *
+  * Deliberately NOT registered with [[graft.Caches]]: entries call
+  * `Caches.release()` after materializing, which would evict a
+  * cross-entry fixture. The memo is keyed by (session, sfDir) and
+  * the build materializes EAGERLY (count()) so the first caller pays
+  * construction once and every later caller — including later
+  * bench reps — measures only its operator. [[clear]] unpersists
+  * everything (tests; long-lived sessions switching datasets).
+  *
+  * Scale note: both fixtures are output-bounded — the purchase edge
+  * list is the DISTINCT (customer, part) pair set (≪ lineitem), the
+  * brand edge list is support-filtered to a dictionary-sized graph —
+  * so pinning them holds at any corpus scale where the graph itself
+  * is workable.
+  */
+object GraphFixtures {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+      DataFrame]()
+
+  private def cached(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(
+      (System.identityHashCode(s), dir, name), _ => {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // eager: construction cost lands on the builder
+        df
+      })
+
+  /** Canonical bipartite purchase graph (q169 / q322 / q328): one
+    * shared id space by parity (customer·2, part·2+1), DISTINCT
+    * pairs from orders⋈lineitem, symmetrized. PageRank / PPR
+    * consume it as-is; labelPropagation re-canonicalizes internally
+    * (least/greatest + distinct), which is an identity on this form.
+    */
+  def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "purchaseEdges") {
+      val o = graft.QH.read(s, dir, "orders")
+      val l = graft.QH.read(s, dir, "lineitem")
+      val half = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      half.unionByName(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+  /** Brand co-purchase graph at RELATIVE support ≥ 2% of orders
+    * (q227 / q283 / q287): DISTINCT (order, brand) presence, per-
+    * order self-join (quadratic only in the ~25-brand order width),
+    * support cut cross-multiplied against the broadcast order count,
+    * brands mapped to stable long ids. The presence `items` set is
+    * deliberately NOT cached separately — the r10 pin experiment
+    * measured AQE's exchange reuse beating a 600k-row
+    * materialization (5.9s vs 4.0s); only this final dictionary-
+    * sized edge list is worth holding.
+    */
+  def brandEdges(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "brandEdges") {
+      val items = graft.QH.read(s, dir, "lineitem")
+        .join(graft.QH.read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
+        .distinct()
+      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
+      val a = items.select(col("o"), col("p").as("pa"))
+      val b = items.select(col("o"), col("p").as("pb"))
+      a.join(b, Seq("o"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("s"))
+        .crossJoin(broadcast(nOrders))
+        .where(col("s") * 50 >= col("__no"))
+        .select(
+          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
+            .as("src"),
+          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
+            .as("dst"))
+    }
+
+  /** Unpersist and forget every fixture (all sessions). */
+  def clear(): Unit = {
+    memo.values.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => }
+    }
+    memo.clear()
+  }
+}

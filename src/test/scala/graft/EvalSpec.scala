@@ -44,12 +44,17 @@ class EvalSpec extends SparkSuite {
     assert(r0.getAs[Double]("recall_k") == 0.0 &&
       r0.getAs[Double]("mrr") == 0.0 && r0.getAs[Double]("ndcg_k") == 0.0)
     // equal scores: doc 1 must take rank 1, so the gain on doc 2 is
-    // NOT a rank-1 hit
+    // NOT a rank-1 hit — and MRR is truncated at k (MRR@k), so a
+    // first relevant at rank 2 with k=1 reports 0, consistent with
+    // precision_k = 0
     val tie = Seq(("q", 1L, 5L, 0L), ("q", 2L, 5L, 1L))
       .toDF("q", "d", "s", "g")
     val rt = Eval.rankingMetrics(tie, col("q"), col("d"), col("s"),
       col("g"), k = 1).collect()(0)
-    assert(rt.getAs[Double]("mrr") == 0.5) // first relevant at rank 2
+    assert(rt.getAs[Double]("mrr") == 0.0) // rank 2 is past k=1
+    val rt2 = Eval.rankingMetrics(tie, col("q"), col("d"), col("s"),
+      col("g"), k = 2).collect()(0)
+    assert(rt2.getAs[Double]("mrr") == 0.5) // inside k=2: 1/rank 2
   }
 
   test("logLossBrier: p=0.5 on a balanced segment is ln2 / 0.25; a " +
@@ -153,8 +158,9 @@ class EvalSpec extends SparkSuite {
     // eval days 3,4,5: |3-1|+|5-2|+|8-3| = 10; naive |3-2|+|5-3|+|8-5| = 6
     assert(r.getAs[Long]("n_eval") == 3)
     assert(r.getAs[Double]("mae") == 3.333333)
+    // rmse rounds 4dp since r11 (margin-sweep hardening)
     assert(r.getAs[Double]("rmse") ==
-      math.rint(math.sqrt(38.0 / 3.0) * 1e6) / 1e6)
+      math.rint(math.sqrt(38.0 / 3.0) * 1e4) / 1e4)
     assert(r.getAs[Double]("mase") == 1.666667)
     val const = Seq(("k", d(1), 7.0), ("k", d(2), 7.0), ("k", d(3), 7.0))
       .toDF("k", "d", "y")
