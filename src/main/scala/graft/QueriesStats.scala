@@ -964,7 +964,208 @@ object QueriesStats {
                round($sqlTwoSidedP, 6) AS p_value
         FROM ph ORDER BY series"""))
 
+  /** SINGLE CHANGEPOINT per series ([[graft.functions.Stats
+    * .changepoint]]): the split of each priority's daily-revenue
+    * series (exact cents) minimizing two-segment SSE — the
+    * level-shift locator next to q258's CUSUM alarms (CUSUM says
+    * "drifted past threshold", this says WHERE the mean broke).
+    * Integer prefix sums; the split score is a fixed 5-flop double
+    * of exact operands (bit-identical on any engine), and only
+    * integers are hashed.
+    */
+  private val q346_changepoint: Q = (
+    (s, dir) => {
+      val daily = read(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("series"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5))
+          .cast("long")).as("cents"))
+      graft.functions.Stats.changepoint(daily, "series", "d",
+          col("cents"))
+        .orderBy(col("series"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS series,
+                 CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS cents
+               FROM orders GROUP BY 1, 2),
+             p AS (SELECT series, d,
+                 CAST(sum(cents) OVER (PARTITION BY series ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 CAST(count(*) OVER (PARTITION BY series ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS l,
+                 CAST(sum(cents) OVER (PARTITION BY series)
+                   AS BIGINT) AS s,
+                 CAST(count(*) OVER (PARTITION BY series)
+                   AS BIGINT) AS n
+               FROM daily),
+             g AS (SELECT *,
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                   / CAST(l AS DOUBLE)
+                 + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                   / CAST(n - l AS DOUBLE) AS gv
+               FROM p WHERE l < n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY series
+                 ORDER BY gv DESC, d) AS rn FROM g)
+        SELECT series, d AS split_ord, l AS n_left, sl AS sum_left,
+               n - l AS n_right, s - sl AS sum_right
+        FROM r WHERE rn = 1 ORDER BY series"""))
+
+  /** COMPETING-RISKS CUMULATIVE INCIDENCE ([[graft.ops.Experiment
+    * .cumulativeIncidence]], Aalen-Johansen): churn split into two
+    * competing causes (the q338 gap>360 event, cause by customer
+    * parity) — CIF_k(t) = Σ S(t⁻)·d_k/n over the all-cause KM, the
+    * estimator "1 − per-cause KM" gets WRONG under competing events.
+    * The oracle replays the census, the KM trajectory, the lagged
+    * integer S(t⁻), and both causes' decimal-quantized running
+    * sums.
+    */
+  private val q347_cum_incidence: Q = (
+    (s, dir) => {
+      val subj = coxSubjects(s, dir)
+        .select(col("duration"),
+          when(col("event") === 1,
+            lit(1L) + col("c_custkey") % 2).otherwise(lit(0L))
+            .as("cause"))
+      graft.ops.Experiment.cumulativeIncidence(subj,
+        col("duration"), col("cause"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+                 min(o_orderdate) AS fd, max(o_orderdate) AS ld
+               FROM orders GROUP BY 1),
+             mx AS (SELECT max(ld) AS maxd FROM per),
+             subj AS (SELECT
+                 date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+                   AS t,
+                 CASE WHEN date_diff('day', CAST(ld AS DATE),
+                     CAST(maxd AS DATE)) > 360
+                   THEN 1 + o_custkey % 2 ELSE 0 END AS cause
+               FROM per CROSS JOIN mx),
+             times AS (SELECT t, count(*) AS c,
+                 CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d_all,
+                 CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d2
+               FROM subj GROUP BY 1),
+             tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM times),
+             r AS (SELECT t, c, d_all, d1, d2,
+                 CAST(n - COALESCE(sum(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+               FROM times CROSS JOIN tot),
+             km AS (SELECT *, round(exp(sum(ln(1.0 -
+                 CAST(d_all AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+                 AS surv FROM r),
+             sp AS (SELECT *, COALESCE(lag(CAST(surv * 1e6
+                 AS BIGINT)) OVER (ORDER BY t), 1000000) AS s6p
+               FROM km),
+             terms AS (SELECT 1 AS cause, t, n_risk, d1 AS d,
+                 CAST(CAST(s6p * d1 AS DOUBLE)
+                   / (CAST(n_risk AS DOUBLE) * 1e6)
+                   AS DECIMAL(38,12)) AS term FROM sp
+               UNION ALL
+               SELECT 2, t, n_risk, d2,
+                 CAST(CAST(s6p * d2 AS DOUBLE)
+                   / (CAST(n_risk AS DOUBLE) * 1e6)
+                   AS DECIMAL(38,12)) FROM sp)
+        SELECT CAST(cause AS BIGINT) AS cause, t, n_risk, d,
+               round(CAST(sum(term) OVER (PARTITION BY cause
+                 ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+                 AS cif
+        FROM terms ORDER BY cause, t"""))
+
+  /** KMV DISTINCT SKETCH per segment ([[graft.llmdata.Sketches
+    * .kmv]]/[[graft.llmdata.Sketches.kmvEstimate]]): distinct
+    * customers per order priority from a k=256 minimum-hash-values
+    * summary — the mergeable distinct counter that (unlike HLL,
+    * q123) retains samples and so supports set operations (q349).
+    * Portable multiplicative hash, per-segment rank window
+    * (WindowGroupLimit), floor-of-one-double estimator: every value
+    * replays exactly.
+    */
+  private val q348_kmv_sketch: Q = (
+    (s, dir) => graft.llmdata.Sketches.kmvEstimate(
+        graft.llmdata.Sketches.kmv(read(s, dir, "orders"),
+          "o_orderpriority", col("o_custkey"), k = 256), k = 256)
+      .orderBy(col("segment")),
+    Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
+                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+               FROM orders),
+             r AS (SELECT segment, h, row_number() OVER (
+                 PARTITION BY segment ORDER BY h) AS rank FROM h),
+             sk AS (SELECT segment, rank, h FROM r WHERE rank <= 256),
+             ag AS (SELECT segment,
+                 CAST(count(*) AS BIGINT) AS n_sketch,
+                 max(h) AS hk FROM sk GROUP BY 1)
+        SELECT segment, n_sketch,
+               CASE WHEN n_sketch < 256 THEN n_sketch
+                 ELSE CAST(floor(255.0 * 1000000007.0
+                   / CAST(hk AS DOUBLE)) AS BIGINT) END
+                 AS est_distinct
+        FROM ag ORDER BY segment"""))
+
+  /** KMV SET-OPERATION estimates ([[graft.llmdata.Sketches
+    * .kmvIntersect]]): union size, Jaccard (ppm) and intersection
+    * of the 1-URGENT vs 5-LOW customer bases from their q348
+    * sketches alone — O(k) work per segment pair regardless of
+    * corpus size, the capability HLL fundamentally lacks. All
+    * quantization is floor-of-double of exact integers.
+    */
+  private val q349_kmv_intersect: Q = (
+    (s, dir) => {
+      val sk = graft.llmdata.Sketches.kmv(read(s, dir, "orders"),
+        "o_orderpriority", col("o_custkey"), k = 256)
+      graft.llmdata.Sketches.kmvIntersect(
+        sk.where(col("segment") === "1-URGENT"),
+        sk.where(col("segment") === "5-LOW"), k = 256)
+    },
+    Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
+                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+               FROM orders
+               WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             r AS (SELECT segment, h, row_number() OVER (
+                 PARTITION BY segment ORDER BY h) AS rank FROM h),
+             sk AS (SELECT segment, h FROM r WHERE rank <= 256),
+             a AS (SELECT DISTINCT h FROM sk
+                   WHERE segment = '1-URGENT'),
+             b AS (SELECT DISTINCT h FROM sk
+                   WHERE segment = '5-LOW'),
+             uk AS (SELECT h FROM (SELECT DISTINCT h FROM
+                 (SELECT h FROM a UNION ALL SELECT h FROM b))
+               ORDER BY h LIMIT 256),
+             mk AS (SELECT uk.h,
+                 CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                   THEN 1 ELSE 0 END AS in2
+               FROM uk LEFT JOIN a ON uk.h = a.h
+                       LEFT JOIN b ON uk.h = b.h),
+             ag AS (SELECT CAST(count(*) AS BIGINT)
+                   AS n_union_sketch,
+                 max(h) AS hk,
+                 CAST(sum(in2) AS BIGINT) AS both_in_k FROM mk),
+             est AS (SELECT n_union_sketch,
+                 CASE WHEN n_union_sketch < 256 THEN n_union_sketch
+                   ELSE CAST(floor(255.0 * 1000000007.0
+                     / CAST(hk AS DOUBLE)) AS BIGINT) END
+                   AS est_union,
+                 both_in_k,
+                 CAST(floor(CAST(both_in_k AS DOUBLE) * 1000000.0
+                   / CAST(n_union_sketch AS DOUBLE)) AS BIGINT)
+                   AS jaccard_ppm
+               FROM ag)
+        SELECT n_union_sketch, est_union, both_in_k, jaccard_ppm,
+               CAST(floor(CAST(est_union AS DOUBLE)
+                 * CAST(jaccard_ppm AS DOUBLE) / 1000000.0)
+                 AS BIGINT) AS est_intersection
+        FROM est"""))
+
   val all: Map[String, Q] = Map(
+    "q346_changepoint" -> q346_changepoint,
+    "q347_cum_incidence" -> q347_cum_incidence,
+    "q348_kmv_sketch" -> q348_kmv_sketch,
+    "q349_kmv_intersect" -> q349_kmv_intersect,
     "q309_cox_fit" -> q309_cox_fit,
     "q310_cox_risk" -> q310_cox_risk,
     "q305_auc" -> q305_auc,

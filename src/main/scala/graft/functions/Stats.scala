@@ -870,6 +870,53 @@ object Stats {
         col("s_neg"), col("alarm"))
   }
 
+  /** SINGLE-CHANGEPOINT DETECTION per series (binary segmentation's
+    * first split; Scott & Knott 1974 / the AMOC case of PELT): the
+    * split l that minimizes two-segment SSE over the ordered series,
+    * equivalently MAXIMIZES g(l) = S_l²/l + (S−S_l)²/(n−l) (the
+    * between-segment explained sum — SSE algebra with the constant
+    * ΣX² dropped). `value` must be INTEGER-valued (callers quantize,
+    * the [[gini]] contract): prefix sums are then exact longs, and
+    * g computes per split in a fixed 5-flop double expression of
+    * identical exact operands — bit-identical on any IEEE engine, so
+    * the argmax (earliest-l tiebreak) is deterministic and the
+    * emitted integers replay exactly. No rounded float is ever
+    * hashed.
+    *
+    * Plan shape: ONE per-series ordered window (running sum + total
+    * via unbounded frames) + one per-series rank pick — partitions
+    * are per-series time points, bounded by time resolution (the
+    * q245 rule). Emits (series, split_ord = last ord of the left
+    * segment, n_left, sum_left, n_right, sum_right).
+    */
+  def changepoint(df: DataFrame, series: String, ord: String,
+      value: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wRun = W.partitionBy(col(series)).orderBy(col(ord))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(col(series))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val p = df.select(col(series), col(ord), value.cast("long")
+        .as("__x"))
+      .withColumn("__sl", sum(col("__x")).over(wRun))
+      .withColumn("__l", count(lit(1)).over(wRun))
+      .withColumn("__s", sum(col("__x")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__l") < col("__n")) // a split needs both sides
+    val sl = col("__sl").cast("double")
+    val sr = (col("__s") - col("__sl")).cast("double")
+    val g = sl * sl / col("__l").cast("double") +
+      sr * sr / (col("__n") - col("__l")).cast("double")
+    val pick = W.partitionBy(col(series))
+      .orderBy(g.desc, col(ord))
+    p.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .select(col(series), col(ord).as("split_ord"),
+        col("__l").as("n_left"), col("__sl").as("sum_left"),
+        (col("__n") - col("__l")).as("n_right"),
+        (col("__s") - col("__sl")).as("sum_right"))
+  }
+
   /** MAXIMUM DRAWDOWN per series — the peak-to-trough risk read over
     * a cumulative curve (equity curves, cumulative revenue, any
     * running total): cum_t = running exact-decimal sum of `value`,

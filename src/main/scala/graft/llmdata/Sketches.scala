@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-backed operators whose OUTPUT is exact: each pairs a
@@ -331,6 +331,105 @@ object Sketches {
         Seq("row", "idx"))
       .groupBy(col("row"))
       .agg(sum(col("c") * col("__cb")).as("dot"))
+  }
+
+  /** KMV (k-minimum-values) DISTINCT sketch per segment (Bar-Yossef
+    * et al. 2002; Beyer et al. 2007) — the mergeable
+    * distinct-counting summary that, unlike HLL, also supports SET
+    * OPERATIONS (intersection / Jaccard between segments) because it
+    * retains actual hash samples. Keys map through the portable
+    * multiplicative hash ((id·2654435761 + seed) mod 1e9+7 — the
+    * q70 lattice, replayable on any engine), DISTINCT per segment,
+    * and each segment keeps its k smallest hashes via a per-segment
+    * rank window (WindowGroupLimit — the top-k never fully sorts).
+    * Purely deterministic integer arithmetic: the sketch, and
+    * everything estimated from it, hash-matches across engines.
+    *
+    * Scale shape: one distinct shuffle on (segment, hash), one
+    * window exchange on segment; state is k longs per segment
+    * forever after — sketches union by `k smallest of the
+    * concatenation`, so segment sketches built on different
+    * executors/days merge associatively.
+    *
+    * Output: (segment, rank 1..k, h) — at most k rows per segment.
+    */
+  def kmv(df: DataFrame, segment: String, key: Column, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 16, s"kmv: k $k too small for a stable estimate")
+    val h = pmod(key.cast("long") * lit(2654435761L) + lit(seed),
+      lit(1000000007L))
+    val hashes = df.select(col(segment).as("segment"), h.as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment")).orderBy(col("h"))
+    hashes.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("segment"), col("rank").cast("long").as("rank"),
+        col("h"))
+  }
+
+  /** Distinct-count estimate from a [[kmv]] sketch: if the sketch
+    * holds fewer than k hashes the count is EXACT (every distinct
+    * key is present); otherwise the classic unbiased estimator
+    * (k−1)·M / h_k with M = the hash space size — floor of ONE
+    * double divide whose operands are exact integers, so the value
+    * is bit-identical on any IEEE engine (no decimal-division scale
+    * rules, no cast-rounding divergence). Emits
+    * (segment, n_sketch, est_distinct).
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    val m = 1000000007d
+    sketch.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("__hk"))
+      .select(col("segment"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(m) /
+            col("__hk").cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+
+  /** Pairwise SET-OPERATION estimates between two segments' [[kmv]]
+    * sketches: build the union sketch (k smallest of the combined
+    * distinct hashes), estimate |A∪B| from it, read the Jaccard as
+    * the fraction of union-sketch hashes present in BOTH input
+    * sketches (the standard KMV coincidence estimator), and close
+    * |A∩B| ≈ J·|A∪B|. Everything is exact integer arithmetic over
+    * the sketches (ppm Jaccard by floor division) — deterministic,
+    * engine-replayable, and O(k) per pair regardless of corpus
+    * size. Emits one row: (n_union_sketch, est_union, both_in_k,
+    * jaccard_ppm, est_intersection).
+    */
+  def kmvIntersect(sketchA: DataFrame, sketchB: DataFrame, k: Int)
+      : DataFrame = {
+    val m = 1000000007d
+    val a = sketchA.select(col("h")).distinct()
+    val b = sketchB.select(col("h")).distinct()
+    val unionK = a.unionByName(b).distinct()
+      .orderBy(col("h")).limit(k)
+    val marked = unionK
+      .join(a.withColumn("__ina", lit(1L)), Seq("h"), "left")
+      .join(b.withColumn("__inb", lit(1L)), Seq("h"), "left")
+    marked.agg(
+        count(lit(1)).as("n_union_sketch"),
+        max(col("h")).as("__hk"),
+        sum(when(col("__ina") === 1L && col("__inb") === 1L, 1L)
+          .otherwise(0L)).as("both_in_k"))
+      .select(
+        col("n_union_sketch"),
+        when(col("n_union_sketch") < k, col("n_union_sketch"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(m) /
+            col("__hk").cast("double")).cast("long")).as("est_union"),
+        col("both_in_k"),
+        // integer ppm by explicit floor-of-double: Spark truncates a
+        // double→long cast while other engines round — floor() makes
+        // the quantization the same operation everywhere
+        floor(col("both_in_k").cast("double") * lit(1000000.0) /
+          col("n_union_sketch").cast("double")).cast("long")
+          .as("jaccard_ppm"))
+      .withColumn("est_intersection",
+        floor(col("est_union").cast("double") *
+          col("jaccard_ppm").cast("double") / lit(1000000.0))
+          .cast("long"))
   }
 
   /** CMS point estimate for a literal token set: min over rows. */

@@ -215,6 +215,88 @@ object Experiment {
         col("survival_fh"))
   }
 
+  /** COMPETING-RISKS CUMULATIVE INCIDENCE (Aalen-Johansen 1978) —
+    * what [[kaplanMeier]] CANNOT give when subjects can fail from
+    * more than one cause: "1 − KM per cause" overstates every
+    * cause-specific risk because censoring-by-the-other-cause is not
+    * independent censoring. CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ⁻)·d_k(tᵢ)/nᵢ,
+    * where S is the ALL-cause KM survival and d_k the cause-k
+    * deaths. `eventType` is 0 for censored, a positive cause code
+    * otherwise.
+    *
+    * Determinism discipline (the r11 margin standard): S carries
+    * q245's running-ln KM with the extinction guard, rounded 6dp
+    * (audited); each CIF term then computes from EXACT integers —
+    * S6 = S·1e6 (an exact long after the round), term =
+    * (S6_prev·d_k) / (n·1e6) is one IEEE divide of identical
+    * operands on any engine — and the per-cause running sum
+    * decimal-quantizes terms (the q313 pattern) before the ordered
+    * fold, 6dp at the close.
+    *
+    * Plan shape: one (t)-census aggregate with per-cause pivoted
+    * counts folded as sum(when), one bounded single-partition
+    * window over distinct durations (the q245 rule), an explode per
+    * cause. Emits (cause, t, n_risk, d, cif) for every cause and
+    * event time.
+    */
+  def cumulativeIncidence(df: DataFrame, duration: Column,
+      eventType: Column, maxCauses: Int = 16): DataFrame = {
+    val typed = df.where(duration.isNotNull)
+      .select(duration.cast("long").as("__t"),
+        eventType.cast("long").as("__k"))
+    val causes = typed.where(col("__k") > 0).select(col("__k"))
+      .distinct().orderBy(col("__k")).limit(maxCauses + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(causes.nonEmpty, "cumulativeIncidence: no events")
+    require(causes.size <= maxCauses,
+      s"cumulativeIncidence: ${causes.size} causes exceed " +
+        s"$maxCauses — causes are the bounded analysis dimension")
+    val aggCols = count(lit(1)).as("c") +:
+      sum((col("__k") > 0).cast("long")).as("d_all") +:
+      causes.map(k => sum((col("__k") === k).cast("long"))
+        .as(s"__d_$k"))
+    val perT = typed.groupBy(col("__t").as("t"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val pin = pmod(col("t"), lit(1))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(pin).orderBy(col("t"))
+    val wPrev = wOrd.rowsBetween(Long.MinValue, -1)
+    val total = perT.agg(sum(col("c")).as("__n"))
+    val withS = perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("__extinct", max(
+        when(col("d_all") === col("n_risk"), 1).otherwise(0))
+        .over(wOrd))
+      .withColumn("__surv", when(col("__extinct") === 1, lit(0.0))
+        .otherwise(round(exp(sum(
+          log(lit(1.0) - col("d_all").cast("double") /
+            col("n_risk").cast("double"))).over(wOrd)), 6)))
+      // S(t⁻) as an exact integer: the 6dp-rounded survival of the
+      // PREVIOUS event time, ×1e6 (integer-valued double → exact
+      // long), 1e6 (=S(0)) before the first event
+      .withColumn("__s6_prev",
+        coalesce(lag((col("__surv") * 1e6).cast("long"), 1)
+          .over(wOrd), lit(1000000L)))
+    val terms = causes.map { k =>
+      struct(lit(k).as("cause"), col(s"__d_$k").as("d"),
+        ((col("__s6_prev") * col(s"__d_$k")).cast("double") /
+          (col("n_risk").cast("double") * 1e6))
+          .cast("decimal(38,12)").as("__term"))
+    }
+    val wCause = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cause")).orderBy(col("t"))
+    withS.select(col("t"), col("n_risk"),
+        explode(array(terms: _*)).as("__e"))
+      .select(col("__e.cause").as("cause"), col("t"), col("n_risk"),
+        col("__e.d").as("d"), col("__e.__term").as("__term"))
+      .withColumn("cif",
+        round(sum(col("__term")).over(
+          wCause.rowsBetween(Long.MinValue, 0)).cast("double"), 6))
+      .drop("__term")
+      .orderBy(col("cause"), col("t"))
+  }
+
   /** Per-segment UPLIFT (heterogeneous treatment effect read): for
     * each segment, treated/control exact trials and successes and
     * the rate difference — where an experiment's average effect

@@ -44,7 +44,11 @@ class MarginLintSpec extends AnyFunSpec {
     "q323_jsd", "q325_jsd_matrix", "q329_lsh_calibration",
     "q332_ipw_ate", "q337_policy_replay", "q338_rmst", "q339_aipw",
     "q341_wilson", "q344_theil_sen_ci", "q345_policy_ips",
-    "q36_expr_maxmin", "q84_ivf_batch_exact", "q86_lm_perplexity")
+    "q36_expr_maxmin", "q84_ivf_batch_exact", "q86_lm_perplexity",
+    // r11 addition: Aalen-Johansen CIF — KM survival margin is the
+    // audited q245/q338 site; the CIF running sum is probed in
+    // tools/margin_manual.py (q347 probe)
+    "q347_cum_incidence")
 
   private val entryStart = """private val (q\w+): Q""".r
   private val roundSite = """\b(round|floor)\s*\(""".r

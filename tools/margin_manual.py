@@ -296,6 +296,55 @@ PROBES = {
                ROWS UNBOUNDED PRECEDING)) AS x FROM r)
       SELECT min(""" + rmargin('x', 6) + """) AS margin FROM km0""",
 
+    # q347 Aalen-Johansen CIF: the KM survival margin is the q338
+    # probe (same construction); this probes the CIF running sum's
+    # final round(·,6) over every (cause, t) row
+    "q347_cum_incidence": """WITH per AS (SELECT o_custkey,
+             min(o_orderdate) AS fd, max(o_orderdate) AS ld
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(ld) AS maxd FROM per),
+         subj AS (SELECT
+             date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+               AS t,
+             CASE WHEN date_diff('day', CAST(ld AS DATE),
+                 CAST(maxd AS DATE)) > 360
+               THEN 1 + o_custkey % 2 ELSE 0 END AS cause
+           FROM per CROSS JOIN mx),
+         times AS (SELECT t, count(*) AS c,
+             CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d_all,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d2
+           FROM subj GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM times),
+         r AS (SELECT t, c, d_all, d1, d2,
+             CAST(n - COALESCE(sum(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+           FROM times CROSS JOIN tot),
+         km AS (SELECT *, round(exp(sum(ln(1.0 -
+             CAST(d_all AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+             AS surv FROM r),
+         sp AS (SELECT *, COALESCE(lag(CAST(surv * 1e6
+             AS BIGINT)) OVER (ORDER BY t), 1000000) AS s6p
+           FROM km),
+         terms AS (SELECT 1 AS cause, t,
+             CAST(CAST(s6p * d1 AS DOUBLE)
+               / (CAST(n_risk AS DOUBLE) * 1e6)
+               AS DECIMAL(38,12)) AS term FROM sp
+           UNION ALL
+           SELECT 2, t,
+             CAST(CAST(s6p * d2 AS DOUBLE)
+               / (CAST(n_risk AS DOUBLE) * 1e6)
+               AS DECIMAL(38,12)) FROM sp),
+         cs AS (SELECT CAST(sum(term) OVER (PARTITION BY cause
+             ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS x FROM terms)
+      SELECT min(""" + rmargin('x', 6) + """) AS margin FROM cs""",
+
     # geo radius (banded): hashed-output safety over the SELECTED
     # pairs (d <= T; only their dist_m is hashed) + threshold
     # clearance in meters over ALL banded candidate pairs — a flip
