@@ -1161,7 +1161,76 @@ object QueriesStats {
                  AS BIGINT) AS est_intersection
         FROM est"""))
 
+  /** GROUP-SEQUENTIAL OBF MONITORING ([[graft.ops.Experiment
+    * .groupSequentialObf]]): seven annual interim looks at a
+    * two-arm high-value-order rate test — cumulative exact counts,
+    * pooled z per look, the O'Brien-Fleming √(K/k) boundary from
+    * the A&S inverse normal, first-crossing flagged. The interim-
+    * analysis discipline between q235's fixed-n test and q299's
+    * always-valid mSPRT. Oracle replays the census, the prefix
+    * sums, the z/boundary doubles and the crossing scan.
+    */
+  private val q352_group_seq: Q = (
+    (s, dir) => graft.ops.Experiment.groupSequentialObf(
+      read(s, dir, "orders"),
+      look = year(col("o_orderdate")).cast("long"),
+      armB = col("o_custkey") % 2 === 1,
+      success = (col("o_totalprice") > 150000.0).cast("long"),
+      totalLooks = 7),
+    Some("""WITH cells AS (SELECT CAST(year(o_orderdate) AS BIGINT)
+                   AS look,
+                 CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1
+                   ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN o_custkey % 2 = 0
+                   AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xa,
+                 CAST(sum(CASE WHEN o_custkey % 2 = 1 THEN 1
+                   ELSE 0 END) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN o_custkey % 2 = 1
+                   AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS xb
+               FROM orders GROUP BY 1),
+             cum AS (SELECT look,
+                 CAST(row_number() OVER (ORDER BY look) AS BIGINT)
+                   AS k,
+                 CAST(sum(na) OVER w AS BIGINT) AS n_a,
+                 CAST(sum(xa) OVER w AS BIGINT) AS x_a,
+                 CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+                 CAST(sum(xb) OVER w AS BIGINT) AS x_b
+               FROM cells
+               WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+             za0 AS (SELECT sqrt(-2.0 * ln(0.025)) AS t),
+             zaq AS (SELECT t - (2.515517 + t * (0.802853 +
+                 t * 0.010328)) / (1.0 + t * (1.432788 +
+                 t * (0.189269 + t * 0.001308))) AS za FROM za0),
+             zz AS (SELECT cum.*,
+                 CASE WHEN x_a + x_b = 0
+                     OR x_a + x_b = n_a + n_b
+                     OR n_a = 0 OR n_b = 0 THEN NULL
+                   ELSE round((CAST(x_a AS DOUBLE)
+                       / CAST(n_a AS DOUBLE)
+                     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z,
+                 round(za * sqrt(7.0 / CAST(k AS DOUBLE)), 6)
+                   AS boundary
+               FROM cum CROSS JOIN zaq),
+             cr AS (SELECT *, CASE WHEN COALESCE(abs(z), 0.0)
+                 >= boundary THEN 1 ELSE 0 END AS crossed FROM zz),
+             fk AS (SELECT min(CASE WHEN crossed = 1 THEN k END)
+                 AS firstk FROM cr)
+        SELECT look, k, n_a, x_a, n_b, x_b, z, boundary,
+               CAST(crossed AS INTEGER) AS crossed,
+               CAST(CASE WHEN firstk IS NOT NULL AND k = firstk
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_first_crossing
+        FROM cr CROSS JOIN fk ORDER BY k"""))
+
   val all: Map[String, Q] = Map(
+    "q352_group_seq" -> q352_group_seq,
     "q346_changepoint" -> q346_changepoint,
     "q347_cum_incidence" -> q347_cum_incidence,
     "q348_kmv_sketch" -> q348_kmv_sketch,

@@ -439,6 +439,41 @@ object QueriesStream {
         GROUP BY t, n HAVING count(*) * 301 > n
         ORDER BY tok"""))
 
+  /** STREAMING KMV distinct sketch ([[Streams.kmvSketchStream]]) in
+    * its batch form under the oracle: the per-segment k-minimum hash
+    * set maintained through `flatMapGroupsWithState` (bounded
+    * TreeSet fold, k longs of state per segment), then the same
+    * [[graft.llmdata.Sketches.kmvEstimate]] close as q348 — and the
+    * oracle IS q348's SQL, because the k-minimum set is arrival-
+    * order and slicing INVARIANT (the property StreamingKmvSpec pins
+    * by driving two different MemoryStream slicings to the identical
+    * sketch). The streaming distinct counter whose answer equals its
+    * batch twin bit-for-bit.
+    */
+  private val q351_stream_kmv: Q = (
+    (s, dir) => graft.llmdata.Sketches.kmvEstimate(
+        Streams.kmvSketchStream(
+          read(s, dir, "orders")
+            .select(col("o_orderpriority"), col("o_custkey")),
+          "o_orderpriority", "o_custkey", k = 256).toDF(),
+        k = 256)
+      .orderBy(col("segment")),
+    Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
+                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+               FROM orders),
+             r AS (SELECT segment, h, row_number() OVER (
+                 PARTITION BY segment ORDER BY h) AS rank FROM h),
+             sk AS (SELECT segment, rank, h FROM r WHERE rank <= 256),
+             ag AS (SELECT segment,
+                 CAST(count(*) AS BIGINT) AS n_sketch,
+                 max(h) AS hk FROM sk GROUP BY 1)
+        SELECT segment, n_sketch,
+               CASE WHEN n_sketch < 256 THEN n_sketch
+                 ELSE CAST(floor(255.0 * 1000000007.0
+                   / CAST(hk AS DOUBLE)) AS BIGINT) END
+                 AS est_distinct
+        FROM ag ORDER BY segment"""))
+
   /** Streaming threshold counter ([[Streams.thresholdCounter]]) in
     * its batch form under the oracle: exact per-token running counts
     * with a crossing flag, state = one long per token. Emitted
@@ -576,6 +611,95 @@ object QueriesStream {
     * first/last/U-shaped heuristics. One grouped pass + 2^k-lattice
     * algebra, exact ppm/factorial integers.
     */
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION ([[graft.streaming.Streams
+    * .markovRemovalEffects]]): data-driven channel credit from the
+    * first-order journey chain — conversion probability lost when
+    * each channel's in-flows redirect to the null absorber. The
+    * 24-round integer value iteration (1e9 scale, floor division)
+    * replays bit-for-bit: the oracle unrolls every round as a CTE
+    * over the (variant, src, dst) transition census — the q169
+    * integer-PageRank discipline applied to absorption. Closes the
+    * attribution family: heuristics (q213/q226/q302), coalition
+    * (q336 Shapley), and now chain-removal.
+    */
+  private val q350_markov_attr: Q = {
+    val rounds = 24
+    val channels = Seq("click", "signup", "view")
+    val chList = channels.map(c => s"'$c'").mkString(", ")
+    val iter = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT t.variant, t.src AS state,
+             CAST(sum(t.c * CASE WHEN t.dst = 'conv'
+                 THEN 1000000000 WHEN t.dst = 'null' THEN 0
+                 ELSE COALESCE(pp.p, 0) END) // ns.n AS BIGINT) AS p
+           FROM vtrans t
+           JOIN vouts ns ON ns.variant = t.variant
+                        AND ns.src = t.src
+           LEFT JOIN p${r - 1} pp ON pp.variant = t.variant
+                        AND pp.state = t.dst
+           GROUP BY 1, 2, ns.n)"""
+    }.mkString(",\n           ")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.streaming.Streams.markovRemovalEffects(
+        read(s, dir, "events"), channels, "purchase",
+        rounds = rounds),
+      Some(s"""WITH fc AS (SELECT user_id,
+                 min(CAST(ts AS TIMESTAMP)) AS ct FROM events
+               WHERE event_type = 'purchase' AND ts IS NOT NULL
+               GROUP BY 1),
+             tch AS (SELECT e.user_id, e.event_type AS s,
+                 CAST(e.ts AS TIMESTAMP) AS t, e.event_id,
+                 CASE WHEN fc.ct IS NOT NULL THEN 1 ELSE 0 END
+                   AS conv
+               FROM events e LEFT JOIN fc USING (user_id)
+               WHERE e.event_type IN ($chList)
+                 AND e.ts IS NOT NULL
+                 AND (fc.ct IS NULL
+                      OR CAST(e.ts AS TIMESTAMP) < fc.ct)),
+             sq AS (SELECT *, lead(s) OVER w AS nxt,
+                 row_number() OVER w AS rn
+               FROM tch
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY t, event_id)),
+             trans AS (
+               SELECT s AS src, COALESCE(nxt,
+                   CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END)
+                 AS dst FROM sq
+               UNION ALL
+               SELECT 'start', s FROM sq WHERE rn = 1
+               UNION ALL
+               SELECT 'start', 'conv' FROM fc
+               WHERE user_id NOT IN (SELECT DISTINCT user_id
+                                     FROM tch)),
+             census AS (SELECT src, dst,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM trans GROUP BY 1, 2),
+             variants AS (SELECT unnest(['(full)', $chList])
+               AS variant),
+             vtrans AS (SELECT v.variant, census.src,
+                 CASE WHEN census.dst = v.variant THEN 'null'
+                   ELSE census.dst END AS dst,
+                 CAST(sum(c) AS BIGINT) AS c
+               FROM census CROSS JOIN variants v
+               GROUP BY 1, 2, 3),
+             vouts AS (SELECT variant, src,
+                 CAST(sum(c) AS BIGINT) AS n FROM vtrans
+               GROUP BY 1, 2),
+             p0 AS (SELECT variant, src AS state,
+                 CAST(0 AS BIGINT) AS p FROM vouts),
+             $iter,
+             ch AS (SELECT unnest([$chList]) AS channel)
+        SELECT ch.channel, f.p AS p_conv_q, rm.p AS p_removed_q,
+               CASE WHEN f.p = 0 THEN 0
+                 ELSE CAST((f.p - rm.p) * 1000000 // f.p AS BIGINT)
+                 END AS removal_ppm
+        FROM ch
+        JOIN p$rounds f ON f.variant = '(full)'
+                       AND f.state = 'start'
+        JOIN p$rounds rm ON rm.variant = ch.channel
+                        AND rm.state = 'start'
+        ORDER BY ch.channel"""))
+  }
+
   private val q336_shapley: Q = {
     val channels = Seq("view", "click", "signup", "error")
     val weights = Seq(6L, 2L, 2L, 6L) // s!(3-s)! for s = 0..3
@@ -1412,6 +1536,8 @@ object QueriesStream {
     "q297_stream_alert" -> q297_stream_alert,
     "q324_stream_srm" -> q324_stream_srm,
     "q336_shapley" -> q336_shapley,
+    "q350_markov_attr" -> q350_markov_attr,
+    "q351_stream_kmv" -> q351_stream_kmv,
     "q340_next_event" -> q340_next_event,
     "q258_cusum" -> q258_cusum,
     "q260_theil_sen" -> q260_theil_sen,

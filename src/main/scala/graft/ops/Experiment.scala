@@ -896,6 +896,82 @@ object Experiment {
       .orderBy(col("segment"))
   }
 
+  /** GROUP-SEQUENTIAL MONITORING with O'Brien-Fleming-style
+    * boundaries (Pocock 1977 framing; OBF 1979 shape z_k =
+    * z_{α/2}·√(K/k)) — the interim-analysis discipline the fixed-n
+    * [[abTest]] and the always-valid [[Experiment]] mSPRT bracket:
+    * K planned looks, a conservative early boundary that relaxes to
+    * ~z_{α/2} at the final look, stop the first time |z| crosses.
+    *
+    * Per look k: CUMULATIVE two-proportion counts (exact integer
+    * prefix sums over the look-ordered census), the pooled z (the
+    * abTest formula; NULL with crossed=0 while the pooled rate is
+    * degenerate), the boundary via [[invPhiUpper]], and an
+    * is_first_crossing flag. All doubles are fixed-order expressions
+    * of exact integers (engine-portable); z and boundary round 6dp
+    * (margin-audited).
+    *
+    * Plan shape: one (look, arm) census aggregate, one bounded
+    * single-partition window over the K looks (the q245 rule — K is
+    * the analysis dimension, not data). `armB` is the boolean arm
+    * indicator; rows are units.
+    */
+  def groupSequentialObf(df: DataFrame, look: Column, armB: Column,
+      success: Column, totalLooks: Int, alpha: Double = 0.05)
+      : DataFrame = {
+    require(totalLooks >= 2 && totalLooks <= 100,
+      s"groupSequentialObf: $totalLooks looks")
+    require(alpha > 0 && alpha < 0.5, s"groupSequentialObf: $alpha")
+    val census = df.groupBy(look.as("look")).agg(
+      sum(when(!armB, 1L).otherwise(0L)).as("__na"),
+      sum(when(!armB, success.cast("long")).otherwise(0L)).as("__xa"),
+      sum(when(armB, 1L).otherwise(0L)).as("__nb"),
+      sum(when(armB, success.cast("long")).otherwise(0L)).as("__xb"))
+    val nLooks = census.count()
+    require(nLooks == totalLooks,
+      s"groupSequentialObf: $nLooks looks seen, $totalLooks planned")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(ScanOps.pinnedZero(col("look")))
+      .orderBy(col("look"))
+    val wCum = wOrd.rowsBetween(Long.MinValue, 0)
+    val cum = census
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("n_a", sum(col("__na")).over(wCum))
+      .withColumn("x_a", sum(col("__xa")).over(wCum))
+      .withColumn("n_b", sum(col("__nb")).over(wCum))
+      .withColumn("x_b", sum(col("__xb")).over(wCum))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val degenerate = col("x_a") + col("x_b") === 0 ||
+      col("x_a") + col("x_b") === col("n_a") + col("n_b") ||
+      col("n_a") === 0 || col("n_b") === 0
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val bound = invPhiUpper(lit(alpha / 2.0)) *
+      sqrt(lit(totalLooks.toDouble) / col("k").cast("double"))
+    val flagged = cum
+      .withColumn("z", when(degenerate, lit(null).cast("double"))
+        .otherwise(round(z, 6)))
+      .withColumn("boundary", round(bound, 6))
+      .withColumn("crossed",
+        (coalesce(abs(col("z")), lit(0.0)) >= col("boundary"))
+          .cast("int"))
+    val firstK = flagged
+      .withColumn("__firstK", min(when(col("crossed") === 1,
+        col("k"))).over(W.partitionBy(ScanOps.pinnedZero(col("look")))
+        .rowsBetween(Long.MinValue, Long.MaxValue)))
+    firstK.select(col("look"), col("k"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"), col("z"), col("boundary"),
+        col("crossed"),
+        (col("__firstK").isNotNull &&
+          col("k") === col("__firstK")).cast("int")
+          .as("is_first_crossing"))
+      .orderBy(col("k"))
+  }
+
   /** INVERSE-PROPENSITY-WEIGHTED ATE (Hájek-normalized Horvitz-
     * Thompson) — the second standard propensity estimator next to
     * [[propensityStratifiedAte]]: each treated outcome weights by

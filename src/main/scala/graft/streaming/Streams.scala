@@ -397,6 +397,122 @@ object Streams {
     * groupBy(channel) for the report, or extend to first-touch by
     * flipping the dedup/ordering.
     */
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016) — the
+    * data-driven channel credit the heuristic family (first/last/
+    * position q213/q226/q302) and the coalition-game one (Shapley
+    * q336) bracket from both sides: model the user journey as a
+    * first-order Markov chain over channel states, and credit each
+    * channel by how much total conversion probability DROPS when
+    * every transition into it is redirected to the null (absorbing
+    * non-conversion) state.
+    *
+    * Journey: per user, the channel touches strictly before the
+    * first conversion (ordered by ts, event_id — the q213 tiebreak),
+    * giving transitions start→first, touch→next touch, last→conv if
+    * the user converted else last→null; a touchless converter is
+    * start→conv. P(conv | start) solves the absorbing chain — here
+    * by `rounds` synchronous value-iteration steps in INTEGER
+    * arithmetic: p⁰ = 0, p(conv) = 1e9, and each round
+    * p^{r+1}(s) = ⌊Σ_{s'} c(s,s')·p^r(s') / n(s)⌋ — floor division
+    * of exact integers, so the trajectory (monotone from below,
+    * geometric residual) replays bit-for-bit on any engine, and the
+    * oracle can unroll the rounds as CTEs (the q169 integer-PageRank
+    * discipline applied to absorption).
+    *
+    * Plan shape: the per-user journey build is ONE window pass over
+    * events (user-keyed exchange) + a (src,dst) census; everything
+    * after runs on the (channels+2)²-entry transition matrix —
+    * driver arithmetic over a census, bounded by `channels.size ≤ 8`
+    * (the fitReranker venue rule). At 100 TB the data touches one
+    * window + one grouped aggregate.
+    *
+    * Emits one row per channel: (channel, p_conv_q, p_removed_q,
+    * removal_ppm) with p at 1e9 scale and
+    * removal_ppm = ⌊(p − p_c)·1e6 / p⌋ — exact integers only.
+    */
+  def markovRemovalEffects(events: DataFrame, channels: Seq[String],
+      conversionType: String, rounds: Int = 24): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8 &&
+      channels.distinct.size == channels.size &&
+      !channels.contains(conversionType),
+      s"markovRemovalEffects: channels=$channels conv=$conversionType")
+    require(rounds >= channels.size + 2,
+      s"markovRemovalEffects: $rounds rounds cannot absorb a " +
+        s"${channels.size}-channel chain")
+    val W = org.apache.spark.sql.expressions.Window
+    // ts IS NOT NULL on BOTH sides: a null-ts conversion must not
+    // mark the user converted, and null-ts touches would order
+    // differently across engines (Spark nulls-first, others -last)
+    val firstConv = events
+      .where(col("event_type") === conversionType &&
+        col("ts").isNotNull)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__ct"))
+    val touches = events
+      .where(col("event_type").isin(channels: _*) &&
+        col("ts").isNotNull)
+      .join(firstConv, Seq("user_id"), "left")
+      .where(col("__ct").isNull || col("ts") < col("__ct"))
+      .select(col("user_id"), col("event_type").as("__s"),
+        col("ts"), col("event_id"),
+        col("__ct").isNotNull.cast("long").as("__conv"))
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = touches
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    val mids = seq0.select(col("__s").as("src"),
+      coalesce(col("__next"),
+        when(col("__conv") === 1L, lit("conv")).otherwise(lit("null")))
+        .as("dst"))
+    val starts = seq0.where(col("__rn") === 1)
+      .select(lit("start").as("src"), col("__s").as("dst"))
+    // converters who never touched a channel: start -> conv; users
+    // with no conversion and no touches contribute nothing
+    val directConv = firstConv.join(
+        touches.select(col("user_id")).distinct(),
+        Seq("user_id"), "left_anti")
+      .select(lit("start").as("src"), lit("conv").as("dst"))
+    val census = mids.unionByName(starts).unionByName(directConv)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(census.length <= (channels.size + 2) * (channels.size + 2),
+      s"markovRemovalEffects: ${census.length} transition cells")
+    val Scale = 1000000000L
+
+    def pConv(blocked: Option[String]): Long = {
+      val trans = census.map { case (s, d0, c) =>
+        val d = if (blocked.contains(d0)) "null" else d0
+        ((s, d), c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val outBy = trans.toSeq.groupBy(_._1._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+      val states = ("start" +: channels).filterNot(blocked.contains)
+      var p = states.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        p = states.map { s =>
+          val n = outBy.getOrElse(s, 0L)
+          val num = if (n == 0L) 0L
+          else trans.collect {
+            case ((`s`, d), c) =>
+              c * (if (d == "conv") Scale else p.getOrElse(d, 0L))
+          }.sum
+          s -> (if (n == 0L) 0L else num / n)
+        }.toMap
+      }
+      p.getOrElse("start", 0L)
+    }
+
+    val pFull = pConv(None)
+    val spark = events.sparkSession
+    import spark.implicits._
+    channels.sorted.map { ch =>
+      val pc = pConv(Some(ch))
+      val re = if (pFull == 0L) 0L else (pFull - pc) * 1000000L / pFull
+      (ch, pFull, pc, re)
+    }.toDF("channel", "p_conv_q", "p_removed_q", "removal_ppm")
+  }
+
   def lastTouchAttribution(events: DataFrame, conversionType: String,
       touchTypes: Seq[String], maxDelaySec: Long): DataFrame = {
     require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
@@ -725,6 +841,57 @@ object Streams {
   /** Bounded Misra-Gries summary for one hash bucket: rows processed
     * so far and the ≤ k surviving (token, lower-bound count) pairs.
     */
+  /** Streaming KMV state: the ≤k smallest distinct hashes seen. */
+  case class KmvState(hs: Seq[Long])
+
+  /** One streaming-KMV sketch row (mirrors
+    * [[graft.llmdata.Sketches.kmv]] output). */
+  case class KmvRow(segment: String, rank: Long, h: Long)
+
+  /** STREAMING KMV distinct sketch — [[graft.llmdata.Sketches.kmv]]
+    * maintained under readStream with `flatMapGroupsWithState`:
+    * per-segment state is the ≤k smallest distinct portable hashes
+    * (a bounded TreeSet fold — O(log k) per row, k longs of state
+    * per segment forever). Unlike Misra-Gries ([[mgSketch]]), whose
+    * intermediate counts are slicing-dependent, the k-minimum set is
+    * INVARIANT under arrival order and micro-batch slicing: the
+    * final sketch — and every estimate derived from it
+    * ([[graft.llmdata.Sketches.kmvEstimate]]/[[graft.llmdata
+    * .Sketches.kmvIntersect]]) — is bit-identical to the batch
+    * build, which StreamingKmvSpec pins with two slicings. Each
+    * batch re-emits the segment's current sketch (Update mode:
+    * last write per (segment, rank) wins downstream).
+    */
+  def kmvSketchStream(rows: DataFrame, segmentCol: String,
+      keyCol: String, k: Int, seed: Long = 42L): Dataset[KmvRow] = {
+    require(k >= 16, s"kmvSketchStream: k $k")
+    val ss = rows.sparkSession
+    import ss.implicits._
+    rows.select(col(segmentCol).cast("string").as("segment"),
+        pmod(col(keyCol).cast("long") * lit(2654435761L) + lit(seed),
+          lit(1000000007L)).as("h"))
+      .where(col("segment").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (seg: String, it: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          val buf = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(s => buf ++= s.hs)
+          it.foreach { case (_, h) =>
+            if (buf.size < k) buf += h
+            else if (h < buf.last && !buf.contains(h)) {
+              buf += h; buf -= buf.last
+            }
+          }
+          val sk = buf.toSeq
+          state.update(KmvState(sk))
+          sk.iterator.zipWithIndex.map { case (h, i) =>
+            KmvRow(seg, i + 1L, h) }
+      }
+  }
+
   case class MgState(n: Long, toks: Map[String, Long])
   /** One candidate emission: bucket, rows the bucket has seen, the
     * candidate token and its MG lower-bound count (true count is in

@@ -45,16 +45,19 @@ class MarginLintSpec extends AnyFunSpec {
     "q332_ipw_ate", "q337_policy_replay", "q338_rmst", "q339_aipw",
     "q341_wilson", "q344_theil_sen_ci", "q345_policy_ips",
     "q36_expr_maxmin", "q84_ivf_batch_exact", "q86_lm_perplexity",
-    // r11 addition: Aalen-Johansen CIF — KM survival margin is the
-    // audited q245/q338 site; the CIF running sum is probed in
-    // tools/margin_manual.py (q347 probe)
-    "q347_cum_incidence")
+    // r11 additions: Aalen-Johansen CIF — KM survival margin is the
+    // audited q245/q338 site; the CIF running sum and the q352
+    // z/boundary rounds are probed in tools/margin_manual.py
+    "q347_cum_incidence", "q352_group_seq")
 
   private val entryStart = """private val (q\w+): Q""".r
   private val roundSite = """\b(round|floor)\s*\(""".r
+  // a transcendental CALL (mandatory paren — a bare word like
+  // "Experiment" in a neighboring scaladoc must not trip the lint);
+  // haversineM( and charEntropy( count via the suffix/prefix forms
   private val transcendental =
-    ("""(?i)\b(ln|log|log10|log2|exp|sqrt|power|pow|asin|acos|""" +
-      """haversine|entropy)\s*\(?""").r
+    ("""(?i)(\b(ln|log|log10|log2|exp|sqrt|power|pow|asin|acos)""" +
+      """\s*\(|haversine\w*\s*\(|\w*entropy\s*\()""").r
 
   it("every transcendental round/floor site belongs to an audited " +
       "entry") {

@@ -345,6 +345,48 @@ PROBES = {
              AS x FROM terms)
       SELECT min(""" + rmargin('x', 6) + """) AS margin FROM cs""",
 
+    # q352 group-sequential: margins of the rounded z and OBF
+    # boundary at every look
+    "q352_group_seq": """WITH cells AS (SELECT
+             CAST(year(o_orderdate) AS BIGINT) AS look,
+             CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN o_custkey % 2 = 0
+               AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS xa,
+             CAST(sum(CASE WHEN o_custkey % 2 = 1 THEN 1
+               ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN o_custkey % 2 = 1
+               AND o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS xb
+           FROM orders GROUP BY 1),
+         cum AS (SELECT look,
+             CAST(row_number() OVER (ORDER BY look) AS BIGINT) AS k,
+             CAST(sum(na) OVER w AS BIGINT) AS n_a,
+             CAST(sum(xa) OVER w AS BIGINT) AS x_a,
+             CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+             CAST(sum(xb) OVER w AS BIGINT) AS x_b
+           FROM cells
+           WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+         za0 AS (SELECT sqrt(-2.0 * ln(0.025)) AS t),
+         zaq AS (SELECT t - (2.515517 + t * (0.802853 +
+             t * 0.010328)) / (1.0 + t * (1.432788 +
+             t * (0.189269 + t * 0.001308))) AS za FROM za0),
+         vals AS (SELECT (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                   + 1.0 / CAST(n_b AS DOUBLE))) AS x
+           FROM cum WHERE x_a + x_b > 0
+             AND x_a + x_b < n_a + n_b AND n_a > 0 AND n_b > 0
+           UNION ALL
+           SELECT za * sqrt(7.0 / CAST(k AS DOUBLE))
+           FROM cum CROSS JOIN zaq)
+      SELECT min(""" + rmargin('x', 6) + """) AS margin FROM vals""",
+
     # geo radius (banded): hashed-output safety over the SELECTED
     # pairs (d <= T; only their dist_m is hashed) + threshold
     # clearance in meters over ALL banded candidate pairs — a flip
