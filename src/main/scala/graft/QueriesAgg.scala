@@ -662,6 +662,7 @@ object QueriesAgg {
     "q301_eb_shrink" -> q301_eb_shrink,
     "q303_ps_ate" -> q303_ps_ate,
     "q304_ps_static" -> q304_ps_static,
+    "q354_ps_match" -> q354_ps_match,
     "q332_ipw_ate" -> q332_ipw_ate,
     "q337_policy_replay" -> q337_policy_replay,
     "q339_aipw" -> q339_aipw,
@@ -2140,6 +2141,58 @@ object QueriesAgg {
         .orderBy(col("stratum"))
     },
     None)
+
+  /** PS CALIPER MATCHING, ATT ([[graft.ops.Experiment.psMatchAtt]]):
+    * 1-nearest control WITH replacement within a 25-unit caliper on
+    * the q304 static integer score — the classic matching estimator
+    * completing the causal family (stratification q303/q304, IPW
+    * q332, AIPW q339). Banded score-bucket join (the q248 argument
+    * in 1-D), censused; per-treated argmin via rank window; exact-
+    * decimal close. The oracle replays bucketing, candidate
+    * generation, the (|Δ|, tiebreak) argmin and the sums.
+    */
+  private val q354_ps_match: Q = (
+    (s, dir) => graft.ops.Experiment.psMatchAtt(
+      read(s, dir, "orders"),
+      treated = col("o_custkey") % 2,
+      outcome = col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH").cast("double"),
+      scoreQ = expr("(3 * CAST(floor(o_totalprice) AS BIGINT))" +
+        " div 100 + 7 * (o_custkey % 100)"),
+      tiebreak = col("o_orderkey"), caliper = 25L),
+    Some("""WITH s AS (SELECT o_orderkey AS tb,
+                 CAST(o_custkey % 2 AS INTEGER) AS t,
+                 CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AS INTEGER) AS y,
+                 (3 * CAST(floor(o_totalprice) AS BIGINT)) // 100
+                   + 7 * (o_custkey % 100) AS sq
+               FROM orders),
+             tt AS (SELECT sq AS sqt, y AS yt, tb AS tbt,
+                 CAST(floor(CAST(sq AS DOUBLE) / 25.0) AS BIGINT)
+                   AS b FROM s WHERE t = 1),
+             cc AS (SELECT sq AS sqc, y AS yc, tb AS tbc,
+                 CAST(floor(CAST(sq AS DOUBLE) / 25.0) AS BIGINT)
+                   AS bc FROM s WHERE t = 0),
+             cand AS (SELECT sqt, yt, tbt, sqc, yc, tbc
+               FROM tt JOIN cc
+                 ON cc.bc BETWEEN tt.b - 1 AND tt.b + 1
+                AND abs(cc.sqc - tt.sqt) <= 25),
+             m AS (SELECT * FROM (SELECT *, row_number() OVER (
+                 PARTITION BY tbt
+                 ORDER BY abs(sqc - sqt), tbc) AS rn FROM cand)
+               WHERE rn = 1),
+             nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
+                    FROM tt),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                 sum(CAST(CAST(yt AS DOUBLE) - CAST(yc AS DOUBLE)
+                   AS DECIMAL(25,6))) AS sd FROM m)
+        SELECT nt.n_treated, ag.n_matched,
+               CAST(floor(CAST(ag.n_matched AS DOUBLE) * 1000000.0
+                 / CAST(nt.n_treated AS DOUBLE)) AS BIGINT)
+                 AS match_ppm,
+               round(CAST(sd AS DOUBLE)
+                 / CAST(ag.n_matched AS DOUBLE), 6) AS att
+        FROM nt CROSS JOIN ag"""))
 
   /** PS stratification, STATIC-WEIGHT oracle twin: the identical
     * ntile/cells/weighted-ATE pipeline under a fixed integer score

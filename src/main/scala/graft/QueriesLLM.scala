@@ -1133,6 +1133,87 @@ object QueriesLLM {
     * scale the result writes bucketed by term so query-time lookups
     * are single-bucket scans.
     */
+  /** TEXTRANK KEYWORDS ([[graft.llmdata.TextAnalysis
+    * .textRankKeywords]]): corpus keywords as integer-exact PageRank
+    * over the window-1 word-adjacency graph — q169's fused
+    * superstep plan applied to text, oracle-unrolled 3 rounds over
+    * the portable-hash node space, dictionary joined back for the
+    * emitted words.
+    */
+  private val q353_textrank: Q = (
+    (s, dir) => {
+      val out = TextAnalysis.textRankKeywords(
+        spread(read(s, dir, "documents")), "text", iters = 3, k = 50)
+        .cache()
+      out.count()
+      graft.Caches.release()
+      out
+    },
+    Some("""WITH n AS (SELECT list_filter(string_split(trim(
+                 regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             n2 AS (SELECT w FROM n WHERE len(w) >= 2),
+             pr AS (SELECT unnest(list_transform(range(1, len(w)),
+                 i -> [w[i], w[i+1]])) AS p FROM n2),
+             pw AS (SELECT p[1] AS wa, p[2] AS wb FROM pr
+                    WHERE p[1] <> p[2]),
+             hp AS (SELECT
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(wa, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS src,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(wb, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS dst
+               FROM pw),
+             und AS (SELECT DISTINCT least(src, dst) AS a,
+                 greatest(src, dst) AS b FROM hp),
+             ed AS (SELECT a AS src, b AS dst FROM und
+                    UNION ALL SELECT b, a FROM und),
+             deg AS (SELECT src AS node, count(*) AS d FROM ed
+                     GROUP BY 1),
+             r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r
+                    FROM deg),
+             r1 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r0.r // deg.d) AS c
+                 FROM ed JOIN r0 ON ed.src = r0.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r2 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r1.r // deg.d) AS c
+                 FROM ed JOIN r1 ON ed.src = r1.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             r3 AS (SELECT n.node,
+                 CAST((15*1000000000000 +
+                       85*COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+               FROM deg n LEFT JOIN (
+                 SELECT ed.dst AS node, sum(r2.r // deg.d) AS c
+                 FROM ed JOIN r2 ON ed.src = r2.node
+                         JOIN deg ON ed.src = deg.node
+                 GROUP BY 1) s ON n.node = s.node),
+             top AS (SELECT node, r AS rank FROM r3
+                     ORDER BY rank DESC, node LIMIT 50),
+             dict AS (SELECT DISTINCT word,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(word, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS node
+               FROM (SELECT wa AS word FROM pw
+                     UNION ALL SELECT wb FROM pw))
+        SELECT dict.word, top.rank
+        FROM top JOIN dict ON top.node = dict.node
+        ORDER BY rank DESC, word"""))
+
   private val q215_inverted_index: Q = (
     (s, dir) => TextAnalysis.invertedIndex(
         spread(read(s, dir, "documents")), "doc_id", "text",
@@ -4692,6 +4773,7 @@ object QueriesLLM {
     "q209_cms_conservative" -> q209_cms_conservative,
     "q212_pmi" -> q212_pmi,
     "q215_inverted_index" -> q215_inverted_index,
+    "q353_textrank" -> q353_textrank,
     "q217_int8_quant" -> q217_int8_quant,
     "q231_join_size" -> q231_join_size,
     "q232_image_dhash" -> q232_image_dhash,

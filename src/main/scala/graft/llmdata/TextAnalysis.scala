@@ -1351,4 +1351,51 @@ object TextAnalysis {
       .where(col("df") >= minDf)
       .select(col("term"), col("df"), col(docId), col("tf"))
   }
+
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — corpus-level
+    * keyword extraction as PageRank over the word ADJACENCY graph:
+    * consecutive normalized tokens become undirected edges (the
+    * window-1 co-occurrence graph), words map to node ids through
+    * the portable token hash, and the ranking runs through
+    * [[graft.ops.Graph.pageRankInt]]'s integer-exact supersteps —
+    * the same fused, oracle-unrollable plan as q169, applied to
+    * text. Reuse is the point: the graph operator IS the text
+    * operator once the adjacency is declared.
+    *
+    * Distinct, unweighted edges (classic TextRank; a repeated
+    * collocation adds no extra edge mass), dictionary joined back
+    * for the emitted word. Two hash-colliding words would share a
+    * node deterministically on both engines (1e9+7 space —
+    * immaterial at vocabulary scale). Top `k` by (rank desc, node).
+    */
+  def textRankKeywords(df: DataFrame, text: String, iters: Int = 3,
+      k: Int = 50): DataFrame = {
+    val words = df.where(col(text).isNotNull)
+      .select(filter(split(Dedup.normalize(col(text)), " "),
+        t => t =!= "").as("__w"))
+      .where(size(col("__w")) >= 2)
+    val pairs = words.select(explode(arrays_zip(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1))).as("__p"))
+      .select(col("__p.0").as("wa"), col("__p.1").as("wb"))
+      .where(col("wa") =!= col("wb"))
+    val hashed = pairs.select(
+      graft.functions.PortableTokenHash(col("wa")).as("src"),
+      graft.functions.PortableTokenHash(col("wb")).as("dst"))
+    val und = hashed.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val dict = graft.Caches.pin(
+      pairs.select(col("wa").as("word"))
+        .unionByName(pairs.select(col("wb").as("word"))).distinct()
+        .select(col("word"),
+          graft.functions.PortableTokenHash(col("word")).as("node")))
+    graft.ops.Graph.pageRankInt(edges, iters)
+      .orderBy(col("rank").desc, col("node")).limit(k)
+      .join(dict, Seq("node"))
+      .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+  }
 }

@@ -896,6 +896,68 @@ object Experiment {
       .orderBy(col("segment"))
   }
 
+  /** PROPENSITY-SCORE CALIPER MATCHING (ATT, 1-nearest control WITH
+    * replacement — Rosenbaum & Rubin 1985) — the classic causal
+    * estimator missing between stratification
+    * ([[propensityStratifiedAte]]), IPW and AIPW: each treated unit
+    * takes the control whose integer score is closest (within
+    * `caliper`), and the effect on the treated is the mean matched
+    * outcome difference. With-replacement nearest matching is
+    * order-free, hence fully distributable AND deterministic (the
+    * greedy without-replacement variant is inherently sequential —
+    * the wrong venue at any scale).
+    *
+    * Plan shape: score-bucket banded join (bucket = ⌊sq/caliper⌋;
+    * a within-caliper pair differs by ≤1 bucket — the q248 banding
+    * argument in one dimension), census guard on the densest bucket
+    * of BOTH sides before the join runs, per-treated argmin by
+    * (|Δscore|, control tiebreak) through a rank window
+    * (WindowGroupLimit), one exact-decimal close. Emits one row:
+    * (n_treated, n_matched, match_ppm, att).
+    */
+  def psMatchAtt(df: DataFrame, treated: Column, outcome: Column,
+      scoreQ: Column, tiebreak: Column, caliper: Long,
+      maxPerBucket: Long = 1000000L): DataFrame = {
+    require(caliper >= 1, s"psMatchAtt: caliper $caliper")
+    val base = df.select(treated.cast("int").as("__t"),
+      outcome.cast("double").as("__y"),
+      scoreQ.cast("long").as("__sq"), tiebreak.as("__tb"))
+    val t = base.where(col("__t") === 1)
+      .select(col("__sq").as("__sqt"), col("__y").as("__yt"),
+        col("__tb").as("__tbt"),
+        floor(col("__sq").cast("double") / caliper).cast("long")
+          .as("__b"))
+    val c = base.where(col("__t") === 0)
+      .select(col("__sq").as("__sqc"), col("__y").as("__yc"),
+        col("__tb").as("__tbc"),
+        floor(col("__sq").cast("double") / caliper).cast("long")
+          .as("__bc"))
+    def worst(d: DataFrame, b: String) = d.groupBy(col(b)).count()
+      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+    val (wt, wc) = (worst(t, "__b"), worst(c, "__bc"))
+    require(wt <= maxPerBucket && wc <= maxPerBucket,
+      s"psMatchAtt: densest caliper bucket holds $wt/$wc units " +
+        s"(> $maxPerBucket) — coarsen the score or widen the caliper")
+    val cand = t.join(c,
+        col("__bc").between(col("__b") - 1, col("__b") + 1) &&
+          abs(col("__sqc") - col("__sqt")) <= caliper)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tbt"))
+      .orderBy(abs(col("__sqc") - col("__sqt")), col("__tbc"))
+    val matched = cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val nT = t.count()
+    matched.agg(
+        count(lit(1)).as("n_matched"),
+        sum((col("__yt") - col("__yc")).cast("decimal(25,6)"))
+          .as("__sd"))
+      .select(lit(nT).as("n_treated"), col("n_matched"),
+        floor(col("n_matched").cast("double") * lit(1000000.0) /
+          lit(nT.toDouble)).cast("long").as("match_ppm"),
+        round(col("__sd").cast("double") /
+          col("n_matched").cast("double"), 6).as("att"))
+  }
+
   /** GROUP-SEQUENTIAL MONITORING with O'Brien-Fleming-style
     * boundaries (Pocock 1977 framing; OBF 1979 shape z_k =
     * z_{α/2}·√(K/k)) — the interim-analysis discipline the fixed-n
