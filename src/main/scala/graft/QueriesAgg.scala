@@ -663,6 +663,7 @@ object QueriesAgg {
     "q303_ps_ate" -> q303_ps_ate,
     "q304_ps_static" -> q304_ps_static,
     "q354_ps_match" -> q354_ps_match,
+    "q355_pairwise_arms" -> q355_pairwise_arms,
     "q332_ipw_ate" -> q332_ipw_ate,
     "q337_policy_replay" -> q337_policy_replay,
     "q339_aipw" -> q339_aipw,
@@ -2141,6 +2142,62 @@ object QueriesAgg {
         .orderBy(col("stratum"))
     },
     None)
+
+  /** MULTI-ARM PAIRWISE CONTRASTS ([[graft.ops.Experiment
+    * .pairwiseArms]]): all C(5,2) order-priority pairs' pooled z +
+    * BH step-up — the post-hoc completing q235 (2 arms) and q300
+    * (per-segment 2-arm FDR): here the MULTIPLICITY is the arm
+    * lattice itself. One census, C(k,2) algebra rows, integer BH
+    * rule.
+    */
+  private val q355_pairwise_arms: Q = (
+    (s, dir) => graft.ops.Experiment.pairwiseArms(
+      read(s, dir, "orders"),
+      arm = col("o_orderpriority"),
+      success = (col("o_totalprice") > 150000.0).cast("long")),
+    Some("""WITH cells AS (SELECT o_orderpriority AS a,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(o_totalprice > 150000.0 AS BIGINT))
+                   AS BIGINT) AS x
+               FROM orders GROUP BY 1),
+             pr AS (SELECT ca.a AS arm_a, ca.n AS n_a, ca.x AS x_a,
+                 cb.a AS arm_b, cb.n AS n_b, cb.x AS x_b
+               FROM cells ca JOIN cells cb ON ca.a < cb.a
+               WHERE ca.x + cb.x > 0 AND ca.x + cb.x < ca.n + cb.n),
+             zc AS (SELECT *,
+                 (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(x_a + x_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE)
+                      + 1.0 / CAST(n_b AS DOUBLE))) AS z
+               FROM pr),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc),
+             pv AS (SELECT arm_a, arm_b, n_a, x_a, n_b, x_b, z,
+                 2.0 * (1.0 - (1.0 - exp(-(abs(z) * abs(z)) / 2.0)
+                   / 2.5066282746310002 *
+                   (t * (0.319381530 + t * (-0.356563782 +
+                     t * (1.781477937 + t * (-1.821255978 +
+                       t * 1.330274429))))))) AS p
+               FROM ph),
+             q AS (SELECT *,
+                 CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pq
+               FROM pv),
+             r AS (SELECT *,
+                 CAST(row_number() OVER (ORDER BY pq, arm_a, arm_b)
+                   AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+               FROM q),
+             mx AS (SELECT COALESCE(max(CASE WHEN pq * 10 * m <=
+                   rank * 1 * 1000000 THEN rank END), 0) AS maxi
+               FROM r)
+        SELECT arm_a, arm_b, n_a, x_a, n_b, x_b,
+               round(z, 6) AS z, round(p, 6) AS p, rank,
+               CAST(rank <= maxi AS BIGINT) AS rejected
+        FROM r CROSS JOIN mx ORDER BY rank"""))
 
   /** PS CALIPER MATCHING, ATT ([[graft.ops.Experiment.psMatchAtt]]):
     * 1-nearest control WITH replacement within a 25-unit caliper on

@@ -896,6 +896,69 @@ object Experiment {
       .orderBy(col("segment"))
   }
 
+  /** MULTI-ARM PAIRWISE CONTRASTS under BH — the post-hoc readout
+    * for an experiment with MORE than two arms, where [[abTest]]
+    * stops and ad-hoc pairwise z-tests inflate the false-discovery
+    * rate (k arms → C(k,2) comparisons): every arm pair's pooled
+    * two-proportion z and two-sided p ([[phiAbs]]), then the
+    * Benjamini-Hochberg step-up over ALL pairs via the [[bhFdr]]
+    * pure-integer rank rule. Degenerate pairs (pooled rate 0 or 1)
+    * are excluded with the bhFdr semantics.
+    *
+    * Plan shape: ONE grouped census over the data (bounded by
+    * `maxArms`), then a census self-join and bounded windows —
+    * C(k,2) rows of algebra, data volume enters one aggregate.
+    * Emits (arm_a, arm_b, n_a, x_a, n_b, x_b, z, p, rank, rejected).
+    */
+  def pairwiseArms(df: DataFrame, arm: Column, success: Column,
+      qNum: Long = 1L, qDen: Long = 10L, maxArms: Int = 16)
+      : DataFrame = {
+    require(qNum >= 1 && qDen > qNum, s"pairwiseArms: $qNum/$qDen")
+    val cells = graft.Caches.pin(
+      df.groupBy(arm.cast("string").as("__a")).agg(
+        count(lit(1)).as("__n"),
+        sum(success.cast("long")).as("__x")))
+    val k = cells.count()
+    require(k >= 3 && k <= maxArms,
+      s"pairwiseArms: $k arms (need 3..$maxArms; use abTest for 2)")
+    val a = cells.select(col("__a").as("arm_a"), col("__n").as("n_a"),
+      col("__x").as("x_a"))
+    val b = cells.select(col("__a").as("arm_b"), col("__n").as("n_b"),
+      col("__x").as("x_b"))
+    val pairs = a.join(b, col("arm_a") < col("arm_b"))
+      .where(col("x_a") + col("x_b") > 0 &&
+        col("x_a") + col("x_b") < col("n_a") + col("n_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val withP = pairs.withColumn("__z", z)
+      .withColumn("__p",
+        lit(2.0) * (lit(1.0) - phiAbs(abs(col("__z")))))
+      .withColumn("__pq",
+        floor(col("__p") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(pmod(col("__pq"), lit(1)))
+    val ranked = withP
+      .withColumn("rank", row_number().over(wAll.orderBy(
+        col("__pq"), col("arm_a"), col("arm_b"))).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__flag", when(
+        col("__pq") * lit(qDen) * col("__m") <=
+          col("rank") * lit(qNum) * lit(1000000L), col("rank")))
+      .withColumn("__maxi",
+        coalesce(max(col("__flag")).over(wAll), lit(0L)))
+    ranked.select(col("arm_a"), col("arm_b"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        round(col("__z"), 6).as("z"), round(col("__p"), 6).as("p"),
+        col("rank"),
+        (col("rank") <= col("__maxi")).cast("long").as("rejected"))
+      .orderBy(col("rank"))
+  }
+
   /** PROPENSITY-SCORE CALIPER MATCHING (ATT, 1-nearest control WITH
     * replacement — Rosenbaum & Rubin 1985) — the classic causal
     * estimator missing between stratification

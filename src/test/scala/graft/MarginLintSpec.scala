@@ -48,7 +48,10 @@ class MarginLintSpec extends AnyFunSpec {
     // r11 additions: Aalen-Johansen CIF — KM survival margin is the
     // audited q245/q338 site; the CIF running sum and the q352
     // z/boundary rounds are probed in tools/margin_manual.py
-    "q347_cum_incidence", "q352_group_seq")
+    "q347_cum_incidence", "q352_group_seq",
+    // q300's construction over the arm lattice — same z/p rounds,
+    // probed in tools/margin_manual.py
+    "q355_pairwise_arms")
 
   private val entryStart = """private val (q\w+): Q""".r
   private val roundSite = """\b(round|floor)\s*\(""".r

@@ -387,6 +387,37 @@ PROBES = {
            FROM cum CROSS JOIN zaq)
       SELECT min(""" + rmargin('x', 6) + """) AS margin FROM vals""",
 
+    # q355 pairwise arms: margins of the rounded z and p over all
+    # C(5,2) priority pairs
+    "q355_pairwise_arms": """WITH cells AS (SELECT
+             o_orderpriority AS a,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice > 150000.0 AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         pr AS (SELECT ca.n AS n_a, ca.x AS x_a,
+             cb.n AS n_b, cb.x AS x_b
+           FROM cells ca JOIN cells cb ON ca.a < cb.a
+           WHERE ca.x + cb.x > 0 AND ca.x + cb.x < ca.n + cb.n),
+         zc AS (SELECT (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(x_a + x_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE)
+                  + 1.0 / CAST(n_b AS DOUBLE))) AS z FROM pr),
+         ph AS (SELECT z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+           FROM zc),
+         vals AS (SELECT z AS x FROM ph
+           UNION ALL
+           SELECT 2.0 * (1.0 - (1.0 - exp(-(abs(z) * abs(z)) / 2.0)
+             / 2.5066282746310002 *
+             (t * (0.319381530 + t * (-0.356563782 +
+               t * (1.781477937 + t * (-1.821255978 +
+                 t * 1.330274429))))))) FROM ph)
+      SELECT min(""" + rmargin('x', 6) + """) AS margin FROM vals""",
+
     # geo radius (banded): hashed-output safety over the SELECTED
     # pairs (d <= T; only their dist_m is hashed) + threshold
     # clearance in meters over ALL banded candidate pairs — a flip
