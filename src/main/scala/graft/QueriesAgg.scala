@@ -2203,10 +2203,13 @@ object QueriesAgg {
     * 1-nearest control WITH replacement within a 25-unit caliper on
     * the q304 static integer score — the classic matching estimator
     * completing the causal family (stratification q303/q304, IPW
-    * q332, AIPW q339). Banded score-bucket join (the q248 argument
-    * in 1-D), censused; per-treated argmin via rank window; exact-
-    * decimal close. The oracle replays bucketing, candidate
-    * generation, the (|Δ|, tiebreak) argmin and the sums.
+    * q332, AIPW q339). Distinct-score census + full-outer score-axis
+    * merge + two ordered window passes (the r11 sf1 capture caught
+    * the naive banded pair join going candidate-quadratic at 1.5M
+    * rows; this form is O(distinct scores)); per-score argmin with
+    * the (|Δ|, tiebreak) semantics preserved; exact-decimal close.
+    * The oracle replays the census, both window passes, the pick
+    * CASE and the sums.
     */
   private val q354_ps_match: Q = (
     (s, dir) => graft.ops.Experiment.psMatchAtt(
@@ -2224,32 +2227,50 @@ object QueriesAgg {
                  (3 * CAST(floor(o_totalprice) AS BIGINT)) // 100
                    + 7 * (o_custkey % 100) AS sq
                FROM orders),
-             tt AS (SELECT sq AS sqt, y AS yt, tb AS tbt,
-                 CAST(floor(CAST(sq AS DOUBLE) / 25.0) AS BIGINT)
-                   AS b FROM s WHERE t = 1),
-             cc AS (SELECT sq AS sqc, y AS yc, tb AS tbc,
-                 CAST(floor(CAST(sq AS DOUBLE) / 25.0) AS BIGINT)
-                   AS bc FROM s WHERE t = 0),
-             cand AS (SELECT sqt, yt, tbt, sqc, yc, tbc
-               FROM tt JOIN cc
-                 ON cc.bc BETWEEN tt.b - 1 AND tt.b + 1
-                AND abs(cc.sqc - tt.sqt) <= 25),
-             m AS (SELECT * FROM (SELECT *, row_number() OVER (
-                 PARTITION BY tbt
-                 ORDER BY abs(sqc - sqt), tbc) AS rn FROM cand)
-               WHERE rn = 1),
-             nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
-                    FROM tt),
-             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
-                 sum(CAST(CAST(yt AS DOUBLE) - CAST(yc AS DOUBLE)
-                   AS DECIMAL(25,6))) AS sd FROM m)
-        SELECT nt.n_treated, ag.n_matched,
-               CAST(floor(CAST(ag.n_matched AS DOUBLE) * 1000000.0
-                 / CAST(nt.n_treated AS DOUBLE)) AS BIGINT)
-                 AS match_ppm,
-               round(CAST(sd AS DOUBLE)
-                 / CAST(ag.n_matched AS DOUBLE), 6) AS att
-        FROM nt CROSS JOIN ag"""))
+             tc AS (SELECT sq, CAST(count(*) AS BIGINT) AS nt,
+                 sum(CAST(y AS DECIMAL(25,6))) AS syt
+               FROM s WHERE t = 1 GROUP BY 1),
+             cr AS (SELECT sq, y AS cy, tb AS ctb FROM (
+                 SELECT sq, y, tb, row_number() OVER (
+                   PARTITION BY sq ORDER BY tb, y) AS rn
+                 FROM s WHERE t = 0) WHERE rn = 1),
+             ax AS (SELECT COALESCE(tc.sq, cr.sq) AS sq, nt, syt,
+                 cr.sq AS csq, ctb, cy
+               FROM tc FULL OUTER JOIN cr ON tc.sq = cr.sq),
+             mk AS (SELECT *,
+                 last_value(csq IGNORE NULLS) OVER wp AS psq,
+                 last_value(ctb IGNORE NULLS) OVER wp AS ptb,
+                 last_value(cy IGNORE NULLS) OVER wp AS py,
+                 first_value(csq IGNORE NULLS) OVER wn AS nsq,
+                 first_value(ctb IGNORE NULLS) OVER wn AS ntb,
+                 first_value(cy IGNORE NULLS) OVER wn AS ny
+               FROM ax
+               WINDOW wp AS (ORDER BY sq ROWS UNBOUNDED PRECEDING),
+                      wn AS (ORDER BY sq ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)),
+             pk AS (SELECT sq, nt, syt, CASE
+                 WHEN psq IS NOT NULL AND sq - psq <= 25
+                  AND nsq IS NOT NULL AND nsq - sq <= 25 THEN
+                   CASE WHEN sq - psq < nsq - sq THEN py
+                        WHEN nsq - sq < sq - psq THEN ny
+                        WHEN ptb <= ntb THEN py ELSE ny END
+                 WHEN psq IS NOT NULL AND sq - psq <= 25 THEN py
+                 WHEN nsq IS NOT NULL AND nsq - sq <= 25 THEN ny
+                 END AS ycm
+               FROM mk WHERE nt IS NOT NULL)
+        SELECT CAST(sum(nt) AS BIGINT) AS n_treated,
+               CAST(sum(CASE WHEN ycm IS NOT NULL THEN nt ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               CAST(floor(CAST(sum(CASE WHEN ycm IS NOT NULL THEN nt
+                   ELSE 0 END) AS DOUBLE) * 1000000.0
+                 / CAST(sum(nt) AS DOUBLE)) AS BIGINT) AS match_ppm,
+               round(CAST(sum(CASE WHEN ycm IS NOT NULL THEN
+                   CAST(CAST(syt AS DOUBLE)
+                     - CAST(nt AS DOUBLE) * ycm AS DECIMAL(38,12))
+                   END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN ycm IS NOT NULL THEN nt
+                     ELSE 0 END) AS DOUBLE), 6) AS att
+        FROM pk"""))
 
   /** PS stratification, STATIC-WEIGHT oracle twin: the identical
     * ntile/cells/weighted-ATE pipeline under a fixed integer score

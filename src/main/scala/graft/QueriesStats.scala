@@ -394,7 +394,8 @@ object QueriesStats {
       id = col("l_orderkey") * 10 + col("l_linenumber"),
       x = col("l_quantity"), y = col("l_extendedprice"), k = 5),
     Some("""WITH rows AS (SELECT
-                 (((l_orderkey * 10 + l_linenumber) * 2654435761 + 42)
+                 ((((l_orderkey * 10 + l_linenumber) % 1000000007)
+                   * 2654435761 + 42)
                    % 1000000007) % 5 AS fold,
                  CAST(l_quantity AS DOUBLE) AS x,
                  CAST(l_extendedprice AS DOUBLE) AS y

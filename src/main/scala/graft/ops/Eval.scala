@@ -142,8 +142,12 @@ object Eval {
     require(k >= 2, s"kFoldOls: k=$k")
     def isum(c: Column) = sum(c.cast("decimal(38,10)")).cast("double")
     // the engine's portable id hash (the q70 sampling convention) so
-    // fold membership replays on any engine
-    val fold = pmod(pmod(id.cast("long") * lit(2654435761L) + lit(42L),
+    // fold membership replays on any engine. The id is REDUCED mod
+    // 1e9+7 BEFORE the multiplicative step: a raw id ≥ ~3.4e9 (hit
+    // by sf1's composite lineitem ids) overflows id·2654435761 under
+    // ANSI — caught by the r11 sf1 bench capture
+    val fold = pmod(pmod(pmod(id.cast("long"), lit(1000000007L)) *
+      lit(2654435761L) + lit(42L),
       lit(1000000007L)), lit(k.toLong))
     val rows = df.select(fold.as("fold"),
       x.cast("double").as("__x"), y.cast("double").as("__y"))

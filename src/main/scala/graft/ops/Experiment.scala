@@ -970,55 +970,85 @@ object Experiment {
     * greedy without-replacement variant is inherently sequential —
     * the wrong venue at any scale).
     *
-    * Plan shape: score-bucket banded join (bucket = ⌊sq/caliper⌋;
-    * a within-caliper pair differs by ≤1 bucket — the q248 banding
-    * argument in one dimension), census guard on the densest bucket
-    * of BOTH sides before the join runs, per-treated argmin by
-    * (|Δscore|, control tiebreak) through a rank window
-    * (WindowGroupLimit), one exact-decimal close. Emits one row:
+    * Plan shape (the r11 sf1 lesson — see the in-body comment): the
+    * match depends only on the treated unit's SCORE, so the work
+    * unit is the distinct score, never the unit pair. One grouped
+    * census per side, a full-outer merge on the score axis, and two
+    * ordered window passes (nearest control score above/below)
+    * resolve every match in O(distinct scores) — guarded — with the
+    * per-treated argmin semantics (|Δscore|, then control tiebreak,
+    * equidistant resolved across both candidate scores) preserved
+    * exactly. One exact-decimal close. Emits one row:
     * (n_treated, n_matched, match_ppm, att).
     */
   def psMatchAtt(df: DataFrame, treated: Column, outcome: Column,
       scoreQ: Column, tiebreak: Column, caliper: Long,
-      maxPerBucket: Long = 1000000L): DataFrame = {
+      maxDistinctScores: Long = 1000000L): DataFrame = {
     require(caliper >= 1, s"psMatchAtt: caliper $caliper")
     val base = df.select(treated.cast("int").as("__t"),
       outcome.cast("double").as("__y"),
-      scoreQ.cast("long").as("__sq"), tiebreak.as("__tb"))
-    val t = base.where(col("__t") === 1)
-      .select(col("__sq").as("__sqt"), col("__y").as("__yt"),
-        col("__tb").as("__tbt"),
-        floor(col("__sq").cast("double") / caliper).cast("long")
-          .as("__b"))
-    val c = base.where(col("__t") === 0)
-      .select(col("__sq").as("__sqc"), col("__y").as("__yc"),
-        col("__tb").as("__tbc"),
-        floor(col("__sq").cast("double") / caliper).cast("long")
-          .as("__bc"))
-    def worst(d: DataFrame, b: String) = d.groupBy(col(b)).count()
-      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
-    val (wt, wc) = (worst(t, "__b"), worst(c, "__bc"))
-    require(wt <= maxPerBucket && wc <= maxPerBucket,
-      s"psMatchAtt: densest caliper bucket holds $wt/$wc units " +
-        s"(> $maxPerBucket) — coarsen the score or widen the caliper")
-    val cand = t.join(c,
-        col("__bc").between(col("__b") - 1, col("__b") + 1) &&
-          abs(col("__sqc") - col("__sqt")) <= caliper)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__tbt"))
-      .orderBy(abs(col("__sqc") - col("__sqt")), col("__tbc"))
-    val matched = cand.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-    val nT = t.count()
-    matched.agg(
-        count(lit(1)).as("n_matched"),
-        sum((col("__yt") - col("__yc")).cast("decimal(25,6)"))
-          .as("__sd"))
-      .select(lit(nT).as("n_treated"), col("n_matched"),
+      scoreQ.cast("long").as("__sq"), tiebreak.cast("long").as("__tb"))
+    // CENSUS, not pairs: every treated unit at score s takes the SAME
+    // match (nearest control score, min-tiebreak control within it),
+    // so the unit of work is the DISTINCT score — the r11 sf1 capture
+    // caught the naive banded pair join going candidate-quadratic
+    // (750k treated x ~3k in-caliper controls = 2e9 rows) and this
+    // shape replaced it: one grouped census per side, one full-outer
+    // merge on the score axis, two ordered window passes. Work is
+    // O(distinct scores), guarded below, at ANY row count.
+    val tCells = base.where(col("__t") === 1)
+      .groupBy(col("__sq")).agg(count(lit(1)).as("__nt"),
+        sum(col("__y").cast("decimal(25,6)")).as("__syt"))
+    val cCells = base.where(col("__t") === 0)
+      .groupBy(col("__sq"))
+      // lexicographic struct min = the min-tiebreak control's outcome
+      .agg(min(struct(col("__tb"), col("__y"))).as("__rep"))
+    val axis = graft.Caches.pin(
+      tCells.join(cCells, Seq("__sq"), "full_outer"))
+    val nScores = axis.count()
+    require(nScores <= maxDistinctScores,
+      s"psMatchAtt: $nScores distinct scores exceed " +
+        s"$maxDistinctScores — coarsen the score grid")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(ScanOps.pinnedZero(col("__sq")))
+      .orderBy(col("__sq"))
+    val cHere = when(col("__rep").isNotNull,
+      struct(col("__sq").as("__csq"), col("__rep.__tb").as("__ctb"),
+        col("__rep.__y").as("__cy")))
+    val marked = axis
+      .withColumn("__prev", last(cHere, ignoreNulls = true)
+        .over(wOrd.rowsBetween(Long.MinValue, 0)))
+      .withColumn("__next", first(cHere, ignoreNulls = true)
+        .over(wOrd.rowsBetween(0, Long.MaxValue)))
+      .where(col("__nt").isNotNull)
+    val dPrev = col("__sq") - col("__prev.__csq")
+    val dNext = col("__next.__csq") - col("__sq")
+    val pOk = col("__prev").isNotNull && dPrev <= caliper
+    val nOk = col("__next").isNotNull && dNext <= caliper
+    val pick = when(pOk && nOk,
+        when(dPrev < dNext, col("__prev"))
+          .when(dNext < dPrev, col("__next"))
+          // equidistant: the original (|Δ|, tiebreak) rule — min
+          // tiebreak across BOTH candidate scores' representatives
+          .otherwise(when(col("__prev.__ctb") <= col("__next.__ctb"),
+            col("__prev")).otherwise(col("__next"))))
+      .when(pOk, col("__prev"))
+      .when(nOk, col("__next"))
+    val withPick = marked.withColumn("__m", pick)
+    withPick.agg(
+        sum(col("__nt")).as("n_treated"),
+        sum(when(col("__m").isNotNull, col("__nt")).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("__m").isNotNull,
+          (col("__syt").cast("double") -
+            col("__nt").cast("double") * col("__m.__cy"))
+            .cast("decimal(38,12)"))).cast("double").as("__num"))
+      .select(col("n_treated"), col("n_matched"),
         floor(col("n_matched").cast("double") * lit(1000000.0) /
-          lit(nT.toDouble)).cast("long").as("match_ppm"),
-        round(col("__sd").cast("double") /
-          col("n_matched").cast("double"), 6).as("att"))
+          col("n_treated").cast("double")).cast("long")
+          .as("match_ppm"),
+        round(col("__num") / col("n_matched").cast("double"), 6)
+          .as("att"))
   }
 
   /** GROUP-SEQUENTIAL MONITORING with O'Brien-Fleming-style

@@ -54,7 +54,7 @@ class TextRankMatchSpec extends SparkSuite {
   }
 
   test("psMatchAtt: with-replacement — two treated can share one " +
-      "control; the bucket census guard refuses a degenerate score") {
+      "control; the score-census guard refuses an unbounded grid") {
     val df = Seq(
       (1, 1.0, 100L, 1L), (1, 0.0, 101L, 2L),
       (0, 0.5, 100L, 11L))
@@ -65,12 +65,26 @@ class TextRankMatchSpec extends SparkSuite {
     // att = ((1-0.5) + (0-0.5)) / 2 = 0
     assert(r.getAs[Double]("att") == 0.0)
 
-    val degen = (1L to 50L).map(i =>
-      (if (i % 2 == 0) 1 else 0, 1.0, 7L, i)).toDF("t", "y", "sq", "id")
+    val wide = (1L to 50L).map(i =>
+      (if (i % 2 == 0) 1 else 0, 1.0, i * 100L, i))
+      .toDF("t", "y", "sq", "id")
     val e = intercept[IllegalArgumentException] {
-      Experiment.psMatchAtt(degen, col("t"), col("y"), col("sq"),
-        col("id"), caliper = 25L, maxPerBucket = 10L)
+      Experiment.psMatchAtt(wide, col("t"), col("y"), col("sq"),
+        col("id"), caliper = 25L, maxDistinctScores = 10L)
     }
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("scores"))
+  }
+
+  test("psMatchAtt: equidistant candidate scores resolve by the " +
+      "min-tiebreak control across BOTH scores") {
+    // treated sq=100; controls at 98 (tb 20, y=1) and 102 (tb 3, y=0)
+    // — equidistant, tb 3 wins -> matched y = 0
+    val df = Seq(
+      (1, 1.0, 100L, 1L),
+      (0, 1.0, 98L, 20L), (0, 0.0, 102L, 3L))
+      .toDF("t", "y", "sq", "id")
+    val r = Experiment.psMatchAtt(df, col("t"), col("y"), col("sq"),
+      col("id"), caliper = 25L).collect()(0)
+    assert(r.getAs[Double]("att") == 1.0) // 1.0 - 0.0
   }
 }
