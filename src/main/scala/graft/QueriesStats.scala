@@ -1230,7 +1230,93 @@ object QueriesStats {
                  THEN 1 ELSE 0 END AS INTEGER) AS is_first_crossing
         FROM cr CROSS JOIN fk ORDER BY k"""))
 
+  /** TWO-SAMPLE CRAMÉR-VON MISES ([[graft.ops.RankStats
+    * .cramerVonMises]]): integrated squared CDF gap between the
+    * customer-parity order-value distributions on the whole-dollar
+    * census — the distribution-shift read KS's single supremum and
+    * Wasserstein's transport cost both miss (many small gaps across
+    * the range). Decimal-exact numerator, one double close.
+    */
+  private val q356_cvm: Q = (
+    (s, dir) => graft.ops.RankStats.cramerVonMises(
+      read(s, dir, "orders"),
+      inB = col("o_custkey") % 2 === 1,
+      value = floor(col("o_totalprice"))),
+    Some("""WITH rows AS (SELECT
+                 CAST(o_custkey % 2 = 1 AS BOOLEAN) AS b,
+                 CAST(floor(o_totalprice) AS BIGINT) AS v
+               FROM orders),
+             census AS (SELECT v,
+                 CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+               FROM rows GROUP BY 1),
+             tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+                 CAST(sum(cb) AS BIGINT) AS m FROM census),
+             cum AS (SELECT v, ca, cb,
+                 CAST(sum(ca) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS A,
+                 CAST(sum(cb) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS B
+               FROM census),
+             ag AS (SELECT max(n) AS n_a, max(m) AS n_b,
+                 sum(CAST(ca + cb AS DECIMAL(38,0)) *
+                     CAST(A * m - B * n AS DECIMAL(38,0)) *
+                     CAST(A * m - B * n AS DECIMAL(38,0))) AS num
+               FROM cum CROSS JOIN tot)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(CAST(num AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                   * CAST(n_a + n_b AS DOUBLE)
+                   * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                 AS t_stat
+        FROM ag"""))
+
+  /** CAPTURE-RECAPTURE population estimate ([[graft.functions.Stats
+    * .captureRecapture]]): viewers and clickers as the two capture
+    * channels over the events user space — Chapman and Lincoln-
+    * Petersen estimates of the TOTAL user population next to the
+    * seen lower bound; one grouped pass, floor-of-double integer
+    * closes.
+    */
+  private val q357_capture: Q = (
+    (s, dir) => graft.functions.Stats.captureRecapture(
+      read(s, dir, "events"),
+      key = col("user_id"),
+      inA = col("event_type") === "view",
+      inB = col("event_type") === "click"),
+    Some("""WITH pk AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                   END) AS ia,
+                 max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                   END) AS ib
+               FROM events GROUP BY 1
+               HAVING max(CASE WHEN event_type = 'view' THEN 1
+                   ELSE 0 END) = 1
+                 OR max(CASE WHEN event_type = 'click' THEN 1
+                   ELSE 0 END) = 1)
+        SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+               CAST(sum(ib) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0
+                 END) AS BIGINT) AS overlap,
+               CAST(count(*) AS BIGINT) AS seen,
+               CAST(floor(CAST((sum(ia) + 1) * (sum(ib) + 1)
+                   AS DOUBLE)
+                 / CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+                     ELSE 0 END) + 1 AS DOUBLE)) AS BIGINT) - 1
+                 AS chapman_est,
+               CASE WHEN sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+                   ELSE 0 END) > 0 THEN
+                 CAST(floor(CAST(sum(ia) * sum(ib) AS DOUBLE)
+                   / CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+                       ELSE 0 END) AS DOUBLE)) AS BIGINT) END
+                 AS lincoln_petersen_est
+        FROM pk"""))
+
   val all: Map[String, Q] = Map(
+    "q356_cvm" -> q356_cvm,
+    "q357_capture" -> q357_capture,
     "q352_group_seq" -> q352_group_seq,
     "q346_changepoint" -> q346_changepoint,
     "q347_cum_incidence" -> q347_cum_incidence,

@@ -870,6 +870,43 @@ object Stats {
         col("s_neg"), col("alarm"))
   }
 
+  /** CAPTURE-RECAPTURE POPULATION ESTIMATE (Lincoln-Petersen;
+    * Chapman 1951 small-sample correction) — "how many distinct
+    * users exist, counting the ones we never saw": two observation
+    * channels A and B mark their distinct keys, the overlap plays
+    * the recapture, and N̂ = (n_A+1)(n_B+1)/(m+1) − 1 estimates the
+    * total population under independent capture. Pure integer
+    * arithmetic (floor division), one grouped pass over the keys —
+    * the demographic estimator behind "true reach" questions no
+    * distinct count can answer.
+    *
+    * Emits one row: (n_a, n_b, overlap, seen = |A∪B|, chapman_est,
+    * lincoln_petersen_est — NULL when the overlap is empty).
+    */
+  def captureRecapture(df: DataFrame, key: Column, inA: Column,
+      inB: Column): DataFrame = {
+    val perKey = df.select(key.as("__k"),
+        inA.cast("boolean").as("__a"), inB.cast("boolean").as("__b"))
+      .groupBy(col("__k"))
+      .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+      .where(col("__ia") || col("__ib"))
+    perKey.agg(
+        sum(col("__ia").cast("long")).as("n_a"),
+        sum(col("__ib").cast("long")).as("n_b"),
+        sum((col("__ia") && col("__ib")).cast("long")).as("overlap"),
+        count(lit(1)).as("seen"))
+      .select(col("n_a"), col("n_b"), col("overlap"), col("seen"),
+        // explicit floor-of-double (identical operands both engines;
+        // a bare cast truncates on one engine and rounds on another)
+        (floor(((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
+          (col("overlap") + 1).cast("double")).cast("long") - 1L)
+          .as("chapman_est"),
+        when(col("overlap") > 0,
+          floor((col("n_a") * col("n_b")).cast("double") /
+            col("overlap").cast("double")).cast("long"))
+          .as("lincoln_petersen_est"))
+  }
+
   /** SINGLE-CHANGEPOINT DETECTION per series (binary segmentation's
     * first split; Scott & Knott 1974 / the AMOC case of PELT): the
     * split l that minimizes two-segment SSE over the ordered series,

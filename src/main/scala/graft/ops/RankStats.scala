@@ -230,6 +230,55 @@ object RankStats {
     * build an unbounded self-join — at a monthly/daily grain a
     * century of data stays thousands of points.
     */
+  /** TWO-SAMPLE CRAMÉR-VON MISES (Anderson 1962) — the integrated-
+    * squared-CDF-gap companion to KS (q37, supremum gap) and
+    * Wasserstein-1 (q335, transport cost): T = nm/N² · Σ_x c_x ·
+    * (F_n(x) − G_m(x))², summed over the POOLED distinct-value
+    * census. Sensitive where KS is not — many small CDF gaps across
+    * the range. Exact integer core: with A_x/B_x the cumulative
+    * side counts at x, (F−G)(x) = (A_x·m − B_x·n)/(nm) and
+    * T = Σ c_x·(A_x·m − B_x·n)² / (N²·n·m) — one decimal(38,0)
+    * numerator sum over the census, one double divide at the close.
+    * `value` must be integer-valued (callers quantize — the gini
+    * contract); census bounded by `maxDistinct`; `inB` selects side
+    * B. Emits one row: (n_a, n_b, t_stat 6dp) — the numerator is
+    * decimal-exact and order-free, the close is one fixed-order
+    * double expression.
+    */
+  def cramerVonMises(df: DataFrame, inB: Column, value: Column,
+      maxDistinct: Long = 1000000L): DataFrame = {
+    val rows = df.select(inB.cast("boolean").as("__b"),
+      value.cast("long").as("__v"))
+    val census = rows.groupBy(col("__v")).agg(
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    censusGuard(census, maxDistinct, "cramerVonMises")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(ScanOps.pinnedZero(col("__v")))
+      .orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    val tot = census.agg(sum(col("__ca")).as("__n"),
+      sum(col("__cb")).as("__m"))
+    val cum = census
+      .withColumn("__A", sum(col("__ca")).over(w))
+      .withColumn("__B", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+    // square in DECIMAL: gap reaches ~1.2e12 at sf1, so gap² blows
+    // int64 — the decimal lattice holds it exactly (≤ ~1e30 total)
+    val gap = (col("__A") * col("__m") - col("__B") * col("__n"))
+      .cast("decimal(38,0)")
+    cum.agg(
+        max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
+        sum(((col("__ca") + col("__cb")).cast("decimal(38,0)") *
+          gap * gap).cast("decimal(38,0)"))
+          .as("__num"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__num").cast("double") /
+          ((col("n_a") + col("n_b")).cast("double") *
+            (col("n_a") + col("n_b")).cast("double") *
+            col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("t_stat"))
+  }
+
   def mannKendall(df: DataFrame, series: Column, t: Column, v: Column,
       maxPoints: Int = 10000): DataFrame = {
     val pts = graft.Caches.pin(df.select(series.as("series"),
