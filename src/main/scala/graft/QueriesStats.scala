@@ -1060,8 +1060,8 @@ object QueriesStats {
                  CAST(d_all AS DOUBLE) / CAST(n_risk AS DOUBLE)))
                  OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
                  AS surv FROM r),
-             sp AS (SELECT *, COALESCE(lag(CAST(surv * 1e6
-                 AS BIGINT)) OVER (ORDER BY t), 1000000) AS s6p
+             sp AS (SELECT *, COALESCE(lag(CAST(floor(surv * 1e6
+                 + 0.5) AS BIGINT)) OVER (ORDER BY t), 1000000) AS s6p
                FROM km),
              terms AS (SELECT 1 AS cause, t, n_risk, d1 AS d,
                  CAST(CAST(s6p * d1 AS DOUBLE)
@@ -1093,7 +1093,8 @@ object QueriesStats {
           "o_orderpriority", col("o_custkey"), k = 256), k = 256)
       .orderBy(col("segment")),
     Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
-                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+                 ((o_custkey % 1000000007) * 2654435761 + 42)
+                   % 1000000007 AS h
                FROM orders),
              r AS (SELECT segment, h, row_number() OVER (
                  PARTITION BY segment ORDER BY h) AS rank FROM h),
@@ -1124,7 +1125,8 @@ object QueriesStats {
         sk.where(col("segment") === "5-LOW"), k = 256)
     },
     Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
-                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+                 ((o_custkey % 1000000007) * 2654435761 + 42)
+                   % 1000000007 AS h
                FROM orders
                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
              r AS (SELECT segment, h, row_number() OVER (
@@ -1260,11 +1262,14 @@ object QueriesStats {
                  CAST(sum(cb) OVER (ORDER BY v
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS B
                FROM census),
+             gp AS (SELECT ca, cb,
+                 CAST(A AS HUGEINT) * CAST(m AS HUGEINT)
+                   - CAST(B AS HUGEINT) * CAST(n AS HUGEINT) AS gap,
+                 n, m
+               FROM cum CROSS JOIN tot),
              ag AS (SELECT max(n) AS n_a, max(m) AS n_b,
-                 sum(CAST(ca + cb AS DECIMAL(38,0)) *
-                     CAST(A * m - B * n AS DECIMAL(38,0)) *
-                     CAST(A * m - B * n AS DECIMAL(38,0))) AS num
-               FROM cum CROSS JOIN tot)
+                 sum(CAST(ca + cb AS HUGEINT) * gap * gap) AS num
+               FROM gp)
         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                round(CAST(num AS DOUBLE)
                  / (CAST(n_a + n_b AS DOUBLE)
@@ -1301,16 +1306,17 @@ object QueriesStats {
                CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0
                  END) AS BIGINT) AS overlap,
                CAST(count(*) AS BIGINT) AS seen,
-               CAST(floor(CAST((sum(ia) + 1) * (sum(ib) + 1)
-                   AS DOUBLE)
-                 / CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
-                     ELSE 0 END) + 1 AS DOUBLE)) AS BIGINT) - 1
+               CAST((CAST(sum(ia) AS HUGEINT) + 1)
+                   * (CAST(sum(ib) AS HUGEINT) + 1)
+                 // (CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+                     ELSE 0 END) AS HUGEINT) + 1) AS BIGINT) - 1
                  AS chapman_est,
                CASE WHEN sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
                    ELSE 0 END) > 0 THEN
-                 CAST(floor(CAST(sum(ia) * sum(ib) AS DOUBLE)
-                   / CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
-                       ELSE 0 END) AS DOUBLE)) AS BIGINT) END
+                 CAST(CAST(sum(ia) AS HUGEINT)
+                     * CAST(sum(ib) AS HUGEINT)
+                   // CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1
+                       ELSE 0 END) AS HUGEINT) AS BIGINT) END
                  AS lincoln_petersen_est
         FROM pk"""))
 

@@ -459,7 +459,8 @@ object QueriesStream {
         k = 256)
       .orderBy(col("segment")),
     Some("""WITH h AS (SELECT DISTINCT o_orderpriority AS segment,
-                 (o_custkey * 2654435761 + 42) % 1000000007 AS h
+                 ((o_custkey % 1000000007) * 2654435761 + 42)
+                   % 1000000007 AS h
                FROM orders),
              r AS (SELECT segment, h, row_number() OVER (
                  PARTITION BY segment ORDER BY h) AS rank FROM h),

@@ -896,14 +896,18 @@ object Stats {
         sum((col("__ia") && col("__ib")).cast("long")).as("overlap"),
         count(lit(1)).as("seen"))
       .select(col("n_a"), col("n_b"), col("overlap"), col("seen"),
-        // explicit floor-of-double (identical operands both engines;
-        // a bare cast truncates on one engine and rounds on another)
-        (floor(((col("n_a") + 1) * (col("n_b") + 1)).cast("double") /
-          (col("overlap") + 1).cast("double")).cast("long") - 1L)
-          .as("chapman_est"),
+        // integral division over a DECIMAL(38,0) product: the long
+        // multiply (n_a+1)(n_b+1) would ANSI-overflow past ~3e9 per
+        // channel (the q314 class) and a double floor loses integer
+        // exactness past 2^53 (~9.5e7 per channel) — `div` of exact
+        // decimals floors exactly at any channel size (operands
+        // positive, so floor == truncate on both engines)
+        (expr("((CAST(n_a AS DECIMAL(38,0)) + 1) * " +
+          "(CAST(n_b AS DECIMAL(38,0)) + 1)) div (overlap + 1)")
+          .cast("long") - 1L).as("chapman_est"),
         when(col("overlap") > 0,
-          floor((col("n_a") * col("n_b")).cast("double") /
-            col("overlap").cast("double")).cast("long"))
+          expr("(CAST(n_a AS DECIMAL(38,0)) * " +
+            "CAST(n_b AS DECIMAL(38,0))) div overlap").cast("long"))
           .as("lincoln_petersen_est"))
   }
 

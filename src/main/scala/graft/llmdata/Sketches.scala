@@ -356,9 +356,16 @@ object Sketches {
   def kmv(df: DataFrame, segment: String, key: Column, k: Int,
       seed: Long = 42L): DataFrame = {
     require(k >= 16, s"kmv: k $k too small for a stable estimate")
-    val h = pmod(key.cast("long") * lit(2654435761L) + lit(seed),
-      lit(1000000007L))
+    // Pre-reduce the key mod 1e9+7 BEFORE the multiply: a raw id
+    // ≥ ~3.4e9 would overflow id·2654435761 as a long under ANSI
+    // (the q314 kFoldOls class) — reduction first keeps the product
+    // < 1e9+7 · 2.7e9 < 2^62 and leaves hashes of small keys
+    // unchanged. Null segments are dropped (documented contract,
+    // matching the streaming build in kmvSketchStream).
+    val h = pmod(pmod(key.cast("long"), lit(1000000007L)) *
+      lit(2654435761L) + lit(seed), lit(1000000007L))
     val hashes = df.select(col(segment).as("segment"), h.as("h"))
+      .where(col("segment").isNotNull)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("segment")).orderBy(col("h"))

@@ -273,10 +273,12 @@ object Experiment {
           log(lit(1.0) - col("d_all").cast("double") /
             col("n_risk").cast("double"))).over(wOrd)), 6)))
       // S(t⁻) as an exact integer: the 6dp-rounded survival of the
-      // PREVIOUS event time, ×1e6 (integer-valued double → exact
-      // long), 1e6 (=S(0)) before the first event
+      // PREVIOUS event time, ×1e6 quantized HALF-UP (floor(x+0.5) —
+      // round(x,6)*1e6 is not always integer-valued as a double, and
+      // a bare long cast truncates in Spark but rounds in DuckDB),
+      // 1e6 (=S(0)) before the first event
       .withColumn("__s6_prev",
-        coalesce(lag((col("__surv") * 1e6).cast("long"), 1)
+        coalesce(lag(floor(col("__surv") * 1e6 + 0.5).cast("long"), 1)
           .over(wOrd), lit(1000000L)))
     val terms = causes.map { k =>
       struct(lit(k).as("cause"), col(s"__d_$k").as("d"),

@@ -31,17 +31,36 @@ import org.apache.spark.storage.StorageLevel
 object GraphFixtures {
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
-      DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), (SparkSession, DataFrame)]()
+
+  /** Stable UNIQUE session id via [[org.apache.spark.sql.GraftBridge
+    * .sessionUid]] (sessionUUID): an identity hash can collide across
+    * session restarts in a long-lived JVM and would hand a later
+    * session a DataFrame bound to a stopped context — the UUID
+    * cannot.
+    */
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUid(s)
+
+  /** Drop every entry whose owning session's context has stopped:
+    * its persisted blocks died with the context, and handing the
+    * frame to anyone is a runtime failure. Called on every access so
+    * a long-lived JVM restarting sessions cannot accumulate dead
+    * entries.
+    */
+  private def sweep(): Unit =
+    memo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
 
   private def cached(s: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(
-      (System.identityHashCode(s), dir, name), _ => {
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count() // eager: construction cost lands on the builder
-        df
-      })
+      build: => DataFrame): DataFrame = {
+    sweep()
+    memo.computeIfAbsent((sid(s), dir, name), _ => {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // eager: construction cost lands on the builder
+      (s, df)
+    })._2
+  }
 
   /** Canonical bipartite purchase graph (q169 / q322 / q328): one
     * shared id space by parity (customer·2, part·2+1), DISTINCT
@@ -96,7 +115,7 @@ object GraphFixtures {
 
   /** Unpersist and forget every fixture (all sessions). */
   def clear(): Unit = {
-    memo.values.forEach { df =>
+    memo.values.forEach { case (_, df) =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => }
     }

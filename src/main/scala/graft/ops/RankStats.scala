@@ -262,10 +262,13 @@ object RankStats {
       .withColumn("__A", sum(col("__ca")).over(w))
       .withColumn("__B", sum(col("__cb")).over(w))
       .crossJoin(broadcast(tot))
-    // square in DECIMAL: gap reaches ~1.2e12 at sf1, so gap² blows
-    // int64 — the decimal lattice holds it exactly (≤ ~1e30 total)
-    val gap = (col("__A") * col("__m") - col("__B") * col("__n"))
-      .cast("decimal(38,0)")
+    // gap AND its square in DECIMAL: the operands A·m / B·n already
+    // blow int64 at n·m ≳ 9.2e18 (n,m ≈ 3e9 rows), so cast BEFORE
+    // the multiply — a long product would ANSI-overflow before the
+    // decimal lattice ever saw it; gap² ≤ (n·m)² ≤ ~8e37 < 10^38
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gap = dec(dec(col("__A")) * dec(col("__m")) -
+      dec(col("__B")) * dec(col("__n")))
     cum.agg(
         max(col("__n")).as("n_a"), max(col("__m")).as("n_b"),
         sum(((col("__ca") + col("__cb")).cast("decimal(38,0)") *

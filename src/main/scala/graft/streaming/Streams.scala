@@ -868,7 +868,8 @@ object Streams {
     val ss = rows.sparkSession
     import ss.implicits._
     rows.select(col(segmentCol).cast("string").as("segment"),
-        pmod(col(keyCol).cast("long") * lit(2654435761L) + lit(seed),
+        pmod(pmod(col(keyCol).cast("long"), lit(1000000007L)) *
+          lit(2654435761L) + lit(seed),
           lit(1000000007L)).as("h"))
       .where(col("segment").isNotNull)
       .as[(String, Long)]

@@ -13,6 +13,16 @@ object GraftBridge {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Stable UNIQUE id of a session — `sessionUUID` is private[sql]
+    * on the classic session; identity hash only for exotic impls
+    * (an identity hash can collide across session restarts in a
+    * long-lived JVM, a UUID cannot).
+    */
+  def sessionUid(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "idhash-" + System.identityHashCode(other)
+  }
+
   /** Append a contiguous 0..n-1 long column to `df` in its CURRENT
     * (already sorted) partition order, without leaving the InternalRow
     * world: pass 1 counts rows per partition (driver receives one long
