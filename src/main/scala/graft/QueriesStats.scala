@@ -1320,7 +1320,136 @@ object QueriesStats {
                  AS lincoln_petersen_est
         FROM pk"""))
 
+  /** BISECTION IRR under the ORACLE ([[graft.ops.Finance
+    * .irrBisect]]) — the oracled twin of the q83 solver family
+    * (reference parser.go:617-658, the r11 verdict's top ask): the
+    * same q83 cashflow construction (first line the outflow, later
+    * lines 30% inflows, same tiebreak order), solved by 40 unrolled
+    * bisection steps whose every double operation the oracle replays
+    * — pow-free multiply-chain discounting, in-double bracket
+    * operands, half-up ppm close. The oracle SQL is GENERATED by the
+    * same loop as the operator's npv builder, so the operand
+    * sequence provably matches; orders without a bracket sign change
+    * (q83's 0.0-sentinel rows) are dropped by contract.
+    */
+  private val q358_irr_bisect: Q = {
+    val P = 7; val STEPS = 40
+    def npv(u: String) = graft.ops.Finance.npvSql(u, P, p => s"cf$p")
+    val pivCols = (0 until P).map(p =>
+      s"sum(CASE WHEN t = $p THEN cf ELSE 0.0 END) AS cf$p")
+      .mkString(", ")
+    val cfList = (0 until P).map(p => s"cf$p").mkString(", ")
+    val uLo = "(1.0 + CAST(-0.99 AS DOUBLE))"
+    val uHi = "(1.0 + CAST(10.0 AS DOUBLE))"
+    val stepCtes = (1 to STEPS).map { i =>
+      val prev = s"s${i - 1}"
+      s"""m$i AS (SELECT * , (lo + hi) * 0.5 AS mid FROM $prev),
+         p$i AS (SELECT * , (${npv("(1.0 + mid)")}) > 0 AS pos
+           FROM m$i),
+         s$i AS (SELECT k, $cfList,
+             CASE WHEN pos THEN mid ELSE lo END AS lo,
+             CASE WHEN pos THEN hi ELSE mid END AS hi FROM p$i)"""
+    }.mkString(",\n")
+    ((s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+      val flows = read(s, dir, "lineitem")
+        .withColumn("__t", row_number().over(w) - 1)
+        .withColumn("__nl",
+          count(lit(1)).over(W.partitionBy(col("l_orderkey"))))
+        .where(col("__nl") >= 3)
+        .withColumn("__px", col("l_extendedprice").cast("double"))
+        .withColumn("__cfv", when(col("__t") === 0, -col("__px"))
+          .otherwise(col("__px") * lit(0.3)))
+      graft.ops.Finance.irrBisect(flows, col("l_orderkey"),
+          col("__t"), col("__cfv"), steps = STEPS, maxPeriods = P)
+        .select(col("key").as("l_orderkey"), col("irr_ppm"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some(s"""WITH rn AS (SELECT l_orderkey AS k,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                     l_extendedprice) - 1 AS t,
+                 count(*) OVER (PARTITION BY l_orderkey) AS nl,
+                 CAST(l_extendedprice AS DOUBLE) AS px
+               FROM lineitem),
+             base AS (SELECT k, t,
+                 CASE WHEN t = 0 THEN -px ELSE px * 0.3 END AS cf
+               FROM rn WHERE nl >= 3 AND t >= 0 AND t < $P),
+             piv AS (SELECT k, $pivCols FROM base GROUP BY k),
+             s0 AS (SELECT k, $cfList,
+                 CAST(-0.99 AS DOUBLE) AS lo,
+                 CAST(10.0 AS DOUBLE) AS hi
+               FROM piv WHERE (${npv(uLo)}) > 0
+                 AND (${npv(uHi)}) < 0),
+             $stepCtes
+        SELECT k AS l_orderkey,
+               CAST(floor((lo + hi) * 0.5 * 1e6 + 0.5) AS BIGINT)
+                 AS irr_ppm
+        FROM s$STEPS ORDER BY l_orderkey"""))
+  }
+
+  /** CLOSED-FORM 2x2 PCA under the ORACLE ([[graft.functions.Tabular
+    * .eigen2]]) — the oracled eigensolver twin of q265 (the r11
+    * verdict's suggested closed-form eigen twin): the sample
+    * covariance of (l_quantity, l_extendedprice) from the exact-
+    * decimal moment lattice, diagonalized by the one-rotation closed
+    * form (a+c)/2 ± sqrt(((a−c)/2)² + b²) — a single correctly-
+    * rounded sqrt inside a fixed double operation order. Emitted
+    * values are all BOUNDED (trace shares, unit eigenvector
+    * components) so the ppm grid carries a ~1e7 safety factor over
+    * the cross-engine decimal→double cast wobble past 2^53 (the
+    * margin-sweep discipline — a ppm of an unbounded eigenvalue
+    * straddled an ulp at sf0.1).
+    */
+  private val q359_eigen2: Q = (
+    (s, dir) => graft.functions.Tabular.eigen2(
+      read(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some(s"""WITH m AS (SELECT count(*) AS n,
+                 ${sqlDsum("l_quantity")} AS sx,
+                 ${sqlDsum("l_extendedprice")} AS sy,
+                 ${sqlDsumsq("l_quantity")} AS qx,
+                 ${sqlDsumsq("l_extendedprice")} AS qy,
+                 CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+                     * CAST(l_extendedprice AS DOUBLE)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS xy
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+             d AS (SELECT n,
+                 (qx - sx * sx / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS a,
+                 (xy - sx * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS b,
+                 (qy - sy * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS c
+               FROM m),
+             e AS (SELECT n, a, b, c,
+                 (a - c) * 0.5 AS h, (a + c) * 0.5 AS mm FROM d),
+             f AS (SELECT n, a, b, c, mm,
+                 sqrt(h * h + b * b) AS s FROM e),
+             g AS (SELECT n, a, b, a + c AS tr,
+                 mm + s AS l1, mm - s AS l2,
+                 (mm + s) - a AS ev FROM f),
+             i AS (SELECT n, tr, l1, l2, b, ev,
+                 sqrt(ev * ev + b * b) AS nv FROM g)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(floor(tr + 0.5) AS BIGINT) AS trace_unit,
+               CAST(floor(l1 / tr * 1e6 + 0.5) AS BIGINT)
+                 AS lam1_share_ppm,
+               CAST(floor(l2 / tr * 1e6 + 0.5) AS BIGINT)
+                 AS lam2_share_ppm,
+               CAST(floor(b / nv * 1e6 + 0.5) AS BIGINT)
+                 AS pc1_x_ppm,
+               CAST(floor(ev / nv * 1e6 + 0.5) AS BIGINT)
+                 AS pc1_y_ppm
+        FROM i"""))
+
   val all: Map[String, Q] = Map(
+    "q358_irr_bisect" -> q358_irr_bisect,
+    "q359_eigen2" -> q359_eigen2,
     "q356_cvm" -> q356_cvm,
     "q357_capture" -> q357_capture,
     "q352_group_seq" -> q352_group_seq,

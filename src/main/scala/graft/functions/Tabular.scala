@@ -166,6 +166,68 @@ object Tabular {
         col("n"), col("__p.cov").as("cov"), col("__p.corr").as("corr"))
   }
 
+  /** CLOSED-FORM 2x2 EIGENDECOMPOSITION of the sample covariance of
+    * two columns — the oracle-replayable twin of the Jacobi PCA
+    * solver ([[graft.llmdata.Similarity.pcaFit]], catalog q265):
+    * for a symmetric 2x2 [[a b],[b c]] the eigenvalues are
+    * (a+c)/2 ± sqrt(((a−c)/2)² + b²) EXACTLY — the same rotation a
+    * single Jacobi sweep performs, but as one fixed-order double
+    * expression an independent SQL engine replays bit-for-bit
+    * (moments via the exact-decimal dsum lattice, one correctly-
+    * rounded sqrt, half-up ppm quantization — no iteration, no
+    * library pow/atan).
+    *
+    * Quantization margin: past 2^53 of unscaled sum the
+    * decimal→double casts are not bit-identical cross-engine (Spark
+    * is correctly rounded, DuckDB casts the int128 then divides — a
+    * few-ulp wobble, observed at sf0.1), so every emitted value is
+    * BOUNDED: eigenvalue SHARES of the trace and the unit
+    * eigenvector components (all in [-1, 1], ppm quantum 1e-6 vs
+    * ~1e-13 wobble — safety ~1e7), plus the trace itself on an
+    * integer grid (quantum 0.5 vs ~1e-6 wobble — safety ~1e5).
+    * Never a ppm of an unbounded magnitude.
+    *
+    * Emits one row: (n, trace_unit, lam1_share_ppm >= lam2_share_ppm
+    * summing to ~1e6, pc1_x_ppm, pc1_y_ppm — the unit principal
+    * direction, undefined only for an exactly isotropic input). One
+    * partial-aggregated scan, one 1-row close — scale-free.
+    */
+  def eigen2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val clean = df.na.drop(Seq(xCol, yCol))
+    val x = col(xCol); val y = col(yCol)
+    val row = clean.agg(
+      graft.QH.dsum(x).as("__sx"), graft.QH.dsum(y).as("__sy"),
+      graft.QH.dsumsq(x).as("__qx"), graft.QH.dsumsq(y).as("__qy"),
+      sum((x.cast("double") * y.cast("double"))
+        .cast("decimal(38,10)")).cast("double").as("__xy"),
+      count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val withCov = row
+      .withColumn("__a", (col("__qx") - col("__sx") * col("__sx") /
+        nD) / (nD - 1.0))
+      .withColumn("__b", (col("__xy") - col("__sx") * col("__sy") /
+        nD) / (nD - 1.0))
+      .withColumn("__c", (col("__qy") - col("__sy") * col("__sy") /
+        nD) / (nD - 1.0))
+    val closed = withCov
+      .withColumn("__h", (col("__a") - col("__c")) * lit(0.5))
+      .withColumn("__m", (col("__a") + col("__c")) * lit(0.5))
+      .withColumn("__s", sqrt(col("__h") * col("__h") +
+        col("__b") * col("__b")))
+      .withColumn("__l1", col("__m") + col("__s"))
+      .withColumn("__l2", col("__m") - col("__s"))
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val tr = col("__a") + col("__c")
+    val ev = col("__l1") - col("__a")
+    val nv = sqrt(ev * ev + col("__b") * col("__b"))
+    closed.select(col("n"),
+      floor(tr + lit(0.5)).cast("long").as("trace_unit"),
+      ppm(col("__l1") / tr).as("lam1_share_ppm"),
+      ppm(col("__l2") / tr).as("lam2_share_ppm"),
+      ppm(col("__b") / nv).as("pc1_x_ppm"),
+      ppm(ev / nv).as("pc1_y_ppm"))
+  }
+
   /** ISOTONIC CALIBRATION FIT (PAVA's minimax closed form; Ayer et
     * al. 1955): the weighted monotone regression of per-bin observed
     * rates, fitted_i = max_{j<=i} min_{k>=i} rate(j..k) over pooled
