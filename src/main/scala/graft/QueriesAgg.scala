@@ -1033,8 +1033,11 @@ object QueriesAgg {
               / sqrt((q_$a - s_$a * s_$a / n)
                    * (q_$b - s_$b * s_$b / n)), 6) AS corr
           FROM m""" }.mkString(" UNION ALL ")
+    // quantized-long accumulation (r11 verdict ask 3): same exact
+    // moments as the decimal path (TabularSpec pins equality), the
+    // oracle below IS the decimal form — kept as the entry's twin
     ((s: org.apache.spark.sql.SparkSession, dir: String) =>
-      graft.functions.Tabular.covarianceMatrix(
+      graft.functions.Tabular.covarianceMatrixQuantized(
           read(s, dir, "lineitem"), cs)
         .orderBy(col("f_a"), col("f_b")),
       Some(s"""WITH m AS (SELECT count(*) AS n, $sums, $crosses

@@ -1447,9 +1447,127 @@ object QueriesStats {
                  AS pc1_y_ppm
         FROM i"""))
 
+  /** COHEN'S KAPPA inter-rater agreement ([[graft.ops.Eval
+    * .cohensKappa]]): order status vs a deterministic priority-rule
+    * "second annotator" — agreement beyond chance from the exact
+    * contingency census, the label-quality audit run before
+    * trusting training labels. Chance and kappa terms are
+    * decimal(38,0)-exact; everything emitted is a bounded ppm.
+    */
+  private val q360_kappa: Q = (
+    (s, dir) => graft.ops.Eval.cohensKappa(
+      read(s, dir, "orders"),
+      raterA = col("o_orderstatus"),
+      raterB = when(col("o_orderpriority")
+          .isin("1-URGENT", "2-HIGH"), "O")
+        .when(col("o_orderpriority") === "5-LOW", "F")
+        .otherwise("P")),
+    Some("""WITH r AS (SELECT o_orderstatus AS a,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 'O'
+                   WHEN o_orderpriority = '5-LOW' THEN 'F'
+                   ELSE 'P' END AS b
+               FROM orders WHERE o_orderstatus IS NOT NULL),
+             cells AS (SELECT a, b, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             rw AS (SELECT a AS k, CAST(sum(c) AS HUGEINT) AS rr
+               FROM cells GROUP BY 1),
+             cl AS (SELECT b AS k, CAST(sum(c) AS HUGEINT) AS ll
+               FROM cells GROUP BY 1),
+             pet AS (SELECT sum(rr * ll) AS pe
+               FROM rw JOIN cl USING (k)),
+             ag AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                 CAST(sum(CASE WHEN a = b THEN c ELSE 0 END)
+                   AS HUGEINT) AS d
+               FROM cells)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(floor(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT) AS po_ppm,
+               CAST(floor(CAST(pe AS DOUBLE) / CAST(n * n AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT) AS pe_ppm,
+               CAST(floor(CAST(n * d - pe AS DOUBLE)
+                 / CAST(n * n - pe AS DOUBLE) * 1e6 + 0.5)
+                 AS BIGINT) AS kappa_ppm
+        FROM ag CROSS JOIN pet"""))
+
+  /** McNEMAR paired-classifier test ([[graft.ops.Eval.mcnemar]]):
+    * two deterministic order-status "models" (price rule vs
+    * priority rule) compared on the SAME orders — only the
+    * discordant cells vote, continuity-corrected chi-square, p via
+    * the portable A&S normal CDF. The paired comparison an unpaired
+    * accuracy diff gets wrong when the models' errors overlap.
+    */
+  private val q361_mcnemar: Q = (
+    (s, dir) => graft.ops.Eval.mcnemar(
+      read(s, dir, "orders"),
+      correctA = (col("o_totalprice") < 150000.0) ===
+        (col("o_orderstatus") === "F"),
+      correctB = (col("o_orderpriority") === "1-URGENT") ===
+        (col("o_orderstatus") === "F")),
+    Some(s"""WITH r AS (SELECT
+                 (o_totalprice < 150000.0) = (o_orderstatus = 'F')
+                   AS ca,
+                 (o_orderpriority = '1-URGENT')
+                   = (o_orderstatus = 'F') AS cb
+               FROM orders),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+               FROM r),
+             ch AS (SELECT n, b, c,
+                 CAST(CAST(abs(b - c) - 1 AS HUGEINT)
+                     * CAST(abs(b - c) - 1 AS HUGEINT) AS DOUBLE)
+                   / CAST(b + c AS DOUBLE) AS chi
+               FROM ag),
+             zc AS (SELECT n, b, c, sqrt(chi) AS z FROM ch),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT n, b, c,
+               CASE WHEN b + c = 0 THEN 1.0
+                 ELSE round($sqlTwoSidedP, 6) END AS p_value
+        FROM ph"""))
+
+  /** DURBIN-WATSON serial correlation ([[graft.ops.RankStats
+    * .durbinWatson]]) of daily order counts per priority —
+    * consecutive-day independence audit (d ≈ 2 independent, → 0
+    * positively autocorrelated), the residual check a backtest/OLS
+    * read needs. Integer diffs and moments in decimal(38,0), one
+    * double close per series.
+    */
+  private val q362_durbin_watson: Q = (
+    (s, dir) => graft.ops.RankStats.durbinWatson(
+      read(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("series"),
+          col("o_orderdate").as("ord"))
+        .agg(count(lit(1)).as("x")),
+      "series", "ord", col("x")),
+    Some("""WITH d AS (SELECT o_orderpriority AS series,
+                 o_orderdate AS dt, count(*) AS x
+               FROM orders GROUP BY 1, 2),
+             l AS (SELECT series, x,
+                 x - lag(x) OVER (PARTITION BY series ORDER BY dt)
+                   AS dd
+               FROM d),
+             ag AS (SELECT series, CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT))
+                   AS num,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS qx
+               FROM l GROUP BY 1)
+        SELECT series, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * qx - sx * sx <> 0 THEN
+                 round(CAST(n * num AS DOUBLE)
+                   / CAST(n * qx - sx * sx AS DOUBLE), 6) END AS dw
+        FROM ag ORDER BY series"""))
+
   val all: Map[String, Q] = Map(
     "q358_irr_bisect" -> q358_irr_bisect,
     "q359_eigen2" -> q359_eigen2,
+    "q360_kappa" -> q360_kappa,
+    "q361_mcnemar" -> q361_mcnemar,
+    "q362_durbin_watson" -> q362_durbin_watson,
     "q356_cvm" -> q356_cvm,
     "q357_capture" -> q357_capture,
     "q352_group_seq" -> q352_group_seq,

@@ -554,4 +554,92 @@ object Eval {
         round(col("__hy"), 6).as("h_y"))
       .orderBy(col("feature"))
   }
+
+  /** COHEN'S KAPPA inter-rater agreement (Cohen 1960) — "do two
+    * annotators agree beyond chance": po = observed agreement, pe =
+    * chance agreement from the marginals, κ = (po − pe)/(1 − pe).
+    * The label-quality audit a training-data pipeline runs before
+    * trusting human (or weak) labels.
+    *
+    * Exact-integer core: the (a, b) contingency census gives long
+    * cell counts; the chance term Σ_k row_k·col_k and n² are built
+    * in DECIMAL(38,0) (the q357 discipline — long products overflow
+    * past ~3e9 rows), so κ = (n·Σdiag − Σrow·col)/(n² − Σrow·col)
+    * is one double divide of two exact integers, emitted half-up at
+    * ppm (κ, po, pe all bounded in [−1, 1] — quantum 1e-6 against
+    * ≤2-ulp decimal→double cast wobble, safety ~1e10). Labels are
+    * the bounded analysis dimension (`maxLabels` census guard).
+    *
+    * Emits one row: (n, po_ppm, pe_ppm, kappa_ppm).
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column,
+      maxLabels: Long = 10000L): DataFrame = {
+    val cells = graft.Caches.pin(df
+      .select(raterA.cast("string").as("__a"),
+        raterB.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells <= maxLabels * maxLabels && nCells > 0,
+      s"cohensKappa: $nCells label pairs — bucket the label space")
+    val rows = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__r"))
+    val cols2 = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__l"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val chance = rows.join(cols2, Seq("__k"), "inner")
+      .agg(sum(dec(col("__r")) * dec(col("__l"))).as("__pe"))
+    val agree = cells.agg(
+      sum(col("__c")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(lit(0L))).as("__d"))
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    agree.crossJoin(broadcast(chance))
+      .select(col("__n").as("n"),
+        ppm(col("__d").cast("double") / col("__n").cast("double"))
+          .as("po_ppm"),
+        ppm(col("__pe").cast("double") /
+          (dec(col("__n")) * dec(col("__n"))).cast("double"))
+          .as("pe_ppm"),
+        ppm((dec(col("__n")) * dec(col("__d")) - col("__pe"))
+          .cast("double") /
+          (dec(col("__n")) * dec(col("__n")) - col("__pe"))
+            .cast("double")).as("kappa_ppm"))
+  }
+
+  /** McNEMAR'S TEST for paired classifiers (McNemar 1947, with the
+    * Edwards continuity correction) — "is model B actually better
+    * than model A on the SAME examples": only the discordant cells
+    * vote (b = A right / B wrong, c = A wrong / B right),
+    * χ² = (|b−c|−1)²/(b+c), two-sided p via the engine-portable
+    * normal CDF (χ²(1df) = Z², so p = 2(1−Φ(√χ²))). The paired
+    * comparison an unpaired accuracy diff gets wrong when the
+    * models' errors overlap.
+    *
+    * Exact-integer core: b and c are exact longs from one grouped
+    * pass; the squared numerator is decimal(38,0) (no overflow at
+    * any n); χ² feeds [[Experiment.phiAbs]]'s fixed-order close.
+    * Emits one row: (n, b, c, p_value 6dp; p = 1 when b + c = 0).
+    */
+  def mcnemar(df: DataFrame, correctA: Column, correctB: Column)
+      : DataFrame = {
+    val counted = df.select(correctA.cast("boolean").as("__ca"),
+        correctB.cast("boolean").as("__cb"))
+      .where(col("__ca").isNotNull && col("__cb").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ca") && !col("__cb"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col("__ca") && col("__cb"), 1L).otherwise(0L))
+          .as("c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = dec(abs(col("b") - col("c")) - 1L)
+    val chi = (num * num).cast("double") /
+      (col("b") + col("c")).cast("double")
+    counted.select(col("n"), col("b"), col("c"),
+      when(col("b") + col("c") === 0, lit(1.0))
+        .otherwise(round(lit(2.0) *
+          (lit(1.0) - Experiment.phiAbs(sqrt(chi))), 6))
+        .as("p_value"))
+  }
 }

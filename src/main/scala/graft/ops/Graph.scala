@@ -250,25 +250,52 @@ object Graph {
     * that are NOT already adjacent, scored by the shared count —
     * the baseline every link-prediction paper starts from. Wedge
     * join through the neighbor (fan-out quadratic ONLY in per-
-    * neighbor degree, census-guarded by `maxDegree` before the join
-    * runs — the fuzzyMatch rule), pair count, anti-join against the
-    * existing adjacency. Exact integers throughout.
+    * neighbor degree), pair count, anti-join against the existing
+    * adjacency. Exact integers throughout.
+    *
+    * Hub policy (`maxDegree`): by default a neighbor whose degree
+    * exceeds the cap REFUSES the query before the wedge join runs
+    * (the fuzzyMatch census rule). With `pruneHubs = true` it
+    * instead DROPS those neighbors and runs — the Adamic-Adar /
+    * resource-allocation hub-discount taken to its limit (a
+    * neighbor shared by everyone certifies a link by ~1/ln(deg) ≈
+    * nothing), which bounds the wedge fan-out at ANY corpus scale.
+    * The pruned answer is a SUBSET relation to the exact one: every
+    * retained pair's n_common counts only non-hub neighbors (so
+    * <= exact), and pairs whose support was hubs-only fall below
+    * `minCommon` and drop; no pair is added. The prune filter is a
+    * degree join co-partitioned with the wedge join (same `nbr`
+    * key, exchange reused — no driver census action); the existing-
+    * link anti-join always uses the UNPRUNED adjacency.
     */
   def commonNeighbors(adj: DataFrame, minCommon: Long,
-      maxDegree: Int = 10000): DataFrame = {
+      maxDegree: Int = 10000, pruneHubs: Boolean = false)
+      : DataFrame = {
     require(minCommon >= 1, s"commonNeighbors: minCommon $minCommon")
-    val e = graft.Caches.pin(adj
+    val e0 = graft.Caches.pin(adj
       .select(col("node").cast("long").as("node"),
         col("nbr").cast("long").as("nbr"))
       .where(col("node").isNotNull && col("nbr").isNotNull)
       .distinct())
-    if (maxDegree > 0) {
-      val worst = e.groupBy(col("nbr")).count()
-        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
-      require(worst <= maxDegree,
-        s"commonNeighbors: a neighbor touches $worst nodes " +
-          s"(> $maxDegree) — prune hubs or raise the cap")
-    }
+    val e =
+      if (maxDegree > 0 && pruneHubs) {
+        val keep = e0.groupBy(col("nbr"))
+          .agg(count(lit(1)).as("__d"))
+          .where(col("__d") <= maxDegree)
+          .select(col("nbr"))
+        e0.join(keep, Seq("nbr"))
+      } else {
+        if (maxDegree > 0) {
+          val worst = e0.groupBy(col("nbr")).count()
+            .agg(coalesce(max(col("count")), lit(0L))).first()
+            .getLong(0)
+          require(worst <= maxDegree,
+            s"commonNeighbors: a neighbor touches $worst nodes " +
+              s"(> $maxDegree) — prune hubs (pruneHubs = true) or " +
+              "raise the cap")
+        }
+        e0
+      }
     val a = e.select(col("nbr"), col("node").as("node_a"))
     val b = e.select(col("nbr"), col("node").as("node_b"))
     a.join(b, Seq("nbr"))
@@ -276,7 +303,7 @@ object Graph {
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)
-      .join(e.select(col("node").as("node_a"),
+      .join(e0.select(col("node").as("node_a"),
         col("nbr").as("node_b")), Seq("node_a", "node_b"),
         "left_anti")
   }

@@ -389,4 +389,45 @@ object RankStats {
           .as("p_value"))
       .orderBy(col("series"))
   }
+
+  /** DURBIN-WATSON serial-correlation statistic per series (Durbin &
+    * Watson 1950) — "are consecutive values independent":
+    * d = Σ_{t≥2}(x_t − x_{t−1})² / Σ(x_t − x̄)² ∈ [0, 4], d ≈ 2 under
+    * independence, → 0 under positive and → 4 under negative lag-1
+    * correlation. The residual-independence audit that validates an
+    * OLS/backtest read (q320/q314) — a trend-free series can still
+    * flunk it.
+    *
+    * Exact-integer core (`value` must be integer-valued — the gini
+    * contract): the numerator is a sum of squared integer diffs
+    * (mean-free, since differencing cancels the mean exactly), the
+    * denominator closes as n·Σx² − (Σx)², both built in
+    * DECIMAL(38,0), so d = n·num/den is one double divide of exact
+    * integers — bounded, engine-replayable at 6dp. One per-series
+    * ordered window (bounded by time grain, the q245 rule) + one
+    * grouped pass.
+    *
+    * Emits (series, n, dw 6dp) — dw NULL for constant series
+    * (zero variance).
+    */
+  def durbinWatson(df: DataFrame, series: String, ord: String,
+      value: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(series)).orderBy(col(ord))
+    val p = df.select(col(series), col(ord),
+        value.cast("long").as("__x"))
+      .withColumn("__d", col("__x") - lag(col("__x"), 1).over(w))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = p.groupBy(col(series)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__d")) * dec(col("__d"))).as("__num"),
+      sum(dec(col("__x"))).as("__sx"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__qx"))
+    val den = dec(col("n")) * col("__qx") - col("__sx") * col("__sx")
+    agg.select(col(series), col("n"),
+        when(den =!= 0,
+          round((dec(col("n")) * col("__num")).cast("double") /
+            den.cast("double"), 6)).as("dw"))
+      .orderBy(col(series))
+  }
 }

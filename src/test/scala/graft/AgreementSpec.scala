@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand cases for the round-12 agreement/paired-test additions:
+  * Cohen's kappa, McNemar, Durbin-Watson.
+  */
+class AgreementSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cohensKappa: textbook 2x2 — po/pe/kappa match the pencil " +
+      "values; perfect agreement hits 1e6 ppm") {
+    // classic example: raters agree on 20 yes + 15 no of 50;
+    // marginals A: 25 yes / 25 no, B: 30 yes / 20 no.
+    // po = 35/50 = 0.70; pe = (25*30 + 25*20)/2500 = 0.50;
+    // kappa = (0.70 - 0.50) / 0.50 = 0.40
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val r = graft.ops.Eval.cohensKappa(rows.toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(r.getAs[Long]("po_ppm") == 700000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L)
+    assert(r.getAs[Long]("kappa_ppm") == 400000L)
+
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+      .toDF("a", "b")
+    val p = graft.ops.Eval.cohensKappa(perfect, col("a"), col("b"))
+      .collect()(0)
+    assert(p.getAs[Long]("po_ppm") == 1000000L)
+    assert(p.getAs[Long]("kappa_ppm") == 1000000L)
+  }
+
+  test("mcnemar: discordant-only pencil case; b = c gives the " +
+      "conservative CC unit numerator; no discordance -> p = 1") {
+    // b = 8, c = 2: chi = (|8-2|-1)^2/10 = 2.5, z = sqrt(2.5)
+    val rows = Seq.fill(30)((true, true)) ++
+      Seq.fill(8)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(10)((false, false))
+    val r = graft.ops.Eval.mcnemar(rows.toDF("ca", "cb"),
+      col("ca"), col("cb")).collect()(0)
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Long]("b") == 8L &&
+      r.getAs[Long]("c") == 2L)
+    val z = math.sqrt(2.5)
+    val t = 1.0 / (1.0 + 0.2316419 * z)
+    val poly = t * (0.319381530 + t * (-0.356563782 +
+      t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+    val pHand = BigDecimal(2.0 *
+      (math.exp(-z * z / 2.0) / 2.5066282746310002 * poly))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("p_value") == pHand,
+      s"got ${r.getAs[Double]("p_value")} vs hand $pHand")
+
+    val none = Seq((true, true), (false, false)).toDF("ca", "cb")
+    val r2 = graft.ops.Eval.mcnemar(none, col("ca"), col("cb"))
+      .collect()(0)
+    assert(r2.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("durbinWatson: alternating series pushes d toward 4, a " +
+      "monotone ramp toward 0, constant series yields NULL") {
+    // alternating 0,2,0,2,... n=6: diffs ±2 (5 of them) num=20;
+    // sx=6, qx=12 -> den = 6*12-36 = 36; d = 6*20/36 = 3.333333
+    val alt = (1 to 6).map(i => ("alt", i, if (i % 2 == 0) 2L else 0L))
+    // ramp 1..6: diffs 1 (5), num=5; sx=21, qx=91 ->
+    // den = 6*91-441 = 105; d = 30/105 = 0.285714
+    val ramp = (1 to 6).map(i => ("ramp", i, i.toLong))
+    val const = (1 to 4).map(i => ("const", i, 7L))
+    val df = (alt ++ ramp ++ const).toDF("s", "t", "x")
+    val got = graft.ops.RankStats.durbinWatson(df, "s", "t", col("x"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got("alt").contains(3.333333))
+    assert(got("ramp").contains(0.285714))
+    assert(got("const").isEmpty, s"got ${got("const")}")
+  }
+}

@@ -278,6 +278,41 @@ class AnalyticsSpec extends SparkSuite {
     assert(close(got(("b", "c"))._3, ref.getDouble(5)))
   }
 
+  test("covarianceMatrixQuantized == decimal covarianceMatrix " +
+      "bit-for-bit on grid data; gates trip off-grid and on " +
+      "oversized scaled values") {
+    import graft.functions.Tabular
+    // 2dp-grid data incl. negatives (exercises the signed hi/lo
+    // split of cross products)
+    val df = Seq((1.25, -2.50, 10.00), (2.00, 1.75, -11.25),
+      (3.50, 5.00, 9.75), (-4.25, 4.00, 14.50), (5.00, -7.25, 13.0))
+      .toDF("a", "b", "c").repartition(3)
+    val cs = Seq("a", "b", "c")
+    val dec = Tabular.covarianceMatrix(df, cs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val q = Tabular.covarianceMatrixQuantized(df, cs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(q == dec, s"quantized $q != decimal $dec")
+    // off-grid input (1/3 is not on the 1e-2 grid) -> gate trips
+    val bad = Seq((1.0 / 3.0, 1.0), (2.0, 3.0), (4.0, 5.0))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      Tabular.covarianceMatrixQuantized(bad, Seq("a", "b")).collect()
+    }
+    assert(ex.getMessage.contains("contract violated"),
+      ex.getMessage)
+    // scaled magnitude past 2^31 -> gate trips
+    val big = Seq((3.0e7, 1.0), (2.0, 3.0), (4.0, 5.0))
+      .toDF("a", "b")
+    val ex2 = intercept[Exception] {
+      Tabular.covarianceMatrixQuantized(big, Seq("a", "b")).collect()
+    }
+    assert(ex2.getMessage.contains("contract violated"),
+      ex2.getMessage)
+  }
+
   test("ewmaTruncated: hand-computed halving weights, series-head " +
       "term count and weight sum, partition isolation") {
     import graft.functions.Stats

@@ -96,6 +96,38 @@ class GraphSpec extends SparkSuite {
     assert(ex.getMessage.contains("prune hubs"))
   }
 
+  test("commonNeighbors pruneHubs: runs where the guard refuses; " +
+      "pruned answer is the documented subset relation to exact " +
+      "(scores only lose hub contributions, no pair added)") {
+    import spark.implicits._
+    // hub 99 touches everyone; selective nbrs 10 (1,2) and 20 (1,2),
+    // 30 (2,3). Exact (no cap): (1,2)->3, (1,3)->1, (2,3)->2.
+    val adj = (Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L),
+      (2L, 30L), (3L, 30L)) ++ (1L to 12L).map((_, 99L)))
+      .toDF("node", "nbr")
+    val exact = Graph.commonNeighbors(adj, minCommon = 1L,
+        maxDegree = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    graft.Caches.release()
+    // guard refuses at maxDegree = 10 ...
+    intercept[IllegalArgumentException] {
+      Graph.commonNeighbors(adj, minCommon = 1L, maxDegree = 10)
+    }
+    graft.Caches.release()
+    // ... pruneHubs runs: hub 99 dropped, every score = exact - 1
+    // hub contribution; hubs-only pairs (e.g. (4,5)) vanish
+    val pruned = Graph.commonNeighbors(adj, minCommon = 1L,
+        maxDegree = 10, pruneHubs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    graft.Caches.release()
+    assert(pruned == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L),
+      s"got $pruned")
+    assert(pruned.keySet.subsetOf(exact.keySet))
+    assert(pruned.forall { case (k, v) => v <= exact(k) })
+  }
+
   test("linkScores: hand-computed Adamic-Adar and resource-allocation " +
       "quantized sums, hub discount visible, adjacency excluded") {
     import spark.implicits._
