@@ -668,6 +668,7 @@ object QueriesAgg {
     "q337_policy_replay" -> q337_policy_replay,
     "q339_aipw" -> q339_aipw,
     "q345_policy_ips" -> q345_policy_ips,
+    "q363_policy_dr" -> q363_policy_dr,
     "q341_wilson" -> q341_wilson,
     "q338_rmst" -> q338_rmst,
     "q236_cuped" -> q236_cuped,
@@ -2458,6 +2459,75 @@ object QueriesAgg {
                round(swr / CAST(n_logged AS DOUBLE), 6) AS value_ips,
                round(CASE WHEN sw > 0 THEN swr / sw END, 6)
                  AS value_snips
+        FROM ag ORDER BY policy"""))
+  }
+
+  /** DOUBLY-ROBUST OFF-POLICY VALUE ([[graft.ops.Experiment
+    * .replayPolicyValueDr]], Dudík et al. 2011): q345's logged
+    * bandit with a user-parity context — the per-(context, arm)
+    * exact-mean reward model carries the direct-method term, the
+    * propensity-corrected matched term repairs it; value_dm vs
+    * value_dr divergence is the model-coverage alarm. Completes the
+    * off-policy family (q337 replay, q345 IPS/SNIPS, DR here — the
+    * ROADMAP r11 open item).
+    */
+  private val q363_policy_dr: Q = {
+    val props = Seq("view" -> 300000L, "click" -> 250000L,
+      "signup" -> 200000L, "error" -> 150000L, "purchase" -> 100000L)
+    val lpCol = props.tail.foldLeft(
+      when(col("event_type") === props.head._1, props.head._2)) {
+      case (acc, (a, p)) => acc.when(col("event_type") === a, p)
+    }.otherwise(0L)
+    val lpSql = "CASE " + props.map { case (a, p) =>
+      s"WHEN event_type = '$a' THEN $p" }.mkString(" ") +
+      " ELSE 0 END"
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.ops.Experiment.replayPolicyValueDr(
+        read(s, dir, "events"),
+        context = col("user_id") % 4,
+        arm = col("event_type"), reward = col("value"),
+        logPpm = lpCol,
+        policies = Seq(
+          "p1_always_click" -> lit("click"),
+          "p2_parity" -> when(col("user_id") % 2 === 0, "view")
+            .otherwise("click"))),
+      Some(s"""WITH cells AS (SELECT
+                 CAST(user_id % 4 AS VARCHAR) AS c,
+                 event_type AS a, count(*) AS nc,
+                 CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   AS src
+               FROM events GROUP BY 1, 2),
+             q AS (SELECT c, a, src / CAST(nc AS DOUBLE) AS qv
+               FROM cells),
+             m AS (SELECT 'p1_always_click' AS policy,
+                 'click' AS ch, CAST(user_id % 4 AS VARCHAR) AS c,
+                 event_type AS a, value, $lpSql AS lp
+               FROM events
+               UNION ALL
+               SELECT 'p2_parity',
+                 CASE WHEN user_id % 2 = 0 THEN 'view'
+                   ELSE 'click' END,
+                 CAST(user_id % 4 AS VARCHAR), event_type, value,
+                 $lpSql
+               FROM events),
+             j AS (SELECT m.policy, m.value, m.lp,
+                 CAST(m.ch = m.a AS BIGINT) AS mt,
+                 COALESCE(qp.qv, 0.0) AS dm, ql.qv AS qlog
+               FROM m LEFT JOIN q qp
+                   ON qp.c = m.c AND qp.a = m.ch
+                 LEFT JOIN q ql ON ql.c = m.c AND ql.a = m.a),
+             ag AS (SELECT policy, count(*) AS n_logged,
+                 CAST(sum(mt) AS BIGINT) AS n_matched,
+                 CAST(sum(CAST(dm AS DECIMAL(38,12))) AS DOUBLE)
+                   AS sdm,
+                 CAST(sum(CAST(dm + CAST(mt AS DOUBLE)
+                     / (CAST(lp AS DOUBLE) / 1000000.0)
+                     * (value - qlog) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS sdr
+               FROM j GROUP BY 1)
+        SELECT policy, n_logged, n_matched,
+               round(sdm / CAST(n_logged AS DOUBLE), 6) AS value_dm,
+               round(sdr / CAST(n_logged AS DOUBLE), 6) AS value_dr
         FROM ag ORDER BY policy"""))
   }
 

@@ -1292,6 +1292,87 @@ object Experiment {
       .orderBy(col("policy"))
   }
 
+  /** DOUBLY-ROBUST OFF-POLICY VALUE (Dudík, Langford & Li 2011) —
+    * completes the off-policy family: q337's replay (matched rounds
+    * only), q345's IPS/SNIPS (propensity-corrected), and here the
+    * estimator that survives ONE of its two models being wrong:
+    *   V_DR(π) = (1/n) Σ [ Q̂(x, π(x))
+    *                       + 1{π(x)=a}·(r − Q̂(x, a))/p(a|x) ]
+    * — the direct-method term carries the reward model, the matched
+    * correction term repairs its bias wherever the logger visited.
+    *
+    * Q̂ is the per-(context, arm) mean reward from exact decimal
+    * sums over the log itself (the simple non-cross-fitted DR form —
+    * deterministic, no solver); the (context, arm) census is the
+    * bounded analysis dimension (`maxCells` guard) so Q̂ rides a
+    * BROADCAST join — the log is scanned twice (census + terms),
+    * nothing data-sized shuffles. A policy choice the logger never
+    * took in that context has no model value: Q̂ defaults to 0 there
+    * (the Dudík convention), and the emitted value_dm vs value_dr
+    * gap is the usual model-coverage alarm. Per-row terms
+    * decimal-quantized (order-free sums); closes are fixed-order
+    * doubles, 6dp.
+    *
+    * Emits per policy: (policy, n_logged, n_matched, value_dm,
+    * value_dr).
+    */
+  def replayPolicyValueDr(df: DataFrame, context: Column,
+      arm: Column, reward: Column, logPpm: Column,
+      policies: Seq[(String, Column)], maxCells: Long = 100000L)
+      : DataFrame = {
+    require(policies.nonEmpty &&
+      policies.map(_._1).distinct.size == policies.size,
+      s"replayPolicyValueDr: $policies")
+    val dq = (c: Column) => c.cast("decimal(38,12)")
+    val base = graft.Caches.pin(df.select(
+      context.cast("string").as("__c"), arm.cast("string").as("__a"),
+      reward.cast("double").as("__r"), logPpm.cast("long").as("__lp"),
+      array(policies.map { case (n, c) =>
+        struct(lit(n).as("p"), c.cast("string").as("choice")) }: _*)
+        .as("__ps")))
+    val cells = base.groupBy(col("__c"), col("__a"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(col("__r").cast("decimal(25,6)")).as("__src"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"replayPolicyValueDr: $nCells (context, arm) cells exceed " +
+        s"$maxCells — contexts are the bounded analysis dimension")
+    val qhat = cells.select(col("__c"), col("__a").as("__qa"),
+      (col("__src").cast("double") / col("__nc").cast("double"))
+        .as("__q"))
+    val melted = base
+      .select(explode(col("__ps")).as("__p"), col("__c"),
+        col("__a"), col("__r"), col("__lp"))
+      .select(col("__p.p").as("policy"),
+        col("__p.choice").as("__ch"), col("__c"), col("__a"),
+        col("__r"), col("__lp"))
+    val withQ = melted
+      .join(broadcast(qhat.select(col("__c"),
+        col("__qa").as("__ch"), col("__q").as("__qpi"))),
+        Seq("__c", "__ch"), "left")
+      .join(broadcast(qhat.select(col("__c"),
+        col("__qa").as("__a"), col("__q").as("__qlog"))),
+        Seq("__c", "__a"), "left")
+      .select(col("policy"),
+        (col("__ch") === col("__a")).cast("long").as("__mt"),
+        col("__r"), col("__lp"),
+        coalesce(col("__qpi"), lit(0.0)).as("__dm"),
+        col("__qlog"))
+    withQ.groupBy(col("policy")).agg(
+        count(lit(1)).as("n_logged"),
+        sum(col("__mt")).as("n_matched"),
+        sum(dq(col("__dm"))).cast("double").as("__sdm"),
+        sum(dq(col("__dm") + col("__mt").cast("double") /
+          (col("__lp").cast("double") / lit(1000000.0)) *
+          (col("__r") - col("__qlog")))).cast("double").as("__sdr"))
+      .select(col("policy"), col("n_logged"), col("n_matched"),
+        round(col("__sdm") / col("n_logged").cast("double"), 6)
+          .as("value_dm"),
+        round(col("__sdr") / col("n_logged").cast("double"), 6)
+          .as("value_dr"))
+      .orderBy(col("policy"))
+  }
+
   /** DOUBLY-ROBUST (AIPW) ATE — the estimator that survives ONE of
     * its two models being wrong (Robins et al. 1994): augment the
     * [[ipwAte]] weighting with per-arm outcome regressions m₁/m₀,

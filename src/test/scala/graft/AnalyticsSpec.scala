@@ -795,6 +795,42 @@ class AnalyticsSpec extends SparkSuite {
     assert(ru.getAs[Double]("value_snips") == 2.0)
   }
 
+  test("replayPolicyValueDr: perfect reward model makes DR == DM == " +
+      "truth; unvisited policy arm defaults Q-hat to 0 and the " +
+      "matched correction still contributes") {
+    import graft.ops.Experiment
+    // one context; arms x (r always 2, p=0.5), y (r always 6, p=0.5)
+    // Q-hat is EXACT (constant rewards) -> correction terms vanish:
+    // always_x: DM = 2, DR = 2 exactly
+    val logs = Seq(("c0", "x", 2.0, 500000L), ("c0", "x", 2.0, 500000L),
+      ("c0", "y", 6.0, 500000L), ("c0", "y", 6.0, 500000L))
+      .toDF("ctx", "arm", "r", "lp")
+    val got = Experiment.replayPolicyValueDr(logs, col("ctx"),
+        col("arm"), col("r"), col("lp"),
+        Seq("always_x" -> lit("x"), "always_q" -> lit("q")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(got("always_x") == ((4L, 2L, 2.0, 2.0)), got.toString)
+    // unvisited arm q: DM = 0 (Q-hat default), no matches -> DR = 0
+    assert(got("always_q") == ((4L, 0L, 0.0, 0.0)), got.toString)
+    graft.Caches.release()
+
+    // noisy rewards: x logged r=1 and r=3 (mean 2); policy always_x
+    // DM = 2; DR per row = 2 + mt/0.5*(r - 2): rows (x,1): 2-2=0 ->
+    // corr -2 -> term 0; (x,3): term 4; (y,6): term 2 ->
+    // DR = (0+4+2)/3 = 2
+    val noisy = Seq(("c0", "x", 1.0, 500000L),
+      ("c0", "x", 3.0, 500000L), ("c0", "y", 6.0, 500000L))
+      .toDF("ctx", "arm", "r", "lp")
+    val r2 = Experiment.replayPolicyValueDr(noisy, col("ctx"),
+      col("arm"), col("r"), col("lp"),
+      Seq("ax" -> lit("x"))).collect()(0)
+    assert(r2.getAs[Double]("value_dm") == 2.0)
+    assert(r2.getAs[Double]("value_dr") == 2.0)
+    graft.Caches.release()
+  }
+
   test("rmst: exact step-function area under the KM curve, horizon " +
       "clipping, extinction") {
     import graft.ops.Experiment
