@@ -1562,7 +1562,64 @@ object QueriesStats {
                    / CAST(n * qx - sx * sx AS DOUBLE), 6) END AS dw
         FROM ag ORDER BY series"""))
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL ([[graft.ops.Eval
+    * .splitConformal]]): distribution-free ±q̂ coverage around a
+    * static per-priority price model (the q145 static-weight rule —
+    * the wrapper is model-agnostic by construction) — portable-hash
+    * calibration split, exact rank pick over the $10-grid residual
+    * census, integer-ppm coverage audit on the held-out half.
+    */
+  private val q364_conformal: Q = {
+    val priors = Seq("1-URGENT" -> 151000L, "2-HIGH" -> 150000L,
+      "3-MEDIUM" -> 149000L, "4-NOT SPECIFIED" -> 152000L)
+    val predCol = priors.tail.foldLeft(
+      when(col("o_orderpriority") === priors.head._1,
+        priors.head._2)) { case (acc, (p, v)) =>
+      acc.when(col("o_orderpriority") === p, v)
+    }.otherwise(148000L)
+    val predSql = "CASE " + priors.map { case (p, v) =>
+      s"WHEN o_orderpriority = '$p' THEN $v" }.mkString(" ") +
+      " ELSE 148000 END"
+    ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.ops.Eval.splitConformal(
+        read(s, dir, "orders")
+          .withColumn("__rc", round(abs(col("o_totalprice") -
+            predCol) * 100).cast("long"))
+          .withColumn("__rq", expr("__rc div 1000")),
+        id = col("o_orderkey"), residualQ = col("__rq"),
+        alphaPpm = 100000L),
+      Some(s"""WITH r AS (SELECT
+                 CAST(round(abs(o_totalprice - $predSql) * 100, 0)
+                   AS BIGINT) // 1000 AS rq,
+                 ((((o_orderkey % 1000000007) * 2654435761 + 42)
+                   % 1000000007) % 1000000) < 500000 AS cal
+               FROM orders),
+             c AS (SELECT rq,
+                 CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cc,
+                 CAST(sum(CASE WHEN cal THEN 0 ELSE 1 END)
+                   AS BIGINT) AS ct
+               FROM r GROUP BY 1),
+             t AS (SELECT CAST(sum(cc) AS BIGINT) AS ncal,
+                 CAST(sum(ct) AS BIGINT) AS ntest FROM c),
+             kk AS (SELECT ncal, ntest,
+                 CAST(((CAST(ncal AS HUGEINT) + 1) * 900000
+                   + 999999) // 1000000 AS BIGINT) AS k FROM t),
+             cm AS (SELECT rq, sum(cc) OVER (ORDER BY rq
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+             qh AS (SELECT min(CASE WHEN cum >= k THEN rq END)
+                 AS qhat FROM cm CROSS JOIN kk),
+             cov AS (SELECT CAST(sum(CASE WHEN rq <= qhat THEN ct
+                 ELSE 0 END) AS BIGINT) AS ncov
+               FROM c CROSS JOIN qh)
+        SELECT ncal AS n_cal, ntest AS n_test, k, qhat AS qhat_q,
+               ncov AS n_covered,
+               ncov * 1000000 // ntest AS coverage_ppm
+        FROM kk CROSS JOIN qh CROSS JOIN cov"""))
+  }
+
   val all: Map[String, Q] = Map(
+    "q364_conformal" -> q364_conformal,
     "q358_irr_bisect" -> q358_irr_bisect,
     "q359_eigen2" -> q359_eigen2,
     "q360_kappa" -> q360_kappa,

@@ -608,6 +608,72 @@ object Eval {
             .cast("double")).as("kappa_ppm"))
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al. 2005; Lei et
+    * al. 2018) — distribution-free coverage from ANY point model:
+    * hold out a calibration split, take q̂ = the ⌈(n+1)(1−α)⌉-th
+    * smallest calibration residual, and ŷ ± q̂ covers ≥ 1−α of fresh
+    * points with no assumptions on the model or the noise. The
+    * uncertainty wrapper a served regression gets for free.
+    *
+    * Everything is exact integer arithmetic: the split is the
+    * portable multiplicative-hash lattice (q70 — replayable on any
+    * engine), `residualQ` must be integer-quantized by the caller
+    * (the gini contract — conformal on a quantized score is still
+    * conformal), the rank pick runs over the DISTINCT-residual
+    * census (value-bounded, not row-bounded — the q245 rule; guarded
+    * by `maxDistinct`), k is computed in decimal(38,0), and coverage
+    * closes by integer ppm floor division. Emits one row:
+    * (n_cal, n_test, k, qhat_q, n_covered, coverage_ppm) — qhat_q
+    * and downstream NULL when α is too small for the calibration
+    * size (k > n_cal: the honest "not enough data" answer).
+    */
+  def splitConformal(df: DataFrame, id: Column, residualQ: Column,
+      alphaPpm: Long = 100000L, calPpm: Long = 500000L,
+      seed: Long = 42L, maxDistinct: Long = 1000000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"splitConformal: alphaPpm $alphaPpm")
+    require(calPpm > 0 && calPpm < 1000000L,
+      s"splitConformal: calPpm $calPpm")
+    val h = pmod(pmod(id.cast("long"), lit(1000000007L)) *
+      lit(2654435761L) + lit(seed), lit(1000000007L))
+    val rows = df.select(residualQ.cast("long").as("__r"),
+      (pmod(h, lit(1000000L)) < calPpm).as("__cal"))
+    val census = graft.Caches.pin(rows.groupBy(col("__r")).agg(
+      sum(when(col("__cal"), 1L).otherwise(0L)).as("__cc"),
+      sum(when(!col("__cal"), 1L).otherwise(0L)).as("__ct")))
+    val nDistinct = census.count()
+    require(nDistinct <= maxDistinct,
+      s"splitConformal: $nDistinct distinct residuals exceed " +
+        s"$maxDistinct — coarsen the residual grid")
+    val tot = census.agg(
+      sum(col("__cc")).as("__ncal"), sum(col("__ct")).as("__ntest"))
+    // k = ceil((n_cal + 1)(1 − α)) in exact decimal integers
+    val withK = tot.select(col("__ncal"), col("__ntest"),
+      expr(s"CAST(((CAST(__ncal AS DECIMAL(38,0)) + 1) * " +
+        s"${1000000L - alphaPpm} + 999999) div 1000000 AS BIGINT)")
+        .as("__k"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(ScanOps.pinnedZero(col("__r"))).orderBy(col("__r"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = census.withColumn("__cum", sum(col("__cc")).over(wq))
+      .crossJoin(broadcast(withK))
+    val qrow = cum.agg(
+      max(col("__ncal")).as("n_cal"),
+      max(col("__ntest")).as("n_test"),
+      max(col("__k")).as("k"),
+      min(when(col("__cum") >= col("__k"), col("__r"))).as("qhat_q"))
+    census.crossJoin(broadcast(qrow))
+      .groupBy(col("n_cal"), col("n_test"), col("k"), col("qhat_q"))
+      .agg(sum(when(col("__r") <= col("qhat_q"), col("__ct"))
+        .otherwise(lit(0L))).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("k"), col("qhat_q"),
+        when(col("qhat_q").isNotNull, col("n_covered"))
+          .as("n_covered"),
+        when(col("qhat_q").isNotNull,
+          expr("n_covered * 1000000L div n_test"))
+          .as("coverage_ppm"))
+  }
+
   /** McNEMAR'S TEST for paired classifiers (McNemar 1947, with the
     * Edwards continuity correction) — "is model B actually better
     * than model A on the SAME examples": only the discordant cells

@@ -58,6 +58,37 @@ class AgreementSpec extends SparkSuite {
     assert(r2.getAs[Double]("p_value") == 1.0)
   }
 
+  test("splitConformal: exact rank pick on a hand census, coverage " +
+      "audit, and the k > n_cal NULL contract") {
+    def isCal(id: Long) =
+      ((id % 1000000007L) * 2654435761L + 42L) % 1000000007L %
+        1000000L < 500000L
+    val ids = (1L to 400L)
+    val calIds = ids.filter(isCal).take(9)
+    val testIds = ids.filterNot(isCal).take(3)
+    assert(calIds.size == 9 && testIds.size == 3)
+    // calibration residuals 1..9; alpha=0.2 -> k = ceil(10*0.8) = 8
+    // -> qhat = 8; test residuals {5, 8, 9} -> 2 covered
+    val rows = calIds.zipWithIndex.map { case (id, i) =>
+      (id, i + 1L) } ++ testIds.zip(Seq(5L, 8L, 9L))
+    val df = rows.toDF("id", "rq")
+    val r = graft.ops.Eval.splitConformal(df, col("id"), col("rq"),
+      alphaPpm = 200000L).collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n_cal") == 9L &&
+      r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Long]("k") == 8L &&
+      r.getAs[Long]("qhat_q") == 8L)
+    assert(r.getAs[Long]("n_covered") == 2L &&
+      r.getAs[Long]("coverage_ppm") == 666666L)
+    // alpha too small for 9 calibration points: k = 10 > 9 -> NULLs
+    val r2 = graft.ops.Eval.splitConformal(df, col("id"), col("rq"),
+      alphaPpm = 10000L).collect()(0)
+    graft.Caches.release()
+    assert(r2.getAs[Long]("k") == 10L && r2.get(3) == null &&
+      r2.get(5) == null)
+  }
+
   test("durbinWatson: alternating series pushes d toward 4, a " +
       "monotone ramp toward 0, constant series yields NULL") {
     // alternating 0,2,0,2,... n=6: diffs ±2 (5 of them) num=20;
