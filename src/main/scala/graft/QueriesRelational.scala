@@ -1923,16 +1923,18 @@ object QueriesRelational {
         .withColumn("nbr", xxhash64(col("tok")))
       val adj = adj0.join(broadcast(dict), Seq("tok"))
         .select(col("node"), col("nbr"))
-      // pruneHubs: the run-at-scale path (r11 verdict ask 5) — hub
-      // attributes (type tokens pass 10k degree at sf1) are DROPPED
-      // instead of refusing the query. minCommon = 2 keeps the entry
-      // meaningful under pruning: at sf0.1 the top-100 is unchanged
-      // (>= 5552 three-common pairs outrank every two-common pair),
-      // and at sf1 the surviving brand+size structure still answers
-      // (minCommon = 3 could only be met through the pruned token).
-      // The oracle mirrors the prune exactly.
+      // hubPolicy "sample": the run-at-scale path (r11 verdict ask
+      // 5, tightened after the r12 sf1 capture) — every attribute
+      // token keeps its 1000 lowest-portable-hash parts, so the
+      // wedge join is bounded by #tokens·cap² AT ANY CORPUS SIZE
+      // (the "drop" policy still paid 2.4e9 wedges / 304s at sf1
+      // through the 8k-degree brand tokens, and at 100x would have
+      // dropped every token and answered empty). Coordinated
+      // low-hash sampling keeps pair structure (the MinHash idea);
+      // minCommon = 2 so the answer stays meaningful when a token
+      // family is thinned. The oracle replays the sampling exactly.
       val out = ops.Graph.commonNeighbors(adj, minCommon = 2L,
-          maxDegree = 10000, pruneHubs = true)
+          maxDegree = 1000, hubPolicy = "sample")
         .orderBy(col("n_common").desc, col("node_a"), col("node_b"))
         .limit(100).cache()
       out.count()
@@ -1944,9 +1946,12 @@ object QueriesRelational {
           UNION ALL SELECT p_partkey, 't:' || p_type FROM part
           UNION ALL SELECT p_partkey,
             's:' || CAST(p_size AS VARCHAR) FROM part),
-             deg AS (SELECT nbr, count(*) AS d FROM adj GROUP BY 1),
-             kept AS (SELECT a.node, a.nbr FROM adj a
-               JOIN deg USING (nbr) WHERE d <= 10000)
+             rk AS (SELECT node, nbr, row_number() OVER (
+                 PARTITION BY nbr ORDER BY
+                   ((node % 1000000007) * 2654435761 + 42)
+                     % 1000000007, node) AS hr
+               FROM adj),
+             kept AS (SELECT node, nbr FROM rk WHERE hr <= 1000)
         SELECT x.node AS node_a, y.node AS node_b,
                count(*) AS n_common
         FROM kept x JOIN kept y

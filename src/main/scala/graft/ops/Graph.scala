@@ -253,37 +253,58 @@ object Graph {
     * neighbor degree), pair count, anti-join against the existing
     * adjacency. Exact integers throughout.
     *
-    * Hub policy (`maxDegree`): by default a neighbor whose degree
-    * exceeds the cap REFUSES the query before the wedge join runs
-    * (the fuzzyMatch census rule). With `pruneHubs = true` it
-    * instead DROPS those neighbors and runs — the Adamic-Adar /
-    * resource-allocation hub-discount taken to its limit (a
-    * neighbor shared by everyone certifies a link by ~1/ln(deg) ≈
-    * nothing), which bounds the wedge fan-out at ANY corpus scale.
-    * The pruned answer is a SUBSET relation to the exact one: every
-    * retained pair's n_common counts only non-hub neighbors (so
-    * <= exact), and pairs whose support was hubs-only fall below
-    * `minCommon` and drop; no pair is added. The prune filter is a
-    * degree join co-partitioned with the wedge join (same `nbr`
-    * key, exchange reused — no driver census action); the existing-
-    * link anti-join always uses the UNPRUNED adjacency.
+    * Hub policy (`maxDegree` + `hubPolicy`):
+    *   - "refuse" (default): a neighbor whose degree exceeds the
+    *     cap REFUSES the query before the wedge join runs (the
+    *     fuzzyMatch census rule).
+    *   - "drop": hubs past the cap are DROPPED — the Adamic-Adar /
+    *     resource-allocation hub-discount taken to its limit (a
+    *     neighbor shared by everyone certifies a link by ~1/ln(deg)
+    *     ≈ nothing). Degree filter co-partitioned with the wedge
+    *     join (same `nbr` key — no driver census action).
+    *   - "sample": every neighbor keeps its `maxDegree` lowest
+    *     nodes by the portable node hash (row_number ≤ cap —
+    *     WindowGroupLimit, no full per-hub sort) — COORDINATED
+    *     sampling: all hubs keep the same low-hash nodes, so pairs
+    *     of surviving nodes retain ALL their shared hubs (the
+    *     MinHash coordination idea), where independent per-hub
+    *     draws would shred pair structure. Wedge cost becomes
+    *     SCALE-INVARIANT: Σ min(deg, cap)² ≤ #neighbors · cap² no
+    *     matter the corpus size — the run-at-100TB shape, and the
+    *     r12 sf1 capture is why (the drop policy still paid 2.4e9
+    *     wedges through 8k-degree attribute tokens).
+    * Under "drop"/"sample" the answer is a SUBSET relation to the
+    * exact one: adjacency rows are only ever REMOVED, so every
+    * retained pair's n_common <= exact and no pair is added; pairs
+    * whose support fell below `minCommon` drop. The existing-link
+    * anti-join always uses the UNPRUNED adjacency.
     */
   def commonNeighbors(adj: DataFrame, minCommon: Long,
-      maxDegree: Int = 10000, pruneHubs: Boolean = false)
+      maxDegree: Int = 10000, hubPolicy: String = "refuse")
       : DataFrame = {
     require(minCommon >= 1, s"commonNeighbors: minCommon $minCommon")
+    require(Set("refuse", "drop", "sample")(hubPolicy),
+      s"commonNeighbors: hubPolicy $hubPolicy")
     val e0 = graft.Caches.pin(adj
       .select(col("node").cast("long").as("node"),
         col("nbr").cast("long").as("nbr"))
       .where(col("node").isNotNull && col("nbr").isNotNull)
       .distinct())
     val e =
-      if (maxDegree > 0 && pruneHubs) {
+      if (maxDegree > 0 && hubPolicy == "drop") {
         val keep = e0.groupBy(col("nbr"))
           .agg(count(lit(1)).as("__d"))
           .where(col("__d") <= maxDegree)
           .select(col("nbr"))
         e0.join(keep, Seq("nbr"))
+      } else if (maxDegree > 0 && hubPolicy == "sample") {
+        val h = pmod(pmod(col("node"), lit(1000000007L)) *
+          lit(2654435761L) + lit(42L), lit(1000000007L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nbr")).orderBy(h, col("node"))
+        e0.withColumn("__hr", row_number().over(w))
+          .where(col("__hr") <= maxDegree)
+          .select(col("node"), col("nbr"))
       } else {
         if (maxDegree > 0) {
           val worst = e0.groupBy(col("nbr")).count()
@@ -291,8 +312,8 @@ object Graph {
             .getLong(0)
           require(worst <= maxDegree,
             s"commonNeighbors: a neighbor touches $worst nodes " +
-              s"(> $maxDegree) — prune hubs (pruneHubs = true) or " +
-              "raise the cap")
+              s"(> $maxDegree) — prune hubs (hubPolicy drop/sample) " +
+              "or raise the cap")
         }
         e0
       }
@@ -300,6 +321,14 @@ object Graph {
     val b = e.select(col("nbr"), col("node").as("node_b"))
     a.join(b, Seq("nbr"))
       .where(col("node_a") < col("node_b"))
+      // explicit pair-key repartition between the wedge join and the
+      // count: the join stage is partitioned by nbr (few, skewed
+      // keys), so a partial aggregate riding it builds near-unique-
+      // key hash maps inside a handful of straggler tasks and spills
+      // (profiled r12: 13.4s -> 6.7s at sf0.1 with the exchange);
+      // pair-hash partitioning is balanced no matter how skewed the
+      // neighbor degrees are
+      .repartition(col("node_a"), col("node_b"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)

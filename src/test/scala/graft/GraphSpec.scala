@@ -96,9 +96,9 @@ class GraphSpec extends SparkSuite {
     assert(ex.getMessage.contains("prune hubs"))
   }
 
-  test("commonNeighbors pruneHubs: runs where the guard refuses; " +
-      "pruned answer is the documented subset relation to exact " +
-      "(scores only lose hub contributions, no pair added)") {
+  test("commonNeighbors hub policies: drop and sample run where the " +
+      "guard refuses; both answers hold the documented subset " +
+      "relation to exact; sample keeps coordinated low-hash nodes") {
     import spark.implicits._
     // hub 99 touches everyone; selective nbrs 10 (1,2) and 20 (1,2),
     // 30 (2,3). Exact (no cap): (1,2)->3, (1,3)->1, (2,3)->2.
@@ -115,17 +115,36 @@ class GraphSpec extends SparkSuite {
       Graph.commonNeighbors(adj, minCommon = 1L, maxDegree = 10)
     }
     graft.Caches.release()
-    // ... pruneHubs runs: hub 99 dropped, every score = exact - 1
-    // hub contribution; hubs-only pairs (e.g. (4,5)) vanish
-    val pruned = Graph.commonNeighbors(adj, minCommon = 1L,
-        maxDegree = 10, pruneHubs = true)
+    // ... drop runs: hub 99 dropped, every score = exact - 1 hub
+    // contribution; hubs-only pairs (e.g. (4,5)) vanish
+    val dropped = Graph.commonNeighbors(adj, minCommon = 1L,
+        maxDegree = 10, hubPolicy = "drop")
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         r.getLong(2)).toMap
     graft.Caches.release()
-    assert(pruned == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L),
-      s"got $pruned")
-    assert(pruned.keySet.subsetOf(exact.keySet))
-    assert(pruned.forall { case (k, v) => v <= exact(k) })
+    assert(dropped == Map((1L, 2L) -> 2L, (2L, 3L) -> 1L),
+      s"got $dropped")
+    assert(dropped.keySet.subsetOf(exact.keySet))
+    assert(dropped.forall { case (k, v) => v <= exact(k) })
+    // ... sample at cap 4 keeps each neighbor's 4 lowest-hash nodes
+    // (coordinated: hub 99 keeps the SAME low-hash nodes any other
+    // hub would) — subset relation holds, and a pair of two kept
+    // nodes retains the hub contribution
+    val sampled = Graph.commonNeighbors(adj, minCommon = 1L,
+        maxDegree = 4, hubPolicy = "sample")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    graft.Caches.release()
+    assert(sampled.keySet.subsetOf(exact.keySet), s"got $sampled")
+    assert(sampled.forall { case (k, v) => v <= exact(k) })
+    // the 4 lowest-hash nodes of hub 99 pair through it
+    def h(n: Long) = ((n % 1000000007L) * 2654435761L + 42L) %
+      1000000007L
+    val kept99 = (1L to 12L).sortBy(n => (h(n), n)).take(4).toSet
+    val hubPairs = for { a <- kept99; b <- kept99 if a < b }
+      yield (a, b)
+    assert(hubPairs.forall(sampled.contains),
+      s"kept $kept99 pairs missing from $sampled")
   }
 
   test("linkScores: hand-computed Adamic-Adar and resource-allocation " +
