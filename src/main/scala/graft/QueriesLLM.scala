@@ -4726,7 +4726,55 @@ object QueriesLLM {
             FROM wd w JOIN docpos d USING (doc_id)
             ORDER BY pack_id, seq_pos"""))
 
+  /** Benchmark-contamination sweep ([[graft.llmdata.Dedup
+    * .benchmarkContamination]]): every 97th document plays the
+    * held-out eval set, the rest the training corpus; per-doc
+    * 8-gram overlap in exact ppm + the decontamination flag. The
+    * n-gram leak check GPT-3/PaLM/Llama-2 style pipelines run
+    * before training.
+    */
+  private val q367_contamination: Q = (
+    (s, dir) => {
+      val docs = read(s, dir, "documents")
+      Dedup.benchmarkContamination(
+        corpus = docs.where(col("doc_id") % 97 =!= 0),
+        benchmark = docs.where(col("doc_id") % 97 === 0),
+        id = "doc_id", text = "text", shingleN = 8,
+        flagPpm = 100000L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
+             sh AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 6, 1)),
+                   i -> array_to_string(w[i:i+7], ' '))) AS sh
+               FROM tok),
+             bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+               WHERE doc_id % 97 = 0),
+             cor AS (SELECT doc_id, unnest(sh) AS g FROM sh
+               WHERE doc_id % 97 <> 0),
+             hit AS (SELECT c.doc_id, count(*) AS ng,
+                 count(b.g) AS nh
+               FROM cor c LEFT JOIN bench b ON c.g = b.g
+               GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.ng, 0) AS n_grams,
+               coalesce(h.nh, 0) AS n_hit,
+               CASE WHEN coalesce(h.ng, 0) = 0 THEN 0
+                 ELSE h.nh * 1000000 // h.ng END AS contam_ppm,
+               CAST(CASE WHEN coalesce(h.ng, 0) > 0
+                   AND h.nh * 1000000 // h.ng >= 100000
+                 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % 97 <> 0 AND text IS NOT NULL) d
+        LEFT JOIN hit h USING (doc_id)
+        ORDER BY doc_id"""))
+
   val all: Map[String, Q] = Map(
+    "q367_contamination" -> q367_contamination,
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,
     "q123_distinct_audit" -> q123_distinct_audit,

@@ -1618,7 +1618,95 @@ object QueriesStats {
         FROM kk CROSS JOIN qh CROSS JOIN cov"""))
   }
 
+  /** BRADLEY–TERRY preference strengths ([[graft.ops.Preference
+    * .bradleyTerry]]): brands as "models", each order's per-brand
+    * quantity totals as pairwise preference votes (larger total
+    * wins, ties dropped) — the RLHF-style reduction of N pairwise
+    * comparisons to a per-item strength leaderboard. The oracle
+    * replays the ENTIRE 10-step integer MM trajectory as unrolled
+    * CTEs ([[graft.ops.Preference.bradleyTerrySql]]), the q151
+    * DoReMi discipline.
+    */
+  private val btCmpSql: String =
+    """SELECT CASE WHEN a.q > b.q THEN a.brand ELSE b.brand END AS winner,
+              CASE WHEN a.q > b.q THEN b.brand ELSE a.brand END AS loser
+       FROM (SELECT l_orderkey AS ok, p_brand AS brand,
+                    sum(CAST(l_quantity AS BIGINT)) AS q
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2) a
+       JOIN (SELECT l_orderkey AS ok, p_brand AS brand,
+                    sum(CAST(l_quantity AS BIGINT)) AS q
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2) b
+         ON a.ok = b.ok AND a.brand < b.brand
+       WHERE a.q <> b.q"""
+
+  private val q365_bradley_terry: Q = (
+    (s, dir) => {
+      val ob = read(s, dir, "lineitem")
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val cmp = ob.alias("a")
+        .join(ob.alias("b"),
+          col("a.ok") === col("b.ok") &&
+            col("a.brand") < col("b.brand"))
+        .where(col("a.q") =!= col("b.q"))
+        .select(
+          when(col("a.q") > col("b.q"), col("a.brand"))
+            .otherwise(col("b.brand")).as("winner"),
+          when(col("a.q") > col("b.q"), col("b.brand"))
+            .otherwise(col("a.brand")).as("loser"))
+      graft.ops.Preference.bradleyTerry(cmp, col("winner"),
+        col("loser"), steps = 10).orderBy(col("item"))
+    },
+    Some(graft.ops.Preference.bradleyTerrySql(btCmpSql, steps = 10)))
+
+  /** KRIPPENDORFF'S ALPHA ([[graft.ops.Eval.krippendorffAlpha]]):
+    * each order as a unit, its lineitem return flags as the rater
+    * panel (variable panel width, 1..17) — the multi-annotator
+    * agreement audit Cohen's kappa (q360) can't express. Per-unit
+    * disagreement made integer-exact by the lcm(1..16)=720720
+    * lattice; only the final ppm quantizations touch doubles.
+    */
+  private val q366_krippendorff: Q = (
+    (s, dir) => graft.ops.Eval.krippendorffAlpha(
+      read(s, dir, "lineitem"),
+      unit = col("l_orderkey"), value = col("l_returnflag"),
+      maxRaters = 17),
+    Some("""WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) AS u,
+                 l_returnflag AS v
+               FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_returnflag IS NOT NULL),
+             cells AS (SELECT u, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             units AS (SELECT u, sum(c) AS m, sum(c * c) AS ss
+               FROM cells GROUP BY 1 HAVING sum(c) >= 2),
+             obs AS (SELECT count(*) AS n_units,
+                 CAST(sum(m) AS HUGEINT) AS n,
+                 CAST(sum((m * m - ss) * (720720 // (m - 1)))
+                   AS HUGEINT) AS aL
+               FROM units),
+             pooled AS (SELECT CAST(sum(nc * nc) AS HUGEINT) AS s2
+               FROM (SELECT v, sum(c) AS nc
+                     FROM cells JOIN units USING (u) GROUP BY 1))
+        SELECT n_units, CAST(n AS BIGINT) AS n_ratings,
+               CAST(floor(CAST(aL AS DOUBLE)
+                 / CAST(720720 * n AS DOUBLE) * 1e6 + 0.5)
+                 AS BIGINT) AS do_ppm,
+               CAST(floor(CAST(n * n - s2 AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) * 1e6 + 0.5)
+                 AS BIGINT) AS de_ppm,
+               CAST(floor((1.0 - CAST(aL * (n - 1) AS DOUBLE)
+                 / CAST(720720 * (n * n - s2) AS DOUBLE)) * 1e6
+                 + 0.5) AS BIGINT) AS alpha_ppm
+        FROM obs CROSS JOIN pooled"""))
+
   val all: Map[String, Q] = Map(
+    "q365_bradley_terry" -> q365_bradley_terry,
+    "q366_krippendorff" -> q366_krippendorff,
     "q364_conformal" -> q364_conformal,
     "q358_irr_bisect" -> q358_irr_bisect,
     "q359_eigen2" -> q359_eigen2,

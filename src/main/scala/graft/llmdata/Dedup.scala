@@ -1088,6 +1088,51 @@ object Dedup {
         col("n_tokens"), col("chunk_md5"), col("n_docs"))
   }
 
+  /** BENCHMARK CONTAMINATION check — the decontamination pass every
+    * serious pretraining pipeline runs (GPT-3 App. C; PaLM §8;
+    * Llama-2 A.6 all report n-gram overlap decontamination): flag
+    * training documents sharing word n-grams with an evaluation
+    * set, so benchmark answers don't leak into the corpus.
+    *
+    * Per corpus document: its DISTINCT word `shingleN`-grams
+    * ([[shingles]] — the dedup family's normalization), the count
+    * of those that appear ANYWHERE in the benchmark, the overlap
+    * rate in exact ppm (integer `div` — no float in the hash path),
+    * and a flag at `flagPpm`. Documents shorter than `shingleN`
+    * words have no n-grams and report 0 (can't leak a full n-gram).
+    *
+    * Scale shape: one explode + one hash join on the n-gram string
+    * + one per-doc aggregation — corpus-bytes linear, no all-pairs
+    * stage. The benchmark side is DISTINCT-reduced before the join
+    * (eval sets are small next to a pretraining corpus; Spark's
+    * stats will broadcast it when it fits).
+    */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+      id: String, text: String, shingleN: Int = 8,
+      flagPpm: Long = 100000L): DataFrame = {
+    require(shingleN >= 1, s"benchmarkContamination: shingleN $shingleN")
+    val bsh = benchmark.where(col(text).isNotNull)
+      .select(explode(shingles(col(text), shingleN)).as("__g"))
+      .distinct()
+    val corp = corpus.where(col(text).isNotNull)
+    val hit = corp
+      .select(col(id), explode(shingles(col(text), shingleN)).as("__g"))
+      .join(bsh.withColumn("__hit", lit(1L)), Seq("__g"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__nh"))
+    corp.select(col(id))
+      .join(hit, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__nh"), lit(0L)).as("n_hit"))
+      .withColumn("contam_ppm",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("n_hit * 1000000L div n_grams")))
+      .withColumn("flagged",
+        (col("contam_ppm") >= flagPpm).cast("int"))
+  }
+
   /** Line-level variant of [[spanDedup]] for corpora with real line
     * structure: units are trimmed non-empty lines.
     */

@@ -608,6 +608,82 @@ object Eval {
             .cast("double")).as("kappa_ppm"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) — inter-annotator agreement for
+    * the general labeling panel: any number of raters per unit,
+    * missing ratings allowed, chance-corrected against the pooled
+    * value distribution (Krippendorff 2004, Content Analysis §11).
+    * The agreement audit to run on multi-annotator training labels
+    * before trusting them; generalizes [[cohensKappa]] (2 fixed
+    * raters) to crowdsourced panels.
+    *
+    * alpha = 1 − D_o/D_e with (nominal distance)
+    *   D_o = (1/n) Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n (n − 1))
+    * over units with m_u ≥ 2 ratings. Every per-unit term is made
+    * integer-exact by scaling with L = lcm(1..maxRaters−1) — the
+    * same bounded-denominator trick as the Aalen–Johansen lattice —
+    * so D_o's numerator Σ L·disagree_u/(m_u−1) is an exact
+    * decimal(38,0) sum (order-independent), as are the D_e counts.
+    * The only floating step is the final ppm quantization of two
+    * exact-integer ratios (the cohensKappa discipline).
+    *
+    * `maxRaters` bounds ratings per unit (annotation panels are
+    * narrow by construction); violating units fail the require
+    * rather than silently skewing L. Emits one row:
+    * (n_units, n_ratings, do_ppm, de_ppm, alpha_ppm).
+    */
+  def krippendorffAlpha(df: DataFrame, unit: Column, value: Column,
+      maxRaters: Int = 16): DataFrame = {
+    // cap 32: per-row disagree·(L/(m−1)) peaks near m²·L/(m−1)
+    // ≈ 33·lcm(1..31) ≈ 2.4e15 — safely inside long; 42 would not be
+    require(maxRaters >= 2 && maxRaters <= 32,
+      s"krippendorffAlpha: maxRaters $maxRaters outside [2,32]")
+    def lcm(a: Long, b: Long): Long = {
+      @annotation.tailrec def gcd(x: Long, y: Long): Long =
+        if (y == 0L) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val bigL = (1L to (maxRaters - 1).toLong).reduce(lcm)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.Caches.pin(df
+      .select(unit.cast("string").as("__u"),
+        value.cast("string").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+    // per-unit census over units with >= 2 ratings
+    val units = cells.groupBy(col("__u"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .where(col("__m") >= 2)
+    val mMax = units.agg(max(col("__m"))).head().getLong(0)
+    require(mMax <= maxRaters,
+      s"krippendorffAlpha: a unit has $mMax ratings > maxRaters $maxRaters")
+    val obs = units.agg(
+      count(lit(1)).as("n_units"),
+      dec(sum(dec(col("__m")))).as("__n"),
+      sum(dec((col("__m") * col("__m") - col("__ss")) *
+        floor(lit(bigL.toDouble) / (col("__m") - lit(1))).cast("long")))
+        .as("__aL"))
+    // pooled value totals over the SAME kept units
+    val kept = cells.join(units.select(col("__u")), Seq("__u"))
+    val pooled = kept.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__nc"))
+      .agg(sum(dec(col("__nc")) * dec(col("__nc"))).as("__s2"))
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    obs.crossJoin(broadcast(pooled))
+      .select(col("n_units"), col("__n").cast("long").as("n_ratings"),
+        ppm(col("__aL").cast("double") /
+          (lit(bigL) * col("__n")).cast("double")).as("do_ppm"),
+        ppm((col("__n") * col("__n") - col("__s2")).cast("double") /
+          (col("__n") * (col("__n") - lit(1))).cast("double"))
+          .as("de_ppm"),
+        ppm(lit(1.0) -
+          (col("__aL") * (col("__n") - lit(1))).cast("double") /
+          (lit(bigL) * (col("__n") * col("__n") - col("__s2")))
+            .cast("double")).as("alpha_ppm"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al. 2005; Lei et
     * al. 2018) — distribution-free coverage from ANY point model:
     * hold out a calibration split, take q̂ = the ⌈(n+1)(1−α)⌉-th
