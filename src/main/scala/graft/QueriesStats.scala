@@ -1704,7 +1704,182 @@ object QueriesStats {
                  + 0.5) AS BIGINT) AS alpha_ppm
         FROM obs CROSS JOIN pooled"""))
 
+  /** BROWN–FORSYTHE variance-homogeneity test ([[graft.ops
+    * .RankStats.brownForsythe]]): order totals (hundreds lattice,
+    * the q307 grid) across the five priority classes — the robust
+    * Levene precondition check before any pooled-variance ANOVA on
+    * the same slicing. Group medians are exact census picks; the F
+    * ratio follows the kruskalWallis fixed-double-order discipline.
+    */
+  private val q368_brown_forsythe: Q = (
+    (s, dir) => graft.ops.RankStats.brownForsythe(
+      read(s, dir, "orders"),
+      group = col("o_orderpriority"),
+      value = round(col("o_totalprice"), -2)),
+    Some("""WITH r AS (SELECT o_orderpriority AS grp,
+                 CAST(round(o_totalprice, -2) AS BIGINT) AS v
+               FROM orders
+               WHERE o_orderpriority IS NOT NULL
+                 AND o_totalprice IS NOT NULL),
+             census AS (SELECT grp, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             ng AS (SELECT grp, sum(c) AS ng FROM census GROUP BY 1),
+             cum AS (SELECT grp, v, c, sum(c) OVER (PARTITION BY grp
+                 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+               FROM census),
+             med AS (SELECT grp, min(v) AS med
+               FROM cum JOIN ng USING (grp)
+               WHERE cum >= (ng + 1) // 2 GROUP BY 1),
+             dev AS (SELECT census.grp AS grp, c, med,
+                 abs(v - med) AS z
+               FROM census JOIN med ON census.grp = med.grp),
+             pg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+                 min(med) AS median,
+                 CAST(sum(CAST(c AS HUGEINT) * z) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(c AS HUGEINT) * z * z) AS HUGEINT)
+                   AS s2
+               FROM dev GROUP BY 1),
+             tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(s1) AS HUGEINT) AS ss1 FROM pg),
+             terms AS (SELECT
+                 CAST(sum(CAST(CAST(n AS DOUBLE) *
+                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ss1 AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                   (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ss1 AS DOUBLE) / CAST(nn AS DOUBLE))
+                   AS DECIMAL(38,6))) AS DOUBLE) AS bt,
+                 CAST(sum(CAST(CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS wi,
+                 CAST(min(nn) AS BIGINT) AS nn,
+                 CAST(min(k) AS BIGINT) AS k
+               FROM pg CROSS JOIN tot),
+             verdict AS (SELECT
+                 round(CAST(nn - k AS DOUBLE)
+                   / CAST(k - 1 AS DOUBLE) * bt / wi, 6) AS f_stat,
+                 k - 1 AS df1, nn - k AS df2
+               FROM terms)
+        SELECT grp, n, median,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS mean_dev,
+               f_stat, df1, df2
+        FROM pg CROSS JOIN verdict ORDER BY grp"""))
+
+  /** FRIEDMAN repeated-measures rank test ([[graft.ops.RankStats
+    * .friedman]]): orders carrying line positions 1..4 exactly once
+    * are the complete blocks, line position the treatment, extended
+    * price the response — "does position within an order shift
+    * price?" asked block-wise so per-order scale cancels. Ranks on
+    * the exact 2·rank lattice; tie-corrected chi-square.
+    */
+  private val q369_friedman: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .where(col("l_linenumber").between(1, 4))
+      val elig = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__k"), max(col("__c")).as("__m"))
+        .where(col("__k") === 4 && col("__m") === 1)
+        .select(col("l_orderkey"))
+      graft.ops.RankStats.friedman(
+        li.join(elig, Seq("l_orderkey")),
+        block = col("l_orderkey"), treatment = col("l_linenumber"),
+        value = col("l_extendedprice"))
+    },
+    Some("""WITH elig AS (SELECT l_orderkey FROM (
+                 SELECT l_orderkey, l_linenumber, count(*) AS c
+                 FROM lineitem WHERE l_linenumber BETWEEN 1 AND 4
+                 GROUP BY 1, 2)
+               GROUP BY 1 HAVING count(*) = 4 AND max(c) = 1),
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS b,
+                 CAST(l_linenumber AS VARCHAR) AS t,
+                 l_extendedprice AS v
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_extendedprice IS NOT NULL),
+             rk AS (SELECT b, t,
+                 2 * rank() OVER (PARTITION BY b ORDER BY v)
+                   + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+               FROM r),
+             pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS HUGEINT)
+                   AS r2sum
+               FROM rk GROUP BY 1),
+             ties AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+                   AS DOUBLE) AS tt
+               FROM (SELECT b, v, count(*) AS c FROM r GROUP BY 1, 2)),
+             kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(min(n_blocks) AS BIGINT) AS n FROM pt),
+             ss AS (SELECT CAST(sum(CAST(
+                   CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / 4.0
+                   AS DECIMAL(38,6))) AS DOUBLE) AS rsq FROM pt),
+             verdict AS (SELECT
+                 round(12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0)) * rsq
+                   - 3.0 * CAST(n AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0), 6) AS chi2,
+                 round((12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0)) * rsq
+                   - 3.0 * CAST(n AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0))
+                   / (1.0 - tt / (CAST(n AS DOUBLE)
+                     * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))),
+                   6) AS chi2_adj,
+                 k - 1 AS df
+               FROM kk CROSS JOIN ss CROSS JOIN ties)
+        SELECT t AS treatment, n_blocks,
+               round(CAST(r2sum AS DOUBLE) / 2.0, 1) AS rank_sum,
+               round(CAST(r2sum AS DOUBLE)
+                 / (2.0 * CAST(n_blocks AS DOUBLE)), 6) AS mean_rank,
+               chi2, chi2_adj, df
+        FROM pt CROSS JOIN verdict ORDER BY treatment"""))
+
+  /** MEAN-AVERAGE-PRECISION companion to q312 ([[graft.ops.Eval
+    * .averagePrecisionAtK]]): the SAME candidate fixture (segments
+    * as queries, rounded balances as scores, the 7/3 modulus
+    * relevance), but scored by AP@10 — the order-sensitive metric
+    * the q312 set misses. Exact lcm(1..10) lattice, integer ppm.
+    */
+  private val q370_map_at_k: Q = (
+    (s, dir) => graft.ops.Eval.averagePrecisionAtK(
+      read(s, dir, "customer"),
+      query = col("c_mktsegment"), doc = col("c_custkey"),
+      score = round(col("c_acctbal"), 0).cast("long"),
+      gain = when(col("c_custkey") % 7 === 0, 2L)
+        .when(col("c_custkey") % 3 === 0, 1L).otherwise(0L),
+      k = 10),
+    Some("""WITH cand AS (SELECT c_mktsegment AS query,
+                 c_custkey AS d,
+                 CAST(round(c_acctbal, 0) AS BIGINT) AS s,
+                 CASE WHEN c_custkey % 7 = 0 THEN 2
+                      WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS g
+               FROM customer),
+             r AS (SELECT *, row_number() OVER (PARTITION BY query
+                 ORDER BY s DESC, d ASC) AS rr FROM cand),
+             h AS (SELECT *, sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY query ORDER BY rr
+                   ROWS UNBOUNDED PRECEDING) AS hits FROM r),
+             t AS (SELECT query, count(*) AS n_candidates,
+                 CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_relevant,
+                 CAST(sum(CASE WHEN rr <= 10 AND g > 0
+                   THEN (2520 // rr) * hits ELSE 0 END)
+                   AS BIGINT) AS apnum
+               FROM h GROUP BY 1)
+        SELECT query, n_candidates, n_relevant,
+               CASE WHEN n_relevant = 0 THEN 0
+                 ELSE apnum * 1000000 //
+                   (2520 * least(n_relevant, 10)) END AS ap_ppm
+        FROM t ORDER BY query"""))
+
   val all: Map[String, Q] = Map(
+    "q370_map_at_k" -> q370_map_at_k,
+    "q368_brown_forsythe" -> q368_brown_forsythe,
+    "q369_friedman" -> q369_friedman,
     "q365_bradley_terry" -> q365_bradley_terry,
     "q366_krippendorff" -> q366_krippendorff,
     "q364_conformal" -> q364_conformal,

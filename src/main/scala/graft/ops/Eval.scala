@@ -608,6 +608,59 @@ object Eval {
             .cast("double")).as("kappa_ppm"))
   }
 
+  /** AVERAGE PRECISION at k — the order-sensitive retrieval metric
+    * [[rankingMetrics]] doesn't carry (its precision/recall/nDCG
+    * family treats the top-k as a set or discounts by log; AP
+    * integrates precision at every relevant hit):
+    *   AP@k = (1/min(R,k)) Σ_{r≤k, rel(r)} hits_r / r.
+    * Macro-averaging AP over queries gives MAP.
+    *
+    * Every term is exact on the lcm(1..k) lattice: hits_r/r scaled
+    * by L = lcm(1..k) is the integer (L div r)·hits_r, the per-query
+    * sum is an exact long, and the final value is one integer ppm
+    * floor division — no float anywhere (k ≤ 20 keeps L·hits inside
+    * long). Rank = (score desc, doc asc), the [[rankingMetrics]]
+    * tiebreak. Queries with no relevant docs report 0.
+    *
+    * Emits one row per query: (query, n_candidates, n_relevant,
+    * ap_ppm). Per-query window only — partitioned by query, never a
+    * global sort.
+    */
+  def averagePrecisionAtK(df: DataFrame, query: Column, doc: Column,
+      score: Column, gain: Column, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 20,
+      s"averagePrecisionAtK: k $k outside [1,20] (lcm lattice bound)")
+    def lcm(a: Long, b: Long): Long = {
+      @annotation.tailrec def gcd(x: Long, y: Long): Long =
+        if (y == 0L) x else gcd(y, x % y)
+      a / gcd(a, b) * b
+    }
+    val bigL = (1L to k.toLong).reduce(lcm)
+    val base = df.select(query.as("query"), doc.as("__d"),
+      score.as("__s"), (gain > 0).cast("long").as("__rel"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val ranked = base
+      .withColumn("__rr", row_number().over(wRank).cast("long"))
+      .withColumn("__hits", sum(col("__rel")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query")).orderBy(col("__rr"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+    ranked.groupBy(col("query")).agg(
+      count(lit(1)).as("n_candidates"),
+      sum(col("__rel")).cast("long").as("n_relevant"),
+      sum(when(col("__rr") <= k && col("__rel") === 1L,
+        expr(s"($bigL div __rr)") * col("__hits"))
+        .otherwise(lit(0L))).cast("long").as("__apnum"))
+      .select(col("query"), col("n_candidates"), col("n_relevant"),
+        when(col("n_relevant") === 0L, lit(0L))
+          .otherwise(expr(s"__apnum * 1000000L div " +
+            s"($bigL * least(n_relevant, ${k}L))")).as("ap_ppm"))
+      .orderBy(col("query"))
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — inter-annotator agreement for
     * the general labeling panel: any number of raters per unit,
     * missing ratings allowed, chance-corrected against the pooled

@@ -410,6 +410,157 @@ object RankStats {
     * Emits (series, n, dw 6dp) — dw NULL for constant series
     * (zero variance).
     */
+  /** BROWN–FORSYTHE test (Levene 1960 centered at the median — the
+    * Brown & Forsythe 1974 robust form): homogeneity of variances
+    * across k groups, the precondition audit before pooled-variance
+    * ANOVA trusts its F. Deviations are taken from each group's
+    * LOWER median (the value at sorted position ⌊(n+1)/2⌋ — a real
+    * data point, no even-n averaging), so with an integer-quantized
+    * `value` (the gini/splitConformal caller contract) every
+    * |x − med| is an exact lattice integer:
+    *
+    *   - per-group median from the distinct-value census + ordered
+    *     prefix (value-bounded, censusGuard — never a row-sized
+    *     window);
+    *   - deviation sums Σc·z, Σc·z² exact decimal(38,0);
+    *   - the F ratio in one fixed double order, per-group terms
+    *     decimal(38,6)-quantized before the order-free sum (the
+    *     [[kruskalWallis]] discipline).
+    *
+    * Emits one row per group (grp, n, median, mean_dev) with the
+    * shared (f_stat, df1, df2) repeated.
+    */
+  def brownForsythe(df: DataFrame, group: Column, value: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    val rows = df.select(group.cast("string").as("grp"),
+      value.cast("long").as("__v"))
+      .where(col("grp").isNotNull && col("__v").isNotNull)
+    val census = graft.Caches.pin(rows
+      .groupBy(col("grp"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+    censusGuard(census, maxDistinct, "RankStats.brownForsythe")
+    val w = Window.partitionBy(col("grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ng = census.groupBy(col("grp")).agg(sum(col("__c")).as("__ng"))
+    val med = census.withColumn("__cum", sum(col("__c")).over(w))
+      .join(ng, Seq("grp"))
+      .where(col("__cum") >= expr("(__ng + 1L) div 2"))
+      .groupBy(col("grp")).agg(min(col("__v")).as("__med"))
+    val dev = census.join(med, Seq("grp"))
+      .select(col("grp"), col("__c"), col("__med"),
+        abs(col("__v") - col("__med")).as("__z"))
+    val pg = dev.groupBy(col("grp")).agg(
+      sum(col("__c")).cast("long").as("n"),
+      min(col("__med")).as("median"),
+      sum(col("__c").cast("decimal(38,0)") * col("__z")).as("__s1"),
+      sum(col("__c").cast("decimal(38,0)") * col("__z") * col("__z"))
+        .as("__s2"))
+    val tot = pg.agg(
+      sum(col("n")).cast("long").as("__nn"),
+      count(lit(1)).cast("long").as("__k"),
+      sum(col("__s1")).as("__ss1"))
+    val zbarG = col("__s1").cast("double") / col("n").cast("double")
+    val zbar = col("__ss1").cast("double") / col("__nn").cast("double")
+    val btTerm = col("n").cast("double") *
+      (zbarG - zbar) * (zbarG - zbar)
+    val wiTerm = col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") /
+        col("n").cast("double")
+    val agg2 = pg.crossJoin(broadcast(tot)).agg(
+      sum(btTerm.cast("decimal(38,6)")).cast("double").as("__bt"),
+      sum(wiTerm.cast("decimal(38,6)")).cast("double").as("__wi"),
+      first(col("__nn")).as("__nn"), first(col("__k")).as("__k"))
+    val f = (col("__nn") - col("__k")).cast("double") /
+      (col("__k") - lit(1L)).cast("double") *
+      col("__bt") / col("__wi")
+    val verdict = agg2.select(round(f, 6).as("f_stat"),
+      (col("__k") - lit(1L)).as("df1"),
+      (col("__nn") - col("__k")).as("df2"))
+    pg.crossJoin(broadcast(verdict))
+      .select(col("grp"), col("n"), col("median"),
+        round(col("__s1").cast("double") / col("n").cast("double"), 6)
+          .as("mean_dev"),
+        col("f_stat"), col("df1"), col("df2"))
+      .orderBy(col("grp"))
+  }
+
+  /** FRIEDMAN test (Friedman 1937; tie-corrected form, e.g. Conover
+    * 1999 §5.7): the repeated-measures rank test over complete
+    * blocks — k treatments each observed once in every block, ranks
+    * taken WITHIN block so block-level shifts cancel. The
+    * nonparametric answer to "do the k variants differ?" when every
+    * unit sees all variants.
+    *
+    * Ranks within a block use the textbook average-rank tie
+    * treatment on the exact 2·rank integer lattice (the module
+    * invariant): r2 = 2·rank + tie_count − 1. Rank sums per
+    * treatment are exact decimal(38,0); the chi-square and its
+    * tie-corrected form run in one fixed double order with the
+    * decimal(38,6)-quantized per-treatment terms ([[kruskalWallis]]
+    * discipline). Completeness is REQUIRED, not assumed: uniform
+    * block size, each treatment exactly once per block.
+    *
+    * Blocks are typically many and tiny, so the within-block rank
+    * window shuffles by block and sorts k rows per partition key —
+    * no global or row-sized window at any scale.
+    *
+    * Emits one row per treatment (treatment, n_blocks, rank_sum,
+    * mean_rank) with the shared (chi2, chi2_adj, df) repeated.
+    */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      value: Column): DataFrame = {
+    val rows = df.select(block.cast("string").as("__b"),
+      treatment.cast("string").as("__t"),
+      value.cast("double").as("__v"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__v").isNotNull)
+    val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
+      countDistinct(col("__t")).as("__d"))
+    val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
+      "friedman: blocks must be complete — every treatment exactly " +
+        "once per block, uniform k >= 2 (filter upstream)")
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val ranked = rows
+      .withColumn("__r2", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(Window.partitionBy(col("__b"), col("__v")))
+        - lit(1L))
+    val pt = graft.Caches.pin(ranked.groupBy(col("__t")).agg(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(col("__r2").cast("decimal(38,0)")).as("__r2sum")))
+    val ties = rows.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+      .agg(sum(col("__tc").cast("decimal(38,0)") * col("__tc") *
+        col("__tc") - col("__tc")).cast("double").as("__tt"))
+    val kk = pt.agg(count(lit(1)).cast("long").as("__k"),
+      min(col("n_blocks")).cast("long").as("__n"))
+    val ss = pt.agg(
+      sum((col("__r2sum").cast("double") *
+        col("__r2sum").cast("double") / lit(4.0))
+        .cast("decimal(38,6)")).cast("double").as("__rsq"))
+    val nD = col("__n").cast("double")
+    val kD = col("__k").cast("double")
+    val chi = lit(12.0) / (nD * kD * (kD + lit(1.0))) * col("__rsq") -
+      lit(3.0) * nD * (kD + lit(1.0))
+    val corr = lit(1.0) - col("__tt") /
+      (nD * kD * (kD * kD - lit(1.0)))
+    val verdict = kk.crossJoin(broadcast(ss)).crossJoin(broadcast(ties))
+      .select(round(chi, 6).as("chi2"),
+        round(chi / corr, 6).as("chi2_adj"),
+        (col("__k") - lit(1L)).as("df"))
+    pt.crossJoin(broadcast(verdict))
+      .select(col("__t").as("treatment"), col("n_blocks"),
+        round(col("__r2sum").cast("double") / lit(2.0), 1)
+          .as("rank_sum"),
+        round(col("__r2sum").cast("double") /
+          (lit(2.0) * col("n_blocks").cast("double")), 6)
+          .as("mean_rank"),
+        col("chi2"), col("chi2_adj"), col("df"))
+      .orderBy(col("treatment"))
+  }
+
   def durbinWatson(df: DataFrame, series: String, ord: String,
       value: Column): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window

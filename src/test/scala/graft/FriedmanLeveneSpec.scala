@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Eval, RankStats}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed textbook cases for the Brown–Forsythe variance
+  * test, the Friedman repeated-measures rank test, and average
+  * precision at k.
+  */
+class FriedmanLeveneSpec extends SparkSuite {
+  import spark.implicits._
+
+  override protected def withFixture(test: NoArgTest) =
+    try super.withFixture(test) finally graft.Caches.release()
+
+  test("brownForsythe: A=[1..5] vs B=[10,10,10,10] -> medians 3/10, " +
+      "mean devs 1.2/0, F = 8 with df (1, 7)") {
+    val df = (Seq(1, 2, 3, 4, 5).map(("A", _)) ++
+      Seq(10, 10, 10, 10).map(("B", _))).toDF("g", "v")
+    val r = RankStats.brownForsythe(df, col("g"), col("v"))
+      .orderBy(col("grp")).collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(5L, 4L))
+    assert(r.map(_.getAs[Long]("median")).toSeq == Seq(3L, 10L))
+    assert(r.map(_.getAs[Double]("mean_dev")).toSeq == Seq(1.2, 0.0))
+    // Between = 5(1.2-2/3)^2 + 4(2/3)^2 = 3.2; Within = 10-36/5 = 2.8
+    // F = (7/1) * 3.2/2.8 = 8
+    assert(math.abs(r(0).getAs[Double]("f_stat") - 8.0) <= 2e-6)
+    assert(r(0).getAs[Long]("df1") == 1L)
+    assert(r(0).getAs[Long]("df2") == 7L)
+  }
+
+  test("brownForsythe: even-n group uses the LOWER median") {
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("A", 4),
+      ("B", 5), ("B", 5)).toDF("g", "v")
+    val r = RankStats.brownForsythe(df, col("g"), col("v"))
+      .orderBy(col("grp")).collect()
+    assert(r(0).getAs[Long]("median") == 2L) // pos (4+1) div 2 = 2
+  }
+
+  test("friedman: 3 complete blocks x 3 treatments, no ties -> " +
+      "rank sums 5/6/7, chi2 = 2/3, df 2") {
+    val df = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 1.0), ("b2", "t2", 2.0), ("b2", "t3", 3.0),
+      ("b3", "t1", 5.0), ("b3", "t2", 4.0), ("b3", "t3", 3.0))
+      .toDF("b", "t", "v")
+    val r = RankStats.friedman(df, col("b"), col("t"), col("v"))
+      .orderBy(col("treatment")).collect()
+    assert(r.map(_.getAs[Double]("rank_sum")).toSeq ==
+      Seq(5.0, 6.0, 7.0))
+    // chi2 = 12/(3*3*4) * (25+36+49) - 3*3*4 = 110/3 - 36 = 2/3
+    assert(math.abs(r(0).getAs[Double]("chi2") - 2.0 / 3.0) <= 2e-6)
+    assert(r(0).getAs[Double]("chi2") ==
+      r(0).getAs[Double]("chi2_adj")) // no ties
+    assert(r(0).getAs[Long]("df") == 2L)
+  }
+
+  test("friedman: within-block ties get average ranks on the 2-rank " +
+      "lattice and shrink chi2_adj's denominator") {
+    // b1: t1=t2=1 (avg rank 1.5 each), t3=2 (rank 3)
+    val df = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 1.0), ("b1", "t3", 2.0),
+      ("b2", "t1", 1.0), ("b2", "t2", 2.0), ("b2", "t3", 3.0))
+      .toDF("b", "t", "v")
+    val r = RankStats.friedman(df, col("b"), col("t"), col("v"))
+      .orderBy(col("treatment")).collect()
+    assert(r.map(_.getAs[Double]("rank_sum")).toSeq ==
+      Seq(2.5, 3.5, 6.0))
+    // tie term: one pair -> T = 2^3-2 = 6; corr = 1 - 6/(2*3*8) = 7/8
+    val chi = r(0).getAs[Double]("chi2")
+    assert(math.abs(r(0).getAs[Double]("chi2_adj") - chi / 0.875)
+      <= 2e-6)
+  }
+
+  test("friedman: incomplete blocks are rejected, not silently " +
+      "ranked") {
+    val df = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0),
+      ("b2", "t1", 1.0)).toDF("b", "t", "v")
+    intercept[IllegalArgumentException] {
+      RankStats.friedman(df, col("b"), col("t"), col("v"))
+    }
+  }
+
+  test("averagePrecisionAtK: AP = (1 + 2/3)/2 = 5/6 on the exact " +
+      "lcm lattice; zero-relevant query reports 0") {
+    val df = Seq(
+      ("q", 1L, 10L, 1L), ("q", 2L, 9L, 0L),
+      ("q", 3L, 8L, 2L), ("q", 4L, 7L, 0L),
+      ("z", 9L, 5L, 0L))
+      .toDF("q", "d", "s", "g")
+    val r = Eval.averagePrecisionAtK(df, col("q"), col("d"),
+      col("s"), col("g"), k = 10).orderBy(col("query")).collect()
+    assert(r(0).getAs[Long]("n_relevant") == 2L)
+    assert(r(0).getAs[Long]("ap_ppm") == 833333L) // floor(5/6 * 1e6)
+    assert(r(1).getAs[Long]("ap_ppm") == 0L)
+  }
+}
