@@ -383,6 +383,13 @@ object Graph {
     a.join(b, Seq("nbr"))
       .where(col("node_a") < col("node_b"))
       .join(w, Seq("nbr"))
+      // pair-key repartition between the nbr-partitioned wedge join
+      // and the pair aggregate — the q228 fix (the join stage's few
+      // skewed nbr keys otherwise leave the partial aggregate's
+      // near-unique-key hash maps inside straggler tasks); measured
+      // on q251's support-filtered brand graph this round, see
+      // BENCH_NOTES
+      .repartition(col("node_a"), col("node_b"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_q"),
         sum(col("ra_w")).as("ra_q"))
