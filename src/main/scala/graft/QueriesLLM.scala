@@ -4773,7 +4773,58 @@ object QueriesLLM {
         LEFT JOIN hit h USING (doc_id)
         ORDER BY doc_id"""))
 
+  /** HEAPS'-LAW vocabulary growth ([[TextAnalysis.heapsLaw]]):
+    * distinct types in the first n corpus tokens at power-of-two
+    * checkpoints, β via the Theil–Sen log-log slope — the
+    * vocabulary-side corpus health gauge next to q271's Zipf
+    * frequency-side one. Positions from range-bucketed prefix sums;
+    * checkpoint membership by exact integer comparison.
+    */
+  private val q371_heaps: Q = (
+    (s, dir) => TextAnalysis.heapsLaw(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      minN = 256L),
+    Some("""WITH tl AS (SELECT doc_id, list_filter(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             d AS (SELECT doc_id, t FROM tl WHERE len(t) >= 1),
+             o AS (SELECT doc_id, t, len(t) AS n,
+                 sum(len(t)) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - len(t) AS off
+               FROM d),
+             toks AS (SELECT off + u.p AS p, u.tok FROM (
+                 SELECT off, unnest(list_transform(
+                   range(1, len(t) + 1),
+                   i -> struct_pack(p := i, tok := t[i]))) AS u
+                 FROM o) y),
+             firsts AS (SELECT tok, min(p) AS f FROM toks
+               GROUP BY 1),
+             tot AS (SELECT sum(n) AS tt FROM o),
+             cps AS (SELECT (CAST(1 AS BIGINT) << i) AS n_tokens
+               FROM range(0, 63) r(i), tot
+               WHERE (CAST(1 AS BIGINT) << i) <= tt
+                 AND (CAST(1 AS BIGINT) << i) >= 256),
+             pts AS (SELECT n_tokens, count(*) AS vocab,
+                 CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE)))
+                   AS BIGINT) AS xq,
+                 CAST(floor(1000000.0 * ln(CAST(count(*) AS DOUBLE)))
+                   AS BIGINT) AS yq
+               FROM cps JOIN firsts ON f <= n_tokens GROUP BY 1),
+             sl AS (SELECT CAST(floor(1000000.0 * (b.yq - a.yq)
+                   / (b.xq - a.xq)) AS BIGINT) AS sq
+               FROM pts a JOIN pts b ON a.xq < b.xq),
+             m AS (SELECT quantile_disc(sq, 0.5) AS slope_q FROM sl),
+             r AS (SELECT pts.yq * 1000000 - slope_q * pts.xq AS rr
+               FROM pts, m),
+             ic AS (SELECT quantile_disc(rr, 0.5) AS intercept_q
+               FROM r)
+        SELECT n_tokens, vocab, xq, yq, slope_q, intercept_q
+        FROM pts, m, ic ORDER BY n_tokens"""))
+
   val all: Map[String, Q] = Map(
+    "q371_heaps" -> q371_heaps,
     "q367_contamination" -> q367_contamination,
     "q121_domain_cap" -> q121_domain_cap,
     "q122_heavy_hitters" -> q122_heavy_hitters,

@@ -1876,7 +1876,109 @@ object QueriesStats {
                    (2520 * least(n_relevant, 10)) END AS ap_ppm
         FROM t ORDER BY query"""))
 
+  /** The complete-blocks fixture shared by q369/q372/q373: orders
+    * carrying line positions 1..4 exactly once each.
+    */
+  private def eligibleBlocks(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val li = read(s, dir, "lineitem")
+      .where(col("l_linenumber").between(1, 4))
+    val elig = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__k"), max(col("__c")).as("__m"))
+      .where(col("__k") === 4 && col("__m") === 1)
+      .select(col("l_orderkey"))
+    li.join(elig, Seq("l_orderkey"))
+  }
+
+  private val eligSql: String =
+    """elig AS (SELECT l_orderkey FROM (
+         SELECT l_orderkey, l_linenumber, count(*) AS c
+         FROM lineitem WHERE l_linenumber BETWEEN 1 AND 4
+         GROUP BY 1, 2)
+       GROUP BY 1 HAVING count(*) = 4 AND max(c) = 1)"""
+
+  /** COCHRAN'S Q ([[graft.ops.Eval.cochranQ]]): "was the line
+    * returned?" as k=4 binary treatments over the complete order
+    * blocks — the binary sibling of q369's Friedman and the k-way
+    * McNemar (q361). Integer numerator/denominator, one double
+    * ratio.
+    */
+  private val q372_cochran_q: Q = (
+    (s, dir) => graft.ops.Eval.cochranQ(
+      eligibleBlocks(s, dir),
+      block = col("l_orderkey"), treatment = col("l_linenumber"),
+      success = col("l_returnflag") === "R"),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS b,
+                 CAST(l_linenumber AS VARCHAR) AS t,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_returnflag IS NOT NULL),
+             pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(x) AS BIGINT) AS successes
+               FROM r GROUP BY 1),
+             ca AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(successes AS HUGEINT)) AS HUGEINT)
+                   AS nn,
+                 CAST(sum(CAST(successes AS HUGEINT) * successes)
+                   AS HUGEINT) AS c2
+               FROM pt),
+             ra AS (SELECT CAST(sum(CAST(rr AS HUGEINT) * rr)
+                   AS HUGEINT) AS r2
+               FROM (SELECT b, sum(x) AS rr FROM r GROUP BY 1)),
+             v AS (SELECT round(CAST(k - 1 AS DOUBLE)
+                   * CAST(k * c2 - nn * nn AS DOUBLE)
+                   / CAST(k * nn - r2 AS DOUBLE), 6) AS q_stat,
+                 k - 1 AS df
+               FROM ca CROSS JOIN ra)
+        SELECT t AS treatment, n_blocks, successes, q_stat, df
+        FROM pt CROSS JOIN v ORDER BY treatment"""))
+
+  /** CRONBACH'S ALPHA ([[graft.ops.Eval.cronbachAlpha]]): the four
+    * line quantities of each complete order as a 4-item "scale" —
+    * the reliability audit before collapsing multi-probe scores
+    * into one label. Exact decimal sums, one double ratio, ppm.
+    */
+  private val q373_cronbach: Q = (
+    (s, dir) => graft.ops.Eval.cronbachAlpha(
+      eligibleBlocks(s, dir),
+      unit = col("l_orderkey"), item = col("l_linenumber"),
+      score = col("l_quantity").cast("long")),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS u,
+                 CAST(l_linenumber AS VARCHAR) AS i,
+                 CAST(l_quantity AS BIGINT) AS x
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_quantity IS NOT NULL),
+             it AS (SELECT i,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r GROUP BY 1),
+             ia AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(min(n) AS BIGINT) AS n_units,
+                 CAST(sum(CAST(n AS HUGEINT) * s2 - s1 * s1)
+                   AS HUGEINT) AS a
+               FROM it),
+             ut AS (SELECT u, sum(x) AS t FROM r GROUP BY 1),
+             ua AS (SELECT CAST(count(*) AS HUGEINT)
+                 * CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT)
+                 - CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT)
+                   * CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT)
+                 AS bden FROM ut)
+        SELECT n_units, k AS k_items,
+               CAST(floor(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                 * (1.0 - CAST(a AS DOUBLE) / CAST(bden AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT) AS alpha_ppm
+        FROM ia CROSS JOIN ua"""))
+
   val all: Map[String, Q] = Map(
+    "q372_cochran_q" -> q372_cochran_q,
+    "q373_cronbach" -> q373_cronbach,
     "q370_map_at_k" -> q370_map_at_k,
     "q368_brown_forsythe" -> q368_brown_forsythe,
     "q369_friedman" -> q369_friedman,

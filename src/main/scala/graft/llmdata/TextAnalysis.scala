@@ -1398,4 +1398,69 @@ object TextAnalysis {
       .select(col("word"), col("rank"))
       .orderBy(col("rank").desc, col("word"))
   }
+
+  /** HEAPS'-LAW vocabulary growth (Heaps 1978; Herdan 1960):
+    * V(n) ≈ K·n^β — distinct types seen in the first n tokens of the
+    * corpus, at power-of-two checkpoints, with β estimated by the
+    * Theil–Sen slope over the quantized log-log points (the q271
+    * Zipf discipline — same lattice, same robust fit). Natural text
+    * sits near β ≈ 0.5; β drifting up flags unbounded-vocabulary
+    * noise (serial numbers, hashes), β collapsing flags template
+    * spam — the vocabulary-side corpus health gauge next to Zipf's
+    * frequency-side one.
+    *
+    * Everything before the two `ln` calls is exact integer work:
+    *   - global token positions from per-doc counts via the range-
+    *     bucketed [[graft.ops.ScanOps.prefixSums]] (doc-id order, no
+    *     single-partition window);
+    *   - each type's FIRST position, an exact min;
+    *   - V(2^i) by joining the (vocab-bounded) first-position census
+    *     against the ~60-row checkpoint list with first <= n — no
+    *     float log2 bucketing, so a first-occurrence exactly ON a
+    *     checkpoint can't flip sides.
+    * Checkpoints below `minN` are dropped (the pre-asymptotic head
+    * bends the fit). Emits one row per checkpoint (n_tokens, vocab,
+    * xq, yq) with the shared Theil–Sen (slope_q, intercept_q)
+    * repeated; slope_q/1e6 ≈ β.
+    */
+  def heapsLaw(df: DataFrame, id: String, text: String,
+      minN: Long = 256L): DataFrame = {
+    require(minN >= 1, s"heapsLaw: minN $minN")
+    val docs = df.where(col(text).isNotNull)
+      .select(col(id).cast("long").as("__id"),
+        Dedup.normalizeTokens(col(text)).as("__t"))
+      .where(size(col("__t")) >= 1)
+    val counts = docs.select(col("__id"),
+      size(col("__t")).cast("long").as("__n"))
+    val withCum = graft.ops.ScanOps.prefixSums(counts, "__id",
+      Seq("__cum" -> col("__n")))
+      .select(col("__id"), (col("__cum") - col("__n")).as("__off"))
+    val firsts = graft.Caches.pin(docs
+      .join(withCum, Seq("__id"))
+      .select(col("__off"), posexplode(col("__t")))
+      .select((col("__off") + col("pos") + lit(1L)).as("__p"),
+        col("col").as("__tok"))
+      .groupBy(col("__tok")).agg(min(col("__p")).as("__first")))
+    val tot = counts.agg(coalesce(sum(col("__n")), lit(0L)))
+      .first().getLong(0)
+    val spark = df.sparkSession
+    val cps = spark.range(0, 63)
+      .select(expr("shiftleft(1L, cast(id as int))").as("n_tokens"))
+      .where(col("n_tokens") <= tot && col("n_tokens") >= minN)
+    val points = graft.Caches.pin(broadcast(cps)
+      .join(firsts, col("__first") <= col("n_tokens"))
+      .groupBy(col("n_tokens"))
+      .agg(count(lit(1)).as("vocab"))
+      .select(lit("corpus").as("series"), col("n_tokens"), col("vocab"),
+        floor(lit(1e6) * log(col("n_tokens").cast("double")))
+          .cast("long").as("xq"),
+        floor(lit(1e6) * log(col("vocab").cast("double")))
+          .cast("long").as("yq")))
+    val fit = graft.functions.Stats.theilSen(points, "series",
+      "xq", "yq")
+    points.join(broadcast(fit), Seq("series"))
+      .select(col("n_tokens"), col("vocab"), col("xq"), col("yq"),
+        col("slope_q"), col("intercept_q"))
+      .orderBy(col("n_tokens"))
+  }
 }

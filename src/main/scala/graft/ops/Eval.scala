@@ -737,6 +737,113 @@ object Eval {
             .cast("double")).as("alpha_ppm"))
   }
 
+  /** COCHRAN'S Q test (Cochran 1950) — k binary treatments on the
+    * same blocks: did ANY of the k variants change the success
+    * rate, asked within-block so unit-level base rates cancel. The
+    * k-way generalization of [[mcnemar]] (k=2 reduces to it) and
+    * the binary sibling of the Friedman test.
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * with C_j the per-treatment success totals, R_i the per-block
+    * totals, N the grand total — numerator and denominator are
+    * EXACT decimal(38,0) integers; only the final ratio (one fixed
+    * double division) and its 6dp rounding touch floats. Complete
+    * blocks REQUIRED (every treatment once per block). Emits one
+    * row per treatment (treatment, n_blocks, successes) with the
+    * shared (q_stat, df) repeated. All-constant blocks (denominator
+    * 0) yield a null q_stat — the honest "no information" answer.
+    */
+  def cochranQ(df: DataFrame, block: Column, treatment: Column,
+      success: Column): DataFrame = {
+    val rows = df.select(block.cast("string").as("__b"),
+      treatment.cast("string").as("__t"),
+      success.cast("boolean").cast("int").cast("long").as("__x"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
+      countDistinct(col("__t")).as("__d"), sum(col("__x")).as("__r"))
+    val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
+      "cochranQ: blocks must be complete — every treatment exactly " +
+        "once per block, uniform k >= 2 (filter upstream)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pt = graft.Caches.pin(rows.groupBy(col("__t")).agg(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(col("__x")).cast("long").as("successes")))
+    val colsAgg = pt.agg(
+      count(lit(1)).cast("long").as("__k"),
+      sum(dec(col("successes"))).as("__nn"),
+      sum(dec(col("successes")) * dec(col("successes"))).as("__c2"))
+    val rowsAgg = bs.agg(
+      sum(dec(col("__r")) * dec(col("__r"))).as("__r2"))
+    val verdict = colsAgg.crossJoin(broadcast(rowsAgg))
+      .select(
+        round((col("__k") - lit(1L)).cast("double") *
+          (col("__k") * col("__c2") - col("__nn") * col("__nn"))
+            .cast("double") /
+          (col("__k") * col("__nn") - col("__r2")).cast("double"), 6)
+          .as("q_stat"),
+        (col("__k") - lit(1L)).as("df"))
+    pt.crossJoin(broadcast(verdict))
+      .select(col("__t").as("treatment"), col("n_blocks"),
+        col("successes"), col("q_stat"), col("df"))
+      .orderBy(col("treatment"))
+  }
+
+  /** CRONBACH'S ALPHA (Cronbach 1951) — internal consistency of a
+    * k-item scale: do the k per-unit measurements move together
+    * enough to be averaged into one score? The reliability audit
+    * run before collapsing multi-probe ratings into a single
+    * label. Complete panels required (every item once per unit;
+    * scores integer-quantized — the gini contract).
+    *
+    *   alpha = k/(k−1) · (1 − Σ_j var_j / var_total)
+    *
+    * computed with the common 1/(n(n−1)) factor cancelled:
+    * A = Σ_j (n·ΣX_j² − (ΣX_j)²), B = n·ΣT_i² − (ΣT_i)² — both
+    * EXACT decimal(38,0); one double ratio, one ppm quantization.
+    * Emits one row: (n_units, k_items, alpha_ppm).
+    */
+  def cronbachAlpha(df: DataFrame, unit: Column, item: Column,
+      score: Column): DataFrame = {
+    val rows = df.select(unit.cast("string").as("__u"),
+      item.cast("string").as("__i"),
+      score.cast("long").as("__x"))
+      .where(col("__u").isNotNull && col("__i").isNotNull &&
+        col("__x").isNotNull)
+    val us = rows.groupBy(col("__u")).agg(count(lit(1)).as("__c"),
+      countDistinct(col("__i")).as("__d"), sum(col("__x")).as("__tt"))
+    val chk = us.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
+      "cronbachAlpha: panels must be complete — every item exactly " +
+        "once per unit, uniform k >= 2 (filter upstream)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val items = rows.groupBy(col("__i")).agg(
+      sum(dec(col("__x"))).as("__s1"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__s2"),
+      count(lit(1)).cast("long").as("__n"))
+    val ia = items.agg(
+      count(lit(1)).cast("long").as("k_items"),
+      min(col("__n")).as("n_units"),
+      sum(dec(col("__n")) * col("__s2") - col("__s1") * col("__s1"))
+        .as("__a"))
+    val ua = us.agg(
+      (dec(count(lit(1))) * sum(dec(col("__tt")) * dec(col("__tt"))) -
+        sum(dec(col("__tt"))) * sum(dec(col("__tt")))).as("__bden"))
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    ia.crossJoin(broadcast(ua))
+      .select(col("n_units"), col("k_items"),
+        ppm(col("k_items").cast("double") /
+          (col("k_items") - lit(1L)).cast("double") *
+          (lit(1.0) - col("__a").cast("double") /
+            col("__bden").cast("double"))).as("alpha_ppm"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al. 2005; Lei et
     * al. 2018) — distribution-free coverage from ANY point model:
     * hold out a calibration split, take q̂ = the ⌈(n+1)(1−α)⌉-th

@@ -82,6 +82,63 @@ class FriedmanLeveneSpec extends SparkSuite {
     }
   }
 
+  test("cochranQ: textbook 4 blocks x 3 binary treatments -> " +
+      "Q = 2(3*14-36)/(18-14) = 3, df 2") {
+    val df = Seq(
+      ("b1", "t1", 1), ("b1", "t2", 1), ("b1", "t3", 0),
+      ("b2", "t1", 1), ("b2", "t2", 0), ("b2", "t3", 0),
+      ("b3", "t1", 1), ("b3", "t2", 1), ("b3", "t3", 1),
+      ("b4", "t1", 0), ("b4", "t2", 0), ("b4", "t3", 0))
+      .toDF("b", "t", "x")
+    val r = graft.ops.Eval.cochranQ(df, col("b"), col("t"),
+      col("x") === 1).orderBy(col("treatment")).collect()
+    assert(r.map(_.getAs[Long]("successes")).toSeq == Seq(3L, 2L, 1L))
+    assert(r(0).getAs[Double]("q_stat") == 3.0)
+    assert(r(0).getAs[Long]("df") == 2L)
+  }
+
+  test("cochranQ: incomplete blocks rejected") {
+    val df = Seq(("b1", "t1", 1), ("b1", "t2", 0), ("b2", "t1", 1))
+      .toDF("b", "t", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Eval.cochranQ(df, col("b"), col("t"), col("x") === 1)
+    }
+  }
+
+  test("cronbachAlpha: perfectly-aligned items -> alpha = 1; " +
+      "partly-aligned -> 2/3") {
+    val perfect = Seq(("u1", "i1", 1L), ("u1", "i2", 1L),
+      ("u2", "i1", 2L), ("u2", "i2", 2L),
+      ("u3", "i1", 3L), ("u3", "i2", 3L)).toDF("u", "i", "x")
+    val r1 = graft.ops.Eval.cronbachAlpha(perfect, col("u"),
+      col("i"), col("x")).collect()(0)
+    assert(r1.getAs[Long]("n_units") == 3 &&
+      r1.getAs[Long]("k_items") == 2)
+    assert(r1.getAs[Long]("alpha_ppm") == 1000000L)
+    // A = 2*(3*14-36) = 12; T = (3,3,6) -> B = 3*54-144 = 18
+    // alpha = 2 * (1 - 12/18) = 2/3
+    val partial = Seq(("u1", "i1", 1L), ("u1", "i2", 2L),
+      ("u2", "i1", 2L), ("u2", "i2", 1L),
+      ("u3", "i1", 3L), ("u3", "i2", 3L)).toDF("u", "i", "x")
+    val r2 = graft.ops.Eval.cronbachAlpha(partial, col("u"),
+      col("i"), col("x")).collect()(0)
+    assert(r2.getAs[Long]("alpha_ppm") == 666667L)
+  }
+
+  test("heapsLaw: hand-placed first occurrences give exact vocab " +
+      "counts at power-of-two checkpoints") {
+    // global token stream (doc order): a b a b | c a d e
+    val df = Seq((1L, "a b a b"), (2L, "c a d e"))
+      .toDF("doc_id", "text")
+    val r = graft.llmdata.TextAnalysis.heapsLaw(df, "doc_id", "text",
+      minN = 1L).orderBy(col("n_tokens")).collect()
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq ==
+      Seq(1L, 2L, 4L, 8L))
+    // firsts: a@1 b@2 c@5 d@7 e@8 -> V = 1, 2, 2, 5
+    assert(r.map(_.getAs[Long]("vocab")).toSeq == Seq(1L, 2L, 2L, 5L))
+    assert(r(0).getAs[Long]("slope_q") > 0L)
+  }
+
   test("averagePrecisionAtK: AP = (1 + 2/3)/2 = 5/6 on the exact " +
       "lcm lattice; zero-relevant query reports 0") {
     val df = Seq(
