@@ -1523,7 +1523,52 @@ object QueriesStream {
              LEFT JOIN s3 USING (user_id, sid)
         ORDER BY user_id, session_start"""))
 
+  /** PAGE–HINKLEY drift monitor ([[graft.functions.Stats
+    * .pageHinkley]]): hourly event counts per type, deviation from
+    * the RUNNING mean on the 1e-6 integer lattice — the
+    * baseline-free sibling of q258's CUSUM (which needs the median
+    * target joined in). δ = 0.5 counts, λ = 50 counts.
+    */
+  private val q374_page_hinkley: Q = (
+    (s, dir) => {
+      val c = read(s, dir, "events").where(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      graft.functions.Stats.pageHinkley(c, "event_type", "h", "n",
+          deltaQ = 500000L, lambdaQ = 50000000L)
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 count(*) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+             p AS (SELECT event_type, h, n,
+                 row_number() OVER w AS i,
+                 CAST(sum(n) OVER w AS HUGEINT) AS pp
+               FROM c WINDOW w AS (PARTITION BY event_type
+                 ORDER BY h ROWS UNBOUNDED PRECEDING)),
+             d AS (SELECT event_type, h, n,
+                 CAST(n AS HUGEINT) * 1000000
+                   - (pp * 1000000) // i - 500000 AS dev
+               FROM p),
+             m AS (SELECT event_type, h, n,
+                 CAST(sum(dev) OVER w AS HUGEINT) AS m
+               FROM d WINDOW w AS (PARTITION BY event_type
+                 ORDER BY h ROWS UNBOUNDED PRECEDING)),
+             sc AS (SELECT event_type, h, n,
+                 m - least(min(m) OVER w, 0) AS php,
+                 greatest(max(m) OVER w, 0) - m AS phn
+               FROM m WINDOW w AS (PARTITION BY event_type
+                 ORDER BY h ROWS UNBOUNDED PRECEDING))
+        SELECT event_type, h, n, CAST(php AS BIGINT) AS ph_pos,
+               CAST(phn AS BIGINT) AS ph_neg,
+               CAST(CASE WHEN php > 50000000 OR phn > 50000000
+                 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+        FROM sc ORDER BY event_type, h"""))
+
   val all: Map[String, Q] = Map(
+    "q374_page_hinkley" -> q374_page_hinkley,
     "q61_asof_join" -> q61_asof_join,
     "q172_stream_funnel" -> q172_stream_funnel,
     "q252_session_funnel" -> q252_session_funnel,

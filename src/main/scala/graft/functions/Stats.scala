@@ -870,6 +870,61 @@ object Stats {
         col("s_neg"), col("alarm"))
   }
 
+  /** PAGE–HINKLEY drift detector (Page 1954 §5; the streaming-ML
+    * drift standard — Gama et al. 2014 survey §4.2): where [[cusum]]
+    * needs a KNOWN target, PH tracks deviation from the RUNNING
+    * mean, detecting drift with no baseline given:
+    *
+    *   m_t = Σ_{i≤t} (x_i − x̄_i − δ),  PH⁺_t = m_t − min_{j≤t} m_j
+    *
+    * (and the symmetric decrease side PH⁻), alarm past λ. The
+    * running mean x̄_i = P_i/i is the only non-integer ingredient;
+    * it is pinned to the 1e-6 lattice by integer floor division
+    * (P_i·1e6 div i), so every deviation term, both prefix extrema,
+    * and the alarm bit are exact integers — engine-invariant like
+    * cusum, same closed-form two-frames-over-one-window plan (no
+    * sequential state). Prefix sums ride decimal(38,0) so count-
+    * scale values can't overflow; the emitted PH columns cast back
+    * to long (they live at alarm scale by construction).
+    *
+    * `value` must be integer (the cusum contract); `deltaQ` and
+    * `lambdaQ` are in 1e-6 units of value. `ord` must be a total
+    * order within each series.
+    */
+  def pageHinkley(df: DataFrame, series: String, ord: String,
+      value: String, deltaQ: Long, lambdaQ: Long): DataFrame = {
+    require(deltaQ >= 0 && lambdaQ > 0,
+      s"pageHinkley: deltaQ $deltaQ lambdaQ $lambdaQ")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(series)).orderBy(col(ord))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val d = df
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__p", sum(dec(col(value))).over(w))
+      // div, not decimal "/": Spark's decimal divide rounds to the
+      // result scale (HALF_UP) where DuckDB's // floors — div is the
+      // exact integral quotient on both engines. `value` must be
+      // NONNEGATIVE (counts): for negative prefixes div truncates
+      // toward zero, which is not floor.
+      .withColumn("__dev",
+        dec(col(value)) * lit(1000000L) -
+          expr("(__p * 1000000L) div __i").cast("decimal(38,0)") -
+          lit(deltaQ))
+    val m = d.withColumn("__m", sum(col("__dev")).over(w))
+    m.withColumn("ph_pos",
+        (col("__m") - least(min(col("__m")).over(w), lit(0L)))
+          .cast("long"))
+      .withColumn("ph_neg",
+        (greatest(max(col("__m")).over(w), lit(0L)) - col("__m"))
+          .cast("long"))
+      .withColumn("alarm",
+        (col("ph_pos") > lambdaQ || col("ph_neg") > lambdaQ)
+          .cast("int"))
+      .select(col(series), col(ord), col(value), col("ph_pos"),
+        col("ph_neg"), col("alarm"))
+  }
+
   /** CAPTURE-RECAPTURE POPULATION ESTIMATE (Lincoln-Petersen;
     * Chapman 1951 small-sample correction) — "how many distinct
     * users exist, counting the ones we never saw": two observation

@@ -139,6 +139,25 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("slope_q") > 0L)
   }
 
+  test("pageHinkley: running-mean deviation accumulates on the " +
+      "1e-6 lattice; up- and down-shifts alarm on the right side") {
+    val up = Seq(("s", 1, 10), ("s", 2, 10), ("s", 3, 10),
+      ("s", 4, 20), ("s", 5, 20)).toDF("g", "t", "n")
+    val r = graft.functions.Stats.pageHinkley(up, "g", "t", "n",
+      deltaQ = 0L, lambdaQ = 5000000L).orderBy(col("t")).collect()
+    // m: 0,0,0, then 20e6-12.5e6=7.5e6, then +20e6-14e6 -> 13.5e6
+    assert(r.map(_.getAs[Long]("ph_pos")).toSeq ==
+      Seq(0L, 0L, 0L, 7500000L, 13500000L))
+    assert(r.map(_.getAs[Int]("alarm")).toSeq == Seq(0, 0, 0, 1, 1))
+    val down = Seq(("s", 1, 20), ("s", 2, 20), ("s", 3, 20),
+      ("s", 4, 10)).toDF("g", "t", "n")
+    val r2 = graft.functions.Stats.pageHinkley(down, "g", "t", "n",
+      deltaQ = 0L, lambdaQ = 5000000L).orderBy(col("t")).collect()
+    assert(r2(3).getAs[Long]("ph_neg") == 7500000L)
+    assert(r2(3).getAs[Int]("alarm") == 1)
+    assert(r2(3).getAs[Long]("ph_pos") == 0L)
+  }
+
   test("averagePrecisionAtK: AP = (1 + 2/3)/2 = 5/6 on the exact " +
       "lcm lattice; zero-relevant query reports 0") {
     val df = Seq(
