@@ -4823,7 +4823,42 @@ object QueriesLLM {
         SELECT n_tokens, vocab, xq, yq, slope_q, intercept_q
         FROM pts, m, ic ORDER BY n_tokens"""))
 
+  /** INT8 scalar-quantized ANN serving ([[Similarity.sq8TopK]]):
+    * per-dim min/max fit, 8-bit codes, top-10 for the vec_id=0
+    * query by the symmetric INTEGER code dot product — the
+    * exactness anchor of the quantization family (PQ q114 is
+    * rows-only; here DuckDB replays fit, encode, and the all-integer
+    * ranking end to end).
+    */
+  private val q375_sq8_topk: Q = (
+    (s, dir) => Similarity.sq8TopK(read(s, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+             e AS (SELECT unnest(list_transform(range(1, len(v) + 1),
+                 i -> struct_pack(i := i, x := v[i]))) AS u FROM v),
+             fit AS (SELECT u.i AS i, min(u.x) AS lo, max(u.x) AS hi
+               FROM e GROUP BY 1),
+             fl AS (SELECT list(lo ORDER BY i) AS los,
+                 list(hi ORDER BY i) AS his FROM fit),
+             codes AS (SELECT vec_id, list_transform(
+                 range(1, len(v) + 1),
+                 i -> CASE WHEN his[i] = los[i] THEN CAST(0 AS BIGINT)
+                   ELSE least(greatest(CAST(floor((v[i] - los[i])
+                       * 255.0 / (his[i] - los[i]) + 0.5) AS BIGINT),
+                     0), 255) END) AS c
+               FROM v CROSS JOIN fl),
+             q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+             d AS (SELECT vec_id,
+                 list_sum(list_transform(range(1, len(c) + 1),
+                   i -> c[i] * qc[i])) AS dot_q
+               FROM codes CROSS JOIN q WHERE vec_id <> 0)
+        SELECT vec_id, CAST(dot_q AS BIGINT) AS dot_q
+        FROM d ORDER BY dot_q DESC, vec_id LIMIT 10"""))
+
   val all: Map[String, Q] = Map(
+    "q375_sq8_topk" -> q375_sq8_topk,
     "q371_heaps" -> q371_heaps,
     "q367_contamination" -> q367_contamination,
     "q121_domain_cap" -> q121_domain_cap,

@@ -36,6 +36,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** INT8 SCALAR QUANTIZATION serving (the FAISS ScalarQuantizer
+    * QT_8bit shape) — the 4x-memory compression tier between raw
+    * float vectors and PQ codes: per-dimension [min, max] learned
+    * from the corpus, each coordinate snapped to an 8-bit code, and
+    * candidates ranked by the SYMMETRIC integer code dot product.
+    *
+    * Why this is the family's exactness anchor: PQ (q114) ranks by
+    * learned-codebook distances and is rows-only by nature; SQ8's
+    * whole trajectory is replayable — the min/max fit is an exact
+    * aggregate, the encode is ONE fixed-shape double expression
+    * (identical on any engine for identical inputs), and from the
+    * codes on everything is integer: dot products are exact longs,
+    * the top-k is a (dot desc, id) TakeOrdered. No float enters the
+    * ranking.
+    *
+    * Scale shape: fit = one dim-bounded aggregation; encode = a
+    * map; serve = broadcast query codes + linear integer scan +
+    * TakeOrdered (the brute-force tier; IVF/LSH remain the
+    * sublinear paths). Fit arrays ride the driver under the PQ
+    * bounded-collect contract (dim entries).
+    *
+    * Degenerate dims (max == min) code to 0 and drop out of every
+    * dot product — the honest "no information" coordinate.
+    */
+  def sq8TopK(df: DataFrame, id: String, vec: String, queryId: Long,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sq8TopK: k $k")
+    val base = graft.Caches.pin(df
+      .where(col(id).isNotNull && col(vec).isNotNull)
+      .select(col(id).cast("long").as("__id"),
+        transform(col(vec), x => x.cast("double")).as("__v")))
+    val fit = base
+      .select(posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(fit.nonEmpty, "sq8TopK: empty corpus")
+    val los = typedlit(fit.map(_._2))
+    val his = typedlit(fit.map(_._3))
+    def codeAt(x: Column, i: Column) = {
+      val lo = element_at(los, i + 1)
+      val hi = element_at(his, i + 1)
+      when(hi === lo, lit(0L)).otherwise(
+        least(greatest(
+          floor((x - lo) * lit(255.0) / (hi - lo) + lit(0.5))
+            .cast("long"), lit(0L)), lit(255L)))
+    }
+    val coded = base.select(col("__id"),
+      transform(col("__v"), (x, i) => codeAt(x, i)).as("__c"))
+    val qRow = coded.where(col("__id") === queryId)
+      .select(col("__c")).head()
+    val qc = typedlit(qRow.getSeq[Long](0).toArray)
+    coded.where(col("__id") =!= queryId)
+      .select(col("__id").as(id),
+        aggregate(zip_with(col("__c"), qc, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("dot_q"))
+      .orderBy(col("dot_q").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) with INTEGER-EXACT
     * contributions: each branch row carries a 1-based long `rank`,
     * and a document's fused score is Σ scale div (rrfK + rank) over

@@ -79,6 +79,19 @@ class PreferenceSpec extends SparkSuite {
     assert(r.getAs[Long]("alpha_ppm") == 1000000L)
   }
 
+  test("sq8TopK: hand-coded 8-bit lattice — aligned vector scores " +
+      "255*255, orthogonal scores 0, constant dim drops out") {
+    val df = Seq(
+      (0L, Array(0f, 10f, 5f)),   // query
+      (1L, Array(0f, 10f, 5f)),   // identical -> code dot 65025
+      (2L, Array(10f, 0f, 5f)))   // orthogonal -> 0
+      .toDF("vec_id", "embedding")
+    val r = graft.llmdata.Similarity.sq8TopK(df, "vec_id",
+      "embedding", queryId = 0L, k = 2).collect()
+    assert(r.map(x => (x.getLong(0), x.getAs[Long]("dot_q"))).toSeq ==
+      Seq((1L, 65025L), (2L, 0L)))
+  }
+
   test("benchmarkContamination: hand-counted 2-gram overlap, " +
       "short doc reports 0 grams") {
     val bench = Seq((100L, "one two three four five"))
