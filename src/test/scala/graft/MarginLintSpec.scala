@@ -37,6 +37,12 @@ class MarginLintSpec extends AnyFunSpec {
     "q254_record_linkage", "q257_cov_matrix", "q259_winnow",
     "q263_linkage_entities", "q264_nelson_aalen", "q270_dbscan",
     "q271_zipf", "q278_jackknife", "q283_assortativity",
+    // r12 session-2: Heaps'-law ln sites probed by the
+    // margin_manual.py q371 probe — safety 8.2e6 at sf0.01 AND
+    // sf0.1 (the binding site is a shared power-of-two checkpoint);
+    // the Theil-Sen slope floor is IEEE-exact arithmetic, not libm
+    // (argument in the probe comment + BENCH_NOTES)
+    "q371_heaps",
     "q288_jackknife_diff", "q292_km_grouped", "q299_msprt",
     "q300_bh_fdr", "q301_eb_shrink", "q303_ps_ate", "q304_ps_static",
     "q306_spearman", "q312_retrieval_eval", "q313_scoring_rules",

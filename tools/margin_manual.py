@@ -163,7 +163,48 @@ GEO_CELLS = """WITH pts AS (SELECT c_custkey AS id,
            AS cx, nlon
        FROM pts, par2)"""
 
+HEAPS_PTS = """
+  WITH tl AS (SELECT doc_id, list_filter(string_split(trim(
+        regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+        'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id, t FROM tl WHERE len(t) >= 1),
+    o AS (SELECT doc_id, t, len(t) AS n,
+        sum(len(t)) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - len(t) AS off FROM d),
+    toks AS (SELECT off + u.p AS p, u.tok FROM (
+        SELECT off, unnest(list_transform(range(1, len(t) + 1),
+          i -> struct_pack(p := i, tok := t[i]))) AS u FROM o) y),
+    firsts AS (SELECT tok, min(p) AS f FROM toks GROUP BY 1),
+    tot AS (SELECT sum(n) AS tt FROM o),
+    cps AS (SELECT (CAST(1 AS BIGINT) << i) AS n_tokens
+      FROM range(0, 63) r(i), tot
+      WHERE (CAST(1 AS BIGINT) << i) <= tt
+        AND (CAST(1 AS BIGINT) << i) >= 256),
+    pts0 AS (SELECT n_tokens, count(*) AS vocab
+      FROM cps JOIN firsts ON f <= n_tokens GROUP BY 1),
+    pts AS (SELECT n_tokens, vocab,
+        CAST(floor(1000000.0 * ln(CAST(n_tokens AS DOUBLE)))
+          AS BIGINT) AS xq,
+        CAST(floor(1000000.0 * ln(CAST(vocab AS DOUBLE)))
+          AS BIGINT) AS yq
+      FROM pts0)"""
+
 PROBES = {
+    # Heaps'-law: floor(1e6·ln(n)) and floor(1e6·ln(V)) at every
+    # checkpoint — the two libm sites. The Theil-Sen slope floor
+    # (1e6·(yb−ya)/(xb−xa)) is NOT probed: it is IEEE mul/div over
+    # exact integers (correctly rounded, hence bit-identical on any
+    # engine — equal-y pairs land exactly ON 0, which is fine for the
+    # same reason), and the intercept residual is pure integer.
+    "q371_heaps": HEAPS_PTS + f"""
+      SELECT min(m) AS margin FROM (
+        SELECT {fmargin("1000000.0 * ln(CAST(n_tokens AS DOUBLE))")}
+          AS m FROM pts
+        UNION ALL
+        SELECT {fmargin("1000000.0 * ln(CAST(vocab AS DOUBLE))")}
+          FROM pts)""",
+
     # windowed stddev: round(sqrt(var), 2) — probe the sqrt over every
     # 7-row window (count>1 rows only, matching the CASE)
     "q109_moving_std": f"""
