@@ -1976,7 +1976,144 @@ object QueriesStats {
                  * 1e6 + 0.5) AS BIGINT) AS alpha_ppm
         FROM ia CROSS JOIN ua"""))
 
+  /** POPULATION STABILITY INDEX ([[graft.ops.Eval.psi]]): order
+    * totals before vs since 1998 over exact base-decile bins — the
+    * model-monitoring drift score (q139's ratio monitor alarms
+    * per-bucket; PSI is the one-number read across all bins). Add-½
+    * smoothing keeps empty current bins total; cut points from
+    * integer rank targets over the value census.
+    */
+  private val q376_psi: Q = (
+    (s, dir) => graft.ops.Eval.psi(
+      read(s, dir, "orders"),
+      inBase = col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+      value = round(col("o_totalprice"), -2),
+      bins = 10),
+    Some("""WITH r AS (SELECT
+                 (o_orderdate < TIMESTAMP '1998-01-01') AS b,
+                 CAST(round(o_totalprice, -2) AS BIGINT) AS v
+               FROM orders
+               WHERE o_orderdate IS NOT NULL
+                 AND o_totalprice IS NOT NULL),
+             bc AS (SELECT v, count(*) AS c FROM r WHERE b
+               GROUP BY 1),
+             cum AS (SELECT v, c, sum(c) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM bc),
+             nb AS (SELECT sum(c) AS n FROM bc),
+             tg AS (SELECT i, (i * n + 9) // 10 AS target
+               FROM range(1, 10) t(i), nb),
+             ed AS (SELECT i, min(v) AS e FROM tg JOIN cum
+               ON cum >= target GROUP BY 1),
+             el AS (SELECT list(e ORDER BY i) AS es FROM ed),
+             binned AS (SELECT len(list_filter(es, e -> v > e))
+                 AS bin, b FROM r CROSS JOIN el),
+             g AS (SELECT bin,
+                 CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS base_n,
+                 CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cur_n
+               FROM binned GROUP BY 1),
+             tot AS (SELECT sum(base_n) AS tb, sum(cur_n) AS tc
+               FROM g),
+             wt AS (SELECT bin, base_n, cur_n,
+                 CAST(((CAST(base_n AS DOUBLE) + 0.5)
+                     / (CAST(tb AS DOUBLE) + 5.0)
+                   - (CAST(cur_n AS DOUBLE) + 0.5)
+                     / (CAST(tc AS DOUBLE) + 5.0))
+                   * ln(((CAST(base_n AS DOUBLE) + 0.5)
+                     / (CAST(tb AS DOUBLE) + 5.0))
+                     / ((CAST(cur_n AS DOUBLE) + 0.5)
+                       / (CAST(tc AS DOUBLE) + 5.0)))
+                   * 1e6 AS DECIMAL(38,6)) AS t6
+               FROM g CROSS JOIN tot),
+             pa AS (SELECT CAST(floor(CAST(sum(t6) AS DOUBLE) + 0.5)
+                 AS BIGINT) AS psi_e6 FROM wt)
+        SELECT bin,
+               CASE WHEN bin = 0 THEN NULL ELSE es[bin] END AS lo_q,
+               base_n, cur_n,
+               CAST(floor(CAST(t6 AS DOUBLE) + 0.5) AS BIGINT)
+                 AS term_e6,
+               psi_e6
+        FROM wt CROSS JOIN pa CROSS JOIN el ORDER BY bin"""))
+
+  /** YUEN'S TRIMMED t-TEST ([[graft.ops.RankStats.yuenT]]):
+    * returned vs accepted lineitem prices (the q308 comparison)
+    * with 20% trimming — the robust read when heavy tails would
+    * hand Welch to outliers. Census-exact trimming/winsorizing,
+    * one fixed-double close.
+    */
+  private val q377_yuen: Q = (
+    (s, dir) => graft.ops.RankStats.yuenT(
+      read(s, dir, "lineitem"),
+      inA = col("l_returnflag") === "R",
+      value = round(col("l_extendedprice"), 0),
+      trimPpm = 200000L),
+    Some(s"""WITH r AS (SELECT
+                 CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END
+                   AS g,
+                 CAST(round(l_extendedprice, 0) AS BIGINT) AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             census AS (SELECT g, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g
+                 ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+               FROM census),
+             ng AS (SELECT g, sum(c) AS n,
+                 (sum(c) * 200000) // 1000000 AS k
+               FROM census GROUP BY 1),
+             j AS (SELECT cum.g AS g, v, c, cum, n, k
+               FROM cum JOIN ng USING (g)),
+             bounds AS (SELECT g,
+                 min(CASE WHEN cum >= k + 1 THEN v END) AS vlo,
+                 min(CASE WHEN cum >= n - k THEN v END) AS vhi
+               FROM j GROUP BY 1),
+             pg AS (SELECT g, min(n) AS n, min(k) AS k,
+                 CAST(sum(CAST(greatest(0, least(cum, n - k)
+                     - greatest(cum - c + 1, k + 1) + 1) AS HUGEINT)
+                   * v) AS HUGEINT) AS ts,
+                 CAST(sum(CAST(greatest(0, least(cum, n - k)
+                     - greatest(cum - c + 1, k + 1) + 1) AS HUGEINT)
+                   * v * v) AS HUGEINT) AS tss
+               FROM j GROUP BY 1),
+             w AS (SELECT pg.g AS g, n, k, n - 2 * k AS h, ts,
+                 ts + CAST(k AS HUGEINT) * vlo
+                   + CAST(k AS HUGEINT) * vhi AS ws,
+                 tss + CAST(k AS HUGEINT) * vlo * vlo
+                   + CAST(k AS HUGEINT) * vhi * vhi AS wss
+               FROM pg JOIN bounds USING (g)),
+             cl AS (SELECT
+                 CAST(wa.n AS BIGINT) AS n_a,
+                 CAST(wb.n AS BIGINT) AS n_b,
+                 CAST(wa.h AS BIGINT) AS h_a,
+                 CAST(wb.h AS BIGINT) AS h_b,
+                 CAST(wa.ts AS DOUBLE) / CAST(wa.h AS DOUBLE) AS ma,
+                 CAST(wb.ts AS DOUBLE) / CAST(wb.h AS DOUBLE) AS mb,
+                 (CAST(wa.wss AS DOUBLE) - CAST(wa.ws AS DOUBLE)
+                     * CAST(wa.ws AS DOUBLE) / CAST(wa.n AS DOUBLE))
+                   / (CAST(wa.h AS DOUBLE)
+                     * (CAST(wa.h AS DOUBLE) - 1.0)) AS da,
+                 (CAST(wb.wss AS DOUBLE) - CAST(wb.ws AS DOUBLE)
+                     * CAST(wb.ws AS DOUBLE) / CAST(wb.n AS DOUBLE))
+                   / (CAST(wb.h AS DOUBLE)
+                     * (CAST(wb.h AS DOUBLE) - 1.0)) AS db
+               FROM (SELECT * FROM w WHERE g = 'a') wa
+               CROSS JOIN (SELECT * FROM w WHERE g = 'b') wb),
+             zc AS (SELECT *, (ma - mb) / sqrt(da + db) AS z FROM cl),
+             ph AS (SELECT *,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT n_a, n_b, h_a, h_b,
+               round(ma, 6) AS tmean_a, round(mb, 6) AS tmean_b,
+               round(z, 6) AS t_stat,
+               round((da + db) * (da + db)
+                 / (da * da / (CAST(h_a AS DOUBLE) - 1.0)
+                   + db * db / (CAST(h_b AS DOUBLE) - 1.0)), 2)
+                 AS df_yuen,
+               round($sqlTwoSidedP, 6) AS p_value
+        FROM ph"""))
+
   val all: Map[String, Q] = Map(
+    "q376_psi" -> q376_psi,
+    "q377_yuen" -> q377_yuen,
     "q372_cochran_q" -> q372_cochran_q,
     "q373_cronbach" -> q373_cronbach,
     "q370_map_at_k" -> q370_map_at_k,

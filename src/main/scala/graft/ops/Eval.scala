@@ -737,6 +737,101 @@ object Eval {
             .cast("double")).as("alpha_ppm"))
   }
 
+  /** POPULATION STABILITY INDEX (the credit-scoring / model-
+    * monitoring standard — e.g. Siddiqi 2006 §8; the one-number
+    * "has the serving distribution drifted off the training one"
+    * score, conventionally read as <0.1 stable, 0.1–0.25 shifting,
+    * >0.25 drifted):
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * with p from the BASE sample, q from the CURRENT one, over bins
+    * cut at the base sample's exact discrete deciles (the
+    * groupQuantilesDisc rank rule — engine-replayable, unlike
+    * approximate cut points). Zero-count bins are handled by add-½
+    * smoothing (the q151 DoReMi addK convention): shares are
+    * (c + 0.5)/(N + B/2), so every ln argument is positive and the
+    * operator is total.
+    *
+    * Determinism: counts and cut points are exact integers; each
+    * bin's term is ONE fixed-shape double expression quantized to
+    * decimal(38,6) before the order-free sum (the kruskalWallis
+    * discipline), and the single ln site is margin-audited
+    * (margin_manual.py). `value` must be integer-quantized (the
+    * gini contract). Emits one row per bin (bin, lo_q, base_n,
+    * cur_n, term_e6 exact) with the shared psi_e6 repeated —
+    * psi_e6/1e6 is the PSI.
+    */
+  def psi(df: DataFrame, inBase: Column, value: Column,
+      bins: Int = 10, maxDistinct: Long = 2000000L): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"psi: bins $bins")
+    val rows = graft.Caches.pin(df.select(
+      inBase.cast("boolean").as("__b"),
+      value.cast("long").as("__v"))
+      .where(col("__b").isNotNull && col("__v").isNotNull))
+    // exact base decile cut points from the DISTINCT-VALUE census
+    // (value-bounded prefix — the q245 rule; never a row-sized rank)
+    // with INTEGER rank targets ceil(i·n/bins) = (i·n + bins−1) div
+    // bins — no float p·n whose ceil could wobble on exact products
+    val baseCensus = rows.where(col("__b"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val nCensus = baseCensus.count()
+    require(nCensus >= 1L && nCensus <= maxDistinct,
+      s"psi: $nCensus distinct base values — quantize coarser")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.ops.ScanOps.pinnedZero(col("__c")))
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = baseCensus.withColumn("__cum", sum(col("__c")).over(wCum))
+    val nBase = baseCensus.agg(sum(col("__c"))).head().getLong(0)
+    val targets = (1 until bins).map { i =>
+      (i, (i.toLong * nBase + bins - 1) / bins)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val edgesDf = broadcast(targets.toDF("__i", "__target"))
+      .join(cum, col("__cum") >= col("__target"))
+      .groupBy(col("__i")).agg(min(col("__v")).as("__e"))
+    val edges = edgesDf.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      .toSeq
+    // bin = count of edges strictly below the value (ties go LEFT —
+    // a value equal to an edge lands in the lower bin, matching the
+    // <= fold below); identical integer comparisons in the oracle
+    val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col("__v") > e, 1L).otherwise(0L)
+    }
+    val binned = rows.select(bin.as("bin"), col("__b"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__b"), 1L).otherwise(0L)).as("base_n"),
+        sum(when(col("__b"), 0L).otherwise(1L)).as("cur_n"))
+    val tot = binned.agg(sum(col("base_n")).as("__nb"),
+      sum(col("cur_n")).as("__nc"))
+    val half = lit(bins.toDouble / 2.0)
+    val p = (col("base_n").cast("double") + lit(0.5)) /
+      (col("__nb").cast("double") + half)
+    val q = (col("cur_n").cast("double") + lit(0.5)) /
+      (col("__nc").cast("double") + half)
+    val term = (p - q) * log(p / q)
+    val withTerm = binned.crossJoin(broadcast(tot))
+      .withColumn("__t6", (term * lit(1e6)).cast("decimal(38,6)"))
+    val psiAll = withTerm.agg(
+      floor(sum(col("__t6")).cast("double") + lit(0.5)).cast("long")
+        .as("psi_e6"))
+    val lo = typedlit(edges.toArray)
+    withTerm.crossJoin(broadcast(psiAll))
+      .select(col("bin"),
+        when(col("bin") === 0, lit(null).cast("long"))
+          .otherwise(element_at(lo, col("bin").cast("int")))
+          .as("lo_q"),
+        col("base_n"), col("cur_n"),
+        floor(col("__t6").cast("double") + lit(0.5)).cast("long")
+          .as("term_e6"),
+        col("psi_e6"))
+      .orderBy(col("bin"))
+  }
+
   /** COCHRAN'S Q test (Cochran 1950) — k binary treatments on the
     * same blocks: did ANY of the k variants change the success
     * rate, asked within-block so unit-level base rates cancel. The

@@ -357,7 +357,8 @@ object Graph {
     */
   def linkScores(adj: DataFrame, minCommon: Long,
       maxDegree: Int = 10000, aaScale: Long = 1000000L,
-      raScale: Long = 1000000000000L): DataFrame = {
+      raScale: Long = 1000000000000L,
+      pairRepartition: Boolean = false): DataFrame = {
     require(minCommon >= 1, s"linkScores: minCommon $minCommon")
     val e = graft.Caches.pin(adj
       .select(col("node").cast("long").as("node"),
@@ -380,16 +381,20 @@ object Graph {
       expr(s"${raScale}L div d").as("ra_w"))
     val a = e.select(col("nbr"), col("node").as("node_a"))
     val b = e.select(col("nbr"), col("node").as("node_b"))
-    a.join(b, Seq("nbr"))
+    val wedge = a.join(b, Seq("nbr"))
       .where(col("node_a") < col("node_b"))
       .join(w, Seq("nbr"))
-      // pair-key repartition between the nbr-partitioned wedge join
-      // and the pair aggregate — the q228 fix (the join stage's few
-      // skewed nbr keys otherwise leave the partial aggregate's
-      // near-unique-key hash maps inside straggler tasks); measured
-      // on q251's support-filtered brand graph this round, see
-      // BENCH_NOTES
-      .repartition(col("node_a"), col("node_b"))
+    // pair-key repartition (the q228 fix) is OPT-IN here: on q251's
+    // support-filtered brand graph the extra exchange of the full
+    // wedge stream traded a straggler partial-agg spill (wins at
+    // 8g heap: 14.8 -> 6-9s) for intermittent shuffle thrash at the
+    // 16g artifact heap (stable 4.6s -> bimodal 5.7/50s reps in the
+    // full-catalog run) — measurements in BENCH_NOTES. Callers with
+    // tight executor memory or heavier skew should flip it on.
+    val staged =
+      if (pairRepartition) wedge.repartition(col("node_a"), col("node_b"))
+      else wedge
+    staged
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_q"),
         sum(col("ra_w")).as("ra_q"))

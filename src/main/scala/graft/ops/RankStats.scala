@@ -561,6 +561,99 @@ object RankStats {
       .orderBy(col("treatment"))
   }
 
+  /** YUEN'S TRIMMED-MEAN t-TEST (Yuen 1974) — the robust two-sample
+    * location test between [[welchT]] (means, outlier-fragile) and
+    * the pure rank tests (q305 auc / q307): trim the most extreme
+    * `trimPpm` fraction from EACH tail of each group, compare the
+    * trimmed means with the winsorized-variance error term and a
+    * Welch–Satterthwaite df. The standard answer when heavy tails
+    * would hand welchT to a handful of outliers.
+    *
+    * Everything up to the final t/df/p close is exact integer work
+    * over the per-group distinct-value census (censusGuard):
+    *   - k = ⌊trim·n⌋ per side by integer div;
+    *   - kept mass per census row = interval overlap of the row's
+    *     rank span [cum−c+1, cum] with [k+1, n−k] — exact longs;
+    *   - the winsorized sums add k copies of the exact boundary
+    *     picks v_lo (rank k+1) and v_hi (rank n−k);
+    *   - trimmed/winsorized Σv, Σv² ride decimal(38,0).
+    * The close (means, d_i = (SSw − Sw²/n)/(h(h−1)), t, df, p via
+    * the portable phi) is one fixed-shape double expression — the
+    * welchT discipline. `value` must be integer-quantized (the gini
+    * contract). Emits one row:
+    * (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat, df_yuen,
+    * p_value).
+    */
+  def yuenT(df: DataFrame, inA: Column, value: Column,
+      trimPpm: Long = 200000L, maxDistinct: Long = 2000000L)
+      : DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"yuenT: trimPpm $trimPpm outside [0, 5e5)")
+    val rows = df.select(
+      when(inA, "a").otherwise("b").as("__g"),
+      value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val census = graft.Caches.pin(rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+    censusGuard(census, maxDistinct, "RankStats.yuenT")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.withColumn("__cum", sum(col("__c")).over(wCum))
+    val ng = census.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .withColumn("__k", expr(s"(__n * ${trimPpm}L) div 1000000L"))
+    val j = cum.join(ng, Seq("__g"))
+    // exact boundary picks: v_lo at rank k+1, v_hi at rank n−k
+    val bounds = j.groupBy(col("__g")).agg(
+      min(when(col("__cum") >= col("__k") + 1, col("__v")))
+        .as("__vlo"),
+      min(when(col("__cum") >= col("__n") - col("__k"), col("__v")))
+        .as("__vhi"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val kept = greatest(lit(0L),
+      least(col("__cum"), col("__n") - col("__k")) -
+        greatest(col("__cum") - col("__c") + 1, col("__k") + 1) +
+        lit(1L))
+    val pg = j.groupBy(col("__g")).agg(
+      min(col("__n")).as("n"), min(col("__k")).as("k"),
+      sum(dec(kept) * col("__v")).as("__ts"),
+      sum(dec(kept) * col("__v") * col("__v")).as("__tss"))
+      .join(bounds, Seq("__g"))
+      .select(col("__g"), col("n"), col("k"),
+        (col("n") - lit(2L) * col("k")).as("h"), col("__ts"),
+        (col("__ts") + dec(col("k")) * col("__vlo") +
+          dec(col("k")) * col("__vhi")).as("__ws"),
+        (col("__tss") + dec(col("k")) * col("__vlo") * col("__vlo") +
+          dec(col("k")) * col("__vhi") * col("__vhi")).as("__wss"))
+    val hs = pg.select(col("__g"), col("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(hs.getOrElse("a", 0L) >= 2 && hs.getOrElse("b", 0L) >= 2,
+      "yuenT: a group has fewer than 2 kept values after trimming")
+    val wide = pg.groupBy().pivot("__g", Seq("a", "b")).agg(
+      first(col("n")).as("n"), first(col("h")).as("h"),
+      first(col("__ts").cast("double")).as("ts"),
+      first(col("__ws").cast("double")).as("ws"),
+      first(col("__wss").cast("double")).as("wss"))
+    def dterm(tag: String) = {
+      val n = col(s"${tag}_n").cast("double")
+      val h = col(s"${tag}_h").cast("double")
+      (col(s"${tag}_wss") - col(s"${tag}_ws") * col(s"${tag}_ws") / n) /
+        (h * (h - lit(1.0)))
+    }
+    val ma = col("a_ts") / col("a_h").cast("double")
+    val mb = col("b_ts") / col("b_h").cast("double")
+    val da = dterm("a"); val dbb = dterm("b")
+    val t = (ma - mb) / sqrt(da + dbb)
+    val dfy = (da + dbb) * (da + dbb) /
+      (da * da / (col("a_h").cast("double") - lit(1.0)) +
+        dbb * dbb / (col("b_h").cast("double") - lit(1.0)))
+    wide.select(col("a_n").as("n_a"), col("b_n").as("n_b"),
+      col("a_h").as("h_a"), col("b_h").as("h_b"),
+      round(ma, 6).as("tmean_a"), round(mb, 6).as("tmean_b"),
+      round(t, 6).as("t_stat"), round(dfy, 2).as("df_yuen"),
+      round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(t))), 6)
+        .as("p_value"))
+  }
+
   def durbinWatson(df: DataFrame, series: String, ord: String,
       value: Column): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window

@@ -139,6 +139,46 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("slope_q") > 0L)
   }
 
+  test("psi: 2-bin hand case — exact decile edge, add-half " +
+      "smoothing, terms sum to the headline score") {
+    // base 1..4 (edge at 2), current all 3s
+    val df = (Seq(1, 2, 3, 4).map((true, _)) ++
+      Seq(3, 3, 3).map((false, _))).toDF("b", "v")
+    val r = graft.ops.Eval.psi(df, col("b"), col("v"), bins = 2)
+      .orderBy(col("bin")).collect()
+    assert(r.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L))
+    assert(r(0).isNullAt(r(0).fieldIndex("lo_q")))
+    assert(r(1).getAs[Long]("lo_q") == 2L)
+    assert(r.map(_.getAs[Long]("base_n")).toSeq == Seq(2L, 2L))
+    assert(r.map(_.getAs[Long]("cur_n")).toSeq == Seq(0L, 3L))
+    // bin0: (2.5/5 - 0.5/4)*ln((2.5/5)/(0.5/4)) = 0.375*ln 4
+    // bin1: (2.5/5 - 3.5/4)*ln((2.5/5)/(3.5/4))
+    val t0 = 0.375 * math.log(4.0)
+    val t1 = (0.5 - 0.875) * math.log(0.5 / 0.875)
+    assert(math.abs(r(0).getAs[Long]("term_e6") -
+      math.floor(t0 * 1e6 + 0.5)) <= 1)
+    assert(math.abs(r(0).getAs[Long]("psi_e6") -
+      math.floor((t0 + t1) * 1e6 + 0.5)) <= 1)
+    assert(r(0).getAs[Long]("psi_e6") == r(1).getAs[Long]("psi_e6"))
+  }
+
+  test("yuenT: 1..10 vs 11..20 at 20% trim -> h=6, trimmed means " +
+      "5.5/15.5, df exactly 10 by symmetry") {
+    val df = ((1 to 10).map(("a", _)) ++ (11 to 20).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.ops.RankStats.yuenT(df, col("g") === "a", col("v"),
+      trimPpm = 200000L).collect()(0)
+    assert(r.getAs[Long]("n_a") == 10 && r.getAs[Long]("h_a") == 6)
+    assert(r.getAs[Double]("tmean_a") == 5.5)
+    assert(r.getAs[Double]("tmean_b") == 15.5)
+    // da = db = (345 - 55^2/10)/(6*5) = 42.5/30; t = -10/sqrt(2da)
+    val d = 42.5 / 30.0
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      (-10.0 / math.sqrt(2 * d))) < 1e-4)
+    assert(r.getAs[Double]("df_yuen") == 10.0)
+    assert(r.getAs[Double]("p_value") < 0.001)
+  }
+
   test("pageHinkley: running-mean deviation accumulates on the " +
       "1e-6 lattice; up- and down-shifts alarm on the right side") {
     val up = Seq(("s", 1, 10), ("s", 2, 10), ("s", 3, 10),
