@@ -1529,17 +1529,38 @@ object QueriesStream {
     * baseline-free sibling of q258's CUSUM (which needs the median
     * target joined in). δ = 0.5 counts, λ = 50 counts.
     */
+  private def phHourlyCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    read(s, dir, "events").where(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+
   private val q374_page_hinkley: Q = (
-    (s, dir) => {
-      val c = read(s, dir, "events").where(col("ts").isNotNull)
-        .groupBy(col("event_type"),
-          date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n"))
-      graft.functions.Stats.pageHinkley(c, "event_type", "h", "n",
-          deltaQ = 500000L, lambdaQ = 50000000L)
-        .orderBy(col("event_type"), col("h"))
-    },
-    Some("""WITH c AS (SELECT event_type,
+    (s, dir) => graft.functions.Stats.pageHinkley(
+        phHourlyCounts(s, dir), "event_type", "h", "n",
+        deltaQ = 500000L, lambdaQ = 50000000L)
+      .orderBy(col("event_type"), col("h")),
+    Some(phOracleSql))
+
+  /** STREAMING Page–Hinkley ([[Streams.pageHinkleyStream]]): q374's
+    * integer trajectory as six longs of per-series state — the
+    * ingest-time drift alarm. Stream == batch bit-for-bit under
+    * order-respecting slicings (StreamingPhSpec), so the oracle IS
+    * q374's SQL (the q351 convention).
+    */
+  private val q378_ph_stream: Q = (
+    (s, dir) => Streams.pageHinkleyStream(
+        phHourlyCounts(s, dir), "event_type", "h", "n",
+        deltaQ = 500000L, lambdaQ = 50000000L)
+      .toDF("event_type", "h", "n", "ph_pos", "ph_neg", "alarm")
+      .orderBy(col("event_type"), col("h")),
+    Some(phOracleSql))
+
+  // def, not val: referenced by the q374/q378 entry vals declared
+  // ABOVE it — a val here would still be null at their init time
+  private def phOracleSql: String =
+    """WITH c AS (SELECT event_type,
                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
                  count(*) AS n
                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
@@ -1565,10 +1586,11 @@ object QueriesStream {
                CAST(phn AS BIGINT) AS ph_neg,
                CAST(CASE WHEN php > 50000000 OR phn > 50000000
                  THEN 1 ELSE 0 END AS INTEGER) AS alarm
-        FROM sc ORDER BY event_type, h"""))
+        FROM sc ORDER BY event_type, h"""
 
   val all: Map[String, Q] = Map(
     "q374_page_hinkley" -> q374_page_hinkley,
+    "q378_ph_stream" -> q378_ph_stream,
     "q61_asof_join" -> q61_asof_join,
     "q172_stream_funnel" -> q172_stream_funnel,
     "q252_session_funnel" -> q252_session_funnel,

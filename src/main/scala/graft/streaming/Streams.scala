@@ -893,6 +893,71 @@ object Streams {
       }
   }
 
+  case class PhState(i: Long, p: Long, m: Long, minM: Long,
+    maxM: Long, lastOrd: Long)
+  case class PhRow(series: String, ord: java.sql.Timestamp, x: Long,
+    ph_pos: Long, ph_neg: Long, alarm: Int)
+
+  /** STREAMING PAGE–HINKLEY drift monitor — the
+    * [[graft.functions.Stats.pageHinkley]] recursion as bounded
+    * per-series state (six longs) under flatMapGroupsWithState: the
+    * ingest-time "has this series drifted off its own running mean"
+    * alarm, no baseline table needed. State carries (i, ΣX, m,
+    * min m, max m, last ord); each arrival advances the integer
+    * trajectory exactly as the batch closed form does, so
+    * STREAM == BATCH BIT-FOR-BIT under any micro-batch slicing that
+    * respects per-series time order (q374's oracle IS this op's
+    * oracle — the q351 convention). Out-of-order arrivals fail fast
+    * rather than corrupt the trajectory (upstream watermarking owns
+    * ordering); rows within one batch are sorted by `ord` before the
+    * fold. State rides longs, exact while |x|·1e6·rows < 2^63 (the
+    * batch form's decimal(38,0) is the beyond-that shape); values
+    * must be NONNEGATIVE integers (counts — the batch contract).
+    */
+  def pageHinkleyStream(rows: DataFrame, seriesCol: String,
+      ordCol: String, valueCol: String, deltaQ: Long,
+      lambdaQ: Long): Dataset[PhRow] = {
+    require(deltaQ >= 0 && lambdaQ > 0,
+      s"pageHinkleyStream: deltaQ $deltaQ lambdaQ $lambdaQ")
+    val ss = rows.sparkSession
+    import ss.implicits._
+    rows.select(col(seriesCol).cast("string").as("series"),
+        col(ordCol).cast("timestamp").as("ord"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("series").isNotNull && col("ord").isNotNull &&
+        col("x").isNotNull)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PhState, PhRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[PhState]) =>
+          val batch = it.toArray.sortBy(_._2.getTime)
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, Long.MaxValue, Long.MinValue,
+              Long.MinValue))
+          val out = batch.map { case (_, ord, x) =>
+            require(ord.getTime > st.lastOrd,
+              s"pageHinkleyStream: out-of-order arrival in $series " +
+                s"(${ord.getTime} after ${st.lastOrd})")
+            val i = st.i + 1L
+            val p = st.p + x
+            val meanQ = p * 1000000L / i // nonneg: trunc == floor
+            val dev = x * 1000000L - meanQ - deltaQ
+            val m = st.m + dev
+            val minM = math.min(st.minM, m)
+            val maxM = math.max(st.maxM, m)
+            val phPos = m - math.min(minM, 0L)
+            val phNeg = math.max(maxM, 0L) - m
+            st = PhState(i, p, m, minM, maxM, ord.getTime)
+            PhRow(series, ord, x, phPos, phNeg,
+              if (phPos > lambdaQ || phNeg > lambdaQ) 1 else 0)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class MgState(n: Long, toks: Map[String, Long])
   /** One candidate emission: bucket, rows the bucket has seen, the
     * candidate token and its MG lower-bound count (true count is in
