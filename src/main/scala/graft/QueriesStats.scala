@@ -1929,9 +1929,10 @@ object QueriesStats {
              ra AS (SELECT CAST(sum(CAST(rr AS HUGEINT) * rr)
                    AS HUGEINT) AS r2
                FROM (SELECT b, sum(x) AS rr FROM r GROUP BY 1)),
-             v AS (SELECT round(CAST(k - 1 AS DOUBLE)
-                   * CAST(k * c2 - nn * nn AS DOUBLE)
-                   / CAST(k * nn - r2 AS DOUBLE), 6) AS q_stat,
+             v AS (SELECT CASE WHEN k * nn - r2 = 0 THEN NULL
+                   ELSE round(CAST(k - 1 AS DOUBLE)
+                     * CAST(k * c2 - nn * nn AS DOUBLE)
+                     / CAST(k * nn - r2 AS DOUBLE), 6) END AS q_stat,
                  k - 1 AS df
                FROM ca CROSS JOIN ra)
         SELECT t AS treatment, n_blocks, successes, q_stat, df
@@ -2007,12 +2008,17 @@ object QueriesStats {
              el AS (SELECT list(e ORDER BY i) AS es FROM ed),
              binned AS (SELECT len(list_filter(es, e -> v > e))
                  AS bin, b FROM r CROSS JOIN el),
-             g AS (SELECT bin,
+             g0 AS (SELECT bin,
                  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
                    AS base_n,
                  CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
                    AS cur_n
                FROM binned GROUP BY 1),
+             g AS (SELECT CAST(fb.i AS BIGINT) AS bin,
+                 coalesce(base_n, 0) AS base_n,
+                 coalesce(cur_n, 0) AS cur_n
+               FROM range(0, 10) fb(i)
+               LEFT JOIN g0 ON g0.bin = fb.i),
              tot AS (SELECT sum(base_n) AS tb, sum(cur_n) AS tc
                FROM g),
              wt AS (SELECT bin, base_n, cur_n,

@@ -709,7 +709,10 @@ object Eval {
       .agg(sum(col("__c")).as("__m"),
         sum(col("__c") * col("__c")).as("__ss"))
       .where(col("__m") >= 2)
-    val mMax = units.agg(max(col("__m"))).head().getLong(0)
+    val mMaxRow = units.agg(max(col("__m"))).head()
+    require(!mMaxRow.isNullAt(0),
+      "krippendorffAlpha: no unit has >= 2 ratings — alpha undefined")
+    val mMax = mMaxRow.getLong(0)
     require(mMax <= maxRaters,
       s"krippendorffAlpha: a unit has $mMax ratings > maxRaters $maxRaters")
     val obs = units.agg(
@@ -802,10 +805,19 @@ object Eval {
     val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("__v") > e, 1L).otherwise(0L)
     }
-    val binned = rows.select(bin.as("bin"), col("__b"))
+    // left-join against the FULL 0..bins-1 list: duplicate decile
+    // edges can leave a bin observed in neither sample, and the
+    // add-half denominators (N + B/2) assume every bin contributes
+    // its smoothed term — an absent row would silently drop it
+    val allBins = spark.range(bins.toLong).select(col("id").as("bin"))
+    val observed = rows.select(bin.as("bin"), col("__b"))
       .groupBy(col("bin"))
       .agg(sum(when(col("__b"), 1L).otherwise(0L)).as("base_n"),
         sum(when(col("__b"), 0L).otherwise(1L)).as("cur_n"))
+    // broadcast the RIGHT (post-aggregation, <= bins rows) side —
+    // a left-outer build side can't broadcast
+    val binned = allBins.join(broadcast(observed), Seq("bin"), "left")
+      .na.fill(0L, Seq("base_n", "cur_n"))
     val tot = binned.agg(sum(col("base_n")).as("__nb"),
       sum(col("cur_n")).as("__nc"))
     val half = lit(bins.toDouble / 2.0)
@@ -858,12 +870,19 @@ object Eval {
         col("__x").isNotNull)
     val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__t")).as("__d"), sum(col("__x")).as("__r"))
+    // uniform block size + within-block distinctness + GLOBAL
+    // distinct-treatment count == block size: the last leg is what
+    // rules out equal-sized blocks over DISJOINT treatment sets
     val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
-      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+      max((col("__c") =!= col("__d")).cast("int")).as("bad"))
+      .crossJoin(broadcast(
+        rows.agg(countDistinct(col("__t")).as("gk"))))
+      .head()
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
-      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
-      "cochranQ: blocks must be complete — every treatment exactly " +
-        "once per block, uniform k >= 2 (filter upstream)")
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
+      chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
+      "cochranQ: blocks must be complete — every block carries the " +
+        "SAME k >= 2 treatments exactly once (filter upstream)")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val pt = graft.Caches.pin(rows.groupBy(col("__t")).agg(
       count(lit(1)).cast("long").as("n_blocks"),
@@ -874,12 +893,16 @@ object Eval {
       sum(dec(col("successes")) * dec(col("successes"))).as("__c2"))
     val rowsAgg = bs.agg(
       sum(dec(col("__r")) * dec(col("__r"))).as("__r2"))
+    // all-constant blocks make numerator AND denominator 0; double
+    // 0/0 is NaN, so the documented null needs an explicit branch
+    val den = col("__k") * col("__nn") - col("__r2")
     val verdict = colsAgg.crossJoin(broadcast(rowsAgg))
       .select(
-        round((col("__k") - lit(1L)).cast("double") *
-          (col("__k") * col("__c2") - col("__nn") * col("__nn"))
-            .cast("double") /
-          (col("__k") * col("__nn") - col("__r2")).cast("double"), 6)
+        when(den === lit(0), lit(null).cast("double"))
+          .otherwise(
+            round((col("__k") - lit(1L)).cast("double") *
+              (col("__k") * col("__c2") - col("__nn") * col("__nn"))
+                .cast("double") / den.cast("double"), 6))
           .as("q_stat"),
         (col("__k") - lit(1L)).as("df"))
     pt.crossJoin(broadcast(verdict))
@@ -911,12 +934,18 @@ object Eval {
         col("__x").isNotNull)
     val us = rows.groupBy(col("__u")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__i")).as("__d"), sum(col("__x")).as("__tt"))
+    // same three-legged completeness contract as cochranQ: the
+    // global distinct-item leg rejects disjoint equal-width panels
     val chk = us.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
-      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+      max((col("__c") =!= col("__d")).cast("int")).as("bad"))
+      .crossJoin(broadcast(
+        rows.agg(countDistinct(col("__i")).as("gk"))))
+      .head()
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
-      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
-      "cronbachAlpha: panels must be complete — every item exactly " +
-        "once per unit, uniform k >= 2 (filter upstream)")
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
+      chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
+      "cronbachAlpha: panels must be complete — every unit carries " +
+        "the SAME k >= 2 items exactly once (filter upstream)")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val items = rows.groupBy(col("__i")).agg(
       sum(dec(col("__x"))).as("__s1"),

@@ -32,10 +32,15 @@ object Preference {
     * Distribution shape: the N-row comparison stream is reduced to
     * the K²-sparse win matrix by one hash aggregation (the only
     * data-sized pass); the O(K²·steps) trajectory runs on the
-    * collected census, guarded by `maxItems` (the DoReMi "k-row
-    * census -> driver trajectory" pattern). Numerators overflow
-    * long past ~9e6 comparisons per cell, so the driver loop is
-    * BigInt and the oracle HUGEINT.
+    * collected census, guarded BEFORE the collect by `maxItems`
+    * (distinct items, counted distributed) and `maxCells` (the
+    * driver-memory budget on collected win-matrix cells — ~100 B a
+    * cell, so the 1M default caps the collect near 100 MB; real
+    * pairwise data is K·avg-degree sparse, far under K²). Both
+    * checks fire on aggregates only — nothing data-sized ever
+    * reaches the driver. Numerators overflow long past ~9e6
+    * comparisons per cell, so the driver loop is BigInt and the
+    * oracle HUGEINT.
     *
     * Items that never win get strength 0 (the MLE boundary); two
     * zero-win items can never share a decisive game, so no MM
@@ -47,7 +52,8 @@ object Preference {
     * 1e-6 lattice after `steps` updates, score = strength/1e6.
     */
   def bradleyTerry(comparisons: DataFrame, winner: Column, loser: Column,
-      steps: Int = 10, maxItems: Int = 4096): DataFrame = {
+      steps: Int = 10, maxItems: Int = 4096,
+      maxCells: Long = 1000000L): DataFrame = {
     require(steps >= 1, s"bradleyTerry: steps $steps")
     val cmp = comparisons
       .select(winner.cast("string").as("__w"),
@@ -58,9 +64,18 @@ object Preference {
     val dirWins = graft.Caches.pin(
       cmp.groupBy(col("__w").as("i"), col("__l").as("j"))
         .agg(count(lit(1)).as("w")))
+    // both census guards run DISTRIBUTED, before anything is
+    // collected: item count first (the semantic bound), then the
+    // cell count against the driver-memory budget
+    val nItems = dirWins.select(col("i").as("x"))
+      .union(dirWins.select(col("j").as("x"))).distinct().count()
+    require(nItems <= maxItems.toLong,
+      s"bradleyTerry: $nItems items > maxItems $maxItems — " +
+        "bucket the item space")
     val nCells = dirWins.count()
-    require(nCells <= maxItems.toLong * maxItems,
-      s"bradleyTerry: $nCells win-matrix cells — bucket the item space")
+    require(nCells <= maxCells,
+      s"bradleyTerry: $nCells win-matrix cells > maxCells $maxCells " +
+        "driver budget — raise maxCells or bucket the item space")
     val g = dirWins.select(col("i"), col("j"), col("w"))
       .join(dirWins.select(col("j").as("i"), col("i").as("j"),
         col("w").as("rev")), Seq("i", "j"), "full_outer")

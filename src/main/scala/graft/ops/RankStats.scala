@@ -516,12 +516,20 @@ object RankStats {
         col("__v").isNotNull)
     val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__t")).as("__d"))
+    // three legs: uniform block size, within-block distinctness,
+    // and global distinct-treatment count == block size — the last
+    // rejects equal-sized blocks over DISJOINT treatment sets,
+    // which the first two alone would silently accept
     val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
-      max((col("__c") =!= col("__d")).cast("int")).as("bad")).head()
+      max((col("__c") =!= col("__d")).cast("int")).as("bad"))
+      .crossJoin(broadcast(
+        rows.agg(countDistinct(col("__t")).as("gk"))))
+      .head()
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
-      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L,
-      "friedman: blocks must be complete — every treatment exactly " +
-        "once per block, uniform k >= 2 (filter upstream)")
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
+      chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
+      "friedman: blocks must be complete — every block carries the " +
+        "SAME k >= 2 treatments exactly once (filter upstream)")
     val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
     val ranked = rows
       .withColumn("__r2", lit(2L) * rank().over(wRank) +

@@ -82,6 +82,19 @@ class FriedmanLeveneSpec extends SparkSuite {
     }
   }
 
+  test("friedman: equal-sized blocks over DISJOINT treatment sets " +
+      "are refused — the global distinct-treatment leg") {
+    // both blocks have k=2 distinct treatments, but {t1,t2} vs
+    // {t3,t4}: the old two-legged check silently accepted this
+    val df = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0),
+      ("b2", "t3", 1.0), ("b2", "t4", 2.0)).toDF("b", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankStats.friedman(df, col("b"), col("t"), col("v"))
+    }
+    assert(e.getMessage.contains("SAME"))
+  }
+
   test("cochranQ: textbook 4 blocks x 3 binary treatments -> " +
       "Q = 2(3*14-36)/(18-14) = 3, df 2") {
     val df = Seq(
@@ -102,6 +115,33 @@ class FriedmanLeveneSpec extends SparkSuite {
       .toDF("b", "t", "x")
     intercept[IllegalArgumentException] {
       graft.ops.Eval.cochranQ(df, col("b"), col("t"), col("x") === 1)
+    }
+  }
+
+  test("cochranQ: disjoint equal-width treatment sets refused; " +
+      "all-constant blocks yield NULL q_stat, not NaN") {
+    val disjoint = Seq(
+      ("b1", "t1", 1), ("b1", "t2", 0),
+      ("b2", "t3", 1), ("b2", "t4", 0)).toDF("b", "t", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Eval.cochranQ(disjoint, col("b"), col("t"),
+        col("x") === 1)
+    }
+    // every block all-success: k·N − ΣR² = 2·4 − (4+4) = 0 -> null
+    val const = Seq(
+      ("b1", "t1", 1), ("b1", "t2", 1),
+      ("b2", "t1", 1), ("b2", "t2", 1)).toDF("b", "t", "x")
+    val r = graft.ops.Eval.cochranQ(const, col("b"), col("t"),
+      col("x") === 1).collect()
+    assert(r.forall(_.isNullAt(r(0).fieldIndex("q_stat"))))
+  }
+
+  test("cronbachAlpha: disjoint equal-width item panels refused") {
+    val df = Seq(
+      ("u1", "i1", 1L), ("u1", "i2", 2L),
+      ("u2", "i3", 1L), ("u2", "i4", 2L)).toDF("u", "i", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Eval.cronbachAlpha(df, col("u"), col("i"), col("x"))
     }
   }
 
@@ -160,6 +200,25 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(math.abs(r(0).getAs[Long]("psi_e6") -
       math.floor((t0 + t1) * 1e6 + 0.5)) <= 1)
     assert(r(0).getAs[Long]("psi_e6") == r(1).getAs[Long]("psi_e6"))
+  }
+
+  test("psi: colliding decile edges leave bins empty in BOTH " +
+      "samples — their smoothed terms still enter psi_e6") {
+    // base all-1s: bins=3 edges both collapse to 1, so bins 1 and 2
+    // see zero rows from either sample; the add-half convention
+    // says they still contribute (p−q)·ln(p/q) with c=0
+    val df = (Seq(1, 1, 1).map((true, _)) ++ Seq(1).map((false, _)))
+      .toDF("b", "v")
+    val r = graft.ops.Eval.psi(df, col("b"), col("v"), bins = 3)
+      .orderBy(col("bin")).collect()
+    assert(r.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("base_n")).toSeq == Seq(3L, 0L, 0L))
+    assert(r.map(_.getAs[Long]("cur_n")).toSeq == Seq(1L, 0L, 0L))
+    // both empty bins carry the identical nonzero smoothed term
+    assert(r(1).getAs[Long]("term_e6") == r(2).getAs[Long]("term_e6"))
+    assert(r(1).getAs[Long]("term_e6") != 0L)
+    assert(math.abs(r.map(_.getAs[Long]("term_e6")).sum -
+      r(0).getAs[Long]("psi_e6")) <= 2)
   }
 
   test("yuenT: 1..10 vs 11..20 at 20% trim -> h=6, trimmed means " +

@@ -53,6 +53,37 @@ class PreferenceSpec extends SparkSuite {
     assert(r.map(_.getAs[Long]("games")).sum == 2L)
   }
 
+  test("bradleyTerry: item-count guard fires BEFORE any collect — " +
+      "3 items vs maxItems 2 refused by distinct-item census") {
+    val cmp = Seq(("A", "B"), ("B", "C"), ("C", "A"))
+      .toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(cmp, col("winner"), col("loser"),
+        steps = 2, maxItems = 2)
+    }
+    assert(e.getMessage.contains("3 items > maxItems 2"))
+  }
+
+  test("bradleyTerry: maxCells driver budget refuses a win matrix " +
+      "wider than the documented collect bound") {
+    val cmp = Seq(("A", "B"), ("B", "C"), ("C", "A"))
+      .toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(cmp, col("winner"), col("loser"),
+        steps = 2, maxItems = 8, maxCells = 2L)
+    }
+    assert(e.getMessage.contains("win-matrix cells > maxCells"))
+  }
+
+  test("krippendorffAlpha: no unit with >= 2 ratings fails with a " +
+      "clear message, not an NPE") {
+    val df = Seq(("u1", "a"), ("u2", "b")).toDF("unit", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.krippendorffAlpha(df, col("unit"), col("v"))
+    }
+    assert(e.getMessage.contains("no unit has >= 2 ratings"))
+  }
+
   test("krippendorffAlpha: 3 two-rater units (aa, ab, bb) -> " +
       "D_o=1/3, D_e=0.6, alpha=4/9; single-rating units excluded") {
     val df = Seq(
