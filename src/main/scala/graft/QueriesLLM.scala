@@ -3687,7 +3687,15 @@ object QueriesLLM {
         .withColumn("rnk", row_number().over(
           W.partitionBy(pmod(col("c"), lit(1)))
             .orderBy(col("c").desc, col("tok"))))
-      val xy = top.select(lit("corpus").as("series"),
+      // pinnedConst, not lit: a foldable series label would leave
+      // theilSen's internal windows with an EMPTY partition spec
+      // (the r12 "No Partition Defined" burst — 66 warnings, all
+      // from this entry); the windows are bounded either way
+      // (<= 1000 census points -> <= 499.5k pairs), but the plan
+      // should SAY the single partition is deliberate
+      val xy = top.select(
+        graft.ops.ScanOps.pinnedConst("corpus", col("tok"))
+          .as("series"),
         floor(lit(1e6) * log(col("rnk").cast("double")))
           .cast("long").as("xq"),
         floor(lit(1e6) * log(col("c").cast("double")))

@@ -22,6 +22,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
+        // progress marker BEFORE each entry so any engine warning in
+        // the log (e.g. WindowExec "No Partition Defined") can be
+        // attributed to the query that emitted it — the r12 burst
+        // was unattributable precisely because this line was missing
+        System.err.println(s"[verify] running $name")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

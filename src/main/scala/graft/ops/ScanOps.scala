@@ -29,6 +29,19 @@ object ScanOps {
     */
   def pinnedZero(c: Column): Column = pmod(c, lit(1))
 
+  /** [[pinnedZero]]'s string sibling: a constant label Catalyst
+    * cannot fold away. A window partitioned by a plain
+    * `lit("corpus")` series gets its partition spec constant-folded
+    * EMPTY — WindowExec then logs "No Partition Defined" even though
+    * the single partition is deliberate and census-bounded (the
+    * r12 full-catalog q271 warning burst). Deriving the label from a
+    * never-null anchor column (`substring(anchor, 1, 0)` is "" for
+    * any non-null value) keeps the explicit partition attribute in
+    * the plan with the value unchanged.
+    */
+  def pinnedConst(label: String, anchor: Column): Column =
+    concat(lit(label), substring(anchor.cast("string"), 1, 0))
+
   /** Assign a range-bucket column over `ord` from approx-quantile cut
     * points: equal values always share a bucket, bucket index is
     * monotone in `ord`. One extra pass (the quantile sketch); the

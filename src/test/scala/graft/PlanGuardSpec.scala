@@ -260,6 +260,23 @@ class PlanGuardSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q271 zipf: every theilSen window keeps an explicit series " +
+      "partition — a foldable constant label would empty the spec " +
+      "and trigger the WindowExec 'No Partition Defined' warning") {
+    val p = planOf(q("q271_zipf"))
+    val specs = "windowspecdefinition\\(([^,)]*)[,)]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { first =>
+      // a folded-empty partition spec starts with an ORDER column
+      // ("x ASC/DESC NULLS ..."); a kept partition starts with a
+      // bare attribute
+      assert(!first.contains(" ASC") && !first.contains(" DESC"),
+        s"window spec lost its partition (constant-folded?): " +
+          s"first arg '$first'\n$p")
+    }
+  }
+
   test("q147 corpus pipeline: eval-window decontamination joins " +
       "BROADCAST, and every downstream stage reads the pinned scans " +
       "(no repeated parquet passes in the executed plan)") {
