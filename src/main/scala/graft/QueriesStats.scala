@@ -1938,6 +1938,95 @@ object QueriesStats {
         SELECT t AS treatment, n_blocks, successes, q_stat, df
         FROM pt CROSS JOIN v ORDER BY treatment"""))
 
+  /** KENDALL'S TAU-B ([[graft.ops.RankStats.kendallTau]]): quantity
+    * vs 10k-bucketed price over lineitem — the pairwise-concordance
+    * complement to q306's Spearman, computed entirely from the
+    * (x,y) contingency census with exact decimal pair products;
+    * one sqrt close, tie-corrected on both margins.
+    */
+  private val q380_kendall_tau: Q = (
+    (s, dir) => graft.ops.RankStats.kendallTau(
+      read(s, dir, "lineitem"),
+      x = col("l_quantity"), y = round(col("l_extendedprice"), -4)),
+    Some("""WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                 CAST(round(l_extendedprice, -4) AS BIGINT) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+             cells AS (SELECT x, y, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             pg AS (SELECT
+                 CAST(coalesce(sum(CASE WHEN a.y < b.y
+                     THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+                   AS HUGEINT) AS conc,
+                 CAST(coalesce(sum(CASE WHEN a.y > b.y
+                     THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+                   AS HUGEINT) AS disc
+               FROM cells a JOIN cells b ON a.x < b.x),
+             tx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                   AS HUGEINT) AS tx2,
+                 CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS n
+               FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+             ty AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                   AS HUGEINT) AS ty2
+               FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+             nc AS (SELECT count(*) AS n_cells FROM cells)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               CASE WHEN n * (n - 1) = tx2 OR n * (n - 1) = ty2
+                 THEN NULL
+                 ELSE CAST(floor(2.0 * CAST(conc - disc AS DOUBLE)
+                   / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                     * CAST(n * (n - 1) - ty2 AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) END AS tau_b_ppm
+        FROM pg CROSS JOIN tx CROSS JOIN ty CROSS JOIN nc"""))
+
+  /** FLEISS' KAPPA ([[graft.ops.Eval.fleissKappa]]): each complete
+    * 4-line order as a unit rated by an anonymous panel of m=4
+    * (the line slots), category = return flag — the fixed-size-
+    * panel member of the annotation-QA family (q360 two named
+    * raters, q366 variable panels, this one exact-m crowdsourcing
+    * panels). All-integer P_o/P_e lattice, three ppm closes.
+    */
+  private val q379_fleiss: Q = (
+    (s, dir) => graft.ops.Eval.fleissKappa(
+      eligibleBlocks(s, dir),
+      unit = col("l_orderkey"), category = col("l_returnflag")),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS u,
+                 l_returnflag AS v
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_returnflag IS NOT NULL),
+             cells AS (SELECT u, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             un AS (SELECT u, sum(c) AS m, sum(c * c) AS ss
+               FROM cells GROUP BY 1),
+             ob AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(max(m) AS BIGINT) AS mr,
+                 CAST(sum(CAST(ss - m AS HUGEINT)) AS HUGEINT) AS a
+               FROM un),
+             ct AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT)
+                   AS pe
+               FROM (SELECT v, sum(c) AS cj FROM cells GROUP BY 1)),
+             dn AS (SELECT nu, mr, k, a, pe,
+                 CAST(nu AS HUGEINT) * mr * (mr - 1) AS poden,
+                 CAST(nu AS HUGEINT) * nu * mr * mr AS peden
+               FROM ob CROSS JOIN ct)
+        SELECT nu AS n_units, mr AS m_raters, k AS k_categories,
+               CAST(floor(CAST(a AS DOUBLE) / CAST(poden AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT) AS po_ppm,
+               CAST(floor(CAST(pe AS DOUBLE) / CAST(peden AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT) AS pe_ppm,
+               CASE WHEN peden = pe THEN NULL
+                 ELSE CAST(floor(CAST(a * peden - pe * poden AS DOUBLE)
+                   / CAST(poden * (peden - pe) AS DOUBLE)
+                   * 1e6 + 0.5) AS BIGINT) END AS kappa_ppm
+        FROM dn"""))
+
   /** CRONBACH'S ALPHA ([[graft.ops.Eval.cronbachAlpha]]): the four
     * line quantities of each complete order as a 4-item "scale" —
     * the reliability audit before collapsing multi-probe scores
@@ -2118,6 +2207,8 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q380_kendall_tau" -> q380_kendall_tau,
+    "q379_fleiss" -> q379_fleiss,
     "q376_psi" -> q376_psi,
     "q377_yuen" -> q377_yuen,
     "q372_cochran_q" -> q372_cochran_q,

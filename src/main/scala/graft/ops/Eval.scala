@@ -661,6 +661,85 @@ object Eval {
       .orderBy(col("query"))
   }
 
+  /** FLEISS' KAPPA (Fleiss 1971) — chance-corrected agreement for a
+    * FIXED-SIZE anonymous panel: every unit rated by exactly m
+    * raters (identities irrelevant — the crowdsourcing default,
+    * where [[cohensKappa]]'s two named raters and
+    * [[krippendorffAlpha]]'s variable panels don't fit). The
+    * annotation-QA family's third member: run it when the labeling
+    * job guarantees m judgments per item.
+    *
+    * With n_ij = ratings of unit i in category j, C_j = Σ_i n_ij,
+    * N units, m raters:
+    *
+    *   P_o = Σ_i (Σ_j n_ij² − m) / (N·m·(m−1))
+    *   P_e = Σ_j C_j² / (N·m)²
+    *   kappa = (P_o − P_e) / (1 − P_e)
+    *
+    * Every numerator and denominator is an EXACT decimal(38,0)
+    * integer, and kappa itself is formed from the cross-multiplied
+    * integer form (Po_num·Pe_den − Pe_num·Po_den over
+    * Po_den·(Pe_den − Pe_num)) — the only float steps are the three
+    * final ppm quantizations of exact-integer ratios (the
+    * [[cohensKappa]] discipline). Uniform panel size is REQUIRED
+    * (min m == max m >= 2), checked on the unit census before
+    * anything else runs.
+    *
+    * One data-sized hash aggregation ((unit, category) cells); all
+    * later aggregates are census-sized. A single observed category
+    * makes P_e = 1 and kappa 0/0 — emitted as an explicit null
+    * (the [[cochranQ]] degenerate-denominator convention). Emits one
+    * row: (n_units, m_raters, k_categories, po_ppm, pe_ppm,
+    * kappa_ppm).
+    */
+  def fleissKappa(df: DataFrame, unit: Column,
+      category: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val cells = graft.Caches.pin(df
+      .select(unit.cast("string").as("__u"),
+        category.cast("string").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+    val units = cells.groupBy(col("__u"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    val chk = units.agg(min(col("__m")).as("mn"),
+      max(col("__m")).as("mx")).head()
+    require(!chk.isNullAt(0),
+      "fleissKappa: no ratings after null filtering")
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Long]("mn") >= 2L,
+      s"fleissKappa: panels must be uniform — every unit needs the " +
+        s"same m >= 2 ratings (saw ${chk.getAs[Long]("mn")}.." +
+        s"${chk.getAs[Long]("mx")}; filter upstream)")
+    val obs = units.agg(
+      count(lit(1)).cast("long").as("__nu"),
+      max(col("__m")).cast("long").as("__mr"),
+      sum(dec(col("__ss") - col("__m"))).as("__a"))
+    val cats = cells.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__cj"))
+      .agg(count(lit(1)).cast("long").as("__k"),
+        sum(dec(col("__cj")) * dec(col("__cj"))).as("__pe"))
+    val poDen = dec(col("__nu")) * dec(col("__mr")) *
+      dec(col("__mr") - lit(1L))
+    val peDen = dec(col("__nu")) * dec(col("__nu")) *
+      dec(col("__mr")) * dec(col("__mr"))
+    obs.crossJoin(broadcast(cats))
+      .select(col("__nu").as("n_units"), col("__mr").as("m_raters"),
+        col("__k").as("k_categories"),
+        ppm(col("__a").cast("double") / poDen.cast("double"))
+          .as("po_ppm"),
+        ppm(col("__pe").cast("double") / peDen.cast("double"))
+          .as("pe_ppm"),
+        when(peDen === col("__pe"), lit(null).cast("long"))
+          .otherwise(ppm(
+            (col("__a") * peDen - col("__pe") * poDen).cast("double") /
+            (poDen * (peDen - col("__pe"))).cast("double")))
+          .as("kappa_ppm"))
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — inter-annotator agreement for
     * the general labeling panel: any number of raters per unit,
     * missing ratings allowed, chance-corrected against the pooled

@@ -682,4 +682,76 @@ object RankStats {
             den.cast("double"), 6)).as("dw"))
       .orderBy(col(series))
   }
+
+  /** KENDALL'S TAU-B (Kendall 1945) — rank correlation by pairwise
+    * concordance, the robust complement to q306's Spearman (tau's
+    * pairwise counts are less sensitive to a few extreme ranks, and
+    * tau-b corrects BOTH tie margins where Spearman's tie handling
+    * is baked into average ranks):
+    *
+    *   tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+    *
+    * with C/D the concordant/discordant pair counts and n1/n2 the
+    * tie-pair counts of each margin. Values must be integer-
+    * quantized (the gini contract); all counts are computed from
+    * the (x, y) CONTINGENCY CENSUS, not row pairs: the data-sized
+    * work is ONE hash aggregation to cells, and C/D come from the
+    * cells x cells self-join on xa < xb with c_a·c_b products in
+    * exact decimal(38,0) — `maxCells` guards the quadratic cell
+    * join (4000 cells = 16M products, trivially distributed; row
+    * count is unbounded). C and D are emitted as longs (exact below
+    * ~4.3e9 rows — documented bound, same class as q327's S).
+    *
+    * The close is ONE fixed-shape double expression
+    * (2(C−D)/sqrt((N2−Tx2)(N2−Ty2)), doubled identities so no /2
+    * truncation) quantized to ppm; an all-tied margin (denominator
+    * 0) yields an explicit null. Emits one row:
+    * (n, n_cells, concordant, discordant, tau_b_ppm).
+    */
+  def kendallTau(df: DataFrame, x: Column, y: Column,
+      maxCells: Long = 4000L): DataFrame = {
+    val cells = graft.Caches.pin(df
+      .select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells > 0 && nCells <= maxCells,
+      s"kendallTau: $nCells distinct (x,y) cells (> $maxCells) — " +
+        "quantize coarser")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__c").as("cb"))
+    val cd = a.join(b, col("xa") < col("xb"))
+      .select((dec(col("ca")) * dec(col("cb"))).as("__p"),
+        when(col("ya") < col("yb"), 1)
+          .when(col("ya") > col("yb"), -1).otherwise(0).as("__sg"))
+      .agg(
+        coalesce(sum(when(col("__sg") === 1, col("__p"))),
+          lit(0).cast("decimal(38,0)")).as("__conc"),
+        coalesce(sum(when(col("__sg") === -1, col("__p"))),
+          lit(0).cast("decimal(38,0)")).as("__disc"))
+    def tiePairs(k: Column, out: String) = cells.groupBy(k.as("__k"))
+      .agg(sum(col("__c")).as("__t"))
+      .agg(sum(dec(col("__t")) * dec(col("__t") - lit(1L))).as(out))
+    val tx = tiePairs(col("__x"), "__tx2")
+      .crossJoin(broadcast(cells.agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("n_cells"))))
+    val ty = tiePairs(col("__y"), "__ty2")
+    val n2 = dec(col("__n")) * dec(col("__n") - lit(1L))
+    val dx = (n2 - col("__tx2")).cast("double")
+    val dy = (n2 - col("__ty2")).cast("double")
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("__n").cast("long").as("n"),
+        col("n_cells").cast("long").as("n_cells"),
+        col("__conc").cast("long").as("concordant"),
+        col("__disc").cast("long").as("discordant"),
+        when(n2 === col("__tx2") || n2 === col("__ty2"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(2.0) *
+            (col("__conc") - col("__disc")).cast("double") /
+            sqrt(dx * dy) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("tau_b_ppm"))
+  }
 }

@@ -32,6 +32,49 @@ class AgreementSpec extends SparkSuite {
     assert(p.getAs[Long]("kappa_ppm") == 1000000L)
   }
 
+  test("fleissKappa: pencil panel — 2 units x 3 raters (aaa, abb) " +
+      "-> Po=2/3, Pe=5/9, kappa=1/4; non-uniform panels refused") {
+    // u1 (a,a,a): ss-m = 9-3 = 6; u2 (a,b,b): ss-m = 5-3 = 2
+    // A = 8, PoDen = 2*3*2 = 12 -> Po = 2/3
+    // C = (4,2) -> Pe = 20/36 = 5/9
+    // kappa = (2/3 - 5/9)/(4/9) = 1/4 (integer: 48/192)
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "a"), ("u2", "b"), ("u2", "b")).toDF("u", "v")
+    val r = graft.ops.Eval.fleissKappa(df, col("u"), col("v"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_units") == 2L)
+    assert(r.getAs[Long]("m_raters") == 3L)
+    assert(r.getAs[Long]("k_categories") == 2L)
+    assert(r.getAs[Long]("po_ppm") == 666667L)
+    assert(r.getAs[Long]("pe_ppm") == 555556L)
+    assert(r.getAs[Long]("kappa_ppm") == 250000L)
+
+    val ragged = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"))
+      .toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Eval.fleissKappa(ragged, col("u"), col("v"))
+    }
+    assert(e.getMessage.contains("uniform"))
+  }
+
+  test("fleissKappa: perfect agreement -> kappa_ppm = 1e6; a " +
+      "single observed category -> Pe = 1 and an explicit NULL " +
+      "kappa, not NaN") {
+    val perfect = Seq(("u1", "a"), ("u1", "a"),
+      ("u2", "b"), ("u2", "b")).toDF("u", "v")
+    val r = graft.ops.Eval.fleissKappa(perfect, col("u"), col("v"))
+      .collect()(0)
+    assert(r.getAs[Long]("po_ppm") == 1000000L)
+    assert(r.getAs[Long]("kappa_ppm") == 1000000L)
+
+    val mono = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("u", "v")
+    val m = graft.ops.Eval.fleissKappa(mono, col("u"), col("v"))
+      .collect()(0)
+    assert(m.getAs[Long]("pe_ppm") == 1000000L)
+    assert(m.isNullAt(m.fieldIndex("kappa_ppm")))
+  }
+
   test("mcnemar: discordant-only pencil case; b = c gives the " +
       "conservative CC unit numerator; no discordance -> p = 1") {
     // b = 8, c = 2: chi = (|8-2|-1)^2/10 = 2.5, z = sqrt(2.5)

@@ -201,4 +201,44 @@ class RankStatsSpec extends SparkSuite {
     assert(e.getMessage.contains("coarsen"))
     graft.Caches.release()
   }
+
+  test("kendallTau: monotone -> +1e6, reversed -> -1e6, balanced " +
+      "ties -> 0; all-tied margin -> null; cell guard fires") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r1 = RankStats.kendallTau(up, col("x"), col("y")).collect()(0)
+    assert(r1.getAs[Long]("n") == 3 && r1.getAs[Long]("n_cells") == 3)
+    assert(r1.getAs[Long]("concordant") == 3 &&
+      r1.getAs[Long]("discordant") == 0)
+    assert(r1.getAs[Long]("tau_b_ppm") == 1000000L)
+    graft.Caches.release()
+
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val r2 = RankStats.kendallTau(down, col("x"), col("y"))
+      .collect()(0)
+    assert(r2.getAs[Long]("tau_b_ppm") == -1000000L)
+    graft.Caches.release()
+
+    // 2x2 grid: one concordant, one discordant, two y-ties ->
+    // C = D = 1, tau = 0; tie pairs 4 on each margin
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("x", "y")
+    val r3 = RankStats.kendallTau(grid, col("x"), col("y"))
+      .collect()(0)
+    assert(r3.getAs[Long]("concordant") == 1 &&
+      r3.getAs[Long]("discordant") == 1)
+    assert(r3.getAs[Long]("tau_b_ppm") == 0L)
+    graft.Caches.release()
+
+    val flatX = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val r4 = RankStats.kendallTau(flatX, col("x"), col("y"))
+      .collect()(0)
+    assert(r4.isNullAt(r4.fieldIndex("tau_b_ppm")))
+    graft.Caches.release()
+
+    val e2 = intercept[IllegalArgumentException] {
+      RankStats.kendallTau(up, col("x"), col("y"), maxCells = 2L)
+    }
+    assert(e2.getMessage.contains("quantize coarser"))
+    graft.Caches.release()
+  }
 }
