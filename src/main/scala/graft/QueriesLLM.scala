@@ -4831,6 +4831,75 @@ object QueriesLLM {
         SELECT n_tokens, vocab, xq, yq, slope_q, intercept_q
         FROM pts, m, ic ORDER BY n_tokens"""))
 
+  /** GOOD-TURING frequency table ([[TextAnalysis.goodTuring]]) over
+    * word TRIGRAMS: N_r, raw r*, and the unseen mass p0 — the
+    * coverage gauge next to q371's Heaps growth. The synthetic
+    * vocabulary is closed (31 words, min count 26), so the rare
+    * tail GT estimates lives in the n-gram space; all integer
+    * floor divisions on the ppm lattice, no float anywhere.
+    */
+  private val q381_good_turing: Q = (
+    (s, dir) => TextAnalysis.goodTuring(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      maxR = 20L, ngram = 3),
+    Some("""WITH tl AS (SELECT list_filter(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             tk AS (SELECT unnest(list_transform(
+                 range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' '))) AS tok
+               FROM tl WHERE len(t) >= 3),
+             tc AS (SELECT tok, count(*) AS r FROM tk GROUP BY 1),
+             ff AS (SELECT r, count(*) AS n_r FROM tc GROUP BY 1),
+             tot AS (SELECT
+                 CAST(coalesce(sum(r * n_r), 0) AS BIGINT) AS n,
+                 CAST(coalesce(sum(n_r), 0) AS BIGINT) AS v,
+                 CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+                   AS BIGINT) AS n1
+               FROM ff)
+        SELECT f.r AS r, f.n_r AS n_r,
+               CAST((f.r + 1) * coalesce(g.n_r, 0) * 1000000
+                 // f.n_r AS BIGINT) AS rstar_ppm,
+               n AS n_tokens, v AS n_types,
+               CAST(n1 * 1000000 // n AS BIGINT) AS p0_ppm
+        FROM ff f LEFT JOIN ff g ON g.r = f.r + 1 CROSS JOIN tot
+        WHERE f.r <= 20 ORDER BY r"""))
+
+  /** STANDARDIZED TYPE-TOKEN RATIO ([[TextAnalysis.sttr]], chunked
+    * per-doc lexical diversity): TTR per complete 25-token block,
+    * integer mean over blocks — the per-document quality feature
+    * next to the corpus-level q381/q371 gauges. All-integer, no
+    * global state; docs shorter than one block emit no row.
+    */
+  private val q382_sttr: Q = (
+    (s, dir) => TextAnalysis.sttr(
+      spread(read(s, dir, "documents")), "doc_id", "text",
+      chunk = 25),
+    Some("""WITH tl AS (SELECT doc_id, list_filter(string_split(
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+                 x -> x <> '') AS t
+               FROM documents WHERE text IS NOT NULL),
+             p AS (SELECT doc_id, (u.p - 1) // 25 AS blk,
+                 u.tok AS tok
+               FROM (SELECT doc_id, unnest(list_transform(
+                   range(1, len(t) + 1),
+                   i -> struct_pack(p := i, tok := t[i]))) AS u
+                 FROM tl) y),
+             b AS (SELECT doc_id, blk, count(*) AS nt,
+                 count(DISTINCT tok) AS nd
+               FROM p GROUP BY 1, 2),
+             g AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+                   AS n_blocks,
+                 CAST(sum(nd) AS BIGINT) AS sd
+               FROM b WHERE nt = 25 GROUP BY 1)
+        SELECT doc_id, n_blocks,
+               CAST(sd * 1000000 // (n_blocks * 25) AS BIGINT)
+                 AS sttr_ppm
+        FROM g ORDER BY doc_id"""))
+
   /** INT8 scalar-quantized ANN serving ([[Similarity.sq8TopK]]):
     * per-dim min/max fit, 8-bit codes, top-10 for the vec_id=0
     * query by the symmetric INTEGER code dot product — the
@@ -4866,6 +4935,8 @@ object QueriesLLM {
         FROM d ORDER BY dot_q DESC, vec_id LIMIT 10"""))
 
   val all: Map[String, Q] = Map(
+    "q381_good_turing" -> q381_good_turing,
+    "q382_sttr" -> q382_sttr,
     "q375_sq8_topk" -> q375_sq8_topk,
     "q371_heaps" -> q371_heaps,
     "q367_contamination" -> q367_contamination,

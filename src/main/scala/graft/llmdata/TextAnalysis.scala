@@ -1463,4 +1463,101 @@ object TextAnalysis {
         col("slope_q"), col("intercept_q"))
       .orderBy(col("n_tokens"))
   }
+
+  /** GOOD-TURING frequency estimates (Good 1953) — the raw
+    * frequency-of-frequencies form: N_r = number of types seen
+    * exactly r times; the unseen-probability mass is p0 = N_1/N and
+    * the adjusted count of an r-times type is r* = (r+1)·N_{r+1}/N_r.
+    * The corpus-coverage gauge next to [[heapsLaw]]'s growth curve:
+    * p0 is the probability the NEXT token is a new type — large p0
+    * means the corpus hasn't covered its own vocabulary (more data
+    * helps), p0 ≈ 0 means diminishing returns.
+    *
+    * EVERYTHING is integer: token census -> frequency-of-frequencies
+    * census (vocab-bounded, then count-bounded — two nested
+    * aggregations, each strictly smaller); r* and p0 are integer
+    * floor divisions on the ppm lattice. This is the RAW estimator:
+    * rows where no type occurred r+1 times report r*_ppm = 0
+    * (the documented gap limitation smoothed estimators exist to
+    * fix — out of scope; the raw N_r table is exactly what they
+    * consume). `ngram` sets the type unit: 1 = word types, n > 1 =
+    * word n-grams (closed small vocabularies have no rare unigrams;
+    * the n-gram tail is where unseen mass lives). Emits one row per
+    * r <= maxR present in the corpus: (r, n_r, rstar_ppm) with
+    * shared (n_tokens, n_types, p0_ppm) — n_tokens counts type
+    * INSTANCES (n-gram occurrences for ngram > 1).
+    */
+  def goodTuring(df: DataFrame, id: String, text: String,
+      maxR: Long = 20L, ngram: Int = 1): DataFrame = {
+    require(maxR >= 1, s"goodTuring: maxR $maxR")
+    require(ngram >= 1 && ngram <= 8, s"goodTuring: ngram $ngram")
+    val tc = df.where(col(text).isNotNull)
+      .select(graft.llmdata.Dedup.normalizeTokens(col(text))
+        .as("__t"))
+      .where(size(col("__t")) >= ngram)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__t) - ${ngram - 1}), " +
+          s"i -> array_join(slice(__t, i, $ngram), ' '))"))
+        .as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__r"))
+    val ff = graft.Caches.pin(tc.groupBy(col("__r"))
+      .agg(count(lit(1)).as("n_r")))
+    val tot = ff.agg(
+      coalesce(sum(col("__r") * col("n_r")), lit(0L)).as("__n"),
+      coalesce(sum(col("n_r")), lit(0L)).as("__v"),
+      coalesce(sum(when(col("__r") === 1L, col("n_r"))), lit(0L))
+        .as("__n1"))
+    val nxt = ff.select((col("__r") - 1L).as("__r"),
+      col("n_r").as("__nr1"))
+    ff.where(col("__r") <= maxR)
+      .join(nxt, Seq("__r"), "left")
+      .na.fill(0L, Seq("__nr1"))
+      .crossJoin(broadcast(tot))
+      .select(col("__r").as("r"), col("n_r"),
+        expr("(r + 1) * __nr1 * 1000000L div n_r").as("rstar_ppm"),
+        col("__n").as("n_tokens"), col("__v").as("n_types"),
+        expr("__n1 * 1000000L div __n").as("p0_ppm"))
+      .orderBy(col("r"))
+  }
+
+  /** STANDARDIZED TYPE-TOKEN RATIO (the corpus-linguistics STTR;
+    * Johnson 1944's chunked TTR): plain TTR = types/tokens falls
+    * with length (Heaps), so per-document lexical diversity is
+    * averaged over fixed-size chunks instead — TTR per complete
+    * `chunk`-token block, mean across blocks. Template spam and
+    * boilerplate score LOW (few types per block); natural prose
+    * sits in a stable band — a per-document quality feature the
+    * corpus-level [[heapsLaw]]/[[goodTuring]] gauges don't give.
+    *
+    * All integer: tokens positioned per doc (posexplode), block =
+    * pos div chunk, per-block distinct types by one (doc, block,
+    * type) aggregation, incomplete tail blocks DROPPED (that is the
+    * "standardized" part), sttr_ppm = Σ distinct·1e6 div
+    * (n_blocks·chunk) — one integer floor division per doc. Every
+    * aggregation is per-document; no global state of any kind.
+    * Docs shorter than one chunk emit no row. Emits
+    * (doc_id, n_blocks, sttr_ppm).
+    */
+  def sttr(df: DataFrame, id: String, text: String,
+      chunk: Int = 100): DataFrame = {
+    require(chunk >= 2, s"sttr: chunk $chunk")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id).cast("long").as("doc_id"),
+        posexplode(graft.llmdata.Dedup.normalizeTokens(col(text))))
+      .select(col("doc_id"),
+        expr(s"cast(pos as bigint) div ${chunk}L").as("__blk"),
+        col("col").as("__tok"))
+    val blocks = toks
+      .groupBy(col("doc_id"), col("__blk"))
+      .agg(count(lit(1)).as("__nt"),
+        countDistinct(col("__tok")).as("__nd"))
+      .where(col("__nt") === chunk.toLong)
+    blocks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__nd")).as("__sd"))
+      .select(col("doc_id"), col("n_blocks"),
+        expr(s"__sd * 1000000L div (n_blocks * ${chunk}L)")
+          .as("sttr_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

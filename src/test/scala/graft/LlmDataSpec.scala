@@ -2099,4 +2099,30 @@ class LlmDataSpec extends SparkSuite {
     graft.Caches.release()
     assert(g2.getLong(3) == 0L && g2.getLong(4) == 0L)
   }
+  test("goodTuring: a^3 b^2 c -> N_r table, raw r*, p0 = N1/N; " +
+      "gap row reports rstar 0") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.goodTuring(df, "doc_id", "text")
+      .orderBy(col("r")).collect()
+    assert(r.map(x => (x.getAs[Long]("r"), x.getAs[Long]("n_r"),
+      x.getAs[Long]("rstar_ppm"))).toSeq ==
+      Seq((1L, 1L, 2000000L), (2L, 1L, 3000000L), (3L, 1L, 0L)))
+    assert(r(0).getAs[Long]("n_tokens") == 6L)
+    assert(r(0).getAs[Long]("n_types") == 3L)
+    assert(r(0).getAs[Long]("p0_ppm") == 166666L) // 1e6 div 6
+  }
+
+  test("sttr: complete 2-token blocks only — tail dropped, " +
+      "sub-chunk docs emit no row") {
+    val df = Seq(
+      (1L, "a b a a"),      // blocks (a,b)(a,a) -> 3/(2*2)
+      (2L, "a b c d e"),    // 2 complete blocks, tail e dropped
+      (3L, "a")             // shorter than one block: no row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.sttr(df, "doc_id", "text", chunk = 2)
+      .collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"),
+      x.getAs[Long]("n_blocks"), x.getAs[Long]("sttr_ppm"))).toSeq ==
+      Seq((1L, 2L, 750000L), (2L, 2L, 1000000L)))
+  }
 }
