@@ -1938,6 +1938,157 @@ object QueriesStats {
         SELECT t AS treatment, n_blocks, successes, q_stat, df
         FROM pt CROSS JOIN v ORDER BY treatment"""))
 
+  /** Paired fixture shared by q384/q385: orders whose lines 1 and 2
+    * each appear EXACTLY once ((l_orderkey, l_linenumber) is NOT
+    * unique in the synthetic lineitem — the TESTDATA gotcha), with
+    * both quantities as the pair.
+    */
+  private def linePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val li = read(s, dir, "lineitem")
+      .where(col("l_linenumber").isin(1, 2))
+    val elig = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__k"), max(col("__c")).as("__m"))
+      .where(col("__k") === 2 && col("__m") === 1)
+      .select(col("l_orderkey"))
+    val l1 = li.where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qa"))
+    val l2 = li.where(col("l_linenumber") === 2)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qb"))
+    l1.join(l2, Seq("l_orderkey")).join(elig, Seq("l_orderkey"))
+  }
+
+  private val pairSql: String =
+    """pe AS (SELECT l_orderkey FROM (
+         SELECT l_orderkey, l_linenumber, count(*) AS c
+         FROM lineitem WHERE l_linenumber IN (1, 2)
+         GROUP BY 1, 2)
+       GROUP BY 1 HAVING count(*) = 2 AND max(c) = 1),
+       pr AS (SELECT a.l_orderkey AS id,
+           CAST(a.l_quantity AS BIGINT) AS qa,
+           CAST(b.l_quantity AS BIGINT) AS qb
+         FROM lineitem a
+         JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         JOIN pe ON pe.l_orderkey = a.l_orderkey
+         WHERE a.l_linenumber = 1 AND b.l_linenumber = 2)"""
+
+  /** WILCOXON SIGNED-RANK ([[graft.ops.RankStats
+    * .wilcoxonSignedRank]]): line-1 vs line-2 quantities of two-line
+    * orders — the paired location test over the |d| census; exact
+    * 2-rank lattice W+, tie-corrected z, portable phi p.
+    */
+  private val q384_wilcoxon: Q = (
+    (s, dir) => {
+      val p = linePairs(s, dir)
+      graft.ops.RankStats.wilcoxonSignedRank(p, col("qa"), col("qb"))
+    },
+    Some(s"""WITH $pairSql,
+             d AS (SELECT qa - qb AS d FROM pr),
+             z0 AS (SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_zero FROM d),
+             cs AS (SELECT abs(d) AS v, count(*) AS c,
+                 sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS p
+               FROM d WHERE d <> 0 GROUP BY 1),
+             rk AS (SELECT v, c, p, sum(c) OVER (ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM cs),
+             ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CAST(p AS HUGEINT)
+                   * (2 * (cum - c) + c + 1)) AS HUGEINT) AS w2,
+                 CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT)
+                   AS tt
+               FROM rk),
+             zc AS (SELECT n, w2,
+                 (CAST(w2 AS DOUBLE) / 2.0
+                   - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                     / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                     * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                   - CAST(tt AS DOUBLE) / 48.0) AS z
+               FROM ag),
+             ph AS (SELECT n, w2, z,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT n AS n_pairs, n_zero, CAST(w2 AS BIGINT) AS w_plus_x2,
+               round(z, 6) AS z, round($sqlTwoSidedP, 6) AS p_value
+        FROM ph CROSS JOIN z0"""))
+
+  /** PAIRED SIGN-FLIP RANDOMIZATION TEST ([[graft.ops.Experiment
+    * .signFlipTest]]): the same line-1/line-2 quantity pairs under
+    * 199 hash-seeded sign flips — the assumption-free companion to
+    * q384; exact integer permutation sums, exact rank p-value.
+    */
+  private val q385_sign_flip: Q = (
+    (s, dir) => {
+      val p = linePairs(s, dir)
+      graft.ops.Experiment.signFlipTest(p, col("l_orderkey"),
+        col("qa") - col("qb"), nPerms = 199, seed = 42L)
+    },
+    Some(s"""WITH $pairSql,
+             d AS (SELECT id, qa - qb AS d FROM pr),
+             ob AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(coalesce(sum(CAST(d AS HUGEINT)), 0)
+                   AS HUGEINT) AS obs
+               FROM d),
+             s AS (SELECT k.k AS k,
+                 CAST(sum(CASE WHEN (id * (2654435761 + 2 * k.k)
+                     + 42 + k.k * 1000003) % 1000000007 % 2 = 0
+                   THEN CAST(d AS HUGEINT) ELSE -CAST(d AS HUGEINT)
+                   END) AS HUGEINT) AS sk
+               FROM d CROSS JOIN range(1, 200) k(k) GROUP BY 1),
+             tl AS (SELECT CAST(coalesce(sum(CASE WHEN abs(sk) >=
+                 abs(obs) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ge
+               FROM s CROSS JOIN ob)
+        SELECT n_pairs, CAST(199 AS BIGINT) AS n_perms,
+               CAST(obs AS BIGINT) AS obs_sum, n_ge,
+               CAST((1 + n_ge) * 1000000 // 200 AS BIGINT) AS p_ppm
+        FROM ob CROSS JOIN tl"""))
+
+  /** BARTLETT'S TEST ([[graft.ops.RankStats.bartlett]]): price
+    * variance homogeneity across the three return flags — the
+    * parametric sibling of q368's Brown-Forsythe over the same
+    * grouping; exact decimal variances, decimal(38,6)-quantized ln
+    * terms, one double close.
+    */
+  private val q383_bartlett: Q = (
+    (s, dir) => graft.ops.RankStats.bartlett(
+      read(s, dir, "lineitem"),
+      group = col("l_returnflag"),
+      value = round(col("l_extendedprice"), 0)),
+    Some("""WITH r AS (SELECT l_returnflag AS grp,
+                 CAST(round(l_extendedprice, 0) AS BIGINT) AS v
+               FROM lineitem
+               WHERE l_returnflag IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+             pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+               FROM r GROUP BY 1),
+             t AS (SELECT grp, n,
+                 CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE) AS var_g
+               FROM pg),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * var_g
+                   AS DECIMAL(38,6))) AS DOUBLE) AS wsum,
+                 CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * ln(var_g)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS lsum,
+                 CAST(sum(CAST(1.0 / CAST(n - 1 AS DOUBLE)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS isum
+               FROM t),
+             v AS (SELECT round(
+                 (CAST(nn - k AS DOUBLE)
+                     * ln(wsum / CAST(nn - k AS DOUBLE)) - lsum)
+                 / (1.0 + (isum - 1.0 / CAST(nn - k AS DOUBLE))
+                     / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS t_stat,
+                 k - 1 AS df
+               FROM ag)
+        SELECT grp, n, round(var_g, 6) AS var_g, t_stat, df
+        FROM t CROSS JOIN v ORDER BY grp"""))
+
   /** KENDALL'S TAU-B ([[graft.ops.RankStats.kendallTau]]): quantity
     * vs 10k-bucketed price over lineitem — the pairwise-concordance
     * complement to q306's Spearman, computed entirely from the
@@ -2207,6 +2358,9 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q384_wilcoxon" -> q384_wilcoxon,
+    "q385_sign_flip" -> q385_sign_flip,
+    "q383_bartlett" -> q383_bartlett,
     "q380_kendall_tau" -> q380_kendall_tau,
     "q379_fleiss" -> q379_fleiss,
     "q376_psi" -> q376_psi,

@@ -742,6 +742,63 @@ object Experiment {
     * scale values per the long-headroom note). Emits one row:
     * b_resamples, n, theta, ci_lo, ci_med, ci_hi.
     */
+  /** PAIRED SIGN-FLIP RANDOMIZATION TEST (Fisher 1935's exact
+    * randomization logic, hash-seeded): under H0 each paired
+    * difference d_i is symmetric around 0, so its sign is
+    * exchangeable — the null distribution of S = Σ d is sampled by
+    * flipping each sign with a deterministic portable hash and the
+    * p-value is the exact RANK of |S_obs| among the K+1 statistics
+    * (the +1 is the identity flip — Phipson & Smyth 2010's "never
+    * report p = 0" correction). No distributional assumption at
+    * all: the assumption-free companion to the paired t and
+    * [[graft.ops.RankStats.wilcoxonSignedRank]].
+    *
+    * EVERYTHING is integer: d must be integer-quantized (gini
+    * contract), each permutation sum is an exact decimal of ±d
+    * terms, and p_ppm = (1 + #{|S_k| >= |S_obs|})·1e6 div (K+1).
+    * Signs come from the per-rep MULTIPLIER hash (the
+    * [[poissonBootstrapCi]] convention — an additive-only seed
+    * would correlate the K flip patterns): parity of
+    * (id·(2654435761 + 2k) + seed + k·1000003) mod 1e9+7.
+    *
+    * Shape: one explode of K rep-ids per pair feeds STRAIGHT into a
+    * partial aggregation keyed by rep — map-side CPU is K·rows but
+    * the shuffle is K rows total; K is the knob (199 default = the
+    * classical p >= 0.005 resolution). Emits one row:
+    * (n_pairs, n_perms, obs_sum, n_ge, p_ppm).
+    */
+  def signFlipTest(df: DataFrame, id: Column, diff: Column,
+      nPerms: Int = 199, seed: Long = 42L): DataFrame = {
+    require(nPerms >= 19 && nPerms <= 9999,
+      s"signFlipTest: nPerms $nPerms outside [19, 9999]")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = graft.Caches.pin(df.select(id.cast("long").as("__id"),
+      diff.cast("long").as("__d"))
+      .where(col("__id").isNotNull && col("__d").isNotNull))
+    val obs = rows.agg(count(lit(1)).cast("long").as("n_pairs"),
+      coalesce(sum(dec(col("__d"))), lit(0).cast("decimal(38,0)"))
+        .as("__obs"))
+    val h = pmod(col("__id") *
+      (lit(2654435761L) + lit(2L) * col("__k").cast("long")) +
+      (lit(seed) + col("__k").cast("long") * lit(1000003L)),
+      lit(1000000007L))
+    val perms = rows
+      .withColumn("__k", explode(sequence(lit(1), lit(nPerms))))
+      .select(col("__k"),
+        (when(pmod(h, lit(2L)) === 0L, col("__d"))
+          .otherwise(-col("__d"))).as("__sd"))
+      .groupBy(col("__k"))
+      .agg(sum(dec(col("__sd"))).as("__s"))
+    val tail = perms.crossJoin(broadcast(obs))
+      .agg(coalesce(sum(when(abs(col("__s")) >= abs(col("__obs")),
+        1L).otherwise(0L)), lit(0L)).as("n_ge"))
+    obs.crossJoin(broadcast(tail))
+      .select(col("n_pairs"), lit(nPerms.toLong).as("n_perms"),
+        col("__obs").cast("long").as("obs_sum"), col("n_ge"),
+        expr(s"(1L + n_ge) * 1000000L div ${nPerms + 1}L")
+          .as("p_ppm"))
+  }
+
   def poissonBootstrapCi(df: DataFrame, id: Column, x: Column,
       b: Int = 40, seedBase: Long = 97L): DataFrame = {
     require(b >= 8 && b <= 256, s"poissonBootstrapCi: b $b")

@@ -683,6 +683,133 @@ object RankStats {
       .orderBy(col(series))
   }
 
+  /** WILCOXON SIGNED-RANK test (Wilcoxon 1945) — the PAIRED
+    * location test: within-pair differences d = a − b, |d| ranked
+    * with average ties, W+ = Σ ranks of positive d; the
+    * nonparametric sibling of the paired t-test (and the paired
+    * complement to [[kruskalWallis]]/[[yuenT]]'s independent-sample
+    * tests). Zero differences are DROPPED (the standard Wilcoxon
+    * reduction) and reported as n_zero.
+    *
+    * Everything runs over the |d| DISTINCT-VALUE CENSUS
+    * (value-bounded, censusGuard — never a row-sized rank window):
+    * with c(v) = pairs at |d| = v and cumBefore(v) the census
+    * prefix, the average rank on the exact 2-rank lattice is
+    * r2(v) = 2·cumBefore + c + 1, and W2 = Σ pos(v)·r2(v) = 2·W+
+    * is an exact decimal integer. The normal approximation
+    *
+    *   z = (W+ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σt(t²−1)/48)
+    *
+    * (tie-corrected variance) closes in ONE fixed-shape double
+    * expression over those exact integers; p is the portable
+    * two-sided phi tail (the q327 convention). Emits one row:
+    * (n_pairs, n_zero, w_plus_x2, z, p_value).
+    */
+  def wilcoxonSignedRank(df: DataFrame, a: Column, b: Column,
+      maxDistinct: Long = 2000000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val d = df.select((a.cast("long") - b.cast("long")).as("__d"))
+      .where(col("__d").isNotNull)
+    val zeros = d.agg(
+      sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("__z0"))
+    val census = graft.Caches.pin(d.where(col("__d") =!= 0L)
+      .groupBy(abs(col("__d")).as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__p")))
+    censusGuard(census, maxDistinct, "RankStats.wilcoxonSignedRank")
+    val w = Window.partitionBy(ScanOps.pinnedZero(col("__v")))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__r2",
+        lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+    val agg = ranked.agg(
+      coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_pairs"),
+      coalesce(sum(dec(col("__p")) * dec(col("__r2"))),
+        lit(0).cast("decimal(38,0)")).as("__w2"),
+      coalesce(sum(dec(col("__c")) * dec(col("__c")) * dec(col("__c"))
+        - dec(col("__c"))), lit(0).cast("decimal(38,0)")).as("__tt"))
+    val nD = col("n_pairs").cast("double")
+    val varD = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(24.0) - col("__tt").cast("double") / lit(48.0)
+    val z = when(col("n_pairs") === 0L || varD <= 0.0, lit(null))
+      .otherwise(
+        (col("__w2").cast("double") / lit(2.0) -
+          nD * (nD + lit(1.0)) / lit(4.0)) / sqrt(varD))
+    agg.crossJoin(broadcast(zeros))
+      .select(col("n_pairs"), col("__z0").as("n_zero"),
+        col("__w2").cast("long").as("w_plus_x2"),
+        round(z, 6).as("z"),
+        round(lit(2.0) * (lit(1.0) - Experiment.phiAbs(abs(z))), 6)
+          .as("p_value"))
+  }
+
+  /** BARTLETT'S TEST (Bartlett 1937) — homogeneity of variances
+    * across k groups, the PARAMETRIC sibling of [[brownForsythe]]:
+    * more powerful when the data really are normal, famously
+    * fragile when they are not (run both; divergence itself is the
+    * signal that the tails are heavy).
+    *
+    *   T = [(N−k)·ln(Sp²) − Σ (n_i−1)·ln(S_i²)] / C
+    *   C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))
+    *
+    * with S_i² the unbiased group variances and Sp² their pooled
+    * form. `value` must be integer-quantized (the gini contract):
+    * each S_i² is the exact decimal rational (n·ΣX² − (ΣX)²) over
+    * n(n−1) closed by ONE double division, and every per-group
+    * float term ((n_i−1)·S_i², (n_i−1)·ln S_i², 1/(n_i−1)) is
+    * decimal(38,6)-quantized before its order-free sum (the
+    * [[kruskalWallis]] discipline), so the statistic is engine-
+    * replayable at 6dp. The ln sites are the margin-audited class.
+    *
+    * One grouped pass over the data; everything after is k rows.
+    * Groups must have n_i >= 2 and nonzero variance (a constant
+    * group makes ln S_i² undefined — refused, not NaN'd). Emits one
+    * row per group (grp, n, var_g) with shared (t_stat, df).
+    */
+  def bartlett(df: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(group.cast("string").as("grp"),
+      value.cast("long").as("__v"))
+      .where(col("grp").isNotNull && col("__v").isNotNull)
+    val pg = graft.Caches.pin(rows.groupBy(col("grp")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("__v"))).as("__s1"),
+      sum(dec(col("__v")) * dec(col("__v"))).as("__s2")))
+    val varG = (dec(col("n")) * col("__s2") -
+      col("__s1") * col("__s1")).cast("double") /
+      (col("n") * (col("n") - lit(1L))).cast("double")
+    val chk = pg.agg(count(lit(1)).as("k"), min(col("n")).as("mn"),
+      min(varG).as("mv")).head()
+    require(chk.getAs[Long]("k") >= 2L,
+      "bartlett: need at least 2 groups")
+    require(chk.getAs[Long]("mn") >= 2L,
+      "bartlett: every group needs n >= 2")
+    require(chk.getAs[Double]("mv") > 0.0,
+      "bartlett: a group has zero variance (constant values) — " +
+        "ln S^2 undefined; filter upstream")
+    def q6(c: Column) = c.cast("decimal(38,6)")
+    val nm1 = (col("n") - lit(1L)).cast("double")
+    val agg = pg.agg(
+      count(lit(1)).cast("long").as("__k"),
+      sum(col("n")).cast("long").as("__nn"),
+      sum(q6(nm1 * varG)).cast("double").as("__wsum"),
+      sum(q6(nm1 * log(varG))).cast("double").as("__lsum"),
+      sum(q6(lit(1.0) / nm1)).cast("double").as("__isum"))
+    val nk = (col("__nn") - col("__k")).cast("double")
+    val tnum = nk * log(col("__wsum") / nk) - col("__lsum")
+    val cfac = lit(1.0) + (col("__isum") - lit(1.0) / nk) /
+      (lit(3.0) * (col("__k") - lit(1L)).cast("double"))
+    val verdict = agg.select(round(tnum / cfac, 6).as("t_stat"),
+      (col("__k") - lit(1L)).as("df"))
+    pg.crossJoin(broadcast(verdict))
+      .select(col("grp"), col("n"), round(varG, 6).as("var_g"),
+        col("t_stat"), col("df"))
+      .orderBy(col("grp"))
+  }
+
   /** KENDALL'S TAU-B (Kendall 1945) — rank correlation by pairwise
     * concordance, the robust complement to q306's Spearman (tau's
     * pairwise counts are less sensitive to a few extreme ranks, and

@@ -37,6 +37,31 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("median") == 2L) // pos (4+1) div 2 = 2
   }
 
+  test("bartlett: two 5-point groups, variances 2.5 vs 10 -> " +
+      "T matches the closed form; constant group refused") {
+    val df = ((1 to 5).map(v => ("a", v.toLong)) ++
+      Seq(2L, 4L, 6L, 8L, 10L).map(("b", _))).toDF("g", "v")
+    val r = RankStats.bartlett(df, col("g"), col("v"))
+      .orderBy(col("grp")).collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(5L, 5L))
+    assert(r(0).getAs[Double]("var_g") == 2.5)
+    assert(r(1).getAs[Double]("var_g") == 10.0)
+    // T = [8 ln 6.25 - (4 ln 2.5 + 4 ln 10)] / (1 + (0.5-0.125)/3)
+    val expT = (8.0 * math.log(6.25) -
+      (4.0 * math.log(2.5) + 4.0 * math.log(10.0))) / 1.125
+    assert(math.abs(r(0).getAs[Double]("t_stat") - expT) < 1e-5)
+    assert(r(0).getAs[Long]("df") == 1L)
+    graft.Caches.release()
+
+    val const = Seq(("a", 1L), ("a", 2L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankStats.bartlett(const, col("g"), col("v"))
+    }
+    assert(e.getMessage.contains("zero variance"))
+    graft.Caches.release()
+  }
+
   test("friedman: 3 complete blocks x 3 treatments, no ties -> " +
       "rank sums 5/6/7, chi2 = 2/3, df 2") {
     val df = Seq(
@@ -200,6 +225,61 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(math.abs(r(0).getAs[Long]("psi_e6") -
       math.floor((t0 + t1) * 1e6 + 0.5)) <= 1)
     assert(r(0).getAs[Long]("psi_e6") == r(1).getAs[Long]("psi_e6"))
+  }
+
+  test("wilcoxonSignedRank: (1,2,-3) -> W+=3, z=0, p=1; all-tied " +
+      "positives hit the tie-corrected z; zeros dropped and counted") {
+    val df = Seq((1L, 0L), (2L, 0L), (-3L, 0L)).toDF("a", "b")
+    val r = RankStats.wilcoxonSignedRank(df, col("a"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 3 &&
+      r.getAs[Long]("n_zero") == 0)
+    assert(r.getAs[Long]("w_plus_x2") == 6L) // W+ = 3
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    graft.Caches.release()
+
+    // d = (1,1,1): r2 = 4 each, W2 = 12, var = 3.5 - 24/48 = 3
+    val tied = Seq((1L, 0L), (1L, 0L), (1L, 0L)).toDF("a", "b")
+    val r2 = RankStats.wilcoxonSignedRank(tied, col("a"), col("b"))
+      .collect()(0)
+    assert(r2.getAs[Long]("w_plus_x2") == 12L)
+    assert(math.abs(r2.getAs[Double]("z") -
+      3.0 / math.sqrt(3.0)) < 1e-6)
+    graft.Caches.release()
+
+    val withZero = Seq((5L, 5L), (10L, 5L)).toDF("a", "b")
+    val r3 = RankStats.wilcoxonSignedRank(withZero, col("a"),
+      col("b")).collect()(0)
+    assert(r3.getAs[Long]("n_pairs") == 1 &&
+      r3.getAs[Long]("n_zero") == 1)
+    assert(r3.getAs[Double]("z") == 1.0) // (1 - 0.5)/sqrt(0.25)
+    graft.Caches.release()
+  }
+
+  test("signFlipTest: all-zero diffs -> every permutation ties the " +
+      "observed 0 -> p = 1e6; one-sided signal at K=19 -> exact " +
+      "rank p; deterministic under re-run") {
+    val zeros = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "d")
+    val r = graft.ops.Experiment.signFlipTest(zeros, col("id"),
+      col("d"), nPerms = 19).collect()(0)
+    assert(r.getAs[Long]("obs_sum") == 0L)
+    assert(r.getAs[Long]("n_ge") == 19L)
+    assert(r.getAs[Long]("p_ppm") == 1000000L)
+    graft.Caches.release()
+
+    val signal = (1L to 40L).map((_, 10L)).toDF("id", "d")
+    val s1 = graft.ops.Experiment.signFlipTest(signal, col("id"),
+      col("d"), nPerms = 19).collect()(0)
+    graft.Caches.release()
+    val s2 = graft.ops.Experiment.signFlipTest(signal, col("id"),
+      col("d"), nPerms = 19).collect()(0)
+    graft.Caches.release()
+    assert(s1.getAs[Long]("obs_sum") == 400L)
+    // a perm ties only if all 40 hash signs agree — deterministic 0
+    assert(s1.getAs[Long]("n_ge") == 0L)
+    assert(s1.getAs[Long]("p_ppm") == 50000L) // 1/20
+    assert(s1.getAs[Long]("n_ge") == s2.getAs[Long]("n_ge"))
   }
 
   test("psi: colliding decile edges leave bins empty in BOTH " +
