@@ -1938,6 +1938,117 @@ object QueriesStats {
         SELECT t AS treatment, n_blocks, successes, q_stat, df
         FROM pt CROSS JOIN v ORDER BY treatment"""))
 
+  /** COHEN'S d / HEDGES' g ([[graft.ops.RankStats.effectSize]]):
+    * the standardized size of the q308 returned-vs-accepted price
+    * gap — at catalog scale every test is "significant"; this is
+    * the number that says whether it matters. Same exact-decimal
+    * sufficient statistics, one fixed-double close.
+    */
+  private val q386_effect_size: Q = (
+    (s, dir) => graft.ops.RankStats.effectSize(
+      read(s, dir, "lineitem"),
+      inA = col("l_returnflag") === "R",
+      inB = col("l_returnflag") === "A",
+      value = col("l_extendedprice")),
+    Some("""WITH sums AS (SELECT
+                 CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice END AS DECIMAL(25,6)))
+                   AS DOUBLE) AS sa,
+                 CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+                     THEN l_extendedprice * l_extendedprice END
+                   AS DECIMAL(38,10))) AS DOUBLE) AS ssa,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                   ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
+                     THEN l_extendedprice END AS DECIMAL(25,6)))
+                   AS DOUBLE) AS sb,
+                 CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
+                     THEN l_extendedprice * l_extendedprice END
+                   AS DECIMAL(38,10))) AS DOUBLE) AS ssb,
+                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1
+                   ELSE 0 END) AS BIGINT) AS nb
+               FROM lineitem),
+             st AS (SELECT na, nb,
+                 sa / CAST(na AS DOUBLE) AS ma,
+                 sb / CAST(nb AS DOUBLE) AS mb,
+                 ssa - sa * sa / CAST(na AS DOUBLE) AS qa,
+                 ssb - sb * sb / CAST(nb AS DOUBLE) AS qb
+               FROM sums),
+             cl AS (SELECT na, nb, ma, mb,
+                 sqrt((qa + qb) / (CAST(na AS DOUBLE)
+                   + CAST(nb AS DOUBLE) - 2.0)) AS sp,
+                 (ma - mb) / sqrt((qa + qb) / (CAST(na AS DOUBLE)
+                   + CAST(nb AS DOUBLE) - 2.0)) AS d,
+                 qa + qb > 0.0 AS ok
+               FROM st)
+        SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a,
+               round(mb, 6) AS mean_b,
+               CASE WHEN ok THEN round(sp, 6) END AS sd_pooled,
+               CASE WHEN ok THEN round(d, 6) END AS cohens_d,
+               CASE WHEN ok THEN round(d * (1.0 - 3.0
+                 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                   - 9.0)), 6) END AS hedges_g
+        FROM cl"""))
+
+  /** PAGE'S TREND TEST ([[graft.ops.RankStats.pageTrend]]): is
+    * there an INCREASING quantity trend across line positions 1..4
+    * of complete orders — q369's Friedman asks "any difference",
+    * Page asks the ordered question; exact 2-rank lattice L, one
+    * fixed-double z, one-sided p.
+    */
+  private val q387_page_trend: Q = (
+    (s, dir) => graft.ops.RankStats.pageTrend(
+      eligibleBlocks(s, dir),
+      block = col("l_orderkey"), treatment = col("l_linenumber"),
+      value = col("l_quantity")),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS b,
+                 CAST(l_linenumber AS BIGINT) AS t,
+                 CAST(l_quantity AS DOUBLE) AS v
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_quantity IS NOT NULL),
+             rk AS (SELECT b, t,
+                 2 * rank() OVER (PARTITION BY b ORDER BY v)
+                   + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+               FROM r),
+             pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS HUGEINT)
+                   AS r2sum
+               FROM rk GROUP BY 1),
+             ptp AS (SELECT t, n_blocks, r2sum,
+                 CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                   AS position
+               FROM pt),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(min(n_blocks) AS BIGINT) AS n,
+                 CAST(sum(CAST(position AS HUGEINT) * r2sum)
+                   AS HUGEINT) AS l2
+               FROM ptp),
+             zc AS (SELECT l2,
+                 (CAST(l2 AS DOUBLE) / 2.0
+                   - CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0)
+                     * (CAST(k AS DOUBLE) + 1.0) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+                     * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                     / 144.0) AS z
+               FROM ag),
+             ph AS (SELECT l2, z,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc),
+             verdict AS (SELECT CAST(l2 AS BIGINT) AS l_x2,
+                 round(z, 6) AS z,
+                 round(CASE WHEN z >= 0.0
+                   THEN 1.0 - (1.0 - ($sqlTwoSidedP) / 2.0)
+                   ELSE 1.0 - ($sqlTwoSidedP) / 2.0 END, 6)
+                   AS p_value
+               FROM ph)
+        SELECT t AS treatment, position, n_blocks,
+               CAST(r2sum AS BIGINT) AS rank_sum_x2,
+               l_x2, z, p_value
+        FROM ptp CROSS JOIN verdict ORDER BY position"""))
+
   /** Paired fixture shared by q384/q385: orders whose lines 1 and 2
     * each appear EXACTLY once ((l_orderkey, l_linenumber) is NOT
     * unique in the synthetic lineitem — the TESTDATA gotcha), with
@@ -2358,6 +2469,8 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q386_effect_size" -> q386_effect_size,
+    "q387_page_trend" -> q387_page_trend,
     "q384_wilcoxon" -> q384_wilcoxon,
     "q385_sign_flip" -> q385_sign_flip,
     "q383_bartlett" -> q383_bartlett,

@@ -211,6 +211,53 @@ object RankStats {
         .as("p_value"))
   }
 
+  /** COHEN'S d / HEDGES' g — the standardized effect size the
+    * significance tests ([[welchT]], [[yuenT]]) deliberately don't
+    * report: at corpus scale EVERYTHING is significant, and the
+    * pooled-SD mean gap is the number that says whether the
+    * difference matters (the 0.2/0.5/0.8 reading). Hedges' g is d
+    * with the small-sample bias factor 1 − 3/(4(n_a+n_b)−9)
+    * (Hedges 1981's J approximation).
+    *
+    *   d = (m_a − m_b) / s_p,
+    *   s_p² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2)
+    *
+    * Same exact-decimal sufficient statistics as [[welchT]] (one
+    * grouped pass, no shuffle beyond the 1-row aggregate); the
+    * close is one fixed-shape double expression, 6dp. Emits one
+    * row: (n_a, n_b, mean_a, mean_b, sd_pooled, cohens_d,
+    * hedges_g) — null d/g when the pooled variance is 0.
+    */
+  def effectSize(df: DataFrame, inA: Column, inB: Column,
+      value: Column): DataFrame = {
+    def side(f: Column, tag: String) = Seq(
+      sum(when(f, value).cast("decimal(25,6)")).cast("double")
+        .as(s"__s$tag"),
+      sum(when(f, value * value).cast("decimal(38,10)")).cast("double")
+        .as(s"__ss$tag"),
+      sum(when(f, 1L).otherwise(0L)).as(s"__n$tag"))
+    val aggs = side(inA, "a") ++ side(inB, "b")
+    val sums = df.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String) = {
+      val n = col(s"__n$tag").cast("double")
+      val m = col(s"__s$tag") / n
+      val ssq = col(s"__ss$tag") -
+        col(s"__s$tag") * col(s"__s$tag") / n
+      (n, m, ssq)
+    }
+    val (na, ma, qa) = stats("a"); val (nb, mb, qb) = stats("b")
+    val sp = sqrt((qa + qb) / (na + nb - lit(2.0)))
+    val d = (ma - mb) / sp
+    val g = d * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (na + nb) - lit(9.0)))
+    val ok = (qa + qb) > lit(0.0)
+    sums.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(ok, round(sp, 6)).as("sd_pooled"),
+      when(ok, round(d, 6)).as("cohens_d"),
+      when(ok, round(g, 6)).as("hedges_g"))
+  }
+
   /** MANN-KENDALL trend test (Mann 1945, Kendall 1975) per series —
     * the distribution-free "is this moving?" significance companion
     * to Theil-Sen's slope estimate (q260):
@@ -681,6 +728,80 @@ object RankStats {
           round((dec(col("n")) * col("__num")).cast("double") /
             den.cast("double"), 6)).as("dw"))
       .orderBy(col(series))
+  }
+
+  /** PAGE'S TREND TEST (Page 1963) — [[friedman]]'s DIRECTIONAL
+    * sibling: same complete blocks, same within-block average
+    * ranks, but the alternative is an ORDERED trend across the k
+    * treatments (dose levels, time steps, context lengths) instead
+    * of "any difference":
+    *
+    *   L = Σ_j j·R_j,  E[L] = n·k(k+1)²/4,
+    *   Var[L] = n·k²(k+1)(k²−1)/144
+    *
+    * with j the treatment's position in its NUMERIC order (the
+    * hypothesized ordering — `treatment` must cast to long) and R_j
+    * its rank sum. L rides the exact 2-rank lattice (L2 = 2L is an
+    * exact decimal integer; ties get average ranks — the classical
+    * variance assumes no ties, which makes the z slightly
+    * conservative under heavy tying, documented not corrected).
+    * One-sided p for an INCREASING trend (flip the treatment sign
+    * for decreasing). Same three-legged completeness contract and
+    * per-block bounded windows as [[friedman]]. Emits one row per
+    * treatment (treatment, position, n_blocks, rank_sum_x2) with
+    * shared (l_x2, z, p_value).
+    */
+  def pageTrend(df: DataFrame, block: Column, treatment: Column,
+      value: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(block.cast("string").as("__b"),
+      treatment.cast("long").as("__t"),
+      value.cast("double").as("__v"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__v").isNotNull)
+    val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
+      countDistinct(col("__t")).as("__d"))
+    val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+      max((col("__c") =!= col("__d")).cast("int")).as("bad"))
+      .crossJoin(broadcast(
+        rows.agg(countDistinct(col("__t")).as("gk"))))
+      .head()
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 3L &&
+      chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
+      "pageTrend: blocks must be complete — every block carries the " +
+        "SAME k >= 3 treatments exactly once (filter upstream)")
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val ranked = rows
+      .withColumn("__r2", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(Window.partitionBy(col("__b"), col("__v")))
+        - lit(1L))
+    val pt = graft.Caches.pin(ranked.groupBy(col("__t")).agg(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum(dec(col("__r2"))).as("__r2sum")))
+    val wPos = Window.partitionBy(ScanOps.pinnedZero(col("__t")))
+      .orderBy(col("__t"))
+    val ptp = graft.Caches.pin(pt.withColumn("position",
+      row_number().over(wPos).cast("long")))
+    val agg = ptp.agg(
+      count(lit(1)).cast("long").as("__k"),
+      min(col("n_blocks")).cast("long").as("__n"),
+      sum(dec(col("position")) * col("__r2sum")).as("__l2"))
+    val kD = col("__k").cast("double")
+    val nD = col("__n").cast("double")
+    val e = nD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) / lit(4.0)
+    val v = nD * kD * kD * (kD + lit(1.0)) *
+      (kD * kD - lit(1.0)) / lit(144.0)
+    val z = (col("__l2").cast("double") / lit(2.0) - e) / sqrt(v)
+    val verdict = agg.select(col("__l2").cast("long").as("l_x2"),
+      round(z, 6).as("z"),
+      round(when(z >= 0.0, lit(1.0) - Experiment.phiAbs(abs(z)))
+        .otherwise(Experiment.phiAbs(abs(z))), 6).as("p_value"))
+    ptp.crossJoin(broadcast(verdict))
+      .select(col("__t").as("treatment"), col("position"),
+        col("n_blocks"), col("__r2sum").cast("long").as("rank_sum_x2"),
+        col("l_x2"), col("z"), col("p_value"))
+      .orderBy(col("position"))
   }
 
   /** WILCOXON SIGNED-RANK test (Wilcoxon 1945) — the PAIRED

@@ -227,6 +227,52 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("psi_e6") == r(1).getAs[Long]("psi_e6"))
   }
 
+  test("effectSize: shifted equal-variance groups -> d from the " +
+      "pooled SD, g shrunk by Hedges' J; zero variance -> nulls") {
+    val df = ((1 to 5).map(v => ("a", v.toLong)) ++
+      (3 to 7).map(v => ("b", v.toLong))).toDF("g", "v")
+    val r = RankStats.effectSize(df, col("g") === "a",
+      col("g") === "b", col("v")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 5 && r.getAs[Long]("n_b") == 5)
+    assert(r.getAs[Double]("mean_a") == 3.0 &&
+      r.getAs[Double]("mean_b") == 5.0)
+    val sp = math.sqrt(2.5)
+    val d = -2.0 / sp
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hedges_g") -
+      d * (1.0 - 3.0 / 31.0)) < 1e-5)
+
+    val const = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 1L))
+      .toDF("g", "v")
+    val r2 = RankStats.effectSize(const, col("g") === "a",
+      col("g") === "b", col("v")).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("cohens_d")))
+  }
+
+  test("pageTrend: perfectly increasing 2x3 blocks -> L=28, z=2, " +
+      "one-sided p ~ 0.0228; k=2 refused") {
+    val df = Seq(
+      ("b1", 1L, 1.0), ("b1", 2L, 2.0), ("b1", 3L, 3.0),
+      ("b2", 1L, 4.0), ("b2", 2L, 5.0), ("b2", 3L, 6.0))
+      .toDF("b", "t", "v")
+    val r = RankStats.pageTrend(df, col("b"), col("t"), col("v"))
+      .collect()
+    graft.Caches.release()
+    assert(r.map(_.getAs[Long]("position")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("rank_sum_x2")).toSeq ==
+      Seq(4L, 8L, 12L))
+    assert(r(0).getAs[Long]("l_x2") == 56L)
+    assert(r(0).getAs[Double]("z") == 2.0)
+    assert(math.abs(r(0).getAs[Double]("p_value") - 0.02275) < 1e-3)
+
+    val two = Seq(("b1", 1L, 1.0), ("b1", 2L, 2.0))
+      .toDF("b", "t", "v")
+    intercept[IllegalArgumentException] {
+      RankStats.pageTrend(two, col("b"), col("t"), col("v"))
+    }
+    graft.Caches.release()
+  }
+
   test("wilcoxonSignedRank: (1,2,-3) -> W+=3, z=0, p=1; all-tied " +
       "positives hit the tie-corrected z; zeros dropped and counted") {
     val df = Seq((1L, 0L), (2L, 0L), (-3L, 0L)).toDF("a", "b")
