@@ -1663,6 +1663,58 @@ object QueriesStats {
     },
     Some(graft.ops.Preference.bradleyTerrySql(btCmpSql, steps = 10)))
 
+  /** The q388 game stream: sampled orders whose lines span exactly
+    * two brands, winner = the brand with the larger EXACT-DECIMAL
+    * price total (float sums would let the winner flip across
+    * engines), ordered by order key (the synthetic event order).
+    */
+  private val eloGamesSql: String =
+    """SELECT ob.ok AS ts, max_by(b, s) AS w, min_by(b, s) AS l
+       FROM (SELECT l.l_orderkey AS ok, p.p_brand AS b,
+               sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS s
+             FROM lineitem l
+             JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE l.l_orderkey % 13 = 0
+             GROUP BY 1, 2) ob
+       JOIN (SELECT ok FROM (SELECT l.l_orderkey AS ok, p.p_brand AS b
+               FROM lineitem l
+               JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE l.l_orderkey % 13 = 0
+               GROUP BY 1, 2)
+             GROUP BY ok HAVING count(*) = 2) two
+         ON two.ok = ob.ok
+       GROUP BY ob.ok HAVING min(s) <> max(s)"""
+
+  /** ELO RATING TRAJECTORY ([[graft.ops.Preference.elo]]): brand
+    * duels (two-brand orders, richer side wins) replayed in event
+    * order — the online leaderboard next to q365's batch
+    * Bradley-Terry over the same preference stream; pure-integer
+    * updates from the shared 32-bucket expected-score table, the
+    * oracle a recursive CTE carrying the full rating list as
+    * per-step state.
+    */
+  private val q388_elo: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .where(col("l_orderkey") % 13 === 0)
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"),
+          col("l_extendedprice").cast("decimal(25,6)").as("ep"))
+      val ob = li.groupBy(col("ok"), col("b"))
+        .agg(sum(col("ep")).as("s"))
+      val two = ob.groupBy(col("ok"))
+        .agg(count(lit(1)).as("__c"), min(col("s")).as("__lo"),
+          max(col("s")).as("__hi"))
+        .where(col("__c") === 2 && col("__lo") =!= col("__hi"))
+        .select(col("ok"))
+      val games = ob.join(two, Seq("ok")).groupBy(col("ok"))
+        .agg(max_by(col("b"), col("s")).as("w"),
+          min_by(col("b"), col("s")).as("l"))
+      graft.ops.Preference.elo(games, col("ok"), col("w"), col("l"))
+    },
+    Some(graft.ops.Preference.eloSql(eloGamesSql)))
+
   /** KRIPPENDORFF'S ALPHA ([[graft.ops.Eval.krippendorffAlpha]]):
     * each order as a unit, its lineitem return flags as the rater
     * panel (variable panel width, 1..17) — the multi-annotator
@@ -2469,6 +2521,7 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q388_elo" -> q388_elo,
     "q386_effect_size" -> q386_effect_size,
     "q387_page_trend" -> q387_page_trend,
     "q384_wilcoxon" -> q384_wilcoxon,

@@ -171,4 +171,144 @@ object Preference {
       FROM items it JOIN t$steps tf ON it.i = tf.i
       ORDER BY item"""
   }
+
+  /** The 32-bucket expected-score lookup shared by [[elo]] and
+    * [[eloSql]] — the FIDE convention: the logistic
+    * E = 1/(1+10^(−d/400)) tabulated at 25-point rating-diff
+    * buckets over [−400, +400), clamped outside. The table is
+    * computed ONCE here and embedded as literals in the generated
+    * oracle SQL, so cross-engine exactness never depends on pow()
+    * replay — after this lookup the whole trajectory is pure
+    * integer.
+    */
+  val EloTable: IndexedSeq[Long] = (0 until 32).map { b =>
+    val mid = b * 25.0 + 12.5 - 400.0
+    math.floor(1e6 / (1.0 + math.pow(10.0, -mid / 400.0)) + 0.5)
+      .toLong
+  }
+
+  /** ELO RATING TRAJECTORY (Elo 1978; the Chatbot-Arena-style
+    * leaderboard semantics) — the ONLINE companion to the batch
+    * [[bradleyTerry]] MLE: ratings update game by game in event
+    * order, so the result reflects WHEN upsets happened, not just
+    * how many. Same family, opposite reduction: Bradley-Terry
+    * compresses N games to a K²-sparse census; Elo is inherently
+    * sequential (every update reads the two current ratings), so
+    * the trajectory runs on the collected ORDERED game list,
+    * guarded pre-collect by `maxGames`/`maxItems` (the
+    * [[bradleyTerry]] guard discipline — for unbounded-scale rating
+    * use q365's batch path; Elo IS the leaderboard semantics).
+    *
+    * All integer on the ppm lattice: ratings start at `initPpm`
+    * (1500.0), the winner's expected score comes from the shared
+    * [[EloTable]] lookup on the clamped rating diff, and the
+    * zero-sum update is r_w += K·(1e6 − E), r_l −= the same —
+    * no float ever touches the trajectory, so any engine replays it
+    * bit for bit ([[eloSql]] emits the recursive-CTE replay with
+    * the SAME table as literals).
+    *
+    * `games` rows are (ord, winner, loser); the processing order is
+    * (ord, winner, loser) ascending — pass a unique `ord` or accept
+    * the documented tiebreak. Emits one row per item:
+    * (item, games, wins, rating_ppm, rating).
+    */
+  def elo(games: DataFrame, ord: Column, winner: Column,
+      loser: Column, kFactor: Long = 32L,
+      initPpm: Long = 1500000000L, maxGames: Long = 200000L,
+      maxItems: Int = 4096): DataFrame = {
+    require(kFactor >= 1 && kFactor <= 1000, s"elo: kFactor $kFactor")
+    val g = graft.Caches.pin(games.select(ord.as("__o"),
+      winner.cast("string").as("__w"), loser.cast("string").as("__l"))
+      .where(col("__o").isNotNull && col("__w").isNotNull &&
+        col("__l").isNotNull && col("__w") =!= col("__l")))
+    val nGames = g.count()
+    require(nGames > 0 && nGames <= maxGames,
+      s"elo: $nGames games (> $maxGames) — sample the stream or use " +
+        "bradleyTerry (the batch path) at this scale")
+    val nItems = g.select(col("__w").as("x"))
+      .union(g.select(col("__l").as("x"))).distinct().count()
+    require(nItems <= maxItems.toLong,
+      s"elo: $nItems items > maxItems $maxItems")
+    val seq = g.orderBy(col("__o"), col("__w"), col("__l"))
+      .select(col("__w"), col("__l")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ratings = scala.collection.mutable.HashMap.empty[String, Long]
+    val gp = scala.collection.mutable.HashMap.empty[String, Long]
+    val wp = scala.collection.mutable.HashMap.empty[String, Long]
+    seq.foreach { case (w, l) =>
+      val rw = ratings.getOrElse(w, initPpm)
+      val rl = ratings.getOrElse(l, initPpm)
+      val b = math.min(31L,
+        math.max(0L, Math.floorDiv(rw - rl + 400000000L, 25000000L)))
+      val delta = kFactor * (1000000L - EloTable(b.toInt))
+      ratings(w) = rw + delta
+      ratings(l) = rl - delta
+      gp(w) = gp.getOrElse(w, 0L) + 1; gp(l) = gp.getOrElse(l, 0L) + 1
+      wp(w) = wp.getOrElse(w, 0L) + 1
+    }
+    val spark = games.sparkSession
+    import spark.implicits._
+    ratings.keys.toSeq.sorted.map { it =>
+      val r = ratings(it)
+      (it, gp(it), wp.getOrElse(it, 0L), r, r.toDouble / 1e6)
+    }.toDF("item", "games", "wins", "rating_ppm", "rating")
+  }
+
+  /** The recursive-CTE oracle half of [[elo]]: given SQL for a
+    * `(ts, w, l)` game relation, emits the DuckDB query replaying
+    * the identical integer trajectory — per-step state is the full
+    * rating list carried as a LIST of structs (a recursive CTE may
+    * reference itself once, so the two ratings a game needs are
+    * read from the carried list, not a second self-join), with the
+    * [[EloTable]] embedded as literals. Kept next to the operator
+    * so the two cannot drift.
+    */
+  def eloSql(gamesSql: String, kFactor: Long = 32L,
+      initPpm: Long = 1500000000L): String = {
+    val et = EloTable.zipWithIndex
+      .map { case (v, b) => s"($b, $v)" }.mkString(", ")
+    s"""WITH RECURSIVE
+           g0 AS MATERIALIZED ($gamesSql),
+           games AS MATERIALIZED (SELECT row_number()
+                 OVER (ORDER BY ts, w, l) AS t, w, l FROM g0),
+           its AS MATERIALIZED (SELECT DISTINCT item FROM (
+                     SELECT w AS item FROM g0
+                     UNION ALL SELECT l FROM g0)),
+           et(b, e) AS (VALUES $et),
+           st(t, s) AS (
+             SELECT CAST(0 AS BIGINT),
+                 (SELECT list(struct_pack(item := item,
+                    r := CAST($initPpm AS BIGINT)) ORDER BY item)
+                  FROM its)
+             UNION ALL
+             SELECT g.t, list_transform(st.s, x ->
+                 struct_pack(item := x.item,
+                   r := CASE WHEN x.item = g.w
+                       THEN x.r + $kFactor * (1000000 - ee.e)
+                     WHEN x.item = g.l
+                       THEN x.r - $kFactor * (1000000 - ee.e)
+                     ELSE x.r END))
+             FROM st
+             JOIN games g ON g.t = st.t + 1
+             JOIN et ee ON ee.b = least(greatest(
+                 (list_filter(st.s, x -> x.item = g.w)[1].r
+                  - list_filter(st.s, x -> x.item = g.l)[1].r
+                  + 400000000) // 25000000, 0), 31)
+           ),
+           fin AS (SELECT s FROM st ORDER BY t DESC LIMIT 1),
+           flat AS (SELECT unnest(s) AS u FROM fin),
+           gw AS (SELECT w AS item, count(*) AS wins FROM g0
+                  GROUP BY 1),
+           gl AS (SELECT l AS item, count(*) AS losses FROM g0
+                  GROUP BY 1)
+      SELECT u.item AS item,
+             CAST(coalesce(wins, 0) + coalesce(losses, 0) AS BIGINT)
+               AS games,
+             CAST(coalesce(wins, 0) AS BIGINT) AS wins,
+             CAST(u.r AS BIGINT) AS rating_ppm,
+             CAST(u.r AS DOUBLE) / 1000000.0 AS rating
+      FROM flat LEFT JOIN gw ON gw.item = u.item
+      LEFT JOIN gl ON gl.item = u.item
+      ORDER BY item"""
+  }
 }

@@ -75,6 +75,52 @@ class PreferenceSpec extends SparkSuite {
     assert(e.getMessage.contains("win-matrix cells > maxCells"))
   }
 
+  test("elo: two A-beats-B games replay the exact integer table " +
+      "trajectory, zero-sum holds, input row order is irrelevant") {
+    val games = Seq((2L, "A", "B"), (1L, "A", "B"))
+      .toDF("ts", "w", "l")
+    val r = Preference.elo(games, col("ts"), col("w"), col("l"))
+      .orderBy(col("item")).collect()
+    graft.Caches.release()
+    // replay by hand with the shared table
+    val init = 1500000000L
+    var (ra, rb) = (init, init)
+    (1 to 2).foreach { _ =>
+      val b = math.min(31L, math.max(0L,
+        Math.floorDiv(ra - rb + 400000000L, 25000000L))).toInt
+      val d = 32L * (1000000L - Preference.EloTable(b))
+      ra += d; rb -= d
+    }
+    assert(r.map(_.getAs[String]("item")).toSeq == Seq("A", "B"))
+    assert(r(0).getAs[Long]("rating_ppm") == ra)
+    assert(r(1).getAs[Long]("rating_ppm") == rb)
+    assert(r(0).getAs[Long]("games") == 2 &&
+      r(0).getAs[Long]("wins") == 2)
+    assert(r(1).getAs[Long]("wins") == 0)
+    // zero-sum: total rating mass is conserved
+    assert(r.map(_.getAs[Long]("rating_ppm")).sum == 2 * init)
+    // first game is at even ratings: E = table(16), winner gains
+    assert(ra > init && Preference.EloTable(16) > 500000L)
+
+    val shuffled = Seq((1L, "A", "B"), (2L, "A", "B"))
+      .toDF("ts", "w", "l")
+    val r2 = Preference.elo(shuffled, col("ts"), col("w"), col("l"))
+      .orderBy(col("item")).collect()
+    graft.Caches.release()
+    assert(r2(0).getAs[Long]("rating_ppm") == ra)
+  }
+
+  test("elo: maxGames guard refuses an oversized stream before " +
+      "any collect") {
+    val games = (1L to 5L).map((_, "A", "B")).toDF("ts", "w", "l")
+    val e = intercept[IllegalArgumentException] {
+      Preference.elo(games, col("ts"), col("w"), col("l"),
+        maxGames = 3L)
+    }
+    assert(e.getMessage.contains("games (> 3)"))
+    graft.Caches.release()
+  }
+
   test("krippendorffAlpha: no unit with >= 2 ratings fails with a " +
       "clear message, not an NPE") {
     val df = Seq(("u1", "a"), ("u2", "b")).toDF("unit", "v")
