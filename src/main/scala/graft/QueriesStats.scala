@@ -2238,7 +2238,7 @@ object QueriesStats {
                  CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * var_g
                    AS DECIMAL(38,6))) AS DOUBLE) AS wsum,
                  CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * ln(var_g)
-                   AS DECIMAL(38,6))) AS DOUBLE) AS lsum,
+                   AS DECIMAL(38,4))) AS DOUBLE) AS lsum,
                  CAST(sum(CAST(1.0 / CAST(n - 1 AS DOUBLE)
                    AS DECIMAL(38,6))) AS DOUBLE) AS isum
                FROM t),

@@ -917,7 +917,10 @@ object RankStats {
       count(lit(1)).cast("long").as("__k"),
       sum(col("n")).cast("long").as("__nn"),
       sum(q6(nm1 * varG)).cast("double").as("__wsum"),
-      sum(q6(nm1 * log(varG))).cast("double").as("__lsum"),
+      // ln terms at 4dp, not 6: magnitudes ~1e7 leave a 6dp
+      // lattice only ~600x of ulp headroom (probed); 4dp buys 100x
+      sum((nm1 * log(varG)).cast("decimal(38,4)")).cast("double")
+        .as("__lsum"),
       sum(q6(lit(1.0) / nm1)).cast("double").as("__isum"))
     val nk = (col("__nn") - col("__k")).cast("double")
     val tnum = nk * log(col("__wsum") / nk) - col("__lsum")

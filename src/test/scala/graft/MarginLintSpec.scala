@@ -43,6 +43,13 @@ class MarginLintSpec extends AnyFunSpec {
     // the Theil-Sen slope floor is IEEE-exact arithmetic, not libm
     // (argument in the probe comment + BENCH_NOTES)
     "q371_heaps",
+    // r13: Kendall tau-b — ONE global ppm floor over exact-integer
+    // inputs; probed safety 4.8e11 (sf0.01) / 2.1e12 (sf0.1).
+    // Bartlett — per-group (n-1)·ln(var) quantized at 4dp (6dp left
+    // only ~600x headroom at 1e7 magnitudes; 4dp buys 100x): probed
+    // safety 1.3e5 (sf0.01) / 9.4e3 (sf0.1); var_g rounds are IEEE
+    // ratios of exact decimals, not libm (the Theil-Sen argument).
+    "q380_kendall_tau", "q383_bartlett",
     "q288_jackknife_diff", "q292_km_grouped", "q299_msprt",
     "q300_bh_fdr", "q301_eb_shrink", "q303_ps_ate", "q304_ps_static",
     "q306_spearman", "q312_retrieval_eval", "q313_scoring_rules",

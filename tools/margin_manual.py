@@ -191,6 +191,76 @@ HEAPS_PTS = """
       FROM pts0)"""
 
 PROBES = {
+    # Kendall tau-b: ONE global ppm site floor(tau*1e6 + 0.5) over a
+    # sqrt — flips at half-integers of tau*1e6. The conc/disc/tie
+    # inputs are exact HUGEINTs; only the final close is libm-ish
+    # (sqrt is IEEE-correctly-rounded, but probe anyway).
+    "q380_kendall_tau": f"""
+      WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice, -4) AS BIGINT) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         cells AS (SELECT x, y, count(*) AS c FROM r GROUP BY 1, 2),
+         pg AS (SELECT
+             CAST(coalesce(sum(CASE WHEN a.y < b.y
+                 THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+               AS HUGEINT) AS conc,
+             CAST(coalesce(sum(CASE WHEN a.y > b.y
+                 THEN CAST(a.c AS HUGEINT) * b.c END), 0)
+               AS HUGEINT) AS disc
+           FROM cells a JOIN cells b ON a.x < b.x),
+         tx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+               AS HUGEINT) AS tx2,
+             CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS n
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+         ty AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+               AS HUGEINT) AS ty2
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+      SELECT {rmargin('''2.0 * CAST(conc - disc AS DOUBLE)
+          / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+            * CAST(n * (n - 1) - ty2 AS DOUBLE)) * 1e6''', 0)}
+        AS margin
+      FROM pg CROSS JOIN tx CROSS JOIN ty""",
+
+    # Bartlett: the per-group DECIMAL(38,6) quantizes of
+    # (n-1)*ln(var_g) and (n-1)*var_g, and the final round(T, 6) —
+    # the ln sites are the libm exposure; var_g itself is a ratio of
+    # exact decimals (IEEE div, correctly rounded, not probed; the
+    # Theil-Sen-slope argument).
+    "q383_bartlett": f"""
+      WITH r AS (SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice, 0) AS BIGINT) AS v
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+           FROM r GROUP BY 1),
+         t AS (SELECT grp, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS var_g
+           FROM pg),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * var_g
+               AS DECIMAL(38,6))) AS DOUBLE) AS wsum,
+             CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * ln(var_g)
+               AS DECIMAL(38,4))) AS DOUBLE) AS lsum,
+             CAST(sum(CAST(1.0 / CAST(n - 1 AS DOUBLE)
+               AS DECIMAL(38,6))) AS DOUBLE) AS isum
+           FROM t)
+      SELECT min(m) AS margin FROM (
+        SELECT {rmargin('CAST(n - 1 AS DOUBLE) * ln(var_g)', 4)} AS m
+        FROM t
+        UNION ALL
+        SELECT {rmargin('''(CAST(nn - k AS DOUBLE)
+            * ln(wsum / CAST(nn - k AS DOUBLE)) - lsum)
+          / (1.0 + (isum - 1.0 / CAST(nn - k AS DOUBLE))
+            / (3.0 * CAST(k - 1 AS DOUBLE)))''', 6)}
+        FROM ag)""",
+
     # Heaps'-law: floor(1e6·ln(n)) and floor(1e6·ln(V)) at every
     # checkpoint — the two libm sites. The Theil-Sen slope floor
     # (1e6·(yb−ya)/(xb−xa)) is NOT probed: it is IEEE mul/div over
