@@ -1990,6 +1990,102 @@ object QueriesStats {
         SELECT t AS treatment, n_blocks, successes, q_stat, df
         FROM pt CROSS JOIN v ORDER BY treatment"""))
 
+  /** JONCKHEERE-TERPSTRA ([[graft.ops.RankStats
+    * .jonckheereTerpstra]]): is quantity stochastically increasing
+    * across line positions 1..4 — the independent-groups ordered
+    * test next to q387's blocked Page; exact decimal 2J from the
+    * guarded (group, value) census pairs, one double close,
+    * one-sided p.
+    */
+  private val q389_jonckheere: Q = (
+    (s, dir) => graft.ops.RankStats.jonckheereTerpstra(
+      read(s, dir, "lineitem")
+        .where(col("l_linenumber").between(1, 4)),
+      group = col("l_linenumber"), value = col("l_quantity")),
+    Some(s"""WITH r AS (SELECT CAST(l_linenumber AS BIGINT) AS g,
+                 CAST(l_quantity AS BIGINT) AS v
+               FROM lineitem
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_quantity IS NOT NULL),
+             cells AS (SELECT g, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             j2 AS (SELECT CAST(coalesce(sum(
+                   CAST(a.c AS HUGEINT) * b.c
+                   * (CASE WHEN a.v < b.v THEN 2
+                       WHEN a.v = b.v THEN 1 ELSE 0 END)), 0)
+                 AS HUGEINT) AS j2
+               FROM cells a JOIN cells b ON a.g < b.g),
+             gs AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS nn,
+                 CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+                 CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3))
+                   AS HUGEINT) AS sn3
+               FROM (SELECT g, sum(c) AS n FROM cells GROUP BY 1)),
+             zc AS (SELECT nn, k, j2,
+                 (CAST(j2 AS DOUBLE)
+                   - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     - CAST(sn2 AS DOUBLE)) / 2.0)
+                 / (2.0 * sqrt((CAST(nn AS DOUBLE)
+                     * CAST(nn AS DOUBLE)
+                     * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+                     - CAST(sn3 AS DOUBLE)) / 72.0)) AS z
+               FROM j2 CROSS JOIN gs),
+             ph AS (SELECT nn, k, j2, z,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zc)
+        SELECT nn AS n, k AS k_groups, CAST(j2 AS BIGINT) AS j_x2,
+               round(z, 6) AS z,
+               round(CASE WHEN z >= 0.0 THEN ($sqlTwoSidedP) / 2.0
+                 ELSE 1.0 - ($sqlTwoSidedP) / 2.0 END, 6) AS p_value
+        FROM ph"""))
+
+  /** GWET'S AC1 ([[graft.ops.Eval.gwetAc1]]): the q379 panel under
+    * the prevalence-robust chance term — return flags are heavily
+    * imbalanced, exactly where kappa's Σπ² paradox bites; running
+    * both puts a number on how much of q379's kappa is prevalence.
+    */
+  private val q390_gwet_ac1: Q = (
+    (s, dir) => graft.ops.Eval.gwetAc1(
+      eligibleBlocks(s, dir),
+      unit = col("l_orderkey"), category = col("l_returnflag")),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS u,
+                 l_returnflag AS v
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_returnflag IS NOT NULL),
+             cells AS (SELECT u, v, count(*) AS c FROM r
+               GROUP BY 1, 2),
+             un AS (SELECT u, sum(c) AS m, sum(c * c) AS ss
+               FROM cells GROUP BY 1),
+             ob AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(max(m) AS BIGINT) AS mr,
+                 CAST(sum(CAST(ss - m AS HUGEINT)) AS HUGEINT) AS a
+               FROM un),
+             ct AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(cj AS HUGEINT)) AS HUGEINT) AS ctot,
+                 CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT)
+                   AS c2
+               FROM (SELECT v, sum(c) AS cj FROM cells GROUP BY 1)),
+             dn AS (SELECT nu, mr, k, a,
+                 CAST(nu AS HUGEINT) * mr * (mr - 1) AS poden,
+                 CAST(nu AS HUGEINT) * mr * ctot - c2 AS penum,
+                 CAST(k - 1 AS HUGEINT) * (CAST(nu AS HUGEINT) * mr)
+                   * (CAST(nu AS HUGEINT) * mr) AS peden
+               FROM ob CROSS JOIN ct)
+        SELECT nu AS n_units, mr AS m_raters, k AS k_categories,
+               CAST(floor(CAST(a AS DOUBLE) / CAST(poden AS DOUBLE)
+                 * 1e6 + 0.5) AS BIGINT) AS po_ppm,
+               CASE WHEN k = 1 THEN NULL
+                 ELSE CAST(floor(CAST(penum AS DOUBLE)
+                   / CAST(peden AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 END AS pe_gamma_ppm,
+               CASE WHEN k = 1 THEN NULL
+                 ELSE CAST(floor(CAST(a * peden - penum * poden
+                     AS DOUBLE)
+                   / CAST(poden * (peden - penum) AS DOUBLE)
+                   * 1e6 + 0.5) AS BIGINT) END AS ac1_ppm
+        FROM dn"""))
+
   /** COHEN'S d / HEDGES' g ([[graft.ops.RankStats.effectSize]]):
     * the standardized size of the q308 returned-vs-accepted price
     * gap — at catalog scale every test is "significant"; this is
@@ -2521,6 +2617,8 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q389_jonckheere" -> q389_jonckheere,
+    "q390_gwet_ac1" -> q390_gwet_ac1,
     "q388_elo" -> q388_elo,
     "q386_effect_size" -> q386_effect_size,
     "q387_page_trend" -> q387_page_trend,

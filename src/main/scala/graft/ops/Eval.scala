@@ -740,6 +740,76 @@ object Eval {
           .as("kappa_ppm"))
   }
 
+  /** GWET'S AC1 (Gwet 2008) — the prevalence-robust alternative to
+    * [[fleissKappa]]: kappa's chance term Σπ² EXPLODES toward 1
+    * when one category dominates (the "kappa paradox" — near-perfect
+    * observed agreement scoring near-zero kappa on imbalanced
+    * labels, the normal state of moderation/safety annotation);
+    * AC1's chance term (1/(k−1))·Σ_j π_j(1−π_j) stays small
+    * exactly there. Run BOTH: divergence means prevalence, not
+    * disagreement, is driving the number.
+    *
+    * Same uniform-m anonymous-panel contract, census shape and
+    * integer lattice as [[fleissKappa]] (P_o identical); the chance
+    * term's integer form is Pe_num = Σ_j C_j·(Nm − C_j) over
+    * Pe_den = (k−1)·(Nm)², and AC1 closes from the cross-multiplied
+    * integers with one ppm quantization. k = 1 observed category
+    * makes AC1 0/0 — explicit null. Emits one row:
+    * (n_units, m_raters, k_categories, po_ppm, pe_gamma_ppm,
+    * ac1_ppm).
+    */
+  def gwetAc1(df: DataFrame, unit: Column,
+      category: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val cells = graft.Caches.pin(df
+      .select(unit.cast("string").as("__u"),
+        category.cast("string").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__c")))
+    val units = cells.groupBy(col("__u"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    val chk = units.agg(min(col("__m")).as("mn"),
+      max(col("__m")).as("mx")).head()
+    require(!chk.isNullAt(0),
+      "gwetAc1: no ratings after null filtering")
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Long]("mn") >= 2L,
+      s"gwetAc1: panels must be uniform — every unit needs the " +
+        s"same m >= 2 ratings (saw ${chk.getAs[Long]("mn")}.." +
+        s"${chk.getAs[Long]("mx")}; filter upstream)")
+    val obs = units.agg(
+      count(lit(1)).cast("long").as("__nu"),
+      max(col("__m")).cast("long").as("__mr"),
+      sum(dec(col("__ss") - col("__m"))).as("__a"))
+    val nm = dec(col("__nu")) * dec(col("__mr"))
+    val cats = cells.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__cj"))
+      .agg(count(lit(1)).cast("long").as("__k"),
+        sum(dec(col("__cj"))).as("__ct"),
+        sum(dec(col("__cj")) * dec(col("__cj"))).as("__c2"))
+    val poDen = dec(col("__nu")) * dec(col("__mr")) *
+      dec(col("__mr") - lit(1L))
+    // Σ C_j·(Nm − C_j) = Nm·ΣC_j − ΣC_j² = (Nm)² − ΣC_j²
+    val peNum = nm * col("__ct") - col("__c2")
+    val peDen = dec(col("__k") - lit(1L)) * nm * nm
+    obs.crossJoin(broadcast(cats))
+      .select(col("__nu").as("n_units"), col("__mr").as("m_raters"),
+        col("__k").as("k_categories"),
+        ppm(col("__a").cast("double") / poDen.cast("double"))
+          .as("po_ppm"),
+        when(col("__k") === 1L, lit(null).cast("long"))
+          .otherwise(ppm(peNum.cast("double") / peDen.cast("double")))
+          .as("pe_gamma_ppm"),
+        when(col("__k") === 1L, lit(null).cast("long"))
+          .otherwise(ppm(
+            (col("__a") * peDen - peNum * poDen).cast("double") /
+            (poDen * (peDen - peNum)).cast("double")))
+          .as("ac1_ppm"))
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — inter-annotator agreement for
     * the general labeling panel: any number of raters per unit,
     * missing ratings allowed, chance-corrected against the pooled

@@ -211,6 +211,74 @@ object RankStats {
         .as("p_value"))
   }
 
+  /** JONCKHEERE-TERPSTRA TEST (Jonckheere 1954; Terpstra 1952) —
+    * the ordered-alternative test for INDEPENDENT groups, completing
+    * the directional pair with [[pageTrend]] (which needs complete
+    * blocks): is the response stochastically increasing across the
+    * hypothesized group order?
+    *
+    *   J = Σ_{g<h} U_gh,  U_gh = #(a<b) + ½#(a=b) over (a∈g, b∈h)
+    *   E[J] = (N² − Σn_g²)/4,
+    *   Var[J] = [N²(2N+3) − Σn_g²(2n_g+3)]/72
+    *
+    * (classical no-tie variance — slightly conservative under heavy
+    * tying, documented not corrected, the [[pageTrend]] convention).
+    * `group` must cast to long (the hypothesized order); `value`
+    * integer-quantized (gini contract). ALL counts come from the
+    * (group, value) contingency census: one data-sized hash
+    * aggregation, then the census×census pair join (group strictly
+    * ordered) with exact decimal c_a·c_b products — `maxCells`
+    * guards the quadratic join exactly like [[kendallTau]]. 2J is
+    * an exact decimal integer (ties carry the ½ as +1 on the
+    * doubled lattice); the close is one fixed-shape double, with a
+    * one-sided p for an increasing trend. Emits one row:
+    * (n, k_groups, j_x2, z, p_value).
+    */
+  def jonckheereTerpstra(df: DataFrame, group: Column, value: Column,
+      maxCells: Long = 4000L): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = graft.Caches.pin(df
+      .select(group.cast("long").as("__g"),
+        value.cast("long").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c")))
+    val nCells = cells.count()
+    require(nCells > 0 && nCells <= maxCells,
+      s"jonckheereTerpstra: $nCells distinct (group,value) cells " +
+        s"(> $maxCells) — quantize coarser")
+    val a = cells.select(col("__g").as("ga"), col("__v").as("va"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__g").as("gb"), col("__v").as("vb"),
+      col("__c").as("cb"))
+    val j2 = a.join(b, col("ga") < col("gb"))
+      .select((dec(col("ca")) * dec(col("cb")) *
+        when(col("va") < col("vb"), 2L)
+          .when(col("va") === col("vb"), 1L)
+          .otherwise(0L)).as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(38,0)"))
+        .as("__j2"))
+    val gs = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .agg(count(lit(1)).cast("long").as("__k"),
+        sum(col("__n")).cast("long").as("__nn"),
+        sum(dec(col("__n")) * dec(col("__n"))).as("__sn2"),
+        sum(dec(col("__n")) * dec(col("__n")) *
+          dec(lit(2L) * col("__n") + lit(3L))).as("__sn3"))
+    require(gs.head().getAs[Long]("__k") >= 2L,
+      "jonckheereTerpstra: need at least 2 groups")
+    val nD = col("__nn").cast("double")
+    val e2 = (nD * nD - col("__sn2").cast("double")) / lit(2.0)
+    val v = (nD * nD * (lit(2.0) * nD + lit(3.0)) -
+      col("__sn3").cast("double")) / lit(72.0)
+    val z = (col("__j2").cast("double") - e2) /
+      (lit(2.0) * sqrt(v))
+    j2.crossJoin(broadcast(gs))
+      .select(col("__nn").as("n"), col("__k").as("k_groups"),
+        col("__j2").cast("long").as("j_x2"),
+        round(z, 6).as("z"),
+        round(when(z >= 0.0, lit(1.0) - Experiment.phiAbs(abs(z)))
+          .otherwise(Experiment.phiAbs(abs(z))), 6).as("p_value"))
+  }
+
   /** COHEN'S d / HEDGES' g — the standardized effect size the
     * significance tests ([[welchT]], [[yuenT]]) deliberately don't
     * report: at corpus scale EVERYTHING is significant, and the

@@ -75,6 +75,41 @@ class AgreementSpec extends SparkSuite {
     assert(m.isNullAt(m.fieldIndex("kappa_ppm")))
   }
 
+  test("gwetAc1: the fleiss pencil panel -> Po=2/3, Pe_gamma=4/9, " +
+      "AC1=2/5; single observed category -> NULLs") {
+    // same panel as the fleiss spec: (aaa, abb) — integer check
+    // (8*36 - 16*12)/(12*(36-16)) = 96/240 = 0.4
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "a"), ("u2", "b"), ("u2", "b")).toDF("u", "v")
+    val r = graft.ops.Eval.gwetAc1(df, col("u"), col("v"))
+      .collect()(0)
+    assert(r.getAs[Long]("po_ppm") == 666667L)
+    assert(r.getAs[Long]("pe_gamma_ppm") == 444444L)
+    assert(r.getAs[Long]("ac1_ppm") == 400000L)
+
+    val mono = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "a"))
+      .toDF("u", "v")
+    val m = graft.ops.Eval.gwetAc1(mono, col("u"), col("v"))
+      .collect()(0)
+    assert(m.isNullAt(m.fieldIndex("ac1_ppm")))
+  }
+
+  test("gwetAc1 vs fleissKappa: on a prevalence-skewed panel AC1 " +
+      "stays high where kappa collapses (the kappa paradox)") {
+    // 20 units all-agree 'common', 1 unit split: Po near 1 but
+    // pi_common near 1 drives kappa's Pe toward 1
+    val rows = (1 to 20).flatMap(i =>
+      Seq((s"u$i", "c"), (s"u$i", "c"))) ++
+      Seq(("ux", "c"), ("ux", "r"))
+    val df = rows.toDF("u", "v")
+    val k = graft.ops.Eval.fleissKappa(df, col("u"), col("v"))
+      .collect()(0).getAs[Long]("kappa_ppm")
+    val a = graft.ops.Eval.gwetAc1(df, col("u"), col("v"))
+      .collect()(0).getAs[Long]("ac1_ppm")
+    assert(a > 900000L, s"AC1 $a should stay high")
+    assert(k < a, s"kappa $k should sit below AC1 $a on skewed labels")
+  }
+
   test("mcnemar: discordant-only pencil case; b = c gives the " +
       "conservative CC unit numerator; no discordance -> p = 1") {
     // b = 8, c = 2: chi = (|8-2|-1)^2/10 = 2.5, z = sqrt(2.5)

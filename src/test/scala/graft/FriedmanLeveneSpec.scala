@@ -227,6 +227,33 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("psi_e6") == r(1).getAs[Long]("psi_e6"))
   }
 
+  test("jonckheereTerpstra: fully-separated ordered groups -> " +
+      "2J = 8, z = 4/(2*sqrt(5/3)); ties count half; one group " +
+      "refused") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("g", "v")
+    val r = RankStats.jonckheereTerpstra(df, col("g"), col("v"))
+      .collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("k_groups") == 2)
+    assert(r.getAs[Long]("j_x2") == 8L)
+    val expZ = 4.0 / (2.0 * math.sqrt(5.0 / 3.0))
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 1e-6)
+    assert(r.getAs[Double]("p_value") < 0.07)
+
+    val tied = Seq((1L, 5L), (2L, 5L)).toDF("g", "v")
+    val r2 = RankStats.jonckheereTerpstra(tied, col("g"), col("v"))
+      .collect()(0)
+    graft.Caches.release()
+    assert(r2.getAs[Long]("j_x2") == 1L) // the tie's half-pair
+
+    val one = Seq((1L, 1L), (1L, 2L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      RankStats.jonckheereTerpstra(one, col("g"), col("v"))
+    }
+    graft.Caches.release()
+  }
+
   test("effectSize: shifted equal-variance groups -> d from the " +
       "pooled SD, g shrunk by Hedges' J; zero variance -> nulls") {
     val df = ((1 to 5).map(v => ("a", v.toLong)) ++
