@@ -193,7 +193,8 @@ object QueriesStats {
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
                      THEN l_extendedprice * l_extendedprice END
                    AS DECIMAL(38,10))) AS DOUBLE) AS ssb,
-                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1
+                 CAST(sum(CASE WHEN l_returnflag = 'A'
+                     AND l_extendedprice IS NOT NULL THEN 1
                    ELSE 0 END) AS BIGINT) AS nb
                FROM lineitem),
              st AS (SELECT na, nb,
@@ -2113,7 +2114,8 @@ object QueriesStats {
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
                      THEN l_extendedprice * l_extendedprice END
                    AS DECIMAL(38,10))) AS DOUBLE) AS ssb,
-                 CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1
+                 CAST(sum(CASE WHEN l_returnflag = 'A'
+                     AND l_extendedprice IS NOT NULL THEN 1
                    ELSE 0 END) AS BIGINT) AS nb
                FROM lineitem),
              st AS (SELECT na, nb,
@@ -2292,7 +2294,8 @@ object QueriesStats {
                    AS HUGEINT) AS obs
                FROM d),
              s AS (SELECT k.k AS k,
-                 CAST(sum(CASE WHEN (id * (2654435761 + 2 * k.k)
+                 CAST(sum(CASE WHEN (((id % 1000000007 + 1000000007)
+                       % 1000000007) * (2654435761 + 2 * k.k)
                      + 42 + k.k * 1000003) % 1000000007 % 2 = 0
                    THEN CAST(d AS HUGEINT) ELSE -CAST(d AS HUGEINT)
                    END) AS HUGEINT) AS sk

@@ -778,7 +778,13 @@ object Experiment {
     val obs = rows.agg(count(lit(1)).cast("long").as("n_pairs"),
       coalesce(sum(dec(col("__d"))), lit(0).cast("decimal(38,0)"))
         .as("__obs"))
-    val h = pmod(col("__id") *
+    // The id is pre-reduced mod 1e9+7 BEFORE the multiplier so the
+    // product is bounded by ~2.7e18 < 2^63 for ANY id domain (the
+    // raw product would wrap silently past id ~ 3.5e9, and the
+    // DuckDB replay would raise instead of wrapping — cross-engine
+    // drift). For ids < 1e9+7 the reduction is the identity, so the
+    // hash stream is unchanged.
+    val h = pmod(pmod(col("__id"), lit(1000000007L)) *
       (lit(2654435761L) + lit(2L) * col("__k").cast("long")) +
       (lit(seed) + col("__k").cast("long") * lit(1000003L)),
       lit(1000000007L))

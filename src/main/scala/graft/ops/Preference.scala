@@ -222,7 +222,10 @@ object Preference {
       .where(col("__o").isNotNull && col("__w").isNotNull &&
         col("__l").isNotNull && col("__w") =!= col("__l")))
     val nGames = g.count()
-    require(nGames > 0 && nGames <= maxGames,
+    require(nGames > 0,
+      "elo: no games after hygiene filtering (null ord/winner/loser " +
+        "and self-games are dropped)")
+    require(nGames <= maxGames,
       s"elo: $nGames games (> $maxGames) — sample the stream or use " +
         "bradleyTerry (the batch path) at this scale")
     val nItems = g.select(col("__w").as("x"))
@@ -267,8 +270,13 @@ object Preference {
       initPpm: Long = 1500000000L): String = {
     val et = EloTable.zipWithIndex
       .map { case (v, b) => s"($b, $v)" }.mkString(", ")
+    // g0 replays elo()'s input hygiene (null ord/winner/loser and
+    // self-games dropped) so the pairing holds on dirty streams too.
     s"""WITH RECURSIVE
-           g0 AS MATERIALIZED ($gamesSql),
+           graw AS ($gamesSql),
+           g0 AS MATERIALIZED (SELECT * FROM graw
+                 WHERE ts IS NOT NULL AND w IS NOT NULL
+                   AND l IS NOT NULL AND w <> l),
            games AS MATERIALIZED (SELECT row_number()
                  OVER (ORDER BY ts, w, l) AS t, w, l FROM g0),
            its AS MATERIALIZED (SELECT DISTINCT item FROM (

@@ -189,7 +189,11 @@ object RankStats {
         .as(s"__s$tag"),
       sum(when(f, value * value).cast("decimal(38,10)")).cast("double")
         .as(s"__ss$tag"),
-      sum(when(f, 1L).otherwise(0L)).as(s"__n$tag"))
+      // n counts only rows the sums actually see (predicate true AND
+      // value non-null) — counting null-value rows would divide the
+      // sums by the wrong n and silently bias the statistic.
+      sum(when(f && value.isNotNull, 1L).otherwise(0L))
+        .as(s"__n$tag"))
     val aggs = side(inA, "a") ++ side(inB, "b")
     val sums = df.agg(aggs.head, aggs.tail: _*)
     def stats(tag: String) = {
@@ -257,14 +261,26 @@ object RankStats {
           .otherwise(0L)).as("__t"))
       .agg(coalesce(sum(col("__t")), lit(0).cast("decimal(38,0)"))
         .as("__j2"))
-    val gs = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    // The group census is COLLECTED ONCE (it is one row of exact
+    // longs/decimals): the k-check and the close both read the same
+    // head() row, re-entered as literals — re-running the aggregate
+    // for the crossJoin would execute it twice (cheap on the pinned
+    // cells, but the sibling ops read the checked row once).
+    val gsRow = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"))
       .agg(count(lit(1)).cast("long").as("__k"),
         sum(col("__n")).cast("long").as("__nn"),
         sum(dec(col("__n")) * dec(col("__n"))).as("__sn2"),
         sum(dec(col("__n")) * dec(col("__n")) *
           dec(lit(2L) * col("__n") + lit(3L))).as("__sn3"))
-    require(gs.head().getAs[Long]("__k") >= 2L,
+      .head()
+    require(gsRow.getAs[Long]("__k") >= 2L,
       "jonckheereTerpstra: need at least 2 groups")
+    val gs = j2.sparkSession.range(1).select(
+      lit(gsRow.getAs[Long]("__k")).as("__k"),
+      lit(gsRow.getAs[Long]("__nn")).as("__nn"),
+      lit(gsRow.getDecimal(2)).cast("decimal(38,0)").as("__sn2"),
+      lit(gsRow.getDecimal(3)).cast("decimal(38,0)").as("__sn3"))
     val nD = col("__nn").cast("double")
     val e2 = (nD * nD - col("__sn2").cast("double")) / lit(2.0)
     val v = (nD * nD * (lit(2.0) * nD + lit(3.0)) -
@@ -303,7 +319,11 @@ object RankStats {
         .as(s"__s$tag"),
       sum(when(f, value * value).cast("decimal(38,10)")).cast("double")
         .as(s"__ss$tag"),
-      sum(when(f, 1L).otherwise(0L)).as(s"__n$tag"))
+      // n counts only rows the sums actually see (predicate true AND
+      // value non-null) — counting null-value rows would divide the
+      // sums by the wrong n and silently bias the statistic.
+      sum(when(f && value.isNotNull, 1L).otherwise(0L))
+        .as(s"__n$tag"))
     val aggs = side(inA, "a") ++ side(inB, "b")
     val sums = df.agg(aggs.head, aggs.tail: _*)
     def stats(tag: String) = {
