@@ -990,8 +990,12 @@ object RankStats {
     val varG = (dec(col("n")) * col("__s2") -
       col("__s1") * col("__s1")).cast("double") /
       (col("n") * (col("n") - lit(1L))).cast("double")
+    // The variance term is gated on n >= 2 INSIDE the guard
+    // aggregate: an n=1 group would hit varG's (n)(n-1) = 0
+    // denominator (an ANSI divide-by-zero error) before the mn
+    // require below ever got to explain the problem.
     val chk = pg.agg(count(lit(1)).as("k"), min(col("n")).as("mn"),
-      min(varG).as("mv")).head()
+      min(when(col("n") >= 2L, varG)).as("mv")).head()
     require(chk.getAs[Long]("k") >= 2L,
       "bartlett: need at least 2 groups")
     require(chk.getAs[Long]("mn") >= 2L,

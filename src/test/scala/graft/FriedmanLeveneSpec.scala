@@ -60,6 +60,20 @@ class FriedmanLeveneSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("zero variance"))
     graft.Caches.release()
+
+    val oneGroup = Seq(("a", 1L), ("a", 2L), ("a", 5L)).toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      RankStats.bartlett(oneGroup, col("g"), col("v"))
+    }
+    assert(e2.getMessage.contains("at least 2 groups"))
+    graft.Caches.release()
+
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      RankStats.bartlett(tiny, col("g"), col("v"))
+    }
+    assert(e3.getMessage.contains("n >= 2"))
+    graft.Caches.release()
   }
 
   test("friedman: 3 complete blocks x 3 treatments, no ties -> " +
@@ -327,6 +341,19 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r3.getAs[Long]("n_pairs") == 1 &&
       r3.getAs[Long]("n_zero") == 1)
     assert(r3.getAs[Double]("z") == 1.0) // (1 - 0.5)/sqrt(0.25)
+    graft.Caches.release()
+
+    // ALL-zero diffs: every pair drops, the census is empty —
+    // n_pairs 0, W+ 0, explicit null z/p (no NaN, no divide error),
+    // and n_zero still reports the dropped count.
+    val allZero = Seq((5L, 5L), (7L, 7L), (9L, 9L)).toDF("a", "b")
+    val r4 = RankStats.wilcoxonSignedRank(allZero, col("a"),
+      col("b")).collect()(0)
+    assert(r4.getAs[Long]("n_pairs") == 0 &&
+      r4.getAs[Long]("n_zero") == 3)
+    assert(r4.getAs[Long]("w_plus_x2") == 0L)
+    assert(r4.isNullAt(r4.fieldIndex("z")))
+    assert(r4.isNullAt(r4.fieldIndex("p_value")))
     graft.Caches.release()
   }
 

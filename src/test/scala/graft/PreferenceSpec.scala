@@ -121,6 +121,40 @@ class PreferenceSpec extends SparkSuite {
     graft.Caches.release()
   }
 
+  test("elo: self-games and null-field rows are hygiene-dropped " +
+      "(trajectory identical to the clean stream); an all-dirty " +
+      "stream fails with the empty-input message, not the " +
+      "maxGames one") {
+    val clean = Seq((1L, "A", "B"), (2L, "B", "A"))
+      .toDF("ts", "w", "l")
+    val dirty = Seq(
+      (Some(1L), Some("A"), Some("B")),
+      (Some(5L), Some("A"), Some("A")), // self-game
+      (None: Option[Long], Some("A"), Some("B")), // null ord
+      (Some(6L), None: Option[String], Some("B")), // null winner
+      (Some(7L), Some("A"), None: Option[String]), // null loser
+      (Some(2L), Some("B"), Some("A")))
+      .toDF("ts", "w", "l")
+    val rc = Preference.elo(clean, col("ts"), col("w"), col("l"))
+      .orderBy(col("item")).collect()
+    graft.Caches.release()
+    val rd = Preference.elo(dirty, col("ts"), col("w"), col("l"))
+      .orderBy(col("item")).collect()
+    graft.Caches.release()
+    assert(rc.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq ==
+      rd.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq)
+
+    val allDirty = Seq((1L, "A", "A"), (2L, "B", "B"))
+      .toDF("ts", "w", "l")
+    val e = intercept[IllegalArgumentException] {
+      Preference.elo(allDirty, col("ts"), col("w"), col("l"))
+    }
+    assert(e.getMessage.contains("no games after hygiene"))
+    graft.Caches.release()
+  }
+
   test("krippendorffAlpha: no unit with >= 2 ratings fails with a " +
       "clear message, not an NPE") {
     val df = Seq(("u1", "a"), ("u2", "b")).toDF("unit", "v")
