@@ -59,6 +59,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JVM-wide codegen class cache (static conf): the 100-entry
+      // default LRU-thrashes — ONE superstep entry's working set is
+      // ~90 generated classes, so identical sources recompiled every
+      // rep (JitProbe r14: q169 22-24 Janino compiles/rep at 100,
+      // ZERO at 5000; solo medians -19%/-23% on q169/q322). 5000
+      // holds the whole catalog's classes for the bench run.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // ERROR, not WARN: benign WARN spam (BlockManager "already
     // exists" across cached reps, shutdown chatter) lands in the
