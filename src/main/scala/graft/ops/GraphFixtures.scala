@@ -55,11 +55,23 @@ object GraphFixtures {
   private def cached(s: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     sweep()
-    memo.computeIfAbsent((sid(s), dir, name), _ => {
+    val df = memo.computeIfAbsent((sid(s), dir, name), _ => {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.count() // eager: construction cost lands on the builder
       (s, df)
     })._2
+    // A session-wide `catalog.clearCache()` (Bench runs one after
+    // EVERY rep) silently unpersists the memoized frame; without
+    // this re-pin, every later caller recomputes the construction
+    // join once per plan reference — measured 4.5s vs 3.3s per q287
+    // bench rep. The re-persist + eager count happens INSIDE the
+    // caller's timed section, so reps still pay construction exactly
+    // once from parquet (the bench's no-cross-rep-caching contract).
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
+    df
   }
 
   /** Canonical bipartite purchase graph (q169 / q322 / q328): one
@@ -92,25 +104,37 @@ object GraphFixtures {
     */
   def brandEdges(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "brandEdges") {
-      val items = graft.QH.read(s, dir, "lineitem")
-        .join(graft.QH.read(s, dir, "part"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("p"))
-        .distinct()
-      val nOrders = items.agg(count_distinct(col("o")).as("__no"))
-      val a = items.select(col("o"), col("p").as("pa"))
-      val b = items.select(col("o"), col("p").as("pb"))
-      a.join(b, Seq("o"))
-        .where(col("pa") < col("pb"))
+      // r14 reshape: the brand id is computed on the 20k-row part
+      // DIMENSION (regexp runs dictionary-many times, not row-many),
+      // and the distinct + per-order self-join collapse into ONE
+      // order-keyed collect_set exchange with pairs generated IN-ROW
+      // from the sorted set — 1 data-sized exchange where the join
+      // shape had 3 (distinct, then both self-join sides). Scratch287
+      // A/B: 2.35s -> 1.58s warm; normalized edge set bit-identical
+      // (consumers q227/q283/q287 all least/greatest-normalize, and
+      // their oracles replay the DEFINITION, which is orientation-
+      // free after the und CTE). Pair SUPPORT is per-order distinct
+      // co-presence either way.
+      val dim = graft.QH.read(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_brand"), "[^0-9]", "").cast("long")
+            .as("bid"))
+      val grouped = graft.QH.read(s, dir, "lineitem")
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("bid"))
+        .groupBy(col("o"))
+        .agg(array_sort(collect_set(col("bid"))).as("ps"))
+      val nOrders = grouped.agg(count(lit(1)).as("__no"))
+      grouped.select(explode(flatten(transform(col("ps"),
+          (x, i) => transform(
+            slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+            y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+        .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("s"))
         .crossJoin(broadcast(nOrders))
         .where(col("s") * 50 >= col("__no"))
-        .select(
-          regexp_replace(col("pa"), "[^0-9]", "").cast("long")
-            .as("src"),
-          regexp_replace(col("pb"), "[^0-9]", "").cast("long")
-            .as("dst"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
     }
 
   /** Unpersist and forget every fixture (all sessions). */

@@ -32,22 +32,38 @@ object Recommend {
       : DataFrame = {
     require(k >= 1, s"itemNeighbors: k $k")
     require(minSupport >= 1, s"itemNeighbors: minSupport $minSupport")
-    val items = df
+    // r14 reshape (q253 structural ask): the DISTINCT presence table
+    // and the per-basket self-join collapse into ONE basket-keyed
+    // collect_set exchange (partial aggregation dedups map-side
+    // exactly like distinct's), with the quadratic pair fan-out
+    // generated IN-ROW from the sorted per-basket set — 2 data-sized
+    // exchanges total (grouped, counts) where the join shape had 4.
+    // The quadratic stage is still bounded by basket width (censused
+    // below, same guard, now a max over set sizes), and the emitted
+    // (item_a < item_b, support) pairs are identical: array_sort
+    // orders by the item type's ordering, the same `<` the join
+    // used.
+    val grouped = df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .groupBy(col("__b"))
+      .agg(array_sort(collect_set(col("__i"))).as("__is"))
     if (maxPerBasket > 0) {
-      val worst = items.groupBy(col("__b")).count()
-        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      val worst = grouped
+        .agg(coalesce(max(size(col("__is"))), lit(0)))
+        .first().getInt(0)
       require(worst <= maxPerBasket,
         s"itemNeighbors: largest basket has $worst distinct items " +
           s"(> $maxPerBasket) — coarsen the item key")
     }
-    val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
-    val a = items.select(col("__b"), col("__i").as("item_a"))
-    val b = items.select(col("__b"), col("__i").as("item_b"))
-    val pairs = a.join(b, Seq("__b"))
-      .where(col("item_a") < col("item_b"))
+    val counts = grouped.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val pairs = grouped.select(explode(flatten(transform(col("__is"),
+        (x, i) => transform(
+          slice(col("__is"), i + lit(2),
+            size(col("__is")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
@@ -83,15 +99,23 @@ object Recommend {
   def recommend(df: DataFrame, userCol: String, itemCol: String,
       neighbors: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"recommend: k $k")
-    val seen = df
+    // r14 reshape (the itemNeighbors discipline): ONE user-keyed
+    // collect_set exchange replaces the distinct + the second
+    // seen-side exchange of the anti-join — the seen set rides along
+    // the exploded row and "already seen" is an in-row
+    // array_contains over the (basket-width-bounded) set instead of
+    // a join. Candidate scoring is the same exact long sum.
+    val seenSets = df
       .where(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol).as("user"), col(itemCol).as("__i"))
-      .distinct()
-    val cands = seen
+      .groupBy(col("user"))
+      .agg(collect_set(col("__i")).as("__seen"))
+    val cands = seenSets
+      .select(col("user"), col("__seen"),
+        explode(col("__seen")).as("__i"))
       .join(broadcast(neighbors.select(col("item").as("__i"),
         col("nbr").as("item"), col("cos_q"))), Seq("__i"))
-      .join(seen.select(col("user"), col("__i").as("item")),
-        Seq("user", "item"), "left_anti")
+      .where(!array_contains(col("__seen"), col("item")))
       .groupBy(col("user"), col("item"))
       .agg(sum(col("cos_q")).as("score_q"),
         count(lit(1)).as("n_sources"))
