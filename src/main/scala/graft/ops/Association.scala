@@ -28,24 +28,34 @@ object Association {
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxPerBasket: Int = 10000): DataFrame = {
     require(minSupport >= 1, s"basketRules: minSupport $minSupport")
-    val items = df
+    // r14 reshape (the itemNeighbors/brandEdges discipline): the
+    // DISTINCT presence table + per-basket self-join collapse into
+    // ONE basket-keyed collect_set exchange, pairs generated in-row
+    // from the sorted set (same item_a < item_b ordering the join
+    // used). The quadratic fan-out stays bounded by basket width —
+    // the same census guard runs first, now a max over set sizes.
+    val grouped = df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .groupBy(col("__b"))
+      .agg(array_sort(collect_set(col("__i"))).as("__is"))
     if (maxPerBasket > 0) {
-      val worst = items.groupBy(col("__b")).count()
-        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      val worst = grouped
+        .agg(coalesce(max(size(col("__is"))), lit(0)))
+        .first().getInt(0)
       require(worst <= maxPerBasket,
         s"basketRules: largest basket has $worst distinct items " +
           s"(> $maxPerBasket) — coarsen the item key")
     }
-    val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
-    val census = items.agg(
-      count_distinct(col("__b")).as("__nb"))
-    val a = items.select(col("__b"), col("__i").as("item_a"))
-    val b = items.select(col("__b"), col("__i").as("item_b"))
-    a.join(b, Seq("__b"))
-      .where(col("item_a") < col("item_b"))
+    val counts = grouped.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val census = grouped.agg(count(lit(1)).as("__nb"))
+    grouped.select(explode(flatten(transform(col("__is"),
+        (x, i) => transform(
+          slice(col("__is"), i + lit(2),
+            size(col("__is")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("item_a"), col("__p.b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
