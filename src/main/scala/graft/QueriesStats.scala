@@ -2087,6 +2087,55 @@ object QueriesStats {
                    * 1e6 + 0.5) AS BIGINT) END AS ac1_ppm
         FROM dn"""))
 
+  /** INTRACLASS CORRELATION ICC(1,1) ([[graft.ops.Eval.icc]]): the
+    * four line quantities of each complete order as repeated
+    * measurements of the order — how much quantity variance is
+    * BETWEEN orders vs within them; the continuous-scale completion
+    * of the agreement family (q360/q366/q379/q390 judge categories,
+    * q373 asks whether the items cohere, ICC whether the repeats
+    * do). Exact decimal sufficient statistics, one fixed-double
+    * close replayed verbatim, ppm.
+    */
+  private val q391_icc: Q = (
+    (s, dir) => graft.ops.Eval.icc(
+      eligibleBlocks(s, dir),
+      unit = col("l_orderkey"),
+      score = col("l_quantity").cast("long")),
+    Some(s"""WITH $eligSql,
+             r AS (SELECT CAST(l.l_orderkey AS VARCHAR) AS u,
+                 CAST(l_quantity AS BIGINT) AS x
+               FROM lineitem l JOIN elig USING (l_orderkey)
+               WHERE l_linenumber BETWEEN 1 AND 4
+                 AND l_quantity IS NOT NULL),
+             us AS (SELECT u, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS t,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+               FROM r GROUP BY 1),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(min(c) AS BIGINT) AS k_ratings,
+                 CAST(sum(t) AS HUGEINT) AS tt,
+                 CAST(sum(t * t) AS HUGEINT) AS a2,
+                 CAST(sum(q) AS HUGEINT) AS ss
+               FROM us),
+             cl AS (SELECT n_units, k_ratings,
+                 CAST(n_units AS DOUBLE) AS nd,
+                 CAST(k_ratings AS DOUBLE) AS kd,
+                 CAST(tt AS DOUBLE) AS td,
+                 CAST(a2 AS DOUBLE) AS ad,
+                 CAST(ss AS DOUBLE) AS sd
+               FROM ag),
+             ms AS (SELECT n_units, k_ratings, kd,
+                 (ad / kd - td * td / (nd * kd)) / (nd - 1.0) AS msb,
+                 (sd - ad / kd) / (nd * (kd - 1.0)) AS msw
+               FROM cl)
+        SELECT n_units, k_ratings, round(msb, 6) AS msb,
+               round(msw, 6) AS msw,
+               CASE WHEN msb + (kd - 1.0) * msw = 0 THEN NULL
+                 ELSE CAST(floor((msb - msw)
+                     / (msb + (kd - 1.0) * msw) * 1e6 + 0.5)
+                   AS BIGINT) END AS icc_ppm
+        FROM ms"""))
+
   /** COHEN'S d / HEDGES' g ([[graft.ops.RankStats.effectSize]]):
     * the standardized size of the q308 returned-vs-accepted price
     * gap — at catalog scale every test is "significant"; this is
@@ -2620,6 +2669,7 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q391_icc" -> q391_icc,
     "q389_jonckheere" -> q389_jonckheere,
     "q390_gwet_ac1" -> q390_gwet_ac1,
     "q388_elo" -> q388_elo,

@@ -1060,6 +1060,68 @@ object Eval {
       .orderBy(col("treatment"))
   }
 
+  /** INTRACLASS CORRELATION ICC(1,1) (Shrout & Fleiss 1979's
+    * one-way random-effects case) — how much of the total rating
+    * variance is BETWEEN units rather than within them: the
+    * continuous-scale completion of the agreement family (kappa /
+    * Krippendorff / Fleiss / Gwet judge categories; [[cronbachAlpha]]
+    * asks whether ITEMS cohere; ICC asks whether repeated ratings of
+    * the same unit cohere).
+    *
+    *   ICC = (MSB − MSW) / (MSB + (k−1)·MSW)
+    *   MSB = [ΣS_i²/k − T²/(nk)] / (n−1),
+    *   MSW = [ΣX² − ΣS_i²/k] / (n(k−1))
+    *
+    * Balanced panels required (every unit exactly k ≥ 2 ratings —
+    * checked distributed, pre-collect, the [[cronbachAlpha]]
+    * contract); `score` integer-quantized (the gini contract). All
+    * sufficient statistics (T, ΣS_i², ΣX²) are EXACT decimal(38,0)
+    * one-pass aggregates of per-unit sums; the close is ONE
+    * fixed-shape double expression replayed verbatim by the oracle,
+    * quantized to ppm. A zero denominator (all ratings equal) emits
+    * an explicit null, not NaN. Emits one row:
+    * (n_units, k_ratings, msb, msw, icc_ppm).
+    */
+  def icc(df: DataFrame, unit: Column, score: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(unit.cast("string").as("__u"),
+      score.cast("long").as("__x"))
+      .where(col("__u").isNotNull && col("__x").isNotNull)
+    val us = graft.Caches.pin(rows.groupBy(col("__u")).agg(
+      count(lit(1)).as("__c"),
+      sum(dec(col("__x"))).as("__t"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__q")))
+    val chk = us.agg(count(lit(1)).as("n"),
+      min(col("__c")).as("mn"), max(col("__c")).as("mx")).head()
+    require(chk.getAs[Long]("n") >= 2L,
+      "icc: need at least 2 units")
+    require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
+      chk.getAs[Long]("mn") >= 2L,
+      "icc: panels must be balanced — every unit needs the SAME " +
+        "k >= 2 ratings (filter upstream)")
+    val agg = us.agg(
+      count(lit(1)).cast("long").as("n_units"),
+      min(col("__c")).cast("long").as("k_ratings"),
+      sum(col("__t")).as("__tt"),
+      sum(col("__t") * col("__t")).as("__a2"),
+      sum(col("__q")).as("__ss"))
+    val nd = col("n_units").cast("double")
+    val kd = col("k_ratings").cast("double")
+    val td = col("__tt").cast("double")
+    val ad = col("__a2").cast("double")
+    val sd = col("__ss").cast("double")
+    val ssb = ad / kd - td * td / (nd * kd)
+    val ssw = sd - ad / kd
+    val msb = ssb / (nd - lit(1.0))
+    val msw = ssw / (nd * (kd - lit(1.0)))
+    val den = msb + (kd - lit(1.0)) * msw
+    agg.select(col("n_units"), col("k_ratings"),
+      round(msb, 6).as("msb"), round(msw, 6).as("msw"),
+      when(den === 0.0, lit(null)).otherwise(
+        floor((msb - msw) / den * lit(1e6) + lit(0.5)).cast("long"))
+        .as("icc_ppm"))
+  }
+
   /** CRONBACH'S ALPHA (Cronbach 1951) — internal consistency of a
     * k-item scale: do the k per-unit measurements move together
     * enough to be averaged into one score? The reliability audit

@@ -184,4 +184,39 @@ class AgreementSpec extends SparkSuite {
     assert(got("ramp").contains(0.285714))
     assert(got("const").isEmpty, s"got ${got("const")}")
   }
+
+  test("icc: 2 units x 2 ratings (1,2 / 3,4) -> MSB=4, MSW=0.5, " +
+      "ICC = 7/9; all-equal -> null; unbalanced/one-unit refused") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("u", "x")
+    val r = graft.ops.Eval.icc(df, col("u"), col("x")).collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n_units") == 2 &&
+      r.getAs[Long]("k_ratings") == 2)
+    assert(r.getAs[Double]("msb") == 4.0)
+    assert(r.getAs[Double]("msw") == 0.5)
+    // (4 - 0.5)/(4 + 0.5) = 7/9 -> floor(777777.7..+0.5)
+    assert(r.getAs[Long]("icc_ppm") == 777778L)
+
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L))
+      .toDF("u", "x")
+    val c = graft.ops.Eval.icc(const, col("u"), col("x"))
+      .collect()(0)
+    graft.Caches.release()
+    assert(c.isNullAt(c.fieldIndex("icc_ppm")))
+
+    val unbal = Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("u", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Eval.icc(unbal, col("u"), col("x"))
+    }
+    assert(e.getMessage.contains("balanced"))
+    graft.Caches.release()
+
+    val one = Seq(("A", 1L), ("A", 2L)).toDF("u", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Eval.icc(one, col("u"), col("x"))
+    }
+    assert(e2.getMessage.contains("at least 2 units"))
+    graft.Caches.release()
+  }
 }
