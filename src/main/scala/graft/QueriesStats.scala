@@ -1716,6 +1716,40 @@ object QueriesStats {
     },
     Some(graft.ops.Preference.eloSql(eloGamesSql)))
 
+  /** STREAMING ELO ([[graft.streaming.EloStream.eloStream]]): the
+    * q388 brand duels through the ingest-time leaderboard fold —
+    * identical pure-integer trajectory (shared EloTable, zero-sum
+    * K-update), stream == batch bit-for-bit under order-respecting
+    * slicings (StreamingEloSpec), so the oracle IS q388's recursive
+    * CTE (the q351/q378 convention).
+    */
+  private val q392_elo_stream: Q = (
+    (s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .where(col("l_orderkey") % 13 === 0)
+        .join(read(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"),
+          col("l_extendedprice").cast("decimal(25,6)").as("ep"))
+      val ob = li.groupBy(col("ok"), col("b"))
+        .agg(sum(col("ep")).as("s"))
+      val two = ob.groupBy(col("ok"))
+        .agg(count(lit(1)).as("__c"), min(col("s")).as("__lo"),
+          max(col("s")).as("__hi"))
+        .where(col("__c") === 2 && col("__lo") =!= col("__hi"))
+        .select(col("ok"))
+      val games = ob.join(two, Seq("ok")).groupBy(col("ok"))
+        .agg(max_by(col("b"), col("s")).as("w"),
+          min_by(col("b"), col("s")).as("l"))
+      graft.streaming.EloStream.eloStream(games, "ok", "w", "l")
+        .toDF()
+        .select(col("item"), col("games"), col("wins"),
+          col("rating_ppm"),
+          (col("rating_ppm").cast("double") / lit(1e6)).as("rating"))
+        .orderBy(col("item"))
+    },
+    Some(graft.ops.Preference.eloSql(eloGamesSql)))
+
   /** KRIPPENDORFF'S ALPHA ([[graft.ops.Eval.krippendorffAlpha]]):
     * each order as a unit, its lineitem return flags as the rater
     * panel (variable panel width, 1..17) — the multi-annotator
@@ -2669,6 +2703,7 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q392_elo_stream" -> q392_elo_stream,
     "q391_icc" -> q391_icc,
     "q389_jonckheere" -> q389_jonckheere,
     "q390_gwet_ac1" -> q390_gwet_ac1,
