@@ -1750,6 +1750,119 @@ object QueriesStats {
     },
     Some(graft.ops.Preference.eloSql(eloGamesSql)))
 
+  /** COCHRAN-ARMITAGE TREND ([[graft.ops.RankStats
+    * .cochranArmitage]]): does the return RATE trend across line
+    * positions — the binary-outcome member of the directional
+    * family (q387 Page needs blocks, q389 Jonckheere continuous
+    * responses; this is the dose-response test for proportions).
+    * One group-census pass, exact decimal products, portable phi p.
+    */
+  private val q393_cochran_armitage: Q = (
+    (s, dir) => graft.ops.RankStats.cochranArmitage(
+      read(s, dir, "lineitem"),
+      group = col("l_linenumber"),
+      success = col("l_returnflag") === "R"),
+    Some(s"""WITH r AS (SELECT CAST(l_linenumber AS BIGINT) AS tt,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x
+               FROM lineitem WHERE l_linenumber IS NOT NULL
+                 AND l_returnflag IS NOT NULL),
+             g AS (SELECT tt, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS r FROM r GROUP BY 1),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(r) AS BIGINT) AS rr,
+                 CAST(sum(CAST(tt AS HUGEINT) * r) AS HUGEINT) AS s1,
+                 CAST(sum(CAST(n AS HUGEINT) * tt) AS HUGEINT)
+                   AS sn1,
+                 CAST(sum(CAST(n AS HUGEINT) * tt * tt) AS HUGEINT)
+                   AS sn2
+               FROM g),
+             cl AS (SELECT k, n, rr,
+                 CAST(CAST(n AS HUGEINT) * s1
+                   - CAST(rr AS HUGEINT) * sn1 AS DOUBLE) AS num,
+                 CAST(CAST(n AS HUGEINT) * sn2 - sn1 * sn1
+                   AS DOUBLE) AS fac,
+                 CAST(n AS DOUBLE) AS nd, CAST(rr AS DOUBLE) AS rd
+               FROM ag),
+             zc AS (SELECT k, n, rr,
+                 num / sqrt(rd * (nd - rd) * fac / nd) AS z,
+                 (rr > 0 AND rr < n AND fac > 0) AS ok FROM cl),
+             ph AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+               FROM zc)
+        SELECT n, k AS k_groups, rr AS successes,
+               CASE WHEN ok THEN round(z, 6) END AS z,
+               CASE WHEN ok THEN round($sqlTwoSidedP, 6) END
+                 AS p_value
+        FROM ph"""))
+
+  /** MANTEL-HAENSZEL pooled odds ratio ([[graft.ops.Experiment
+    * .mantelHaenszel]]): does a big order line (qty > 25) raise the
+    * return odds AFTER stratifying by ship YEAR — the
+    * Simpson's-reversal-proof pooled 2×2 next to q235's crude A/B;
+    * per-stratum ratio terms quantized decimal(38,6) before the
+    * exact sums, one double close.
+    */
+  private val q394_mantel_haenszel: Q = (
+    (s, dir) => graft.ops.Experiment.mantelHaenszel(
+      read(s, dir, "lineitem"),
+      stratum = year(col("l_shipdate")),
+      exposed = col("l_quantity") > 25,
+      outcome = col("l_returnflag") === "R"),
+    Some(s"""WITH r AS (SELECT year(l_shipdate) AS s,
+                 (l_quantity > 25) AS e,
+                 (l_returnflag = 'R') AS o
+               FROM lineitem WHERE l_shipdate IS NOT NULL
+                 AND l_quantity IS NOT NULL
+                 AND l_returnflag IS NOT NULL),
+             cells AS (SELECT s,
+                 CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0
+                   END) AS BIGINT) AS d
+               FROM r GROUP BY 1),
+             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(a + b + c + d) AS BIGINT) AS n,
+                 CAST(sum(a) AS BIGINT) AS a_total,
+                 sum(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS ad,
+                 sum(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS bc,
+                 sum(CAST(CAST(a + b AS DOUBLE)
+                   * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS ee,
+                 sum(CAST(CAST(a + b AS DOUBLE)
+                   * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   * CAST(b + d AS DOUBLE)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                     * CAST(a + b + c + d AS DOUBLE)
+                     * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                   AS DECIMAL(38,6))) AS v
+               FROM cells),
+             cl AS (SELECT n_strata, n, a_total,
+                 CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE) AS or_mh,
+                 (CAST(a_total AS DOUBLE) - CAST(ee AS DOUBLE))
+                   * (CAST(a_total AS DOUBLE) - CAST(ee AS DOUBLE))
+                   / CAST(v AS DOUBLE) AS chi2,
+                 CAST(bc AS DOUBLE) > 0.0 AS okr,
+                 CAST(v AS DOUBLE) > 0.0 AS okv
+               FROM ag),
+             zc AS (SELECT *, sqrt(chi2) AS z FROM cl),
+             ph AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+               FROM zc)
+        SELECT n_strata, n, a_total,
+               CASE WHEN okr THEN round(or_mh, 6) END AS or_mh,
+               CASE WHEN okv THEN round(chi2, 6) END AS chi2_mh,
+               CASE WHEN okv THEN round($sqlTwoSidedP, 6) END
+                 AS p_value
+        FROM ph"""))
+
   /** KRIPPENDORFF'S ALPHA ([[graft.ops.Eval.krippendorffAlpha]]):
     * each order as a unit, its lineitem return flags as the rater
     * panel (variable panel width, 1..17) — the multi-annotator
@@ -2703,6 +2816,8 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q393_cochran_armitage" -> q393_cochran_armitage,
+    "q394_mantel_haenszel" -> q394_mantel_haenszel,
     "q392_elo_stream" -> q392_elo_stream,
     "q391_icc" -> q391_icc,
     "q389_jonckheere" -> q389_jonckheere,

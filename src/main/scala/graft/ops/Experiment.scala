@@ -535,6 +535,82 @@ object Experiment {
       lit(2.5066282746310002) * poly
   }
 
+  /** MANTEL-HAENSZEL pooled odds ratio + test (Mantel & Haenszel
+    * 1959) — the stratified-confounding companion to the A/B
+    * family: a crude 2×2 over the whole corpus can reverse sign
+    * under a confounder (Simpson's), so the per-stratum tables are
+    * pooled with the MH weights instead:
+    *
+    *   OR_MH = Σ_s a_s d_s / n_s  ÷  Σ_s b_s c_s / n_s
+    *   χ²_MH = (Σ a_s − Σ E_s)² / Σ V_s,
+    *   E_s = r1_s c1_s / n_s,
+    *   V_s = r1_s r2_s c1_s c2_s / (n_s²(n_s − 1))
+    *
+    * The 2×2 cells per stratum are exact integer counts from ONE
+    * hash-aggregation pass. Each per-stratum RATIO term (ad/n,
+    * bc/n, E, V) is quantized to decimal(38,6) BEFORE the sum —
+    * a double Σ of ratios would drift with fold order; the decimal
+    * sums are exact and order-free, and the close is one
+    * fixed-shape double (ratio, squared gap over variance, p via
+    * the portable [[phiAbs]]). Strata are census-bounded
+    * (`maxStrata`) and every stratum needs n_s ≥ 2 (V undefined at
+    * n=1 — refused with a message, the bartlett discipline). A zero
+    * Σbc/n or ΣV emits explicit nulls. Emits one row:
+    * (n_strata, n, a_total, or_mh, chi2_mh, p_value).
+    */
+  def mantelHaenszel(df: DataFrame, stratum: Column,
+      exposed: Column, outcome: Column,
+      maxStrata: Long = 10000L): DataFrame = {
+    def q6(c: Column) = c.cast("decimal(38,6)")
+    val rows = df.select(stratum.cast("string").as("__s"),
+      exposed.cast("boolean").as("__e"),
+      outcome.cast("boolean").as("__o"))
+      .where(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+    val cells = graft.Caches.pin(rows.groupBy(col("__s")).agg(
+      sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L))
+        .as("d")))
+    val chk = cells.agg(count(lit(1)).as("k"),
+      min(col("a") + col("b") + col("c") + col("d")).as("mn")).head()
+    require(chk.getAs[Long]("k") >= 1L &&
+      chk.getAs[Long]("k") <= maxStrata,
+      s"mantelHaenszel: ${chk.getAs[Long]("k")} strata outside " +
+        s"[1, $maxStrata] — coarsen the stratum key")
+    require(chk.getAs[Long]("mn") >= 2L,
+      "mantelHaenszel: a stratum has fewer than 2 subjects — V is " +
+        "undefined at n=1; merge or drop singleton strata upstream")
+    val n = col("a") + col("b") + col("c") + col("d")
+    val nD = n.cast("double")
+    val r1 = (col("a") + col("b")).cast("double")
+    val r2 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val c2 = (col("b") + col("d")).cast("double")
+    val agg = cells.agg(
+      count(lit(1)).cast("long").as("n_strata"),
+      sum(n).cast("long").as("n"),
+      sum(col("a")).cast("long").as("a_total"),
+      sum(q6(col("a").cast("double") * col("d").cast("double") / nD))
+        .as("__ad"),
+      sum(q6(col("b").cast("double") * col("c").cast("double") / nD))
+        .as("__bc"),
+      sum(q6(r1 * c1 / nD)).as("__e"),
+      sum(q6(r1 * r2 * c1 * c2 /
+        (nD * nD * (nD - lit(1.0))))).as("__v"))
+    val gap = col("a_total").cast("double") -
+      col("__e").cast("double")
+    val chi2 = gap * gap / col("__v").cast("double")
+    val orMh = col("__ad").cast("double") / col("__bc").cast("double")
+    agg.select(col("n_strata"), col("n"), col("a_total"),
+      when(col("__bc") > 0.0, round(orMh, 6)).as("or_mh"),
+      when(col("__v") > 0.0, round(chi2, 6)).as("chi2_mh"),
+      when(col("__v") > 0.0, round(lit(2.0) *
+          (lit(1.0) - phiAbs(sqrt(chi2))), 6))
+        .as("p_value"))
+  }
+
   /** BENJAMINI-HOCHBERG FDR control (1995) over per-segment A/B
     * tests — the multiple-comparisons gate every "which segments
     * moved?" readout needs (at 25 segments and α=0.05, ~1.2 false

@@ -1026,6 +1026,82 @@ object RankStats {
       .orderBy(col("grp"))
   }
 
+  /** COCHRAN-ARMITAGE TREND TEST (Cochran 1954; Armitage 1955) —
+    * is a BINARY outcome's rate monotone across ordered groups?
+    * The binary-outcome completion of the directional family:
+    * [[pageTrend]] needs complete blocks, [[jonckheereTerpstra]]
+    * continuous responses; Cochran-Armitage is the dose-response
+    * test for proportions (chi-square asks "any difference", this
+    * asks the ORDERED question with one degree of freedom).
+    *
+    *   z = (N·S1 − R·Sn1) / sqrt( R(N−R)(N·Sn2 − Sn1²) / N )
+    *
+    * with t_j the group scores (the long-cast `group` — the
+    * hypothesized order IS the score), n_j/r_j the group sizes and
+    * success counts, S1 = Σ t_j r_j, Sn1 = Σ n_j t_j,
+    * Sn2 = Σ n_j t_j², R = Σ r_j, N = Σ n_j. Numerator and the
+    * radicand's integer factor are EXACT decimal(38,0) products of
+    * one group-census pass (data-sized work is a single hash
+    * aggregation); the close is one fixed-shape double with the
+    * portable [[Experiment.phiAbs]] two-sided p. All-success /
+    * all-failure / single-score inputs emit explicit nulls (z
+    * undefined), never NaN. Emits one row:
+    * (n, k_groups, successes, z, p_value).
+    */
+  def cochranArmitage(df: DataFrame, group: Column,
+      success: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(group.cast("long").as("__t"),
+      success.cast("boolean").as("__x"))
+      .where(col("__t").isNotNull && col("__x").isNotNull)
+    val cells = rows.groupBy(col("__t")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__x"), 1L).otherwise(0L)).as("__r"))
+    val agg = cells.agg(
+      count(lit(1)).cast("long").as("k_groups"),
+      sum(col("__n")).cast("long").as("n"),
+      sum(col("__r")).cast("long").as("successes"),
+      sum(dec(col("__t")) * dec(col("__r"))).as("__s1"),
+      sum(dec(col("__n")) * dec(col("__t"))).as("__sn1"),
+      sum(dec(col("__n")) * dec(col("__t")) * dec(col("__t")))
+        .as("__sn2"))
+    val head = agg.head()
+    require(head.getAs[Long]("k_groups") >= 2L,
+      "cochranArmitage: need at least 2 score groups")
+    val nD = col("n").cast("double")
+    val rD = col("successes").cast("double")
+    val num = (dec(col("n")) * col("__s1") -
+      dec(col("successes")) * col("__sn1")).cast("double")
+    val fac = (dec(col("n")) * col("__sn2") -
+      col("__sn1") * col("__sn1")).cast("double")
+    val rad = rD * (nD - rD) * fac / nD
+    val z = num / sqrt(rad)
+    val ok = col("successes") > 0L && col("successes") < col("n") &&
+      fac > 0.0
+    val out = reenterHead(agg, head).select(col("n"),
+      col("k_groups"), col("successes"),
+      when(ok, round(z, 6)).as("z"),
+      when(ok, round(lit(2.0) *
+        (lit(1.0) - Experiment.phiAbs(abs(z))), 6)).as("p_value"))
+    out
+  }
+
+  /** Re-enter a 1-row aggregate already collected for its guard as
+    * literals, so the close does not execute the aggregation twice
+    * (the [[jonckheereTerpstra]] discipline). Longs and decimals
+    * only.
+    */
+  private def reenterHead(agg: DataFrame,
+      row: org.apache.spark.sql.Row): DataFrame = {
+    val cols = agg.schema.fields.zipWithIndex.map { case (f, i) =>
+      (f.dataType.typeName match {
+        case "long" => lit(row.getLong(i))
+        case _ => lit(row.getDecimal(i)).cast(f.dataType.simpleString)
+      }).as(f.name)
+    }
+    agg.sparkSession.range(1).select(cols.toSeq: _*)
+  }
+
   /** KENDALL'S TAU-B (Kendall 1945) — rank correlation by pairwise
     * concordance, the robust complement to q306's Spearman (tau's
     * pairwise counts are less sensitive to a few extreme ranks, and

@@ -241,4 +241,67 @@ class RankStatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("quantize coarser"))
     graft.Caches.release()
   }
+  test("cochranArmitage: linear dose-response (2/10, 5/10, 8/10) " +
+      "-> z = 6/sqrt(5); all-success -> nulls; one group refused") {
+    val df = (Seq.fill(2)((1L, true)) ++ Seq.fill(8)((1L, false)) ++
+      Seq.fill(5)((2L, true)) ++ Seq.fill(5)((2L, false)) ++
+      Seq.fill(8)((3L, true)) ++ Seq.fill(2)((3L, false)))
+      .toDF("g", "x")
+    val r = RankStats.cochranArmitage(df, col("g"), col("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 30 &&
+      r.getAs[Long]("k_groups") == 3 &&
+      r.getAs[Long]("successes") == 15)
+    assert(math.abs(r.getAs[Double]("z") - 6.0 / math.sqrt(5.0))
+      < 1e-6)
+    assert(r.getAs[Double]("p_value") < 0.01)
+
+    val allS = Seq((1L, true), (2L, true), (2L, true)).toDF("g", "x")
+    val r2 = RankStats.cochranArmitage(allS, col("g"), col("x"))
+      .collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("z")) &&
+      r2.isNullAt(r2.fieldIndex("p_value")))
+
+    val one = Seq((1L, true), (1L, false)).toDF("g", "x")
+    val e3 = intercept[IllegalArgumentException] {
+      RankStats.cochranArmitage(one, col("g"), col("x"))
+    }
+    assert(e3.getMessage.contains("at least 2 score groups"))
+  }
+
+  test("mantelHaenszel: two balanced strata -> OR_MH = 6, " +
+      "chi2 = 4/(4/3); zero-variance and singleton strata handled") {
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+      Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 3, 2, 1, 4))
+      .toDF("s", "e", "o")
+    val r = graft.ops.Experiment.mantelHaenszel(df, col("s"),
+      col("e"), col("o")).collect()(0)
+    graft.Caches.release()
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("n") == 20
+      && r.getAs[Long]("a_total") == 7)
+    // ad/n = 1.2 both, bc/n = 0.2 both -> OR 6.0; E = 3 + 2 = 5,
+    // V = 2 * 600/900 -> chi2 = (7-5)^2 / 1.333334
+    assert(r.getAs[Double]("or_mh") == 6.0)
+    assert(math.abs(r.getAs[Double]("chi2_mh") - 3.0) < 1e-5)
+
+    val single = (stratum("s1", 2, 2, 2, 2) ++
+      Seq(("s2", true, true))).toDF("s", "e", "o")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Experiment.mantelHaenszel(single, col("s"),
+        col("e"), col("o"))
+    }
+    assert(e2.getMessage.contains("fewer than 2 subjects"))
+    graft.Caches.release()
+
+    // all exposed -> b = c = 0 in every stratum -> OR null, V = 0
+    val allE = (Seq.fill(3)(("s1", true, true)) ++
+      Seq.fill(3)(("s1", true, false))).toDF("s", "e", "o")
+    val r3 = graft.ops.Experiment.mantelHaenszel(allE, col("s"),
+      col("e"), col("o")).collect()(0)
+    graft.Caches.release()
+    assert(r3.isNullAt(r3.fieldIndex("or_mh")) &&
+      r3.isNullAt(r3.fieldIndex("chi2_mh")))
+  }
 }
