@@ -56,14 +56,24 @@ object Graph {
     val deg = graft.Caches.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     // node universe = src ∪ dst, so sinks keep a rank row
+    // the STATIC degree rides inside the rank frame (r14): the
+    // per-superstep ranks⋈deg join is a node-sized exchange that
+    // carried no new information — deg never changes. One pinned
+    // (node, deg) frame (left join: sinks keep a rank row with null
+    // deg, and since a sink never appears as `src` the null never
+    // reaches `rank div deg`), and every superstep drops to ONE join
+    // + one aggregate. Trajectory bit-identical (same expressions,
+    // same integer ops).
     val nodes = graft.Caches.pin(
       e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(deg, Seq("node"), "left"))
+    var ranks = nodes.select(col("node"), col("deg"),
+      lit(scale).as("rank"))
     val base = (dampDen - dampNum) * scale
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .join(ranks, e("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
@@ -77,10 +87,10 @@ object Graph {
         .join(contribs, Seq("node"), "left")
         .withColumn("__m",
           lit(base) + lit(dampNum) * coalesce(col("csum"), lit(0L)))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           expr(s"__m div ${dampDen}L").as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** PERSONALIZED PageRank (integer-exact, like [[pageRankInt]]):
@@ -113,26 +123,30 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct())
     val srcSet = sources.select(col("node").cast("long").as("node"))
       .distinct()
-    // teleport flag materialized once on the node universe
+    // teleport flag + STATIC degree materialized once on the node
+    // universe (the pageRankInt r14 discipline: deg rides in the
+    // rank frame, so each superstep is ONE join + one aggregate)
     val tele = graft.Caches.pin(nodes
       .join(broadcast(srcSet.withColumn("__isSrc", lit(1L))),
         Seq("node"), "left")
-      .na.fill(0L, Seq("__isSrc")))
+      .na.fill(0L, Seq("__isSrc"))
+      .join(deg, Seq("node"), "left"))
     val base = (dampDen - dampNum) * scale
-    var ranks = tele.select(col("node"),
+    var ranks = tele.select(col("node"), col("deg"),
       (col("__isSrc") * scale).as("rank"))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(ranks.join(deg, "node"), e("src") === col("node"))
+        .join(ranks, e("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("csum"))
       ranks = tele
         .join(contribs, Seq("node"), "left")
         .withColumn("__m", lit(base) * col("__isSrc") +
           lit(dampNum) * coalesce(col("csum"), lit(0L)))
-        .select(col("node"), expr(s"__m div ${dampDen}L").as("rank"))
+        .select(col("node"), col("deg"),
+          expr(s"__m div ${dampDen}L").as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** COMMUNITY DETECTION by deterministic synchronous LABEL
