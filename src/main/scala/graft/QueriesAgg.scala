@@ -3095,7 +3095,8 @@ object QueriesAgg {
                    AS BIGINT) AS xu
                FROM orders),
              u AS (SELECT b, xu,
-                 ((id * (2654435761 + 2 * b) + (97 + 1000003 * b))
+                 (((id % 1000000007) * (2654435761 + 2 * b)
+                     + (97 + 1000003 * b))
                    % 1000000007) % 1000000 AS uu
                FROM e CROSS JOIN r),
              mm AS (SELECT b, xu, CASE WHEN uu < 367879 THEN 0

@@ -251,12 +251,40 @@ object QueriesRelational {
     * oracle reads the parquet original: values must survive the
     * int/varchar type mapping byte-identically.
     */
+  /** Per-JVM-unique Derby database path for q155. A fixed path can be
+    * left behind (or corrupted mid-write) by a previous JVM run; Derby
+    * then refuses to boot and the entry silently vanishes from the
+    * correctness artifact (observed round 14). A fresh directory per
+    * JVM makes the round trip idempotent: within one JVM the sink's
+    * SaveMode.Overwrite handles repeated runs, and across JVMs no
+    * stale state is ever re-opened. Any leftover directory from an
+    * earlier run is best-effort deleted so tmpdir doesn't accumulate.
+    */
+  private lazy val q155DerbyDir: String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // best-effort cleanup of prior runs' DBs (never our own: suffix
+    // below includes this JVM's pid@host + start time, unique per JVM)
+    val mine = "graft_q155_derby_" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .replaceAll("[^A-Za-z0-9]", "_")
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_q155_derby")
+        && f.getName != mine)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        try rm(d) catch { case _: Exception => () }
+      }
+    new java.io.File(tmp, mine).getAbsolutePath
+  }
+
   private val q155_jdbc_roundtrip: Q = (
     (s, dir) => {
       System.setProperty("derby.stream.error.file",
         System.getProperty("java.io.tmpdir") + "/graft_derby.log")
-      val url = "jdbc:derby:" + System.getProperty("java.io.tmpdir") +
-        "/graft_q155_derby;create=true"
+      val url = "jdbc:derby:" + q155DerbyDir + ";create=true"
       io.Sources.pipeToSql(SeaFrame(read(s, dir, "nation")),
         "nation_rt", Some(url))
       io.Sources.sqlToPipe(s,

@@ -185,7 +185,8 @@ object QueriesStats {
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
                      THEN l_extendedprice * l_extendedprice END
                    AS DECIMAL(38,10))) AS DOUBLE) AS ssa,
-                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                 CAST(sum(CASE WHEN l_returnflag = 'R'
+                     AND l_extendedprice IS NOT NULL THEN 1
                    ELSE 0 END) AS BIGINT) AS na,
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
                      THEN l_extendedprice END AS DECIMAL(25,6)))
@@ -2302,7 +2303,8 @@ object QueriesStats {
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
                      THEN l_extendedprice * l_extendedprice END
                    AS DECIMAL(38,10))) AS DOUBLE) AS ssa,
-                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+                 CAST(sum(CASE WHEN l_returnflag = 'R'
+                     AND l_extendedprice IS NOT NULL THEN 1
                    ELSE 0 END) AS BIGINT) AS na,
                  CAST(sum(CAST(CASE WHEN l_returnflag = 'A'
                      THEN l_extendedprice END AS DECIMAL(25,6)))

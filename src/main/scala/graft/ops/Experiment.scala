@@ -894,7 +894,11 @@ object Experiment {
     // additive-only seed shifts u by a near-constant per b, leaving
     // the B resamples almost perfectly correlated — the multiplier
     // must vary with b for the memberships to decorrelate
-    val u = pmod(col("__id") *
+    // id pre-reduced mod 1e9+7 (the signFlipTest convention): the
+    // reduced id times the largest multiplier stays under 2^62, so
+    // the product can't wrap Long for ids >= ~3.5e9 — where Spark
+    // would silently overflow and a DuckDB replay would raise
+    val u = pmod(pmod(col("__id"), lit(1000000007L)) *
       (lit(2654435761L) + lit(2L) * col("__b").cast("long")) +
       (lit(seedBase) + col("__b").cast("long") * lit(1000003L)),
       lit(1000000007L)) % lit(1000000L)

@@ -67,9 +67,15 @@ object GraphFixtures {
     // bench rep. The re-persist + eager count happens INSIDE the
     // caller's timed section, so reps still pay construction exactly
     // once from parquet (the bench's no-cross-rep-caching contract).
-    if (df.storageLevel == StorageLevel.NONE) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
+    // The re-pin is guarded by the memo's own monitor: without it two
+    // concurrent callers racing past the storageLevel check would
+    // both re-persist and double-run the eager count (harmless for
+    // the single-threaded bench harness, wrong for shared fixtures).
+    if (df.storageLevel == StorageLevel.NONE) memo.synchronized {
+      if (df.storageLevel == StorageLevel.NONE) {
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      }
     }
     df
   }

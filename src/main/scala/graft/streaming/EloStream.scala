@@ -42,8 +42,47 @@ private[streaming] case class EloState(lastOrd: Long,
   * values must arrive in one trigger, else the cross-batch tiebreak
   * could not see them) — violations fail fast. Null fields and
   * self-games are hygiene-dropped exactly like the batch operator.
+  *
+  * Ord type contract: `ordCol` is cast to LONG at ingest, so the
+  * bit-for-bit guarantee holds for integer ords only — a timestamp
+  * ord truncates to epoch seconds, which can collide across
+  * triggers and trip the strict cross-trigger ordering require
+  * (use an integer sequence or epoch-micros column instead). The
+  * within-trigger (winner, loser) tiebreak compares UTF-8 bytes
+  * unsigned — the same binary ordering Spark's sort gives the
+  * batch operator's raw string columns — so item keys of ANY
+  * unicode content tiebreak identically in both paths.
   */
 object EloStream {
+
+  /** Unsigned UTF-8 byte compare — Spark's UTF8String.binaryCompare
+    * semantics, so the stream tiebreak matches the batch sort for
+    * non-ASCII keys too (JVM String ordering diverges from byte
+    * ordering in U+E000..U+FFFF vs supplementary planes).
+    */
+  private def binCmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val gameOrdering: Ordering[(Long, String, String)] =
+    new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String),
+          b: (Long, String, String)): Int = {
+        val c1 = java.lang.Long.compare(a._1, b._1)
+        if (c1 != 0) return c1
+        val c2 = binCmp(a._2, b._2)
+        if (c2 != 0) c2 else binCmp(a._3, b._3)
+      }
+    }
 
   def eloStream(games: DataFrame, ordCol: String, wCol: String,
       lCol: String, kFactor: Long = 32L,
@@ -65,7 +104,7 @@ object EloStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[(Long, String, String)],
          state: GroupState[EloState]) =>
-          val batch = it.toArray.sorted
+          val batch = it.toArray.sorted(gameOrdering)
           var st = state.getOption.getOrElse(
             EloState(Long.MinValue, Map.empty, Map.empty, Map.empty))
           if (batch.nonEmpty) {
