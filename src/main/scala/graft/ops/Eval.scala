@@ -1022,11 +1022,16 @@ object Eval {
     // uniform block size + within-block distinctness + GLOBAL
     // distinct-treatment count == block size: the last leg is what
     // rules out equal-sized blocks over DISJOINT treatment sets
-    val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+    val chk = bs.agg(count(lit(1)).as("nb"),
+      min(col("__c")).as("mn"), max(col("__c")).as("mx"),
       max((col("__c") =!= col("__d")).cast("int")).as("bad"))
       .crossJoin(broadcast(
         rows.agg(countDistinct(col("__t")).as("gk"))))
       .head()
+    // empty-input leg FIRST: with zero blocks min/max are null and
+    // the getAs unboxing below would NPE before any message
+    require(chk.getAs[Long]("nb") >= 1L,
+      "cochranQ: empty input (no non-null rows)")
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
       chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
       chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
@@ -1147,11 +1152,16 @@ object Eval {
       countDistinct(col("__i")).as("__d"), sum(col("__x")).as("__tt"))
     // same three-legged completeness contract as cochranQ: the
     // global distinct-item leg rejects disjoint equal-width panels
-    val chk = us.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+    val chk = us.agg(count(lit(1)).as("nu"),
+      min(col("__c")).as("mn"), max(col("__c")).as("mx"),
       max((col("__c") =!= col("__d")).cast("int")).as("bad"))
       .crossJoin(broadcast(
         rows.agg(countDistinct(col("__i")).as("gk"))))
       .head()
+    // empty-input leg FIRST: with zero units min/max are null and
+    // the getAs unboxing below would NPE before any message
+    require(chk.getAs[Long]("nu") >= 1L,
+      "cronbachAlpha: empty input (no non-null rows)")
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
       chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
       chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
@@ -1171,12 +1181,16 @@ object Eval {
       (dec(count(lit(1))) * sum(dec(col("__tt")) * dec(col("__tt"))) -
         sum(dec(col("__tt"))) * sum(dec(col("__tt")))).as("__bden"))
     def ppm(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    // __bden = n·ΣT² − (ΣT)² is exactly 0 when every unit's total is
+    // equal — alpha's variance ratio is undefined there; explicit
+    // null (the icc den===0 convention), never an ANSI error
     ia.crossJoin(broadcast(ua))
       .select(col("n_units"), col("k_items"),
-        ppm(col("k_items").cast("double") /
-          (col("k_items") - lit(1L)).cast("double") *
-          (lit(1.0) - col("__a").cast("double") /
-            col("__bden").cast("double"))).as("alpha_ppm"))
+        when(col("__bden") =!= 0,
+          ppm(col("k_items").cast("double") /
+            (col("k_items") - lit(1L)).cast("double") *
+            (lit(1.0) - col("__a").cast("double") /
+              col("__bden").cast("double")))).as("alpha_ppm"))
   }
 
   /** SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al. 2005; Lei et

@@ -655,11 +655,16 @@ object RankStats {
     // and global distinct-treatment count == block size — the last
     // rejects equal-sized blocks over DISJOINT treatment sets,
     // which the first two alone would silently accept
-    val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
+    val chk = bs.agg(count(lit(1)).as("nb"),
+      min(col("__c")).as("mn"), max(col("__c")).as("mx"),
       max((col("__c") =!= col("__d")).cast("int")).as("bad"))
       .crossJoin(broadcast(
         rows.agg(countDistinct(col("__t")).as("gk"))))
       .head()
+    // empty-input leg FIRST: with zero blocks min/max are null and
+    // the getAs unboxing below would NPE before any message
+    require(chk.getAs[Long]("nb") >= 1L,
+      "friedman: empty input (no non-null rows)")
     require(chk.getAs[Long]("mn") == chk.getAs[Long]("mx") &&
       chk.getAs[Int]("bad") == 0 && chk.getAs[Long]("mn") >= 2L &&
       chk.getAs[Long]("gk") == chk.getAs[Long]("mn"),
@@ -689,9 +694,13 @@ object RankStats {
       lit(3.0) * nD * (kD + lit(1.0))
     val corr = lit(1.0) - col("__tt") /
       (nD * kD * (kD * kD - lit(1.0)))
+    // corr hits exactly 0 when EVERY block is fully tied (per-block
+    // tie mass tc³−tc sums to n·k(k²−1)) — chi/corr would be an ANSI
+    // divide-by-zero; the adjusted statistic is undefined there, so
+    // emit the documented explicit null (the cochranQ convention)
     val verdict = kk.crossJoin(broadcast(ss)).crossJoin(broadcast(ties))
       .select(round(chi, 6).as("chi2"),
-        round(chi / corr, 6).as("chi2_adj"),
+        when(corr =!= 0.0, round(chi / corr, 6)).as("chi2_adj"),
         (col("__k") - lit(1L)).as("df"))
     pt.crossJoin(broadcast(verdict))
       .select(col("__t").as("treatment"), col("n_blocks"),

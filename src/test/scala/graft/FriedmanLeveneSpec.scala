@@ -450,4 +450,75 @@ class FriedmanLeveneSpec extends SparkSuite {
     assert(r(0).getAs[Long]("ap_ppm") == 833333L) // floor(5/6 * 1e6)
     assert(r(1).getAs[Long]("ap_ppm") == 0L)
   }
+
+  // ---- guard-aggregate ANSI sweep (the bartlett n=1 find,
+  // generalized): every degenerate input must reach its EXPLANATORY
+  // require or documented null — never an NPE from unboxing a null
+  // guard leg, never an ANSI divide-by-zero inside a close ----
+
+  test("friedman: empty input hits the explanatory require, not an " +
+      "NPE from the null min/max guard legs") {
+    val e = intercept[IllegalArgumentException] {
+      RankStats.friedman(
+        Seq.empty[(String, String, Double)].toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"))
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("friedman: fully-tied blocks zero the tie correction — " +
+      "chi2 = 0 and chi2_adj is the documented null, not an ANSI " +
+      "divide-by-zero") {
+    val df = Seq(("b1", "t1", 1.0), ("b1", "t2", 1.0),
+      ("b2", "t1", 2.0), ("b2", "t2", 2.0)).toDF("b", "t", "v")
+    val r = RankStats.friedman(df, col("b"), col("t"), col("v"))
+      .orderBy(col("treatment")).collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Double]("chi2") == 0.0)
+    assert(r(0).isNullAt(r(0).fieldIndex("chi2_adj")))
+  }
+
+  test("cochranQ: empty input hits the explanatory require, not an " +
+      "NPE") {
+    val e = intercept[IllegalArgumentException] {
+      Eval.cochranQ(
+        Seq.empty[(String, String, Boolean)].toDF("b", "t", "x"),
+        col("b"), col("t"), col("x"))
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("cronbachAlpha: empty input hits the explanatory require; a " +
+      "constant panel (all unit totals equal, B = 0) emits the " +
+      "documented null alpha, not an ANSI divide-by-zero") {
+    val e = intercept[IllegalArgumentException] {
+      Eval.cronbachAlpha(
+        Seq.empty[(String, String, Long)].toDF("u", "i", "x"),
+        col("u"), col("i"), col("x"))
+    }
+    assert(e.getMessage.contains("empty input"))
+
+    val const = Seq(("u1", "i1", 5L), ("u1", "i2", 5L),
+      ("u2", "i1", 5L), ("u2", "i2", 5L)).toDF("u", "i", "x")
+    val r = Eval.cronbachAlpha(const, col("u"), col("i"), col("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_units") == 2L &&
+      r.getAs[Long]("k_items") == 2L)
+    assert(r.isNullAt(r.fieldIndex("alpha_ppm")))
+  }
+
+  test("yuenT: one side entirely absent hits the explanatory " +
+      "kept-values require (missing group reads as h = 0), and an " +
+      "empty frame does too") {
+    val oneSide = (11 to 20).map(("b", _)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankStats.yuenT(oneSide, col("g") === "a", col("v"))
+    }
+    assert(e.getMessage.contains("fewer than 2 kept values"))
+    val e2 = intercept[IllegalArgumentException] {
+      RankStats.yuenT(Seq.empty[(String, Int)].toDF("g", "v"),
+        col("g") === "a", col("v"))
+    }
+    assert(e2.getMessage.contains("fewer than 2 kept values"))
+  }
 }
