@@ -1175,10 +1175,13 @@ object QueriesRelational {
     */
   private val q328_communities: Q = (
     (s, dir) => {
-      // labelPropagation re-canonicalizes (least/greatest+distinct),
-      // an identity on the shared symmetric-distinct fixture
+      // canonical = true: the shared fixture IS the symmetric
+      // distinct loop-free set, so re-canonicalizing would rebuild
+      // (distinct exchange + union re-pin) a byte-identical frame —
+      // ~2s of the entry's ~6s (r15 phase split, BENCH_NOTES)
       val edges = ops.GraphFixtures.purchaseEdges(s, dir)
-      val out = ops.Graph.labelPropagation(edges, rounds = 3)
+      val out = ops.Graph.labelPropagation(edges, rounds = 3,
+        canonical = true)
         .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("label")).limit(100)
       val collected = out.cache()

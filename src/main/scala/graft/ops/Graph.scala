@@ -164,18 +164,34 @@ object Graph {
     * superstep shape as [[pageRankInt]] (edges pinned, exchange
     * reused; no per-round checkpoint for a small fixed budget).
     * Returns (node, label) — callers aggregate to community sizes.
+    *
+    * `canonical = true` asserts the input is ALREADY the symmetric
+    * distinct self-loop-free edge set (both directions present,
+    * no dups) — the [[graft.ops.GraphFixtures.purchaseEdges]]
+    * contract — and skips the re-canonicalization entirely. The
+    * r15 phase split showed the default path spending ~2s of
+    * q328's ~6s re-deriving (distinct exchange) and re-pinning
+    * (union materialization) an edge frame byte-identical to the
+    * caller's already-pinned fixture: the q287/q253 rebuild-not-
+    * compute lesson. The flag is a caller-owned contract, not a
+    * checked one — a full symmetry check would cost exactly the
+    * exchange it saves; q328's DuckDB oracle replays the full
+    * canonicalization and hash-pins the equivalence.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      canonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds $rounds")
-    val und = edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
     // both directions so "neighbors of n" is one join on src
-    val e = graft.Caches.pin(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+    val e = if (canonical) edges else {
+      val und = edges
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+          greatest(col("src"), col("dst")).cast("long").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      graft.Caches.pin(
+        und.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
+    }
     val nodes = graft.Caches.pin(
       e.select(col("src").as("node")).distinct())
     var labels = nodes.select(col("node"), col("node").as("label"))

@@ -284,6 +284,15 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.Caches.release()
     assert(got2 == got)
+    // canonical = true on an ALREADY symmetric-distinct loop-free
+    // set replays the default path bit-for-bit (the q328 fixture
+    // contract: skipping re-canonicalization must be an identity)
+    val sym = clean ++ clean.map { case (a, b) => (b, a) }
+    val got3 = Graph.labelPropagation(sym.toDF("src", "dst"), 3,
+      canonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release()
+    assert(got3 == got)
   }
 
   test("pprInt: integer-exact hand rounds on a path graph — teleport " +
