@@ -860,7 +860,16 @@ object QueriesLLM {
       val contam = wins(train).join(broadcast(evalW), Seq("__w"))
         .select(col("doc_id")).distinct()
         .withColumn("__contam", lit(true))
-      val staged = base
+      // pin the NARROW fate frame (doc_id, n_tokens, early_stage):
+      // staged feeds both the budget-stage survivors and the final
+      // fate join, and without the pin the whole attribution build —
+      // keeper agg, the linearScoreRow UDF pass, the 8-gram
+      // contamination join — runs TWICE (the q287 rebuild-not-compute
+      // lesson; r15 phase split: 7.28s -> 3.34s median, -54%). Three
+      // narrow columns per corpus document — far smaller than the
+      // text it summarizes, so the pin holds at any scale the corpus
+      // itself does.
+      val staged = graft.Caches.pin(base
         .join(keeper, Seq("__fp"), "left")
         .join(scored, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
@@ -869,6 +878,7 @@ object QueriesLLM {
             .when(col("doc_id") =!= col("__keep"), "dedup")
             .when(coalesce(col("score_raw"), lit(0L)) <= 0L, "quality")
             .when(coalesce(col("__contam"), lit(false)), "decontam"))
+        .select(col("doc_id"), col("n_tokens"), col("early_stage")))
       val surv = staged.where(col("early_stage").isNull)
         .select(col("doc_id"), col("n_tokens"))
       val kept = Sampling.sampleToTokenBudget(surv, "doc_id",
