@@ -1864,6 +1864,122 @@ object QueriesStats {
                  AS p_value
         FROM ph"""))
 
+  /** The progressive-MH oracle SQL (shared by q395 batch and q396
+    * stream — the q392 convention: the stream's oracle IS the batch
+    * form's SQL): per-(stratum, bucket) cell increments, cumulative
+    * cells over the dense strata × buckets grid, then q394's pooled
+    * close per bucket over strata with cumulative n ≥ 2.
+    */
+  private def mhProgressiveSql(extraFilter: String): String =
+    s"""WITH r AS (SELECT l_orderkey % 8 AS bid,
+                 year(l_shipdate) AS s,
+                 (l_quantity > 25) AS e,
+                 (l_returnflag = 'R') AS o
+               FROM lineitem WHERE l_orderkey IS NOT NULL
+                 AND l_shipdate IS NOT NULL
+                 AND l_quantity IS NOT NULL
+                 AND l_returnflag IS NOT NULL$extraFilter),
+             inc AS (SELECT s, bid,
+                 CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ia,
+                 CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ib,
+                 CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ic,
+                 CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0
+                   END) AS BIGINT) AS idd
+               FROM r GROUP BY 1, 2),
+             grid AS (SELECT st.s, bk.bid
+               FROM (SELECT DISTINCT s FROM inc) st
+               CROSS JOIN (SELECT DISTINCT bid FROM inc) bk),
+             cum AS (SELECT g.s, g.bid,
+                 CAST(sum(coalesce(ia, 0)) OVER w AS BIGINT) AS a,
+                 CAST(sum(coalesce(ib, 0)) OVER w AS BIGINT) AS b,
+                 CAST(sum(coalesce(ic, 0)) OVER w AS BIGINT) AS c,
+                 CAST(sum(coalesce(idd, 0)) OVER w AS BIGINT) AS d
+               FROM grid g LEFT JOIN inc USING (s, bid)
+               WINDOW w AS (PARTITION BY g.s ORDER BY g.bid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             pooled AS (SELECT * FROM cum
+               WHERE a + b + c + d >= 2),
+             ag AS (SELECT bid AS batch_id,
+                 CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(a + b + c + d) AS BIGINT) AS n,
+                 CAST(sum(a) AS BIGINT) AS a_total,
+                 sum(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS ad,
+                 sum(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS bc,
+                 sum(CAST(CAST(a + b AS DOUBLE)
+                   * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE)
+                   AS DECIMAL(38,6))) AS ee,
+                 sum(CAST(CAST(a + b AS DOUBLE)
+                   * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   * CAST(b + d AS DOUBLE)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                     * CAST(a + b + c + d AS DOUBLE)
+                     * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                   AS DECIMAL(38,6))) AS v
+               FROM pooled GROUP BY 1),
+             cl AS (SELECT batch_id, n_strata, n, a_total,
+                 CAST(ad AS DOUBLE) / CAST(bc AS DOUBLE) AS or_mh,
+                 (CAST(a_total AS DOUBLE) - CAST(ee AS DOUBLE))
+                   * (CAST(a_total AS DOUBLE) - CAST(ee AS DOUBLE))
+                   / CAST(v AS DOUBLE) AS chi2,
+                 CAST(bc AS DOUBLE) > 0.0 AS okr,
+                 CAST(v AS DOUBLE) > 0.0 AS okv
+               FROM ag),
+             zc AS (SELECT *, sqrt(chi2) AS z FROM cl),
+             ph AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+               FROM zc)
+        SELECT batch_id, n_strata, n, a_total,
+               CASE WHEN okr THEN round(or_mh, 6) END AS or_mh,
+               CASE WHEN okv THEN round(chi2, 6) END AS chi2_mh,
+               CASE WHEN okv THEN round($sqlTwoSidedP, 6) END
+                 AS p_value
+        FROM ph ORDER BY batch_id"""
+
+  /** PROGRESSIVE MANTEL-HAENSZEL ([[graft.ops.Experiment
+    * .mantelHaenszelProgressive]]): q394's stratified big-line /
+    * return-odds question re-asked at every ingest epoch
+    * (l_orderkey mod 8 as the epoch) over the cumulative cells —
+    * the convergence readout a long-running stratified A/B ships
+    * with. All cumulative work runs on the bounded strata × epochs
+    * grid; one data exchange.
+    */
+  private val q395_mh_progressive: Q = (
+    (s, dir) => graft.ops.Experiment.mantelHaenszelProgressive(
+      read(s, dir, "lineitem"),
+      bucket = col("l_orderkey") % 8,
+      stratum = year(col("l_shipdate")),
+      exposed = col("l_quantity") > 25,
+      outcome = col("l_returnflag") === "R"),
+    Some(mhProgressiveSql("")))
+
+  /** STREAMING MANTEL-HAENSZEL ([[graft.streaming.MhStream
+    * .mhStream]]): the q395 readout through the ingest-time
+    * cell-table fold (subjects thinned to l_orderkey mod 13 — the
+    * q392 convention for single-group fold entries), stream ==
+    * batch bit-for-bit under order-respecting slicings
+    * (StreamingMhSpec), so the oracle is the progressive form's SQL
+    * with the same thinning.
+    */
+  private val q396_mh_stream: Q = (
+    (s, dir) => graft.streaming.MhStream.mhStream(
+      read(s, dir, "lineitem")
+        .where(col("l_orderkey") % 13 === 0)
+        .select((col("l_orderkey") % 8).as("bid"),
+          year(col("l_shipdate")).as("s"),
+          (col("l_quantity") > 25).as("e"),
+          (col("l_returnflag") === "R").as("o")),
+      "bid", "s", "e", "o")
+      .toDF()
+      .orderBy(col("batch_id")),
+    Some(mhProgressiveSql(" AND l_orderkey % 13 = 0")))
+
   /** KRIPPENDORFF'S ALPHA ([[graft.ops.Eval.krippendorffAlpha]]):
     * each order as a unit, its lineitem return flags as the rater
     * panel (variable panel width, 1..17) — the multi-annotator
@@ -2818,6 +2934,8 @@ object QueriesStats {
         FROM ph"""))
 
   val all: Map[String, Q] = Map(
+    "q395_mh_progressive" -> q395_mh_progressive,
+    "q396_mh_stream" -> q396_mh_stream,
     "q393_cochran_armitage" -> q393_cochran_armitage,
     "q394_mantel_haenszel" -> q394_mantel_haenszel,
     "q392_elo_stream" -> q392_elo_stream,

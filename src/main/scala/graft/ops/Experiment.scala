@@ -561,7 +561,6 @@ object Experiment {
   def mantelHaenszel(df: DataFrame, stratum: Column,
       exposed: Column, outcome: Column,
       maxStrata: Long = 10000L): DataFrame = {
-    def q6(c: Column) = c.cast("decimal(38,6)")
     val rows = df.select(stratum.cast("string").as("__s"),
       exposed.cast("boolean").as("__e"),
       outcome.cast("boolean").as("__o"))
@@ -582,13 +581,27 @@ object Experiment {
     require(chk.getAs[Long]("mn") >= 2L,
       "mantelHaenszel: a stratum has fewer than 2 subjects — V is " +
         "undefined at n=1; merge or drop singleton strata upstream")
+    val agg = cells.agg(mhAggExprs.head, mhAggExprs.tail: _*)
+    agg.select(mhCloseCols: _*)
+  }
+
+  /** The MH sufficient-statistic aggregate over a cells frame with
+    * integer columns (a, b, c, d) — shared by [[mantelHaenszel]]
+    * (one global group) and [[mantelHaenszelProgressive]] (grouped
+    * by ingest bucket); [[graft.streaming.MhStream]] mirrors the
+    * identical operand order in scalar doubles for its bit-for-bit
+    * stream twin, so DO NOT reorder operands here without updating
+    * all three.
+    */
+  private[graft] def mhAggExprs: Seq[Column] = {
+    def q6(c: Column) = c.cast("decimal(38,6)")
     val n = col("a") + col("b") + col("c") + col("d")
     val nD = n.cast("double")
     val r1 = (col("a") + col("b")).cast("double")
     val r2 = (col("c") + col("d")).cast("double")
     val c1 = (col("a") + col("c")).cast("double")
     val c2 = (col("b") + col("d")).cast("double")
-    val agg = cells.agg(
+    Seq(
       count(lit(1)).cast("long").as("n_strata"),
       sum(n).cast("long").as("n"),
       sum(col("a")).cast("long").as("a_total"),
@@ -599,16 +612,96 @@ object Experiment {
       sum(q6(r1 * c1 / nD)).as("__e"),
       sum(q6(r1 * r2 * c1 * c2 /
         (nD * nD * (nD - lit(1.0))))).as("__v"))
+  }
+
+  /** The fixed-shape double close over [[mhAggExprs]]'s output
+    * columns (same sharing contract).
+    */
+  private[graft] def mhCloseCols: Seq[Column] = {
     val gap = col("a_total").cast("double") -
       col("__e").cast("double")
     val chi2 = gap * gap / col("__v").cast("double")
     val orMh = col("__ad").cast("double") / col("__bc").cast("double")
-    agg.select(col("n_strata"), col("n"), col("a_total"),
+    Seq(col("n_strata"), col("n"), col("a_total"),
       when(col("__bc") > 0.0, round(orMh, 6)).as("or_mh"),
       when(col("__v") > 0.0, round(chi2, 6)).as("chi2_mh"),
       when(col("__v") > 0.0, round(lit(2.0) *
           (lit(1.0) - phiAbs(sqrt(chi2))), 6))
         .as("p_value"))
+  }
+
+  /** PROGRESSIVE Mantel-Haenszel — the per-ingest-bucket readout of
+    * [[mantelHaenszel]]: subjects carry an ingest bucket (epoch,
+    * day, micro-batch id), and for every bucket the pooled OR /
+    * χ² / p is recomputed over the CUMULATIVE per-stratum 2×2 cells
+    * of everything ingested so far — the "how is the experiment
+    * converging?" monitor a long-running stratified A/B ships with.
+    *
+    * Pooling contract (shared bit-for-bit with
+    * [[graft.streaming.MhStream.mhStream]], the ingest-time twin):
+    * a stratum enters the pool once its cumulative n_s ≥ 2 (V is
+    * undefined below that — the strict batch operator refuses such
+    * strata outright; the progressive form holds them PENDING, so a
+    * readout exists at every bucket) and buckets where no stratum
+    * qualifies yet emit nothing. On any input the strict operator
+    * accepts, the LAST bucket's row equals [[mantelHaenszel]]'s
+    * single row (spec-pinned).
+    *
+    * Shape: one (stratum, bucket) hash-aggregation over the data,
+    * then all cumulative work runs on the bounded strata × buckets
+    * grid (censused ≤ `maxStrata` × `maxBuckets`, product-guarded) —
+    * the stratum-partitioned running-sum window is grid-sized, never
+    * data-sized, so the plan carries exactly one data exchange.
+    */
+  def mantelHaenszelProgressive(df: DataFrame, bucket: Column,
+      stratum: Column, exposed: Column, outcome: Column,
+      maxStrata: Long = 10000L, maxBuckets: Long = 1000L)
+      : DataFrame = {
+    val rows = df.select(bucket.cast("long").as("__bid"),
+      stratum.cast("string").as("__s"),
+      exposed.cast("boolean").as("__e"),
+      outcome.cast("boolean").as("__o"))
+      .where(col("__bid").isNotNull && col("__s").isNotNull &&
+        col("__e").isNotNull && col("__o").isNotNull)
+    val inc = graft.Caches.pin(rows.groupBy(col("__s"), col("__bid"))
+      .agg(
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L))
+          .as("d")))
+    val chk = inc.agg(
+      countDistinct(col("__s")).as("k"),
+      countDistinct(col("__bid")).as("nb")).head()
+    val (k, nb) = (chk.getAs[Long]("k"), chk.getAs[Long]("nb"))
+    require(k <= maxStrata,
+      s"mantelHaenszelProgressive: $k strata > maxStrata " +
+        s"$maxStrata — coarsen the stratum key")
+    require(nb <= maxBuckets,
+      s"mantelHaenszelProgressive: $nb buckets > maxBuckets " +
+        s"$maxBuckets — coarsen the ingest bucket")
+    require(k * nb <= 10000000L,
+      s"mantelHaenszelProgressive: strata × buckets grid $k × $nb " +
+        "exceeds 1e7 — coarsen one of the keys")
+    val grid = inc.select(col("__s")).distinct()
+      .crossJoin(inc.select(col("__bid")).distinct())
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__s")).orderBy(col("__bid"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = grid.join(inc, Seq("__s", "__bid"), "left")
+      .select(col("__s"), col("__bid"),
+        sum(coalesce(col("a"), lit(0L))).over(w).as("a"),
+        sum(coalesce(col("b"), lit(0L))).over(w).as("b"),
+        sum(coalesce(col("c"), lit(0L))).over(w).as("c"),
+        sum(coalesce(col("d"), lit(0L))).over(w).as("d"))
+    val pooled = cum.where(
+      col("a") + col("b") + col("c") + col("d") >= 2L)
+    pooled.groupBy(col("__bid"))
+      .agg(mhAggExprs.head, mhAggExprs.tail: _*)
+      .select(col("__bid").as("batch_id") +: mhCloseCols: _*)
+      .orderBy(col("batch_id"))
   }
 
   /** BENJAMINI-HOCHBERG FDR control (1995) over per-segment A/B
