@@ -291,6 +291,89 @@ object QueriesLLM {
     },
     None)
 
+  /** A 64-dim ±axis centroid as a DuckDB array literal. */
+  private def axisSql(k: Int, sign: String): String =
+    (0 until 64).map(i => if (i == k) s"${sign}1.0" else "0.0")
+      .mkString("[", ", ", "]")
+
+  /** IVF INDEX PERSISTENCE + INCREMENTAL REFRESH
+    * ([[Similarity.ivfUpsert]] / ivfSave / ivfLoad): build the index
+    * over two-thirds of the corpus, save -> load -> upsert the
+    * remaining third into the LOADED index, probe top-10 — the
+    * fit-once / ingest-forever serving lifecycle. Static ±axis
+    * centroids make the whole trajectory exact ([[Similarity
+    * .cosine]]'s sequential pass on both engines; |centroid| = 1 so
+    * every score is ±x_k/|x| bit-for-bit), so the oracle replays
+    * assignment + cell-pruned probe over the merged corpus directly
+    * — hash-equality proves the save/load round-trip and the
+    * A-then-B merge changed nothing vs all-at-once. q60 is the
+    * learned-centroid production shape of the same path.
+    */
+  private val q397_ivf_upsert: Q = (
+    (s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      def axis(k: Int, sign: Double) =
+        Array.tabulate(64)(i => if (i == k) sign else 0.0)
+      val cents = Array(axis(0, 1.0), axis(0, -1.0),
+        axis(1, 1.0), axis(1, -1.0))
+      val empty = e.where(lit(false)).select(col("vec_id"),
+        col("embedding"), lit(0).cast("int").as("__cell"))
+      val base = Similarity.ivfUpsert(
+        Similarity.IvfIndex(cents, empty),
+        e.where(col("vec_id") > 0 && col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding")
+      // per-JVM-unique path (the q155 Derby lesson: no cross-run
+      // on-disk state)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
+      Similarity.ivfSave(base, path)
+      val full = Similarity.ivfUpsert(Similarity.ivfLoad(s, path),
+        e.where(col("vec_id") > 0 && col("vec_id") % 3 === 0),
+        "vec_id", "embedding")
+      Similarity.ivfProbe(full, "vec_id", "embedding", q, 10,
+          probes = 2)
+        .select(col("vec_id"), round(col("similarity"), 6)
+          .as("similarity"))
+        .orderBy(col("similarity").desc, col("vec_id"))
+    },
+    Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id = 0),
+             cs AS (SELECT 0 AS cell, ${axisSql(0, "")} AS cv
+                    UNION ALL SELECT 1, ${axisSql(0, "-")}
+                    UNION ALL SELECT 2, ${axisSql(1, "")}
+                    UNION ALL SELECT 3, ${axisSql(1, "-")}),
+             pc AS (SELECT cell FROM cs, q
+                    ORDER BY list_cosine_similarity(qv, cv) DESC,
+                      cell LIMIT 2),
+             asg AS (SELECT vec_id, dv,
+                 CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                      WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                      WHEN s2 >= s3 THEN 2 ELSE 3 END AS cell
+               FROM (SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS dv,
+                       list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         ${axisSql(0, "")}) AS s0,
+                       list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         ${axisSql(0, "-")}) AS s1,
+                       list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         ${axisSql(1, "")}) AS s2,
+                       list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]),
+                         ${axisSql(1, "-")}) AS s3
+                     FROM embeddings WHERE vec_id > 0)),
+             sel AS (SELECT vec_id,
+                       list_cosine_similarity(dv, qv) AS s
+                     FROM asg, q
+                     WHERE cell IN (SELECT cell FROM pc)
+                     ORDER BY s DESC, vec_id LIMIT 10)
+        SELECT vec_id, round(s, 6) AS similarity FROM sel
+        ORDER BY similarity DESC, vec_id"""))
+
   /** Product-quantization ANN (Jégou et al. 2011): 64-dim vectors
     * compress to 8 subspace codes, the query serves by asymmetric
     * distance over the code table — the raw vectors are never read at
@@ -5037,6 +5120,7 @@ object QueriesLLM {
     "q81_simhash_portable" -> q81_simhash_portable,
     "q44_embed_cosine_pairs" -> q44_embed_cosine_pairs,
     "q45_ann_topk" -> q45_ann_topk,
+    "q397_ivf_upsert" -> q397_ivf_upsert,
     "q46_ann_lsh" -> q46_ann_lsh,
     "q85_lsh_exact" -> q85_lsh_exact,
     "q60_ann_ivf" -> q60_ann_ivf,

@@ -583,6 +583,44 @@ object Similarity {
     index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
   }
 
+  /** INCREMENTAL REFRESH of an IVF index — the append path every
+    * production vector index needs (a corpus that only ever refits
+    * from scratch cannot ingest): centroids stay FROZEN (the FAISS
+    * `add` contract — moving them would silently invalidate every
+    * existing cell assignment) and each addition is assigned to its
+    * nearest cell by cosine. Rows whose `id` already exists in the
+    * index are REPLACED (upsert, latest wins); single-assignment
+    * refresh (a multi-assign index refreshes via refit — its
+    * boundary-miss insurance needs the fit-time `assign` fan-out).
+    *
+    * The assignment is a pure codegen'd Column expression —
+    * `array_position(scores, array_max(scores))`, first-max-wins on
+    * ties — over the broadcast centroid literals, NOT a UDF: exact,
+    * engine-replayable arithmetic ([[cosine]]'s sequential pass) so
+    * a static-centroid configuration oracle-checks end to end
+    * (q397), and no serialization in the ingest hot path. Scale
+    * shape: one narrow scan of the additions + one anti-join on the
+    * index id (both shuffle-bounded by the ADDITIONS, not the
+    * corpus, under broadcast when additions are small) — 100 TB
+    * index, bounded ingest batch: yes.
+    */
+  def ivfUpsert(index: IvfIndex, additions: DataFrame, id: String,
+      vec: String): IvfIndex = {
+    require(index.centroids.nonEmpty, "ivfUpsert: empty centroids")
+    val scores = array(index.centroids.map { c =>
+      cosine(col(vec),
+        array(c.toIndexedSeq.map(x => lit(x)): _*))
+    }.toIndexedSeq: _*)
+    val cell = (array_position(scores, array_max(scores)) - 1L)
+      .cast("int")
+    val cols = index.assigned.columns
+    val fresh = additions.select(col(id), col(vec),
+      cell.as("__cell")).select(cols.map(col).toIndexedSeq: _*)
+    val kept = index.assigned.join(
+      additions.select(col(id)), Seq(id), "left_anti")
+    IvfIndex(index.centroids, kept.unionByName(fresh))
+  }
+
   /** Load a persisted [[IvfIndex]]. The centroid collect is bounded
     * (nCells rows); assignments stay a lazy parquet scan.
     */

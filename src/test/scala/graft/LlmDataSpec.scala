@@ -261,6 +261,70 @@ class LlmDataSpec extends SparkSuite {
     queries.unpersist(blocking = false)
   }
 
+  test("ivfUpsert: A-then-B equals all-at-once; re-upserting an id " +
+      "REPLACES its row (latest wins); persisted-then-upserted " +
+      "index probes like the never-persisted one") {
+    val e = spark.read
+      .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .where(col("vec_id") > 0)
+    def axis(k: Int, sign: Double) =
+      Array.tabulate(64)(i => if (i == k) sign else 0.0)
+    val cents = Array(axis(0, 1.0), axis(0, -1.0),
+      axis(1, 1.0), axis(1, -1.0))
+    val empty = e.where(lit(false)).select(col("vec_id"),
+      col("embedding"), lit(0).cast("int").as("__cell"))
+    def idx0 = Similarity.IvfIndex(cents, empty)
+    def cellsOf(ix: Similarity.IvfIndex): Map[Long, Int] =
+      ix.assigned.select("vec_id", "__cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // A (two thirds) then B (last third) == one shot
+    val ab = Similarity.ivfUpsert(
+      Similarity.ivfUpsert(idx0, e.where(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding"),
+      e.where(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    val oneShot = Similarity.ivfUpsert(idx0, e, "vec_id", "embedding")
+    assert(cellsOf(ab) == cellsOf(oneShot))
+    // replace semantics: flip vec_id=7's vector so its nearest axis
+    // flips cell; exactly one row for the id, carrying the new cell
+    import spark.implicits._
+    val v7 = e.where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val flipped = Seq((7L, v7.map(x => -x).toSeq))
+      .toDF("vec_id", "embedding")
+    val re = Similarity.ivfUpsert(oneShot, flipped, "vec_id",
+      "embedding")
+    val rows7 = re.assigned.where(col("vec_id") === 7)
+      .select("__cell").collect()
+    assert(rows7.length == 1)
+    val old7 = cellsOf(oneShot)(7L)
+    val new7 = rows7.head.getInt(0)
+    assert(new7 != old7, s"cell should flip: $old7 -> $new7")
+    assert(re.assigned.count() == oneShot.assigned.count())
+    // persistence round trip composes with upsert
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ivf_up").toString
+    val a = Similarity.ivfUpsert(idx0,
+      e.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding")
+    Similarity.ivfSave(a, tmp)
+    val viaDisk = Similarity.ivfUpsert(
+      Similarity.ivfLoad(spark, tmp),
+      e.where(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    assert(cellsOf(viaDisk) == cellsOf(oneShot))
+    val q0 = v7
+    val p1 = Similarity.ivfProbe(viaDisk, "vec_id", "embedding",
+      q0, 10, 2).collect().map(_.getLong(0)).toSeq
+    val p2 = Similarity.ivfProbe(oneShot, "vec_id", "embedding",
+      q0, 10, 2).collect().map(_.getLong(0)).toSeq
+    assert(p1 == p2)
+    // refusals
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfUpsert(
+        Similarity.IvfIndex(Array.empty, empty), e, "vec_id",
+        "embedding")
+    }
+    assert(ex.getMessage.contains("centroids"))
+  }
+
   test("mixByWeights: kept set follows the w*target/n hash-fraction " +
       "rule exactly; missing-weight strata drop") {
     import graft.llmdata.Sampling
