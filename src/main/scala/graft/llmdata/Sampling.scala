@@ -160,10 +160,10 @@ object Sampling {
     * cross table). Weights live in integer ppm; each half-step
     * rescales by floor(w · target · 10⁶ / Σw_cell) in pure int64 —
     * deterministic on any engine, and the oracle unrolls the
-    * half-steps as CTEs. Each half-step is one grouped sum (bounded
-    * by the dimension's cardinality) broadcast back — 2·rounds
-    * map-side joins, no shuffle of the data beyond the first
-    * grouping. Overflow headroom: w·t·10⁶ must stay under 2⁶³ —
+    * half-steps as CTEs. The data is touched exactly twice — one
+    * grouped cell count in, one broadcast weight join out; all
+    * 2·rounds half-steps iterate on the margin-bounded cell table
+    * (see the in-body note). Overflow headroom: w·t·10⁶ must stay under 2⁶³ —
     * fine through ~10⁹-row targets with weights under ~10⁴×.
     * `targetsA`/`targetsB` carry (dim, t) population counts.
     */
@@ -175,18 +175,54 @@ object Sampling {
       targetsA.select(col(dimA), col("t").cast("long").as("__ta")))
     val tb = broadcast(
       targetsB.select(col(dimB), col("t").cast("long").as("__tb")))
-    var cur = df.withColumn("w_ppm", lit(1000000L))
+    // CELL-SPACE iteration (r15, guide §2.3/§2.4): every row of a
+    // (dimA, dimB) cell starts at the same w and sees the same
+    // per-level sums, so the whole trajectory is a function of the
+    // CELL, not the row. The row-space form re-evaluated its growing
+    // lineage once per half-step margin broadcast (quadratic in
+    // rounds, each pass data-wide); here ONE data-wide grouped count
+    // (map-side combined, |A|·|B| groups) feeds a pinned cell table,
+    // the 2·rounds margin sums and rescales run on cells only, and
+    // the final weights broadcast-join back onto the rows. The
+    // integer recurrence is untouched — per-level sums are the same
+    // longs (Σ_rows w = Σ_cells n·w), divisions identical — so every
+    // row's w_ppm is bit-identical (LlmDataSpec pins this against a
+    // sequential fold; the q284 oracle replays the row form in SQL).
+    // Join semantics preserved: inner joins on the dims drop
+    // null-keyed and target-missing rows exactly where the row form
+    // dropped them (null-B cells still count toward round-1 A-sums,
+    // like the rows did).
+    // margins as WINDOW sums over the cells, not join(broadcast(agg)):
+    // the groupBy-broadcast-join form references `cur` twice per
+    // half-step, DOUBLING the plan tree each time (2^2·rounds subtrees
+    // by the end — the measured Scratch2 probe showed per-round
+    // planning cost growing geometrically on a 125-row cached frame).
+    // A window sum is one linear operator per half-step: same per-
+    // level long sum (order-free), same integer division, zero extra
+    // jobs, plan depth linear in rounds.
+    val cells = graft.Caches.pin(
+      df.groupBy(col(dimA), col(dimB)).agg(count(lit(1)).as("__n")))
+    var cur = cells.withColumn("w_ppm", lit(1000000L))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dimA))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(dimB))
     for (_ <- 1 to rounds) {
-      val sa = cur.groupBy(col(dimA)).agg(sum(col("w_ppm")).as("__sa"))
-      cur = cur.join(broadcast(sa), Seq(dimA)).join(ta, Seq(dimA))
+      cur = cur
+        .withColumn("__sa", sum(col("w_ppm") * col("__n")).over(wA))
+        .join(ta, Seq(dimA))
         .withColumn("w_ppm", expr("w_ppm * __ta * 1000000 div __sa"))
         .drop("__sa", "__ta")
-      val sb = cur.groupBy(col(dimB)).agg(sum(col("w_ppm")).as("__sb"))
-      cur = cur.join(broadcast(sb), Seq(dimB)).join(tb, Seq(dimB))
+      cur = cur
+        .withColumn("__sb", sum(col("w_ppm") * col("__n")).over(wB))
+        .join(tb, Seq(dimB))
         .withColumn("w_ppm", expr("w_ppm * __tb * 1000000 div __sb"))
         .drop("__sb", "__tb")
     }
-    cur
+    // cell table is margin-bounded by contract (targets are
+    // population margins), so the weight map broadcasts like them
+    df.join(broadcast(cur.select(col(dimA), col(dimB), col("w_ppm"))),
+      Seq(dimA, dimB))
   }
 
   /** Per-ROW keep probability (importance sampling — quality-weighted

@@ -1370,10 +1370,17 @@ object TextAnalysis {
     */
   def textRankKeywords(df: DataFrame, text: String, iters: Int = 3,
       k: Int = 50): DataFrame = {
-    val words = df.where(col(text).isNotNull)
+    // pinned (r15): the regex normalize + tokenize pass is the
+    // expensive per-byte work, and BOTH downstream pins (the edge
+    // set inside pageRankInt and the word->hash dict) materialize
+    // independently — unpinned, the corpus was normalized twice per
+    // run. One pin = one pass; the arrays are text-sized, so the pin
+    // scales wherever the corpus does (guide §2.4: remove repeated
+    // passes outright).
+    val words = graft.Caches.pin(df.where(col(text).isNotNull)
       .select(filter(split(Dedup.normalize(col(text)), " "),
         t => t =!= "").as("__w"))
-      .where(size(col("__w")) >= 2)
+      .where(size(col("__w")) >= 2))
     val pairs = words.select(explode(arrays_zip(
         slice(col("__w"), lit(1), size(col("__w")) - 1),
         slice(col("__w"), lit(2), size(col("__w")) - 1))).as("__p"))

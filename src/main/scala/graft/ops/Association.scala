@@ -34,11 +34,19 @@ object Association {
     // from the sorted set (same item_a < item_b ordering the join
     // used). The quadratic fan-out stays bounded by basket width —
     // the same census guard runs first, now a max over set sizes.
-    val grouped = df
+    // pinned (r15): the census guard below is its own action, so an
+    // unpinned basket table paid the lineitem-sized exchange TWICE
+    // (once for the guard's max, once for the main query — the
+    // counts/census/pairs branches inside the main query already
+    // share one exchange via ReuseExchange, but a separate action
+    // cannot). The guard's .first() materializes the pin; everything
+    // downstream reads cache. Basket arrays are ≪ input by
+    // construction, so the pin scales with the basket table.
+    val grouped = graft.Caches.pin(df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .groupBy(col("__b"))
-      .agg(array_sort(collect_set(col("__i"))).as("__is"))
+      .agg(array_sort(collect_set(col("__i"))).as("__is")))
     if (maxPerBasket > 0) {
       val worst = grouped
         .agg(coalesce(max(size(col("__is"))), lit(0)))

@@ -1012,11 +1012,15 @@ object Eval {
     */
   def cochranQ(df: DataFrame, block: Column, treatment: Column,
       success: Column): DataFrame = {
-    val rows = df.select(block.cast("string").as("__b"),
-      treatment.cast("string").as("__t"),
-      success.cast("boolean").cast("int").cast("long").as("__x"))
+    // pinned (r15): guard action + per-treatment totals + per-block
+    // row-sum squares are independent passes — unpinned, each re-ran
+    // the caller's construction (the friedman fix; same shape)
+    val rows = graft.Caches.pin(
+      df.select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"),
+        success.cast("boolean").cast("int").cast("long").as("__x"))
       .where(col("__b").isNotNull && col("__t").isNotNull &&
-        col("__x").isNotNull)
+        col("__x").isNotNull))
     val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__t")).as("__d"), sum(col("__x")).as("__r"))
     // uniform block size + within-block distinctness + GLOBAL

@@ -458,27 +458,34 @@ object Graph {
     var e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
-    var prev = -1L
-    var n = e.count()
+    // fixpoint test fused into the degree pass (r15): peeling is
+    // MONOTONE (nodes only ever leave), so "no node below k" IS the
+    // fixpoint — the old edge-count probe paid one extra full
+    // semi-join round just to observe nothing changed, plus a final
+    // edges-wide re-aggregate for the output. Now each round runs
+    // ONE edges-wide degree aggregate (checkpointed node-sized), a
+    // trivial count on it, and — only when peeling continues — the
+    // two semi-joins; the terminal degree frame is returned directly
+    // (all its degrees are >= k by the very test that ended the
+    // loop). Same unique k-core, one fewer edges-wide pass per run.
     var rounds = 0
-    while (n != prev) {
+    while (true) {
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("__d"))
+        .localCheckpoint(true)
+      if (deg.where(col("__d") < k).limit(1).count() == 0L)
+        return deg.select(col("node"), col("__d").as("deg_in_core"))
       require(rounds < maxRounds,
         s"kCore: no fixpoint within $maxRounds rounds")
-      prev = n
-      val keep = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k).select(col("node"))
-        .localCheckpoint(true)
+      val keep = deg.where(col("__d") >= k).select(col("node"))
       e = e.join(keep.select(col("node").as("src")), Seq("src"),
           "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"),
           "left_semi")
         .localCheckpoint(true)
-      n = e.count()
       rounds += 1
     }
-    e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg_in_core"))
+    throw new IllegalStateException("unreachable")
   }
 
   /** K-HOP BFS from a seed set: minimum hop distance <= k for every

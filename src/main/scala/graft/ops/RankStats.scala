@@ -644,11 +644,19 @@ object RankStats {
     */
   def friedman(df: DataFrame, block: Column, treatment: Column,
       value: Column): DataFrame = {
-    val rows = df.select(block.cast("string").as("__b"),
-      treatment.cast("string").as("__t"),
-      value.cast("double").as("__v"))
+    // pinned (r15): the op makes four independent passes over the
+    // cleaned input — completeness guard (block census + global
+    // distinct treatments, its own action), per-treatment rank sums,
+    // and the tie census. Unpinned, each pass re-ran the caller's
+    // whole construction (q369 feeds a lineitem self-aggregated
+    // eligibility join). Three narrow columns, so the pin is
+    // input-bounded; the guard's .head() materializes it.
+    val rows = graft.Caches.pin(
+      df.select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"),
+        value.cast("double").as("__v"))
       .where(col("__b").isNotNull && col("__t").isNotNull &&
-        col("__v").isNotNull)
+        col("__v").isNotNull))
     val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__t")).as("__d"))
     // three legs: uniform block size, within-block distinctness,

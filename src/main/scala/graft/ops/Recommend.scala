@@ -43,11 +43,15 @@ object Recommend {
     // (item_a < item_b, support) pairs are identical: array_sort
     // orders by the item type's ordering, the same `<` the join
     // used.
-    val grouped = df
+    // pinned (r15): the census guard is a separate action — unpinned,
+    // the basket-keyed exchange ran once for the guard and again for
+    // the main query (see Association.basketRules for the identical
+    // fix). The guard's .first() materializes the pin.
+    val grouped = graft.Caches.pin(df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .groupBy(col("__b"))
-      .agg(array_sort(collect_set(col("__i"))).as("__is"))
+      .agg(array_sort(collect_set(col("__i"))).as("__is")))
     if (maxPerBasket > 0) {
       val worst = grouped
         .agg(coalesce(max(size(col("__is"))), lit(0)))
