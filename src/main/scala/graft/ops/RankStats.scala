@@ -45,6 +45,9 @@ object RankStats {
       maxDistinct: Long = 2000000L): DataFrame = {
     val rows = df.select(score.cast("long").as("__s"),
       label.cast("long").as("__l"))
+    // NOT pinned (r15 probe): the guard count does re-scan the input,
+    // but an A/B showed the pin's materialization overhead exceeds
+    // the saved pass on census-shaped aggregates this cheap
     val census = rows.groupBy(col("__s")).agg(
       sum(col("__l")).as("__p"),
       (count(lit(1)) - sum(col("__l"))).as("__q"))
@@ -104,10 +107,13 @@ object RankStats {
       maxDistinct: Long = 2000000L): DataFrame = {
     val rows = df.select(x.cast("long").as("__x"),
       y.cast("long").as("__y"))
-    val dx = rankDict(rows.select(col("__x")), "__x")
-      .select(col("__x"), col("__r2").as("__rx"))
-    val dy = rankDict(rows.select(col("__y")), "__y")
-      .select(col("__y"), col("__r2").as("__ry"))
+    // pinned (r15): each dict is materialized twice — censusGuard's
+    // count and the broadcast join — and each build is a full input
+    // scan; dicts are maxDistinct-bounded, so the pin is tiny
+    val dx = graft.Caches.pin(rankDict(rows.select(col("__x")), "__x")
+      .select(col("__x"), col("__r2").as("__rx")))
+    val dy = graft.Caches.pin(rankDict(rows.select(col("__y")), "__y")
+      .select(col("__y"), col("__r2").as("__ry")))
     censusGuard(dx, maxDistinct, "RankStats.spearman(x)")
     censusGuard(dy, maxDistinct, "RankStats.spearman(y)")
     val ranked = rows.join(broadcast(dx), Seq("__x"))
@@ -137,6 +143,9 @@ object RankStats {
       maxDistinct: Long = 2000000L): DataFrame = {
     val rows = df.select(group.cast("string").as("grp"),
       value.cast("long").as("__v"))
+    // NOT pinned (r15 probe): three materializations of the dict, but
+    // the A/B read a wash — the rebuilds are one cheap grouped count
+    // each and the pin's extra job costs as much as it saves here
     val dict = rankDict(rows.select(col("__v")), "__v")
     censusGuard(dict, maxDistinct, "RankStats.kruskalWallis")
     val cells = rows.groupBy(col("grp"), col("__v"))
@@ -384,9 +393,11 @@ object RankStats {
       maxDistinct: Long = 1000000L): DataFrame = {
     val rows = df.select(inB.cast("boolean").as("__b"),
       value.cast("long").as("__v"))
-    val census = rows.groupBy(col("__v")).agg(
+    // pinned (r15): guard count + totals + cumulative close each
+    // re-scanned the input through the unpinned census
+    val census = graft.Caches.pin(rows.groupBy(col("__v")).agg(
       sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
-      sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+      sum(when(col("__b"), 1L).otherwise(0L)).as("__cb")))
     censusGuard(census, maxDistinct, "cramerVonMises")
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(ScanOps.pinnedZero(col("__v")))
@@ -859,11 +870,15 @@ object RankStats {
   def pageTrend(df: DataFrame, block: Column, treatment: Column,
       value: Column): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val rows = df.select(block.cast("string").as("__b"),
-      treatment.cast("long").as("__t"),
-      value.cast("double").as("__v"))
+    // pinned (r15): the completeness guard (two aggregate branches)
+    // and the ranked rank-sum pass are independent actions — the
+    // friedman fix, same shape
+    val rows = graft.Caches.pin(
+      df.select(block.cast("string").as("__b"),
+        treatment.cast("long").as("__t"),
+        value.cast("double").as("__v"))
       .where(col("__b").isNotNull && col("__t").isNotNull &&
-        col("__v").isNotNull)
+        col("__v").isNotNull))
     val bs = rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
       countDistinct(col("__t")).as("__d"))
     val chk = bs.agg(min(col("__c")).as("mn"), max(col("__c")).as("mx"),
