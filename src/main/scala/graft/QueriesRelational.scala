@@ -1054,7 +1054,11 @@ object QueriesRelational {
       // shared memoized construction (r11): q169/q322/q328 read the
       // SAME canonical purchase graph — see ops.GraphFixtures
       val edges = ops.GraphFixtures.purchaseEdges(s, dir)
-      val out = ops.Graph.pageRankInt(edges, iters = 3)
+      // symmetric = true: the fixture carries both directions of
+      // every (even cust, odd part) pair by construction — node
+      // universe == degree keys, no sinks (r15; see pageRankInt)
+      val out = ops.Graph.pageRankInt(edges, iters = 3,
+        symmetric = true)
         .select(col("node"), col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
       val collected = out.cache()
@@ -1113,7 +1117,9 @@ object QueriesRelational {
       val sources = read(s, dir, "customer")
         .where(col("c_nationkey") === 7)
         .select((col("c_custkey") * 2).as("node"))
-      val out = ops.Graph.pprInt(edges, sources, iters = 3)
+      // symmetric = true: same fixture contract as q169 (r15)
+      val out = ops.Graph.pprInt(edges, sources, iters = 3,
+        symmetric = true)
         .select(col("node"), col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
       val collected = out.cache()

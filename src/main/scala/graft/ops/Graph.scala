@@ -40,10 +40,20 @@ object Graph {
     *
     * `edges` must carry long columns `src`, `dst` (pre-symmetrized by
     * the caller if the graph is undirected). Returns (node, rank).
+    *
+    * `symmetric = true` asserts the input already carries both
+    * directions of every edge (the [[GraphFixtures.purchaseEdges]]
+    * contract, the q328 `canonical` precedent): then src-set ==
+    * dst-set == node universe and no sinks exist, so the node frame
+    * IS the degree table — the union ∪ distinct exchange and the
+    * deg left-join are rebuilding a frame the degree aggregate
+    * already produced (r15; the q287 rebuild-not-compute lesson).
+    * The rank trajectory is bit-identical: same node set, same deg,
+    * same integer recurrence.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRankInt: iters $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pageRankInt: damping $dampNum/$dampDen")
@@ -64,10 +74,12 @@ object Graph {
     // reaches `rank div deg`), and every superstep drops to ONE join
     // + one aggregate. Trajectory bit-identical (same expressions,
     // same integer ops).
-    val nodes = graft.Caches.pin(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(deg, Seq("node"), "left"))
+    val nodes =
+      if (symmetric) deg
+      else graft.Caches.pin(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .join(deg, Seq("node"), "left"))
     var ranks = nodes.select(col("node"), col("deg"),
       lit(scale).as("rank"))
     val base = (dampDen - dampNum) * scale
@@ -109,7 +121,7 @@ object Graph {
     */
   def pprInt(edges: DataFrame, sources: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L, symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"pprInt: iters $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"pprInt: damping $dampNum/$dampDen")
@@ -118,19 +130,29 @@ object Graph {
         col("dst").cast("long").as("dst")))
     val deg = graft.Caches.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    val nodes = graft.Caches.pin(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
     val srcSet = sources.select(col("node").cast("long").as("node"))
       .distinct()
     // teleport flag + STATIC degree materialized once on the node
     // universe (the pageRankInt r14 discipline: deg rides in the
-    // rank frame, so each superstep is ONE join + one aggregate)
-    val tele = graft.Caches.pin(nodes
-      .join(broadcast(srcSet.withColumn("__isSrc", lit(1L))),
-        Seq("node"), "left")
-      .na.fill(0L, Seq("__isSrc"))
-      .join(deg, Seq("node"), "left"))
+    // rank frame, so each superstep is ONE join + one aggregate).
+    // symmetric = true: the degree table IS the node universe (the
+    // pageRankInt r15 note), so the union ∪ distinct pin and the
+    // deg join drop out.
+    val tele =
+      if (symmetric) graft.Caches.pin(deg
+        .join(broadcast(srcSet.withColumn("__isSrc", lit(1L))),
+          Seq("node"), "left")
+        .na.fill(0L, Seq("__isSrc")))
+      else {
+        val nodes = graft.Caches.pin(
+          e.select(col("src").as("node"))
+            .union(e.select(col("dst").as("node"))).distinct())
+        graft.Caches.pin(nodes
+          .join(broadcast(srcSet.withColumn("__isSrc", lit(1L))),
+            Seq("node"), "left")
+          .na.fill(0L, Seq("__isSrc"))
+          .join(deg, Seq("node"), "left"))
+      }
     val base = (dampDen - dampNum) * scale
     var ranks = tele.select(col("node"), col("deg"),
       (col("__isSrc") * scale).as("rank"))
@@ -192,9 +214,14 @@ object Graph {
         und.select(col("a").as("src"), col("b").as("dst"))
           .unionAll(und.select(col("b").as("src"), col("a").as("dst"))))
     }
-    val nodes = graft.Caches.pin(
-      e.select(col("src").as("node")).distinct())
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // round 1 fused (r15): with identity initial labels, the label a
+    // neighbor contributes IS its node id — joining an identity
+    // (node, node) frame onto the edges only re-derives e.src. Feed
+    // round 1 from the edge list directly and the node-universe
+    // distinct exchange + the round-1 join disappear; rounds >= 2
+    // join the previous labeling as before. Same (node, label)
+    // multiset enters every round's aggregate — trajectory identical.
+    var labels: DataFrame = null
     // majority-with-min-tiebreak over a SORTED label array in one
     // aggregate HOF pass: equal runs keep the earlier (= smaller)
     // label via the strict '>'. A (node, label)-keyed count would be
@@ -214,11 +241,15 @@ object Graph {
              'bestRun', IF(IF(x = s.cur, s.run + 1L, 1L) > s.bestRun,
                            IF(x = s.cur, s.run + 1L, 1L), s.bestRun)),
            s -> s.best)""")
-    for (_ <- 1 to rounds) {
-      labels = e
-        .join(labels.select(col("node").as("src"),
-          col("label").as("__l")), Seq("src"))
-        .select(col("dst").as("node"), col("__l"))
+    for (r <- 1 to rounds) {
+      val contrib =
+        if (r == 1) e.select(col("dst").as("node"),
+          col("src").as("__l"))
+        else e
+          .join(labels.select(col("node").as("src"),
+            col("label").as("__l")), Seq("src"))
+          .select(col("dst").as("node"), col("__l"))
+      labels = contrib
         .groupBy(col("node"))
         .agg(array_sort(collect_list(col("__l"))).as("__ls"))
         .select(col("node"), bestLabel.as("label"))
