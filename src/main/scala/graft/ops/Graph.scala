@@ -418,8 +418,7 @@ object Graph {
     */
   def linkScores(adj: DataFrame, minCommon: Long,
       maxDegree: Int = 10000, aaScale: Long = 1000000L,
-      raScale: Long = 1000000000000L,
-      pairRepartition: Boolean = false): DataFrame = {
+      raScale: Long = 1000000000000L): DataFrame = {
     require(minCommon >= 1, s"linkScores: minCommon $minCommon")
     val e = graft.Caches.pin(adj
       .select(col("node").cast("long").as("node"),
@@ -445,17 +444,22 @@ object Graph {
     val wedge = a.join(b, Seq("nbr"))
       .where(col("node_a") < col("node_b"))
       .join(w, Seq("nbr"))
-    // pair-key repartition (the q228 fix) is OPT-IN here: on q251's
-    // support-filtered brand graph the extra exchange of the full
-    // wedge stream traded a straggler partial-agg spill (wins at
-    // 8g heap: 14.8 -> 6-9s) for intermittent shuffle thrash at the
-    // 16g artifact heap (stable 4.6s -> bimodal 5.7/50s reps in the
-    // full-catalog run) — measurements in BENCH_NOTES. Callers with
-    // tight executor memory or heavier skew should flip it on.
-    val staged =
-      if (pairRepartition) wedge.repartition(col("node_a"), col("node_b"))
-      else wedge
-    staged
+    // ALWAYS rebalance before the pair count (r15; replaces the r14
+    // opt-in pairRepartition): the wedge stream leaves the join
+    // partitioned by nbr — a few hundred skewed keys — so the
+    // default map-side partial aggregate built multi-million-entry
+    // near-unique-key hash maps inside a handful of straggler tasks
+    // (solo bench reps 9–41s, GC-state-sensitive). A single-column
+    // node_a hash repartition balances the reduce side (subset
+    // clustering satisfies the groupBy, so it stays ONE exchange);
+    // partial aggregation then runs on balanced ~13M/32 tasks.
+    // Interleaved probe (Scratch5): plain 4.2–6.9s, repartition(a)
+    // 3.1–4.5s, and the erratic tail is gone. An explode-based
+    // in-row fan-out (the q287 shape) was ALSO probed and REJECTED:
+    // generate parallelism is bounded by the few hundred token ROWS
+    // (one task serially emits a hub's millions of pairs) — wedge
+    // production 4.6–8.3s heavy-GC vs 1.0–1.8s for this join.
+    wedge.repartition(col("node_a"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_q"),
         sum(col("ra_w")).as("ra_q"))
