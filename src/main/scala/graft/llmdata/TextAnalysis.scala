@@ -929,6 +929,38 @@ object TextAnalysis {
     }
   }
 
+  /** Per-document winnow selection over the k-gram hash array, one
+    * tight O(n·w) loop per doc (same venue rule as [[kgramHashes]]):
+    * for every window end e in [min(w,n)-1, n-1] pick the minimum
+    * hash over positions max(0, e-w+1)..e, ties to the RIGHTMOST
+    * position (`<=` while scanning ascending keeps the last equal
+    * minimum). Returns the deduped (pos, fp) selections. Replaces
+    * the r14 shape — posexplode of every k-gram, a doc-keyed
+    * exchange of the full k-gram stream, sort, sliding window min —
+    * with zero exchanges (r15; the window semantics, including the
+    * short-document single-window case, are bit-identical and the
+    * q259 oracle replays them in SQL).
+    */
+  private val winnowSelect = udf { (hs: Seq[Long], w: Int) =>
+    val n = hs.length
+    if (n == 0) Seq.empty[(Int, Long)]
+    else {
+      val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      var e = math.min(w - 1, n - 1)
+      while (e < n) {
+        var best = math.max(0, e - w + 1)
+        var j = best + 1
+        while (j <= e) {
+          if (hs(j) <= hs(best)) best = j
+          j += 1
+        }
+        out += ((best, hs(best)))
+        e += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS algorithm): from every window of `w` consecutive
     * k-gram hashes keep the minimum (rightmost on ties), giving a
@@ -946,22 +978,14 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, docId: String, text: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, s"winnowFingerprints: k $k w $w")
-    val W = org.apache.spark.sql.expressions.Window
     val cleaned = regexp_replace(lower(col(text)), "[^a-z0-9]", "")
-    val hs = df.where(col(text).isNotNull)
+    df.where(col(text).isNotNull)
       .select(col(docId), kgramHashes(cleaned, lit(k)).as("__hs"))
       .where(size(col("__hs")) >= 1)
-      .select(col(docId), size(col("__hs")).as("__nk"),
-        posexplode(col("__hs")))
-      .select(col(docId), col("__nk"), col("pos").as("__p"),
-        col("col").as("__h"))
-    val frame = W.partitionBy(col(docId)).orderBy(col("__p"))
-      .rowsBetween(-(w - 1), 0)
-    hs.withColumn("__sel",
-        min(struct(col("__h"), (-col("__p")).as("np"))).over(frame))
-      .where(col("__p") >= w - 1 || col("__p") === col("__nk") - 1)
-      .select(col(docId), (-col("__sel.np")).as("pos"),
-        col("__sel.__h").as("fp"))
+      .select(col(docId),
+        explode(winnowSelect(col("__hs"), lit(w))).as("__s"))
+      .select(col(docId), col("__s._1").as("pos"),
+        col("__s._2").as("fp"))
       .distinct()
   }
 
@@ -983,30 +1007,38 @@ object TextAnalysis {
     val all = graft.Caches.pin(
       winnowFingerprints(df, docId, text, k, w)
         .select(col(docId), col("fp")).distinct())
+    // ONE pinned fp-frequency census serves the boilerplate strip
+    // AND the hub guard (r15): the guard used to re-run the
+    // anti-join + a second full frequency aggregate as a separate
+    // action. Census is distinct-fp-bounded.
+    val census = graft.Caches.pin(all.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df")))
     // BOILERPLATE STRIP (what MOSS calls the common-code filter): a
     // fingerprint present in more than maxDocPermille/1000 of the
     // docs is a shared template phrase, not copying evidence — and
     // it is exactly what makes the pair stage quadratic. Integer
     // cross-multiplied threshold so the kept set replays exactly.
-    val fps = if (maxDocPermille == 0) all else {
+    val keptCensus = if (maxDocPermille == 0) census else {
       val nDocs = all.select(col(docId)).distinct().count()
-      val common = all.groupBy(col("fp"))
-        .agg(count(lit(1)).as("__df"))
-        .where(col("__df") * 1000 > lit(maxDocPermille) * lit(nDocs))
-        .select(col("fp"))
-      all.join(common, Seq("fp"), "left_anti")
+      census.where(col("__df") * 1000 <= lit(maxDocPermille) * lit(nDocs))
     }
     if (maxPerFp > 0) {
-      val worst = fps.groupBy(col("fp")).count()
-        .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      val worst = keptCensus.agg(coalesce(max(col("__df")), lit(0L)))
+        .first().getLong(0)
       require(worst <= maxPerFp,
         s"winnowSimilarity: a fingerprint occurs in $worst docs " +
           s"(> $maxPerFp) — boilerplate; strip it or raise the cap")
     }
+    val fps = if (maxDocPermille == 0) all
+      else all.join(keptCensus.select(col("fp")), Seq("fp"),
+        "left_semi")
     val a = fps.select(col("fp"), col(docId).as("doc_a"))
     val b = fps.select(col("fp"), col(docId).as("doc_b"))
     a.join(b, Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
+      // rebalance off the fp-skewed join partitioning before the
+      // near-unique-key pair count (the q251 lesson, guide §2.5)
+      .repartition(col("doc_a"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
