@@ -146,14 +146,16 @@ object Cox {
         val w = Window.partitionBy(ScanOps.pinnedZero(col("__d")))
           .orderBy(col("__t").desc)
           .rowsBetween(Window.unboundedPreceding, 0)
-        var suff = census
-          .withColumn("__S0", sum(col("__w0")).over(w))
-        for (j <- 0 until k)
-          suff = suff.withColumn(s"__S1_$j",
-            sum(col(s"__w1_$j")).over(w))
-        for (i <- 0 until k; j <- i until k)
-          suff = suff.withColumn(s"__S2_${i}_$j",
-            sum(col(s"__w2_${i}_$j")).over(w))
+        // one select for every suffix sum (r15): the withColumn
+        // chain stacked k(k+3)/2+1 nested Projects that the analyzer
+        // re-resolved on every Newton pass — planning, not tasks,
+        // dominates these ~0.65s/pass census jobs
+        val suffCols = Seq(sum(col("__w0")).over(w).as("__S0")) ++
+          (0 until k).map(j =>
+            sum(col(s"__w1_$j")).over(w).as(s"__S1_$j")) ++
+          (for { i <- 0 until k; j <- i until k } yield
+            sum(col(s"__w2_${i}_$j")).over(w).as(s"__S2_${i}_$j"))
+        val suff = census.select(col("*") +: suffCols: _*)
         val ev = suff.where(col("__d") > 0)
         val dD = col("__d").cast("double")
         val totals = Seq(
