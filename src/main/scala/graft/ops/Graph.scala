@@ -387,9 +387,10 @@ object Graph {
       // keys), so a partial aggregate riding it builds near-unique-
       // key hash maps inside a handful of straggler tasks and spills
       // (profiled r12: 13.4s -> 6.7s at sf0.1 with the exchange);
-      // pair-hash partitioning is balanced no matter how skewed the
-      // neighbor degrees are
-      .repartition(col("node_a"), col("node_b"))
+      // single-column node_a hash (r15, the linkScores probe) is
+      // balanced the same way and hashes one column fewer; subset
+      // clustering still satisfies the groupBy — one exchange
+      .repartition(col("node_a"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minCommon)

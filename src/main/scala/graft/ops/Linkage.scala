@@ -54,6 +54,11 @@ object Linkage {
     def side(df: DataFrame, p: String) = df.select(
       col(id).as(s"id_$p") +: col(blockCol).as("__blk") +:
         fields.map { case (f, _, _) => col(f).as(s"${f}_$p") }: _*)
+    // NOT pinned (r15 probe): pinning pa/pb (and aliasing pb off pa
+    // for self-linkage) to spare the guard's construction re-run
+    // read q254 0.61 -> 1.03s, q263 flat — the sides are cheap
+    // projections and the pin's materialization job costs more than
+    // the saved re-scan
     val pa = side(a, "a")
     val pb = side(b, "b")
     if (maxPerBlock > 0) {
