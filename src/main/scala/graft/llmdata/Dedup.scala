@@ -420,10 +420,14 @@ object Dedup {
   def setSimJoin(df: DataFrame, id: String, text: String, num: Long,
       den: Long, maxPerToken: Int = 100000): DataFrame = {
     require(num >= 1 && den >= num, s"setSimJoin: $num/$den")
-    val toks = df.where(col(text).isNotNull)
+    // pinned (r15): the tokenize pass fed the df census, both sides
+    // of the candidate join, and both verify joins — five lineage
+    // re-runs of the normalize work; the prefix table below was
+    // likewise rebuilt for its guard action and both join sides
+    val toks = graft.Caches.pin(df.where(col(text).isNotNull)
       .select(col(id).as("__id"),
         array_distinct(normalizeTokens(col(text))).as("__ts"))
-      .where(size(col("__ts")) >= 1)
+      .where(size(col("__ts")) >= 1))
     val exploded = toks.select(col("__id"),
       explode(col("__ts")).as("__tok"))
     val dfreq = exploded.groupBy(col("__tok"))
@@ -432,14 +436,14 @@ object Dedup {
     // |x| - ceil(t*|x|) + 1 = |x| - floor((num*|x| + den - 1)/den) + 1
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
-    val ranked = exploded.join(dfreq, Seq("__tok"))
+    val ranked = graft.Caches.pin(exploded.join(dfreq, Seq("__tok"))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__id"))))
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= col("__n") -
         expr(s"(${num}L * __n + ${den}L - 1L) div ${den}L") + 1)
-      .select(col("__tok"), col("__id"), col("__n"))
+      .select(col("__tok"), col("__id"), col("__n")))
     if (maxPerToken > 0) {
       val worst = ranked.groupBy(col("__tok")).count()
         .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
@@ -491,11 +495,13 @@ object Dedup {
     require(num >= 1 && den >= num, s"containmentJoin: $num/$den")
     require(minTokens >= 1, s"containmentJoin: minTokens $minTokens")
     // minTokens floors the CONTAINED side: a 3-token record is
-    // "contained" nearly everywhere, which is noise, not signal
-    val toks = df.where(col(text).isNotNull)
+    // "contained" nearly everywhere, which is noise, not signal.
+    // pinned (r15): the tokenize pass fed the census guard, the
+    // prefix build, the candidate index side, and both verify joins
+    val toks = graft.Caches.pin(df.where(col(text).isNotNull)
       .select(col(id).as("__id"),
         array_distinct(normalizeTokens(col(text))).as("__ts"))
-      .where(size(col("__ts")) >= minTokens)
+      .where(size(col("__ts")) >= minTokens))
     val exploded = toks.select(col("__id"), size(col("__ts"))
         .cast("long").as("__n"), explode(col("__ts")).as("__tok"))
     val dfreq = exploded.groupBy(col("__tok"))
