@@ -784,7 +784,10 @@ object RankStats {
       least(col("__cum"), col("__n") - col("__k")) -
         greatest(col("__cum") - col("__c") + 1, col("__k") + 1) +
         lit(1L))
-    val pg = j.groupBy(col("__g")).agg(
+    // pinned (r15): the 2-row group frame is materialized twice —
+    // the guard collect and the pivot — and each build re-runs the
+    // cumulative window + joins over the census
+    val pg = graft.Caches.pin(j.groupBy(col("__g")).agg(
       min(col("__n")).as("n"), min(col("__k")).as("k"),
       sum(dec(kept) * col("__v")).as("__ts"),
       sum(dec(kept) * col("__v") * col("__v")).as("__tss"))
@@ -794,7 +797,7 @@ object RankStats {
         (col("__ts") + dec(col("k")) * col("__vlo") +
           dec(col("k")) * col("__vhi")).as("__ws"),
         (col("__tss") + dec(col("k")) * col("__vlo") * col("__vlo") +
-          dec(col("k")) * col("__vhi") * col("__vhi")).as("__wss"))
+          dec(col("k")) * col("__vhi") * col("__vhi")).as("__wss")))
     val hs = pg.select(col("__g"), col("h")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(hs.getOrElse("a", 0L) >= 2 && hs.getOrElse("b", 0L) >= 2,
