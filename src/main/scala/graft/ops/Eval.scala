@@ -853,11 +853,14 @@ object Eval {
       .where(col("__u").isNotNull && col("__v").isNotNull)
       .groupBy(col("__u"), col("__v"))
       .agg(count(lit(1)).as("__c")))
-    // per-unit census over units with >= 2 ratings
-    val units = cells.groupBy(col("__u"))
+    // per-unit census over units with >= 2 ratings. pinned (r15):
+    // the max-raters guard action, the observed-disagreement
+    // aggregate, and the kept-units semi-join each re-ran this
+    // grouped aggregate over the pinned cells
+    val units = graft.Caches.pin(cells.groupBy(col("__u"))
       .agg(sum(col("__c")).as("__m"),
         sum(col("__c") * col("__c")).as("__ss"))
-      .where(col("__m") >= 2)
+      .where(col("__m") >= 2))
     val mMaxRow = units.agg(max(col("__m"))).head()
     require(!mMaxRow.isNullAt(0),
       "krippendorffAlpha: no unit has >= 2 ratings — alpha undefined")
