@@ -335,25 +335,38 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("t"), col("label").as("tl")),
-          "t")
-        .groupBy(col("s").as("id")).agg(min(col("tl")).as("nl"))
-      // localCheckpoint TRUNCATES the logical plan each round —
+      // TWO min-label supersteps per checkpoint + convergence probe
+      // (r15 verdict item 5): the ~0.3s/round localCheckpoint+count
+      // floor dominated the loop at sf0.1, and extra supersteps after
+      // the fixpoint are identities (min-label propagation is
+      // monotone), so batching cannot change the converged labels —
+      // it only halves the checkpoint/count jobs at the cost of one
+      // identity superstep when the diameter is odd. The unrolled
+      // batch is 2 deep, so Catalyst planning stays O(1) per batch.
+      val steps = math.min(2, maxIter - i)
+      var cur = labels.select(col("id"), col("label"),
+        col("label").as("next"))
+      for (_ <- 1 to steps) {
+        val nbrMin = edges
+          .join(cur.select(col("id").as("t"), col("next").as("tl")),
+            "t")
+          .groupBy(col("s").as("id")).agg(min(col("tl")).as("nl"))
+        cur = cur.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label"),
+            least(col("next"), coalesce(col("nl"), col("next")))
+              .as("next"))
+      }
+      // localCheckpoint TRUNCATES the logical plan each batch —
       // without it the accumulated lineage re-analyzes on every
       // iteration and planning time, not task time, dominates (the
       // classic iterative-DataFrame pitfall; caching alone does not
       // cut the plan)
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label")))
-            .as("next"))
-        .localCheckpoint(true)
+      val updated = cur.localCheckpoint(true)
       changed = updated.where(col("next") < col("label")).count()
       val old = labels
       labels = updated.select(col("id"), col("next").as("label"))
       old.unpersist(blocking = false)
-      i += 1
+      i += steps
     }
     edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))

@@ -166,6 +166,15 @@ object Sampling {
     * (see the in-body note). Overflow headroom: w·t·10⁶ must stay under 2⁶³ —
     * fine through ~10⁹-row targets with weights under ~10⁴×.
     * `targetsA`/`targetsB` carry (dim, t) population counts.
+    *
+    * CARDINALITY CONTRACT: the (dimA, dimB) cell table — |A|·|B|
+    * rows, margin-bounded because the targets ARE population margins
+    * — is pinned, window-scanned and finally BROADCAST back onto the
+    * rows, so both dims must be population-margin-sized categorical
+    * levels (thousands, not millions): past ~10⁷ cells the weight-map
+    * broadcast exceeds executor/driver broadcast budgets, a failure
+    * mode the old row-space form did not have. High-cardinality dims
+    * need the row-space recurrence, not this operator.
     */
   def ipfWeights(df: DataFrame, dimA: String, dimB: String,
       targetsA: DataFrame, targetsB: DataFrame,

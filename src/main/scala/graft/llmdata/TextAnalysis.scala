@@ -407,6 +407,17 @@ object TextAnalysis {
       sum(when(col("__t") === terms(i), 1L).otherwise(0L)).as(s"__tf$i"))
     val perDoc = toks.groupBy(col(docId))
       .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    bm25LiteralTail(perDoc, docId, terms, k, k1, b)
+  }
+
+  /** Shared literal-BM25 tail over a (docId, __dl, __tf0..__tfN)
+    * frame: corpus stats, per-term contribution formula, top-k. Split
+    * from [[bm25TopK]] so the census-backed PRF shortlist scores
+    * through the IDENTICAL expression tree (same integer inputs, same
+    * double operation order — bit-for-bit scores).
+    */
+  private def bm25LiteralTail(perDoc: DataFrame, docId: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     val dfCols = terms.indices.map(i =>
       sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = perDoc.agg(count(lit(1)).as("__n"),
@@ -430,6 +441,30 @@ object TextAnalysis {
       .where(col("n_hit") > 0)
       .select(col(docId), col("score"), col("n_hit"))
       .orderBy(col("score").desc, col(docId)).limit(k)
+  }
+
+  /** Literal BM25 over a pre-built (docId, __t, __c) token-tf census
+    * instead of raw text: __dl = Σ__c, __tf_i = Σ__c where __t = term.
+    * Same longs as [[bm25TopK]]'s count-based aggregation, then the
+    * shared [[bm25LiteralTail]] — identical output. Used by the PRF
+    * chain, where the census already exists (one tokenize pass serves
+    * the shortlist, the expansion census AND the dyn scorer — r15
+    * verdict item 3); standalone [[bm25TopK]] keeps its single-
+    * aggregation shape, which is cheaper when nothing shares the
+    * census.
+    */
+  private def bm25TopKFromCensus(census: DataFrame, docId: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"bm25TopKFromCensus: terms must be non-empty and distinct, " +
+        s"got $terms")
+    val tfCols = terms.indices.map(i =>
+      sum(when(col("__t") === terms(i), col("__c")).otherwise(0L))
+        .as(s"__tf$i"))
+    val perDoc = census.groupBy(col(docId))
+      .agg(sum(col("__c")).as("__dl"), tfCols: _*)
+    bm25LiteralTail(perDoc, docId, terms, k, k1, b)
   }
 
   /** [[bm25TopK]] with the query terms as a TABLE instead of
@@ -461,6 +496,17 @@ object TextAnalysis {
       .join(broadcast(tset), Seq("__t"))
       .groupBy(col(docId), col("__t"), col("__dl"))
       .agg(count(lit(1)).as("__tf")))
+    bm25DynTail(matched, stats, docId, k, k1, b)
+  }
+
+  /** Shared dyn-BM25 tail over a (docId, __t, __dl, __tf) matched
+    * frame plus a one-row (__n, __sumdl) stats frame — per-term df
+    * census, decimal-quantized contribution sum, top-k. Split from
+    * [[bm25TopKDyn]] so the census-backed variant scores through the
+    * identical expression tree.
+    */
+  private def bm25DynTail(matched: DataFrame, stats: DataFrame,
+      docId: String, k: Int, k1: Double, b: Double): DataFrame = {
     val dft = matched.groupBy(col("__t"))
       .agg(count(lit(1)).as("__df")) // one row per (doc, term)
     val nd = col("__n").cast("double")
@@ -481,6 +527,31 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(docId)).limit(k)
   }
 
+  /** [[bm25TopKDyn]] over a pre-built (docId, __t, __c) token-tf
+    * census instead of raw text: per-doc __dl = Σ__c (pinned — both
+    * the stats row and the matched frame read it), __tf = __c for
+    * matched terms, then the shared [[bm25DynTail]]. Same longs as
+    * the text form's exploded-token aggregation, identical output.
+    * Saves the dyn stage's full corpus re-tokenize when the PRF chain
+    * already built the census.
+    */
+  private def bm25TopKDynFromCensus(census: DataFrame, docId: String,
+      terms: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopKDynFromCensus: k=$k")
+    val dl = graft.Caches.pin(census.groupBy(col(docId))
+      .agg(sum(col("__c")).as("__dl")))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val tset = terms.select(col("term").as("__t")).distinct()
+    val matched = graft.Caches.pin(census
+      .join(broadcast(tset), Seq("__t"))
+      .join(dl, Seq(docId))
+      .select(col(docId), col("__t"), col("__dl"),
+        col("__c").as("__tf")))
+    bm25DynTail(matched, stats, docId, k, k1, b)
+  }
+
   /** PSEUDO-RELEVANCE-FEEDBACK expansion terms (RM3-style, Lavrenko
     * & Croft 2001 simplified to exact integers): run the literal
     * query, take the top `kDocs` pseudo-relevant documents, and rank
@@ -497,20 +568,44 @@ object TextAnalysis {
       terms: Seq[String], kDocs: Int, kExpand: Int): DataFrame = {
     require(kDocs >= 1 && kExpand >= 1,
       s"prfExpansionTerms: kDocs=$kDocs kExpand=$kExpand")
-    val short = bm25TopK(df, docId, text, terms, kDocs)
-      .select(col(docId))
-    val docs = df.where(col(text).isNotNull)
-    // reduce to the (doc, term) tf census BEFORE caching: pinning the
-    // raw exploded token stream measured 5x at 10x data (sf1 capture)
-    // — the census is pre-aggregated, far smaller, and both consumers
-    // (global df, shortlist tf) derive from it
-    val tf = graft.Caches.pin(docs.select(col(docId),
+    // ONE pinned (doc, term, tf) census feeds the BM25 shortlist, the
+    // global df census AND the shortlist tf aggregate (r15 verdict
+    // item 3): the shortlist used to re-tokenize the corpus through
+    // [[bm25TopK]] — a second full text pass per query. The census is
+    // pre-aggregated BEFORE pinning: pinning the raw exploded token
+    // stream measured 5x at 10x data (sf1 capture).
+    val census = graft.Caches.pin(tokenTfCensus(df, docId, text))
+    prfCore(census, df.where(col(text).isNotNull), docId, terms,
+      kDocs, kExpand)
+  }
+
+  /** One-pass (doc, token, tf) census — THE shared tokenize of the
+    * PRF chain: shortlist, expansion census and dyn scorer all derive
+    * from this one frame, so the corpus text is split/lowered once
+    * per query instead of once per stage. Empty tokens excluded;
+    * zero-token docs produce no rows (the literal form's N
+    * convention).
+    */
+  private def tokenTfCensus(df: DataFrame, docId: String,
+      text: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(col(docId),
         explode(filter(split(lower(col(text)), " "), t => t =!= ""))
           .as("__t"))
-      .groupBy(col(docId), col("__t")).agg(count(lit(1)).as("__c")))
+      .groupBy(col(docId), col("__t")).agg(count(lit(1)).as("__c"))
+
+  /** [[prfExpansionTerms]] body over a pre-pinned census (`docs` only
+    * feeds the N census — the weight formula counts every non-null-
+    * text doc, including zero-token ones).
+    */
+  private def prfCore(census: DataFrame, docs: DataFrame,
+      docId: String, terms: Seq[String], kDocs: Int,
+      kExpand: Int): DataFrame = {
+    val short = bm25TopKFromCensus(census, docId, terms, kDocs)
+      .select(col(docId))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
-    val gdf = tf.groupBy(col("__t")).agg(count(lit(1)).as("__gdf"))
-    val inShort = tf.join(broadcast(short), Seq(docId))
+    val gdf = census.groupBy(col("__t")).agg(count(lit(1)).as("__gdf"))
+    val inShort = census.join(broadcast(short), Seq(docId))
       .where(!col("__t").isin(terms: _*))
       .groupBy(col("__t")).agg(sum(col("__c")).as("tf_short"),
         count(lit(1)).as("df_short"))
@@ -526,17 +621,24 @@ object TextAnalysis {
   /** End-to-end PRF retrieval: [[prfExpansionTerms]] feeds
     * [[bm25TopKDyn]] with originals ∪ expansion — two BM25 stages,
     * zero driver round-trips (the expansion table rides the plan as
-    * a broadcast).
+    * a broadcast). Both stages and the shortlist score off ONE pinned
+    * token-tf census (r15 verdict item 3): the chain used to tokenize
+    * the corpus three times (shortlist, expansion census, dyn
+    * scorer); now the text is split exactly once.
     */
   def prfSearch(df: DataFrame, docId: String, text: String,
       terms: Seq[String], kDocs: Int, kExpand: Int, k: Int)
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val exp = prfExpansionTerms(df, docId, text, terms, kDocs, kExpand)
-      .select(col("term"))
+    require(kDocs >= 1 && kExpand >= 1,
+      s"prfSearch: kDocs=$kDocs kExpand=$kExpand")
+    val census = graft.Caches.pin(tokenTfCensus(df, docId, text))
+    val exp = prfCore(census, df.where(col(text).isNotNull), docId,
+      terms, kDocs, kExpand).select(col("term"))
     val orig = terms.toDF("term")
-    bm25TopKDyn(df, docId, text, exp.unionByName(orig).distinct(), k)
+    bm25TopKDynFromCensus(census, docId,
+      exp.unionByName(orig).distinct(), k)
   }
 
   /** Gopher-style rule filter (Rae et al. 2021, §A1.1): each document

@@ -49,7 +49,12 @@ object Graph {
     * deg left-join are rebuilding a frame the degree aggregate
     * already produced (r15; the q287 rebuild-not-compute lesson).
     * The rank trajectory is bit-identical: same node set, same deg,
-    * same integer recurrence.
+    * same integer recurrence. The flag is an UNCHECKED caller
+    * contract (a check would cost exactly the exchange it saves): on
+    * a graph that is NOT fully symmetrized, dst-only nodes silently
+    * vanish from the node universe and sink handling is wrong —
+    * WRONG RANKS, NO ERROR. Pass true only for fixtures constructed
+    * symmetric by unioning both directions.
     */
   def pageRankInt(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, dampNum: Long = 85L,
@@ -532,7 +537,7 @@ object Graph {
     * q229 oracle unrolls the supersteps as CTEs.
     */
   def kHopDistances(edges: DataFrame, seeds: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, bcastRows: Long = 4000000L): DataFrame = {
     require(k >= 1 && k <= 10, s"kHopDistances: k $k")
     val e = graft.Caches.pin(edges
       .select(col("src").cast("long").as("src"),
@@ -540,17 +545,39 @@ object Graph {
     var settled = seeds.select(col("node").cast("long").as("node"),
       lit(0L).as("dist")).distinct().localCheckpoint(true)
     var frontier = settled
+    // frontier/settled row counts are near-free on the checkpointed
+    // frames and let each hop pick its join strategy (r15 verdict
+    // item 6, guide §3.1): while the frontier is small, BROADCAST it
+    // into the edge join — the edge table (the big side) is then
+    // never shuffled — and broadcast the settled set into the
+    // anti-join; past `bcastRows` (~64 MB of longs, far under the
+    // 8 GB broadcast cap but sized so every executor holds it
+    // comfortably) fall back to the shuffled joins. Hints only —
+    // results are join-strategy-invariant.
+    var frontierRows = frontier.count()
+    var settledRows = frontierRows
     for (h <- 1 to k) {
-      // localCheckpoint per hop: the settled union's lineage doubles
-      // per superstep otherwise, and Catalyst planning — not tasks —
-      // starts to dominate (the duplicateClusters lesson)
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
+      // localCheckpoint per hop: the frontier feeds its successor, so
+      // lineage would deepen per superstep otherwise and Catalyst
+      // planning — not tasks — starts to dominate (the
+      // duplicateClusters lesson)
+      val f = if (frontierRows <= bcastRows) broadcast(frontier)
+        else frontier
+      val s = if (settledRows <= bcastRows) broadcast(settled)
+        else settled
+      val next = f
+        .join(e, f("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(s, Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint(true)
-      settled = settled.unionByName(next).localCheckpoint(true)
+      // the union of per-hop CHECKPOINTED pieces needs no checkpoint
+      // of its own (lineage depth k over materialized leaves); the
+      // old per-hop re-checkpoint copied the whole settled set again
+      // every superstep — O(k·|settled|) extra materialization
+      frontierRows = next.count()
+      settledRows += frontierRows
+      settled = settled.unionByName(next)
       frontier = next
     }
     settled
